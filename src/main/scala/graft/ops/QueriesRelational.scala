@@ -1,0 +1,644 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.B–2.G: scans, projection/filter, joins, aggregation,
+  * window functions, sort/limit/set ops.
+  *
+  * Every query obeys the oracle-determinism rules of SURVEY.md §7.5:
+  * total ORDER BY over the output columns, DOUBLE money math routed
+  * through DECIMAL(18,4), no raw double aggregates, stable column names
+  * matching the DuckDB oracle SQL exactly.
+  *
+  * Scale posture (100 TB design point): declarative DataFrame plans only —
+  * Catalyst handles pushdown/pruning; joins go through AQE (broadcast for
+  * dims, shuffled hash/SMJ for facts); no collect() in any operator path.
+  */
+object QueriesRelational {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val D184 = DecimalType(18, 4)
+  private def dec(c: Column): Column = c.cast(D184)
+  private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  // Tight precisions for multi-factor decimal products: with DECIMAL(18,4)
+  // inputs a triple product exceeds DuckDB's width-38 cap and silently falls
+  // back to DOUBLE (breaking exactness); (12,4) money × (6,4) rate factors
+  // keep every intermediate within width 38 in BOTH engines.
+  private def money12(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def rate(c: Column): Column = c.cast(DecimalType(5, 4))
+  private val one = lit(1).cast(DecimalType(2, 1))
+
+  // ---------------------------------------------------------------- fixtures
+  private val FixDir = "/root/repo/fixtures"
+
+  /** Derived fixture files for csv/json sources (FIXTURES.md §3): written
+    * once, deterministically, from the 5-row region dim. Driver-side file
+    * IO for fixture generation only — not an operator path.
+    */
+  private def ensureFileFixtures(spark: SparkSession, dir: String): Unit = synchronized {
+    val fixDir = new java.io.File(FixDir)
+    fixDir.mkdirs()
+    val csv = new java.io.File(fixDir, "tiny.csv")
+    val jsonl = new java.io.File(fixDir, "tiny.jsonl")
+    if (!csv.exists() || !jsonl.exists()) {
+      val rows = Tables.t(spark, dir, "region")
+        .orderBy("r_regionkey").collect() // 5 rows
+      val csvBody = "r_regionkey,r_name\n" +
+        rows.map(r => s"${r.get(0)},${r.get(1)}").mkString("\n") + "\n"
+      val jsonBody = rows.map(r =>
+        s"""{"r_regionkey": ${r.get(0)}, "r_name": "${r.get(1)}"}""").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(csv.toPath, csvBody)
+      java.nio.file.Files.writeString(jsonl.toPath, jsonBody)
+    }
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // ------------------------------------------------------------- 2.B scans
+    "q_scan_parquet" -> { (s, d) =>
+      Tables.t(s, d, "region").orderBy("r_regionkey")
+    },
+    "q_scan_projection_pushdown" -> { (s, d) =>
+      // ReadSchema must show only these 2 of 11 columns (see .explain)
+      Tables.t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    },
+    "q_scan_filter_pushdown" -> { (s, d) =>
+      // predicate reaches the parquet scan as PushedFilters (timestamp_ntz)
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+                col("l_shipdate") <  ntz("1996-02-01 00:00:00"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q_scan_csv" -> { (s, d) =>
+      ensureFileFixtures(s, d)
+      s.read.schema("r_regionkey INT, r_name STRING")
+        .option("header", "true").csv(s"$FixDir/tiny.csv")
+        .orderBy("r_regionkey")
+    },
+    "q_scan_json" -> { (s, d) =>
+      ensureFileFixtures(s, d)
+      s.read.schema("r_regionkey INT, r_name STRING")
+        .json(s"$FixDir/tiny.jsonl")
+        .orderBy("r_regionkey")
+    },
+    "q_scan_values" -> { (s, _) =>
+      s.sql("SELECT id, name FROM VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta') AS t(id, name) ORDER BY id")
+    },
+    "q_ctas" -> { (s, d) =>
+      // CTAS: materialize an aggregate to parquet, then re-read it
+      val out = "/tmp/graft_ctas_parquet"
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------- 2.C projection/filter/scalar
+    "q_project_expr" -> { (s, d) =>
+      Tables.t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D184).as("revenue"),
+        round(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax"))), 4).cast(D184).as("charge")
+      ).orderBy("l_orderkey", "l_linenumber")
+    },
+    "q_filter_compound" -> { (s, d) =>
+      Tables.t(s, d, "customer").filter(
+        (col("c_mktsegment").like("B%") || col("c_mktsegment") === "MACHINERY") &&
+        col("c_acctbal").between(0, 5000) &&
+        col("c_nationkey").isin(0 to 12: _*) &&
+        !col("c_name").like("%00%") &&
+        col("c_custkey").isNotNull
+      ).select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+    },
+    "q_case_when" -> { (s, d) =>
+      Tables.t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("tier"),
+        coalesce(when(col("o_orderstatus") === "O", lit(null).cast(StringType))
+          .otherwise(col("o_orderstatus")), lit("open")).as("status2")
+      ).orderBy("o_orderkey")
+    },
+    "q_cast" -> { (s, d) =>
+      Tables.t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(8, 2)).cast(StringType).as("qty_str"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        col("l_orderkey").cast(StringType).cast(LongType).as("ok_rt"),
+        col("l_linenumber").cast(LongType).as("ln_big")
+      ).orderBy("l_orderkey", "l_linenumber")
+    },
+    "q_distinct" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ------------------------------------------------------------- 2.D joins
+    "q_join_inner" -> { (s, d) =>
+      val o = Tables.t(s, d, "orders")
+      val l = Tables.t(s, d, "lineitem")
+      o.filter(col("o_orderstatus") === "F")
+        .join(l, o("o_orderkey") === l("l_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+               .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    "q_join_multiway" -> { (s, d) =>
+      // TPC-H Q5 shape: 6-table star join, region filter, revenue per nation.
+      // Dims (region/nation/supplier) broadcast; fact joins shuffle on keys.
+      val r = Tables.t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.t(s, d, "nation")
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders")
+      val l = Tables.t(s, d, "lineitem")
+      val su = Tables.t(s, d, "supplier")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+    "q_join_broadcast" -> { (s, d) =>
+      val n = Tables.t(s, d, "nation")
+      val r = Tables.t(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
+    "q_join_left" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    },
+    "q_join_right" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+             dec(sum(dec(col("o_totalprice")))).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    "q_join_full" -> { (s, d) =>
+      val cn = Tables.t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("c_cnt"))
+      val sn = Tables.t(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, cn("k") === sn("k"), "full")
+        .select(coalesce(cn("k"), sn("k")).as("nationkey"),
+                coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+                coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nationkey")
+    },
+    "q_join_semi" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    "q_join_anti" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    "q_join_cross" -> { (s, d) =>
+      val r = Tables.t(s, d, "region").select("r_name")
+      val st = Tables.t(s, d, "orders").select("o_orderstatus").distinct()
+      r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+    },
+    "q_join_theta" -> { (s, d) =>
+      // equi key + non-equi (range) residual: ships strictly after order date
+      val o = Tables.t(s, d, "orders")
+      val l = Tables.t(s, d, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+                l("l_shipdate") > o("o_orderdate"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("order_month")
+    },
+    "q_join_asof" -> { (s, d) =>
+      // AS-OF join (events -> latest order at-or-before event ts per user).
+      // Spark has no native ASOF: union-tag + running last_value(ignoreNulls)
+      // — one shuffle on the key, no row explosion (SURVEY.md §7.7); scales
+      // as a single window over the merged stream.
+      val o = Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_key")) // dedupe ties -> deterministic
+      val ev = Tables.t(s, d, "events")
+      val tagged = o.select(col("o_custkey").as("k"),
+            col("o_orderdate").as("ts"), lit(0).as("tag"),
+            col("o_key"), lit(null).cast(LongType).as("event_id"))
+        .unionByName(ev.select(col("user_id").as("k"), col("ts"),
+            lit(1).as("tag"), lit(null).cast(LongType).as("o_key"),
+            col("event_id")))
+      val w = Window.partitionBy("k").orderBy(col("ts").asc, col("tag").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("o_orderkey", last(col("o_key"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("o_orderkey").isNotNull)
+        .select(col("event_id"), col("k").as("user_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    },
+
+    // ------------------------------------------------------------- 2.E aggs
+    "q_agg_groupby" -> { (s, d) =>
+      // TPC-H Q1 shape; money through DECIMAL(18,4); avg via exact sum/cnt
+      val l = Tables.t(s, d, "lineitem")
+      l.filter(col("l_shipdate") <= ntz("2001-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice")))).as("sum_base"),
+          dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+            .as("sum_disc_price"),
+          round(sum(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
+            * (one + rate(col("l_tax")))), 4).cast(D184).as("sum_charge"),
+          (sum(dec(col("l_quantity"))) / count(lit(1))).cast(D184).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q_agg_count_distinct" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("cd_part"),
+             countDistinct(col("l_suppkey")).as("cd_supp"),
+             count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+    "q_agg_approx_distinct" -> { (s, d) =>
+      // HLL sketch: approximate, so no hash oracle (SURVEY §2.E); bounds
+      // are asserted in ScalaTest instead.
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+    "q_agg_grouping_sets" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
+    "q_agg_having" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .filter(col("sum_qty") > 1000)
+        .orderBy("l_suppkey")
+    },
+    "q_agg_stats" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+             round(var_samp(col("l_quantity")), 4).as("var_qty"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"))
+        .orderBy("l_returnflag")
+    },
+    "q_agg_percentile" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+             round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+        .orderBy("l_returnflag")
+    },
+    "q_agg_collect" -> { (s, d) =>
+      val n = Tables.t(s, d, "nation")
+      val r = Tables.t(s, d, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("r_name")
+    },
+    "q_agg_filter_clause" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(dec(sum(when(col("l_returnflag") === "A", dec(col("l_quantity")))))
+               .as("sum_qty_a"),
+             count(when(col("l_returnflag") === "R", lit(1))).as("cnt_r"))
+        .orderBy("l_linestatus")
+    },
+
+    // ----------------------------------------------------------- 2.F window
+    "q_win_rank" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    },
+    "q_win_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.t(s, d, "events")
+        .select(col("event_id"),
+          lag(dec(col("value")), 1).over(w).as("prev_value"),
+          lead(dec(col("value")), 1).over(w).as("next_value"))
+        .orderBy("event_id")
+    },
+    "q_win_running" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, d, "events")
+        .select(col("event_id"),
+          dec(sum(dec(col("value"))).over(w)).as("run_sum"))
+        .orderBy("event_id")
+    },
+    "q_win_sliding_rows" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      Tables.t(s, d, "events")
+        .select(col("event_id"),
+          dec(sum(dec(col("value"))).over(w)).as("mov_sum"),
+          count(lit(1)).over(w).as("mov_cnt"))
+        .orderBy("event_id")
+    },
+    "q_win_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"))
+        .rangeBetween(-100, 0)
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"), count(lit(1)).over(w).as("peers_within_100"))
+        .orderBy("c_custkey")
+    },
+    "q_win_ntile_firstlast" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          first(col("c_name")).over(wf).as("first_name"),
+          last(col("c_name")).over(wf).as("last_name"))
+        .orderBy("c_custkey")
+    },
+    "q_win_topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ------------------------------------------------ 2.G sort/limit/set ops
+    "q_sort_multikey" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_returnflag").asc, col("l_quantity").desc_nulls_last,
+                 col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(1000)
+    },
+    "q_limit_offset" -> { (s, d) =>
+      Tables.t(s, d, "orders").select("o_orderkey")
+        .orderBy("o_orderkey").offset(100).limit(50)
+    },
+    "q_topk" -> { (s, d) =>
+      // ORDER BY + LIMIT -> TakeOrderedAndProject (no full sort at scale)
+      Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    "q_union_all" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.unionByName(su).orderBy("k")
+    },
+    "q_union_distinct" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.union(su).distinct().orderBy("k")
+    },
+    "q_intersect" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.intersect(su).orderBy("k")
+    },
+    "q_except" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.except(su).orderBy("k")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "q_scan_projection_pushdown" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000",
+    "q_scan_filter_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01' " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "q_scan_csv" ->
+      ("SELECT * FROM read_csv('/root/repo/fixtures/tiny.csv', header=true, " +
+       "columns={'r_regionkey':'INTEGER','r_name':'VARCHAR'}) ORDER BY r_regionkey"),
+    "q_scan_json" ->
+      ("SELECT * FROM read_json('/root/repo/fixtures/tiny.jsonl', " +
+       "format='newline_delimited', " +
+       "columns={'r_regionkey':'INTEGER','r_name':'VARCHAR'}) ORDER BY r_regionkey"),
+    "q_scan_values" ->
+      "SELECT id, name FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')) t(id, name) ORDER BY id",
+    "q_ctas" ->
+      ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
+       "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_project_expr" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue, " +
+       "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4))), 4) AS DECIMAL(18,4)) AS charge " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_filter_compound" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE " +
+       "(c_mktsegment LIKE 'B%' OR c_mktsegment = 'MACHINERY') " +
+       "AND c_acctbal BETWEEN 0 AND 5000 " +
+       "AND c_nationkey IN (0,1,2,3,4,5,6,7,8,9,10,11,12) " +
+       "AND NOT (c_name LIKE '%00%') AND c_custkey IS NOT NULL ORDER BY c_custkey"),
+    "q_case_when" ->
+      ("SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' " +
+       "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS tier, " +
+       "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2 " +
+       "FROM orders ORDER BY o_orderkey"),
+    "q_cast" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "CAST(CAST(l_quantity AS DECIMAL(8,2)) AS VARCHAR) AS qty_str, " +
+       "CAST(l_shipdate AS DATE) AS ship_date, " +
+       "CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS ok_rt, " +
+       "CAST(l_linenumber AS BIGINT) AS ln_big " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q_join_inner" ->
+      ("SELECT o_orderpriority, COUNT(*) AS cnt, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_multiway" ->
+      ("SELECT n_name, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "q_join_broadcast" ->
+      ("SELECT n_nationkey, n_name, r_name FROM nation JOIN region " +
+       "ON n_regionkey = r_regionkey ORDER BY n_nationkey"),
+    "q_join_left" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS order_cnt FROM customer " +
+       "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_join_right" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS order_cnt, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_spent " +
+       "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_join_full" ->
+      ("SELECT COALESCE(c.k, s.k) AS nationkey, COALESCE(c.c_cnt, 0) AS c_cnt, " +
+       "COALESCE(s.s_cnt, 0) AS s_cnt FROM " +
+       "(SELECT c_nationkey AS k, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c " +
+       "FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s " +
+       "ON c.k = s.k ORDER BY nationkey"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+       "ORDER BY c_custkey"),
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+       "ORDER BY c_custkey"),
+    "q_join_cross" ->
+      ("SELECT r_name, o_orderstatus FROM (SELECT r_name FROM region) " +
+       "CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) " +
+       "ORDER BY r_name, o_orderstatus"),
+    "q_join_theta" ->
+      ("SELECT date_trunc('month', o_orderdate) AS order_month, COUNT(*) AS cnt " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND l_shipdate > o_orderdate " +
+       "GROUP BY 1 ORDER BY order_month"),
+    "q_join_asof" ->
+      ("SELECT e.event_id, e.user_id, o.o_key AS o_orderkey FROM events e " +
+       "ASOF JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_key " +
+       "FROM orders GROUP BY 1, 2) o " +
+       "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
+    "q_agg_groupby" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price, " +
+       "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4)))), 4) AS DECIMAL(18,4)) AS sum_charge, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4)) AS avg_qty, " +
+       "COUNT(*) AS cnt " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_count_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS cd_part, " +
+       "COUNT(DISTINCT l_suppkey) AS cd_supp, COUNT(*) AS cnt " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
+       "COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_agg_having" ->
+      ("SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty " +
+       "FROM lineitem GROUP BY l_suppkey " +
+       "HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 1000 ORDER BY l_suppkey"),
+    "q_agg_stats" ->
+      ("SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty, " +
+       "ROUND(VAR_SAMP(l_quantity), 4) AS var_qty, " +
+       "ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qe " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_percentile" ->
+      ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
+       "ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_collect" ->
+      ("SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations " +
+       "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY r_name ORDER BY r_name"),
+    "q_agg_filter_clause" ->
+      ("SELECT l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'A') AS DECIMAL(18,4)) AS sum_qty_a, " +
+       "COUNT(*) FILTER (WHERE l_returnflag = 'R') AS cnt_r " +
+       "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q_win_rank" ->
+      ("SELECT * FROM (SELECT c_nationkey, c_custkey, " +
+       "ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk " +
+       "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)) " +
+       "WHERE rn <= 3 ORDER BY c_nationkey, rn"),
+    "q_win_lag_lead" ->
+      ("SELECT event_id, " +
+       "LAG(CAST(value AS DECIMAL(18,4)), 1) OVER w AS prev_value, " +
+       "LEAD(CAST(value AS DECIMAL(18,4)), 1) OVER w AS next_value " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+       "ORDER BY event_id"),
+    "q_win_running" ->
+      ("SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+       "AS DECIMAL(18,4)) AS run_sum FROM events ORDER BY event_id"),
+    "q_win_sliding_rows" ->
+      ("SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS mov_sum, " +
+       "COUNT(*) OVER w AS mov_cnt FROM events " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id"),
+    "q_win_range_frame" ->
+      ("SELECT c_custkey, COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal " +
+       "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS peers_within_100 " +
+       "FROM customer ORDER BY c_custkey"),
+    "q_win_ntile_firstlast" ->
+      ("SELECT c_custkey, NTILE(4) OVER w AS quartile, " +
+       "FIRST_VALUE(c_name) OVER wf AS first_name, LAST_VALUE(c_name) OVER wf AS last_name " +
+       "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey), " +
+       "wf AS (PARTITION BY c_nationkey ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+       "ORDER BY c_custkey"),
+    "q_win_topk_per_group" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER " +
+       "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"),
+    "q_sort_multikey" ->
+      ("SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM lineitem " +
+       "ORDER BY l_returnflag ASC, l_quantity DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 1000"),
+    "q_limit_offset" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+    "q_topk" ->
+      ("SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS total FROM orders " +
+       "ORDER BY total DESC, o_orderkey ASC LIMIT 10"),
+    "q_union_all" ->
+      ("SELECT c_nationkey AS k FROM customer UNION ALL " +
+       "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    "q_union_distinct" ->
+      ("SELECT c_nationkey AS k FROM customer UNION " +
+       "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    "q_intersect" ->
+      ("SELECT c_nationkey AS k FROM customer INTERSECT " +
+       "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    "q_except" ->
+      ("SELECT c_nationkey AS k FROM customer EXCEPT " +
+       "SELECT s_nationkey AS k FROM supplier ORDER BY k")
+  )
+}
