@@ -23,6 +23,11 @@ object QueriesRelational {
   private val D184 = DecimalType(18, 4)
   private def dec(c: Column): Column = c.cast(D184)
   private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
+  // Final-output decimals are cast to DOUBLE on BOTH sides (Spark + oracle):
+  // internal math stays DECIMAL-exact, and identical exact decimals convert
+  // to identical doubles, so the driver's value hash is serialization-stable
+  // (Spark parquet DECIMAL vs DuckDB DECIMAL hash differently; DOUBLE doesn't).
+  private def dbl(c: Column): Column = c.cast(DoubleType)
 
   // Tight precisions for multi-factor decimal products: with DECIMAL(18,4)
   // inputs a triple product exceeds DuckDB's width-38 cap and silently falls
@@ -92,11 +97,12 @@ object QueriesRelational {
       s.sql("SELECT id, name FROM VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta') AS t(id, name) ORDER BY id")
     },
     "q_ctas" -> { (s, d) =>
-      // CTAS: materialize an aggregate to parquet, then re-read it
-      val out = "/tmp/graft_ctas_parquet"
+      // CTAS: materialize an aggregate to parquet, then re-read it.
+      // Path is per-(session, sfDir) so concurrent runs never race.
+      val out = s"/tmp/graft_ctas_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
       Tables.t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        .agg(dbl(dec(sum(dec(col("l_quantity"))))).as("sum_qty"),
              count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("l_returnflag")
@@ -106,10 +112,10 @@ object QueriesRelational {
     "q_project_expr" -> { (s, d) =>
       Tables.t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast(D184).as("revenue"),
-        round(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
-          * (one + rate(col("l_tax"))), 4).cast(D184).as("charge")
+        dbl((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D184)).as("revenue"),
+        dbl(round(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax"))), 4).cast(D184)).as("charge")
       ).orderBy("l_orderkey", "l_linenumber")
     },
     "q_filter_compound" -> { (s, d) =>
@@ -154,7 +160,7 @@ object QueriesRelational {
         .join(l, o("o_orderkey") === l("l_orderkey"), "inner")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
-             dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+             dbl(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))))
                .as("revenue"))
         .orderBy("o_orderpriority")
     },
@@ -174,7 +180,7 @@ object QueriesRelational {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .agg(dbl(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))))
           .as("revenue"))
         .orderBy("n_name")
     },
@@ -199,7 +205,7 @@ object QueriesRelational {
       o.join(c, o("o_custkey") === c("c_custkey"), "right")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("order_cnt"),
-             dec(sum(dec(col("o_totalprice")))).as("total_spent"))
+             dbl(dec(sum(dec(col("o_totalprice"))))).as("total_spent"))
         .orderBy("c_custkey")
     },
     "q_join_full" -> { (s, d) =>
@@ -236,7 +242,8 @@ object QueriesRelational {
       val l = Tables.t(s, d, "lineitem")
       o.join(l, o("o_orderkey") === l("l_orderkey") &&
                 l("l_shipdate") > o("o_orderdate"))
-        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        // DuckDB date_trunc('month', ts) returns DATE; match it exactly
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("order_month")
     },
@@ -270,13 +277,13 @@ object QueriesRelational {
       l.filter(col("l_shipdate") <= ntz("2001-09-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_base"),
-          dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          dbl(dec(sum(dec(col("l_quantity"))))).as("sum_qty"),
+          dbl(dec(sum(dec(col("l_extendedprice"))))).as("sum_base"),
+          dbl(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))))
             .as("sum_disc_price"),
-          round(sum(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
-            * (one + rate(col("l_tax")))), 4).cast(D184).as("sum_charge"),
-          (sum(dec(col("l_quantity"))) / count(lit(1))).cast(D184).as("avg_qty"),
+          dbl(round(sum(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
+            * (one + rate(col("l_tax")))), 4).cast(D184)).as("sum_charge"),
+          dbl((sum(dec(col("l_quantity"))) / count(lit(1))).cast(D184)).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -299,7 +306,7 @@ object QueriesRelational {
     "q_agg_grouping_sets" -> { (s, d) =>
       Tables.t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        .agg(dbl(dec(sum(dec(col("l_quantity"))))).as("sum_qty"),
              count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)
@@ -307,8 +314,9 @@ object QueriesRelational {
     "q_agg_having" -> { (s, d) =>
       Tables.t(s, d, "lineitem")
         .groupBy("l_suppkey")
-        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"))
-        .filter(col("sum_qty") > 1000)
+        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 1000)
+        .select(col("l_suppkey"), dbl(col("sum_qty_d")).as("sum_qty"))
         .orderBy("l_suppkey")
     },
     "q_agg_stats" -> { (s, d) =>
@@ -337,7 +345,7 @@ object QueriesRelational {
     "q_agg_filter_clause" -> { (s, d) =>
       Tables.t(s, d, "lineitem")
         .groupBy("l_linestatus")
-        .agg(dec(sum(when(col("l_returnflag") === "A", dec(col("l_quantity")))))
+        .agg(dbl(dec(sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))))))
                .as("sum_qty_a"),
              count(when(col("l_returnflag") === "R", lit(1))).as("cnt_r"))
         .orderBy("l_linestatus")
@@ -359,8 +367,10 @@ object QueriesRelational {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.t(s, d, "events")
         .select(col("event_id"),
-          lag(dec(col("value")), 1).over(w).as("prev_value"),
-          lead(dec(col("value")), 1).over(w).as("next_value"))
+          // lag/lead move values verbatim (no arithmetic) — raw DOUBLE is
+          // exact and hash-stable on both sides; no decimal detour needed.
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
         .orderBy("event_id")
     },
     "q_win_running" -> { (s, d) =>
@@ -368,7 +378,7 @@ object QueriesRelational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.t(s, d, "events")
         .select(col("event_id"),
-          dec(sum(dec(col("value"))).over(w)).as("run_sum"))
+          dbl(dec(sum(dec(col("value"))).over(w))).as("run_sum"))
         .orderBy("event_id")
     },
     "q_win_sliding_rows" -> { (s, d) =>
@@ -376,7 +386,7 @@ object QueriesRelational {
         .rowsBetween(-3, 0)
       Tables.t(s, d, "events")
         .select(col("event_id"),
-          dec(sum(dec(col("value"))).over(w)).as("mov_sum"),
+          dbl(dec(sum(dec(col("value"))).over(w))).as("mov_sum"),
           count(lit(1)).over(w).as("mov_cnt"))
         .orderBy("event_id")
     },
@@ -422,7 +432,7 @@ object QueriesRelational {
     "q_topk" -> { (s, d) =>
       // ORDER BY + LIMIT -> TakeOrderedAndProject (no full sort at scale)
       Tables.t(s, d, "orders")
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("total"))
+        .select(col("o_orderkey"), dbl(dec(col("o_totalprice"))).as("total"))
         .orderBy(col("total").desc, col("o_orderkey").asc)
         .limit(10)
     },
@@ -466,12 +476,12 @@ object QueriesRelational {
     "q_scan_values" ->
       "SELECT id, name FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')) t(id, name) ORDER BY id",
     "q_ctas" ->
-      ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
+      ("SELECT l_returnflag, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty, " +
        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_project_expr" ->
       ("SELECT l_orderkey, l_linenumber, " +
-       "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue, " +
-       "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4))), 4) AS DECIMAL(18,4)) AS charge " +
+       "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+       "CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS charge " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "q_filter_compound" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE " +
@@ -495,12 +505,12 @@ object QueriesRelational {
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
     "q_join_inner" ->
       ("SELECT o_orderpriority, COUNT(*) AS cnt, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue " +
+       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue " +
        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_join_multiway" ->
       ("SELECT n_name, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue " +
+       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue " +
        "FROM customer JOIN orders ON c_custkey = o_custkey " +
        "JOIN lineitem ON o_orderkey = l_orderkey " +
        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -515,7 +525,7 @@ object QueriesRelational {
        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
     "q_join_right" ->
       ("SELECT c_custkey, COUNT(o_orderkey) AS order_cnt, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_spent " +
+       "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_spent " +
        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
        "GROUP BY c_custkey ORDER BY c_custkey"),
     "q_join_full" ->
@@ -547,11 +557,11 @@ object QueriesRelational {
        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
     "q_agg_groupby" ->
       ("SELECT l_returnflag, l_linestatus, " +
-       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price, " +
-       "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4)))), 4) AS DECIMAL(18,4)) AS sum_charge, " +
-       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4)) AS avg_qty, " +
+       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty, " +
+       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base, " +
+       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price, " +
+       "CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4)))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge, " +
+       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty, " +
        "COUNT(*) AS cnt " +
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -561,11 +571,11 @@ object QueriesRelational {
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, " +
-       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
+       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty, " +
        "COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     "q_agg_having" ->
-      ("SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty " +
+      ("SELECT l_suppkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty " +
        "FROM lineitem GROUP BY l_suppkey " +
        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 1000 ORDER BY l_suppkey"),
     "q_agg_stats" ->
@@ -583,7 +593,7 @@ object QueriesRelational {
        "GROUP BY r_name ORDER BY r_name"),
     "q_agg_filter_clause" ->
       ("SELECT l_linestatus, " +
-       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'A') AS DECIMAL(18,4)) AS sum_qty_a, " +
+       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'A') AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty_a, " +
        "COUNT(*) FILTER (WHERE l_returnflag = 'R') AS cnt_r " +
        "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
     "q_win_rank" ->
@@ -593,16 +603,16 @@ object QueriesRelational {
        "WHERE rn <= 3 ORDER BY c_nationkey, rn"),
     "q_win_lag_lead" ->
       ("SELECT event_id, " +
-       "LAG(CAST(value AS DECIMAL(18,4)), 1) OVER w AS prev_value, " +
-       "LEAD(CAST(value AS DECIMAL(18,4)), 1) OVER w AS next_value " +
+       "LAG(value, 1) OVER w AS prev_value, " +
+       "LEAD(value, 1) OVER w AS next_value " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
     "q_win_running" ->
-      ("SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER " +
+      ("SELECT event_id, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER " +
        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-       "AS DECIMAL(18,4)) AS run_sum FROM events ORDER BY event_id"),
+       "AS DECIMAL(18,4)) AS DOUBLE) AS run_sum FROM events ORDER BY event_id"),
     "q_win_sliding_rows" ->
-      ("SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS mov_sum, " +
+      ("SELECT event_id, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS mov_sum, " +
        "COUNT(*) OVER w AS mov_cnt FROM events " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
        "ORDER BY event_id"),
@@ -626,7 +636,7 @@ object QueriesRelational {
     "q_limit_offset" ->
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
     "q_topk" ->
-      ("SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS total FROM orders " +
+      ("SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total FROM orders " +
        "ORDER BY total DESC, o_orderkey ASC LIMIT 10"),
     "q_union_all" ->
       ("SELECT c_nationkey AS k FROM customer UNION ALL " +

@@ -1,22 +1,27 @@
 #!/usr/bin/env python3
-"""Local self-check that mimics the driver's t2 gate.
+"""Local self-check approximating the driver's t2 gate.
 
 Usage:  python3 tools/check.py [sfDir] [outDir] [only_query ...]
 
 1. sbt runs graft.Verify sfDir outDir  (Spark results -> parquet, oracle_sql.json)
 2. DuckDB runs each oracle SQL over views named after the parquet tables in sfDir
-3. Compare: sort columns by name, compare row-by-row values exactly.
+3. Compare: sort columns by name, fetch EXACT values (no pandas float64
+   conversion, no tolerance) and compare row-by-row. Additionally WARN on any
+   DECIMAL-typed output column: the driver's hasher serializes Spark-parquet
+   decimals and DuckDB decimals differently, so a decimal final column can be
+   value-equal here and still fail the driver hash (round-1 lesson). Final
+   outputs should be DOUBLE/BIGINT/STRING/DATE/TIMESTAMP only.
 
 NOT part of the shipped library; driver-side python (duckdb/pyarrow) only.
 """
-import json, math, subprocess, sys
+import decimal, json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-ONLY = set(sys.argv[3:])
+ONLY = set(a for a in sys.argv[3:] if not a.startswith("--"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -34,57 +39,60 @@ def run_verify():
             print(line)
 
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+def cell_eq(a, b):
+    """Exact equality, but Decimal-vs-anything must be same kind (the driver
+    hashes serialized forms, so 1.5 (float) vs Decimal('1.5000') differs)."""
+    if a is None or b is None:
+        return a is b
+    da, db = isinstance(a, decimal.Decimal), isinstance(b, decimal.Decimal)
+    if da != db:
+        return False
+    if da:
+        return str(a) == str(b)  # serialization-exact, incl. scale
+    if isinstance(a, float) and isinstance(b, float):
+        return (a == b) or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
 
 
 def compare(name, con, sql):
     spark_dir = Path(OUT_DIR) / name
     files = list(spark_dir.glob("*.parquet"))
     if not files:
-        return f"MISSING spark output"
+        return "MISSING spark output", []
+    warns = []
     try:
         oracle = con.sql(sql)
         ocols = sorted(oracle.columns)
-        odf = oracle.df()[ocols]
-        orows = [tuple(norm(v) for v in row) for row in odf.itertuples(index=False)]
+        oidx = [oracle.columns.index(c) for c in ocols]
+        orows = [tuple(r[i] for i in oidx) for r in oracle.fetchall()]
+        for c, t in zip(oracle.columns, oracle.types):
+            if "DECIMAL" in str(t).upper():
+                warns.append(f"oracle col {c} is {t} (driver hash risk)")
     except Exception as e:
-        return f"ORACLE ERROR: {str(e).splitlines()[0]}"
+        return f"ORACLE ERROR: {str(e).splitlines()[0]}", warns
     srel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
     scols = sorted(srel.columns)
     if scols != ocols:
-        return f"SCHEMA MISMATCH spark={scols} oracle={ocols}"
-    sdf = srel.df()[scols]
-    srows = [tuple(norm(v) for v in row) for row in sdf.itertuples(index=False)]
+        return f"SCHEMA MISMATCH spark={scols} oracle={ocols}", warns
+    for c, t in zip(srel.columns, srel.types):
+        if "DECIMAL" in str(t).upper():
+            warns.append(f"spark col {c} is {t} (driver hash risk)")
+    sidx = [srel.columns.index(c) for c in scols]
+    srows = [tuple(r[i] for i in sidx) for r in srel.fetchall()]
     if len(srows) != len(orows):
-        return f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"
+        return f"ROWCOUNT spark={len(srows)} oracle={len(orows)}", warns
     mismatches = []
     for i, (sr, orow) in enumerate(zip(srows, orows)):
-        if sr != orow:
-            ok = True
-            for a, b in zip(sr, orow):
-                if a == b:
-                    continue
-                try:
-                    if abs(float(a) - float(b)) <= 1e-9 * max(1, abs(float(b))):
-                        continue
-                except (TypeError, ValueError):
-                    pass
-                ok = False
-            mismatches.append((i, sr, orow, "~tol" if ok else "HARD"))
+        if not all(cell_eq(a, b) for a, b in zip(sr, orow)):
+            mismatches.append((i, sr, orow))
     if mismatches:
-        hard = [m for m in mismatches if m[3] == "HARD"]
-        msg = f"{len(mismatches)} row diffs ({len(hard)} hard)"
-        for i, sr, orow, kind in mismatches[:3]:
-            msg += f"\n      row {i} [{kind}] spark={sr} oracle={orow}"
-        return msg
-    return None
+        msg = f"{len(mismatches)} row diffs"
+        for i, sr, orow in mismatches[:3]:
+            msg += f"\n      row {i} spark={sr} oracle={orow}"
+        return msg, warns
+    return None, warns
 
 
 def main():
@@ -100,7 +108,9 @@ def main():
     for name in sorted(oracle_sql):
         if ONLY and name not in ONLY:
             continue
-        err = compare(name, con, oracle_sql[name])
+        err, warns = compare(name, con, oracle_sql[name])
+        for w in warns:
+            print(f"WARN {name}: {w}")
         if err:
             n_fail += 1
             print(f"FAIL {name}: {err}")
