@@ -12,11 +12,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.queries
+    QueriesRelational.queries ++ QueriesFunctions.queries ++ QueriesUdf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracle
+    QueriesRelational.oracle ++ QueriesFunctions.oracle ++ QueriesUdf.oracle
 }

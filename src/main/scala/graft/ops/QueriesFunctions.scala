@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.H: scalar function families (string / date / math / array /
+  * map+struct / json), one oracle-checked query per family, each exercising
+  * >=5 functions. The reference reaches these through DuckDB's function
+  * library pass-through (ducklakexl.py:394); here they are Spark built-ins —
+  * all codegen'd, no UDFs, so every query stays inside WholeStageCodegen.
+  *
+  * Cross-engine parity notes (each encodes a semantic difference):
+  *  - DuckDB `dayofweek` is Sunday=0, Spark Sunday=1 → oracle adds 1.
+  *  - DuckDB 1.0 `map[key]` yields a LIST → oracle indexes `[1]`.
+  *  - `round(double, n)` half-way behavior differs (Spark HALF_UP via
+  *    shortest-repr BigDecimal, DuckDB C-lib scaling) → round only applied
+  *    to transcendental outputs (ln/exp) where a .00005 boundary is
+  *    measure-zero, never to 2-decimal money values.
+  *  - `sign` returns TINYINT in DuckDB, DOUBLE in Spark → cast both to INT.
+  */
+object QueriesFunctions {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "q_fn_string" -> { (s, d) =>
+      val c = Tables.t(s, d, "customer")
+      c.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 9).as("sub"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+        regexp_replace(col("c_name"), lit("Customer#"), lit("C")).as("repl"),
+        length(col("c_name")).as("len"),
+        concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast(StringType)).as("cat"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("pad"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        element_at(split(col("c_name"), "#"), 2).as("part2"),
+        col("c_name").like("Customer%").as("is_cust")
+      ).orderBy("c_custkey")
+    },
+
+    "q_fn_date" -> { (s, d) =>
+      val o = Tables.t(s, d, "orders")
+      val dt = col("o_orderdate").cast(DateType)
+      o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dnum"),
+        date_trunc("quarter", col("o_orderdate")).cast(DateType).as("qtr"),
+        date_add(dt, 30).as("plus30"),
+        datediff(dt, lit("1995-01-01").cast(DateType)).as("dd"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_start"),
+        unix_timestamp(col("o_orderdate").cast(TimestampType)).as("unix_ts"),
+        dayofweek(col("o_orderdate")).as("dow")
+      ).orderBy("o_orderkey")
+    },
+
+    "q_fn_math" -> { (s, d) =>
+      val l = Tables.t(s, d, "lineitem")
+      l.select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("fl_price"),
+        ceil(col("l_quantity")).as("ce_qty"),
+        abs(col("l_discount") - 0.05).as("ab_disc"),
+        round(log(col("l_quantity") + 1), 4).as("ln_q"),
+        round(exp(col("l_discount")), 4).as("exp_d"),
+        pow(col("l_quantity"), 2).as("pow_q"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"),
+        greatest(col("l_quantity"), lit(25.0)).as("g"),
+        least(col("l_quantity"), lit(25.0)).as("lst")
+      ).orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q_fn_array" -> { (s, d) =>
+      val doc = Tables.t(s, d, "documents")
+      val ws = split(col("text"), " ")
+      doc.select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        array_contains(ws, "data").as("has_data"),
+        array_join(slice(ws, 1, 3), " ").as("first3"),
+        array_join(slice(sort_array(ws), 1, 5), ",").as("first5_sorted"),
+        aggregate(ws, lit(0L), (acc, x) => acc + length(x)).as("total_len"),
+        array_join(transform(slice(ws, 1, 3), x => upper(x)), ",").as("up3")
+      ).orderBy("doc_id")
+    },
+
+    "q_fn_map_struct" -> { (s, d) =>
+      val su = Tables.t(s, d, "supplier")
+      val m = map(lit("bal"), col("s_acctbal"), lit("half"), col("s_acctbal") / 2)
+      val cm = map(lit("a"), lit(1), lit("b"), lit(2))
+      su.select(
+        col("s_suppkey"),
+        element_at(m, "bal").as("m_bal"),
+        element_at(m, "half").as("m_half"),
+        array_join(map_keys(cm), ",").as("mkeys"),
+        array_join(transform(map_values(cm), v => v.cast(StringType)), ",").as("mvals"),
+        struct(col("s_suppkey").as("k"), col("s_name").as("n")).getField("n").as("st_n")
+      ).orderBy("s_suppkey")
+    },
+
+    "q_fn_json" -> { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      ev.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_num"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k2")
+      ).orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      ("SELECT c_custkey, upper(c_name) AS u, lower(c_mktsegment) AS lo, " +
+       "substring(c_name, 1, 9) AS sub, " +
+       "trim(concat('  ', c_name, '  ')) AS trimmed, " +
+       "regexp_replace(c_name, 'Customer#', 'C') AS repl, " +
+       "length(c_name) AS len, " +
+       "concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS cat, " +
+       "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad, " +
+       "regexp_extract(c_name, '([0-9]+)', 1) AS digits, " +
+       "string_split(c_name, '#')[2] AS part2, " +
+       "c_name LIKE 'Customer%' AS is_cust " +
+       "FROM customer ORDER BY c_custkey"),
+    "q_fn_date" ->
+      ("SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
+       "day(o_orderdate) AS dnum, " +
+       "CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr, " +
+       "CAST(o_orderdate AS DATE) + 30 AS plus30, " +
+       "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd, " +
+       "make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start, " +
+       "CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts, " +
+       "dayofweek(o_orderdate) + 1 AS dow " +
+       "FROM orders ORDER BY o_orderkey"),
+    "q_fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "floor(l_extendedprice) AS fl_price, ceil(l_quantity) AS ce_qty, " +
+       "abs(l_discount - 0.05) AS ab_disc, " +
+       "round(ln(l_quantity + 1), 4) AS ln_q, " +
+       "round(exp(l_discount), 4) AS exp_d, " +
+       "power(l_quantity, 2) AS pow_q, " +
+       "l_orderkey % 7 AS pm, " +
+       "CAST(sign(l_discount - 0.05) AS INTEGER) AS sg, " +
+       "greatest(l_quantity, 25.0) AS g, least(l_quantity, 25.0) AS lst " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_fn_array" ->
+      ("SELECT doc_id, " +
+       "len(string_split(text, ' ')) AS n_words, " +
+       "list_contains(string_split(text, ' '), 'data') AS has_data, " +
+       "array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3, " +
+       "array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 5), ',') AS first5_sorted, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_len, " +
+       "array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3), x -> upper(x)), ',') AS up3 " +
+       "FROM documents ORDER BY doc_id"),
+    "q_fn_map_struct" ->
+      ("SELECT s_suppkey, " +
+       "MAP(['bal','half'], [s_acctbal, s_acctbal/2])['bal'][1] AS m_bal, " +
+       "MAP(['bal','half'], [s_acctbal, s_acctbal/2])['half'][1] AS m_half, " +
+       "array_to_string(map_keys(MAP(['a','b'], [1,2])), ',') AS mkeys, " +
+       "array_to_string(list_transform(map_values(MAP(['a','b'], [1,2])), v -> CAST(v AS VARCHAR)), ',') AS mvals, " +
+       "struct_pack(k := s_suppkey, n := s_name).n AS st_n " +
+       "FROM supplier ORDER BY s_suppkey"),
+    "q_fn_json" ->
+      ("SELECT event_id, " +
+       "CAST(json_extract(props, '$.k') AS BIGINT) AS k_num, " +
+       "json_extract_string(props, '$.k') AS k_str, " +
+       "CAST(json_extract(props, '$.k') AS BIGINT) AS k2 " +
+       "FROM events ORDER BY event_id")
+  )
+}
