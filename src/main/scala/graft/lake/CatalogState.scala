@@ -1,0 +1,288 @@
+package graft.lake
+
+import org.apache.spark.sql.types._
+
+/** In-memory DuckLake-style catalog. One immutable value = one consistent
+  * catalog version; every DDL/DML produces a NEW state with a NEW snapshot
+  * (the single-reference swap is the transaction, mirroring the reference's
+  * BEGIN/TRUNCATE/INSERT/COMMIT pull at ducklakexl.py:459-464).
+  *
+  * The metadata-table set mirrors the public DuckLake spec subset the
+  * reference round-trips (SURVEY.md §1.2): metadata, snapshot, schema,
+  * table, column, data_file, delete_file, table_stats,
+  * file_column_statistics. Rows carry [begin_snapshot, end_snapshot)
+  * lifetimes so every historical snapshot remains answerable (time travel).
+  *
+  * Deletes are copy-on-write at FILE granularity: a DELETE ends the
+  * lifetime of affected data files and (when rows survive) adds a rewritten
+  * file. `ducklake_delete_file` records the tombstone provenance; we do not
+  * use positional delete files (documented divergence — scan stays a plain
+  * union of parquet files, the cheapest shape for Spark).
+  */
+object CatalogSchema {
+  /** sheet name = metadata table name minus "ducklake_" (31-char Excel cap,
+    * same rule as ducklakexl.py:241)
+    */
+  val tables: Seq[(String, Seq[String])] = Seq(
+    "ducklake_metadata" -> Seq("key", "value"),
+    "ducklake_snapshot" -> Seq("snapshot_id", "snapshot_time", "schema_version", "next_catalog_id", "next_file_id"),
+    "ducklake_schema" -> Seq("schema_id", "schema_uuid", "begin_snapshot", "end_snapshot", "schema_name"),
+    "ducklake_table" -> Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name"),
+    "ducklake_column" -> Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order", "column_name", "column_type", "nulls_allowed"),
+    "ducklake_data_file" -> Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path", "record_count", "file_size_bytes"),
+    "ducklake_delete_file" -> Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot", "data_file_id", "path", "delete_count"),
+    "ducklake_table_stats" -> Seq("table_id", "record_count"),
+    "ducklake_file_column_statistics" -> Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count")
+  )
+
+  def sheetName(table: String): String = table.stripPrefix("ducklake_").take(31)
+
+  /** SQL type string (DuckDB-compatible DDL) -> Spark DataType */
+  def parseType(t: String): DataType = {
+    val u = t.trim.toUpperCase
+    val dec = "DECIMAL\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+    u match {
+      case "INTEGER" | "INT" | "INT4"  => IntegerType
+      case "BIGINT" | "INT8" | "LONG"  => LongType
+      case "SMALLINT" | "INT2"         => ShortType
+      case "TINYINT" | "INT1"          => ByteType
+      case "VARCHAR" | "TEXT" | "STRING" => StringType
+      case "DOUBLE" | "FLOAT8"         => DoubleType
+      case "FLOAT" | "REAL" | "FLOAT4" => FloatType
+      case "BOOLEAN" | "BOOL"          => BooleanType
+      case "DATE"                      => DateType
+      case "TIMESTAMP" | "DATETIME"    => TimestampNTZType
+      case dec(p, s)                   => DecimalType(p.toInt, s.toInt)
+      case other => throw new IllegalArgumentException(s"unsupported column type: $other")
+    }
+  }
+
+  def typeName(dt: DataType): String = dt match {
+    case IntegerType      => "INTEGER"
+    case LongType         => "BIGINT"
+    case ShortType        => "SMALLINT"
+    case ByteType         => "TINYINT"
+    case StringType       => "VARCHAR"
+    case DoubleType       => "DOUBLE"
+    case FloatType        => "FLOAT"
+    case BooleanType      => "BOOLEAN"
+    case DateType         => "DATE"
+    case TimestampNTZType | TimestampType => "TIMESTAMP"
+    case d: DecimalType   => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(s"unsupported data type: $other")
+  }
+}
+
+final case class SnapshotRow(snapshotId: Long, snapshotTime: String,
+                             schemaVersion: Long, nextCatalogId: Long, nextFileId: Long)
+final case class SchemaRow(schemaId: Long, schemaUuid: String,
+                           beginSnapshot: Long, endSnapshot: Option[Long], schemaName: String)
+final case class TableRow(tableId: Long, tableUuid: String,
+                          beginSnapshot: Long, endSnapshot: Option[Long],
+                          schemaId: Long, tableName: String)
+final case class ColumnRow(columnId: Long, beginSnapshot: Long, endSnapshot: Option[Long],
+                           tableId: Long, columnOrder: Int, columnName: String,
+                           columnType: String, nullsAllowed: Boolean)
+final case class DataFileRow(dataFileId: Long, tableId: Long,
+                             beginSnapshot: Long, endSnapshot: Option[Long],
+                             path: String, recordCount: Long, fileSizeBytes: Long)
+final case class DeleteFileRow(deleteFileId: Long, tableId: Long,
+                               beginSnapshot: Long, endSnapshot: Option[Long],
+                               dataFileId: Long, path: String, deleteCount: Long)
+final case class TableStatsRow(tableId: Long, recordCount: Long)
+final case class FileColumnStatsRow(dataFileId: Long, tableId: Long, columnId: Long,
+                                    minValue: Option[String], maxValue: Option[String],
+                                    nullCount: Long)
+
+final case class CatalogState(
+    metadata: Vector[(String, String)],
+    snapshots: Vector[SnapshotRow],
+    schemas: Vector[SchemaRow],
+    tables: Vector[TableRow],
+    columns: Vector[ColumnRow],
+    dataFiles: Vector[DataFileRow],
+    deleteFiles: Vector[DeleteFileRow],
+    tableStats: Vector[TableStatsRow],
+    fileColumnStats: Vector[FileColumnStatsRow]) {
+
+  def currentSnapshot: Long =
+    if (snapshots.isEmpty) 0L else snapshots.map(_.snapshotId).max
+
+  private def aliveAt[A](begin: A => Long, end: A => Option[Long], snap: Long)(row: A): Boolean =
+    begin(row) <= snap && end(row).forall(_ > snap)
+
+  def liveTables(snap: Long = currentSnapshot): Vector[TableRow] =
+    tables.filter(aliveAt[TableRow](_.beginSnapshot, _.endSnapshot, snap))
+
+  def tableByName(name: String, snap: Long = currentSnapshot): Option[TableRow] =
+    liveTables(snap).find(_.tableName.equalsIgnoreCase(name))
+
+  def columnsOf(tableId: Long, snap: Long = currentSnapshot): Vector[ColumnRow] =
+    columns.filter(c => c.tableId == tableId &&
+      aliveAt[ColumnRow](_.beginSnapshot, _.endSnapshot, snap)(c))
+      .sortBy(_.columnOrder)
+
+  def filesOf(tableId: Long, snap: Long = currentSnapshot): Vector[DataFileRow] =
+    dataFiles.filter(f => f.tableId == tableId &&
+      aliveAt[DataFileRow](_.beginSnapshot, _.endSnapshot, snap)(f))
+
+  def schemaOf(tableId: Long, snap: Long = currentSnapshot): StructType =
+    StructType(columnsOf(tableId, snap).map(c =>
+      StructField(c.columnName, CatalogSchema.parseType(c.columnType), c.nullsAllowed)))
+
+  def nextCatalogId: Long =
+    snapshots.lastOption.map(_.nextCatalogId).getOrElse(1L)
+
+  def nextFileId: Long =
+    snapshots.lastOption.map(_.nextFileId).getOrElse(1L)
+
+  // -------------------------------------------------------------- sheets
+  private def optS(o: Option[Long]): String = o.map(_.toString).getOrElse("")
+
+  /** serialize to (sheetName, header+rows) — all values as strings, NULL as
+    * empty cell (coercion table SURVEY.md §1.3)
+    */
+  def toSheets: Seq[XlsxSheet] = {
+    import CatalogSchema.sheetName
+    Seq(
+      XlsxSheet(sheetName("ducklake_metadata"),
+        Seq("key", "value") +: metadata.map(kv => Seq(kv._1, kv._2))),
+      XlsxSheet(sheetName("ducklake_snapshot"),
+        Seq("snapshot_id", "snapshot_time", "schema_version", "next_catalog_id", "next_file_id") +:
+          snapshots.map(s => Seq(s.snapshotId.toString, s.snapshotTime,
+            s.schemaVersion.toString, s.nextCatalogId.toString, s.nextFileId.toString))),
+      XlsxSheet(sheetName("ducklake_schema"),
+        Seq("schema_id", "schema_uuid", "begin_snapshot", "end_snapshot", "schema_name") +:
+          schemas.map(s => Seq(s.schemaId.toString, s.schemaUuid,
+            s.beginSnapshot.toString, optS(s.endSnapshot), s.schemaName))),
+      XlsxSheet(sheetName("ducklake_table"),
+        Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name") +:
+          tables.map(t => Seq(t.tableId.toString, t.tableUuid, t.beginSnapshot.toString,
+            optS(t.endSnapshot), t.schemaId.toString, t.tableName))),
+      XlsxSheet(sheetName("ducklake_column"),
+        Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order",
+          "column_name", "column_type", "nulls_allowed") +:
+          columns.map(c => Seq(c.columnId.toString, c.beginSnapshot.toString,
+            optS(c.endSnapshot), c.tableId.toString, c.columnOrder.toString,
+            c.columnName, c.columnType, c.nullsAllowed.toString))),
+      XlsxSheet(sheetName("ducklake_data_file"),
+        Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path",
+          "record_count", "file_size_bytes") +:
+          dataFiles.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
+            f.beginSnapshot.toString, optS(f.endSnapshot), f.path,
+            f.recordCount.toString, f.fileSizeBytes.toString))),
+      XlsxSheet(sheetName("ducklake_delete_file"),
+        Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot",
+          "data_file_id", "path", "delete_count") +:
+          deleteFiles.map(f => Seq(f.deleteFileId.toString, f.tableId.toString,
+            f.beginSnapshot.toString, optS(f.endSnapshot), f.dataFileId.toString,
+            f.path, f.deleteCount.toString))),
+      XlsxSheet(sheetName("ducklake_table_stats"),
+        Seq("table_id", "record_count") +:
+          tableStats.map(t => Seq(t.tableId.toString, t.recordCount.toString))),
+      XlsxSheet(sheetName("ducklake_file_column_statistics"),
+        Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count") +:
+          fileColumnStats.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
+            f.columnId.toString, f.minValue.getOrElse(""), f.maxValue.getOrElse(""),
+            f.nullCount.toString)))
+    )
+  }
+}
+
+/** (name, rows) — row 0 is the header */
+final case class XlsxSheet(name: String, rows: Seq[Seq[String]])
+
+object CatalogState {
+  val empty: CatalogState = CatalogState(
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+
+  // ------------------------------------------------- §1.3 cell coercions
+  /** empty cell -> NULL (ducklakexl.py:497) */
+  def optCell(s: String): Option[String] = {
+    val t = s.trim
+    if (t.isEmpty || t == "<NA>" || t == "nan" || t == "None" || t == "NaT") None else Some(t)
+  }
+
+  def asLong(s: String): Long = {
+    val t = s.trim
+    // Excel numeric cells may come back as "3.0"
+    if (t.contains('.')) t.toDouble.toLong else t.toLong
+  }
+
+  /** boolean via string prefix, case-insensitive: t…->true, f…->false,
+    * else NULL (ducklakexl.py:434-453 — Excel turns cells into native
+    * bools whose round-trip spelling varies)
+    */
+  def asBool(s: String): Option[Boolean] = s.trim.toLowerCase match {
+    case t if t.startsWith("t") || t == "1" => Some(true)
+    case f if f.startsWith("f") || f == "0" => Some(false)
+    case _ => None
+  }
+
+  private def cell(row: Seq[String], i: Int): String =
+    if (i < row.length) row(i) else ""
+
+  /** parse sheets (as read from xlsx) back into a typed state; sheets are
+    * matched by name, missing ones are empty; column positions come from
+    * each sheet's own header row (robust to column reordering by Excel)
+    */
+  def fromSheets(sheets: Seq[XlsxSheet]): CatalogState = {
+    val byName = sheets.map(s => s.name -> s).toMap
+    def rowsOf(table: String): Seq[Map[String, String]] = {
+      byName.get(CatalogSchema.sheetName(table)) match {
+        case Some(XlsxSheet(_, rows)) if rows.nonEmpty =>
+          val header = rows.head.map(_.trim)
+          rows.tail.filter(_.exists(_.nonEmpty)).map { r =>
+            header.zipWithIndex.map { case (h, i) => h -> cell(r, i) }.toMap
+          }
+        case _ => Seq.empty
+      }
+    }
+    def ol(s: String): Option[Long] = optCell(s).map(asLong)
+    CatalogState(
+      metadata = rowsOf("ducklake_metadata")
+        .map(m => (m.getOrElse("key", ""), m.getOrElse("value", ""))).toVector
+        .map { case (k, v) =>
+          // 'encrypted' flag lower-cased on pull (ducklakexl.py:501-505):
+          // Excel native bools round-trip as 'True'/'False'
+          if (k == "encrypted") (k, v.toLowerCase) else (k, v)
+        },
+      snapshots = rowsOf("ducklake_snapshot").map(m => SnapshotRow(
+        asLong(m("snapshot_id")), m.getOrElse("snapshot_time", ""),
+        ol(m.getOrElse("schema_version", "")).getOrElse(0L),
+        ol(m.getOrElse("next_catalog_id", "")).getOrElse(1L),
+        ol(m.getOrElse("next_file_id", "")).getOrElse(1L))).toVector,
+      schemas = rowsOf("ducklake_schema").map(m => SchemaRow(
+        asLong(m("schema_id")), m.getOrElse("schema_uuid", ""),
+        asLong(m("begin_snapshot")), ol(m.getOrElse("end_snapshot", "")),
+        m.getOrElse("schema_name", "main"))).toVector,
+      tables = rowsOf("ducklake_table").map(m => TableRow(
+        asLong(m("table_id")), m.getOrElse("table_uuid", ""),
+        asLong(m("begin_snapshot")), ol(m.getOrElse("end_snapshot", "")),
+        ol(m.getOrElse("schema_id", "")).getOrElse(0L), m("table_name"))).toVector,
+      columns = rowsOf("ducklake_column").map(m => ColumnRow(
+        asLong(m("column_id")), asLong(m("begin_snapshot")),
+        ol(m.getOrElse("end_snapshot", "")), asLong(m("table_id")),
+        asLong(m("column_order")).toInt, m("column_name"), m("column_type"),
+        asBool(m.getOrElse("nulls_allowed", "true")).getOrElse(true))).toVector,
+      dataFiles = rowsOf("ducklake_data_file").map(m => DataFileRow(
+        asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("begin_snapshot")),
+        ol(m.getOrElse("end_snapshot", "")), m("path"),
+        ol(m.getOrElse("record_count", "")).getOrElse(0L),
+        ol(m.getOrElse("file_size_bytes", "")).getOrElse(0L))).toVector,
+      deleteFiles = rowsOf("ducklake_delete_file").map(m => DeleteFileRow(
+        asLong(m("delete_file_id")), asLong(m("table_id")), asLong(m("begin_snapshot")),
+        ol(m.getOrElse("end_snapshot", "")),
+        ol(m.getOrElse("data_file_id", "")).getOrElse(0L), m.getOrElse("path", ""),
+        ol(m.getOrElse("delete_count", "")).getOrElse(0L))).toVector,
+      tableStats = rowsOf("ducklake_table_stats").map(m => TableStatsRow(
+        asLong(m("table_id")),
+        ol(m.getOrElse("record_count", "")).getOrElse(0L))).toVector,
+      fileColumnStats = rowsOf("ducklake_file_column_statistics").map(m => FileColumnStatsRow(
+        asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("column_id")),
+        optCell(m.getOrElse("min_value", "")), optCell(m.getOrElse("max_value", "")),
+        ol(m.getOrElse("null_count", "")).getOrElse(0L))).toVector
+    )
+  }
+}

@@ -1,0 +1,117 @@
+package graft.lake
+
+import scala.collection.mutable
+
+/** Multi-statement script handling (SURVEY.md §3.2/§7.4). The reference
+  * passes whole scripts to DuckDB, which executes every statement and
+  * returns the last relation (README.md:70-74, notebook cells 4/8:
+  * DELETE+INSERT+SELECT in one string). `spark.sql` is single-statement,
+  * so we split (respecting quotes and comments) and classify each
+  * statement for the router in DuckLakeXLSpark.
+  */
+object StatementRouter {
+
+  /** split on top-level ';', honoring '…', "…", -- line comments and
+    * block comments
+    */
+  def split(script: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    val n = script.length
+    var state: Int = 0 // 0 normal, 1 single-quote, 2 double-quote, 3 line comment, 4 block comment
+    while (i < n) {
+      val c = script.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') { state = 1; cur.append(c) }
+          else if (c == '"') { state = 2; cur.append(c) }
+          else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') { state = 3 }
+          else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') { state = 4; i += 1 }
+          else if (c == ';') { out += cur.toString; cur.clear() }
+          else cur.append(c)
+        case 1 =>
+          cur.append(c)
+          if (c == '\'') {
+            if (i + 1 < n && script.charAt(i + 1) == '\'') { cur.append('\''); i += 1 } // escaped ''
+            else state = 0
+          }
+        case 2 =>
+          cur.append(c)
+          if (c == '"') state = 0
+        case 3 =>
+          if (c == '\n') { state = 0; cur.append(c) }
+        case 4 =>
+          if (c == '*' && i + 1 < n && script.charAt(i + 1) == '/') { state = 0; i += 1 }
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  sealed trait Stmt
+  final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean) extends Stmt
+  final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean) extends Stmt
+  final case class InsertValues(table: String, valuesSql: String) extends Stmt
+  final case class InsertSelect(table: String, select: String) extends Stmt
+  final case class Delete(table: String, where: Option[String]) extends Stmt
+  final case class DropTable(name: String, ifExists: Boolean) extends Stmt
+  final case class Use(name: String) extends Stmt
+  final case class Select(sql: String) extends Stmt
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\.\"]+)\s*(.*)$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w\.\"]+)\s+(.*)$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w\.\"]+)\s*(?:WHERE\s+(.*))?$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w\.\"]+)\s*$""".r
+  private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
+
+  private def bareName(n: String): String = {
+    // strip optional schema/lake qualifier + quotes: lake.main.t -> t
+    n.split('.').last.stripPrefix("\"").stripSuffix("\"")
+  }
+
+  /** split "id INTEGER, val VARCHAR, d DECIMAL(10,2)" at top-level commas */
+  private[lake] def splitColumns(colDef: String): Seq[(String, String)] = {
+    val parts = mutable.ArrayBuffer[String]()
+    var depth = 0
+    val cur = new StringBuilder
+    colDef.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val sp = p.split("\\s+", 2)
+      require(sp.length == 2, s"cannot parse column definition: '$p'")
+      (sp(0).stripPrefix("\"").stripSuffix("\""), sp(1).trim)
+    }
+  }
+
+  def classify(stmt: String): Stmt = stmt match {
+    case CreateRe(ifne, name, rest) =>
+      val r = rest.trim
+      if (r.toUpperCase.startsWith("AS") )
+        CreateTableAs(bareName(name), r.drop(2).trim, ifne != null)
+      else {
+        require(r.startsWith("(") && r.endsWith(")"),
+          s"cannot parse CREATE TABLE body: $r")
+        CreateTable(bareName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null)
+      }
+    case InsertRe(name, rest) =>
+      val r = rest.trim
+      if (r.toUpperCase.startsWith("VALUES")) InsertValues(bareName(name), r)
+      else InsertSelect(bareName(name), r)
+    case DeleteRe(name, where) =>
+      Delete(bareName(name), Option(where).map(_.trim).filter(_.nonEmpty))
+    case DropRe(ife, name) => DropTable(bareName(name), ife != null)
+    case UseRe(name) => Use(bareName(name))
+    case other => Select(other)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake._
+
+class CatalogSpec extends AnyFunSuite {
+
+  test("§1.3 coercions: empty/NA spellings -> NULL") {
+    assert(CatalogState.optCell("").isEmpty)
+    assert(CatalogState.optCell("  ").isEmpty)
+    assert(CatalogState.optCell("<NA>").isEmpty)
+    assert(CatalogState.optCell("nan").isEmpty)
+    assert(CatalogState.optCell("None").isEmpty)
+    assert(CatalogState.optCell("NaT").isEmpty)
+    assert(CatalogState.optCell("0").contains("0"))
+  }
+
+  test("§1.3 coercions: boolean string prefixes (ducklakexl.py:434-453)") {
+    for (s <- Seq("true", "True", "TRUE", "t", "1"))
+      assert(CatalogState.asBool(s).contains(true), s)
+    for (s <- Seq("false", "False", "FALSE", "f", "0"))
+      assert(CatalogState.asBool(s).contains(false), s)
+    assert(CatalogState.asBool("yes").isEmpty)
+    assert(CatalogState.asBool("").isEmpty)
+  }
+
+  test("§1.3 coercions: Excel numeric cells like '3.0' parse as int ids") {
+    assert(CatalogState.asLong("3") == 3L)
+    assert(CatalogState.asLong("3.0") == 3L)
+    assert(CatalogState.asLong(" 42 ") == 42L)
+  }
+
+  test("'encrypted' metadata value lower-cases on pull (ducklakexl.py:501-505)") {
+    val sheets = Seq(XlsxSheet("metadata",
+      Seq(Seq("key", "value"), Seq("encrypted", "True"), Seq("other", "True"))))
+    val st = CatalogState.fromSheets(sheets)
+    assert(st.metadata.toMap.get("encrypted").contains("true"))
+    assert(st.metadata.toMap.get("other").contains("True"))
+  }
+
+  test("toSheets . fromSheets == id on a populated state") {
+    val st = CatalogState.empty.copy(
+      metadata = Vector("version" -> "0.1", "encrypted" -> "false"),
+      snapshots = Vector(SnapshotRow(0, "2025-01-01 00:00:00", 0, 5, 3),
+        SnapshotRow(1, "2025-01-01 00:00:01", 1, 8, 4)),
+      schemas = Vector(SchemaRow(1, "uuid-s", 0, None, "main")),
+      tables = Vector(TableRow(2, "uuid-t", 1, None, 1, "my_table"),
+        TableRow(3, "uuid-d", 1, Some(2), 1, "dropped")),
+      columns = Vector(
+        ColumnRow(4, 1, None, 2, 0, "id", "INTEGER", true),
+        ColumnRow(5, 1, None, 2, 1, "val", "VARCHAR", true)),
+      dataFiles = Vector(DataFileRow(1, 2, 1, None, "/d/f1.parquet", 4, 123),
+        DataFileRow(2, 2, 1, Some(2), "/d/f0.parquet", 2, 99)),
+      deleteFiles = Vector(DeleteFileRow(3, 2, 2, None, 2, "", 2)),
+      tableStats = Vector(TableStatsRow(2, 4)),
+      fileColumnStats = Vector(
+        FileColumnStatsRow(1, 2, 4, Some("1"), Some("4"), 0),
+        FileColumnStatsRow(1, 2, 5, None, None, 2)))
+    val rt = CatalogState.fromSheets(st.toSheets)
+    assert(rt == st)
+  }
+
+  test("snapshot-scoped visibility: dropped tables and ended files filtered") {
+    val st = CatalogState.empty.copy(
+      snapshots = Vector(SnapshotRow(0, "t", 0, 9, 9), SnapshotRow(1, "t", 1, 9, 9),
+        SnapshotRow(2, "t", 2, 9, 9)),
+      tables = Vector(TableRow(1, "u", 1, Some(2), 1, "gone"),
+        TableRow(2, "u2", 1, None, 1, "alive")),
+      dataFiles = Vector(DataFileRow(1, 2, 1, Some(2), "old", 5, 1),
+        DataFileRow(2, 2, 2, None, "new", 3, 1)))
+    assert(st.liveTables(1).map(_.tableName).toSet == Set("gone", "alive"))
+    assert(st.liveTables(2).map(_.tableName) == Vector("alive"))
+    assert(st.filesOf(2, 1).map(_.path) == Vector("old"))
+    assert(st.filesOf(2, 2).map(_.path) == Vector("new"))
+  }
+
+  test("SQL type round-trip") {
+    for (t <- Seq("INTEGER", "BIGINT", "VARCHAR", "DOUBLE", "FLOAT", "BOOLEAN",
+      "DATE", "TIMESTAMP", "DECIMAL(10,2)", "SMALLINT", "TINYINT"))
+      assert(CatalogSchema.typeName(CatalogSchema.parseType(t)) == t)
+    assertThrows[IllegalArgumentException](CatalogSchema.parseType("BLOBFISH"))
+  }
+
+  test("statement splitter respects quotes and comments (SURVEY §7.4)") {
+    val s = StatementRouter.split(
+      """CREATE TABLE t(id INTEGER, val VARCHAR); -- a; comment
+        |INSERT INTO t VALUES (1, 'semi;colon'), (2, 'it''s');
+        |/* block; comment */ SELECT * FROM t WHERE val = 'x;y'""".stripMargin)
+    assert(s.size == 3)
+    assert(s(1).contains("semi;colon") && s(1).contains("it''s"))
+    assert(s(2).startsWith("SELECT"))
+  }
+
+  test("statement classification") {
+    import StatementRouter._
+    assert(classify("CREATE TABLE my_table(id INTEGER, val VARCHAR)") ==
+      CreateTable("my_table", Seq("id" -> "INTEGER", "val" -> "VARCHAR"), false))
+    assert(classify("create table if not exists t (a DECIMAL(10,2), b VARCHAR)") ==
+      CreateTable("t", Seq("a" -> "DECIMAL(10,2)", "b" -> "VARCHAR"), true))
+    assert(classify("INSERT INTO t VALUES (1,'a')") == InsertValues("t", "VALUES (1,'a')"))
+    assert(classify("INSERT INTO t SELECT * FROM u") == InsertSelect("t", "SELECT * FROM u"))
+    assert(classify("DELETE FROM t WHERE id = 3") == Delete("t", Some("id = 3")))
+    assert(classify("DELETE FROM t") == Delete("t", None))
+    assert(classify("DROP TABLE IF EXISTS t") == DropTable("t", true))
+    assert(classify("USE my_ducklake") == Use("my_ducklake"))
+    assert(classify("SELECT 1").isInstanceOf[Select])
+    assert(classify("CREATE TABLE c AS SELECT 1 AS x") == CreateTableAs("c", "SELECT 1 AS x", false))
+  }
+}

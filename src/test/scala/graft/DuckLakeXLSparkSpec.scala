@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+import graft.xlsx.XlsxCodec
+
+/** E2E replay of the reference's smoke flows (SURVEY.md §5.2):
+  *  E1 test_excel (ducklakexl.py:695-743): create lake -> CREATE TABLE ->
+  *     INSERT 4 rows -> SELECT -> DELETE id=3 -> SELECT {1,2,4}
+  *  E2 multi-statement call (test_module.ipynb cell 8): DELETE+INSERT+SELECT
+  *     in one string -> {1,2,4,5} pattern
+  *  E3 auto-create missing workbook (ducklakexl.py:277-281)
+  *  E4 bootstrap branch: sheets exist -> pull, missing -> push (:261-267)
+  *  E5 reopen from xlsx+parquet alone (:746-762) — workbook is the source
+  *     of truth, not a cache
+  */
+class DuckLakeXLSparkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshLake(): (DuckLakeXLSpark, String, String) = {
+    val dir = Files.createTempDirectory("lake").toString
+    val xlsx = s"$dir/lake.xlsx"
+    val data = s"$dir/data"
+    (new DuckLakeXLSpark(spark, xlsx, data), xlsx, data)
+  }
+
+  test("E1: test_excel flow — create, insert, select, delete, select") {
+    val (lake, xlsx, _) = freshLake()
+    lake.sql("CREATE TABLE my_table(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO my_table VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')")
+    val r1 = lake.sql("SELECT * FROM my_table ORDER BY id").collect()
+    assert(r1.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")))
+    lake.sql("DELETE FROM my_table WHERE id = 3")
+    val r2 = lake.sql("SELECT * FROM my_table ORDER BY id").collect()
+    assert(r2.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "alpha"), (2, "beta"), (4, "delta")))
+    // catalog sheets landed in the workbook
+    val names = XlsxCodec.sheetNames(xlsx).toSet
+    for (s <- Seq("snapshot", "schema", "table", "column", "data_file",
+      "delete_file", "metadata", "table_stats"))
+      assert(names.contains(s), s"missing sheet $s in $names")
+  }
+
+  test("E2: multi-statement sql() returns the last SELECT (ipynb cell 8)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')")
+    val df = lake.sql(
+      """DELETE FROM t WHERE id = 3;
+        |INSERT INTO t VALUES (5, 'epsilon');
+        |SELECT * FROM t ORDER BY id""".stripMargin)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 4, 5))
+  }
+
+  test("E3/E4: missing workbook is auto-created and seeded (push branch)") {
+    val (lake, xlsx, _) = freshLake()
+    assert(Files.exists(java.nio.file.Paths.get(xlsx)))
+    assert(lake.currentState.snapshots.nonEmpty)
+    assert(lake.currentState.schemas.map(_.schemaName) == Vector("main"))
+  }
+
+  test("E5: reopen from xlsx + parquet alone answers the same query") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE my_table(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO my_table VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')")
+    lake.sql("DELETE FROM my_table WHERE id = 3")
+    // brand-new instance, no shared state: bootstrap must take the pull branch
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    val rows = reopened.sql("SELECT * FROM my_table ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "alpha"), (2, "beta"), (4, "delta")))
+  }
+
+  test("USE statement validates the lake name (README.md:70)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("USE my_ducklake; CREATE TABLE u(id INTEGER, v VARCHAR)")
+    assertThrows[IllegalArgumentException](lake.sql("USE not_a_lake"))
+  }
+
+  test("time travel: snapshots() grows per op, tableAt() answers history") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE tt(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO tt VALUES (1,'a'),(2,'b')")
+    val snapAfterInsert = lake.currentState.currentSnapshot
+    lake.sql("DELETE FROM tt WHERE id = 1")
+    assert(lake.snapshots().count() == lake.currentState.snapshots.size.toLong)
+    assert(lake.tableAt("tt", snapAfterInsert).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(lake.table("tt").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("CTAS creates schema from the select and loads data") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE src(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO src VALUES (1,'a'),(2,'b'),(3,'c')")
+    val df = lake.sql(
+      "CREATE TABLE dst AS SELECT id, upper(v) AS vu FROM src WHERE id > 1; " +
+      "SELECT * FROM dst ORDER BY id")
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "B"), (3, "C")))
+  }
+
+  test("INSERT INTO ... SELECT appends through the catalog") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE a(id INTEGER, v VARCHAR); CREATE TABLE b(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO a VALUES (1,'x'),(2,'y')")
+    lake.sql("INSERT INTO b SELECT id + 10, v FROM a")
+    assert(lake.sql("SELECT id FROM b ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(11, 12))
+  }
+
+  test("DELETE leaves non-matching files untouched (file-granular CoW)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE f(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO f VALUES (1,'a'),(2,'b')")   // file 1
+    lake.sql("INSERT INTO f VALUES (10,'x'),(11,'y')") // file 2
+    val filesBefore = lake.currentState.filesOf(
+      lake.currentState.tableByName("f").get.tableId)
+    lake.sql("DELETE FROM f WHERE id >= 10")
+    val t = lake.currentState.tableByName("f").get
+    val filesAfter = lake.currentState.filesOf(t.tableId)
+    // file 1 must survive verbatim (same path, same file id); file 2 gone
+    assert(filesAfter.map(_.path).toSet subsetOf filesBefore.map(_.path).toSet)
+    assert(filesAfter.size == 1)
+    assert(lake.sql("SELECT count(*) AS c FROM f").collect()(0).getLong(0) == 2L)
+    // tombstone recorded
+    assert(lake.currentState.deleteFiles.nonEmpty)
+  }
+
+  test("stats-based file pruning narrows the scan list (SURVEY §4.2)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE p(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO p VALUES (1,'a'),(5,'b')")     // min 1  max 5
+    lake.sql("INSERT INTO p VALUES (100,'x'),(200,'y')") // min 100 max 200
+    val all = lake.currentState.filesOf(lake.currentState.tableByName("p").get.tableId)
+    assert(all.size == 2)
+    assert(lake.prunedFiles("p", "id", 0, 10).size == 1)
+    assert(lake.prunedFiles("p", "id", 50, 99).isEmpty)
+    assert(lake.prunedFiles("p", "id", 0, 1000).size == 2)
+  }
+
+  test("DROP TABLE ends visibility; IF EXISTS tolerated") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE d(id INTEGER, v VARCHAR)")
+    lake.sql("DROP TABLE d")
+    assert(lake.currentState.tableByName("d").isEmpty)
+    lake.sql("DROP TABLE IF EXISTS d") // no throw
+    assertThrows[IllegalArgumentException](lake.sql("DROP TABLE d"))
+  }
+}
