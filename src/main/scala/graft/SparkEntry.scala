@@ -29,12 +29,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesFunctions.queries ++
-      QueriesUdf.queries ++ QueriesLlm.queries ++ QueriesLake.queries
+      QueriesUdf.queries ++ QueriesLlm.queries ++ QueriesLake.queries ++
+      QueriesStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracle ++ QueriesFunctions.oracle ++
-      QueriesUdf.oracle ++ QueriesLlm.oracle ++ QueriesLake.oracle
+      QueriesUdf.oracle ++ QueriesLlm.oracle ++ QueriesLake.oracle ++
+      QueriesStreaming.oracle
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.I — Structured Streaming face of the `events` table.
+  * The reference is batch-only (DuckDB); these are the Spark-native
+  * upgrade: the SAME windowed aggregations, run incrementally with state.
+  *
+  * Each op is a transformation over an unbounded DataFrame — callable both
+  * from the file-replay harness below (driver correctness: full replay ==
+  * batch oracle) and from MemoryStream tests (StreamingSpec: multi-batch
+  * watermark/late-data/session semantics that only show up incrementally).
+  *
+  * Scale notes: all stateful ops key their state by (window x group) or
+  * event id and carry watermarks so state is EVICTED — unbounded input,
+  * bounded state. That is the property that survives an infinite stream,
+  * not just a 10k-row replay.
+  */
+object StreamingOps {
+
+  /** tumbling 1-hour window per event_type: count + sum(value) */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** sliding 1-hour window, 15-minute slide: events per window */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+
+  /** 30-minute-gap session windows per user */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+        col("user_id"), col("cnt"))
+
+  /** watermarked tumbling count — rows later than 10 min behind the
+    * watermark are DROPPED (proved in StreamingSpec with two batches)
+    */
+  def watermarkLate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+
+  /** stateful dedup on event_id within the watermark horizon */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Ev(event_id: Long, user_id: Long, value: Double)
+  final case class UserCount(user_id: Long, events_seen: Long)
+
+  /** custom state machine: running per-user event count via
+    * flatMapGroupsWithState (KeyValueGroupedDataset — SURVEY §1.1 stream row)
+    */
+  def aggState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          Iterator(UserCount(user, total))
+        })
+      .toDF()
+  }
+
+  // ---------------------------------------------------- file-replay harness
+  private val memId = new AtomicLong(0)
+
+  /** replay the events parquet as a stream (explicit schema; ts arrives as
+    * parquet TIMESTAMP(NANOS) -> read LongType, integer-narrow to micros —
+    * same rule as the batch side, graft.ops.Tables)
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // glob (not a bare file path): the file stream source requires a
+    // directory or glob basePath. Watermarks require TIMESTAMP (with local
+    // tz), not NTZ — the session tz is pinned UTC, so the conversion is
+    // value-preserving; query outputs cast window bounds back to NTZ.
+    spark.readStream.schema(schema).parquet(s"$dir/even*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** run a streaming transform over the full replay into a memory sink and
+    * return the materialized result (complete/update per `mode`)
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${memId.incrementAndGet()}"
+    val q = streamed.writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** multi-batch streaming semantics that full-replay oracles cannot see:
+  * watermark-based late-data DROP, cross-batch stateful dedup, session
+  * merging, and running state — each driven batch-by-batch via
+  * MemoryStream (SURVEY.md §5.2 item 5)
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class E(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double, props: String)
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+  private def ev(id: Long, min: Int, user: Long = 1L): E =
+    E(id, ts(min), user, "click", 1.0, "{}")
+
+  private def run(df: DataFrame, mode: String, name: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  test("watermark drops events >10 min late (E2E golden)") {
+    val in = MemoryStream[E]
+    val q = run(StreamingOps.watermarkLate(in.toDF()), "update", "wm_late")
+    // batch 1: events at 00:00 and 01:00 -> watermark advances to 00:50
+    in.addData(ev(1, 0), ev(2, 60))
+    q.processAllAvailable()
+    // batch 2: an event at 00:05 is 45 min behind the watermark -> DROPPED;
+    // an event at 00:55 is within the 15-min window [00:45,01:00) >= wm -> kept
+    in.addData(ev(3, 5), ev(4, 55))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wm_late")
+      .groupBy("win_start").agg(max("cnt").as("cnt"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(counts("2024-01-01 00:00:00.0") == 1L, "late event must not increment 00:00 window")
+    assert(counts("2024-01-01 00:45:00.0") == 1L)
+    assert(counts("2024-01-01 01:00:00.0") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark drops cross-batch duplicate ids") {
+    val in = MemoryStream[E]
+    val q = run(StreamingOps.dedup(in.toDF()), "append", "dedup_x")
+    in.addData(ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    in.addData(ev(2, 2), ev(3, 3)) // id 2 again, within watermark horizon
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_x").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows merge events within the 30-min gap and split beyond it") {
+    val in = MemoryStream[E]
+    val q = run(StreamingOps.sessions(in.toDF()), "append", "sess_x")
+    // user 1: events 00:00, 00:20 (same session), 01:30 (new session)
+    in.addData(ev(1, 0), ev(2, 20), ev(3, 90))
+    q.processAllAvailable()
+    // advance watermark far past everything so sessions finalize
+    in.addData(ev(99, 600))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_x")
+      .filter(col("user_id") === 1L)
+      .select("sess_start", "sess_end", "cnt")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", 2L), // 00:20 + 30min gap
+      ("2024-01-01 01:30:00.0", "2024-01-01 02:00:00.0", 1L)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts across batches") {
+    val in = MemoryStream[E]
+    val q = run(StreamingOps.aggState(in.toDF()), "update", "state_x")
+    in.addData(ev(1, 0, user = 7), ev(2, 1, user = 7), ev(3, 1, user = 8))
+    q.processAllAvailable()
+    in.addData(ev(4, 2, user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("state_x")
+      .groupBy("user_id").agg(max("events_seen").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(7L -> 3L, 8L -> 1L))
+  }
+}
