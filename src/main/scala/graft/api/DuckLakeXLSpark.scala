@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.lake._
-import graft.xlsx.XlsxCodec
+import graft.xlsx.{ExcelRemote, XlsxCodec}
 
 /** The DuckLakeXL artifact, Spark-native (SURVEY.md Face B): an Excel
   * workbook is the metadata catalog of a parquet lakehouse, and every
@@ -55,7 +55,13 @@ class DuckLakeXLSpark(
     val spark: SparkSession,
     val excelPath: String,
     val dataPath: String,
-    val lakeName: String = "my_ducklake") {
+    val lakeName: String = "my_ducklake",
+    driveId: Option[String] = None) {
+
+  /** local xlsx or Graph workbook, picked like the reference's
+    * _pick_client (ducklakexl.py:85-97)
+    */
+  private val remote: ExcelRemote = ExcelRemote.pick(excelPath, driveId)
 
   @volatile private var state: CatalogState = CatalogState.empty
 
@@ -71,8 +77,8 @@ class DuckLakeXLSpark(
   private def initialize(): Unit = {
     Files.createDirectories(Paths.get(dataPath))
     val wanted = CatalogSchema.tables.map { case (t, _) => CatalogSchema.sheetName(t) }
-    val canPull = Files.exists(Paths.get(excelPath)) && {
-      val present = XlsxCodec.sheetNames(excelPath).toSet
+    val canPull = remote.exists && {
+      val present = remote.sheetNames.toSet
       wanted.forall(present.contains)
     }
     if (canPull) pull()
@@ -97,7 +103,7 @@ class DuckLakeXLSpark(
     * (reference: TRUNCATE+INSERT per metadata table, ducklakexl.py:459-464)
     */
   def pull(): Unit = {
-    val sheets = XlsxCodec.read(excelPath).map { case (n, rows) => XlsxSheet(n, rows) }
+    val sheets = remote.readAll().map { case (n, rows) => XlsxSheet(n, rows) }
     state = CatalogState.fromSheets(sheets)
   }
 
@@ -105,14 +111,14 @@ class DuckLakeXLSpark(
     * _push, ducklakexl.py:512-582), atomically
     */
   def push(): Unit =
-    XlsxCodec.write(excelPath, state.toSheets.map(s => (s.name, s.rows)))
+    remote.writeAll(state.toSheets.map(s => (s.name, s.rows)))
 
   // ------------------------------------------------------------ query API
   /** THE query path (reference `sql`, ducklakexl.py:387-397):
     * pull -> execute statements -> push -> return last SELECT's DataFrame
     */
   def sql(script: String): DataFrame = {
-    if (Files.exists(Paths.get(excelPath))) pull()
+    if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
     StatementRouter.split(script).foreach { stmt =>

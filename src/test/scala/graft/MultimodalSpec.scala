@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MultimodalOps
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("stub decoder is deterministic on bytes and rejects empty payloads") {
+    val dec = new MultimodalOps.StubDecoder
+    val d1 = dec.decode("hello world".getBytes("UTF-8"))
+    val d2 = dec.decode("hello world".getBytes("UTF-8"))
+    assert(d1 == d2 && d1.ok && d1.channels == 3)
+    assert(!dec.decode(Array.emptyByteArray).ok)
+    dec.close()
+    assertThrows[IllegalArgumentException](dec.decode("x".getBytes))
+  }
+
+  test("partition-wise decode keeps schema and row count over documents") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val out = MultimodalOps.decodeDocuments(spark, "/root/testdata/sf0.001")
+    assert(out.schema == MultimodalOps.decodedSchema)
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.count() == n)
+    assert(out.filter(col("ok") && col("mime") === "image/fake").count() == n)
+    // deterministic: same payload bytes -> same fake dimensions, twice
+    assert(out.orderBy("doc_id").limit(3).collect().toSeq ==
+      MultimodalOps.decodeDocuments(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id").limit(3).collect().toSeq)
+  }
+
+  test("decodePayloads works on an arbitrary binary+meta frame (many partitions)") {
+    val rows = (0L until 100L).map(i =>
+      Row(i, s"payload-$i".getBytes("UTF-8"), Row("image/fake", i)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType), StructField("n", LongType))))))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(7)
+    val out = MultimodalOps.decodePayloads(df)
+    assert(out.count() == 100)
+    assert(out.agg(min("width"), max("width")).collect()(0).toSeq.forall(
+      v => v.asInstanceOf[Int] >= 16 && v.asInstanceOf[Int] < 80))
+  }
+}
