@@ -108,7 +108,12 @@ object QueriesLlm {
 
     // ------------------------------------------- near-dup: banded MinHash
     "q_llm_dedup_near" -> { (s, d) =>
+      // the shingle table feeds SIX consumers (minhash, both sides of the
+      // bucket join's lineage, both sides of the verify join, sizes); without
+      // persist Catalyst re-derives it per consumer = 6 corpus scans. One
+      // materialization, spill-safe, is the 100 TB shape.
       val sh = shinglesDF(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 16 portable minhashes: min over shingles of md5(i | shingle)
       val aggs = (1 to NumHashes).map(i =>
         min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"m$i"))
