@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * (vec_id, embedding FLOAT[64], label) tables.
   *
   * Scale design (the 100 TB contract):
-  *  - near-dup is banded MinHash LSH: shingle -> 16 minhashes -> 8 bands
-  *    of 2 -> bucket self-join on (band, key) -> exact-Jaccard verify on
-  *    the candidates only. Work is proportional to bucket collisions,
-  *    never all-pairs. The verify join shuffles only candidate pairs.
+  *  - near-dup ships the four standard detectors, every one bucketed so
+  *    work is proportional to collisions, never all-pairs:
+  *    word-shingle MinHash (16 hashes, 8 bands), char-3-gram MinHash
+  *    (8 hashes, 4 bands), 32-bit SimHash banded into 4×8 bits (Manku et
+  *    al., WWW'07 — hamming ≤ 1 pairs are guaranteed to share a band by
+  *    pigeonhole), and embedding-cosine via random-hyperplane buckets.
+  *    Each bucket self-join shuffles only its candidate pairs to the
+  *    exact verify (Jaccard / hamming / cosine).
   *  - similarity search ships two paths: brute-force cosine top-k
   *    (TakeOrderedAndProject — partition-local top-k, no full sort) and a
   *    random-hyperplane LSH bucketed variant that prunes the scan to one
@@ -30,6 +34,17 @@ object QueriesLlm {
   private val Bands = 8 // 2 minhash rows per band
   private val JacThreshold = 0.5
   private val ShingleWords = 5
+
+  private val NgramLen = 3
+  private val NgramHashes = 8
+  private val NgramBands = 4 // 2 minhash rows per band
+  private val NgramThreshold = 0.8
+
+  private val SimBits = 32 // one md5 per word yields exactly 32 hex digits
+  private val SimBands = 4 // 8 bits per band; hamming<=1 always shares one
+  private val HamThreshold = 1
+
+  private val CosThreshold = 0.30
 
   private val Dim = 64
   private val NumPlanes = 8
@@ -96,6 +111,103 @@ object QueriesLlm {
        |      FROM documents)
        |WHERE len(ws) >= $ShingleWords""".stripMargin
 
+  /** distinct char n-grams of the normalized text */
+  private def ngramsDF(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= NgramLen)
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col("norm")) - (NgramLen - 1)),
+        i => col("norm").substr(i, lit(NgramLen))))).as("shingle"))
+  }
+
+  private val sqlNgrams =
+    s"""SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, length(norm) - ${NgramLen - 2}),
+       |         i -> substring(norm, i, $NgramLen))) AS shingle
+       |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |      FROM documents)
+       |WHERE length(norm) >= $NgramLen""".stripMargin
+
+  /** Banded-MinHash LSH over a (doc_id, shingle) stream -> near-dup pairs
+    * (a, b, jac) with exact Jaccard >= thr. The shingle table feeds six
+    * consumers (minhash, both sides of the bucket join's lineage, both
+    * sides of the verify join, sizes); without persist Catalyst re-derives
+    * it per consumer = 6 corpus scans. One materialization, spill-safe,
+    * is the 100 TB shape.
+    */
+  private def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
+      thr: Double): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shIn.toDF("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // portable minhashes: min over shingles of md5(i | shingle)
+    val aggs = (1 to numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"m$i"))
+    val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // bands of `rows` minhash rows -> (band, key) bucket stream
+    val bandArr = array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat((1 to rows).map(r => col(s"m${rows * j + r}")): _*).as("bkey"))
+    }: _*)
+    val bandsDF = mh.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    // bucket self-join (THE LSH step: join key = bucket, never all-pairs)
+    val cand = bandsDF.as("x")
+      .join(bandsDF.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // exact-Jaccard verify restricted to candidates
+    val shA = sh.toDF("a", "shg_a")
+    val shB = sh.toDF("b2", "shg_b")
+    val inter = cand.join(shA, "a")
+      .join(shB, col("b") === col("b2") && col("shg_a") === col("shg_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val szA = sz.toDF("a", "sz_a")
+    val szB = sz.toDF("b", "sz_b")
+    val jac = col("inter").cast(DoubleType) /
+      (col("sz_a") + col("sz_b") - col("inter"))
+    inter.join(szA, "a").join(szB, "b")
+      .withColumn("jac_raw", jac)
+      .filter(col("jac_raw") >= thr)
+      .select(col("a"), col("b"), round(col("jac_raw"), 4).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** oracle twin of [[minhashPairs]], parameterized on the grams CTE */
+  private def sqlMinhashPairs(gramsSql: String, numHashes: Int, bands: Int,
+      thr: Double): String = {
+    val rows = numHashes / bands
+    val minhashes = (1 to numHashes)
+      .map(i => s"min(md5(concat('$i','|',shingle))) AS m$i").mkString(", ")
+    val bandCase = (0 until bands)
+      .map(j => s"WHEN ${j} THEN concat(${(1 to rows).map(r => s"m${rows * j + r}").mkString(", ")})")
+      .mkString("CASE band ", " ", " END")
+    val bandVals = (0 until bands).map(j => s"($j)").mkString(", ")
+    s"""WITH sh AS ($gramsSql),
+       |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, band, $bandCase AS bkey
+       |          FROM mh CROSS JOIN (VALUES $bandVals) bb(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.a
+       |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |          GROUP BY c.a, c.b),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+       |SELECT i.a, i.b,
+       |       round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4) AS jac
+       |FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+       |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= $thr
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     // -------------------------------------------------------- exact dedup
     "q_llm_dedup_exact" -> { (s, d) =>
@@ -108,45 +220,72 @@ object QueriesLlm {
 
     // ------------------------------------------- near-dup: banded MinHash
     "q_llm_dedup_near" -> { (s, d) =>
-      // the shingle table feeds SIX consumers (minhash, both sides of the
-      // bucket join's lineage, both sides of the verify join, sizes); without
-      // persist Catalyst re-derives it per consumer = 6 corpus scans. One
-      // materialization, spill-safe, is the 100 TB shape.
-      val sh = shinglesDF(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 16 portable minhashes: min over shingles of md5(i | shingle)
-      val aggs = (1 to NumHashes).map(i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"m$i"))
-      val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      // 8 bands of 2 rows -> (band, key) bucket stream
-      val bandArr = array((0 until Bands).map { j =>
-        struct(lit(j).as("band"),
-          concat(col(s"m${2 * j + 1}"), col(s"m${2 * j + 2}")).as("bkey"))
+      minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+    },
+
+    // --------------------------------- near-dup: char-3-gram MinHash LSH
+    "q_llm_dedup_ngram" -> { (s, d) =>
+      minhashPairs(ngramsDF(s, d), NgramHashes, NgramBands, NgramThreshold)
+    },
+
+    // ------------------------------------ near-dup: banded 32-bit SimHash
+    "q_llm_dedup_simhash" -> { (s, d) =>
+      // one md5 per word OCCURRENCE (simhash weights by term frequency);
+      // bit b of the signature = sign of the +-1 votes from hex digit b's
+      // top bit. Engine-portable: DuckDB md5 produces the same hex.
+      val words = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(normText(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), md5(col("word")).as("h"))
+      val hexTop = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val bitAggs = (0 until SimBits).map { b =>
+        when(sum(when(substring(col("h"), b + 1, 1).isin(hexTop: _*), 1)
+          .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$b")
+      }
+      val sig = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          concat((0 until SimBits).map(b => col(s"b$b")): _*).as("sig"))
+      // Manku-style banding: 4 blocks of 8 bits; any pair within hamming 1
+      // agrees on >=3 whole blocks, so the block-bucket join has full recall
+      val w = SimBits / SimBands
+      val bandArr = array((0 until SimBands).map { j =>
+        struct(lit(j).as("band"), substring(col("sig"), j * w + 1, w).as("bkey"))
       }: _*)
-      val bands = mh.select(col("doc_id"), explode(bandArr).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      // bucket self-join (THE LSH step: join key = bucket, never all-pairs)
+      val bands = sig.select(col("doc_id"), col("sig"), explode(bandArr).as("bs"))
+        .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .select(col("x.doc_id").as("a"), col("x.sig").as("sig_a"),
+          col("y.doc_id").as("b"), col("y.sig").as("sig_b"))
         .distinct()
-      // exact-Jaccard verify restricted to candidates
-      val shA = sh.toDF("a", "shg_a")
-      val shB = sh.toDF("b2", "shg_b")
-      val inter = cand.join(shA, "a")
-        .join(shB, col("b") === col("b2") && col("shg_a") === col("shg_b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val szA = sz.toDF("a", "sz_a")
-      val szB = sz.toDF("b", "sz_b")
-      val jac = col("inter").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("inter"))
-      inter.join(szA, "a").join(szB, "b")
-        .withColumn("jac_raw", jac)
-        .filter(col("jac_raw") >= JacThreshold)
-        .select(col("a"), col("b"), round(col("jac_raw"), 4).as("jac"))
+      val hd = (0 until SimBits).map(i =>
+        when(substring(col("sig_a"), i + 1, 1) =!= substring(col("sig_b"), i + 1, 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      cand.withColumn("hamming", hd.cast("long"))
+        .filter(col("hamming") <= HamThreshold)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+
+    // -------------------------- near-dup: embedding cosine in LSH buckets
+    "q_llm_dedup_embcos" -> { (s, d) =>
+      // same random-hyperplane buckets as the ANN path; candidates = pairs
+      // whose 8 sign bits all agree (~1/256 of all pairs), then exact
+      // cosine verify on candidates only
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucketExpr(col("embedding")).as("bucket"))
+      emb.as("x")
+        .join(emb.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(dot(col("x.embedding"), col("y.embedding")) /
+            (sqrt(dot(col("x.embedding"), col("x.embedding"))) *
+             sqrt(dot(col("y.embedding"), col("y.embedding")))), 4).as("cos"))
+        .filter(col("cos") >= CosThreshold)
         .orderBy("a", "b")
     },
 
@@ -245,32 +384,54 @@ object QueriesLlm {
       ("SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents " +
        "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) ORDER BY doc_id"),
 
-    "q_llm_dedup_near" -> {
-      val minhashes = (1 to NumHashes)
-        .map(i => s"min(md5(concat('$i','|',shingle))) AS m$i").mkString(", ")
-      val bandCase = (0 until Bands)
-        .map(j => s"WHEN ${j} THEN concat(m${2 * j + 1}, m${2 * j + 2})")
+    "q_llm_dedup_near" ->
+      sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold),
+
+    "q_llm_dedup_ngram" ->
+      sqlMinhashPairs(sqlNgrams, NgramHashes, NgramBands, NgramThreshold),
+
+    "q_llm_dedup_simhash" -> {
+      val bitexprs = (0 until SimBits).map { b =>
+        s"CASE WHEN sum(CASE WHEN substring(h,${b + 1},1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b$b"
+      }.mkString(",\n  ")
+      val cols = (0 until SimBits).map(b => s"b$b").mkString(", ")
+      val w = SimBits / SimBands
+      val bandCase = (0 until SimBands)
+        .map(j => s"WHEN $j THEN substring(sig, ${j * w + 1}, $w)")
         .mkString("CASE band ", " ", " END")
-      val bandVals = (0 until Bands).map(j => s"($j)").mkString(", ")
-      s"""WITH sh AS ($sqlShingles),
-         |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, band, $bandCase AS bkey
-         |          FROM mh CROSS JOIN (VALUES $bandVals) bb(band)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      val bandVals = (0 until SimBands).map(j => s"($j)").mkString(", ")
+      val hamexpr = (0 until SimBits).map(i =>
+        s"CASE WHEN substring(sig_a,${i + 1},1) <> substring(sig_b,${i + 1},1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, md5(word) AS h FROM (
+         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+         |  FROM documents) WHERE length(word) > 0),
+         |bits AS (SELECT doc_id,
+         |  $bitexprs
+         |  FROM w GROUP BY doc_id),
+         |sig AS (SELECT doc_id, concat($cols) AS sig FROM bits),
+         |bands AS (SELECT doc_id, sig, band, $bandCase AS bkey
+         |          FROM sig CROSS JOIN (VALUES $bandVals) bb(band)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, x.sig AS sig_a, y.doc_id AS b, y.sig AS sig_b
          |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |inter AS (SELECT c.a, c.b, count(*) AS inter
-         |          FROM cand c
-         |          JOIN sh sa ON sa.doc_id = c.a
-         |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-         |          GROUP BY c.a, c.b),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
-         |SELECT i.a, i.b,
-         |       round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4) AS jac
-         |FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
-         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= $JacThreshold
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST($hamexpr AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE $hamexpr <= $HamThreshold
          |ORDER BY a, b""".stripMargin
     },
+
+    "q_llm_dedup_embcos" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(${sqlDot("x.embedding", "y.embedding")} /
+         |             (sqrt(${sqlDot("x.embedding", "x.embedding")}) *
+         |              sqrt(${sqlDot("y.embedding", "y.embedding")})), 4) AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(${sqlDot("x.embedding", "y.embedding")} /
+         |            (sqrt(${sqlDot("x.embedding", "x.embedding")}) *
+         |             sqrt(${sqlDot("y.embedding", "y.embedding")})), 4) >= $CosThreshold
+         |ORDER BY a, b""".stripMargin,
 
     "q_llm_simsearch_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
