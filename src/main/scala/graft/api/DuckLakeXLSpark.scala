@@ -133,6 +133,7 @@ class DuckLakeXLSpark(
           registerViews()
         case s: StatementRouter.InsertSelect  => executeInsertDF(s.table, spark.sql(s.select)); registerViews()
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
+        case s: StatementRouter.Update        => executeUpdate(s); registerViews()
         case s: StatementRouter.DropTable     => executeDrop(s); registerViews()
         case StatementRouter.Use(name) =>
           require(name.equalsIgnoreCase(lakeName) || name.equalsIgnoreCase("main"),
@@ -335,6 +336,52 @@ class DuckLakeXLSpark(
       } // hit == 0 -> file untouched, zero IO
     }
     state = newState.copy(tableStats = bumpStats(t.tableId, -removed))
+    newSnapshot(state.nextCatalogId, fid)
+  }
+
+  /** file-granular copy-on-write UPDATE, like DELETE: files with no
+    * matching row are kept verbatim (zero IO); a file with matches is
+    * end-snapshotted and rewritten in full, every SET expression evaluated
+    * against the pre-update row (standard SQL semantics — one select does
+    * exactly that). Row counts are unchanged, so table stats stay put.
+    */
+  private def executeUpdate(s: StatementRouter.Update): Unit = {
+    val t = state.tableByName(s.table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val schema = state.schemaOf(t.tableId)
+    val sets = s.sets.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
+    val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+    require(unknown.isEmpty, s"UPDATE sets unknown column(s): ${unknown.mkString(", ")}")
+    val pred = s.where.map(expr).getOrElse(lit(true))
+    val snap = state.currentSnapshot + 1
+    var fid = state.nextFileId
+    var newState = state
+    state.filesOf(t.tableId).foreach { f =>
+      val fdf = spark.read.schema(schema).parquet(f.path)
+      val hit = fdf.filter(pred).count()
+      if (hit > 0L) {
+        newState = newState.copy(
+          dataFiles = newState.dataFiles.map(d =>
+            if (d.dataFileId == f.dataFileId) d.copy(endSnapshot = Some(snap)) else d),
+          deleteFiles = newState.deleteFiles :+ DeleteFileRow(
+            fid, t.tableId, snap, None, f.dataFileId, "", hit))
+        fid += 1
+        val updated = fdf.select(schema.fields.map { fld =>
+          sets.get(fld.name.toLowerCase) match {
+            case Some(e) => when(pred, e.cast(fld.dataType)).otherwise(colq(fdf, fld.name)).as(fld.name)
+            case None    => colq(fdf, fld.name)
+          }
+        }: _*)
+        val written = writeParquetFiles(updated, t.tableName)
+        written.foreach { p =>
+          val cnt = spark.read.schema(schema).parquet(p.toString).count()
+          newState = newState.copy(dataFiles = newState.dataFiles :+
+            DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p)))
+          fid += 1
+        }
+      }
+    }
+    state = newState
     newSnapshot(state.nextCatalogId, fid)
   }
 

@@ -56,6 +56,7 @@ object StatementRouter {
   final case class InsertValues(table: String, valuesSql: String) extends Stmt
   final case class InsertSelect(table: String, select: String) extends Stmt
   final case class Delete(table: String, where: Option[String]) extends Stmt
+  final case class Update(table: String, sets: Seq[(String, String)], where: Option[String]) extends Stmt
   final case class DropTable(name: String, ifExists: Boolean) extends Stmt
   final case class Use(name: String) extends Stmt
   final case class Select(sql: String) extends Stmt
@@ -66,6 +67,8 @@ object StatementRouter {
     """(?is)^\s*INSERT\s+INTO\s+([\w\.\"]+)\s+(.*)$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w\.\"]+)\s*(?:WHERE\s+(.*))?$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([\w\.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w\.\"]+)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
@@ -94,6 +97,27 @@ object StatementRouter {
     }
   }
 
+  /** split "a = a + 1, val = 'x'" at top-level commas into (col, expr) */
+  private[lake] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inStr = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; cur.append('\'')
+      case '(' if !inStr => depth += 1; cur.append('(')
+      case ')' if !inStr => depth -= 1; cur.append(')')
+      case ',' if depth == 0 && !inStr => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val eq = p.indexOf('=')
+      require(eq > 0, s"cannot parse SET assignment: '$p'")
+      (p.take(eq).trim.stripPrefix("\"").stripSuffix("\""), p.drop(eq + 1).trim)
+    }
+  }
+
   def classify(stmt: String): Stmt = stmt match {
     case CreateRe(ifne, name, rest) =>
       val r = rest.trim
@@ -110,6 +134,9 @@ object StatementRouter {
       else InsertSelect(bareName(name), r)
     case DeleteRe(name, where) =>
       Delete(bareName(name), Option(where).map(_.trim).filter(_.nonEmpty))
+    case UpdateRe(name, sets, where) =>
+      Update(bareName(name), splitAssignments(sets),
+        Option(where).map(_.trim).filter(_.nonEmpty))
     case DropRe(ife, name) => DropTable(bareName(name), ife != null)
     case UseRe(name) => Use(bareName(name))
     case other => Select(other)

@@ -50,6 +50,15 @@ object QueriesLake {
       val beforeDelete = lake.currentState.currentSnapshot
       lake.sql("DELETE FROM tt WHERE id <= 2")
       lake.tableAt("tt", beforeDelete).orderBy("id")
+    },
+    // copy-on-write UPDATE with an expression over the pre-update row
+    "q_lake_update" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE u(id INTEGER, qty INTEGER, val VARCHAR);
+          |INSERT INTO u VALUES (1,10,'alpha'),(2,20,'beta'),(3,30,'gamma'),(4,40,'delta');
+          |UPDATE u SET qty = qty + 5, val = 'bumped' WHERE id >= 3;
+          |SELECT * FROM u ORDER BY id""".stripMargin)
     }
   )
 
@@ -59,6 +68,9 @@ object QueriesLake {
     "q_lake_multistatement" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(4,'delta'),(5,'epsilon')) t(id, val) ORDER BY id"),
     "q_lake_time_travel" ->
-      ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')) t(id, val) ORDER BY id")
+      ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')) t(id, val) ORDER BY id"),
+    "q_lake_update" ->
+      ("SELECT * FROM (VALUES (1,10,'alpha'),(2,20,'beta'),(3,35,'bumped'),(4,45,'bumped')) " +
+       "t(id, qty, val) ORDER BY id")
   )
 }

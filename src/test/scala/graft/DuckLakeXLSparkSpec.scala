@@ -142,6 +142,31 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     assert(lake.prunedFiles("p", "id", 0, 1000).size == 2)
   }
 
+  test("UPDATE is copy-on-write: SET sees pre-update row, history intact") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE up(id INTEGER, qty INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO up VALUES (1,10,'a'),(2,20,'b')") // file 1
+    lake.sql("INSERT INTO up VALUES (3,30,'c'),(4,40,'d')") // file 2
+    val before = lake.currentState.currentSnapshot
+    val filesBefore = lake.currentState.filesOf(
+      lake.currentState.tableByName("up").get.tableId)
+    lake.sql("UPDATE up SET qty = qty + 5, val = 'bumped' WHERE id >= 3")
+    val rows = lake.sql("SELECT * FROM up ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, 10, "a"), (2, 20, "b"), (3, 35, "bumped"), (4, 45, "bumped")))
+    // untouched file survives verbatim; matched file was rewritten
+    val t = lake.currentState.tableByName("up").get
+    val filesAfter = lake.currentState.filesOf(t.tableId)
+    assert(filesAfter.size == 2)
+    assert(filesAfter.map(_.path).toSet.intersect(filesBefore.map(_.path).toSet).size == 1)
+    // time travel still answers the pre-update values
+    assert(lake.tableAt("up", before).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1, 10), (2, 20), (3, 30), (4, 40)))
+    // unknown SET column rejected
+    assertThrows[IllegalArgumentException](lake.sql("UPDATE up SET nope = 1"))
+  }
+
   test("DROP TABLE ends visibility; IF EXISTS tolerated") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE d(id INTEGER, v VARCHAR)")
