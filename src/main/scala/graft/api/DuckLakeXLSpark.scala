@@ -276,20 +276,11 @@ class DuckLakeXLSpark(
     val newFiles = scala.collection.mutable.ArrayBuffer[DataFileRow]()
     val newStats = scala.collection.mutable.ArrayBuffer[FileColumnStatsRow]()
     written.foreach { p =>
-      val fdf = spark.read.schema(schema).parquet(p.toString)
-      val statAggs = cols.flatMap(c => Seq(
-        min(colq(fdf, c.columnName)).cast(StringType).as(s"mn_${c.columnOrder}"),
-        max(colq(fdf, c.columnName)).cast(StringType).as(s"mx_${c.columnOrder}"),
-        sum(when(colq(fdf, c.columnName).isNull, 1L).otherwise(0L)).as(s"nl_${c.columnOrder}"))) :+
-        count(lit(1)).as("cnt")
-      val r = fdf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
-      val cnt = r.getAs[Long]("cnt")
+      val (cnt, st) = fileStats(p.toString, schema, cols)
       newFiles += DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p))
       cols.foreach { c =>
-        newStats += FileColumnStatsRow(fid, t.tableId, c.columnId,
-          Option(r.getAs[String](s"mn_${c.columnOrder}")),
-          Option(r.getAs[String](s"mx_${c.columnOrder}")),
-          r.getAs[Long](s"nl_${c.columnOrder}"))
+        val (mn, mx, nl) = st(c.columnId)
+        newStats += FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
       }
       fid += 1
     }
@@ -401,6 +392,81 @@ class DuckLakeXLSpark(
         newSnapshot(state.nextCatalogId, state.nextFileId)
         spark.catalog.dropTempView(s.name)
     }
+  }
+
+  /** per-file record count + min/max/nullcount per column in ONE agg job —
+    * the same stats DuckLake's writer records per data file
+    */
+  private def fileStats(path: String, schema: StructType, cols: Vector[ColumnRow])
+      : (Long, Map[Long, (Option[String], Option[String], Long)]) = {
+    val fdf = spark.read.schema(schema).parquet(path)
+    val statAggs = cols.flatMap(c => Seq(
+      min(colq(fdf, c.columnName)).cast(StringType).as(s"mn_${c.columnOrder}"),
+      max(colq(fdf, c.columnName)).cast(StringType).as(s"mx_${c.columnOrder}"),
+      sum(when(colq(fdf, c.columnName).isNull, 1L).otherwise(0L)).as(s"nl_${c.columnOrder}"))) :+
+      count(lit(1)).as("cnt")
+    val r = fdf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    (r.getAs[Long]("cnt"), cols.map(c => c.columnId -> ((
+      Option(r.getAs[String](s"mn_${c.columnOrder}")),
+      Option(r.getAs[String](s"mx_${c.columnOrder}")),
+      r.getAs[Long](s"nl_${c.columnOrder}")))).toMap)
+  }
+
+  /** Maintenance: merge the small-file tail of `table` into ~targetBytes
+    * files under a new snapshot. Rows are bit-identical; old files are
+    * end-snapshotted so time travel still resolves them. Cost is
+    * proportional to the small tail, never table size — files at or above
+    * the target are not read at all. This is the upkeep a 1000-executor
+    * INSERT stream needs: each micro-append lands one file per writer, and
+    * unchecked that tail turns every scan into a file-listing storm.
+    */
+  def compact(table: String, targetBytes: Long = 128L << 20): Unit = {
+    if (remote.exists) pull()
+    val t = state.tableByName(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val schema = state.schemaOf(t.tableId)
+    val cols = state.columnsOf(t.tableId)
+    val small = state.filesOf(t.tableId).filter(_.fileSizeBytes < targetBytes)
+    if (small.size <= 1) return
+    // sequential bin-pack of the small tail into ~targetBytes groups
+    val groups = scala.collection.mutable.ArrayBuffer[Vector[DataFileRow]]()
+    var cur = Vector.empty[DataFileRow]
+    var curSz = 0L
+    small.foreach { f =>
+      if (cur.nonEmpty && curSz + f.fileSizeBytes > targetBytes) {
+        groups += cur; cur = Vector.empty; curSz = 0L
+      }
+      cur :+= f
+      curSz += f.fileSizeBytes
+    }
+    if (cur.nonEmpty) groups += cur
+    val toMerge = groups.filter(_.size >= 2)
+    if (toMerge.isEmpty) return
+    val snap = state.currentSnapshot + 1
+    var fid = state.nextFileId
+    var newState = state
+    toMerge.foreach { g =>
+      val merged = spark.read.schema(schema).parquet(g.map(_.path): _*).coalesce(1)
+      val written = writeParquetFiles(merged, t.tableName)
+      val gids = g.map(_.dataFileId).toSet
+      newState = newState.copy(dataFiles = newState.dataFiles.map(d =>
+        if (gids.contains(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
+      written.foreach { p =>
+        val (cnt, st) = fileStats(p.toString, schema, cols)
+        newState = newState.copy(
+          dataFiles = newState.dataFiles :+
+            DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p)),
+          fileColumnStats = newState.fileColumnStats ++ cols.map { c =>
+            val (mn, mx, nl) = st(c.columnId)
+            FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
+          })
+        fid += 1
+      }
+    }
+    state = newState
+    newSnapshot(state.nextCatalogId, fid)
+    registerViews()
+    push()
   }
 
   private def bumpStats(tableId: Long, delta: Long): Vector[TableStatsRow] =

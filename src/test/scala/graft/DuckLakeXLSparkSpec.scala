@@ -167,6 +167,28 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](lake.sql("UPDATE up SET nope = 1"))
   }
 
+  test("compact merges the small-file tail; rows and history intact") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE c(id INTEGER, v VARCHAR)")
+    for (i <- 1 to 4) lake.sql(s"INSERT INTO c VALUES ($i, 'r$i')") // 4 tiny files
+    val t = lake.currentState.tableByName("c").get
+    assert(lake.currentState.filesOf(t.tableId).size == 4)
+    val before = lake.currentState.currentSnapshot
+    lake.compact("c")
+    assert(lake.currentState.filesOf(t.tableId).size == 1)
+    assert(lake.sql("SELECT id FROM c ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 3, 4))
+    // pre-compaction snapshot still resolves the old 4-file layout
+    assert(lake.tableAt("c", before).collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3, 4))
+    // compaction survived the round trip through the workbook
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.currentState.filesOf(t.tableId).size == 1)
+    // stats for the merged file exist (pruning still works)
+    assert(lake.prunedFiles("c", "id", 10, 20).isEmpty)
+    assert(lake.prunedFiles("c", "id", 1, 2).size == 1)
+  }
+
   test("DROP TABLE ends visibility; IF EXISTS tolerated") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE d(id INTEGER, v VARCHAR)")
