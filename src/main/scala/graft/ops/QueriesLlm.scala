@@ -243,9 +243,12 @@ object QueriesLlm {
         when(sum(when(substring(col("h"), b + 1, 1).isin(hexTop: _*), 1)
           .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$b")
       }
+      // one row per doc; persisted so both sides of the bucket self-join
+      // read it back instead of re-running the corpus-wide word aggregation
       val sig = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
         .select(col("doc_id"),
           concat((0 until SimBits).map(b => col(s"b$b")): _*).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Manku-style banding: 4 blocks of 8 bits; any pair within hamming 1
       // agrees on >=3 whole blocks, so the block-bucket join has full recall
       val w = SimBits / SimBands
