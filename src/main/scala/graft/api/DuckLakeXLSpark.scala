@@ -76,7 +76,9 @@ class DuckLakeXLSpark(
     */
   private def initialize(): Unit = {
     Files.createDirectories(Paths.get(dataPath))
-    val wanted = CatalogSchema.tables.map { case (t, _) => CatalogSchema.sheetName(t) }
+    // core sheets decide pull-vs-push; optional sheets (view, stats,
+    // tombstones) parse as empty when absent so older workbooks still open
+    val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
     val canPull = remote.exists && {
       val present = remote.sheetNames.toSet
       wanted.forall(present.contains)
@@ -129,34 +131,112 @@ class DuckLakeXLSpark(
           // a literal VALUES list is driver-sized by definition -> one data
           // file per INSERT (the DuckLake shape); INSERT..SELECT below keeps
           // file-per-partition, the shape a distributed INSERT produces
-          executeInsertDF(s.table, valuesDF(s.table, s.valuesSql).coalesce(1))
+          executeInsertDF(s.table, s.cols,
+            valuesDF(s.table, s.cols, s.valuesSql).coalesce(1))
           registerViews()
-        case s: StatementRouter.InsertSelect  => executeInsertDF(s.table, spark.sql(s.select)); registerViews()
+        case s: StatementRouter.InsertSelect =>
+          executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
+          registerViews()
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
         case s: StatementRouter.Update        => executeUpdate(s); registerViews()
         case s: StatementRouter.DropTable     => executeDrop(s); registerViews()
+        case s: StatementRouter.CreateView    => executeCreateView(s); registerViews()
+        case s: StatementRouter.DropView      => executeDropView(s); registerViews()
         case StatementRouter.Use(name) =>
           require(name.equalsIgnoreCase(lakeName) || name.equalsIgnoreCase("main"),
             s"unknown catalog/schema: $name")
-        case StatementRouter.Select(q) => last = Some(spark.sql(q))
+        case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
+        case StatementRouter.Select(q) => last = Some(spark.sql(rewriteSelect(q)))
       }
     }
     push()
     last.getOrElse(spark.emptyDataFrame)
   }
 
+  // --------------------------------------------- qualified names + travel
+  private val QualRe =
+    ("(?i)\\b" + java.util.regex.Pattern.quote(lakeName) + "\\.(?:main\\.)?").r
+  private val MainRe = "(?i)\\bmain\\.".r
+  private val VersionAtRe =
+    """(?i)\b(\w+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
+  private val VersionAsOfRe = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** apply `f` to the parts of `s` outside single-quoted literals */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val cur = new StringBuilder
+    var i = 0
+    var inS = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inS && c == '\'') {
+        out.append(f(cur.toString)); cur.clear(); inS = true; out.append(c)
+      } else if (inS) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inS = false
+        }
+      } else cur.append(c)
+      i += 1
+    }
+    out.append(f(cur.toString))
+    out.toString
+  }
+
+  /** make lake-qualified names (`my_ducklake.main.t`, `main.t`) resolve to
+    * the registered bare views (reference: qualified resolution inside
+    * DuckDB, ducklakexl.py:657,716 / README.md:70), and turn the time
+    * travel syntaxes `t AT (VERSION => n)` / `t VERSION AS OF n`
+    * (README.md:162-165 names this TODO; DuckDB/Spark spellings) into a
+    * snapshot-pinned temp view backed by [[tableAt]]
+    */
+  private def rewriteSelect(q: String): String =
+    mapOutsideQuotes(q) { seg =>
+      var s = seg
+      s = QualRe.replaceAllIn(s, "")
+      s = MainRe.replaceAllIn(s, "")
+      def travel(name: String, ver: String): String = {
+        val vn = s"${name}__v$ver"
+        tableAt(name, ver.toLong).createOrReplaceTempView(vn)
+        vn
+      }
+      s = VersionAtRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
+      s = VersionAsOfRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
+      s
+    }
+
   /** current-snapshot scan of a lake table: union of live parquet files */
   def table(name: String): DataFrame = tableAt(name, state.currentSnapshot)
 
-  /** time travel: the table as of a snapshot id */
+  /** time travel: the table as of a snapshot id. The scan goes through a
+    * [[DuckLakeFileIndex]], so pushed-down predicates prune the file list
+    * by `ducklake_file_column_statistics` at plan time — a selective WHERE
+    * over a many-file table reads only the stat-surviving files
+    * (SURVEY.md §4.2; the scan's scale lever at 100 TB).
+    */
   def tableAt(name: String, snapshot: Long): DataFrame = {
     val t = state.tableByName(name, snapshot)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $name @ $snapshot"))
     val schema = state.schemaOf(t.tableId, snapshot)
-    val files = state.filesOf(t.tableId, snapshot).map(_.path)
+    val files = state.filesOf(t.tableId, snapshot)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else {
+      val nameById = state.columnsOf(t.tableId, snapshot)
+        .map(c => c.columnId -> c.columnName.toLowerCase).toMap
+      val stats = state.fileColumnStats.filter(_.tableId == t.tableId)
+        .groupBy(_.dataFileId).map { case (fid, rows) =>
+          fid -> rows.flatMap(r => nameById.get(r.columnId).map(_ -> r)).toMap
+        }
+      val index = new DuckLakeFileIndex(files, stats)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, new StructType(), schema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty[String, String])(spark)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)
+    }
   }
 
   /** snapshot history (reference TODO `snapshots()`, README.md:162) */
@@ -196,10 +276,53 @@ class DuckLakeXLSpark(
   def currentState: CatalogState = state
 
   // ----------------------------------------------------------- internals
-  private def registerViews(): Unit =
+  private def registerViews(): Unit = {
     state.liveTables().foreach { t =>
       tableAt(t.tableName, state.currentSnapshot).createOrReplaceTempView(t.tableName)
     }
+    // SQL views on top of the tables, in creation order (a later view may
+    // reference an earlier one); a view whose base was dropped must not
+    // brick the whole lake on reopen
+    state.liveViews().foreach { v =>
+      try spark.sql(rewriteSelect(v.sql)).createOrReplaceTempView(v.viewName)
+      catch { case e: Exception =>
+        System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
+      }
+    }
+  }
+
+  private def executeCreateView(s: StatementRouter.CreateView): Unit = {
+    state.viewByName(s.name) match {
+      case Some(old) if !s.orReplace =>
+        throw new IllegalArgumentException(s"view exists: ${s.name}")
+      case maybeOld =>
+        require(state.tableByName(s.name).isEmpty, s"table exists: ${s.name}")
+        spark.sql(rewriteSelect(s.select)) // validate eagerly, like DuckDB
+        val snap = state.currentSnapshot + 1
+        val vid = state.nextCatalogId
+        val ended = maybeOld match {
+          case Some(old) => state.views.map(v =>
+            if (v.viewId == old.viewId && v.endSnapshot.isEmpty) v.copy(endSnapshot = Some(snap)) else v)
+          case None => state.views
+        }
+        state = state.copy(views = ended :+
+          ViewRow(vid, UUID.randomUUID().toString, snap, None, 1L, s.name, s.select))
+        newSnapshot(vid + 1, state.nextFileId)
+    }
+  }
+
+  private def executeDropView(s: StatementRouter.DropView): Unit = {
+    state.viewByName(s.name) match {
+      case None =>
+        if (!s.ifExists) throw new IllegalArgumentException(s"no such view: ${s.name}")
+      case Some(v) =>
+        val snap = state.currentSnapshot + 1
+        state = state.copy(views = state.views.map(x =>
+          if (x.viewId == v.viewId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+        spark.catalog.dropTempView(s.name)
+    }
+  }
 
   private def newSnapshot(nextCatalogId: Long, nextFileId: Long): Long = {
     val id = state.currentSnapshot + 1
@@ -239,14 +362,16 @@ class DuckLakeXLSpark(
     val df = spark.sql(s.select)
     val cols = df.schema.fields.map(f => (f.name, CatalogSchema.typeName(f.dataType))).toSeq
     executeCreate(StatementRouter.CreateTable(s.name, cols, ifNotExists = false))
-    executeInsertDF(s.name, df)
+    executeInsertDF(s.name, None, df)
   }
 
-  /** `VALUES (…),(…)` -> DataFrame with the table's column names */
-  private def valuesDF(table: String, valuesSql: String): DataFrame = {
+  /** `VALUES (…),(…)` -> DataFrame named after the explicit column list
+    * (when given) or the table's columns
+    */
+  private def valuesDF(table: String, cols: Option[Seq[String]], valuesSql: String): DataFrame = {
     val t = state.tableByName(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
-    val names = state.columnsOf(t.tableId).map(_.columnName)
+    val names = cols.getOrElse(state.columnsOf(t.tableId).map(_.columnName))
     spark.sql(s"SELECT * FROM ($valuesSql) AS t(${names.mkString(", ")})")
   }
 
@@ -254,87 +379,113 @@ class DuckLakeXLSpark(
     * ducklake_data_file + per-file column stats rows, advance snapshot.
     * Each task partition lands as its own data file — the same
     * file-per-parallel-writer shape a 1000-executor INSERT produces.
+    * With an explicit column list, unlisted columns fill with NULL
+    * (standard SQL); otherwise the insert is positional.
     */
-  private def executeInsertDF(table: String, dfIn: DataFrame): Unit = {
+  private def executeInsertDF(table: String, cols: Option[Seq[String]], dfIn: DataFrame): Unit = {
     val t = state.tableByName(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     val schema = state.schemaOf(t.tableId)
-    require(dfIn.schema.length == schema.length,
-      s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
-    // positional insert with cast-to-declared-type (reference relies on
-    // DuckDB's implicit cast of VALUES to column types)
-    val df = dfIn.select(dfIn.columns.zip(schema.fields).map { case (c, f) =>
-      colq(dfIn, c).cast(f.dataType).as(f.name)
-    }: _*)
+    // cast-to-declared-type (reference relies on DuckDB's implicit cast of
+    // VALUES to column types)
+    val df = cols match {
+      case None =>
+        require(dfIn.schema.length == schema.length,
+          s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
+        dfIn.select(dfIn.columns.zip(schema.fields).map { case (c, f) =>
+          colq(dfIn, c).cast(f.dataType).as(f.name)
+        }: _*)
+      case Some(names) =>
+        require(names.length == dfIn.schema.length,
+          s"INSERT column list size ${names.length} != value arity ${dfIn.schema.length}")
+        val byName = names.map(_.toLowerCase).zip(dfIn.columns).toMap
+        val unknown = byName.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+        require(unknown.isEmpty, s"INSERT names unknown column(s): ${unknown.mkString(", ")}")
+        dfIn.select(schema.fields.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(src) => colq(dfIn, src).cast(f.dataType).as(f.name)
+            case None      => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+    }
 
     val written = writeParquetFiles(df, t.tableName)
     if (written.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
+    registerWrittenFiles(t, written)
+  }
 
+  /** add data_file + per-file column stats rows for freshly written files
+    * (ONE stats job over all of them), bump table stats, advance snapshot
+    */
+  private def registerWrittenFiles(t: TableRow, written: Seq[Path]): Unit = {
+    val schema = state.schemaOf(t.tableId)
     val snap = state.currentSnapshot + 1
-    var fid = state.nextFileId
-    val cols = state.columnsOf(t.tableId)
-    val newFiles = scala.collection.mutable.ArrayBuffer[DataFileRow]()
-    val newStats = scala.collection.mutable.ArrayBuffer[FileColumnStatsRow]()
-    written.foreach { p =>
-      val (cnt, st) = fileStats(p.toString, schema, cols)
-      newFiles += DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p))
-      cols.foreach { c =>
-        val (mn, mx, nl) = st(c.columnId)
-        newStats += FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
-      }
-      fid += 1
-    }
-    val added = newFiles.map(_.recordCount).sum
-    state = state.copy(
-      dataFiles = state.dataFiles ++ newFiles,
-      fileColumnStats = state.fileColumnStats ++ newStats,
-      tableStats = bumpStats(t.tableId, added))
+    val (ns, fid) = appendWrittenFiles(state, t, snap, state.nextFileId, written, schema)
+    val added = ns.dataFiles
+      .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
+      .map(_.recordCount).sum
+    state = ns
+    state = state.copy(tableStats = bumpStats(t.tableId, added))
     newSnapshot(state.nextCatalogId, fid)
   }
 
+  /** Distributed DELETE (r2 verdict fix #4): the old shape ran one
+    * count-job per data file in a serial driver loop (~300k sequential
+    * jobs at 100k files). The scale-safe shape is a CONSTANT number of
+    * Spark jobs regardless of file count:
+    *   job 1 — per-file hit counts via `input_file_name()` over the whole
+    *           live file set (pred pushed to parquet, so unaffected files
+    *           cost footer + skipped row groups);
+    *   job 2 — ONE copy-on-write rewrite of the union of partially
+    *           matching files (fully-matching files drop with zero IO);
+    *   job 3 — ONE stats pass over the rewritten files.
+    * A WHERE-less DELETE (incl. TRUNCATE) is metadata-only: zero jobs.
+    */
   private def executeDelete(s: StatementRouter.Delete): Unit = {
     val t = state.tableByName(s.table).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${s.table}"))
     val schema = state.schemaOf(t.tableId)
-    val pred = s.where.map(expr).getOrElse(lit(true))
+    val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
     var fid = state.nextFileId
-    var removed = 0L
-    var newState = state
-    state.filesOf(t.tableId).foreach { f =>
-      val fdf = spark.read.schema(schema).parquet(f.path)
-      val hit = fdf.filter(pred).count()
-      if (hit > 0L) {
-        removed += hit
-        // end this file's lifetime; tombstone row records provenance
-        newState = newState.copy(
-          dataFiles = newState.dataFiles.map(d =>
-            if (d.dataFileId == f.dataFileId) d.copy(endSnapshot = Some(snap)) else d),
-          deleteFiles = newState.deleteFiles :+ DeleteFileRow(
-            fid, t.tableId, snap, None, f.dataFileId, "", hit))
-        fid += 1
-        if (hit < f.recordCount) {
-          // partial match -> copy-on-write rewrite of the survivors
-          val keep = fdf.filter(!pred)
-          val written = writeParquetFiles(keep, t.tableName)
-          written.foreach { p =>
-            val cnt = spark.read.schema(schema).parquet(p.toString).count()
-            newState = newState.copy(dataFiles = newState.dataFiles :+
-              DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p)))
-            fid += 1
-          }
-        }
-      } // hit == 0 -> file untouched, zero IO
+    if (live.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
+
+    val hits: Map[String, Long] = s.where match {
+      case None    => live.map(f => f.path -> f.recordCount).toMap // truncate
+      case Some(w) => hitCounts(live, schema, expr(w))
     }
-    state = newState.copy(tableStats = bumpStats(t.tableId, -removed))
+    val affected = live.filter(f => hits.getOrElse(f.path, 0L) > 0L)
+    if (affected.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
+    val affectedIds = affected.map(_.dataFileId).toSet
+
+    var ns = state.copy(dataFiles = state.dataFiles.map(d =>
+      if (affectedIds(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
+    affected.foreach { f =>
+      ns = ns.copy(deleteFiles = ns.deleteFiles :+ DeleteFileRow(
+        fid, t.tableId, snap, None, f.dataFileId, "", hits(f.path)))
+      fid += 1
+    }
+
+    val partial = affected.filter(f => hits(f.path) < f.recordCount)
+    if (partial.nonEmpty) {
+      val pred = expr(s.where.get) // partial implies a WHERE existed
+      val keep = spark.read.schema(schema).parquet(partial.map(_.path): _*)
+        .filter(!pred)
+      val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
+        writeParquetFiles(keep, t.tableName), schema)
+      ns = ns2; fid = fid2
+    }
+
+    state = ns
+    state = state.copy(tableStats =
+      bumpStats(t.tableId, -affected.map(f => hits(f.path)).sum))
     newSnapshot(state.nextCatalogId, fid)
   }
 
-  /** file-granular copy-on-write UPDATE, like DELETE: files with no
-    * matching row are kept verbatim (zero IO); a file with matches is
-    * end-snapshotted and rewritten in full, every SET expression evaluated
-    * against the pre-update row (standard SQL semantics — one select does
-    * exactly that). Row counts are unchanged, so table stats stay put.
+  /** Distributed copy-on-write UPDATE — same constant-job shape as DELETE:
+    * one hit-count job, ONE rewrite of the union of affected files with
+    * every SET expression evaluated against the pre-update row, one stats
+    * job. Row counts are unchanged, so table stats stay put.
     */
   private def executeUpdate(s: StatementRouter.Update): Unit = {
     val t = state.tableByName(s.table).getOrElse(
@@ -344,36 +495,91 @@ class DuckLakeXLSpark(
     val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
     require(unknown.isEmpty, s"UPDATE sets unknown column(s): ${unknown.mkString(", ")}")
     val pred = s.where.map(expr).getOrElse(lit(true))
+    val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
     var fid = state.nextFileId
-    var newState = state
-    state.filesOf(t.tableId).foreach { f =>
-      val fdf = spark.read.schema(schema).parquet(f.path)
-      val hit = fdf.filter(pred).count()
-      if (hit > 0L) {
-        newState = newState.copy(
-          dataFiles = newState.dataFiles.map(d =>
-            if (d.dataFileId == f.dataFileId) d.copy(endSnapshot = Some(snap)) else d),
-          deleteFiles = newState.deleteFiles :+ DeleteFileRow(
-            fid, t.tableId, snap, None, f.dataFileId, "", hit))
-        fid += 1
-        val updated = fdf.select(schema.fields.map { fld =>
-          sets.get(fld.name.toLowerCase) match {
-            case Some(e) => when(pred, e.cast(fld.dataType)).otherwise(colq(fdf, fld.name)).as(fld.name)
-            case None    => colq(fdf, fld.name)
-          }
-        }: _*)
-        val written = writeParquetFiles(updated, t.tableName)
-        written.foreach { p =>
-          val cnt = spark.read.schema(schema).parquet(p.toString).count()
-          newState = newState.copy(dataFiles = newState.dataFiles :+
-            DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p)))
-          fid += 1
-        }
-      }
+    if (live.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
+
+    val hits: Map[String, Long] = s.where match {
+      case None    => live.map(f => f.path -> f.recordCount).toMap
+      case Some(w) => hitCounts(live, schema, expr(w))
     }
-    state = newState
-    newSnapshot(state.nextCatalogId, fid)
+    val affected = live.filter(f => hits.getOrElse(f.path, 0L) > 0L)
+    if (affected.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
+    val affectedIds = affected.map(_.dataFileId).toSet
+
+    var ns = state.copy(dataFiles = state.dataFiles.map(d =>
+      if (affectedIds(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
+    affected.foreach { f =>
+      ns = ns.copy(deleteFiles = ns.deleteFiles :+ DeleteFileRow(
+        fid, t.tableId, snap, None, f.dataFileId, "", hits(f.path)))
+      fid += 1
+    }
+
+    val src = spark.read.schema(schema).parquet(affected.map(_.path): _*)
+    val updated = src.select(schema.fields.map { fld =>
+      sets.get(fld.name.toLowerCase) match {
+        case Some(e) => when(pred, e.cast(fld.dataType)).otherwise(colq(src, fld.name)).as(fld.name)
+        case None    => colq(src, fld.name)
+      }
+    }.toSeq: _*)
+    val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
+      writeParquetFiles(updated, t.tableName), schema)
+    state = ns2
+    newSnapshot(state.nextCatalogId, fid2)
+  }
+
+  /** run `body` with AQE off: the DML helper aggregations are single-shuffle
+    * group-bys with nothing for AQE to re-plan, and AQE materializes each
+    * query stage as its own Spark job — with it, "3 jobs per DELETE"
+    * becomes 5. Session-global toggle is fine under the lake's single-writer
+    * contract.
+    */
+  private def withoutAQE[A](body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** per-file matching-row counts in ONE Spark job (`input_file_name`),
+    * keyed by the catalog's stored path
+    */
+  private def hitCounts(files: Seq[DataFileRow], schema: StructType,
+      pred: org.apache.spark.sql.Column): Map[String, Long] = withoutAQE {
+    val byNorm = files.map(f => normUri(f.path) -> f.path).toMap
+    spark.read.schema(schema).parquet(files.map(_.path): _*)
+      .filter(pred)
+      .groupBy(input_file_name().as("_file")).agg(count(lit(1)).as("c"))
+      .collect()
+      .flatMap(r => byNorm.get(normUri(r.getString(0))).map(_ -> r.getLong(1)))
+      .toMap
+  }
+
+  /** `input_file_name` yields `file:///…` URIs; catalog paths are plain */
+  private def normUri(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** fold freshly written files (+ their one-job stats) into `ns` at `snap` */
+  private def appendWrittenFiles(ns0: CatalogState, t: TableRow, snap: Long,
+      fid0: Long, written: Seq[Path], schema: StructType): (CatalogState, Long) = {
+    if (written.isEmpty) return (ns0, fid0)
+    val cols = ns0.columnsOf(t.tableId)
+    val statsByPath = fileStatsAll(written.map(_.toString), schema, cols)
+    var ns = ns0
+    var fid = fid0
+    written.foreach { p =>
+      val (cnt, st) = statsByPath(p.toString)
+      ns = ns.copy(
+        dataFiles = ns.dataFiles :+
+          DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p)),
+        fileColumnStats = ns.fileColumnStats ++ cols.map { c =>
+          val (mn, mx, nl) = st(c.columnId)
+          FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
+        })
+      fid += 1
+    }
+    (ns, fid)
   }
 
   private def executeDrop(s: StatementRouter.DropTable): Unit = {
@@ -394,22 +600,33 @@ class DuckLakeXLSpark(
     }
   }
 
-  /** per-file record count + min/max/nullcount per column in ONE agg job —
-    * the same stats DuckLake's writer records per data file
+  /** record count + min/max/nullcount per column for MANY files in ONE agg
+    * job grouped by `input_file_name` (the same stats DuckLake's writer
+    * records per data file) — the per-file-job version of this was the r2
+    * verdict's "same pattern in miniature"
     */
-  private def fileStats(path: String, schema: StructType, cols: Vector[ColumnRow])
-      : (Long, Map[Long, (Option[String], Option[String], Long)]) = {
-    val fdf = spark.read.schema(schema).parquet(path)
+  private def fileStatsAll(paths: Seq[String], schema: StructType, cols: Vector[ColumnRow])
+      : Map[String, (Long, Map[Long, (Option[String], Option[String], Long)])] = withoutAQE {
+    val fdf = spark.read.schema(schema).parquet(paths: _*)
     val statAggs = cols.flatMap(c => Seq(
       min(colq(fdf, c.columnName)).cast(StringType).as(s"mn_${c.columnOrder}"),
       max(colq(fdf, c.columnName)).cast(StringType).as(s"mx_${c.columnOrder}"),
       sum(when(colq(fdf, c.columnName).isNull, 1L).otherwise(0L)).as(s"nl_${c.columnOrder}"))) :+
       count(lit(1)).as("cnt")
-    val r = fdf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
-    (r.getAs[Long]("cnt"), cols.map(c => c.columnId -> ((
-      Option(r.getAs[String](s"mn_${c.columnOrder}")),
-      Option(r.getAs[String](s"mx_${c.columnOrder}")),
-      r.getAs[Long](s"nl_${c.columnOrder}")))).toMap)
+    val rows = fdf.groupBy(input_file_name().as("_file"))
+      .agg(statAggs.head, statAggs.tail: _*).collect()
+    val byNorm = rows.map(r => normUri(r.getAs[String]("_file")) -> r).toMap
+    val emptyStats = cols.map(c =>
+      c.columnId -> ((None: Option[String], None: Option[String], 0L))).toMap
+    paths.map { p =>
+      byNorm.get(normUri(p)) match {
+        case Some(r) => p -> ((r.getAs[Long]("cnt"), cols.map(c => c.columnId -> ((
+          Option(r.getAs[String](s"mn_${c.columnOrder}")),
+          Option(r.getAs[String](s"mx_${c.columnOrder}")),
+          r.getAs[Long](s"nl_${c.columnOrder}")))).toMap))
+        case None => p -> ((0L, emptyStats)) // zero-row part file
+      }
+    }.toMap
   }
 
   /** Maintenance: merge the small-file tail of `table` into ~targetBytes
@@ -445,26 +662,18 @@ class DuckLakeXLSpark(
     val snap = state.currentSnapshot + 1
     var fid = state.nextFileId
     var newState = state
+    val allWritten = scala.collection.mutable.ArrayBuffer[Path]()
     toMerge.foreach { g =>
       val merged = spark.read.schema(schema).parquet(g.map(_.path): _*).coalesce(1)
-      val written = writeParquetFiles(merged, t.tableName)
+      allWritten ++= writeParquetFiles(merged, t.tableName)
       val gids = g.map(_.dataFileId).toSet
       newState = newState.copy(dataFiles = newState.dataFiles.map(d =>
         if (gids.contains(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
-      written.foreach { p =>
-        val (cnt, st) = fileStats(p.toString, schema, cols)
-        newState = newState.copy(
-          dataFiles = newState.dataFiles :+
-            DataFileRow(fid, t.tableId, snap, None, p.toString, cnt, Files.size(p)),
-          fileColumnStats = newState.fileColumnStats ++ cols.map { c =>
-            val (mn, mx, nl) = st(c.columnId)
-            FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
-          })
-        fid += 1
-      }
     }
-    state = newState
-    newSnapshot(state.nextCatalogId, fid)
+    // one stats job for every merged output, not one per group
+    val (ns2, fid2) = appendWrittenFiles(newState, t, snap, fid, allWritten.toSeq, schema)
+    state = ns2
+    newSnapshot(state.nextCatalogId, fid2)
     registerViews()
     push()
   }

@@ -28,6 +28,7 @@ object CatalogSchema {
     "ducklake_snapshot" -> Seq("snapshot_id", "snapshot_time", "schema_version", "next_catalog_id", "next_file_id"),
     "ducklake_schema" -> Seq("schema_id", "schema_uuid", "begin_snapshot", "end_snapshot", "schema_name"),
     "ducklake_table" -> Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name"),
+    "ducklake_view" -> Seq("view_id", "view_uuid", "begin_snapshot", "end_snapshot", "schema_id", "view_name", "sql"),
     "ducklake_column" -> Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order", "column_name", "column_type", "nulls_allowed"),
     "ducklake_data_file" -> Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path", "record_count", "file_size_bytes"),
     "ducklake_delete_file" -> Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot", "data_file_id", "path", "delete_count"),
@@ -35,7 +36,17 @@ object CatalogSchema {
     "ducklake_file_column_statistics" -> Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count")
   )
 
+  /** the sheets a workbook must have for `pull` to adopt it as a lake —
+    * optional sheets (views, stats, tombstones) parse as empty when absent,
+    * so a workbook written by an older version still opens cleanly
+    */
+  val coreTables: Seq[String] = Seq("ducklake_metadata", "ducklake_snapshot",
+    "ducklake_schema", "ducklake_table", "ducklake_column", "ducklake_data_file")
+
   def sheetName(table: String): String = table.stripPrefix("ducklake_").take(31)
+
+  /** every sheet name the state interprets; anything else round-trips inert */
+  val knownSheetNames: Set[String] = tables.map { case (t, _) => sheetName(t) }.toSet
 
   /** SQL type string (DuckDB-compatible DDL) -> Spark DataType */
   def parseType(t: String): DataType = {
@@ -80,6 +91,9 @@ final case class SchemaRow(schemaId: Long, schemaUuid: String,
 final case class TableRow(tableId: Long, tableUuid: String,
                           beginSnapshot: Long, endSnapshot: Option[Long],
                           schemaId: Long, tableName: String)
+final case class ViewRow(viewId: Long, viewUuid: String,
+                         beginSnapshot: Long, endSnapshot: Option[Long],
+                         schemaId: Long, viewName: String, sql: String)
 final case class ColumnRow(columnId: Long, beginSnapshot: Long, endSnapshot: Option[Long],
                            tableId: Long, columnOrder: Int, columnName: String,
                            columnType: String, nullsAllowed: Boolean)
@@ -99,11 +113,19 @@ final case class CatalogState(
     snapshots: Vector[SnapshotRow],
     schemas: Vector[SchemaRow],
     tables: Vector[TableRow],
+    views: Vector[ViewRow],
     columns: Vector[ColumnRow],
     dataFiles: Vector[DataFileRow],
     deleteFiles: Vector[DeleteFileRow],
     tableStats: Vector[TableStatsRow],
-    fileColumnStats: Vector[FileColumnStatsRow]) {
+    fileColumnStats: Vector[FileColumnStatsRow],
+    /** sheets the state does not interpret, carried verbatim through
+      * pull∘push — the reference syncs whatever metadata tables exist
+      * without reading their rows (ducklakexl.py:238-241; SURVEY §1.2),
+      * so an unknown sheet (partition_info, tag, …) must never be dropped
+      * from the source of truth
+      */
+    extraSheets: Vector[XlsxSheet]) {
 
   def currentSnapshot: Long =
     if (snapshots.isEmpty) 0L else snapshots.map(_.snapshotId).max
@@ -116,6 +138,13 @@ final case class CatalogState(
 
   def tableByName(name: String, snap: Long = currentSnapshot): Option[TableRow] =
     liveTables(snap).find(_.tableName.equalsIgnoreCase(name))
+
+  def liveViews(snap: Long = currentSnapshot): Vector[ViewRow] =
+    views.filter(aliveAt[ViewRow](_.beginSnapshot, _.endSnapshot, snap))
+      .sortBy(_.viewId)
+
+  def viewByName(name: String, snap: Long = currentSnapshot): Option[ViewRow] =
+    liveViews(snap).find(_.viewName.equalsIgnoreCase(name))
 
   def columnsOf(tableId: Long, snap: Long = currentSnapshot): Vector[ColumnRow] =
     columns.filter(c => c.tableId == tableId &&
@@ -159,6 +188,10 @@ final case class CatalogState(
         Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name") +:
           tables.map(t => Seq(t.tableId.toString, t.tableUuid, t.beginSnapshot.toString,
             optS(t.endSnapshot), t.schemaId.toString, t.tableName))),
+      XlsxSheet(sheetName("ducklake_view"),
+        Seq("view_id", "view_uuid", "begin_snapshot", "end_snapshot", "schema_id", "view_name", "sql") +:
+          views.map(v => Seq(v.viewId.toString, v.viewUuid, v.beginSnapshot.toString,
+            optS(v.endSnapshot), v.schemaId.toString, v.viewName, v.sql))),
       XlsxSheet(sheetName("ducklake_column"),
         Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order",
           "column_name", "column_type", "nulls_allowed") +:
@@ -185,7 +218,7 @@ final case class CatalogState(
           fileColumnStats.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
             f.columnId.toString, f.minValue.getOrElse(""), f.maxValue.getOrElse(""),
             f.nullCount.toString)))
-    )
+    ) ++ extraSheets
   }
 }
 
@@ -195,7 +228,8 @@ final case class XlsxSheet(name: String, rows: Seq[Seq[String]])
 object CatalogState {
   val empty: CatalogState = CatalogState(
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
-    Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+    Vector.empty)
 
   // ------------------------------------------------- §1.3 cell coercions
   /** empty cell -> NULL (ducklakexl.py:497) */
@@ -261,6 +295,11 @@ object CatalogState {
         asLong(m("table_id")), m.getOrElse("table_uuid", ""),
         asLong(m("begin_snapshot")), ol(m.getOrElse("end_snapshot", "")),
         ol(m.getOrElse("schema_id", "")).getOrElse(0L), m("table_name"))).toVector,
+      views = rowsOf("ducklake_view").map(m => ViewRow(
+        asLong(m("view_id")), m.getOrElse("view_uuid", ""),
+        asLong(m("begin_snapshot")), ol(m.getOrElse("end_snapshot", "")),
+        ol(m.getOrElse("schema_id", "")).getOrElse(0L), m("view_name"),
+        m.getOrElse("sql", ""))).toVector,
       columns = rowsOf("ducklake_column").map(m => ColumnRow(
         asLong(m("column_id")), asLong(m("begin_snapshot")),
         ol(m.getOrElse("end_snapshot", "")), asLong(m("table_id")),
@@ -282,7 +321,9 @@ object CatalogState {
       fileColumnStats = rowsOf("ducklake_file_column_statistics").map(m => FileColumnStatsRow(
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("column_id")),
         optCell(m.getOrElse("min_value", "")), optCell(m.getOrElse("max_value", "")),
-        ol(m.getOrElse("null_count", "")).getOrElse(0L))).toVector
+        ol(m.getOrElse("null_count", "")).getOrElse(0L))).toVector,
+      extraSheets = sheets.filterNot(s =>
+        CatalogSchema.knownSheetNames.contains(s.name)).toVector
     )
   }
 }

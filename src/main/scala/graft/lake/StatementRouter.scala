@@ -53,29 +53,101 @@ object StatementRouter {
   sealed trait Stmt
   final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean) extends Stmt
   final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean) extends Stmt
-  final case class InsertValues(table: String, valuesSql: String) extends Stmt
-  final case class InsertSelect(table: String, select: String) extends Stmt
+  /** cols = optional explicit column list `INSERT INTO t(a, b) …` */
+  final case class InsertValues(table: String, cols: Option[Seq[String]], valuesSql: String) extends Stmt
+  final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String) extends Stmt
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)], where: Option[String]) extends Stmt
   final case class DropTable(name: String, ifExists: Boolean) extends Stmt
+  final case class CreateView(name: String, select: String, orReplace: Boolean) extends Stmt
+  final case class DropView(name: String, ifExists: Boolean) extends Stmt
   final case class Use(name: String) extends Stmt
+  /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
+    * (ducklakexl.py:459-464); each sql() call is already atomic here
+    */
+  case object NoOp extends Stmt
   final case class Select(sql: String) extends Stmt
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\.\"]+)\s*(.*)$""".r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?VIEW\s+([\w\.\"]+)\s+AS\s+(.*)$""".r
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([\w\.\"]+)\s+(.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+([\w\.\"]+)\s*(.*)$""".r
   private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+([\w\.\"]+)\s*(?:WHERE\s+(.*))?$""".r
+    """(?is)^\s*DELETE\s+FROM\s+([\w\.\"]+)\s*(.*)$""".r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([\w\.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+    """(?is)^\s*UPDATE\s+([\w\.\"]+)\s+SET\s+(.*)$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w\.\"]+)\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w\.\"]+)\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
+  private val NoOpRe =
+    """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
 
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
     n.split('.').last.stripPrefix("\"").stripSuffix("\"")
+  }
+
+  /** split `s` at the first occurrence of keyword `kw` that sits at paren
+    * depth 0 and outside string literals — the quote-aware replacement for
+    * the old lazy-regex WHERE split (`UPDATE t SET v = 'a WHERE b'` must
+    * not split inside the literal)
+    */
+  private[lake] def splitTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
+    var i = 0
+    var depth = 0
+    var inS = false
+    var inD = false
+    val n = s.length
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inS) {
+        if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else inS = false
+        }
+      } else if (inD) {
+        if (c == '"') inD = false
+      } else c match {
+        case '\'' => inS = true
+        case '"'  => inD = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + kw.length >= n || !isWordChar(s.charAt(i + kw.length)))) {
+            return (s.take(i).trim,
+              Some(s.drop(i + kw.length).trim).filter(_.nonEmpty))
+          }
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
+
+  /** index of the ')' matching the '(' at `open`, honoring string literals */
+  private def matchingParen(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    var inS = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth == 0) return i
+        case _    =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
   }
 
   /** split "id INTEGER, val VARCHAR, d DECIMAL(10,2)" at top-level commas */
@@ -119,6 +191,9 @@ object StatementRouter {
   }
 
   def classify(stmt: String): Stmt = stmt match {
+    case NoOpRe() => NoOp
+    case CreateViewRe(orRepl, name, select) =>
+      CreateView(bareName(name), select.trim, orRepl != null)
     case CreateRe(ifne, name, rest) =>
       val r = rest.trim
       if (r.toUpperCase.startsWith("AS") )
@@ -128,16 +203,32 @@ object StatementRouter {
           s"cannot parse CREATE TABLE body: $r")
         CreateTable(bareName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null)
       }
-    case InsertRe(name, rest) =>
-      val r = rest.trim
-      if (r.toUpperCase.startsWith("VALUES")) InsertValues(bareName(name), r)
-      else InsertSelect(bareName(name), r)
-    case DeleteRe(name, where) =>
-      Delete(bareName(name), Option(where).map(_.trim).filter(_.nonEmpty))
-    case UpdateRe(name, sets, where) =>
-      Update(bareName(name), splitAssignments(sets),
-        Option(where).map(_.trim).filter(_.nonEmpty))
+    case InsertRe(name, rest0) =>
+      val r0 = rest0.trim
+      // optional explicit column list: INSERT INTO t(a, b) VALUES/SELECT …
+      val (cols, r) =
+        if (r0.startsWith("(")) {
+          val close = matchingParen(r0, 0)
+          val after = r0.drop(close + 1).trim
+          val up = after.toUpperCase
+          if (up.startsWith("VALUES") || up.startsWith("SELECT") || up.startsWith("(") || up.startsWith("WITH")) {
+            val names = r0.substring(1, close).split(',').toSeq
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+            (Some(names), after)
+          } else (None, r0) // "(VALUES …)" style body, not a column list
+        } else (None, r0)
+      if (r.toUpperCase.startsWith("VALUES")) InsertValues(bareName(name), cols, r)
+      else InsertSelect(bareName(name), cols, r)
+    case DeleteRe(name, rest) =>
+      val (pre, where) = splitTopLevelKeyword(rest, "WHERE")
+      require(pre.isEmpty, s"cannot parse DELETE tail: $pre")
+      Delete(bareName(name), where)
+    case UpdateRe(name, rest) =>
+      val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
+      Update(bareName(name), splitAssignments(setsPart), where)
     case DropRe(ife, name) => DropTable(bareName(name), ife != null)
+    case DropViewRe(ife, name) => DropView(bareName(name), ife != null)
+    case TruncateRe(name) => Delete(bareName(name), None)
     case UseRe(name) => Use(bareName(name))
     case other => Select(other)
   }

@@ -140,7 +140,10 @@ object QueriesFunctions {
        "FROM orders ORDER BY o_orderkey"),
     "q_fn_math" ->
       ("SELECT l_orderkey, l_linenumber, " +
-       "floor(l_extendedprice) AS fl_price, ceil(l_quantity) AS ce_qty, " +
+       // Spark floor/ceil return BIGINT, DuckDB's return DOUBLE -> cast the
+       // oracle to BIGINT so the driver's hash compare sees one type (r2 fix)
+       "CAST(floor(l_extendedprice) AS BIGINT) AS fl_price, " +
+       "CAST(ceil(l_quantity) AS BIGINT) AS ce_qty, " +
        "abs(l_discount - 0.05) AS ab_disc, " +
        "round(ln(l_quantity + 1), 4) AS ln_q, " +
        "round(exp(l_discount), 4) AS exp_d, " +

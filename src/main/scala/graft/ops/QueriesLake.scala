@@ -59,6 +59,43 @@ object QueriesLake {
           |INSERT INTO u VALUES (1,10,'alpha'),(2,20,'beta'),(3,30,'gamma'),(4,40,'delta');
           |UPDATE u SET qty = qty + 5, val = 'bumped' WHERE id >= 3;
           |SELECT * FROM u ORDER BY id""".stripMargin)
+    },
+    // r3: SQL views persisted in the catalog, answered after reopen
+    "q_lake_views" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE vt(id INTEGER, val VARCHAR);
+          |INSERT INTO vt VALUES (1,'alpha'),(2,'beta'),(3,'gamma');
+          |CREATE VIEW big AS SELECT id, upper(val) AS vu FROM vt WHERE id >= 2""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql("SELECT * FROM big ORDER BY id")
+    },
+    // r3: qualified names + SQL time travel through sql() (README.md:70,162)
+    "q_lake_qualified_travel" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE qt(id INTEGER, val VARCHAR);
+          |INSERT INTO qt VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')""".stripMargin)
+      val beforeDelete = lake.currentState.currentSnapshot
+      lake.sql("DELETE FROM qt WHERE id <= 2")
+      lake.sql(
+        s"""USE my_ducklake;
+           |SELECT cur.id, cur.val, old.val AS old_val
+           |FROM my_ducklake.main.qt AS cur
+           |JOIN qt VERSION AS OF $beforeDelete AS old ON old.id = cur.id
+           |ORDER BY cur.id""".stripMargin)
+    },
+    // r3: column-list INSERT fills unlisted columns with NULL
+    "q_lake_insert_cols" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE ci(id INTEGER, qty INTEGER, val VARCHAR);
+          |INSERT INTO ci(val, id) VALUES ('alpha', 1);
+          |INSERT INTO ci(id) VALUES (2);
+          |BEGIN TRANSACTION;
+          |INSERT INTO ci(id, qty) VALUES (3, 30);
+          |COMMIT;
+          |SELECT * FROM ci ORDER BY id""".stripMargin)
     }
   )
 
@@ -71,6 +108,14 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')) t(id, val) ORDER BY id"),
     "q_lake_update" ->
       ("SELECT * FROM (VALUES (1,10,'alpha'),(2,20,'beta'),(3,35,'bumped'),(4,45,'bumped')) " +
-       "t(id, qty, val) ORDER BY id")
+       "t(id, qty, val) ORDER BY id"),
+    "q_lake_views" ->
+      ("SELECT * FROM (VALUES (2,'BETA'),(3,'GAMMA')) t(id, vu) ORDER BY id"),
+    "q_lake_qualified_travel" ->
+      ("SELECT * FROM (VALUES (3,'gamma','gamma'),(4,'delta','delta')) " +
+       "t(id, val, old_val) ORDER BY id"),
+    "q_lake_insert_cols" ->
+      ("SELECT id, CAST(qty AS INTEGER) AS qty, CAST(val AS VARCHAR) AS val FROM (VALUES " +
+       "(1, NULL, 'alpha'), (2, NULL, NULL), (3, 30, NULL)) t(id, qty, val) ORDER BY id")
   )
 }

@@ -11,12 +11,20 @@ import org.apache.spark.sql.types._
   * Scale design (the 100 TB contract):
   *  - near-dup ships the four standard detectors, every one bucketed so
   *    work is proportional to collisions, never all-pairs:
-  *    word-shingle MinHash (16 hashes, 8 bands), char-3-gram MinHash
-  *    (8 hashes, 4 bands), 32-bit SimHash banded into 4×8 bits (Manku et
-  *    al., WWW'07 — hamming ≤ 1 pairs are guaranteed to share a band by
-  *    pigeonhole), and embedding-cosine via random-hyperplane buckets.
-  *    Each bucket self-join shuffles only its candidate pairs to the
-  *    exact verify (Jaccard / hamming / cosine).
+  *    word-shingle MinHash (16 hashes, 8 bands), char-5-gram MinHash
+  *    (16 hashes, 4 bands of 4 rows), 64-bit SimHash banded into 4×16
+  *    bits (Manku et al., WWW'07 — hamming ≤ 3 pairs are guaranteed to
+  *    share a band by pigeonhole), and embedding-cosine via
+  *    random-hyperplane buckets. Each bucket self-join shuffles only its
+  *    candidate pairs to the exact verify (Jaccard / hamming / cosine).
+  *  - every MinHash bucket stream passes a bucket-size cap (standard LSH
+  *    hygiene): a band-bucket holding more than [[MaxBucket]] docs carries
+  *    almost no signal (its key is shared by a constant fraction of the
+  *    corpus) while contributing O(k²) candidate pairs, so it is dropped
+  *    — deterministically, on both engines — before the self-join. This
+  *    is what keeps candidate generation linear under adversarial or
+  *    low-entropy corpora (the round-2 char-3-gram config measured one
+  *    bucket holding 63% of the corpus = all-pairs in disguise).
   *  - similarity search ships two paths: brute-force cosine top-k
   *    (TakeOrderedAndProject — partition-local top-k, no full sort) and a
   *    random-hyperplane LSH bucketed variant that prunes the scan to one
@@ -35,14 +43,25 @@ object QueriesLlm {
   private val JacThreshold = 0.5
   private val ShingleWords = 5
 
-  private val NgramLen = 3
-  private val NgramHashes = 8
-  private val NgramBands = 4 // 2 minhash rows per band
+  // char n-grams: 3-grams over lowercase text live in a ~40³ space every
+  // document shares, and 2-row band keys collide constantly (measured r2:
+  // 10.4M candidate pairs from 5k docs). 5-grams + 4 rows per band keep the
+  // collision probability of non-dup pairs negligible.
+  private val NgramLen = 5
+  private val NgramHashes = 16
+  private val NgramBands = 4 // 4 minhash rows per band
   private val NgramThreshold = 0.8
 
-  private val SimBits = 32 // one md5 per word yields exactly 32 hex digits
-  private val SimBands = 4 // 8 bits per band; hamming<=1 always shares one
-  private val HamThreshold = 1
+  /** bucket-size cap for the MinHash band buckets (LSH hygiene, see top) */
+  private val MaxBucket = 100
+
+  // 64-bit SimHash (Manku's config): 2 bits per md5 hex digit — bit 3 of
+  // digit d for even sig bits, bit 2 for odd — banded 4×16 bits, so any
+  // pair within hamming 3 agrees on >=1 whole band (pigeonhole) and the
+  // band key space (2^16 per band) keeps buckets tiny at corpus scale.
+  private val SimBits = 64
+  private val SimBands = 4 // 16 bits per band; hamming<=3 always shares one
+  private val HamThreshold = 3
 
   private val CosThreshold = 0.30
 
@@ -62,6 +81,12 @@ object QueriesLlm {
   }
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "join", "hash", "row")
+
+  /** hex digits with bit 3 set (>=8) / bit 2 set — the two vote sources
+    * each md5 hex digit contributes to the 64-bit simhash signature
+    */
+  private val HexBit3 = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+  private val HexBit2 = Seq("4", "5", "6", "7", "c", "d", "e", "f")
 
   // ------------------------------------------------------- shared exprs
   /** whitespace-normalized lowercase text — the dedup key normalization */
@@ -138,7 +163,7 @@ object QueriesLlm {
     * is the 100 TB shape.
     */
   private def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
-      thr: Double): DataFrame = {
+      thr: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val rows = numHashes / bands
     val sh = shIn.toDF("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -151,8 +176,17 @@ object QueriesLlm {
       struct(lit(j).as("band"),
         concat((1 to rows).map(r => col(s"m${rows * j + r}")): _*).as("bkey"))
     }: _*)
-    val bandsDF = mh.select(col("doc_id"), explode(bandArr).as("bs"))
+    val bandsAll = mh.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    // bucket-size cap: windowed count over (band, bkey) — ONE shuffle, the
+    // same partitioning the self-join below needs — then drop degenerate
+    // buckets (> maxBucket docs) on both sides. Deterministic; the oracle
+    // twin applies the identical cap, so results stay hash-matched.
+    val bandsDF = bandsAll
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     // bucket self-join (THE LSH step: join key = bucket, never all-pairs)
     val cand = bandsDF.as("x")
       .join(bandsDF.as("y"),
@@ -180,7 +214,7 @@ object QueriesLlm {
 
   /** oracle twin of [[minhashPairs]], parameterized on the grams CTE */
   private def sqlMinhashPairs(gramsSql: String, numHashes: Int, bands: Int,
-      thr: Double): String = {
+      thr: Double, maxBucket: Int = MaxBucket): String = {
     val rows = numHashes / bands
     val minhashes = (1 to numHashes)
       .map(i => s"min(md5(concat('$i','|',shingle))) AS m$i").mkString(", ")
@@ -190,8 +224,12 @@ object QueriesLlm {
     val bandVals = (0 until bands).map(j => s"($j)").mkString(", ")
     s"""WITH sh AS ($gramsSql),
        |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
-       |bands AS (SELECT doc_id, band, $bandCase AS bkey
+       |bands_all AS (SELECT doc_id, band, $bandCase AS bkey
        |          FROM mh CROSS JOIN (VALUES $bandVals) bb(band)),
+       |bands AS (SELECT doc_id, band, bkey FROM (
+       |          SELECT doc_id, band, bkey,
+       |                 count(*) OVER (PARTITION BY band, bkey) AS bsz
+       |          FROM bands_all) WHERE bsz <= $maxBucket),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
@@ -231,16 +269,17 @@ object QueriesLlm {
     // ------------------------------------ near-dup: banded 32-bit SimHash
     "q_llm_dedup_simhash" -> { (s, d) =>
       // one md5 per word OCCURRENCE (simhash weights by term frequency);
-      // bit b of the signature = sign of the +-1 votes from hex digit b's
-      // top bit. Engine-portable: DuckDB md5 produces the same hex.
+      // sig bit b = sign of the +-1 votes from one bit of hex digit b/2
+      // (bit 3 for even b, bit 2 for odd b — 2 independent bits per digit,
+      // 64 bits from 32 hex digits). Engine-portable: DuckDB md5 matches.
       val words = Tables.t(s, d, "documents")
         .select(col("doc_id"),
           explode(split(normText(col("text")), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .select(col("doc_id"), md5(col("word")).as("h"))
-      val hexTop = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       val bitAggs = (0 until SimBits).map { b =>
-        when(sum(when(substring(col("h"), b + 1, 1).isin(hexTop: _*), 1)
+        val set = if (b % 2 == 0) HexBit3 else HexBit2
+        when(sum(when(substring(col("h"), b / 2 + 1, 1).isin(set: _*), 1)
           .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$b")
       }
       // one row per doc; persisted so both sides of the bucket self-join
@@ -249,8 +288,8 @@ object QueriesLlm {
         .select(col("doc_id"),
           concat((0 until SimBits).map(b => col(s"b$b")): _*).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Manku-style banding: 4 blocks of 8 bits; any pair within hamming 1
-      // agrees on >=3 whole blocks, so the block-bucket join has full recall
+      // Manku-style banding: 4 blocks of 16 bits; any pair within hamming 3
+      // agrees on >=1 whole block, so the block-bucket join has full recall
       val w = SimBits / SimBands
       val bandArr = array((0 until SimBands).map { j =>
         struct(lit(j).as("band"), substring(col("sig"), j * w + 1, w).as("bkey"))
@@ -395,7 +434,8 @@ object QueriesLlm {
 
     "q_llm_dedup_simhash" -> {
       val bitexprs = (0 until SimBits).map { b =>
-        s"CASE WHEN sum(CASE WHEN substring(h,${b + 1},1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b$b"
+        val set = (if (b % 2 == 0) HexBit3 else HexBit2).map(c => s"'$c'").mkString(",")
+        s"CASE WHEN sum(CASE WHEN substring(h,${b / 2 + 1},1) IN ($set) THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b$b"
       }.mkString(",\n  ")
       val cols = (0 until SimBits).map(b => s"b$b").mkString(", ")
       val w = SimBits / SimBands

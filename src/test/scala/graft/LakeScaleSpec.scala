@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+
+/** Round-3 lake features: plan-time stats file-pruning through the scan,
+  * constant-job DML, SQL views, column-list INSERT, qualified names,
+  * SQL time travel, and transaction-statement tolerance.
+  */
+class LakeScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshLake(): (DuckLakeXLSpark, String, String) = {
+    val dir = Files.createTempDirectory("lake_r3").toString
+    val xlsx = s"$dir/lake.xlsx"
+    val data = s"$dir/data"
+    (new DuckLakeXLSpark(spark, xlsx, data), xlsx, data)
+  }
+
+  test("pushed predicate prunes data files at plan time (SURVEY §4.2)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE p(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO p VALUES (1,'a'),(5,'b')")      // [1, 5]
+    lake.sql("INSERT INTO p VALUES (100,'x'),(200,'y')")  // [100, 200]
+    lake.sql("INSERT INTO p VALUES (1000,'q'),(2000,'r')")// [1000, 2000]
+    // AQE re-instantiates the scan node, hiding its metrics — turn it off
+    // for the plan inspection only
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scannedFiles(q: String): Long = {
+        val df = lake.sql(q)
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.map(_.metrics("numFiles").value).sum
+      }
+      assert(scannedFiles("SELECT * FROM p WHERE id > 500") == 1L)
+      assert(scannedFiles("SELECT * FROM p WHERE id BETWEEN 50 AND 99") == 0L)
+      assert(scannedFiles("SELECT * FROM p WHERE id = 100") == 1L)
+      assert(scannedFiles("SELECT * FROM p") == 3L)
+      // and results under pruning are correct
+      assert(lake.sql("SELECT sum(id) AS s FROM p WHERE id > 500")
+        .collect()(0).getLong(0) == 3000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def jobsInGroup(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    // job events land in the status store asynchronously
+    var n = -1
+    var stable = 0
+    var waited = 0
+    while (stable < 3 && waited < 10000) {
+      val cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      if (cur == n) stable += 1 else { n = cur; stable = 0 }
+      Thread.sleep(150); waited += 150
+    }
+    n
+  }
+
+  test("DELETE over 20 files runs a constant number of Spark jobs") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE jj(id INTEGER, v VARCHAR)")
+    for (i <- 1 to 20)
+      lake.sql(s"INSERT INTO jj VALUES (${i * 10}, 'r$i'), (${i * 10 + 1}, 's$i')")
+    val t = lake.currentState.tableByName("jj").get
+    assert(lake.currentState.filesOf(t.tableId).size == 20)
+    // odd id in every file -> all 20 files partially match
+    val jobs = jobsInGroup("del-const") {
+      lake.sql("DELETE FROM jj WHERE id % 2 = 1")
+    }
+    assert(jobs <= 3, s"DELETE ran $jobs Spark jobs; want <=3 (hits, rewrite, stats)")
+    assert(lake.sql("SELECT count(*) AS c FROM jj").collect()(0).getLong(0) == 20L)
+    assert(lake.currentState.deleteFiles.size == 20)
+  }
+
+  test("UPDATE over 20 files runs a constant number of Spark jobs") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE uu(id INTEGER, qty INTEGER)")
+    for (i <- 1 to 20)
+      lake.sql(s"INSERT INTO uu VALUES ($i, ${i * 10})")
+    val jobs = jobsInGroup("upd-const") {
+      lake.sql("UPDATE uu SET qty = qty + 1 WHERE id <= 20")
+    }
+    assert(jobs <= 3, s"UPDATE ran $jobs Spark jobs; want <=3")
+    assert(lake.sql("SELECT sum(qty) AS s FROM uu").collect()(0).getLong(0) ==
+      (1 to 20).map(_ * 10 + 1).sum.toLong)
+  }
+
+  test("WHERE-less DELETE (and TRUNCATE) is metadata-only: zero Spark jobs") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE tr(id INTEGER)")
+    for (i <- 1 to 5) lake.sql(s"INSERT INTO tr VALUES ($i)")
+    val jobs = jobsInGroup("trunc") { lake.sql("TRUNCATE tr") }
+    assert(jobs == 0, s"TRUNCATE ran $jobs Spark jobs; want 0")
+    assert(lake.sql("SELECT count(*) AS c FROM tr").collect()(0).getLong(0) == 0L)
+  }
+
+  test("CREATE VIEW persists in the workbook and survives reopen") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql(
+      """CREATE TABLE vt(id INTEGER, v VARCHAR);
+        |INSERT INTO vt VALUES (1,'a'),(2,'b'),(3,'c');
+        |CREATE VIEW big AS SELECT id, upper(v) AS vu FROM vt WHERE id >= 2""".stripMargin)
+    assert(lake.sql("SELECT * FROM big ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "B"), (3, "C")))
+    // view definition round-trips through the xlsx catalog
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.sql("SELECT * FROM big ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "B"), (3, "C")))
+    // OR REPLACE swaps the definition; plain CREATE on an existing name throws
+    lake.sql("CREATE OR REPLACE VIEW big AS SELECT id FROM vt WHERE id = 1")
+    assert(lake.sql("SELECT * FROM big").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assertThrows[IllegalArgumentException](
+      lake.sql("CREATE VIEW big AS SELECT 1 AS x"))
+    lake.sql("DROP VIEW big")
+    assert(lake.currentState.viewByName("big").isEmpty)
+    assertThrows[Exception](lake.sql("SELECT * FROM big"))
+  }
+
+  test("INSERT with explicit column list fills unlisted columns with NULL") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE ci(id INTEGER, qty INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO ci(v, id) VALUES ('a', 1)")
+    lake.sql("INSERT INTO ci(id) VALUES (2)")
+    val rows = lake.sql("SELECT * FROM ci ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+      Option(r.getString(2)).getOrElse("-"))).toSeq ==
+      Seq((1, -1, "a"), (2, -1, "-")))
+    // unknown column in the list is rejected
+    assertThrows[IllegalArgumentException](
+      lake.sql("INSERT INTO ci(nope) VALUES (1)"))
+  }
+
+  test("qualified names resolve through sql() (README.md:70)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE q(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO q VALUES (1,'a'),(2,'b')")
+    assert(lake.sql("USE my_ducklake; SELECT id FROM my_ducklake.main.q ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(lake.sql("SELECT id FROM main.q WHERE v = 'b'")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // qualifier text inside a string literal is untouched
+    assert(lake.sql("SELECT 'main.q' AS s FROM q WHERE id = 1")
+      .collect()(0).getString(0) == "main.q")
+  }
+
+  test("SQL time travel: VERSION AS OF and AT (VERSION => n) (README.md:162)") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE tt(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO tt VALUES (1,'a'),(2,'b'),(3,'c')")
+    val s1 = lake.currentState.currentSnapshot
+    lake.sql("DELETE FROM tt WHERE id <= 2")
+    assert(lake.sql(s"SELECT id FROM tt VERSION AS OF $s1 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(lake.sql(s"SELECT id FROM tt AT (VERSION => $s1) ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(lake.sql("SELECT id FROM tt ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
+    import graft.xlsx.XlsxCodec
+    val extra = ("partition_info",
+      Seq(Seq("partition_id", "table_id"), Seq("7", "1")))
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE et(id INTEGER)")
+    // a foreign tool adds a sheet the catalog does not interpret
+    XlsxCodec.write(xlsx, XlsxCodec.read(xlsx) :+ extra)
+    // full pull/push cycles must carry it verbatim
+    lake.sql("INSERT INTO et VALUES (1)")
+    lake.sql("INSERT INTO et VALUES (2)")
+    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "partition_info").map(_._2)
+    assert(sheetOf(xlsx).contains(extra._2))
+    // and it survives a reopen from disk
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    reopened.sql("INSERT INTO et VALUES (3)")
+    assert(sheetOf(xlsx).contains(extra._2))
+  }
+}
