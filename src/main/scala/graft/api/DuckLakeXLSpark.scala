@@ -140,6 +140,7 @@ class DuckLakeXLSpark(
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
         case s: StatementRouter.Update        => executeUpdate(s); registerViews()
         case s: StatementRouter.DropTable     => executeDrop(s); registerViews()
+        case s: StatementRouter.AlterTable    => executeAlter(s); registerViews()
         case s: StatementRouter.CreateView    => executeCreateView(s); registerViews()
         case s: StatementRouter.DropView      => executeDropView(s); registerViews()
         case StatementRouter.Use(name) =>
@@ -580,6 +581,49 @@ class DuckLakeXLSpark(
       fid += 1
     }
     (ns, fid)
+  }
+
+  /** Schema evolution via column/table-row lifetimes — metadata-only, no
+    * data file is touched (the DuckLake shape):
+    *  - RENAME TO: end the table row, begin a row with the same tableId;
+    *  - ADD COLUMN: new column row from this snapshot on — old parquet
+    *    files simply lack the field and scan as NULL (standard parquet
+    *    schema evolution);
+    *  - DROP COLUMN: end the column row — files keep the bytes, the
+    *    schema stops projecting them, and time travel still sees them.
+    */
+  private def executeAlter(s: StatementRouter.AlterTable): Unit = {
+    val t = state.tableByName(s.table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val snap = state.currentSnapshot + 1
+    s.op match {
+      case StatementRouter.RenameTo(newName) =>
+        require(state.tableByName(newName).isEmpty && state.viewByName(newName).isEmpty,
+          s"name exists: $newName")
+        state = state.copy(tables = state.tables.map(x =>
+          if (x.tableId == t.tableId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
+          :+ t.copy(beginSnapshot = snap, endSnapshot = None, tableName = newName))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+        spark.catalog.dropTempView(s.table)
+      case StatementRouter.AddColumn(name, sqlType) =>
+        val dt = CatalogSchema.parseType(sqlType) // validate early
+        require(!state.columnsOf(t.tableId).exists(_.columnName.equalsIgnoreCase(name)),
+          s"column exists: $name")
+        val cid = state.nextCatalogId
+        val order = state.columnsOf(t.tableId).map(_.columnOrder).maxOption.getOrElse(-1) + 1
+        state = state.copy(columns = state.columns :+
+          ColumnRow(cid, snap, None, t.tableId, order, name,
+            CatalogSchema.typeName(dt), nullsAllowed = true))
+        newSnapshot(cid + 1, state.nextFileId)
+      case StatementRouter.DropColumn(name) =>
+        val cols = state.columnsOf(t.tableId)
+        val c = cols.find(_.columnName.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $name"))
+        require(cols.size > 1, s"cannot drop the last column of ${s.table}")
+        state = state.copy(columns = state.columns.map(x =>
+          if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+    }
   }
 
   private def executeDrop(s: StatementRouter.DropTable): Unit = {

@@ -59,6 +59,15 @@ object StatementRouter {
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)], where: Option[String]) extends Stmt
   final case class DropTable(name: String, ifExists: Boolean) extends Stmt
+  /** ALTER TABLE: rename-table / add-column / drop-column. RENAME COLUMN is
+    * rejected upstream — old parquet files keep the old physical name and a
+    * correct rename needs per-file field-id mapping (documented divergence).
+    */
+  sealed trait AlterOp
+  final case class RenameTo(newName: String) extends AlterOp
+  final case class AddColumn(name: String, sqlType: String) extends AlterOp
+  final case class DropColumn(name: String) extends AlterOp
+  final case class AlterTable(table: String, op: AlterOp) extends Stmt
   final case class CreateView(name: String, select: String, orReplace: Boolean) extends Stmt
   final case class DropView(name: String, ifExists: Boolean) extends Stmt
   final case class Use(name: String) extends Stmt
@@ -82,6 +91,14 @@ object StatementRouter {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w\.\"]+)\s*$""".r
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w\.\"]+)\s*$""".r
+  private val AlterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+TO\s+([\w\.\"]+)\s*$""".r
+  private val AlterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ADD\s+(?:COLUMN\s+)?([\w\"]+)\s+(.+?)\s*$""".r
+  private val AlterDropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+DROP\s+(?:COLUMN\s+)?([\w\"]+)\s*$""".r
+  private val AlterRenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?[\w\"]+\s+TO\s+[\w\"]+\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val NoOpRe =
@@ -227,6 +244,18 @@ object StatementRouter {
       val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
       Update(bareName(name), splitAssignments(setsPart), where)
     case DropRe(ife, name) => DropTable(bareName(name), ife != null)
+    case AlterRenameColRe(_) =>
+      throw new IllegalArgumentException(
+        "RENAME COLUMN is not supported: existing parquet files keep the old " +
+        "physical column name (needs per-file field-id mapping)")
+    case AlterRenameRe(name, newName) =>
+      AlterTable(bareName(name), RenameTo(bareName(newName)))
+    case AlterAddRe(name, colName, colType) =>
+      AlterTable(bareName(name),
+        AddColumn(colName.stripPrefix("\"").stripSuffix("\""), colType.trim))
+    case AlterDropRe(name, colName) =>
+      AlterTable(bareName(name),
+        DropColumn(colName.stripPrefix("\"").stripSuffix("\"")))
     case DropViewRe(ife, name) => DropView(bareName(name), ife != null)
     case TruncateRe(name) => Delete(bareName(name), None)
     case UseRe(name) => Use(bareName(name))

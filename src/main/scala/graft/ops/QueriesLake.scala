@@ -85,6 +85,18 @@ object QueriesLake {
            |JOIN qt VERSION AS OF $beforeDelete AS old ON old.id = cur.id
            |ORDER BY cur.id""".stripMargin)
     },
+    // r3: ALTER TABLE schema evolution — add column (old files scan as
+    // NULL), rename table — all metadata-only
+    "q_lake_alter" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE al(id INTEGER, val VARCHAR);
+          |INSERT INTO al VALUES (1,'alpha'),(2,'beta');
+          |ALTER TABLE al ADD COLUMN qty INTEGER;
+          |INSERT INTO al VALUES (3,'gamma',30);
+          |ALTER TABLE al RENAME TO al2;
+          |SELECT * FROM al2 ORDER BY id""".stripMargin)
+    },
     // r3: column-list INSERT fills unlisted columns with NULL
     "q_lake_insert_cols" -> { (s, _) =>
       val lake = freshLake(s)
@@ -116,6 +128,9 @@ object QueriesLake {
        "t(id, val, old_val) ORDER BY id"),
     "q_lake_insert_cols" ->
       ("SELECT id, CAST(qty AS INTEGER) AS qty, CAST(val AS VARCHAR) AS val FROM (VALUES " +
-       "(1, NULL, 'alpha'), (2, NULL, NULL), (3, 30, NULL)) t(id, qty, val) ORDER BY id")
+       "(1, NULL, 'alpha'), (2, NULL, NULL), (3, 30, NULL)) t(id, qty, val) ORDER BY id"),
+    "q_lake_alter" ->
+      ("SELECT id, CAST(val AS VARCHAR) AS val, CAST(qty AS INTEGER) AS qty FROM (VALUES " +
+       "(1, 'alpha', NULL), (2, 'beta', NULL), (3, 'gamma', 30)) t(id, val, qty) ORDER BY id")
   )
 }

@@ -344,17 +344,19 @@ object QueriesLlm {
     "q_llm_dedup_embcos" -> { (s, d) =>
       // same random-hyperplane buckets as the ANN path; candidates = pairs
       // whose 8 sign bits all agree (~1/256 of all pairs), then exact
-      // cosine verify on candidates only
+      // cosine verify on candidates only. Norms are computed ONCE per
+      // vector before the join — per-pair norms would redo 2 of the 3
+      // dot products for every candidate.
       val emb = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          bucketExpr(col("embedding")).as("bucket"))
+          bucketExpr(col("embedding")).as("bucket"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       emb.as("x")
         .join(emb.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
           round(dot(col("x.embedding"), col("y.embedding")) /
-            (sqrt(dot(col("x.embedding"), col("x.embedding"))) *
-             sqrt(dot(col("y.embedding"), col("y.embedding")))), 4).as("cos"))
+            (col("x.nrm") * col("y.nrm")), 4).as("cos"))
         .filter(col("cos") >= CosThreshold)
         .orderBy("a", "b")
     },
@@ -497,15 +499,14 @@ object QueriesLlm {
     },
 
     "q_llm_dedup_embcos" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket,
+         |            sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
          |SELECT x.vec_id AS a, y.vec_id AS b,
          |       round(${sqlDot("x.embedding", "y.embedding")} /
-         |             (sqrt(${sqlDot("x.embedding", "x.embedding")}) *
-         |              sqrt(${sqlDot("y.embedding", "y.embedding")})), 4) AS cos
+         |             (x.nrm * y.nrm), 4) AS cos
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE round(${sqlDot("x.embedding", "y.embedding")} /
-         |            (sqrt(${sqlDot("x.embedding", "x.embedding")}) *
-         |             sqrt(${sqlDot("y.embedding", "y.embedding")})), 4) >= $CosThreshold
+         |            (x.nrm * y.nrm), 4) >= $CosThreshold
          |ORDER BY a, b""".stripMargin,
 
     "q_llm_simsearch_topk" ->

@@ -320,9 +320,10 @@ object QueriesRelational {
         .orderBy("l_returnflag")
     },
     "q_agg_grouping_sets" -> { (s, d) =>
+      // integral quantities sum in LONG (see q_agg_groupby's scaled math)
       Tables.t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dbl(dec(sum(dec(col("l_quantity"))))).as("sum_qty"),
+        .agg(sum(round(col("l_quantity")).cast(LongType)).cast(DoubleType).as("sum_qty"),
              count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)
@@ -330,9 +331,9 @@ object QueriesRelational {
     "q_agg_having" -> { (s, d) =>
       Tables.t(s, d, "lineitem")
         .groupBy("l_suppkey")
-        .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty_d"))
-        .filter(col("sum_qty_d") > 1000)
-        .select(col("l_suppkey"), dbl(col("sum_qty_d")).as("sum_qty"))
+        .agg(sum(round(col("l_quantity")).cast(LongType)).as("sum_qty_l"))
+        .filter(col("sum_qty_l") > 1000)
+        .select(col("l_suppkey"), col("sum_qty_l").cast(DoubleType).as("sum_qty"))
         .orderBy("l_suppkey")
     },
     "q_agg_stats" -> { (s, d) =>
@@ -596,13 +597,13 @@ object QueriesRelational {
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, " +
-       "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty, " +
        "COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     "q_agg_having" ->
-      ("SELECT l_suppkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty " +
+      ("SELECT l_suppkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty " +
        "FROM lineitem GROUP BY l_suppkey " +
-       "HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 1000 ORDER BY l_suppkey"),
+       "HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 1000 ORDER BY l_suppkey"),
     "q_agg_stats" ->
       ("SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty, " +
        "ROUND(VAR_SAMP(l_quantity), 4) AS var_qty, " +

@@ -164,6 +164,31 @@ class LakeScaleSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("ALTER TABLE: rename, add column (old files scan as NULL), drop column") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE at(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO at VALUES (1,'a'),(2,'b')")
+    val preAlter = lake.currentState.currentSnapshot
+    // add a column: existing file lacks it -> NULL; new inserts carry it
+    lake.sql("ALTER TABLE at ADD COLUMN qty INTEGER")
+    lake.sql("INSERT INTO at VALUES (3,'c',30)")
+    val rows = lake.sql("SELECT id, qty FROM at ORDER BY id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(rows == Seq((1, -1), (2, -1), (3, 30)))
+    // drop it again: schema stops projecting, time travel still sees it
+    lake.sql("ALTER TABLE at DROP COLUMN qty")
+    assert(lake.sql("SELECT * FROM at WHERE id = 3").columns.toSeq == Seq("id", "v"))
+    assert(lake.tableAt("at", preAlter).columns.toSeq == Seq("id", "v"))
+    // rename: new name answers, old name gone, history intact
+    lake.sql("ALTER TABLE at RENAME TO at2")
+    assert(lake.sql("SELECT count(*) AS c FROM at2").collect()(0).getLong(0) == 3L)
+    assertThrows[Exception](lake.sql("SELECT * FROM at"))
+    assert(lake.currentState.tableByName("at", preAlter).isDefined)
+    // rename column is an explicit unsupported error
+    assertThrows[IllegalArgumentException](
+      lake.sql("ALTER TABLE at2 RENAME COLUMN v TO w"))
+  }
+
   test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
     import graft.xlsx.XlsxCodec
     val extra = ("partition_info",
