@@ -147,6 +147,8 @@ class DuckLakeXLSpark(
           require(name.equalsIgnoreCase(lakeName) || name.equalsIgnoreCase("main"),
             s"unknown catalog/schema: $name")
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
+        case StatementRouter.ShowTables => last = Some(showTables())
+        case StatementRouter.Describe(name) => last = Some(describeTable(name))
         case StatementRouter.Select(q) => last = Some(spark.sql(rewriteSelect(q)))
       }
     }
@@ -161,6 +163,7 @@ class DuckLakeXLSpark(
   private val VersionAtRe =
     """(?i)\b(\w+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
   private val VersionAsOfRe = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val SnapshotsRe = """(?i)\bsnapshots\s*\(\s*\)""".r
 
   /** apply `f` to the parts of `s` outside single-quoted literals */
   private def mapOutsideQuotes(s: String)(f: String => String): String = {
@@ -204,6 +207,10 @@ class DuckLakeXLSpark(
       }
       s = VersionAtRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
       s = VersionAsOfRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
+      // `FROM snapshots()` — the reference's snapshot-history table function
+      s = SnapshotsRe.replaceAllIn(s, { _ =>
+        snapshots().createOrReplaceTempView("__snapshots"); "__snapshots"
+      })
       s
     }
 
@@ -238,6 +245,26 @@ class DuckLakeXLSpark(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(relation)
     }
+  }
+
+  /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */
+  def showTables(): DataFrame = {
+    val names = (state.liveTables().map(_.tableName) ++
+      state.liveViews().map(_.viewName)).sorted
+    spark.createDataFrame(names.map(Row(_)).asJava,
+      StructType(Seq(StructField("name", StringType, false))))
+  }
+
+  /** `DESCRIBE t`: column name/type/nullability from the catalog */
+  def describeTable(name: String): DataFrame = {
+    val t = state.tableByName(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val rows = state.columnsOf(t.tableId).map(c =>
+      Row(c.columnName, c.columnType, if (c.nullsAllowed) "YES" else "NO"))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, false),
+      StructField("column_type", StringType, false),
+      StructField("null", StringType, false))))
   }
 
   /** snapshot history (reference TODO `snapshots()`, README.md:162) */

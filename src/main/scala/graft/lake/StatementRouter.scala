@@ -71,6 +71,8 @@ object StatementRouter {
   final case class CreateView(name: String, select: String, orReplace: Boolean) extends Stmt
   final case class DropView(name: String, ifExists: Boolean) extends Stmt
   final case class Use(name: String) extends Stmt
+  case object ShowTables extends Stmt
+  final case class Describe(name: String) extends Stmt
   /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
     * (ducklakexl.py:459-464); each sql() call is already atomic here
     */
@@ -104,6 +106,8 @@ object StatementRouter {
   private val NoOpRe =
     """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
 
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
@@ -259,6 +263,8 @@ object StatementRouter {
     case DropViewRe(ife, name) => DropView(bareName(name), ife != null)
     case TruncateRe(name) => Delete(bareName(name), None)
     case UseRe(name) => Use(bareName(name))
+    case ShowTablesRe() => ShowTables
+    case DescribeRe(name) => Describe(bareName(name))
     case other => Select(other)
   }
 }

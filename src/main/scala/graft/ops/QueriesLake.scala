@@ -97,6 +97,13 @@ object QueriesLake {
           |ALTER TABLE al RENAME TO al2;
           |SELECT * FROM al2 ORDER BY id""".stripMargin)
     },
+    // r3: DESCRIBE through sql() — catalog-backed information schema
+    "q_lake_describe" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE de(id INTEGER, qty DOUBLE, val VARCHAR);
+          |DESCRIBE de""".stripMargin)
+    },
     // r3: column-list INSERT fills unlisted columns with NULL
     "q_lake_insert_cols" -> { (s, _) =>
       val lake = freshLake(s)
@@ -129,6 +136,9 @@ object QueriesLake {
     "q_lake_insert_cols" ->
       ("SELECT id, CAST(qty AS INTEGER) AS qty, CAST(val AS VARCHAR) AS val FROM (VALUES " +
        "(1, NULL, 'alpha'), (2, NULL, NULL), (3, 30, NULL)) t(id, qty, val) ORDER BY id"),
+    "q_lake_describe" ->
+      ("SELECT * FROM (VALUES ('id','INTEGER','YES'), ('qty','DOUBLE','YES'), " +
+       "('val','VARCHAR','YES')) t(column_name, column_type, \"null\")"),
     "q_lake_alter" ->
       ("SELECT id, CAST(val AS VARCHAR) AS val, CAST(qty AS INTEGER) AS qty FROM (VALUES " +
        "(1, 'alpha', NULL), (2, 'beta', NULL), (3, 'gamma', 30)) t(id, val, qty) ORDER BY id")

@@ -164,6 +164,20 @@ class LakeScaleSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("metadata SQL: SHOW TABLES, DESCRIBE, snapshots()") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE mt(id INTEGER, v VARCHAR);
+        |CREATE VIEW mv AS SELECT id FROM mt""".stripMargin)
+    assert(lake.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq ==
+      Seq("mt", "mv"))
+    assert(lake.sql("DESCRIBE mt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id", "INTEGER"), ("v", "VARCHAR")))
+    assert(lake.sql("SELECT count(*) AS c FROM snapshots()")
+      .collect()(0).getLong(0) >= 2L)
+  }
+
   test("ALTER TABLE: rename, add column (old files scan as NULL), drop column") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE at(id INTEGER, v VARCHAR)")

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the explain shapes the 100 TB posture
+  * depends on (pushdown, broadcast, top-k short-circuit, partial
+  * aggregation, no accidental cartesian products) asserted as tests, not
+  * just printed by PlanAudit.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("q_scan_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.replaceAll("\\s", "").contains("PushedFilters:[]"), p.take(2000))
+  }
+
+  test("projection pushdown prunes the read schema to the selected columns") {
+    val p = plan("q_scan_projection_pushdown")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") || read.contains("struct"), read)
+    assert(!read.contains("l_comment"), s"unpruned wide schema: $read")
+  }
+
+  test("small dimensions broadcast in star joins") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_join_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("ORDER BY + LIMIT compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("group-by aggregates combine map-side (partial + final HashAggregate)") {
+    val p = plan("q_agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("as-of join is window-based: no cartesian product, no nested loop") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("CartesianProduct"), "asof join degenerated to cartesian")
+    assert(p.contains("Window"), "asof join should be the union-tag + window shape")
+  }
+
+  test("LSH near-dup joins are equi-joins on bucket keys, never cartesian") {
+    for (q <- Seq("q_llm_dedup_near", "q_llm_dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("brute-force similarity top-k short-circuits (no full sort of scores)") {
+    assert(plan("q_llm_simsearch_topk").contains("TakeOrderedAndProject"))
+  }
+}
