@@ -361,6 +361,42 @@ object QueriesLlm {
         .orderBy("a", "b")
     },
 
+    // -------------------- dedup clustering: connected components of pairs
+    "q_llm_dedup_cluster" -> { (s, d) =>
+      // a real pipeline needs duplicate CLUSTERS (keep one doc per
+      // component), not just pairs: connected components via min-label
+      // propagation to fixpoint. Duplicate components are near-cliques
+      // (tiny diameter), so convergence takes a handful of supersteps;
+      // each superstep is one join + one min-aggregate — the standard
+      // iterative-CC shape on Spark. The driver loop drives ACTIONS only
+      // (a 1-row convergence probe), never data.
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+        .select("a", "b")
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = labels.join(edges, labels("doc_id") === edges("a"))
+          .select(col("b").as("doc_id"), col("label"))
+        val next = labels.unionByName(prop)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0L
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // -------------------------- near-dup: embedding cosine in LSH buckets
     "q_llm_dedup_embcos" -> { (s, d) =>
       // same random-hyperplane buckets as the ANN path; candidates = pairs
@@ -517,6 +553,19 @@ object QueriesLlm {
          |FROM cand
          |WHERE $hamexpr <= $HamThreshold
          |ORDER BY a, b""".stripMargin
+    },
+
+    "q_llm_dedup_cluster" -> {
+      val pairsSql = sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold)
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(doc, root) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, min(root) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
     },
 
     "q_llm_dedup_embcos" ->

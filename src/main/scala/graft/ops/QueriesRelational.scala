@@ -162,12 +162,15 @@ object QueriesRelational {
     "q_join_inner" -> { (s, d) =>
       val o = Tables.t(s, d, "orders")
       val l = Tables.t(s, d, "lineitem")
+      // revenue in cents-scaled BIGINT (see q_agg_groupby): exact, and the
+      // join+agg hot path stays in whole-stage codegen long ops
+      val pE2 = round(col("l_extendedprice") * 100).cast(LongType)
+      val dE2 = round(col("l_discount") * 100).cast(LongType)
       o.filter(col("o_orderstatus") === "F")
         .join(l, o("o_orderkey") === l("l_orderkey"), "inner")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
-             dbl(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))))
-               .as("revenue"))
+             (sum(pE2 * (lit(100L) - dE2)).cast(DoubleType) / 10000.0).as("revenue"))
         .orderBy("o_orderpriority")
     },
     "q_join_multiway" -> { (s, d) =>
@@ -186,8 +189,9 @@ object QueriesRelational {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dbl(dec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))))
-          .as("revenue"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast(LongType) *
+          (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+          .cast(DoubleType) / 10000.0).as("revenue"))
         .orderBy("n_name")
     },
     "q_join_broadcast" -> { (s, d) =>
@@ -526,12 +530,14 @@ object QueriesRelational {
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
     "q_join_inner" ->
       ("SELECT o_orderpriority, COUNT(*) AS cnt, " +
-       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue " +
+       "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue " +
        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_join_multiway" ->
       ("SELECT n_name, " +
-       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue " +
+       "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue " +
        "FROM customer JOIN orders ON c_custkey = o_custkey " +
        "JOIN lineitem ON o_orderkey = l_orderkey " +
        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
