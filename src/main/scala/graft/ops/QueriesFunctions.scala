@@ -104,13 +104,16 @@ object QueriesFunctions {
     },
 
     "q_fn_json" -> { (s, d) =>
+      // one from_json parse feeds both typed outputs (its two getField
+      // references share the parse); get_json_object keeps the raw-string
+      // extraction path in the demo — 2 parses per row total, not 3
       val ev = Tables.t(s, d, "events")
+      val j = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
       ev.select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k_num"),
+        j.getField("k").as("k_num"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
-          .getField("k").as("k2")
+        j.getField("k").as("k2")
       ).orderBy("event_id")
     }
   )

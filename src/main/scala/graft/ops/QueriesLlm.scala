@@ -377,6 +377,12 @@ object QueriesLlm {
       var labels = edges.select(col("a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+      // labels only DECREASE under min-propagation, so sum(label) strictly
+      // decreases until the fixpoint — one cheap aggregate doubles as both
+      // the cache materializer and the convergence probe
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -385,12 +391,11 @@ object QueriesLlm {
         val next = labels.unionByName(prop)
           .groupBy("doc_id").agg(min("label").as("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0L
+        converged = nextSum == prevSum
+        prevSum = nextSum
         iter += 1
       }
       labels.select(col("doc_id"), col("label").as("cluster_id"))
