@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -459,6 +461,79 @@ object QueriesLlm {
         .limit(10)
     },
 
+    // ----------------- train/val/test split: deterministic hash bucketing
+    "q_llm_split" -> { (s, d) =>
+      // split assignment must be a pure function of the doc key (stable
+      // across runs/engines/cluster sizes): bucket = 32-bit md5 prefix of
+      // the id mod 100 -> 80/10/10. No rand(), no row_number.
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .orderBy("split")
+    },
+
+    // --------------- weighted per-source sampling (domain mixing weights)
+    "q_llm_sample_weighted" -> { (s, d) =>
+      // keep rate per source: the same deterministic bucket compared to a
+      // per-source threshold — the standard reproducible downsample
+      val docs = Tables.t(s, d, "documents")
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100
+      val rates = s.createDataFrame(
+        Seq(("src0", 100L), ("src1", 50L), ("src2", 25L))
+          .map { case (n, p) => org.apache.spark.sql.Row(n, p) }.asJava,
+        StructType(Seq(StructField("source", StringType, false),
+          StructField("keep_pct", LongType, false))))
+      docs.join(broadcast(rates), Seq("source"), "left")
+        .filter(bucket < coalesce(col("keep_pct"), lit(10L)))
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .orderBy("source")
+    },
+
+    // ------------- decontamination: n-gram overlap with a benchmark set
+    "q_llm_decontam" -> { (s, d) =>
+      // flag training docs sharing any word-8-gram with the "benchmark"
+      // docs (ids 0-4 stand in for an eval set): inverted-index equi-join
+      // on the gram, never a cross join — the standard decontamination
+      // shape (e.g. GPT-3 appendix C) at corpus scale
+      val n = 8
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= n)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("g"))
+      val bench = grams.filter(col("doc_id") < 5)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") >= 5)
+        .join(bench, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // --------------------------- PII/number scrubbing: redact + account
+    "q_llm_pii_scrub" -> { (s, d) =>
+      // redaction must report what it removed (pipeline auditability):
+      // digit runs -> <NUM>, email-shaped tokens -> <EMAIL>
+      val norm = normText(col("text"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+      val scrubbed = regexp_replace(regexp_replace(norm, emailRe, "<EMAIL>"),
+        "[0-9]+", "<NUM>")
+      Tables.t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(norm, lit("[0-9]+"), lit(0))).as("n_nums"),
+        size(regexp_extract_all(norm, lit(emailRe), lit(0))).as("n_emails"),
+        substring(md5(scrubbed), 1, 16).as("scrubbed_digest")
+      ).orderBy("doc_id")
+    },
+
     // ----------------------------------------- text analysis: term freqs
     "q_llm_text_analysis" -> { (s, d) =>
       val stop = typedLit(Stopwords)
@@ -604,6 +679,47 @@ object QueriesLlm {
          |WHERE b.bucket = q.qbucket AND vec_id <> 0
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    "q_llm_split" ->
+      """SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        |        FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_llm_sample_weighted" ->
+      """SELECT source, count(*) AS kept FROM (
+        |  SELECT d.source,
+        |         CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b,
+        |         r.keep_pct
+        |  FROM documents d
+        |  LEFT JOIN (VALUES ('src0', 100), ('src1', 50), ('src2', 25)) r(source, keep_pct)
+        |    ON d.source = r.source)
+        |WHERE b < COALESCE(keep_pct, 10)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_llm_decontam" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |              FROM documents),
+        |grams AS (SELECT DISTINCT doc_id,
+        |            unnest(list_transform(range(1, len(ws) - 6),
+        |                   i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS g
+        |          FROM docs WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_llm_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(norm, '[0-9]+')) AS n_nums,
+        |  len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+')) AS n_emails,
+        |  substring(md5(regexp_replace(regexp_replace(norm,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')), 1, 16) AS scrubbed_digest
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_llm_text_analysis" -> {
       val stopList = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
