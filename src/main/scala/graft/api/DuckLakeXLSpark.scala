@@ -149,6 +149,15 @@ class DuckLakeXLSpark(
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
+        case StatementRouter.Explain(q) =>
+          // the formatted physical plan as rows (DuckDB pass-through gives
+          // the reference EXPLAIN for free; here it is Catalyst's plan)
+          val lines = spark.sql(rewriteSelect(q)).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .linesIterator.toSeq
+          last = Some(spark.createDataFrame(
+            lines.map(Row(_)).asJava,
+            StructType(Seq(StructField("plan", StringType, false)))))
         case StatementRouter.Select(q) => last = Some(spark.sql(rewriteSelect(q)))
       }
     }
@@ -245,6 +254,22 @@ class DuckLakeXLSpark(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(relation)
     }
+  }
+
+  /** Structured Streaming source over an APPEND-ONLY lake table: follows
+    * new data files as INSERTs land (file-source streaming over the
+    * table's directory — the Spark-native upgrade the reference's batch
+    * engine cannot express). Copy-on-write DELETE/UPDATE/compact leave the
+    * superseded files on disk for time travel, so a stream over a mutated
+    * table would replay them: restrict to ingest-style append-only tables.
+    */
+  def tableStream(name: String): DataFrame = {
+    val t = state.tableByName(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val schema = state.schemaOf(t.tableId)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1000)
+      .parquet(Paths.get(dataPath, t.tableName).toString)
   }
 
   /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */

@@ -73,6 +73,7 @@ object StatementRouter {
   final case class Use(name: String) extends Stmt
   case object ShowTables extends Stmt
   final case class Describe(name: String) extends Stmt
+  final case class Explain(select: String) extends Stmt
   /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
     * (ducklakexl.py:459-464); each sql() call is already atomic here
     */
@@ -107,6 +108,7 @@ object StatementRouter {
     """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
 
   private def bareName(n: String): String = {
@@ -264,6 +266,7 @@ object StatementRouter {
     case TruncateRe(name) => Delete(bareName(name), None)
     case UseRe(name) => Use(bareName(name))
     case ShowTablesRe() => ShowTables
+    case ExplainRe(select) => Explain(select.trim)
     case DescribeRe(name) => Describe(bareName(name))
     case other => Select(other)
   }

@@ -203,6 +203,32 @@ class LakeScaleSpec extends AnyFunSuite {
       lake.sql("ALTER TABLE at2 RENAME COLUMN v TO w"))
   }
 
+  test("EXPLAIN returns the physical plan as rows") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE ex(id INTEGER, v VARCHAR); INSERT INTO ex VALUES (1,'a')")
+    val p = lake.sql("EXPLAIN SELECT v FROM ex WHERE id = 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(p.contains("Physical Plan"), p.take(400))
+    assert(p.contains("Scan parquet"), p.take(400))
+  }
+
+  test("tableStream follows INSERTs on an append-only table") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE st(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO st VALUES (1,'a')")
+    val q = lake.tableStream("st")
+      .writeStream.format("memory").queryName("st_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      lake.sql("INSERT INTO st VALUES (2,'b'),(3,'c')")
+      q.processAllAvailable()
+      val seen = spark.sql("SELECT id FROM st_sink ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(seen == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
   test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
     import graft.xlsx.XlsxCodec
     val extra = ("partition_info",
