@@ -323,6 +323,36 @@ object QueriesRelational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
+    "q_agg_approx_percentile" -> { (s, d) =>
+      // quantile sketch (constant-size state per partition) — the scale
+      // path for q_agg_percentile; approximate, so no hash oracle (bounds
+      // asserted in ApproxDistinctSpec)
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price"))
+        .orderBy("l_returnflag")
+    },
+    "q_pivot" -> { (s, d) =>
+      // pivot: returnflag rows × linestatus columns of integral quantity
+      // sums (cents-scaled long math per the oracle-determinism rules)
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(sum(round(col("l_quantity")).cast(LongType)))
+        .orderBy("l_returnflag")
+    },
+    "q_scalar_subquery" -> { (s, d) =>
+      // correlated scalar subquery -> Catalyst decorrelates to an
+      // aggregate + left outer join (RewriteCorrelatedScalarSubquery)
+      Tables.ensure(s, d)
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer c
+          |WHERE c_custkey <= 200
+          |ORDER BY c_custkey""".stripMargin)
+    },
     "q_agg_grouping_sets" -> { (s, d) =>
       // integral quantities sum in LONG (see q_agg_groupby's scaled math)
       Tables.t(s, d, "lineitem")
@@ -601,6 +631,17 @@ object QueriesRelational {
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS cd_part, " +
        "COUNT(DISTINCT l_suppkey) AS cd_supp, COUNT(*) AS cnt " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_pivot" ->
+      ("SELECT l_returnflag, " +
+       "sum(CASE WHEN l_linestatus = 'F' THEN qi END) AS \"F\", " +
+       "sum(CASE WHEN l_linestatus = 'O' THEN qi END) AS \"O\", " +
+       "sum(CASE WHEN l_linestatus = 'P' THEN qi END) AS \"P\" " +
+       "FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity) AS BIGINT) AS qi FROM lineitem) " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_scalar_subquery" ->
+      ("SELECT c_custkey, " +
+       "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders " +
+       "FROM customer c WHERE c_custkey <= 200 ORDER BY c_custkey"),
     "q_agg_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty, " +

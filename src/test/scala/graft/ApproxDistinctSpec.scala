@@ -23,4 +23,23 @@ class ApproxDistinctSpec extends AnyFunSuite {
         s"group $k: approx $a vs exact $e beyond 5%")
     }
   }
+
+  test("approx_percentile(0.5) within 2% of the exact median per group") {
+    val spark = SparkTestSession.spark
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/lineitem.parquet").exists())
+    import org.apache.spark.sql.functions._
+    val approx = QueriesRelational.queries("q_agg_approx_percentile")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.ops.Tables.t(spark, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) / e <= 0.02,
+        s"group $k: approx median $a vs exact $e beyond 2%")
+    }
+  }
 }
