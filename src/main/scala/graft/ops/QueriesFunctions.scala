@@ -103,6 +103,28 @@ object QueriesFunctions {
       ).orderBy("s_suppkey")
     },
 
+    "q_fn_bitwise" -> { (s, d) =>
+      val k = col("l_orderkey")
+      Tables.t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        k.bitwiseAND(lit(255L)).as("b_and"),
+        k.bitwiseOR(lit(7L)).as("b_or"),
+        k.bitwiseXOR(lit(170L)).as("b_xor"),
+        shiftleft(k, 2).as("b_shl"),
+        shiftright(k, 3).as("b_shr")
+      ).orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q_fn_hash" -> { (s, d) =>
+      val name = col("c_name")
+      Tables.t(s, d, "customer").select(
+        col("c_custkey"),
+        md5(name.cast(org.apache.spark.sql.types.BinaryType)).as("h_md5"),
+        sha2(name.cast(org.apache.spark.sql.types.BinaryType), 256).as("h_sha256"),
+        length(md5(name.cast(org.apache.spark.sql.types.BinaryType))).as("h_len")
+      ).orderBy("c_custkey")
+    },
+
     "q_fn_json" -> { (s, d) =>
       // one from_json parse feeds both typed outputs (its two getField
       // references share the parse); get_json_object keeps the raw-string
@@ -172,6 +194,17 @@ object QueriesFunctions {
        "array_to_string(list_transform(map_values(MAP(['a','b'], [1,2])), v -> CAST(v AS VARCHAR)), ',') AS mvals, " +
        "struct_pack(k := s_suppkey, n := s_name).n AS st_n " +
        "FROM supplier ORDER BY s_suppkey"),
+    "q_fn_bitwise" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "l_orderkey & 255 AS b_and, " +
+       "l_orderkey | 7 AS b_or, " +
+       "xor(l_orderkey, 170) AS b_xor, " +
+       "l_orderkey << 2 AS b_shl, " +
+       "l_orderkey >> 3 AS b_shr " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_fn_hash" ->
+      ("SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256, " +
+       "length(md5(c_name)) AS h_len FROM customer ORDER BY c_custkey"),
     "q_fn_json" ->
       ("SELECT event_id, " +
        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_num, " +

@@ -448,6 +448,16 @@ object QueriesRelational {
         .select(col("c_custkey"), count(lit(1)).over(w).as("peers_within_100"))
         .orderBy("c_custkey")
     },
+    "q_win_distribution" -> { (s, d) =>
+      // distribution analytics: cume_dist / percent_rank (both exact
+      // rational values of row positions -> rounding at 6 digits is safe)
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("c_custkey")
+    },
     "q_win_ntile_firstlast" -> { (s, d) =>
       val w = Window.partitionBy("c_nationkey").orderBy(col("c_custkey"))
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -631,6 +641,11 @@ object QueriesRelational {
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS cd_part, " +
        "COUNT(DISTINCT l_suppkey) AS cd_supp, COUNT(*) AS cnt " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_win_distribution" ->
+      ("SELECT c_custkey, " +
+       "round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd, " +
+       "round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr " +
+       "FROM customer ORDER BY c_custkey"),
     "q_pivot" ->
       ("SELECT l_returnflag, " +
        "sum(CASE WHEN l_linestatus = 'F' THEN qi END) AS \"F\", " +

@@ -57,6 +57,12 @@ object QueriesStreaming {
       StreamingOps.runToMemory(s,
         StreamingOps.aggState(StreamingOps.eventsStream(s, d)), "update")
         .orderBy("user_id")
+    },
+    "q_stream_static_join" -> { (s, d) =>
+      StreamingOps.runToMemory(s,
+        StreamingOps.enrichJoin(StreamingOps.eventsStream(s, d),
+          Tables.t(s, d, "customer")), "complete")
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -100,6 +106,10 @@ object QueriesStreaming {
     "q_stream_agg_state" ->
       // single-batch replay -> one final update per user == batch count
       ("SELECT user_id, COUNT(*) AS events_seen FROM events " +
-       "GROUP BY user_id ORDER BY user_id")
+       "GROUP BY user_id ORDER BY user_id"),
+    "q_stream_static_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS cnt FROM events e " +
+       "JOIN customer c ON e.user_id = c.c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment")
   )
 }

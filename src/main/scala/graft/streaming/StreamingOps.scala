@@ -66,6 +66,17 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** stream-static broadcast join: enrich the event stream with a static
+    * dimension — the standard streaming-enrichment shape. The static side
+    * re-resolves per micro-batch and broadcasts; the join itself needs no
+    * streaming state, so it scales with the dimension, not the stream.
+    */
+  def enrichJoin(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+      events("user_id") === customers("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+
   final case class Ev(event_id: Long, user_id: Long, value: Double)
   final case class UserCount(user_id: Long, events_seen: Long)
 
