@@ -383,23 +383,33 @@ object QueriesLlm {
         df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
       // labels only DECREASE under min-propagation, so sum(label) strictly
       // decreases until the fixpoint — one cheap aggregate doubles as both
-      // the cache materializer and the convergence probe
+      // the cache materializer and the convergence probe. The first probe
+      // materializes the whole LSH pipeline (AQE on, where it belongs);
+      // the supersteps after it are tiny by construction (labels bounded
+      // by docs-in-pairs), and AQE's per-stage job materialization
+      // dominates them — measured 40% slower with it on — so the loop
+      // runs with it off.
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
-        val prop = labels.join(edges, labels("doc_id") === edges("a"))
-          .select(col("b").as("doc_id"), col("label"))
-        val next = labels.unionByName(prop)
-          .groupBy("doc_id").agg(min("label").as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        iter += 1
-      }
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqePrev = s.conf.get(aqeKey, "true")
+      s.conf.set(aqeKey, "false")
+      try {
+        while (!converged && iter < 20) {
+          val prop = labels.join(edges, labels("doc_id") === edges("a"))
+            .select(col("b").as("doc_id"), col("label"))
+          val next = labels.unionByName(prop)
+            .groupBy("doc_id").agg(min("label").as("label"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nextSum = labelSum(next)
+          labels.unpersist()
+          labels = next
+          converged = nextSum == prevSum
+          prevSum = nextSum
+          iter += 1
+        }
+      } finally s.conf.set(aqeKey, aqePrev)
       labels.select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     },
