@@ -125,8 +125,13 @@ class DuckLakeXLSpark(
     var last: Option[DataFrame] = None
     StatementRouter.split(script).foreach { stmt =>
       StatementRouter.classify(stmt) match {
-        case s: StatementRouter.CreateTable   => executeCreate(s); registerViews()
-        case s: StatementRouter.CreateTableAs => executeCtas(s); registerViews()
+        case s: StatementRouter.CreateTable =>
+          if (s.orReplace) executeDrop(StatementRouter.DropTable(s.name, ifExists = true))
+          executeCreate(s); registerViews()
+        case s: StatementRouter.CreateTableAs =>
+          if (s.orReplace) executeDrop(StatementRouter.DropTable(s.name, ifExists = true))
+          executeCtas(s); registerViews()
+        case s: StatementRouter.CopyTo        => executeCopy(s)
         case s: StatementRouter.InsertValues =>
           // a literal VALUES list is driver-sized by definition -> one data
           // file per INSERT (the DuckLake shape); INSERT..SELECT below keeps
@@ -676,6 +681,38 @@ class DuckLakeXLSpark(
           if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
         newSnapshot(state.nextCatalogId, state.nextFileId)
     }
+  }
+
+  /** `COPY <table|(query)> TO 'path'` — single-file export like DuckDB's
+    * COPY (driver-side coalesce(1): the pass-through writes ONE file at
+    * the given path; a distributed export would drop the coalesce and
+    * write a directory)
+    */
+  private def executeCopy(s: StatementRouter.CopyTo): Unit = {
+    val inner =
+      if (s.source.startsWith("(")) s.source.stripPrefix("(").stripSuffix(")")
+      else s"SELECT * FROM ${s.source}"
+    val df = spark.sql(rewriteSelect(inner))
+    val fmt = s.format.getOrElse {
+      val p = s.path.toLowerCase
+      if (p.endsWith(".csv")) "csv"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+      else "parquet"
+    }
+    val tmp = Files.createTempDirectory(Paths.get(dataPath), ".copy")
+    val w = df.coalesce(1).write.mode("overwrite")
+    fmt match {
+      case "csv"  => w.option("header", "true").csv(tmp.toString)
+      case "json" => w.json(tmp.toString)
+      case _      => w.parquet(tmp.toString)
+    }
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).getOrElse(
+        throw new IllegalStateException("COPY produced no output file"))
+    val dest = Paths.get(s.path)
+    if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
   private def executeDrop(s: StatementRouter.DropTable): Unit = {

@@ -51,8 +51,14 @@ object StatementRouter {
   }
 
   sealed trait Stmt
-  final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean) extends Stmt
-  final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean) extends Stmt
+  final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean,
+                               orReplace: Boolean = false) extends Stmt
+  final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean,
+                                 orReplace: Boolean = false) extends Stmt
+  /** `COPY <table | (query)> TO 'path' (FORMAT fmt)` — export, like the
+    * DuckDB pass-through; format defaults from the path extension
+    */
+  final case class CopyTo(source: String, path: String, format: Option[String]) extends Stmt
   /** cols = optional explicit column list `INSERT INTO t(a, b) …` */
   final case class InsertValues(table: String, cols: Option[Seq[String]], valuesSql: String) extends Stmt
   final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String) extends Stmt
@@ -81,7 +87,9 @@ object StatementRouter {
   final case class Select(sql: String) extends Stmt
 
   private val CreateRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\.\"]+)\s*(.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*(.*)$""".r
+  private val CopyRe =
+    """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?VIEW\s+([\w\.\"]+)\s+AS\s+(.*)$""".r
   private val InsertRe =
@@ -217,14 +225,16 @@ object StatementRouter {
     case NoOpRe() => NoOp
     case CreateViewRe(orRepl, name, select) =>
       CreateView(bareName(name), select.trim, orRepl != null)
-    case CreateRe(ifne, name, rest) =>
+    case CopyRe(source, path, fmt) =>
+      CopyTo(source.trim, path, Option(fmt).map(_.toLowerCase))
+    case CreateRe(orRepl, ifne, name, rest) =>
       val r = rest.trim
       if (r.toUpperCase.startsWith("AS") )
-        CreateTableAs(bareName(name), r.drop(2).trim, ifne != null)
+        CreateTableAs(bareName(name), r.drop(2).trim, ifne != null, orRepl != null)
       else {
         require(r.startsWith("(") && r.endsWith(")"),
           s"cannot parse CREATE TABLE body: $r")
-        CreateTable(bareName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null)
+        CreateTable(bareName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null, orRepl != null)
       }
     case InsertRe(name, rest0) =>
       val r0 = rest0.trim

@@ -203,6 +203,22 @@ class LakeScaleSpec extends AnyFunSuite {
       lake.sql("ALTER TABLE at2 RENAME COLUMN v TO w"))
   }
 
+  test("CREATE OR REPLACE TABLE swaps contents; COPY TO exports one file") {
+    val (lake, _, data) = freshLake()
+    lake.sql("CREATE TABLE cr(id INTEGER, v VARCHAR); INSERT INTO cr VALUES (1,'a')")
+    lake.sql("CREATE OR REPLACE TABLE cr(id INTEGER, n INTEGER); INSERT INTO cr VALUES (2, 20)")
+    val rows = lake.sql("SELECT * FROM cr").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 20)))
+    // COPY a table and a query, csv + parquet
+    val csv = s"$data/out/cr.csv"
+    lake.sql(s"COPY cr TO '$csv'")
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(csv))
+    assert(lines.size == 2 && lines.get(0) == "id,n" && lines.get(1) == "2,20")
+    val pq = s"$data/out/q.parquet"
+    lake.sql(s"COPY (SELECT id * 10 AS x FROM cr) TO '$pq' (FORMAT parquet)")
+    assert(spark.read.parquet(pq).collect().map(_.getInt(0)).toSeq == Seq(20))
+  }
+
   test("EXPLAIN returns the physical plan as rows") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE ex(id INTEGER, v VARCHAR); INSERT INTO ex VALUES (1,'a')")
