@@ -132,6 +132,7 @@ class DuckLakeXLSpark(
           if (s.orReplace) executeDrop(StatementRouter.DropTable(s.name, ifExists = true))
           executeCtas(s); registerViews()
         case s: StatementRouter.CopyTo        => executeCopy(s)
+        case s: StatementRouter.CopyFrom      => executeCopyFrom(s); registerViews()
         case s: StatementRouter.InsertValues =>
           // a literal VALUES list is driver-sized by definition -> one data
           // file per INSERT (the DuckLake shape); INSERT..SELECT below keeps
@@ -713,6 +714,28 @@ class DuckLakeXLSpark(
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** `COPY t FROM 'path'` — distributed ingestion: the file(s) read with
+    * the table's declared schema, appended through the normal insert path
+    * (file-per-writer parquet + stats + snapshot)
+    */
+  private def executeCopyFrom(s: StatementRouter.CopyFrom): Unit = {
+    val t = state.tableByName(s.table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val schema = state.schemaOf(t.tableId)
+    val fmt = s.format.getOrElse {
+      val p = s.path.toLowerCase
+      if (p.endsWith(".csv")) "csv"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+      else "parquet"
+    }
+    val df = fmt match {
+      case "csv"  => spark.read.schema(schema).option("header", "true").csv(s.path)
+      case "json" => spark.read.schema(schema).json(s.path)
+      case _      => spark.read.schema(schema).parquet(s.path)
+    }
+    executeInsertDF(s.table, None, df)
   }
 
   private def executeDrop(s: StatementRouter.DropTable): Unit = {

@@ -59,6 +59,8 @@ object StatementRouter {
     * DuckDB pass-through; format defaults from the path extension
     */
   final case class CopyTo(source: String, path: String, format: Option[String]) extends Stmt
+  /** `COPY t FROM 'path' (FORMAT fmt)` — file ingestion into a lake table */
+  final case class CopyFrom(table: String, path: String, format: Option[String]) extends Stmt
   /** cols = optional explicit column list `INSERT INTO t(a, b) …` */
   final case class InsertValues(table: String, cols: Option[Seq[String]], valuesSql: String) extends Stmt
   final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String) extends Stmt
@@ -90,6 +92,8 @@ object StatementRouter {
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*(.*)$""".r
   private val CopyRe =
     """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
+  private val CopyFromRe =
+    """(?is)^\s*COPY\s+([\w\.\"]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?VIEW\s+([\w\.\"]+)\s+AS\s+(.*)$""".r
   private val InsertRe =
@@ -225,6 +229,8 @@ object StatementRouter {
     case NoOpRe() => NoOp
     case CreateViewRe(orRepl, name, select) =>
       CreateView(bareName(name), select.trim, orRepl != null)
+    case CopyFromRe(table, path, fmt) =>
+      CopyFrom(bareName(table), path, Option(fmt).map(_.toLowerCase))
     case CopyRe(source, path, fmt) =>
       CopyTo(source.trim, path, Option(fmt).map(_.toLowerCase))
     case CreateRe(orRepl, ifne, name, rest) =>

@@ -217,6 +217,10 @@ class LakeScaleSpec extends AnyFunSuite {
     val pq = s"$data/out/q.parquet"
     lake.sql(s"COPY (SELECT id * 10 AS x FROM cr) TO '$pq' (FORMAT parquet)")
     assert(spark.read.parquet(pq).collect().map(_.getInt(0)).toSeq == Seq(20))
+    // and round-trip back in: COPY FROM ingests through the insert path
+    lake.sql(s"COPY cr FROM '$csv'")
+    assert(lake.sql("SELECT count(*) AS c FROM cr").collect()(0).getLong(0) == 2L)
+    assert(lake.sql("SELECT sum(n) AS s FROM cr").collect()(0).getLong(0) == 40L)
   }
 
   test("EXPLAIN returns the physical plan as rows") {

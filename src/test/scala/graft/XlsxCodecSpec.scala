@@ -76,6 +76,53 @@ class XlsxCodecSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("reads an Excel-style workbook: shared strings, native bools, styles") {
+    // Excel rewrites saved workbooks with sharedStrings (t="s"), native
+    // booleans (t="b"), styled numeric cells (s= attr, no t) — SURVEY
+    // §7.6 dragon #2. Build one by hand and read it.
+    val path = tmpXlsx()
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="metadata" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><t>key</t></si><si><r><t>val</t></r><r><t>ue</t></r></si></sst>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="b"><v>1</v></c><c r="B2" s="3"><v>42.5</v></c></row>
+        |<row r="3"><c r="A3" t="b"><v>0</v></c><c r="B3" t="inlineStr"><is><t>inline text</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val sheets = XlsxCodec.read(path)
+    assert(sheets.map(_._1) == Seq("metadata"))
+    assert(sheets.head._2 == Seq(
+      Seq("key", "value"),          // shared strings incl. multi-run <r>
+      Seq("true", "42.5"),          // native bool + styled number
+      Seq("false", "inline text"))) // bool false + inline string
+  }
+
   test("rejects >31-char sheet names (Excel cap, ducklakexl.py:241)") {
     val p = tmpXlsx()
     assertThrows[IllegalArgumentException] {
