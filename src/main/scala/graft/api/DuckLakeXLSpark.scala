@@ -816,18 +816,47 @@ class DuckLakeXLSpark(
     val toMerge = groups.filter(_.size >= 2)
     if (toMerge.isEmpty) return
     val snap = state.currentSnapshot + 1
-    var fid = state.nextFileId
-    var newState = state
-    val allWritten = scala.collection.mutable.ArrayBuffer[Path]()
-    toMerge.foreach { g =>
-      val merged = spark.read.schema(schema).parquet(g.map(_.path): _*).coalesce(1)
-      allWritten ++= writeParquetFiles(merged, t.tableName)
-      val gids = g.map(_.dataFileId).toSet
-      newState = newState.copy(dataFiles = newState.dataFiles.map(d =>
-        if (gids.contains(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
+    val fid = state.nextFileId
+    // ONE rewrite job for ALL groups (the per-group-job version was the
+    // DELETE loop's disease in miniature: 1000s of driver-sequential jobs
+    // at a 100k-file tail): tag each row with its bin-pack group via a
+    // broadcast path->group join, repartition BY GROUP (all rows of a
+    // group land in one task), and write partitionBy(group) — exactly one
+    // parquet file per group subdir, moved to stable names afterwards.
+    val grpRows = toMerge.zipWithIndex.flatMap { case (g, i) =>
+      g.map(f => Row(normUri(f.path), i))
     }
-    // one stats job for every merged output, not one per group
-    val (ns2, fid2) = appendWrittenFiles(newState, t, snap, fid, allWritten.toSeq, schema)
+    val grpDF = spark.createDataFrame(grpRows.asJava, StructType(Seq(
+      StructField("__src", StringType, false),
+      StructField("__grp", IntegerType, false))))
+    val mergeIds = toMerge.flatten.map(_.dataFileId).toSet
+    val src = spark.read.schema(schema).parquet(toMerge.flatten.map(_.path).toSeq: _*)
+      // input_file_name yields file:// URIs; catalog paths are plain ASCII
+      .withColumn("__src", regexp_replace(input_file_name(), "^file:(//)?", ""))
+    val tagged = src.join(broadcast(grpDF), "__src").drop("__src")
+    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".compact_${t.tableName}")
+    withoutAQE {
+      tagged.repartition(col("__grp"))
+        .write.partitionBy("__grp").mode("overwrite").parquet(tmp.toString)
+    }
+    val dir = Paths.get(dataPath, t.tableName)
+    Files.createDirectories(dir)
+    val written = Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__grp=")).toSeq
+      .sortBy(_.getFileName.toString)
+      .flatMap(g => Files.list(g).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+                     p.getFileName.toString.endsWith(".parquet")))
+      .zipWithIndex.map { case (p, i) =>
+        val dest = dir.resolve(s"data_${UUID.randomUUID().toString.take(8)}_c$i.parquet")
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        dest
+      }
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val ended = state.copy(dataFiles = state.dataFiles.map(d =>
+      if (mergeIds.contains(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
+    // plus one stats job over every merged output
+    val (ns2, fid2) = appendWrittenFiles(ended, t, snap, fid, written, schema)
     state = ns2
     newSnapshot(state.nextCatalogId, fid2)
     registerViews()

@@ -203,6 +203,21 @@ class LakeScaleSpec extends AnyFunSuite {
       lake.sql("ALTER TABLE at2 RENAME COLUMN v TO w"))
   }
 
+  test("compact merges many groups in a constant number of Spark jobs") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE cp(id INTEGER, v VARCHAR)")
+    for (i <- 1 to 24) lake.sql(s"INSERT INTO cp VALUES ($i, 'r$i')")
+    val t = lake.currentState.tableByName("cp").get
+    val sz = lake.currentState.filesOf(t.tableId).map(_.fileSizeBytes).max
+    // pick a target fitting ~4 files per group -> ~6 merge groups
+    val jobs = jobsInGroup("compact-const") { lake.compact("cp", sz * 4 + 1) }
+    assert(jobs <= 3, s"compact ran $jobs Spark jobs; want <=3 (rewrite, stats)")
+    val after = lake.currentState.filesOf(t.tableId)
+    assert(after.size < 24 && after.size >= 5, s"got ${after.size} files")
+    assert(lake.sql("SELECT count(*) AS c FROM cp").collect()(0).getLong(0) == 24L)
+    assert(lake.sql("SELECT sum(id) AS s FROM cp").collect()(0).getLong(0) == 300L)
+  }
+
   test("CREATE OR REPLACE TABLE swaps contents; COPY TO exports one file") {
     val (lake, _, data) = freshLake()
     lake.sql("CREATE TABLE cr(id INTEGER, v VARCHAR); INSERT INTO cr VALUES (1,'a')")
