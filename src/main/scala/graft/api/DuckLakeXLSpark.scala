@@ -144,6 +144,7 @@ class DuckLakeXLSpark(
           executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
           registerViews()
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
+        case s: StatementRouter.Merge         => executeMerge(s); registerViews()
         case s: StatementRouter.Update        => executeUpdate(s); registerViews()
         case s: StatementRouter.DropTable     => executeDrop(s); registerViews()
         case s: StatementRouter.AlterTable    => executeAlter(s); registerViews()
@@ -599,6 +600,111 @@ class DuckLakeXLSpark(
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** MERGE INTO upsert — a Spark-native extension (the reference's engine
+    * has no MERGE). Same constant-job copy-on-write shape as
+    * DELETE/UPDATE:
+    *   job 1 — affected files via a left-semi join of the target (with
+    *           `input_file_name`) against the source;
+    *   job 2 — ONE rewrite of the affected-file union with the matched
+    *           action applied (UPDATE SET sees both aliases; DELETE drops
+    *           matched rows) + its stats pass;
+    *   job 3 — NOT MATCHED source rows anti-joined against the full
+    *           pre-merge target, written as fresh insert files + stats.
+    * Cardinality caveat (standard MERGE): a target row matched by several
+    * source rows duplicates in the rewrite — the caller must keep the ON
+    * condition key-unique on the source side.
+    */
+  private def executeMerge(s: StatementRouter.Merge): Unit = {
+    val t = state.tableByName(s.table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val schema = state.schemaOf(t.tableId)
+    val live = state.filesOf(t.tableId)
+    val snap = state.currentSnapshot + 1
+    var fid = state.nextFileId
+    val srcDF = spark.sql(rewriteSelect(s.sourceSql)).alias(s.srcAlias)
+    val cond = expr(s.on)
+
+    val affectedPaths: Set[String] =
+      if (live.isEmpty) Set.empty
+      else {
+        val tgt = spark.read.schema(schema).parquet(live.map(_.path): _*)
+          .withColumn("__f", input_file_name()).alias(s.tgtAlias)
+        tgt.join(srcDF, cond, "left_semi")
+          .select("__f").distinct()
+          .collect().map(r => normUri(r.getString(0))).toSet
+      }
+    val affected = live.filter(f => affectedPaths.contains(normUri(f.path)))
+
+    var ns = state
+    if (affected.nonEmpty && (s.matchedSets.isDefined || s.matchedDelete)) {
+      val ids = affected.map(_.dataFileId).toSet
+      ns = ns.copy(dataFiles = ns.dataFiles.map(d =>
+        if (ids(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
+      affected.foreach { f =>
+        ns = ns.copy(deleteFiles = ns.deleteFiles :+ DeleteFileRow(
+          fid, t.tableId, snap, None, f.dataFileId, "", 0L))
+        fid += 1
+      }
+      val aff = spark.read.schema(schema).parquet(affected.map(_.path): _*)
+        .alias(s.tgtAlias)
+      val srcM = srcDF.withColumn("__m", lit(1))
+      val joined = aff.join(srcM, cond, "left_outer")
+      val rewritten =
+        if (s.matchedDelete)
+          joined.filter(col("__m").isNull)
+            .select(schema.fields.map(f =>
+              col(s"${s.tgtAlias}.${f.name}").as(f.name)).toSeq: _*)
+        else {
+          val sets = s.matchedSets.get.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
+          val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+          require(unknown.isEmpty, s"MERGE sets unknown column(s): ${unknown.mkString(", ")}")
+          joined.select(schema.fields.map { f =>
+            val tcol = col(s"${s.tgtAlias}.${f.name}")
+            sets.get(f.name.toLowerCase) match {
+              case Some(e) => when(col("__m").isNotNull, e.cast(f.dataType)).otherwise(tcol).as(f.name)
+              case None    => tcol.as(f.name)
+            }
+          }.toSeq: _*)
+        }
+      val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
+        writeParquetFiles(rewritten, t.tableName), schema)
+      ns = ns2; fid = fid2
+    }
+
+    s.notMatchedInsert.foreach { case (cols, valuesSql) =>
+      val anti =
+        if (live.isEmpty) srcDF
+        else srcDF.join(
+          spark.read.schema(schema).parquet(live.map(_.path): _*).alias(s.tgtAlias),
+          cond, "left_anti")
+      val exprs = StatementRouter.splitTopCommas(valuesSql)
+      val rowDF = anti.selectExpr(exprs: _*)
+      val names = cols.getOrElse(schema.fieldNames.toSeq)
+      require(names.length == exprs.length,
+        s"MERGE INSERT arity ${exprs.length} != column list ${names.length}")
+      val byName = names.map(_.toLowerCase).zip(rowDF.columns).toMap
+      val aligned = rowDF.select(schema.fields.map { f =>
+        byName.get(f.name.toLowerCase) match {
+          case Some(src) => colq(rowDF, src).cast(f.dataType).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+      val (ns3, fid3) = appendWrittenFiles(ns, t, snap, fid,
+        writeParquetFiles(aligned, t.tableName), schema)
+      ns = ns3; fid = fid3
+    }
+
+    val added = ns.dataFiles
+      .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
+      .map(_.recordCount).sum
+    val removed =
+      if (s.matchedSets.isDefined || s.matchedDelete) affected.map(_.recordCount).sum
+      else 0L
+    state = ns
+    state = state.copy(tableStats = bumpStats(t.tableId, added - removed))
+    newSnapshot(state.nextCatalogId, fid)
   }
 
   /** per-file matching-row counts in ONE Spark job (`input_file_name`),

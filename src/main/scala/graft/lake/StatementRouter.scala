@@ -82,6 +82,19 @@ object StatementRouter {
   case object ShowTables extends Stmt
   final case class Describe(name: String) extends Stmt
   final case class Explain(select: String) extends Stmt
+  /** `MERGE INTO` upsert — a Spark-native extension (the reference's
+    * engine has no MERGE): copy-on-write over the affected target files.
+    * Supported: WHEN MATCHED THEN UPDATE SET … / DELETE, WHEN NOT MATCHED
+    * THEN INSERT [(cols)] VALUES (…). Source = table name or (query),
+    * each side optionally aliased; multi-matching a target row is the
+    * caller's responsibility (standard MERGE cardinality caveat).
+    */
+  final case class Merge(table: String, tgtAlias: String,
+                         sourceSql: String, srcAlias: String, on: String,
+                         matchedSets: Option[Seq[(String, String)]],
+                         matchedDelete: Boolean,
+                         notMatchedInsert: Option[(Option[Seq[String]], String)]) extends Stmt
+
   /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
     * (ducklakexl.py:459-464); each sql() call is already atomic here
     */
@@ -119,6 +132,8 @@ object StatementRouter {
   private val NoOpRe =
     """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
+  private val MergeRe =
+    """(?is)^\s*MERGE\s+INTO\s+([\w\.\"]+)(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
@@ -204,8 +219,8 @@ object StatementRouter {
     }
   }
 
-  /** split "a = a + 1, val = 'x'" at top-level commas into (col, expr) */
-  private[lake] def splitAssignments(s: String): Seq[(String, String)] = {
+  /** split an expression list at top-level commas (quotes/parens honored) */
+  private[graft] def splitTopCommas(s: String): Seq[String] = {
     val parts = mutable.ArrayBuffer[String]()
     var depth = 0
     var inStr = false
@@ -218,15 +233,80 @@ object StatementRouter {
       case c => cur.append(c)
     }
     if (cur.nonEmpty) parts += cur.toString
-    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** split "a = a + 1, val = 'x'" at top-level commas into (col, expr) */
+  private[lake] def splitAssignments(s: String): Seq[(String, String)] =
+    splitTopCommas(s).map { p =>
       val eq = p.indexOf('=')
       require(eq > 0, s"cannot parse SET assignment: '$p'")
       (p.take(eq).trim.stripPrefix("\"").stripSuffix("\""), p.drop(eq + 1).trim)
     }
+
+  /** parse the `USING …` tail of a MERGE (source, ON, WHEN clauses) */
+  private def parseMerge(table: String, alias: String, rest0: String): Merge = {
+    val (srcPart, afterOn0) = splitTopLevelKeyword(rest0, "ON")
+    val afterOn = afterOn0.getOrElse(
+      throw new IllegalArgumentException("MERGE requires an ON condition"))
+    // source: "(query) [AS] a" | "name [[AS] a]"
+    val (sourceSql, srcAlias) =
+      if (srcPart.startsWith("(")) {
+        val close = matchingParen(srcPart, 0)
+        val a = srcPart.drop(close + 1).trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+        require(a.nonEmpty && a.head.nonEmpty, "MERGE subquery source needs an alias")
+        (srcPart.substring(1, close), a.head)
+      } else {
+        val toks = srcPart.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+        val name = bareName(toks.head)
+        (s"SELECT * FROM $name", if (toks.length > 1) toks(1) else name)
+      }
+    // split the WHEN clauses (quote/paren-aware)
+    val (onCond, whenTail) = splitTopLevelKeyword(afterOn, "WHEN")
+    var matchedSets: Option[Seq[(String, String)]] = None
+    var matchedDelete = false
+    var notMatched: Option[(Option[Seq[String]], String)] = None
+    var tail: Option[String] = whenTail
+    val UpdRe = """(?is)^\s*MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$""".r
+    val DelRe = """(?is)^\s*MATCHED\s+THEN\s+DELETE\s*$""".r
+    val InsRe = """(?is)^\s*NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$""".r
+    while (tail.isDefined) {
+      val (clause, next) = splitTopLevelKeyword(tail.get, "WHEN")
+      clause match {
+        case UpdRe(sets)  => matchedSets = Some(splitAssignments(sets))
+        case DelRe()      => matchedDelete = true
+        case InsRe(body0) =>
+          val body = body0.trim
+          val (cols, valsPart) =
+            if (body.startsWith("(")) {
+              val c = matchingParen(body, 0)
+              (Some(body.substring(1, c).split(',').toSeq
+                .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)),
+                body.drop(c + 1).trim)
+            } else (None, body)
+          require(valsPart.toUpperCase.startsWith("VALUES"),
+            s"MERGE INSERT needs VALUES: $valsPart")
+          val vp = valsPart.drop("VALUES".length).trim
+          val close = matchingParen(vp, 0)
+          notMatched = Some((cols, vp.substring(1, close)))
+        case other =>
+          throw new IllegalArgumentException(s"cannot parse MERGE WHEN clause: $other")
+      }
+      tail = next
+    }
+    require(matchedSets.isDefined || matchedDelete || notMatched.isDefined,
+      "MERGE needs at least one WHEN clause")
+    require(!(matchedSets.isDefined && matchedDelete),
+      "MERGE supports either UPDATE or DELETE on match, not both")
+    Merge(table, alias, sourceSql, srcAlias, onCond, matchedSets, matchedDelete, notMatched)
   }
 
   def classify(stmt: String): Stmt = stmt match {
     case NoOpRe() => NoOp
+    case MergeRe(name, a1, a2, rest) =>
+      val table = bareName(name)
+      val alias = Option(a1).orElse(Option(a2)).getOrElse(table)
+      parseMerge(table, alias, rest)
     case CreateViewRe(orRepl, name, select) =>
       CreateView(bareName(name), select.trim, orRepl != null)
     case CopyFromRe(table, path, fmt) =>

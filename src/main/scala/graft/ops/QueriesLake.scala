@@ -97,6 +97,20 @@ object QueriesLake {
           |ALTER TABLE al RENAME TO al2;
           |SELECT * FROM al2 ORDER BY id""".stripMargin)
     },
+    // r3: MERGE upsert — Spark-native extension (no DuckDB MERGE; the
+    // oracle states the end state as VALUES)
+    "q_lake_merge" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE mt(id INTEGER, qty INTEGER, val VARCHAR);
+          |INSERT INTO mt VALUES (1,10,'alpha'),(2,20,'beta');
+          |CREATE TABLE ms(id INTEGER, qty INTEGER);
+          |INSERT INTO ms VALUES (2,99),(3,30);
+          |MERGE INTO mt USING ms ON mt.id = ms.id
+          |WHEN MATCHED THEN UPDATE SET qty = ms.qty + 1
+          |WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (ms.id, ms.qty);
+          |SELECT * FROM mt ORDER BY id""".stripMargin)
+    },
     // r3: DESCRIBE through sql() — catalog-backed information schema
     "q_lake_describe" -> { (s, _) =>
       val lake = freshLake(s)
@@ -136,6 +150,9 @@ object QueriesLake {
     "q_lake_insert_cols" ->
       ("SELECT id, CAST(qty AS INTEGER) AS qty, CAST(val AS VARCHAR) AS val FROM (VALUES " +
        "(1, NULL, 'alpha'), (2, NULL, NULL), (3, 30, NULL)) t(id, qty, val) ORDER BY id"),
+    "q_lake_merge" ->
+      ("SELECT id, CAST(qty AS INTEGER) AS qty, CAST(val AS VARCHAR) AS val FROM (VALUES " +
+       "(1, 10, 'alpha'), (2, 100, 'beta'), (3, 30, NULL)) t(id, qty, val) ORDER BY id"),
     "q_lake_describe" ->
       ("SELECT * FROM (VALUES ('id','INTEGER','YES'), ('qty','DOUBLE','YES'), " +
        "('val','VARCHAR','YES')) t(column_name, column_type, \"null\")"),

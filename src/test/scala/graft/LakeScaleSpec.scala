@@ -203,6 +203,32 @@ class LakeScaleSpec extends AnyFunSuite {
       lake.sql("ALTER TABLE at2 RENAME COLUMN v TO w"))
   }
 
+  test("MERGE INTO: update matched, insert not-matched, delete matched") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE mtgt(id INTEGER, qty INTEGER, v VARCHAR);
+        |INSERT INTO mtgt VALUES (1,10,'a'),(2,20,'b');
+        |CREATE TABLE msrc(id INTEGER, qty INTEGER);
+        |INSERT INTO msrc VALUES (2,99),(3,30)""".stripMargin)
+    val before = lake.currentState.currentSnapshot
+    lake.sql(
+      """MERGE INTO mtgt USING msrc ON mtgt.id = msrc.id
+        |WHEN MATCHED THEN UPDATE SET qty = msrc.qty + 1
+        |WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (msrc.id, msrc.qty)""".stripMargin)
+    val rows = lake.sql("SELECT * FROM mtgt ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(rows == Seq((1, 10, "a"), (2, 100, "b"), (3, 30, "-")))
+    // time travel still answers the pre-merge state
+    assert(lake.tableAt("mtgt", before).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // delete-on-match variant
+    lake.sql("MERGE INTO mtgt USING msrc ON mtgt.id = msrc.id WHEN MATCHED THEN DELETE")
+    assert(lake.sql("SELECT id FROM mtgt ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // table stats track net row changes through the merges
+    val st = lake.currentState.tableStats
+      .find(_.tableId == lake.currentState.tableByName("mtgt").get.tableId).get
+    assert(st.recordCount == 1L)
+  }
+
   test("compact merges many groups in a constant number of Spark jobs") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE cp(id INTEGER, v VARCHAR)")
