@@ -111,6 +111,27 @@ object QueriesLake {
           |WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (ms.id, ms.qty);
           |SELECT * FROM mt ORDER BY id""".stripMargin)
     },
+    // r3: compaction correctness — rows identical after the small-file
+    // tail merges under a new snapshot
+    "q_lake_compact" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE co(id INTEGER, val VARCHAR)")
+      for (i <- 1 to 4) lake.sql(s"INSERT INTO co VALUES ($i, 'r$i')") // 4 tiny files
+      lake.compact("co")
+      lake.sql("SELECT * FROM co ORDER BY id")
+    },
+    // r3: COPY round trip — export to csv, ingest into a second table
+    "q_lake_copy" -> { (s, _) =>
+      val lake = freshLake(s)
+      val out = s"${lake.dataPath}/export/co.csv"
+      lake.sql(
+        s"""CREATE TABLE src(id INTEGER, val VARCHAR);
+           |INSERT INTO src VALUES (1,'alpha'),(2,'beta');
+           |COPY src TO '$out';
+           |CREATE TABLE dst(id INTEGER, val VARCHAR);
+           |COPY dst FROM '$out';
+           |SELECT * FROM dst ORDER BY id""".stripMargin)
+    },
     // r3: DESCRIBE through sql() — catalog-backed information schema
     "q_lake_describe" -> { (s, _) =>
       val lake = freshLake(s)
@@ -153,6 +174,10 @@ object QueriesLake {
     "q_lake_merge" ->
       ("SELECT id, CAST(qty AS INTEGER) AS qty, CAST(val AS VARCHAR) AS val FROM (VALUES " +
        "(1, 10, 'alpha'), (2, 100, 'beta'), (3, 30, NULL)) t(id, qty, val) ORDER BY id"),
+    "q_lake_compact" ->
+      ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
+    "q_lake_copy" ->
+      ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
     "q_lake_describe" ->
       ("SELECT * FROM (VALUES ('id','INTEGER','YES'), ('qty','DOUBLE','YES'), " +
        "('val','VARCHAR','YES')) t(column_name, column_type, \"null\")"),
