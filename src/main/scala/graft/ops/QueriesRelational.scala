@@ -323,6 +323,37 @@ object QueriesRelational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
+    "q_agg_bool" -> { (s, d) =>
+      // boolean aggregates over per-row predicates
+      Tables.t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+             bool_or(col("o_orderstatus") === "F").as("any_f"),
+             count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    "q_agg_argmax" -> { (s, d) =>
+      // max_by/min_by: the key of the extremal row (o_orderkey is unique
+      // per group tie-break-free because totalprice ties are broken by the
+      // aggregate's pairing with a unique struct — use unique prices via
+      // struct ordering instead: (price, key) lexicographic max)
+      Tables.t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
+               .as("max_price_key"),
+             min(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
+               .as("min_price_key"))
+        .orderBy("o_orderpriority")
+    },
+    "q_win_nth_value" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey").orderBy(col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"),
+          nth_value(col("c_name"), 2).over(w).as("second_name"))
+        .orderBy("c_custkey")
+    },
     "q_agg_approx_percentile" -> { (s, d) =>
       // quantile sketch (constant-size state per partition) — the scale
       // path for q_agg_percentile; approximate, so no hash oracle (bounds
@@ -645,6 +676,19 @@ object QueriesRelational {
       ("SELECT c_custkey, " +
        "round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd, " +
        "round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr " +
+       "FROM customer ORDER BY c_custkey"),
+    "q_agg_bool" ->
+      ("SELECT o_orderpriority, bool_and(o_totalprice > 1000) AS all_over_1k, " +
+       "bool_or(o_orderstatus = 'F') AS any_f, COUNT(*) AS cnt " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_agg_argmax" ->
+      ("SELECT o_orderpriority, " +
+       "max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS max_price_key, " +
+       "min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS min_price_key " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_win_nth_value" ->
+      ("SELECT c_custkey, nth_value(c_name, 2) OVER (PARTITION BY c_nationkey " +
+       "ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name " +
        "FROM customer ORDER BY c_custkey"),
     "q_pivot" ->
       ("SELECT l_returnflag, " +
