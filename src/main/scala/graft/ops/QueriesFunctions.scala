@@ -103,6 +103,16 @@ object QueriesFunctions {
       ).orderBy("s_suppkey")
     },
 
+    "q_fn_levenshtein" -> { (s, d) =>
+      // edit distance — the classic fuzzy-matching primitive, same name
+      // and semantics in both engines
+      Tables.t(s, d, "nation").select(
+        col("n_nationkey"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).as("d_us"),
+        levenshtein(lower(col("n_name")), lit("china")).as("d_cn")
+      ).orderBy("n_nationkey")
+    },
+
     "q_fn_bitwise" -> { (s, d) =>
       val k = col("l_orderkey")
       Tables.t(s, d, "lineitem").select(
@@ -194,6 +204,10 @@ object QueriesFunctions {
        "array_to_string(list_transform(map_values(MAP(['a','b'], [1,2])), v -> CAST(v AS VARCHAR)), ',') AS mvals, " +
        "struct_pack(k := s_suppkey, n := s_name).n AS st_n " +
        "FROM supplier ORDER BY s_suppkey"),
+    "q_fn_levenshtein" ->
+      ("SELECT n_nationkey, levenshtein(n_name, 'UNITED STATES') AS d_us, " +
+       "levenshtein(lower(n_name), 'china') AS d_cn " +
+       "FROM nation ORDER BY n_nationkey"),
     "q_fn_bitwise" ->
       ("SELECT l_orderkey, l_linenumber, " +
        "l_orderkey & 255 AS b_and, " +

@@ -323,6 +323,17 @@ object QueriesRelational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
+    "q_distinct_on" -> { (s, d) =>
+      // DuckDB's DISTINCT ON (first row per key under an order) maps to
+      // the row_number()=1 window pattern — the standard Spark spelling
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey").orderBy(col("c_custkey"))
+      Tables.t(s, d, "customer")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select("c_nationkey", "c_custkey", "c_name")
+        .orderBy("c_nationkey")
+    },
     "q_agg_bool" -> { (s, d) =>
       // boolean aggregates over per-row predicates
       Tables.t(s, d, "orders")
@@ -677,6 +688,9 @@ object QueriesRelational {
        "round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd, " +
        "round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr " +
        "FROM customer ORDER BY c_custkey"),
+    "q_distinct_on" ->
+      ("SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_name " +
+       "FROM customer ORDER BY c_nationkey, c_custkey"),
     "q_agg_bool" ->
       ("SELECT o_orderpriority, bool_and(o_totalprice > 1000) AS all_over_1k, " +
        "bool_or(o_orderstatus = 'F') AS any_f, COUNT(*) AS cnt " +
