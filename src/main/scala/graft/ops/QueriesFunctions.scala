@@ -103,6 +103,28 @@ object QueriesFunctions {
       ).orderBy("s_suppkey")
     },
 
+    "q_fn_trig" -> { (s, d) =>
+      // transcendental family rounded at 4 digits (libm last-ulp
+      // differences live far below that, same policy as ln/exp)
+      val x = col("s_acctbal") / 10000.0
+      Tables.t(s, d, "supplier").select(
+        col("s_suppkey"),
+        round(sin(x), 4).as("sin_x"),
+        round(cos(x), 4).as("cos_x"),
+        round(atan2(x, lit(1.0)), 4).as("atan2_x"),
+        round(degrees(x), 4).as("deg_x"),
+        round(sqrt(abs(x)), 4).as("sqrt_x")
+      ).orderBy("s_suppkey")
+    },
+
+    "q_fn_format" -> { (s, d) =>
+      Tables.t(s, d, "nation").select(
+        col("n_nationkey"),
+        format_string("%s-%03d", col("n_name"), col("n_nationkey")).as("tag"),
+        format_string("%.2f", col("n_nationkey") * 1.5).as("num")
+      ).orderBy("n_nationkey")
+    },
+
     "q_fn_levenshtein" -> { (s, d) =>
       // edit distance — the classic fuzzy-matching primitive, same name
       // and semantics in both engines
@@ -204,6 +226,17 @@ object QueriesFunctions {
        "array_to_string(list_transform(map_values(MAP(['a','b'], [1,2])), v -> CAST(v AS VARCHAR)), ',') AS mvals, " +
        "struct_pack(k := s_suppkey, n := s_name).n AS st_n " +
        "FROM supplier ORDER BY s_suppkey"),
+    "q_fn_trig" ->
+      ("SELECT s_suppkey, round(sin(s_acctbal / 10000.0), 4) AS sin_x, " +
+       "round(cos(s_acctbal / 10000.0), 4) AS cos_x, " +
+       "round(atan2(s_acctbal / 10000.0, 1.0), 4) AS atan2_x, " +
+       "round(degrees(s_acctbal / 10000.0), 4) AS deg_x, " +
+       "round(sqrt(abs(s_acctbal / 10000.0)), 4) AS sqrt_x " +
+       "FROM supplier ORDER BY s_suppkey"),
+    "q_fn_format" ->
+      ("SELECT n_nationkey, printf('%s-%03d', n_name, n_nationkey) AS tag, " +
+       "printf('%.2f', n_nationkey * 1.5) AS num " +
+       "FROM nation ORDER BY n_nationkey"),
     "q_fn_levenshtein" ->
       ("SELECT n_nationkey, levenshtein(n_name, 'UNITED STATES') AS d_us, " +
        "levenshtein(lower(n_name), 'china') AS d_cn " +

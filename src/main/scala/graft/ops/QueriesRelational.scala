@@ -323,6 +323,27 @@ object QueriesRelational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
+    "q_agg_string_sorted" -> { (s, d) =>
+      // deterministic string aggregation: sorted within group on both
+      // engines (plain string_agg order is engine-defined, §7.5)
+      Tables.t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy("n_regionkey")
+    },
+    "q_join_lateral" -> { (s, d) =>
+      // correlated LATERAL subquery: top order per customer (decorrelates
+      // like the scalar subquery but returns a row set per outer row)
+      Tables.ensure(s, d)
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+          |WHERE c.c_custkey <= 100
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
     "q_distinct_on" -> { (s, d) =>
       // DuckDB's DISTINCT ON (first row per key under an order) maps to
       // the row_number()=1 window pattern — the standard Spark spelling
@@ -688,6 +709,14 @@ object QueriesRelational {
        "round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd, " +
        "round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr " +
        "FROM customer ORDER BY c_custkey"),
+    "q_agg_string_sorted" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
+       "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    "q_join_lateral" ->
+      ("SELECT c.c_custkey, t.o_orderkey, t.o_totalprice " +
+       "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o " +
+       "WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t " +
+       "WHERE c.c_custkey <= 100 ORDER BY c.c_custkey"),
     "q_distinct_on" ->
       ("SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_name " +
        "FROM customer ORDER BY c_nationkey, c_custkey"),
