@@ -575,6 +575,36 @@ object QueriesRelational {
       val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
       c.intersect(su).orderBy("k")
     },
+    "q_intersect_all" -> { (s, d) =>
+      // bag semantics: each key survives min(multiplicity) times
+      val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.intersectAll(su).groupBy("k").agg(count(lit(1)).as("cnt")).orderBy("k")
+    },
+    "q_except_all" -> { (s, d) =>
+      // bag semantics: multiplicity difference
+      val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.exceptAll(su).groupBy("k").agg(count(lit(1)).as("cnt")).orderBy("k")
+    },
+    "q_agg_cube" -> { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
+    "q_unpivot" -> { (s, d) =>
+      // wide -> long: melt three numeric columns into (metric, value) rows
+      Tables.t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          (col("s_acctbal") * 2).as("double_bal"),
+          col("s_nationkey").cast(DoubleType).as("nation_d"))
+        .unpivot(Array(col("s_suppkey")),
+          Array(col("s_acctbal"), col("double_bal"), col("nation_d")),
+          "metric", "value")
+        .orderBy("s_suppkey", "metric")
+    },
     "q_except" -> { (s, d) =>
       val c = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
       val su = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
@@ -822,6 +852,24 @@ object QueriesRelational {
     "q_intersect" ->
       ("SELECT c_nationkey AS k FROM customer INTERSECT " +
        "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    "q_intersect_all" ->
+      ("SELECT k, COUNT(*) AS cnt FROM (" +
+       "SELECT c_nationkey AS k FROM customer INTERSECT ALL " +
+       "SELECT s_nationkey AS k FROM supplier) GROUP BY k ORDER BY k"),
+    "q_except_all" ->
+      ("SELECT k, COUNT(*) AS cnt FROM (" +
+       "SELECT c_nationkey AS k FROM customer EXCEPT ALL " +
+       "SELECT s_nationkey AS k FROM supplier) GROUP BY k ORDER BY k"),
+    "q_agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem " +
+       "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_unpivot" ->
+      ("SELECT s_suppkey, metric, value FROM (" +
+       "SELECT s_suppkey, 's_acctbal' AS metric, s_acctbal AS value FROM supplier " +
+       "UNION ALL SELECT s_suppkey, 'double_bal', s_acctbal * 2 FROM supplier " +
+       "UNION ALL SELECT s_suppkey, 'nation_d', CAST(s_nationkey AS DOUBLE) FROM supplier) " +
+       "ORDER BY s_suppkey, metric"),
     "q_except" ->
       ("SELECT c_nationkey AS k FROM customer EXCEPT " +
        "SELECT s_nationkey AS k FROM supplier ORDER BY k")
