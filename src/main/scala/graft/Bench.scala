@@ -89,7 +89,15 @@ object Bench {
     val headlineTotal = timed.filter(t => Headline.contains(t._1) && t._2 >= 0)
       .map(_._2).sum
     val hl = Headline.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"headline_6q_total","value":$headlineTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"warmup pass + noop-sink materialization + clearCache isolation; second-pass times; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}""")
+    val json = s"""{"metric":"headline_6q_total","value":$headlineTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"warmup pass + noop-sink materialization + clearCache isolation; second-pass times; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
+    println(json)
+    // r3 verdict #10: the driver's stdout tail cap truncated the JSON once;
+    // always leave a complete copy on disk too
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/root/repo/BENCH_LOCAL.json")).foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception => System.err.println(s"[bench] write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

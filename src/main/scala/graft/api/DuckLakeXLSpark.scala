@@ -153,6 +153,13 @@ class DuckLakeXLSpark(
         case StatementRouter.Use(name) =>
           require(name.equalsIgnoreCase(lakeName) || name.equalsIgnoreCase("main"),
             s"unknown catalog/schema: $name")
+        case a: StatementRouter.Attach =>
+          // validate-or-noop: the lake is attached by the constructor; a
+          // replayed reference init script (ducklakexl.py:236) must pass
+          // through, but attaching a DIFFERENT lake name is a user error
+          a.alias.foreach(al => require(al.equalsIgnoreCase(lakeName),
+            s"ATTACH alias '$al' does not match this lake: $lakeName"))
+        case StatementRouter.Detach => // noop — attachment is the object's lifetime
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
@@ -179,24 +186,38 @@ class DuckLakeXLSpark(
   private val VersionAtRe =
     """(?i)\b(\w+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
   private val VersionAsOfRe = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAtRe =
+    """(?i)\b(\w+)\s+AT\s*\(\s*TIMESTAMP\s*=>\s*'([^']+)'\s*\)""".r
+  private val TimestampAsOfRe =
+    """(?i)\b(\w+)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val SnapshotsRe = """(?i)\bsnapshots\s*\(\s*\)""".r
+  private val InfoSchemaRe = """(?i)\binformation_schema\.(tables|columns)\b""".r
 
-  /** apply `f` to the parts of `s` outside single-quoted literals */
-  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+  /** apply `f` to the parts of `s` outside single-quoted literals and
+    * double-quoted identifiers — a table literally named `"main.t"` must
+    * survive the qualifier strip untouched
+    */
+  private[graft] def mapOutsideQuotes(s: String)(f: String => String): String = {
     val out = new StringBuilder
     val cur = new StringBuilder
     var i = 0
     var inS = false
+    var inD = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!inS && c == '\'') {
-        out.append(f(cur.toString)); cur.clear(); inS = true; out.append(c)
+      if (!inS && !inD && (c == '\'' || c == '"')) {
+        out.append(f(cur.toString)); cur.clear()
+        if (c == '\'') inS = true else inD = true
+        out.append(c)
       } else if (inS) {
         out.append(c)
         if (c == '\'') {
           if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
           else inS = false
         }
+      } else if (inD) {
+        out.append(c)
+        if (c == '"') inD = false
       } else cur.append(c)
       i += 1
     }
@@ -206,12 +227,26 @@ class DuckLakeXLSpark(
 
   /** make lake-qualified names (`my_ducklake.main.t`, `main.t`) resolve to
     * the registered bare views (reference: qualified resolution inside
-    * DuckDB, ducklakexl.py:657,716 / README.md:70), and turn the time
-    * travel syntaxes `t AT (VERSION => n)` / `t VERSION AS OF n`
+    * DuckDB, ducklakexl.py:657,716 / README.md:70), turn the time
+    * travel syntaxes `t AT (VERSION => n)` / `t VERSION AS OF n` and their
+    * timestamp twins `t AT (TIMESTAMP => 'ts')` / `t TIMESTAMP AS OF 'ts'`
     * (README.md:162-165 names this TODO; DuckDB/Spark spellings) into a
-    * snapshot-pinned temp view backed by [[tableAt]]
+    * snapshot-pinned temp view backed by [[tableAt]], and route
+    * `information_schema.tables|columns` to the catalog-backed views
+    * (the reference's own bootstrap queries it — ducklakexl.py:238).
     */
-  private def rewriteSelect(q: String): String =
+  private[graft] def rewriteSelect(q0: String): String = {
+    // timestamp travel first: the ts literal sits INSIDE single quotes —
+    // here the quoted text is part of the travel syntax, not a user
+    // literal, so these two run on the whole string
+    def travelTs(name: String, ts: String): String = {
+      val id = snapshotIdAt(ts)
+      val vn = s"${name}__v$id"
+      tableAt(name, id).createOrReplaceTempView(vn)
+      vn
+    }
+    var q = TimestampAtRe.replaceAllIn(q0, m => travelTs(m.group(1), m.group(2)))
+    q = TimestampAsOfRe.replaceAllIn(q, m => travelTs(m.group(1), m.group(2)))
     mapOutsideQuotes(q) { seg =>
       var s = seg
       s = QualRe.replaceAllIn(s, "")
@@ -227,8 +262,29 @@ class DuckLakeXLSpark(
       s = SnapshotsRe.replaceAllIn(s, { _ =>
         snapshots().createOrReplaceTempView("__snapshots"); "__snapshots"
       })
+      s = InfoSchemaRe.replaceAllIn(s, m => "__info_" + m.group(1).toLowerCase)
       s
     }
+  }
+
+  /** latest snapshot whose snapshot_time <= ts — DuckLake's
+    * `AT (TIMESTAMP => …)` resolution. Accepts 'yyyy-MM-dd[ HH:mm:ss]'
+    * (a bare date means midnight); snapshot times are recorded in the
+    * same second-resolution format, so the compare is lexicographic.
+    */
+  def snapshotIdAt(ts: String): Long = {
+    val t0 = ts.trim.replace('T', ' ')
+    val norm = if (t0.length == 10) t0 + " 00:00:00" else t0
+    val ok = state.snapshots.filter(_.snapshotTime <= norm)
+    require(ok.nonEmpty, s"no snapshot at or before timestamp: $ts")
+    ok.map(_.snapshotId).max
+  }
+
+  /** time travel by wall clock: the table as of the latest snapshot taken
+    * at or before `ts`
+    */
+  def tableAtTime(name: String, ts: String): DataFrame =
+    tableAt(name, snapshotIdAt(ts))
 
   /** current-snapshot scan of a lake table: union of live parquet files */
   def table(name: String): DataFrame = tableAt(name, state.currentSnapshot)
@@ -253,7 +309,7 @@ class DuckLakeXLSpark(
         .groupBy(_.dataFileId).map { case (fid, rows) =>
           fid -> rows.flatMap(r => nameById.get(r.columnId).map(_ -> r)).toMap
         }
-      val index = new DuckLakeFileIndex(files, stats)
+      val index = new DuckLakeFileIndex(files, stats, state.partitionValuesOf(t.tableId))
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, new StructType(), schema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
@@ -340,6 +396,7 @@ class DuckLakeXLSpark(
     state.liveTables().foreach { t =>
       tableAt(t.tableName, state.currentSnapshot).createOrReplaceTempView(t.tableName)
     }
+    registerInfoSchema()
     // SQL views on top of the tables, in creation order (a later view may
     // reference an earlier one); a view whose base was dropped must not
     // brick the whole lake on reopen
@@ -349,6 +406,46 @@ class DuckLakeXLSpark(
         System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
       }
     }
+  }
+
+  /** `information_schema.tables` / `.columns` as catalog-backed views
+    * (SURVEY §2: expose catalog state as views). Mirrors what the DuckDB
+    * pass-through shows the reference: the user tables under the lake
+    * catalog, and the DuckLake metadata tables under
+    * `__ducklake_metadata_<lake>` — the reference's own bootstrap lists
+    * those (ducklakexl.py:238-241), so a replayed init script works.
+    */
+  private def registerInfoSchema(): Unit = {
+    val metaCatalog = s"__ducklake_metadata_$lakeName"
+    val tRows =
+      state.liveTables().sortBy(_.tableName).map(t =>
+        Row(lakeName, "main", t.tableName, "BASE TABLE")) ++
+      state.liveViews().sortBy(_.viewName).map(v =>
+        Row(lakeName, "main", v.viewName, "VIEW")) ++
+      CatalogSchema.tables.map { case (name, _) =>
+        Row(metaCatalog, "main", name, "BASE TABLE")
+      }
+    spark.createDataFrame(tRows.asJava, StructType(Seq(
+      StructField("table_catalog", StringType, false),
+      StructField("table_schema", StringType, false),
+      StructField("table_name", StringType, false),
+      StructField("table_type", StringType, false))))
+      .createOrReplaceTempView("__info_tables")
+    val cRows = state.liveTables().sortBy(_.tableName).flatMap { t =>
+      state.columnsOf(t.tableId).map(c =>
+        Row(lakeName, "main", t.tableName, c.columnName,
+          (c.columnOrder + 1).toLong, c.columnType,
+          if (c.nullsAllowed) "YES" else "NO"))
+    }
+    spark.createDataFrame(cRows.asJava, StructType(Seq(
+      StructField("table_catalog", StringType, false),
+      StructField("table_schema", StringType, false),
+      StructField("table_name", StringType, false),
+      StructField("column_name", StringType, false),
+      StructField("ordinal_position", LongType, false),
+      StructField("data_type", StringType, false),
+      StructField("is_nullable", StringType, false))))
+      .createOrReplaceTempView("__info_columns")
   }
 
   private def executeCreateView(s: StatementRouter.CreateView): Unit = {
@@ -469,18 +566,28 @@ class DuckLakeXLSpark(
         }.toSeq: _*)
     }
 
-    val written = writeParquetFiles(df, t.tableName)
-    if (written.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
-    registerWrittenFiles(t, written)
+    val partCols = state.partitionColumnsOf(t.tableId).map(_.columnName)
+    if (partCols.isEmpty) {
+      val written = writeParquetFiles(df, t.tableName)
+      if (written.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
+      registerWrittenFiles(t, written)
+    } else {
+      val writtenPV = writeParquetFilesPartitioned(df, t.tableName, partCols)
+      if (writtenPV.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
+      registerWrittenFiles(t, writtenPV.map(_._1),
+        writtenPV.map { case (p, v) => p.toString -> v }.toMap)
+    }
   }
 
-  /** add data_file + per-file column stats rows for freshly written files
-    * (ONE stats job over all of them), bump table stats, advance snapshot
+  /** add data_file + per-file column stats rows (+ partition-value rows,
+    * when given) for freshly written files (ONE stats job over all of
+    * them), bump table stats, advance snapshot
     */
-  private def registerWrittenFiles(t: TableRow, written: Seq[Path]): Unit = {
+  private def registerWrittenFiles(t: TableRow, written: Seq[Path],
+      partVals: Map[String, Seq[Option[String]]] = Map.empty): Unit = {
     val schema = state.schemaOf(t.tableId)
     val snap = state.currentSnapshot + 1
-    val (ns, fid) = appendWrittenFiles(state, t, snap, state.nextFileId, written, schema)
+    val (ns, fid) = appendWrittenFiles(state, t, snap, state.nextFileId, written, schema, partVals)
     val added = ns.dataFiles
       .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
       .map(_.recordCount).sum
@@ -529,8 +636,13 @@ class DuckLakeXLSpark(
     val partial = affected.filter(f => hits(f.path) < f.recordCount)
     if (partial.nonEmpty) {
       val pred = expr(s.where.get) // partial implies a WHERE existed
+      // SQL DELETE removes rows where the predicate is TRUE; rows where it
+      // evaluates NULL must SURVIVE — a bare !pred drops them (NULL
+      // satisfies neither pred nor !pred). kept = NOT coalesce(pred, false)
+      // also makes the kept count exactly recordCount - hits, so the
+      // pred-TRUE hit counts double as exact removed-row accounting.
       val keep = spark.read.schema(schema).parquet(partial.map(_.path): _*)
-        .filter(!pred)
+        .filter(!coalesce(pred, lit(false)))
       val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
         writeParquetFiles(keep, t.tableName), schema)
       ns = ns2; fid = fid2
@@ -612,9 +724,9 @@ class DuckLakeXLSpark(
     *           matched rows) + its stats pass;
     *   job 3 — NOT MATCHED source rows anti-joined against the full
     *           pre-merge target, written as fresh insert files + stats.
-    * Cardinality caveat (standard MERGE): a target row matched by several
-    * source rows duplicates in the rewrite — the caller must keep the ON
-    * condition key-unique on the source side.
+    * Cardinality (standard MERGE semantics): a target row matched by
+    * several source rows raises an error — detected for free against the
+    * rewrite's stats pass, which must preserve the affected row count.
     */
   private def executeMerge(s: StatementRouter.Merge): Unit = {
     val t = state.tableByName(s.table).getOrElse(
@@ -626,16 +738,19 @@ class DuckLakeXLSpark(
     val srcDF = spark.sql(rewriteSelect(s.sourceSql)).alias(s.srcAlias)
     val cond = expr(s.on)
 
-    val affectedPaths: Set[String] =
-      if (live.isEmpty) Set.empty
+    // per-file MATCHED-target-row counts (left_semi keeps each matched
+    // target row exactly once, regardless of source multiplicity) — the
+    // keys are the affected files, the counts the tombstone provenance
+    val matchedByPath: Map[String, Long] =
+      if (live.isEmpty) Map.empty
       else {
         val tgt = spark.read.schema(schema).parquet(live.map(_.path): _*)
           .withColumn("__f", input_file_name()).alias(s.tgtAlias)
         tgt.join(srcDF, cond, "left_semi")
-          .select("__f").distinct()
-          .collect().map(r => normUri(r.getString(0))).toSet
+          .groupBy("__f").agg(count(lit(1)).as("c"))
+          .collect().map(r => normUri(r.getString(0)) -> r.getLong(1)).toMap
       }
-    val affected = live.filter(f => affectedPaths.contains(normUri(f.path)))
+    val affected = live.filter(f => matchedByPath.contains(normUri(f.path)))
 
     var ns = state
     if (affected.nonEmpty && (s.matchedSets.isDefined || s.matchedDelete)) {
@@ -644,7 +759,8 @@ class DuckLakeXLSpark(
         if (ids(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
       affected.foreach { f =>
         ns = ns.copy(deleteFiles = ns.deleteFiles :+ DeleteFileRow(
-          fid, t.tableId, snap, None, f.dataFileId, "", 0L))
+          fid, t.tableId, snap, None, f.dataFileId, "",
+          matchedByPath.getOrElse(normUri(f.path), 0L)))
         fid += 1
       }
       val aff = spark.read.schema(schema).parquet(affected.map(_.path): _*)
@@ -668,8 +784,27 @@ class DuckLakeXLSpark(
             }
           }.toSeq: _*)
         }
-      val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
-        writeParquetFiles(rewritten, t.tableName), schema)
+      val rewrittenFiles = writeParquetFiles(rewritten, t.tableName)
+      val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid, rewrittenFiles, schema)
+      // cardinality guard (standard MERGE semantics: engines ERROR when one
+      // target row is matched by several source rows — the left_outer
+      // rewrite would silently duplicate it). The rewrite of an UPDATE
+      // preserves row counts, so any excess over the affected files' row
+      // sum proves a multi-match; the stats pass already counted outputs,
+      // making this check free.
+      if (s.matchedSets.isDefined) {
+        val rewCnt = ns2.dataFiles
+          .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
+          .map(_.recordCount).sum
+        val affCnt = affected.map(_.recordCount).sum
+        if (rewCnt != affCnt) {
+          rewrittenFiles.foreach(Files.deleteIfExists(_))
+          throw new IllegalArgumentException(
+            "MERGE aborted: a target row is matched by multiple source rows " +
+            s"(rewrite produced $rewCnt rows for $affCnt affected) — " +
+            "make the ON condition key-unique on the source side")
+        }
+      }
       ns = ns2; fid = fid2
     }
 
@@ -725,9 +860,13 @@ class DuckLakeXLSpark(
   private def normUri(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
-  /** fold freshly written files (+ their one-job stats) into `ns` at `snap` */
+  /** fold freshly written files (+ their one-job stats and, for
+    * partitioned writes, their per-file partition values) into `ns` at
+    * `snap`
+    */
   private def appendWrittenFiles(ns0: CatalogState, t: TableRow, snap: Long,
-      fid0: Long, written: Seq[Path], schema: StructType): (CatalogState, Long) = {
+      fid0: Long, written: Seq[Path], schema: StructType,
+      partVals: Map[String, Seq[Option[String]]] = Map.empty): (CatalogState, Long) = {
     if (written.isEmpty) return (ns0, fid0)
     val cols = ns0.columnsOf(t.tableId)
     val statsByPath = fileStatsAll(written.map(_.toString), schema, cols)
@@ -741,7 +880,11 @@ class DuckLakeXLSpark(
         fileColumnStats = ns.fileColumnStats ++ cols.map { c =>
           val (mn, mx, nl) = st(c.columnId)
           FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
-        })
+        },
+        filePartitionValues = ns.filePartitionValues ++
+          partVals.getOrElse(p.toString, Seq.empty).zipWithIndex.map { case (v, i) =>
+            FilePartitionValueRow(fid, t.tableId, i, v)
+          })
       fid += 1
     }
     (ns, fid)
@@ -784,9 +927,30 @@ class DuckLakeXLSpark(
         val c = cols.find(_.columnName.equalsIgnoreCase(name)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $name"))
         require(cols.size > 1, s"cannot drop the last column of ${s.table}")
+        require(!state.partitionColumnsOf(t.tableId).exists(_.columnId == c.columnId),
+          s"cannot drop partition column: $name")
         state = state.copy(columns = state.columns.map(x =>
           if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
         newSnapshot(state.nextCatalogId, state.nextFileId)
+      case StatementRouter.SetPartitionedBy(colNames) =>
+        // DuckLake partition-spec DDL: metadata-only. Ends any live spec,
+        // begins a new one; files written from now on are split
+        // one-partition-value-per-file and carry
+        // ducklake_file_partition_value rows; existing files are untouched
+        // (their pruning keeps working through min/max stats).
+        val cols = state.columnsOf(t.tableId)
+        val keyCols = colNames.map(n => cols.find(_.columnName.equalsIgnoreCase(n))
+          .getOrElse(throw new IllegalArgumentException(s"no such column: $n")))
+        val pid = state.nextCatalogId
+        val ended = state.partitionInfo.map(p =>
+          if (p.tableId == t.tableId && p.endSnapshot.isEmpty) p.copy(endSnapshot = Some(snap)) else p)
+        state = state.copy(
+          partitionInfo = ended :+ PartitionInfoRow(pid, t.tableId, snap, None),
+          partitionColumns = state.partitionColumns ++
+            keyCols.zipWithIndex.map { case (c, i) =>
+              PartitionColumnRow(pid, t.tableId, i, c.columnId)
+            })
+        newSnapshot(pid + 1, state.nextFileId)
     }
   }
 
@@ -936,9 +1100,16 @@ class DuckLakeXLSpark(
       StructField("__src", StringType, false),
       StructField("__grp", IntegerType, false))))
     val mergeIds = toMerge.flatten.map(_.dataFileId).toSet
+    // input_file_name yields URI-ENCODED file: URIs; catalog paths are
+    // plain. Decode with the same java.net.URI rule as normUri (a bare
+    // prefix-strip silently drops every row of a path containing a space,
+    // '%', or non-ASCII char from the join — data loss). The lambda is
+    // self-contained so the UDF closure never captures `this`.
+    val decodeUri = udf { p: String =>
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    }
     val src = spark.read.schema(schema).parquet(toMerge.flatten.map(_.path).toSeq: _*)
-      // input_file_name yields file:// URIs; catalog paths are plain ASCII
-      .withColumn("__src", regexp_replace(input_file_name(), "^file:(//)?", ""))
+      .withColumn("__src", decodeUri(input_file_name()))
     val tagged = src.join(broadcast(grpDF), "__src").drop("__src")
     val tmp = Files.createTempDirectory(Paths.get(dataPath), s".compact_${t.tableName}")
     withoutAQE {
@@ -963,6 +1134,18 @@ class DuckLakeXLSpark(
       if (mergeIds.contains(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
     // plus one stats job over every merged output
     val (ns2, fid2) = appendWrittenFiles(ended, t, snap, fid, written, schema)
+    // before committing the snapshot: every input row must have survived
+    // the group-tag join (the stats pass already counted the outputs, so
+    // this check is free) — a silent drop here would be silent data loss
+    val mergedCnt = toMerge.flatten.map(_.recordCount).sum
+    val writtenCnt = ns2.dataFiles
+      .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
+      .map(_.recordCount).sum
+    if (writtenCnt != mergedCnt) {
+      written.foreach(Files.deleteIfExists(_))
+      throw new IllegalStateException(
+        s"compact aborted: merged files hold $mergedCnt rows but rewrite produced $writtenCnt")
+    }
     state = ns2
     newSnapshot(state.nextCatalogId, fid2)
     registerViews()
@@ -995,6 +1178,65 @@ class DuckLakeXLSpark(
     // clean the tmp dir (crc/_SUCCESS leftovers)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     moved
+  }
+
+  /** partitioned append: one parquet file (set) per partition VALUE, via a
+    * shadow-column `partitionBy` — the data columns stay IN the files
+    * (DuckLake data files are self-contained; partition values are catalog
+    * metadata, `ducklake_file_partition_value`), the hive dir layout only
+    * drives the per-value file split and is flattened away by the move.
+    * Returns each final path with its partition values by key index.
+    * Distributed: every writer task lands its own file per value it holds.
+    */
+  private def writeParquetFilesPartitioned(df: DataFrame, tableName: String,
+      partCols: Seq[String]): Seq[(Path, Seq[Option[String]])] = {
+    val shadow = partCols.indices.map(i => s"__p$i")
+    val w = partCols.zip(shadow).foldLeft(df) { case (d, (c, s)) =>
+      d.withColumn(s, colq(d, c).cast(StringType))
+    }
+    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".write_$tableName")
+    w.write.mode("overwrite").partitionBy(shadow: _*).parquet(tmp.toString)
+    def valueOf(dirName: String): Option[String] = {
+      val v = dirName.substring(dirName.indexOf('=') + 1)
+      if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(unescapePathName(v))
+    }
+    def walk(p: Path, vals: Seq[Option[String]], depth: Int): Seq[(Path, Seq[Option[String]])] =
+      if (depth == shadow.length)
+        Files.list(p).iterator().asScala
+          .filter(f => f.getFileName.toString.startsWith("part-") &&
+            f.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString).map(f => (f, vals))
+      else
+        Files.list(p).iterator().asScala
+          .filter(d => Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith(s"__p$depth=")).toSeq
+          .sortBy(_.getFileName.toString)
+          .flatMap(d => walk(d, vals :+ valueOf(d.getFileName.toString), depth + 1))
+    val dir = Paths.get(dataPath, tableName)
+    Files.createDirectories(dir)
+    val moved = walk(tmp, Seq.empty, 0).zipWithIndex.map { case ((p, vals), i) =>
+      val dest = dir.resolve(s"data_${UUID.randomUUID().toString.take(8)}_$i.parquet")
+      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      (dest, vals)
+    }
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    moved
+  }
+
+  /** undo the hive-style %xx escaping partitioned writers apply to
+    * special characters in partition dir names
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def colq(df: DataFrame, name: String) = df(s"`$name`")

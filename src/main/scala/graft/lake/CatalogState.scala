@@ -30,7 +30,10 @@ object CatalogSchema {
     "ducklake_table" -> Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name"),
     "ducklake_view" -> Seq("view_id", "view_uuid", "begin_snapshot", "end_snapshot", "schema_id", "view_name", "sql"),
     "ducklake_column" -> Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order", "column_name", "column_type", "nulls_allowed"),
+    "ducklake_partition_info" -> Seq("partition_id", "table_id", "begin_snapshot", "end_snapshot"),
+    "ducklake_partition_column" -> Seq("partition_id", "table_id", "partition_key_index", "column_id"),
     "ducklake_data_file" -> Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path", "record_count", "file_size_bytes"),
+    "ducklake_file_partition_value" -> Seq("data_file_id", "table_id", "partition_key_index", "partition_value"),
     "ducklake_delete_file" -> Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot", "data_file_id", "path", "delete_count"),
     "ducklake_table_stats" -> Seq("table_id", "record_count"),
     "ducklake_file_column_statistics" -> Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count")
@@ -100,6 +103,19 @@ final case class ColumnRow(columnId: Long, beginSnapshot: Long, endSnapshot: Opt
 final case class DataFileRow(dataFileId: Long, tableId: Long,
                              beginSnapshot: Long, endSnapshot: Option[Long],
                              path: String, recordCount: Long, fileSizeBytes: Long)
+/** a table's partition spec (one live row per partitioned table) */
+final case class PartitionInfoRow(partitionId: Long, tableId: Long,
+                                  beginSnapshot: Long, endSnapshot: Option[Long])
+/** key k of a partition spec = the column with this columnId */
+final case class PartitionColumnRow(partitionId: Long, tableId: Long,
+                                    partitionKeyIndex: Int, columnId: Long)
+/** the single partition value a data file holds for key index k (files of
+  * a partitioned table are written one-partition-value-per-file); None =
+  * the file's rows had NULL in the partition column
+  */
+final case class FilePartitionValueRow(dataFileId: Long, tableId: Long,
+                                       partitionKeyIndex: Int,
+                                       partitionValue: Option[String])
 final case class DeleteFileRow(deleteFileId: Long, tableId: Long,
                                beginSnapshot: Long, endSnapshot: Option[Long],
                                dataFileId: Long, path: String, deleteCount: Long)
@@ -115,7 +131,10 @@ final case class CatalogState(
     tables: Vector[TableRow],
     views: Vector[ViewRow],
     columns: Vector[ColumnRow],
+    partitionInfo: Vector[PartitionInfoRow],
+    partitionColumns: Vector[PartitionColumnRow],
     dataFiles: Vector[DataFileRow],
+    filePartitionValues: Vector[FilePartitionValueRow],
     deleteFiles: Vector[DeleteFileRow],
     tableStats: Vector[TableStatsRow],
     fileColumnStats: Vector[FileColumnStatsRow],
@@ -159,6 +178,38 @@ final case class CatalogState(
     StructType(columnsOf(tableId, snap).map(c =>
       StructField(c.columnName, CatalogSchema.parseType(c.columnType), c.nullsAllowed)))
 
+  /** the table's live partition-key columns at `snap`, in key order
+    * (empty = unpartitioned)
+    */
+  def partitionColumnsOf(tableId: Long, snap: Long = currentSnapshot): Vector[ColumnRow] =
+    partitionInfo
+      .filter(p => p.tableId == tableId &&
+        aliveAt[PartitionInfoRow](_.beginSnapshot, _.endSnapshot, snap)(p))
+      .sortBy(_.partitionId).lastOption.toVector.flatMap { p =>
+        partitionColumns.filter(_.partitionId == p.partitionId)
+          .sortBy(_.partitionKeyIndex)
+          .flatMap(pc => columnsOf(tableId, snap).find(_.columnId == pc.columnId))
+      }
+
+  /** per-file partition values of a table, keyed by lowercase column name.
+    * Key indexes resolve against the partition spec live when the file was
+    * written (its begin snapshot), so spec changes never mislabel old files.
+    */
+  def partitionValuesOf(tableId: Long): Map[Long, Map[String, String]] = {
+    val byFile = filePartitionValues.filter(_.tableId == tableId).groupBy(_.dataFileId)
+    byFile.flatMap { case (fid, rows) =>
+      dataFiles.find(_.dataFileId == fid).map { f =>
+        val keyCols = partitionColumnsOf(tableId, f.beginSnapshot)
+        fid -> rows.flatMap { r =>
+          for {
+            c <- keyCols.lift(r.partitionKeyIndex)
+            v <- r.partitionValue
+          } yield c.columnName.toLowerCase -> v
+        }.toMap
+      }
+    }
+  }
+
   def nextCatalogId: Long =
     snapshots.lastOption.map(_.nextCatalogId).getOrElse(1L)
 
@@ -198,12 +249,24 @@ final case class CatalogState(
           columns.map(c => Seq(c.columnId.toString, c.beginSnapshot.toString,
             optS(c.endSnapshot), c.tableId.toString, c.columnOrder.toString,
             c.columnName, c.columnType, c.nullsAllowed.toString))),
+      XlsxSheet(sheetName("ducklake_partition_info"),
+        Seq("partition_id", "table_id", "begin_snapshot", "end_snapshot") +:
+          partitionInfo.map(p => Seq(p.partitionId.toString, p.tableId.toString,
+            p.beginSnapshot.toString, optS(p.endSnapshot)))),
+      XlsxSheet(sheetName("ducklake_partition_column"),
+        Seq("partition_id", "table_id", "partition_key_index", "column_id") +:
+          partitionColumns.map(p => Seq(p.partitionId.toString, p.tableId.toString,
+            p.partitionKeyIndex.toString, p.columnId.toString))),
       XlsxSheet(sheetName("ducklake_data_file"),
         Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path",
           "record_count", "file_size_bytes") +:
           dataFiles.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
             f.beginSnapshot.toString, optS(f.endSnapshot), f.path,
             f.recordCount.toString, f.fileSizeBytes.toString))),
+      XlsxSheet(sheetName("ducklake_file_partition_value"),
+        Seq("data_file_id", "table_id", "partition_key_index", "partition_value") +:
+          filePartitionValues.map(p => Seq(p.dataFileId.toString, p.tableId.toString,
+            p.partitionKeyIndex.toString, p.partitionValue.getOrElse("")))),
       XlsxSheet(sheetName("ducklake_delete_file"),
         Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot",
           "data_file_id", "path", "delete_count") +:
@@ -229,7 +292,7 @@ object CatalogState {
   val empty: CatalogState = CatalogState(
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
-    Vector.empty)
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty)
 
   // ------------------------------------------------- §1.3 cell coercions
   /** empty cell -> NULL (ducklakexl.py:497) */
@@ -305,6 +368,20 @@ object CatalogState {
         ol(m.getOrElse("end_snapshot", "")), asLong(m("table_id")),
         asLong(m("column_order")).toInt, m("column_name"), m("column_type"),
         asBool(m.getOrElse("nulls_allowed", "true")).getOrElse(true))).toVector,
+      // partition sheets parse defensively (getOrElse) — a foreign tool may
+      // have written a partial header before this engine interpreted them
+      partitionInfo = rowsOf("ducklake_partition_info").map(m => PartitionInfoRow(
+        asLong(m("partition_id")), asLong(m("table_id")),
+        ol(m.getOrElse("begin_snapshot", "")).getOrElse(0L),
+        ol(m.getOrElse("end_snapshot", "")))).toVector,
+      partitionColumns = rowsOf("ducklake_partition_column").map(m => PartitionColumnRow(
+        asLong(m("partition_id")), asLong(m("table_id")),
+        ol(m.getOrElse("partition_key_index", "")).getOrElse(0L).toInt,
+        asLong(m("column_id")))).toVector,
+      filePartitionValues = rowsOf("ducklake_file_partition_value").map(m => FilePartitionValueRow(
+        asLong(m("data_file_id")), asLong(m("table_id")),
+        ol(m.getOrElse("partition_key_index", "")).getOrElse(0L).toInt,
+        optCell(m.getOrElse("partition_value", "")))).toVector,
       dataFiles = rowsOf("ducklake_data_file").map(m => DataFileRow(
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("begin_snapshot")),
         ol(m.getOrElse("end_snapshot", "")), m("path"),

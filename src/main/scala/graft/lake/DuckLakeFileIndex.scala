@@ -27,7 +27,15 @@ import org.apache.spark.sql.types._
   */
 class DuckLakeFileIndex(
     files: Seq[DataFileRow],
-    statsByFile: Map[Long, Map[String, FileColumnStatsRow]])
+    statsByFile: Map[Long, Map[String, FileColumnStatsRow]],
+    /** per-file partition values (`ducklake_file_partition_value`), keyed
+      * by lowercase column name. A partition value is an EXACT min==max
+      * interval, so it prunes through the same conservative interval logic
+      * as stats — but never depends on a stats row existing, which is what
+      * makes `WHERE part_col = v` skip files written by any DuckLake writer
+      * that records partition values without column stats.
+      */
+    partValues: Map[Long, Map[String, String]] = Map.empty)
   extends FileIndex {
 
   override def rootPaths: Seq[HPath] = files.map(f => new HPath(f.path))
@@ -49,25 +57,39 @@ class DuckLakeFileIndex(
     new FileStatus(f.fileSizeBytes, false, 1, 128L << 20, 0L, new HPath(f.path))
 
   private def statsFor(f: DataFileRow, col: String): Option[FileColumnStatsRow] =
-    statsByFile.get(f.dataFileId).flatMap(_.get(col.toLowerCase))
+    partValues.get(f.dataFileId).flatMap(_.get(col.toLowerCase)) match {
+      // partition value first: an exact single-value interval beats (and
+      // never needs) the min/max stats row
+      case Some(v) =>
+        Some(FileColumnStatsRow(f.dataFileId, 0L, 0L, Some(v), Some(v), 0L))
+      case None => statsByFile.get(f.dataFileId).flatMap(_.get(col.toLowerCase))
+    }
 
   /** compare a stat string (written by `CAST(col AS STRING)` at insert
-    * time) against a literal value; None = not comparable → never skip
+    * time) against a literal value; None = not comparable → never skip.
+    * A null literal (e.g. `IN (1, NULL)`) is never comparable. Strings
+    * compare in UTF-8 binary order (what parquet/Spark order stats by) —
+    * Java String.compareTo is UTF-16 code-unit order, which diverges for
+    * supplementary characters and could wrongly prune a file.
     */
-  private def cmpStat(dt: DataType, stat: String, v: Any): Option[Int] = dt match {
-    case _: NumericType =>
-      try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
-      catch { case _: NumberFormatException => None }
-    case StringType => Some(stat.compareTo(v.toString))
-    case DateType => v match {
-      // DateType literals carry epoch days; stats hold ISO yyyy-MM-dd,
-      // which compares correctly as a string
-      case days: Int =>
-        Some(stat.compareTo(java.time.LocalDate.ofEpochDay(days.toLong).toString))
+  private def cmpStat(dt: DataType, stat: String, v: Any): Option[Int] =
+    if (v == null) None
+    else dt match {
+      case _: NumericType =>
+        try Some(BigDecimal(stat).compare(BigDecimal(v.toString)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(stat)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)))
+      case DateType => v match {
+        // DateType literals carry epoch days; stats hold ISO yyyy-MM-dd,
+        // which compares correctly as a string
+        case days: Int =>
+          Some(stat.compareTo(java.time.LocalDate.ofEpochDay(days.toLong).toString))
+        case _ => None
+      }
       case _ => None
     }
-    case _ => None
-  }
 
   /** col = v possible in f? (min <= v <= max) */
   private def eqMay(f: DataFileRow, col: String, v: Any, dt: DataType): Boolean =

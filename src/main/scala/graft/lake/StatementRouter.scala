@@ -75,6 +75,10 @@ object StatementRouter {
   final case class RenameTo(newName: String) extends AlterOp
   final case class AddColumn(name: String, sqlType: String) extends AlterOp
   final case class DropColumn(name: String) extends AlterOp
+  /** `ALTER TABLE t SET PARTITIONED BY (c1, …)` — DuckLake's partition-spec
+    * DDL (metadata-only; applies to files written from now on)
+    */
+  final case class SetPartitionedBy(cols: Seq[String]) extends AlterOp
   final case class AlterTable(table: String, op: AlterOp) extends Stmt
   final case class CreateView(name: String, select: String, orReplace: Boolean) extends Stmt
   final case class DropView(name: String, ifExists: Boolean) extends Stmt
@@ -86,14 +90,23 @@ object StatementRouter {
     * engine has no MERGE): copy-on-write over the affected target files.
     * Supported: WHEN MATCHED THEN UPDATE SET … / DELETE, WHEN NOT MATCHED
     * THEN INSERT [(cols)] VALUES (…). Source = table name or (query),
-    * each side optionally aliased; multi-matching a target row is the
-    * caller's responsibility (standard MERGE cardinality caveat).
+    * each side optionally aliased; a target row matched by multiple
+    * source rows errors (standard MERGE cardinality rule).
     */
   final case class Merge(table: String, tgtAlias: String,
                          sourceSql: String, srcAlias: String, on: String,
                          matchedSets: Option[Seq[(String, String)]],
                          matchedDelete: Boolean,
                          notMatchedInsert: Option[(Option[Seq[String]], String)]) extends Stmt
+
+  /** `ATTACH 'ducklake:…' [AS name] (DATA_PATH '…')` — the reference's
+    * init script runs this through DuckDB (ducklakexl.py:236); here attach
+    * semantics live in the constructor, so a replayed script validates the
+    * alias and no-ops instead of erroring as an unparseable SELECT.
+    */
+  final case class Attach(target: String, alias: Option[String],
+                          dataPath: Option[String]) extends Stmt
+  case object Detach extends Stmt
 
   /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
     * (ducklakexl.py:459-464); each sql() call is already atomic here
@@ -125,6 +138,8 @@ object StatementRouter {
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ADD\s+(?:COLUMN\s+)?([\w\"]+)\s+(.+?)\s*$""".r
   private val AlterDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+DROP\s+(?:COLUMN\s+)?([\w\"]+)\s*$""".r
+  private val AlterPartitionRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$""".r
   private val AlterRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?[\w\"]+\s+TO\s+[\w\"]+\s*$""".r
   private val TruncateRe =
@@ -132,6 +147,11 @@ object StatementRouter {
   private val NoOpRe =
     """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
+  private val AttachRe =
+    """(?is)^\s*ATTACH\s+(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+([\w\"]+))?\s*(?:\((.*)\))?\s*$""".r
+  private val DetachRe =
+    """(?is)^\s*DETACH\s+(?:DATABASE\s+)?(?:IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
+  private val DataPathRe = """(?i)DATA_PATH\s+'([^']+)'""".r
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w\.\"]+)(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
@@ -350,6 +370,9 @@ object StatementRouter {
       throw new IllegalArgumentException(
         "RENAME COLUMN is not supported: existing parquet files keep the old " +
         "physical column name (needs per-file field-id mapping)")
+    case AlterPartitionRe(name, cols) =>
+      AlterTable(bareName(name), SetPartitionedBy(
+        cols.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)))
     case AlterRenameRe(name, newName) =>
       AlterTable(bareName(name), RenameTo(bareName(newName)))
     case AlterAddRe(name, colName, colType) =>
@@ -360,6 +383,10 @@ object StatementRouter {
         DropColumn(colName.stripPrefix("\"").stripSuffix("\"")))
     case DropViewRe(ife, name) => DropView(bareName(name), ife != null)
     case TruncateRe(name) => Delete(bareName(name), None)
+    case AttachRe(target, alias, opts) =>
+      Attach(target, Option(alias).map(bareName),
+        Option(opts).flatMap(o => DataPathRe.findFirstMatchIn(o).map(_.group(1))))
+    case DetachRe(_) => Detach
     case UseRe(name) => Use(bareName(name))
     case ShowTablesRe() => ShowTables
     case ExplainRe(select) => Explain(select.trim)

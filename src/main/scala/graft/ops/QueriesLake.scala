@@ -139,6 +139,40 @@ object QueriesLake {
         """CREATE TABLE de(id INTEGER, qty DOUBLE, val VARCHAR);
           |DESCRIBE de""".stripMargin)
     },
+    // r4: partitioned table — spec DDL, per-value file split + catalog
+    // partition values, answered after reopen from the workbook alone
+    "q_lake_partition" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE pt(id INTEGER, region VARCHAR);
+          |ALTER TABLE pt SET PARTITIONED BY (region);
+          |INSERT INTO pt VALUES (1,'eu'),(2,'us'),(3,'eu'),(4,'ap');
+          |INSERT INTO pt VALUES (5,'us'),(6,'eu')""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql("SELECT id, region FROM pt WHERE region = 'eu' ORDER BY id")
+    },
+    // r4: the reference's init script replayed verbatim — ATTACH + the
+    // information_schema.tables probe over the metadata catalog
+    // (ducklakexl.py:236-241)
+    "q_lake_infoschema" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE it(id INTEGER, val VARCHAR)")
+      lake.sql(
+        s"""ATTACH 'ducklake:${lake.excelPath}' AS my_ducklake (DATA_PATH '${lake.dataPath}');
+           |SELECT table_name FROM information_schema.tables
+           |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
+           |ORDER BY table_name""".stripMargin)
+    },
+    // r4: time travel by timestamp — latest snapshot at or before ts
+    "q_lake_ts_travel" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE tst(id INTEGER, val VARCHAR);
+          |INSERT INTO tst VALUES (1,'a'),(2,'b'),(3,'c');
+          |DELETE FROM tst WHERE id = 1""".stripMargin)
+      lake.sql(
+        "SELECT id, val FROM tst AT (TIMESTAMP => '2100-01-01 00:00:00') ORDER BY id")
+    },
     // r3: column-list INSERT fills unlisted columns with NULL
     "q_lake_insert_cols" -> { (s, _) =>
       val lake = freshLake(s)
@@ -178,6 +212,17 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
     "q_lake_copy" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
+    "q_lake_partition" ->
+      ("SELECT * FROM (VALUES (1,'eu'),(3,'eu'),(6,'eu')) t(id, region) ORDER BY id"),
+    "q_lake_infoschema" ->
+      ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_data_file')," +
+       "('ducklake_delete_file'),('ducklake_file_column_statistics')," +
+       "('ducklake_file_partition_value'),('ducklake_metadata')," +
+       "('ducklake_partition_column'),('ducklake_partition_info')," +
+       "('ducklake_schema'),('ducklake_snapshot'),('ducklake_table')," +
+       "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),
+    "q_lake_ts_travel" ->
+      ("SELECT * FROM (VALUES (2,'b'),(3,'c')) t(id, val) ORDER BY id"),
     "q_lake_describe" ->
       ("SELECT * FROM (VALUES ('id','INTEGER','YES'), ('qty','DOUBLE','YES'), " +
        "('val','VARCHAR','YES')) t(column_name, column_type, \"null\")"),

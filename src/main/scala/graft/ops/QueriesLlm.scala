@@ -244,11 +244,21 @@ object QueriesLlm {
     val szB = sz.toDF("b", "sz_b")
     val jac = col("inter").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("inter"))
-    inter.join(szA, "a").join(szB, "b")
+    val out = inter.join(szA, "a").join(szB, "b")
       .withColumn("jac_raw", jac)
       .filter(col("jac_raw") >= thr)
       .select(col("a"), col("b"), round(col("jac_raw"), 4).as("jac"))
       .orderBy("a", "b")
+      // materialize the (output-sized) pair set on executor-local storage
+      // and release the corpus-scale shingle cache BEFORE returning, so a
+      // user session holds no corpus-sized cache after the call. Local
+      // checkpoint (not reliable checkpoint) because it needs no external
+      // FS; the one block set left behind is output-sized, never
+      // corpus-sized, and the ContextCleaner reclaims it once the caller
+      // drops the DataFrame.
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** oracle twin of [[minhashPairs]], parameterized on the grams CTE */
@@ -313,13 +323,16 @@ object QueriesLlm {
       minhashPairs(ngramsDF(s, d), NgramHashes, NgramBands, NgramThreshold)
     },
 
-    // ------------------------------------ near-dup: banded 32-bit SimHash
+    // ------------------------------------ near-dup: banded 64-bit SimHash
     "q_llm_dedup_simhash" -> { (s, d) =>
       // one md5 per word OCCURRENCE (simhash weights by term frequency);
       // sig bit b votes with bit b of the md5's 64-bit prefix, decoded
-      // ONCE per row into 4x16-bit integer chunks (the r2 shape ran 64
-      // substring+IN probes per row inside the aggregate). Portable:
-      // DuckDB casts '0x…' hex to BIGINT and has >>.
+      // ONCE per row into 4x16-bit integer chunks. The signature itself is
+      // BIT-PACKED into four 16-bit ints s0..s3 (one per Manku band) — the
+      // band key is the int itself (no substring), and the hamming verify
+      // is 4 bit_count(xor) ops per pair instead of the r3 shape's 64
+      // substring compares (the bench's slowest query at 16 s). Portable:
+      // DuckDB casts '0x…' hex to BIGINT and has >>, xor(), bit_count().
       val words = Tables.t(s, d, "documents")
         .select(col("doc_id"),
           explode(split(normText(col("text")), " ")).as("word"))
@@ -328,40 +341,49 @@ object QueriesLlm {
       val chunks = (0 until SimBits / 16).map(j =>
         conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast(LongType).as(s"c$j"))
       val wc = words.select(col("doc_id") +: chunks: _*)
+      // per-bit vote totals v_b = sum(±1) over word occurrences
       val bitAggs = (0 until SimBits).map { b =>
         val j = b / 16
         val k = 15 - (b % 16)
-        when(sum(shiftright(col(s"c$j"), k) % 2 * 2 - 1) >= 0, "1")
-          .otherwise("0").as(s"b$b")
+        sum(shiftright(col(s"c$j"), k) % 2 * 2 - 1).as(s"v$b")
+      }
+      // pack the 16 vote signs of band j into int s_j (bit 15-i of s_j =
+      // sign of vote for sig bit j*16+i — same bit order as the r3 string)
+      val sigCols = (0 until SimBands).map { j =>
+        (0 until 16).map { i =>
+          when(col(s"v${j * 16 + i}") >= 0, lit(1L << (15 - i))).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"s$j")
       }
       // one row per doc; persisted so both sides of the bucket self-join
       // read it back instead of re-running the corpus-wide word aggregation
       val sig = wc.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id"),
-          concat((0 until SimBits).map(b => col(s"b$b")): _*).as("sig"))
+        .select(col("doc_id") +: sigCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Manku-style banding: 4 blocks of 16 bits; any pair within hamming 3
       // agrees on >=1 whole block, so the block-bucket join has full recall
-      val w = SimBits / SimBands
+      val sigRefs = (0 until SimBands).map(j => col(s"s$j"))
       val bandArr = array((0 until SimBands).map { j =>
-        struct(lit(j).as("band"), substring(col("sig"), j * w + 1, w).as("bkey"))
+        struct(lit(j).as("band"), col(s"s$j").as("bkey"))
       }: _*)
-      val bands = sig.select(col("doc_id"), col("sig"), explode(bandArr).as("bs"))
-        .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val bands = sig.select((col("doc_id") +: sigRefs :+ explode(bandArr).as("bs")): _*)
+        .select((col("doc_id") +: sigRefs :+ col("bs.band").as("band") :+ col("bs.bkey").as("bkey")): _*)
+      val aCols = (0 until SimBands).map(j => col(s"x.s$j").as(s"sa$j"))
+      val bCols = (0 until SimBands).map(j => col(s"y.s$j").as(s"sb$j"))
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("x.sig").as("sig_a"),
-          col("y.doc_id").as("b"), col("y.sig").as("sig_b"))
+        .select((col("x.doc_id").as("a") +: col("y.doc_id").as("b") +: (aCols ++ bCols)): _*)
         .distinct()
-      val hd = (0 until SimBits).map(i =>
-        when(substring(col("sig_a"), i + 1, 1) =!= substring(col("sig_b"), i + 1, 1), 1)
-          .otherwise(0)).reduce(_ + _)
-      cand.withColumn("hamming", hd.cast("long"))
+      val hd = (0 until SimBands).map(j =>
+        bit_count(col(s"sa$j").bitwiseXOR(col(s"sb$j")))).reduce(_ + _)
+      val out = cand.withColumn("hamming", hd.cast("long"))
         .filter(col("hamming") <= HamThreshold)
         .select("a", "b", "hamming")
         .orderBy("a", "b")
+        .localCheckpoint(true) // output-sized; releases the sig cache below
+      sig.unpersist()
+      out
     },
 
     // -------------------- dedup clustering: connected components of pairs
@@ -411,8 +433,15 @@ object QueriesLlm {
           iter += 1
         }
       } finally s.conf.set(aqeKey, aqePrev)
-      labels.select(col("doc_id"), col("label").as("cluster_id"))
+      // hand back a checkpointed (lineage-free, output-sized) result and
+      // drop the superstep caches — deep-iteration lineage and the edge
+      // cache must not outlive the operator in a long-lived session
+      val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      labels.unpersist()
+      edges.unpersist()
+      out
     },
 
     // -------------------------- near-dup: embedding cosine in LSH buckets
@@ -613,31 +642,40 @@ object QueriesLlm {
     "q_llm_dedup_simhash" -> {
       val chunkDefs = (0 until SimBits / 16).map(j =>
         s"CAST('0x' || substring(h, ${j * 4 + 1}, 4) AS BIGINT) AS c$j").mkString(", ")
-      val bitexprs = (0 until SimBits).map { b =>
+      val voteExprs = (0 until SimBits).map { b =>
         val j = b / 16
         val k = 15 - (b % 16)
-        s"CASE WHEN sum(((c$j >> $k) % 2) * 2 - 1) >= 0 THEN '1' ELSE '0' END AS b$b"
+        s"sum(((c$j >> $k) % 2) * 2 - 1) AS v$b"
       }.mkString(",\n  ")
-      val cols = (0 until SimBits).map(b => s"b$b").mkString(", ")
-      val w = SimBits / SimBands
+      // bit-pack band j's 16 vote signs into int s_j (bit 15-i = sign of
+      // vote j*16+i) — mirrors the Spark side exactly
+      val sigExprs = (0 until SimBands).map { j =>
+        (0 until 16).map { i =>
+          s"(CASE WHEN v${j * 16 + i} >= 0 THEN ${1L << (15 - i)} ELSE 0 END)"
+        }.mkString("(", " + ", s") AS s$j")
+      }.mkString(",\n  ")
+      val sigCols = (0 until SimBands).map(j => s"s$j").mkString(", ")
       val bandCase = (0 until SimBands)
-        .map(j => s"WHEN $j THEN substring(sig, ${j * w + 1}, $w)")
+        .map(j => s"WHEN $j THEN s$j")
         .mkString("CASE band ", " ", " END")
       val bandVals = (0 until SimBands).map(j => s"($j)").mkString(", ")
-      val hamexpr = (0 until SimBits).map(i =>
-        s"CASE WHEN substring(sig_a,${i + 1},1) <> substring(sig_b,${i + 1},1) THEN 1 ELSE 0 END")
+      val aSigs = (0 until SimBands).map(j => s"x.s$j AS sa$j").mkString(", ")
+      val bSigs = (0 until SimBands).map(j => s"y.s$j AS sb$j").mkString(", ")
+      val hamexpr = (0 until SimBands).map(j => s"bit_count(xor(sa$j, sb$j))")
         .mkString(" + ")
       s"""WITH w AS (SELECT doc_id, md5(word) AS h FROM (
          |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
          |  FROM documents) WHERE length(word) > 0),
          |wc AS (SELECT doc_id, $chunkDefs FROM w),
-         |bits AS (SELECT doc_id,
-         |  $bitexprs
+         |votes AS (SELECT doc_id,
+         |  $voteExprs
          |  FROM wc GROUP BY doc_id),
-         |sig AS (SELECT doc_id, concat($cols) AS sig FROM bits),
-         |bands AS (SELECT doc_id, sig, band, $bandCase AS bkey
+         |sig AS (SELECT doc_id,
+         |  $sigExprs
+         |  FROM votes),
+         |bands AS (SELECT doc_id, $sigCols, band, $bandCase AS bkey
          |          FROM sig CROSS JOIN (VALUES $bandVals) bb(band)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, x.sig AS sig_a, y.doc_id AS b, y.sig AS sig_b
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $aSigs, $bSigs
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT a, b, CAST($hamexpr AS BIGINT) AS hamming

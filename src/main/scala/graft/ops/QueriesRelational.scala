@@ -765,9 +765,9 @@ object QueriesRelational {
        "FROM customer ORDER BY c_custkey"),
     "q_pivot" ->
       ("SELECT l_returnflag, " +
-       "sum(CASE WHEN l_linestatus = 'F' THEN qi END) AS \"F\", " +
-       "sum(CASE WHEN l_linestatus = 'O' THEN qi END) AS \"O\", " +
-       "sum(CASE WHEN l_linestatus = 'P' THEN qi END) AS \"P\" " +
+       "CAST(sum(CASE WHEN l_linestatus = 'F' THEN qi END) AS BIGINT) AS \"F\", " +
+       "CAST(sum(CASE WHEN l_linestatus = 'O' THEN qi END) AS BIGINT) AS \"O\", " +
+       "CAST(sum(CASE WHEN l_linestatus = 'P' THEN qi END) AS BIGINT) AS \"P\" " +
        "FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity) AS BIGINT) AS qi FROM lineitem) " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_scalar_subquery" ->

@@ -144,8 +144,10 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("unknown catalog sheets round-trip inert (SURVEY §1.2)") {
+    // (r4: the partition sheets are now INTERPRETED — these two, from
+    // DuckLake's wider spec, remain uninterpreted and prove pass-through)
     val extra = Seq(
-      XlsxSheet("partition_info", Seq(Seq("partition_id", "table_id"), Seq("1", "2"))),
+      XlsxSheet("column_mapping", Seq(Seq("mapping_id", "table_id"), Seq("1", "2"))),
       XlsxSheet("tag", Seq(Seq("key", "value"), Seq("owner", "it's ops"))))
     val st = CatalogState.empty.copy(
       metadata = Vector("version" -> "0.1"),
@@ -154,7 +156,7 @@ class CatalogSpec extends AnyFunSuite {
     val rt = CatalogState.fromSheets(st.toSheets)
     assert(rt == st)
     // and the sheets are actually present in the serialized form
-    assert(st.toSheets.map(_.name).count(Set("partition_info", "tag")) == 2)
+    assert(st.toSheets.map(_.name).count(Set("column_mapping", "tag")) == 2)
   }
 
   test("views round-trip through sheets") {

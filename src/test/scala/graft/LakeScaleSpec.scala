@@ -290,10 +290,151 @@ class LakeScaleSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partitioned table: per-value files, catalog values, plan-time pruning") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE pp(id INTEGER, region VARCHAR)")
+    lake.sql("ALTER TABLE pp SET PARTITIONED BY (region)")
+    lake.sql("INSERT INTO pp VALUES (1,'eu'),(2,'us'),(3,'eu'),(4,'ap')")
+    val t = lake.currentState.tableByName("pp").get
+    val files = lake.currentState.filesOf(t.tableId)
+    assert(files.size == 3, s"one file per partition value; got ${files.size}")
+    val pv = lake.currentState.partitionValuesOf(t.tableId)
+    assert(files.forall(f => pv.get(f.dataFileId).exists(_.contains("region"))),
+      "every data file must carry its ducklake_file_partition_value row")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scannedFiles(q: String): Long = {
+        val df = lake.sql(q)
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.map(_.metrics("numFiles").value).sum
+      }
+      // partition-value pruning: the filtered scan reads strictly fewer files
+      assert(scannedFiles("SELECT * FROM pp WHERE region = 'eu'") == 1L)
+      assert(scannedFiles("SELECT * FROM pp") == 3L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(lake.sql("SELECT id FROM pp WHERE region = 'eu' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // spec + values survive a reopen from the workbook alone
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.currentState.partitionColumnsOf(t.tableId).map(_.columnName)
+      == Vector("region"))
+    reopened.sql("INSERT INTO pp VALUES (5,'eu')")
+    assert(reopened.sql("SELECT count(*) AS c FROM pp WHERE region = 'eu'")
+      .collect()(0).getLong(0) == 3L)
+  }
+
+  test("partition values prune with NO stats rows (foreign-writer shape)") {
+    import graft.lake.{DataFileRow, DuckLakeFileIndex}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val files = Seq(
+      DataFileRow(1, 1, 0, None, "/f1", 10, 100),
+      DataFileRow(2, 1, 0, None, "/f2", 10, 100))
+    val idx = new DuckLakeFileIndex(files, Map.empty,
+      Map(1L -> Map("region" -> "eu"), 2L -> Map("region" -> "us")))
+    val region = AttributeReference("region", StringType)()
+    def listed(e: Expression): Seq[String] =
+      idx.listFiles(Nil, Seq(e)).head.files.map(_.getPath.toString).toSeq
+    assert(listed(EqualTo(region, Literal.create("eu", StringType))) == Seq("/f1"))
+    assert(listed(In(region, Seq(Literal.create("us", StringType)))) == Seq("/f2"))
+    // a NULL literal in the filter must keep files, not NPE (r3 advice)
+    val id = AttributeReference("id", IntegerType)()
+    assert(listed(In(id, Seq(Literal.create(1, IntegerType),
+      Literal.create(null, IntegerType)))).size == 2)
+  }
+
+  test("timestamp time travel resolves latest snapshot_time <= ts") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE tts(id INTEGER); INSERT INTO tts VALUES (1),(2)")
+    val tPre = lake.currentState.snapshots.last.snapshotTime
+    Thread.sleep(1100) // snapshot times are second-resolution
+    lake.sql("DELETE FROM tts WHERE id = 1")
+    assert(lake.tableAtTime("tts", tPre).collect().length == 2)
+    assert(lake.sql(s"SELECT id FROM tts AT (TIMESTAMP => '$tPre') ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(lake.sql("SELECT id FROM tts AT (TIMESTAMP => '2100-01-01') ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(lake.sql("SELECT id FROM tts TIMESTAMP AS OF '2100-01-01' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assertThrows[IllegalArgumentException](
+      lake.sql("SELECT * FROM tts AT (TIMESTAMP => '1990-01-01')"))
+  }
+
+  test("information_schema + ATTACH replay the reference init (ducklakexl.py:236)") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE ist(id INTEGER, v VARCHAR); CREATE VIEW isv AS SELECT id FROM ist")
+    val names = lake.sql(
+      s"""ATTACH 'ducklake:$xlsx' AS my_ducklake (DATA_PATH '$data');
+         |SELECT table_name FROM information_schema.tables
+         |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
+         |ORDER BY table_name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(names.size == 13 && names.contains("ducklake_snapshot") &&
+      names.contains("ducklake_partition_info"), names.mkString(","))
+    val user = lake.sql(
+      """SELECT table_name, table_type FROM information_schema.tables
+        |WHERE table_catalog = 'my_ducklake' ORDER BY table_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(user == Seq(("ist", "BASE TABLE"), ("isv", "VIEW")))
+    val cols = lake.sql(
+      """SELECT column_name, data_type, ordinal_position FROM information_schema.columns
+        |WHERE table_name = 'ist' ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(cols == Seq(("id", "INTEGER", 1L), ("v", "VARCHAR", 2L)))
+    // attaching under a DIFFERENT lake name is a user error; DETACH no-ops
+    assertThrows[IllegalArgumentException](
+      lake.sql("ATTACH 'ducklake:x.xlsx' AS other_lake"))
+    lake.sql("DETACH my_ducklake")
+  }
+
+  test("double-quoted identifiers survive the qualified-name rewrite") {
+    val (lake, _, _) = freshLake()
+    assert(lake.rewriteSelect("""SELECT "main.t" FROM x""") ==
+      """SELECT "main.t" FROM x""")
+    assert(lake.rewriteSelect("SELECT main.t.id FROM main.t") ==
+      "SELECT t.id FROM t")
+    assert(lake.rewriteSelect("SELECT 'main.t' AS s FROM my_ducklake.main.t") ==
+      "SELECT 'main.t' AS s FROM t")
+  }
+
+  test("DELETE keeps rows where the predicate evaluates to NULL") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE dn(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO dn VALUES (1,'x'),(2,NULL),(3,'y')")
+    lake.sql("DELETE FROM dn WHERE v = 'x'")
+    assert(lake.sql("SELECT id FROM dn ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3))
+    val t = lake.currentState.tableByName("dn").get
+    assert(lake.currentState.tableStats.find(_.tableId == t.tableId).get.recordCount == 2L)
+  }
+
+  test("MERGE errors when a target row is matched by multiple source rows") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE md(id INTEGER, qty INTEGER);
+        |INSERT INTO md VALUES (1,10);
+        |CREATE TABLE ms2(id INTEGER, qty INTEGER);
+        |INSERT INTO ms2 VALUES (1,1),(1,2)""".stripMargin)
+    assertThrows[IllegalArgumentException](lake.sql(
+      "MERGE INTO md USING ms2 ON md.id = ms2.id WHEN MATCHED THEN UPDATE SET qty = ms2.qty"))
+    // and MERGE records matched-row tombstone provenance on success
+    lake.sql(
+      """CREATE TABLE ms3(id INTEGER, qty INTEGER);
+        |INSERT INTO ms3 VALUES (1,99);
+        |MERGE INTO md USING ms3 ON md.id = ms3.id WHEN MATCHED THEN UPDATE SET qty = ms3.qty""".stripMargin)
+    assert(lake.sql("SELECT qty FROM md").collect()(0).getInt(0) == 99)
+    assert(lake.currentState.deleteFiles.lastOption.exists(_.deleteCount == 1L))
+  }
+
   test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
     import graft.xlsx.XlsxCodec
-    val extra = ("partition_info",
-      Seq(Seq("partition_id", "table_id"), Seq("7", "1")))
+    // (r4: partition_info is now an INTERPRETED sheet; 'tag' — DuckLake's
+    // ducklake_tag — stays uninterpreted and proves the pass-through)
+    val extra = ("tag",
+      Seq(Seq("catalog_id", "tag"), Seq("7", "gold")))
     val (lake, xlsx, data) = freshLake()
     lake.sql("CREATE TABLE et(id INTEGER)")
     // a foreign tool adds a sheet the catalog does not interpret
@@ -301,7 +442,7 @@ class LakeScaleSpec extends AnyFunSuite {
     // full pull/push cycles must carry it verbatim
     lake.sql("INSERT INTO et VALUES (1)")
     lake.sql("INSERT INTO et VALUES (2)")
-    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "partition_info").map(_._2)
+    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "tag").map(_._2)
     assert(sheetOf(xlsx).contains(extra._2))
     // and it survives a reopen from disk
     val reopened = new DuckLakeXLSpark(spark, xlsx, data)
