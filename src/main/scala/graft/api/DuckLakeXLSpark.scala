@@ -289,34 +289,88 @@ class DuckLakeXLSpark(
   /** current-snapshot scan of a lake table: union of live parquet files */
   def table(name: String): DataFrame = tableAt(name, state.currentSnapshot)
 
+  /** the files of a table grouped by their physical column-name epoch: a
+    * file's parquet fields carry the names the catalog had AT ITS WRITE
+    * SNAPSHOT. `RENAME COLUMN` only swaps the catalog name (same
+    * columnId), so each group maps columnId -> physical name; a table
+    * never renamed yields exactly ONE group (the common fast path).
+    * Groups are ordered by first file id for deterministic unions.
+    */
+  private def physGroups(t: TableRow, files: Seq[DataFileRow], snapshot: Long)
+      : Seq[(Map[Long, String], Seq[DataFileRow])] = {
+    val cur = state.columnsOf(t.tableId, snapshot)
+    files.groupBy { f =>
+      val physAt = state.columnsOf(t.tableId, f.beginSnapshot)
+        .map(c => c.columnId -> c.columnName).toMap
+      cur.flatMap(c => physAt.get(c.columnId).map(c.columnId -> _)).toMap
+    }.toSeq.sortBy(_._2.map(_.dataFileId).min)
+  }
+
   /** time travel: the table as of a snapshot id. The scan goes through a
     * [[DuckLakeFileIndex]], so pushed-down predicates prune the file list
-    * by `ducklake_file_column_statistics` at plan time — a selective WHERE
-    * over a many-file table reads only the stat-surviving files
-    * (SURVEY.md §4.2; the scan's scale lever at 100 TB).
+    * by `ducklake_file_column_statistics` (and partition values) at plan
+    * time — a selective WHERE over a many-file table reads only the
+    * stat-surviving files (SURVEY.md §4.2; the scan's scale lever at
+    * 100 TB). Files are scanned in physical-name-epoch groups (see
+    * [[physGroups]]) and aliased to the current names, so tables read
+    * correctly across `RENAME COLUMN`; stats stay columnId-keyed, so
+    * pruning survives renames too.
     */
   def tableAt(name: String, snapshot: Long): DataFrame = {
     val t = state.tableByName(name, snapshot)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $name @ $snapshot"))
+    val curCols = state.columnsOf(t.tableId, snapshot)
     val schema = state.schemaOf(t.tableId, snapshot)
     val files = state.filesOf(t.tableId, snapshot)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      val nameById = state.columnsOf(t.tableId, snapshot)
-        .map(c => c.columnId -> c.columnName.toLowerCase).toMap
-      val stats = state.fileColumnStats.filter(_.tableId == t.tableId)
-        .groupBy(_.dataFileId).map { case (fid, rows) =>
-          fid -> rows.flatMap(r => nameById.get(r.columnId).map(_ -> r)).toMap
-        }
-      val index = new DuckLakeFileIndex(files, stats, state.partitionValuesOf(t.tableId))
-      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, new StructType(), schema, None,
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        Map.empty[String, String])(spark)
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(relation)
+      val partVals = state.partitionValuesOf(t.tableId)
+      val dfs = physGroups(t, files, snapshot).map { case (phys, gfiles) =>
+        val nameById = phys.map { case (cid, n) => cid -> n.toLowerCase }
+        val stats = state.fileColumnStats.filter(_.tableId == t.tableId)
+          .groupBy(_.dataFileId).map { case (fid, rows) =>
+            fid -> rows.flatMap(r => nameById.get(r.columnId).map(_ -> r)).toMap
+          }
+        val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map(pn =>
+          StructField(pn, CatalogSchema.parseType(c.columnType), c.nullsAllowed))))
+        val index = new DuckLakeFileIndex(gfiles, stats, partVals)
+        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, new StructType(), physSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+          Map.empty[String, String])(spark)
+        val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(relation)
+        df.select(curCols.map { c =>
+          phys.get(c.columnId) match {
+            case Some(pn) => colq(df, pn).as(c.columnName)
+            case None => lit(null).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
+          }
+        }: _*)
+      }
+      dfs.reduce(_.unionByName(_))
     }
+  }
+
+  /** read an arbitrary file subset of `t` with per-file physical names
+    * resolved to the CURRENT column names — the DML twin of [[tableAt]]'s
+    * epoch grouping (a plain `spark.read.schema(current)` would NULL out
+    * every column renamed since a file was written)
+    */
+  private def readFiles(t: TableRow, files: Seq[DataFileRow]): DataFrame = {
+    val curCols = state.columnsOf(t.tableId)
+    val dfs = physGroups(t, files, state.currentSnapshot).map { case (phys, gfiles) =>
+      val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map(pn =>
+        StructField(pn, CatalogSchema.parseType(c.columnType), c.nullsAllowed))))
+      val df = spark.read.schema(physSchema).parquet(gfiles.map(_.path): _*)
+      df.select(curCols.map { c =>
+        phys.get(c.columnId) match {
+          case Some(pn) => colq(df, pn).as(c.columnName)
+          case None => lit(null).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
+        }
+      }: _*)
+    }
+    dfs.reduce(_.unionByName(_))
   }
 
   /** Structured Streaming source over an APPEND-ONLY lake table: follows
@@ -619,7 +673,7 @@ class DuckLakeXLSpark(
 
     val hits: Map[String, Long] = s.where match {
       case None    => live.map(f => f.path -> f.recordCount).toMap // truncate
-      case Some(w) => hitCounts(live, schema, expr(w))
+      case Some(w) => hitCounts(t, live, expr(w))
     }
     val affected = live.filter(f => hits.getOrElse(f.path, 0L) > 0L)
     if (affected.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
@@ -641,7 +695,7 @@ class DuckLakeXLSpark(
       // satisfies neither pred nor !pred). kept = NOT coalesce(pred, false)
       // also makes the kept count exactly recordCount - hits, so the
       // pred-TRUE hit counts double as exact removed-row accounting.
-      val keep = spark.read.schema(schema).parquet(partial.map(_.path): _*)
+      val keep = readFiles(t, partial)
         .filter(!coalesce(pred, lit(false)))
       val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
         writeParquetFiles(keep, t.tableName), schema)
@@ -674,7 +728,7 @@ class DuckLakeXLSpark(
 
     val hits: Map[String, Long] = s.where match {
       case None    => live.map(f => f.path -> f.recordCount).toMap
-      case Some(w) => hitCounts(live, schema, expr(w))
+      case Some(w) => hitCounts(t, live, expr(w))
     }
     val affected = live.filter(f => hits.getOrElse(f.path, 0L) > 0L)
     if (affected.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
@@ -688,7 +742,7 @@ class DuckLakeXLSpark(
       fid += 1
     }
 
-    val src = spark.read.schema(schema).parquet(affected.map(_.path): _*)
+    val src = readFiles(t, affected)
     val updated = src.select(schema.fields.map { fld =>
       sets.get(fld.name.toLowerCase) match {
         case Some(e) => when(pred, e.cast(fld.dataType)).otherwise(colq(src, fld.name)).as(fld.name)
@@ -744,7 +798,7 @@ class DuckLakeXLSpark(
     val matchedByPath: Map[String, Long] =
       if (live.isEmpty) Map.empty
       else {
-        val tgt = spark.read.schema(schema).parquet(live.map(_.path): _*)
+        val tgt = readFiles(t, live)
           .withColumn("__f", input_file_name()).alias(s.tgtAlias)
         tgt.join(srcDF, cond, "left_semi")
           .groupBy("__f").agg(count(lit(1)).as("c"))
@@ -763,8 +817,7 @@ class DuckLakeXLSpark(
           matchedByPath.getOrElse(normUri(f.path), 0L)))
         fid += 1
       }
-      val aff = spark.read.schema(schema).parquet(affected.map(_.path): _*)
-        .alias(s.tgtAlias)
+      val aff = readFiles(t, affected).alias(s.tgtAlias)
       val srcM = srcDF.withColumn("__m", lit(1))
       val joined = aff.join(srcM, cond, "left_outer")
       val rewritten =
@@ -811,9 +864,7 @@ class DuckLakeXLSpark(
     s.notMatchedInsert.foreach { case (cols, valuesSql) =>
       val anti =
         if (live.isEmpty) srcDF
-        else srcDF.join(
-          spark.read.schema(schema).parquet(live.map(_.path): _*).alias(s.tgtAlias),
-          cond, "left_anti")
+        else srcDF.join(readFiles(t, live).alias(s.tgtAlias), cond, "left_anti")
       val exprs = StatementRouter.splitTopCommas(valuesSql)
       val rowDF = anti.selectExpr(exprs: _*)
       val names = cols.getOrElse(schema.fieldNames.toSeq)
@@ -845,10 +896,10 @@ class DuckLakeXLSpark(
   /** per-file matching-row counts in ONE Spark job (`input_file_name`),
     * keyed by the catalog's stored path
     */
-  private def hitCounts(files: Seq[DataFileRow], schema: StructType,
+  private def hitCounts(t: TableRow, files: Seq[DataFileRow],
       pred: org.apache.spark.sql.Column): Map[String, Long] = withoutAQE {
     val byNorm = files.map(f => normUri(f.path) -> f.path).toMap
-    spark.read.schema(schema).parquet(files.map(_.path): _*)
+    readFiles(t, files)
       .filter(pred)
       .groupBy(input_file_name().as("_file")).agg(count(lit(1)).as("c"))
       .collect()
@@ -931,6 +982,20 @@ class DuckLakeXLSpark(
           s"cannot drop partition column: $name")
         state = state.copy(columns = state.columns.map(x =>
           if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+      case StatementRouter.RenameColumn(oldName, newName) =>
+        // metadata-only: same columnId, new name from this snapshot on.
+        // Old files keep the old PHYSICAL field name; scans resolve it per
+        // file via [[physGroups]], and stats/partition values are
+        // columnId-keyed, so pruning survives the rename.
+        val cols = state.columnsOf(t.tableId)
+        val c = cols.find(_.columnName.equalsIgnoreCase(oldName)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $oldName"))
+        require(!cols.exists(_.columnName.equalsIgnoreCase(newName)),
+          s"column exists: $newName")
+        state = state.copy(columns = state.columns.map(x =>
+          if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
+          :+ c.copy(beginSnapshot = snap, endSnapshot = None, columnName = newName))
         newSnapshot(state.nextCatalogId, state.nextFileId)
       case StatementRouter.SetPartitionedBy(colNames) =>
         // DuckLake partition-spec DDL: metadata-only. Ends any live spec,
@@ -1108,7 +1173,7 @@ class DuckLakeXLSpark(
     val decodeUri = udf { p: String =>
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
     }
-    val src = spark.read.schema(schema).parquet(toMerge.flatten.map(_.path).toSeq: _*)
+    val src = readFiles(t, toMerge.flatten.toSeq)
       .withColumn("__src", decodeUri(input_file_name()))
     val tagged = src.join(broadcast(grpDF), "__src").drop("__src")
     val tmp = Files.createTempDirectory(Paths.get(dataPath), s".compact_${t.tableName}")

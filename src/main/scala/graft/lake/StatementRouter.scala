@@ -67,14 +67,16 @@ object StatementRouter {
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)], where: Option[String]) extends Stmt
   final case class DropTable(name: String, ifExists: Boolean) extends Stmt
-  /** ALTER TABLE: rename-table / add-column / drop-column. RENAME COLUMN is
-    * rejected upstream — old parquet files keep the old physical name and a
-    * correct rename needs per-file field-id mapping (documented divergence).
+  /** ALTER TABLE: rename-table / add-column / drop-column / rename-column.
+    * RENAME COLUMN keeps the columnId and swaps the name's lifetime; scans
+    * resolve each file's PHYSICAL name from the catalog at its write
+    * snapshot (the DuckLake name-mapping idea, columnId-keyed).
     */
   sealed trait AlterOp
   final case class RenameTo(newName: String) extends AlterOp
   final case class AddColumn(name: String, sqlType: String) extends AlterOp
   final case class DropColumn(name: String) extends AlterOp
+  final case class RenameColumn(oldName: String, newName: String) extends AlterOp
   /** `ALTER TABLE t SET PARTITIONED BY (c1, …)` — DuckLake's partition-spec
     * DDL (metadata-only; applies to files written from now on)
     */
@@ -141,7 +143,7 @@ object StatementRouter {
   private val AlterPartitionRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$""".r
   private val AlterRenameColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?[\w\"]+\s+TO\s+[\w\"]+\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?([\w\"]+)\s+TO\s+([\w\"]+)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val NoOpRe =
@@ -366,10 +368,10 @@ object StatementRouter {
       val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
       Update(bareName(name), splitAssignments(setsPart), where)
     case DropRe(ife, name) => DropTable(bareName(name), ife != null)
-    case AlterRenameColRe(_) =>
-      throw new IllegalArgumentException(
-        "RENAME COLUMN is not supported: existing parquet files keep the old " +
-        "physical column name (needs per-file field-id mapping)")
+    case AlterRenameColRe(name, oldC, newC) =>
+      AlterTable(bareName(name), RenameColumn(
+        oldC.stripPrefix("\"").stripSuffix("\""),
+        newC.stripPrefix("\"").stripSuffix("\"")))
     case AlterPartitionRe(name, cols) =>
       AlterTable(bareName(name), SetPartitionedBy(
         cols.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)))

@@ -139,6 +139,19 @@ object QueriesLake {
         """CREATE TABLE de(id INTEGER, qty DOUBLE, val VARCHAR);
           |DESCRIBE de""".stripMargin)
     },
+    // r4: RENAME COLUMN — columnId-keyed name epochs; old files answer
+    // under the new name, filters and DML cross the rename
+    "q_lake_rename_col" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE rc(id INTEGER, v VARCHAR);
+          |INSERT INTO rc VALUES (1,'a'),(2,'b');
+          |ALTER TABLE rc RENAME COLUMN v TO label;
+          |INSERT INTO rc VALUES (3,'c');
+          |UPDATE rc SET label = 'z' WHERE id = 1;
+          |DELETE FROM rc WHERE label = 'b';
+          |SELECT id, label FROM rc ORDER BY id""".stripMargin)
+    },
     // r4: partitioned table — spec DDL, per-value file split + catalog
     // partition values, answered after reopen from the workbook alone
     "q_lake_partition" -> { (s, _) =>
@@ -212,6 +225,8 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
     "q_lake_copy" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
+    "q_lake_rename_col" ->
+      ("SELECT * FROM (VALUES (1,'z'),(3,'c')) t(id, label) ORDER BY id"),
     "q_lake_partition" ->
       ("SELECT * FROM (VALUES (1,'eu'),(3,'eu'),(6,'eu')) t(id, region) ORDER BY id"),
     "q_lake_infoschema" ->

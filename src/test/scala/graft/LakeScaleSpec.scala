@@ -198,9 +198,35 @@ class LakeScaleSpec extends AnyFunSuite {
     assert(lake.sql("SELECT count(*) AS c FROM at2").collect()(0).getLong(0) == 3L)
     assertThrows[Exception](lake.sql("SELECT * FROM at"))
     assert(lake.currentState.tableByName("at", preAlter).isDefined)
-    // rename column is an explicit unsupported error
+    // renaming to an existing name is rejected
     assertThrows[IllegalArgumentException](
-      lake.sql("ALTER TABLE at2 RENAME COLUMN v TO w"))
+      lake.sql("ALTER TABLE at2 RENAME COLUMN v TO id"))
+  }
+
+  test("RENAME COLUMN: old files answer under the new name, DML crosses epochs") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE rc(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO rc VALUES (1,'a'),(2,'b')") // physical name: v
+    val preRename = lake.currentState.currentSnapshot
+    lake.sql("ALTER TABLE rc RENAME COLUMN v TO label")
+    lake.sql("INSERT INTO rc VALUES (3,'c')")          // physical name: label
+    // scan unions both name epochs under the current name
+    assert(lake.sql("SELECT id, label FROM rc ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // filters/DML on the renamed column reach pre-rename files too
+    assert(lake.sql("SELECT id FROM rc WHERE label = 'b'").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    lake.sql("UPDATE rc SET label = 'z' WHERE id = 1")
+    lake.sql("DELETE FROM rc WHERE label = 'b'")
+    assert(lake.sql("SELECT id, label FROM rc ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "z"), (3, "c")))
+    // time travel still shows the old name
+    assert(lake.tableAt("rc", preRename).columns.toSeq == Seq("id", "v"))
+    // and everything round-trips through the workbook
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.sql("SELECT id, label FROM rc ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "z"), (3, "c")))
   }
 
   test("MERGE INTO: update matched, insert not-matched, delete matched") {
