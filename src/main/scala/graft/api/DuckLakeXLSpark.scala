@@ -384,6 +384,15 @@ class DuckLakeXLSpark(
     val t = state.tableByName(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
     val schema = state.schemaOf(t.tableId)
+    // the stream reads the directory with the CURRENT schema; files from
+    // an older column-name epoch would silently yield NULLs — refuse
+    val cur = state.columnsOf(t.tableId)
+    val staleEpoch = physGroups(t, state.filesOf(t.tableId), state.currentSnapshot)
+      .exists { case (phys, _) =>
+        cur.exists(c => phys.get(c.columnId).exists(_ != c.columnName)) }
+    require(!staleEpoch,
+      s"tableStream($name): table has files from before a RENAME COLUMN; " +
+      "compact() or rewrite them first")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000)
       .parquet(Paths.get(dataPath, t.tableName).toString)

@@ -574,6 +574,26 @@ object QueriesLlm {
       ).orderBy("doc_id")
     },
 
+    // ---------------- repetition ratio: the Gopher-style quality signal
+    "q_llm_repetition" -> { (s, d) =>
+      // fraction of a doc's word-3-grams taken by its single most repeated
+      // gram — high values flag boilerplate/looping text. Non-distinct
+      // grams (repetition is the point), one groupBy per level.
+      val n = 3
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= n)
+      val grams = docs.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast(DoubleType) / sum("c"), 4).as("rep_ratio"),
+             max("c").as("top_gram_cnt"))
+        .orderBy("doc_id")
+    },
+
     // ----------------------------------------- text analysis: term freqs
     "q_llm_text_analysis" -> { (s, d) =>
       val stop = typedLit(Stopwords)
@@ -769,6 +789,18 @@ object QueriesLlm {
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_llm_repetition" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ws) - 1),
+        |               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS g
+        |      FROM docs WHERE len(ws) >= 3),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio,
+        |       max(c) AS top_gram_cnt
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_llm_text_analysis" -> {
       val stopList = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")

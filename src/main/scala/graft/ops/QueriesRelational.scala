@@ -542,6 +542,29 @@ object QueriesRelational {
     },
 
     // ------------------------------------------------ 2.G sort/limit/set ops
+    "q_win_qualify" -> { (s, d) =>
+      // DuckDB's QUALIFY clause (filter on a window result): latest order
+      // per customer. Spark spelling = window column + filter — Catalyst
+      // compiles both to the same window + filter plan.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.t(s, d, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    },
+    "q_agg_grouping_fn" -> { (s, d) =>
+      // GROUPING() disambiguates "real NULL group" from "rollup subtotal"
+      Tables.t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+             grouping("l_returnflag").cast(LongType).as("g_rf"),
+             grouping("l_linestatus").cast(LongType).as("g_ls"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
     "q_sort_multikey" -> { (s, d) =>
       Tables.t(s, d, "lineitem")
         .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
@@ -774,6 +797,17 @@ object QueriesRelational {
       ("SELECT c_custkey, " +
        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders " +
        "FROM customer c WHERE c_custkey <= 200 ORDER BY c_custkey"),
+    "q_win_qualify" ->
+      ("SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey <= 100 " +
+       "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 " +
+       "ORDER BY o_custkey"),
+    "q_agg_grouping_fn" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+       "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, " +
+       "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls " +
+       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     "q_agg_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty, " +
