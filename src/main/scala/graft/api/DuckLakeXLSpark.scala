@@ -273,9 +273,14 @@ class DuckLakeXLSpark(
     * same second-resolution format, so the compare is lexicographic.
     */
   def snapshotIdAt(ts: String): Long = {
-    val t0 = ts.trim.replace('T', ' ')
-    val norm = if (t0.length == 10) t0 + " 00:00:00" else t0
-    val ok = state.snapshots.filter(_.snapshotTime <= norm)
+    // normalize BOTH sides: our writer records 'yyyy-MM-dd HH:mm:ss', but a
+    // foreign workbook may carry ISO 'T' separators
+    def norm(x: String): String = {
+      val t0 = x.trim.replace('T', ' ')
+      if (t0.length == 10) t0 + " 00:00:00" else t0
+    }
+    val target = norm(ts)
+    val ok = state.snapshots.filter(s => norm(s.snapshotTime) <= target)
     require(ok.nonEmpty, s"no snapshot at or before timestamp: $ts")
     ok.map(_.snapshotId).max
   }
@@ -1136,6 +1141,9 @@ class DuckLakeXLSpark(
     * the target are not read at all. This is the upkeep a 1000-executor
     * INSERT stream needs: each micro-append lands one file per writer, and
     * unchecked that tail turns every scan into a file-listing storm.
+    * Partitioned tables: merged files may span partition values, so they
+    * carry no `ducklake_file_partition_value` rows — partition pruning for
+    * them falls back to the (still-recorded) min/max column stats.
     */
   def compact(table: String, targetBytes: Long = 128L << 20): Unit = {
     if (remote.exists) pull()
