@@ -56,12 +56,16 @@ class DuckLakeXLSpark(
     val excelPath: String,
     val dataPath: String,
     val lakeName: String = "my_ducklake",
-    driveId: Option[String] = None) {
+    driveId: Option[String] = None,
+    remoteOverride: Option[ExcelRemote] = None) {
 
   /** local xlsx or Graph workbook, picked like the reference's
-    * _pick_client (ducklakexl.py:85-97)
+    * _pick_client (ducklakexl.py:85-97); `remoteOverride` injects a
+    * pre-built transport (e.g. a [[graft.xlsx.GraphRemote]] pointed at a
+    * test endpoint)
     */
-  private val remote: ExcelRemote = ExcelRemote.pick(excelPath, driveId)
+  private val remote: ExcelRemote =
+    remoteOverride.getOrElse(ExcelRemote.pick(excelPath, driveId))
 
   @volatile private var state: CatalogState = CatalogState.empty
 
@@ -411,12 +415,24 @@ class DuckLakeXLSpark(
       StructType(Seq(StructField("name", StringType, false))))
   }
 
-  /** `DESCRIBE t`: column name/type/nullability from the catalog */
+  /** `DESCRIBE t`: column name/type/nullability from the catalog (views
+    * answer too, via their analyzed schema — the DuckDB pass-through
+    * describes both)
+    */
   def describeTable(name: String): DataFrame = {
-    val t = state.tableByName(name).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $name"))
-    val rows = state.columnsOf(t.tableId).map(c =>
-      Row(c.columnName, c.columnType, if (c.nullsAllowed) "YES" else "NO"))
+    val rows = state.tableByName(name) match {
+      case Some(t) =>
+        state.columnsOf(t.tableId).map(c =>
+          Row(c.columnName, c.columnType, if (c.nullsAllowed) "YES" else "NO"))
+      case None =>
+        val v = state.viewByName(name).getOrElse(
+          throw new IllegalArgumentException(s"no such table or view: $name"))
+        spark.sql(rewriteSelect(v.sql)).schema.fields.toVector.map { f =>
+          val tn = try CatalogSchema.typeName(f.dataType)
+                   catch { case _: IllegalArgumentException => f.dataType.sql }
+          Row(f.name, tn, if (f.nullable) "YES" else "NO")
+        }
+    }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("column_name", StringType, false),
       StructField("column_type", StringType, false),
@@ -584,7 +600,7 @@ class DuckLakeXLSpark(
 
   private def executeCtas(s: StatementRouter.CreateTableAs): Unit = {
     if (state.tableByName(s.name).isDefined && s.ifNotExists) return
-    val df = spark.sql(s.select)
+    val df = spark.sql(rewriteSelect(s.select))
     val cols = df.schema.fields.map(f => (f.name, CatalogSchema.typeName(f.dataType))).toSeq
     executeCreate(StatementRouter.CreateTable(s.name, cols, ifNotExists = false))
     executeInsertDF(s.name, None, df)

@@ -1,6 +1,13 @@
 package graft.xlsx
 
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 
 /** The workbook transport abstraction (reference `_pick_client`,
   * ducklakexl.py:85-97): the catalog sync layer only needs these five
@@ -26,26 +33,179 @@ final class LocalXlsxRemote(path: String) extends ExcelRemote {
   def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit = XlsxCodec.write(path, sheets)
 }
 
-/** OneDrive/SharePoint workbook over the Microsoft Graph REST API
-  * (reference A3-A6, A8-A9: MSAL device auth, drive-item resolution,
-  * workbook sessions, 404/401/429 retry — ducklakexl.py:100-354).
+/** OneDrive/SharePoint workbook over the Microsoft Graph REST API —
+  * the reference's onedrive client (A3-A6, A8-A9: device auth,
+  * drive-item resolution, workbook sessions, 401/404/429 retry —
+  * ducklakexl.py:100-354) on plain `java.net.http` + the Jackson already
+  * on the Spark classpath (zero new dependencies).
   *
-  * Deliberate stub: the transport is orthogonal to every capability the
-  * offline tests can observe, and no HTTP/MSAL dependency is available in
-  * this build (SURVEY.md §7.0). The sync layer is already written against
-  * [[ExcelRemote]], so a real implementation (java.net.http + an OAuth
-  * device-code flow, sheet fan-out with bounded concurrency, retry with
-  * exponential backoff honoring Retry-After) drops in without touching
-  * any caller.
+  * Protocol (one REST call per box, all session-scoped):
+  *  - item resolution: `GET /drives/{d}/root:/{path}` -> item id (A5)
+  *  - workbook session: `POST …/workbook/createSession`
+  *    {persistChanges: true} -> `workbook-session-id` header on every
+  *    subsequent call (A8; the reference opens one per push)
+  *  - list sheets: `GET …/workbook/worksheets` (A10)
+  *  - read: `GET …/worksheets('{name}')/usedRange` `.text` 2-D array (A14)
+  *  - write: ensure sheet (`POST worksheets/add`, A11), clear
+  *    (`POST …/usedRange/clear`), then `PATCH …/range(address='A1:…')`
+  *    with a rectangular values array (A15/A16)
+  *  - workbook create: `PUT /drives/{d}/root:/{path}:/content` uploading
+  *    an empty xlsx built by [[XlsxCodec]] (A17)
+  *
+  * Retry policy (A6/A9): 429/503 honor `Retry-After` (exponential backoff
+  * when absent), one token refresh on 401, and bounded 404 retries on
+  * sheet listing right after workbook creation (Graph's eventual
+  * consistency — the reference hits the same window).
+  *
+  * `baseUrl` is injectable so the full protocol is testable against a
+  * local mock server; the default is the public Graph endpoint.
   */
-final class GraphRemote(driveId: String, itemPath: String) extends ExcelRemote {
-  private def unsupported: Nothing = throw new UnsupportedOperationException(
-    "GraphRemote requires network + MSAL credentials; use LocalXlsxRemote " +
-    "in offline builds (SURVEY.md §7.0)")
-  def exists: Boolean = unsupported
-  def sheetNames: Seq[String] = unsupported
-  def readAll(): Seq[XlsxCodec.Sheet] = unsupported
-  def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit = unsupported
+final class GraphRemote(
+    driveId: String,
+    itemPath: String,
+    tokens: GraphTokenProvider,
+    baseUrl: String = "https://graph.microsoft.com/v1.0",
+    maxRetries: Int = 5,
+    backoffMillis: Long = 500L) extends ExcelRemote {
+
+  private val http = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+  @volatile private var cachedItemId: Option[String] = None
+
+  private def itemUrl = s"$baseUrl/drives/$driveId/root:/$itemPath"
+  private def wbUrl(itemId: String) = s"$baseUrl/drives/$driveId/items/$itemId/workbook"
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
+  /** send with the A6/A9 retry ladder; retry404 covers Graph's
+    * eventual-consistency window on freshly created items
+    */
+  private def request(method: String, url: String, body: Option[String],
+      session: Option[String] = None, retry404: Boolean = false): HttpResponse[String] = {
+    var attempt = 0
+    var refreshed = false
+    while (true) {
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .header("Authorization", s"Bearer ${tokens.token()}")
+      session.foreach(b.header("workbook-session-id", _))
+      body match {
+        case Some(s) => b.header("Content-Type", "application/json")
+          .method(method, HttpRequest.BodyPublishers.ofString(s))
+        case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+      }
+      val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code == 401 && !refreshed) { tokens.refresh(); refreshed = true }
+      else if ((code == 429 || code == 503 || (code == 404 && retry404)) && attempt < maxRetries) {
+        val ra = resp.headers().firstValue("Retry-After")
+        val wait = if (ra.isPresent) ra.get().toLong * 1000L
+                   else backoffMillis * (1L << attempt)
+        Thread.sleep(wait)
+        attempt += 1
+      } else return resp
+    }
+    sys.error("unreachable")
+  }
+
+  private def expect(resp: HttpResponse[String], what: String, ok: Int*): HttpResponse[String] = {
+    require(ok.contains(resp.statusCode()),
+      s"Graph $what failed: HTTP ${resp.statusCode()} ${resp.body().take(300)}")
+    resp
+  }
+
+  private def itemId(): String = cachedItemId.getOrElse {
+    val resp = expect(request("GET", itemUrl, None), s"item $itemPath", 200)
+    val id = mapper.readTree(resp.body()).get("id").asText()
+    cachedItemId = Some(id)
+    id
+  }
+
+  def exists: Boolean = {
+    val resp = request("GET", itemUrl, None)
+    resp.statusCode() match {
+      case 200 => cachedItemId = Some(mapper.readTree(resp.body()).get("id").asText()); true
+      case 404 => false
+      case c => throw new IllegalStateException(s"Graph item probe failed: HTTP $c")
+    }
+  }
+
+  private def createSession(): String = {
+    val resp = expect(request("POST", s"${wbUrl(itemId())}/createSession",
+      Some("""{"persistChanges": true}"""), retry404 = true), "createSession", 200, 201)
+    mapper.readTree(resp.body()).get("id").asText()
+  }
+
+  private def closeSession(sid: String): Unit =
+    request("POST", s"${wbUrl(itemId())}/closeSession", Some("{}"), Some(sid))
+
+  private def listSheets(sid: Option[String], retry404: Boolean = false): Seq[String] = {
+    val resp = expect(request("GET", s"${wbUrl(itemId())}/worksheets", None, sid, retry404),
+      "worksheets list", 200)
+    mapper.readTree(resp.body()).get("value").elements().asScala
+      .map(_.get("name").asText()).toSeq
+  }
+
+  def sheetNames: Seq[String] = listSheets(None)
+
+  private def usedRangeText(name: String, sid: String): Seq[Seq[String]] = {
+    val resp = expect(request("GET",
+      s"${wbUrl(itemId())}/worksheets('${enc(name)}')/usedRange", None, Some(sid)),
+      s"usedRange $name", 200)
+    val text = mapper.readTree(resp.body()).get("text")
+    if (text == null || text.isNull) Seq.empty
+    else text.elements().asScala.map(row =>
+      row.elements().asScala.map(c => if (c.isNull) "" else c.asText()).toSeq).toSeq
+  }
+
+  def readAll(): Seq[XlsxCodec.Sheet] = {
+    val sid = createSession()
+    try listSheets(Some(sid)).map(n => (n, usedRangeText(n, sid)))
+    finally closeSession(sid)
+  }
+
+  /** A17: a Graph workbook is created by uploading real xlsx bytes */
+  private def createEmptyWorkbook(): Unit = {
+    val tmp = Files.createTempFile("graft_graph", ".xlsx")
+    try {
+      XlsxCodec.write(tmp.toString, Seq(("Sheet1", Seq.empty)))
+      val bytes = Files.readAllBytes(tmp)
+      val b = HttpRequest.newBuilder(URI.create(s"$itemUrl:/content"))
+        .header("Authorization", s"Bearer ${tokens.token()}")
+        .header("Content-Type", "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+        .build()
+      val resp = http.send(b, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200 || resp.statusCode() == 201,
+        s"workbook upload failed: HTTP ${resp.statusCode()}")
+      cachedItemId = None // the upload may mint a new item id
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit = {
+    if (!exists) createEmptyWorkbook()
+    val sid = createSession()
+    try {
+      val existing = listSheets(Some(sid), retry404 = true).toSet
+      sheets.foreach { case (name, rows) =>
+        if (!existing.contains(name))
+          expect(request("POST", s"${wbUrl(itemId())}/worksheets/add",
+            Some(mapper.writeValueAsString(Map("name" -> name).asJava)), Some(sid),
+            retry404 = true), s"worksheets/add $name", 200, 201)
+        expect(request("POST",
+          s"${wbUrl(itemId())}/worksheets('${enc(name)}')/usedRange/clear",
+          Some("""{"applyTo": "contents"}"""), Some(sid)), s"clear $name", 200, 204)
+        if (rows.nonEmpty) {
+          val cols = math.max(rows.map(_.length).max, 1)
+          val rect = rows.map(_.padTo(cols, "").asJava).asJava
+          val addr = s"A1:${XlsxCodec.colName(cols - 1)}${rows.length}"
+          expect(request("PATCH",
+            s"${wbUrl(itemId())}/worksheets('${enc(name)}')/range(address='$addr')",
+            Some(mapper.writeValueAsString(Map("values" -> rect).asJava)), Some(sid)),
+            s"range write $name", 200)
+        }
+      }
+    } finally closeSession(sid)
+  }
 }
 
 object ExcelRemote {
@@ -54,10 +214,10 @@ object ExcelRemote {
     */
   def pick(excelPath: String, driveId: Option[String] = None): ExcelRemote =
     driveId match {
-      case Some(d) => new GraphRemote(d, excelPath)
+      case Some(d) => new GraphRemote(d, excelPath, GraphTokenProvider.fromEnv())
       case None if excelPath.toLowerCase.endsWith(".xlsx") &&
                    !excelPath.matches("^[a-z]+://.*") =>
         new LocalXlsxRemote(excelPath)
-      case None => new GraphRemote("", excelPath)
+      case None => new GraphRemote("", excelPath, GraphTokenProvider.fromEnv())
     }
 }
