@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ad-hoc perf decomposition for the headline residuals (tools-only) */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.catalog.clearCache()
+    }
+
+    val ev = graft.ops.Tables.t(spark, d, "events")
+    val li = graft.ops.Tables.t(spark, d, "lineitem")
+
+    time("ev_scan_only")(ev.select("event_id", "props"))
+    time("ev_json_noorder")(ev.select(col("event_id"),
+      from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k").as("k")))
+    time("ev_order_only")(ev.select("event_id", "props").orderBy("event_id"))
+    time("q_fn_json_full")(graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d))
+
+    time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))
+    time("li_filter_only")(li.filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampNTZType)))
+    time("q_agg_groupby_full")(graft.ops.QueriesRelational.queries("q_agg_groupby")(spark, d))
+    time("li_repart32_agg") {
+      li.repartition(32)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity")).cast(LongType)).as("s"), count(lit(1)).as("c"))
+    }
+    spark.stop()
+  }
+}
