@@ -633,7 +633,7 @@ class DuckLakeXLSpark(
       case None =>
         require(dfIn.schema.length == schema.length,
           s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
-        dfIn.select(dfIn.columns.zip(schema.fields).map { case (c, f) =>
+        dfIn.select(dfIn.columns.zip(schema.fields).toSeq.map { case (c, f) =>
           colq(dfIn, c).cast(f.dataType).as(f.name)
         }: _*)
       case Some(names) =>

@@ -512,13 +512,18 @@ object QueriesRelational {
         .orderBy("c_custkey")
     },
     "q_win_distribution" -> { (s, d) =>
-      // distribution analytics: cume_dist / percent_rank (both exact
-      // rational values of row positions -> rounding at 6 digits is safe)
+      // distribution analytics: cume_dist / percent_rank. 6-digit
+      // TRUNCATION (floor(x*1e6)/1e6), not round: rank ratios like
+      // 333/640 sit exactly on a .5 decimal boundary where Spark rounds
+      // the shortest-decimal rendering of the double and DuckDB rounds
+      // the raw binary value — they disagree by 1 ulp at sf0.1. floor of
+      // the identical IEEE product is bit-deterministic on both engines.
       val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+      def trunc6(c: Column): Column = floor(c * 1000000d) / 1000000d
       Tables.t(s, d, "customer")
         .select(col("c_custkey"),
-          round(cume_dist().over(w), 6).as("cd"),
-          round(percent_rank().over(w), 6).as("pr"))
+          trunc6(cume_dist().over(w)).as("cd"),
+          trunc6(percent_rank().over(w)).as("pr"))
         .orderBy("c_custkey")
     },
     "q_win_ntile_firstlast" -> { (s, d) =>
@@ -759,8 +764,8 @@ object QueriesRelational {
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_win_distribution" ->
       ("SELECT c_custkey, " +
-       "round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd, " +
-       "round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr " +
+       "floor(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1000000) / 1000000 AS cd, " +
+       "floor(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1000000) / 1000000 AS pr " +
        "FROM customer ORDER BY c_custkey"),
     "q_agg_string_sorted" ->
       ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
