@@ -326,6 +326,9 @@ class DuckLakeXLSpark(
     * pruning survives renames too.
     */
   def tableAt(name: String, snapshot: Long): DataFrame = {
+    require(state.snapshots.exists(_.snapshotId <= snapshot),
+      s"snapshot $snapshot has been expired (earliest surviving: " +
+        s"${state.snapshots.map(_.snapshotId).minOption.getOrElse(-1L)})")
     val t = state.tableByName(name, snapshot)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $name @ $snapshot"))
     val curCols = state.columnsOf(t.tableId, snapshot)
@@ -1248,6 +1251,44 @@ class DuckLakeXLSpark(
     newSnapshot(state.nextCatalogId, fid2)
     registerViews()
     push()
+  }
+
+  /** Retention maintenance (DuckLake `expire_snapshots`): drop time travel
+    * to snapshots with id < `keepFrom`, and move every data file whose
+    * lifetime ended at or before that horizon to
+    * `ducklake_files_scheduled_for_deletion` — no surviving snapshot can
+    * reach it. Metadata-only, zero Spark jobs; the physical delete is
+    * [[vacuum]] (two-phase, so a crash between the two never loses live
+    * data — the worst case is an orphan file still on disk).
+    */
+  def expireSnapshots(keepFrom: Long): Unit = {
+    if (remote.exists) pull()
+    require(keepFrom <= state.currentSnapshot,
+      s"keepFrom $keepFrom is beyond the current snapshot ${state.currentSnapshot}")
+    val now = tsFmt.format(Instant.now().truncatedTo(ChronoUnit.SECONDS))
+    val (dead, _) = state.dataFiles.partition(_.endSnapshot.exists(_ <= keepFrom))
+    val deadIds = dead.map(_.dataFileId).toSet
+    state = state.copy(
+      snapshots = state.snapshots.filter(_.snapshotId >= keepFrom),
+      dataFiles = state.dataFiles.filterNot(f => deadIds(f.dataFileId)),
+      fileColumnStats = state.fileColumnStats.filterNot(s => deadIds(s.dataFileId)),
+      filePartitionValues = state.filePartitionValues.filterNot(v => deadIds(v.dataFileId)),
+      deleteFiles = state.deleteFiles.filterNot(d => deadIds(d.dataFileId)),
+      scheduledDeletes = state.scheduledDeletes ++ dead.map(f =>
+        ScheduledDeleteRow(f.dataFileId, f.tableId, f.path, now)))
+    push()
+  }
+
+  /** physically delete every scheduled file and clear the sheet; returns
+    * how many files were removed
+    */
+  def vacuum(): Int = {
+    if (remote.exists) pull()
+    val n = state.scheduledDeletes.size
+    state.scheduledDeletes.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+    state = state.copy(scheduledDeletes = Vector.empty)
+    push()
+    n
   }
 
   private def bumpStats(tableId: Long, delta: Long): Vector[TableStatsRow] =

@@ -36,6 +36,7 @@ object CatalogSchema {
     "ducklake_file_partition_value" -> Seq("data_file_id", "table_id", "partition_key_index", "partition_value"),
     "ducklake_delete_file" -> Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot", "data_file_id", "path", "delete_count"),
     "ducklake_table_stats" -> Seq("table_id", "record_count"),
+    "ducklake_files_scheduled_for_deletion" -> Seq("data_file_id", "table_id", "path", "schedule_start"),
     "ducklake_file_column_statistics" -> Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count")
   )
 
@@ -120,6 +121,11 @@ final case class DeleteFileRow(deleteFileId: Long, tableId: Long,
                                beginSnapshot: Long, endSnapshot: Option[Long],
                                dataFileId: Long, path: String, deleteCount: Long)
 final case class TableStatsRow(tableId: Long, recordCount: Long)
+/** a data file no snapshot can reach anymore, awaiting physical delete —
+  * written by `expireSnapshots`, consumed by `vacuum`
+  */
+final case class ScheduledDeleteRow(dataFileId: Long, tableId: Long,
+                                    path: String, scheduleStart: String)
 final case class FileColumnStatsRow(dataFileId: Long, tableId: Long, columnId: Long,
                                     minValue: Option[String], maxValue: Option[String],
                                     nullCount: Long)
@@ -137,6 +143,7 @@ final case class CatalogState(
     filePartitionValues: Vector[FilePartitionValueRow],
     deleteFiles: Vector[DeleteFileRow],
     tableStats: Vector[TableStatsRow],
+    scheduledDeletes: Vector[ScheduledDeleteRow],
     fileColumnStats: Vector[FileColumnStatsRow],
     /** sheets the state does not interpret, carried verbatim through
       * pull∘push — the reference syncs whatever metadata tables exist
@@ -276,6 +283,10 @@ final case class CatalogState(
       XlsxSheet(sheetName("ducklake_table_stats"),
         Seq("table_id", "record_count") +:
           tableStats.map(t => Seq(t.tableId.toString, t.recordCount.toString))),
+      XlsxSheet(sheetName("ducklake_files_scheduled_for_deletion"),
+        Seq("data_file_id", "table_id", "path", "schedule_start") +:
+          scheduledDeletes.map(s => Seq(s.dataFileId.toString, s.tableId.toString,
+            s.path, s.scheduleStart))),
       XlsxSheet(sheetName("ducklake_file_column_statistics"),
         Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count") +:
           fileColumnStats.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
@@ -292,7 +303,7 @@ object CatalogState {
   val empty: CatalogState = CatalogState(
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
-    Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty)
 
   // ------------------------------------------------- §1.3 cell coercions
   /** empty cell -> NULL (ducklakexl.py:497) */
@@ -395,6 +406,9 @@ object CatalogState {
       tableStats = rowsOf("ducklake_table_stats").map(m => TableStatsRow(
         asLong(m("table_id")),
         ol(m.getOrElse("record_count", "")).getOrElse(0L))).toVector,
+      scheduledDeletes = rowsOf("ducklake_files_scheduled_for_deletion").map(m =>
+        ScheduledDeleteRow(asLong(m("data_file_id")), asLong(m("table_id")),
+          m.getOrElse("path", ""), m.getOrElse("schedule_start", ""))).toVector,
       fileColumnStats = rowsOf("ducklake_file_column_statistics").map(m => FileColumnStatsRow(
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("column_id")),
         optCell(m.getOrElse("min_value", "")), optCell(m.getOrElse("max_value", "")),

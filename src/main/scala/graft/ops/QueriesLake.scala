@@ -139,6 +139,18 @@ object QueriesLake {
         """CREATE TABLE de(id INTEGER, qty DOUBLE, val VARCHAR);
           |DESCRIBE de""".stripMargin)
     },
+    // r4: retention — expire history, vacuum unreachable files, reopen
+    "q_lake_retention" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE rt(id INTEGER, val VARCHAR);
+          |INSERT INTO rt VALUES (1,'a'),(2,'b'),(3,'c');
+          |DELETE FROM rt WHERE id = 2""".stripMargin)
+      lake.expireSnapshots(lake.currentState.currentSnapshot)
+      lake.vacuum()
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql("SELECT * FROM rt ORDER BY id")
+    },
     // r4: RENAME COLUMN — columnId-keyed name epochs; old files answer
     // under the new name, filters and DML cross the rename
     "q_lake_rename_col" -> { (s, _) =>
@@ -225,6 +237,8 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
     "q_lake_copy" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
+    "q_lake_retention" ->
+      ("SELECT * FROM (VALUES (1,'a'),(3,'c')) t(id, val) ORDER BY id"),
     "q_lake_rename_col" ->
       ("SELECT * FROM (VALUES (1,'z'),(3,'c')) t(id, label) ORDER BY id"),
     "q_lake_partition" ->
@@ -232,7 +246,8 @@ object QueriesLake {
     "q_lake_infoschema" ->
       ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_data_file')," +
        "('ducklake_delete_file'),('ducklake_file_column_statistics')," +
-       "('ducklake_file_partition_value'),('ducklake_metadata')," +
+       "('ducklake_file_partition_value')," +
+       "('ducklake_files_scheduled_for_deletion'),('ducklake_metadata')," +
        "('ducklake_partition_column'),('ducklake_partition_info')," +
        "('ducklake_schema'),('ducklake_snapshot'),('ducklake_table')," +
        "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),

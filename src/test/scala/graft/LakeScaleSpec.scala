@@ -398,8 +398,9 @@ class LakeScaleSpec extends AnyFunSuite {
          |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
          |ORDER BY table_name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
-    assert(names.size == 13 && names.contains("ducklake_snapshot") &&
-      names.contains("ducklake_partition_info"), names.mkString(","))
+    assert(names.size == 14 && names.contains("ducklake_snapshot") &&
+      names.contains("ducklake_partition_info") &&
+      names.contains("ducklake_files_scheduled_for_deletion"), names.mkString(","))
     val user = lake.sql(
       """SELECT table_name, table_type FROM information_schema.tables
         |WHERE table_catalog = 'my_ducklake' ORDER BY table_name""".stripMargin)
@@ -453,6 +454,36 @@ class LakeScaleSpec extends AnyFunSuite {
         |MERGE INTO md USING ms3 ON md.id = ms3.id WHEN MATCHED THEN UPDATE SET qty = ms3.qty""".stripMargin)
     assert(lake.sql("SELECT qty FROM md").collect()(0).getInt(0) == 99)
     assert(lake.currentState.deleteFiles.lastOption.exists(_.deleteCount == 1L))
+  }
+
+  test("expireSnapshots schedules unreachable files; vacuum deletes them") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE ex1(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO ex1 VALUES (1,'a'),(2,'b'),(3,'c')")
+    lake.sql("DELETE FROM ex1 WHERE id = 2") // copy-on-write: old file dies
+    val t = lake.currentState.tableByName("ex1").get
+    val preExpire = lake.currentState.currentSnapshot
+    val deadPaths = lake.currentState.dataFiles
+      .filter(_.endSnapshot.isDefined).map(_.path)
+    assert(deadPaths.nonEmpty)
+    assert(deadPaths.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    lake.expireSnapshots(preExpire)
+    // scheduled, still on disk (two-phase), live data unaffected
+    assert(lake.currentState.scheduledDeletes.map(_.path).toSet == deadPaths.toSet)
+    assert(deadPaths.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(lake.sql("SELECT id FROM ex1 ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // expired history is gone, and says so
+    assertThrows[IllegalArgumentException](lake.tableAt("ex1", preExpire - 1))
+    // the schedule survives the workbook round trip, then vacuum deletes
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.vacuum() == deadPaths.size)
+    assert(deadPaths.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(reopened.vacuum() == 0)
+    assert(reopened.sql("SELECT id FROM ex1 ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // live files were never scheduled
+    assert(reopened.currentState.filesOf(t.tableId).nonEmpty)
   }
 
   test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
