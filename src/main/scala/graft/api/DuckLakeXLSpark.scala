@@ -128,7 +128,9 @@ class DuckLakeXLSpark(
     registerViews()
     var last: Option[DataFrame] = None
     StatementRouter.split(script).foreach { stmt =>
-      StatementRouter.classify(stmt) match {
+      val classified = StatementRouter.classify(stmt)
+      val preSnap = state.currentSnapshot
+      classified match {
         case s: StatementRouter.CreateTable =>
           if (s.orReplace) executeDrop(StatementRouter.DropTable(s.name, ifExists = true))
           executeCreate(s); registerViews()
@@ -178,9 +180,34 @@ class DuckLakeXLSpark(
             StructType(Seq(StructField("plan", StringType, false)))))
         case StatementRouter.Select(q) => last = Some(spark.sql(rewriteSelect(q)))
       }
+      // `ducklake_snapshot_changes` audit trail: label every snapshot the
+      // statement produced (a CTAS makes two: create + insert)
+      val postSnap = state.currentSnapshot
+      if (postSnap > preSnap) {
+        val label = changeLabel(classified)
+        state = state.copy(snapshotChanges = state.snapshotChanges ++
+          ((preSnap + 1) to postSnap).map(SnapshotChangeRow(_, label)))
+      }
     }
     push()
     last.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** DuckLake-style `changes_made` summary for the audit sheet */
+  private def changeLabel(st: StatementRouter.Stmt): String = st match {
+    case s: StatementRouter.CreateTable   => s"created_table:${s.name}"
+    case s: StatementRouter.CreateTableAs => s"created_table:${s.name}"
+    case s: StatementRouter.InsertValues  => s"inserted_into_table:${s.table}"
+    case s: StatementRouter.InsertSelect  => s"inserted_into_table:${s.table}"
+    case s: StatementRouter.CopyFrom      => s"inserted_into_table:${s.table}"
+    case s: StatementRouter.Delete        => s"deleted_from_table:${s.table}"
+    case s: StatementRouter.Update        => s"updated_table:${s.table}"
+    case s: StatementRouter.Merge         => s"merged_into_table:${s.table}"
+    case s: StatementRouter.DropTable     => s"dropped_table:${s.name}"
+    case s: StatementRouter.AlterTable    => s"altered_table:${s.table}"
+    case s: StatementRouter.CreateView    => s"created_view:${s.name}"
+    case s: StatementRouter.DropView      => s"dropped_view:${s.name}"
+    case _ => "other"
   }
 
   // --------------------------------------------- qualified names + travel
@@ -442,14 +469,18 @@ class DuckLakeXLSpark(
       StructField("null", StringType, false))))
   }
 
-  /** snapshot history (reference TODO `snapshots()`, README.md:162) */
+  /** snapshot history (reference TODO `snapshots()`, README.md:162),
+    * including the `ducklake_snapshot_changes` audit label
+    */
   def snapshots(): DataFrame = {
+    val byId = state.snapshotChanges.map(c => c.snapshotId -> c.changesMade).toMap
     val rows = state.snapshots.map(s =>
-      Row(s.snapshotId, s.snapshotTime, s.schemaVersion))
+      Row(s.snapshotId, s.snapshotTime, s.schemaVersion, byId.getOrElse(s.snapshotId, "")))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("snapshot_id", LongType, false),
       StructField("snapshot_time", StringType, false),
-      StructField("schema_version", LongType, false))))
+      StructField("schema_version", LongType, false),
+      StructField("changes", StringType, false))))
   }
 
   /** plan-time file pruning by ducklake_file_column_statistics: the files
@@ -1234,7 +1265,9 @@ class DuckLakeXLSpark(
     val ended = state.copy(dataFiles = state.dataFiles.map(d =>
       if (mergeIds.contains(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d))
     // plus one stats job over every merged output
-    val (ns2, fid2) = appendWrittenFiles(ended, t, snap, fid, written, schema)
+    val (ns2a, fid2) = appendWrittenFiles(ended, t, snap, fid, written, schema)
+    val ns2 = ns2a.copy(snapshotChanges = ns2a.snapshotChanges :+
+      SnapshotChangeRow(snap, s"compacted_table:${t.tableName}"))
     // before committing the snapshot: every input row must have survived
     // the group-tag join (the stats pass already counted the outputs, so
     // this check is free) — a silent drop here would be silent data loss
@@ -1270,6 +1303,7 @@ class DuckLakeXLSpark(
     val deadIds = dead.map(_.dataFileId).toSet
     state = state.copy(
       snapshots = state.snapshots.filter(_.snapshotId >= keepFrom),
+      snapshotChanges = state.snapshotChanges.filter(_.snapshotId >= keepFrom),
       dataFiles = state.dataFiles.filterNot(f => deadIds(f.dataFileId)),
       fileColumnStats = state.fileColumnStats.filterNot(s => deadIds(s.dataFileId)),
       filePartitionValues = state.filePartitionValues.filterNot(v => deadIds(v.dataFileId)),

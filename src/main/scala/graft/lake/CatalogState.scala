@@ -26,6 +26,7 @@ object CatalogSchema {
   val tables: Seq[(String, Seq[String])] = Seq(
     "ducklake_metadata" -> Seq("key", "value"),
     "ducklake_snapshot" -> Seq("snapshot_id", "snapshot_time", "schema_version", "next_catalog_id", "next_file_id"),
+    "ducklake_snapshot_changes" -> Seq("snapshot_id", "changes_made"),
     "ducklake_schema" -> Seq("schema_id", "schema_uuid", "begin_snapshot", "end_snapshot", "schema_name"),
     "ducklake_table" -> Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name"),
     "ducklake_view" -> Seq("view_id", "view_uuid", "begin_snapshot", "end_snapshot", "schema_id", "view_name", "sql"),
@@ -90,6 +91,8 @@ object CatalogSchema {
 
 final case class SnapshotRow(snapshotId: Long, snapshotTime: String,
                              schemaVersion: Long, nextCatalogId: Long, nextFileId: Long)
+/** per-snapshot audit summary (`ducklake_snapshot_changes.changes_made`) */
+final case class SnapshotChangeRow(snapshotId: Long, changesMade: String)
 final case class SchemaRow(schemaId: Long, schemaUuid: String,
                            beginSnapshot: Long, endSnapshot: Option[Long], schemaName: String)
 final case class TableRow(tableId: Long, tableUuid: String,
@@ -133,6 +136,7 @@ final case class FileColumnStatsRow(dataFileId: Long, tableId: Long, columnId: L
 final case class CatalogState(
     metadata: Vector[(String, String)],
     snapshots: Vector[SnapshotRow],
+    snapshotChanges: Vector[SnapshotChangeRow],
     schemas: Vector[SchemaRow],
     tables: Vector[TableRow],
     views: Vector[ViewRow],
@@ -238,6 +242,9 @@ final case class CatalogState(
         Seq("snapshot_id", "snapshot_time", "schema_version", "next_catalog_id", "next_file_id") +:
           snapshots.map(s => Seq(s.snapshotId.toString, s.snapshotTime,
             s.schemaVersion.toString, s.nextCatalogId.toString, s.nextFileId.toString))),
+      XlsxSheet(sheetName("ducklake_snapshot_changes"),
+        Seq("snapshot_id", "changes_made") +:
+          snapshotChanges.map(c => Seq(c.snapshotId.toString, c.changesMade))),
       XlsxSheet(sheetName("ducklake_schema"),
         Seq("schema_id", "schema_uuid", "begin_snapshot", "end_snapshot", "schema_name") +:
           schemas.map(s => Seq(s.schemaId.toString, s.schemaUuid,
@@ -303,7 +310,8 @@ object CatalogState {
   val empty: CatalogState = CatalogState(
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
-    Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+    Vector.empty)
 
   // ------------------------------------------------- §1.3 cell coercions
   /** empty cell -> NULL (ducklakexl.py:497) */
@@ -361,6 +369,8 @@ object CatalogState {
         ol(m.getOrElse("schema_version", "")).getOrElse(0L),
         ol(m.getOrElse("next_catalog_id", "")).getOrElse(1L),
         ol(m.getOrElse("next_file_id", "")).getOrElse(1L))).toVector,
+      snapshotChanges = rowsOf("ducklake_snapshot_changes").map(m => SnapshotChangeRow(
+        asLong(m("snapshot_id")), m.getOrElse("changes_made", ""))).toVector,
       schemas = rowsOf("ducklake_schema").map(m => SchemaRow(
         asLong(m("schema_id")), m.getOrElse("schema_uuid", ""),
         asLong(m("begin_snapshot")), ol(m.getOrElse("end_snapshot", "")),

@@ -249,7 +249,8 @@ object QueriesLake {
        "('ducklake_file_partition_value')," +
        "('ducklake_files_scheduled_for_deletion'),('ducklake_metadata')," +
        "('ducklake_partition_column'),('ducklake_partition_info')," +
-       "('ducklake_schema'),('ducklake_snapshot'),('ducklake_table')," +
+       "('ducklake_schema'),('ducklake_snapshot'),('ducklake_snapshot_changes')," +
+       "('ducklake_table')," +
        "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),
     "q_lake_ts_travel" ->
       ("SELECT * FROM (VALUES (2,'b'),(3,'c')) t(id, val) ORDER BY id"),

@@ -176,6 +176,14 @@ class LakeScaleSpec extends AnyFunSuite {
       Seq(("id", "INTEGER"), ("v", "VARCHAR")))
     assert(lake.sql("SELECT count(*) AS c FROM snapshots()")
       .collect()(0).getLong(0) >= 2L)
+    // the ducklake_snapshot_changes audit trail labels every mutation
+    val changes = lake.sql("SELECT changes FROM snapshots() ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(changes.contains("created_table:mt"), changes.mkString(","))
+    assert(changes.contains("created_view:mv"), changes.mkString(","))
+    lake.sql("INSERT INTO mt VALUES (1,'a')")
+    assert(lake.sql("SELECT changes FROM snapshots() ORDER BY snapshot_id DESC LIMIT 1")
+      .collect()(0).getString(0) == "inserted_into_table:mt")
   }
 
   test("ALTER TABLE: rename, add column (old files scan as NULL), drop column") {
@@ -398,8 +406,9 @@ class LakeScaleSpec extends AnyFunSuite {
          |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
          |ORDER BY table_name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
-    assert(names.size == 14 && names.contains("ducklake_snapshot") &&
+    assert(names.size == 15 && names.contains("ducklake_snapshot") &&
       names.contains("ducklake_partition_info") &&
+      names.contains("ducklake_snapshot_changes") &&
       names.contains("ducklake_files_scheduled_for_deletion"), names.mkString(","))
     val user = lake.sql(
       """SELECT table_name, table_type FROM information_schema.tables
