@@ -57,7 +57,14 @@ class DuckLakeXLSpark(
     val dataPath: String,
     val lakeName: String = "my_ducklake",
     driveId: Option[String] = None,
-    remoteOverride: Option[ExcelRemote] = None) {
+    remoteOverride: Option[ExcelRemote] = None,
+    /** DuckLake data inlining (`data_inlining_row_limit`, default OFF):
+      * when > 0, a literal-VALUES INSERT of at most this many rows is
+      * stored INLINE in the catalog — a metadata-only commit, zero Spark
+      * jobs, no data file. Rows flush to parquet automatically before any
+      * DML/ALTER/compaction touches the table.
+      */
+    inlineRowLimit: Int = 0) {
 
   /** local xlsx or Graph workbook, picked like the reference's
     * _pick_client (ducklakexl.py:85-97); `remoteOverride` injects a
@@ -140,11 +147,12 @@ class DuckLakeXLSpark(
         case s: StatementRouter.CopyTo        => executeCopy(s)
         case s: StatementRouter.CopyFrom      => executeCopyFrom(s); registerViews()
         case s: StatementRouter.InsertValues =>
-          // a literal VALUES list is driver-sized by definition -> one data
-          // file per INSERT (the DuckLake shape); INSERT..SELECT below keeps
-          // file-per-partition, the shape a distributed INSERT produces
-          executeInsertDF(s.table, s.cols,
-            valuesDF(s.table, s.cols, s.valuesSql).coalesce(1))
+          // a literal VALUES list is driver-sized by definition -> inlined
+          // into the catalog (when enabled) or one data file per INSERT
+          // (the DuckLake shape) — executeInsertDF decides; INSERT..SELECT
+          // below keeps file-per-partition, the shape a distributed INSERT
+          // produces
+          executeInsertDF(s.table, s.cols, valuesDF(s.table, s.cols, s.valuesSql))
           registerViews()
         case s: StatementRouter.InsertSelect =>
           executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
@@ -361,7 +369,7 @@ class DuckLakeXLSpark(
     val curCols = state.columnsOf(t.tableId, snapshot)
     val schema = state.schemaOf(t.tableId, snapshot)
     val files = state.filesOf(t.tableId, snapshot)
-    if (files.isEmpty)
+    val base = if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
       val partVals = state.partitionValuesOf(t.tableId)
@@ -388,6 +396,27 @@ class DuckLakeXLSpark(
         }: _*)
       }
       dfs.reduce(_.unionByName(_))
+    }
+    // catalog-inlined rows (data inlining) union in as a local relation
+    inlineDF(t, snapshot).map(base.unionByName(_)).getOrElse(base)
+  }
+
+  /** the table's catalog-inlined rows at `snapshot` as a typed DataFrame
+    * (None when the table has no live inlined rows — the common case)
+    */
+  private def inlineDF(t: TableRow, snapshot: Long): Option[DataFrame] = {
+    val live = state.inlinedOf(t.tableId, snapshot)
+    if (live.isEmpty) None
+    else {
+      val schema = state.schemaOf(t.tableId, snapshot)
+      val strSchema = StructType(schema.fields.map(f =>
+        StructField(f.name, StringType, nullable = true)))
+      val rows = live.map(r => Row.fromSeq(
+        schema.fields.indices.map(i =>
+          CatalogState.optCell(r.cells.applyOrElse(i, (_: Int) => "")).orNull)))
+      val df = spark.createDataFrame(rows.asJava, strSchema)
+      Some(df.select(schema.fields.map(f =>
+        colq(df, f.name).cast(f.dataType).as(f.name)).toSeq: _*))
     }
   }
 
@@ -432,6 +461,9 @@ class DuckLakeXLSpark(
     require(!staleEpoch,
       s"tableStream($name): table has files from before a RENAME COLUMN; " +
       "compact() or rewrite them first")
+    require(state.inlinedOf(t.tableId).isEmpty,
+      s"tableStream($name): table has catalog-inlined rows the file stream " +
+      "cannot see; compact() flushes them first")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000)
       .parquet(Paths.get(dataPath, t.tableName).toString)
@@ -685,15 +717,56 @@ class DuckLakeXLSpark(
     }
 
     val partCols = state.partitionColumnsOf(t.tableId).map(_.columnName)
+    // a literal VALUES folds to a LocalRelation — driver-sized by
+    // construction. With data inlining enabled, tiny ones commit as
+    // catalog metadata only (collect of a LocalRelation is driver-local:
+    // ZERO Spark jobs, no data file — DuckLake data_inlining); otherwise
+    // they still coalesce to one file per INSERT (the DuckLake shape).
+    val isLocalValues = df.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    if (inlineRowLimit > 0 && partCols.isEmpty && isLocalValues) {
+      val rows = df.collect()
+      if (rows.length <= inlineRowLimit) {
+        val snap = state.currentSnapshot + 1
+        state = state.copy(
+          inlinedData = state.inlinedData ++ rows.map(r => InlinedDataRow(
+            t.tableId, snap, None,
+            schema.fields.indices.map(i =>
+              Option(r.get(i)).map(_.toString).getOrElse("")).toVector)),
+          tableStats = bumpStats(t.tableId, rows.length))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+        return
+      }
+    }
     if (partCols.isEmpty) {
-      val written = writeParquetFiles(df, t.tableName)
+      val written = writeParquetFiles(if (isLocalValues) df.coalesce(1) else df, t.tableName)
       if (written.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
       registerWrittenFiles(t, written)
     } else {
-      val writtenPV = writeParquetFilesPartitioned(df, t.tableName, partCols)
+      val writtenPV = writeParquetFilesPartitioned(
+        if (isLocalValues) df.coalesce(1) else df, t.tableName, partCols)
       if (writtenPV.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
       registerWrittenFiles(t, writtenPV.map(_._1),
         writtenPV.map { case (p, v) => p.toString -> v }.toMap)
+    }
+  }
+
+  /** move a table's live inlined rows into a real parquet file (DuckLake
+    * `ducklake_flush_inlined_data`): runs automatically before any
+    * DML/ALTER/compaction so those paths stay purely file-based
+    */
+  private def flushInlined(t: TableRow): Unit = {
+    inlineDF(t, state.currentSnapshot).foreach { df =>
+      val snap = state.currentSnapshot + 1
+      val written = writeParquetFiles(df.coalesce(1), t.tableName)
+      val (ns, fid) = appendWrittenFiles(state, t, snap, state.nextFileId,
+        written, state.schemaOf(t.tableId))
+      state = ns.copy(
+        inlinedData = ns.inlinedData.map(r =>
+          if (r.tableId == t.tableId && r.endSnapshot.isEmpty) r.copy(endSnapshot = Some(snap)) else r),
+        snapshotChanges = ns.snapshotChanges :+
+          SnapshotChangeRow(snap, s"flushed_inlined:${t.tableName}"))
+      newSnapshot(state.nextCatalogId, fid)
     }
   }
 
@@ -729,6 +802,7 @@ class DuckLakeXLSpark(
   private def executeDelete(s: StatementRouter.Delete): Unit = {
     val t = state.tableByName(s.table).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
@@ -780,6 +854,7 @@ class DuckLakeXLSpark(
   private def executeUpdate(s: StatementRouter.Update): Unit = {
     val t = state.tableByName(s.table).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val sets = s.sets.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
     val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
@@ -849,6 +924,7 @@ class DuckLakeXLSpark(
   private def executeMerge(s: StatementRouter.Merge): Unit = {
     val t = state.tableByName(s.table).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
@@ -1017,6 +1093,9 @@ class DuckLakeXLSpark(
   private def executeAlter(s: StatementRouter.AlterTable): Unit = {
     val t = state.tableByName(s.table).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    // flush BEFORE any schema change so inline cells always match the
+    // column set they were written under
+    flushInlined(t)
     val snap = state.currentSnapshot + 1
     s.op match {
       case StatementRouter.RenameTo(newName) =>
@@ -1149,6 +1228,8 @@ class DuckLakeXLSpark(
           columns = state.columns.map(x =>
             if (x.tableId == t.tableId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x),
           dataFiles = state.dataFiles.map(x =>
+            if (x.tableId == t.tableId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x),
+          inlinedData = state.inlinedData.map(x =>
             if (x.tableId == t.tableId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
         newSnapshot(state.nextCatalogId, state.nextFileId)
         spark.catalog.dropTempView(s.name)
@@ -1199,6 +1280,7 @@ class DuckLakeXLSpark(
     if (remote.exists) pull()
     val t = state.tableByName(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
+    flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val cols = state.columnsOf(t.tableId)
     val small = state.filesOf(t.tableId).filter(_.fileSizeBytes < targetBytes)
@@ -1308,6 +1390,7 @@ class DuckLakeXLSpark(
       fileColumnStats = state.fileColumnStats.filterNot(s => deadIds(s.dataFileId)),
       filePartitionValues = state.filePartitionValues.filterNot(v => deadIds(v.dataFileId)),
       deleteFiles = state.deleteFiles.filterNot(d => deadIds(d.dataFileId)),
+      inlinedData = state.inlinedData.filterNot(_.endSnapshot.exists(_ <= keepFrom)),
       scheduledDeletes = state.scheduledDeletes ++ dead.map(f =>
         ScheduledDeleteRow(f.dataFileId, f.tableId, f.path, now)))
     push()

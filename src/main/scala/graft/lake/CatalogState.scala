@@ -38,6 +38,7 @@ object CatalogSchema {
     "ducklake_delete_file" -> Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot", "data_file_id", "path", "delete_count"),
     "ducklake_table_stats" -> Seq("table_id", "record_count"),
     "ducklake_files_scheduled_for_deletion" -> Seq("data_file_id", "table_id", "path", "schedule_start"),
+    "ducklake_inlined_data_tables" -> Seq("table_id", "sheet_name"),
     "ducklake_file_column_statistics" -> Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count")
   )
 
@@ -129,6 +130,13 @@ final case class TableStatsRow(tableId: Long, recordCount: Long)
   */
 final case class ScheduledDeleteRow(dataFileId: Long, tableId: Long,
                                     path: String, scheduleStart: String)
+/** a row stored INLINE in the catalog (DuckLake data inlining): cells are
+  * the §1.3 string forms of the table's columns at write time, with
+  * [begin_snapshot, end_snapshot) lifetime like a data file — end is set
+  * when the rows flush to parquet
+  */
+final case class InlinedDataRow(tableId: Long, beginSnapshot: Long,
+                                endSnapshot: Option[Long], cells: Vector[String])
 final case class FileColumnStatsRow(dataFileId: Long, tableId: Long, columnId: Long,
                                     minValue: Option[String], maxValue: Option[String],
                                     nullCount: Long)
@@ -148,6 +156,7 @@ final case class CatalogState(
     deleteFiles: Vector[DeleteFileRow],
     tableStats: Vector[TableStatsRow],
     scheduledDeletes: Vector[ScheduledDeleteRow],
+    inlinedData: Vector[InlinedDataRow],
     fileColumnStats: Vector[FileColumnStatsRow],
     /** sheets the state does not interpret, carried verbatim through
       * pull∘push — the reference syncs whatever metadata tables exist
@@ -184,6 +193,13 @@ final case class CatalogState(
   def filesOf(tableId: Long, snap: Long = currentSnapshot): Vector[DataFileRow] =
     dataFiles.filter(f => f.tableId == tableId &&
       aliveAt[DataFileRow](_.beginSnapshot, _.endSnapshot, snap)(f))
+
+  /** catalog-inlined rows of a table live at `snap` (DuckLake data
+    * inlining; empty unless the lake was built with an inline row limit)
+    */
+  def inlinedOf(tableId: Long, snap: Long = currentSnapshot): Vector[InlinedDataRow] =
+    inlinedData.filter(r => r.tableId == tableId &&
+      aliveAt[InlinedDataRow](_.beginSnapshot, _.endSnapshot, snap)(r))
 
   def schemaOf(tableId: Long, snap: Long = currentSnapshot): StructType =
     StructType(columnsOf(tableId, snap).map(c =>
@@ -294,13 +310,31 @@ final case class CatalogState(
         Seq("data_file_id", "table_id", "path", "schedule_start") +:
           scheduledDeletes.map(s => Seq(s.dataFileId.toString, s.tableId.toString,
             s.path, s.scheduleStart))),
+      XlsxSheet(sheetName("ducklake_inlined_data_tables"),
+        Seq("table_id", "sheet_name") +:
+          inlinedData.map(_.tableId).distinct.sorted.map(id =>
+            Seq(id.toString, CatalogState.inlineSheetName(id)))),
       XlsxSheet(sheetName("ducklake_file_column_statistics"),
         Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count") +:
           fileColumnStats.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
             f.columnId.toString, f.minValue.getOrElse(""), f.maxValue.getOrElse(""),
             f.nullCount.toString)))
-    ) ++ extraSheets
+    ) ++ inlineDataSheets ++ extraSheets
   }
+
+  /** one dynamic sheet per table holding inlined rows: header =
+    * begin_snapshot, end_snapshot, c0..c{n-1} (cells positional — the
+    * real column names live in ducklake_column)
+    */
+  private def inlineDataSheets: Seq[XlsxSheet] =
+    inlinedData.map(_.tableId).distinct.sorted.map { id =>
+      val rows = inlinedData.filter(_.tableId == id)
+      val arity = rows.map(_.cells.length).maxOption.getOrElse(0)
+      XlsxSheet(CatalogState.inlineSheetName(id),
+        (Seq("begin_snapshot", "end_snapshot") ++ (0 until arity).map(i => s"c$i")) +:
+          rows.map(r => Seq(r.beginSnapshot.toString,
+            r.endSnapshot.map(_.toString).getOrElse("")) ++ r.cells.padTo(arity, "")))
+    }
 }
 
 /** (name, rows) — row 0 is the header */
@@ -311,7 +345,7 @@ object CatalogState {
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
-    Vector.empty)
+    Vector.empty, Vector.empty)
 
   // ------------------------------------------------- §1.3 cell coercions
   /** empty cell -> NULL (ducklakexl.py:497) */
@@ -343,6 +377,8 @@ object CatalogState {
     * matched by name, missing ones are empty; column positions come from
     * each sheet's own header row (robust to column reordering by Excel)
     */
+  private[lake] def inlineSheetName(tableId: Long): String = s"inlined_data_$tableId"
+
   def fromSheets(sheets: Seq[XlsxSheet]): CatalogState = {
     val byName = sheets.map(s => s.name -> s).toMap
     def rowsOf(table: String): Seq[Map[String, String]] = {
@@ -356,6 +392,21 @@ object CatalogState {
       }
     }
     def ol(s: String): Option[Long] = optCell(s).map(asLong)
+    // inlined-data registry first: its referenced dynamic sheets must be
+    // parsed as typed rows, not carried as extraSheets
+    val inlineReg = rowsOf("ducklake_inlined_data_tables")
+      .map(m => (asLong(m("table_id")), m.getOrElse("sheet_name", "")))
+    val inlineNames = inlineReg.map(_._2).toSet
+    val inlinedParsed = inlineReg.flatMap { case (tid, sn) =>
+      byName.get(sn).toSeq.flatMap {
+        case XlsxSheet(_, rows) if rows.nonEmpty =>
+          rows.tail.filter(_.exists(_.nonEmpty)).map { r =>
+            InlinedDataRow(tid, asLong(cell(r, 0)),
+              ol(cell(r, 1)), r.drop(2).toVector)
+          }
+        case _ => Seq.empty
+      }
+    }.toVector
     CatalogState(
       metadata = rowsOf("ducklake_metadata")
         .map(m => (m.getOrElse("key", ""), m.getOrElse("value", ""))).toVector
@@ -419,12 +470,14 @@ object CatalogState {
       scheduledDeletes = rowsOf("ducklake_files_scheduled_for_deletion").map(m =>
         ScheduledDeleteRow(asLong(m("data_file_id")), asLong(m("table_id")),
           m.getOrElse("path", ""), m.getOrElse("schedule_start", ""))).toVector,
+      inlinedData = inlinedParsed,
       fileColumnStats = rowsOf("ducklake_file_column_statistics").map(m => FileColumnStatsRow(
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("column_id")),
         optCell(m.getOrElse("min_value", "")), optCell(m.getOrElse("max_value", "")),
         ol(m.getOrElse("null_count", "")).getOrElse(0L))).toVector,
       extraSheets = sheets.filterNot(s =>
-        CatalogSchema.knownSheetNames.contains(s.name)).toVector
+        CatalogSchema.knownSheetNames.contains(s.name) ||
+          inlineNames.contains(s.name)).toVector
     )
   }
 }

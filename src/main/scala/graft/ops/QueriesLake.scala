@@ -139,6 +139,20 @@ object QueriesLake {
         """CREATE TABLE de(id INTEGER, qty DOUBLE, val VARCHAR);
           |DESCRIBE de""".stripMargin)
     },
+    // r4: data inlining — tiny INSERTs live in the catalog, reopen
+    // answers from the workbook alone, DML flushes then applies
+    "q_lake_inline" -> { (s, _) =>
+      val dir = Files.createTempDirectory("graft_lake_q").toString
+      val lake = new DuckLakeXLSpark(s, s"$dir/lake.xlsx", s"$dir/data",
+        inlineRowLimit = 10)
+      lake.sql(
+        """CREATE TABLE il(id INTEGER, val VARCHAR);
+          |INSERT INTO il VALUES (1,'a'),(2,'b');
+          |INSERT INTO il VALUES (3,'c')""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath,
+        inlineRowLimit = 10)
+      reopened.sql("DELETE FROM il WHERE id = 2; SELECT * FROM il ORDER BY id")
+    },
     // r4: retention — expire history, vacuum unreachable files, reopen
     "q_lake_retention" -> { (s, _) =>
       val lake = freshLake(s)
@@ -237,6 +251,8 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
     "q_lake_copy" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
+    "q_lake_inline" ->
+      ("SELECT * FROM (VALUES (1,'a'),(3,'c')) t(id, val) ORDER BY id"),
     "q_lake_retention" ->
       ("SELECT * FROM (VALUES (1,'a'),(3,'c')) t(id, val) ORDER BY id"),
     "q_lake_rename_col" ->
@@ -247,7 +263,8 @@ object QueriesLake {
       ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_data_file')," +
        "('ducklake_delete_file'),('ducklake_file_column_statistics')," +
        "('ducklake_file_partition_value')," +
-       "('ducklake_files_scheduled_for_deletion'),('ducklake_metadata')," +
+       "('ducklake_files_scheduled_for_deletion'),('ducklake_inlined_data_tables')," +
+       "('ducklake_metadata')," +
        "('ducklake_partition_column'),('ducklake_partition_info')," +
        "('ducklake_schema'),('ducklake_snapshot'),('ducklake_snapshot_changes')," +
        "('ducklake_table')," +

@@ -406,7 +406,7 @@ class LakeScaleSpec extends AnyFunSuite {
          |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
          |ORDER BY table_name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
-    assert(names.size == 15 && names.contains("ducklake_snapshot") &&
+    assert(names.size == 16 && names.contains("ducklake_snapshot") &&
       names.contains("ducklake_partition_info") &&
       names.contains("ducklake_snapshot_changes") &&
       names.contains("ducklake_files_scheduled_for_deletion"), names.mkString(","))
@@ -463,6 +463,38 @@ class LakeScaleSpec extends AnyFunSuite {
         |MERGE INTO md USING ms3 ON md.id = ms3.id WHEN MATCHED THEN UPDATE SET qty = ms3.qty""".stripMargin)
     assert(lake.sql("SELECT qty FROM md").collect()(0).getInt(0) == 99)
     assert(lake.currentState.deleteFiles.lastOption.exists(_.deleteCount == 1L))
+  }
+
+  test("data inlining: tiny INSERT is metadata-only (0 jobs); DML flushes first") {
+    val dir = Files.createTempDirectory("lake_inline").toString
+    val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data",
+      inlineRowLimit = 10)
+    lake.sql("CREATE TABLE il(id INTEGER, v VARCHAR)")
+    val jobs = jobsInGroup("inline-ins") {
+      lake.sql("INSERT INTO il VALUES (1,'a'),(2,'b')")
+    }
+    assert(jobs == 0, s"inlined INSERT ran $jobs Spark jobs; want 0")
+    val t = lake.currentState.tableByName("il").get
+    assert(lake.currentState.filesOf(t.tableId).isEmpty, "no data file for inlined rows")
+    assert(lake.currentState.inlinedOf(t.tableId).size == 2)
+    assert(lake.sql("SELECT id, v FROM il ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+    // the rows live in the workbook: a fresh instance answers from it alone
+    val reopened = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data",
+      inlineRowLimit = 10)
+    assert(reopened.sql("SELECT count(*) AS c FROM il").collect()(0).getLong(0) == 2L)
+    // an insert past the limit writes a real file as usual
+    lake.sql("INSERT INTO il VALUES " + (3 to 20).map(i => s"($i,'x$i')").mkString(","))
+    assert(lake.currentState.filesOf(t.tableId).size == 1)
+    val preFlush = lake.currentState.currentSnapshot
+    // DML flushes the inlined rows to parquet, then applies file-based CoW
+    lake.sql("DELETE FROM il WHERE id = 1")
+    assert(lake.currentState.inlinedOf(t.tableId).isEmpty)
+    assert(lake.sql("SELECT count(*) AS c FROM il").collect()(0).getLong(0) == 19L)
+    // time travel before the flush still reads the rows from the catalog
+    assert(lake.tableAt("il", preFlush).count() == 20L)
+    // stats tracked across inline + flush + delete
+    assert(lake.currentState.tableStats.find(_.tableId == t.tableId).get.recordCount == 19L)
   }
 
   test("expireSnapshots schedules unreachable files; vacuum deletes them") {
