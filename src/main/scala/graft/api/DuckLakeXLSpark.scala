@@ -174,6 +174,7 @@ class DuckLakeXLSpark(
           a.alias.foreach(al => require(al.equalsIgnoreCase(lakeName),
             s"ATTACH alias '$al' does not match this lake: $lakeName"))
         case StatementRouter.Detach => // noop — attachment is the object's lifetime
+        case s: StatementRouter.CommentOn => executeComment(s); registerViews()
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
@@ -215,7 +216,36 @@ class DuckLakeXLSpark(
     case s: StatementRouter.AlterTable    => s"altered_table:${s.table}"
     case s: StatementRouter.CreateView    => s"created_view:${s.name}"
     case s: StatementRouter.DropView      => s"dropped_view:${s.name}"
+    case s: StatementRouter.CommentOn     => s"commented:${s.table}"
     case _ => "other"
+  }
+
+  /** `COMMENT ON …` -> DuckLake tag rows (key='comment') with snapshot
+    * lifetimes: the previous value's lifetime ends, the new one begins
+    */
+  private def executeComment(s: StatementRouter.CommentOn): Unit = {
+    val t = state.tableByName(s.table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val snap = state.currentSnapshot + 1
+    s.column match {
+      case None =>
+        val ended = state.tags.map(x =>
+          if (x.objectId == t.tableId && x.key == "comment" && x.endSnapshot.isEmpty)
+            x.copy(endSnapshot = Some(snap)) else x)
+        state = state.copy(tags = ended ++
+          s.comment.map(c => TagRow(t.tableId, snap, None, "comment", c)).toVector)
+      case Some(colName) =>
+        val c = state.columnsOf(t.tableId)
+          .find(_.columnName.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $colName"))
+        val ended = state.columnTags.map(x =>
+          if (x.tableId == t.tableId && x.columnId == c.columnId &&
+              x.key == "comment" && x.endSnapshot.isEmpty)
+            x.copy(endSnapshot = Some(snap)) else x)
+        state = state.copy(columnTags = ended ++
+          s.comment.map(cm => ColumnTagRow(t.tableId, c.columnId, snap, None, "comment", cm)).toVector)
+    }
+    newSnapshot(state.nextCatalogId, state.nextFileId)
   }
 
   // --------------------------------------------- qualified names + travel
@@ -569,23 +599,26 @@ class DuckLakeXLSpark(
     val metaCatalog = s"__ducklake_metadata_$lakeName"
     val tRows =
       state.liveTables().sortBy(_.tableName).map(t =>
-        Row(lakeName, "main", t.tableName, "BASE TABLE")) ++
+        Row(lakeName, "main", t.tableName, "BASE TABLE",
+          state.tagOf(t.tableId, "comment").orNull)) ++
       state.liveViews().sortBy(_.viewName).map(v =>
-        Row(lakeName, "main", v.viewName, "VIEW")) ++
+        Row(lakeName, "main", v.viewName, "VIEW", null)) ++
       CatalogSchema.tables.map { case (name, _) =>
-        Row(metaCatalog, "main", name, "BASE TABLE")
+        Row(metaCatalog, "main", name, "BASE TABLE", null)
       }
     spark.createDataFrame(tRows.asJava, StructType(Seq(
       StructField("table_catalog", StringType, false),
       StructField("table_schema", StringType, false),
       StructField("table_name", StringType, false),
-      StructField("table_type", StringType, false))))
+      StructField("table_type", StringType, false),
+      StructField("comment", StringType, true))))
       .createOrReplaceTempView("__info_tables")
     val cRows = state.liveTables().sortBy(_.tableName).flatMap { t =>
       state.columnsOf(t.tableId).map(c =>
         Row(lakeName, "main", t.tableName, c.columnName,
           (c.columnOrder + 1).toLong, c.columnType,
-          if (c.nullsAllowed) "YES" else "NO"))
+          if (c.nullsAllowed) "YES" else "NO",
+          state.columnTagOf(t.tableId, c.columnId, "comment").orNull))
     }
     spark.createDataFrame(cRows.asJava, StructType(Seq(
       StructField("table_catalog", StringType, false),
@@ -594,7 +627,8 @@ class DuckLakeXLSpark(
       StructField("column_name", StringType, false),
       StructField("ordinal_position", LongType, false),
       StructField("data_type", StringType, false),
-      StructField("is_nullable", StringType, false))))
+      StructField("is_nullable", StringType, false),
+      StructField("comment", StringType, true))))
       .createOrReplaceTempView("__info_columns")
   }
 

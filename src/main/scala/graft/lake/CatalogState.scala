@@ -39,6 +39,8 @@ object CatalogSchema {
     "ducklake_table_stats" -> Seq("table_id", "record_count"),
     "ducklake_files_scheduled_for_deletion" -> Seq("data_file_id", "table_id", "path", "schedule_start"),
     "ducklake_inlined_data_tables" -> Seq("table_id", "sheet_name"),
+    "ducklake_tag" -> Seq("object_id", "begin_snapshot", "end_snapshot", "key", "value"),
+    "ducklake_column_tag" -> Seq("table_id", "column_id", "begin_snapshot", "end_snapshot", "key", "value"),
     "ducklake_file_column_statistics" -> Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count")
   )
 
@@ -130,6 +132,14 @@ final case class TableStatsRow(tableId: Long, recordCount: Long)
   */
 final case class ScheduledDeleteRow(dataFileId: Long, tableId: Long,
                                     path: String, scheduleStart: String)
+/** key/value tag on a catalog object (DuckLake `ducklake_tag`; comments
+  * are key='comment'), with snapshot lifetimes
+  */
+final case class TagRow(objectId: Long, beginSnapshot: Long,
+                        endSnapshot: Option[Long], key: String, value: String)
+/** key/value tag on a column (DuckLake `ducklake_column_tag`) */
+final case class ColumnTagRow(tableId: Long, columnId: Long, beginSnapshot: Long,
+                              endSnapshot: Option[Long], key: String, value: String)
 /** a row stored INLINE in the catalog (DuckLake data inlining): cells are
   * the §1.3 string forms of the table's columns at write time, with
   * [begin_snapshot, end_snapshot) lifetime like a data file — end is set
@@ -157,6 +167,8 @@ final case class CatalogState(
     tableStats: Vector[TableStatsRow],
     scheduledDeletes: Vector[ScheduledDeleteRow],
     inlinedData: Vector[InlinedDataRow],
+    tags: Vector[TagRow],
+    columnTags: Vector[ColumnTagRow],
     fileColumnStats: Vector[FileColumnStatsRow],
     /** sheets the state does not interpret, carried verbatim through
       * pull∘push — the reference syncs whatever metadata tables exist
@@ -200,6 +212,18 @@ final case class CatalogState(
   def inlinedOf(tableId: Long, snap: Long = currentSnapshot): Vector[InlinedDataRow] =
     inlinedData.filter(r => r.tableId == tableId &&
       aliveAt[InlinedDataRow](_.beginSnapshot, _.endSnapshot, snap)(r))
+
+  /** live value of an object tag (e.g. key="comment") */
+  def tagOf(objectId: Long, key: String, snap: Long = currentSnapshot): Option[String] =
+    tags.find(t => t.objectId == objectId && t.key == key &&
+      aliveAt[TagRow](_.beginSnapshot, _.endSnapshot, snap)(t)).map(_.value)
+
+  /** live value of a column tag */
+  def columnTagOf(tableId: Long, columnId: Long, key: String,
+      snap: Long = currentSnapshot): Option[String] =
+    columnTags.find(t => t.tableId == tableId && t.columnId == columnId &&
+      t.key == key &&
+      aliveAt[ColumnTagRow](_.beginSnapshot, _.endSnapshot, snap)(t)).map(_.value)
 
   def schemaOf(tableId: Long, snap: Long = currentSnapshot): StructType =
     StructType(columnsOf(tableId, snap).map(c =>
@@ -314,6 +338,14 @@ final case class CatalogState(
         Seq("table_id", "sheet_name") +:
           inlinedData.map(_.tableId).distinct.sorted.map(id =>
             Seq(id.toString, CatalogState.inlineSheetName(id)))),
+      XlsxSheet(sheetName("ducklake_tag"),
+        Seq("object_id", "begin_snapshot", "end_snapshot", "key", "value") +:
+          tags.map(t => Seq(t.objectId.toString, t.beginSnapshot.toString,
+            optS(t.endSnapshot), t.key, t.value))),
+      XlsxSheet(sheetName("ducklake_column_tag"),
+        Seq("table_id", "column_id", "begin_snapshot", "end_snapshot", "key", "value") +:
+          columnTags.map(t => Seq(t.tableId.toString, t.columnId.toString,
+            t.beginSnapshot.toString, optS(t.endSnapshot), t.key, t.value))),
       XlsxSheet(sheetName("ducklake_file_column_statistics"),
         Seq("data_file_id", "table_id", "column_id", "min_value", "max_value", "null_count") +:
           fileColumnStats.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
@@ -345,7 +377,7 @@ object CatalogState {
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
     Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
-    Vector.empty, Vector.empty)
+    Vector.empty, Vector.empty, Vector.empty, Vector.empty)
 
   // ------------------------------------------------- §1.3 cell coercions
   /** empty cell -> NULL (ducklakexl.py:497) */
@@ -471,6 +503,14 @@ object CatalogState {
         ScheduledDeleteRow(asLong(m("data_file_id")), asLong(m("table_id")),
           m.getOrElse("path", ""), m.getOrElse("schedule_start", ""))).toVector,
       inlinedData = inlinedParsed,
+      tags = rowsOf("ducklake_tag").map(m => TagRow(
+        asLong(m("object_id")), asLong(m("begin_snapshot")),
+        ol(m.getOrElse("end_snapshot", "")), m.getOrElse("key", ""),
+        m.getOrElse("value", ""))).toVector,
+      columnTags = rowsOf("ducklake_column_tag").map(m => ColumnTagRow(
+        asLong(m("table_id")), asLong(m("column_id")), asLong(m("begin_snapshot")),
+        ol(m.getOrElse("end_snapshot", "")), m.getOrElse("key", ""),
+        m.getOrElse("value", ""))).toVector,
       fileColumnStats = rowsOf("ducklake_file_column_statistics").map(m => FileColumnStatsRow(
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("column_id")),
         optCell(m.getOrElse("min_value", "")), optCell(m.getOrElse("max_value", "")),

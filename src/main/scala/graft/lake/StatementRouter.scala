@@ -85,6 +85,11 @@ object StatementRouter {
   final case class CreateView(name: String, select: String, orReplace: Boolean) extends Stmt
   final case class DropView(name: String, ifExists: Boolean) extends Stmt
   final case class Use(name: String) extends Stmt
+  /** `COMMENT ON TABLE t IS '…'` / `COMMENT ON COLUMN t.c IS '…'` —
+    * persisted as DuckLake tags (key='comment'); IS NULL clears
+    */
+  final case class CommentOn(table: String, column: Option[String],
+                             comment: Option[String]) extends Stmt
   case object ShowTables extends Stmt
   final case class Describe(name: String) extends Stmt
   final case class Explain(select: String) extends Stmt
@@ -154,6 +159,14 @@ object StatementRouter {
   private val DetachRe =
     """(?is)^\s*DETACH\s+(?:DATABASE\s+)?(?:IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
   private val DataPathRe = """(?i)DATA_PATH\s+'([^']+)'""".r
+  private val CommentTableRe =
+    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+([\w\.\"]+)\s+IS\s+(NULL|'(?:[^']|'')*')\s*$""".r
+  private val CommentColumnRe =
+    """(?is)^\s*COMMENT\s+ON\s+COLUMN\s+([\w\.\"]+)\.([\w\"]+)\s+IS\s+(NULL|'(?:[^']|'')*')\s*$""".r
+
+  private def unquoteLit(s: String): Option[String] =
+    if (s.equalsIgnoreCase("NULL")) None
+    else Some(s.stripPrefix("'").stripSuffix("'").replace("''", "'"))
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w\.\"]+)(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
@@ -389,6 +402,11 @@ object StatementRouter {
       Attach(target, Option(alias).map(bareName),
         Option(opts).flatMap(o => DataPathRe.findFirstMatchIn(o).map(_.group(1))))
     case DetachRe(_) => Detach
+    case CommentColumnRe(tbl, col, lit) =>
+      CommentOn(bareName(tbl),
+        Some(col.stripPrefix("\"").stripSuffix("\"")), unquoteLit(lit))
+    case CommentTableRe(tbl, lit) =>
+      CommentOn(bareName(tbl), None, unquoteLit(lit))
     case UseRe(name) => Use(bareName(name))
     case ShowTablesRe() => ShowTables
     case ExplainRe(select) => Explain(select.trim)

@@ -139,6 +139,21 @@ object QueriesLake {
         """CREATE TABLE de(id INTEGER, qty DOUBLE, val VARCHAR);
           |DESCRIBE de""".stripMargin)
     },
+    // r4: COMMENT ON -> ducklake_tag / ducklake_column_tag, read back
+    // through information_schema after reopen
+    "q_lake_comment" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE cm(id INTEGER, val VARCHAR);
+          |COMMENT ON TABLE cm IS 'fact table';
+          |COMMENT ON COLUMN cm.id IS 'pk'""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql(
+        """SELECT c.column_name, c.comment AS col_comment, t.comment AS tbl_comment
+          |FROM information_schema.columns c
+          |JOIN information_schema.tables t ON t.table_name = c.table_name
+          |WHERE c.table_name = 'cm' AND c.column_name = 'id'""".stripMargin)
+    },
     // r4: data inlining — tiny INSERTs live in the catalog, reopen
     // answers from the workbook alone, DML flushes then applies
     "q_lake_inline" -> { (s, _) =>
@@ -251,6 +266,9 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
     "q_lake_copy" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
+    "q_lake_comment" ->
+      ("SELECT * FROM (VALUES ('id','pk','fact table')) " +
+       "t(column_name, col_comment, tbl_comment)"),
     "q_lake_inline" ->
       ("SELECT * FROM (VALUES (1,'a'),(3,'c')) t(id, val) ORDER BY id"),
     "q_lake_retention" ->
@@ -260,14 +278,15 @@ object QueriesLake {
     "q_lake_partition" ->
       ("SELECT * FROM (VALUES (1,'eu'),(3,'eu'),(6,'eu')) t(id, region) ORDER BY id"),
     "q_lake_infoschema" ->
-      ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_data_file')," +
+      ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_column_tag')," +
+       "('ducklake_data_file')," +
        "('ducklake_delete_file'),('ducklake_file_column_statistics')," +
        "('ducklake_file_partition_value')," +
        "('ducklake_files_scheduled_for_deletion'),('ducklake_inlined_data_tables')," +
        "('ducklake_metadata')," +
        "('ducklake_partition_column'),('ducklake_partition_info')," +
        "('ducklake_schema'),('ducklake_snapshot'),('ducklake_snapshot_changes')," +
-       "('ducklake_table')," +
+       "('ducklake_table'),('ducklake_tag')," +
        "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),
     "q_lake_ts_travel" ->
       ("SELECT * FROM (VALUES (2,'b'),(3,'c')) t(id, val) ORDER BY id"),

@@ -144,11 +144,12 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("unknown catalog sheets round-trip inert (SURVEY §1.2)") {
-    // (r4: the partition sheets are now INTERPRETED — these two, from
-    // DuckLake's wider spec, remain uninterpreted and prove pass-through)
+    // (r4: the partition/tag/inline sheets are now INTERPRETED — these
+    // two, from DuckLake's wider spec, remain uninterpreted and prove
+    // pass-through)
     val extra = Seq(
       XlsxSheet("column_mapping", Seq(Seq("mapping_id", "table_id"), Seq("1", "2"))),
-      XlsxSheet("tag", Seq(Seq("key", "value"), Seq("owner", "it's ops"))))
+      XlsxSheet("name_mapping", Seq(Seq("mapping_id", "name"), Seq("1", "it's ops"))))
     val st = CatalogState.empty.copy(
       metadata = Vector("version" -> "0.1"),
       snapshots = Vector(SnapshotRow(0, "2025-01-01 00:00:00", 0, 1, 1)),
@@ -156,7 +157,7 @@ class CatalogSpec extends AnyFunSuite {
     val rt = CatalogState.fromSheets(st.toSheets)
     assert(rt == st)
     // and the sheets are actually present in the serialized form
-    assert(st.toSheets.map(_.name).count(Set("column_mapping", "tag")) == 2)
+    assert(st.toSheets.map(_.name).count(Set("column_mapping", "name_mapping")) == 2)
   }
 
   test("views round-trip through sheets") {

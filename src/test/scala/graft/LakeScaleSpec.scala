@@ -406,7 +406,7 @@ class LakeScaleSpec extends AnyFunSuite {
          |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
          |ORDER BY table_name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
-    assert(names.size == 16 && names.contains("ducklake_snapshot") &&
+    assert(names.size == 18 && names.contains("ducklake_snapshot") &&
       names.contains("ducklake_partition_info") &&
       names.contains("ducklake_snapshot_changes") &&
       names.contains("ducklake_files_scheduled_for_deletion"), names.mkString(","))
@@ -463,6 +463,31 @@ class LakeScaleSpec extends AnyFunSuite {
         |MERGE INTO md USING ms3 ON md.id = ms3.id WHEN MATCHED THEN UPDATE SET qty = ms3.qty""".stripMargin)
     assert(lake.sql("SELECT qty FROM md").collect()(0).getInt(0) == 99)
     assert(lake.currentState.deleteFiles.lastOption.exists(_.deleteCount == 1L))
+  }
+
+  test("COMMENT ON persists as DuckLake tags and answers via information_schema") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql(
+      """CREATE TABLE cm(id INTEGER, v VARCHAR);
+        |COMMENT ON TABLE cm IS 'the fact table';
+        |COMMENT ON COLUMN cm.id IS 'primary key'""".stripMargin)
+    def tComment(l: DuckLakeXLSpark): String =
+      l.sql("SELECT comment FROM information_schema.tables WHERE table_name = 'cm'")
+        .collect()(0).getString(0)
+    def cComment(l: DuckLakeXLSpark): String =
+      l.sql("SELECT comment FROM information_schema.columns WHERE column_name = 'id'")
+        .collect()(0).getString(0)
+    assert(tComment(lake) == "the fact table")
+    assert(cComment(lake) == "primary key")
+    // re-comment replaces (old value's lifetime ends); survives reopen
+    lake.sql("COMMENT ON TABLE cm IS 'it''s the fact table'")
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(tComment(reopened) == "it's the fact table")
+    // IS NULL clears
+    reopened.sql("COMMENT ON TABLE cm IS NULL")
+    assert(reopened.sql(
+      "SELECT comment IS NULL AS n FROM information_schema.tables WHERE table_name = 'cm'")
+      .collect()(0).getBoolean(0))
   }
 
   test("data inlining: tiny INSERT is metadata-only (0 jobs); DML flushes first") {
@@ -529,10 +554,11 @@ class LakeScaleSpec extends AnyFunSuite {
 
   test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
     import graft.xlsx.XlsxCodec
-    // (r4: partition_info is now an INTERPRETED sheet; 'tag' — DuckLake's
-    // ducklake_tag — stays uninterpreted and proves the pass-through)
-    val extra = ("tag",
-      Seq(Seq("catalog_id", "tag"), Seq("7", "gold")))
+    // (r4: partition/tag/inline sheets are now INTERPRETED; 'name_mapping'
+    // from DuckLake's wider spec stays uninterpreted and proves the
+    // pass-through)
+    val extra = ("name_mapping",
+      Seq(Seq("mapping_id", "name"), Seq("7", "gold")))
     val (lake, xlsx, data) = freshLake()
     lake.sql("CREATE TABLE et(id INTEGER)")
     // a foreign tool adds a sheet the catalog does not interpret
@@ -540,7 +566,7 @@ class LakeScaleSpec extends AnyFunSuite {
     // full pull/push cycles must carry it verbatim
     lake.sql("INSERT INTO et VALUES (1)")
     lake.sql("INSERT INTO et VALUES (2)")
-    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "tag").map(_._2)
+    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "name_mapping").map(_._2)
     assert(sheetOf(xlsx).contains(extra._2))
     // and it survives a reopen from disk
     val reopened = new DuckLakeXLSpark(spark, xlsx, data)
