@@ -569,6 +569,44 @@ class DuckLakeXLSpark(
     }.map(_.path)
   }
 
+  /** table-level column statistics — DuckLake's
+    * `ducklake_table_column_stats`, DERIVED from the per-file stats the
+    * writer already records instead of stored redundantly (the file stats
+    * are the source of truth and stay exact under file-granular CoW).
+    * Catalog-inlined rows are not covered until they flush.
+    */
+  def columnStats(table: String): DataFrame = {
+    val t = state.tableByName(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val live = state.filesOf(t.tableId).map(_.dataFileId).toSet
+    def pick(dt: org.apache.spark.sql.types.DataType, vals: Seq[String], min: Boolean): Option[String] =
+      if (vals.isEmpty) None
+      else Some(vals.reduce { (a, b) =>
+        val cmp = dt match {
+          case _: NumericType =>
+            try BigDecimal(a).compare(BigDecimal(b))
+            catch { case scala.util.control.NonFatal(_) => a.compareTo(b) }
+          case _ => a.compareTo(b)
+        }
+        if ((cmp <= 0) == min) a else b
+      })
+    val rows = state.columnsOf(t.tableId).map { c =>
+      val sts = state.fileColumnStats
+        .filter(s => s.columnId == c.columnId && live(s.dataFileId))
+      val dt = CatalogSchema.parseType(c.columnType)
+      Row(c.columnName, c.columnType,
+        pick(dt, sts.flatMap(_.minValue), min = true).orNull,
+        pick(dt, sts.flatMap(_.maxValue), min = false).orNull,
+        sts.map(_.nullCount).sum)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, false),
+      StructField("column_type", StringType, false),
+      StructField("min_value", StringType, true),
+      StructField("max_value", StringType, true),
+      StructField("null_count", LongType, false))))
+  }
+
   def currentState: CatalogState = state
 
   // ----------------------------------------------------------- internals

@@ -46,6 +46,10 @@ class LakeScaleSpec extends AnyFunSuite {
       assert(lake.sql("SELECT sum(id) AS s FROM p WHERE id > 500")
         .collect()(0).getLong(0) == 3000L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // table-level stats derive from the same per-file stats (numeric compare)
+    val cs = lake.columnStats("p").collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(cs("id") == (("1", "2000")))
   }
 
   private def jobsInGroup(group: String)(body: => Unit): Int = {
