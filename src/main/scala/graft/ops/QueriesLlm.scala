@@ -574,6 +574,32 @@ object QueriesLlm {
       ).orderBy("doc_id")
     },
 
+    // --------------- composite quality gate: the Gopher-style filter
+    "q_llm_quality_filter" -> { (s, d) =>
+      // keep/drop verdict per doc with the FIRST failed rule named
+      // (pipeline auditability: a filter that only says "dropped" is
+      // undebuggable at corpus scale); output = yield per verdict. Pure
+      // per-row expressions + one shuffle — the 100 TB shape.
+      val doc = Tables.t(s, d, "documents")
+      val norm = normText(col("text"))
+      val ws = split(norm, " ")
+      val nWords = size(ws)
+      val stop = typedLit(Stopwords.take(5))
+      val stopRatio = size(filter(ws, x => array_contains(stop, x)))
+        .cast(DoubleType) / nWords
+      val alnum = regexp_replace(norm, "[^a-z0-9 ]", "")
+      val punctRatio = (length(norm) - length(alnum)).cast(DoubleType) / length(norm)
+      val verdict = when(nWords < 20, "too_short")
+        .when(nWords > 50000, "too_long")
+        .when(stopRatio <= 0.01, "low_stopword")
+        .when(punctRatio >= 0.3, "too_much_punct")
+        .otherwise("keep")
+      doc.select(col("doc_id"), verdict.as("verdict"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("verdict")
+    },
+
     // ---------------- repetition ratio: the Gopher-style quality signal
     "q_llm_repetition" -> { (s, d) =>
       // fraction of a doc's word-3-grams taken by its single most repeated
@@ -789,6 +815,21 @@ object QueriesLlm {
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_llm_quality_filter" -> {
+      val stopList = Stopwords.take(5).map(w => s"'$w'").mkString("[", ",", "]")
+      s"""SELECT verdict, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
+         |  SELECT doc_id, CASE
+         |    WHEN len(ws) < 20 THEN 'too_short'
+         |    WHEN len(ws) > 50000 THEN 'too_long'
+         |    WHEN CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS DOUBLE) / len(ws) <= 0.01 THEN 'low_stopword'
+         |    WHEN CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(norm) >= 0.3 THEN 'too_much_punct'
+         |    ELSE 'keep' END AS verdict
+         |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+         |               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |        FROM documents))
+         |GROUP BY verdict ORDER BY verdict""".stripMargin
+    },
 
     "q_llm_repetition" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws

@@ -257,6 +257,26 @@ object QueriesRelational {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("order_month")
     },
+    "q_join_skew_salted" -> { (s, d) =>
+      // hot-key mitigation by SALTING, proven semantics-preserving: the
+      // fact side splits each join key into SALT sub-keys (deterministic
+      // salt — no rand(), stable under retries), the dim side replicates
+      // SALT ways, and the join runs on (key, salt) — a skewed key's rows
+      // now spread over SALT reducers instead of one straggler. The
+      // ORACLE IS THE PLAIN JOIN: salting must be invisible in results.
+      // (AQE skew-join is the first lever; explicit salting is the
+      // fallback when a single key exceeds what one task can hold.)
+      val Salt = 8
+      val l = Tables.t(s, d, "lineitem")
+        .withColumn("__salt", col("l_linenumber") % Salt)
+      val o = Tables.t(s, d, "orders")
+        .withColumn("__salt", explode(sequence(lit(0), lit(Salt - 1))))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("__salt") === o("__salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
     "q_join_asof" -> { (s, d) =>
       // AS-OF join (events -> latest order at-or-before event ts per user).
       // Spark has no native ASOF: union-tag + running last_value(ignoreNulls)
@@ -802,6 +822,12 @@ object QueriesRelational {
       ("SELECT c_custkey, " +
        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders " +
        "FROM customer c WHERE c_custkey <= 200 ORDER BY c_custkey"),
+    "q_join_skew_salted" ->
+      // the plain join: salting must not change ANY result
+      ("SELECT o_orderpriority, count(*) AS cnt, " +
+       "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_win_qualify" ->
       ("SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey <= 100 " +
        "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
