@@ -76,6 +76,11 @@ class DuckLakeXLSpark(
 
   @volatile private var state: CatalogState = CatalogState.empty
 
+  /** the schema unqualified table names resolve against (`USE <schema>`);
+    * DuckLake starts every lake with `main`
+    */
+  @volatile private var curSchema: String = "main"
+
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(java.time.ZoneOffset.UTC)
 
@@ -87,6 +92,12 @@ class DuckLakeXLSpark(
     */
   private def initialize(): Unit = {
     Files.createDirectories(Paths.get(dataPath))
+    // DSv2: make `<lakeName>.<schema>.<table>`, USE, and native time travel
+    // resolve through Catalyst (SURVEY §1.1/§7.1). The conf is read lazily
+    // by Spark's CatalogManager; the registry hands the plugin THIS
+    // instance (last registration wins — reopen semantics).
+    DuckLakeCatalog.register(lakeName, this)
+    spark.conf.set(s"spark.sql.catalog.$lakeName", classOf[DuckLakeCatalog].getName)
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
@@ -100,6 +111,32 @@ class DuckLakeXLSpark(
       push()
     }
     registerViews()
+  }
+
+  /** run `body` with this lake as the session's CURRENT catalog and
+    * `curSchema` as the current namespace, restoring the previous
+    * catalog/database afterwards. `spark.sql` analyzes eagerly, so a
+    * DataFrame returned from inside the scope stays correctly resolved
+    * after restore. Re-entrant.
+    */
+  private def withLakeCatalog[A](body: => A): A = {
+    // bind the registry to THIS instance for the scope: with several live
+    // instances on one lake name (reopen pattern), catalog resolution must
+    // follow whoever is executing, not whoever was constructed last
+    DuckLakeCatalog.register(lakeName, this)
+    val prevCat = spark.catalog.currentCatalog()
+    val prevDb =
+      try spark.catalog.currentDatabase catch { case scala.util.control.NonFatal(_) => null }
+    spark.catalog.setCurrentCatalog(lakeName)
+    spark.catalog.setCurrentDatabase(curSchema)
+    try body finally {
+      spark.catalog.setCurrentCatalog(prevCat)
+      if (prevDb != null &&
+          (try spark.catalog.currentDatabase != prevDb
+           catch { case scala.util.control.NonFatal(_) => true }))
+        try spark.catalog.setCurrentDatabase(prevDb)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private def seedState(): CatalogState = {
@@ -134,7 +171,7 @@ class DuckLakeXLSpark(
     if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
-    StatementRouter.split(script).foreach { stmt =>
+    withLakeCatalog { StatementRouter.split(script).foreach { stmt =>
       val classified = StatementRouter.classify(stmt)
       val preSnap = state.currentSnapshot
       classified match {
@@ -165,8 +202,22 @@ class DuckLakeXLSpark(
         case s: StatementRouter.CreateView    => executeCreateView(s); registerViews()
         case s: StatementRouter.DropView      => executeDropView(s); registerViews()
         case StatementRouter.Use(name) =>
-          require(name.equalsIgnoreCase(lakeName) || name.equalsIgnoreCase("main"),
-            s"unknown catalog/schema: $name")
+          // USE <lake> | USE <schema> | USE <lake>.<schema>
+          val parts = name.split('.')
+          val schemaPart =
+            if (parts.length == 2) {
+              require(parts(0).equalsIgnoreCase(lakeName),
+                s"unknown catalog: ${parts(0)}")
+              Some(parts(1))
+            } else if (parts(0).equalsIgnoreCase(lakeName)) None
+            else Some(parts(0))
+          schemaPart.foreach { sn =>
+            require(state.schemaByName(sn).isDefined, s"unknown catalog/schema: $sn")
+            curSchema = state.schemaByName(sn).get.schemaName
+            spark.catalog.setCurrentDatabase(curSchema)
+          }
+        case s: StatementRouter.CreateSchema => executeCreateSchema(s)
+        case s: StatementRouter.DropSchema   => executeDropSchema(s); registerViews()
         case a: StatementRouter.Attach =>
           // validate-or-noop: the lake is attached by the constructor; a
           // replayed reference init script (ducklakexl.py:236) must pass
@@ -197,7 +248,7 @@ class DuckLakeXLSpark(
         state = state.copy(snapshotChanges = state.snapshotChanges ++
           ((preSnap + 1) to postSnap).map(SnapshotChangeRow(_, label)))
       }
-    }
+    } }
     push()
     last.getOrElse(spark.emptyDataFrame)
   }
@@ -217,6 +268,8 @@ class DuckLakeXLSpark(
     case s: StatementRouter.CreateView    => s"created_view:${s.name}"
     case s: StatementRouter.DropView      => s"dropped_view:${s.name}"
     case s: StatementRouter.CommentOn     => s"commented:${s.table}"
+    case s: StatementRouter.CreateSchema  => s"created_schema:${s.name}"
+    case s: StatementRouter.DropSchema    => s"dropped_schema:${s.name}"
     case _ => "other"
   }
 
@@ -224,8 +277,7 @@ class DuckLakeXLSpark(
     * lifetimes: the previous value's lifetime ends, the new one begins
     */
   private def executeComment(s: StatementRouter.CommentOn): Unit = {
-    val t = state.tableByName(s.table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val t = requireTable(s.table)
     val snap = state.currentSnapshot + 1
     s.column match {
       case None =>
@@ -248,19 +300,16 @@ class DuckLakeXLSpark(
     newSnapshot(state.nextCatalogId, state.nextFileId)
   }
 
-  // --------------------------------------------- qualified names + travel
-  private val QualRe =
-    ("(?i)\\b" + java.util.regex.Pattern.quote(lakeName) + "\\.(?:main\\.)?").r
-  private val MainRe = "(?i)\\bmain\\.".r
-  private val VersionAtRe =
-    """(?i)\b(\w+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
-  private val VersionAsOfRe = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
-  private val TimestampAtRe =
-    """(?i)\b(\w+)\s+AT\s*\(\s*TIMESTAMP\s*=>\s*'([^']+)'\s*\)""".r
-  private val TimestampAsOfRe =
-    """(?i)\b(\w+)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
-  private val SnapshotsRe = """(?i)\bsnapshots\s*\(\s*\)""".r
-  private val InfoSchemaRe = """(?i)\binformation_schema\.(tables|columns)\b""".r
+  // --------------------------------------------- time travel + snapshots
+  // Qualified names (`my_ducklake.main.t`, `main.t`) need NO rewrite
+  // anymore: the DSv2 [[DuckLakeCatalog]] resolves them inside Catalyst
+  // (the former `QualRe`/`MainRe` regex strips are gone — an alias
+  // legitimately named `main` now parses fine). Only the DuckDB travel
+  // spelling `t AT (VERSION|TIMESTAMP => …)` and BARE-name travel still
+  // rewrite: Spark's native `VERSION AS OF` works on catalog-qualified
+  // names, while a bare name would resolve to a temp view (no travel), so
+  // bare travel pins a snapshot temp view via [[tableAt]] instead.
+  import DuckLakeXLSpark._
 
   /** apply `f` to the parts of `s` outside single-quoted literals and
     * double-quoted identifiers — a table literally named `"main.t"` must
@@ -307,24 +356,30 @@ class DuckLakeXLSpark(
   private[graft] def rewriteSelect(q0: String): String = {
     // timestamp travel first: the ts literal sits INSIDE single quotes —
     // here the quoted text is part of the travel syntax, not a user
-    // literal, so these two run on the whole string
-    def travelTs(name: String, ts: String): String = {
-      val id = snapshotIdAt(ts)
-      val vn = s"${name}__v$id"
-      tableAt(name, id).createOrReplaceTempView(vn)
-      vn
-    }
-    var q = TimestampAtRe.replaceAllIn(q0, m => travelTs(m.group(1), m.group(2)))
-    q = TimestampAsOfRe.replaceAllIn(q, m => travelTs(m.group(1), m.group(2)))
-    mapOutsideQuotes(q) { seg =>
-      var s = seg
-      s = QualRe.replaceAllIn(s, "")
-      s = MainRe.replaceAllIn(s, "")
-      def travel(name: String, ver: String): String = {
-        val vn = s"${name}__v$ver"
-        tableAt(name, ver.toLong).createOrReplaceTempView(vn)
+    // literal, so these two run on the whole string. A QUALIFIED name
+    // normalizes to Spark's native `TIMESTAMP AS OF` (resolved by the DSv2
+    // catalog); a bare name pins a snapshot temp view.
+    def travelTs(name: String, ts: String): String =
+      if (name.contains('.')) s"$name TIMESTAMP AS OF '$ts'"
+      else {
+        val id = snapshotIdAt(ts)
+        val vn = s"${name}__v$id"
+        tableAt(name, id).createOrReplaceTempView(vn)
         vn
       }
+    var q = TimestampAtRe.replaceAllIn(q0,
+      m => java.util.regex.Matcher.quoteReplacement(travelTs(m.group(1), m.group(2))))
+    q = TimestampAsOfRe.replaceAllIn(q,
+      m => java.util.regex.Matcher.quoteReplacement(travelTs(m.group(1), m.group(2))))
+    mapOutsideQuotes(q) { seg =>
+      var s = seg
+      def travel(name: String, ver: String): String =
+        if (name.contains('.')) s"$name VERSION AS OF $ver"
+        else {
+          val vn = s"${name}__v$ver"
+          tableAt(name, ver.toLong).createOrReplaceTempView(vn)
+          vn
+        }
       s = VersionAtRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
       s = VersionAsOfRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
       // `FROM snapshots()` — the reference's snapshot-history table function
@@ -390,12 +445,44 @@ class DuckLakeXLSpark(
     * correctly across `RENAME COLUMN`; stats stay columnId-keyed, so
     * pruning survives renames too.
     */
+  // ---------------------------------------------------- name resolution
+  /** split a possibly schema-qualified table name: bare -> current schema;
+    * `s.t` -> schema `s` (falling back to the current schema when `s` is
+    * actually the LAKE name — `my_ducklake.t`); `lake.s.t` arrives here
+    * already stripped to `s.t` by the router
+    */
+  private[graft] def splitQual(name: String): (String, String) = name.split('.') match {
+    case Array(t) => (curSchema, t)
+    case Array(sn, t) if state.schemaByName(sn).isEmpty && sn.equalsIgnoreCase(lakeName) =>
+      (curSchema, t)
+    case arr => (arr(arr.length - 2), arr.last)
+  }
+
+  private def resolveTable(name: String): Option[TableRow] = {
+    val (sn, tn) = splitQual(name)
+    state.tableByNameIn(sn, tn)
+  }
+
+  private def requireTable(name: String): TableRow =
+    resolveTable(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+
+  private def schemaNameOf(t: TableRow): String =
+    state.liveSchemas().find(_.schemaId == t.schemaId).map(_.schemaName)
+      .getOrElse("main")
+
   def tableAt(name: String, snapshot: Long): DataFrame = {
+    val (sn, tn) = splitQual(name)
+    tableIn(sn, tn, snapshot)
+  }
+
+  /** schema-scoped [[tableAt]] — the DSv2 catalog's scan entry point */
+  private[graft] def tableIn(schemaName: String, name: String, snapshot: Long): DataFrame = {
     require(state.snapshots.exists(_.snapshotId <= snapshot),
       s"snapshot $snapshot has been expired (earliest surviving: " +
         s"${state.snapshots.map(_.snapshotId).minOption.getOrElse(-1L)})")
-    val t = state.tableByName(name, snapshot)
-      .getOrElse(throw new IllegalArgumentException(s"no such table: $name @ $snapshot"))
+    val t = state.tableByNameIn(schemaName, name, snapshot)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $schemaName.$name @ $snapshot"))
     val curCols = state.columnsOf(t.tableId, snapshot)
     val schema = state.schemaOf(t.tableId, snapshot)
     val files = state.filesOf(t.tableId, snapshot)
@@ -479,8 +566,7 @@ class DuckLakeXLSpark(
     * table would replay them: restrict to ingest-style append-only tables.
     */
   def tableStream(name: String): DataFrame = {
-    val t = state.tableByName(name).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $name"))
+    val t = requireTable(name)
     val schema = state.schemaOf(t.tableId)
     // the stream reads the directory with the CURRENT schema; files from
     // an older column-name epoch would silently yield NULLs — refuse
@@ -501,7 +587,7 @@ class DuckLakeXLSpark(
 
   /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */
   def showTables(): DataFrame = {
-    val names = (state.liveTables().map(_.tableName) ++
+    val names = (state.liveTablesIn(curSchema).map(_.tableName) ++
       state.liveViews().map(_.viewName)).sorted
     spark.createDataFrame(names.map(Row(_)).asJava,
       StructType(Seq(StructField("name", StringType, false))))
@@ -512,7 +598,7 @@ class DuckLakeXLSpark(
     * describes both)
     */
   def describeTable(name: String): DataFrame = {
-    val rows = state.tableByName(name) match {
+    val rows = resolveTable(name) match {
       case Some(t) =>
         state.columnsOf(t.tableId).map(c =>
           Row(c.columnName, c.columnType, if (c.nullsAllowed) "YES" else "NO"))
@@ -551,8 +637,7 @@ class DuckLakeXLSpark(
     * (SURVEY.md §4.2) — at scale the scan only lists these files.
     */
   def prunedFiles(name: String, column: String, lo: Double, hi: Double): Seq[String] = {
-    val t = state.tableByName(name).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $name"))
+    val t = requireTable(name)
     val col = state.columnsOf(t.tableId).find(_.columnName.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(s"no such column: $column"))
     val statsByFile = state.fileColumnStats
@@ -576,8 +661,7 @@ class DuckLakeXLSpark(
     * Catalog-inlined rows are not covered until they flush.
     */
   def columnStats(table: String): DataFrame = {
-    val t = state.tableByName(table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $table"))
+    val t = requireTable(table)
     val live = state.filesOf(t.tableId).map(_.dataFileId).toSet
     def pick(dt: org.apache.spark.sql.types.DataType, vals: Seq[String], min: Boolean): Option[String] =
       if (vals.isEmpty) None
@@ -611,17 +695,20 @@ class DuckLakeXLSpark(
 
   // ----------------------------------------------------------- internals
   private def registerViews(): Unit = {
-    state.liveTables().foreach { t =>
-      tableAt(t.tableName, state.currentSnapshot).createOrReplaceTempView(t.tableName)
-    }
+    // lake TABLES are no longer mirrored as temp views: inside sql() the
+    // DSv2 catalog is current, so bare/qualified names resolve natively
+    // (and two schemas may hold same-named tables, which one flat temp-view
+    // namespace cannot express)
     registerInfoSchema()
     // SQL views on top of the tables, in creation order (a later view may
     // reference an earlier one); a view whose base was dropped must not
-    // brick the whole lake on reopen
-    state.liveViews().foreach { v =>
-      try spark.sql(rewriteSelect(v.sql)).createOrReplaceTempView(v.viewName)
-      catch { case e: Exception =>
-        System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
+    // brick the whole lake on reopen. Resolution needs the catalog scope.
+    withLakeCatalog {
+      state.liveViews().foreach { v =>
+        try spark.sql(rewriteSelect(v.sql)).createOrReplaceTempView(v.viewName)
+        catch { case e: Exception =>
+          System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
+        }
       }
     }
   }
@@ -637,7 +724,7 @@ class DuckLakeXLSpark(
     val metaCatalog = s"__ducklake_metadata_$lakeName"
     val tRows =
       state.liveTables().sortBy(_.tableName).map(t =>
-        Row(lakeName, "main", t.tableName, "BASE TABLE",
+        Row(lakeName, schemaNameOf(t), t.tableName, "BASE TABLE",
           state.tagOf(t.tableId, "comment").orNull)) ++
       state.liveViews().sortBy(_.viewName).map(v =>
         Row(lakeName, "main", v.viewName, "VIEW", null)) ++
@@ -653,7 +740,7 @@ class DuckLakeXLSpark(
       .createOrReplaceTempView("__info_tables")
     val cRows = state.liveTables().sortBy(_.tableName).flatMap { t =>
       state.columnsOf(t.tableId).map(c =>
-        Row(lakeName, "main", t.tableName, c.columnName,
+        Row(lakeName, schemaNameOf(t), t.tableName, c.columnName,
           (c.columnOrder + 1).toLong, c.columnType,
           if (c.nullsAllowed) "YES" else "NO",
           state.columnTagOf(t.tableId, c.columnId, "comment").orNull))
@@ -675,7 +762,7 @@ class DuckLakeXLSpark(
       case Some(old) if !s.orReplace =>
         throw new IllegalArgumentException(s"view exists: ${s.name}")
       case maybeOld =>
-        require(state.tableByName(s.name).isEmpty, s"table exists: ${s.name}")
+        require(resolveTable(s.name).isEmpty, s"table exists: ${s.name}")
         spark.sql(rewriteSelect(s.select)) // validate eagerly, like DuckDB
         val snap = state.currentSnapshot + 1
         val vid = state.nextCatalogId
@@ -684,8 +771,9 @@ class DuckLakeXLSpark(
             if (v.viewId == old.viewId && v.endSnapshot.isEmpty) v.copy(endSnapshot = Some(snap)) else v)
           case None => state.views
         }
+        val sid = state.schemaByName(curSchema).map(_.schemaId).getOrElse(1L)
         state = state.copy(views = ended :+
-          ViewRow(vid, UUID.randomUUID().toString, snap, None, 1L, s.name, s.select))
+          ViewRow(vid, UUID.randomUUID().toString, snap, None, sid, s.name, s.select))
         newSnapshot(vid + 1, state.nextFileId)
     }
   }
@@ -712,10 +800,13 @@ class DuckLakeXLSpark(
   }
 
   private def executeCreate(s: StatementRouter.CreateTable): Unit = {
-    if (state.tableByName(s.name).isDefined) {
+    if (resolveTable(s.name).isDefined) {
       if (s.ifNotExists) return
       throw new IllegalArgumentException(s"table exists: ${s.name}")
     }
+    val (schemaName, bare) = splitQual(s.name)
+    val sid = state.schemaByName(schemaName).map(_.schemaId).getOrElse(
+      throw new IllegalArgumentException(s"no such schema: $schemaName"))
     // validate types early
     s.cols.foreach { case (_, t) => CatalogSchema.parseType(t) }
     var cid = state.nextCatalogId
@@ -730,14 +821,74 @@ class DuckLakeXLSpark(
     }
     state = state.copy(
       tables = state.tables :+ TableRow(tableId, UUID.randomUUID().toString,
-        snap, None, 1L, s.name),
+        snap, None, sid, bare),
       columns = state.columns ++ colRows,
       tableStats = state.tableStats :+ TableStatsRow(tableId, 0L))
     newSnapshot(cid, state.nextFileId)
   }
 
+  /** `CREATE SCHEMA` — a new `ducklake_schema` row with a snapshot
+    * lifetime (DuckLake multi-schema; the reference gets schemas free from
+    * the DuckDB pass-through)
+    */
+  private def executeCreateSchema(s: StatementRouter.CreateSchema): Unit = {
+    if (state.schemaByName(s.name).isDefined) {
+      if (s.ifNotExists) return
+      throw new IllegalArgumentException(s"schema exists: ${s.name}")
+    }
+    val sid = state.nextCatalogId
+    val snap = state.currentSnapshot + 1
+    state = state.copy(schemas = state.schemas :+
+      SchemaRow(sid, UUID.randomUUID().toString, snap, None, s.name))
+    newSnapshot(sid + 1, state.nextFileId)
+  }
+
+  /** `DROP SCHEMA [CASCADE]` — ends the schema row's lifetime; CASCADE
+    * drops its live tables first (time travel still sees everything)
+    */
+  private def executeDropSchema(s: StatementRouter.DropSchema): Unit = {
+    state.schemaByName(s.name) match {
+      case None =>
+        if (!s.ifExists) throw new IllegalArgumentException(s"no such schema: ${s.name}")
+      case Some(sc) =>
+        require(!sc.schemaName.equalsIgnoreCase("main"), "cannot drop schema main")
+        val live = state.liveTables().filter(_.schemaId == sc.schemaId)
+        if (live.nonEmpty) {
+          require(s.cascade, s"schema ${s.name} is not empty " +
+            s"(${live.map(_.tableName).mkString(", ")}); use DROP SCHEMA ... CASCADE")
+          live.foreach(t => executeDrop(
+            StatementRouter.DropTable(s"${sc.schemaName}.${t.tableName}", ifExists = true)))
+        }
+        val snap = state.currentSnapshot + 1
+        state = state.copy(schemas = state.schemas.map(x =>
+          if (x.schemaId == sc.schemaId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+        if (curSchema.equalsIgnoreCase(sc.schemaName)) curSchema = "main"
+    }
+  }
+
+  /** the DSv2 write bridge: `INSERT INTO <lake>.<schema>.<t> …` /
+    * `df.writeTo(...).append()` through plain Spark SQL lands here (the
+    * same pull -> mutate -> push bracket as [[sql]]); overwrite = the
+    * builder's truncate (INSERT OVERWRITE)
+    */
+  private[graft] def insertFromCatalog(schemaName: String, table: String,
+      df: DataFrame, overwrite: Boolean): Unit = {
+    if (remote.exists) pull()
+    val qname = s"$schemaName.$table"
+    val pre = state.currentSnapshot
+    if (overwrite) executeDelete(StatementRouter.Delete(qname, None))
+    executeInsertDF(qname, None, df)
+    val post = state.currentSnapshot
+    if (post > pre)
+      state = state.copy(snapshotChanges = state.snapshotChanges ++
+        ((pre + 1) to post).map(SnapshotChangeRow(_, s"inserted_into_table:$table")))
+    registerViews()
+    push()
+  }
+
   private def executeCtas(s: StatementRouter.CreateTableAs): Unit = {
-    if (state.tableByName(s.name).isDefined && s.ifNotExists) return
+    if (resolveTable(s.name).isDefined && s.ifNotExists) return
     val df = spark.sql(rewriteSelect(s.select))
     val cols = df.schema.fields.map(f => (f.name, CatalogSchema.typeName(f.dataType))).toSeq
     executeCreate(StatementRouter.CreateTable(s.name, cols, ifNotExists = false))
@@ -748,8 +899,7 @@ class DuckLakeXLSpark(
     * (when given) or the table's columns
     */
   private def valuesDF(table: String, cols: Option[Seq[String]], valuesSql: String): DataFrame = {
-    val t = state.tableByName(table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $table"))
+    val t = requireTable(table)
     val names = cols.getOrElse(state.columnsOf(t.tableId).map(_.columnName))
     spark.sql(s"SELECT * FROM ($valuesSql) AS t(${names.mkString(", ")})")
   }
@@ -762,8 +912,7 @@ class DuckLakeXLSpark(
     * (standard SQL); otherwise the insert is positional.
     */
   private def executeInsertDF(table: String, cols: Option[Seq[String]], dfIn: DataFrame): Unit = {
-    val t = state.tableByName(table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $table"))
+    val t = requireTable(table)
     val schema = state.schemaOf(t.tableId)
     // cast-to-declared-type (reference relies on DuckDB's implicit cast of
     // VALUES to column types)
@@ -872,8 +1021,7 @@ class DuckLakeXLSpark(
     * A WHERE-less DELETE (incl. TRUNCATE) is metadata-only: zero jobs.
     */
   private def executeDelete(s: StatementRouter.Delete): Unit = {
-    val t = state.tableByName(s.table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val t = requireTable(s.table)
     flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val live = state.filesOf(t.tableId)
@@ -924,8 +1072,7 @@ class DuckLakeXLSpark(
     * job. Row counts are unchanged, so table stats stay put.
     */
   private def executeUpdate(s: StatementRouter.Update): Unit = {
-    val t = state.tableByName(s.table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val t = requireTable(s.table)
     flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val sets = s.sets.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
@@ -994,8 +1141,7 @@ class DuckLakeXLSpark(
     * rewrite's stats pass, which must preserve the affected row count.
     */
   private def executeMerge(s: StatementRouter.Merge): Unit = {
-    val t = state.tableByName(s.table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val t = requireTable(s.table)
     flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val live = state.filesOf(t.tableId)
@@ -1163,15 +1309,15 @@ class DuckLakeXLSpark(
     *    schema stops projecting them, and time travel still sees them.
     */
   private def executeAlter(s: StatementRouter.AlterTable): Unit = {
-    val t = state.tableByName(s.table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val t = requireTable(s.table)
     // flush BEFORE any schema change so inline cells always match the
     // column set they were written under
     flushInlined(t)
     val snap = state.currentSnapshot + 1
     s.op match {
       case StatementRouter.RenameTo(newName) =>
-        require(state.tableByName(newName).isEmpty && state.viewByName(newName).isEmpty,
+        require(state.tableByNameIn(schemaNameOf(t), newName).isEmpty &&
+            state.viewByName(newName).isEmpty,
           s"name exists: $newName")
         state = state.copy(tables = state.tables.map(x =>
           if (x.tableId == t.tableId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
@@ -1271,8 +1417,7 @@ class DuckLakeXLSpark(
     * (file-per-writer parquet + stats + snapshot)
     */
   private def executeCopyFrom(s: StatementRouter.CopyFrom): Unit = {
-    val t = state.tableByName(s.table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${s.table}"))
+    val t = requireTable(s.table)
     val schema = state.schemaOf(t.tableId)
     val fmt = s.format.getOrElse {
       val p = s.path.toLowerCase
@@ -1289,7 +1434,7 @@ class DuckLakeXLSpark(
   }
 
   private def executeDrop(s: StatementRouter.DropTable): Unit = {
-    state.tableByName(s.name) match {
+    resolveTable(s.name) match {
       case None =>
         if (!s.ifExists) throw new IllegalArgumentException(s"no such table: ${s.name}")
       case Some(t) =>
@@ -1350,8 +1495,7 @@ class DuckLakeXLSpark(
     */
   def compact(table: String, targetBytes: Long = 128L << 20): Unit = {
     if (remote.exists) pull()
-    val t = state.tableByName(table).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $table"))
+    val t = requireTable(table)
     flushInlined(t)
     val schema = state.schemaOf(t.tableId)
     val cols = state.columnsOf(t.tableId)
@@ -1568,4 +1712,20 @@ class DuckLakeXLSpark(
   }
 
   private def colq(df: DataFrame, name: String) = df(s"`$name`")
+}
+
+/** static SQL-rewrite patterns (companion, so they exist before the
+  * constructor's `initialize()` replays persisted views through
+  * [[DuckLakeXLSpark.rewriteSelect]])
+  */
+object DuckLakeXLSpark {
+  private val VersionAtRe =
+    """(?i)\b((?:\w+\.)*\w+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
+  private val VersionAsOfRe = """(?i)\b((?:\w+\.)*\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAtRe =
+    """(?i)\b((?:\w+\.)*\w+)\s+AT\s*\(\s*TIMESTAMP\s*=>\s*'([^']+)'\s*\)""".r
+  private val TimestampAsOfRe =
+    """(?i)\b((?:\w+\.)*\w+)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+  private val SnapshotsRe = """(?i)\bsnapshots\s*\(\s*\)""".r
+  private val InfoSchemaRe = """(?i)(?<!\.)\binformation_schema\.(tables|columns)\b""".r
 }

@@ -190,6 +190,25 @@ final case class CatalogState(
   def tableByName(name: String, snap: Long = currentSnapshot): Option[TableRow] =
     liveTables(snap).find(_.tableName.equalsIgnoreCase(name))
 
+  def liveSchemas(snap: Long = currentSnapshot): Vector[SchemaRow] =
+    schemas.filter(aliveAt[SchemaRow](_.beginSnapshot, _.endSnapshot, snap))
+
+  def schemaByName(name: String, snap: Long = currentSnapshot): Option[SchemaRow] =
+    liveSchemas(snap).find(_.schemaName.equalsIgnoreCase(name))
+
+  /** live tables of one schema (multi-schema: same-named tables may exist
+    * in different schemas; resolution is always schema-scoped)
+    */
+  def liveTablesIn(schemaName: String, snap: Long = currentSnapshot): Vector[TableRow] =
+    schemaByName(schemaName, snap) match {
+      case Some(s) => liveTables(snap).filter(_.schemaId == s.schemaId)
+      case None    => Vector.empty
+    }
+
+  def tableByNameIn(schemaName: String, name: String,
+      snap: Long = currentSnapshot): Option[TableRow] =
+    liveTablesIn(schemaName, snap).find(_.tableName.equalsIgnoreCase(name))
+
   def liveViews(snap: Long = currentSnapshot): Vector[ViewRow] =
     views.filter(aliveAt[ViewRow](_.beginSnapshot, _.endSnapshot, snap))
       .sortBy(_.viewId)

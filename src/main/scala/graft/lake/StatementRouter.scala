@@ -85,6 +85,11 @@ object StatementRouter {
   final case class CreateView(name: String, select: String, orReplace: Boolean) extends Stmt
   final case class DropView(name: String, ifExists: Boolean) extends Stmt
   final case class Use(name: String) extends Stmt
+  /** `CREATE SCHEMA s` / `DROP SCHEMA s [CASCADE]` — DuckLake multi-schema
+    * (`ducklake_schema` rows with snapshot lifetimes)
+    */
+  final case class CreateSchema(name: String, ifNotExists: Boolean) extends Stmt
+  final case class DropSchema(name: String, ifExists: Boolean, cascade: Boolean) extends Stmt
   /** `COMMENT ON TABLE t IS '…'` / `COMMENT ON COLUMN t.c IS '…'` —
     * persisted as DuckLake tags (key='comment'); IS NULL clears
     */
@@ -154,6 +159,10 @@ object StatementRouter {
   private val NoOpRe =
     """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
+  private val CreateSchemaRe =
+    """(?is)^\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*$""".r
+  private val DropSchemaRe =
+    """(?is)^\s*DROP\s+SCHEMA\s+(?:(IF\s+EXISTS)\s+)?([\w\.\"]+?)\s*(CASCADE)?\s*$""".r
   private val AttachRe =
     """(?is)^\s*ATTACH\s+(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+([\w\"]+))?\s*(?:\((.*)\))?\s*$""".r
   private val DetachRe =
@@ -176,6 +185,16 @@ object StatementRouter {
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
     n.split('.').last.stripPrefix("\"").stripSuffix("\"")
+  }
+
+  /** keep the SCHEMA qualifier (multi-schema), drop a leading lake
+    * qualifier: `lake.s.t` -> `s.t`, `s.t` -> `s.t`, `t` -> `t`. A 2-part
+    * name whose first part is actually the lake (not a schema) is
+    * disambiguated at resolution time in DuckLakeXLSpark.
+    */
+  private def qualName(n: String): String = {
+    val parts = n.split('.').map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    (if (parts.length >= 3) parts.takeRight(2) else parts).mkString(".")
   }
 
   /** split `s` at the first occurrence of keyword `kw` that sits at paren
@@ -293,7 +312,7 @@ object StatementRouter {
         (srcPart.substring(1, close), a.head)
       } else {
         val toks = srcPart.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
-        val name = bareName(toks.head)
+        val name = qualName(toks.head)
         (s"SELECT * FROM $name", if (toks.length > 1) toks(1) else name)
       }
     // split the WHEN clauses (quote/paren-aware)
@@ -339,23 +358,23 @@ object StatementRouter {
   def classify(stmt: String): Stmt = stmt match {
     case NoOpRe() => NoOp
     case MergeRe(name, a1, a2, rest) =>
-      val table = bareName(name)
-      val alias = Option(a1).orElse(Option(a2)).getOrElse(table)
+      val table = qualName(name)
+      val alias = Option(a1).orElse(Option(a2)).getOrElse(bareName(name))
       parseMerge(table, alias, rest)
     case CreateViewRe(orRepl, name, select) =>
       CreateView(bareName(name), select.trim, orRepl != null)
     case CopyFromRe(table, path, fmt) =>
-      CopyFrom(bareName(table), path, Option(fmt).map(_.toLowerCase))
+      CopyFrom(qualName(table), path, Option(fmt).map(_.toLowerCase))
     case CopyRe(source, path, fmt) =>
       CopyTo(source.trim, path, Option(fmt).map(_.toLowerCase))
     case CreateRe(orRepl, ifne, name, rest) =>
       val r = rest.trim
       if (r.toUpperCase.startsWith("AS") )
-        CreateTableAs(bareName(name), r.drop(2).trim, ifne != null, orRepl != null)
+        CreateTableAs(qualName(name), r.drop(2).trim, ifne != null, orRepl != null)
       else {
         require(r.startsWith("(") && r.endsWith(")"),
           s"cannot parse CREATE TABLE body: $r")
-        CreateTable(bareName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null, orRepl != null)
+        CreateTable(qualName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null, orRepl != null)
       }
     case InsertRe(name, rest0) =>
       val r0 = rest0.trim
@@ -371,46 +390,48 @@ object StatementRouter {
             (Some(names), after)
           } else (None, r0) // "(VALUES …)" style body, not a column list
         } else (None, r0)
-      if (r.toUpperCase.startsWith("VALUES")) InsertValues(bareName(name), cols, r)
-      else InsertSelect(bareName(name), cols, r)
+      if (r.toUpperCase.startsWith("VALUES")) InsertValues(qualName(name), cols, r)
+      else InsertSelect(qualName(name), cols, r)
     case DeleteRe(name, rest) =>
       val (pre, where) = splitTopLevelKeyword(rest, "WHERE")
       require(pre.isEmpty, s"cannot parse DELETE tail: $pre")
-      Delete(bareName(name), where)
+      Delete(qualName(name), where)
     case UpdateRe(name, rest) =>
       val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
-      Update(bareName(name), splitAssignments(setsPart), where)
-    case DropRe(ife, name) => DropTable(bareName(name), ife != null)
+      Update(qualName(name), splitAssignments(setsPart), where)
+    case DropRe(ife, name) => DropTable(qualName(name), ife != null)
     case AlterRenameColRe(name, oldC, newC) =>
-      AlterTable(bareName(name), RenameColumn(
+      AlterTable(qualName(name), RenameColumn(
         oldC.stripPrefix("\"").stripSuffix("\""),
         newC.stripPrefix("\"").stripSuffix("\"")))
     case AlterPartitionRe(name, cols) =>
-      AlterTable(bareName(name), SetPartitionedBy(
+      AlterTable(qualName(name), SetPartitionedBy(
         cols.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)))
     case AlterRenameRe(name, newName) =>
-      AlterTable(bareName(name), RenameTo(bareName(newName)))
+      AlterTable(qualName(name), RenameTo(bareName(newName)))
     case AlterAddRe(name, colName, colType) =>
-      AlterTable(bareName(name),
+      AlterTable(qualName(name),
         AddColumn(colName.stripPrefix("\"").stripSuffix("\""), colType.trim))
     case AlterDropRe(name, colName) =>
-      AlterTable(bareName(name),
+      AlterTable(qualName(name),
         DropColumn(colName.stripPrefix("\"").stripSuffix("\"")))
     case DropViewRe(ife, name) => DropView(bareName(name), ife != null)
-    case TruncateRe(name) => Delete(bareName(name), None)
+    case TruncateRe(name) => Delete(qualName(name), None)
     case AttachRe(target, alias, opts) =>
       Attach(target, Option(alias).map(bareName),
         Option(opts).flatMap(o => DataPathRe.findFirstMatchIn(o).map(_.group(1))))
     case DetachRe(_) => Detach
     case CommentColumnRe(tbl, col, lit) =>
-      CommentOn(bareName(tbl),
+      CommentOn(qualName(tbl),
         Some(col.stripPrefix("\"").stripSuffix("\"")), unquoteLit(lit))
     case CommentTableRe(tbl, lit) =>
-      CommentOn(bareName(tbl), None, unquoteLit(lit))
-    case UseRe(name) => Use(bareName(name))
+      CommentOn(qualName(tbl), None, unquoteLit(lit))
+    case CreateSchemaRe(ifne, name) => CreateSchema(bareName(name), ifne != null)
+    case DropSchemaRe(ife, name, casc) => DropSchema(bareName(name), ife != null, casc != null)
+    case UseRe(name) => Use(qualName(name))
     case ShowTablesRe() => ShowTables
     case ExplainRe(select) => Explain(select.trim)
-    case DescribeRe(name) => Describe(bareName(name))
+    case DescribeRe(name) => Describe(qualName(name))
     case other => Select(other)
   }
 }

@@ -227,6 +227,39 @@ object QueriesLake {
       lake.sql(
         "SELECT id, val FROM tst AT (TIMESTAMP => '2100-01-01 00:00:00') ORDER BY id")
     },
+    // r5: DSv2 catalog acceptance — an alias legitimately named `main`
+    // parses (the old regex strip would have mangled it), and qualified
+    // time travel runs through PLAIN spark.sql via the native
+    // `VERSION AS OF` hook on DuckLakeCatalog.loadTable
+    "q_lake_dsv2" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE ordx(id INTEGER, val VARCHAR);
+          |INSERT INTO ordx VALUES (1,'alpha'),(2,'beta'),(3,'gamma')""".stripMargin)
+      val before = lake.currentState.currentSnapshot
+      lake.sql("DELETE FROM ordx WHERE id = 2")
+      s.sql(
+        s"""SELECT main.id, main.val, old.val AS old_val
+           |FROM my_ducklake.main.ordx main
+           |JOIN my_ducklake.main.ordx VERSION AS OF $before old ON old.id = main.id
+           |ORDER BY main.id""".stripMargin)
+    },
+    // r5: multi-schema — same-named tables in two schemas, schema-qualified
+    // DML/SELECT, survives reopen from the workbook alone
+    "q_lake_schemas" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE SCHEMA staging;
+          |CREATE TABLE sx(id INTEGER, val VARCHAR);
+          |INSERT INTO sx VALUES (1,'main_row');
+          |CREATE TABLE staging.sx(id INTEGER, val VARCHAR);
+          |INSERT INTO staging.sx VALUES (10,'stg_a'),(11,'stg_b')""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql(
+        """SELECT m.id AS main_id, m.val AS main_val, st.id AS stg_id, st.val AS stg_val
+          |FROM main.sx m CROSS JOIN staging.sx st
+          |ORDER BY st.id""".stripMargin)
+    },
     // r3: column-list INSERT fills unlisted columns with NULL
     "q_lake_insert_cols" -> { (s, _) =>
       val lake = freshLake(s)
@@ -290,6 +323,12 @@ object QueriesLake {
        "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),
     "q_lake_ts_travel" ->
       ("SELECT * FROM (VALUES (2,'b'),(3,'c')) t(id, val) ORDER BY id"),
+    "q_lake_dsv2" ->
+      ("SELECT * FROM (VALUES (1,'alpha','alpha'),(3,'gamma','gamma')) " +
+       "t(id, val, old_val) ORDER BY id"),
+    "q_lake_schemas" ->
+      ("SELECT * FROM (VALUES (1,'main_row',10,'stg_a'),(1,'main_row',11,'stg_b')) " +
+       "t(main_id, main_val, stg_id, stg_val) ORDER BY stg_id"),
     "q_lake_describe" ->
       ("SELECT * FROM (VALUES ('id','INTEGER','YES'), ('qty','DOUBLE','YES'), " +
        "('val','VARCHAR','YES')) t(column_name, column_type, \"null\")"),

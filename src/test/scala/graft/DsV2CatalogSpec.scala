@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+
+/** The DSv2 `DuckLakeCatalog` acceptance bar (r4 verdict task #1): catalog
+  * resolution must be NATIVE — qualified names, `USE`, time travel, and
+  * INSERT through plain `spark.sql`, with the old regex strips deleted.
+  */
+class DsV2CatalogSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def freshLake(name: String = "my_ducklake"): DuckLakeXLSpark = {
+    val dir = Files.createTempDirectory("dsv2_spec").toString
+    new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data", lakeName = name)
+  }
+
+  test("an alias legitimately named `main` is not mangled") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE ordx(id INTEGER, v VARCHAR);
+        |INSERT INTO ordx VALUES (1,'a'),(2,'b')""".stripMargin)
+    val rows = lake.sql("SELECT main.id FROM ordx main ORDER BY main.id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1, 2))
+    // and a string literal containing travel syntax survives
+    val lit = lake.sql("SELECT 'x AT (VERSION => 1)' AS s FROM ordx WHERE id = 1")
+      .collect()(0).getString(0)
+    assert(lit == "x AT (VERSION => 1)")
+  }
+
+  test("plain spark.sql resolves qualified names + VERSION/TIMESTAMP AS OF") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE nt(id INTEGER, v VARCHAR);
+        |INSERT INTO nt VALUES (1,'a'),(2,'b'),(3,'c')""".stripMargin)
+    val before = lake.currentState.currentSnapshot
+    lake.sql("DELETE FROM nt WHERE id = 1")
+    // NO lake.sql here: straight through the session, catalog does the work
+    assert(spark.sql("SELECT count(*) AS c FROM my_ducklake.main.nt")
+      .collect()(0).getLong(0) == 2L)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM my_ducklake.main.nt VERSION AS OF $before")
+      .collect()(0).getLong(0) == 3L)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM my_ducklake.main.nt TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .collect()(0).getLong(0) == 2L)
+    // filters + projection through the bridge stay correct
+    assert(spark.sql(
+      "SELECT v FROM my_ducklake.main.nt WHERE id >= 3").collect()(0).getString(0) == "c")
+  }
+
+  test("INSERT INTO through plain spark.sql lands in the lake (V1 write bridge)") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE wt(id INTEGER, v VARCHAR)")
+    spark.sql("INSERT INTO my_ducklake.main.wt VALUES (1, 'a'), (2, 'b')")
+    // visible through the lake AND persisted in the workbook
+    assert(lake.sql("SELECT count(*) AS c FROM wt").collect()(0).getLong(0) == 2L)
+    val reopened = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(reopened.sql("SELECT id FROM wt ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // INSERT OVERWRITE truncates first
+    spark.sql("INSERT OVERWRITE my_ducklake.main.wt VALUES (9, 'z')")
+    assert(lake.sql("SELECT id FROM wt").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("USE + SHOW TABLES through the session catalog") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE st(id INTEGER, v VARCHAR)")
+    val prev = spark.catalog.currentCatalog()
+    try {
+      spark.sql("USE my_ducklake")
+      assert(spark.sql("SELECT count(*) AS c FROM main.st").collect()(0).getLong(0) == 0L)
+      val listed = spark.sql("SHOW TABLES IN my_ducklake.main").collect()
+        .map(_.getString(1)).toSeq
+      assert(listed.contains("st"))
+    } finally spark.catalog.setCurrentCatalog(prev)
+  }
+
+  test("multi-schema: same-named tables in two schemas stay distinct") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE SCHEMA staging;
+        |CREATE TABLE t(id INTEGER, v VARCHAR);
+        |INSERT INTO t VALUES (1,'main');
+        |CREATE TABLE staging.t(id INTEGER, v VARCHAR);
+        |INSERT INTO staging.t VALUES (100,'stg'),(200,'stg')""".stripMargin)
+    assert(lake.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 1L)
+    assert(lake.sql("SELECT count(*) AS c FROM staging.t").collect()(0).getLong(0) == 2L)
+    // USE switches the default schema for bare names
+    assert(lake.sql("USE staging; SELECT count(*) AS c FROM t")
+      .collect()(0).getLong(0) == 2L)
+    assert(lake.sql("USE main; SELECT count(*) AS c FROM t")
+      .collect()(0).getLong(0) == 1L)
+    // both visible fully qualified through plain spark.sql
+    assert(spark.sql("SELECT v FROM my_ducklake.staging.t WHERE id = 100")
+      .collect()(0).getString(0) == "stg")
+    // persists across reopen (ducklake_schema rows in the workbook)
+    val reopened = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(reopened.sql("SELECT count(*) AS c FROM staging.t")
+      .collect()(0).getLong(0) == 2L)
+    assert(reopened.currentState.liveSchemas().map(_.schemaName).sorted ==
+      Vector("main", "staging"))
+    // DROP SCHEMA refuses while occupied, CASCADE drops members
+    assertThrows[IllegalArgumentException](reopened.sql("DROP SCHEMA staging"))
+    reopened.sql("DROP SCHEMA staging CASCADE")
+    assert(reopened.currentState.liveSchemas().map(_.schemaName) == Vector("main"))
+  }
+
+  test("aggregates over the bridge (empty required columns, count star)") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE ag(id INTEGER, v VARCHAR);
+        |INSERT INTO ag VALUES (1,'a'),(2,'b'),(3,'a')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS c FROM my_ducklake.main.ag")
+      .collect()(0).getLong(0) == 3L)
+    val g = spark.sql(
+      "SELECT v, count(*) AS c FROM my_ducklake.main.ag GROUP BY v ORDER BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(g == Seq(("a", 2L), ("b", 1L)))
+  }
+}

@@ -31,20 +31,26 @@ class LakeScaleSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      def scannedFiles(q: String): Long = {
-        val df = lake.sql(q)
+      // plan metrics via the direct DataFrame path (lake.table) — the DSv2
+      // catalog path wraps the very same FileIndex behind a V1Scan bridge,
+      // so its inner FileSourceScanExec is not visible from the outer plan
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
         df.collect()
         df.queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec => s
         }.map(_.metrics("numFiles").value).sum
       }
-      assert(scannedFiles("SELECT * FROM p WHERE id > 500") == 1L)
-      assert(scannedFiles("SELECT * FROM p WHERE id BETWEEN 50 AND 99") == 0L)
-      assert(scannedFiles("SELECT * FROM p WHERE id = 100") == 1L)
-      assert(scannedFiles("SELECT * FROM p") == 3L)
-      // and results under pruning are correct
+      assert(scannedFiles(lake.table("p").where("id > 500")) == 1L)
+      assert(scannedFiles(lake.table("p").where("id BETWEEN 50 AND 99")) == 0L)
+      assert(scannedFiles(lake.table("p").where("id = 100")) == 1L)
+      assert(scannedFiles(lake.table("p")) == 3L)
+      // catalog path: results correct AND the pushed-down predicate reached
+      // the bridge's inner scan (where the same FileIndex prunes)
+      graft.lake.DuckLakeCatalog.lastScanPushedFilters.set(-1)
       assert(lake.sql("SELECT sum(id) AS s FROM p WHERE id > 500")
         .collect()(0).getLong(0) == 3000L)
+      assert(graft.lake.DuckLakeCatalog.lastScanPushedFilters.get() >= 1,
+        "DSv2 scan must hand pushed filters to the inner stats-pruning scan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     // table-level stats derive from the same per-file stats (numeric compare)
     val cs = lake.columnStats("p").collect()
@@ -342,16 +348,15 @@ class LakeScaleSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      def scannedFiles(q: String): Long = {
-        val df = lake.sql(q)
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
         df.collect()
         df.queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec => s
         }.map(_.metrics("numFiles").value).sum
       }
       // partition-value pruning: the filtered scan reads strictly fewer files
-      assert(scannedFiles("SELECT * FROM pp WHERE region = 'eu'") == 1L)
-      assert(scannedFiles("SELECT * FROM pp") == 3L)
+      assert(scannedFiles(lake.table("pp").where("region = 'eu'")) == 1L)
+      assert(scannedFiles(lake.table("pp")) == 3L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert(lake.sql("SELECT id FROM pp WHERE region = 'eu' ORDER BY id")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
@@ -430,14 +435,21 @@ class LakeScaleSpec extends AnyFunSuite {
     lake.sql("DETACH my_ducklake")
   }
 
-  test("double-quoted identifiers survive the qualified-name rewrite") {
+  test("qualified names pass through rewriteSelect untouched (DSv2 resolves)") {
     val (lake, _, _) = freshLake()
     assert(lake.rewriteSelect("""SELECT "main.t" FROM x""") ==
       """SELECT "main.t" FROM x""")
+    // the old regex strip is GONE: qualified names resolve in the catalog,
+    // and an alias legitimately named `main` is no longer mangled
     assert(lake.rewriteSelect("SELECT main.t.id FROM main.t") ==
-      "SELECT t.id FROM t")
+      "SELECT main.t.id FROM main.t")
+    assert(lake.rewriteSelect("SELECT main.id FROM orders_x main") ==
+      "SELECT main.id FROM orders_x main")
     assert(lake.rewriteSelect("SELECT 'main.t' AS s FROM my_ducklake.main.t") ==
-      "SELECT 'main.t' AS s FROM t")
+      "SELECT 'main.t' AS s FROM my_ducklake.main.t")
+    // qualified travel normalizes to the NATIVE spelling, bare travel pins
+    assert(lake.rewriteSelect("SELECT * FROM my_ducklake.main.t AT (VERSION => 3)") ==
+      "SELECT * FROM my_ducklake.main.t VERSION AS OF 3")
   }
 
   test("DELETE keeps rows where the predicate evaluates to NULL") {
