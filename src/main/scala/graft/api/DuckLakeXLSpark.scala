@@ -426,11 +426,11 @@ class DuckLakeXLSpark(
     * Groups are ordered by first file id for deterministic unions.
     */
   private def physGroups(t: TableRow, files: Seq[DataFileRow], snapshot: Long)
-      : Seq[(Map[Long, String], Seq[DataFileRow])] = {
+      : Seq[(Map[Long, (String, String)], Seq[DataFileRow])] = {
     val cur = state.columnsOf(t.tableId, snapshot)
     files.groupBy { f =>
       val physAt = state.columnsOf(t.tableId, f.beginSnapshot)
-        .map(c => c.columnId -> c.columnName).toMap
+        .map(c => c.columnId -> ((c.columnName, c.columnType))).toMap
       cur.flatMap(c => physAt.get(c.columnId).map(c.columnId -> _)).toMap
     }.toSeq.sortBy(_._2.map(_.dataFileId).min)
   }
@@ -491,13 +491,17 @@ class DuckLakeXLSpark(
     else {
       val partVals = state.partitionValuesOf(t.tableId)
       val dfs = physGroups(t, files, snapshot).map { case (phys, gfiles) =>
-        val nameById = phys.map { case (cid, n) => cid -> n.toLowerCase }
+        val nameById = phys.map { case (cid, (n, _)) => cid -> n.toLowerCase }
         val stats = state.fileColumnStats.filter(_.tableId == t.tableId)
           .groupBy(_.dataFileId).map { case (fid, rows) =>
             fid -> rows.flatMap(r => nameById.get(r.columnId).map(_ -> r)).toMap
           }
-        val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map(pn =>
-          StructField(pn, CatalogSchema.parseType(c.columnType), c.nullsAllowed))))
+        // read each file group under its PHYSICAL schema (name + type at
+        // its write snapshot), then alias/cast to the current catalog
+        // schema — a same-type cast folds away in Catalyst, so only files
+        // older than an ALTER COLUMN TYPE pay the (columnar) upcast
+        val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map {
+          case (pn, pt) => StructField(pn, CatalogSchema.parseType(pt), c.nullsAllowed) }))
         val index = new DuckLakeFileIndex(gfiles, stats, partVals)
         val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           index, new StructType(), physSchema, None,
@@ -507,7 +511,8 @@ class DuckLakeXLSpark(
           .baseRelationToDataFrame(relation)
         df.select(curCols.map { c =>
           phys.get(c.columnId) match {
-            case Some(pn) => colq(df, pn).as(c.columnName)
+            case Some((pn, _)) =>
+              colq(df, pn).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
             case None => lit(null).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
           }
         }: _*)
@@ -545,12 +550,13 @@ class DuckLakeXLSpark(
   private def readFiles(t: TableRow, files: Seq[DataFileRow]): DataFrame = {
     val curCols = state.columnsOf(t.tableId)
     val dfs = physGroups(t, files, state.currentSnapshot).map { case (phys, gfiles) =>
-      val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map(pn =>
-        StructField(pn, CatalogSchema.parseType(c.columnType), c.nullsAllowed))))
+      val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map {
+        case (pn, pt) => StructField(pn, CatalogSchema.parseType(pt), c.nullsAllowed) }))
       val df = spark.read.schema(physSchema).parquet(gfiles.map(_.path): _*)
       df.select(curCols.map { c =>
         phys.get(c.columnId) match {
-          case Some(pn) => colq(df, pn).as(c.columnName)
+          case Some((pn, _)) =>
+            colq(df, pn).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
           case None => lit(null).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
         }
       }: _*)
@@ -573,9 +579,10 @@ class DuckLakeXLSpark(
     val cur = state.columnsOf(t.tableId)
     val staleEpoch = physGroups(t, state.filesOf(t.tableId), state.currentSnapshot)
       .exists { case (phys, _) =>
-        cur.exists(c => phys.get(c.columnId).exists(_ != c.columnName)) }
+        cur.exists(c => phys.get(c.columnId).exists {
+          case (pn, pt) => pn != c.columnName || pt != c.columnType }) }
     require(!staleEpoch,
-      s"tableStream($name): table has files from before a RENAME COLUMN; " +
+      s"tableStream($name): table has files from before a RENAME/ALTER COLUMN; " +
       "compact() or rewrite them first")
     require(state.inlinedOf(t.tableId).isEmpty,
       s"tableStream($name): table has catalog-inlined rows the file stream " +
@@ -1357,6 +1364,27 @@ class DuckLakeXLSpark(
         state = state.copy(columns = state.columns.map(x =>
           if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
           :+ c.copy(beginSnapshot = snap, endSnapshot = None, columnName = newName))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+      case StatementRouter.AlterColumnType(colName, sqlType) =>
+        // type WIDENING, metadata-only: same columnId, new column_type
+        // lifetime. Old files keep their physical type; scans read them
+        // under it and cast up per epoch group ([[physGroups]]); stats
+        // stay columnId-keyed strings, which compare numerically in the
+        // FileIndex, so pruning survives the widen too.
+        val dtNew = CatalogSchema.parseType(sqlType)
+        val cols = state.columnsOf(t.tableId)
+        val c = cols.find(_.columnName.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        val dtOld = CatalogSchema.parseType(c.columnType)
+        require(CatalogSchema.widens(dtOld, dtNew),
+          s"cannot alter $colName from ${c.columnType} to $sqlType: " +
+          "only widening promotions are supported (no data rewrite)")
+        require(!state.partitionColumnsOf(t.tableId).exists(_.columnId == c.columnId),
+          s"cannot alter type of partition column: $colName")
+        state = state.copy(columns = state.columns.map(x =>
+          if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
+          :+ c.copy(beginSnapshot = snap, endSnapshot = None,
+            columnType = CatalogSchema.typeName(dtNew)))
         newSnapshot(state.nextCatalogId, state.nextFileId)
       case StatementRouter.SetPartitionedBy(colNames) =>
         // DuckLake partition-spec DDL: metadata-only. Ends any live spec,

@@ -76,6 +76,22 @@ object CatalogSchema {
     }
   }
 
+  /** lossless type promotions `ALTER COLUMN TYPE` accepts (DuckLake type
+    * widening): numeric ladder, int-family -> float/double, float ->
+    * double, decimal growth that keeps every old value representable
+    */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | FloatType | DoubleType) => true
+    case (LongType, DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale)
+    case _ => false
+  }
+
   def typeName(dt: DataType): String = dt match {
     case IntegerType      => "INTEGER"
     case LongType         => "BIGINT"

@@ -77,6 +77,13 @@ object StatementRouter {
   final case class AddColumn(name: String, sqlType: String) extends AlterOp
   final case class DropColumn(name: String) extends AlterOp
   final case class RenameColumn(oldName: String, newName: String) extends AlterOp
+  /** `ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE X` — type WIDENING
+    * (INT->BIGINT etc.): same columnId, new column_type lifetime epoch;
+    * files written before the alter scan under their physical type and
+    * cast up (DuckLake type promotion; the reference gets it free from
+    * DuckDB, ducklakexl.py:394)
+    */
+  final case class AlterColumnType(name: String, sqlType: String) extends AlterOp
   /** `ALTER TABLE t SET PARTITIONED BY (c1, …)` — DuckLake's partition-spec
     * DDL (metadata-only; applies to files written from now on)
     */
@@ -152,6 +159,8 @@ object StatementRouter {
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+DROP\s+(?:COLUMN\s+)?([\w\"]+)\s*$""".r
   private val AlterPartitionRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$""".r
+  private val AlterColTypeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*$""".r
   private val AlterRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?([\w\"]+)\s+TO\s+([\w\"]+)\s*$""".r
   private val TruncateRe =
@@ -400,6 +409,9 @@ object StatementRouter {
       val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
       Update(qualName(name), splitAssignments(setsPart), where)
     case DropRe(ife, name) => DropTable(qualName(name), ife != null)
+    case AlterColTypeRe(name, colName, sqlType) =>
+      AlterTable(qualName(name), AlterColumnType(
+        colName.stripPrefix("\"").stripSuffix("\""), sqlType.trim))
     case AlterRenameColRe(name, oldC, newC) =>
       AlterTable(qualName(name), RenameColumn(
         oldC.stripPrefix("\"").stripSuffix("\""),

@@ -260,6 +260,18 @@ object QueriesLake {
           |FROM main.sx m CROSS JOIN staging.sx st
           |ORDER BY st.id""".stripMargin)
     },
+    // r5: ALTER COLUMN TYPE widening — pre-alter INT files scan under
+    // BIGINT via per-epoch cast, post-alter insert stores 64-bit values,
+    // time travel across the alter still answers (exercised in spec)
+    "q_lake_widen" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE wd(id INTEGER, qty INTEGER);
+          |INSERT INTO wd VALUES (1, 10),(2, 20);
+          |ALTER TABLE wd ALTER COLUMN qty TYPE BIGINT;
+          |INSERT INTO wd VALUES (3, 30000000000);
+          |SELECT id, qty FROM wd ORDER BY id""".stripMargin)
+    },
     // r3: column-list INSERT fills unlisted columns with NULL
     "q_lake_insert_cols" -> { (s, _) =>
       val lake = freshLake(s)
@@ -323,6 +335,9 @@ object QueriesLake {
        "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),
     "q_lake_ts_travel" ->
       ("SELECT * FROM (VALUES (2,'b'),(3,'c')) t(id, val) ORDER BY id"),
+    "q_lake_widen" ->
+      ("SELECT id, CAST(qty AS BIGINT) AS qty FROM (VALUES " +
+       "(1, 10),(2, 20),(3, 30000000000)) t(id, qty) ORDER BY id"),
     "q_lake_dsv2" ->
       ("SELECT * FROM (VALUES (1,'alpha','alpha'),(3,'gamma','gamma')) " +
        "t(id, val, old_val) ORDER BY id"),

@@ -110,6 +110,36 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(reopened.currentState.liveSchemas().map(_.schemaName) == Vector("main"))
   }
 
+  test("ALTER COLUMN TYPE widens across file epochs; travel sees the old type") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE wc(id INTEGER, qty INTEGER);
+        |INSERT INTO wc VALUES (1, 10),(2, 20)""".stripMargin)
+    val before = lake.currentState.currentSnapshot
+    lake.sql("ALTER TABLE wc ALTER COLUMN qty TYPE BIGINT")
+    lake.sql("INSERT INTO wc VALUES (3, 30000000000)")
+    // current schema is BIGINT; old INT file upcasts per epoch group
+    val df = lake.sql("SELECT id, qty FROM wc ORDER BY id")
+    assert(df.schema("qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(10L, 20L, 30000000000L))
+    // DML crosses the type epoch (readFiles casts the same way)
+    lake.sql("UPDATE wc SET qty = qty + 1 WHERE id = 1")
+    lake.sql("DELETE FROM wc WHERE qty = 20")
+    assert(lake.sql("SELECT qty FROM wc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L, 30000000000L))
+    // time travel BEFORE the alter answers under the old type
+    val old = lake.tableAt("wc", before)
+    assert(old.schema("qty").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.count() == 2L)
+    // narrowing refuses; non-numeric refuses
+    assertThrows[IllegalArgumentException](
+      lake.sql("ALTER TABLE wc ALTER COLUMN qty TYPE INTEGER"))
+    // survives reopen from the workbook alone
+    val reopened = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(reopened.sql("SELECT sum(qty) AS s FROM wc").collect()(0).getLong(0) ==
+      30000000011L)
+  }
+
   test("aggregates over the bridge (empty required columns, count star)") {
     val lake = freshLake()
     lake.sql(
