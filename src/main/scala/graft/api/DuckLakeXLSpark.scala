@@ -37,11 +37,14 @@ import graft.xlsx.{ExcelRemote, XlsxCodec}
   *    same xlsx + parquet answers the same queries (ducklakexl.py:746-762)
   *
   * Spark-native divergences (documented, deliberate):
-  *  - DELETE is file-granular copy-on-write (untouched files are kept
-  *    verbatim; fully-matching files are dropped without IO; partially
-  *    matching files are rewritten) instead of positional delete files —
-  *    the scan stays a plain parquet union, which Catalyst optimizes
-  *    like any other scan.
+  *  - our WRITER does DELETE as file-granular copy-on-write (untouched
+  *    files are kept verbatim; fully-matching files are dropped without
+  *    IO; partially matching files are rewritten) instead of positional
+  *    delete files — the scan stays a plain parquet union, which Catalyst
+  *    optimizes like any other scan. The READER still honors foreign
+  *    positional delete files (a workbook written by real DuckDB-DuckLake):
+  *    affected files scan merge-on-read (anti-join on file + row ordinal),
+  *    and DML materializes them into the CoW shape first.
   *  - catalog mutation is an atomic in-memory swap + atomic xlsx rename,
   *    so a crashed push never leaves a torn workbook (reference rewrites
   *    sheet-by-sheet, non-atomic — README.md:28).
@@ -485,10 +488,13 @@ class DuckLakeXLSpark(
       .getOrElse(throw new IllegalArgumentException(s"no such table: $schemaName.$name @ $snapshot"))
     val curCols = state.columnsOf(t.tableId, snapshot)
     val schema = state.schemaOf(t.tableId, snapshot)
-    val files = state.filesOf(t.tableId, snapshot)
-    val base = if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
+    val allFiles = state.filesOf(t.tableId, snapshot)
+    // foreign positional delete files (a workbook written by real
+    // DuckDB-DuckLake): affected files take the merge-on-read branch;
+    // everything else keeps the stats-pruning fast path
+    val posDels = state.positionalDeletes(t.tableId, snapshot)
+    val (dirty, files) = allFiles.partition(f => posDels.contains(f.dataFileId))
+    val cleanDF = if (files.isEmpty) None else Some {
       val partVals = state.partitionValuesOf(t.tableId)
       val dfs = physGroups(t, files, snapshot).map { case (phys, gfiles) =>
         val nameById = phys.map { case (cid, (n, _)) => cid -> n.toLowerCase }
@@ -519,8 +525,106 @@ class DuckLakeXLSpark(
       }
       dfs.reduce(_.unionByName(_))
     }
+    val dirtyDF =
+      if (dirty.isEmpty) None
+      else Some(readWithDeletes(t, dirty, posDels, snapshot))
+    val base = (cleanDF.toSeq ++ dirtyDF.toSeq).reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
     // catalog-inlined rows (data inlining) union in as a local relation
     inlineDF(t, snapshot).map(base.unionByName(_)).getOrElse(base)
+  }
+
+  /** Merge-on-read over files carrying FOREIGN positional delete parquet
+    * (the Iceberg/DuckLake shape): tag each data row with its file path +
+    * row ordinal via the parquet `_metadata` columns, anti-join the delete
+    * files' (file, pos) pairs. Cost is proportional to the DELETE-AFFECTED
+    * files only; DML materializes them away ([[flushForeignDeletes]]).
+    */
+  private def readWithDeletes(t: TableRow, files: Seq[DataFileRow],
+      dels: Map[Long, Vector[DeleteFileRow]], snapshot: Long): DataFrame = {
+    val curCols = state.columnsOf(t.tableId, snapshot)
+    val dfs = physGroups(t, files, snapshot).map { case (phys, gfiles) =>
+      val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map {
+        case (pn, pt) => StructField(pn, CatalogSchema.parseType(pt), c.nullsAllowed) }))
+      val df = spark.read.schema(physSchema).parquet(gfiles.map(_.path): _*)
+      df.select(curCols.map { c =>
+        phys.get(c.columnId) match {
+          case Some((pn, _)) =>
+            colq(df, pn).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
+          case None => lit(null).cast(CatalogSchema.parseType(c.columnType)).as(c.columnName)
+        }
+      } ++ Seq(
+        DuckLakeXLSpark.DecodeUri(col("_metadata.file_path")).as("__file"),
+        col("_metadata.row_index").cast(LongType).as("__pos")): _*)
+    }
+    val data = dfs.reduce(_.unionByName(_))
+    val pairs = files.flatMap(f =>
+      dels.getOrElse(f.dataFileId, Vector.empty).map(d => d.path -> f.path))
+    val pos = deletePositions(pairs)
+    data.join(broadcast(pos),
+        data("__file") === pos("__dfile") && data("__pos") === pos("__dpos"),
+        "left_anti")
+      .drop("__file", "__pos")
+  }
+
+  /** the union of delete parquet files as (__dfile, __dpos). Column names
+    * are resolved defensively: position from pos/position/row_id/row_index;
+    * the target file from a file_path/file_name column when present
+    * (Iceberg-style), else from the catalog's delete-file -> data-file
+    * pairing (single-target delete files).
+    */
+  private def deletePositions(pairs: Seq[(String, String)]): DataFrame = {
+    val delPaths = pairs.map(_._1).distinct
+    val raw = spark.read.parquet(delPaths: _*)
+    val lower = raw.columns.map(c => c.toLowerCase -> c).toMap
+    val posCol = Seq("pos", "position", "row_id", "row_index")
+      .collectFirst { case k if lower.contains(k) => lower(k) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"positional delete file has no position column (saw: ${raw.columns.mkString(", ")})"))
+    lower.get("file_path").orElse(lower.get("file_name")) match {
+      case Some(fp) =>
+        raw.select(
+          DuckLakeXLSpark.DecodeUri(colq(raw, fp).cast(StringType)).as("__dfile"),
+          colq(raw, posCol).cast(LongType).as("__dpos"))
+      case None =>
+        val mapDF = spark.createDataFrame(
+          pairs.distinct.map { case (d, f) => Row(d, f) }.asJava,
+          StructType(Seq(StructField("__dsrc", StringType, false),
+            StructField("__dfile", StringType, false))))
+        raw.withColumn("__dsrc", DuckLakeXLSpark.DecodeUri(input_file_name()))
+          .join(broadcast(mapDF), "__dsrc")
+          .select(col("__dfile"), colq(raw, posCol).cast(LongType).as("__dpos"))
+    }
+  }
+
+  /** Materialize foreign positional deletes before DML: rewrite the
+    * delete-affected files with their tombstoned rows dropped, end both
+    * the data-file rows and their delete-file rows, register the merged
+    * files under a new snapshot. After this the table is in the native
+    * file-granular CoW shape every DML path assumes (per-file accounting
+    * via `input_file_name` cannot see through the anti-join, so DML never
+    * operates on merge-on-read files directly).
+    */
+  private def flushForeignDeletes(t: TableRow): Unit = {
+    val dels = state.positionalDeletes(t.tableId)
+    if (dels.isEmpty) return
+    val dirty = state.filesOf(t.tableId).filter(f => dels.contains(f.dataFileId))
+    if (dirty.isEmpty) return
+    val snap = state.currentSnapshot + 1
+    val written = writeParquetFiles(
+      readWithDeletes(t, dirty, dels, state.currentSnapshot), t.tableName)
+    val dirtyIds = dirty.map(_.dataFileId).toSet
+    val ns = state.copy(
+      dataFiles = state.dataFiles.map(d =>
+        if (dirtyIds(d.dataFileId) && d.endSnapshot.isEmpty) d.copy(endSnapshot = Some(snap)) else d),
+      deleteFiles = state.deleteFiles.map(d =>
+        if (dirtyIds(d.dataFileId) && d.path.nonEmpty && d.endSnapshot.isEmpty)
+          d.copy(endSnapshot = Some(snap)) else d))
+    val (ns2, fid2) = appendWrittenFiles(ns, t, snap, state.nextFileId,
+      written, state.schemaOf(t.tableId))
+    state = ns2.copy(snapshotChanges = ns2.snapshotChanges :+
+      SnapshotChangeRow(snap, s"materialized_deletes:${t.tableName}"))
+    newSnapshot(state.nextCatalogId, fid2)
   }
 
   /** the table's catalog-inlined rows at `snapshot` as a typed DataFrame
@@ -548,6 +652,9 @@ class DuckLakeXLSpark(
     * every column renamed since a file was written)
     */
   private def readFiles(t: TableRow, files: Seq[DataFileRow]): DataFrame = {
+    require(state.positionalDeletes(t.tableId).keySet
+        .intersect(files.map(_.dataFileId).toSet).isEmpty,
+      "internal: readFiles on merge-on-read files — flushForeignDeletes first")
     val curCols = state.columnsOf(t.tableId)
     val dfs = physGroups(t, files, state.currentSnapshot).map { case (phys, gfiles) =>
       val physSchema = StructType(curCols.flatMap(c => phys.get(c.columnId).map {
@@ -587,6 +694,9 @@ class DuckLakeXLSpark(
     require(state.inlinedOf(t.tableId).isEmpty,
       s"tableStream($name): table has catalog-inlined rows the file stream " +
       "cannot see; compact() flushes them first")
+    require(state.positionalDeletes(t.tableId).isEmpty,
+      s"tableStream($name): table carries foreign positional delete files; " +
+      "run any DML or compact() to materialize them first")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000)
       .parquet(Paths.get(dataPath, t.tableName).toString)
@@ -1030,6 +1140,7 @@ class DuckLakeXLSpark(
   private def executeDelete(s: StatementRouter.Delete): Unit = {
     val t = requireTable(s.table)
     flushInlined(t)
+    flushForeignDeletes(t)
     val schema = state.schemaOf(t.tableId)
     val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
@@ -1081,6 +1192,7 @@ class DuckLakeXLSpark(
   private def executeUpdate(s: StatementRouter.Update): Unit = {
     val t = requireTable(s.table)
     flushInlined(t)
+    flushForeignDeletes(t)
     val schema = state.schemaOf(t.tableId)
     val sets = s.sets.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
     val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
@@ -1150,6 +1262,7 @@ class DuckLakeXLSpark(
   private def executeMerge(s: StatementRouter.Merge): Unit = {
     val t = requireTable(s.table)
     flushInlined(t)
+    flushForeignDeletes(t)
     val schema = state.schemaOf(t.tableId)
     val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
@@ -1320,6 +1433,7 @@ class DuckLakeXLSpark(
     // flush BEFORE any schema change so inline cells always match the
     // column set they were written under
     flushInlined(t)
+    flushForeignDeletes(t)
     val snap = state.currentSnapshot + 1
     s.op match {
       case StatementRouter.RenameTo(newName) =>
@@ -1525,6 +1639,7 @@ class DuckLakeXLSpark(
     if (remote.exists) pull()
     val t = requireTable(table)
     flushInlined(t)
+    flushForeignDeletes(t)
     val schema = state.schemaOf(t.tableId)
     val cols = state.columnsOf(t.tableId)
     val small = state.filesOf(t.tableId).filter(_.fileSizeBytes < targetBytes)
@@ -1747,6 +1862,17 @@ class DuckLakeXLSpark(
   * [[DuckLakeXLSpark.rewriteSelect]])
   */
 object DuckLakeXLSpark {
+  /** `input_file_name`/`_metadata.file_path` yield (possibly URI-encoded)
+    * `file:` URIs; catalog paths are plain — decode with the same
+    * java.net.URI rule as `normUri`. Companion-scoped so the UDF closure
+    * can never capture a lake instance.
+    */
+  private[graft] val DecodeUri = org.apache.spark.sql.functions.udf { p: String =>
+    if (p == null) null
+    else if (p.startsWith("file:")) new java.net.URI(p).getPath
+    else p
+  }
+
   private val VersionAtRe =
     """(?i)\b((?:\w+\.)*\w+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
   private val VersionAsOfRe = """(?i)\b((?:\w+\.)*\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r

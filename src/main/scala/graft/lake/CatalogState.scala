@@ -241,6 +241,17 @@ final case class CatalogState(
     dataFiles.filter(f => f.tableId == tableId &&
       aliveAt[DataFileRow](_.beginSnapshot, _.endSnapshot, snap)(f))
 
+  /** FOREIGN positional delete files live at `snap`, keyed by the data
+    * file they target: `ducklake_delete_file` rows with a real parquet
+    * path (a workbook written by DuckDB-DuckLake). Our own writer records
+    * CoW provenance tombstones with path "" — those are excluded here.
+    */
+  def positionalDeletes(tableId: Long, snap: Long = currentSnapshot)
+      : Map[Long, Vector[DeleteFileRow]] =
+    deleteFiles.filter(d => d.tableId == tableId && d.path.nonEmpty &&
+      aliveAt[DeleteFileRow](_.beginSnapshot, _.endSnapshot, snap)(d))
+      .groupBy(_.dataFileId)
+
   /** catalog-inlined rows of a table live at `snap` (DuckLake data
     * inlining; empty unless the lake was built with an inline row limit)
     */

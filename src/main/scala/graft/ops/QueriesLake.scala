@@ -272,6 +272,43 @@ object QueriesLake {
           |INSERT INTO wd VALUES (3, 30000000000);
           |SELECT id, qty FROM wd ORDER BY id""".stripMargin)
     },
+    // r5: foreign positional delete files — a workbook whose
+    // ducklake_delete_file rows carry REAL delete parquet (as written by
+    // DuckDB-DuckLake) opens with deletes honored (merge-on-read), and DML
+    // materializes them into the native CoW shape before applying
+    "q_lake_foreign_deletes" -> { (s, _) =>
+      import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      val dir = JF.createTempDirectory("graft_lake_q").toString
+      val lake = new DuckLakeXLSpark(s, s"$dir/lake.xlsx", s"$dir/data")
+      lake.sql(
+        """CREATE TABLE fd(id INTEGER, val VARCHAR);
+          |INSERT INTO fd VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')""".stripMargin)
+      val t = lake.currentState.tableByName("fd").get
+      val dataFile = lake.currentState.filesOf(t.tableId).head
+      // forge the delete parquet: drop row ordinals 1 and 3
+      import s.implicits._
+      val delDir = JF.createTempDirectory(JP.get(dir), "delw")
+      Seq((dataFile.path, 1L), (dataFile.path, 3L)).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+      val part = JF.list(delDir).iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+                   p.getFileName.toString.endsWith(".parquet")).get
+      val delPath = JP.get(dir, "delete_0.parquet")
+      JF.move(part, delPath, StandardCopyOption.REPLACE_EXISTING)
+      val remote = graft.xlsx.ExcelRemote.pick(s"$dir/lake.xlsx")
+      remote.writeAll(remote.readAll().map {
+        case ("delete_file", rws) =>
+          ("delete_file", rws :+ Seq("9001", t.tableId.toString,
+            lake.currentState.currentSnapshot.toString, "",
+            dataFile.dataFileId.toString, delPath.toString, "2"))
+        case other => other
+      })
+      val reopened = new DuckLakeXLSpark(s, s"$dir/lake.xlsx", s"$dir/data")
+      reopened.sql(
+        """DELETE FROM fd WHERE id = 3;
+          |SELECT id, val FROM fd ORDER BY id""".stripMargin)
+    },
     // r3: column-list INSERT fills unlisted columns with NULL
     "q_lake_insert_cols" -> { (s, _) =>
       val lake = freshLake(s)
@@ -335,6 +372,8 @@ object QueriesLake {
        "('ducklake_table_stats'),('ducklake_view')) t(table_name) ORDER BY table_name"),
     "q_lake_ts_travel" ->
       ("SELECT * FROM (VALUES (2,'b'),(3,'c')) t(id, val) ORDER BY id"),
+    "q_lake_foreign_deletes" ->
+      ("SELECT * FROM (VALUES (1,'alpha')) t(id, val) ORDER BY id"),
     "q_lake_widen" ->
       ("SELECT id, CAST(qty AS BIGINT) AS qty FROM (VALUES " +
        "(1, 10),(2, 20),(3, 30000000000)) t(id, qty) ORDER BY id"),
