@@ -82,14 +82,21 @@ object Bench {
     overheadProbe(); scanProbe()
     val probe = overheadProbe()
     val probeScan = scanProbe()
-    val timed = names.map(n => n -> materialize(n)) // reported pass
+    // r4 verdict #5a: report the per-query MEDIAN of 3 timed passes —
+    // run-to-run variance on this box is ±20-30% and twice masqueraded as
+    // regression; the median is stable where a single pass is not
+    def median3(n: String): Double = {
+      val ts = Seq.fill(3)(materialize(n))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    }
+    val timed = names.map(n => n -> median3(n)) // reported: median of 3
 
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val headlineTotal = timed.filter(t => Headline.contains(t._1) && t._2 >= 0)
       .map(_._2).sum
     val hl = Headline.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"headline_6q_total","value":$headlineTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"warmup pass + noop-sink materialization + clearCache isolation; second-pass times; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
+    val json = s"""{"metric":"headline_6q_total","value":$headlineTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"warmup pass + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
     println(json)
     // r3 verdict #10: the driver's stdout tail cap truncated the JSON once;
     // always leave a complete copy on disk too

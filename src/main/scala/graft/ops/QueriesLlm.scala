@@ -181,12 +181,19 @@ object QueriesLlm {
   private def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
       thr: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val rows = numHashes / bands
-    val sh = shIn.toDF("doc_id", "shingle")
+    // r5: shingles are hashed to int64 (60-bit md5 prefix — the portable
+    // cross-engine construction) BEFORE anything shuffles or persists:
+    // the cache holds (long, long) instead of (long, string), and the
+    // exact-Jaccard verify join keys on 8-byte ints instead of arbitrary-
+    // width gram text. Two distinct grams colliding is ~n²/2^60 and, since
+    // the oracle applies the identical hash, never a divergence.
+    val sh = shIn.toDF("doc_id", "shingle0")
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle0")), 1, 15), 16, 10).cast(LongType).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE md5 per shingle; minhashes come from the universal-hash family
-    // (a_i * x + b_i) mod P over the 32-bit md5 prefix (see [[HashP]])
-    val shx = sh.select(col("doc_id"),
-      (conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType) % HashP).as("x"))
+    // minhashes come from the universal-hash family (a_i * x + b_i) mod P
+    // over the shingle hash (see [[HashP]])
+    val shx = sh.select(col("doc_id"), (col("shingle") % HashP).as("x"))
     val aggs = (1 to numHashes).map { i =>
       val (a, b) = hashCoeffs(i - 1)
       min((lit(a) * col("x") + lit(b)) % HashP).as(s"m$i")
@@ -273,8 +280,9 @@ object QueriesLlm {
       .map(j => s"WHEN ${j} THEN concat_ws('_', ${(1 to rows).map(r => s"CAST(m${rows * j + r} AS VARCHAR)").mkString(", ")})")
       .mkString("CASE band ", " ", " END")
     val bandVals = (0 until bands).map(j => s"($j)").mkString(", ")
-    s"""WITH sh AS ($gramsSql),
-       |shx AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) % $HashP AS x FROM sh),
+    s"""WITH sh0 AS ($gramsSql),
+       |sh AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS shingle FROM sh0),
+       |shx AS (SELECT doc_id, shingle % $HashP AS x FROM sh),
        |mh AS (SELECT doc_id, $minhashes FROM shx GROUP BY doc_id),
        |bands_all AS (SELECT doc_id, band, $bandCase AS bkey
        |          FROM mh CROSS JOIN (VALUES $bandVals) bb(band)),

@@ -66,7 +66,9 @@ final class GraphRemote(
     tokens: GraphTokenProvider,
     baseUrl: String = "https://graph.microsoft.com/v1.0",
     maxRetries: Int = 5,
-    backoffMillis: Long = 500L) extends ExcelRemote {
+    backoffMillis: Long = 500L,
+    /** max concurrent per-sheet usedRange reads within one session */
+    readConcurrency: Int = 8) extends ExcelRemote {
 
   private val http = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
@@ -157,10 +159,29 @@ final class GraphRemote(
       row.elements().asScala.map(c => if (c.isNull) "" else c.asText()).toSeq).toSeq
   }
 
+  /** pull every sheet within ONE workbook session, fanning the per-sheet
+    * usedRange reads out concurrently — the reference gathers them with
+    * `asyncio.gather` (ducklakexl.py:478,548); here a bounded pool of
+    * parallel HTTP calls, each still wrapped in the full A6/A9 retry
+    * ladder. Order of the returned sheets stays the listing order.
+    */
   def readAll(): Seq[XlsxCodec.Sheet] = {
     val sid = createSession()
-    try listSheets(Some(sid)).map(n => (n, usedRangeText(n, sid)))
-    finally closeSession(sid)
+    try {
+      val names = listSheets(Some(sid))
+      if (names.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(readConcurrency, names.size))
+        try {
+          val futs = names.map(n => pool.submit(
+            new java.util.concurrent.Callable[XlsxCodec.Sheet] {
+              def call(): XlsxCodec.Sheet = (n, usedRangeText(n, sid))
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    } finally closeSession(sid)
   }
 
   /** A17: a Graph workbook is created by uploading real xlsx bytes */

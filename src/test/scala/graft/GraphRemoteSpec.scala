@@ -29,6 +29,9 @@ class GraphRemoteSpec extends AnyFunSuite {
     val sheets = mutable.LinkedHashMap[String, Seq[Seq[String]]]()
     var rate429sRemaining = 0   // next N workbook calls answer 429
     var reject401Once = false   // next call answers 401 (token expiry)
+    var usedRangeDelayMs = 0L   // slow reads, to observe read concurrency
+    val inFlightReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlightReads = new java.util.concurrent.atomic.AtomicInteger(0)
     var sessionsOpened = 0
     var sessionsClosed = 0
     var sawSessionHeader = 0
@@ -81,10 +84,15 @@ class GraphRemoteSpec extends AnyFunSuite {
           sheets(n) = Seq.empty
           respond(ex, 204)
         case ("GET", p) if p.contains("/worksheets('") && p.endsWith("/usedRange") =>
-          val n = p.substring(p.indexOf("worksheets('") + 12, p.indexOf("')"))
-          val rows = sheets.getOrElse(n, Seq.empty)
-          val text = mapper.writeValueAsString(rows.map(_.asJava).asJava)
-          respond(ex, 200, s"""{"address":"A1","text":$text}""")
+          val cur = inFlightReads.incrementAndGet()
+          maxInFlightReads.getAndUpdate(m => math.max(m, cur))
+          if (usedRangeDelayMs > 0) Thread.sleep(usedRangeDelayMs)
+          try {
+            val n = p.substring(p.indexOf("worksheets('") + 12, p.indexOf("')"))
+            val rows = sheets.getOrElse(n, Seq.empty)
+            val text = mapper.writeValueAsString(rows.map(_.asJava).asJava)
+            respond(ex, 200, s"""{"address":"A1","text":$text}""")
+          } finally inFlightReads.decrementAndGet()
         case ("PATCH", p) if p.contains("/range(address=") =>
           val n = p.substring(p.indexOf("worksheets('") + 12, p.indexOf("')"))
           val vals = mapper.readTree(readBody(ex)).get("values")
@@ -100,6 +108,7 @@ class GraphRemoteSpec extends AnyFunSuite {
   private def withServer[A](mock: MockGraph)(body: String => A): A = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => mock.handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1.0")
     finally server.stop(0)
@@ -141,6 +150,30 @@ class GraphRemoteSpec extends AnyFunSuite {
       mock.reject401Once = true
       assert(remote.sheetNames.contains("s"))      // survives token expiry
       assert(refreshes == 1)
+    }
+  }
+
+  test("readAll fans per-sheet reads out concurrently in one session") {
+    val mock = new MockGraph
+    mock.workbookExists = true
+    (1 to 6).foreach(i => mock.sheets(s"s$i") = Seq(Seq("a"), Seq(i.toString)))
+    mock.usedRangeDelayMs = 120L
+    withServer(mock) { base =>
+      val remote = new GraphRemote("d1", "lake.xlsx",
+        new StaticTokenProvider("tok"), base, backoffMillis = 1L)
+      val t0 = System.nanoTime()
+      val back = remote.readAll()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // ordering preserved, values intact
+      assert(back.map(_._1) == (1 to 6).map(i => s"s$i"))
+      assert(back.map(_._2.last.head) == (1 to 6).map(_.toString))
+      // genuinely concurrent: several reads in flight at once, and total
+      // wall time well under the 6 * 120ms sequential floor
+      assert(mock.maxInFlightReads.get() >= 2,
+        s"max in-flight reads was ${mock.maxInFlightReads.get()}")
+      assert(elapsedMs < 6 * 120.0, f"readAll took $elapsedMs%.0f ms — sequential?")
+      // still one session, opened and closed
+      assert(mock.sessionsOpened == 1 && mock.sessionsClosed == 1)
     }
   }
 
