@@ -560,8 +560,12 @@ class DuckLakeXLSpark(
     val data = dfs.reduce(_.unionByName(_))
     val pairs = files.flatMap(f =>
       dels.getOrElse(f.dataFileId, Vector.empty).map(d => d.path -> f.path))
+    // no broadcast hint: delete sets are usually tiny (Catalyst broadcasts
+    // them under the threshold on its own), but a foreign lake can carry
+    // arbitrarily many tombstones — forcing broadcast would OOM the driver
+    // exactly when it matters
     val pos = deletePositions(pairs)
-    data.join(broadcast(pos),
+    data.join(pos,
         data("__file") === pos("__dfile") && data("__pos") === pos("__dpos"),
         "left_anti")
       .drop("__file", "__pos")

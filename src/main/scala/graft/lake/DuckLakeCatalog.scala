@@ -144,9 +144,38 @@ class DuckLakeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE through the catalog is not supported; use lake.sql(...)")
+  /** route DSv2 TableChanges to the router's ALTER statements, so plain
+    * `spark.sql("ALTER TABLE my_ducklake.main.t …")` works: add/drop/
+    * rename column, type widening, and table/column comments
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val q = qualified(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested columns are unsupported")
+        lake.sql(s"ALTER TABLE $q ADD COLUMN ${a.fieldNames()(0)} " +
+          CatalogSchema.typeName(a.dataType()))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested columns are unsupported")
+        lake.sql(s"ALTER TABLE $q DROP COLUMN ${d.fieldNames()(0)}")
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested columns are unsupported")
+        lake.sql(s"ALTER TABLE $q RENAME COLUMN ${r.fieldNames()(0)} TO ${r.newName()}")
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested columns are unsupported")
+        lake.sql(s"ALTER TABLE $q ALTER COLUMN ${u.fieldNames()(0)} TYPE " +
+          CatalogSchema.typeName(u.newDataType()))
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1, "nested columns are unsupported")
+        val lit = c.newComment().replace("'", "''")
+        lake.sql(s"COMMENT ON COLUMN $q.${c.fieldNames()(0)} IS '$lit'")
+      case p: TableChange.SetProperty if p.property() == TableCatalog.PROP_COMMENT =>
+        lake.sql(s"COMMENT ON TABLE $q IS '${p.value().replace("'", "''")}'")
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

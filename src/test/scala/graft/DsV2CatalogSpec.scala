@@ -140,6 +140,27 @@ class DsV2CatalogSpec extends AnyFunSuite {
       30000000011L)
   }
 
+  test("CREATE/ALTER/DROP TABLE through plain spark.sql route into the lake") {
+    val lake = freshLake()
+    spark.sql("CREATE TABLE my_ducklake.main.ct (id INT, v STRING)")
+    spark.sql("INSERT INTO my_ducklake.main.ct VALUES (1, 'a')")
+    spark.sql("ALTER TABLE my_ducklake.main.ct ADD COLUMN qty INT")
+    spark.sql("ALTER TABLE my_ducklake.main.ct ALTER COLUMN qty TYPE BIGINT")
+    spark.sql("ALTER TABLE my_ducklake.main.ct RENAME COLUMN v TO label")
+    assert(lake.sql("DESCRIBE ct").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("id", "INTEGER"), ("label", "VARCHAR"), ("qty", "BIGINT")))
+    // the DDL went through the lake (persisted in the workbook)
+    val reopened = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(reopened.sql("SELECT id, label FROM ct").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a")))
+    spark.sql("DROP TABLE my_ducklake.main.ct")
+    // the drop landed in the workbook: any instance that pulls agrees
+    // (lake.sql pulls; the first instance's in-memory state alone is stale
+    // by design — workbook is the source of truth)
+    assert(!lake.sql("SHOW TABLES").collect().map(_.getString(0)).contains("ct"))
+    assert(lake.currentState.tableByName("ct").isEmpty)
+  }
+
   test("aggregates over the bridge (empty required columns, count star)") {
     val lake = freshLake()
     lake.sql(
