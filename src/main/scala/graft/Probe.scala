@@ -32,6 +32,16 @@ object Probe {
       from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k").as("k")))
     time("ev_order_only")(ev.select("event_id", "props").orderBy("event_id"))
     time("q_fn_json_full")(graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d))
+    // r5: the scan is single-task (one row group), but the Jackson parse
+    // need not be — shuffle the raw (id, props) pairs across cores FIRST,
+    // then parse 32-way. Worth it iff parse >> shuffle of the raw bytes.
+    time("ev_json_repart32") {
+      val j = from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k")
+      ev.select("event_id", "props").repartition(32)
+        .select(col("event_id"), j.cast(LongType).as("k_num"), j.as("k_str"),
+          j.cast(LongType).as("k2"))
+        .orderBy("event_id")
+    }
 
     time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))

@@ -164,10 +164,20 @@ object QueriesFunctions {
       // worst headline ratio), and both typed outputs are casts of the
       // single parsed string. At 100 TB the per-row parser call is the
       // whole cost of a JSON query — parse once, cast many.
-      val ev = Tables.t(s, d, "events")
+      //
+      // Parse parallelism (r5, probe-measured 0.97 s -> 0.57 s): a source
+      // whose files expose FEWER partitions than the cluster has cores
+      // (single-row-group files, small-file tails) leaves the CPU-bound
+      // parse single-task no matter what AQE does. Shuffling the raw
+      // (id, props) pairs first is cheap relative to the parse and
+      // unlocks every core — and the guard makes it a NO-OP at scale,
+      // where a multi-row-group scan already fans out wider than cores.
+      val raw = Tables.t(s, d, "events").select(col("event_id"), col("props"))
+      val cores = s.sparkContext.defaultParallelism
+      val src = if (raw.rdd.getNumPartitions < cores / 2) raw.repartition(cores) else raw
       val j = from_json(col("props"), StructType(Seq(StructField("k", StringType))))
         .getField("k")
-      ev.select(
+      src.select(
         col("event_id"),
         j.cast(LongType).as("k_num"),
         j.as("k_str"),
