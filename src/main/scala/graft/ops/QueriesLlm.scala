@@ -131,17 +131,27 @@ object QueriesLlm {
       s"(CASE WHEN ${sqlDot(emb, hp)} >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
 
-  /** distinct word-5-shingles of the normalized text (docs with <5 words
-    * have no shingles and drop out — they cannot be near-dups)
+  /** the distinct gram set as INT64 HASHES, one array per document — no
+    * explode: gram-level rows never exist, so nothing gram-sized ever
+    * shuffles. Hash = 60-bit md5 prefix (the portable cross-engine
+    * construction); distinct applied on the hashes, mirrored in the
+    * oracle's DISTINCT, so the two engines hold the identical set even
+    * under a (~n²/2^60) collision.
+    */
+  private def hashGrams(grams: Column): Column =
+    array_distinct(transform(grams, g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)))
+
+  /** word-5-shingle hash sets (docs with <5 words have no shingles and
+    * drop out — they cannot be near-dups)
     */
   private def shinglesDF(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.t(s, d, "documents")
       .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= ShingleWords)
-    docs.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - (ShingleWords - 1)),
-        i => concat_ws(" ", slice(col("ws"), i, lit(ShingleWords)))))).as("shingle"))
+    docs.select(col("doc_id"), hashGrams(transform(
+      sequence(lit(1), size(col("ws")) - (ShingleWords - 1)),
+      i => concat_ws(" ", slice(col("ws"), i, lit(ShingleWords))))).as("hs"))
   }
 
   private val sqlShingles =
@@ -152,15 +162,14 @@ object QueriesLlm {
        |      FROM documents)
        |WHERE len(ws) >= $ShingleWords""".stripMargin
 
-  /** distinct char n-grams of the normalized text */
+  /** char-n-gram hash sets of the normalized text, one array per doc */
   private def ngramsDF(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.t(s, d, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= NgramLen)
-    docs.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), length(col("norm")) - (NgramLen - 1)),
-        i => col("norm").substr(i, lit(NgramLen))))).as("shingle"))
+    docs.select(col("doc_id"), hashGrams(transform(
+      sequence(lit(1), length(col("norm")) - (NgramLen - 1)),
+      i => col("norm").substr(i, lit(NgramLen)))).as("hs"))
   }
 
   private val sqlNgrams =
@@ -171,34 +180,30 @@ object QueriesLlm {
        |      FROM documents)
        |WHERE length(norm) >= $NgramLen""".stripMargin
 
-  /** Banded-MinHash LSH over a (doc_id, shingle) stream -> near-dup pairs
-    * (a, b, jac) with exact Jaccard >= thr. The shingle table feeds six
-    * consumers (minhash, both sides of the bucket join's lineage, both
-    * sides of the verify join, sizes); without persist Catalyst re-derives
-    * it per consumer = 6 corpus scans. One materialization, spill-safe,
-    * is the 100 TB shape.
+  /** Banded-MinHash LSH over per-doc gram-hash ARRAYS -> near-dup pairs
+    * (a, b, jac) with exact Jaccard >= thr. The r5 shape: signatures are
+    * a pure narrow map over each doc's array (16 codegen'd
+    * transform+array_min passes), so GRAM-level data never shuffles —
+    * the former explode + corpus-wide groupBy is gone. The only shuffles
+    * left are doc-count-sized: the 8-rows-per-doc band buckets and the
+    * candidate joins. The doc-level (hs + signature) table feeds four
+    * consumers (bands, both est-filter sides, both verify sides); one
+    * spill-safe materialization is the 100 TB shape.
     */
   private def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
       thr: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val rows = numHashes / bands
-    // r5: shingles are hashed to int64 (60-bit md5 prefix — the portable
-    // cross-engine construction) BEFORE anything shuffles or persists:
-    // the cache holds (long, long) instead of (long, string), and the
-    // exact-Jaccard verify join keys on 8-byte ints instead of arbitrary-
-    // width gram text. Two distinct grams colliding is ~n²/2^60 and, since
-    // the oracle applies the identical hash, never a divergence.
-    val sh = shIn.toDF("doc_id", "shingle0")
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle0")), 1, 15), 16, 10).cast(LongType).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // minhashes come from the universal-hash family (a_i * x + b_i) mod P
-    // over the shingle hash (see [[HashP]])
-    val shx = sh.select(col("doc_id"), (col("shingle") % HashP).as("x"))
-    val aggs = (1 to numHashes).map { i =>
+    // minhashes from the universal-hash family (a_i * x + b_i) mod P over
+    // each doc's gram hashes (see [[HashP]]) — per-row expressions only
+    val minhashes = (1 to numHashes).map { i =>
       val (a, b) = hashCoeffs(i - 1)
-      min((lit(a) * col("x") + lit(b)) % HashP).as(s"m$i")
+      array_min(transform(col("hs"),
+        x => (lit(a) * (x % HashP) + lit(b)) % HashP)).as(s"m$i")
     }
-    val mh = shx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sh = shIn.toDF("doc_id", "hs")
+      .select(Seq(col("doc_id"), col("hs")) ++ minhashes: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = sh.drop("hs")
     // bands of `rows` minhash rows -> (band, key) bucket stream
     val bandArr = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
@@ -240,18 +245,18 @@ object QueriesLlm {
       .join(mh.as("mb"), col("b") === col("mb.doc_id"))
       .filter(agree >= estMin)
       .select("a", "b")
-    // exact-Jaccard verify restricted to the surviving candidates
-    val shA = sh.toDF("a", "shg_a")
-    val shB = sh.toDF("b2", "shg_b")
-    val inter = cand.join(shA, "a")
-      .join(shB, col("b") === col("b2") && col("shg_a") === col("shg_b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val szA = sz.toDF("a", "sz_a")
-    val szB = sz.toDF("b", "sz_b")
+    // exact-Jaccard verify restricted to the surviving candidates: the
+    // per-pair intersection is one hashed array_intersect over the two
+    // docs' distinct-hash sets — no gram-level join, no groupBy
+    val shA = sh.select(col("doc_id").as("a"), col("hs").as("ha"))
+    val shB = sh.select(col("doc_id").as("b2"), col("hs").as("hb"))
     val jac = col("inter").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("inter"))
-    val out = inter.join(szA, "a").join(szB, "b")
+    val out = cand.join(shA, "a").join(shB, col("b") === col("b2"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("inter"),
+        size(col("ha")).cast(LongType).as("sz_a"),
+        size(col("hb")).cast(LongType).as("sz_b"))
       .withColumn("jac_raw", jac)
       .filter(col("jac_raw") >= thr)
       .select(col("a"), col("b"), round(col("jac_raw"), 4).as("jac"))
@@ -281,7 +286,7 @@ object QueriesLlm {
       .mkString("CASE band ", " ", " END")
     val bandVals = (0 until bands).map(j => s"($j)").mkString(", ")
     s"""WITH sh0 AS ($gramsSql),
-       |sh AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS shingle FROM sh0),
+       |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS shingle FROM sh0),
        |shx AS (SELECT doc_id, shingle % $HashP AS x FROM sh),
        |mh AS (SELECT doc_id, $minhashes FROM shx GROUP BY doc_id),
        |bands_all AS (SELECT doc_id, band, $bandCase AS bkey
