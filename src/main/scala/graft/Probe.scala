@@ -43,6 +43,41 @@ object Probe {
         .orderBy("event_id")
     }
 
+    // r6: where does q_llm_dedup_ngram's time go? Stage-by-stage over the
+    // documents table (char-5-grams), mirroring QueriesLlm's shapes.
+    val docsRaw = graft.ops.Tables.t(spark, d, "documents")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val gramsNoHash = transform(
+      sequence(lit(1), length(col("norm")) - 4),
+      i => col("norm").substr(i, lit(5)))
+    val hashed = array_distinct(transform(gramsNoHash, g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)))
+    val xxhashed = array_distinct(transform(gramsNoHash, g => xxhash64(g)))
+    time("doc_norm_only")(docsRaw.select(col("doc_id"), norm.as("norm")))
+    time("doc_grams_nohash")(docsRaw.select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5).select(col("doc_id"), gramsNoHash.as("g")))
+    time("doc_grams_md5")(docsRaw.select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5).select(col("doc_id"), hashed.as("hs")))
+    time("doc_grams_xxh")(docsRaw.select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5).select(col("doc_id"), xxhashed.as("hs")))
+    time("doc_sig16_fold") {
+      val base = docsRaw.select(col("doc_id"), norm.as("norm"))
+        .filter(length(col("norm")) >= 5).select(col("doc_id"), xxhashed.as("hs"))
+      val p = 2147483647L
+      val sigInit = struct((1 to 16).map(i => lit(p).as(s"m$i")): _*)
+      base.select(col("doc_id"), aggregate(col("hs"), sigInit, (acc, x) =>
+        struct((1 to 16).map { i =>
+          least(acc.getField(s"m$i"), (lit(31L + i) * (x % p) + lit(7L * i)) % p).as(s"m$i")
+        }: _*)).as("sig"))
+    }
+    time("doc_sig16_sweeps") {
+      val base = docsRaw.select(col("doc_id"), norm.as("norm"))
+        .filter(length(col("norm")) >= 5).select(col("doc_id"), xxhashed.as("hs"))
+      val p = 2147483647L
+      base.select(Seq(col("doc_id")) ++ (1 to 16).map(i =>
+        array_min(transform(col("hs"), x => (lit(31L + i) * (x % p) + lit(7L * i)) % p)).as(s"m$i")): _*)
+    }
+
     time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))
     time("li_filter_only")(li.filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampNTZType)))

@@ -587,9 +587,40 @@ class DuckLakeXLSpark(
         s"positional delete file has no position column (saw: ${raw.columns.mkString(", ")})"))
     lower.get("file_path").orElse(lower.get("file_name")) match {
       case Some(fp) =>
+        // r5 advice: the anti-join needs EXACT equality with catalog data-
+        // file paths, but a real DuckLake workbook records delete targets
+        // relative (path_is_relative=true) or URI-spelled — unresolved
+        // spellings would silently resurrect every tombstoned row. Resolve
+        // each distinct target (one per touched data file — bounded,
+        // metadata-plane) against the catalog paths and fail loudly on
+        // anything unresolvable rather than mis-delete.
+        val targets = pairs.map(_._2).distinct
+        val byNorm = targets.map(t => normUri(t) -> t).toMap
+        val seen = raw.select(DuckLakeXLSpark.DecodeUri(colq(raw, fp)
+            .cast(StringType)).as("p")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val resolved: Map[String, String] = seen.map { p =>
+          val n = normUri(p)
+          val hit = byNorm.get(n).orElse {
+            // relative spelling: unique catalog path with this tail
+            val rel = n.stripPrefix("/")
+            val cands = targets.filter(t => t.endsWith("/" + rel) || t == rel)
+            if (cands.size == 1) Some(cands.head) else None
+          }
+          p -> hit.getOrElse(throw new IllegalArgumentException(
+            s"positional delete file references '$p', which resolves to no " +
+            s"known data file of this table (catalog paths: " +
+            s"${targets.take(3).mkString(", ")}${if (targets.size > 3) ", …" else ""})"))
+        }.toMap
+        val mapDF = spark.createDataFrame(
+          resolved.toSeq.map { case (s, c) => Row(s, c) }.asJava,
+          StructType(Seq(StructField("__draw", StringType, false),
+            StructField("__dfile", StringType, false))))
         raw.select(
-          DuckLakeXLSpark.DecodeUri(colq(raw, fp).cast(StringType)).as("__dfile"),
-          colq(raw, posCol).cast(LongType).as("__dpos"))
+            DuckLakeXLSpark.DecodeUri(colq(raw, fp).cast(StringType)).as("__draw"),
+            colq(raw, posCol).cast(LongType).as("__dpos"))
+          .join(broadcast(mapDF), "__draw")
+          .select(col("__dfile"), col("__dpos"))
       case None =>
         val mapDF = spark.createDataFrame(
           pairs.distinct.map { case (d, f) => Row(d, f) }.asJava,
@@ -616,7 +647,7 @@ class DuckLakeXLSpark(
     if (dirty.isEmpty) return
     val snap = state.currentSnapshot + 1
     val written = writeParquetFiles(
-      readWithDeletes(t, dirty, dels, state.currentSnapshot), t.tableName)
+      readWithDeletes(t, dirty, dels, state.currentSnapshot), t)
     val dirtyIds = dirty.map(_.dataFileId).toSet
     val ns = state.copy(
       dataFiles = state.dataFiles.map(d =>
@@ -703,7 +734,7 @@ class DuckLakeXLSpark(
       "run any DML or compact() to materialize them first")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000)
-      .parquet(Paths.get(dataPath, t.tableName).toString)
+      .parquet(Paths.get(dataPath, tableDirName(t)).toString)
   }
 
   /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */
@@ -1081,12 +1112,12 @@ class DuckLakeXLSpark(
       }
     }
     if (partCols.isEmpty) {
-      val written = writeParquetFiles(if (isLocalValues) df.coalesce(1) else df, t.tableName)
+      val written = writeParquetFiles(if (isLocalValues) df.coalesce(1) else df, t)
       if (written.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
       registerWrittenFiles(t, written)
     } else {
       val writtenPV = writeParquetFilesPartitioned(
-        if (isLocalValues) df.coalesce(1) else df, t.tableName, partCols)
+        if (isLocalValues) df.coalesce(1) else df, t, partCols)
       if (writtenPV.isEmpty) { newSnapshot(state.nextCatalogId, state.nextFileId); return }
       registerWrittenFiles(t, writtenPV.map(_._1),
         writtenPV.map { case (p, v) => p.toString -> v }.toMap)
@@ -1100,7 +1131,7 @@ class DuckLakeXLSpark(
   private def flushInlined(t: TableRow): Unit = {
     inlineDF(t, state.currentSnapshot).foreach { df =>
       val snap = state.currentSnapshot + 1
-      val written = writeParquetFiles(df.coalesce(1), t.tableName)
+      val written = writeParquetFiles(df.coalesce(1), t)
       val (ns, fid) = appendWrittenFiles(state, t, snap, state.nextFileId,
         written, state.schemaOf(t.tableId))
       state = ns.copy(
@@ -1178,7 +1209,7 @@ class DuckLakeXLSpark(
       val keep = readFiles(t, partial)
         .filter(!coalesce(pred, lit(false)))
       val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
-        writeParquetFiles(keep, t.tableName), schema)
+        writeParquetFiles(keep, t), schema)
       ns = ns2; fid = fid2
     }
 
@@ -1231,7 +1262,7 @@ class DuckLakeXLSpark(
       }
     }.toSeq: _*)
     val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
-      writeParquetFiles(updated, t.tableName), schema)
+      writeParquetFiles(updated, t), schema)
     state = ns2
     newSnapshot(state.nextCatalogId, fid2)
   }
@@ -1319,7 +1350,7 @@ class DuckLakeXLSpark(
             }
           }.toSeq: _*)
         }
-      val rewrittenFiles = writeParquetFiles(rewritten, t.tableName)
+      val rewrittenFiles = writeParquetFiles(rewritten, t)
       val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid, rewrittenFiles, schema)
       // cardinality guard (standard MERGE semantics: engines ERROR when one
       // target row is matched by several source rows — the left_outer
@@ -1360,7 +1391,7 @@ class DuckLakeXLSpark(
         }
       }.toSeq: _*)
       val (ns3, fid3) = appendWrittenFiles(ns, t, snap, fid,
-        writeParquetFiles(aligned, t.tableName), schema)
+        writeParquetFiles(aligned, t), schema)
       ns = ns3; fid = fid3
     }
 
@@ -1693,7 +1724,7 @@ class DuckLakeXLSpark(
       tagged.repartition(col("__grp"))
         .write.partitionBy("__grp").mode("overwrite").parquet(tmp.toString)
     }
-    val dir = Paths.get(dataPath, t.tableName)
+    val dir = Paths.get(dataPath, tableDirName(t))
     Files.createDirectories(dir)
     val written = Files.list(tmp).iterator().asScala
       .filter(_.getFileName.toString.startsWith("__grp=")).toSeq
@@ -1780,14 +1811,24 @@ class DuckLakeXLSpark(
   /** write df to a tmp dir, move each part file to a stable name under
     * dataPath/<table>/; returns the final paths (empty for 0-row df)
     */
-  private def writeParquetFiles(df: DataFrame, tableName: String): Seq[Path] = {
-    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".write_$tableName")
+  /** on-disk directory for a table's data files. Schema-qualified for
+    * non-main schemas (r5 advice): `main.sx` and `staging.sx` must NOT
+    * share `dataPath/sx/` — tableStream reads the whole directory and
+    * would silently ingest the sibling schema's files.
+    */
+  private def tableDirName(t: TableRow): String = {
+    val s = schemaNameOf(t)
+    if (s.equalsIgnoreCase("main")) t.tableName else s"$s/${t.tableName}"
+  }
+
+  private def writeParquetFiles(df: DataFrame, t: TableRow): Seq[Path] = {
+    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".write_${t.tableName}")
     df.write.mode("overwrite").parquet(tmp.toString)
     val parts = Files.list(tmp).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-") &&
                    p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
-    val dir = Paths.get(dataPath, tableName)
+    val dir = Paths.get(dataPath, tableDirName(t))
     Files.createDirectories(dir)
     val moved = parts.zipWithIndex.map { case (p, i) =>
       val dest = dir.resolve(s"data_${UUID.randomUUID().toString.take(8)}_$i.parquet")
@@ -1807,13 +1848,13 @@ class DuckLakeXLSpark(
     * Returns each final path with its partition values by key index.
     * Distributed: every writer task lands its own file per value it holds.
     */
-  private def writeParquetFilesPartitioned(df: DataFrame, tableName: String,
+  private def writeParquetFilesPartitioned(df: DataFrame, t: TableRow,
       partCols: Seq[String]): Seq[(Path, Seq[Option[String]])] = {
     val shadow = partCols.indices.map(i => s"__p$i")
     val w = partCols.zip(shadow).foldLeft(df) { case (d, (c, s)) =>
       d.withColumn(s, colq(d, c).cast(StringType))
     }
-    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".write_$tableName")
+    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".write_${t.tableName}")
     w.write.mode("overwrite").partitionBy(shadow: _*).parquet(tmp.toString)
     def valueOf(dirName: String): Option[String] = {
       val v = dirName.substring(dirName.indexOf('=') + 1)
@@ -1831,7 +1872,7 @@ class DuckLakeXLSpark(
             d.getFileName.toString.startsWith(s"__p$depth=")).toSeq
           .sortBy(_.getFileName.toString)
           .flatMap(d => walk(d, vals :+ valueOf(d.getFileName.toString), depth + 1))
-    val dir = Paths.get(dataPath, tableName)
+    val dir = Paths.get(dataPath, tableDirName(t))
     Files.createDirectories(dir)
     val moved = walk(tmp, Seq.empty, 0).zipWithIndex.map { case ((p, vals), i) =>
       val dest = dir.resolve(s"data_${UUID.randomUUID().toString.take(8)}_$i.parquet")

@@ -77,15 +77,17 @@ object CatalogSchema {
   }
 
   /** lossless type promotions `ALTER COLUMN TYPE` accepts (DuckLake type
-    * widening): numeric ladder, int-family -> float/double, float ->
-    * double, decimal growth that keeps every old value representable
+    * widening): numeric ladder, small-int-family -> float/double, float ->
+    * double, decimal growth that keeps every old value representable.
+    * NOT accepted (r5 advice): INTEGER->FLOAT (24-bit mantissa loses
+    * 16777217) and BIGINT->DOUBLE (53-bit mantissa loses values > 2^53) —
+    * DuckLake promotion is lossless-only, so those stay rejected.
     */
   def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b => true
     case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
     case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
-    case (IntegerType, LongType | FloatType | DoubleType) => true
-    case (LongType, DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
     case (FloatType, DoubleType) => true
     case (a: DecimalType, b: DecimalType) =>
       b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale)

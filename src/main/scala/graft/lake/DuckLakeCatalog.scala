@@ -181,8 +181,16 @@ class DuckLakeCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) false
     else { lake.sql(s"DROP TABLE ${qualified(ident)}"); true }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    // a cross-namespace rename is a MOVE, which ALTER ... RENAME TO does
+    // not perform — refuse rather than silently rename within the source
+    // schema (r5 advice)
+    if (!(from.namespace sameElements to.namespace))
+      throw new UnsupportedOperationException(
+        s"renameTable across namespaces is not supported: " +
+        s"${qualified(from)} -> ${qualified(to)}")
     lake.sql(s"ALTER TABLE ${qualified(from)} RENAME TO ${to.name}")
+  }
 
   private def qualified(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString(".")

@@ -124,10 +124,17 @@ class DuckLakeFileIndex(
     case LessThanOrEqual(Literal(v, dt), a: Attribute) => gtMay(f, a.name, v, dt, strict = false)
     case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
       list.exists { case Literal(v, dt) => eqMay(f, a.name, v, dt) }
+    // null-count questions consult ONLY the real stats rows: the fabricated
+    // partition-value interval (statsFor) claims nullCount=0, but a NULL
+    // partition value is recorded as an empty string at write time, so that
+    // claim is not evidence — `WHERE part_col IS NULL` must keep the file
+    // unless a genuine stats row proves it holds no nulls (r5 verdict #1).
     case IsNull(a: Attribute) =>
-      statsFor(f, a.name).forall(_.nullCount > 0)
+      statsByFile.get(f.dataFileId).flatMap(_.get(a.name.toLowerCase))
+        .forall(_.nullCount > 0)
     case IsNotNull(a: Attribute) =>
-      statsFor(f, a.name).forall(_.nullCount < f.recordCount)
+      statsByFile.get(f.dataFileId).flatMap(_.get(a.name.toLowerCase))
+        .forall(_.nullCount < f.recordCount)
     case _ => true // unsupported shape -> cannot skip
   }
 }

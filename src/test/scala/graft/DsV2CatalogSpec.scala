@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.DuckLakeXLSpark
@@ -98,6 +100,17 @@ class DsV2CatalogSpec extends AnyFunSuite {
     // both visible fully qualified through plain spark.sql
     assert(spark.sql("SELECT v FROM my_ducklake.staging.t WHERE id = 100")
       .collect()(0).getString(0) == "stg")
+    // r5 advice: the two tables must NOT share a data directory — a
+    // directory-granular reader (tableStream) over main.t would otherwise
+    // silently ingest staging.t's files
+    val mainDir = java.nio.file.Paths.get(lake.dataPath, "t")
+    val stgDir = java.nio.file.Paths.get(lake.dataPath, "staging", "t")
+    def parquets(p: java.nio.file.Path): Long =
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet")).toLong
+    assert(parquets(mainDir) == 1L, s"main.t files alone under $mainDir")
+    assert(parquets(stgDir) == 1L, s"staging.t files under $stgDir")
     // persists across reopen (ducklake_schema rows in the workbook)
     val reopened = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
     assert(reopened.sql("SELECT count(*) AS c FROM staging.t")
@@ -134,6 +147,13 @@ class DsV2CatalogSpec extends AnyFunSuite {
     // narrowing refuses; non-numeric refuses
     assertThrows[IllegalArgumentException](
       lake.sql("ALTER TABLE wc ALTER COLUMN qty TYPE INTEGER"))
+    // LOSSY promotions refuse too (r5 advice): BIGINT->DOUBLE drops
+    // precision above 2^53 and INTEGER->FLOAT above 2^24 — DuckLake
+    // widening is lossless-only
+    assertThrows[IllegalArgumentException](
+      lake.sql("ALTER TABLE wc ALTER COLUMN qty TYPE DOUBLE"))
+    assertThrows[IllegalArgumentException](
+      lake.sql("ALTER TABLE wc ALTER COLUMN id TYPE FLOAT"))
     // survives reopen from the workbook alone
     val reopened = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
     assert(reopened.sql("SELECT sum(qty) AS s FROM wc").collect()(0).getLong(0) ==

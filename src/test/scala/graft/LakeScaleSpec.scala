@@ -387,6 +387,24 @@ class LakeScaleSpec extends AnyFunSuite {
     val id = AttributeReference("id", IntegerType)()
     assert(listed(In(id, Seq(Literal.create(1, IntegerType),
       Literal.create(null, IntegerType)))).size == 2)
+    // r5 verdict #1: a partition VALUE is no evidence about nulls — a NULL
+    // partition value is recorded as an empty string at write time, so
+    // `WHERE part_col IS NULL` must keep every file that lacks a genuine
+    // stats row, even though the fabricated interval claims nullCount=0.
+    assert(listed(IsNull(region)).size == 2,
+      "IsNull over a partition-valued column must never prune on the " +
+        "fabricated partition-value stats row")
+    // ... while a REAL stats row proving zero nulls still prunes:
+    import graft.lake.FileColumnStatsRow
+    val withStats = new DuckLakeFileIndex(files,
+      Map(1L -> Map("region" -> FileColumnStatsRow(1, 1, 10, Some("eu"), Some("eu"), 0)),
+        2L -> Map("region" -> FileColumnStatsRow(2, 1, 10, Some("us"), Some("us"), 3))),
+      Map(1L -> Map("region" -> "eu"), 2L -> Map("region" -> "us")))
+    def listedS(e: Expression): Seq[String] =
+      withStats.listFiles(Nil, Seq(e)).head.files.map(_.getPath.toString).toSeq
+    assert(listedS(IsNull(region)) == Seq("/f2"),
+      "a genuine nullCount=0 stats row may prune IS NULL; nullCount=3 keeps")
+    assert(listedS(IsNotNull(region)).contains("/f1"))
   }
 
   test("timestamp time travel resolves latest snapshot_time <= ts") {
