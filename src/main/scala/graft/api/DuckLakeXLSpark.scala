@@ -374,7 +374,7 @@ class DuckLakeXLSpark(
       m => java.util.regex.Matcher.quoteReplacement(travelTs(m.group(1), m.group(2))))
     q = TimestampAsOfRe.replaceAllIn(q,
       m => java.util.regex.Matcher.quoteReplacement(travelTs(m.group(1), m.group(2))))
-    mapOutsideQuotes(q) { seg =>
+    q = mapOutsideQuotes(q) { seg =>
       var s = seg
       def travel(name: String, ver: String): String =
         if (name.contains('.')) s"$name VERSION AS OF $ver"
@@ -392,6 +392,9 @@ class DuckLakeXLSpark(
       s = InfoSchemaRe.replaceAllIn(s, m => "__info_" + m.group(1).toLowerCase)
       s
     }
+    // DuckDB-only spellings (ASOF JOIN, * EXCLUDE/REPLACE, DISTINCT ON,
+    // QUALIFY, list_* lambdas) — the reference's dialect contract
+    StatementRouter.rewriteDialect(q)
   }
 
   /** latest snapshot whose snapshot_time <= ts — DuckLake's

@@ -446,4 +446,249 @@ object StatementRouter {
     case DescribeRe(name) => Describe(qualName(name))
     case other => Select(other)
   }
+
+  // ----------------------------------------------------- DuckDB dialect
+  // The reference's query contract is the verbatim DuckDB dialect
+  // (ducklakexl.py:394 hands user text straight to DuckDB), so the
+  // spellings a DuckDB user would paste must run through `sql()` even
+  // where Spark SQL differs. Pure text -> text, applied to every SELECT
+  // before it reaches spark.sql:
+  //   * EXCLUDE (c, …)         -> * EXCEPT (c, …)
+  //   * REPLACE (e AS c, …)    -> * EXCEPT (c, …), e AS c, …   (the
+  //     replaced column moves to the end; engines agree on names and
+  //     values — the positional difference is documented)
+  //   SELECT DISTINCT ON (k) … ORDER BY o  -> row_number() window
+  //     subquery (top-level queries; the window ORDER BY must use source
+  //     columns, not select aliases)
+  //   l ASOF [LEFT] JOIN r ON eq… AND l.ts >= r.ts -> correlated
+  //     [LEFT] JOIN LATERAL (SELECT * FROM r WHERE … ORDER BY r.ts DESC
+  //     LIMIT 1) — Spark decorrelates the LIMIT 1 subquery into a
+  //     windowed join, the same plan the native as-of rewrite builds
+  //   list_transform/list_filter/list_value/… -> Spark array functions
+
+  /** apply `f` to the segments of `s` outside single/double-quoted
+    * literals (the rename regexes must never touch string contents)
+    */
+  private def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val cur = new StringBuilder
+    var inS = false
+    var inD = false
+    s.foreach { c =>
+      if (inS) { out.append(c); if (c == '\'') inS = false }
+      else if (inD) { out.append(c); if (c == '"') inD = false }
+      else if (c == '\'' || c == '"') {
+        out.append(f(cur.toString)); cur.clear()
+        out.append(c); if (c == '\'') inS = true else inD = true
+      } else cur.append(c)
+    }
+    out.append(f(cur.toString))
+    out.toString
+  }
+
+  /** DuckDB list functions with drop-in Spark twins (same args, same
+    * semantics); list_sum/list_unique/len have no 1:1 twin and stay out
+    */
+  private val FnRenames: Seq[(String, String)] = Seq(
+    "list_transform" -> "transform",
+    "list_filter"    -> "filter",
+    "list_value"     -> "array",
+    "list_pack"      -> "array",
+    "list_contains"  -> "array_contains",
+    "list_has_any"   -> "arrays_overlap",
+    "list_distinct"  -> "array_distinct",
+    "list_sort"      -> "sort_array",
+    "list_concat"    -> "concat")
+
+  private def renameFns(seg: String): String =
+    FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
+      acc.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+    }
+
+  private val StarExcludeParenRe = """(?i)(\*\s+)EXCLUDE(\s*\()""".r
+  private val StarExcludeBareRe = """(?i)(\*\s+)EXCLUDE\s+("?\w+"?)""".r
+  private val StarReplaceRe = """(?i)\*\s+REPLACE\s*\(""".r
+
+  private def rewriteStarReplace(s: String): String =
+    StarReplaceRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = s.indexOf('(', m.start)
+        val close = matchingParen(s, open)
+        val entries = splitTopCommas(s.substring(open + 1, close)).map { e =>
+          // `expr AS name`: a CAST(x AS T) inside expr sits at paren
+          // depth > 0, so the top-level AS split is unambiguous
+          val (ex, alias) = splitTopLevelKeyword(e, "AS")
+          require(alias.isDefined, s"cannot parse REPLACE entry: '$e'")
+          (ex, alias.get.stripPrefix("\"").stripSuffix("\""))
+        }
+        val names = entries.map(_._2).mkString(", ")
+        val adds = entries.map { case (ex, n) => s"$ex AS $n" }.mkString(", ")
+        rewriteStarReplace(
+          s.substring(0, m.start) + s"* EXCEPT ($names), $adds" + s.substring(close + 1))
+    }
+
+  private val DistinctOnRe = """(?is)^(\s*SELECT\s+)DISTINCT\s+ON\s*\(""".r
+
+  private def rewriteDistinctOn(s: String): String =
+    DistinctOnRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = m.end - 1 // the regex ends on the key list's '('
+        val close = matchingParen(s, open)
+        val keys = s.substring(open + 1, close).trim
+        val rest = s.substring(close + 1)
+        val (selectList, fromTail0) = splitTopLevelKeyword(rest, "FROM")
+        val fromTail = fromTail0.getOrElse(
+          throw new IllegalArgumentException("DISTINCT ON needs a FROM clause"))
+        val (fromBody, obTail) = splitTopLevelKeyword(fromTail, "ORDER BY")
+        // the ORDER BY tail may carry LIMIT/OFFSET — those stay outer-only
+        val winOrder = obTail
+          .map(t => splitTopLevelKeyword(t, "LIMIT")._1)
+          .filter(_.nonEmpty).getOrElse(keys)
+        val sel =
+          if (selectList.trim == "*") "* EXCEPT (__ddb_rn)" else selectList
+        s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
+          s"ORDER BY $winOrder) AS __ddb_rn FROM $fromBody) WHERE __ddb_rn = 1" +
+          obTail.map(t => s" ORDER BY $t").getOrElse("")
+    }
+
+  private val AsofRe = """(?i)\bASOF\s+(LEFT\s+)?(?:INNER\s+)?JOIN\b""".r
+  /** keywords that terminate an ON condition at paren depth 0 */
+  private val OnTerminators = Set("WHERE", "GROUP", "ORDER", "HAVING",
+    "LIMIT", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "ASOF", "SEMI", "ANTI", "WINDOW", "QUALIFY")
+
+  /** end index (exclusive) of an ON condition starting at `from` */
+  private def onConditionEnd(s: String, from: Int): Int = {
+    var i = from
+    var depth = 0
+    var inS = false
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) return i else depth -= 1
+        case ',' if depth == 0 => return i
+        case _ if depth == 0 && (i == 0 || !isWordChar(s.charAt(i - 1))) =>
+          val kwEnd = { var j = i; while (j < s.length && isWordChar(s.charAt(j))) j += 1; j }
+          if (kwEnd > i && OnTerminators.contains(s.substring(i, kwEnd).toUpperCase))
+            return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** split a condition at its top-level ANDs */
+  private def splitTopAnds(cond: String): Seq[String] = {
+    val (head, tail) = splitTopLevelKeyword(cond, "AND")
+    tail match {
+      case Some(t) => head +: splitTopAnds(t)
+      case None => Seq(head)
+    }
+  }
+
+  private def rewriteAsof(s: String): String =
+    AsofRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val isLeft = m.group(1) != null
+        var i = m.end
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        // right side: `(subquery)` or a (possibly qualified) name
+        val (rtable, afterTable) =
+          if (i < s.length && s.charAt(i) == '(') {
+            val close = matchingParen(s, i)
+            (s.substring(i, close + 1), close + 1)
+          } else {
+            var j = i
+            while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+              "._\"".contains(s.charAt(j)))) j += 1
+            (s.substring(i, j), j)
+          }
+        // optional [AS] alias, then ON
+        val tailRe = """(?is)^\s*(?:AS\s+)?(?:(\w+)\s+)?ON\s""".r
+        val tm = tailRe.findFirstMatchIn(s.substring(afterTable)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ASOF JOIN needs an ON condition: ${s.substring(m.start).take(80)}"))
+        val alias = Option(tm.group(1)).getOrElse(bareName(rtable))
+        val condStart = afterTable + tm.end
+        val condEnd = onConditionEnd(s, condStart)
+        val cond = s.substring(condStart, condEnd).trim
+        // the single inequality conjunct referencing the right alias
+        // orders the LATERAL pick; DuckDB requires exactly one
+        val CmpRe = """(?s)^(.*?)(>=|<=|>|<)(.*)$""".r
+        def refsAlias(e: String) =
+          e.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(alias)}\\s*\\..*")
+        val ineqs = splitTopAnds(cond).flatMap {
+          case c @ CmpRe(l, op, r) if !c.contains("<>") && (refsAlias(l) || refsAlias(r)) =>
+            Some((l.trim, op, r.trim))
+          case _ => None
+        }
+        require(ineqs.size == 1,
+          s"ASOF JOIN needs exactly one inequality on the right table, got ${ineqs.size}: $cond")
+        val (lhs, op, rhs) = ineqs.head
+        // pick the LATEST right row at-or-before (r <= l forms) or the
+        // EARLIEST at-or-after (r >= l forms)
+        val (rExpr, dir) = (refsAlias(lhs), op) match {
+          case (true, "<=") | (true, "<")  => (lhs, "DESC") // r <= l
+          case (true, ">=") | (true, ">")  => (lhs, "ASC")  // r >= l
+          case (false, ">=") | (false, ">") => (rhs, "DESC") // l >= r
+          case _                            => (rhs, "ASC")  // l <= r
+        }
+        val lat = (if (isLeft) "LEFT " else "") +
+          s"JOIN LATERAL (SELECT * FROM $rtable AS $alias WHERE $cond " +
+          s"ORDER BY $rExpr $dir LIMIT 1) AS $alias"
+        // re-insert a separator: condEnd sits ON the terminator keyword,
+        // whose preceding whitespace was folded into the trimmed cond
+        val tail = s.substring(condEnd)
+        val sep = if (tail.nonEmpty && !tail.head.isWhitespace && tail.head != ')' && tail.head != ',') " " else ""
+        rewriteAsof(s.substring(0, m.start) + lat + sep + tail)
+    }
+
+  private val SelectHeadRe = """(?is)^\s*SELECT\s+""".r
+
+  /** `SELECT s FROM f QUALIFY p [ORDER BY o]` → window-in-subquery: the
+    * predicate (a boolean over window functions, per DuckDB) moves into
+    * the inner select list, the filter becomes a plain WHERE. Top-level
+    * queries without GROUP BY (QUALIFY's common shape).
+    */
+  private def rewriteQualify(s: String): String = {
+    val head = SelectHeadRe.findFirstMatchIn(s)
+    if (head.isEmpty) return s
+    val (pre, qualTail) = splitTopLevelKeyword(s, "QUALIFY")
+    qualTail match {
+      case None => s
+      case Some(tail) =>
+        val (pred0, obTail) = splitTopLevelKeyword(tail, "ORDER BY")
+        val (pred, limTail) = splitTopLevelKeyword(pred0, "LIMIT")
+        val body = pre.substring(head.get.end)
+        val (selectList, fromTail0) = splitTopLevelKeyword(body, "FROM")
+        val fromBody = fromTail0.getOrElse(
+          throw new IllegalArgumentException("QUALIFY needs a FROM clause"))
+        val sel =
+          if (selectList.trim == "*") "* EXCEPT (__ddb_q)" else selectList
+        s"SELECT $sel FROM (SELECT *, ($pred) AS __ddb_q FROM $fromBody) WHERE __ddb_q" +
+          obTail.map(t => s" ORDER BY $t").getOrElse("") +
+          limTail.map(t => s" LIMIT $t").getOrElse("")
+    }
+  }
+
+  /** the full DuckDB-dialect pass (see the block comment above) */
+  def rewriteDialect(sql: String): String = {
+    var q = mapOutsideLiterals(sql)(renameFns)
+    q = mapOutsideLiterals(q) { seg =>
+      StarExcludeBareRe.replaceAllIn(
+        StarExcludeParenRe.replaceAllIn(seg, "$1EXCEPT$2"), "$1EXCEPT ($2)")
+    }
+    q = rewriteStarReplace(q)
+    q = rewriteDistinctOn(q)
+    q = rewriteQualify(q)
+    rewriteAsof(q)
+  }
 }

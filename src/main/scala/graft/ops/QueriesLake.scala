@@ -320,6 +320,25 @@ object QueriesLake {
           |INSERT INTO ci(id, qty) VALUES (3, 30);
           |COMMIT;
           |SELECT * FROM ci ORDER BY id""".stripMargin)
+    },
+    // r7: DuckDB-only spellings through the dialect rewrite layer —
+    // DISTINCT ON (in a CTAS), * REPLACE, ASOF JOIN, list_* lambdas.
+    // The reference's contract is the verbatim DuckDB dialect
+    // (ducklakexl.py:394), so these must run as pasted.
+    "q_lake_dialect" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE px(id INTEGER, name VARCHAR, price DOUBLE, ts INTEGER);
+          |INSERT INTO px VALUES (1,'a',10.0,5),(1,'b',12.0,8),(2,'c',7.0,3),(2,'d',9.0,9);
+          |CREATE TABLE quotes(k INTEGER, qts INTEGER, quote DOUBLE);
+          |INSERT INTO quotes VALUES (1,4,100.0),(1,7,110.0),(2,1,50.0),(2,8,60.0);
+          |CREATE TABLE latest AS SELECT DISTINCT ON (id) * FROM px ORDER BY id, ts DESC""".stripMargin)
+      lake.sql(
+        """SELECT l.id, l.name, l.price, q.qts, q.quote,
+          |       list_contains(list_value(1, 7, 8), l.ts) AS ts_listed
+          |FROM (SELECT * REPLACE (round(price * 2, 1) AS price) FROM latest) l
+          |ASOF JOIN quotes q ON l.id = q.k AND l.ts >= q.qts
+          |ORDER BY l.id""".stripMargin)
     }
   )
 
@@ -388,6 +407,10 @@ object QueriesLake {
        "('val','VARCHAR','YES')) t(column_name, column_type, \"null\")"),
     "q_lake_alter" ->
       ("SELECT id, CAST(val AS VARCHAR) AS val, CAST(qty AS INTEGER) AS qty FROM (VALUES " +
-       "(1, 'alpha', NULL), (2, 'beta', NULL), (3, 'gamma', 30)) t(id, val, qty) ORDER BY id")
+       "(1, 'alpha', NULL), (2, 'beta', NULL), (3, 'gamma', 30)) t(id, val, qty) ORDER BY id"),
+    "q_lake_dialect" ->
+      ("SELECT id, name, CAST(price AS DOUBLE) AS price, qts, CAST(quote AS DOUBLE) AS quote, " +
+       "ts_listed FROM (VALUES (1,'b',24.0,7,110.0,true),(2,'d',18.0,8,60.0,false)) " +
+       "t(id, name, price, qts, quote, ts_listed) ORDER BY id")
   )
 }

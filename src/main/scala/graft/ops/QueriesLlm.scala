@@ -284,13 +284,16 @@ object QueriesLlm {
     *    sketching, the standard bottom-sketch family) — the retained set
     *    is a uniform, deterministic ¼ sample, so downstream signatures and
     *    the exact-Jaccard verify run on ¼ the elements. Jaccard over a
-    *    mod-p sample concentrates to the full-set Jaccard for gram sets
-    *    this size (~1.5k grams/doc), and the oracle applies the IDENTICAL
-    *    stride + hash-mod, so parity is exact. At 100 TB these knobs are
-    *    precisely the ones you'd turn: both scale per-doc cost, not
-    *    corpus-shuffle cost.
+    *    mod-p sample concentrates to the full-set Jaccard, and the oracle
+    *    applies the IDENTICAL stride + hash-mod, so parity is exact. The
+    *    oracle parity cannot see quality loss (both sides are sampled) —
+    *    NgramRecallSpec measures it against the unsampled pipeline:
+    *    recall 1.000, precision 1.000 at sf0.1 (256/256 pairs identical).
+    *    At 100 TB these knobs are precisely the ones you'd turn: both
+    *    scale per-doc cost, not corpus-shuffle cost.
     */
-  private def ngramsDF(s: SparkSession, d: String): DataFrame = {
+  private[ops] def ngramsDF(s: SparkSession, d: String,
+      stride: Int = NgramStride, sampleMod: Int = NgramSampleMod): DataFrame = {
     val docs = Tables.t(s, d, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= NgramLen)
@@ -301,9 +304,9 @@ object QueriesLlm {
     // so every est-filter agreement is 0 < estMin and it can never reach
     // the verify — the same absence the oracle's per-gram rows produce.
     docs.select(col("doc_id"), filter(hashGrams(transform(
-        sequence(lit(1), length(col("norm")) - (NgramLen - 1), lit(NgramStride)),
+        sequence(lit(1), length(col("norm")) - (NgramLen - 1), lit(stride)),
         i => col("norm").substr(i, lit(NgramLen)))),
-        h => h % NgramSampleMod === 0).as("hs"))
+        h => h % sampleMod === 0).as("hs"))
   }
 
   private val sqlNgrams =
@@ -324,7 +327,7 @@ object QueriesLlm {
     * consumers (bands, both est-filter sides, both verify sides); one
     * spill-safe materialization is the 100 TB shape.
     */
-  private def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
+  private[ops] def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
       thr: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val rows = numHashes / bands
     // minhashes from the universal-hash family (a_i * x + b_i) mod P over

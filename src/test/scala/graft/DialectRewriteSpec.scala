@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.StatementRouter.rewriteDialect
+
+/** the DuckDB-dialect → Spark SQL text rewrites (SURVEY.md: the
+  * reference's contract is the verbatim DuckDB dialect, ducklakexl.py:394)
+  */
+class DialectRewriteSpec extends AnyFunSuite {
+
+  test("* EXCLUDE maps to * EXCEPT, paren and bare forms") {
+    assert(rewriteDialect("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(rewriteDialect("SELECT t.* EXCLUDE (a) FROM t") ==
+      "SELECT t.* EXCEPT (a) FROM t")
+    assert(rewriteDialect("SELECT * EXCLUDE a FROM t") ==
+      "SELECT * EXCEPT (a) FROM t")
+  }
+
+  test("EXCLUDE inside a string literal is untouched") {
+    val q = "SELECT '* EXCLUDE (a)' AS s FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
+  test("* REPLACE becomes EXCEPT + recomputed columns") {
+    assert(rewriteDialect("SELECT * REPLACE (price * 2 AS price) FROM t") ==
+      "SELECT * EXCEPT (price), price * 2 AS price FROM t")
+    // CAST's AS sits inside parens and must not split the entry
+    assert(rewriteDialect("SELECT * REPLACE (CAST(x AS INT) AS x, y + 1 AS y) FROM t") ==
+      "SELECT * EXCEPT (x, y), CAST(x AS INT) AS x, y + 1 AS y FROM t")
+  }
+
+  test("plain replace() function calls are untouched") {
+    val q = "SELECT replace(name, 'a', 'b') FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
+  test("DISTINCT ON becomes a row_number subquery") {
+    val out = rewriteDialect(
+      "SELECT DISTINCT ON (k) k, v FROM t WHERE v > 0 ORDER BY k, ts DESC")
+    assert(out.contains("row_number() OVER (PARTITION BY k ORDER BY k, ts DESC)"))
+    assert(out.contains("WHERE __ddb_rn = 1"))
+    assert(out.endsWith("ORDER BY k, ts DESC"))
+    // star select must not leak the helper column
+    assert(rewriteDialect("SELECT DISTINCT ON (k) * FROM t ORDER BY k, ts")
+      .startsWith("SELECT * EXCEPT (__ddb_rn)"))
+  }
+
+  test("QUALIFY becomes a filtered window subquery") {
+    val out = rewriteDialect(
+      "SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1 ORDER BY k")
+    assert(out.contains("(row_number() OVER (PARTITION BY k ORDER BY v) = 1) AS __ddb_q"))
+    assert(out.contains("WHERE __ddb_q"))
+    assert(out.endsWith("ORDER BY k"))
+  }
+
+  test("ASOF JOIN becomes a correlated LATERAL pick") {
+    val out = rewriteDialect(
+      "SELECT e.id, o.v FROM e ASOF JOIN o ON e.k = o.k AND e.ts >= o.ts ORDER BY e.id")
+    // exact equality — a lost separator before the trailing ORDER BY
+    // produced unparseable SQL once (r7)
+    assert(out == "SELECT e.id, o.v FROM e JOIN LATERAL (SELECT * FROM o AS o " +
+      "WHERE e.k = o.k AND e.ts >= o.ts ORDER BY o.ts DESC LIMIT 1) AS o ORDER BY e.id")
+  }
+
+  test("ASOF LEFT JOIN keeps left rows; alias and direction respected") {
+    val out = rewriteDialect(
+      "SELECT * FROM e ASOF LEFT JOIN quotes q ON e.k = q.k AND q.qts <= e.ts")
+    assert(out.contains("LEFT JOIN LATERAL (SELECT * FROM quotes AS q"))
+    assert(out.contains("ORDER BY q.qts DESC LIMIT 1) AS q"))
+    // opposite direction: earliest at-or-after
+    val fwd = rewriteDialect(
+      "SELECT * FROM e ASOF JOIN quotes q ON e.k = q.k AND e.ts <= q.qts")
+    assert(fwd.contains("ORDER BY q.qts ASC LIMIT 1"))
+  }
+
+  test("list_* functions map to Spark array twins") {
+    assert(rewriteDialect("SELECT list_transform(xs, x -> x + 1) FROM t") ==
+      "SELECT transform(xs, x -> x + 1) FROM t")
+    assert(rewriteDialect("SELECT list_contains(list_value(1, 2), k) FROM t") ==
+      "SELECT array_contains(array(1, 2), k) FROM t")
+  }
+
+  test("ordinary Spark SQL passes through unchanged") {
+    for (q <- Seq(
+      "SELECT a, sum(b) FROM t GROUP BY a ORDER BY a",
+      "SELECT * FROM t JOIN u ON t.k = u.k WHERE t.v < 3",
+      "WITH c AS (SELECT 1 AS x) SELECT * FROM c"))
+      assert(rewriteDialect(q) == q)
+  }
+}
