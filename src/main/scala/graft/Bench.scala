@@ -109,10 +109,17 @@ object Bench {
 
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val headlineTotal = timed.filter(t => Headline.contains(t._1) && t._2 >= 0)
-      .map(_._2).sum
+    val headlineTimed = timed.filter(t => Headline.contains(t._1) && t._2 >= 0)
+    val headlineTotal = headlineTimed.map(_._2).sum
+    // a BENCH_ONLY subset covers only part of the headline set — name the
+    // metric differently so a partial sum can never be read as the full
+    // headline number (and tag the warmup protocol so cross-round deltas
+    // are only compared like-for-like: v2 = per-query-adjacent warmup,
+    // headline-first; v1 = the pre-r6 global-warmup protocol)
+    val partial = headlineTimed.size < Headline.size
+    val metric = if (partial) "headline_partial_total" else "headline_6q_total"
     val hl = Headline.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"headline_6q_total","value":$headlineTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"per-query adjacent warmup + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes, headline set first in freshest JVM state; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
+    val json = s"""{"metric":"$metric","value":$headlineTotal,"unit":"sec","methodology":"warmup_v2_per_query_adjacent","partial":$partial,"queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"per-query adjacent warmup + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes, headline set first in freshest JVM state; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
     println(json)
     // r3 verdict #10: the driver's stdout tail cap truncated the JSON once;
     // always leave a complete copy on disk too

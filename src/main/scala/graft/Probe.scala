@@ -27,21 +27,25 @@ object Probe {
     val ev = graft.ops.Tables.t(spark, d, "events")
     val li = graft.ops.Tables.t(spark, d, "lineitem")
 
-    time("ev_scan_only")(ev.select("event_id", "props"))
-    time("ev_json_noorder")(ev.select(col("event_id"),
-      from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k").as("k")))
-    time("ev_order_only")(ev.select("event_id", "props").orderBy("event_id"))
-    time("q_fn_json_full")(graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d))
-    // r5: the scan is single-task (one row group), but the Jackson parse
-    // need not be — shuffle the raw (id, props) pairs across cores FIRST,
-    // then parse 32-way. Worth it iff parse >> shuffle of the raw bytes.
-    time("ev_json_repart32") {
-      val j = from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k")
-      ev.select("event_id", "props").repartition(32)
-        .select(col("event_id"), j.cast(LongType).as("k_num"), j.as("k_str"),
-          j.cast(LongType).as("k2"))
-        .orderBy("event_id")
+    // r7: q_fn_json decomposition (the one headline regression). Which of
+    // scan / parse / repartition / total ORDER BY owns the residual?
+    val jFrom = from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k")
+    val jGet = get_json_object(col("props"), "$.k")
+    def fullWith(j: org.apache.spark.sql.Column, repart: Boolean) = {
+      val raw = ev.select("event_id", "props")
+      val src = if (repart) raw.repartition(32) else raw
+      src.select(col("event_id"), j.cast(LongType).as("k_num"), j.as("k_str"),
+        j.cast(LongType).as("k2")).orderBy("event_id")
     }
+    time("ev_scan_only")(ev.select("event_id", "props"))
+    time("ev_order_only")(ev.select("event_id", "props").orderBy("event_id"))
+    time("ev_fromjson_noorder")(ev.select(col("event_id"), jFrom.as("k")))
+    time("ev_getjson_noorder")(ev.select(col("event_id"), jGet.as("k")))
+    time("json_full_from_repart")(fullWith(jFrom, repart = true))
+    time("json_full_from_norepart")(fullWith(jFrom, repart = false))
+    time("json_full_get_repart")(fullWith(jGet, repart = true))
+    time("json_full_get_norepart")(fullWith(jGet, repart = false))
+    time("q_fn_json_full")(graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d))
 
     // r6: where does q_llm_dedup_ngram's time go? Stage-by-stage over the
     // documents table (char-5-grams), mirroring QueriesLlm's shapes.

@@ -602,18 +602,33 @@ class DuckLakeXLSpark(
         val seen = raw.select(DuckLakeXLSpark.DecodeUri(colq(raw, fp)
             .cast(StringType)).as("p")).distinct()
           .collect().map(_.getString(0)).toSeq
-        val resolved: Map[String, String] = seen.map { p =>
+        // r6 advice: a multi-target delete parquet can legitimately carry
+        // rows for files since compacted/rewritten (their catalog link
+        // ended while the parquet stays live for its other targets) — a
+        // path with NO live candidate is therefore dropped with a
+        // warning, not an error; rows referencing it cannot affect this
+        // table. Only an AMBIGUOUS relative spelling (several live files
+        // share the tail) still fails loudly: it may name a live target
+        // we cannot disambiguate, and guessing would mis-delete.
+        val resolved: Map[String, String] = seen.flatMap { p =>
           val n = normUri(p)
-          val hit = byNorm.get(n).orElse {
-            // relative spelling: unique catalog path with this tail
-            val rel = n.stripPrefix("/")
-            val cands = targets.filter(t => t.endsWith("/" + rel) || t == rel)
-            if (cands.size == 1) Some(cands.head) else None
+          byNorm.get(n) match {
+            case Some(hit) => Some(p -> hit)
+            case None =>
+              val rel = n.stripPrefix("/")
+              targets.filter(t => t.endsWith("/" + rel) || t == rel) match {
+                case Seq(one) => Some(p -> one)
+                case Seq() =>
+                  System.err.println(s"[ducklakexl] positional delete row target " +
+                    s"'$p' matches no live data file of this table " +
+                    s"(stale/out-of-scope target) — rows for it are ignored")
+                  None
+                case many => throw new IllegalArgumentException(
+                  s"positional delete file references '$p', which is AMBIGUOUS: " +
+                  s"${many.size} live data files share that relative path " +
+                  s"(${many.take(3).mkString(", ")}${if (many.size > 3) ", …" else ""})")
+              }
           }
-          p -> hit.getOrElse(throw new IllegalArgumentException(
-            s"positional delete file references '$p', which resolves to no " +
-            s"known data file of this table (catalog paths: " +
-            s"${targets.take(3).mkString(", ")}${if (targets.size > 3) ", …" else ""})"))
         }.toMap
         val mapDF = spark.createDataFrame(
           resolved.toSeq.map { case (s, c) => Row(s, c) }.asJava,
@@ -735,9 +750,24 @@ class DuckLakeXLSpark(
     require(state.positionalDeletes(t.tableId).isEmpty,
       s"tableStream($name): table carries foreign positional delete files; " +
       "run any DML or compact() to materialize them first")
+    // the stream directory comes from the catalog-recorded file paths
+    // (r6 advice), not from reconstructing dataPath/<schema>/<table>:
+    // reconstruction reads empty for tables written under an older
+    // directory layout and can collide when a main-schema table shares
+    // its name with a schema directory. The files' common parent IS the
+    // authoritative location; an empty table streams the directory its
+    // future inserts will land in.
+    val dirs = state.filesOf(t.tableId).map { f =>
+      val p = Paths.get(f.path)
+      (if (p.isAbsolute) p else Paths.get(dataPath).resolve(p)).getParent
+    }.distinct
+    require(dirs.size <= 1,
+      s"tableStream($name): data files span ${dirs.size} directories " +
+      s"(${dirs.take(3).mkString(", ")}); compact() into one first")
+    val streamDir = dirs.headOption.getOrElse(Paths.get(dataPath, tableDirName(t)))
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000)
-      .parquet(Paths.get(dataPath, tableDirName(t)).toString)
+      .parquet(streamDir.toString)
   }
 
   /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */

@@ -158,12 +158,15 @@ object QueriesFunctions {
     },
 
     "q_fn_json" -> { (s, d) =>
-      // ONE Jackson parse per row: from_json extracts k as STRING (for a
-      // scalar field this equals get_json_object(props,'$.k') — the r3
-      // shape ran that as a SECOND full parse, 80× the baseline and the
-      // worst headline ratio), and both typed outputs are casts of the
-      // single parsed string. At 100 TB the per-row parser call is the
-      // whole cost of a JSON query — parse once, cast many.
+      // ONE streaming parse per row: for a single scalar field,
+      // get_json_object's streaming parser early-exits at the key and
+      // beats from_json's whole-object struct materialization (r7 probe:
+      // 0.48 vs 0.57 s end-to-end at sf0.1); the three outputs are casts
+      // of the one extraction, deduped by codegen subexpression
+      // elimination. The r3 anti-pattern was MIXING the two parsers —
+      // from_json for one column plus get_json_object for another ran
+      // two full parses per row. At 100 TB the per-row parser call is
+      // the whole cost of a JSON query — parse once, cast many.
       //
       // Parse parallelism (r5, probe-measured 0.97 s -> 0.57 s): a source
       // whose files expose FEWER partitions than the cluster has cores
@@ -172,11 +175,12 @@ object QueriesFunctions {
       // (id, props) pairs first is cheap relative to the parse and
       // unlocks every core — and the guard makes it a NO-OP at scale,
       // where a multi-row-group scan already fans out wider than cores.
+      // Residual floor (r7 probe): the mandated total ORDER BY is ~0.25 s
+      // of the ~0.48 s; scan floor 0.06 s; the parse owns the rest.
       val raw = Tables.t(s, d, "events").select(col("event_id"), col("props"))
       val cores = s.sparkContext.defaultParallelism
       val src = if (raw.rdd.getNumPartitions < cores / 2) raw.repartition(cores) else raw
-      val j = from_json(col("props"), StructType(Seq(StructField("k", StringType))))
-        .getField("k")
+      val j = get_json_object(col("props"), "$.k")
       src.select(
         col("event_id"),
         j.cast(LongType).as("k_num"),

@@ -188,9 +188,21 @@ final class GraphRemote(
           }
         } finally {
           // cancel outstanding reads and WAIT for them: shutdown() alone
-          // would race live requests against the closed session
+          // would race live requests against the closed session. If the
+          // wait times out, a request may still be in flight — say so
+          // (r6 advice: the ignored return value silently re-created
+          // exactly the race this block claims to prevent) and give it
+          // one more grace period before closeSession runs regardless.
           pool.shutdownNow()
-          pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+          if (!pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)) {
+            System.err.println("[ducklakexl] readAll: cancelled sheet reads " +
+              "did not terminate within 30s; extending wait before closing " +
+              "the workbook session")
+            if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+              System.err.println("[ducklakexl] readAll: sheet reads STILL " +
+                "running after 90s; closing the session anyway — a late " +
+                "response may hit a closed session (harmless 404)")
+          }
         }
       }
     } finally closeSession(sid)

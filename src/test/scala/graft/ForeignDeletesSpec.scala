@@ -78,6 +78,39 @@ class ForeignDeletesSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("delete rows for stale (no-longer-linked) targets are ignored, not fatal") {
+    // a multi-target delete parquet can carry rows whose target file was
+    // since compacted away — those rows must not fail every table read
+    // (r6 advice); only the live-file rows apply
+    val dir = Files.createTempDirectory("foreign_del_stale").toString
+    val lake0 = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    lake0.sql(
+      """CREATE TABLE fd(id INTEGER, val VARCHAR);
+        |INSERT INTO fd VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')""".stripMargin)
+    val t = lake0.currentState.tableByName("fd").get
+    val df = lake0.currentState.filesOf(t.tableId).head
+    import spark.implicits._
+    val delDir = Files.createTempDirectory(Paths.get(dir), "delw")
+    Seq((df.path, 1L), (s"$dir/data/compacted_away_00.parquet", 0L))
+      .toDF("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val part = Files.list(delDir).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+                 p.getFileName.toString.endsWith(".parquet")).get
+    val delPath = Paths.get(dir, "delete_0.parquet")
+    Files.move(part, delPath, StandardCopyOption.REPLACE_EXISTING)
+    val remote = ExcelRemote.pick(s"$dir/lake.xlsx")
+    remote.writeAll(remote.readAll().map {
+      case ("delete_file", rws) =>
+        ("delete_file", rws :+ Seq("9001", t.tableId.toString,
+          lake0.currentState.currentSnapshot.toString, "",
+          df.dataFileId.toString, delPath.toString, "2"))
+      case other => other
+    })
+    val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    assert(lake.sql("SELECT id FROM fd ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3, 4)) // only pos 1 dropped
+  }
+
   test("DML materializes foreign deletes, then applies native CoW") {
     val (xlsx, data) = foreignLake(Seq("file_path", "pos"))
     val lake = new DuckLakeXLSpark(spark, xlsx, data)
