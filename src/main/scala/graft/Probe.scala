@@ -24,11 +24,17 @@ object Probe {
       spark.catalog.clearCache()
     }
 
+    // SPARK_GRAFT_PROBE=cc|json|ngram|agg limits the run to one section
+    val only = sys.env.get("SPARK_GRAFT_PROBE")
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_ == name)) body
+
     val ev = graft.ops.Tables.t(spark, d, "events")
     val li = graft.ops.Tables.t(spark, d, "lineitem")
 
     // r7: q_fn_json decomposition (the one headline regression). Which of
     // scan / parse / repartition / total ORDER BY owns the residual?
+    section("json") {
     val jFrom = from_json(col("props"), StructType(Seq(StructField("k", StringType)))).getField("k")
     val jGet = get_json_object(col("props"), "$.k")
     def fullWith(j: org.apache.spark.sql.Column, repart: Boolean) = {
@@ -46,9 +52,11 @@ object Probe {
     time("json_full_get_repart")(fullWith(jGet, repart = true))
     time("json_full_get_norepart")(fullWith(jGet, repart = false))
     time("q_fn_json_full")(graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d))
+    }
 
     // r6: where does q_llm_dedup_ngram's time go? Stage-by-stage over the
     // documents table (char-5-grams), mirroring QueriesLlm's shapes.
+    section("ngram") {
     val docsRaw = graft.ops.Tables.t(spark, d, "documents")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val gramsNoHash = transform(
@@ -81,7 +89,28 @@ object Probe {
       base.select(Seq(col("doc_id")) ++ (1 to 16).map(i =>
         array_min(transform(col("hs"), x => (lit(31L + i) * (x % p) + lit(7L * i)) % p)).as(s"m$i")): _*)
     }
+    }
 
+    // r7: connected-components strategy shoot-out (judge #8). All three
+    // run on the SAME checkpointed pair set, so the LSH pipeline cost is
+    // excluded and the numbers isolate the superstep loop.
+    section("cc") {
+      val pairs = graft.ops.QueriesLlm.queries("q_llm_dedup_near")(spark, d)
+        .select("a", "b")
+      def timeCC(name: String)(body: => DataFrame): Unit = {
+        body.write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        val n = body.count()
+        println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      timeCC("cc_minlabel")(graft.ops.QueriesLlm.ccMinLabel(spark, pairs))
+      timeCC("cc_twohop")(graft.ops.QueriesLlm.ccTwoHop(spark, pairs))
+      timeCC("cc_stars")(graft.ops.QueriesLlm.ccStars(spark, pairs))
+      time("q_llm_dedup_cluster_full")(
+        graft.ops.QueriesLlm.queries("q_llm_dedup_cluster")(spark, d))
+    }
+
+    section("agg") {
     time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))
     time("li_filter_only")(li.filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampNTZType)))
@@ -91,6 +120,7 @@ object Probe {
         .filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampNTZType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum(round(col("l_quantity")).cast(LongType)).as("s"), count(lit(1)).as("c"))
+    }
     }
     spark.stop()
   }

@@ -33,7 +33,9 @@ object CatalogSchema {
     "ducklake_column" -> Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order", "column_name", "column_type", "nulls_allowed"),
     "ducklake_partition_info" -> Seq("partition_id", "table_id", "begin_snapshot", "end_snapshot"),
     "ducklake_partition_column" -> Seq("partition_id", "table_id", "partition_key_index", "column_id"),
-    "ducklake_data_file" -> Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path", "record_count", "file_size_bytes"),
+    "ducklake_data_file" -> Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path", "record_count", "file_size_bytes", "mapping_id"),
+    "ducklake_column_mapping" -> Seq("mapping_id", "table_id", "type"),
+    "ducklake_name_mapping" -> Seq("mapping_id", "column_id", "source_name", "target_name", "hive_partition"),
     "ducklake_file_partition_value" -> Seq("data_file_id", "table_id", "partition_key_index", "partition_value"),
     "ducklake_delete_file" -> Seq("delete_file_id", "table_id", "begin_snapshot", "end_snapshot", "data_file_id", "path", "delete_count"),
     "ducklake_table_stats" -> Seq("table_id", "record_count"),
@@ -127,7 +129,22 @@ final case class ColumnRow(columnId: Long, beginSnapshot: Long, endSnapshot: Opt
                            columnType: String, nullsAllowed: Boolean)
 final case class DataFileRow(dataFileId: Long, tableId: Long,
                              beginSnapshot: Long, endSnapshot: Option[Long],
-                             path: String, recordCount: Long, fileSizeBytes: Long)
+                             path: String, recordCount: Long, fileSizeBytes: Long,
+                             mappingId: Option[Long] = None)
+/** how a data file's physical columns map onto catalog columns (DuckLake
+  * spec `ducklake_column_mapping`; the one defined type is 'map_by_name')
+  * — written by foreign tools registering existing parquet whose column
+  * names don't match the catalog
+  */
+final case class ColumnMappingRow(mappingId: Long, tableId: Long, mapType: String)
+/** one entry of a mapping (`ducklake_name_mapping`): file column
+  * `sourceName` feeds catalog column `columnId`. `hivePartition` entries
+  * have no column IN the file — the value is the `sourceName=value`
+  * segment of the file's path (the hive layout foreign data arrives in)
+  */
+final case class NameMappingRow(mappingId: Long, columnId: Long,
+                                sourceName: String, targetName: String,
+                                hivePartition: Boolean)
 /** a table's partition spec (one live row per partitioned table) */
 final case class PartitionInfoRow(partitionId: Long, tableId: Long,
                                   beginSnapshot: Long, endSnapshot: Option[Long])
@@ -194,7 +211,9 @@ final case class CatalogState(
       * so an unknown sheet (partition_info, tag, …) must never be dropped
       * from the source of truth
       */
-    extraSheets: Vector[XlsxSheet]) {
+    extraSheets: Vector[XlsxSheet],
+    columnMappings: Vector[ColumnMappingRow] = Vector.empty,
+    nameMappings: Vector[NameMappingRow] = Vector.empty) {
 
   def currentSnapshot: Long =
     if (snapshots.isEmpty) 0L else snapshots.map(_.snapshotId).max
@@ -242,6 +261,12 @@ final case class CatalogState(
   def filesOf(tableId: Long, snap: Long = currentSnapshot): Vector[DataFileRow] =
     dataFiles.filter(f => f.tableId == tableId &&
       aliveAt[DataFileRow](_.beginSnapshot, _.endSnapshot, snap)(f))
+
+  /** the physical-name mapping entries of one mapping id, keyed by the
+    * catalog columnId they feed (`ducklake_name_mapping`)
+    */
+  def nameMappingOf(mappingId: Long): Map[Long, NameMappingRow] =
+    nameMappings.filter(_.mappingId == mappingId).map(m => m.columnId -> m).toMap
 
   /** FOREIGN positional delete files live at `snap`, keyed by the data
     * file they target: `ducklake_delete_file` rows with a real parquet
@@ -361,10 +386,18 @@ final case class CatalogState(
             p.partitionKeyIndex.toString, p.columnId.toString))),
       XlsxSheet(sheetName("ducklake_data_file"),
         Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path",
-          "record_count", "file_size_bytes") +:
+          "record_count", "file_size_bytes", "mapping_id") +:
           dataFiles.map(f => Seq(f.dataFileId.toString, f.tableId.toString,
             f.beginSnapshot.toString, optS(f.endSnapshot), f.path,
-            f.recordCount.toString, f.fileSizeBytes.toString))),
+            f.recordCount.toString, f.fileSizeBytes.toString, optS(f.mappingId)))),
+      XlsxSheet(sheetName("ducklake_column_mapping"),
+        Seq("mapping_id", "table_id", "type") +:
+          columnMappings.map(m => Seq(m.mappingId.toString, m.tableId.toString,
+            m.mapType))),
+      XlsxSheet(sheetName("ducklake_name_mapping"),
+        Seq("mapping_id", "column_id", "source_name", "target_name", "hive_partition") +:
+          nameMappings.map(m => Seq(m.mappingId.toString, m.columnId.toString,
+            m.sourceName, m.targetName, m.hivePartition.toString))),
       XlsxSheet(sheetName("ducklake_file_partition_value"),
         Seq("data_file_id", "table_id", "partition_key_index", "partition_value") +:
           filePartitionValues.map(p => Seq(p.dataFileId.toString, p.tableId.toString,
@@ -538,7 +571,17 @@ object CatalogState {
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("begin_snapshot")),
         ol(m.getOrElse("end_snapshot", "")), m("path"),
         ol(m.getOrElse("record_count", "")).getOrElse(0L),
-        ol(m.getOrElse("file_size_bytes", "")).getOrElse(0L))).toVector,
+        ol(m.getOrElse("file_size_bytes", "")).getOrElse(0L),
+        ol(m.getOrElse("mapping_id", "")))).toVector,
+      columnMappings = rowsOf("ducklake_column_mapping").map(m => ColumnMappingRow(
+        ol(m.getOrElse("mapping_id", "")).getOrElse(0L),
+        ol(m.getOrElse("table_id", "")).getOrElse(0L),
+        m.getOrElse("type", "map_by_name"))).toVector,
+      nameMappings = rowsOf("ducklake_name_mapping").map(m => NameMappingRow(
+        ol(m.getOrElse("mapping_id", "")).getOrElse(0L),
+        ol(m.getOrElse("column_id", "")).getOrElse(0L),
+        m.getOrElse("source_name", ""), m.getOrElse("target_name", ""),
+        asBool(m.getOrElse("hive_partition", "")).getOrElse(false))).toVector,
       deleteFiles = rowsOf("ducklake_delete_file").map(m => DeleteFileRow(
         asLong(m("delete_file_id")), asLong(m("table_id")), asLong(m("begin_snapshot")),
         ol(m.getOrElse("end_snapshot", "")),

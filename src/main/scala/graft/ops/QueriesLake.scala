@@ -379,12 +379,13 @@ object QueriesLake {
     "q_lake_partition" ->
       ("SELECT * FROM (VALUES (1,'eu'),(3,'eu'),(6,'eu')) t(id, region) ORDER BY id"),
     "q_lake_infoschema" ->
-      ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_column_tag')," +
+      ("SELECT * FROM (VALUES ('ducklake_column'),('ducklake_column_mapping')," +
+       "('ducklake_column_tag')," +
        "('ducklake_data_file')," +
        "('ducklake_delete_file'),('ducklake_file_column_statistics')," +
        "('ducklake_file_partition_value')," +
        "('ducklake_files_scheduled_for_deletion'),('ducklake_inlined_data_tables')," +
-       "('ducklake_metadata')," +
+       "('ducklake_metadata'),('ducklake_name_mapping')," +
        "('ducklake_partition_column'),('ducklake_partition_info')," +
        "('ducklake_schema'),('ducklake_snapshot'),('ducklake_snapshot_changes')," +
        "('ducklake_table'),('ducklake_tag')," +

@@ -464,6 +464,207 @@ object QueriesLlm {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------------ connected components
+  /** Loop conf for iterative-CC supersteps: AQE off (per-stage job
+    * materialization dominates output-sized supersteps — measured 40%
+    * slower with it on, r5) and shuffle partitions sized by the EDGE
+    * count, not the session default: superstep inputs are pair-set-sized,
+    * typically orders of magnitude below the corpus the session is
+    * configured for, so 32 partitions of a few-thousand-row shuffle are
+    * pure task overhead. ~500k edges/partition, floored at 8; at 100 TB
+    * edge counts this clamps back up to the session setting.
+    */
+  private def withCcLoopConf[T](s: SparkSession, edgeCount: Long)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqePrev = s.conf.get(aqeKey, "true")
+    val partPrev = s.conf.get(partKey)
+    val loopParts = math.max(8L,
+      math.min(partPrev.toLong, edgeCount / 500000L + 1L))
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partKey, loopParts.toString)
+    try body
+    finally { s.conf.set(aqeKey, aqePrev); s.conf.set(partKey, partPrev) }
+  }
+
+  /** Connected components of an undirected pair list -> (doc_id, label),
+    * label = min doc_id in the component; every doc appearing in a pair
+    * gets a row. The result is localCheckpoint'd (lineage-free,
+    * output-sized) and all superstep caches are released before return.
+    *
+    * Three strategies are kept so the choice stays measured, not asserted
+    * (graft.Probe `cc_*`; sf0.1, local[32], warm, same checkpointed pair
+    * input — so the numbers isolate the superstep loop):
+    *  - [[ccMinLabel]] — one-hop min-label propagation, the r5/r6 shape:
+    *    O(diameter) supersteps of join + min-agg. Measured 0.99 s.
+    *  - [[ccTwoHop]] — the same propagation fused two hops per Spark job.
+    *    Measured 0.96 s — the winner, and the margin is structural, not
+    *    local: it halves the driver action count (convergence probes
+    *    included), which on a real cluster is a scheduler round-trip per
+    *    superstep, the term that grows with cluster size rather than
+    *    data size.
+    *  - [[ccStars]] — alternating large-star/small-star edge contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    *    SoCC'14): O(log² n) rounds on adversarial graphs. Measured
+    *    2.15 s: near-dup components are near-cliques that min-propagation
+    *    already collapses in 2-3 hops, so the star rounds' extra shuffles
+    *    (~3 + a distinct, vs propagation's 2) buy nothing here. Kept for
+    *    the pathological-diameter regime (long chain-of-duplicates
+    *    graphs), where propagation pays O(diameter) and stars pay
+    *    O(log²); CcSpec covers both on the same inputs.
+    * All three size their loop shuffles by edge count and run AQE-off in
+    * the loop ([[withCcLoopConf]]) — that change alone took the full
+    * cluster query 3.14 s (r6 bench) -> ~2.5 s before any strategy swap.
+    */
+  private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame =
+    ccTwoHop(s, pairs)
+
+  /** one-hop min-label propagation to fixpoint (see [[ccLabels]]).
+    *
+    * Every superstep result is eagerly `localCheckpoint`ed, NOT merely
+    * persisted: the next superstep references its predecessor 2-4 times
+    * (join + union), so without lineage TRUNCATION the logical plan
+    * doubles per iteration and analysis/cache-lookup cost turns
+    * exponential in the iteration count — invisible on near-clique dedup
+    * graphs (2-3 supersteps) but a guaranteed driver melt on a
+    * diameter-k chain (CcSpec's chain case hung the r7 pre-fix build at
+    * k=9). A checkpoint per superstep keeps every plan O(1); the blocks
+    * are output-sized and the ContextCleaner reclaims each as its
+    * DataFrame goes out of scope.
+    */
+  private[graft] def ccMinLabel(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true) // materializes under the session conf
+    val nEdges = edges.count()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+    withCcLoopConf(s, nEdges) {
+      labels = labels.localCheckpoint(true)
+      // labels only DECREASE under min-propagation, so sum(label) strictly
+      // decreases until the fixpoint — one cheap aggregate is the
+      // convergence probe (the checkpoint above already materialized)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = labels.join(edges, labels("doc_id") === edges("a"))
+          .select(col("b").as("doc_id"), col("label"))
+        val next = labels.unionByName(prop)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+    }
+    labels
+  }
+
+  /** two-hop-fused min-label propagation (see [[ccLabels]]): each Spark
+    * job advances labels across TWO edge hops (join → min-agg → join →
+    * min-agg in one plan), so a diameter-D component converges in ⌈D/2⌉+1
+    * actions instead of D+1. The per-job plan is deeper (3 shuffles vs 2)
+    * but superstep data is output-sized; the driver round-trips and job
+    * scheduling are what the clock pays for.
+    */
+  private[graft] def ccTwoHop(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val nEdges = edges.count()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+    withCcLoopConf(s, nEdges) {
+      labels = labels.localCheckpoint(true) // lineage truncation per
+      var prevSum = labelSum(labels)        // superstep — see [[ccMinLabel]]
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 10) {
+        val hop1 = labels.join(edges, labels("doc_id") === edges("a"))
+          .select(col("b").as("doc_id"), col("label"))
+        val mid = labels.unionByName(hop1)
+          .groupBy("doc_id").agg(min("label").as("label"))
+        val hop2 = mid.join(edges, mid("doc_id") === edges("a"))
+          .select(col("b").as("doc_id"), col("label"))
+        val next = mid.unionByName(hop2)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+    }
+    labels
+  }
+
+  /** alternating large-star/small-star contraction (see [[ccLabels]]).
+    * Edges stay oriented u > v; large-star hangs every larger neighbor of
+    * a node onto its neighborhood minimum, small-star the smaller ones —
+    * at the fixpoint the edge set is a star forest rooted at component
+    * minima. Convergence is detected by an (edge-count, XOR xxhash64(u,v))
+    * signature going stationary (XOR, not sum: order-independent and
+    * overflow-free under ANSI; the edge set is distinct so nothing
+    * cancels): the pair only repeats across distinct edge sets with
+    * ~2⁻⁶⁴ probability, and the contraction converges regardless
+    * (Kiveris et al. thm 1), so a collision could only end the loop one
+    * round early, never corrupt a converged answer.
+    */
+  private[graft] def ccStars(s: SparkSession, pairs: DataFrame): DataFrame = {
+    var e = pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // per-round lineage truncation — see [[ccMinLabel]]
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(e)
+    withCcLoopConf(s, prev._1) {
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        // large-star: for each center u, hang every neighbor v > u onto
+        // m = min(Γ(u) ∪ {u}); output stays strictly oriented (v > u ≥ m)
+        val sym = e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u").as("cu"), least(col("mn"), col("u")).as("m"))
+        val ls = sym.join(lsMin, sym("u") === lsMin("cu"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        // small-star over the oriented output: hang each center u and its
+        // smaller neighbors onto their minimum (all ≥ m, so still oriented)
+        val ssMin = ls.groupBy("u").agg(min("v").as("m2"))
+        val ss = ls.join(ssMin, "u")
+          .select(col("v").as("n"), col("m2").as("m"))
+          .union(ssMin.select(col("u").as("n"), col("m2").as("m")))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .distinct()
+          .localCheckpoint(true)
+        val cur = sig(ss)
+        e = ss
+        converged = cur == prev
+        prev = cur
+        iter += 1
+      }
+    }
+    // star forest: non-roots point at their component min; roots self-label
+    e.select(col("u").as("doc_id"), col("v").as("label"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("label")))
+      .groupBy("doc_id").agg(min("label").as("label"))
+      .localCheckpoint(true)
+  }
+
   val queries: Map[String, QFn] = Map(
     // -------------------------------------------------------- exact dedup
     "q_llm_dedup_exact" -> { (s, d) =>
@@ -550,59 +751,16 @@ object QueriesLlm {
     // -------------------- dedup clustering: connected components of pairs
     "q_llm_dedup_cluster" -> { (s, d) =>
       // a real pipeline needs duplicate CLUSTERS (keep one doc per
-      // component), not just pairs: connected components via min-label
-      // propagation to fixpoint. Duplicate components are near-cliques
-      // (tiny diameter), so convergence takes a handful of supersteps;
-      // each superstep is one join + one min-aggregate — the standard
-      // iterative-CC shape on Spark. The driver loop drives ACTIONS only
-      // (a 1-row convergence probe), never data.
+      // component), not just pairs: connected components over the
+      // near-dup pair list. See [[ccLabels]] for the strategy (and the
+      // two measured alternatives it beat).
       val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
         .select("a", "b")
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
-      // labels only DECREASE under min-propagation, so sum(label) strictly
-      // decreases until the fixpoint — one cheap aggregate doubles as both
-      // the cache materializer and the convergence probe. The first probe
-      // materializes the whole LSH pipeline (AQE on, where it belongs);
-      // the supersteps after it are tiny by construction (labels bounded
-      // by docs-in-pairs), and AQE's per-stage job materialization
-      // dominates them — measured 40% slower with it on — so the loop
-      // runs with it off.
-      var prevSum = labelSum(labels)
-      var converged = false
-      var iter = 0
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqePrev = s.conf.get(aqeKey, "true")
-      s.conf.set(aqeKey, "false")
-      try {
-        while (!converged && iter < 20) {
-          val prop = labels.join(edges, labels("doc_id") === edges("a"))
-            .select(col("b").as("doc_id"), col("label"))
-          val next = labels.unionByName(prop)
-            .groupBy("doc_id").agg(min("label").as("label"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val nextSum = labelSum(next)
-          labels.unpersist()
-          labels = next
-          converged = nextSum == prevSum
-          prevSum = nextSum
-          iter += 1
-        }
-      } finally s.conf.set(aqeKey, aqePrev)
-      // hand back a checkpointed (lineage-free, output-sized) result and
-      // drop the superstep caches — deep-iteration lineage and the edge
-      // cache must not outlive the operator in a long-lived session
-      val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      // ccLabels returns a checkpointed, output-sized result — only the
+      // final (tiny) sort re-executes per downstream action
+      ccLabels(s, pairs)
+        .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
-        .localCheckpoint(true)
-      labels.unpersist()
-      edges.unpersist()
-      out
     },
 
     // -------------------------- near-dup: embedding cosine in LSH buckets

@@ -19,6 +19,11 @@ trait ExcelRemote {
   def exists: Boolean
   def sheetNames: Seq[String]
   def readAll(): Seq[XlsxCodec.Sheet]
+  /** one sheet's rows, or None when the workbook/sheet is absent — the
+    * cheap probe the optimistic-concurrency push uses to compare the
+    * remote snapshot head against its pull base without a full readAll
+    */
+  def readSheet(name: String): Option[Seq[Seq[String]]]
   /** full overwrite of the workbook (the reference's push semantics —
     * clear + rewrite every sheet, ducklakexl.py:553-582)
     */
@@ -30,6 +35,9 @@ final class LocalXlsxRemote(path: String) extends ExcelRemote {
   def exists: Boolean = Files.exists(Paths.get(path))
   def sheetNames: Seq[String] = XlsxCodec.sheetNames(path)
   def readAll(): Seq[XlsxCodec.Sheet] = XlsxCodec.read(path)
+  def readSheet(name: String): Option[Seq[Seq[String]]] =
+    if (!exists) None
+    else XlsxCodec.read(path).collectFirst { case (n, rows) if n == name => rows }
   def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit = XlsxCodec.write(path, sheets)
 }
 
@@ -206,6 +214,20 @@ final class GraphRemote(
         }
       }
     } finally closeSession(sid)
+  }
+
+  /** one sheet inside one short-lived session (the CAS probe: a single
+    * usedRange read, not a whole-workbook pull)
+    */
+  def readSheet(name: String): Option[Seq[Seq[String]]] = {
+    if (!exists) None
+    else {
+      val sid = createSession()
+      try {
+        if (!listSheets(Some(sid)).contains(name)) None
+        else Some(usedRangeText(name, sid))
+      } finally closeSession(sid)
+    }
   }
 
   /** A17: a Graph workbook is created by uploading real xlsx bytes */

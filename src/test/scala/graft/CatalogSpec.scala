@@ -144,12 +144,11 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("unknown catalog sheets round-trip inert (SURVEY §1.2)") {
-    // (r4: the partition/tag/inline sheets are now INTERPRETED — these
-    // two, from DuckLake's wider spec, remain uninterpreted and prove
-    // pass-through)
+    // (r7: all 20 spec tables are interpreted — sheets from a FUTURE
+    // spec revision prove the pass-through now)
     val extra = Seq(
-      XlsxSheet("column_mapping", Seq(Seq("mapping_id", "table_id"), Seq("1", "2"))),
-      XlsxSheet("name_mapping", Seq(Seq("mapping_id", "name"), Seq("1", "it's ops"))))
+      XlsxSheet("future_sheet_a", Seq(Seq("some_id", "table_id"), Seq("1", "2"))),
+      XlsxSheet("future_sheet_b", Seq(Seq("some_id", "name"), Seq("1", "it's ops"))))
     val st = CatalogState.empty.copy(
       metadata = Vector("version" -> "0.1"),
       snapshots = Vector(SnapshotRow(0, "2025-01-01 00:00:00", 0, 1, 1)),
@@ -157,7 +156,16 @@ class CatalogSpec extends AnyFunSuite {
     val rt = CatalogState.fromSheets(st.toSheets)
     assert(rt == st)
     // and the sheets are actually present in the serialized form
-    assert(st.toSheets.map(_.name).count(Set("column_mapping", "name_mapping")) == 2)
+    assert(st.toSheets.map(_.name).count(Set("future_sheet_a", "future_sheet_b")) == 2)
+
+    // the mapping sheets themselves now parse TYPED and re-emit
+    val withMaps = st.copy(
+      columnMappings = Vector(ColumnMappingRow(5, 2, "map_by_name")),
+      nameMappings = Vector(
+        NameMappingRow(5, 11, "ident", "id", hivePartition = false),
+        NameMappingRow(5, 12, "region", "region", hivePartition = true)))
+    val rt2 = CatalogState.fromSheets(withMaps.toSheets)
+    assert(rt2 == withMaps)
   }
 
   test("views round-trip through sheets") {

@@ -433,9 +433,13 @@ class LakeScaleSpec extends AnyFunSuite {
          |WHERE table_catalog LIKE '__ducklake_metadata_my_ducklake'
          |ORDER BY table_name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
-    assert(names.size == 18 && names.contains("ducklake_snapshot") &&
+    // 20 = the full DuckLake spec table set (r7: column_mapping +
+    // name_mapping joined the interpreted 18)
+    assert(names.size == 20 && names.contains("ducklake_snapshot") &&
       names.contains("ducklake_partition_info") &&
       names.contains("ducklake_snapshot_changes") &&
+      names.contains("ducklake_column_mapping") &&
+      names.contains("ducklake_name_mapping") &&
       names.contains("ducklake_files_scheduled_for_deletion"), names.mkString(","))
     val user = lake.sql(
       """SELECT table_name, table_type FROM information_schema.tables
@@ -588,11 +592,11 @@ class LakeScaleSpec extends AnyFunSuite {
 
   test("unknown metadata sheets survive pull/push (SURVEY §1.2)") {
     import graft.xlsx.XlsxCodec
-    // (r4: partition/tag/inline sheets are now INTERPRETED; 'name_mapping'
-    // from DuckLake's wider spec stays uninterpreted and proves the
-    // pass-through)
-    val extra = ("name_mapping",
-      Seq(Seq("mapping_id", "name"), Seq("7", "gold")))
+    // (r4: partition/tag/inline sheets are now INTERPRETED; r7 interprets
+    // column_mapping/name_mapping too — 20/20 spec tables — so a sheet
+    // from a FUTURE spec revision proves the pass-through now)
+    val extra = ("future_spec_sheet",
+      Seq(Seq("some_id", "name"), Seq("7", "gold")))
     val (lake, xlsx, data) = freshLake()
     lake.sql("CREATE TABLE et(id INTEGER)")
     // a foreign tool adds a sheet the catalog does not interpret
@@ -600,11 +604,57 @@ class LakeScaleSpec extends AnyFunSuite {
     // full pull/push cycles must carry it verbatim
     lake.sql("INSERT INTO et VALUES (1)")
     lake.sql("INSERT INTO et VALUES (2)")
-    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "name_mapping").map(_._2)
+    def sheetOf(p: String) = XlsxCodec.read(p).find(_._1 == "future_spec_sheet").map(_._2)
     assert(sheetOf(xlsx).contains(extra._2))
     // and it survives a reopen from disk
     val reopened = new DuckLakeXLSpark(spark, xlsx, data)
     reopened.sql("INSERT INTO et VALUES (3)")
     assert(sheetOf(xlsx).contains(extra._2))
+  }
+
+  test("file stats collect in bounded batches (chunked fileStatsAll, r5 #8)") {
+    import graft.xlsx.XlsxCodec
+    val (lake, xlsx, _) = freshLake()
+    // force multi-batch: 2 files per stats job, with a many-file INSERT
+    val prev = spark.conf.getOption("spark.graft.fileStatsBatch")
+    spark.conf.set("spark.graft.fileStatsBatch", "2")
+    try {
+      lake.sql("CREATE TABLE big(id INTEGER)")
+      // DISTRIBUTE BY spreads the 50 rows across shuffle partitions ->
+      // one part-file per non-empty partition, well above the batch width
+      // (AQE off for the INSERT: it would coalesce the tiny shuffle to 1)
+      val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try lake.sql("INSERT INTO big SELECT CAST(id AS INTEGER) AS id FROM range(0, 50) DISTRIBUTE BY id")
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      def sheet(n: String): Seq[Seq[String]] =
+        XlsxCodec.read(xlsx).find(_._1 == n).map(_._2).getOrElse(Seq.empty)
+      val df = sheet("data_file")
+      val hdr = df.head
+      val rc = df.tail.filter(_.exists(_.nonEmpty))
+        .map(r => r(hdr.indexOf("record_count")).toDouble.toLong)
+      assert(rc.sum == 50L, s"record counts $rc must sum to 50")
+      assert(rc.count(_ > 0) > 2, "need more non-empty files than the batch width")
+      // per-file stats exist for every non-empty file, across ALL batches
+      val fcs = sheet("file_column_statistics")
+      val fh = fcs.head
+      val statFileIds = fcs.tail.filter(_.exists(_.nonEmpty))
+        .map(r => r(fh.indexOf("data_file_id")).toDouble.toLong).toSet
+      val fileIds = df.tail.filter(_.exists(_.nonEmpty))
+        .filter(r => r(hdr.indexOf("record_count")).toDouble.toLong > 0)
+        .map(r => r(hdr.indexOf("data_file_id")).toDouble.toLong).toSet
+      assert(fileIds.subsetOf(statFileIds),
+        s"files missing stats: ${fileIds -- statFileIds}")
+      // and the derived table-level stats are right
+      val cs = lake.columnStats("big").collect()
+        .map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
+      assert(cs("id") == (("0", "49")))
+      assert(lake.sql("SELECT sum(id) AS s FROM big").collect()(0).getLong(0) == 1225L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.fileStatsBatch", v)
+        case None => spark.conf.unset("spark.graft.fileStatsBatch")
+      }
+    }
   }
 }
