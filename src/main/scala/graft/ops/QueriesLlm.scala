@@ -471,15 +471,17 @@ object QueriesLlm {
     * count, not the session default: superstep inputs are pair-set-sized,
     * typically orders of magnitude below the corpus the session is
     * configured for, so 32 partitions of a few-thousand-row shuffle are
-    * pure task overhead. ~500k edges/partition, floored at 8; at 100 TB
-    * edge counts this clamps back up to the session setting.
+    * pure task overhead. ~500k edges/partition (a sub-500k pair set runs
+    * single-task stages — the loop data is output-scale, not corpus
+    * scale), never ABOVE the session setting: at 100 TB edge counts the
+    * sizing clamps back up to the session's parallelism.
     */
   private def withCcLoopConf[T](s: SparkSession, edgeCount: Long)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val partKey = "spark.sql.shuffle.partitions"
     val aqePrev = s.conf.get(aqeKey, "true")
     val partPrev = s.conf.get(partKey)
-    val loopParts = math.max(8L,
+    val loopParts = math.max(1L,
       math.min(partPrev.toLong, edgeCount / 500000L + 1L))
     s.conf.set(aqeKey, "false")
     s.conf.set(partKey, loopParts.toString)
@@ -575,13 +577,20 @@ object QueriesLlm {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     val nEdges = edges.count()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
     withCcLoopConf(s, nEdges) {
-      labels = labels.localCheckpoint(true) // lineage truncation per
-      var prevSum = labelSum(labels)        // superstep — see [[ccMinLabel]]
+      // seed labels at the state AFTER one propagation hop — min(v, Γ(v))
+      // in the same single shuffle the self-init would cost — so a
+      // near-clique component converges in one two-hop superstep plus the
+      // confirming pass. Superstep checkpoints are LAZY: the convergence
+      // aggregate right after is the materializing action (one job per
+      // superstep, not checkpoint-job + probe-job); lineage truncation
+      // per superstep — see [[ccMinLabel]].
+      var labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("nmin"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
+        .localCheckpoint(false)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 10) {
@@ -593,15 +602,15 @@ object QueriesLlm {
           .select(col("b").as("doc_id"), col("label"))
         val next = mid.unionByName(hop2)
           .groupBy("doc_id").agg(min("label").as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val nextSum = labelSum(next)
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
         iter += 1
       }
+      labels
     }
-    labels
   }
 
   /** alternating large-star/small-star contraction (see [[ccLabels]]).
