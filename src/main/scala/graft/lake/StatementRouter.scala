@@ -498,7 +498,19 @@ object StatementRouter {
     "list_has_any"   -> "arrays_overlap",
     "list_distinct"  -> "array_distinct",
     "list_sort"      -> "sort_array",
-    "list_concat"    -> "concat")
+    "list_concat"    -> "concat",
+    "list_append"    -> "array_append",
+    "list_prepend"   -> "array_prepend",
+    "list_position"  -> "array_position",
+    // DuckDB's list(x) aggregate is Spark's collect_list (insertion
+    // order; `\blist\b` cannot match the list_* family above — `_` is a
+    // word char, so the boundary fails)
+    "list"           -> "collect_list",
+    "starts_with"    -> "startswith",
+    "ends_with"      -> "endswith",
+    // boolean regexp_matches(s, p) — Spark's regexp_like (the multi-flag
+    // DuckDB form has no 1:1 twin and stays out)
+    "regexp_matches" -> "regexp_like")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
@@ -679,12 +691,32 @@ object StatementRouter {
     }
   }
 
+  private val SamplePctRe =
+    """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)""".r
+  private val SampleRowsRe =
+    """(?i)\bUSING\s+SAMPLE\s+(\d+)(?:\s+ROWS)?\b""".r
+
   /** the full DuckDB-dialect pass (see the block comment above) */
   def rewriteDialect(sql: String): String = {
     var q = mapOutsideLiterals(sql)(renameFns)
     q = mapOutsideLiterals(q) { seg =>
       StarExcludeBareRe.replaceAllIn(
         StarExcludeParenRe.replaceAllIn(seg, "$1EXCEPT$2"), "$1EXCEPT ($2)")
+    }
+    // DuckDB integer division `a // b` -> Spark `a div b` (`//` is not a
+    // comment marker in either dialect, so the bare token is unambiguous)
+    q = mapOutsideLiterals(q)(_.replace("//", " div "))
+    // bare VARCHAR in a SELECT-position cast (x::VARCHAR, CAST(x AS
+    // VARCHAR)) -> STRING: Spark's VARCHAR demands a length, DuckDB's is
+    // length-free. VARCHAR(n) keeps its length (Spark accepts it).
+    q = mapOutsideLiterals(q)(
+      _.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING"))
+    // USING SAMPLE n% / n ROWS -> TABLESAMPLE (…); sampling stays
+    // nondeterministic on both engines (capability pass-through, no oracle)
+    q = mapOutsideLiterals(q) { seg =>
+      SampleRowsRe.replaceAllIn(
+        SamplePctRe.replaceAllIn(seg, "TABLESAMPLE ($1 PERCENT)"),
+        "TABLESAMPLE ($1 ROWS)")
     }
     q = rewriteStarReplace(q)
     q = rewriteDistinctOn(q)

@@ -339,6 +339,25 @@ object QueriesLake {
           |FROM (SELECT * REPLACE (round(price * 2, 1) AS price) FROM latest) l
           |ASOF JOIN quotes q ON l.id = q.k AND l.ts >= q.qts
           |ORDER BY l.id""".stripMargin)
+    },
+    // r7 dialect breadth: `//` int division, list() aggregate,
+    // starts_with, regexp_matches (rewritten), plus ::casts and
+    // GROUP/ORDER BY ALL (Spark-native, proven as pasted pass-through)
+    "q_lake_dialect2" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE dx(id INTEGER, grp VARCHAR, v INTEGER);
+          |INSERT INTO dx VALUES (1,'aa',7),(2,'ab',9),(3,'bb',4),(4,'ab',5)""".stripMargin)
+      lake.sql(
+        """SELECT grp,
+          |       sum(v) // 2 AS half,
+          |       sum(v)::VARCHAR AS total_str,
+          |       list_sort(list(v)) AS vs,
+          |       count(*) FILTER (WHERE starts_with(grp, 'a')) AS a_cnt
+          |FROM dx
+          |WHERE regexp_matches(grp, '^[ab]+$')
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
     }
   )
 
@@ -412,6 +431,10 @@ object QueriesLake {
     "q_lake_dialect" ->
       ("SELECT id, name, CAST(price AS DOUBLE) AS price, qts, CAST(quote AS DOUBLE) AS quote, " +
        "ts_listed FROM (VALUES (1,'b',24.0,7,110.0,true),(2,'d',18.0,8,60.0,false)) " +
-       "t(id, name, price, qts, quote, ts_listed) ORDER BY id")
+       "t(id, name, price, qts, quote, ts_listed) ORDER BY id"),
+    "q_lake_dialect2" ->
+      ("SELECT grp, CAST(half AS BIGINT) AS half, total_str, vs, CAST(a_cnt AS BIGINT) AS a_cnt " +
+       "FROM (VALUES ('aa', 3, '7', [7], 1), ('ab', 7, '14', [5, 9], 2), ('bb', 2, '4', [4], 0)) " +
+       "t(grp, half, total_str, vs, a_cnt) ORDER BY grp")
   )
 }

@@ -82,6 +82,47 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT array_contains(array(1, 2), k) FROM t")
   }
 
+  test("integer division // becomes div, except inside literals") {
+    assert(rewriteDialect("SELECT a // b AS d FROM t") ==
+      "SELECT a  div  b AS d FROM t")
+    val q = "SELECT 'http://x' AS u FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
+  test("r7 function renames: list(), starts/ends_with, regexp_matches") {
+    assert(rewriteDialect("SELECT list(v) FROM t GROUP BY k") ==
+      "SELECT collect_list(v) FROM t GROUP BY k")
+    // the bare `list` rename must not clobber the list_* family
+    assert(rewriteDialect("SELECT list_sort(list(v)) FROM t") ==
+      "SELECT sort_array(collect_list(v)) FROM t")
+    assert(rewriteDialect("SELECT starts_with(v, 'a'), ends_with(v, 'z') FROM t") ==
+      "SELECT startswith(v, 'a'), endswith(v, 'z') FROM t")
+    assert(rewriteDialect("SELECT * FROM t WHERE regexp_matches(v, 'x+')") ==
+      "SELECT * FROM t WHERE regexp_like(v, 'x+')")
+    assert(rewriteDialect("SELECT list_append(xs, 1), list_position(xs, 2) FROM t") ==
+      "SELECT array_append(xs, 1), array_position(xs, 2) FROM t")
+  }
+
+  test("bare VARCHAR casts map to STRING; sized VARCHAR(n) survives") {
+    assert(rewriteDialect("SELECT x::VARCHAR, CAST(y AS VARCHAR) FROM t") ==
+      "SELECT x::STRING, CAST(y AS STRING) FROM t")
+    assert(rewriteDialect("SELECT CAST(y AS VARCHAR(10)) FROM t") ==
+      "SELECT CAST(y AS VARCHAR(10)) FROM t")
+    val lit = "SELECT 'VARCHAR' AS s FROM t"
+    assert(rewriteDialect(lit) == lit)
+  }
+
+  test("USING SAMPLE becomes TABLESAMPLE") {
+    assert(rewriteDialect("SELECT * FROM t USING SAMPLE 10%") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(rewriteDialect("SELECT * FROM t USING SAMPLE 25 PERCENT") ==
+      "SELECT * FROM t TABLESAMPLE (25 PERCENT)")
+    assert(rewriteDialect("SELECT * FROM t USING SAMPLE 100 ROWS") ==
+      "SELECT * FROM t TABLESAMPLE (100 ROWS)")
+    assert(rewriteDialect("SELECT * FROM t USING SAMPLE 100") ==
+      "SELECT * FROM t TABLESAMPLE (100 ROWS)")
+  }
+
   test("ordinary Spark SQL passes through unchanged") {
     for (q <- Seq(
       "SELECT a, sum(b) FROM t GROUP BY a ORDER BY a",
