@@ -1902,6 +1902,95 @@ class DuckLakeXLSpark(
     push()
   }
 
+  /** Register EXISTING parquet files into `table` WITHOUT rewriting them
+    * — DuckLake's add_data_files flow, the write side of the
+    * column-mapping support (`ducklake_column_mapping` type
+    * 'map_by_name'). Resolution is by NAME, like DuckDB's: a file field
+    * whose case-insensitive name matches a catalog column feeds it 1:1;
+    * a catalog column matching a `key=value` segment of the file's path
+    * becomes a hive_partition mapping entry (its value materializes from
+    * the path at scan time); any other catalog column reads NULL. Files
+    * sharing one resolution shape share one mapping id. Per-file stats
+    * run in the same batch-bounded one-job-per-shape pass the INSERT
+    * path uses, so stats pruning works on registered files too. Cost is
+    * O(files) driver-side footer reads + one Spark stats job per shape —
+    * no data is copied, which is the point at 100 TB: registering an
+    * existing lake is a metadata operation.
+    */
+  def addDataFiles(table: String, paths: Seq[String]): Unit = {
+    if (remote.exists) pull()
+    val t = requireTable(table)
+    flushInlined(t)
+    val cols = state.columnsOf(t.tableId)
+    require(paths.nonEmpty, "addDataFiles: no paths given")
+    paths.foreach(p => require(Files.isRegularFile(Paths.get(p)),
+      s"addDataFiles: not a file: $p"))
+    val hiveRe = "([^/=]+)=([^/]+)".r
+    // resolve each file's shape: fields from the parquet footer, hive
+    // keys from the path; files sharing a shape share one mapping id
+    case class Shape(fieldByCol: Map[Long, String], hiveByCol: Map[Long, String])
+    val shaped: Seq[(String, Shape)] = paths.map { p =>
+      val fLower = spark.read.parquet(p).schema.fieldNames
+        .map(f => f.toLowerCase -> f).toMap
+      val hiveByLower = hiveRe.findAllMatchIn(p)
+        .map(m => m.group(1).toLowerCase -> m.group(1)).toMap
+      val fieldByCol = cols.flatMap(c =>
+        fLower.get(c.columnName.toLowerCase).map(c.columnId -> _)).toMap
+      val hiveByCol = cols
+        .filterNot(c => fieldByCol.contains(c.columnId))
+        .flatMap(c => hiveByLower.get(c.columnName.toLowerCase)
+          .map(c.columnId -> _)).toMap
+      require(fieldByCol.nonEmpty,
+        s"addDataFiles: no field of $p matches any column of $table " +
+          s"(file has: ${fLower.values.mkString(", ")})")
+      p -> Shape(fieldByCol, hiveByCol)
+    }
+    val snap = state.currentSnapshot + 1
+    var fid = state.nextFileId
+    var nextId = state.nextCatalogId
+    var ns = state
+    shaped.groupBy(_._2).toSeq
+      .sortBy(_._2.head._1).foreach { case (shape, members) =>
+      val gpaths = members.map(_._1)
+      val mid = nextId
+      nextId += 1
+      ns = ns.copy(
+        columnMappings = ns.columnMappings :+
+          ColumnMappingRow(mid, t.tableId, "map_by_name"),
+        nameMappings = ns.nameMappings ++
+          cols.flatMap(c => shape.fieldByCol.get(c.columnId).map(fn =>
+            NameMappingRow(mid, c.columnId, fn, c.columnName, hivePartition = false))) ++
+          cols.flatMap(c => shape.hiveByCol.get(c.columnId).map(hk =>
+            NameMappingRow(mid, c.columnId, hk, c.columnName, hivePartition = true))))
+      // stats under the files' own field names, keyed back by columnId
+      val physCols = cols.flatMap(c => shape.fieldByCol.get(c.columnId)
+        .map(fn => c.copy(columnName = fn)))
+      val readSchema = StructType(physCols.map(pc =>
+        StructField(pc.columnName, CatalogSchema.parseType(pc.columnType), true)))
+      val statsByPath = fileStatsAll(gpaths, readSchema, physCols)
+      gpaths.foreach { p =>
+        val (cnt, st) = statsByPath(p)
+        ns = ns.copy(
+          dataFiles = ns.dataFiles :+ DataFileRow(fid, t.tableId, snap, None,
+            p, cnt, Files.size(Paths.get(p)), Some(mid)),
+          fileColumnStats = ns.fileColumnStats ++ physCols.map { c =>
+            val (mn, mx, nl) = st(c.columnId)
+            FileColumnStatsRow(fid, t.tableId, c.columnId, mn, mx, nl)
+          })
+        fid += 1
+      }
+    }
+    val added = ns.dataFiles
+      .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
+      .map(_.recordCount).sum
+    state = ns.copy(snapshotChanges = ns.snapshotChanges :+
+      SnapshotChangeRow(snap, s"added_data_files:${t.tableName}"))
+    state = state.copy(tableStats = bumpStats(t.tableId, added))
+    newSnapshot(nextId, fid)
+    registerViews()
+    push()
+  }
+
   /** Retention maintenance (DuckLake `expire_snapshots`): drop time travel
     * to snapshots with id < `keepFrom`, and move every data file whose
     * lifetime ended at or before that horizon to

@@ -340,6 +340,28 @@ object QueriesLake {
           |ASOF JOIN quotes q ON l.id = q.k AND l.ts >= q.qts
           |ORDER BY l.id""".stripMargin)
     },
+    // r7: add_data_files — register existing parquet by NAME (DuckLake
+    // column mapping, write side): foreign field names + a hive path
+    // segment resolve through ducklake_name_mapping, no data copied
+    "q_lake_add_files" -> { (s, _) =>
+      import s.implicits._
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE af(id INTEGER, v VARCHAR, region VARCHAR)")
+      lake.sql("INSERT INTO af VALUES (1, 'native', 'west')")
+      val dir = Files.createTempDirectory("graft_foreign")
+      val tgt = java.nio.file.Paths.get(lake.dataPath, "region=east", "f1.parquet")
+      Seq((10, "x"), (11, "y")).toDF("ID", "V")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      Files.createDirectories(tgt.getParent)
+      val part = Files.list(dir).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val f = part.next()
+        if (f.toString.endsWith(".parquet")) { Files.move(f, tgt); moved = true }
+      }
+      lake.addDataFiles("af", Seq(tgt.toString))
+      lake.sql("SELECT id, v, region FROM af ORDER BY id")
+    },
     // r7 dialect breadth: `//` int division, list() aggregate,
     // starts_with, regexp_matches (rewritten), plus ::casts and
     // GROUP/ORDER BY ALL (Spark-native, proven as pasted pass-through)
@@ -435,6 +457,9 @@ object QueriesLake {
     "q_lake_dialect2" ->
       ("SELECT grp, CAST(half AS BIGINT) AS half, total_str, vs, CAST(a_cnt AS BIGINT) AS a_cnt " +
        "FROM (VALUES ('aa', 3, '7', [7], 1), ('ab', 7, '14', [5, 9], 2), ('bb', 2, '4', [4], 0)) " +
-       "t(grp, half, total_str, vs, a_cnt) ORDER BY grp")
+       "t(grp, half, total_str, vs, a_cnt) ORDER BY grp"),
+    "q_lake_add_files" ->
+      ("SELECT * FROM (VALUES (1,'native','west'),(10,'x','east'),(11,'y','east')) " +
+       "t(id, v, region) ORDER BY id")
   )
 }

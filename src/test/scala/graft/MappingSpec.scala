@@ -100,6 +100,50 @@ class MappingSpec extends AnyFunSuite {
     assert(reopened.sql("SELECT count(*) AS c FROM m").collect()(0).getLong(0) == 4L)
   }
 
+  test("addDataFiles registers foreign parquet by name, no rewrite") {
+    import spark.implicits._
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE reg(id INTEGER, v VARCHAR, region VARCHAR)")
+    lake.sql("INSERT INTO reg VALUES (1, 'native', 'west')")
+    // two foreign files: hive-laid-out, SAME shape (one mapping id), with
+    // UPPERCASE field names (name resolution must be case-insensitive)
+    val p1 = Paths.get(data, "region=east", "f1.parquet").toString
+    val p2 = Paths.get(data, "region=north", "f2.parquet").toString
+    writeOneFile(Seq((10, "x")).toDF("ID", "V"), p1)
+    writeOneFile(Seq((20, "y"), (21, "z")).toDF("ID", "V"), p2)
+    val before = Files.getLastModifiedTime(Paths.get(p1))
+    lake.addDataFiles("reg", Seq(p1, p2))
+    // no rewrite happened
+    assert(Files.getLastModifiedTime(Paths.get(p1)) == before)
+    val rows = lake.sql("SELECT id, v, region FROM reg ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1, "native", "west"), (10, "x", "east"),
+      (20, "y", "north"), (21, "z", "north")))
+    // one mapping id for the shared shape; catalog sheets carry it
+    val cm = sheet(xlsx, "column_mapping").tail.filter(_.exists(_.nonEmpty))
+    assert(cm.size == 1, s"expected ONE shared mapping, got $cm")
+    // registered files got per-file stats -> pruning works on them
+    val cs = lake.columnStats("reg").collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(cs("id") == (("1", "21")))
+    // and a fresh reopen reads the same data (mapping survives the sync)
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.sql("SELECT count(*) AS c FROM reg WHERE region = 'north'")
+      .collect()(0).getLong(0) == 2L)
+  }
+
+  test("addDataFiles rejects a file with no matching fields") {
+    import spark.implicits._
+    val (lake, _, data) = freshLake()
+    lake.sql("CREATE TABLE strict(id INTEGER)")
+    val p = Paths.get(data, "junk.parquet").toString
+    writeOneFile(Seq(1).toDF("unrelated"), p)
+    val e = intercept[IllegalArgumentException] {
+      lake.addDataFiles("strict", Seq(p))
+    }
+    assert(e.getMessage.contains("no field"))
+  }
+
   test("catalog columns absent from a mapping read as NULL") {
     import spark.implicits._
     val (lake, xlsx, data) = freshLake()
