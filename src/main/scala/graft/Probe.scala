@@ -52,6 +52,54 @@ object Probe {
     time("json_full_get_repart")(fullWith(jGet, repart = true))
     time("json_full_get_norepart")(fullWith(jGet, repart = false))
     time("q_fn_json_full")(graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d))
+    // r7b: orderBy re-executes its child for range-boundary sampling, so a
+    // parse BELOW the sort runs twice; and the post-sort stage is 32-way
+    // parallel, so a parse ABOVE the sort runs once AND in parallel.
+    time("json_parse_after_sort") {
+      val raw = ev.select("event_id", "props").orderBy("event_id")
+      raw.select(col("event_id"), jGet.cast(LongType).as("k_num"),
+        jGet.as("k_str"), jGet.cast(LongType).as("k2"))
+    }
+    time("json_parse_after_sort_from") {
+      val raw = ev.select("event_id", "props").orderBy("event_id")
+      raw.select(col("event_id"), jFrom.cast(LongType).as("k_num"),
+        jFrom.as("k_str"), jFrom.cast(LongType).as("k2"))
+    }
+    }
+
+    section("sortproj") {
+      // does moving an expensive projection ABOVE the mandated total
+      // ORDER BY pay on the wide-projection queries the way it did for
+      // the JSON parse? (child of a global sort executes twice: sampling
+      // + real pass; and the post-sort stage is exchange-wide)
+      def mathProj(src: DataFrame) = src.select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("fl_price"),
+        ceil(col("l_quantity")).as("ce_qty"),
+        abs(col("l_discount") - 0.05).as("ab_disc"),
+        round(log(col("l_quantity") + 1), 4).as("ln_q"),
+        round(exp(col("l_discount")), 4).as("exp_d"),
+        pow(col("l_quantity"), 2).as("pow_q"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"),
+        greatest(col("l_quantity"), lit(25.0)).as("g"),
+        least(col("l_quantity"), lit(25.0)).as("lst"))
+      time("math_proj_below_sort")(
+        mathProj(li).orderBy("l_orderkey", "l_linenumber"))
+      time("math_proj_above_sort")(
+        mathProj(li.select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity", "l_discount").orderBy("l_orderkey", "l_linenumber")))
+      time("math_proj_below_sort2")(
+        mathProj(li).orderBy("l_orderkey", "l_linenumber"))
+      time("math_proj_above_sort2")(
+        mathProj(li.select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity", "l_discount").orderBy("l_orderkey", "l_linenumber")))
+    }
+
+    section("jsonplan") {
+      val df = graft.ops.QueriesFunctions.queries("q_fn_json")(spark, d)
+      df.explain("formatted")
+      df.show(5)
     }
 
     // r6: where does q_llm_dedup_ngram's time go? Stage-by-stage over the

@@ -23,9 +23,20 @@ object QueriesFunctions {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QFn] = Map(
+    // The per-row-function family computes its wide projection ABOVE the
+    // mandated total ORDER BY (`.orderBy(keys).select(proj)`), not below:
+    // a global sort executes its child twice (range-boundary sampling +
+    // the real pass) and its post-sort stage is exchange-wide, so the
+    // flipped shape (a) evaluates the expensive expressions once instead
+    // of twice, (b) narrows the range exchange to the pruned raw columns
+    // (Catalyst pushes the pruning below the Sort, the computing Project
+    // stays above), and (c) parallelizes the compute across all cores
+    // even over a single-partition source (single-row-group files).
+    // Probe `sortproj`: q_fn_math 1.44 -> 0.73 s at sf0.1. Semantically a
+    // no-op — Project preserves its child's row order.
     "q_fn_string" -> { (s, d) =>
       val c = Tables.t(s, d, "customer")
-      c.select(
+      c.orderBy("c_custkey").select(
         col("c_custkey"),
         upper(col("c_name")).as("u"),
         lower(col("c_mktsegment")).as("lo"),
@@ -38,13 +49,13 @@ object QueriesFunctions {
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
         element_at(split(col("c_name"), "#"), 2).as("part2"),
         col("c_name").like("Customer%").as("is_cust")
-      ).orderBy("c_custkey")
+      )
     },
 
     "q_fn_date" -> { (s, d) =>
       val o = Tables.t(s, d, "orders")
       val dt = col("o_orderdate").cast(DateType)
-      o.select(
+      o.orderBy("o_orderkey").select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"),
@@ -55,12 +66,12 @@ object QueriesFunctions {
         make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_start"),
         unix_timestamp(col("o_orderdate").cast(TimestampType)).as("unix_ts"),
         dayofweek(col("o_orderdate")).as("dow")
-      ).orderBy("o_orderkey")
+      )
     },
 
     "q_fn_math" -> { (s, d) =>
       val l = Tables.t(s, d, "lineitem")
-      l.select(
+      l.orderBy("l_orderkey", "l_linenumber").select(
         col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice")).as("fl_price"),
         ceil(col("l_quantity")).as("ce_qty"),
@@ -72,13 +83,13 @@ object QueriesFunctions {
         signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"),
         greatest(col("l_quantity"), lit(25.0)).as("g"),
         least(col("l_quantity"), lit(25.0)).as("lst")
-      ).orderBy("l_orderkey", "l_linenumber")
+      )
     },
 
     "q_fn_array" -> { (s, d) =>
       val doc = Tables.t(s, d, "documents")
       val ws = split(col("text"), " ")
-      doc.select(
+      doc.orderBy("doc_id").select(
         col("doc_id"),
         size(ws).as("n_words"),
         array_contains(ws, "data").as("has_data"),
@@ -86,7 +97,7 @@ object QueriesFunctions {
         array_join(slice(sort_array(ws), 1, 5), ",").as("first5_sorted"),
         aggregate(ws, lit(0L), (acc, x) => acc + length(x)).as("total_len"),
         array_join(transform(slice(ws, 1, 3), x => upper(x)), ",").as("up3")
-      ).orderBy("doc_id")
+      )
     },
 
     "q_fn_map_struct" -> { (s, d) =>
@@ -137,56 +148,55 @@ object QueriesFunctions {
 
     "q_fn_bitwise" -> { (s, d) =>
       val k = col("l_orderkey")
-      Tables.t(s, d, "lineitem").select(
+      Tables.t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
         col("l_orderkey"), col("l_linenumber"),
         k.bitwiseAND(lit(255L)).as("b_and"),
         k.bitwiseOR(lit(7L)).as("b_or"),
         k.bitwiseXOR(lit(170L)).as("b_xor"),
         shiftleft(k, 2).as("b_shl"),
         shiftright(k, 3).as("b_shr")
-      ).orderBy("l_orderkey", "l_linenumber")
+      )
     },
 
     "q_fn_hash" -> { (s, d) =>
       val name = col("c_name")
-      Tables.t(s, d, "customer").select(
+      Tables.t(s, d, "customer").orderBy("c_custkey").select(
         col("c_custkey"),
         md5(name.cast(org.apache.spark.sql.types.BinaryType)).as("h_md5"),
         sha2(name.cast(org.apache.spark.sql.types.BinaryType), 256).as("h_sha256"),
         length(md5(name.cast(org.apache.spark.sql.types.BinaryType))).as("h_len")
-      ).orderBy("c_custkey")
+      )
     },
 
     "q_fn_json" -> { (s, d) =>
       // ONE streaming parse per row: for a single scalar field,
       // get_json_object's streaming parser early-exits at the key and
-      // beats from_json's whole-object struct materialization (r7 probe:
-      // 0.48 vs 0.57 s end-to-end at sf0.1); the three outputs are casts
-      // of the one extraction, deduped by codegen subexpression
-      // elimination. The r3 anti-pattern was MIXING the two parsers —
-      // from_json for one column plus get_json_object for another ran
-      // two full parses per row. At 100 TB the per-row parser call is
-      // the whole cost of a JSON query — parse once, cast many.
+      // beats from_json's whole-object struct materialization; the three
+      // outputs are casts of the one extraction, deduped by codegen
+      // subexpression elimination. The r3 anti-pattern was MIXING the two
+      // parsers — from_json for one column plus get_json_object for
+      // another ran two full parses per row. At 100 TB the per-row parser
+      // call is the whole cost of a JSON query — parse once, cast many.
       //
-      // Parse parallelism (r5, probe-measured 0.97 s -> 0.57 s): a source
-      // whose files expose FEWER partitions than the cluster has cores
-      // (single-row-group files, small-file tails) leaves the CPU-bound
-      // parse single-task no matter what AQE does. Shuffling the raw
-      // (id, props) pairs first is cheap relative to the parse and
-      // unlocks every core — and the guard makes it a NO-OP at scale,
-      // where a multi-row-group scan already fans out wider than cores.
-      // Residual floor (r7 probe): the mandated total ORDER BY is ~0.25 s
-      // of the ~0.48 s; scan floor 0.06 s; the parse owns the rest.
+      // Parse placement (r7 probe `json_parse_after_sort`): the parse sits
+      // ABOVE the mandated total ORDER BY, not below it, for two
+      // structural reasons. (1) A global sort EXECUTES ITS CHILD TWICE —
+      // once for range-boundary sampling, once for the real pass — so a
+      // parse below the sort is paid double. (2) Column pruning keeps the
+      // sort payload to the raw (event_id, props) pair, and the post-sort
+      // stage is as wide as the range exchange (all cores), so the parse
+      // runs once, in parallel, even when the SOURCE exposes a single
+      // partition (single-row-group files) — this replaced the r5
+      // explicit-repartition guard, whose extra shuffle the probe measured
+      // as a net loss once the parse moved above the sort.
       val raw = Tables.t(s, d, "events").select(col("event_id"), col("props"))
-      val cores = s.sparkContext.defaultParallelism
-      val src = if (raw.rdd.getNumPartitions < cores / 2) raw.repartition(cores) else raw
       val j = get_json_object(col("props"), "$.k")
-      src.select(
+      raw.orderBy("event_id").select(
         col("event_id"),
         j.cast(LongType).as("k_num"),
         j.as("k_str"),
         j.cast(LongType).as("k2")
-      ).orderBy("event_id")
+      )
     }
   )
 

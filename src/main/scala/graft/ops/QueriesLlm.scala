@@ -875,12 +875,15 @@ object QueriesLlm {
       val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
       val scrubbed = regexp_replace(regexp_replace(norm, emailRe, "<EMAIL>"),
         "[0-9]+", "<NUM>")
-      Tables.t(s, d, "documents").select(
+      // regex battery ABOVE the total ORDER BY (probe `sortproj`, see
+      // QueriesFunctions): evaluated once instead of sampling+real pass,
+      // and exchange-wide-parallel even over a 1-partition source
+      Tables.t(s, d, "documents").orderBy("doc_id").select(
         col("doc_id"),
         size(regexp_extract_all(norm, lit("[0-9]+"), lit(0))).as("n_nums"),
         size(regexp_extract_all(norm, lit(emailRe), lit(0))).as("n_emails"),
         substring(md5(scrubbed), 1, 16).as("scrubbed_digest")
-      ).orderBy("doc_id")
+      )
     },
 
     // --------------- composite quality gate: the Gopher-style filter
@@ -951,7 +954,7 @@ object QueriesLlm {
       val stopCnt = size(filter(ws, x => array_contains(stop, x)))
       val alnum = regexp_replace(norm, "[^a-z0-9 ]", "")
       val punctRatio = (length(norm) - length(alnum)).cast(DoubleType) / length(norm)
-      doc.select(
+      doc.orderBy("doc_id").select(
         col("doc_id"),
         nWords.as("n_words"),
         size(regexp_extract_all(norm, lit("[a-z0-9]+"), lit(0))).as("n_tokens"),
@@ -961,7 +964,7 @@ object QueriesLlm {
         round(least(lit(1.0), nWords.cast(DoubleType) / 100) * (lit(1.0) - punctRatio), 4)
           .as("quality"),
         substring(md5(norm), 1, 16).as("fingerprint")
-      ).orderBy("doc_id")
+      )
     },
 
     // -------------------------- multimodal: opaque binary + typed metadata

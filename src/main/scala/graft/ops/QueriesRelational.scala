@@ -118,11 +118,14 @@ object QueriesRelational {
       val dE2 = round(col("l_discount") * 100).cast(LongType)
       val tE2 = round(col("l_tax") * 100).cast(LongType)
       val v6r = pE2 * (lit(100L) - dE2) * (lit(100L) + tE2) + lit(50L)
-      Tables.t(s, d, "lineitem").select(
+      // projection ABOVE the total ORDER BY (probe `sortproj`, see
+      // QueriesFunctions): the sort's sampling pass would otherwise run
+      // the money math twice, and the post-sort compute is exchange-wide
+      Tables.t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
         col("l_orderkey"), col("l_linenumber"),
         ((pE2 * (lit(100L) - dE2)).cast(DoubleType) / 10000.0).as("revenue"),
         (((v6r - pmod(v6r, lit(100L))) / lit(100L)) / 10000.0).as("charge")
-      ).orderBy("l_orderkey", "l_linenumber")
+      )
     },
     "q_filter_compound" -> { (s, d) =>
       Tables.t(s, d, "customer").filter(
@@ -134,23 +137,23 @@ object QueriesRelational {
       ).select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
     },
     "q_case_when" -> { (s, d) =>
-      Tables.t(s, d, "orders").select(
+      Tables.t(s, d, "orders").orderBy("o_orderkey").select(
         col("o_orderkey"),
         when(col("o_totalprice") > 300000, "big")
           .when(col("o_totalprice") > 100000, "mid")
           .otherwise("small").as("tier"),
         coalesce(when(col("o_orderstatus") === "O", lit(null).cast(StringType))
           .otherwise(col("o_orderstatus")), lit("open")).as("status2")
-      ).orderBy("o_orderkey")
+      )
     },
     "q_cast" -> { (s, d) =>
-      Tables.t(s, d, "lineitem").select(
+      Tables.t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(DecimalType(8, 2)).cast(StringType).as("qty_str"),
         col("l_shipdate").cast(DateType).as("ship_date"),
         col("l_orderkey").cast(StringType).cast(LongType).as("ok_rt"),
         col("l_linenumber").cast(LongType).as("ln_big")
-      ).orderBy("l_orderkey", "l_linenumber")
+      )
     },
     "q_distinct" -> { (s, d) =>
       Tables.t(s, d, "lineitem")
