@@ -1,0 +1,15 @@
+// Bridge for `private[sql]` helpers: wrapping a raw Catalyst Expression
+// into a public Column goes through org.apache.spark.sql.classic
+// .ExpressionUtils, which is sql-package-private in Spark 4 — the
+// conventional extension-library pattern is a one-line forwarder living
+// in the sql package.
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

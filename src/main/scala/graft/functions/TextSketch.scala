@@ -1,0 +1,274 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-sketch hot paths of the dedup
+  * pipelines (SURVEY.md §2.K). Each replaces a chain of interpreted
+  * higher-order functions (`transform`/`aggregate` evaluate per ELEMENT
+  * through the interpreted-expression path, allocating as they go) with
+  * one JVM pass per ROW behind a single static call that whole-stage
+  * codegen inlines — the "(b) custom Expression" rung of the operator
+  * ladder, reached only after the built-in shapes were measured as the
+  * bottleneck (graft.Probe `ngram`: gram construction 1.95 s + md5 1.1 s
+  * of q_llm_dedup_ngram's 2.4 s at sf0.1).
+  *
+  * Every formula is BIT-IDENTICAL to the built-in chain it replaces (and
+  * so to the DuckDB oracle twins, which are unchanged):
+  *  - gram hash    = first 15 hex digits of md5(gram) as a 60-bit int,
+  *                   exactly `conv(substring(md5(g),1,15),16,10)`;
+  *  - minhash i    = min over gram hashes of (a_i*(x mod P) + b_i) mod P,
+  *                   P = 2^31-1, the same universal-hash family;
+  *  - simhash bit b = sign of the ±1 votes of bit b of each word's 64-bit
+  *                   md5 prefix, packed 16 bits per Manku band.
+  * TextSketchSpec property-checks each against its functions-built twin.
+  *
+  * Scale note: [[SimHashSig]] is not just faster — it removes the word-
+  * level explode + corpus-wide groupBy the previous shape shuffled (one
+  * row per word OCCURRENCE; at 100 TB, a ~10^12-row shuffle). The
+  * signature is now a narrow per-document projection: zero extra shuffle.
+  */
+object TextSketch {
+  val HashP = 2147483647L // 2^31 - 1, the minwise-hash modulus
+
+  private val md5tl = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** first 15 hex digits of md5(bytes[off, off+len)) as a 60-bit long —
+    * the exact value `conv(substring(md5(g),1,15),16,10)` yields
+    */
+  private def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5tl.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+    (v << 4) | ((h(7) >> 4) & 0xfL)
+  }
+
+  /** distinct (first-occurrence order) sampled char-n-gram hashes of `s`:
+    * grams of `n` CODE POINTS starting every `stride` chars (same slicing
+    * as `substr`), kept iff hash % mod == 0 — one pass, one md5 per gram
+    */
+  def hashedCharGrams(s: UTF8String, n: Int, stride: Int, mod: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val nChars = s.numChars()
+    if (nChars < n) return new GenericArrayData(Array.emptyLongArray)
+    // non-ASCII: code-point -> byte-offset table so gram slices match
+    // substr()'s code-point semantics byte-for-byte
+    var offs: Array[Int] = null
+    if (nb != nChars) {
+      offs = new Array[Int](nChars + 1)
+      var i = 0
+      var c = 0
+      while (i < nb) {
+        offs(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offs(nChars) = nb
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    val lastStart = nChars - n
+    while (start <= lastStart) {
+      val h =
+        if (offs == null) hash60(bytes, start, n)
+        else hash60(bytes, offs(start), offs(start + n) - offs(start))
+      if (h % mod == 0 && seen.add(h)) out.add(h)
+      start += stride
+    }
+    toLongArrayData(out)
+  }
+
+  /** distinct word-n-shingle hashes of single-spaced `s`: the shingle of
+    * words [i, i+n) IS the byte slice from word i's start to word
+    * i+n-1's end (the text is single-spaced), so no string is ever built
+    */
+  def hashedWordShingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // word start offsets (split on 0x20 — never a UTF-8 continuation byte)
+    val starts = new java.util.ArrayList[java.lang.Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val w = starts.size()
+    if (w < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var k = 0
+    val lastShingle = w - n
+    while (k <= lastShingle) {
+      val off = starts.get(k)
+      val end = if (k + n < w) starts.get(k + n) - 1 else nb // drop trailing space
+      val h = hash60(bytes, off, end - off)
+      if (seen.add(h)) out.add(h)
+      k += 1
+    }
+    toLongArrayData(out)
+  }
+
+  /** all `a.length` minhashes of a gram-hash set in ONE pass (vs one
+    * interpreted `array_min(transform(...))` sweep per hash); null for an
+    * empty set — the same null `array_min(empty)` yields per column
+    */
+  def minhashSig(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val m = hs.numElements()
+    if (m == 0) return null
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val y = hs.getLong(i) % HashP
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * y + b(j)) % HashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash of single-spaced text, packed into 4×16-bit band ints
+    * (Manku's banding): one md5 per word OCCURRENCE voting ±1 per bit
+    * with bit b of its 64-bit md5 prefix; s_j bit (15-i) = sign of the
+    * vote total for sig bit 16j+i, ties counting positive. Null when the
+    * text has no words (such docs had no rows in the explode shape).
+    */
+  def simhashSig(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val votes = new Array[Int](64)
+    var anyWord = false
+    val d = md5tl.get()
+    var wordStart = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == ' ') {
+        if (i > wordStart) { // skip empty words (length(word) > 0 filter)
+          anyWord = true
+          d.reset()
+          d.update(bytes, wordStart, i - wordStart)
+          val h = d.digest()
+          var v = 0L
+          var k = 0
+          while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((v >>> (63 - b)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    if (!anyWord) return null
+    val sig = new Array[Long](4)
+    var j = 0
+    while (j < 4) {
+      var sj = 0L
+      var t = 0
+      while (t < 16) {
+        if (votes(j * 16 + t) >= 0) sj |= (1L << (15 - t))
+        t += 1
+      }
+      sig(j) = sj
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private def toLongArrayData(xs: java.util.ArrayList[java.lang.Long]): ArrayData = {
+    val arr = new Array[Long](xs.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = xs.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  // ------------------------------------------------------ Column wrappers
+  def hashedCharGramsCol(c: Column, n: Int, stride: Int, mod: Int): Column =
+    ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, stride, mod, word = false))
+  def hashedWordShinglesCol(c: Column, n: Int): Column =
+    ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, 1, 1, word = true))
+  def minhashSigCol(c: Column, coeffs: Seq[(Long, Long)]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c),
+      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
+  def simhashSigCol(c: Column): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
+}
+
+/** distinct sampled n-gram (char) / n-shingle (word) 60-bit md5-prefix
+  * hashes of a normalized string — see [[TextSketch.hashedCharGrams]]
+  */
+case class HashedGrams(child: Expression, n: Int, stride: Int, mod: Int, word: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (word) TextSketch.hashedWordShingles(s, n)
+    else TextSketch.hashedCharGrams(s, n, stride, mod)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (word) s"${ev.value} = graft.functions.TextSketch.hashedWordShingles($c, $n);"
+      else s"${ev.value} = graft.functions.TextSketch.hashedCharGrams($c, $n, $stride, $mod);")
+  override protected def withNewChildInternal(newChild: Expression): HashedGrams =
+    copy(child = newChild)
+}
+
+/** the full minhash signature (one long per hash function) of a gram-hash
+  * array in one pass; null on an empty array — see [[TextSketch.minhashSig]]
+  */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.minhashSig(input.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextSketch.minhashSig($c, $aRef, $bRef);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** banded 64-bit SimHash (4×16-bit ints) of single-spaced text; null when
+  * the text has no words — see [[TextSketch.simhashSig]]
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.simhashSig(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextSketch.simhashSig($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}

@@ -128,7 +128,7 @@ object QueriesLlm {
   /** fixed-LCG (a_i, b_i) coefficient pairs, shared verbatim with the
     * oracle SQL text — no runtime randomness
     */
-  private[ops] val hashCoeffs: Seq[(Long, Long)] = {
+  private[graft] val hashCoeffs: Seq[(Long, Long)] = {
     var x = 987654321L
     def next(): Long = {
       x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
@@ -259,12 +259,16 @@ object QueriesLlm {
     * drop out — they cannot be near-dups)
     */
   private def shinglesDF(s: SparkSession, d: String): DataFrame = {
+    // shingle construction + hashing in ONE native pass per doc
+    // (graft.functions.HashedGrams — bit-identical to the former
+    // transform/concat_ws/md5 chain, TextSketchSpec): the single-spaced
+    // normalized text means the shingle of words [i, i+5) IS a byte
+    // slice, so no per-shingle string is ever allocated
     val docs = Tables.t(s, d, "documents")
-      .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= ShingleWords)
-    docs.select(col("doc_id"), hashGrams(transform(
-      sequence(lit(1), size(col("ws")) - (ShingleWords - 1)),
-      i => concat_ws(" ", slice(col("ws"), i, lit(ShingleWords))))).as("hs"))
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .filter(size(split(col("nt"), " ")) >= ShingleWords)
+    docs.select(col("doc_id"),
+      graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), ShingleWords).as("hs"))
   }
 
   private val sqlShingles =
@@ -303,10 +307,14 @@ object QueriesLlm {
     // empty instead dies naturally downstream: its minhashes are all NULL,
     // so every est-filter agreement is 0 < estMin and it can never reach
     // the verify — the same absence the oracle's per-gram rows produce.
-    docs.select(col("doc_id"), filter(hashGrams(transform(
-        sequence(lit(1), length(col("norm")) - (NgramLen - 1), lit(stride)),
-        i => col("norm").substr(i, lit(NgramLen)))),
-        h => h % sampleMod === 0).as("hs"))
+    //
+    // gram slicing + md5 + distinct + mod-sample fused into ONE native
+    // pass per doc (graft.functions.HashedGrams; bit-identical to the
+    // former substr/md5/conv/array_distinct/filter chain — TextSketchSpec.
+    // Probe `ngram`: that interpreted chain alone cost 1.9-3.0 s at sf0.1)
+    docs.select(col("doc_id"),
+      graft.functions.TextSketch.hashedCharGramsCol(
+        col("norm"), NgramLen, stride, sampleMod).as("hs"))
   }
 
   private val sqlNgrams =
@@ -338,20 +346,23 @@ object QueriesLlm {
     // allocates a struct per ELEMENT in the interpreted higher-order-
     // function path, which outweighs the saved array traversals. Kept the
     // sweeps; the real ngram lever is gram-set sampling (see [[ngramsDF]]).
-    val minhashes = (1 to numHashes).map { i =>
-      val (a, b) = hashCoeffs(i - 1)
-      array_min(transform(col("hs"),
-        x => (lit(a) * (x % HashP) + lit(b)) % HashP)).as(s"m$i")
-    }
+    // the full signature in ONE native pass over each doc's gram set
+    // (graft.functions.MinHashSig) instead of numHashes interpreted
+    // array_min(transform(...)) sweeps; bit-identical incl. the
+    // empty-set -> null behavior (TextSketchSpec). An empty sampled set
+    // yields sig NULL -> every element-compare below is null-false, the
+    // same dead end the all-NULL sweep columns produced.
     val sh = shIn.toDF("doc_id", "hs")
-      .select(Seq(col("doc_id"), col("hs")) ++ minhashes: _*)
+      .select(col("doc_id"), col("hs"),
+        graft.functions.TextSketch.minhashSigCol(
+          col("hs"), hashCoeffs.take(numHashes)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = sh.drop("hs")
     // bands of `rows` minhash rows -> (band, key) bucket stream
     val bandArr = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws("_", (1 to rows).map(r =>
-          col(s"m${rows * j + r}").cast(StringType)): _*).as("bkey"))
+          col("sig")(rows * j + r - 1).cast(StringType)): _*).as("bkey"))
     }: _*)
     val bandsAll = mh.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
@@ -385,8 +396,8 @@ object QueriesLlm {
     // (~12 KB/row) where this cascade ships 16 longs until the estimate
     // passes. The two-stage shape is also the 100 TB shape: narrow first.)
     val estMin = math.max(0, math.ceil(numHashes * (thr - 0.3)).toInt)
-    val agree = (1 to numHashes).map(i =>
-      when(col(s"ma.m$i") === col(s"mb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    val agree = (0 until numHashes).map(i =>
+      when(col("ma.sig")(i) === col("mb.sig")(i), 1).otherwise(0)).reduce(_ + _)
     val cand = candRaw
       .join(mh.as("ma"), col("a") === col("ma.doc_id"))
       .join(mh.as("mb"), col("b") === col("mb.doc_id"))
@@ -704,31 +715,21 @@ object QueriesLlm {
       // is 4 bit_count(xor) ops per pair instead of the r3 shape's 64
       // substring compares (the bench's slowest query at 16 s). Portable:
       // DuckDB casts '0x…' hex to BIGINT and has >>, xor(), bit_count().
-      val words = Tables.t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(split(normText(col("text")), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .select(col("doc_id"), md5(col("word")).as("h"))
-      val chunks = (0 until SimBits / 16).map(j =>
-        conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast(LongType).as(s"c$j"))
-      val wc = words.select(col("doc_id") +: chunks: _*)
-      // per-bit vote totals v_b = sum(±1) over word occurrences
-      val bitAggs = (0 until SimBits).map { b =>
-        val j = b / 16
-        val k = 15 - (b % 16)
-        sum(shiftright(col(s"c$j"), k) % 2 * 2 - 1).as(s"v$b")
-      }
-      // pack the 16 vote signs of band j into int s_j (bit 15-i of s_j =
-      // sign of vote for sig bit j*16+i — same bit order as the r3 string)
-      val sigCols = (0 until SimBands).map { j =>
-        (0 until 16).map { i =>
-          when(col(s"v${j * 16 + i}") >= 0, lit(1L << (15 - i))).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"s$j")
-      }
+      // the whole per-doc vote-and-pack in ONE native pass
+      // (graft.functions.SimHashSig; bit-identical to the former
+      // explode + md5-per-word + 64 vote sums — TextSketchSpec). This is
+      // a SCALE fix as much as a speed fix: the explode shape shuffled
+      // one row per word OCCURRENCE through a corpus-wide groupBy; the
+      // signature is now a narrow projection — zero extra shuffle.
+      // Docs with no words return a null signature and are dropped, the
+      // same absence the inner word-aggregation produced.
+      val sigArr = graft.functions.TextSketch.simhashSigCol(normText(col("text")))
       // one row per doc; persisted so both sides of the bucket self-join
-      // read it back instead of re-running the corpus-wide word aggregation
-      val sig = wc.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id") +: sigCols: _*)
+      // read it back instead of re-running the per-doc signatures
+      val sig = Tables.t(s, d, "documents")
+        .select(col("doc_id"), sigArr.as("sa"))
+        .filter(col("sa").isNotNull)
+        .select(col("doc_id") +: (0 until SimBands).map(j => col("sa")(j).as(s"s$j")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Manku-style banding: 4 blocks of 16 bits; any pair within hamming 3
       // agrees on >=1 whole block, so the block-bucket join has full recall
@@ -852,13 +853,17 @@ object QueriesLlm {
       // on the gram, never a cross join — the standard decontamination
       // shape (e.g. GPT-3 appendix C) at corpus scale
       val n = 8
+      // the index keys are 60-bit gram FINGERPRINTS (one native pass per
+      // doc, graft.functions.HashedGrams), not gram strings: the equi-join
+      // shuffles fixed-width longs instead of ~50-byte text, and the gram
+      // strings are never materialized. The oracle joins the raw strings —
+      // identical n_hits (hash is injective on the corpus; a 2^-60
+      // collision would be caught as a CORRECTNESS diff).
       val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .filter(size(split(col("nt"), " ")) >= n)
       val grams = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("g"))
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n)).as("g"))
       val bench = grams.filter(col("doc_id") < 5)
         .select(col("g")).distinct()
       grams.filter(col("doc_id") >= 5)

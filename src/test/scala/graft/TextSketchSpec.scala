@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.SparkTestSession
+
+/** The native sketch expressions must be BIT-IDENTICAL to the
+  * functions-built chains they replaced (which are what the DuckDB
+  * oracle twins mirror). Each test evaluates both formulations over the
+  * same input — generated strings incl. multi-byte chars, plus the real
+  * fixture corpus — and compares exactly.
+  */
+class TextSketchSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  import org.apache.spark.sql.Column
+
+  private val norm: Column => Column =
+    c => trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** the replaced chain: conv(substring(md5(g),1,15),16,10) over substr grams */
+  private def oldCharGrams(c: Column, n: Int, stride: Int, mod: Int): Column =
+    filter(array_distinct(transform(
+      sequence(lit(1), length(c) - (n - 1), lit(stride)),
+      i => conv(substring(md5(c.substr(i, lit(n))), 1, 15), 16, 10).cast(LongType))),
+      h => h % mod === 0)
+
+  private def oldWordShingles(ws: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(n)))), 1, 15), 16, 10)
+        .cast(LongType)))
+
+  private def docsNorm(sf: String): DataFrame =
+    graft.ops.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), norm(col("text")).as("nt"))
+
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(0, 200)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString), 3 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "Ω", "中", "𐍈"))) // incl. a surrogate pair
+  } yield cs.mkString
+
+  private def compareCols(df: DataFrame, a: Column, b: Column): Unit = {
+    val bad = df.select(a.as("x"), b.as("y"))
+      .filter(!(col("x") <=> col("y"))).limit(5).collect()
+    assert(bad.isEmpty, s"mismatch rows: ${bad.mkString("; ")}")
+  }
+
+  test("HashedGrams(char) == the built-in chain on generated strings") {
+    val texts = Gen.listOfN(60, genText).sample.get :+ "" :+ "ab" :+ "     " :+ "中中中中中中"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.map(Row(_)), 4),
+      StructType(Seq(StructField("t", StringType))))
+      .select(norm(col("t")).as("nt")).filter(length(col("nt")) >= 5)
+    compareCols(df,
+      TextSketch.hashedCharGramsCol(col("nt"), 5, 2, 4),
+      oldCharGrams(col("nt"), 5, 2, 4))
+    compareCols(df, // unsampled config (stride 1, no mod)
+      TextSketch.hashedCharGramsCol(col("nt"), 5, 1, 1),
+      oldCharGrams(col("nt"), 5, 1, 1))
+  }
+
+  test("HashedGrams(char) == the built-in chain on the fixture corpus") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val df = docsNorm(d).filter(length(col("nt")) >= 5)
+    compareCols(df,
+      TextSketch.hashedCharGramsCol(col("nt"), 5, 2, 4),
+      oldCharGrams(col("nt"), 5, 2, 4))
+  }
+
+  test("HashedGrams(word) == the built-in shingle chain on the fixture corpus") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val df = docsNorm(d)
+      .select(col("nt"), split(col("nt"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+    compareCols(df,
+      TextSketch.hashedWordShinglesCol(col("nt"), 5),
+      oldWordShingles(col("ws"), 5))
+  }
+
+  test("MinHashSig == the 16 array_min sweeps (incl. null on empty set)") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val coeffs = graft.ops.QueriesLlm.hashCoeffs
+    val hs = TextSketch.hashedCharGramsCol(col("nt"), 5, 2, 4)
+    val df = docsNorm(d).filter(length(col("nt")) >= 5).select(hs.as("hs"))
+    val sweeps = array(coeffs.map { case (a, b) =>
+      array_min(transform(col("hs"),
+        x => (lit(a) * (x % TextSketch.HashP) + lit(b)) % TextSketch.HashP))
+    }: _*)
+    // array(null-elements) vs null array: compare element-wise through
+    // coalesce so "empty set -> all-null sweeps" matches "null sig"
+    val sig = TextSketch.minhashSigCol(col("hs"), coeffs)
+    compareCols(df.filter(size(col("hs")) > 0), sig, sweeps)
+    val empties = df.filter(size(col("hs")) === 0)
+      .select(TextSketch.minhashSigCol(col("hs"), coeffs).as("sig"))
+      .filter(col("sig").isNotNull).count()
+    assert(empties == 0L)
+  }
+
+  test("SimHashSig == the explode+vote aggregation on the fixture corpus") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val doc = docsNorm(d)
+    // the replaced shape: one md5 per word occurrence, 64 vote sums
+    val words = doc
+      .select(col("doc_id"), explode(split(col("nt"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), md5(col("word")).as("h"))
+    val chunks = (0 until 4).map(j =>
+      conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast(LongType).as(s"c$j"))
+    val wc = words.select(col("doc_id") +: chunks: _*)
+    val bitAggs = (0 until 64).map { b =>
+      val j = b / 16
+      val k = 15 - (b % 16)
+      sum(shiftright(col(s"c$j"), k) % 2 * 2 - 1).as(s"v$b")
+    }
+    val sigCols = (0 until 4).map { j =>
+      (0 until 16).map { i =>
+        when(col(s"v${j * 16 + i}") >= 0, lit(1L << (15 - i))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val oldSig = wc.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), array(sigCols: _*).as("sig_old"))
+    val newSig = doc
+      .select(col("doc_id"), TextSketch.simhashSigCol(col("nt")).as("sig_new"))
+      .filter(col("sig_new").isNotNull)
+    val joined = oldSig.join(newSig, "doc_id")
+    assert(joined.count() == oldSig.count(), "doc coverage differs")
+    assert(joined.count() == newSig.count(), "doc coverage differs")
+    val bad = joined.filter(!(col("sig_old") <=> col("sig_new"))).limit(5).collect()
+    assert(bad.isEmpty, s"signature mismatch: ${bad.mkString("; ")}")
+  }
+}
