@@ -811,6 +811,49 @@ object QueriesLlm {
         nTables = 1, nPlanes = NumPlanes)
     },
 
+    // ------------------------- top-k similarity (IVF coarse-quantizer path)
+    "q_llm_simsearch_ivf" -> { (s, d) =>
+      // the OTHER standard ANN family (inverted-file): a K-centroid coarse
+      // codebook partitions the corpus into inverted lists; a query probes
+      // only the nprobe nearest lists. Build = one narrow corpus pass
+      // against the BROADCAST codebook with a partial-agg'd argmax (max of
+      // a (cos, -cid) struct — never a window, so assignment map-side
+      // combines); search scans ~nprobe/K of the corpus. Centroids here
+      // are deterministic seed vectors (the K lowest vec_ids) so the
+      // DuckDB twin is exact; a production build would Lloyd-iterate the
+      // codebook — each iteration is this same assign shape plus a
+      // per-cid average, no new plan shapes.
+      val ivfK = 16
+      val nprobe = 4
+      val emb = Tables.t(s, d, "embeddings")
+      val v = emb.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("vn"))
+      val cents = v.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("vn").as("cn"))
+      val assign = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("vn"), col("cid"),
+          (dot(col("embedding"), col("cvec")) / (col("vn") * col("cn"))).as("cos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
+          first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid"), col("embedding"), col("vn"))
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("vn").as("qn"))
+      val probes = cents.crossJoin(broadcast(q))
+        .select(col("cid"),
+          (dot(col("cvec"), col("qe")) / (col("cn") * col("qn"))).as("qcos"))
+        .orderBy(col("qcos").desc, col("cid").asc)
+        .limit(nprobe)
+        .select("cid")
+      assign.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("embedding"), col("qe")) / (col("vn") * col("qn")), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
     // ----------------- train/val/test split: deterministic hash bucketing
     "q_llm_split" -> { (s, d) =>
       // split assignment must be a pure function of the doc key (stable
@@ -1090,6 +1133,28 @@ object QueriesLlm {
          |             (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot("qe", "qe")})), 4) AS score
          |FROM b CROSS JOIN q
          |WHERE b.bucket = q.qbucket AND vec_id <> 0
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "q_llm_simsearch_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS vn
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec, vn AS cn FROM v WHERE vec_id < 16),
+         |a0 AS (SELECT v.vec_id, v.embedding, v.vn, c.cid,
+         |              ${sqlDot("v.embedding", "c.cvec")} / (v.vn * c.cn) AS cos
+         |       FROM v CROSS JOIN c),
+         |assign AS (SELECT vec_id, embedding, vn, cid FROM (
+         |       SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY cos DESC, cid ASC) AS rn
+         |       FROM a0) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe, vn AS qn FROM v WHERE vec_id = 0),
+         |p0 AS (SELECT c.cid, ${sqlDot("c.cvec", "q.qe")} / (c.cn * q.qn) AS qcos
+         |       FROM c CROSS JOIN q),
+         |probes AS (SELECT cid FROM p0 ORDER BY qcos DESC, cid ASC LIMIT 4)
+         |SELECT a.vec_id,
+         |       round(${sqlDot("a.embedding", "q.qe")} / (a.vn * q.qn), 4) AS score
+         |FROM assign a JOIN probes USING (cid) CROSS JOIN q
+         |WHERE a.vec_id <> 0
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
 

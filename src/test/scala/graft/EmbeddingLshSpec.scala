@@ -83,4 +83,17 @@ class EmbeddingLshSpec extends AnyFunSuite {
     info(s"top-10 overlap with exact: single(1x8)=$hs banded(8x8)=$hb")
     assert(hb >= hs)
   }
+
+  test("IVF top-k (16 lists, nprobe 4) recalls most of the exact top-k") {
+    assume(new java.io.File(s"$d/embeddings.parquet").exists())
+    val exact = QueriesLlm.queries("q_llm_simsearch_topk")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = QueriesLlm.queries("q_llm_simsearch_ivf")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val hit = ivf.intersect(exact).size
+    info(s"IVF top-10 overlap with exact top-10: $hit/10")
+    // nprobe/K = 1/4 of the corpus scanned; seed (untrained) centroids —
+    // the floor documents the recall/cost point, not a tuned optimum
+    assert(hit >= 5, s"IVF recall collapsed: $hit/10")
+  }
 }
