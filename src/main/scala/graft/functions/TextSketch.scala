@@ -198,6 +198,41 @@ object TextSketch {
     new GenericArrayData(sig)
   }
 
+  /** (count of the single most repeated word-n-gram, total gram count) of
+    * single-spaced text — the Gopher repetition signal — in one pass over
+    * the NON-distinct gram multiset (repetition is the point). Grams are
+    * counted by 60-bit fingerprint, not string (a 2^-60 collision could
+    * only merge two counts). Null when the text has < n words (such docs
+    * are filtered before the expression anyway).
+    */
+  def gramTopCount(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val starts = new java.util.ArrayList[java.lang.Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val w = starts.size()
+    if (w < n) return null
+    val counts = new java.util.HashMap[java.lang.Long, Int]()
+    var top = 0
+    var k = 0
+    val lastShingle = w - n
+    while (k <= lastShingle) {
+      val off = starts.get(k)
+      val end = if (k + n < w) starts.get(k + n) - 1 else nb
+      val h = hash60(bytes, off, end - off)
+      val c = counts.merge(h, 1, (x, y) => x + y)
+      if (c > top) top = c
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top.toLong, (w - n + 1).toLong))
+  }
+
   private def toLongArrayData(xs: java.util.ArrayList[java.lang.Long]): ArrayData = {
     val arr = new Array[Long](xs.size())
     var i = 0
@@ -215,6 +250,8 @@ object TextSketch {
       coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
   def simhashSigCol(c: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
+  def gramTopCountCol(c: Column, n: Int): Column =
+    ColumnBridge.column(GramTopCount(ColumnBridge.expression(c), n))
 }
 
 /** distinct sampled n-gram (char) / n-shingle (word) 60-bit md5-prefix
@@ -253,6 +290,25 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** (top word-n-gram count, total gram count) of single-spaced text; null
+  * below n words — see [[TextSketch.gramTopCount]]
+  */
+case class GramTopCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", LongType, nullable = false),
+    StructField("total", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.gramTopCount(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextSketch.gramTopCount($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GramTopCount =
     copy(child = newChild)
 }
 

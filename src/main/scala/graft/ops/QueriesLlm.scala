@@ -966,18 +966,21 @@ object QueriesLlm {
       // gram — high values flag boilerplate/looping text. Non-distinct
       // grams (repetition is the point), one groupBy per level.
       val n = 3
-      val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= n)
-      val grams = docs.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("g"))
-      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(round(max("c").cast(DoubleType) / sum("c"), 4).as("rep_ratio"),
-             max("c").as("top_gram_cnt"))
+      // per-doc top-gram/total counts in ONE native pass
+      // (graft.functions.GramTopCount, counting by 60-bit fingerprint):
+      // the former explode + groupBy(doc_id, gram) + groupBy(doc_id)
+      // shuffled one row per gram OCCURRENCE corpus-wide, twice — a
+      // per-document statistic needs no shuffle at all. Projection sits
+      // above the total ORDER BY (probe `sortproj`).
+      val tc = graft.functions.TextSketch.gramTopCountCol(col("nt"), n)
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .filter(size(split(col("nt"), " ")) >= n)
         .orderBy("doc_id")
+        .select(col("doc_id"),
+          round(tc.getField("top").cast(DoubleType) /
+            tc.getField("total").cast(DoubleType), 4).as("rep_ratio"),
+          tc.getField("top").as("top_gram_cnt"))
     },
 
     // ----------------------------------------- text analysis: term freqs

@@ -105,6 +105,30 @@ class TextSketchSpec extends AnyFunSuite {
     assert(empties == 0L)
   }
 
+  test("GramTopCount == the explode+groupBy counts on the fixture corpus") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val n = 3
+    val doc = docsNorm(d)
+      .select(col("doc_id"), col("nt"), split(col("nt"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+    val old = doc.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_old"), sum("c").as("total_old"))
+    val neu = doc.select(col("doc_id"),
+      TextSketch.gramTopCountCol(col("nt"), n).as("tc"))
+    val joined = old.join(neu, "doc_id")
+    assert(joined.count() == old.count() && joined.count() == neu.count())
+    val bad = joined.filter(
+      col("tc.top") =!= col("top_old") || col("tc.total") =!= col("total_old"))
+      .limit(5).collect()
+    assert(bad.isEmpty, s"count mismatch: ${bad.mkString("; ")}")
+  }
+
   test("SimHashSig == the explode+vote aggregation on the fixture corpus") {
     val d = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$d/documents.parquet").exists())
