@@ -510,7 +510,10 @@ object StatementRouter {
     "ends_with"      -> "endswith",
     // boolean regexp_matches(s, p) — Spark's regexp_like (the multi-flag
     // DuckDB form has no 1:1 twin and stays out)
-    "regexp_matches" -> "regexp_like")
+    "regexp_matches" -> "regexp_like",
+    // epoch(ts) -> seconds BIGINT on both engines (epoch_ms is untouched:
+    // `_` is a word char, the boundary fails)
+    "epoch"          -> "unix_timestamp")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
@@ -696,6 +699,275 @@ object StatementRouter {
   private val SampleRowsRe =
     """(?i)\bUSING\s+SAMPLE\s+(\d+)(?:\s+ROWS)?\b""".r
 
+  // ------------------------------------------ DuckDB bracket semantics
+  // DuckDB subscripts are 1-BASED (`arr[1]` = first element) and a bare
+  // `[a, b, c]` is a list constructor; Spark's `[]` is 0-based and has no
+  // bare list literal. Passing a DuckDB subscript through unchanged is
+  // the worst dialect failure mode — silently WRONG by one — so `[...]`
+  // is rewritten: subscripts -> element_at(base, idx) (1-based in Spark,
+  // matching DuckDB; works for maps too), literals -> array(...). Slices
+  // (`x[1:3]`) are left for Spark to reject loudly rather than guessed.
+
+  /** mask of positions inside '…'/"…" literals (quote-aware scanners) */
+  private def literalMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var i = 0
+    var inS = false
+    var inD = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { m(i) = true; if (c == '\'') { if (i + 1 < s.length && s.charAt(i + 1) == '\'') { m(i + 1) = true; i += 1 } else inS = false } }
+      else if (inD) { m(i) = true; if (c == '"') inD = false }
+      else if (c == '\'') { m(i) = true; inS = true }
+      else if (c == '"') { m(i) = true; inD = true }
+      i += 1
+    }
+    m
+  }
+
+  private def identChar(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  /** SQL words that can directly precede a bare list literal — never the
+    * base of a subscript
+    */
+  private val NonBaseWords = Set("select", "from", "where", "when", "then",
+    "else", "end", "and", "or", "not", "in", "on", "by", "as", "case",
+    "union", "all", "distinct", "having", "group", "order", "limit",
+    "offset", "join", "left", "right", "full", "cross", "values",
+    "between", "like", "ilike", "is", "null", "true", "false", "return",
+    "returning", "array", "row", "if", "coalesce", "unnest")
+
+  /** type names: `INTEGER[]` / `VARCHAR[3]` are array TYPE declarations,
+    * not subscripts
+    */
+  private val TypeWords = Set("int", "integer", "int4", "int8", "bigint",
+    "smallint", "tinyint", "hugeint", "varchar", "text", "string", "char",
+    "double", "float", "float4", "float8", "real", "decimal", "numeric",
+    "date", "timestamp", "timestamptz", "time", "boolean", "bool", "blob",
+    "bytea", "uuid", "json", "interval")
+
+  /** start index of the primary expression ending just before `end`
+    * (identifier chain, call, parenthesized/bracketed group, quoted
+    * ident — with `.`-qualified continuations), or -1
+    */
+  private def primaryStart(s: String, end: Int): Int = {
+    var k = end - 1
+    while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+    var start = -1
+    var go = k >= 0
+    while (go) {
+      val c = s.charAt(k)
+      if (c == ')' || c == ']') {
+        val open = if (c == ')') '(' else '['
+        var depth = 0
+        var j = k
+        var found = -1
+        while (j >= 0 && found < 0) {
+          val cj = s.charAt(j)
+          if (cj == c) depth += 1
+          else if (cj == open) { depth -= 1; if (depth == 0) found = j }
+          j -= 1
+        }
+        if (found < 0) return -1
+        k = found - 1
+        start = found
+        if (c == ')' && k >= 0 && identChar(s.charAt(k))) { // call: include fn name
+          while (k >= 0 && identChar(s.charAt(k))) k -= 1
+          start = k + 1
+        }
+      } else if (c == '"') {
+        var j = k - 1
+        while (j >= 0 && s.charAt(j) != '"') j -= 1
+        if (j < 0) return -1
+        start = j
+        k = j - 1
+      } else if (identChar(c)) {
+        while (k >= 0 && identChar(s.charAt(k))) k -= 1
+        start = k + 1
+      } else return start
+      if (k >= 0 && s.charAt(k) == '.') { k -= 1; go = k >= 0 }
+      else go = false
+    }
+    start
+  }
+
+  private def matchingBracket(s: String, open: Int, lit: Array[Boolean]): Int = {
+    var i = open
+    var depth = 0
+    while (i < s.length) {
+      if (!lit(i)) s.charAt(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private[lake] def rewriteBrackets(s: String): String = {
+    val lit = literalMask(s)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '[' && !lit(i)) {
+        val close = matchingBracket(s, i, lit)
+        if (close < 0) return s // unbalanced — let the engine report it
+        val content = s.substring(i + 1, close)
+        var p = i - 1
+        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+        val prev = if (p >= 0) s.charAt(p) else ' '
+        val subscriptish = p >= 0 && !lit(p) &&
+          (identChar(prev) || prev == ')' || prev == ']' || prev == '"')
+        lazy val baseStart = primaryStart(s, i)
+        lazy val base = if (baseStart >= 0) s.substring(baseStart, i).trim else ""
+        lazy val baseWord = base.toLowerCase
+        val topColon = { // slice x[a:b] — leave for a loud engine error
+          var j = i + 1; var d = 0; var colon = false
+          while (j < close && !colon) {
+            if (!lit(j)) s.charAt(j) match {
+              case '[' | '(' => d += 1
+              case ']' | ')' => d -= 1
+              case ':' if d == 0 => colon = true
+              case _ =>
+            }
+            j += 1
+          }
+          colon
+        }
+        if (subscriptish && baseStart >= 0 && !NonBaseWords.contains(baseWord)) {
+          if (content.trim.isEmpty || TypeWords.contains(baseWord) || topColon) {
+            i = close + 1 // array TYPE decl / slice — unchanged
+          } else {
+            val out = s.substring(0, baseStart) +
+              s"element_at($base, $content)" + s.substring(close + 1)
+            return rewriteBrackets(out)
+          }
+        } else if (prev == '\'') {
+          i = close + 1 // string subscript — unsupported, leave loud
+        } else if (!topColon) { // bare list literal
+          val out = s.substring(0, i) + s"array($content)" + s.substring(close + 1)
+          return rewriteBrackets(out)
+        } else i = close + 1
+      } else i += 1
+    }
+    s
+  }
+
+  // ------------------------------- DuckDB function-call shape rewrites
+
+  /** rewrite each top-level call of `name`: `f(args)` returning None
+    * leaves that call unchanged (and scanning continues past it)
+    */
+  private def rewriteCalls(s0: String, name: String)(f: Seq[String] => Option[String]): String = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+    var s = s0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(s)
+      re.findFirstMatchIn(s.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          val open = from + m.end - 1
+          if (lit(start)) from = start + 1
+          else {
+            val close = matchingParen(s, open)
+            f(splitTopCommas(s.substring(open + 1, close))) match {
+              case Some(rep) =>
+                s = s.substring(0, start) + rep + s.substring(close + 1)
+                from = start + rep.length
+              case None => from = open + 1
+            }
+          }
+      }
+    }
+    s
+  }
+
+  private def quotedLiteral(e: String): Option[String] = {
+    val t = e.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+      !t.substring(1, t.length - 1).contains('\'')) Some(t.substring(1, t.length - 1))
+    else None
+  }
+
+  /** C-style strftime directives -> Java date_format pattern letters */
+  private val StrftimeMap = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%-m" -> "M",
+    "%d" -> "dd", "%-d" -> "d", "%H" -> "HH", "%-H" -> "H",
+    "%I" -> "hh", "%-I" -> "h", "%M" -> "mm", "%-M" -> "m",
+    "%S" -> "ss", "%-S" -> "s", "%f" -> "SSSSSS", "%g" -> "SSS",
+    "%j" -> "DDD", "%-j" -> "D", "%a" -> "EEE", "%A" -> "EEEE",
+    "%b" -> "MMM", "%B" -> "MMMM", "%p" -> "a", "%%" -> "%")
+
+  /** translate a strftime format to a Java pattern; literal runs with
+    * letters are single-quoted. Unknown directives throw — a silently
+    * wrong timestamp format is worse than an error.
+    */
+  private[lake] def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val litRun = new StringBuilder
+    def flush(): Unit = if (litRun.nonEmpty) {
+      val t = litRun.toString
+      if (t.exists(_.isLetter) || t.contains('\''))
+        out.append("'").append(t.replace("'", "''")).append("'")
+      else out.append(t)
+      litRun.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        val d3 = if (i + 2 < fmt.length) fmt.substring(i, i + 3) else ""
+        val d2 = if (i + 1 < fmt.length) fmt.substring(i, i + 2) else ""
+        StrftimeMap.find(_._1 == d3).orElse(StrftimeMap.find(_._1 == d2)) match {
+          case Some((k, v)) => flush(); out.append(v); i += k.length
+          case None => throw new IllegalArgumentException(
+            s"unsupported strftime directive at '$d2' in format '$fmt'")
+        }
+      } else { litRun.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  private def rewriteStrftime(q: String): String =
+    rewriteCalls(q, "strftime") {
+      case Seq(ts, fmt) => quotedLiteral(fmt).map(f =>
+        s"date_format($ts, '${strftimeToJava(f).replace("'", "''")}')")
+      case _ => None
+    }
+
+  /** date_diff('day', a, b) -> datediff(b, a): identical semantics
+    * (midnight-boundary count). Other parts differ between the engines'
+    * boundary-count vs complete-unit conventions — left to error loudly.
+    */
+  private def rewriteDateDiff(q: String): String = {
+    def f(args: Seq[String]): Option[String] = args match {
+      case Seq(part, a, b) if quotedLiteral(part).exists(p =>
+        Set("day", "days", "d").contains(p.toLowerCase)) =>
+        Some(s"datediff($b, $a)")
+      case _ => None
+    }
+    rewriteCalls(rewriteCalls(q, "date_diff")(f), "datediff")(f)
+  }
+
+  /** string_split(s, 'sep') -> split(s, '\\Qsep\\E'): DuckDB's separator
+    * is a LITERAL; Spark's split takes a regex, so the separator is
+    * \Q-quoted (the backslashes doubled again for Spark's backslash-
+    * escaped string literals). Non-literal separators are left unchanged
+    * (loud error beats silently regex-interpreting a literal).
+    */
+  private def rewriteStringSplit(q: String): String = {
+    def f(args: Seq[String]): Option[String] = args match {
+      case Seq(s, sep) => quotedLiteral(sep).map { lit =>
+        s"split($s, '\\\\Q${lit.replace("'", "''")}\\\\E')"
+      }
+      case _ => None
+    }
+    rewriteCalls(rewriteCalls(q, "string_split")(f), "str_split")(f)
+  }
+
   /** the full DuckDB-dialect pass (see the block comment above) */
   def rewriteDialect(sql: String): String = {
     var q = mapOutsideLiterals(sql)(renameFns)
@@ -718,6 +990,10 @@ object StatementRouter {
         SamplePctRe.replaceAllIn(seg, "TABLESAMPLE ($1 PERCENT)"),
         "TABLESAMPLE ($1 ROWS)")
     }
+    q = rewriteStrftime(q)
+    q = rewriteDateDiff(q)
+    q = rewriteStringSplit(q)
+    q = rewriteBrackets(q)
     q = rewriteStarReplace(q)
     q = rewriteDistinctOn(q)
     q = rewriteQualify(q)

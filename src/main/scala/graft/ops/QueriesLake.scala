@@ -380,6 +380,24 @@ object QueriesLake {
           |WHERE regexp_matches(grp, '^[ab]+$')
           |GROUP BY ALL
           |ORDER BY ALL""".stripMargin)
+    },
+    // r7b dialect breadth: 1-BASED bracket subscripts + bare list
+    // literals (DuckDB `[…]` — passing these through unchanged would be
+    // silently off by one in Spark), strftime C-directives, literal-
+    // separator string_split, date_diff('day', …)
+    "q_lake_dialect3" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE ev3(id INTEGER, s VARCHAR, d DATE);
+          |INSERT INTO ev3 VALUES (1, 'a|b|c', DATE '1995-03-15'),
+          |                       (2, 'x|y',   DATE '1995-04-01')""".stripMargin)
+      lake.sql(
+        """SELECT id,
+          |       string_split(s, '|')[1] AS first_tok,
+          |       [id, id * 2][2] AS dbl,
+          |       strftime(d, '%Y/%m/%d') AS dstr,
+          |       date_diff('day', DATE '1995-01-01', d) AS dd
+          |FROM ev3 ORDER BY id""".stripMargin)
     }
   )
 
@@ -460,6 +478,9 @@ object QueriesLake {
        "t(grp, half, total_str, vs, a_cnt) ORDER BY grp"),
     "q_lake_add_files" ->
       ("SELECT * FROM (VALUES (1,'native','west'),(10,'x','east'),(11,'y','east')) " +
-       "t(id, v, region) ORDER BY id")
+       "t(id, v, region) ORDER BY id"),
+    "q_lake_dialect3" ->
+      ("SELECT * FROM (VALUES (1, 'a', 2, '1995/03/15', 73), (2, 'x', 4, '1995/04/01', 90)) " +
+       "t(id, first_tok, dbl, dstr, dd) ORDER BY id")
   )
 }

@@ -130,4 +130,71 @@ class DialectRewriteSpec extends AnyFunSuite {
       "WITH c AS (SELECT 1 AS x) SELECT * FROM c"))
       assert(rewriteDialect(q) == q)
   }
+
+  test("r7b: subscripts become 1-based element_at, list literals become array()") {
+    assert(rewriteDialect("SELECT arr[1] FROM t") ==
+      "SELECT element_at(arr, 1) FROM t")
+    assert(rewriteDialect("SELECT t.arr[i + 1] FROM t") ==
+      "SELECT element_at(t.arr, i + 1) FROM t")
+    assert(rewriteDialect("SELECT split(s, ',')[2] FROM t") ==
+      "SELECT element_at(split(s, ','), 2) FROM t")
+    assert(rewriteDialect("SELECT m['k'] FROM t") ==
+      "SELECT element_at(m, 'k') FROM t")
+    assert(rewriteDialect("SELECT a[1][2] FROM t") ==
+      "SELECT element_at(element_at(a, 1), 2) FROM t")
+    assert(rewriteDialect("SELECT [1, 2, 3] AS xs") ==
+      "SELECT array(1, 2, 3) AS xs")
+    assert(rewriteDialect("SELECT CASE WHEN c THEN [1] ELSE [] END") ==
+      "SELECT CASE WHEN c THEN array(1) ELSE array() END")
+    assert(rewriteDialect("SELECT [a, b][1]") ==
+      "SELECT element_at(array(a, b), 1)")
+  }
+
+  test("r7b: array TYPE declarations, slices, and literal contents untouched") {
+    assert(rewriteDialect("SELECT CAST(x AS INTEGER[]) FROM t") ==
+      "SELECT CAST(x AS INTEGER[]) FROM t")
+    val slice = "SELECT arr[1:3] FROM t"
+    assert(rewriteDialect(slice) == slice)
+    val lit = "SELECT 'a[1]' AS s FROM t"
+    assert(rewriteDialect(lit) == lit)
+  }
+
+  test("r7b: strftime translates C directives to a date_format pattern") {
+    assert(rewriteDialect("SELECT strftime(ts, '%Y-%m-%d') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
+    assert(rewriteDialect("SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss') FROM t")
+    // unknown directive must throw, not silently emit a wrong format
+    intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT strftime(ts, '%V') FROM t")
+    }
+    // non-literal format: left unchanged (loud engine error beats a guess)
+    val dyn = "SELECT strftime(ts, fmt) FROM t"
+    assert(rewriteDialect(dyn) == dyn)
+  }
+
+  test("r7b: date_diff('day', a, b) flips to datediff(b, a); other parts untouched") {
+    assert(rewriteDialect("SELECT date_diff('day', d1, d2) FROM t") ==
+      "SELECT datediff(d2, d1) FROM t")
+    assert(rewriteDialect("SELECT datediff('day', d1, d2) FROM t") ==
+      "SELECT datediff(d2, d1) FROM t")
+    val m = "SELECT date_diff('month', d1, d2) FROM t"
+    assert(rewriteDialect(m) == m)
+    // Spark's own 2-arg datediff passes through
+    val two = "SELECT datediff(d2, d1) FROM t"
+    assert(rewriteDialect(two) == two)
+  }
+
+  test("r7b: string_split literal separator is regex-quoted; epoch maps") {
+    assert(rewriteDialect("SELECT string_split(s, '|') FROM t") ==
+      "SELECT split(s, '\\\\Q|\\\\E') FROM t")
+    assert(rewriteDialect("SELECT str_split(s, '.') FROM t") ==
+      "SELECT split(s, '\\\\Q.\\\\E') FROM t")
+    val dyn = "SELECT string_split(s, sep) FROM t"
+    assert(rewriteDialect(dyn) == dyn)
+    assert(rewriteDialect("SELECT epoch(ts) FROM t") ==
+      "SELECT unix_timestamp(ts) FROM t")
+    val ms = "SELECT epoch_ms(ts) FROM t"
+    assert(rewriteDialect(ms) == ms)
+  }
 }
