@@ -102,6 +102,15 @@ object Probe {
       df.show(5)
     }
 
+    section("mwplan") {
+      val df = graft.ops.QueriesRelational.queries("q_join_multiway")(spark, d)
+      df.write.format("noop").mode("overwrite").save()
+      // post-AQE final plan: which joins ended up broadcast?
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .mkString("\n"))
+    }
+
     // r6: where does q_llm_dedup_ngram's time go? Stage-by-stage over the
     // documents table (char-5-grams), mirroring QueriesLlm's shapes.
     section("ngram") {

@@ -57,4 +57,34 @@ class PlanShapeSpec extends AnyFunSuite {
   test("brute-force similarity top-k short-circuits (no full sort of scores)") {
     assert(plan("q_llm_simsearch_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("r7b: per-doc sketch queries plan ZERO data shuffles beyond their contract") {
+    // q_llm_repetition is a per-document statistic: exactly ONE exchange
+    // (the mandated total ORDER BY's range partitioning), no hash
+    // exchange, no Generate/explode — the zero-shuffle claim in SCALE.md
+    val p = plan("q_llm_repetition")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the ORDER BY exchange, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("Generate"), "repetition re-grew an explode")
+  }
+
+  test("r7b: wide per-row function projections sit ABOVE the total sort") {
+    // the sort's child must be the narrow scan, not the computed
+    // projection (a projection below a global sort runs twice — once in
+    // the range-sampling pass — and single-threaded on 1-partition input)
+    for (q <- Seq("q_fn_math", "q_fn_json", "q_fn_string")) {
+      val lp = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
+      assert(lp.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project],
+        s"$q: top operator should be the computing Project, got ${lp.nodeName}")
+      assert(lp.children.head.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort],
+        s"$q: the Project must sit directly above the Sort, got ${lp.children.head.nodeName}")
+    }
+  }
+
+  test("r7b: IVF build/search broadcasts the codebook and probe list, no cartesian blowup") {
+    val p = plan("q_llm_simsearch_ivf")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), "IVF planned a real cartesian")
+  }
 }
