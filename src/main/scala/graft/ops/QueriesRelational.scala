@@ -61,6 +61,44 @@ object QueriesRelational {
     }
   }
 
+  /** Two-path skew-mitigated join (the production pattern AQE's skew-join
+    * generalizes): detect the keys whose FACT rows exceed `hotThreshold`
+    * (one cheap fact-side agg — the hot set is tiny by construction:
+    * few keys can exceed a task's worth of rows, so it broadcasts),
+    * salt ONLY those — fact rows take a deterministic salt (no rand():
+    * stable under task retries), the dim side replicates SALT ways for
+    * hot keys only — and join everything else plain. The r6 shape
+    * replicated the ENTIRE dim side 8x, paying 8x dim shuffle for keys
+    * that were never skewed. The ORACLE IS THE PLAIN JOIN: mitigation
+    * must be invisible in results (SkewJoinSpec drives both paths with a
+    * tiny threshold and compares against the plain join).
+    */
+  private[ops] def skewSaltedJoin(s: SparkSession, d: String,
+      hotThreshold: Long): DataFrame = {
+    val Salt = 8
+    val l = Tables.t(s, d, "lineitem")
+    val o = Tables.t(s, d, "orders")
+    val hot = l.groupBy("l_orderkey").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > hotThreshold)
+      .select(col("l_orderkey").as("hk"))
+    val lHot = l.join(broadcast(hot), l("l_orderkey") === col("hk"), "leftsemi")
+      .withColumn("__salt", col("l_linenumber") % Salt)
+    val oHot = o.join(broadcast(hot), o("o_orderkey") === col("hk"), "leftsemi")
+      .withColumn("__salt", explode(sequence(lit(0), lit(Salt - 1))))
+    val lCold = l.join(broadcast(hot), l("l_orderkey") === col("hk"), "leftanti")
+    val oCold = o.join(broadcast(hot), o("o_orderkey") === col("hk"), "leftanti")
+    val hotJoined = lHot.join(oHot,
+        lHot("l_orderkey") === oHot("o_orderkey") && lHot("__salt") === oHot("__salt"))
+      .select(col("o_orderpriority"), col("l_quantity"))
+    val coldJoined = lCold.join(oCold, lCold("l_orderkey") === oCold("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_quantity"))
+    hotJoined.unionByName(coldJoined)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, QFn] = Map(
     // ------------------------------------------------------------- 2.B scans
     "q_scan_parquet" -> { (s, d) =>
@@ -261,24 +299,11 @@ object QueriesRelational {
         .orderBy("order_month")
     },
     "q_join_skew_salted" -> { (s, d) =>
-      // hot-key mitigation by SALTING, proven semantics-preserving: the
-      // fact side splits each join key into SALT sub-keys (deterministic
-      // salt — no rand(), stable under retries), the dim side replicates
-      // SALT ways, and the join runs on (key, salt) — a skewed key's rows
-      // now spread over SALT reducers instead of one straggler. The
-      // ORACLE IS THE PLAIN JOIN: salting must be invisible in results.
-      // (AQE skew-join is the first lever; explicit salting is the
-      // fallback when a single key exceeds what one task can hold.)
-      val Salt = 8
-      val l = Tables.t(s, d, "lineitem")
-        .withColumn("__salt", col("l_linenumber") % Salt)
-      val o = Tables.t(s, d, "orders")
-        .withColumn("__salt", explode(sequence(lit(0), lit(Salt - 1))))
-      l.join(o, l("l_orderkey") === o("o_orderkey") && l("__salt") === o("__salt"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"))
-        .orderBy("o_orderpriority")
+      // the production bound: a key whose fact rows exceed what one
+      // reducer task should hold. At bench scale no key qualifies (the
+      // salted branch is provably empty and near-free); SkewJoinSpec
+      // drives the same code with a tiny threshold to exercise both paths
+      skewSaltedJoin(s, d, hotThreshold = 1L << 20)
     },
     "q_join_asof" -> { (s, d) =>
       // AS-OF join (events -> latest order at-or-before event ts per user).
