@@ -63,6 +63,11 @@ object QueriesStreaming {
         StreamingOps.enrichJoin(StreamingOps.eventsStream(s, d),
           Tables.t(s, d, "customer")), "complete")
         .orderBy("c_mktsegment")
+    },
+    "q_stream_stream_join" -> { (s, d) =>
+      StreamingOps.runToMemory(s,
+        StreamingOps.intervalJoin(StreamingOps.eventsStream(s, d)), "append")
+        .orderBy("user_id", "click_id", "purchase_id")
     }
   )
 
@@ -110,6 +115,12 @@ object QueriesStreaming {
     "q_stream_static_join" ->
       ("SELECT c_mktsegment, COUNT(*) AS cnt FROM events e " +
        "JOIN customer c ON e.user_id = c.c_custkey " +
-       "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_stream_stream_join" ->
+      ("SELECT e1.user_id AS user_id, e1.event_id AS click_id, e2.event_id AS purchase_id " +
+       "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id " +
+       "AND e1.event_type = 'click' AND e2.event_type = 'purchase' " +
+       "AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE " +
+       "ORDER BY e1.user_id, click_id, purchase_id")
   )
 }

@@ -66,6 +66,29 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM interval join (funnel attribution: purchases within
+    * 30 min of a click by the same user). Both sides carry watermarks and
+    * the join condition bounds event time on BOTH ends, so Spark can
+    * evict join state as the watermark advances — without the interval
+    * bound the state would grow with the stream. Inner-join matches emit
+    * as soon as both sides arrive (the watermark only governs state
+    * eviction and late-row drop), so a full replay equals the batch
+    * interval join — the oracle.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    clicks.join(purchases,
+        col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** stream-static broadcast join: enrich the event stream with a static
     * dimension — the standard streaming-enrichment shape. The static side
     * re-resolves per micro-batch and broadcasts; the join itself needs no

@@ -82,6 +82,27 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:30:00.0", "2024-01-01 02:00:00.0", 1L)))
   }
 
+  test("stream-stream interval join matches across batches and bounds state") {
+    val in = MemoryStream[E]
+    val q = run(StreamingOps.intervalJoin(in.toDF()), "append", "ssj_x")
+    def evt(id: Long, min: Int, typ: String, user: Long = 1L): E =
+      E(id, ts(min), user, typ, 1.0, "{}")
+    // batch 1: a click at 00:00 — no purchase yet
+    in.addData(evt(1, 0, "click"))
+    q.processAllAvailable()
+    // batch 2: purchase at 00:20 (same user, within 30 min) joins the
+    // batch-1 click — the click had to be HELD IN JOIN STATE across
+    // batches; purchase at 00:45 is outside the interval; user 2's
+    // purchase has no click at all
+    in.addData(evt(2, 20, "purchase"), evt(3, 45, "purchase"), evt(4, 21, "purchase", user = 2))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_x")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 1L, 2L)), s"got $rows")
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     val in = MemoryStream[E]
     val q = run(StreamingOps.aggState(in.toDF()), "update", "state_x")
