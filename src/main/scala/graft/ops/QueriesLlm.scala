@@ -529,8 +529,58 @@ object QueriesLlm {
     * the loop ([[withCcLoopConf]]) — that change alone took the full
     * cluster query 3.14 s (r6 bench) -> ~2.5 s before any strategy swap.
     */
-  private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame =
-    ccTwoHop(s, pairs)
+  /** edge-count bound for the single-task union-find path: 5M (a, b)
+    * pairs ≈ 80 MB — comfortably one task's worth
+    */
+  private[graft] val CcLocalMaxEdges = 5000000L
+
+  private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    // the pair list is OUTPUT-sized (it survived banding + estimate
+    // filter + exact verify — orders of magnitude below the corpus), so
+    // the common case at ANY corpus scale is an edge set that fits one
+    // task: a single mapPartitions of path-compressed union-find — one
+    // job, no supersteps, no driver round-trips (probe cc_unionfind:
+    // 0.95 s -> ~0.2 s for the full label step at sf0.1). Edge sets
+    // above the bound dispatch to the distributed two-hop propagation.
+    // pairs arrive localCheckpoint'd from minhashPairs, so the count is
+    // a cheap cached-block scan, not a pipeline re-run.
+    if (pairs.count() <= CcLocalMaxEdges) ccUnionFind(s, pairs)
+    else ccTwoHop(s, pairs)
+  }
+
+  /** single-partition path-compressed union-find (see [[ccLabels]]);
+    * min-root union makes each root the component MINIMUM — the same
+    * label contract as the propagation strategies
+    */
+  private[graft] def ccUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val out = pairs.select(col("a").cast(LongType), col("b").cast(LongType))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(x => (x, find(x)))
+      }
+      .toDF("doc_id", "label")
+      // same lifecycle contract as the loop strategies: output-sized,
+      // lineage-free (downstream re-actions must not re-run the pair set)
+      .localCheckpoint(true)
+    out
+  }
 
   /** one-hop min-label propagation to fixpoint (see [[ccLabels]]).
     *

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** The three connected-components strategies ([[QueriesLlm.ccLabels]])
+/** The connected-components strategies ([[QueriesLlm.ccLabels]])
   * must be interchangeable: identical (doc_id -> min-of-component) labels
   * on every input shape. Near-dup pair sets are near-cliques (the regime
   * the default is tuned for); the chain and the two-cluster graph force
@@ -30,7 +30,8 @@ class CcSpec extends AnyFunSuite {
     val df = pairsDF(ps)
     Seq(QueriesLlm.ccMinLabel(spark, df),
         QueriesLlm.ccTwoHop(spark, df),
-        QueriesLlm.ccStars(spark, df)).map(labels)
+        QueriesLlm.ccStars(spark, df),
+        QueriesLlm.ccUnionFind(spark, df)).map(labels)
   }
 
   test("clique + isolated pair: every strategy labels by component min") {
@@ -63,13 +64,15 @@ class CcSpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$d/documents.parquet").exists())
     val pairs = QueriesLlm.queries("q_llm_dedup_near")(spark, d).select("a", "b")
-    val Seq(a, b, c) = Seq(
+    val Seq(a, b, c, u) = Seq(
       QueriesLlm.ccMinLabel(spark, pairs),
       QueriesLlm.ccTwoHop(spark, pairs),
-      QueriesLlm.ccStars(spark, pairs)).map(labels)
+      QueriesLlm.ccStars(spark, pairs),
+      QueriesLlm.ccUnionFind(spark, pairs)).map(labels)
     assert(a.nonEmpty)
     assert(a == b)
     assert(a == c)
+    assert(a == u)
   }
 
   test("loop conf is restored even when shuffle partitions were lowered") {
