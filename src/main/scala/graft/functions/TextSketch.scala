@@ -233,6 +233,71 @@ object TextSketch {
       Array[Any](top.toLong, (w - n + 1).toLong))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): the DISTINCT minima of a w-window sliding over the
+    * Karp-Rabin rolling-hash sequence of the text's k-grams. Winnowing
+    * proper selects positions (rightmost-min tie rule); the fingerprint
+    * VALUE SET is identical — every selected value is a window min and
+    * every window's min value is selected in that window — and the value
+    * set is what copy-detection joins on, so the positional tie rule
+    * drops out. Guarantee kept: any shared substring of length >=
+    * w+k-1 chars yields a shared fingerprint.
+    *
+    * Hash: polynomial code-point hash c_0·B^(k-1)+…+c_(k-1) mod M,
+    * rolled in O(1) per gram; code points (not bytes) so the DuckDB twin
+    * can state the identical formula via unicode(). Only FULL windows
+    * fingerprint: docs with fewer than w+k-1 chars return null (absent
+    * from output on both engines). One pass, O(n), monotonic deque.
+    */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int, b: Long, m: Long): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < k + w - 1) return null
+    // code points up front (surrogate pairs are one c_j, as unicode() sees)
+    val cps = new Array[Long](n)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp.toLong
+      ci += 1
+      off += Character.charCount(cp)
+    }
+    val nGrams = n - k + 1
+    // B^(k-1) mod M for the roll-out term
+    var bk1 = 1L
+    var e = 0
+    while (e < k - 1) { bk1 = (bk1 * b) % m; e += 1 }
+    // first gram
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * b + cps(j)) % m; j += 1 }
+    val hashes = new Array[Long](nGrams)
+    hashes(0) = h
+    var g = 1
+    while (g < nGrams) {
+      h = ((h - (cps(g - 1) * bk1) % m + m) % m * b + cps(g + k - 1)) % m
+      hashes(g) = h
+      g += 1
+    }
+    // sliding-window minima via monotonic deque; distinct, first-occurrence
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) {
+        val wmin = hashes(deque.peekFirst())
+        if (seen.add(wmin)) out.add(wmin)
+      }
+      i += 1
+    }
+    toLongArrayData(out)
+  }
+
   private def toLongArrayData(xs: java.util.ArrayList[java.lang.Long]): ArrayData = {
     val arr = new Array[Long](xs.size())
     var i = 0
@@ -252,6 +317,8 @@ object TextSketch {
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
   def gramTopCountCol(c: Column, n: Int): Column =
     ColumnBridge.column(GramTopCount(ColumnBridge.expression(c), n))
+  def winnowFingerprintsCol(c: Column, k: Int, w: Int, b: Long, m: Long): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w, b, m))
 }
 
 /** distinct sampled n-gram (char) / n-shingle (word) 60-bit md5-prefix
@@ -309,6 +376,24 @@ case class GramTopCount(child: Expression, n: Int)
       s"""${ev.value} = graft.functions.TextSketch.gramTopCount($c, $n);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): GramTopCount =
+    copy(child = newChild)
+}
+
+/** winnowing fingerprint value set (distinct w-window minima of the
+  * k-gram rolling-hash sequence); null below w+k-1 chars — see
+  * [[TextSketch.winnowFingerprints]]
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, b: Long, m: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.winnowFingerprints(input.asInstanceOf[UTF8String], k, w, b, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextSketch.winnowFingerprints($c, $k, $w, ${b}L, ${m}L);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

@@ -125,6 +125,17 @@ object QueriesLlm {
     */
   private val HashP = 2147483647L
 
+  // winnowing fingerprints: k-gram rolling hash, w-gram windows. B/M are
+  // shared verbatim with the oracle SQL (coefficients B^(k-1-j) mod M
+  // precomputed below so the oracle's per-gram polynomial stays in int64)
+  private val WinnowK = 8
+  private val WinnowW = 32
+  private val WinnowB = 257L
+  private val WinnowCoefs: Seq[Long] = {
+    var c = 1L
+    (0 until WinnowK).map { _ => val r = c; c = (c * WinnowB) % HashP; r }.reverse
+  }
+
   /** fixed-LCG (a_i, b_i) coefficient pairs, shared verbatim with the
     * oracle SQL text — no runtime randomness
     */
@@ -1068,6 +1079,30 @@ object QueriesLlm {
       )
     },
 
+    // ------------- winnowing fingerprints: rolling hash + window minima
+    "q_llm_fingerprint_winnow" -> { (s, d) =>
+      // robust copy-detection fingerprints (Schleimer et al., SIGMOD'03):
+      // distinct w-window minima over the k-gram Karp-Rabin rolling-hash
+      // sequence — any shared substring of >= w+k-1 chars shares a
+      // fingerprint. One native pass per doc (monotonic deque, O(n),
+      // graft.functions.WinnowFingerprints), zero shuffle; the per-doc
+      // summary (count/sum/min/max over the fingerprint SET) is the
+      // engine-parity checksum. The length filter mirrors the
+      // expression's null condition exactly, so the winnow expression is
+      // never duplicated into a predicate.
+      val fps = graft.functions.TextSketch.winnowFingerprintsCol(
+        col("nt"), WinnowK, WinnowW, WinnowB, HashP)
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
+        .orderBy("doc_id")
+        .select(col("doc_id"),
+          size(fps).cast(LongType).as("n_fps"),
+          aggregate(fps, lit(0L), (a, x) => a + x).as("fp_sum"),
+          array_min(fps).as("fp_min"),
+          array_max(fps).as("fp_max"))
+    },
+
     // -------------------------- multimodal: opaque binary + typed metadata
     "q_llm_multimodal_cols" -> { (s, d) =>
       // text stands in for an image payload: the SCHEMA pattern (binary
@@ -1304,6 +1339,27 @@ object QueriesLlm {
          |             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_llm_fingerprint_winnow" -> {
+      val coefList = WinnowCoefs.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |           FROM documents),
+         |g AS (SELECT doc_id, norm, unnest(range(1, length(norm) - ${WinnowK - 2})) AS i
+         |      FROM d WHERE length(norm) >= ${WinnowK + WinnowW - 1}),
+         |h AS (SELECT doc_id, i,
+         |        list_sum(list_transform(range(0, $WinnowK),
+         |          j -> CAST(unicode(substring(norm, CAST(i + j AS INTEGER), 1)) AS BIGINT) * ($coefList)[j + 1]))
+         |          % $HashP AS h
+         |      FROM g),
+         |wm AS (SELECT doc_id, i,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wmin
+         |       FROM h),
+         |fps AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE i >= $WinnowW)
+         |SELECT doc_id, count(*) AS n_fps, CAST(sum(wmin) AS BIGINT) AS fp_sum,
+         |       min(wmin) AS fp_min, max(wmin) AS fp_max
+         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q_llm_multimodal_cols" ->

@@ -129,6 +129,47 @@ class TextSketchSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"count mismatch: ${bad.mkString("; ")}")
   }
 
+  test("WinnowFingerprints == a naive direct-polynomial reimplementation") {
+    val K = 8; val W = 32; val B = 257L; val M = 2147483647L
+    // independent oracle: direct per-gram polynomial + naive window scan
+    def brute(text: String): Option[Seq[Long]] = {
+      val cps = text.codePoints().toArray.map(_.toLong)
+      if (cps.length < K + W - 1) return None
+      val hashes = (0 to cps.length - K).map { i =>
+        (0 until K).foldLeft(0L)((h, j) => (h * B + cps(i + j)) % M)
+      }
+      val mins = (W - 1 until hashes.length).map(p => hashes.slice(p - W + 1, p + 1).min)
+      Some(mins.distinct)
+    }
+    val texts = Gen.listOfN(40, genText).sample.get.map(
+      t => t.toLowerCase.replaceAll("\\s+", " ").trim) :+
+      ("abcdefgh" * 12) :+ ("中中" + "abcdefgh" * 10)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.map(Row(_)), 4),
+      StructType(Seq(StructField("t", StringType))))
+    val got = df.select(col("t"),
+        TextSketch.winnowFingerprintsCol(col("t"), K, W, B, M).as("fps"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toSeq))).toMap
+    texts.foreach { t =>
+      assert(got(t) == brute(t), s"winnow mismatch for ${t.take(40)}…")
+    }
+  }
+
+  test("docs sharing a >= w+k-1 char substring share a winnow fingerprint") {
+    val K = 8; val W = 32
+    val shared = "the quick brown fox jumps over the lazy dog tail" // 49 >= 39
+    assert(shared.length >= W + K - 1)
+    val a = "prefix one " + shared + " suffix alpha"
+    val b = "another beginning " + shared + " different end"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(a), Row(b)), 2),
+      StructType(Seq(StructField("t", StringType))))
+    val fps = df.select(TextSketch.winnowFingerprintsCol(col("t"), K, W, 257L, 2147483647L))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty, "winnowing guarantee violated")
+  }
+
   test("SimHashSig == the explode+vote aggregation on the fixture corpus") {
     val d = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$d/documents.parquet").exists())
