@@ -14,7 +14,8 @@ object PlanAudit {
       "q_scan_filter_pushdown", "q_scan_projection_pushdown",
       "q_agg_groupby", "q_join_inner", "q_join_multiway",
       "q_win_topk_per_group", "q_topk", "q_sort_multikey",
-      "q_llm_dedup_near", "q_llm_simsearch_topk", "q_fn_json")
+      "q_llm_dedup_near", "q_llm_simsearch_topk", "q_llm_simsearch_ivf",
+      "q_llm_fingerprint_winnow", "q_llm_repetition", "q_fn_json")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
