@@ -78,6 +78,8 @@ class DuckLakeXLSpark(
     remoteOverride.getOrElse(ExcelRemote.pick(excelPath, driveId))
 
   @volatile private var state: CatalogState = CatalogState.empty
+  /** per-sheet digests as of the last pull/push — empty before first pull */
+  @volatile private var pulledDigest: Map[String, String] = Map.empty
 
   /** the schema unqualified table names resolve against (`USE <schema>`);
     * DuckLake starts every lake with `main`
@@ -165,7 +167,25 @@ class DuckLakeXLSpark(
     val sheets = remote.readAll().map { case (n, rows) => XlsxSheet(n, rows) }
     state = CatalogState.fromSheets(sheets)
     baseSnapshot = state.currentSnapshot
+    pulledDigest = sheets.map(s => s.name -> sheetDigest(s.rows)).toMap
   }
+
+  /** md5 over a canonical cell serialization (0x1F cell / 0x1E row
+    * separators, TRAILING empty cells stripped — the xlsx reader drops
+    * them, so the raw write-side padding would make every read/write
+    * round trip look dirty) — the change-detection key for the per-sheet
+    * push skip
+    */
+  private def sheetDigest(rows: Seq[Seq[String]]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val canon = r.reverse.dropWhile(_.isEmpty).reverse
+      canon.foreach { c => d.update(c.getBytes("UTF-8")); d.update(0x1f.toByte) }
+      d.update(0x1e.toByte)
+    }
+    java.util.Base64.getEncoder.encodeToString(d.digest())
+  }
+
 
   /** max snapshot_id currently on the remote's snapshot sheet; None when
     * the workbook/sheet is absent or carries no data rows
@@ -205,7 +225,18 @@ class DuckLakeXLSpark(
               "retry on a fresh pull.")
       }
     }
-    remote.writeAll(state.toSheets.map(s => (s.name, s.rows)))
+    // per-sheet change skip (beyond the reference, whose README lists
+    // change detection as a TODO): only sheets whose content differs from
+    // the pull base are pushed. Correctness is unchanged — the skipped
+    // sheets hold EXACTLY the bytes the remote already has (md5-compared
+    // against the pulled content) and the CAS gate above has verified no
+    // other writer advanced the lake meanwhile.
+    val sheets = state.toSheets.map(s => (s.name, s.rows))
+    val dirty = sheets.collect {
+      case (n, rows) if !pulledDigest.get(n).contains(sheetDigest(rows)) => n
+    }.toSet
+    if (dirty.nonEmpty) remote.writeChanged(sheets, dirty)
+    pulledDigest = sheets.map { case (n, rows) => n -> sheetDigest(rows) }.toMap
     baseSnapshot = state.currentSnapshot
   }
 

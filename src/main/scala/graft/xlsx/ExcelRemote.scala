@@ -28,6 +28,17 @@ trait ExcelRemote {
     * clear + rewrite every sheet, ducklakexl.py:553-582)
     */
   def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit
+
+  /** write given the full intended workbook state but only `dirty` sheets
+    * changed since pull (the reference rewrites every sheet every push —
+    * its own README lists change detection as a TODO, README.md:160-163).
+    * Default = full overwrite: correct everywhere, and for a local xlsx
+    * the single-file atomic rewrite costs the same either way. GraphRemote
+    * overrides it to clear+patch only the dirty sheets — push cost
+    * proportional to what changed, not to catalog size.
+    */
+  def writeChanged(sheets: Seq[XlsxCodec.Sheet], dirty: Set[String]): Unit =
+    writeAll(sheets)
 }
 
 /** local .xlsx on the filesystem (reference "excel" client) */
@@ -248,12 +259,18 @@ final class GraphRemote(
     } finally Files.deleteIfExists(tmp)
   }
 
-  def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit = {
+  def writeAll(sheets: Seq[XlsxCodec.Sheet]): Unit =
+    writeChanged(sheets, sheets.map(_._1).toSet)
+
+  /** one clear+patch pair per DIRTY sheet only — REST calls proportional
+    * to what changed since pull, not to catalog size (see the trait doc)
+    */
+  override def writeChanged(sheets: Seq[XlsxCodec.Sheet], dirty: Set[String]): Unit = {
     if (!exists) createEmptyWorkbook()
     val sid = createSession()
     try {
       val existing = listSheets(Some(sid), retry404 = true).toSet
-      sheets.foreach { case (name, rows) =>
+      sheets.withFilter(s => dirty.contains(s._1)).foreach { case (name, rows) =>
         if (!existing.contains(name))
           expect(request("POST", s"${wbUrl(itemId())}/worksheets/add",
             Some(mapper.writeValueAsString(Map("name" -> name).asJava)), Some(sid),
