@@ -298,6 +298,91 @@ object TextSketch {
     toLongArrayData(out)
   }
 
+  /** All per-document text-stat ingredients in ONE pass (the
+    * q_llm_text_stats / q_llm_quality_filter battery ran 4 regexes + 2
+    * interpreted HOFs + a split per row). Bit-exact to the chain it
+    * replaces (TextSketchSpec):
+    *  - norm      = trim(regexp_replace(lower(text), "\\s+", " ")) —
+    *    Java \s is ASCII [ \t\n\x0B\f\r]; trim strips 0x20 only
+    *  - n_words   = size(split(norm, " "))  (empty norm -> 1 empty word)
+    *  - n_tokens  = count of [a-z0-9]+ runs in norm
+    *  - total_len = sum of word code-point lengths (= non-space cps)
+    *  - stop_cnt  = words in the 5-entry english stopword list
+    *  - norm_len / alnum_len = code points of norm / of norm with
+    *    [^a-z0-9 ] removed
+    *  - fp        = first 16 hex chars of md5(norm)
+    * Ratios/rounding stay OUTSIDE in the query so null/divide-by-zero
+    * semantics are untouched.
+    */
+  def textStatsRaw(s: UTF8String, stops: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val low = s.toLowerCase.getBytes
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    // normalize: \s+ runs -> single space, then trim
+    val norm = new Array[Byte](low.length)
+    var n = 0
+    var i = 0
+    while (i < low.length) {
+      if (isWs(low(i))) {
+        while (i < low.length && isWs(low(i))) i += 1
+        if (n > 0 && i < low.length) { norm(n) = ' '; n += 1 }
+      } else { norm(n) = low(i); n += 1; i += 1 }
+    }
+    def isAlnum(b: Byte) = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+    var nWords = 1
+    var nTokens = 0
+    var totalLen = 0L
+    var stopCnt = 0
+    var normLen = 0
+    var alnumLen = 0
+    var inTok = false
+    var wordStart = 0
+    i = 0
+    while (i <= n) {
+      val atSep = i == n || norm(i) == ' '
+      if (!atSep) {
+        val b = norm(i)
+        val an = isAlnum(b)
+        if (an && !inTok) { nTokens += 1; inTok = true }
+        else if (!an) inTok = false
+        if (an || b == ' ') alnumLen += 1
+        // count code points: every byte that is not a UTF-8 continuation
+        if ((b & 0xc0) != 0x80) { normLen += 1; totalLen += 1 }
+      } else {
+        inTok = false
+        if (i < n) { nWords += 1; normLen += 1; alnumLen += 1 }
+        var k = 0
+        var hit = false
+        while (k < stops.length && !hit) {
+          val st = stops(k)
+          if (st.length == i - wordStart) {
+            var j = 0
+            var eq = true
+            while (eq && j < st.length) { eq = st(j) == norm(wordStart + j); j += 1 }
+            hit = eq
+          }
+          k += 1
+        }
+        if (hit) stopCnt += 1
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    val d = md5tl.get()
+    d.reset()
+    d.update(norm, 0, n)
+    val dig = d.digest()
+    val hex = new StringBuilder(16)
+    var h = 0
+    while (h < 8) {
+      hex.append(Character.forDigit((dig(h) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(dig(h) & 0xf, 16))
+      h += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nWords, nTokens, totalLen, stopCnt, normLen, alnumLen,
+      UTF8String.fromString(hex.toString)))
+  }
+
   private def toLongArrayData(xs: java.util.ArrayList[java.lang.Long]): ArrayData = {
     val arr = new Array[Long](xs.size())
     var i = 0
@@ -319,6 +404,8 @@ object TextSketch {
     ColumnBridge.column(GramTopCount(ColumnBridge.expression(c), n))
   def winnowFingerprintsCol(c: Column, k: Int, w: Int, b: Long, m: Long): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w, b, m))
+  def textStatsRawCol(c: Column, stops: Seq[String]): Column =
+    ColumnBridge.column(TextStatsRaw(ColumnBridge.expression(c), stops))
 }
 
 /** distinct sampled n-gram (char) / n-shingle (word) 60-bit md5-prefix
@@ -394,6 +481,32 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, b: Long, m: Lon
       s"""${ev.value} = graft.functions.TextSketch.winnowFingerprints($c, $k, $w, ${b}L, ${m}L);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** per-document text-stat ingredients over RAW text (normalization
+  * inside) — see [[TextSketch.textStatsRaw]]
+  */
+case class TextStatsRaw(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("total_len", LongType, nullable = false),
+    StructField("stop_cnt", IntegerType, nullable = false),
+    StructField("norm_len", IntegerType, nullable = false),
+    StructField("alnum_len", IntegerType, nullable = false),
+    StructField("fp", StringType, nullable = false)))
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stops.map(_.getBytes("UTF-8")).toArray
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.textStatsRaw(input.asInstanceOf[UTF8String], stopBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("tsStops", stopBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSketch.textStatsRaw($c, $stopsRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStatsRaw =
     copy(child = newChild)
 }
 

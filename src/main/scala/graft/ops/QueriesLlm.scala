@@ -999,23 +999,24 @@ object QueriesLlm {
     "q_llm_quality_filter" -> { (s, d) =>
       // keep/drop verdict per doc with the FIRST failed rule named
       // (pipeline auditability: a filter that only says "dropped" is
-      // undebuggable at corpus scale); output = yield per verdict. Pure
-      // per-row expressions + one shuffle — the 100 TB shape.
+      // undebuggable at corpus scale); output = yield per verdict. The
+      // ingredient battery is ONE native pass per row
+      // (graft.functions.TextStatsRaw — bit-exact to the former 4-regex
+      // + HOF chain, TextSketchSpec) + one shuffle — the 100 TB shape.
       val doc = Tables.t(s, d, "documents")
-      val norm = normText(col("text"))
-      val ws = split(norm, " ")
-      val nWords = size(ws)
-      val stop = typedLit(Stopwords.take(5))
-      val stopRatio = size(filter(ws, x => array_contains(stop, x)))
-        .cast(DoubleType) / nWords
-      val alnum = regexp_replace(norm, "[^a-z0-9 ]", "")
-      val punctRatio = (length(norm) - length(alnum)).cast(DoubleType) / length(norm)
+      val ts = graft.functions.TextSketch.textStatsRawCol(
+        col("text"), Stopwords.take(5))
+      val nWords = col("ts.n_words")
+      val stopRatio = col("ts.stop_cnt").cast(DoubleType) / nWords
+      val punctRatio = (col("ts.norm_len") - col("ts.alnum_len"))
+        .cast(DoubleType) / col("ts.norm_len")
       val verdict = when(nWords < 20, "too_short")
         .when(nWords > 50000, "too_long")
         .when(stopRatio <= 0.01, "low_stopword")
         .when(punctRatio >= 0.3, "too_much_punct")
         .otherwise("keep")
-      doc.select(col("doc_id"), verdict.as("verdict"))
+      doc.select(col("doc_id"), ts.as("ts"))
+        .select(col("doc_id"), verdict.as("verdict"))
         .groupBy("verdict")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .orderBy("verdict")
@@ -1057,25 +1058,29 @@ object QueriesLlm {
 
     // ----------------- per-doc text stats: tokens/quality/lang/fingerprint
     "q_llm_text_stats" -> { (s, d) =>
+      // the whole ingredient battery (normalize / words / tokens /
+      // stopwords / alnum / md5) is ONE native pass per row
+      // (graft.functions.TextStatsRaw — bit-exact to the former chain,
+      // TextSketchSpec); ratios and rounding stay declarative so
+      // null/divide-by-zero semantics are byte-identical. Projection
+      // above the total ORDER BY (probe `sortproj`).
       val doc = Tables.t(s, d, "documents")
-      val norm = normText(col("text"))
-      val ws = split(norm, " ")
-      val stop = typedLit(Stopwords.take(5)) // english-only stopwords
-      val nWords = size(ws)
-      val totalLen = aggregate(ws, lit(0L), (acc, x) => acc + length(x))
-      val stopCnt = size(filter(ws, x => array_contains(stop, x)))
-      val alnum = regexp_replace(norm, "[^a-z0-9 ]", "")
-      val punctRatio = (length(norm) - length(alnum)).cast(DoubleType) / length(norm)
-      doc.orderBy("doc_id").select(
+      val ts = graft.functions.TextSketch.textStatsRawCol(
+        col("text"), Stopwords.take(5))
+      val nWords = col("ts.n_words")
+      val stopCnt = col("ts.stop_cnt")
+      val punctRatio = (col("ts.norm_len") - col("ts.alnum_len"))
+        .cast(DoubleType) / col("ts.norm_len")
+      doc.orderBy("doc_id").select(col("doc_id"), ts.as("ts")).select(
         col("doc_id"),
         nWords.as("n_words"),
-        size(regexp_extract_all(norm, lit("[a-z0-9]+"), lit(0))).as("n_tokens"),
-        round(totalLen.cast(DoubleType) / nWords, 4).as("avg_word_len"),
+        col("ts.n_tokens").as("n_tokens"),
+        round(col("ts.total_len").cast(DoubleType) / nWords, 4).as("avg_word_len"),
         round(stopCnt.cast(DoubleType) / nWords, 4).as("stop_ratio"),
         when(stopCnt.cast(DoubleType) / nWords > 0.02, "en").otherwise("unk").as("lang_guess"),
         round(least(lit(1.0), nWords.cast(DoubleType) / 100) * (lit(1.0) - punctRatio), 4)
           .as("quality"),
-        substring(md5(norm), 1, 16).as("fingerprint")
+        col("ts.fp").as("fingerprint")
       )
     },
 

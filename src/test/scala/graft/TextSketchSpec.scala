@@ -170,6 +170,33 @@ class TextSketchSpec extends AnyFunSuite {
     assert(fps(0).intersect(fps(1)).nonEmpty, "winnowing guarantee violated")
   }
 
+  test("TextStatsRaw == the regex/HOF battery on generated strings + fixture corpus") {
+    val stops5 = Seq("the", "a", "of", "and", "to")
+    def oldStruct(raw: Column): Column = {
+      val nm = norm(raw)
+      val ws = split(nm, " ")
+      struct(
+        size(ws).as("n_words"),
+        size(regexp_extract_all(nm, lit("[a-z0-9]+"), lit(0))).as("n_tokens"),
+        aggregate(ws, lit(0L), (acc, x) => acc + length(x)).as("total_len"),
+        size(filter(ws, x => array_contains(typedLit(stops5), x))).as("stop_cnt"),
+        length(nm).as("norm_len"),
+        length(regexp_replace(nm, "[^a-z0-9 ]", "")).as("alnum_len"),
+        substring(md5(nm), 1, 16).as("fp"))
+    }
+    val texts = Gen.listOfN(60, genText).sample.get ++ Seq(
+      "", "   ", "the a of and to", "a\tb\nc", "Ωmega 中文 mixed42 a..b",
+      "UPPER the AND lower", "t1  t2 t3")
+    val gdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.map(Row(_)), 4),
+      StructType(Seq(StructField("t", StringType))))
+    compareCols(gdf, TextSketch.textStatsRawCol(col("t"), stops5), oldStruct(col("t")))
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val ddf = graft.ops.Tables.t(spark, d, "documents")
+    compareCols(ddf, TextSketch.textStatsRawCol(col("text"), stops5), oldStruct(col("text")))
+  }
+
   test("SimHashSig == the explode+vote aggregation on the fixture corpus") {
     val d = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$d/documents.parquet").exists())
