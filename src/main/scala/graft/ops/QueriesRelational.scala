@@ -74,12 +74,27 @@ object QueriesRelational {
     * tiny threshold and compares against the plain join).
     */
   private[ops] def skewSaltedJoin(s: SparkSession, d: String,
-      hotThreshold: Long): DataFrame = {
+      hotThreshold: Long, sampleShift: Int = 6): DataFrame = {
     val Salt = 8
     val l = Tables.t(s, d, "lineitem")
     val o = Tables.t(s, d, "orders")
-    val hot = l.groupBy("l_orderkey").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > hotThreshold)
+    // hot-key DETECTION must not itself cost a full-key aggregation (at
+    // 100 TB that is a corpus-wide shuffle to find a handful of keys):
+    // count a deterministic 1/2^sampleShift row sample — xxhash64 of the
+    // key, so the sample is stable across runs, retries, and cluster
+    // sizes — and cut at hotThreshold/2^shift. A genuinely hot key lands
+    // ~threshold/2^shift sampled rows (far above the cut, Chernoff-tight);
+    // a cold key almost never crosses it. The hot SET is advisory only:
+    // results are identical whichever keys land in it (both paths compute
+    // the same join), so sampling error can only move the mitigation
+    // boundary, never the answer. sampleShift = 0 is the exact path
+    // (SkewJoinSpec exercises both).
+    val rate = 1L << sampleShift
+    val hotBase =
+      if (sampleShift == 0) l
+      else l.filter(pmod(xxhash64(col("l_orderkey"), lit(42)), lit(rate)) === 0)
+    val hot = hotBase.groupBy("l_orderkey").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > hotThreshold / rate)
       .select(col("l_orderkey").as("hk"))
     val lHot = l.join(broadcast(hot), l("l_orderkey") === col("hk"), "leftsemi")
       .withColumn("__salt", col("l_linenumber") % Salt)

@@ -31,9 +31,19 @@ class SkewJoinSpec extends AnyFunSuite {
     val l = Tables.t(spark, d, "lineitem")
     val nHot = l.groupBy("l_orderkey").count().filter(col("count") > 2).count()
     assert(nHot > 0, "fixture has no key with >2 lines; threshold too high to exercise the hot path")
-    val mitigated = QueriesRelational.skewSaltedJoin(spark, d, hotThreshold = 2L)
-      .collect().toSeq
+    val mitigated = QueriesRelational.skewSaltedJoin(spark, d, hotThreshold = 2L,
+      sampleShift = 0).collect().toSeq
     assert(mitigated == plainJoin(), "salting changed the result")
+  }
+
+  test("sampled hot detection still equals the plain join (both paths live)") {
+    assume(new java.io.File(s"$d/lineitem.parquet").exists())
+    // rate 2, cut = 1: enough fixture keys get >=2 sampled rows that BOTH
+    // paths carry real data — and the result must be unchanged regardless
+    // of which keys the sample promotes to the hot set
+    val mitigated = QueriesRelational.skewSaltedJoin(spark, d, hotThreshold = 2L,
+      sampleShift = 1).collect().toSeq
+    assert(mitigated == plainJoin(), "sampled hot set changed the result")
   }
 
   test("production threshold: hot set empty, still equals the plain join") {
