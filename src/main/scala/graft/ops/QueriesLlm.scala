@@ -255,16 +255,14 @@ object QueriesLlm {
       .limit(k)
   }
 
-  /** the distinct gram set as INT64 HASHES, one array per document — no
-    * explode: gram-level rows never exist, so nothing gram-sized ever
-    * shuffles. Hash = 60-bit md5 prefix (the portable cross-engine
-    * construction); distinct applied on the hashes, mirrored in the
-    * oracle's DISTINCT, so the two engines hold the identical set even
-    * under a (~n²/2^60) collision.
-    */
-  private def hashGrams(grams: Column): Column =
-    array_distinct(transform(grams, g =>
-      conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)))
+  // gram-set construction note: the distinct gram sets live as INT64
+  // HASH arrays, one per document — no explode, so gram-level rows never
+  // exist and nothing gram-sized ever shuffles. Hash = 60-bit md5 prefix
+  // (the portable cross-engine construction, mirrored by the oracles'
+  // DISTINCT over the same value). Since r7 the construction is the
+  // native graft.functions.HashedGrams (the interpreted
+  // transform/md5/conv/array_distinct chain it replaced is kept as the
+  // property-test twin in TextSketchSpec).
 
   /** word-5-shingle hash sets (docs with <5 words have no shingles and
     * drop out — they cannot be near-dups)
@@ -820,6 +818,51 @@ object QueriesLlm {
     },
 
     // -------------------- dedup clustering: connected components of pairs
+    // ---------------- asymmetric near-dup: shingle CONTAINMENT (doc ⊂ doc)
+    "q_llm_dedup_contain" -> { (s, d) =>
+      // |A∩B|/|A| >= 0.9 — catches a document EMBEDDED in a larger one,
+      // which symmetric Jaccard detectors structurally miss (A ⊂ B with
+      // |A| << |B| has low Jaccard, so MinHash bands rarely collide).
+      // Shape = posting-list join with document-frequency pruning (the
+      // PPJoin family's core prune): explode the shingle-hash sets, drop
+      // grams held by >MaxBucket docs (near-zero signal, O(df²) pairs),
+      // count shared grams per doc pair in the SAME aggregation that
+      // generates the pairs (no second gram join), then verify the ratio
+      // against full set sizes. Deterministic, oracle-twinned; both
+      // directions emitted. Intersections are counted over the df-pruned
+      // postings on BOTH engines — the standard prune, stated in the twin.
+      val sh = shinglesDF(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, MaxBucket))
+      val inter = posts
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = sh.select(col("doc_id"), size(col("hs")).as("sz"))
+      val scored = inter
+        .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      val thr = 0.9
+      val dirA = scored
+        .filter(col("inter").cast(DoubleType) / col("sza") >= thr)
+        .select(col("a").as("contained"), col("b").as("container"),
+          round(col("inter").cast(DoubleType) / col("sza"), 4).as("containment"))
+      val dirB = scored
+        .filter(col("inter").cast(DoubleType) / col("szb") >= thr)
+        .select(col("b").as("contained"), col("a").as("container"),
+          round(col("inter").cast(DoubleType) / col("szb"), 4).as("containment"))
+      val out = dirA.unionByName(dirB)
+        .orderBy("contained", "container")
+        .localCheckpoint(true) // output-sized; releases the shingle cache
+      sh.unpersist()
+      out
+    },
+
     "q_llm_dedup_cluster" -> { (s, d) =>
       // a real pipeline needs duplicate CLUSTERS (keep one doc per
       // component), not just pairs: connected components over the
@@ -1345,6 +1388,28 @@ object QueriesLlm {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_llm_dedup_contain" ->
+      s"""WITH sh0 AS ($sqlShingles),
+         |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh0),
+         |df AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND $MaxBucket),
+         |shp AS (SELECT doc_id, h FROM sh WHERE h IN (SELECT h FROM df)),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM shp x JOIN shp y ON x.h = y.h AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |scored AS (SELECT i.a, i.b, i.inter, za.sz AS sza, zb.sz AS szb
+         |           FROM inter i JOIN sz za ON za.doc_id = i.a
+         |                        JOIN sz zb ON zb.doc_id = i.b)
+         |SELECT contained, container, containment FROM (
+         |  SELECT a AS contained, b AS container,
+         |         round(CAST(inter AS DOUBLE) / sza, 4) AS containment,
+         |         CAST(inter AS DOUBLE) / sza AS raw FROM scored
+         |  UNION ALL
+         |  SELECT b, a, round(CAST(inter AS DOUBLE) / szb, 4),
+         |         CAST(inter AS DOUBLE) / szb FROM scored)
+         |WHERE raw >= 0.9
+         |ORDER BY contained, container""".stripMargin,
 
     "q_llm_fingerprint_winnow" -> {
       val coefList = WinnowCoefs.mkString("[", ", ", "]")
