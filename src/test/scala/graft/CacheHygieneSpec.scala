@@ -19,7 +19,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   for (q <- Seq("q_llm_dedup_near", "q_llm_dedup_ngram",
-                "q_llm_dedup_simhash", "q_llm_dedup_cluster")) {
+                "q_llm_dedup_simhash", "q_llm_dedup_cluster",
+                "q_llm_dedup_contain", "q_llm_dedup_embcos")) {
     test(s"$q releases its corpus-scale caches at the source") {
       spark.sharedState.cacheManager.clearCache()
       val df = QueriesLlm.queries(q)(spark, sf)
