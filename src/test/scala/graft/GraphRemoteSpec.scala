@@ -134,6 +134,27 @@ class GraphRemoteSpec extends AnyFunSuite {
     }
   }
 
+  test("writeChanged issues clear+patch only for dirty sheets (push skip)") {
+    val mock = new MockGraph
+    withServer(mock) { base =>
+      val remote = new GraphRemote("d1", "lake.xlsx",
+        new StaticTokenProvider("tok"), base, backoffMillis = 1L)
+      val v1 = Seq(
+        ("alpha", Seq(Seq("k", "v"), Seq("1", "a"))),
+        ("beta", Seq(Seq("k", "v"), Seq("2", "b"))))
+      remote.writeAll(v1)
+      // change only alpha; beta must see NO clear (the mock clears on the
+      // REST call, so an untouched beta proves the call never happened)
+      val v2 = Seq(
+        ("alpha", Seq(Seq("k", "v"), Seq("1", "A2"))),
+        ("beta", Seq(Seq("k", "v"), Seq("999", "SHOULD NOT BE WRITTEN"))))
+      remote.writeChanged(v2, dirty = Set("alpha"))
+      assert(mock.sheets("alpha") == v2.head._2, "dirty sheet not rewritten")
+      assert(mock.sheets("beta") == v1(1)._2,
+        "clean sheet was cleared/patched despite not being dirty")
+    }
+  }
+
   test("429 with Retry-After and 401 token-expiry both retry (A6/A9)") {
     val mock = new MockGraph
     mock.workbookExists = true
