@@ -87,4 +87,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(3000))
     assert(!p.contains("CartesianProduct"), "IVF planned a real cartesian")
   }
+
+  test("r7b: containment dedup is a posting-list aggregation, never a doc-pair cartesian") {
+    val p = plan("q_llm_dedup_contain")
+    assert(!p.contains("CartesianProduct"), "containment planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "containment planned a nested loop")
+  }
 }
