@@ -170,18 +170,28 @@ class DuckLakeXLSpark(
     pulledDigest = sheets.map(s => s.name -> sheetDigest(s.rows)).toMap
   }
 
-  /** md5 over a canonical cell serialization (0x1F cell / 0x1E row
-    * separators, TRAILING empty cells stripped — the xlsx reader drops
-    * them, so the raw write-side padding would make every read/write
-    * round trip look dirty) — the change-detection key for the per-sheet
-    * push skip
+  /** md5 over a canonical cell serialization (length-PREFIXED cells +
+    * row terminators, TRAILING empty cells stripped — the xlsx reader
+    * drops them, so the raw write-side padding would make every
+    * read/write round trip look dirty) — the change-detection key for
+    * the per-sheet push skip. The length prefix makes the serialization
+    * injective: catalog stats sheets carry arbitrary user-string min/max
+    * values, so in-band separators alone could make two DIFFERENT sheet
+    * states hash equal (["ab"] vs ["a","b"]) and silently skip a
+    * changed sheet (r8 advice).
     */
   private def sheetDigest(rows: Seq[Seq[String]]): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
+    val lenBuf = java.nio.ByteBuffer.allocate(4)
     rows.foreach { r =>
       val canon = r.reverse.dropWhile(_.isEmpty).reverse
-      canon.foreach { c => d.update(c.getBytes("UTF-8")); d.update(0x1f.toByte) }
-      d.update(0x1e.toByte)
+      canon.foreach { c =>
+        val bytes = c.getBytes("UTF-8")
+        lenBuf.clear(); lenBuf.putInt(bytes.length)
+        d.update(lenBuf.array()); d.update(bytes)
+      }
+      lenBuf.clear(); lenBuf.putInt(-1) // row terminator, no cell has length -1
+      d.update(lenBuf.array())
     }
     java.util.Base64.getEncoder.encodeToString(d.digest())
   }

@@ -502,6 +502,8 @@ object StatementRouter {
     "list_append"    -> "array_append",
     "list_prepend"   -> "array_prepend",
     "list_position"  -> "array_position",
+    // array_to_string(list, sep) == Spark's array_join(array, delimiter)
+    "array_to_string" -> "array_join",
     // DuckDB's list(x) aggregate is Spark's collect_list (insertion
     // order; `\blist\b` cannot match the list_* family above — `_` is a
     // word char, so the boundary fails)
@@ -735,7 +737,9 @@ object StatementRouter {
     "union", "all", "distinct", "having", "group", "order", "limit",
     "offset", "join", "left", "right", "full", "cross", "values",
     "between", "like", "ilike", "is", "null", "true", "false", "return",
-    "returning", "array", "row", "if", "coalesce", "unnest")
+    // NOT 'row': a column genuinely named row subscripted as row[1] is a
+    // subscript; DuckDB's row constructor is row(...), never row[...] (r8)
+    "returning", "array", "if", "coalesce", "unnest")
 
   /** type names: `INTEGER[]` / `VARCHAR[3]` are array TYPE declarations,
     * not subscripts
@@ -835,7 +839,26 @@ object StatementRouter {
           colon
         }
         if (subscriptish && baseStart >= 0 && !NonBaseWords.contains(baseWord)) {
-          if (content.trim.isEmpty || TypeWords.contains(baseWord) || topColon) {
+          // a TypeWords base is a TYPE declaration only with an empty
+          // subscript (INTEGER[]) or a digits-only size in a cast context
+          // (CAST(x AS INTEGER[3]) / x::INTEGER[3]); a COLUMN genuinely
+          // named 'date'/'json'/'text'… subscripted as date[1] must still
+          // rewrite — passing it through to Spark's 0-based [] is the
+          // exact silent off-by-one this rewrite exists to prevent (r8)
+          lazy val castContext = {
+            var q = baseStart - 1
+            while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
+            if (q >= 1 && s.charAt(q) == ':' && s.charAt(q - 1) == ':') true
+            else {
+              val e = q
+              while (q >= 0 && identChar(s.charAt(q))) q -= 1
+              q < e && s.substring(q + 1, e + 1).equalsIgnoreCase("as")
+            }
+          }
+          val typeDecl = content.trim.isEmpty ||
+            (TypeWords.contains(baseWord) &&
+              content.trim.forall(_.isDigit) && castContext)
+          if (typeDecl || topColon) {
             i = close + 1 // array TYPE decl / slice — unchanged
           } else {
             val out = s.substring(0, baseStart) +
@@ -845,7 +868,13 @@ object StatementRouter {
         } else if (prev == '\'') {
           i = close + 1 // string subscript — unsupported, leave loud
         } else if (!topColon) { // bare list literal
-          val out = s.substring(0, i) + s"array($content)" + s.substring(close + 1)
+          // `ARRAY[1,2]` / `ARRAY [1,2]`: the keyword is part of the
+          // constructor — drop it, else the splice produces the broken
+          // token `ARRAYarray(1, 2)` (r8 advice)
+          val litStart =
+            if (subscriptish && baseStart >= 0 && baseWord == "array") baseStart
+            else i
+          val out = s.substring(0, litStart) + s"array($content)" + s.substring(close + 1)
           return rewriteBrackets(out)
         } else i = close + 1
       } else i += 1
@@ -876,7 +905,14 @@ object StatementRouter {
             f(splitTopCommas(s.substring(open + 1, close))) match {
               case Some(rep) =>
                 s = s.substring(0, start) + rep + s.substring(close + 1)
-                from = start + rep.length
+                // re-scan FROM the replacement so calls nested inside the
+                // rewritten arguments are still visited (r8 advice:
+                // date_diff('day', a, date_diff('day', b, c)) must rewrite
+                // both). The head was transformed so the same site cannot
+                // re-match — guarded anyway against a self-named rewrite
+                from =
+                  if (re.findPrefixMatchOf(rep).isDefined) start + rep.length
+                  else start
               case None => from = open + 1
             }
           }

@@ -374,7 +374,7 @@ object QueriesLake {
         """SELECT grp,
           |       sum(v) // 2 AS half,
           |       sum(v)::VARCHAR AS total_str,
-          |       list_sort(list(v)) AS vs,
+          |       array_to_string(list_sort(list(v)), ',') AS vs,
           |       count(*) FILTER (WHERE starts_with(grp, 'a')) AS a_cnt
           |FROM dx
           |WHERE regexp_matches(grp, '^[ab]+$')
@@ -474,7 +474,7 @@ object QueriesLake {
        "t(id, name, price, qts, quote, ts_listed) ORDER BY id"),
     "q_lake_dialect2" ->
       ("SELECT grp, CAST(half AS BIGINT) AS half, total_str, vs, CAST(a_cnt AS BIGINT) AS a_cnt " +
-       "FROM (VALUES ('aa', 3, '7', [7], 1), ('ab', 7, '14', [5, 9], 2), ('bb', 2, '4', [4], 0)) " +
+       "FROM (VALUES ('aa', 3, '7', '7', 1), ('ab', 7, '14', '5,9', 2), ('bb', 2, '4', '4', 0)) " +
        "t(grp, half, total_str, vs, a_cnt) ORDER BY grp"),
     "q_lake_add_files" ->
       ("SELECT * FROM (VALUES (1,'native','west'),(10,'x','east'),(11,'y','east')) " +

@@ -181,6 +181,33 @@ object QueriesLlm {
         when(dot(emb, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
     }: _*)
 
+  /** Group `rows` by `keys` into sorted `idCol` lists with NO aggregation
+    * buffer ever exceeding `cap`. A collect-then-filter shape bounds the
+    * candidate PAIRS but not the buffer: a degenerate key (r2 measured
+    * one bucket holding 63% of the corpus, SCALE.md §5) materializes its
+    * entire posting list in ONE aggregation buffer before the size filter
+    * drops it — at 10^9 docs a multi-GB single-group buffer → executor
+    * OOM. Here a count pass (partial-agg'd, so the degenerate key costs
+    * one long per map task) finds the over-cap keys first, an anti-join
+    * (over-cap key set is pair-pruned-sized — tiny, AQE broadcasts it)
+    * drops their rows, and only then does collect_list run — every
+    * buffer is ≤ cap by construction. The surviving list set is
+    * IDENTICAL to collect-then-filter, so the oracle twins keep their
+    * windowed-count formulation.
+    */
+  private[ops] def cappedIdLists(rows: DataFrame, keys: Seq[String],
+      idCol: String, cap: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val overCap = rows.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(keyCols: _*)
+    rows.join(overCap, keys, "left_anti")
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+  }
+
   /** Banded candidate generation for the embedding dedup: each vector
     * lands in one bucket per table; every (table, bucket) group within
     * the size cap unnests its i<j pairs (the same one-shuffle
@@ -193,11 +220,17 @@ object QueriesLlm {
   private[ops] def embCandidatePairs(emb: DataFrame, nTables: Int,
       nPlanes: Int, maxBucket: Int): DataFrame = {
     val keys = bucketKeysExpr(col("embedding"), embPlaneTables(nTables, nPlanes))
-    val cap = if (maxBucket <= 0) Int.MaxValue else maxBucket
-    emb.select(col("vec_id"), explode(keys).as("bkt"))
-      .groupBy("bkt")
-      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
-      .filter(size(col("vs")).between(2, cap))
+    val keyed = emb.select(col("vec_id"), explode(keys).as("bkt"))
+    // capped path: cap-BEFORE-collect (see [[cappedIdLists]]); uncapped
+    // oracle-default config keeps the direct single-shuffle aggregation
+    val grouped =
+      if (maxBucket <= 0)
+        keyed.groupBy("bkt")
+          .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+          .filter(size(col("vs")) >= 2)
+      else cappedIdLists(keyed, Seq("bkt"), "vec_id", maxBucket)
+        .withColumnRenamed("ds", "vs")
+    grouped
       .select(explode(flatten(transform(col("vs"), (x, i) =>
         transform(slice(col("vs"), i + 2, size(col("vs"))),
           y => struct(x.as("a"), y.as("b"))))))
@@ -375,17 +408,15 @@ object QueriesLlm {
     }: _*)
     val bandsAll = mh.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    // candidate pairs per bucket in ONE shuffle: group each (band, bkey)
-    // bucket into a sorted doc list, apply the bucket-size cap (degenerate
-    // buckets carry no signal and O(k²) pairs — LSH hygiene, r2 measured
-    // one bucket holding 63% of the corpus), and unnest the i<j pairs.
-    // Same pair set as a bucket self-join (so the oracle twin keeps its
-    // join formulation) without the join's extra shuffles; safe because
-    // the cap bounds every list at maxBucket docs.
-    val candRaw = bandsAll
-      .groupBy("band", "bkey")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
+    // candidate pairs per bucket: group each (band, bkey) bucket into a
+    // sorted doc list with the bucket-size cap applied BEFORE the list is
+    // collected (degenerate buckets carry no signal and O(k²) pairs — LSH
+    // hygiene, r2 measured one bucket holding 63% of the corpus; see
+    // [[cappedIdLists]] for why the cap must precede the buffer), and
+    // unnest the i<j pairs. Same pair set as a bucket self-join (so the
+    // oracle twin keeps its join formulation) without the join's extra
+    // shuffles; every aggregation buffer is bounded at maxBucket docs.
+    val candRaw = cappedIdLists(bandsAll, Seq("band", "bkey"), "doc_id", maxBucket)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           y => struct(x.as("a"), y.as("b"))))))
@@ -543,7 +574,12 @@ object QueriesLlm {
     */
   private[graft] val CcLocalMaxEdges = 5000000L
 
-  private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[graft] def ccLabels(s: SparkSession, pairs0: DataFrame): DataFrame = {
+    // uniform output schema whichever strategy the edge count dispatches
+    // to (r8 advice): the union-find path needs LongType internally, so
+    // every strategy receives LongType pairs — the caller-visible label
+    // schema no longer depends on the runtime size that picks the path
+    val pairs = pairs0.select(col("a").cast(LongType), col("b").cast(LongType))
     // the pair list is OUTPUT-sized (it survived banding + estimate
     // filter + exact verify — orders of magnitude below the corpus), so
     // the common case at ANY corpus scale is an edge set that fits one
@@ -833,10 +869,12 @@ object QueriesLlm {
       // postings on BOTH engines — the standard prune, stated in the twin.
       val sh = shinglesDF(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-        .groupBy("h")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, MaxBucket))
+      // df prune with the cap applied BEFORE the posting list is collected
+      // (see [[cappedIdLists]] — a corpus-common gram must never
+      // materialize its full posting list in one aggregation buffer)
+      val posts = cappedIdLists(
+        sh.select(col("doc_id"), explode(col("hs")).as("h")),
+        Seq("h"), "doc_id", MaxBucket)
       val inter = posts
         .select(explode(flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + 2, size(col("ds"))),
@@ -1418,9 +1456,9 @@ object QueriesLlm {
          |g AS (SELECT doc_id, norm, unnest(range(1, length(norm) - ${WinnowK - 2})) AS i
          |      FROM d WHERE length(norm) >= ${WinnowK + WinnowW - 1}),
          |h AS (SELECT doc_id, i,
-         |        list_sum(list_transform(range(0, $WinnowK),
+         |        CAST(list_sum(list_transform(range(0, $WinnowK),
          |          j -> CAST(unicode(substring(norm, CAST(i + j AS INTEGER), 1)) AS BIGINT) * ($coefList)[j + 1]))
-         |          % $HashP AS h
+         |          % $HashP AS BIGINT) AS h
          |      FROM g),
          |wm AS (SELECT doc_id, i,
          |         min(h) OVER (PARTITION BY doc_id ORDER BY i

@@ -185,6 +185,37 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(two) == two)
   }
 
+  test("r8: a COLUMN named like a type still subscripts; cast contexts stay types") {
+    // date/json/text… are TypeWords, but as a column base the bracket is
+    // a 1-based subscript — passing it through would be silently 0-based
+    assert(rewriteDialect("SELECT date[1] FROM t") ==
+      "SELECT element_at(date, 1) FROM t")
+    assert(rewriteDialect("SELECT json[2], time[i] FROM t") ==
+      "SELECT element_at(json, 2), element_at(time, i) FROM t")
+    // …while CAST / :: contexts keep the sized-array TYPE untouched
+    assert(rewriteDialect("SELECT CAST(x AS INTEGER[3]) FROM t") ==
+      "SELECT CAST(x AS INTEGER[3]) FROM t")
+    assert(rewriteDialect("SELECT x::INTEGER[3] FROM t") ==
+      "SELECT x::INTEGER[3] FROM t")
+  }
+
+  test("r8: ARRAY keyword literals collapse into array(); row[] is a subscript") {
+    assert(rewriteDialect("SELECT ARRAY[1, 2] AS xs") ==
+      "SELECT array(1, 2) AS xs")
+    assert(rewriteDialect("SELECT ARRAY [1, 2] AS xs") ==
+      "SELECT array(1, 2) AS xs")
+    assert(rewriteDialect("SELECT row[1] FROM t") ==
+      "SELECT element_at(row, 1) FROM t")
+  }
+
+  test("r8: calls nested inside rewritten call arguments are rewritten too") {
+    assert(rewriteDialect("SELECT date_diff('day', a, date_diff('day', b, c)) FROM t") ==
+      "SELECT datediff(datediff(c, b), a) FROM t")
+    assert(rewriteDialect(
+      "SELECT string_split(strftime(ts, '%Y-%m'), '-') FROM t") ==
+      "SELECT split(date_format(ts, 'yyyy-MM'), '\\\\Q-\\\\E') FROM t")
+  }
+
   test("r7b: string_split literal separator is regex-quoted; epoch maps") {
     assert(rewriteDialect("SELECT string_split(s, '|') FROM t") ==
       "SELECT split(s, '\\\\Q|\\\\E') FROM t")
