@@ -102,6 +102,50 @@ object Probe {
       df.show(5)
     }
 
+    section("multiway") {
+      // r8: q_join_multiway decomposition (slowest headline at 17.2×
+      // baseline) — scan floor vs join tree vs aggregation vs the
+      // mandated total ORDER BY, plus a filter-first join-order variant
+      // (region/nation reduced onto supplier BEFORE the fact joins)
+      val cu = graft.ops.Tables.t(spark, d, "customer")
+      val or = graft.ops.Tables.t(spark, d, "orders")
+      val su = graft.ops.Tables.t(spark, d, "supplier")
+      val na = graft.ops.Tables.t(spark, d, "nation")
+      val re = graft.ops.Tables.t(spark, d, "region")
+      val revenue = (sum(round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+        .cast(DoubleType) / 10000.0).as("revenue")
+      time("mw_scan_customer")(cu)
+      time("mw_scan_orders")(or)
+      time("mw_scan_lineitem")(li)
+      time("mw_scan_li_3cols")(li.select("l_orderkey", "l_suppkey", "l_extendedprice"))
+      def joined = cu.join(or, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      time("mw_joins_only")(joined.select(col("n_name")))
+      def agged = joined.groupBy("n_name").agg(revenue)
+      time("mw_joins_agg")(agged)
+      time("mw_full_with_order")(agged.orderBy("n_name"))
+      // filter-first: broadcast ASIA nations onto supplier, then join the
+      // shrunken supplier into the fact chain
+      val asiaN = na.join(broadcast(re.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val su2 = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      def agged2 = cu.join(or, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(su2, col("l_suppkey") === col("s_suppkey") &&
+                   col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name").agg(revenue)
+      time("mw_filter_first")(agged2.orderBy("n_name"))
+      time("q_join_multiway_full")(
+        graft.ops.QueriesRelational.queries("q_join_multiway")(spark, d))
+    }
+
     section("mwplan") {
       val df = graft.ops.QueriesRelational.queries("q_join_multiway")(spark, d)
       df.write.format("noop").mode("overwrite").save()

@@ -67,7 +67,15 @@ class DuckLakeXLSpark(
       * jobs, no data file. Rows flush to parquet automatically before any
       * DML/ALTER/compaction touches the table.
       */
-    inlineRowLimit: Int = 0) {
+    inlineRowLimit: Int = 0,
+    /** on a stale-push CAS rejection, re-pull a fresh base and replay the
+      * statement script ONCE (bounded — a second rejection propagates).
+      * The failed attempt committed nothing, so the replay sees exactly
+      * the state a user-issued re-run would; its orphaned local data
+      * files are owned by the scheduled-deletion sweep. Set false for
+      * the strict fail-fast behavior.
+      */
+    casAutoRetry: Boolean = true) {
 
   /** local xlsx or Graph workbook, picked like the reference's
     * _pick_client (ducklakexl.py:85-97); `remoteOverride` injects a
@@ -224,7 +232,18 @@ class DuckLakeXLSpark(
     * scheduled-deletion sweep is the cleanup path) and the remedy is to
     * re-run the statement: `sql()` re-pulls a fresh base first.
     */
+  /** ONE-SHOT test seam: runs at the next push() entry, then clears —
+    * lets a spec interleave a racing writer exactly between this
+    * session's pull and its push (ConcurrencySpec's auto-retry case)
+    */
+  @volatile private[graft] var onBeforePush: () => Unit = () => ()
+
   def push(): Unit = {
+    // null during the constructor's bootstrap push (initialize() runs
+    // before this field's initializer)
+    val hook = onBeforePush
+    onBeforePush = () => ()
+    if (hook != null) hook()
     if (baseSnapshot >= 0 && remote.exists) {
       remoteSnapshotHead().foreach { head =>
         if (head != baseSnapshot)
@@ -252,9 +271,21 @@ class DuckLakeXLSpark(
 
   // ------------------------------------------------------------ query API
   /** THE query path (reference `sql`, ducklakexl.py:387-397):
-    * pull -> execute statements -> push -> return last SELECT's DataFrame
+    * pull -> execute statements -> push -> return last SELECT's DataFrame.
+    * With [[casAutoRetry]] (default), a stale-push CAS rejection triggers
+    * ONE transparent replay of the whole script on a freshly pulled base
+    * — the rejected attempt committed nothing, so the replay is exactly
+    * the documented manual remedy ("re-run the statement"), automated.
     */
   def sql(script: String): DataFrame = {
+    try sqlOnce(script)
+    catch {
+      case _: java.util.ConcurrentModificationException if casAutoRetry =>
+        sqlOnce(script)
+    }
+  }
+
+  private def sqlOnce(script: String): DataFrame = {
     if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
@@ -316,6 +347,7 @@ class DuckLakeXLSpark(
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
+        case StatementRouter.Summarize(name) => last = Some(summarizeTable(name))
         case StatementRouter.Explain(q) =>
           // the formatted physical plan as rows (DuckDB pass-through gives
           // the reference EXPLAIN for free; here it is Catalyst's plan)
@@ -927,6 +959,57 @@ class DuckLakeXLSpark(
       StructField("column_name", StringType, false),
       StructField("column_type", StringType, false),
       StructField("null", StringType, false))))
+  }
+
+  /** `SUMMARIZE t` — DuckDB's per-column stats surface: ONE aggregation
+    * pass over the live table (or view) computes min / max / distinct /
+    * null percentage for every column. At 100 TB this is a single scan
+    * with map-side partial aggregation — never a per-column loop of
+    * jobs. `approx_unique` is exact here (the corpus pass costs the same
+    * either way at test scale; a production knob would swap in
+    * approx_count_distinct, the constant-size sketch).
+    */
+  def summarizeTable(name: String): DataFrame = {
+    val (df, colTypes) = resolveTable(name) match {
+      case Some(t) =>
+        (table(name), state.columnsOf(t.tableId).map(c => c.columnType).toVector)
+      case None =>
+        val v = state.viewByName(name).getOrElse(
+          throw new IllegalArgumentException(s"no such table or view: $name"))
+        val d = withLakeCatalog(spark.sql(rewriteSelect(v.sql)))
+        (d, d.schema.fields.toVector.map { f =>
+          try CatalogSchema.typeName(f.dataType)
+          catch { case _: IllegalArgumentException => f.dataType.sql }
+        })
+    }
+    val fields = df.schema.fields
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) => Seq(
+      min(col(f.name)).cast(StringType).as(s"mn$i"),
+      max(col(f.name)).cast(StringType).as(s"mx$i"),
+      countDistinct(col(f.name)).as(s"du$i"),
+      count(when(col(f.name).isNull, lit(1))).as(s"nl$i"))
+    }.toSeq
+    val r = df.agg(count(lit(1)).as("cnt"), aggs: _*).collect()(0)
+    val cnt = r.getLong(0)
+    val rows = fields.toVector.zipWithIndex.map { case (f, i) =>
+      val nulls = r.getLong(4 * i + 4)
+      val pct =
+        if (cnt == 0L) 0.0
+        else BigDecimal(100.0 * nulls / cnt)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(f.name, colTypes(i),
+        r.get(4 * i + 1).asInstanceOf[String],
+        r.get(4 * i + 2).asInstanceOf[String],
+        r.getLong(4 * i + 3), cnt, pct)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, false),
+      StructField("column_type", StringType, false),
+      StructField("min", StringType, true),
+      StructField("max", StringType, true),
+      StructField("approx_unique", LongType, false),
+      StructField("count", LongType, false),
+      StructField("null_percentage", DoubleType, false))))
   }
 
   /** snapshot history (reference TODO `snapshots()`, README.md:162),

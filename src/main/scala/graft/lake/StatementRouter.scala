@@ -104,6 +104,8 @@ object StatementRouter {
                              comment: Option[String]) extends Stmt
   case object ShowTables extends Stmt
   final case class Describe(name: String) extends Stmt
+  /** DuckDB's `SUMMARIZE t` — per-column stats in one table pass */
+  final case class Summarize(name: String) extends Stmt
   final case class Explain(select: String) extends Stmt
   /** `MERGE INTO` upsert — a Spark-native extension (the reference's
     * engine has no MERGE): copy-on-write over the affected target files.
@@ -190,6 +192,7 @@ object StatementRouter {
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
+  private val SummarizeRe = """(?is)^\s*SUMMARIZE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
 
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
@@ -444,6 +447,7 @@ object StatementRouter {
     case ShowTablesRe() => ShowTables
     case ExplainRe(select) => Explain(select.trim)
     case DescribeRe(name) => Describe(qualName(name))
+    case SummarizeRe(name) => Summarize(qualName(name))
     case other => Select(other)
   }
 
@@ -1004,9 +1008,69 @@ object StatementRouter {
     rewriteCalls(rewriteCalls(q, "string_split")(f), "str_split")(f)
   }
 
+  // ------------------------------------------ DuckDB FROM-first syntax
+  private val FromFirstRe = """(?is)^\s*FROM\s(.*)$""".r
+  private val ClauseKws = Set("WHERE", "GROUP", "HAVING", "QUALIFY",
+    "WINDOW", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+  /** index of the first top-level (outside parens/literals) occurrence
+    * of any keyword in `kws`, or -1
+    */
+  private def firstTopLevelKeyword(s: String, kws: Set[String]): Int = {
+    var i = 0
+    var depth = 0
+    var inS = false
+    var inD = false
+    val n = s.length
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inS) {
+        if (c == '\'') { if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else inS = false }
+      } else if (inD) { if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"'  => inD = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ if depth == 0 && isWordChar(c) &&
+                  (i == 0 || !isWordChar(s.charAt(i - 1))) =>
+          var j = i
+          while (j < n && isWordChar(s.charAt(j))) j += 1
+          if (kws.contains(s.substring(i, j).toUpperCase)) return i
+          i = j - 1
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** DuckDB FROM-first syntax: bare `FROM t …` == `SELECT * FROM t …`;
+    * `FROM t SELECT cols …` pulls the SELECT clause back in front. The
+    * select list runs to the first top-level clause keyword; the tail
+    * (WHERE/GROUP/ORDER/…) stays behind the FROM part, where the clauses
+    * already sit in canonical order. A SELECT inside parens (a subquery
+    * source) is not a FROM-first SELECT clause.
+    */
+  private[lake] def rewriteFromFirst(q: String): String = q match {
+    case FromFirstRe(rest) =>
+      splitTopLevelKeyword(rest, "SELECT") match {
+        case (fromPart, None) => s"SELECT * FROM ${fromPart.trim}"
+        case (fromPart, Some(sel)) =>
+          val cut = firstTopLevelKeyword(sel, ClauseKws)
+          val (selList, tail) =
+            if (cut < 0) (sel.trim, "")
+            else (sel.substring(0, cut).trim, " " + sel.substring(cut).trim)
+          s"SELECT $selList FROM ${fromPart.trim}$tail"
+      }
+    case _ => q
+  }
+
   /** the full DuckDB-dialect pass (see the block comment above) */
   def rewriteDialect(sql: String): String = {
-    var q = mapOutsideLiterals(sql)(renameFns)
+    var q = rewriteFromFirst(sql)
+    q = mapOutsideLiterals(q)(renameFns)
     q = mapOutsideLiterals(q) { seg =>
       StarExcludeBareRe.replaceAllIn(
         StarExcludeParenRe.replaceAllIn(seg, "$1EXCEPT$2"), "$1EXCEPT ($2)")

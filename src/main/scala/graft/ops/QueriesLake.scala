@@ -398,6 +398,19 @@ object QueriesLake {
           |       strftime(d, '%Y/%m/%d') AS dstr,
           |       date_diff('day', DATE '1995-01-01', d) AS dd
           |FROM ev3 ORDER BY id""".stripMargin)
+    },
+    // r8 dialect breadth: DuckDB FROM-first syntax (bare `FROM t` and
+    // `FROM t SELECT … WHERE …`) + SUMMARIZE — the remaining first-hour
+    // spellings from the r7 verdict. Both FROM-first forms feed the
+    // summarized table, so the checked output covers all three.
+    "q_lake_dialect4" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d4(id INTEGER, grp VARCHAR, v INTEGER);
+          |INSERT INTO d4 VALUES (1,'a',5),(2,'b',NULL),(3,'a',9),(4,'c',2)""".stripMargin)
+      lake.sql("CREATE TABLE d4a AS FROM d4")
+      lake.sql("CREATE TABLE d4f AS FROM d4a SELECT grp, v WHERE id < 4")
+      lake.sql("SUMMARIZE d4f")
     }
   )
 
@@ -481,6 +494,12 @@ object QueriesLake {
        "t(id, v, region) ORDER BY id"),
     "q_lake_dialect3" ->
       ("SELECT * FROM (VALUES (1, 'a', 2, '1995/03/15', 73), (2, 'x', 4, '1995/04/01', 90)) " +
-       "t(id, first_tok, dbl, dstr, dd) ORDER BY id")
+       "t(id, first_tok, dbl, dstr, dd) ORDER BY id"),
+    "q_lake_dialect4" ->
+      ("SELECT * FROM (VALUES " +
+       "('grp','VARCHAR','a','b',CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(0.0 AS DOUBLE)), " +
+       "('v','INTEGER','5','9',CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(33.33 AS DOUBLE))) " +
+       "t(column_name, column_type, \"min\", \"max\", approx_unique, \"count\", null_percentage) " +
+       "ORDER BY column_name")
   )
 }

@@ -59,7 +59,7 @@ object QueriesLlm {
   private val NgramThreshold = 0.8
 
   /** bucket-size cap for the MinHash band buckets (LSH hygiene, see top) */
-  private val MaxBucket = 100
+  private[ops] val MaxBucket = 100
 
   // 64-bit SimHash (Manku's config): 2 bits per md5 hex digit — bit 3 of
   // digit d for even sig bits, bit 2 for odd — banded 4×16 bits, so any
@@ -163,13 +163,19 @@ object QueriesLlm {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  /** oracle twin of the single-table LSH bucket: 8 sign bits of the
-    * [[planes]] dot products */
-  private def sqlBucket(emb: String): String =
-    planes.map { p =>
+  /** oracle twin of one LSH table's bucket key: sign bits of the given
+    * planes' dot products (the planes are deterministic literals, so the
+    * SQL is mechanical)
+    */
+  private def sqlBucketFor(ps: Seq[Seq[Int]], emb: String): String =
+    ps.map { p =>
       val hp = p.mkString("list_value(", ",", ")")
       s"(CASE WHEN ${sqlDot(emb, hp)} >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
+
+  /** oracle twin of the single-table LSH bucket: 8 sign bits of the
+    * [[planes]] dot products */
+  private def sqlBucket(emb: String): String = sqlBucketFor(planes, emb)
 
   /** per-table LSH keys, one `"t:signbits"` string per table — a single
     * projection computes every table's key, so the banded variant costs
@@ -266,6 +272,104 @@ object QueriesLlm {
     out
   }
 
+  /** containment pairs (contained, container, containment) with
+    * |A∩B|/|A| >= `thr`, intersections counted over the df-pruned
+    * postings (grams held by > `cap` docs dropped — the PPJoin-family
+    * prune; both directions emitted). Factored out so the prune's recall
+    * is MEASURABLE against the unpruned ground truth
+    * (`ContainRecallSpec`), not just asserted. The df prune uses
+    * [[cappedIdLists]], so a corpus-common gram never materializes its
+    * full posting list in one aggregation buffer.
+    */
+  private[ops] def containPairs(sh: DataFrame, cap: Int,
+      thr: Double = 0.9): DataFrame = {
+    val posts = cappedIdLists(
+      sh.select(col("doc_id"), explode(col("hs")).as("h")),
+      Seq("h"), "doc_id", cap)
+    val inter = posts
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.select(col("doc_id"), size(col("hs")).as("sz"))
+    val scored = inter
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+    val dirA = scored
+      .filter(col("inter").cast(DoubleType) / col("sza") >= thr)
+      .select(col("a").as("contained"), col("b").as("container"),
+        round(col("inter").cast(DoubleType) / col("sza"), 4).as("containment"))
+    val dirB = scored
+      .filter(col("inter").cast(DoubleType) / col("szb") >= thr)
+      .select(col("b").as("contained"), col("a").as("container"),
+        round(col("inter").cast(DoubleType) / col("szb"), 4).as("containment"))
+    dirA.unionByName(dirB)
+  }
+
+  // ------------------------------------------------------- IVF helpers
+  /** (vec_id, embedding, norm) — the IVF working set */
+  private[ops] def ivfVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("vn"))
+
+  /** deterministic seed codebook: the K lowest vec_ids */
+  private[ops] def ivfSeed(v: DataFrame, k: Int): DataFrame =
+    v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("vn").as("cn"))
+
+  /** one assignment pass: every vector to its max-cosine centroid via a
+    * BROADCAST codebook and a partial-agg'd argmax (max of a (cos, -cid)
+    * struct — never a window, so assignment map-side combines)
+    */
+  private[ops] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("vn"), col("cid"),
+        (dot(col("embedding"), col("cvec")) / (col("vn") * col("cn"))).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"), col("m.cos").as("cos"),
+        col("embedding"), col("vn"))
+
+  /** the Lloyd update: per-cid elementwise mean of the assigned vectors.
+    * posexplode → avg per (cid, pos) is partial-agg'd map-side, so the
+    * shuffle carries K×Dim rows, not corpus×Dim; components round to 6
+    * decimals so the centroid literals are bit-identical across engines
+    * (double summation order differs at ~1e-12; the round absorbs it and
+    * keeps every downstream dot product a deterministic fold)
+    */
+  private[ops] def ivfMeanCentroids(assign: DataFrame): DataFrame =
+    assign
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg(round(avg(col("col").cast(DoubleType)), 6).as("v"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        e => e("v")).as("cvec"))
+      .select(col("cid"), col("cvec"),
+        sqrt(dot(col("cvec"), col("cvec"))).as("cn"))
+
+  /** nprobe-pruned top-k scan over an assigned corpus (see the ivf rows) */
+  private[ops] def ivfSearch(assign: DataFrame, cents: DataFrame, v: DataFrame,
+      queryVecId: Int, nprobe: Int, k: Int): DataFrame = {
+    val q = v.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("vn").as("qn"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"),
+        (dot(col("cvec"), col("qe")) / (col("cn") * col("qn"))).as("qcos"))
+      .orderBy(col("qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select("cid")
+    assign.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("vn") * col("qn")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** LSH-pruned top-k: score only vectors sharing >=1 table bucket with
     * the query (`arrays_overlap` over the per-table key arrays — for one
     * table this IS the oracle's bucket-equality filter)
@@ -300,7 +404,7 @@ object QueriesLlm {
   /** word-5-shingle hash sets (docs with <5 words have no shingles and
     * drop out — they cannot be near-dups)
     */
-  private def shinglesDF(s: SparkSession, d: String): DataFrame = {
+  private[ops] def shinglesDF(s: SparkSession, d: String): DataFrame = {
     // shingle construction + hashing in ONE native pass per doc
     // (graft.functions.HashedGrams — bit-identical to the former
     // transform/concat_ws/md5 chain, TextSketchSpec): the single-spaced
@@ -869,32 +973,7 @@ object QueriesLlm {
       // postings on BOTH engines — the standard prune, stated in the twin.
       val sh = shinglesDF(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // df prune with the cap applied BEFORE the posting list is collected
-      // (see [[cappedIdLists]] — a corpus-common gram must never
-      // materialize its full posting list in one aggregation buffer)
-      val posts = cappedIdLists(
-        sh.select(col("doc_id"), explode(col("hs")).as("h")),
-        Seq("h"), "doc_id", MaxBucket)
-      val inter = posts
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("inter"))
-      val sz = sh.select(col("doc_id"), size(col("hs")).as("sz"))
-      val scored = inter
-        .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-        .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-      val thr = 0.9
-      val dirA = scored
-        .filter(col("inter").cast(DoubleType) / col("sza") >= thr)
-        .select(col("a").as("contained"), col("b").as("container"),
-          round(col("inter").cast(DoubleType) / col("sza"), 4).as("containment"))
-      val dirB = scored
-        .filter(col("inter").cast(DoubleType) / col("szb") >= thr)
-        .select(col("b").as("contained"), col("a").as("container"),
-          round(col("inter").cast(DoubleType) / col("szb"), 4).as("containment"))
-      val out = dirA.unionByName(dirB)
+      val out = containPairs(sh, MaxBucket)
         .orderBy("contained", "container")
         .localCheckpoint(true) // output-sized; releases the shingle cache
       sh.unpersist()
@@ -924,6 +1003,17 @@ object QueriesLlm {
       // pipeline (EmbeddingLshSpec exercises it and measures recall)
       embCosPairs(Tables.t(s, d, "embeddings"),
         nTables = 1, nPlanes = NumPlanes, maxBucket = 0, thr = CosThreshold)
+    },
+
+    "q_llm_dedup_embcos_banded" -> { (s, d) =>
+      // the RECOMMENDED 100 TB config as a driver-checked oracle row (r7
+      // verdict #4): [[EmbTables]]×[[EmbPlanesPerTable]] banded tables
+      // WITH the bucket cap — the exact pipeline EmbeddingLshSpec
+      // measures recall on, now hash-compared against a DuckDB twin
+      // stated as a UNION over the T per-table bucket self-joins
+      embCosPairs(Tables.t(s, d, "embeddings"),
+        nTables = EmbTables, nPlanes = EmbPlanesPerTable,
+        maxBucket = EmbMaxBucket, thr = CosThreshold)
     },
 
     // ------------------------------------- top-k similarity (brute force)
@@ -965,35 +1055,23 @@ object QueriesLlm {
       // DuckDB twin is exact; a production build would Lloyd-iterate the
       // codebook — each iteration is this same assign shape plus a
       // per-cid average, no new plan shapes.
-      val ivfK = 16
-      val nprobe = 4
-      val emb = Tables.t(s, d, "embeddings")
-      val v = emb.select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("vn"))
-      val cents = v.filter(col("vec_id") < ivfK)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("vn").as("cn"))
-      val assign = v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("vn"), col("cid"),
-          (dot(col("embedding"), col("cvec")) / (col("vn") * col("cn"))).as("cos"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
-          first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
-        .select(col("vec_id"), (-col("m.ncid")).as("cid"), col("embedding"), col("vn"))
-      val q = v.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("vn").as("qn"))
-      val probes = cents.crossJoin(broadcast(q))
-        .select(col("cid"),
-          (dot(col("cvec"), col("qe")) / (col("cn") * col("qn"))).as("qcos"))
-        .orderBy(col("qcos").desc, col("cid").asc)
-        .limit(nprobe)
-        .select("cid")
-      assign.join(broadcast(probes), "cid")
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(dot(col("embedding"), col("qe")) / (col("vn") * col("qn")), 4).as("score"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-        .limit(10)
+      val v = ivfVecs(Tables.t(s, d, "embeddings"))
+      val cents = ivfSeed(v, 16)
+      ivfSearch(ivfAssign(v, cents), cents, v, queryVecId = 0, nprobe = 4, k = 10)
+    },
+
+    // --------------- IVF with a trained codebook (one Lloyd iteration)
+    "q_llm_simsearch_ivf_lloyd" -> { (s, d) =>
+      // the production IVF build realism the seed-codebook row lacks (r7
+      // verdict #5): assign → per-cid mean → re-assign. Both steps are
+      // the SAME plan shapes as the base row (broadcast codebook +
+      // partial-agg argmax; the mean is a K×Dim-row aggregate), and the
+      // 6-decimal centroid rounding keeps the DuckDB twin exact.
+      // IvfLloydSpec measures the tightening (mean intra-cluster cosine
+      // rises vs the seed codebook).
+      val v = ivfVecs(Tables.t(s, d, "embeddings"))
+      val c1 = ivfMeanCentroids(ivfAssign(v, ivfSeed(v, 16)))
+      ivfSearch(ivfAssign(v, c1), c1, v, queryVecId = 0, nprobe = 4, k = 10)
     },
 
     // ----------------- train/val/test split: deterministic hash bucketing
@@ -1289,6 +1367,40 @@ object QueriesLlm {
          |            (x.nrm * y.nrm), 4) >= $CosThreshold
          |ORDER BY a, b""".stripMargin,
 
+    "q_llm_dedup_embcos_banded" -> {
+      // one bucket-key column per LSH table (deterministic ±1 plane
+      // literals — the SQL is mechanical); candidates = union of the T
+      // per-table bucket self-joins behind the same windowed-count cap
+      // the Spark side applies, then the exact-cosine verify
+      val tabs = embPlaneTables(EmbTables, EmbPlanesPerTable)
+      val bktCols = tabs.zipWithIndex.map { case (ps, t) =>
+        s"${sqlBucketFor(ps, "embedding")} AS bkt$t"
+      }.mkString(",\n           ")
+      val bktCase = (0 until EmbTables)
+        .map(t => s"WHEN $t THEN bkt$t").mkString("CASE tab ", " ", " END")
+      val tabVals = (0 until EmbTables).map(t => s"($t)").mkString(", ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |           sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+         |           $bktCols
+         |           FROM embeddings),
+         |k AS (SELECT vec_id, tab, $bktCase AS bkey
+         |      FROM b CROSS JOIN (VALUES $tabVals) tt(tab)),
+         |kf AS (SELECT vec_id, tab, bkey FROM (
+         |       SELECT vec_id, tab, bkey,
+         |              count(*) OVER (PARTITION BY tab, bkey) AS bsz
+         |       FROM k) WHERE bsz <= $EmbMaxBucket),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |         FROM kf x JOIN kf y
+         |           ON x.tab = y.tab AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT c.a, c.b,
+         |       round(${sqlDot("xa.embedding", "xb.embedding")} /
+         |             (xa.nrm * xb.nrm), 4) AS cos
+         |FROM cand c JOIN b xa ON xa.vec_id = c.a JOIN b xb ON xb.vec_id = c.b
+         |WHERE round(${sqlDot("xa.embedding", "xb.embedding")} /
+         |            (xa.nrm * xb.nrm), 4) >= $CosThreshold
+         |ORDER BY a, b""".stripMargin
+    },
+
     "q_llm_simsearch_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id,
@@ -1321,6 +1433,40 @@ object QueriesLlm {
          |       SELECT *, row_number() OVER (PARTITION BY vec_id
          |                                    ORDER BY cos DESC, cid ASC) AS rn
          |       FROM a0) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe, vn AS qn FROM v WHERE vec_id = 0),
+         |p0 AS (SELECT c.cid, ${sqlDot("c.cvec", "q.qe")} / (c.cn * q.qn) AS qcos
+         |       FROM c CROSS JOIN q),
+         |probes AS (SELECT cid FROM p0 ORDER BY qcos DESC, cid ASC LIMIT 4)
+         |SELECT a.vec_id,
+         |       round(${sqlDot("a.embedding", "q.qe")} / (a.vn * q.qn), 4) AS score
+         |FROM assign a JOIN probes USING (cid) CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "q_llm_simsearch_ivf_lloyd" ->
+      s"""WITH v AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS vn
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, embedding AS cvec, vn AS cn FROM v WHERE vec_id < 16),
+         |s0 AS (SELECT v.vec_id, v.embedding, c.cid,
+         |              ${sqlDot("v.embedding", "c.cvec")} / (v.vn * c.cn) AS cos
+         |       FROM v CROSS JOIN c0 c),
+         |assign0 AS (SELECT vec_id, embedding, cid FROM (
+         |       SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY cos DESC, cid ASC) AS rn
+         |       FROM s0) WHERE rn = 1),
+         |ax AS (SELECT cid, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS x
+         |       FROM assign0 CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) ii
+         |       GROUP BY cid, i),
+         |c1 AS (SELECT cid, list(x ORDER BY i) AS cvec FROM ax GROUP BY cid),
+         |c AS (SELECT cid, cvec, sqrt(${sqlDot("cvec", "cvec")}) AS cn FROM c1),
+         |s1 AS (SELECT v.vec_id, v.embedding, v.vn, c.cid,
+         |              ${sqlDot("v.embedding", "c.cvec")} / (v.vn * c.cn) AS cos
+         |       FROM v CROSS JOIN c),
+         |assign AS (SELECT vec_id, embedding, vn, cid FROM (
+         |       SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY cos DESC, cid ASC) AS rn
+         |       FROM s1) WHERE rn = 1),
          |q AS (SELECT embedding AS qe, vn AS qn FROM v WHERE vec_id = 0),
          |p0 AS (SELECT c.cid, ${sqlDot("c.cvec", "q.qe")} / (c.cn * q.qn) AS qcos
          |       FROM c CROSS JOIN q),

@@ -43,6 +43,42 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(rowsB.map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
+  test("CAS auto-retry: the losing sql() replays on a fresh base, no user code") {
+    val (xlsx, data) = freshLakePath()
+    val a = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("CREATE TABLE t(id INTEGER)")
+    val b = new DuckLakeXLSpark(spark, xlsx, data)
+    // A commits exactly between B's pull and B's push: B's first push is
+    // stale-rejected, and sql() must transparently re-pull + replay once
+    b.onBeforePush = () => { a.sql("INSERT INTO t VALUES (1)"); () }
+    val rows = b.sql("INSERT INTO t VALUES (2); SELECT * FROM t ORDER BY id")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    // both writers' rows persisted on the remote — nothing was lost
+    val c = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(c.sql("SELECT * FROM t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("a second straight rejection propagates (retry is bounded)") {
+    val (xlsx, data) = freshLakePath()
+    val a = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("CREATE TABLE t(id INTEGER)")
+    val b = new DuckLakeXLSpark(spark, xlsx, data)
+    var n = 0
+    def interfere(): Unit = {
+      n += 1
+      a.sql(s"INSERT INTO t VALUES (${n * 100})")
+      if (n < 2) b.onBeforePush = () => interfere() // re-arm for the replay
+    }
+    b.onBeforePush = () => interfere()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      b.sql("INSERT INTO t VALUES (2)")
+    }
+    assert(e.getMessage.contains("stale push rejected"))
+    assert(n == 2, s"expected exactly one bounded retry, saw $n pushes raced")
+  }
+
   test("interleaved sql() calls from two sessions serialize cleanly") {
     val (xlsx, data) = freshLakePath()
     val a = new DuckLakeXLSpark(spark, xlsx, data)

@@ -185,6 +185,22 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(two) == two)
   }
 
+  test("r8: FROM-first syntax reorders into canonical SELECT") {
+    assert(rewriteDialect("FROM t") == "SELECT * FROM t")
+    assert(rewriteDialect("FROM t WHERE x > 1") == "SELECT * FROM t WHERE x > 1")
+    assert(rewriteDialect("FROM t SELECT a, b") == "SELECT a, b FROM t")
+    assert(rewriteDialect("FROM t SELECT grp, count(*) AS n GROUP BY grp ORDER BY grp") ==
+      "SELECT grp, count(*) AS n FROM t GROUP BY grp ORDER BY grp")
+    assert(rewriteDialect("FROM t SELECT a WHERE b < 3 LIMIT 5") ==
+      "SELECT a FROM t WHERE b < 3 LIMIT 5")
+    // a SELECT inside parens is a subquery source, not a SELECT clause
+    assert(rewriteDialect("FROM (SELECT 1 AS x) s") ==
+      "SELECT * FROM (SELECT 1 AS x) s")
+    // ordinary statements do not fire
+    val q = "SELECT a FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
   test("r8: a COLUMN named like a type still subscripts; cast contexts stay types") {
     // date/json/text… are TypeWords, but as a column base the bracket is
     // a 1-based subscript — passing it through would be silently 0-based
