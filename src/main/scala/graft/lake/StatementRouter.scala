@@ -871,14 +871,47 @@ object StatementRouter {
           }
         } else if (prev == '\'') {
           i = close + 1 // string subscript — unsupported, leave loud
-        } else if (!topColon) { // bare list literal
+        } else if (!topColon) { // bare list literal or comprehension
           // `ARRAY[1,2]` / `ARRAY [1,2]`: the keyword is part of the
           // constructor — drop it, else the splice produces the broken
           // token `ARRAYarray(1, 2)` (r8 advice)
           val litStart =
             if (subscriptish && baseStart >= 0 && baseWord == "array") baseStart
             else i
-          val out = s.substring(0, litStart) + s"array($content)" + s.substring(close + 1)
+          // DuckDB list comprehension `[expr FOR x IN xs [IF cond]]` ->
+          // Spark higher-order functions: transform(xs, x -> expr) /
+          // transform(filter(xs, x -> cond), x -> expr). Keywords are
+          // matched top-level only (paren/bracket/literal-aware), so a
+          // nested comprehension in the source list resolves on the
+          // recursive pass.
+          val forIdx = firstTopLevelKeyword(content, Set("FOR"))
+          val rep =
+            if (forIdx < 0) s"array($content)"
+            else {
+              val expr = content.substring(0, forIdx).trim
+              val rest = content.substring(forIdx + 3).trim
+              val inIdx = firstTopLevelKeyword(rest, Set("IN"))
+              require(inIdx >= 0, s"cannot parse list comprehension: [$content]")
+              val varName = rest.substring(0, inIdx).trim
+              val after = rest.substring(inIdx + 2).trim
+              // `if(` is the conditional FUNCTION, not a comprehension filter
+              val ifIdx = {
+                val k0 = firstTopLevelKeyword(after, Set("IF"))
+                if (k0 < 0) -1
+                else {
+                  var k = k0 + 2
+                  while (k < after.length && after.charAt(k).isWhitespace) k += 1
+                  if (k < after.length && after.charAt(k) == '(') -1 else k0
+                }
+              }
+              if (ifIdx < 0) s"transform($after, $varName -> $expr)"
+              else {
+                val listExpr = after.substring(0, ifIdx).trim
+                val cond = after.substring(ifIdx + 2).trim
+                s"transform(filter($listExpr, $varName -> $cond), $varName -> $expr)"
+              }
+            }
+          val out = s.substring(0, litStart) + rep + s.substring(close + 1)
           return rewriteBrackets(out)
         } else i = close + 1
       } else i += 1
@@ -1031,8 +1064,8 @@ object StatementRouter {
       else c match {
         case '\'' => inS = true
         case '"'  => inD = true
-        case '('  => depth += 1
-        case ')'  => depth -= 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
         case _ if depth == 0 && isWordChar(c) &&
                   (i == 0 || !isWordChar(s.charAt(i - 1))) =>
           var j = i

@@ -411,6 +411,19 @@ object QueriesLake {
       lake.sql("CREATE TABLE d4a AS FROM d4")
       lake.sql("CREATE TABLE d4f AS FROM d4a SELECT grp, v WHERE id < 4")
       lake.sql("SUMMARIZE d4f")
+    },
+    // r8 dialect breadth: DuckDB list comprehensions (with IF filter),
+    // composed with the other list rewrites they ride on
+    "q_lake_dialect5" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d5(id INTEGER, xs VARCHAR);
+          |INSERT INTO d5 VALUES (1, '1|2|3'), (2, '4|5')""".stripMargin)
+      lake.sql(
+        """SELECT id,
+          |       array_to_string([CAST(x AS INTEGER) * 2 FOR x IN string_split(xs, '|') IF x <> '2'], ',') AS doubled,
+          |       [x * 10 FOR x IN [id, id + 1]][2] AS second
+          |FROM d5 ORDER BY id""".stripMargin)
     }
   )
 
@@ -500,6 +513,9 @@ object QueriesLake {
        "('grp','VARCHAR','a','b',CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(0.0 AS DOUBLE)), " +
        "('v','INTEGER','5','9',CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(33.33 AS DOUBLE))) " +
        "t(column_name, column_type, \"min\", \"max\", approx_unique, \"count\", null_percentage) " +
-       "ORDER BY column_name")
+       "ORDER BY column_name"),
+    "q_lake_dialect5" ->
+      ("SELECT * FROM (VALUES (1, '2,6', 20), (2, '8,10', 30)) " +
+       "t(id, doubled, second) ORDER BY id")
   )
 }

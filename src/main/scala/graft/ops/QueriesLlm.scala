@@ -154,9 +154,18 @@ object QueriesLlm {
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** element-wise double dot product, sequential left fold (same fold the
-    * oracle's list_sum/list_transform performs — bit-identical results)
+    * oracle's list_sum/list_transform performs — bit-identical results).
+    * Native since r8 ([[graft.functions.EmbSketch.arrayDot]]) — the
+    * interpreted `aggregate(zip_with(...))` fold it replaced evaluates
+    * per ELEMENT through the interpreted-expression path, which dominated
+    * every per-candidate cosine verify; [[dotReference]] keeps the chain
+    * as the bit-exactness twin (EmbSketchSpec).
     */
   private def dot(a: Column, b: Column): Column =
+    graft.functions.EmbSketch.arrayDotCol(a, b)
+
+  /** the functions-built twin of [[dot]] — spec-only */
+  private[ops] def dotReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -179,40 +188,43 @@ object QueriesLlm {
 
   /** per-table LSH keys, one `"t:signbits"` string per table — a single
     * projection computes every table's key, so the banded variant costs
-    * one corpus scan regardless of T
+    * one corpus scan regardless of T. Since r8 the sign bits are a native
+    * one-pass expression ([[graft.functions.EmbSketch]]): the interpreted
+    * per-plane `aggregate(zip_with(...))` folds it replaced cost 2.5 s of
+    * the banded row at sf0.1; [[bucketKeysExprReference]] keeps that
+    * chain as the bit-exactness twin (EmbSketchSpec).
     */
-  private def bucketKeysExpr(emb: Column, tabs: Seq[Seq[Seq[Int]]]): Column =
+  private[ops] def bucketKeysExpr(emb: Column, tabs: Seq[Seq[Seq[Int]]]): Column =
+    graft.functions.EmbSketch.planeBucketsCol(emb, tabs)
+
+  /** the functions-built twin of [[bucketKeysExpr]] — spec-only */
+  private[ops] def bucketKeysExprReference(emb: Column, tabs: Seq[Seq[Seq[Int]]]): Column =
     array(tabs.zipWithIndex.map { case (ps, t) =>
       concat(lit(s"$t:") +: ps.map(p =>
-        when(dot(emb, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+        when(dotReference(emb, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
     }: _*)
 
   /** Group `rows` by `keys` into sorted `idCol` lists with NO aggregation
-    * buffer ever exceeding `cap`. A collect-then-filter shape bounds the
-    * candidate PAIRS but not the buffer: a degenerate key (r2 measured
-    * one bucket holding 63% of the corpus, SCALE.md §5) materializes its
-    * entire posting list in ONE aggregation buffer before the size filter
-    * drops it — at 10^9 docs a multi-GB single-group buffer → executor
-    * OOM. Here a count pass (partial-agg'd, so the degenerate key costs
-    * one long per map task) finds the over-cap keys first, an anti-join
-    * (over-cap key set is pair-pruned-sized — tiny, AQE broadcasts it)
-    * drops their rows, and only then does collect_list run — every
-    * buffer is ≤ cap by construction. The surviving list set is
-    * IDENTICAL to collect-then-filter, so the oracle twins keep their
-    * windowed-count formulation.
+    * buffer ever exceeding `cap + 1`. A collect-then-filter shape bounds
+    * the candidate PAIRS but not the buffer: a degenerate key (r2
+    * measured one bucket holding 63% of the corpus, SCALE.md §5)
+    * materializes its entire posting list in ONE aggregation buffer
+    * before the size filter drops it — at 10^9 docs a multi-GB
+    * single-group buffer → executor OOM. The bound lives INSIDE the
+    * aggregate ([[graft.functions.BoundedCollectLongs]]): a buffer that
+    * reaches cap + 1 stops accumulating, which the size filter below
+    * turns into the identical drop — so the plan keeps the original
+    * one-shuffle shape (a pre-count + anti-join variant was measured
+    * +0.2-0.36 s per dedup query at sf0.1), the surviving list set is
+    * bit-identical to collect-then-filter, and the oracle twins keep
+    * their windowed-count formulation.
     */
   private[ops] def cappedIdLists(rows: DataFrame, keys: Seq[String],
-      idCol: String, cap: Int): DataFrame = {
-    val keyCols = keys.map(col)
-    val overCap = rows.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > cap)
-      .select(keyCols: _*)
-    rows.join(overCap, keys, "left_anti")
-      .groupBy(keyCols: _*)
-      .agg(sort_array(collect_list(col(idCol))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-  }
+      idCol: String, cap: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedCollect
+        .boundedCollectLongsCol(col(idCol).cast(LongType), cap).as("ds"))
+      .filter(size(col("ds")).between(2, cap))
 
   /** Banded candidate generation for the embedding dedup: each vector
     * lands in one bucket per table; every (table, bucket) group within

@@ -232,6 +232,21 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT split(date_format(ts, 'yyyy-MM'), '\\\\Q-\\\\E') FROM t")
   }
 
+  test("r8: list comprehensions become transform/filter") {
+    assert(rewriteDialect("SELECT [x * 2 FOR x IN xs] FROM t") ==
+      "SELECT transform(xs, x -> x * 2) FROM t")
+    assert(rewriteDialect("SELECT [x FOR x IN xs IF x > 0] FROM t") ==
+      "SELECT transform(filter(xs, x -> x > 0), x -> x) FROM t")
+    assert(rewriteDialect("SELECT [x + 1 FOR x IN [1, 2, 3]] AS ys") ==
+      "SELECT transform(array(1, 2, 3), x -> x + 1) AS ys")
+    // nested comprehension resolves inside-out on the recursive pass
+    assert(rewriteDialect("SELECT [[y * y FOR y IN x] FOR x IN xss]") ==
+      "SELECT transform(xss, x -> transform(x, y -> y * y))")
+    // the if() FUNCTION in the source list is not a comprehension filter
+    assert(rewriteDialect("SELECT [y FOR y IN if(c, a, b)]") ==
+      "SELECT transform(if(c, a, b), y -> y)")
+  }
+
   test("r7b: string_split literal separator is regex-quoted; epoch maps") {
     assert(rewriteDialect("SELECT string_split(s, '|') FROM t") ==
       "SELECT split(s, '\\\\Q|\\\\E') FROM t")
