@@ -829,19 +829,20 @@ object StatementRouter {
         lazy val baseStart = primaryStart(s, i)
         lazy val base = if (baseStart >= 0) s.substring(baseStart, i).trim else ""
         lazy val baseWord = base.toLowerCase
-        val topColon = { // slice x[a:b] — leave for a loud engine error
-          var j = i + 1; var d = 0; var colon = false
-          while (j < close && !colon) {
+        val topColonIdx = { // slice x[a:b] — position of the bound separator
+          var j = i + 1; var d = 0; var idx = -1
+          while (j < close && idx < 0) {
             if (!lit(j)) s.charAt(j) match {
               case '[' | '(' => d += 1
               case ']' | ')' => d -= 1
-              case ':' if d == 0 => colon = true
+              case ':' if d == 0 => idx = j
               case _ =>
             }
             j += 1
           }
-          colon
+          idx
         }
+        val topColon = topColonIdx >= 0
         if (subscriptish && baseStart >= 0 && !NonBaseWords.contains(baseWord)) {
           // a TypeWords base is a TYPE declaration only with an empty
           // subscript (INTEGER[]) or a digits-only size in a cast context
@@ -862,8 +863,26 @@ object StatementRouter {
           val typeDecl = content.trim.isEmpty ||
             (TypeWords.contains(baseWord) &&
               content.trim.forall(_.isDigit) && castContext)
-          if (typeDecl || topColon) {
-            i = close + 1 // array TYPE decl / slice — unchanged
+          if (typeDecl) {
+            i = close + 1 // array TYPE decl — unchanged
+          } else if (topColon) {
+            // DuckDB list slice x[a:b] (1-based, both bounds inclusive,
+            // clamped): slice(x, a, b-a+1); open bounds default to the
+            // ends. Negative bounds and step slices differ semantically
+            // and pass through to a loud Spark error instead of a guess.
+            val cIdx = topColonIdx - (i + 1)
+            val lo = content.substring(0, cIdx).trim
+            val hi = content.substring(cIdx + 1).trim
+            val rep =
+              if (lo.startsWith("-") || hi.startsWith("-") || hi.contains(":")) null
+              else if (lo.isEmpty && hi.isEmpty) base
+              else if (lo.isEmpty) s"slice($base, 1, $hi)"
+              else if (hi.isEmpty)
+                s"slice($base, $lo, greatest(size($base) - ($lo) + 1, 0))"
+              else s"slice($base, $lo, ($hi) - ($lo) + 1)"
+            if (rep == null) i = close + 1
+            else return rewriteBrackets(
+              s.substring(0, baseStart) + rep + s.substring(close + 1))
           } else {
             val out = s.substring(0, baseStart) +
               s"element_at($base, $content)" + s.substring(close + 1)

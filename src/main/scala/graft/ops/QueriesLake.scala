@@ -422,7 +422,8 @@ object QueriesLake {
       lake.sql(
         """SELECT id,
           |       array_to_string([CAST(x AS INTEGER) * 2 FOR x IN string_split(xs, '|') IF x <> '2'], ',') AS doubled,
-          |       [x * 10 FOR x IN [id, id + 1]][2] AS second
+          |       [x * 10 FOR x IN [id, id + 1]][2] AS second,
+          |       array_to_string(string_split(xs, '|')[1:2], ';') AS head2
           |FROM d5 ORDER BY id""".stripMargin)
     }
   )
@@ -515,7 +516,7 @@ object QueriesLake {
        "t(column_name, column_type, \"min\", \"max\", approx_unique, \"count\", null_percentage) " +
        "ORDER BY column_name"),
     "q_lake_dialect5" ->
-      ("SELECT * FROM (VALUES (1, '2,6', 20), (2, '8,10', 30)) " +
-       "t(id, doubled, second) ORDER BY id")
+      ("SELECT * FROM (VALUES (1, '2,6', 20, '1;2'), (2, '8,10', 30, '4;5')) " +
+       "t(id, doubled, second, head2) ORDER BY id")
   )
 }

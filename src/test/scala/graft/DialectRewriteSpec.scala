@@ -150,13 +150,27 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT element_at(array(a, b), 1)")
   }
 
-  test("r7b: array TYPE declarations, slices, and literal contents untouched") {
+  test("r7b: array TYPE declarations and literal contents untouched") {
     assert(rewriteDialect("SELECT CAST(x AS INTEGER[]) FROM t") ==
       "SELECT CAST(x AS INTEGER[]) FROM t")
-    val slice = "SELECT arr[1:3] FROM t"
-    assert(rewriteDialect(slice) == slice)
     val lit = "SELECT 'a[1]' AS s FROM t"
     assert(rewriteDialect(lit) == lit)
+  }
+
+  test("r8: list slices become slice(); negative/step slices stay loud") {
+    assert(rewriteDialect("SELECT arr[1:3] FROM t") ==
+      "SELECT slice(arr, 1, (3) - (1) + 1) FROM t")
+    assert(rewriteDialect("SELECT arr[:2] FROM t") ==
+      "SELECT slice(arr, 1, 2) FROM t")
+    assert(rewriteDialect("SELECT arr[2:] FROM t") ==
+      "SELECT slice(arr, 2, greatest(size(arr) - (2) + 1, 0)) FROM t")
+    assert(rewriteDialect("SELECT arr[:] FROM t") == "SELECT arr FROM t")
+    assert(rewriteDialect("SELECT split(s, ',')[1:2] FROM t") ==
+      "SELECT slice(split(s, ','), 1, (2) - (1) + 1) FROM t")
+    val neg = "SELECT arr[-2:] FROM t"
+    assert(rewriteDialect(neg) == neg)
+    val step = "SELECT arr[1:5:2] FROM t"
+    assert(rewriteDialect(step) == step)
   }
 
   test("r7b: strftime translates C directives to a date_format pattern") {
