@@ -8,7 +8,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -89,9 +89,105 @@ case class BoundedCollectLongs(
   override def prettyName: String = "bounded_collect_longs"
 }
 
+/** Exact deterministic top-k per group: keeps the k (key, id) pairs with
+  * the SMALLEST (key asc, id asc) rank, with every buffer — map-side
+  * partial and reduce-side final — holding at most k elements BY
+  * CONSTRUCTION. This is per-group TakeOrdered: a billion-row stratum
+  * costs one partial-agg shuffle of ≤ k rows per (partition, group),
+  * where the window-function spelling (`row_number() OVER (PARTITION BY
+  * stratum ORDER BY key)`) sorts every stratum end-to-end just to keep
+  * k rows. Result is the ids of the k best pairs (order unspecified —
+  * callers sort).
+  *
+  * The key is compared as a java String (the callers rank by md5 hex —
+  * ASCII, so JVM, UTF8String-binary, and DuckDB collation all agree).
+  */
+case class BoundedTopK(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(String, Long)]] with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): ArrayBuffer[(String, Long)] =
+    new ArrayBuffer[(String, Long)]
+
+  /** true iff a ranks strictly after b in (key asc, id asc) order */
+  private def worse(a: (String, Long), b: (String, Long)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c > 0 || (c == 0 && a._2 > b._2)
+  }
+
+  private def add(buf: ArrayBuffer[(String, Long)], e: (String, Long)): Unit = {
+    if (buf.length < k) buf += e
+    else if (k > 0) {
+      var wi = 0
+      var i = 1
+      while (i < buf.length) { if (worse(buf(i), buf(wi))) wi = i; i += 1 }
+      if (worse(buf(wi), e)) buf(wi) = e
+    }
+  }
+
+  override def update(buf: ArrayBuffer[(String, Long)], input: InternalRow): ArrayBuffer[(String, Long)] = {
+    val kv = left.eval(input)
+    val iv = right.eval(input)
+    // toString materializes the key out of the reusable UnsafeRow buffer
+    if (kv != null && iv != null) add(buf, (kv.toString, iv.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[(String, Long)], b2: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] = {
+    b2.foreach(add(b1, _))
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[(String, Long)]): Any =
+    new GenericArrayData(buf.map(_._2).toArray)
+
+  override def serialize(buf: ArrayBuffer[(String, Long)]): Array[Byte] = {
+    val parts = buf.map { case (s, id) => (s.getBytes("UTF-8"), id) }
+    val bb = ByteBuffer.allocate(4 + parts.map(12 + _._1.length).sum)
+    bb.putInt(parts.length)
+    parts.foreach { case (sb, id) => bb.putInt(sb.length); bb.put(sb); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[(String, Long)](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val sb = new Array[Byte](len)
+      bb.get(sb)
+      buf += ((new String(sb, "UTF-8"), bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BoundedTopK =
+    copy(left = newLeft, right = newRight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bounded_top_k"
+}
+
 object BoundedCollect {
   /** sorted list of the group's ids, buffers bounded at `cap + 1` */
   def boundedCollectLongsCol(c: Column, cap: Int): Column =
     ColumnBridge.column(
       BoundedCollectLongs(ColumnBridge.expression(c), cap).toAggregateExpression())
+
+  /** ids of the group's k smallest (key, id) pairs, buffers ≤ k */
+  def boundedTopKCol(key: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      BoundedTopK(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
 }

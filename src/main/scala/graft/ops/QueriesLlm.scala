@@ -3,6 +3,7 @@ package graft.ops
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,6 +132,22 @@ object QueriesLlm {
   private val WinnowK = 8
   private val WinnowW = 32
   private val WinnowB = 257L
+
+  /** copy-detect: min shared winnow fingerprints for a reported pair */
+  private val CopyMinShared = 5L
+
+  /** marker n-grams for the language-ID scorer — all the SAME length (5)
+    * so raw length-difference counts compare without division; shared
+    * verbatim with the oracle SQL. Tie-break priority: en > de > es > fr.
+    */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " for "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" los ", " las ", " del "),
+    "fr" -> Seq(" les ", " des ", " une "))
+
+  /** stratified sample: docs kept per (lang, source) stratum */
+  private val StratumN = 3
   private val WinnowCoefs: Seq[Long] = {
     var c = 1L
     (0 until WinnowK).map { _ => val r = c; c = (c * WinnowB) % HashP; r }.reverse
@@ -1295,8 +1312,160 @@ object QueriesLlm {
         col("meta.mime").as("mime"),
         col("meta.n_chars").as("n_chars")
       ).orderBy("doc_id")
+    },
+
+    // --------------- copy detection: docs sharing winnowing fingerprints
+    "q_llm_copy_detect" -> { (s, d) =>
+      // Winnowing's guarantee (Schleimer et al., SIGMOD'03): any shared
+      // substring of >= w+k-1 chars shares >= 1 fingerprint, so a pair
+      // sharing MANY fingerprints shares long literal passages (copied
+      // text) even when unique surrounding content dilutes whole-doc
+      // Jaccard below every MinHash band's threshold. Shape = the same
+      // posting-list join as containment: explode the per-doc fingerprint
+      // SET (one native pass, zero extra shuffle), df-prune fingerprints
+      // held by >MaxBucket docs (boilerplate hashes: no pair signal,
+      // O(df²) cost) with buffers bounded inside the aggregate
+      // ([[cappedIdLists]]), generate pairs in the aggregation that
+      // counts them. Corpus-linear; candidates output-sized.
+      val fps = graft.functions.TextSketch.winnowFingerprintsCol(
+        col("nt"), WinnowK, WinnowW, WinnowB, HashP)
+      val docFps = Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
+        .select(col("doc_id"), explode(fps).as("fp"))
+      cappedIdLists(docFps, Seq("fp"), "doc_id", MaxBucket)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= CopyMinShared)
+        .orderBy("a", "b")
+    },
+
+    // ------------- decontamination with a broadcast Bloom-filter prefilter
+    "q_llm_decontam_bloom" -> { (s, d) =>
+      // the 100 TB shape of [[q_llm_decontam]]: the benchmark set is tiny
+      // by construction (an eval suite is ~10^6 grams — a ~2 MB bloom at
+      // 10 bits/item), so build the bloom ONCE on the driver and prefilter
+      // the corpus-sized training gram stream MAP-SIDE: ≥99% of grams
+      // never reach the shuffle, which shrinks the decontam join's
+      // exchange by the same factor. False positives are harmless — the
+      // exact equi-join below re-verifies every survivor — so the result
+      // is bit-identical to q_llm_decontam and shares its oracle. The
+      // bloom probe is the one justified UDF in the repo: there is no
+      // builtin might_contain, and the alternative (shuffling every gram)
+      // is the thing being avoided.
+      val n = 8
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .filter(size(split(col("nt"), " ")) >= n)
+      val grams = docs.select(col("doc_id"),
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n)).as("g"))
+      val bench = grams.filter(col("doc_id") < 5)
+        .select(col("g")).distinct()
+      val bf = bench.stat.bloomFilter("g", 100000L, 0.001)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+      grams.filter(col("doc_id") >= 5)
+        .filter(mightContain(col("g")))
+        .join(bench, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------- language ID: marker-n-gram scoring, zero shuffle
+    "q_llm_langid" -> { (s, d) =>
+      // deterministic marker-trigram language ID: per-language marker
+      // counts via length arithmetic (no explode — counting substring
+      // occurrences needs no token stream), argmax with a fixed
+      // tie-break order. Every marker is the same length, so raw
+      // length-differences compare without division. Per-row expressions
+      // only → zero shuffle below the confusion-matrix aggregation; the
+      // real-pipeline upgrade path is the same expression over a larger
+      // profile table, still per-row. Output = confusion counts vs the
+      // `lang` metadata column (pipeline auditability).
+      val p = concat(lit(" "), normText(col("text")), lit(" "))
+      def score(ms: Seq[String]): Column =
+        ms.map(m => length(p) - length(call_function("replace", p, lit(m), lit(""))))
+          .reduce(_ + _)
+      val scored = Tables.t(s, d, "documents").select(
+        col("lang"),
+        score(LangMarkers("en")).as("s_en"), score(LangMarkers("de")).as("s_de"),
+        score(LangMarkers("es")).as("s_es"), score(LangMarkers("fr")).as("s_fr"))
+      scored.select(col("lang"),
+        when(col("s_en") === 0 && col("s_de") === 0 &&
+             col("s_es") === 0 && col("s_fr") === 0, "unk")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+                col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred")
+    },
+
+    // ----------------------- TF-IDF keyword extraction (top-3 per doc)
+    "q_llm_tfidf" -> { (s, d) =>
+      // per-doc salient terms: tf over the doc, document frequency over
+      // the corpus, score = tf/df (monotone in tf·idf at fixed N, and —
+      // unlike ln() — IEEE-exact division that both engines compute
+      // bit-identically). df is vocabulary-sized (Heaps' law: ~10^7 terms
+      // at 100 TB ≈ 100 MB), so it broadcast-joins against the tf stream;
+      // the top-k window partitions by doc — no skew, no global sort.
+      val stop = typedLit(Stopwords)
+      val words = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("word"))
+        .filter(!array_contains(stop, col("word")) && length(col("word")) > 0)
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.filter(col("doc_id") < 20)
+        .join(broadcast(dft), "word")
+        .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("word"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // --------------- stratified sampling: deterministic top-n per stratum
+    "q_llm_sample_stratified" -> { (s, d) =>
+      // exactly n docs per (lang, source) stratum, chosen by md5-hash
+      // rank — the reproducible equivalent of per-stratum reservoir
+      // sampling (same keep-set on every run and every engine). The
+      // top-n lives INSIDE the aggregate ([[graft.functions.BoundedTopK]]
+      // (hash, id) pairs, buffer ≤ n by construction — partial top-n
+      // map-side, merged top-n reduce-side), so a billion-row stratum
+      // costs one partial-agg shuffle of n rows per stratum, never a
+      // per-stratum sort: the window-function spelling the oracle states
+      // would sort every stratum end-to-end just to keep 3 rows.
+      val hx = md5(col("doc_id").cast(StringType))
+      Tables.t(s, d, "documents")
+        .select(col("lang"), col("source"), col("doc_id"), hx.as("hx"))
+        .groupBy("lang", "source")
+        .agg(graft.functions.BoundedCollect.boundedTopKCol(
+          col("hx"), col("doc_id"), StratumN).as("picked_ids"))
+        .select(col("lang"), col("source"),
+          size(col("picked_ids")).cast(LongType).as("n_sampled"),
+          array_join(transform(array_sort(col("picked_ids")),
+            x => x.cast(StringType)), ",").as("picked"))
+        .orderBy("lang", "source")
     }
   )
+
+  private val sqlDecontam =
+    """WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      |              FROM documents),
+      |grams AS (SELECT DISTINCT doc_id,
+      |            unnest(list_transform(range(1, len(ws) - 6),
+      |                   i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS g
+      |          FROM docs WHERE len(ws) >= 8),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM grams JOIN bench USING (g)
+      |WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_exact" ->
@@ -1508,17 +1677,11 @@ object QueriesLlm {
         |WHERE b < COALESCE(keep_pct, 10)
         |GROUP BY source ORDER BY source""".stripMargin,
 
-    "q_llm_decontam" ->
-      """WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-        |              FROM documents),
-        |grams AS (SELECT DISTINCT doc_id,
-        |            unnest(list_transform(range(1, len(ws) - 6),
-        |                   i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS g
-        |          FROM docs WHERE len(ws) >= 8),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
-        |SELECT doc_id, count(*) AS n_hits
-        |FROM grams JOIN bench USING (g)
-        |WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_llm_decontam" -> sqlDecontam,
+
+    // the bloom prefilter is re-verified by an exact join, so the result
+    // — and the oracle — is q_llm_decontam's, bit for bit
+    "q_llm_decontam_bloom" -> sqlDecontam,
 
     "q_llm_pii_scrub" ->
       """SELECT doc_id,
@@ -1630,6 +1793,80 @@ object QueriesLlm {
 
     "q_llm_multimodal_cols" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest, " +
-       "'text/plain' AS mime, n_chars FROM documents ORDER BY doc_id")
+       "'text/plain' AS mime, n_chars FROM documents ORDER BY doc_id"),
+
+    "q_llm_copy_detect" -> {
+      val coefList = WinnowCoefs.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |           FROM documents),
+         |g AS (SELECT doc_id, norm, unnest(range(1, length(norm) - ${WinnowK - 2})) AS i
+         |      FROM d WHERE length(norm) >= ${WinnowK + WinnowW - 1}),
+         |h AS (SELECT doc_id, i,
+         |        CAST(list_sum(list_transform(range(0, $WinnowK),
+         |          j -> CAST(unicode(substring(norm, CAST(i + j AS INTEGER), 1)) AS BIGINT) * ($coefList)[j + 1]))
+         |          % $HashP AS BIGINT) AS h
+         |      FROM g),
+         |wm AS (SELECT doc_id, i,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wmin
+         |       FROM h),
+         |fps AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE i >= $WinnowW),
+         |df AS (SELECT wmin FROM fps GROUP BY wmin HAVING count(*) BETWEEN 2 AND $MaxBucket),
+         |fpp AS (SELECT doc_id, wmin FROM fps WHERE wmin IN (SELECT wmin FROM df))
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |FROM fpp x JOIN fpp y ON x.wmin = y.wmin AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $CopyMinShared
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "q_llm_langid" -> {
+      def sscore(ms: Seq[String]): String =
+        ms.map(m => s"(length(p) - length(replace(p, '$m', '')))").mkString(" + ")
+      s"""WITH d AS (SELECT lang, ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p
+         |           FROM documents),
+         |s AS (SELECT lang,
+         |        ${sscore(LangMarkers("en"))} AS s_en,
+         |        ${sscore(LangMarkers("de"))} AS s_de,
+         |        ${sscore(LangMarkers("es"))} AS s_es,
+         |        ${sscore(LangMarkers("fr"))} AS s_fr
+         |      FROM d)
+         |SELECT lang,
+         |  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unk'
+         |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred,
+         |  count(*) AS n_docs
+         |FROM s GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+    },
+
+    "q_llm_tfidf" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH w AS (SELECT doc_id, w AS word FROM (
+         |       SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+         |       FROM documents)
+         |     WHERE NOT list_contains($stopList, w) AND length(w) > 0),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.word, CAST(t.tf AS DOUBLE) / d.df AS score
+         |       FROM tf t JOIN dft d USING (word) WHERE t.doc_id < 20),
+         |r AS (SELECT doc_id, word, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rnk
+         |      FROM sc)
+         |SELECT doc_id, rnk, word, round(score, 6) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+    },
+
+    // the twin states the WINDOW spelling of per-stratum top-n — semantically
+    // identical to the Spark side's bounded-buffer aggregate (BoundedTopK)
+    "q_llm_sample_stratified" ->
+      s"""WITH r AS (SELECT lang, source, doc_id,
+         |             row_number() OVER (PARTITION BY lang, source
+         |               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+         |           FROM documents)
+         |SELECT lang, source, count(*) AS n_sampled,
+         |       array_to_string(list_sort(list(doc_id)), ',') AS picked
+         |FROM r WHERE rnk <= $StratumN
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
