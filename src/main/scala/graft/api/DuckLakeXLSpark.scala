@@ -8,7 +8,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -278,19 +278,35 @@ class DuckLakeXLSpark(
     * the documented manual remedy ("re-run the statement"), automated.
     */
   def sql(script: String): DataFrame = {
+    val macrosBefore = macros
     try sqlOnce(script)
     catch {
       case _: java.util.ConcurrentModificationException if casAutoRetry =>
+        // the rejected attempt committed nothing; roll session macro
+        // registrations back too so the replayed script re-runs cleanly
+        macros = macrosBefore
         sqlOnce(script)
     }
   }
+
+  /** session-lifetime scalar macros (CREATE MACRO) — the same lifetime
+    * the reference's per-connection DuckDB catalog gives them
+    */
+  private var macros = Map.empty[String, (Seq[String], String)]
 
   private def sqlOnce(script: String): DataFrame = {
     if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
-    withLakeCatalog { StatementRouter.split(script).foreach { stmt =>
-      val classified = StatementRouter.classify(stmt)
+    withLakeCatalog { StatementRouter.split(script).foreach { stmt0 =>
+      // expand macro calls textually before re-classifying — but never
+      // inside macro DDL itself (a CREATE OR REPLACE MACRO whose head
+      // matches an existing macro must not expand its own signature)
+      val classified = StatementRouter.classify(stmt0) match {
+        case m @ (_: StatementRouter.CreateMacro | _: StatementRouter.DropMacro) => m
+        case c if macros.isEmpty => c
+        case _ => StatementRouter.classify(StatementRouter.expandMacros(stmt0, macros))
+      }
       val preSnap = state.currentSnapshot
       classified match {
         case s: StatementRouter.CreateTable =>
@@ -348,6 +364,14 @@ class DuckLakeXLSpark(
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
         case StatementRouter.Summarize(name) => last = Some(summarizeTable(name))
+        case s: StatementRouter.CreateMacro =>
+          require(s.orReplace || !macros.contains(s.name),
+            s"macro ${s.name} already exists (use CREATE OR REPLACE MACRO)")
+          macros += s.name -> ((s.params, s.body))
+        case s: StatementRouter.DropMacro =>
+          require(s.ifExists || macros.contains(s.name), s"no such macro: ${s.name}")
+          macros -= s.name
+        case s: StatementRouter.Pivot => last = Some(executePivot(s))
         case StatementRouter.Explain(q) =>
           // the formatted physical plan as rows (DuckDB pass-through gives
           // the reference EXPLAIN for free; here it is Catalyst's plan)
@@ -1010,6 +1034,53 @@ class DuckLakeXLSpark(
       StructField("approx_unique", LongType, false),
       StructField("count", LongType, false),
       StructField("null_percentage", DoubleType, false))))
+  }
+
+  /** DuckDB `PIVOT t ON c [USING aggs] [GROUP BY gs]` — Spark's pivot
+    * needs the value list DuckDB's binder discovers for itself, so the
+    * distinct pivot-column values are scanned first (sorted ascending =
+    * DuckDB's column order; bounded — the values BECOME output columns,
+    * so the collect is output-schema-sized by definition). Grouping
+    * defaults to every column not referenced by ON or USING, DuckDB's
+    * implicit-group rule; rows come back ordered by the group columns so
+    * the result is deterministic.
+    */
+  private def executePivot(s: StatementRouter.Pivot): DataFrame = {
+    val df = resolveTable(s.table) match {
+      case Some(_) => table(s.table)
+      case None =>
+        val v = state.viewByName(s.table).getOrElse(
+          throw new IllegalArgumentException(s"no such table or view: ${s.table}"))
+        withLakeCatalog(spark.sql(rewriteSelect(v.sql)))
+    }
+    val values = df.select(col(s.onCol)).filter(col(s.onCol).isNotNull)
+      .distinct().orderBy(s.onCol).limit(10001).collect().map(_.get(0)).toSeq
+    require(values.length <= 10000,
+      s"PIVOT ON ${s.onCol}: ${values.length} distinct values exceed the 10k column cap")
+    val aggs: Seq[Column] =
+      if (s.using.isEmpty) Seq(count(lit(1)))
+      else s.using.map { case (ex, alias) =>
+        val c = expr(ex)
+        alias.map(c.as).getOrElse(c)
+      }
+    val groupCols: Seq[String] = s.groupBy match {
+      case Some(gs) => gs.map(_.stripPrefix("\"").stripSuffix("\""))
+      case None =>
+        // DuckDB's implicit rule: group by every column not referenced
+        // in ON or USING (word-boundary scan of the agg expression text)
+        val usedInAgg = df.columns.filter(c => s.using.exists { case (ex, _) =>
+          s"(?i)\\b${java.util.regex.Pattern.quote(c)}\\b".r.findFirstIn(ex).isDefined
+        }).toSet
+        df.columns.filter(c => c != s.onCol && !usedInAgg(c)).toSeq
+    }
+    val out = df.groupBy(groupCols.map(col): _*)
+      .pivot(s.onCol, values)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCols.map(col): _*)
+    // DuckDB's default count(*) pivot shows 0 for empty cells (an explicit
+    // USING keeps NULL on both engines); Spark's pivot leaves them NULL
+    if (s.using.isEmpty) out.na.fill(0L, out.columns.diff(groupCols))
+    else out
   }
 
   /** snapshot history (reference TODO `snapshots()`, README.md:162),

@@ -106,6 +106,26 @@ object StatementRouter {
   final case class Describe(name: String) extends Stmt
   /** DuckDB's `SUMMARIZE t` — per-column stats in one table pass */
   final case class Summarize(name: String) extends Stmt
+
+  /** DuckDB scalar macro (`CREATE MACRO f(a, b) AS a + b`): a named SQL
+    * expression template, expanded TEXTUALLY into later statements the
+    * way DuckDB binds macros at plan time. Lifetime = the lake object,
+    * mirroring the reference's per-connection DuckDB catalog (macros are
+    * not DuckLake catalog objects in the spec — no sheet round-trip).
+    */
+  final case class CreateMacro(name: String, params: Seq[String], body: String,
+      orReplace: Boolean) extends Stmt
+  final case class DropMacro(name: String, ifExists: Boolean) extends Stmt
+
+  /** DuckDB `PIVOT t ON c [USING agg [AS name], …] [GROUP BY g, …]`.
+    * Spark's PIVOT clause needs the IN value list DuckDB discovers for
+    * itself — the executor scans the distinct pivot-column values
+    * (exactly what DuckDB's binder does) and builds the grouped pivot.
+    * `using` is the parsed (aggExpr, alias) list; empty = count(*).
+    */
+  final case class Pivot(table: String, onCol: String,
+      using: Seq[(String, Option[String])],
+      groupBy: Option[Seq[String]]) extends Stmt
   final case class Explain(select: String) extends Stmt
   /** `MERGE INTO` upsert — a Spark-native extension (the reference's
     * engine has no MERGE): copy-on-write over the affected target files.
@@ -193,6 +213,11 @@ object StatementRouter {
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val SummarizeRe = """(?is)^\s*SUMMARIZE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
+  private val CreateMacroRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w\"]+)\s*\(([^)]*)\)\s+AS\s+(.+)$""".r
+  private val DropMacroRe =
+    """(?is)^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
+  private val PivotRe = """(?is)^\s*PIVOT\s+([\w\.\"]+)\s+ON\s+(.+)$""".r
 
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
@@ -245,6 +270,94 @@ object StatementRouter {
       i += 1
     }
     (s.trim, None)
+  }
+
+  /** DuckDB struct/map literals — `{'k': v, …}` -> `named_struct('k', v,
+    * …)`, `MAP {k1: v1, …}` -> `map(k1, v1, …)` — recursive (nested
+    * literals), quote-aware, `::` casts inside values left alone. Braces
+    * appear nowhere else in either dialect's SQL, so a top-level `{` IS a
+    * literal; an unparseable one fails loudly rather than guessing.
+    */
+  private[lake] def rewriteBraces(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inS = false
+    var inD = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { sb.append(c); if (c == '\'') inS = false; i += 1 }
+      else if (inD) { sb.append(c); if (c == '"') inD = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inS = true; i += 1 }
+      else if (c == '"') { sb.append(c); inD = true; i += 1 }
+      else if (c == '{') {
+        val close = matchingBrace(s, i)
+        val inner = rewriteBraces(s.substring(i + 1, close))
+        val kvs = splitTopCommas(inner).map(_.trim).filter(_.nonEmpty).map { e =>
+          val at = topLevelColon(e)
+          require(at >= 0, s"cannot parse struct/map literal entry: $e")
+          (e.take(at).trim, e.drop(at + 1).trim)
+        }
+        // `MAP {…}` (keyword immediately before) selects the map literal
+        var end = sb.length
+        while (end > 0 && sb.charAt(end - 1).isWhitespace) end -= 1
+        def isWordChar(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+        val isMap = end >= 3 &&
+          sb.substring(end - 3, end).equalsIgnoreCase("MAP") &&
+          (end == 3 || !isWordChar(sb.charAt(end - 4)))
+        if (isMap) {
+          sb.setLength(end - 3) // strip the MAP keyword
+          sb.append(kvs.map { case (k, v) => s"$k, $v" }.mkString("map(", ", ", ")"))
+        } else {
+          sb.append(kvs.map { case (k, v) =>
+            val key = if (k.startsWith("'")) k else s"'${k.stripPrefix("\"").stripSuffix("\"")}'"
+            s"$key, $v"
+          }.mkString("named_struct(", ", ", ")"))
+        }
+        i = close + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** index of the '}' matching the '{' at `open`, honoring string literals */
+  private def matchingBrace(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    var inS = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '{'  => depth += 1
+        case '}'  => depth -= 1; if (depth == 0) return i
+        case _    =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced braces in: $s")
+  }
+
+  /** first single `:` at depth 0 outside quotes (skipping `::` casts) */
+  private def topLevelColon(s: String): Int = {
+    var i = 0
+    var depth = 0
+    var inS = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ':' if depth == 0 =>
+          if (i + 1 < s.length && s.charAt(i + 1) == ':') i += 1
+          else return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** index of the ')' matching the '(' at `open`, honoring string literals */
@@ -448,7 +561,88 @@ object StatementRouter {
     case ExplainRe(select) => Explain(select.trim)
     case DescribeRe(name) => Describe(qualName(name))
     case SummarizeRe(name) => Summarize(qualName(name))
+    case CreateMacroRe(orRepl, name, params, body) =>
+      CreateMacro(bareName(name),
+        splitTopCommas(params).map(_.trim).filter(_.nonEmpty), body.trim,
+        orRepl != null)
+    case DropMacroRe(ife, name) => DropMacro(bareName(name), ife != null)
+    case PivotRe(name, rest) => parsePivot(qualName(name), rest)
     case other => Select(other)
+  }
+
+  private def parsePivot(table: String, rest: String): Pivot = {
+    // rest = "<col> [USING agg…] [GROUP BY g, …]" — keyword splits are
+    // quote/paren-aware so an agg argument can contain anything
+    val (beforeGroup, groupPart) = splitTopLevelKeyword(rest, "GROUP")
+    val groupBy = groupPart.map { g =>
+      val t = g.trim
+      require(t.toUpperCase.startsWith("BY"), s"expected GROUP BY in PIVOT: $g")
+      splitTopCommas(t.drop(2)).map(_.trim).filter(_.nonEmpty)
+    }
+    val (onCol, usingPart) = splitTopLevelKeyword(beforeGroup, "USING")
+    val aggs = usingPart.toSeq.flatMap(u => splitTopCommas(u).map { a =>
+      val (ex, alias) = splitTopLevelKeyword(a.trim, "AS")
+      (ex, alias.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    })
+    Pivot(table, onCol.trim.stripPrefix("\"").stripSuffix("\""), aggs, groupBy)
+  }
+
+  /** Expand macro calls textually (outside string literals), innermost
+    * calls first via re-scan; bounded depth guards mutual recursion.
+    * Parameter substitution is word-boundary, quote-aware in the body.
+    */
+  def expandMacros(sql: String, macros: Map[String, (Seq[String], String)]): String = {
+    if (macros.isEmpty) return sql
+    var q = sql
+    var depth = 0
+    var changed = true
+    while (changed && depth < 10) {
+      changed = false
+      depth += 1
+      for ((name, (params, body)) <- macros) {
+        var idx = findMacroCall(q, name)
+        while (idx >= 0) {
+          val open = q.indexOf('(', idx + name.length)
+          val close = matchingParen(q, open)
+          val args = splitTopCommas(q.substring(open + 1, close)).map(_.trim)
+          require(args.count(_.nonEmpty) == params.length ||
+              (params.isEmpty && args.forall(_.isEmpty)),
+            s"macro $name expects ${params.length} args, got ${args.length}")
+          val expanded = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
+            mapOutsideLiterals(b)(_.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b",
+              java.util.regex.Matcher.quoteReplacement(s"($a)")))
+          }
+          q = q.substring(0, idx) + "(" + expanded + ")" + q.substring(close + 1)
+          changed = true
+          idx = findMacroCall(q, name)
+        }
+      }
+    }
+    q
+  }
+
+  /** first index of `name(` outside string literals, word-bounded; -1 if none */
+  private def findMacroCall(s: String, name: String): Int = {
+    var i = 0
+    var inS = false
+    var inD = false
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (c == '\'') inS = true
+      else if (c == '"') inD = true
+      else if (s.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+        var j = i + name.length
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '(') return i
+        i = j - 1
+      }
+      i += 1
+    }
+    -1
   }
 
   // ----------------------------------------------------- DuckDB dialect
@@ -1145,6 +1339,16 @@ object StatementRouter {
     q = rewriteStrftime(q)
     q = rewriteDateDiff(q)
     q = rewriteStringSplit(q)
+    // struct_pack(a := 1) -> named_struct('a', 1) — before the brace
+    // literals so both spellings land on the same Spark function
+    q = rewriteCalls(q, "struct_pack") { args =>
+      Some("named_struct(" + args.map { a =>
+        val at = a.indexOf(":=")
+        require(at > 0, s"cannot parse struct_pack entry: $a")
+        s"'${a.take(at).trim.stripPrefix("\"").stripSuffix("\"")}', ${a.drop(at + 2).trim}"
+      }.mkString(", ") + ")")
+    }
+    q = rewriteBraces(q)
     q = rewriteBrackets(q)
     q = rewriteStarReplace(q)
     q = rewriteDistinctOn(q)

@@ -425,6 +425,45 @@ object QueriesLake {
           |       [x * 10 FOR x IN [id, id + 1]][2] AS second,
           |       array_to_string(string_split(xs, '|')[1:2], ';') AS head2
           |FROM d5 ORDER BY id""".stripMargin)
+    },
+    // r8 dialect breadth: struct literals {'k': v} (nested), MAP {k: v},
+    // struct_pack(k := v), dot field access, and map['key'] — the DuckDB
+    // struct/map surface; final outputs stay scalar (§7.5)
+    "q_lake_dialect6" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d6(id INTEGER, a INTEGER, b VARCHAR);
+          |INSERT INTO d6 VALUES (1, 4, 'x'), (2, 9, 'y')""".stripMargin)
+      lake.sql(
+        """SELECT id, st.a AS sa, st.nest.twice AS tw, el['k1'] AS mk, sp.p AS spp
+          |FROM (SELECT id,
+          |             {'a': a, 'nest': {'twice': a * 2}} AS st,
+          |             MAP {'k1': b, 'k2': 'z'} AS el,
+          |             struct_pack(p := a + 1) AS sp
+          |      FROM d6)
+          |ORDER BY id""".stripMargin)
+    },
+    // r8: DuckDB PIVOT statement — the binder discovers the value list,
+    // Spark needs it stated; the executor scans distinct pivot values
+    // (sorted = DuckDB's column order) and builds the grouped pivot
+    "q_lake_pivot" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE sales(region VARCHAR, quarter VARCHAR, amount INTEGER);
+          |INSERT INTO sales VALUES ('east','q1',10),('east','q2',15),('west','q1',7),('west','q2',3),('east','q1',5)""".stripMargin)
+      lake.sql("PIVOT sales ON quarter USING sum(amount) GROUP BY region")
+    },
+    // r8: CREATE [OR REPLACE] MACRO — session-lifetime scalar macros
+    // (the reference's per-connection DuckDB catalog lifetime), expanded
+    // textually and composed with the dialect rewrites (`//` -> div)
+    "q_lake_macro" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE mt(id INTEGER, v INTEGER);
+          |INSERT INTO mt VALUES (1, 10), (2, 20), (3, 30);
+          |CREATE MACRO addtax(x) AS x + x // 10;
+          |CREATE OR REPLACE MACRO addtax(x) AS x + x // 5""".stripMargin)
+      lake.sql("SELECT id, addtax(v) AS taxed FROM mt WHERE addtax(v) > 12 ORDER BY id")
     }
   )
 
@@ -517,6 +556,14 @@ object QueriesLake {
        "ORDER BY column_name"),
     "q_lake_dialect5" ->
       ("SELECT * FROM (VALUES (1, '2,6', 20, '1;2'), (2, '8,10', 30, '4;5')) " +
-       "t(id, doubled, second, head2) ORDER BY id")
+       "t(id, doubled, second, head2) ORDER BY id"),
+    "q_lake_dialect6" ->
+      ("SELECT * FROM (VALUES (1, 4, 8, 'x', 5), (2, 9, 18, 'y', 10)) " +
+       "t(id, sa, tw, mk, spp) ORDER BY id"),
+    "q_lake_pivot" ->
+      ("SELECT * FROM (VALUES ('east', CAST(15 AS BIGINT), CAST(15 AS BIGINT)), " +
+       "('west', 7, 3)) t(region, q1, q2) ORDER BY region"),
+    "q_lake_macro" ->
+      ("SELECT * FROM (VALUES (2, 24), (3, 36)) t(id, taxed) ORDER BY id")
   )
 }

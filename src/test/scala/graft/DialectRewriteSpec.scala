@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.lake.StatementRouter
 import graft.lake.StatementRouter.rewriteDialect
 
 /** the DuckDB-dialect → Spark SQL text rewrites (SURVEY.md: the
@@ -259,6 +260,38 @@ class DialectRewriteSpec extends AnyFunSuite {
     // the if() FUNCTION in the source list is not a comprehension filter
     assert(rewriteDialect("SELECT [y FOR y IN if(c, a, b)]") ==
       "SELECT transform(if(c, a, b), y -> y)")
+  }
+
+  test("r8: struct and map literals become named_struct/map") {
+    assert(rewriteDialect("SELECT {'a': 1, 'b': x} AS st") ==
+      "SELECT named_struct('a', 1, 'b', x) AS st")
+    // nested literal, value expressions with :: casts left alone
+    assert(rewriteDialect("SELECT {'a': x::INTEGER, 'n': {'b': 2}} AS st") ==
+      "SELECT named_struct('a', x::INTEGER, 'n', named_struct('b', 2)) AS st")
+    assert(rewriteDialect("SELECT MAP {'k': v, 'j': 2} AS m") ==
+      "SELECT map('k', v, 'j', 2) AS m")
+    // a map literal's keys may be expressions; braces inside strings stay
+    assert(rewriteDialect("SELECT MAP {k || 'x': v} AS m, '{not: a literal}' AS s") ==
+      "SELECT map(k || 'x', v) AS m, '{not: a literal}' AS s")
+    assert(rewriteDialect("SELECT struct_pack(p := a + 1, q := 'z') AS sp") ==
+      "SELECT named_struct('p', a + 1, 'q', 'z') AS sp")
+  }
+
+  test("r8: macro expansion is word-bounded, nested, arity-checked") {
+    val m = Map("addtax" -> (Seq("x") -> "x + x // 10"),
+      "pair" -> (Seq("a", "b") -> "a * b"))
+    assert(StatementRouter.expandMacros("SELECT addtax(v) FROM t", m) ==
+      "SELECT ((v) + (v) // 10) FROM t")
+    // nested call in an argument expands inside-out
+    assert(StatementRouter.expandMacros("SELECT pair(addtax(v), 2)", m) ==
+      "SELECT ((((v) + (v) // 10)) * (2))")
+    // not a call, not a macro name: untouched
+    assert(StatementRouter.expandMacros("SELECT addtax FROM t", m) ==
+      "SELECT addtax FROM t")
+    assert(StatementRouter.expandMacros("SELECT 'addtax(v)' FROM t", m) ==
+      "SELECT 'addtax(v)' FROM t")
+    assertThrows[IllegalArgumentException](
+      StatementRouter.expandMacros("SELECT pair(1) FROM t", m))
   }
 
   test("r7b: string_split literal separator is regex-quoted; epoch maps") {

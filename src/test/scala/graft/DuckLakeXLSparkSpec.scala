@@ -112,6 +112,36 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
       Seq(11, 12))
   }
 
+  test("PIVOT defaults: count(*) agg, implicit group by unreferenced columns") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE pv(g VARCHAR, k VARCHAR, v INTEGER);
+        |INSERT INTO pv VALUES ('a','x',1),('a','x',2),('a','y',3),('b','y',4)""".stripMargin)
+    // no USING -> count(*); no GROUP BY -> group by every column not
+    // referenced by ON or USING (here: g and v — DuckDB's implicit rule)
+    val r = lake.sql("PIVOT pv ON k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(r == Seq(("a", 1, 1L, 0L), ("a", 2, 1L, 0L), ("a", 3, 0L, 1L), ("b", 4, 0L, 1L)))
+    // USING without GROUP BY: v is referenced, so only g groups; an
+    // explicit USING keeps NULL for empty cells (both engines)
+    val r2 = lake.sql("PIVOT pv ON k USING sum(v)").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(r2 == Seq(("a", Some(3L), Some(3L)), ("b", None, Some(4L))))
+  }
+
+  test("macros survive only the lake object; DROP MACRO; duplicate create errors") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE mm(v INTEGER); INSERT INTO mm VALUES (7)")
+    lake.sql("CREATE MACRO twice(x) AS x * 2")
+    assert(lake.sql("SELECT twice(v) AS t FROM mm").head().getInt(0) == 14)
+    intercept[IllegalArgumentException](lake.sql("CREATE MACRO twice(x) AS x"))
+    lake.sql("DROP MACRO twice")
+    intercept[Exception](lake.sql("SELECT twice(v) FROM mm"))
+    lake.sql("DROP MACRO IF EXISTS twice") // tolerated
+  }
+
   test("DELETE leaves non-matching files untouched (file-granular CoW)") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE f(id INTEGER, v VARCHAR)")
