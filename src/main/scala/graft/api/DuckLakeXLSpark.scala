@@ -953,6 +953,52 @@ class DuckLakeXLSpark(
       .parquet(streamDir.toString)
   }
 
+  /** Structured-Streaming SINK into a lake table: every micro-batch
+    * appends through the same pull -> insert -> push (CAS) bracket as
+    * [[sql]]. Exactly-once across foreachBatch REPLAYS comes from a
+    * `ducklake_metadata` watermark (`stream_batch:<table>`): the highest
+    * committed batchId rides in the SAME workbook push as the data it
+    * covers, so a replayed batch (restart, post-commit crash) sees
+    * watermark >= batchId and skips — the data and its watermark cannot
+    * diverge. A concurrent writer's push between batches is absorbed by
+    * the standard CAS re-pull + replay.
+    */
+  def writeStreamTo(stream: DataFrame, table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireTable(table)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendStreamBatch(table, batch, batchId)
+      }
+      .start()
+  }
+
+  private[graft] def appendStreamBatch(table: String, batch: DataFrame,
+      batchId: Long): Unit = synchronized {
+    def once(): Unit = {
+      if (remote.exists) pull()
+      val key = s"stream_batch:$table"
+      val committed = state.metadata.find(_._1 == key).map(_._2.toLong)
+      if (committed.exists(_ >= batchId)) return // replayed batch — skip
+      val pre = state.currentSnapshot
+      executeInsertDF(table, None, batch)
+      val post = state.currentSnapshot
+      state = state.copy(
+        metadata = state.metadata.filterNot(_._1 == key) :+ (key -> batchId.toString),
+        snapshotChanges = state.snapshotChanges ++
+          ((pre + 1) to post).map(SnapshotChangeRow(_,
+            s"inserted_into_table:${splitQual(table)._2}")))
+      registerViews()
+      push()
+    }
+    try once()
+    catch {
+      case _: java.util.ConcurrentModificationException if casAutoRetry => once()
+    }
+  }
+
   /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */
   def showTables(): DataFrame = {
     val names = (state.liveTablesIn(curSchema).map(_.tableName) ++
@@ -2005,13 +2051,15 @@ class DuckLakeXLSpark(
     * carry no `ducklake_file_partition_value` rows — partition pruning for
     * them falls back to the (still-recorded) min/max column stats.
     */
-  def compact(table: String, targetBytes: Long = 128L << 20): Unit = {
+  def compact(table: String, targetBytes: Long = 128L << 20,
+      sortBy: Seq[String] = Nil): Unit = {
     if (remote.exists) pull()
     val t = requireTable(table)
     flushInlined(t)
     flushForeignDeletes(t)
     val schema = state.schemaOf(t.tableId)
     val cols = state.columnsOf(t.tableId)
+    if (sortBy.nonEmpty) { compactSorted(t, targetBytes, sortBy, schema); return }
     val small = state.filesOf(t.tableId).filter(_.fileSizeBytes < targetBytes)
     if (small.size <= 1) return
     // sequential bin-pack of the small tail into ~targetBytes groups
@@ -2059,6 +2107,50 @@ class DuckLakeXLSpark(
       tagged.repartition(col("__grp"))
         .write.partitionBy("__grp").mode("overwrite").parquet(tmp.toString)
     }
+    commitCompactOutputs(t, snap, fid, tmp, mergeIds,
+      toMerge.flatten.map(_.recordCount).sum, schema)
+  }
+
+  /** Clustering compaction: rewrite ALL live files range-partitioned and
+    * sorted by `sortBy` into ~targetBytes files with DISJOINT sort-key
+    * ranges, so the per-file min/max stats pruning skips every file
+    * outside a predicate's range — the OPTIMIZE/cluster layout step a
+    * selective 100 TB scan needs. ONE range-shuffle rewrite job
+    * regardless of file count (range boundaries from Spark's sampling
+    * partitioner); stats re-derive in the shared append pass; same
+    * all-rows-survive check before the snapshot commits.
+    */
+  private def compactSorted(t: TableRow, targetBytes: Long,
+      sortBy: Seq[String], schema: StructType): Unit = {
+    val live = state.filesOf(t.tableId)
+    if (live.isEmpty) return
+    val missing = sortBy.filterNot(c =>
+      state.columnsOf(t.tableId).exists(_.columnName == c))
+    require(missing.isEmpty,
+      s"compact sortBy: no such column(s): ${missing.mkString(", ")}")
+    val totalBytes = live.map(_.fileSizeBytes).sum
+    val nGroups = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val snap = state.currentSnapshot + 1
+    val fid = state.nextFileId
+    val src = readFiles(t, live.toSeq)
+    val tmp = Files.createTempDirectory(Paths.get(dataPath), s".compact_${t.tableName}")
+    withoutAQE {
+      src.repartitionByRange(nGroups, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+        .withColumn("__grp", spark_partition_id())
+        .write.partitionBy("__grp").mode("overwrite").parquet(tmp.toString)
+    }
+    commitCompactOutputs(t, snap, fid, tmp, live.map(_.dataFileId).toSet,
+      live.map(_.recordCount).sum, schema)
+  }
+
+  /** shared compact tail: move the __grp=* outputs to stable names, end
+    * the merged files' lifetimes, derive stats, verify every input row
+    * survived, commit the snapshot, push
+    */
+  private def commitCompactOutputs(t: TableRow, snap: Long, fid: Long,
+      tmp: java.nio.file.Path, mergeIds: Set[Long], mergedCnt: Long,
+      schema: StructType): Unit = {
     val dir = Paths.get(dataPath, tableDirName(t))
     Files.createDirectories(dir)
     val written = Files.list(tmp).iterator().asScala
@@ -2080,9 +2172,8 @@ class DuckLakeXLSpark(
     val ns2 = ns2a.copy(snapshotChanges = ns2a.snapshotChanges :+
       SnapshotChangeRow(snap, s"compacted_table:${t.tableName}"))
     // before committing the snapshot: every input row must have survived
-    // the group-tag join (the stats pass already counted the outputs, so
-    // this check is free) — a silent drop here would be silent data loss
-    val mergedCnt = toMerge.flatten.map(_.recordCount).sum
+    // the rewrite (the stats pass already counted the outputs, so this
+    // check is free) — a silent drop here would be silent data loss
     val writtenCnt = ns2.dataFiles
       .filter(d => d.tableId == t.tableId && d.beginSnapshot == snap)
       .map(_.recordCount).sum

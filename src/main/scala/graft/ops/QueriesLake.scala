@@ -453,6 +453,28 @@ object QueriesLake {
           |INSERT INTO sales VALUES ('east','q1',10),('east','q2',15),('west','q1',7),('west','q2',3),('east','q1',5)""".stripMargin)
       lake.sql("PIVOT sales ON quarter USING sum(amount) GROUP BY region")
     },
+    // r8: Structured-Streaming sink into the lake — micro-batches append
+    // through the pull -> insert -> push (CAS) bracket with a
+    // ducklake_metadata batch watermark for exactly-once across replays;
+    // the checked output is the END STATE a reopened lake sees
+    "q_lake_stream_sink" -> { (s, _) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE ev_sink(id INTEGER, v VARCHAR)")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+      val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+      val q = lake.writeStreamTo(in.toDF().toDF("id", "v"), "ev_sink", ckpt)
+      try {
+        in.addData((1, "a"), (2, "b"))
+        q.processAllAvailable()
+        in.addData((3, "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql("SELECT id, v FROM ev_sink ORDER BY id")
+    },
+
     // r8: CREATE [OR REPLACE] MACRO — session-lifetime scalar macros
     // (the reference's per-connection DuckDB catalog lifetime), expanded
     // textually and composed with the dialect rewrites (`//` -> div)
@@ -564,6 +586,8 @@ object QueriesLake {
       ("SELECT * FROM (VALUES ('east', CAST(15 AS BIGINT), CAST(15 AS BIGINT)), " +
        "('west', 7, 3)) t(region, q1, q2) ORDER BY region"),
     "q_lake_macro" ->
-      ("SELECT * FROM (VALUES (2, 24), (3, 36)) t(id, taxed) ORDER BY id")
+      ("SELECT * FROM (VALUES (2, 24), (3, 36)) t(id, taxed) ORDER BY id"),
+    "q_lake_stream_sink" ->
+      ("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) t(id, v) ORDER BY id")
   )
 }

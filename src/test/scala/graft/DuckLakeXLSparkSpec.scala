@@ -172,6 +172,32 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     assert(lake.prunedFiles("p", "id", 0, 1000).size == 2)
   }
 
+  test("clustered compact (sortBy) gives files disjoint key ranges -> pruning bites") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE TABLE cl(id INTEGER, v VARCHAR)")
+    // interleaved key ranges: every file spans [~1, ~100], so a point
+    // predicate can prune NOTHING before clustering
+    lake.sql("INSERT INTO cl VALUES (1,'a'),(50,'b'),(100,'c')")
+    lake.sql("INSERT INTO cl VALUES (2,'d'),(51,'e'),(99,'f')")
+    lake.sql("INSERT INTO cl VALUES (3,'g'),(52,'h'),(98,'i')")
+    val t = lake.currentState.tableByName("cl").get
+    assert(lake.prunedFiles("cl", "id", 50, 52).size == 3, "interleaved: no pruning possible")
+    val before = lake.currentState.currentSnapshot
+    // tiny target so the rewrite keeps >1 file — the point is DISJOINT
+    // ranges, not one big file
+    lake.compact("cl", targetBytes = 900L, sortBy = Seq("id"))
+    val files = lake.currentState.filesOf(t.tableId)
+    assert(files.size > 1, s"expected multiple clustered files, got ${files.size}")
+    assert(lake.prunedFiles("cl", "id", 50, 52).size == 1, "clustered: one file holds 50-52")
+    // rows, order, history, and the workbook round-trip all intact
+    assert(lake.sql("SELECT id FROM cl ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 3, 50, 51, 52, 98, 99, 100))
+    assert(lake.tableAt("cl", before).count() == 9)
+    val reopened = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(reopened.sql("SELECT count(*) AS c FROM cl").head().getLong(0) == 9L)
+    intercept[IllegalArgumentException](lake.compact("cl", sortBy = Seq("nope")))
+  }
+
   test("UPDATE is copy-on-write: SET sees pre-update row, history intact") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE up(id INTEGER, qty INTEGER, val VARCHAR)")
