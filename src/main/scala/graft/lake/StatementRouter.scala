@@ -562,8 +562,15 @@ object StatementRouter {
     case DescribeRe(name) => Describe(qualName(name))
     case SummarizeRe(name) => Summarize(qualName(name))
     case CreateMacroRe(orRepl, name, params, body) =>
+      // a TABLE macro's body is a query; expansion parenthesizes, so a
+      // call in FROM position becomes the standard derived-table form
+      val b = body.trim
+      val scalarOrQuery =
+        if (b.length >= 6 && b.substring(0, 5).equalsIgnoreCase("TABLE") &&
+            b.charAt(5).isWhitespace) b.drop(6).trim
+        else b
       CreateMacro(bareName(name),
-        splitTopCommas(params).map(_.trim).filter(_.nonEmpty), body.trim,
+        splitTopCommas(params).map(_.trim).filter(_.nonEmpty), scalarOrQuery,
         orRepl != null)
     case DropMacroRe(ife, name) => DropMacro(bareName(name), ife != null)
     case PivotRe(name, rest) => parsePivot(qualName(name), rest)

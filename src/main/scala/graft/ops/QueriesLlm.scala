@@ -148,6 +148,9 @@ object QueriesLlm {
 
   /** stratified sample: docs kept per (lang, source) stratum */
   private val StratumN = 3
+
+  /** boilerplate: a 5-gram present in more than this many docs is common */
+  private val BoilerplateDf = 2
   private val WinnowCoefs: Seq[Long] = {
     var c = 1L
     (0 until WinnowK).map { _ => val r = c; c = (c * WinnowB) % HashP; r }.reverse
@@ -1430,6 +1433,35 @@ object QueriesLlm {
         .orderBy("doc_id", "rnk")
     },
 
+    // ------------- boilerplate ratio: corpus-common n-grams per document
+    "q_llm_boilerplate" -> { (s, d) =>
+      // RefinedWeb/C4-style template detection at the corpus level: the
+      // fraction of a doc's DISTINCT word-5-grams that appear in more
+      // than [[BoilerplateDf]] documents — high values flag templated/
+      // mirrored text that per-document quality signals cannot see.
+      // Shape: one distinct-gram explode (native per-doc hash pass), a
+      // document-frequency aggregate (map-side combined, vocabulary-
+      // sized output), joined back on fixed-width gram hashes. Work is
+      // O(corpus grams), never corpus²; the oracle joins the raw gram
+      // strings — identical counts (60-bit hash, injective on any real
+      // corpus; a collision would surface as a CORRECTNESS diff).
+      val n = 5
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .filter(size(split(col("nt"), " ")) >= n)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n))).as("g"))
+      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") > BoilerplateDf, 1L).otherwise(0L)).as("n_common"))
+        .select(col("doc_id"), col("n_grams"), col("n_common"),
+          round(col("n_common").cast(DoubleType) / col("n_grams"), 4).as("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+
     // --------------- stratified sampling: deterministic top-n per stratum
     "q_llm_sample_stratified" -> { (s, d) =>
       // exactly n docs per (lang, source) stratum, chosen by md5-hash
@@ -1856,6 +1888,20 @@ object QueriesLlm {
          |SELECT doc_id, rnk, word, round(score, 6) AS score
          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
     },
+
+    "q_llm_boilerplate" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |              FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(range(1, len(ws) - 3),
+         |               i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS g
+         |      FROM docs WHERE len(ws) >= 5),
+         |df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN df > $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |       round(CAST(sum(CASE WHEN df > $BoilerplateDf THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS boiler_ratio
+         |FROM g JOIN df USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the twin states the WINDOW spelling of per-stratum top-n — semantically
     // identical to the Spark side's bounded-buffer aggregate (BoundedTopK)

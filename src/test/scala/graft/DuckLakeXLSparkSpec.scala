@@ -142,6 +142,21 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     lake.sql("DROP MACRO IF EXISTS twice") // tolerated
   }
 
+  test("TABLE macros expand to derived tables in FROM position") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE tm(id INTEGER, v INTEGER); INSERT INTO tm VALUES (1,5),(2,50),(3,500)")
+    lake.sql("CREATE MACRO big(thr) AS TABLE SELECT id, v FROM tm WHERE v > thr")
+    val r = lake.sql("SELECT id FROM big(10) ORDER BY id").collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(2, 3))
+    // composes with scalar macros and WHERE context
+    lake.sql("CREATE MACRO half(x) AS x // 2")
+    // Spark's div yields BIGINT (DuckDB's // keeps INTEGER — documented
+    // width difference of the rewrite; values agree)
+    val r2 = lake.sql("SELECT half(v) AS h FROM big(40) ORDER BY h")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r2 == Seq(25L, 250L))
+  }
+
   test("DELETE leaves non-matching files untouched (file-granular CoW)") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE f(id INTEGER, v VARCHAR)")
