@@ -532,6 +532,10 @@ class DuckLakeXLSpark(
       s = InfoSchemaRe.replaceAllIn(s, m => "__info_" + m.group(1).toLowerCase)
       s
     }
+    // COLUMNS('re') / COLUMNS(*) star expansion needs the catalog schema,
+    // so it runs here rather than in the schema-free dialect layer
+    q = StatementRouter.expandColumns(q, name =>
+      resolveTable(name).map(t => state.columnsOf(t.tableId).map(_.columnName).toSeq))
     // DuckDB-only spellings (ASOF JOIN, * EXCLUDE/REPLACE, DISTINCT ON,
     // QUALIFY, list_* lambdas) — the reference's dialect contract
     StatementRouter.rewriteDialect(q)

@@ -218,6 +218,8 @@ object StatementRouter {
   private val DropMacroRe =
     """(?is)^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
   private val PivotRe = """(?is)^\s*PIVOT\s+([\w\.\"]+)\s+ON\s+(.+)$""".r
+  private val UnpivotRe =
+    """(?is)^\s*UNPIVOT\s+([\w\.\"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)\s*$""".r
 
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
@@ -574,6 +576,10 @@ object StatementRouter {
         orRepl != null)
     case DropMacroRe(ife, name) => DropMacro(bareName(name), ife != null)
     case PivotRe(name, rest) => parsePivot(qualName(name), rest)
+    // DuckDB `UNPIVOT t ON a, b INTO NAME k VALUE v` -> Spark's UNPIVOT
+    // clause (both engines exclude NULL cells by default)
+    case UnpivotRe(name, cols, nameC, valC) =>
+      Select(s"SELECT * FROM ${qualName(name)} UNPIVOT ($valC FOR $nameC IN ($cols))")
     case other => Select(other)
   }
 
@@ -626,6 +632,60 @@ object StatementRouter {
       }
     }
     q
+  }
+
+  /** DuckDB `COLUMNS('re')` / `COLUMNS(*)` star expansion — supported
+    * where it is used in practice: the OUTER select list of a
+    * single-table query (`colsOf` resolves the FROM target's schema;
+    * anything it cannot resolve fails loudly, never silently). A select
+    * item that IS the COLUMNS call expands to the bare matching columns;
+    * an item wrapping it (`min(COLUMNS('re'))`) expands per column with
+    * the deterministic alias `<head>_<col>` (DuckDB's auto-names quote
+    * the whole expression, which Spark identifiers cannot carry).
+    */
+  def expandColumns(sql: String, colsOf: String => Option[Seq[String]]): String = {
+    if (findMacroCall(sql, "COLUMNS") < 0) return sql
+    val SelRe = """(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*)$""".r
+    sql match {
+      case SelRe(dist, rest) =>
+        val (selList, fromPart) = splitTopLevelKeyword(rest, "FROM")
+        require(fromPart.isDefined, s"COLUMNS(...) needs a FROM table: $sql")
+        val table = fromPart.get.trim.takeWhile(c => !c.isWhitespace && c != ',' && c != ';')
+        val names = colsOf(table.stripPrefix("\"").stripSuffix("\"")).getOrElse(
+          throw new IllegalArgumentException(
+            s"COLUMNS(...): cannot resolve the FROM table '$table' to a catalog schema"))
+        val expanded = splitTopCommas(selList).map(_.trim).flatMap { it =>
+          val at = findMacroCall(it, "COLUMNS")
+          if (at < 0) Seq(it)
+          else {
+            val open = it.indexOf('(', at)
+            val close = matchingParen(it, open)
+            val arg = it.substring(open + 1, close).trim
+            val matched =
+              if (arg == "*") names
+              else {
+                require(arg.startsWith("'") && arg.endsWith("'") && arg.length >= 2,
+                  s"unsupported COLUMNS argument: $arg")
+                val re = arg.stripPrefix("'").stripSuffix("'").r
+                names.filter(n => re.findFirstIn(n).isDefined)
+              }
+            require(matched.nonEmpty, s"COLUMNS($arg) matched no columns")
+            val bare = it.substring(0, at).trim.isEmpty && it.substring(close + 1).trim.isEmpty
+            matched.map { c =>
+              val rep = it.substring(0, at) + c + it.substring(close + 1)
+              if (bare) rep
+              else {
+                val head = "[A-Za-z_][A-Za-z0-9_]*".r
+                  .findFirstIn(it.substring(0, at)).getOrElse("expr")
+                s"$rep AS ${head}_$c"
+              }
+            }
+          }
+        }
+        s"SELECT ${Option(dist).getOrElse("")}${expanded.mkString(", ")} FROM ${fromPart.get}"
+      case _ => throw new IllegalArgumentException(
+        s"COLUMNS(...) is supported in the outer select list only: $sql")
+    }
   }
 
   /** first index of `name(` outside string literals, word-bounded; -1 if none */

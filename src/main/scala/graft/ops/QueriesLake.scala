@@ -443,6 +443,26 @@ object QueriesLake {
           |      FROM d6)
           |ORDER BY id""".stripMargin)
     },
+    // r8: COLUMNS('re') star expansion — bare form and aggregate-wrapped
+    // form (expands per matching column with <head>_<col> aliases); the
+    // CTAS exercises expansion inside a derived-table write
+    "q_lake_dialect7" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d7(id INTEGER, q1 INTEGER, q2 INTEGER, q3 INTEGER);
+          |INSERT INTO d7 VALUES (1, 10, 20, NULL), (2, 5, 6, 7)""".stripMargin)
+      lake.sql("CREATE TABLE d7s AS SELECT id, sum(COLUMNS('q[12]')) FROM d7 GROUP BY id")
+      lake.sql("SELECT id, COLUMNS('sum') FROM d7s ORDER BY id")
+    },
+    // r8: DuckDB UNPIVOT statement form (NULL cells excluded, both engines)
+    "q_lake_unpivot_stmt" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE up(id INTEGER, q1 INTEGER, q2 INTEGER, q3 INTEGER);
+          |INSERT INTO up VALUES (1, 10, 20, NULL), (2, 5, 6, 7)""".stripMargin)
+      lake.sql("UNPIVOT up ON q1, q2, q3 INTO NAME quarter VALUE amount")
+        .orderBy("id", "quarter")
+    },
     // r8: DuckDB PIVOT statement — the binder discovers the value list,
     // Spark needs it stated; the executor scans distinct pivot values
     // (sorted = DuckDB's column order) and builds the grouped pivot
@@ -588,6 +608,12 @@ object QueriesLake {
     "q_lake_macro" ->
       ("SELECT * FROM (VALUES (2, 24), (3, 36)) t(id, taxed) ORDER BY id"),
     "q_lake_stream_sink" ->
-      ("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) t(id, v) ORDER BY id")
+      ("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) t(id, v) ORDER BY id"),
+    "q_lake_dialect7" ->
+      ("SELECT * FROM (VALUES (1, 10, 20), (2, 5, 6)) " +
+       "t(id, sum_q1, sum_q2) ORDER BY id"),
+    "q_lake_unpivot_stmt" ->
+      ("SELECT * FROM (VALUES (1,'q1',10),(1,'q2',20),(2,'q1',5),(2,'q2',6),(2,'q3',7)) " +
+       "t(id, quarter, amount) ORDER BY id, quarter")
   )
 }

@@ -294,6 +294,28 @@ class DialectRewriteSpec extends AnyFunSuite {
       StatementRouter.expandMacros("SELECT pair(1) FROM t", m))
   }
 
+  test("r8: COLUMNS('re')/COLUMNS(*) expand against the resolved schema") {
+    val schema = Map("t" -> Seq("id", "q1", "q2"))
+    def co(n: String): Option[Seq[String]] = schema.get(n)
+    assert(StatementRouter.expandColumns("SELECT COLUMNS('q[0-9]') FROM t", co) ==
+      "SELECT q1, q2 FROM t")
+    assert(StatementRouter.expandColumns("SELECT COLUMNS(*) FROM t", co) ==
+      "SELECT id, q1, q2 FROM t")
+    // wrapped form expands per column with deterministic aliases; the
+    // rest of the query (GROUP BY) rides along untouched
+    assert(StatementRouter.expandColumns(
+      "SELECT id, min(COLUMNS('q')) FROM t GROUP BY id", co) ==
+      "SELECT id, min(q1) AS min_q1, min(q2) AS min_q2 FROM t GROUP BY id")
+    // no silent behavior: unmatched regex and unresolvable tables throw
+    assertThrows[IllegalArgumentException](
+      StatementRouter.expandColumns("SELECT COLUMNS('zz') FROM t", co))
+    assertThrows[IllegalArgumentException](
+      StatementRouter.expandColumns("SELECT COLUMNS(*) FROM nope", co))
+    // queries without COLUMNS pass through byte-identical
+    val plain = "SELECT columns_total FROM t"
+    assert(StatementRouter.expandColumns(plain, co) == plain)
+  }
+
   test("r7b: string_split literal separator is regex-quoted; epoch maps") {
     assert(rewriteDialect("SELECT string_split(s, '|') FROM t") ==
       "SELECT split(s, '\\\\Q|\\\\E') FROM t")

@@ -93,4 +93,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "containment planned a cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "containment planned a nested loop")
   }
+
+  test("r8: tf-idf broadcasts the vocabulary-sized df table against the tf stream") {
+    val p = plan("q_llm_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r8: language ID plans zero shuffles below the confusion aggregation") {
+    // per-row marker arithmetic only: exchanges = the groupBy's hash
+    // partitioning + the mandated ORDER BY's range partitioning, nothing
+    // from the scoring itself (no Generate/explode, no joins)
+    val p = plan("q_llm_langid")
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("Generate"), "langid re-grew an explode")
+    assert(!p.contains("Join"), "langid planned a join")
+  }
+
+  test("r8: stratified sample is one partial-agg pass — no Window, no per-stratum sort") {
+    val p = plan("q_llm_sample_stratified")
+    assert(!p.contains("Window"), "stratified sample fell back to a window sort")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial + final aggregation:\n${p.take(3000)}")
+  }
+
+  test("r8: copy-detect joins fingerprint postings, never doc pairs") {
+    val p = plan("q_llm_copy_detect")
+    assert(!p.contains("CartesianProduct"), "copy-detect planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "copy-detect planned a nested loop")
+  }
+
+  test("r8: bloom decontam prefilters map-side BEFORE the gram shuffle") {
+    // the bloom UDF must sit below the join's exchange: grep the filter
+    // containing the UDF and assert an Exchange appears only above it
+    val p = plan("q_llm_decontam_bloom")
+    val lines = p.linesIterator.toVector
+    val udfLine = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(udfLine >= 0, s"no bloom-probe filter in plan:\n${p.take(3000)}")
+    val exchangeAbove = lines.take(udfLine).exists(_.contains("Exchange"))
+    val scanBelow = lines.drop(udfLine).exists(_.contains("FileScan"))
+    assert(scanBelow, "bloom filter does not sit on the scan side")
+    assert(exchangeAbove, "no exchange above the bloom prefilter — nothing was saved")
+  }
 }
