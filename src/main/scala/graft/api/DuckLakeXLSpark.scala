@@ -363,6 +363,7 @@ class DuckLakeXLSpark(
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
+        case StatementRouter.DescribeQuery(sel) => last = Some(describeQuery(sel))
         case StatementRouter.Summarize(name) => last = Some(summarizeTable(name))
         case s: StatementRouter.CreateMacro =>
           require(s.orReplace || !macros.contains(s.name),
@@ -1029,6 +1030,22 @@ class DuckLakeXLSpark(
           Row(f.name, tn, if (f.nullable) "YES" else "NO")
         }
     }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, false),
+      StructField("column_type", StringType, false),
+      StructField("null", StringType, false))))
+  }
+
+  /** DuckDB `DESCRIBE SELECT …` — plan-time only: the query's analyzed
+    * schema, no execution (the describeTable output shape)
+    */
+  def describeQuery(select: String): DataFrame = {
+    val rows = withLakeCatalog(spark.sql(rewriteSelect(select)))
+      .schema.fields.toVector.map { f =>
+        val tn = try CatalogSchema.typeName(f.dataType)
+                 catch { case _: IllegalArgumentException => f.dataType.sql }
+        Row(f.name, tn, if (f.nullable) "YES" else "NO")
+      }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("column_name", StringType, false),
       StructField("column_type", StringType, false),

@@ -104,6 +104,9 @@ object StatementRouter {
                              comment: Option[String]) extends Stmt
   case object ShowTables extends Stmt
   final case class Describe(name: String) extends Stmt
+
+  /** DuckDB `DESCRIBE SELECT …` — the schema of a query, not a table */
+  final case class DescribeQuery(select: String) extends Stmt
   /** DuckDB's `SUMMARIZE t` — per-column stats in one table pass */
   final case class Summarize(name: String) extends Stmt
 
@@ -212,6 +215,7 @@ object StatementRouter {
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
+  private val DescribeSelectRe = """(?is)^\s*DESC(?:RIBE)?\s+((?:SELECT|FROM|WITH)\s+.+)$""".r
   private val SummarizeRe = """(?is)^\s*SUMMARIZE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val CreateMacroRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w\"]+)\s*\(([^)]*)\)\s+AS\s+(.+)$""".r
@@ -561,6 +565,7 @@ object StatementRouter {
     case UseRe(name) => Use(qualName(name))
     case ShowTablesRe() => ShowTables
     case ExplainRe(select) => Explain(select.trim)
+    case DescribeSelectRe(sel) => DescribeQuery(sel.trim)
     case DescribeRe(name) => Describe(qualName(name))
     case SummarizeRe(name) => Summarize(qualName(name))
     case CreateMacroRe(orRepl, name, params, body) =>
@@ -607,14 +612,19 @@ object StatementRouter {
   def expandMacros(sql: String, macros: Map[String, (Seq[String], String)]): String = {
     if (macros.isEmpty) return sql
     var q = sql
-    var depth = 0
+    var expansions = 0
     var changed = true
-    while (changed && depth < 10) {
+    while (changed) {
       changed = false
-      depth += 1
       for ((name, (params, body)) <- macros) {
         var idx = findMacroCall(q, name)
         while (idx >= 0) {
+          // total-expansion bound, not per-sweep: a self-recursive macro
+          // (f(x) AS f(x)+1) regrows its own call site every expansion
+          // and must fail loudly, never spin
+          expansions += 1
+          require(expansions <= 100,
+            s"macro expansion exceeded 100 substitutions (recursive macro?): $name")
           val open = q.indexOf('(', idx + name.length)
           val close = matchingParen(q, open)
           val args = splitTopCommas(q.substring(open + 1, close)).map(_.trim)

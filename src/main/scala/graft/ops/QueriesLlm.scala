@@ -1462,6 +1462,30 @@ object QueriesLlm {
         .orderBy("doc_id")
     },
 
+    // ------------- embedding quantization: int8 storage for vector lakes
+    "q_llm_embed_quantize" -> { (s, d) =>
+      // symmetric per-vector int8 quantization (scale = max|x|/127) with
+      // the reconstruction-error audit a storage migration needs — the
+      // standard 4x footprint cut for a 100 TB embedding corpus. Pure
+      // per-row sequential folds (engine-portable), zero shuffle below
+      // the mandated ORDER BY; rounding is floor(x/s + 0.5), identical
+      // on both engines (round()'s half-case tie rules are not).
+      val absmax = aggregate(col("embedding"), lit(0.0),
+        (a, x) => greatest(a, abs(x.cast(DoubleType))))
+      val err = aggregate(col("embedding"), lit(0.0), (a, x) => {
+        val xd = x.cast(DoubleType)
+        val q = floor(xd / col("scale") + lit(0.5))
+        greatest(a, abs(xd - q * col("scale")))
+      })
+      Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          greatest(absmax / 127.0, lit(1e-30)).as("scale"))
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("label"),
+          round(col("scale"), 6).as("quant_scale"),
+          round(err, 6).as("max_abs_err"))
+    },
+
     // --------------- stratified sampling: deterministic top-n per stratum
     "q_llm_sample_stratified" -> { (s, d) =>
       // exactly n docs per (lang, source) stratum, chosen by md5-hash
@@ -1888,6 +1912,15 @@ object QueriesLlm {
          |SELECT doc_id, rnk, word, round(score, 6) AS score
          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
     },
+
+    "q_llm_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, label, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, label, round(scale, 6) AS quant_scale,
+        |  round(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))), 6) AS max_abs_err
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_llm_boilerplate" ->
       s"""WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

@@ -292,6 +292,11 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT 'addtax(v)' FROM t")
     assertThrows[IllegalArgumentException](
       StatementRouter.expandMacros("SELECT pair(1) FROM t", m))
+    // a self-recursive macro regrows its own call site — must fail
+    // loudly at the expansion bound, never spin
+    val rec = Map("f" -> (Seq("x") -> "f(x) + 1"))
+    assertThrows[IllegalArgumentException](
+      StatementRouter.expandMacros("SELECT f(1)", rec))
   }
 
   test("r8: COLUMNS('re')/COLUMNS(*) expand against the resolved schema") {

@@ -142,6 +142,17 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     lake.sql("DROP MACRO IF EXISTS twice") // tolerated
   }
 
+  test("DESCRIBE SELECT reports a query's schema, composed with the dialect rewrites") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE dsq(id INTEGER, v VARCHAR); INSERT INTO dsq VALUES (1, 'x')")
+    val r = lake.sql("DESCRIBE SELECT id + 1 AS id2, upper(v) AS vu FROM dsq")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(r == Seq(("id2", "INTEGER"), ("vu", "VARCHAR")))
+    // FROM-first spelling rides through the same path
+    val r2 = lake.sql("DESCRIBE FROM dsq SELECT id").collect().map(_.getString(0)).toSeq
+    assert(r2 == Seq("id"))
+  }
+
   test("TABLE macros expand to derived tables in FROM position") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE tm(id INTEGER, v INTEGER); INSERT INTO tm VALUES (1,5),(2,50),(3,500)")
