@@ -361,6 +361,13 @@ class DuckLakeXLSpark(
         case StatementRouter.Detach => // noop — attachment is the object's lifetime
         case s: StatementRouter.CommentOn => executeComment(s); registerViews()
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
+        case StatementRouter.SetOption(k, v) =>
+          // TimeZone is the one DuckDB session option with a direct Spark
+          // analogue; others configure an engine this build does not run
+          if (k.equalsIgnoreCase("timezone"))
+            spark.conf.set("spark.sql.session.timeZone",
+              v.trim.stripPrefix("'").stripSuffix("'"))
+        case StatementRouter.Vacuum => vacuum()
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
         case StatementRouter.DescribeQuery(sel) => last = Some(describeQuery(sel))

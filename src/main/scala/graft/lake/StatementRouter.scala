@@ -107,6 +107,13 @@ object StatementRouter {
 
   /** DuckDB `DESCRIBE SELECT …` — the schema of a query, not a table */
   final case class DescribeQuery(select: String) extends Stmt
+
+  /** DuckDB `SET key = value` — the few options with a Spark analogue
+    * apply; the rest tolerate silently (they configure a DuckDB engine
+    * this build does not run)
+    */
+  final case class SetOption(key: String, value: String) extends Stmt
+  case object Vacuum extends Stmt
   /** DuckDB's `SUMMARIZE t` — per-column stats in one table pass */
   final case class Summarize(name: String) extends Stmt
 
@@ -192,6 +199,14 @@ object StatementRouter {
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val NoOpRe =
     """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
+  // DuckDB session/maintenance statements with no Spark-side action:
+  // PRAGMA <anything>, CHECKPOINT (every push IS a checkpoint here),
+  // ANALYZE (stats are collected at write time), RESET <key>
+  private val SessionNoOpRe =
+    """(?is)^\s*(?:PRAGMA|CHECKPOINT|ANALYZE|RESET)\b.*$""".r
+  private val SetRe =
+    """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w\.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*$""".r
+  private val VacuumRe = """(?is)^\s*VACUUM\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
   private val CreateSchemaRe =
     """(?is)^\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*$""".r
@@ -488,6 +503,9 @@ object StatementRouter {
 
   def classify(stmt: String): Stmt = stmt match {
     case NoOpRe() => NoOp
+    case VacuumRe() => Vacuum
+    case SetRe(k, v) => SetOption(k, v)
+    case SessionNoOpRe() => NoOp
     case MergeRe(name, a1, a2, rest) =>
       val table = qualName(name)
       val alias = Option(a1).orElse(Option(a2)).getOrElse(bareName(name))

@@ -151,6 +151,37 @@ object QueriesLlm {
 
   /** boilerplate: a 5-gram present in more than this many docs is common */
   private val BoilerplateDf = 2
+
+  /** The copy-detect pair pipeline. The df prune here is SEMANTIC, not a
+    * performance approximation: a fingerprint carried by >cap documents
+    * is corpus boilerplate, and counting it as copy evidence floods the
+    * detector on any low-entropy corpus (measured on the sf0.1 testdata:
+    * unpruned, 67k of 5k docs' pairs "share ≥5 fingerprints" — noise
+    * pairs sharing only corpus-common substrings; pruned, 95 pairs, all
+    * genuine near-dup clones). MOSS applies the same high-df fingerprint
+    * drop (Schleimer et al. §4) for the same reason. CopyDetectSpec
+    * proves the planted-copy guarantee directly.
+    */
+  private[ops] def copyDetectPairs(s: SparkSession, d: String, cap: Int): DataFrame =
+    copyDetectPairsFromDocs(
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt")), cap)
+
+  /** docs = (doc_id, nt normalized text) — spec-injectable corpus */
+  private[ops] def copyDetectPairsFromDocs(docs: DataFrame, cap: Int): DataFrame = {
+    val fps = graft.functions.TextSketch.winnowFingerprintsCol(
+      col("nt"), WinnowK, WinnowW, WinnowB, HashP)
+    val docFps = docs
+      .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), explode(fps).as("fp"))
+    cappedIdLists(docFps, Seq("fp"), "doc_id", cap)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= CopyMinShared)
+  }
   private val WinnowCoefs: Seq[Long] = {
     var c = 1L
     (0 until WinnowK).map { _ => val r = c; c = (c * WinnowB) % HashP; r }.reverse
@@ -1330,20 +1361,7 @@ object QueriesLlm {
       // O(df²) cost) with buffers bounded inside the aggregate
       // ([[cappedIdLists]]), generate pairs in the aggregation that
       // counts them. Corpus-linear; candidates output-sized.
-      val fps = graft.functions.TextSketch.winnowFingerprintsCol(
-        col("nt"), WinnowK, WinnowW, WinnowB, HashP)
-      val docFps = Tables.t(s, d, "documents")
-        .select(col("doc_id"), normText(col("text")).as("nt"))
-        .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
-        .select(col("doc_id"), explode(fps).as("fp"))
-      cappedIdLists(docFps, Seq("fp"), "doc_id", MaxBucket)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= CopyMinShared)
-        .orderBy("a", "b")
+      copyDetectPairs(s, d, MaxBucket).orderBy("a", "b")
     },
 
     // ------------- decontamination with a broadcast Bloom-filter prefilter

@@ -142,6 +142,26 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     lake.sql("DROP MACRO IF EXISTS twice") // tolerated
   }
 
+  test("DuckDB session statements tolerate: SET/PRAGMA/CHECKPOINT/ANALYZE; VACUUM acts") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """PRAGMA threads=4;
+        |SET memory_limit = '1GB';
+        |CREATE TABLE st(id INTEGER);
+        |INSERT INTO st VALUES (1), (2);
+        |CHECKPOINT;
+        |ANALYZE""".stripMargin)
+    assert(lake.sql("SELECT count(*) AS c FROM st").head().getLong(0) == 2L)
+    // SET TimeZone maps to the Spark session conf (the one real analogue)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      lake.sql("SET TimeZone = 'America/New_York'")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+    // VACUUM routes to the retention API (no scheduled files -> 0 deletes)
+    lake.sql("VACUUM")
+  }
+
   test("DESCRIBE SELECT reports a query's schema, composed with the dialect rewrites") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE dsq(id INTEGER, v VARCHAR); INSERT INTO dsq VALUES (1, 'x')")
