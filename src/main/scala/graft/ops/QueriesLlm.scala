@@ -1057,6 +1057,20 @@ object QueriesLlm {
         .orderBy("doc_id")
     },
 
+    // ----------- semantic-duplicate clusters: CC over embedding pairs
+    "q_llm_dedup_embcluster" -> { (s, d) =>
+      // the embedding-side mirror of q_llm_dedup_cluster: a pipeline
+      // keeps one doc per SEMANTIC cluster, so the cosine near-dup pairs
+      // feed the same size-dispatched connected-components labeler
+      // ([[ccLabels]]) — edge source changes, scale posture doesn't
+      val pairs = embCosPairs(Tables.t(s, d, "embeddings"),
+        nTables = 1, nPlanes = NumPlanes, maxBucket = 0, thr = CosThreshold)
+        .select("a", "b")
+      ccLabels(s, pairs)
+        .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+        .orderBy("vec_id")
+    },
+
     // -------------------------- near-dup: embedding cosine in LSH buckets
     "q_llm_dedup_embcos" -> { (s, d) =>
       // banded random-hyperplane LSH (see [[embCosPairs]]); this driver
@@ -1610,6 +1624,22 @@ object QueriesLlm {
          |SELECT doc AS doc_id, min(root) AS cluster_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
     },
+
+    "q_llm_dedup_embcluster" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket,
+         |            sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |          WHERE round(${sqlDot("x.embedding", "y.embedding")} /
+         |                      (x.nrm * y.nrm), 4) >= $CosThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(doc, root) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS vec_id, min(root) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin,
 
     "q_llm_dedup_embcos" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket,
