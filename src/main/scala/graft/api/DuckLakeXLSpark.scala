@@ -367,7 +367,7 @@ class DuckLakeXLSpark(
           if (k.equalsIgnoreCase("timezone"))
             spark.conf.set("spark.sql.session.timeZone",
               v.trim.stripPrefix("'").stripSuffix("'"))
-        case StatementRouter.Vacuum => vacuum()
+        case StatementRouter.Vacuum => vacuumLocal()
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
         case StatementRouter.DescribeQuery(sel) => last = Some(describeQuery(sel))
@@ -1131,19 +1131,27 @@ class DuckLakeXLSpark(
       .distinct().orderBy(s.onCol).limit(10001).collect().map(_.get(0)).toSeq
     require(values.length <= 10000,
       s"PIVOT ON ${s.onCol}: ${values.length} distinct values exceed the 10k column cap")
+    // the agg/group text is user DuckDB SQL like any other — it rides the
+    // dialect rewrites (list() -> collect_list, // -> div, …) before expr()
     val aggs: Seq[Column] =
       if (s.using.isEmpty) Seq(count(lit(1)))
       else s.using.map { case (ex, alias) =>
-        val c = expr(ex)
+        val c = expr(StatementRouter.rewriteDialect(ex))
         alias.map(c.as).getOrElse(c)
       }
     val groupCols: Seq[String] = s.groupBy match {
-      case Some(gs) => gs.map(_.stripPrefix("\"").stripSuffix("\""))
+      case Some(gs) =>
+        gs.map(g => StatementRouter.rewriteDialect(g)
+          .stripPrefix("\"").stripSuffix("\""))
       case None =>
         // DuckDB's implicit rule: group by every column not referenced
-        // in ON or USING (word-boundary scan of the agg expression text)
+        // in ON or USING. A COLUMN reference in the agg text is an
+        // identifier NOT followed by '(' — a bare word-boundary scan
+        // would also match function heads, silently dropping a column
+        // that shares a name with an aggregate (e.g. a column `sum`)
         val usedInAgg = df.columns.filter(c => s.using.exists { case (ex, _) =>
-          s"(?i)\\b${java.util.regex.Pattern.quote(c)}\\b".r.findFirstIn(ex).isDefined
+          s"(?i)\\b${java.util.regex.Pattern.quote(c)}\\b(?!\\s*\\()".r
+            .findFirstIn(ex).isDefined
         }).toSet
         df.columns.filter(c => c != s.onCol && !usedInAgg(c)).toSeq
     }
@@ -2338,10 +2346,20 @@ class DuckLakeXLSpark(
     */
   def vacuum(): Int = {
     if (remote.exists) pull()
+    val n = vacuumLocal()
+    push()
+    n
+  }
+
+  /** the physical-delete core over the CURRENT in-memory state, no sync —
+    * the `VACUUM` statement arm runs inside sqlOnce's pull→…→push bracket,
+    * where a nested pull() would DISCARD the script's uncommitted earlier
+    * statements (and a nested push would commit half a script)
+    */
+  private def vacuumLocal(): Int = {
     val n = state.scheduledDeletes.size
     state.scheduledDeletes.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
     state = state.copy(scheduledDeletes = Vector.empty)
-    push()
     n
   }
 

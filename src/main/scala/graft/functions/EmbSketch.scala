@@ -15,16 +15,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * banded 8×8 config — measured 2.5 s of q_llm_dedup_embcos_banded at
   * sf0.1). Bit-identical to that chain: the dot product is the same
   * sequential left fold of `x_i.toDouble * p_i.toDouble` (p_i = ±1), and
-  * a vector SHORTER than the plane dimension folds to a null dot on the
-  * built-in path (`zip_with` pads nulls), which `when(dot >= 0, ...)`
-  * turns into a '0' bit — mirrored here. EmbSketchSpec property-checks
-  * key equality against the functions-built twin on the real corpus.
+  * a vector whose length differs from the plane dimension in EITHER
+  * direction — or that carries a null element — folds to a null dot on
+  * the built-in path (`zip_with` pads nulls / the product poisons),
+  * which `when(dot >= 0, ...)` turns into all-'0' bits — mirrored here.
+  * EmbSketchSpec property-checks key equality against the
+  * functions-built twin on the real corpus plus the mismatch cases.
   */
 object EmbSketch {
   /** keys "t:signbits" for each table; planes flattened [t][p][d] */
   def planeBuckets(arr: ArrayData, planes: Array[Int], nTables: Int,
       nPlanes: Int, dim: Int, isFloat: Boolean): ArrayData = {
-    val short = arr.numElements() < dim
+    // ANY length mismatch (shorter OR longer than the plane dim) and any
+    // null element fold to a null dot on the zip_with reference path
+    // (nulls pad the shorter side / poison the product), which
+    // `when(dot >= 0, …)` turns into all-'0' bits — mirrored exactly, so
+    // a corrupt/variable-dim row buckets identically on both paths
+    var short = arr.numElements() != dim
+    if (!short) {
+      var i = 0
+      while (i < dim && !short) { short = arr.isNullAt(i); i += 1 }
+    }
     val v = new Array[Double](if (short) 0 else dim)
     if (!short) {
       var i = 0

@@ -649,9 +649,18 @@ object StatementRouter {
           require(args.count(_.nonEmpty) == params.length ||
               (params.isEmpty && args.forall(_.isEmpty)),
             s"macro $name expects ${params.length} args, got ${args.length}")
-          val expanded = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
-            mapOutsideLiterals(b)(_.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b",
-              java.util.regex.Matcher.quoteReplacement(s"($a)")))
+          // SIMULTANEOUS binding via placeholder tokens: sequential
+          // substitution would re-scan earlier-substituted ARGUMENT text
+          // with later parameters (f(a,b) AS a+b called as f(b, 10)
+          // must yield b+10, not 10+10 — DuckDB binds all at once)
+          def tok(i: Int) = "\u0001" + i + "\u0001"
+          val phased = params.zipWithIndex.foldLeft(body) { case (b, (p, i)) =>
+            mapOutsideLiterals(b)(_.replaceAll(
+              s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b",
+              java.util.regex.Matcher.quoteReplacement(tok(i))))
+          }
+          val expanded = params.indices.foldLeft(phased) { case (b, i) =>
+            b.replace(tok(i), s"(${args(i)})")
           }
           q = q.substring(0, idx) + "(" + expanded + ")" + q.substring(close + 1)
           changed = true
@@ -808,12 +817,65 @@ object StatementRouter {
     "regexp_matches" -> "regexp_like",
     // epoch(ts) -> seconds BIGINT on both engines (epoch_ms is untouched:
     // `_` is a word char, the boundary fails)
-    "epoch"          -> "unix_timestamp")
+    "epoch"          -> "unix_timestamp",
+    // both are inclusive-bounds integer ranges in list position; the
+    // table-function position (`FROM generate_series(...)`) differs and
+    // fails loudly at the engine rather than silently changing shape
+    "generate_series" -> "sequence")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
       acc.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
     }
+
+  private val SimilarToRe =
+    """(?i)\bSIMILAR\s+TO\s+'((?:[^']|'')*)'""".r
+
+  private def rewriteSimilarTo(q0: String): String = {
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      SimilarToRe.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          if (lit(start)) from = start + 1
+          else {
+            val rep = s"RLIKE '^(?:${m.group(1)})$$'"
+            q = q.substring(0, start) + rep + q.substring(from + m.end)
+            from = start + rep.length
+          }
+      }
+    }
+    q
+  }
+
+  private def rewriteGenerateSeriesFrom(q0: String): String = {
+    val re = """(?i)\bFROM\s+generate_series\s*\(""".r
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      re.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          if (lit(start)) from = start + 1
+          else {
+            val open = q.indexOf('(', from + m.end - 1)
+            val close = matchingParen(q, open)
+            val rep = s"FROM (SELECT explode(sequence(${q.substring(open + 1, close)}))" +
+              " AS generate_series)"
+            q = q.substring(0, start) + rep + q.substring(close + 1)
+            from = start + rep.length
+          }
+      }
+    }
+    q
+  }
 
   private val StarExcludeParenRe = """(?i)(\*\s+)EXCLUDE(\s*\()""".r
   private val StarExcludeBareRe = """(?i)(\*\s+)EXCLUDE\s+("?\w+"?)""".r
@@ -1411,6 +1473,10 @@ object StatementRouter {
   /** the full DuckDB-dialect pass (see the block comment above) */
   def rewriteDialect(sql: String): String = {
     var q = rewriteFromFirst(sql)
+    // table-function `FROM generate_series(a, b)` -> exploded sequence
+    // derived table carrying DuckDB's output column name — MUST precede
+    // renameFns, which maps list-position generate_series to sequence
+    q = rewriteGenerateSeriesFrom(q)
     q = mapOutsideLiterals(q)(renameFns)
     q = mapOutsideLiterals(q) { seg =>
       StarExcludeBareRe.replaceAllIn(
@@ -1431,6 +1497,12 @@ object StatementRouter {
         SamplePctRe.replaceAllIn(seg, "TABLESAMPLE ($1 PERCENT)"),
         "TABLESAMPLE ($1 ROWS)")
     }
+    // `x SIMILAR TO 'pat'` — full-string POSIX regex match in DuckDB:
+    // the infix shape survives as RLIKE with an anchored pattern (NOT
+    // SIMILAR TO rides the same rewrite through Spark's NOT RLIKE).
+    // Literal-masked like every other rewrite: the phrase inside a
+    // string literal must survive verbatim
+    q = rewriteSimilarTo(q)
     q = rewriteStrftime(q)
     q = rewriteDateDiff(q)
     q = rewriteStringSplit(q)

@@ -454,6 +454,20 @@ object QueriesLake {
       lake.sql("CREATE TABLE d7s AS SELECT id, sum(COLUMNS('q[12]')) FROM d7 GROUP BY id")
       lake.sql("SELECT id, COLUMNS('sum') FROM d7s ORDER BY id")
     },
+    // r8: SIMILAR TO (anchored regex) + generate_series in both positions,
+    // composed with the comprehension/rename rewrites they ride on
+    "q_lake_dialect8" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d8(id INTEGER, v VARCHAR);
+          |INSERT INTO d8 VALUES (1, 'abc'), (2, 'azc'), (3, 'ab'), (9, 'zz')""".stripMargin)
+      lake.sql(
+        """SELECT id, v,
+          |       CASE WHEN v SIMILAR TO 'a.c' THEN 1 ELSE 0 END AS m,
+          |       array_to_string([CAST(x AS VARCHAR) FOR x IN generate_series(1, id)], '|') AS gs
+          |FROM d8 WHERE id IN (SELECT generate_series FROM generate_series(1, 3))
+          |ORDER BY id""".stripMargin)
+    },
     // r8: DuckDB UNPIVOT statement form (NULL cells excluded, both engines)
     "q_lake_unpivot_stmt" -> { (s, _) =>
       val lake = freshLake(s)
@@ -614,6 +628,9 @@ object QueriesLake {
        "t(id, sum_q1, sum_q2) ORDER BY id"),
     "q_lake_unpivot_stmt" ->
       ("SELECT * FROM (VALUES (1,'q1',10),(1,'q2',20),(2,'q1',5),(2,'q2',6),(2,'q3',7)) " +
-       "t(id, quarter, amount) ORDER BY id, quarter")
+       "t(id, quarter, amount) ORDER BY id, quarter"),
+    "q_lake_dialect8" ->
+      ("SELECT * FROM (VALUES (1,'abc',1,'1'),(2,'azc',1,'1|2'),(3,'ab',0,'1|2|3')) " +
+       "t(id, v, m, gs) ORDER BY id")
   )
 }

@@ -1481,9 +1481,10 @@ object QueriesLlm {
       val docs = Tables.t(s, d, "documents")
         .select(col("doc_id"), normText(col("text")).as("nt"))
         .filter(size(split(col("nt"), " ")) >= n)
+      // hashedWordShinglesCol already returns the DISTINCT hash set per
+      // doc (HashSet dedup inside the native pass) — no array_distinct
       val grams = docs.select(col("doc_id"),
-        explode(array_distinct(
-          graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n))).as("g"))
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n)).as("g"))
       val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
       grams.join(dfreq, "g")
         .groupBy("doc_id")

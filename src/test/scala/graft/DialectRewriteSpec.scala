@@ -297,6 +297,28 @@ class DialectRewriteSpec extends AnyFunSuite {
     val rec = Map("f" -> (Seq("x") -> "f(x) + 1"))
     assertThrows[IllegalArgumentException](
       StatementRouter.expandMacros("SELECT f(1)", rec))
+    // SIMULTANEOUS binding: an argument that happens to be a column
+    // named like a LATER parameter must not be re-substituted (the
+    // sequential-capture bug: pair(b, 10) -> ((10)) * (10))
+    assert(StatementRouter.expandMacros("SELECT pair(b, 10) FROM t", m) ==
+      "SELECT ((b) * (10)) FROM t")
+  }
+
+  test("r8: SIMILAR TO anchors into RLIKE; generate_series maps by position") {
+    assert(rewriteDialect("SELECT * FROM t WHERE v SIMILAR TO 'ab+c'") ==
+      "SELECT * FROM t WHERE v RLIKE '^(?:ab+c)$'")
+    assert(rewriteDialect("SELECT x FROM t WHERE x NOT SIMILAR TO 'a.c'") ==
+      "SELECT x FROM t WHERE x NOT RLIKE '^(?:a.c)$'")
+    // table-function position -> exploded derived table with DuckDB's
+    // column name; list position -> sequence; bare identifier untouched
+    assert(rewriteDialect("SELECT generate_series FROM generate_series(1, 4)") ==
+      "SELECT generate_series FROM (SELECT explode(sequence(1, 4)) AS generate_series)")
+    assert(rewriteDialect("SELECT generate_series(1, 3) AS xs") ==
+      "SELECT sequence(1, 3) AS xs")
+    // the phrase INSIDE a string literal survives verbatim (every
+    // rewrite in this file is literal-masked)
+    val lit = "SELECT 'use SIMILAR TO ''re'' syntax' AS tip FROM t"
+    assert(rewriteDialect(lit) == lit)
   }
 
   test("r8: COLUMNS('re')/COLUMNS(*) expand against the resolved schema") {

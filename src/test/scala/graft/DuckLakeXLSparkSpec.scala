@@ -158,8 +158,11 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
       lake.sql("SET TimeZone = 'America/New_York'")
       assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
     } finally spark.conf.set("spark.sql.session.timeZone", before)
-    // VACUUM routes to the retention API (no scheduled files -> 0 deletes)
-    lake.sql("VACUUM")
+    // VACUUM routes to the retention core — and mid-script it must NOT
+    // re-pull (which would silently discard the script's earlier
+    // uncommitted statements: the review-found data-loss case)
+    lake.sql("INSERT INTO st VALUES (3); VACUUM; INSERT INTO st VALUES (4)")
+    assert(lake.sql("SELECT count(*) AS c FROM st").head().getLong(0) == 4L)
   }
 
   test("DESCRIBE SELECT reports a query's schema, composed with the dialect rewrites") {

@@ -35,6 +35,30 @@ class EmbSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("length-mismatched and null-element vectors bucket as all-'0' on BOTH paths") {
+    val s = spark
+    import s.implicits._
+    // shorter, longer, and null-poisoned than the 64-dim planes — the
+    // corrupt/variable-dim ingest case a fixed-dim corpus cannot cover
+    val vecs = Seq(
+      (1L, Array.fill(32)(0.5f).toSeq.map(Option(_))),
+      (2L, Array.fill(80)(0.5f).toSeq.map(Option(_))),
+      (3L, Array.fill(64)(0.5f).toSeq.map(Option(_)).updated(7, None)),
+      (4L, Array.fill(64)(0.5f).toSeq.map(Option(_))))
+    val df = s.createDataset(vecs).toDF("vec_id", "embedding")
+    val tabs = QueriesLlm.embPlaneTables(2, 4)
+    def keys(native: Boolean) = df.select(col("vec_id"),
+        (if (native) QueriesLlm.bucketKeysExpr(col("embedding"), tabs)
+         else QueriesLlm.bucketKeysExprReference(col("embedding"), tabs)).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = keys(native = true)
+    assert(n == keys(native = false), "mismatch rows bucket differently across paths")
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(n(id).forall(_.matches("""\d:0+""")), s"row $id should be all-'0' bits: ${n(id)}")
+    }
+    assert(n(4L).exists(k => k.drop(2).contains("1")), "healthy row lost its sign bits")
+  }
+
   test("native dot product equals the interpreted fold bit-for-bit on all pairs") {
     assume(new java.io.File(s"$d/embeddings.parquet").exists())
     val x = emb.limit(40).select(col("vec_id").as("a"), col("embedding").as("ea"))
