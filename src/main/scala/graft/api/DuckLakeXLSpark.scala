@@ -89,6 +89,15 @@ class DuckLakeXLSpark(
   /** per-sheet digests as of the last pull/push — empty before first pull */
   @volatile private var pulledDigest: Map[String, String] = Map.empty
 
+  /** the snapshot id this session last saw on the remote — the CAS base
+    * for [[push]]. -1 until the first pull/push; the constructor sets it
+    * via one of the two inside initialize(), so this declaration MUST
+    * precede the `initialize()` call below — Scala runs field
+    * initializers in declaration order, and a later `= -1L` would
+    * silently clobber the constructor's CAS base (review-found).
+    */
+  private var baseSnapshot: Long = -1L
+
   /** the schema unqualified table names resolve against (`USE <schema>`);
     * DuckLake starts every lake with `main`
     */
@@ -162,11 +171,6 @@ class DuckLakeXLSpark(
   }
 
   // ------------------------------------------------------------ pull/push
-  /** the snapshot id this session last saw on the remote — the CAS base
-    * for [[push]]. -1 until the first pull/push (constructor always sets
-    * it via one of the two).
-    */
-  private var baseSnapshot: Long = -1L
 
   /** xlsx -> CatalogState; the single-reference swap is the transaction
     * (reference: TRUNCATE+INSERT per metadata table, ducklakexl.py:459-464)
@@ -504,6 +508,14 @@ class DuckLakeXLSpark(
     * `information_schema.tables|columns` to the catalog-backed views
     * (the reference's own bootstrap queries it — ducklakexl.py:238).
     */
+  /** DML expression fragments (DELETE WHERE, UPDATE SET, MERGE ON/SET,
+    * INSERT VALUES bodies) are user DuckDB SQL like any SELECT — they
+    * MUST ride the dialect rewrites before `expr()`: a raw `tags[1]` in a
+    * DELETE predicate would run 0-based and delete the WRONG rows (the
+    * silent off-by-one the rewrite layer exists to prevent; review-found)
+    */
+  private def dexpr(e: String): Column = expr(StatementRouter.rewriteDialect(e))
+
   private[graft] def rewriteSelect(q0: String): String = {
     // timestamp travel first: the ts literal sits INSIDE single quotes —
     // here the quoted text is part of the travel syntax, not a user
@@ -1411,7 +1423,14 @@ class DuckLakeXLSpark(
         state = state.copy(schemas = state.schemas.map(x =>
           if (x.schemaId == sc.schemaId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x))
         newSnapshot(state.nextCatalogId, state.nextFileId)
-        if (curSchema.equalsIgnoreCase(sc.schemaName)) curSchema = "main"
+        if (curSchema.equalsIgnoreCase(sc.schemaName)) {
+          curSchema = "main"
+          // Catalyst's current database tracks curSchema (the USE arm
+          // sets both) — leaving it on the dropped schema would fail
+          // every later bare-name resolution in the script (review-found)
+          try spark.catalog.setCurrentDatabase("main")
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
     }
   }
 
@@ -1449,7 +1468,8 @@ class DuckLakeXLSpark(
   private def valuesDF(table: String, cols: Option[Seq[String]], valuesSql: String): DataFrame = {
     val t = requireTable(table)
     val names = cols.getOrElse(state.columnsOf(t.tableId).map(_.columnName))
-    spark.sql(s"SELECT * FROM ($valuesSql) AS t(${names.mkString(", ")})")
+    spark.sql(s"SELECT * FROM (${StatementRouter.rewriteDialect(valuesSql)}) " +
+      s"AS t(${names.mkString(", ")})")
   }
 
   /** append: write df as parquet data file(s) under dataPath/<table>/, add
@@ -1493,7 +1513,16 @@ class DuckLakeXLSpark(
     // they still coalesce to one file per INSERT (the DuckLake shape).
     val isLocalValues = df.queryExecution.optimizedPlan.isInstanceOf[
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
-    if (inlineRowLimit > 0 && partCols.isEmpty && isLocalValues) {
+    // inlined cells round-trip through the workbook as strings and cast
+    // back at scan time — only ATOMIC column types survive that trip
+    // (Row.get.toString on an array/struct/binary writes a cell no cast
+    // can read back: a committed-but-unreadable table, review-found).
+    // Non-atomic schemas take the normal file write instead.
+    val inlinable = schema.fields.forall(f => f.dataType match {
+      case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+      case _ => true
+    })
+    if (inlineRowLimit > 0 && partCols.isEmpty && isLocalValues && inlinable) {
       val rows = df.collect()
       if (rows.length <= inlineRowLimit) {
         val snap = state.currentSnapshot + 1
@@ -1580,7 +1609,7 @@ class DuckLakeXLSpark(
 
     val hits: Map[String, Long] = s.where match {
       case None    => live.map(f => f.path -> f.recordCount).toMap // truncate
-      case Some(w) => hitCounts(t, live, expr(w))
+      case Some(w) => hitCounts(t, live, dexpr(w))
     }
     val affected = live.filter(f => hits.getOrElse(f.path, 0L) > 0L)
     if (affected.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
@@ -1596,7 +1625,7 @@ class DuckLakeXLSpark(
 
     val partial = affected.filter(f => hits(f.path) < f.recordCount)
     if (partial.nonEmpty) {
-      val pred = expr(s.where.get) // partial implies a WHERE existed
+      val pred = dexpr(s.where.get) // partial implies a WHERE existed
       // SQL DELETE removes rows where the predicate is TRUE; rows where it
       // evaluates NULL must SURVIVE — a bare !pred drops them (NULL
       // satisfies neither pred nor !pred). kept = NOT coalesce(pred, false)
@@ -1625,10 +1654,10 @@ class DuckLakeXLSpark(
     flushInlined(t)
     flushForeignDeletes(t)
     val schema = state.schemaOf(t.tableId)
-    val sets = s.sets.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
+    val sets = s.sets.map { case (c, e) => c.toLowerCase -> dexpr(e) }.toMap
     val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
     require(unknown.isEmpty, s"UPDATE sets unknown column(s): ${unknown.mkString(", ")}")
-    val pred = s.where.map(expr).getOrElse(lit(true))
+    val pred = s.where.map(dexpr).getOrElse(lit(true))
     val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
     var fid = state.nextFileId
@@ -1636,7 +1665,7 @@ class DuckLakeXLSpark(
 
     val hits: Map[String, Long] = s.where match {
       case None    => live.map(f => f.path -> f.recordCount).toMap
-      case Some(w) => hitCounts(t, live, expr(w))
+      case Some(w) => hitCounts(t, live, dexpr(w))
     }
     val affected = live.filter(f => hits.getOrElse(f.path, 0L) > 0L)
     if (affected.isEmpty) { newSnapshot(state.nextCatalogId, fid); return }
@@ -1699,7 +1728,7 @@ class DuckLakeXLSpark(
     val snap = state.currentSnapshot + 1
     var fid = state.nextFileId
     val srcDF = spark.sql(rewriteSelect(s.sourceSql)).alias(s.srcAlias)
-    val cond = expr(s.on)
+    val cond = dexpr(s.on)
 
     // per-file MATCHED-target-row counts (left_semi keeps each matched
     // target row exactly once, regardless of source multiplicity) — the
@@ -1735,7 +1764,7 @@ class DuckLakeXLSpark(
             .select(schema.fields.map(f =>
               col(s"${s.tgtAlias}.${f.name}").as(f.name)).toSeq: _*)
         else {
-          val sets = s.matchedSets.get.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
+          val sets = s.matchedSets.get.map { case (c, e) => c.toLowerCase -> dexpr(e) }.toMap
           val unknown = sets.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
           require(unknown.isEmpty, s"MERGE sets unknown column(s): ${unknown.mkString(", ")}")
           joined.select(schema.fields.map { f =>
@@ -1775,7 +1804,7 @@ class DuckLakeXLSpark(
         if (live.isEmpty) srcDF
         else srcDF.join(readFiles(t, live).alias(s.tgtAlias), cond, "left_anti")
       val exprs = StatementRouter.splitTopCommas(valuesSql)
-      val rowDF = anti.selectExpr(exprs: _*)
+      val rowDF = anti.select(exprs.map(dexpr): _*)
       val names = cols.getOrElse(schema.fieldNames.toSeq)
       require(names.length == exprs.length,
         s"MERGE INSERT arity ${exprs.length} != column list ${names.length}")

@@ -42,7 +42,12 @@ object StatementRouter {
         case 3 =>
           if (c == '\n') { state = 0; cur.append(c) }
         case 4 =>
-          if (c == '*' && i + 1 < n && script.charAt(i + 1) == '/') { state = 0; i += 1 }
+          // closing a block comment leaves ONE space so the tokens on
+          // either side don't merge ("a/*x*/b" is `a` aliased `b`, not
+          // a column `ab` — review-found)
+          if (c == '*' && i + 1 < n && script.charAt(i + 1) == '/') {
+            state = 0; i += 1; cur.append(' ')
+          }
       }
       i += 1
     }
@@ -281,16 +286,80 @@ object StatementRouter {
         case '('  => depth += 1
         case ')'  => depth -= 1
         case _ =>
-          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-              (i + kw.length >= n || !isWordChar(s.charAt(i + kw.length)))) {
-            return (s.take(i).trim,
-              Some(s.drop(i + kw.length).trim).filter(_.nonEmpty))
+          // multi-word keywords ("ORDER BY") must match across ANY
+          // whitespace run, incl. newlines — a single-space regionMatch
+          // silently missed "ORDER\nBY" (review-found: DISTINCT ON then
+          // window-ordered by the keys instead of the user's ORDER BY)
+          if (depth == 0) {
+            val end = matchKeywordAt(s, i, kw)
+            if (end >= 0 && (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+                (end >= n || !isWordChar(s.charAt(end)))) {
+              return (s.take(i).trim,
+                Some(s.drop(end).trim).filter(_.nonEmpty))
+            }
           }
       }
       i += 1
     }
     (s.trim, None)
+  }
+
+  /** split at the first top-level `WHEN` that opens a MERGE clause
+    * (`WHEN MATCHED` / `WHEN NOT MATCHED`); the tail keeps the text
+    * AFTER the WHEN word so the clause regexes see `MATCHED …`
+    */
+  private def splitMergeWhen(s: String): (String, Option[String]) = {
+    var i = 0
+    var depth = 0
+    var inS = false
+    var inD = false
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 else inS = false
+        }
+      } else if (inD) { if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"'  => inD = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0 && (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+            val e = Seq("WHEN MATCHED", "WHEN NOT MATCHED")
+              .map(matchKeywordAt(s, i, _)).find(_ >= 0).getOrElse(-1)
+            if (e >= 0 && (e >= s.length || !isWordChar(s.charAt(e)))) {
+              val afterWhen = matchKeywordAt(s, i, "WHEN")
+              return (s.take(i).trim, Some(s.drop(afterWhen).trim))
+            }
+          }
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
+
+  /** end index if the (possibly multi-word) keyword matches at `i` with
+    * arbitrary whitespace between words; -1 otherwise
+    */
+  private def matchKeywordAt(s: String, i: Int, kw: String): Int = {
+    val words = kw.split("\\s+")
+    var pos = i
+    var w = 0
+    while (w < words.length) {
+      if (w > 0) {
+        val start = pos
+        while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+        if (pos == start) return -1
+      }
+      val word = words(w)
+      if (!s.regionMatches(true, pos, word, 0, word.length)) return -1
+      pos += word.length
+      w += 1
+    }
+    pos
   }
 
   /** DuckDB struct/map literals — `{'k': v, …}` -> `named_struct('k', v,
@@ -461,8 +530,11 @@ object StatementRouter {
         val name = qualName(toks.head)
         (s"SELECT * FROM $name", if (toks.length > 1) toks(1) else name)
       }
-    // split the WHEN clauses (quote/paren-aware)
-    val (onCond, whenTail) = splitTopLevelKeyword(afterOn, "WHEN")
+    // split the WHEN clauses (quote/paren-aware). ONLY a WHEN followed by
+    // MATCHED / NOT MATCHED is a merge clause boundary — a bare "WHEN"
+    // split would break on a CASE WHEN inside the ON condition or an
+    // UPDATE SET expression (review-found: valid SQL threw)
+    val (onCond, whenTail) = splitMergeWhen(afterOn)
     var matchedSets: Option[Seq[(String, String)]] = None
     var matchedDelete = false
     var notMatched: Option[(Option[Seq[String]], String)] = None
@@ -471,7 +543,7 @@ object StatementRouter {
     val DelRe = """(?is)^\s*MATCHED\s+THEN\s+DELETE\s*$""".r
     val InsRe = """(?is)^\s*NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$""".r
     while (tail.isDefined) {
-      val (clause, next) = splitTopLevelKeyword(tail.get, "WHEN")
+      val (clause, next) = splitMergeWhen(tail.get)
       clause match {
         case UpdRe(sets)  => matchedSets = Some(splitAssignments(sets))
         case DelRe()      => matchedDelete = true
@@ -803,7 +875,10 @@ object StatementRouter {
     "list_concat"    -> "concat",
     "list_append"    -> "array_append",
     "list_prepend"   -> "array_prepend",
-    "list_position"  -> "array_position",
+    // list_position: NOT a bare rename — DuckDB returns NULL when the
+    // element is absent, Spark's array_position returns 0 (a silently
+    // wrong value that flips IS NULL predicates); rewritten to
+    // nullif(array_position(…), 0) in rewriteDialect
     // array_to_string(list, sep) == Spark's array_join(array, delimiter)
     "array_to_string" -> "array_join",
     // DuckDB's list(x) aggregate is Spark's collect_list (insertion
@@ -882,7 +957,8 @@ object StatementRouter {
   private val StarReplaceRe = """(?i)\*\s+REPLACE\s*\(""".r
 
   private def rewriteStarReplace(s: String): String =
-    StarReplaceRe.findFirstMatchIn(s) match {
+    // literal-masked: `'* REPLACE (…)'` inside a string must survive
+    StarReplaceRe.findAllMatchIn(s).find(m => !literalMask(s)(m.start)) match {
       case None => s
       case Some(m) =>
         val open = s.indexOf('(', m.start)
@@ -966,7 +1042,8 @@ object StatementRouter {
   }
 
   private def rewriteAsof(s: String): String =
-    AsofRe.findFirstMatchIn(s) match {
+    // literal-masked: the phrase inside a string literal must survive
+    AsofRe.findAllMatchIn(s).find(m => !literalMask(s)(m.start)) match {
       case None => s
       case Some(m) =>
         val isLeft = m.group(1) != null
@@ -1478,6 +1555,9 @@ object StatementRouter {
     // renameFns, which maps list-position generate_series to sequence
     q = rewriteGenerateSeriesFrom(q)
     q = mapOutsideLiterals(q)(renameFns)
+    q = rewriteCalls(q, "list_position") { args =>
+      Some(s"nullif(array_position(${args.mkString(", ")}), 0)")
+    }
     q = mapOutsideLiterals(q) { seg =>
       StarExcludeBareRe.replaceAllIn(
         StarExcludeParenRe.replaceAllIn(seg, "$1EXCEPT$2"), "$1EXCEPT ($2)")

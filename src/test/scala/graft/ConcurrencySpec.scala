@@ -43,6 +43,21 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(rowsB.map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
+  test("the CONSTRUCTOR's pull arms the CAS gate (no in-session pull needed)") {
+    val (xlsx, data) = freshLakePath()
+    val a = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("CREATE TABLE t(id INTEGER)")
+    // B's constructor pulls the current head — that alone must arm the
+    // gate (review-found: a field initializer declared after initialize()
+    // silently reset the CAS base to -1, disabling the gate for any push
+    // not preceded by an explicit in-session pull)
+    val b = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("INSERT INTO t VALUES (1)")
+    val e = intercept[java.util.ConcurrentModificationException] { b.push() }
+    assert(e.getMessage.contains("stale push rejected"))
+    assert(a.sql("SELECT count(*) AS c FROM t").head().getLong(0) == 1L)
+  }
+
   test("CAS auto-retry: the losing sql() replays on a fresh base, no user code") {
     val (xlsx, data) = freshLakePath()
     val a = new DuckLakeXLSpark(spark, xlsx, data)

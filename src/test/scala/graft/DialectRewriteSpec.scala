@@ -100,8 +100,10 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT startswith(v, 'a'), endswith(v, 'z') FROM t")
     assert(rewriteDialect("SELECT * FROM t WHERE regexp_matches(v, 'x+')") ==
       "SELECT * FROM t WHERE regexp_like(v, 'x+')")
+    // list_position carries DuckDB's NULL-when-absent (array_position
+    // returns 0 there — r8 review fix)
     assert(rewriteDialect("SELECT list_append(xs, 1), list_position(xs, 2) FROM t") ==
-      "SELECT array_append(xs, 1), array_position(xs, 2) FROM t")
+      "SELECT array_append(xs, 1), nullif(array_position(xs, 2), 0) FROM t")
   }
 
   test("bare VARCHAR casts map to STRING; sized VARCHAR(n) survives") {
@@ -319,6 +321,24 @@ class DialectRewriteSpec extends AnyFunSuite {
     // rewrite in this file is literal-masked)
     val lit = "SELECT 'use SIMILAR TO ''re'' syntax' AS tip FROM t"
     assert(rewriteDialect(lit) == lit)
+  }
+
+  test("r8 review fixes: literal masks, NULL-position, multi-word keywords, comments") {
+    // * REPLACE / ASOF phrases inside string literals survive
+    val l1 = "SELECT '* REPLACE (a AS b)' AS doc FROM t"
+    assert(rewriteDialect(l1) == l1)
+    val l2 = "SELECT 'x ASOF JOIN y ON z' AS doc FROM t"
+    assert(rewriteDialect(l2) == l2)
+    // list_position: absent element must be NULL (DuckDB), not 0 (Spark)
+    assert(rewriteDialect("SELECT list_position(xs, 5) FROM t") ==
+      "SELECT nullif(array_position(xs, 5), 0) FROM t")
+    // DISTINCT ON across a newline-split ORDER BY keeps the user's order
+    val d = rewriteDialect("SELECT DISTINCT ON (k) v FROM t ORDER\nBY ts DESC")
+    assert(d.toLowerCase.contains("row_number"), d)
+    assert(d.contains("ts DESC"), s"lost the ORDER BY through the newline: $d")
+    // block comments separate tokens instead of merging them
+    assert(StatementRouter.split("SELECT a/*unit: cents*/b FROM t") ==
+      Seq("SELECT a b FROM t"))
   }
 
   test("r8: COLUMNS('re')/COLUMNS(*) expand against the resolved schema") {

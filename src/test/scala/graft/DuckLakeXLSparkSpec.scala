@@ -165,6 +165,45 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     assert(lake.sql("SELECT count(*) AS c FROM st").head().getLong(0) == 4L)
   }
 
+  test("DML expressions ride the dialect rewrites (1-based subscripts, //)") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE dml(id INTEGER, v VARCHAR);
+        |INSERT INTO dml VALUES (1, 'a,b'), (2, 'b,c'), (7 // 2, 'z,z')""".stripMargin)
+    // [1] is DuckDB's FIRST element — an unrewritten predicate would run
+    // Spark 0-based and delete the WRONG rows (the review-found case)
+    lake.sql("DELETE FROM dml WHERE split(v, ',')[1] = 'a'")
+    assert(lake.sql("SELECT id FROM dml ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(2, 3))
+    lake.sql("UPDATE dml SET id = id + 10 // 2 WHERE split(v, ',')[1] = 'b'")
+    assert(lake.sql("SELECT id FROM dml ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(3, 7))
+  }
+
+  test("MERGE tolerates CASE WHEN inside ON/SET; WHEN splits only at clause heads") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE mt2(k INTEGER, v INTEGER);
+        |CREATE TABLE ms2(k INTEGER, v INTEGER);
+        |INSERT INTO mt2 VALUES (1, 5), (2, -3);
+        |INSERT INTO ms2 VALUES (1, -7), (3, 4)""".stripMargin)
+    lake.sql(
+      """MERGE INTO mt2 t USING ms2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 0 THEN s.v ELSE 0 END
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)""".stripMargin)
+    val rows = lake.sql("SELECT k, v FROM mt2 ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1, 0), (2, -3), (3, 4)))
+  }
+
+  test("dropping the CURRENT schema resets bare-name resolution to main") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE m0(id INTEGER); INSERT INTO m0 VALUES (42)")
+    lake.sql("CREATE SCHEMA s2; USE s2; CREATE TABLE t2(id INTEGER)")
+    val r = lake.sql("DROP SCHEMA s2 CASCADE; SELECT id FROM m0")
+    assert(r.head().getInt(0) == 42)
+  }
+
   test("DESCRIBE SELECT reports a query's schema, composed with the dialect rewrites") {
     val (lake, _, _) = freshLake()
     lake.sql("CREATE TABLE dsq(id INTEGER, v VARCHAR); INSERT INTO dsq VALUES (1, 'x')")

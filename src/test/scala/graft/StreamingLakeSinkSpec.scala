@@ -58,6 +58,29 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(ids == Seq(10, 11, 12))
   }
 
+  test("lake-to-lake loop: tableStream -> transform -> writeStreamTo") {
+    val s = spark
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE src_t(id INTEGER, v INTEGER);
+        |CREATE TABLE dst_t(id INTEGER, doubled INTEGER);
+        |INSERT INTO src_t VALUES (1, 10), (2, 20)""".stripMargin)
+    val ckpt = Files.createTempDirectory("ckpt_loop").toString
+    import org.apache.spark.sql.functions._
+    val q = lake.writeStreamTo(
+      lake.tableStream("src_t").select(col("id"), (col("v") * 2).as("doubled")),
+      "dst_t", ckpt)
+    try {
+      q.processAllAvailable()
+      // a second source append flows through the SAME running query
+      lake.sql("INSERT INTO src_t VALUES (3, 30)")
+      q.processAllAvailable()
+      val rows = lake.sql("SELECT id, doubled FROM dst_t ORDER BY id").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(rows == Seq((1, 20), (2, 40), (3, 60)))
+    } finally q.stop()
+  }
+
   test("a concurrent writer between batches is absorbed by the CAS retry") {
     val s = spark
     import s.implicits._
