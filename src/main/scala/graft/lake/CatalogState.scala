@@ -211,6 +211,13 @@ final case class CatalogState(
       * so an unknown sheet (partition_info, tag, …) must never be dropped
       * from the source of truth
       */
+    // UNKNOWN sheets round-trip untouched; known sheets are rewritten
+    // with the spec's column set, so a column a NEWER DuckLake writer
+    // added to a known sheet does not survive our push (our row set has
+    // no values for it — mixing typed mutations with unknown columns has
+    // no correct merge for added/deleted rows). Documented limitation:
+    // foreign-extended KNOWN sheets are spec-frozen, unknown sheets are
+    // preserved verbatim.
     extraSheets: Vector[XlsxSheet],
     columnMappings: Vector[ColumnMappingRow] = Vector.empty,
     nameMappings: Vector[NameMappingRow] = Vector.empty) {
@@ -321,9 +328,18 @@ final case class CatalogState(
     */
   def partitionValuesOf(tableId: Long): Map[Long, Map[String, String]] = {
     val byFile = filePartitionValues.filter(_.tableId == tableId).groupBy(_.dataFileId)
+    if (byFile.isEmpty) return Map.empty
+    // this runs at PLAN time per query: index files once and memoize the
+    // spec per distinct write snapshot — the per-file find +
+    // partitionColumnsOf recompute was O(files × keys × columns) on a
+    // 100k-file partitioned table (review-found)
+    val fileById = dataFiles.iterator
+      .filter(f => byFile.contains(f.dataFileId)).map(f => f.dataFileId -> f).toMap
+    val keyColsAt = scala.collection.mutable.Map.empty[Long, Vector[ColumnRow]]
     byFile.flatMap { case (fid, rows) =>
-      dataFiles.find(_.dataFileId == fid).map { f =>
-        val keyCols = partitionColumnsOf(tableId, f.beginSnapshot)
+      fileById.get(fid).map { f =>
+        val keyCols = keyColsAt.getOrElseUpdate(f.beginSnapshot,
+          partitionColumnsOf(tableId, f.beginSnapshot))
         fid -> rows.flatMap { r =>
           for {
             c <- keyCols.lift(r.partitionKeyIndex)
@@ -334,11 +350,16 @@ final case class CatalogState(
     }
   }
 
+  // counters come from the HIGHEST snapshot, not sheet row order:
+  // currentSnapshot already uses max(snapshotId), and a foreign writer
+  // (or a user sorting the sheet in Excel) may store rows unordered — a
+  // lastOption read of an older row would re-allocate live catalog ids
+  // (review-found)
   def nextCatalogId: Long =
-    snapshots.lastOption.map(_.nextCatalogId).getOrElse(1L)
+    snapshots.maxByOption(_.snapshotId).map(_.nextCatalogId).getOrElse(1L)
 
   def nextFileId: Long =
-    snapshots.lastOption.map(_.nextFileId).getOrElse(1L)
+    snapshots.maxByOption(_.snapshotId).map(_.nextFileId).getOrElse(1L)
 
   // -------------------------------------------------------------- sheets
   private def optS(o: Option[Long]): String = o.map(_.toString).getOrElse("")
@@ -469,8 +490,16 @@ object CatalogState {
 
   def asLong(s: String): Long = {
     val t = s.trim
-    // Excel numeric cells may come back as "3.0"
-    if (t.contains('.')) t.toDouble.toLong else t.toLong
+    // Excel numeric cells may come back as "3.0" — or "1E+15" (scientific
+    // without a '.', which a contains-'.' test missed and toLong threw
+    // on); parse any non-plain spelling exactly and REJECT fractions
+    // loudly instead of truncating (review-found)
+    if (t.forall(c => c.isDigit || c == '-')) t.toLong
+    else {
+      val bd = BigDecimal(t)
+      require(bd.isWhole, s"expected an integral cell value, got: $s")
+      bd.toLongExact
+    }
   }
 
   /** boolean via string prefix, case-insensitive: t…->true, f…->false,

@@ -124,6 +124,10 @@ class DuckLakeFileIndex(
     case LessThanOrEqual(Literal(v, dt), a: Attribute) => gtMay(f, a.name, v, dt, strict = false)
     case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
       list.exists { case Literal(v, dt) => eqMay(f, a.name, v, dt) }
+    // OptimizeIn rewrites IN lists longer than 10 values to InSet — the
+    // documented IN pruning must not silently stop at 11 elements
+    case InSet(a: Attribute, hset) =>
+      hset.exists(v => eqMay(f, a.name, v, a.dataType))
     // null-count questions consult ONLY the real stats rows: the fabricated
     // partition-value interval (statsFor) claims nullCount=0, but a NULL
     // partition value is recorded as an empty string at write time, so that
@@ -133,8 +137,13 @@ class DuckLakeFileIndex(
       statsByFile.get(f.dataFileId).flatMap(_.get(a.name.toLowerCase))
         .forall(_.nullCount > 0)
     case IsNotNull(a: Attribute) =>
-      statsByFile.get(f.dataFileId).flatMap(_.get(a.name.toLowerCase))
-        .forall(_.nullCount < f.recordCount)
+      // recordCount parses to 0 when a foreign workbook leaves the
+      // data_file column blank — 0 is ABSENCE of evidence, not an
+      // all-null proof (nullCount >= 0 == recordCount would prune every
+      // file and silently return zero rows; review-found)
+      f.recordCount <= 0 ||
+        statsByFile.get(f.dataFileId).flatMap(_.get(a.name.toLowerCase))
+          .forall(_.nullCount < f.recordCount)
     case _ => true // unsupported shape -> cannot skip
   }
 }

@@ -62,7 +62,12 @@ object XlsxCodec {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+      // a raw CR would be eaten by XML 1.0 end-of-line normalization on
+      // the next read (CR/CRLF -> LF), breaking read(write(x)) == x for
+      // any cell holding Windows line endings — the character reference
+      // survives normalization (review-found)
+      case '\r' => sb.append("&#13;")
+      case c if c < ' ' && c != '\t' && c != '\n' =>
         () // control chars are not legal in XML 1.0; drop
       case c => sb.append(c)
     }
@@ -136,9 +141,22 @@ object XlsxCodec {
     val tmp = Files.createTempFile(
       if (target.getParent != null) target.getParent else Paths.get("."),
       ".xlsx-", ".tmp")
-    Files.write(tmp, bos.toByteArray)
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    try {
+      // createTempFile's 0600 mode would otherwise survive the atomic
+      // move and lock other accounts out of a shared lake workbook —
+      // carry the published file's permissions (or a umask-typical
+      // default on first create); best-effort on non-POSIX stores
+      try {
+        import java.nio.file.attribute.PosixFilePermissions
+        val perms =
+          if (Files.exists(target)) Files.getPosixFilePermissions(target)
+          else PosixFilePermissions.fromString("rw-r--r--")
+        Files.setPosixFilePermissions(tmp, perms)
+      } catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+      Files.write(tmp, bos.toByteArray)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp) // no-op after a successful move
   }
 
   // ------------------------------------------------------------------ read
@@ -217,19 +235,22 @@ object XlsxCodec {
       val cur = new StringBuilder
       var inSi = false
       var inT = false
+      var inRPh = 0 // phonetic-guide runs: their <t> is NOT cell text
       try {
         while (r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
                 case "si" => inSi = true; cur.clear()
-                case "t" if inSi => inT = true
+                case "rPh" | "phoneticPr" => inRPh += 1
+                case "t" if inSi && inRPh == 0 => inT = true
                 case _ =>
               }
             case XMLStreamConstants.CHARACTERS if inT =>
               cur.append(r.getText) // rich-text runs concatenate
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
+                case "rPh" | "phoneticPr" => inRPh -= 1
                 case "t" => inT = false
                 case "si" => inSi = false; out += cur.toString
                 case _ =>
@@ -266,6 +287,7 @@ object XlsxCodec {
     var cellType = "n"
     var inV = false
     var inIsT = false
+    var inRPh = 0 // inline-string phonetic runs are not cell text
     val text = new StringBuilder
     def endCell(): Unit = {
       if (cellCol >= 0) {
@@ -286,7 +308,18 @@ object XlsxCodec {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "row" => row = mutable.ArrayBuffer[String]()
+              case "row" =>
+                row = mutable.ArrayBuffer[String]()
+                // sparse writers omit fully-empty rows — honor the r
+                // attribute so interior blank rows keep their position
+                // (cells densify by ref; rows must too, review-found)
+                (0 until r.getAttributeCount).foreach { i =>
+                  if (r.getAttributeLocalName(i) == "r") {
+                    r.getAttributeValue(i).toIntOption.foreach { rn =>
+                      while (rows.size < rn - 1) rows += Seq.empty
+                    }
+                  }
+                }
               case "c" =>
                 cellType = "n"; cellCol = row.size; text.clear()
                 (0 until r.getAttributeCount).foreach { i =>
@@ -297,7 +330,8 @@ object XlsxCodec {
                   }
                 }
               case "v" => inV = true
-              case "t" => inIsT = true
+              case "rPh" | "phoneticPr" => inRPh += 1
+              case "t" if inRPh == 0 => inIsT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS if inV || inIsT =>
@@ -305,6 +339,7 @@ object XlsxCodec {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "v" => inV = false
+              case "rPh" | "phoneticPr" => inRPh -= 1
               case "t" => inIsT = false
               case "c" => endCell()
               case "row" =>

@@ -29,6 +29,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(CatalogState.asLong("3") == 3L)
     assert(CatalogState.asLong("3.0") == 3L)
     assert(CatalogState.asLong(" 42 ") == 42L)
+    // Excel scientific spelling has no '.': must parse, not throw (r8)
+    assert(CatalogState.asLong("1E+15") == 1000000000000000L)
+    assert(CatalogState.asLong("-5") == -5L)
+    // fractions are REJECTED loudly, never silently truncated
+    intercept[IllegalArgumentException](CatalogState.asLong("3.9"))
+  }
+
+  test("id counters read the HIGHEST snapshot, not sheet row order (r8)") {
+    // a foreign writer (or a user sorting in Excel) may store snapshot
+    // rows unordered; lastOption would re-allocate live ids
+    val s = CatalogState.empty.copy(snapshots = Vector(
+      SnapshotRow(5L, "2026-01-02 00:00:00", 0L, 90L, 9L),
+      SnapshotRow(1L, "2026-01-01 00:00:00", 0L, 10L, 2L)))
+    assert(s.currentSnapshot == 5L)
+    assert(s.nextCatalogId == 90L)
+    assert(s.nextFileId == 9L)
   }
 
   test("'encrypted' metadata value lower-cases on pull (ducklakexl.py:501-505)") {

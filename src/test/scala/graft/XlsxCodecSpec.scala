@@ -36,6 +36,42 @@ class XlsxCodecSpec extends AnyFunSuite {
     assert(back.head._2 == rows)
   }
 
+  test("CR/CRLF cell text survives the XML round trip (r8 review fix)") {
+    val p = tmpXlsx()
+    val rows = Seq(Seq("k", "v"), Seq("win", "a\r\nb"), Seq("bare", "x\ry"))
+    XlsxCodec.write(p, Seq(("t", rows)))
+    // XML 1.0 EOL normalization folds raw CR/CRLF to LF on read — the
+    // writer must emit &#13; so read(write(x)) == x
+    assert(XlsxCodec.read(p).head._2 == rows)
+  }
+
+  test("foreign sparse files: omitted rows keep their position; phonetic runs are not text") {
+    val p = tmpXlsx()
+    // hand-build a worksheet with <row r=1> then <row r=3> and a shared
+    // string carrying a phonetic <rPh> run (Japanese-Excel shape)
+    val zip = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(p)))
+    def part(n: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1"><si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row><row r="3"><c r="A3"><v>9</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val back = XlsxCodec.read(p).head._2
+    assert(back == Seq(Seq("東京"), Seq.empty, Seq("9")),
+      s"sparse row positions / phonetic runs mishandled: $back")
+  }
+
   test("empty cells densify from sparse refs; 30-col row survives") {
     val p = tmpXlsx()
     val wide = (0 until 30).map(i => s"c$i")
