@@ -100,24 +100,26 @@ object EmbSketch {
     val nTables = tabs.length
     val nPlanes = tabs.head.length
     val dim = tabs.head.head.length
-    val flat = tabs.flatten.flatten.toArray
+    val flat = tabs.flatten.flatten
     ColumnBridge.column(
       PlaneBuckets(ColumnBridge.expression(c), flat, nTables, nPlanes, dim))
   }
 }
 
 /** see [[EmbSketch.planeBuckets]] */
-case class PlaneBuckets(child: Expression, planes: Array[Int],
+case class PlaneBuckets(child: Expression, planes: Seq[Int],
     nTables: Int, nPlanes: Int, dim: Int)
     extends UnaryExpression {
+  // Seq field for structural equality (see MinHashSig); array for eval
+  private lazy val planesArr = planes.toArray
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(input: Any): Any =
-    EmbSketch.planeBuckets(input.asInstanceOf[ArrayData], planes,
+    EmbSketch.planeBuckets(input.asInstanceOf[ArrayData], planesArr,
       nTables, nPlanes, dim, isFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pRef = ctx.addReferenceObj("lshPlanes", planes, "int[]")
+    val pRef = ctx.addReferenceObj("lshPlanes", planesArr, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.EmbSketch.planeBuckets($c, $pRef, " +
         s"$nTables, $nPlanes, $dim, $isFloat);")

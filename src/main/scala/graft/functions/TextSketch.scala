@@ -397,7 +397,7 @@ object TextSketch {
     ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, 1, 1, word = true))
   def minhashSigCol(c: Column, coeffs: Seq[(Long, Long)]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c),
-      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
+      coeffs.map(_._1), coeffs.map(_._2)))
   def simhashSigCol(c: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
   def gramTopCountCol(c: Column, n: Int): Column =
@@ -430,15 +430,22 @@ case class HashedGrams(child: Expression, n: Int, stride: Int, mod: Int, word: B
 /** the full minhash signature (one long per hash function) of a gram-hash
   * array in one pass; null on an empty array — see [[TextSketch.minhashSig]]
   */
-case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
     extends UnaryExpression {
+  // Seq constructor fields keep case-class STRUCTURAL equality — Array
+  // fields degrade equals/hashCode to reference identity, silently
+  // defeating semanticEquals, common-subexpression elimination, and
+  // ReusedExchange in self-join plans (review-found); the hot path uses
+  // the materialized arrays below
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    TextSketch.minhashSig(input.asInstanceOf[ArrayData], a, b)
+    TextSketch.minhashSig(input.asInstanceOf[ArrayData], aArr, bArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
-    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.TextSketch.minhashSig($c, $aRef, $bRef);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)

@@ -175,9 +175,7 @@ object QueriesLlm {
       .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), explode(fps).as("fp"))
     cappedIdLists(docFps, Seq("fp"), "doc_id", cap)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(pairsExplode(col("ds")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= CopyMinShared)
@@ -255,6 +253,18 @@ object QueriesLlm {
         when(dotReference(emb, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
     }: _*)
 
+  /** i<j pair-unnest of a SORTED id list column: one `struct(a, b)` per
+    * unordered pair, a < b by the sort ([[cappedIdLists]] sorts, and
+    * [[graft.functions.BoundedCollectLongs]] sorts at eval). ONE
+    * definition — four call sites kept this 3-line expression in sync by
+    * hand before (review-found); the 1-based slice origin (i + 2: skip
+    * self and everything before) lives here only.
+    */
+  private def pairsExplode(list: Column): Column =
+    explode(flatten(transform(list, (x, i) =>
+      transform(slice(list, i + 2, size(list)),
+        y => struct(x.as("a"), y.as("b"))))))
+
   /** Group `rows` by `keys` into sorted `idCol` lists with NO aggregation
     * buffer ever exceeding `cap + 1`. A collect-then-filter shape bounds
     * the candidate PAIRS but not the buffer: a degenerate key (r2
@@ -300,10 +310,7 @@ object QueriesLlm {
       else cappedIdLists(keyed, Seq("bkt"), "vec_id", maxBucket)
         .withColumnRenamed("ds", "vs")
     grouped
-      .select(explode(flatten(transform(col("vs"), (x, i) =>
-        transform(slice(col("vs"), i + 2, size(col("vs"))),
-          y => struct(x.as("a"), y.as("b"))))))
-        .as("p"))
+      .select(pairsExplode(col("vs")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
@@ -350,9 +357,7 @@ object QueriesLlm {
       sh.select(col("doc_id"), explode(col("hs")).as("h")),
       Seq("h"), "doc_id", cap)
     val inter = posts
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(pairsExplode(col("ds")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     val sz = sh.select(col("doc_id"), size(col("hs")).as("sz"))
@@ -584,10 +589,7 @@ object QueriesLlm {
     // oracle twin keeps its join formulation) without the join's extra
     // shuffles; every aggregation buffer is bounded at maxBucket docs.
     val candRaw = cappedIdLists(bandsAll, Seq("band", "bkey"), "doc_id", maxBucket)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("a"), y.as("b"))))))
-        .as("p"))
+      .select(pairsExplode(col("ds")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // signature-estimate filter (the standard MinHash cascade, MMDS ch.3):
@@ -835,6 +837,10 @@ object QueriesLlm {
         prevSum = nextSum
         iter += 1
       }
+      require(converged,
+        s"ccMinLabel did not converge in $iter supersteps — component " +
+        "diameter exceeds the cap; raise it rather than returning SPLIT " +
+        "cluster labels (review-found: a silent cap exit mislabels)")
     }
     labels
   }
@@ -882,6 +888,10 @@ object QueriesLlm {
         prevSum = nextSum
         iter += 1
       }
+      require(converged,
+        s"ccTwoHop did not converge in $iter supersteps (~2 hops each) — " +
+        "component diameter exceeds the cap; raise it rather than " +
+        "returning SPLIT cluster labels (review-found)")
       labels
     }
   }
@@ -939,6 +949,9 @@ object QueriesLlm {
         prev = cur
         iter += 1
       }
+      require(converged,
+        s"ccStars did not converge in $iter rounds — raise the cap " +
+        "rather than returning a half-contracted star forest (review-found)")
     }
     // star forest: non-roots point at their component min; roots self-label
     e.select(col("u").as("doc_id"), col("v").as("label"))

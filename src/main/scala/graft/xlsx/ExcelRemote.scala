@@ -89,14 +89,26 @@ final class GraphRemote(
     /** max concurrent per-sheet usedRange reads within one session */
     readConcurrency: Int = 8) extends ExcelRemote {
 
-  private val http = HttpClient.newHttpClient()
+  // bounded I/O: a black-holed connection must fail the push, not hang
+  // it forever while holding a workbook session open (review-found)
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+  private val requestTimeout = java.time.Duration.ofSeconds(120)
   private val mapper = new ObjectMapper()
   @volatile private var cachedItemId: Option[String] = None
 
-  private def itemUrl = s"$baseUrl/drives/$driveId/root:/$itemPath"
+  // each path segment percent-encodes (spaces, '#', unicode) — a raw
+  // interpolation made URI.create throw or probe the wrong item
+  private def itemUrl =
+    s"$baseUrl/drives/$driveId/root:/" + itemPath.split('/').map(enc).mkString("/")
   private def wbUrl(itemId: String) = s"$baseUrl/drives/$driveId/items/$itemId/workbook"
   private def enc(s: String) =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
+  /** OData string literal inside worksheets('…'): single quotes DOUBLE
+    * (a sheet named Bob's otherwise terminates the literal early)
+    */
+  private def odataName(s: String) = enc(s.replace("'", "''"))
 
   /** send with the A6/A9 retry ladder; retry404 covers Graph's
     * eventual-consistency window on freshly created items
@@ -107,6 +119,7 @@ final class GraphRemote(
     var refreshed = false
     while (true) {
       val b = HttpRequest.newBuilder(URI.create(url))
+        .timeout(requestTimeout)
         .header("Authorization", s"Bearer ${tokens.token()}")
       session.foreach(b.header("workbook-session-id", _))
       body match {
@@ -119,8 +132,10 @@ final class GraphRemote(
       if (code == 401 && !refreshed) { tokens.refresh(); refreshed = true }
       else if ((code == 429 || code == 503 || (code == 404 && retry404)) && attempt < maxRetries) {
         val ra = resp.headers().firstValue("Retry-After")
-        val wait = if (ra.isPresent) ra.get().toLong * 1000L
-                   else backoffMillis * (1L << attempt)
+        // RFC 7231 allows delta-seconds OR an HTTP-date; a date (some
+        // proxies/throttling tiers) must not crash the retry ladder
+        val wait = (if (ra.isPresent) parseRetryAfterMillis(ra.get()) else None)
+          .getOrElse(backoffMillis * (1L << attempt))
         Thread.sleep(wait)
         attempt += 1
       } else return resp
@@ -134,12 +149,26 @@ final class GraphRemote(
     resp
   }
 
-  private def itemId(): String = cachedItemId.getOrElse {
-    val resp = expect(request("GET", itemUrl, None), s"item $itemPath", 200)
+  private def itemId(retry404: Boolean = false): String = cachedItemId.getOrElse {
+    // retry404 covers Graph's eventual-consistency window right after
+    // createEmptyWorkbook — the one resolve that was unprotected
+    val resp = expect(request("GET", itemUrl, None, retry404 = retry404),
+      s"item $itemPath", 200)
     val id = mapper.readTree(resp.body()).get("id").asText()
     cachedItemId = Some(id)
     id
   }
+
+  /** RFC 7231 Retry-After: delta-seconds or HTTP-date -> millis to wait */
+  private def parseRetryAfterMillis(v: String): Option[Long] =
+    v.trim.toLongOption.map(_ * 1000L).orElse {
+      try {
+        val at = java.time.ZonedDateTime.parse(
+          v.trim, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+        Some(math.max(0L, java.time.Duration.between(
+          java.time.ZonedDateTime.now(at.getZone), at).toMillis))
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    }
 
   def exists: Boolean = {
     val resp = request("GET", itemUrl, None)
@@ -151,7 +180,7 @@ final class GraphRemote(
   }
 
   private def createSession(): String = {
-    val resp = expect(request("POST", s"${wbUrl(itemId())}/createSession",
+    val resp = expect(request("POST", s"${wbUrl(itemId(retry404 = true))}/createSession",
       Some("""{"persistChanges": true}"""), retry404 = true), "createSession", 200, 201)
     mapper.readTree(resp.body()).get("id").asText()
   }
@@ -170,7 +199,7 @@ final class GraphRemote(
 
   private def usedRangeText(name: String, sid: String): Seq[Seq[String]] = {
     val resp = expect(request("GET",
-      s"${wbUrl(itemId())}/worksheets('${enc(name)}')/usedRange", None, Some(sid)),
+      s"${wbUrl(itemId())}/worksheets('${odataName(name)}')/usedRange", None, Some(sid)),
       s"usedRange $name", 200)
     val text = mapper.readTree(resp.body()).get("text")
     if (text == null || text.isNull) Seq.empty
@@ -276,17 +305,30 @@ final class GraphRemote(
             Some(mapper.writeValueAsString(Map("name" -> name).asJava)), Some(sid),
             retry404 = true), s"worksheets/add $name", 200, 201)
         expect(request("POST",
-          s"${wbUrl(itemId())}/worksheets('${enc(name)}')/usedRange/clear",
+          s"${wbUrl(itemId())}/worksheets('${odataName(name)}')/usedRange/clear",
           Some("""{"applyTo": "contents"}"""), Some(sid)), s"clear $name", 200, 204)
         if (rows.nonEmpty) {
           val cols = math.max(rows.map(_.length).max, 1)
           val rect = rows.map(_.padTo(cols, "").asJava).asJava
           val addr = s"A1:${XlsxCodec.colName(cols - 1)}${rows.length}"
           expect(request("PATCH",
-            s"${wbUrl(itemId())}/worksheets('${enc(name)}')/range(address='$addr')",
+            s"${wbUrl(itemId())}/worksheets('${odataName(name)}')/range(address='$addr')",
             Some(mapper.writeValueAsString(Map("values" -> rect).asJava)), Some(sid)),
             s"range write $name", 200)
         }
+      }
+      // the overwrite contract: sheets absent from the intended state are
+      // DELETED, so the bootstrap 'Sheet1' (and any sheet a schema change
+      // removed) does not persist remotely — without this, Graph and
+      // LocalXlsxRemote returned different sheet sets for the same state
+      // (review-found). Excel requires >= 1 visible sheet, so deletion is
+      // skipped only in the degenerate empty-workbook case.
+      val wanted = sheets.map(_._1).toSet
+      val stale = existing.filterNot(wanted.contains)
+      if (wanted.nonEmpty) stale.foreach { name =>
+        expect(request("DELETE",
+          s"${wbUrl(itemId())}/worksheets('${odataName(name)}')",
+          None, Some(sid)), s"worksheets delete $name", 200, 204)
       }
     } finally closeSession(sid)
   }
@@ -300,7 +342,7 @@ object ExcelRemote {
     driveId match {
       case Some(d) => new GraphRemote(d, excelPath, GraphTokenProvider.fromEnv())
       case None if excelPath.toLowerCase.endsWith(".xlsx") &&
-                   !excelPath.matches("^[a-z]+://.*") =>
+                   !excelPath.matches("(?i)^[a-z]+://.*") =>
         new LocalXlsxRemote(excelPath)
       case None => new GraphRemote("", excelPath, GraphTokenProvider.fromEnv())
     }

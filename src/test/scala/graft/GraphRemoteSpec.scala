@@ -93,6 +93,10 @@ class GraphRemoteSpec extends AnyFunSuite {
             val text = mapper.writeValueAsString(rows.map(_.asJava).asJava)
             respond(ex, 200, s"""{"address":"A1","text":$text}""")
           } finally inFlightReads.decrementAndGet()
+        case ("DELETE", p) if p.contains("/worksheets('") =>
+          val n = p.substring(p.indexOf("worksheets('") + 12, p.indexOf("')"))
+          sheets.remove(n)
+          respond(ex, 204)
         case ("PATCH", p) if p.contains("/range(address=") =>
           val n = p.substring(p.indexOf("worksheets('") + 12, p.indexOf("')"))
           val vals = mapper.readTree(readBody(ex)).get("values")
@@ -125,8 +129,10 @@ class GraphRemoteSpec extends AnyFunSuite {
         ("data file", Seq(Seq("id", "path"), Seq("1", "/d/p.parquet"), Seq("2", ""))))
       remote.writeAll(sheets)
       assert(remote.exists)
-      val back = remote.readAll().filter(s => s._1 != "Sheet1")
-      assert(back == sheets)
+      // the bootstrap 'Sheet1' is DELETED by the overwrite contract —
+      // Graph and LocalXlsxRemote must expose the same sheet set (r8)
+      assert(!remote.sheetNames.contains("Sheet1"))
+      assert(remote.readAll() == sheets)
       assert(remote.sheetNames.contains("data file"))
       // sessions were opened, used on the workbook calls, and closed
       assert(mock.sessionsOpened >= 1 && mock.sessionsClosed == mock.sessionsOpened)
