@@ -134,13 +134,33 @@ class DuckLakeCatalog extends TableCatalog with SupportsNamespaces {
     DuckLakeTable(catName, sn, t.tableName, snapshot)
   }
 
+  /** identifiers are interpolated into generated lake SQL — anything the
+    * router's word-shaped grammar cannot round-trip (spaces, quotes,
+    * punctuation, reserved-word collisions aside) must fail HERE with a
+    * clear message, not parse into a corrupted statement (review-found)
+    */
+  private def validIdent(name: String, what: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"$what '$name' is not a plain identifier ([A-Za-z_][A-Za-z0-9_]*) — " +
+      "quoted/special identifiers are not supported by the lake SQL surface")
+    name
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "PARTITIONED BY at CREATE is unsupported; use ALTER TABLE … SET PARTITIONED BY")
+    validIdent(ident.name, "table name")
     val cols = schema.fields.map(f =>
-      s"${f.name} ${CatalogSchema.typeName(f.dataType)}").mkString(", ")
+      s"${validIdent(f.name, "column name")} ${CatalogSchema.typeName(f.dataType)}")
+      .mkString(", ")
     lake.sql(s"CREATE TABLE ${qualified(ident)} ($cols)")
+    // apply the one property with lake semantics instead of dropping it
+    // silently (CREATE TABLE ... COMMENT '...'); other properties are
+    // Spark-side bookkeeping with no DuckLake home
+    Option(properties.get(TableCatalog.PROP_COMMENT)).foreach { c =>
+      lake.sql(s"COMMENT ON TABLE ${qualified(ident)} IS '${c.replace("'", "''")}'")
+    }
     loadTable(ident)
   }
 
@@ -150,6 +170,30 @@ class DuckLakeCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val q = qualified(ident)
+    // VALIDATE every change before executing ANY: each lake.sql commits a
+    // snapshot, so a change that throws mid-list would leave the table
+    // half-altered with Spark reporting failure (review-found). Type
+    // conversions and arity checks run up front; per-change identifier
+    // checks run inside the same pass.
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested columns are unsupported")
+        validIdent(a.fieldNames()(0), "column name")
+        CatalogSchema.typeName(a.dataType())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested columns are unsupported")
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested columns are unsupported")
+        validIdent(r.newName(), "column name")
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested columns are unsupported")
+        CatalogSchema.typeName(u.newDataType())
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1, "nested columns are unsupported")
+      case _: TableChange.SetProperty => ()
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns are unsupported")
@@ -171,6 +215,7 @@ class DuckLakeCatalog extends TableCatalog with SupportsNamespaces {
         lake.sql(s"COMMENT ON COLUMN $q.${c.fieldNames()(0)} IS '$lit'")
       case p: TableChange.SetProperty if p.property() == TableCatalog.PROP_COMMENT =>
         lake.sql(s"COMMENT ON TABLE $q IS '${p.value().replace("'", "''")}'")
+      case _: TableChange.SetProperty => () // Spark-side bookkeeping
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }
@@ -189,7 +234,7 @@ class DuckLakeCatalog extends TableCatalog with SupportsNamespaces {
       throw new UnsupportedOperationException(
         s"renameTable across namespaces is not supported: " +
         s"${qualified(from)} -> ${qualified(to)}")
-    lake.sql(s"ALTER TABLE ${qualified(from)} RENAME TO ${to.name}")
+    lake.sql(s"ALTER TABLE ${qualified(from)} RENAME TO ${validIdent(to.name, "table name")}")
   }
 
   private def qualified(ident: Identifier): String =

@@ -29,13 +29,10 @@ object QueriesRelational {
   // (Spark parquet DECIMAL vs DuckDB DECIMAL hash differently; DOUBLE doesn't).
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
-  // Tight precisions for multi-factor decimal products: with DECIMAL(18,4)
-  // inputs a triple product exceeds DuckDB's width-38 cap and silently falls
-  // back to DOUBLE (breaking exactness); (12,4) money × (6,4) rate factors
-  // keep every intermediate within width 38 in BOTH engines.
-  private def money12(c: Column): Column = c.cast(DecimalType(12, 4))
-  private def rate(c: Column): Column = c.cast(DecimalType(5, 4))
-  private val one = lit(1).cast(DecimalType(2, 1))
+  // (Historical note: multi-factor DECIMAL products need tight precisions
+  // — (12,4) money × (5,4) rates — to stay inside width 38 on both
+  // engines; the money queries moved to cents-scaled BIGINT instead, so
+  // the decimal helpers are gone.)
 
   // ---------------------------------------------------------------- fixtures
   private val FixDir = "/root/repo/fixtures"
@@ -90,6 +87,11 @@ object QueriesRelational {
     // boundary, never the answer. sampleShift = 0 is the exact path
     // (SkewJoinSpec exercises both).
     val rate = 1L << sampleShift
+    // a threshold below the sampling rate would integer-divide to a cut
+    // of 0, flagging ~1/rate of ALL keys as hot and broadcasting millions
+    // of keys — fail fast instead (review-found)
+    require(hotThreshold >= rate,
+      s"hotThreshold ($hotThreshold) must be >= the sampling rate ($rate)")
     val hotBase =
       if (sampleShift == 0) l
       else l.filter(pmod(xxhash64(col("l_orderkey"), lit(42)), lit(rate)) === 0)
@@ -353,6 +355,11 @@ object QueriesRelational {
       // happens once per OUTPUT row. Bounds: price*100 <= 1.05e7, triple
       // product <= 1.2e11/row, 600k-row sums <= 7e16 < 2^63. The oracle
       // runs the identical formula, so results stay bit-equal.
+      // SCALE BOUND (documented, review-flagged): a PER-GROUP sum wraps
+      // 2^63 around SF~50 (~1.8e17 x SF for the triple product). At that
+      // scale swap the AGGREGATE (only) to DECIMAL(38,0) — per-row math
+      // stays long/codegen — and rescale the twin the same way; sums per
+      // group at the tested SFs sit 2 orders of magnitude under the edge.
       val l = Tables.t(s, d, "lineitem")
       val qI  = round(col("l_quantity")).cast(LongType)
       val pE2 = round(col("l_extendedprice") * 100).cast(LongType)

@@ -88,7 +88,7 @@ object QueriesStreaming {
       // (session window [start, last+gap) — an event exactly at last+gap
       // starts a NEW session, hence >=)
       ("""WITH x AS (
-         |  SELECT user_id, ts,
+         |  SELECT user_id, ts, event_id,
          |         CASE WHEN lag(ts) OVER w IS NULL
          |                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
          |              THEN 1 ELSE 0 END AS brk
@@ -96,7 +96,7 @@ object QueriesStreaming {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |), y AS (
          |  SELECT user_id, ts,
-         |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
          |  FROM x)
          |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,

@@ -100,22 +100,38 @@ object StreamingOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"))
 
-  final case class Ev(event_id: Long, user_id: Long, value: Double)
+  final case class Ev(ts: java.sql.Timestamp, event_id: Long, user_id: Long, value: Double)
   final case class UserCount(user_id: Long, events_seen: Long)
 
   /** custom state machine: running per-user event count via
-    * flatMapGroupsWithState (KeyValueGroupedDataset — SURVEY §1.1 stream row)
+    * flatMapGroupsWithState (KeyValueGroupedDataset — SURVEY §1.1 stream
+    * row). Per-user state EVICTS 7 event-time days after the user's last
+    * event (EventTimeTimeout — data-driven, fires only as the watermark
+    * advances; a processing-time timeout would busy-poll empty batches),
+    * honoring the module's unbounded-input/bounded-state invariant
+    * (NoTimeout kept every user's counter forever — review-found). An
+    * evicted user restarts at 0: the documented sliding-lifetime
+    * semantics of an idle-TTL running count.
     */
   def aggState(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("event_id"), col("user_id"), col("value")).as[Ev]
+    events.withWatermark("ts", "1 hour")
+      .select(col("ts"), col("event_id"), col("user_id"), col("value")).as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, evs: Iterator[Ev], state: org.apache.spark.sql.streaming.GroupState[Long]) => {
-          val total = state.getOption.getOrElse(0L) + evs.size
-          state.update(total)
-          Iterator(UserCount(user, total))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = evs.toVector
+            val total = state.getOption.getOrElse(0L) + batch.size
+            state.update(total)
+            state.setTimeoutTimestamp(
+              batch.map(_.ts.getTime).max + 7L * 24 * 3600 * 1000)
+            Iterator(UserCount(user, total))
+          }
         })
       .toDF()
   }
@@ -150,6 +166,11 @@ object StreamingOps {
       .queryName(name).outputMode(mode).start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
+    // detach the result from the memory sink's temp view and DROP it —
+    // each run otherwise pinned its full result in driver memory for the
+    // session lifetime (review-found leak across bench/verify rounds)
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 }
