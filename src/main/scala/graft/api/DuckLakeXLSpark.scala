@@ -374,6 +374,7 @@ class DuckLakeXLSpark(
         case StatementRouter.Vacuum => vacuumLocal()
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
+        case StatementRouter.TableInfo(name) => last = Some(tableInfo(name))
         case StatementRouter.DescribeQuery(sel) => last = Some(describeQuery(sel))
         case StatementRouter.Summarize(name) => last = Some(summarizeTable(name))
         case s: StatementRouter.CreateMacro =>
@@ -558,7 +559,92 @@ class DuckLakeXLSpark(
       resolveTable(name).map(t => state.columnsOf(t.tableId).map(_.columnName).toSeq))
     // DuckDB-only spellings (ASOF JOIN, * EXCLUDE/REPLACE, DISTINCT ON,
     // QUALIFY, list_* lambdas) — the reference's dialect contract
-    StatementRouter.rewriteDialect(q)
+    q = StatementRouter.rewriteDialect(q)
+    // the two set-shape clauses Spark's parser lacks outright: operands
+    // evaluate individually and re-enter the string pipeline as temp views
+    q = rewriteByNameUnion(q)
+    rewritePositionalJoin(q)
+  }
+
+  private var setOpViewN = 0
+
+  /** DuckDB `UNION [ALL|DISTINCT] BY NAME` — Spark SQL has no BY NAME set
+    * operation, so each operand runs on its own and the results combine
+    * with Dataset.unionByName(allowMissingColumns = true): columns match
+    * by NAME, a column missing on one side null-pads, output column order
+    * is first-appearance — DuckDB's semantics. A non-ALL step dedups that
+    * step's result (left-associative, like DuckDB). A trailing ORDER BY /
+    * LIMIT / OFFSET scopes to the whole union, so it is peeled off the
+    * last operand and re-applied over the assembled view. At scale this
+    * is exactly a Spark union: no extra shuffle beyond what the operands
+    * and any dedup already do.
+    */
+  private def rewriteByNameUnion(q: String): String = {
+    val (head, rest) = StatementRouter.splitByNameUnions(q)
+    if (rest.isEmpty) return q
+    val (lastBody, tail) = StatementRouter.splitQueryTail(rest.last._2)
+    val parts = (head +: rest.init.map(_._2) :+ lastBody).map(_.trim)
+    var df = spark.sql(s"SELECT * FROM ( ${parts.head} )")
+    parts.tail.zip(rest.map(_._1)).foreach { case (p, isAll) =>
+      df = df.unionByName(spark.sql(s"SELECT * FROM ( $p )"),
+        allowMissingColumns = true)
+      if (!isAll) df = df.distinct()
+    }
+    setOpViewN += 1
+    val vn = s"__byname_$setOpViewN"
+    df.createOrReplaceTempView(vn)
+    s"SELECT * FROM $vn$tail"
+  }
+
+  /** DuckDB `a POSITIONAL JOIN b` — pair rows by position, padding the
+    * shorter side with NULLs. Spark has no positional join; rows get a
+    * position via RDD zipWithIndex (one extra count job, NO data shuffle
+    * to index) and pair with a full-outer equi-join on the position — the
+    * join's hash shuffle is inherent to positional semantics on a
+    * distributed engine. Row order is the operand's scan order: files in
+    * catalog id order, parquet order within a file, and an operand
+    * subquery's ORDER BY is respected — same contract DuckDB gives.
+    * Operands must be plain sources (table/alias or parenthesized
+    * subquery); anything fancier belongs in a subquery. Chained
+    * positional joins re-scan left-to-right.
+    */
+  private def rewritePositionalJoin(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      StatementRouter.findPositionalJoin(q) match {
+        case None => go = false
+        case Some((lStart, kwStart, rStart)) =>
+          val rEnd = StatementRouter.joinOperandEnd(q, rStart)
+          val lSrc = q.substring(lStart, kwStart).trim
+          val rSrc = q.substring(rStart, rEnd).trim
+          require(lSrc.nonEmpty && rSrc.nonEmpty,
+            s"cannot parse POSITIONAL JOIN operands in: $q")
+          val joined = zipPositional(
+            spark.sql(s"SELECT * FROM $lSrc"), spark.sql(s"SELECT * FROM $rSrc"))
+          setOpViewN += 1
+          val vn = s"__posjoin_$setOpViewN"
+          joined.createOrReplaceTempView(vn)
+          q = q.substring(0, lStart) + " " + vn + " " + q.substring(rEnd)
+      }
+    }
+    q
+  }
+
+  private def zipPositional(l: DataFrame, r: DataFrame): DataFrame = {
+    val dup = l.columns.toSet.intersect(r.columns.toSet)
+    require(dup.isEmpty, "POSITIONAL JOIN requires distinct column names " +
+      s"on the two sides; duplicated: ${dup.mkString(", ")}")
+    def withPos(df: DataFrame, cn: String): DataFrame = {
+      val sch = StructType(df.schema.fields :+ StructField(cn, LongType, nullable = false))
+      spark.createDataFrame(
+        df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }, sch)
+    }
+    val li = withPos(l, "__pos_l")
+    val ri = withPos(r, "__pos_r")
+    li.join(ri, li("__pos_l") === ri("__pos_r"), "full_outer")
+      .sort(coalesce(col("__pos_l"), col("__pos_r")))
+      .drop("__pos_l", "__pos_r")
   }
 
   /** latest snapshot whose snapshot_time <= ts — DuckLake's
@@ -1069,6 +1155,27 @@ class DuckLakeXLSpark(
       StructField("column_name", StringType, false),
       StructField("column_type", StringType, false),
       StructField("null", StringType, false))))
+  }
+
+  /** DuckDB `PRAGMA table_info('t')` — the sqlite-style column listing
+    * (cid, name, type, notnull, dflt_value, pk). Catalog metadata only;
+    * no scan. The lake records no column defaults or key constraints, so
+    * dflt_value is NULL and pk false — exactly what DuckDB reports for a
+    * table created without them.
+    */
+  def tableInfo(name: String): DataFrame = {
+    val t = resolveTable(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val rows = state.columnsOf(t.tableId).zipWithIndex.map { case (c, i) =>
+      Row(i.toLong, c.columnName, c.columnType, !c.nullsAllowed, null, false)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("cid", LongType, false),
+      StructField("name", StringType, false),
+      StructField("type", StringType, false),
+      StructField("notnull", BooleanType, false),
+      StructField("dflt_value", StringType, true),
+      StructField("pk", BooleanType, false))))
   }
 
   /** `SUMMARIZE t` — DuckDB's per-column stats surface: ONE aggregation

@@ -109,6 +109,10 @@ object StatementRouter {
                              comment: Option[String]) extends Stmt
   case object ShowTables extends Stmt
   final case class Describe(name: String) extends Stmt
+  /** `PRAGMA table_info('t')` — DuckDB's sqlite-style column listing
+    * (cid/name/type/notnull/dflt_value/pk), distinct from DESCRIBE's shape
+    */
+  final case class TableInfo(name: String) extends Stmt
 
   /** DuckDB `DESCRIBE SELECT …` — the schema of a query, not a table */
   final case class DescribeQuery(select: String) extends Stmt
@@ -209,6 +213,12 @@ object StatementRouter {
   // ANALYZE (stats are collected at write time), RESET <key>
   private val SessionNoOpRe =
     """(?is)^\s*(?:PRAGMA|CHECKPOINT|ANALYZE|RESET)\b.*$""".r
+  // the PRAGMAs a DuckDB user actually reads output from — routed to the
+  // real surfaces instead of the tolerate-and-ignore catch-all above
+  private val PragmaShowTablesRe =
+    """(?is)^\s*PRAGMA\s+show_tables\s*$""".r
+  private val PragmaTableInfoRe =
+    """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'?([\w\.]+?)'?\s*\)\s*$""".r
   private val SetRe =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w\.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s*$""".r
@@ -577,6 +587,8 @@ object StatementRouter {
     case NoOpRe() => NoOp
     case VacuumRe() => Vacuum
     case SetRe(k, v) => SetOption(k, v)
+    case PragmaShowTablesRe() => ShowTables
+    case PragmaTableInfoRe(name) => TableInfo(qualName(name))
     case SessionNoOpRe() => NoOp
     case MergeRe(name, a1, a2, rest) =>
       val table = qualName(name)
@@ -1368,6 +1380,93 @@ object StatementRouter {
 
   // ------------------------------- DuckDB function-call shape rewrites
 
+  /** end index (exclusive) of the primary expression starting at or after
+    * `from` (skips leading whitespace and unary +/-): number or identifier
+    * chain with `.`-qualified parts, a trailing call `(...)`, and any
+    * `[...]` subscripts; or a parenthesized group. -1 if none parses.
+    * The forward twin of [[primaryStart]].
+    */
+  private def primaryEnd(s: String, from: Int): Int = {
+    var i = from
+    val n = s.length
+    while (i < n && s.charAt(i).isWhitespace) i += 1
+    while (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    if (i >= n) return -1
+    if (s.charAt(i) == '(') {
+      val close = matchingParen(s, i)
+      if (close < 0) return -1
+      i = close + 1
+    } else if (identChar(s.charAt(i))) {
+      var go = true
+      while (go) {
+        while (i < n && identChar(s.charAt(i))) i += 1
+        // decimal / qualified continuation: `1.5`, `t.c`
+        if (i + 1 < n && s.charAt(i) == '.' && identChar(s.charAt(i + 1))) i += 1
+        else go = false
+      }
+      if (i < n && s.charAt(i) == '(') { // call
+        val close = matchingParen(s, i)
+        if (close < 0) return -1
+        i = close + 1
+      }
+    } else return -1
+    // trailing subscripts: a[1], f(x)[2]
+    var more = true
+    while (more && i < n && s.charAt(i) == '[') {
+      val close = matchingBracket(s, i, literalMask(s))
+      if (close < 0) more = false else i = close + 1
+    }
+    i
+  }
+
+  /** DuckDB's power operators: `a ** b` and `a ^ b` -> `power(a, b)`.
+    * Spark parses `^` as bitwise XOR (2 ^ 3 = 1 where DuckDB gives 8.0) —
+    * a silent-wrong-answer trap, so the lake dialect rewrites it; xor
+    * stays reachable as the xor() function in both engines. Rightmost
+    * operator first + full re-scan = right associativity (a ^ b ^ c ->
+    * power(a, power(b, c)), DuckDB's binding). An operand that fails to
+    * parse leaves the statement unchanged for the engine's own error.
+    */
+  private[lake] def rewritePowerOp(s0: String): String = {
+    var s = s0
+    var go = true
+    while (go) {
+      val lit = literalMask(s)
+      // rightmost `**` or `^` outside literals
+      var op = -1
+      var opLen = 0
+      var i = s.length - 1
+      while (i >= 0 && op < 0) {
+        if (!lit(i)) {
+          if (s.charAt(i) == '^') { op = i; opLen = 1 }
+          else if (s.charAt(i) == '*' && i > 0 && s.charAt(i - 1) == '*' &&
+                   !lit(i - 1)) { op = i - 1; opLen = 2 }
+        }
+        i -= 1
+      }
+      if (op < 0) go = false
+      else {
+        var ls = primaryStart(s, op)
+        // a subscripted base (`xs[1] ^ 2`): primaryStart stops at the `[`
+        // group — extend through the base so the whole chain is the operand
+        while (ls > 0 && s.charAt(ls) == '[' &&
+               (identChar(s.charAt(ls - 1)) || s.charAt(ls - 1) == ')' ||
+                s.charAt(ls - 1) == ']' || s.charAt(ls - 1) == '"')) {
+          val prev = primaryStart(s, ls)
+          if (prev < 0 || prev >= ls) return s
+          ls = prev
+        }
+        val re = primaryEnd(s, op + opLen)
+        if (ls < 0 || re < 0) return s
+        val l = s.substring(ls, op).trim
+        val r = s.substring(op + opLen, re).trim
+        if (l.isEmpty || r.isEmpty) return s
+        s = s.substring(0, ls) + s"power($l, $r)" + s.substring(re)
+      }
+    }
+    s
+  }
+
   /** rewrite each top-level call of `name`: `f(args)` returning None
     * leaves that call unchanged (and scanning continues past it)
     */
@@ -1526,6 +1625,114 @@ object StatementRouter {
     -1
   }
 
+  /** split at every top-level `UNION [ALL|DISTINCT] BY NAME`:
+    * (head, Seq[(isAll, operand)]). Spark's parser has no BY NAME set
+    * operation, so the lake assembles these with Dataset.unionByName —
+    * this is the string-side split. Plain UNION/INTERSECT/EXCEPT inside
+    * an operand stays put (Spark parses those natively).
+    */
+  private val ByNameHeadRe =
+    """(?is)^\s*(ALL\s+|DISTINCT\s+)?BY\s+NAME\b(.*)$""".r
+  private[graft] def splitByNameUnions(s: String): (String, Seq[(Boolean, String)]) = {
+    var from = 0
+    while (true) {
+      val at = firstTopLevelKeyword(s.substring(from), Set("UNION"))
+      if (at < 0) return (s, Nil)
+      val kwStart = from + at
+      s.substring(kwStart + "UNION".length) match {
+        case ByNameHeadRe(mod, rest) =>
+          val isAll = mod != null && mod.trim.equalsIgnoreCase("ALL")
+          val (h2, tail) = splitByNameUnions(rest)
+          return (s.substring(0, kwStart), (isAll, h2) +: tail)
+        case _ => from = kwStart + "UNION".length
+      }
+    }
+    (s, Nil) // unreachable
+  }
+
+  /** peel a trailing top-level ORDER BY / LIMIT / OFFSET clause group:
+    * (body, tail-with-leading-space-or-empty). On a BY NAME union the
+    * tail scopes to the whole union, not the last operand.
+    */
+  private[graft] def splitQueryTail(s: String): (String, String) = {
+    val cut = firstTopLevelKeyword(s, Set("ORDER", "LIMIT", "OFFSET"))
+    if (cut < 0) (s, "")
+    else (s.substring(0, cut).trim, " " + s.substring(cut).trim)
+  }
+
+  /** first top-level `POSITIONAL JOIN` outside literals:
+    * Some((leftSourceStart, kwStart, rightStart)) where leftSourceStart is
+    * the index just after the nearest preceding top-level FROM / JOIN /
+    * comma boundary (the operand a join binds to), kwStart the keyword
+    * start, rightStart the index after JOIN.
+    */
+  private[graft] def findPositionalJoin(s: String): Option[(Int, Int, Int)] = {
+    val at = firstTopLevelKeyword(s, Set("POSITIONAL"))
+    if (at < 0) return None
+    val afterKw = s.substring(at + "POSITIONAL".length)
+    val m = """(?is)^\s*JOIN\b""".r.findPrefixMatchOf(afterKw)
+    if (m.isEmpty) return None
+    val rightStart = at + "POSITIONAL".length + m.get.end
+    // left boundary: the last top-level FROM / JOIN keyword or ',' before
+    // the operator (a join operand never spans those)
+    val head = s.substring(0, at)
+    var bound = -1
+    var scan = 0
+    var go = true
+    while (go) {
+      val sub = head.substring(scan)
+      val hit = firstTopLevelKeyword(sub, Set("FROM", "JOIN"))
+      if (hit < 0) go = false
+      else {
+        val kwLen = if (sub.substring(hit).toUpperCase.startsWith("FROM")) 4 else 4
+        bound = scan + hit + kwLen
+        scan = bound
+      }
+    }
+    var i = bound.max(0)
+    val lit = literalMask(head)
+    var depth = 0
+    var j = i
+    while (j < head.length) {
+      if (!lit(j)) head.charAt(j) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => i = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    Some((i.max(bound).max(0), at, rightStart))
+  }
+
+  private val RightEndKws = Set("WHERE", "GROUP", "HAVING", "QUALIFY",
+    "WINDOW", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+    "POSITIONAL", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "ASOF", "ANTI", "SEMI", "ON", "USING")
+
+  /** end (exclusive) of a join operand starting at `from`: the first
+    * top-level clause/join keyword or comma, or end-of-string
+    */
+  private[graft] def joinOperandEnd(s: String, from: Int): Int = {
+    val sub = s.substring(from)
+    val kw = firstTopLevelKeyword(sub, RightEndKws)
+    val lit = literalMask(sub)
+    var depth = 0
+    var comma = -1
+    var i = 0
+    while (i < sub.length && comma < 0) {
+      if (!lit(i)) sub.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => comma = i
+        case _ =>
+      }
+      i += 1
+    }
+    val cands = Seq(kw, comma).filter(_ >= 0)
+    from + (if (cands.isEmpty) sub.length else cands.min)
+  }
+
   /** DuckDB FROM-first syntax: bare `FROM t …` == `SELECT * FROM t …`;
     * `FROM t SELECT cols …` pulls the SELECT clause back in front. The
     * select list runs to the first top-level clause keyword; the tail
@@ -1565,6 +1772,8 @@ object StatementRouter {
     // DuckDB integer division `a // b` -> Spark `a div b` (`//` is not a
     // comment marker in either dialect, so the bare token is unambiguous)
     q = mapOutsideLiterals(q)(_.replace("//", " div "))
+    // DuckDB power `a ** b` / `a ^ b` -> power(a, b); Spark's `^` is XOR
+    q = rewritePowerOp(q)
     // bare VARCHAR in a SELECT-position cast (x::VARCHAR, CAST(x AS
     // VARCHAR)) -> STRING: Spark's VARCHAR demands a length, DuckDB's is
     // length-free. VARCHAR(n) keeps its length (Spark accepts it).

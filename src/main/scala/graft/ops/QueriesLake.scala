@@ -454,6 +454,48 @@ object QueriesLake {
       lake.sql("CREATE TABLE d7s AS SELECT id, sum(COLUMNS('q[12]')) FROM d7 GROUP BY id")
       lake.sql("SELECT id, COLUMNS('sum') FROM d7s ORDER BY id")
     },
+    // r8 wave 2: UNION ALL BY NAME (columns matched by NAME, missing side
+    // null-padded, trailing ORDER BY scoping to the whole union) + the
+    // DuckDB power operators `**` and `^` (Spark parses `^` as XOR —
+    // 2 ^ 3 would silently return 1 without the rewrite)
+    "q_lake_dialect9" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d9a(id INTEGER, x INTEGER);
+          |INSERT INTO d9a VALUES (1, 2), (2, 3);
+          |CREATE TABLE d9b(y INTEGER, id INTEGER);
+          |INSERT INTO d9b VALUES (7, 5), (8, 6)""".stripMargin)
+      lake.sql(
+        """SELECT id, x, x ** 2 AS pw FROM d9a
+          |UNION ALL BY NAME
+          |SELECT id, y, 2 ^ y AS pw FROM d9b
+          |ORDER BY id""".stripMargin)
+    },
+    // r8 wave 2: POSITIONAL JOIN — row-by-position pairing, shorter side
+    // null-padded; operands are ORDER BY'd subqueries so the pairing is
+    // deterministic on a distributed engine too
+    "q_lake_dialect10" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE pa(id INTEGER, v VARCHAR);
+          |INSERT INTO pa VALUES (1, 'a'), (2, 'b'), (3, 'c');
+          |CREATE TABLE pb(w VARCHAR);
+          |INSERT INTO pb VALUES ('x'), ('y')""".stripMargin)
+      lake.sql(
+        """SELECT id, v, w
+          |FROM (SELECT * FROM pa ORDER BY id) POSITIONAL JOIN
+          |     (SELECT * FROM pb ORDER BY w)
+          |ORDER BY id""".stripMargin)
+    },
+    // r8 wave 2: the PRAGMAs a DuckDB user reads output from — show_tables
+    // lists, table_info('t') gives the sqlite-style column rows
+    "q_lake_pragma" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE pr(id INTEGER, v VARCHAR);
+          |PRAGMA show_tables;
+          |PRAGMA table_info('pr')""".stripMargin)
+    },
     // r8: SIMILAR TO (anchored regex) + generate_series in both positions,
     // composed with the comprehension/rename rewrites they ride on
     "q_lake_dialect8" -> { (s, _) =>
@@ -631,6 +673,20 @@ object QueriesLake {
        "t(id, quarter, amount) ORDER BY id, quarter"),
     "q_lake_dialect8" ->
       ("SELECT * FROM (VALUES (1,'abc',1,'1'),(2,'azc',1,'1|2'),(3,'ab',0,'1|2|3')) " +
-       "t(id, v, m, gs) ORDER BY id")
+       "t(id, v, m, gs) ORDER BY id"),
+    "q_lake_dialect9" ->
+      ("SELECT id, CAST(x AS INTEGER) AS x, CAST(pw AS DOUBLE) AS pw, " +
+       "CAST(y AS INTEGER) AS y FROM (VALUES " +
+       "(1, 2, 4.0, NULL), (2, 3, 9.0, NULL), " +
+       "(5, NULL, 128.0, 7), (6, NULL, 256.0, 8)) t(id, x, pw, y) ORDER BY id"),
+    "q_lake_dialect10" ->
+      ("SELECT * FROM (VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', NULL)) " +
+       "t(id, v, w) ORDER BY id"),
+    "q_lake_pragma" ->
+      ("SELECT CAST(cid AS BIGINT) AS cid, name, type, \"notnull\", " +
+       "CAST(dflt_value AS VARCHAR) AS dflt_value, pk FROM (VALUES " +
+       "(0, 'id', 'INTEGER', false, NULL, false), " +
+       "(1, 'v', 'VARCHAR', false, NULL, false)) " +
+       "t(cid, name, type, \"notnull\", dflt_value, pk) ORDER BY cid")
   )
 }

@@ -363,6 +363,59 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(StatementRouter.expandColumns(plain, co) == plain)
   }
 
+  test("r8 wave 2: power operators ** and ^ become power()") {
+    assert(rewriteDialect("SELECT 2 ** 3 AS x") == "SELECT power(2, 3) AS x")
+    assert(rewriteDialect("SELECT a ^ 2 FROM t") == "SELECT power(a, 2) FROM t")
+    // right-associative chain, DuckDB's binding
+    assert(rewriteDialect("SELECT a ^ b ^ c FROM t") ==
+      "SELECT power(a, power(b, c)) FROM t")
+    // call + qualified + bracketed operands
+    assert(rewriteDialect("SELECT f(x) ** t.c AS x FROM t") ==
+      "SELECT power(f(x), t.c) AS x FROM t")
+    assert(rewriteDialect("SELECT xs[1] ^ 2 FROM t") ==
+      "SELECT power(element_at(xs, 1), 2) FROM t")
+    // a caret inside a string literal (regex anchor) survives verbatim
+    val lit = "SELECT v FROM t WHERE v RLIKE '^ab$'"
+    assert(rewriteDialect(lit) == lit)
+    // adjacent stars that are NOT a power operator stay put
+    val stars = "SELECT count(*) * 2 FROM t"
+    assert(rewriteDialect(stars) == stars)
+  }
+
+  test("r8 wave 2: BY NAME union split and positional-join spans") {
+    val (h, rest) = StatementRouter.splitByNameUnions(
+      "SELECT a FROM t UNION ALL BY NAME SELECT b FROM u UNION BY NAME SELECT c FROM v")
+    assert(h.trim == "SELECT a FROM t")
+    assert(rest.map(_._1) == Seq(true, false))
+    assert(rest.map(_._2.trim) == Seq("SELECT b FROM u", "SELECT c FROM v"))
+    // plain UNION is untouched; BY NAME inside a subquery (depth > 0) too
+    assert(StatementRouter.splitByNameUnions(
+      "SELECT a FROM t UNION SELECT b FROM u")._2.isEmpty)
+    assert(StatementRouter.splitByNameUnions(
+      "SELECT * FROM (SELECT 1 UNION ALL BY NAME SELECT 2) q")._2.isEmpty)
+    // tail clause peel
+    assert(StatementRouter.splitQueryTail("SELECT x FROM u ORDER BY x LIMIT 2") ==
+      (("SELECT x FROM u", " ORDER BY x LIMIT 2")))
+    assert(StatementRouter.splitQueryTail("SELECT x FROM u") == (("SELECT x FROM u", "")))
+    // positional-join span: left operand starts after FROM, right runs to
+    // the next clause keyword
+    val q = "SELECT id, w FROM pa POSITIONAL JOIN pb WHERE id > 0"
+    val Some((ls, ks, rs)) = StatementRouter.findPositionalJoin(q)
+    assert(q.substring(ls, ks).trim == "pa")
+    assert(q.substring(rs, StatementRouter.joinOperandEnd(q, rs)).trim == "pb")
+    assert(StatementRouter.findPositionalJoin("SELECT 1 FROM t").isEmpty)
+  }
+
+  test("r8 wave 2: PRAGMA show_tables / table_info route to real output") {
+    assert(StatementRouter.classify("PRAGMA show_tables") == StatementRouter.ShowTables)
+    assert(StatementRouter.classify("PRAGMA table_info('tt')") ==
+      StatementRouter.TableInfo("tt"))
+    assert(StatementRouter.classify("PRAGMA table_info(s.tt)") ==
+      StatementRouter.TableInfo("s.tt"))
+    // every other PRAGMA stays a tolerated no-op
+    assert(StatementRouter.classify("PRAGMA memory_limit='1GB'") == StatementRouter.NoOp)
+  }
+
   test("r7b: string_split literal separator is regex-quoted; epoch maps") {
     assert(rewriteDialect("SELECT string_split(s, '|') FROM t") ==
       "SELECT split(s, '\\\\Q|\\\\E') FROM t")
