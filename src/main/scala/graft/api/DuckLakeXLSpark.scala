@@ -367,14 +367,18 @@ class DuckLakeXLSpark(
         case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
         case StatementRouter.SetOption(k, v) =>
           // TimeZone is the one DuckDB session option with a direct Spark
-          // analogue; others configure an engine this build does not run
+          // analogue; others configure an engine this build does not run —
+          // but every SET is recorded so current_setting('k') reads back
+          val cleaned = v.trim.stripPrefix("'").stripSuffix("'")
+          sessionOptions(k.toLowerCase) = cleaned
           if (k.equalsIgnoreCase("timezone"))
-            spark.conf.set("spark.sql.session.timeZone",
-              v.trim.stripPrefix("'").stripSuffix("'"))
+            spark.conf.set("spark.sql.session.timeZone", cleaned)
         case StatementRouter.Vacuum => vacuumLocal()
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
         case StatementRouter.TableInfo(name) => last = Some(tableInfo(name))
+        case StatementRouter.DatabaseSize => last = Some(databaseSize())
+        case StatementRouter.VersionInfo => last = Some(versionInfo())
         case StatementRouter.DescribeQuery(sel) => last = Some(describeQuery(sel))
         case StatementRouter.Summarize(name) => last = Some(summarizeTable(name))
         case s: StatementRouter.CreateMacro =>
@@ -517,7 +521,12 @@ class DuckLakeXLSpark(
     */
   private def dexpr(e: String): Column = expr(StatementRouter.rewriteDialect(e))
 
-  private[graft] def rewriteSelect(q0: String): String = {
+  private[graft] def rewriteSelect(q00: String): String = {
+    // direct file queries first — their paths sit inside quotes, which
+    // every later stage (mapOutsideQuotes, the dialect layer) skips
+    val q0 = StatementRouter.rewriteSessionReadouts(
+      StatementRouter.rewriteFileReads(q00)(registerFileRead),
+      s"$LibraryVersion $SourceId", currentSetting)
     // timestamp travel first: the ts literal sits INSIDE single quotes —
     // here the quoted text is part of the travel syntax, not a user
     // literal, so these two run on the whole string. A QUALIFIED name
@@ -567,6 +576,47 @@ class DuckLakeXLSpark(
   }
 
   private var setOpViewN = 0
+
+  /** backend for [[StatementRouter.rewriteFileReads]]: one temp view per
+    * distinct (format, paths, options) source. CSV mirrors DuckDB's
+    * sniffer defaults (header + type inference); the option names DuckDB
+    * users pass map onto the Spark reader, the rest are engine-tuning
+    * knobs with no Spark analogue and tolerate silently. The view wraps
+    * `spark.read.<fmt>` directly, so column pruning / filter pushdown /
+    * distributed scans behave exactly as for catalog tables — at 100 TB
+    * a path-queried parquet directory scans identically to a lake table.
+    */
+  private val fileViewCache = scala.collection.mutable.Map[String, String]()
+  private def registerFileRead(fmt: String, paths: Seq[String],
+                               opts: Map[String, String]): String = {
+    val key = s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}"
+    fileViewCache.getOrElseUpdate(key, {
+      def bool(v: String) = v.trim.equalsIgnoreCase("true") || v.trim == "1"
+      // DuckDB interprets backslash escapes in delim ('\t' is a tab)
+      def unesc(s: String) = s.replace("\\t", "\t").replace("\\n", "\n")
+      val df = fmt match {
+        case "parquet" => spark.read.parquet(paths: _*)
+        case "csv" =>
+          var r = spark.read
+            .option("header", opts.get("header").forall(bool).toString)
+            .option("inferSchema",
+              (!opts.get("all_varchar").exists(bool)).toString)
+          opts.get("delim").orElse(opts.get("sep"))
+            .foreach(d => r = r.option("sep", unesc(d)))
+          opts.get("quote").foreach(v => r = r.option("quote", v))
+          opts.get("escape").foreach(v => r = r.option("escape", v))
+          opts.get("nullstr").foreach(v => r = r.option("nullValue", v))
+          opts.get("dateformat").foreach(v => r = r.option("dateFormat", v))
+          opts.get("timestampformat").foreach(v => r = r.option("timestampFormat", v))
+          r.csv(paths: _*)
+        case _ => spark.read.json(paths: _*)
+      }
+      setOpViewN += 1
+      val vn = s"__file_$setOpViewN"
+      df.createOrReplaceTempView(vn)
+      vn
+    })
+  }
 
   /** DuckDB `UNION [ALL|DISTINCT] BY NAME` — Spark SQL has no BY NAME set
     * operation, so each operand runs on its own and the results combine
@@ -1176,6 +1226,75 @@ class DuckLakeXLSpark(
       StructField("notnull", BooleanType, false),
       StructField("dflt_value", StringType, true),
       StructField("pk", BooleanType, false))))
+  }
+
+  /** graft's engine identity, reported by `PRAGMA version` / `version()`
+    * in DuckDB's two-column shape
+    */
+  private val LibraryVersion = "v0.9.0-graft"
+  private val SourceId = "spark-4.1.2"
+
+  /** DuckDB session options SET through sql(); `current_setting('k')`
+    * reads them back. Keys with no stored value fall back to the live
+    * engine facts a DuckDB user expects the readout to reflect.
+    */
+  private val sessionOptions = scala.collection.mutable.Map[String, String]()
+  private def currentSetting(key: String): Option[String] = {
+    val k = key.toLowerCase
+    sessionOptions.get(k).orElse(k match {
+      case "timezone" => Some(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+      case "threads" => Some(spark.sparkContext.defaultParallelism.toString)
+      case "memory_limit" =>
+        Some(s"${Runtime.getRuntime.maxMemory() / (1024 * 1024)}MB")
+      case _ => None
+    })
+  }
+
+  /** `PRAGMA version` — DuckDB's library_version/source_id readout */
+  def versionInfo(): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(LibraryVersion, SourceId)),
+      StructType(Seq(
+        StructField("library_version", StringType, false),
+        StructField("source_id", StringType, false))))
+
+  /** `PRAGMA database_size` — DuckDB's storage/memory readout, sized from
+    * the lake's parquet data directory (metadata walk only, no scan). The
+    * block columns report the 256 KiB DuckDB default so scripts that do
+    * arithmetic on them keep working; wal_size is zero because every push
+    * IS the checkpoint in this design.
+    */
+  def databaseSize(): DataFrame = {
+    def dirBytes(p: Path): Long =
+      if (!Files.exists(p)) 0L
+      else {
+        val s = Files.walk(p)
+        try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+        finally s.close()
+      }
+    def human(b: Long): String =
+      if (b >= (1L << 30)) f"${b / (1024.0 * 1024 * 1024)}%.1f GiB"
+      else if (b >= (1L << 20)) f"${b / (1024.0 * 1024)}%.1f MiB"
+      else if (b >= (1L << 10)) f"${b / 1024.0}%.1f KiB"
+      else s"$b bytes"
+    val bytes = dirBytes(Paths.get(dataPath))
+    val blockSize = 262144L
+    val blocks = (bytes + blockSize - 1) / blockSize
+    val rt = Runtime.getRuntime
+    spark.createDataFrame(
+      java.util.List.of(Row(lakeName, human(bytes), blockSize, blocks, blocks,
+        0L, "0 bytes", human(rt.totalMemory() - rt.freeMemory()),
+        human(rt.maxMemory()))),
+      StructType(Seq(
+        StructField("database_name", StringType, false),
+        StructField("database_size", StringType, false),
+        StructField("block_size", LongType, false),
+        StructField("total_blocks", LongType, false),
+        StructField("used_blocks", LongType, false),
+        StructField("free_blocks", LongType, false),
+        StructField("wal_size", StringType, false),
+        StructField("memory_usage", StringType, false),
+        StructField("memory_limit", StringType, false))))
   }
 
   /** `SUMMARIZE t` — DuckDB's per-column stats surface: ONE aggregation

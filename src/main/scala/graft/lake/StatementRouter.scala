@@ -113,6 +113,12 @@ object StatementRouter {
     * (cid/name/type/notnull/dflt_value/pk), distinct from DESCRIBE's shape
     */
   final case class TableInfo(name: String) extends Stmt
+  /** `PRAGMA database_size` — storage/memory footprint readout (DuckDB's
+    * column shape, sized from the lake's data directory)
+    */
+  case object DatabaseSize extends Stmt
+  /** `PRAGMA version` — library_version / source_id readout */
+  case object VersionInfo extends Stmt
 
   /** DuckDB `DESCRIBE SELECT …` — the schema of a query, not a table */
   final case class DescribeQuery(select: String) extends Stmt
@@ -219,6 +225,10 @@ object StatementRouter {
     """(?is)^\s*PRAGMA\s+show_tables\s*$""".r
   private val PragmaTableInfoRe =
     """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'?([\w\.]+?)'?\s*\)\s*$""".r
+  private val PragmaDatabaseSizeRe =
+    """(?is)^\s*PRAGMA\s+database_size\s*$""".r
+  private val PragmaVersionRe =
+    """(?is)^\s*PRAGMA\s+version\s*$""".r
   private val SetRe =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w\.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s*$""".r
@@ -589,6 +599,8 @@ object StatementRouter {
     case SetRe(k, v) => SetOption(k, v)
     case PragmaShowTablesRe() => ShowTables
     case PragmaTableInfoRe(name) => TableInfo(qualName(name))
+    case PragmaDatabaseSizeRe() => DatabaseSize
+    case PragmaVersionRe() => VersionInfo
     case SessionNoOpRe() => NoOp
     case MergeRe(name, a1, a2, rest) =>
       val table = qualName(name)
@@ -1503,6 +1515,105 @@ object StatementRouter {
     }
     s
   }
+
+  /** Direct file queries — DuckDB's pass-through engine makes
+    * `SELECT * FROM 'data/x.parquet'` and the `read_parquet` /
+    * `read_csv[_auto]` / `read_json[_auto]` table functions first-hour
+    * spellings (the reference forwards them verbatim, ducklakexl.py:394;
+    * SURVEY §2.B names read_csv). Spark SQL has no path-in-FROM syntax,
+    * so each file source is lifted into a temp view by the caller's
+    * `register(format, paths, options)` callback and the call site is
+    * replaced with the returned view name. Handles list-of-path literals
+    * (`read_parquet(['a','b'])`) and named reader options (`header=true`,
+    * `delim='|'`, `:=` spelling too); non-literal arguments leave the
+    * call untouched (it will fail resolution loudly rather than misread).
+    * Registration keeps `spark.read.<fmt>` as the source, so pushdown /
+    * pruning / distributed scans work exactly as for catalog tables.
+    */
+  def rewriteFileReads(q0: String)(
+      register: (String, Seq[String], Map[String, String]) => String): String = {
+    var q = q0
+    val fns = Seq(
+      "read_parquet" -> "parquet", "parquet_scan" -> "parquet",
+      "read_csv_auto" -> "csv", "read_csv" -> "csv",
+      "read_json_auto" -> "json", "read_json" -> "json",
+      "read_ndjson_auto" -> "json", "read_ndjson" -> "json")
+    for ((fn, fmt) <- fns) q = rewriteCalls(q, fn) { args =>
+      val paths = mutable.ArrayBuffer[String]()
+      val opts = mutable.Map[String, String]()
+      var ok = args.nonEmpty
+      args.foreach { a0 =>
+        val a = a0.trim
+        quotedLiteral(a) match {
+          case Some(p) => paths += p
+          case None =>
+            if (a.startsWith("[") && a.endsWith("]")) {
+              splitTopCommas(a.substring(1, a.length - 1)).foreach { e =>
+                quotedLiteral(e) match {
+                  case Some(p) => paths += p
+                  case None    => ok = false
+                }
+              }
+            } else {
+              val eq = a.indexOf('=')
+              if (eq > 0) {
+                // `header=true` or `header := true` named-parameter forms
+                val k = a.substring(0, eq).trim.stripSuffix(":").trim.toLowerCase
+                val v = a.substring(eq + 1).stripPrefix("=").trim
+                if (k.nonEmpty) opts(k) = quotedLiteral(v).getOrElse(v)
+                else ok = false
+              } else ok = false
+            }
+        }
+      }
+      if (ok && paths.nonEmpty) Some(register(fmt, paths.toSeq, opts.toMap))
+      else None
+    }
+    // `FROM 'x.parquet'` / `JOIN "x.csv"` string-literal tables: format
+    // derives from the extension, which also disambiguates from SQL's
+    // other FROM-inside-expression forms (EXTRACT(m FROM '…'), TRIM).
+    FileFromRe.replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement {
+      val path = m.group(3)
+      val ext = m.group(4).toLowerCase
+      val fmt = ext match {
+        case "parquet" => "parquet"
+        case "csv" | "tsv" => "csv"
+        case _ => "json"
+      }
+      val opts = if (ext == "tsv") Map("delim" -> "\t") else Map.empty[String, String]
+      m.group(1) + " " + register(fmt, Seq(path), opts)
+    })
+  }
+
+  /** session-introspection scalars a DuckDB user pokes early:
+    * `version()` -> the engine version literal; `current_setting('k')` ->
+    * the session's stored value (numeric settings emit unquoted so
+    * `current_setting('threads') * 2` stays arithmetic). Unknown keys
+    * leave the call in place to fail resolution loudly.
+    */
+  def rewriteSessionReadouts(q0: String, version: String,
+                             setting: String => Option[String]): String = {
+    var q = rewriteCalls(q0, "version") { args =>
+      if (args.isEmpty || (args.lengthIs == 1 && args.head.trim.isEmpty))
+        Some("'" + version.replace("'", "''") + "'")
+      else None
+    }
+    q = rewriteCalls(q, "current_setting") {
+      case Seq(k) => quotedLiteral(k).flatMap(setting).map { v =>
+        if (v.matches("""-?\d+(\.\d+)?""")) v
+        else "'" + v.replace("'", "''") + "'"
+      }
+      case _ => None
+    }
+    q
+  }
+
+  /** FROM/JOIN followed by a quoted path with a data-file extension
+    * (globs allowed; matching open/close quote via backreference)
+    */
+  private val FileFromRe =
+    ("(?i)\\b(FROM|JOIN)\\s+(['\"])([^'\"]+?\\." +
+     "(parquet|csv|tsv|json|jsonl|ndjson)(?:\\.gz)?)\\2").r
 
   private def quotedLiteral(e: String): Option[String] = {
     val t = e.trim

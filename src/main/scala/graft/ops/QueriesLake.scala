@@ -487,13 +487,43 @@ object QueriesLake {
           |     (SELECT * FROM pb ORDER BY w)
           |ORDER BY id""".stripMargin)
     },
+    // r9: direct file queries — DuckDB's first-hour spellings where a
+    // quoted path IS the table (`FROM 'x.parquet'`) plus the
+    // read_csv/read_json table functions (r8 verdict's last missing
+    // high-traffic surface; ducklakexl.py:394 pass-through). All three
+    // formats in one statement, joined against each other; the parquet
+    // side is the driver's own nation fixture so the oracle cross-checks
+    // real file contents, not just literals.
+    "q_lake_dialect11" -> { (s, dir) =>
+      val lake = freshLake(s)
+      val tmp = Files.createTempDirectory("graft_fileq")
+      Files.writeString(tmp.resolve("pts.csv"),
+        "id,label\n1,alpha\n2,beta\n3,gamma\n")
+      Files.writeString(tmp.resolve("tags.jsonl"),
+        "{\"id\": 1, \"tag\": \"x\"}\n{\"id\": 2, \"tag\": \"y\"}\n")
+      lake.sql(
+        s"""SELECT c.id, n.n_name AS nation, c.label, j.tag
+           |FROM '$dir/nation.parquet' n
+           |JOIN read_csv('${tmp.resolve("pts.csv")}', header=true) c
+           |  ON n.n_nationkey = c.id
+           |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
+           |ORDER BY c.id""".stripMargin)
+    },
     // r8 wave 2: the PRAGMAs a DuckDB user reads output from — show_tables
     // lists, table_info('t') gives the sqlite-style column rows
     "q_lake_pragma" -> { (s, _) =>
       val lake = freshLake(s)
+      // r9: the readout long tail rides along mid-script (database_size,
+      // version, version()/current_setting scalars) — each must execute
+      // without error; their VALUES are asserted in DuckLakeXLSparkSpec,
+      // the driver-checked output stays the table_info rows
       lake.sql(
         """CREATE TABLE pr(id INTEGER, v VARCHAR);
           |PRAGMA show_tables;
+          |PRAGMA database_size;
+          |PRAGMA version;
+          |SET memory_limit = '8GB';
+          |SELECT version() AS v, current_setting('memory_limit') AS ml;
           |PRAGMA table_info('pr')""".stripMargin)
     },
     // r8: SIMILAR TO (anchored regex) + generate_series in both positions,
@@ -682,6 +712,13 @@ object QueriesLake {
     "q_lake_dialect10" ->
       ("SELECT * FROM (VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', NULL)) " +
        "t(id, v, w) ORDER BY id"),
+    "q_lake_dialect11" ->
+      ("SELECT c.id, n.n_name AS nation, c.label, j.tag " +
+       "FROM nation n " +
+       "JOIN (VALUES (1,'alpha'),(2,'beta'),(3,'gamma')) c(id, label) " +
+       "  ON n.n_nationkey = c.id " +
+       "LEFT JOIN (VALUES (1,'x'),(2,'y')) j(id, tag) ON j.id = c.id " +
+       "ORDER BY c.id"),
     "q_lake_pragma" ->
       ("SELECT CAST(cid AS BIGINT) AS cid, name, type, \"notnull\", " +
        "CAST(dflt_value AS VARCHAR) AS dflt_value, pk FROM (VALUES " +

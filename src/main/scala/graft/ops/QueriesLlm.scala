@@ -118,6 +118,15 @@ object QueriesLlm {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "join", "hash", "row")
 
+  /** tf-idf's broadcast gate (r8 verdict item 4): vocabularies at or under
+    * this many distinct terms broadcast (~10^7 terms ≈ 100 MB of strings —
+    * comfortably under a 1 GiB executor broadcast budget); anything larger
+    * shuffle-joins. Overridable for tests via the system property.
+    */
+  private[graft] def TfidfBroadcastMaxTerms: Long =
+    sys.props.get("graft.tfidf.broadcast.max.terms").map(_.toLong)
+      .getOrElse(10000000L)
+
   /** modulus of the minwise universal-hash family: 2^31 - 1 (Mersenne
     * prime). h_i(x) = (a_i * x + b_i) mod P over the 32-bit md5 prefix —
     * ONE md5 per shingle instead of the r2 shape's numHashes md5s per
@@ -1458,17 +1467,27 @@ object QueriesLlm {
       // per-doc salient terms: tf over the doc, document frequency over
       // the corpus, score = tf/df (monotone in tf·idf at fixed N, and —
       // unlike ln() — IEEE-exact division that both engines compute
-      // bit-identically). df is vocabulary-sized (Heaps' law: ~10^7 terms
-      // at 100 TB ≈ 100 MB), so it broadcast-joins against the tf stream;
-      // the top-k window partitions by doc — no skew, no global sort.
+      // bit-identically). df is vocabulary-sized: Heaps' law estimates
+      // ~10^7 terms (≈100 MB, broadcastable) but a real 100 TB web
+      // corpus's term set (URLs, typos, code tokens) can land 10^8-10^9 —
+      // past any broadcast — and hapax terms CANNOT be df-pruned (df=1
+      // ranks FIRST under tf/df). So the join shape is MEASURED, not
+      // assumed (r8 verdict item 4): a one-pass approx vocabulary count
+      // gates the hint; over the threshold the join degrades to a plain
+      // shuffle join instead of OOMing the driver. The top-k window
+      // partitions by doc — no skew, no global sort.
       val stop = typedLit(Stopwords)
       val words = Tables.t(s, d, "documents")
         .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("word"))
         .filter(!array_contains(stop, col("word")) && length(col("word")) > 0)
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val vocabApprox =
+        words.agg(approx_count_distinct("word")).head.getLong(0)
+      val dftJoinSide =
+        if (vocabApprox <= TfidfBroadcastMaxTerms) broadcast(dft) else dft
       tf.filter(col("doc_id") < 20)
-        .join(broadcast(dft), "word")
+        .join(dftJoinSide, "word")
         .withColumn("score", col("tf").cast(DoubleType) / col("df"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)))

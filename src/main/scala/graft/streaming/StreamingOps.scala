@@ -139,22 +139,44 @@ object StreamingOps {
   // ---------------------------------------------------- file-replay harness
   private val memId = new AtomicLong(0)
 
-  /** replay the events parquet as a stream (explicit schema; ts arrives as
-    * parquet TIMESTAMP(NANOS) -> read LongType, integer-narrow to micros —
-    * same rule as the batch side, graft.ops.Tables)
+  /** replay the events parquet as a stream. The fixture's `ts` physical
+    * type has changed across driver generations — TIMESTAMP(NANOS) first
+    * (which Spark surfaces as LongType under nanosAsLong), TIMESTAMP(MICROS)
+    * now (surfaced as TimestampNTZ) — so, exactly like the batch side
+    * (graft.ops.Tables.ensure), PROBE the file schema and adapt instead of
+    * assuming a unit. Hardcoding the nanos shape once divided every micros
+    * timestamp by 1000 and collapsed the 30-day corpus into 43 minutes.
+    *
+    * Multi-file contract: `maxFilesPerTrigger` is deliberately UNSET, so
+    * the file source admits every available file into the FIRST
+    * micro-batch — replay == batch holds for any number of fixture files
+    * in any path/mtime order, because no watermark advances between
+    * files. (Were replay ever made incremental, files would have to be
+    * admitted in min(ts) order or late files would be dropped as the
+    * watermark advances — StreamingSpec pins the two-file case.)
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // tolerate legacy NANOS fixtures in the probe itself (no-op for micros)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val glob = s"$dir/even*.parquet"
     // glob (not a bare file path): the file stream source requires a
     // directory or glob basePath. Watermarks require TIMESTAMP (with local
     // tz), not NTZ — the session tz is pinned UTC, so the conversion is
     // value-preserving; query outputs cast window bounds back to NTZ.
-    spark.readStream.schema(schema).parquet(s"$dir/even*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(glob).schema
+    val tsIsLong =
+      fileSchema.fields.exists(f => f.name == "ts" && f.dataType == LongType)
+    if (tsIsLong) {
+      // legacy TIMESTAMP(NANOS): read epoch-nanos Long, integer-narrow to
+      // micros (`div 1000` stays in Long arithmetic — same rule as batch)
+      spark.readStream.schema(fileSchema).parquet(glob)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      // TIMESTAMP(MICROS): declare the schema the file actually has and
+      // only convert NTZ->TIMESTAMP for the watermark
+      spark.readStream.schema(fileSchema).parquet(glob)
+        .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** run a streaming transform over the full replay into a memory sink and

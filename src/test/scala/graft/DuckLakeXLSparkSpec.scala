@@ -341,4 +341,33 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     lake.sql("DROP TABLE IF EXISTS d") // no throw
     assertThrows[IllegalArgumentException](lake.sql("DROP TABLE d"))
   }
+
+  test("r9: PRAGMA database_size / version and the session readout scalars") {
+    val (lake, _, _) = freshLake()
+    lake.sql("CREATE TABLE pz(id INTEGER, v VARCHAR); INSERT INTO pz VALUES (1,'a'),(2,'b')")
+    val ds = lake.sql("PRAGMA database_size").collect()
+    assert(ds.length == 1)
+    val dsRow = ds.head
+    assert(dsRow.getAs[String]("database_name") == "my_ducklake")
+    // the table's parquet file exists on disk, so the size readout is real
+    assert(dsRow.getAs[String]("database_size") != "0 bytes")
+    assert(dsRow.getAs[Long]("block_size") == 262144L)
+    val ver = lake.sql("PRAGMA version").collect().head
+    assert(ver.getAs[String]("library_version").startsWith("v"))
+    val rd = lake.sql(
+      """SET memory_limit = '4GB';
+        |SET threads = 16;
+        |SELECT version() AS v, current_setting('memory_limit') AS ml,
+        |       current_setting('threads') * 2 AS t2""".stripMargin).collect().head
+    assert(rd.getAs[String]("v").contains("graft"))
+    assert(rd.getAs[String]("ml") == "4GB")
+    // numeric settings emit unquoted -> arithmetic works on the readout
+    assert(rd.getAs[Number]("t2").longValue() == 32L)
+    // un-SET keys fall back to live engine facts; unknown keys stay
+    // unresolved and fail loudly rather than inventing a value
+    assert(lake.sql("SELECT current_setting('timezone') AS tz")
+      .collect().head.getAs[String]("tz").nonEmpty)
+    assertThrows[Exception](
+      lake.sql("SELECT current_setting('no_such_setting_xyz') AS x").collect())
+  }
 }

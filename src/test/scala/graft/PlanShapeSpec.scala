@@ -100,6 +100,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("r9: tf-idf's df broadcast is size-gated — an over-threshold vocabulary shuffle-joins") {
+    // force the gate shut: any real vocabulary exceeds 1 term, so the df
+    // side must arrive WITHOUT the broadcast hint — the 100 TB web-corpus
+    // fallback where 10^8+ terms (hapax-heavy, un-prunable under tf/df)
+    // would OOM a forced broadcast. Catalyst's own stats-based broadcast
+    // is ALSO disabled here: at test scale its size estimate is tiny and
+    // it would (correctly) volunteer a broadcast, masking whether the
+    // HINT is gone — which is the thing the gate controls.
+    System.setProperty("graft.tfidf.broadcast.max.terms", "1")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_llm_tfidf")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"df join still broadcast with the gate forced shut:\n${p.take(3000)}")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty, p.take(3000))
+    } finally {
+      System.clearProperty("graft.tfidf.broadcast.max.terms")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("r8: language ID plans zero shuffles below the confusion aggregation") {
     // per-row marker arithmetic only: exchanges = the groupBy's hash
     // partitioning + the mandated ORDER BY's range partitioning, nothing

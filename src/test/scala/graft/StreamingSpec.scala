@@ -116,4 +116,59 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(latest == Map(7L -> 3L, 8L -> 1L))
   }
+
+  /** file-replay smoke test over the REAL driver fixtures. MemoryStream
+    * coverage is structurally blind to the replay harness's file-schema
+    * assumptions (r8: fixtures moved TIMESTAMP(NANOS)->MICROS and the
+    * hardcoded nanos schema collapsed 30 days into 43 minutes while all
+    * unit tests stayed green) — this test pins replay == batch on disk.
+    */
+  test("file replay of real fixtures matches the batch answer (ts-unit adaptive)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.tumbling(StreamingOps.eventsStream(spark, dir)), "complete")
+    val batch = graft.ops.Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(streamed.count() == batch.count(),
+      s"replayed window count ${streamed.count()} != batch ${batch.count()}")
+    // every event lands in exactly one tumbling window -> totals preserved
+    val sTotal = streamed.agg(sum("cnt")).head.getLong(0)
+    val bTotal = graft.ops.Tables.t(spark, dir, "events").count()
+    assert(sTotal == bTotal, s"replayed event total $sTotal != batch $bTotal")
+    // the 30-day fixture must span hundreds of hourly windows — a ts-unit
+    // collapse (the r8 defect) would leave single-digit distinct windows
+    assert(streamed.select("win_start").distinct.count() > 100)
+  }
+
+  /** replay == batch must survive the fixtures being SPLIT across files
+    * (r8 verdict item 6). The split is adversarial: the LATER-time half
+    * is written under the path that sorts FIRST, so any file-at-a-time
+    * admission ordered by path would advance the watermark past the
+    * earlier half and silently drop it. The harness admits all files in
+    * one micro-batch (maxFilesPerTrigger unset), which this test pins.
+    */
+  test("file replay is batch-equivalent across multiple files in adversarial path order") {
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$src/events.parquet").exists())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay2").toString
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val mid = ev.select("ts").orderBy("ts")
+      .collect()(ev.count().toInt / 2).get(0)
+    ev.filter(col("ts") >= lit(mid)).coalesce(1)
+      .write.parquet(s"$tmp/events_a_late.parquet")
+    ev.filter(col("ts") < lit(mid)).coalesce(1)
+      .write.parquet(s"$tmp/events_b_early.parquet")
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.tumbling(StreamingOps.eventsStream(spark, tmp)), "complete")
+      .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+    val batch = spark.read.parquet(s"$tmp/even*.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val cols = Seq("win_start", "event_type", "cnt").map(col)
+    assert(streamed.select(cols: _*).exceptAll(batch.select(cols: _*)).isEmpty &&
+           batch.select(cols: _*).exceptAll(streamed.select(cols: _*)).isEmpty,
+      "two-file replay diverged from the batch answer")
+  }
 }
