@@ -211,6 +211,41 @@ object Probe {
         graft.ops.QueriesLlm.queries("q_llm_dedup_cluster")(spark, d))
     }
 
+    // r9 (r8 verdict item 5): the r2 pathological case — one LSH bucket
+    // holding 60%+ of the corpus — replayed against the capped aggregate.
+    // The claim to evidence: BoundedCollectLongs' buffer (map-side AND
+    // reduce-side) stops at cap+1 BY CONSTRUCTION, so the degenerate
+    // bucket costs the same as any other; the uncapped collect_list twin
+    // materializes the whole 60% slice in one buffer (the OOM shape at
+    // 10^9 docs). The emitted-list bound is checked, not just timed.
+    section("degenerate") {
+      val cap = 200
+      // 4M synthetic ids (corpus-size independent — the sf0.1 embeddings
+      // table is only 2k vectors, too small to exercise a buffer):
+      // 60% collapse onto bucket 0, the rest spread over 1000 buckets.
+      // The degenerate bucket would hold 2.4M ids (~19 MB) in ONE
+      // uncapped aggregation buffer; the capped aggregate's buffer stops
+      // at cap+1 = 201 longs whatever the skew.
+      val rows = spark.range(4000000L).select(col("id").as("vec_id"),
+        when(col("id") % 10 < 6, lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(1000)).cast(LongType))
+          .as("bucket"))
+      def capped = rows.groupBy("bucket")
+        .agg(graft.functions.BoundedCollect
+          .boundedCollectLongsCol(col("vec_id"), cap).as("ds"))
+      time("degen_capped_agg")(capped)
+      time("degen_uncapped_collect")(rows.groupBy("bucket")
+        .agg(collect_list(col("vec_id")).as("ds")))
+      val total = rows.count()
+      val biggest = rows.groupBy("bucket").count()
+        .agg(max("count")).head.getLong(0)
+      val maxList = capped.agg(max(size(col("ds")))).head.getInt(0)
+      println(s"[probe] degenerate: corpus=$total " +
+        s"biggest_bucket=$biggest (${100 * biggest / total}%) " +
+        s"max_emitted_list=$maxList (cap+1=${cap + 1})")
+      assert(maxList <= cap + 1, "capped aggregate emitted an over-bound list")
+    }
+
     section("agg") {
     time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))

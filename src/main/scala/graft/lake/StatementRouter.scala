@@ -1538,7 +1538,15 @@ object StatementRouter {
       "read_csv_auto" -> "csv", "read_csv" -> "csv",
       "read_json_auto" -> "json", "read_json" -> "json",
       "read_ndjson_auto" -> "json", "read_ndjson" -> "json")
-    for ((fn, fmt) <- fns) q = rewriteCalls(q, fn) { args =>
+    for ((fn, fmt) <- fns) q = rewriteCalls(q, fn) { args0 =>
+      // splitTopCommas tracks parens/quotes but not brackets — stitch a
+      // split `['a', 'b']` list literal back into one argument
+      val args = args0.foldLeft(mutable.ArrayBuffer[String]()) { (acc, a) =>
+        val open = acc.lastOption.exists(p =>
+          p.count(_ == '[') > p.count(_ == ']'))
+        if (open) acc(acc.length - 1) = acc.last + ", " + a else acc += a
+        acc
+      }.toSeq
       val paths = mutable.ArrayBuffer[String]()
       val opts = mutable.Map[String, String]()
       var ok = args.nonEmpty
@@ -1572,17 +1580,22 @@ object StatementRouter {
     // `FROM 'x.parquet'` / `JOIN "x.csv"` string-literal tables: format
     // derives from the extension, which also disambiguates from SQL's
     // other FROM-inside-expression forms (EXTRACT(m FROM '…'), TRIM).
-    FileFromRe.replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement {
-      val path = m.group(3)
-      val ext = m.group(4).toLowerCase
-      val fmt = ext match {
-        case "parquet" => "parquet"
-        case "csv" | "tsv" => "csv"
-        case _ => "json"
-      }
-      val opts = if (ext == "tsv") Map("delim" -> "\t") else Map.empty[String, String]
-      m.group(1) + " " + register(fmt, Seq(path), opts)
-    })
+    // The FROM/JOIN keyword itself must sit OUTSIDE any string literal
+    // (a user literal like 'see FROM "a.csv"' must not be rewritten).
+    val lit = literalMask(q)
+    FileFromRe.replaceSomeIn(q, m =>
+      if (lit(m.start)) None
+      else Some(java.util.regex.Matcher.quoteReplacement {
+        val path = m.group(3)
+        val ext = m.group(4).toLowerCase
+        val fmt = ext match {
+          case "parquet" => "parquet"
+          case "csv" | "tsv" => "csv"
+          case _ => "json"
+        }
+        val opts = if (ext == "tsv") Map("delim" -> "\t") else Map.empty[String, String]
+        m.group(1) + " " + register(fmt, Seq(path), opts)
+      }))
   }
 
   /** session-introspection scalars a DuckDB user pokes early:

@@ -428,4 +428,69 @@ class DialectRewriteSpec extends AnyFunSuite {
     val ms = "SELECT epoch_ms(ts) FROM t"
     assert(rewriteDialect(ms) == ms)
   }
+
+  test("r9: direct file queries lift paths into registered views") {
+    def reg(calls: collection.mutable.Buffer[(String, Seq[String], Map[String, String])])
+           (fmt: String, paths: Seq[String], opts: Map[String, String]): String = {
+      calls += ((fmt, paths, opts)); s"__v${calls.size}"
+    }
+    val c1 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    assert(StatementRouter.rewriteFileReads(
+      "SELECT * FROM 'data/x.parquet' WHERE a > 1")(reg(c1)) ==
+      "SELECT * FROM __v1 WHERE a > 1")
+    assert(c1 == Seq(("parquet", Seq("data/x.parquet"), Map.empty)))
+
+    val c2 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    assert(StatementRouter.rewriteFileReads(
+      "SELECT * FROM read_csv('f.csv', header=false, delim='|') t")(reg(c2)) ==
+      "SELECT * FROM __v1 t")
+    assert(c2 == Seq(("csv", Seq("f.csv"),
+      Map("header" -> "false", "delim" -> "|"))))
+
+    val c3 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    assert(StatementRouter.rewriteFileReads(
+      "SELECT * FROM read_parquet(['a.parquet', 'b.parquet'])")(reg(c3)) ==
+      "SELECT * FROM __v1")
+    assert(c3 == Seq(("parquet", Seq("a.parquet", "b.parquet"), Map.empty)))
+
+    // globs, JOIN position, and the .gz/tsv extension mapping
+    val c4 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    assert(StatementRouter.rewriteFileReads(
+      "SELECT * FROM 'part*.parquet' p JOIN \"d.tsv\" d ON p.id = d.id")(reg(c4)) ==
+      "SELECT * FROM __v1 p JOIN __v2 d ON p.id = d.id")
+    assert(c4 == Seq(("parquet", Seq("part*.parquet"), Map.empty),
+      ("csv", Seq("d.tsv"), Map("delim" -> "\t"))))
+
+    // non-file FROM-literals and paths inside user literals are untouched
+    val c5 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    val noTouch = "SELECT extract(month FROM '2024-01-01'), " +
+      "'docs say FROM \"a.csv\" works' AS s FROM t"
+    assert(StatementRouter.rewriteFileReads(noTouch)(reg(c5)) == noTouch)
+    assert(c5.isEmpty)
+
+    // a non-literal argument leaves the call alone (fails loudly later)
+    val c6 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    val dynamic = "SELECT * FROM read_csv(some_col)"
+    assert(StatementRouter.rewriteFileReads(dynamic)(reg(c6)) == dynamic)
+    assert(c6.isEmpty)
+  }
+
+  test("r9: version() and current_setting() readout rewrites") {
+    def settings(k: String): Option[String] = k match {
+      case "memory_limit" => Some("4GB")
+      case "threads" => Some("16")
+      case _ => None
+    }
+    assert(StatementRouter.rewriteSessionReadouts(
+      "SELECT version() AS v", "v1 spark", settings) ==
+      "SELECT 'v1 spark' AS v")
+    // numeric settings emit unquoted so arithmetic composes
+    assert(StatementRouter.rewriteSessionReadouts(
+      "SELECT current_setting('threads') * 2, current_setting('memory_limit')",
+      "v", settings) == "SELECT 16 * 2, '4GB'")
+    // unknown key -> call left in place to fail loudly at resolution
+    assert(StatementRouter.rewriteSessionReadouts(
+      "SELECT current_setting('nope')", "v", settings) ==
+      "SELECT current_setting('nope')")
+  }
 }
