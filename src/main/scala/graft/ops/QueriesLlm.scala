@@ -1208,6 +1208,51 @@ object QueriesLlm {
         .orderBy("source")
     },
 
+    // ----------- deterministic training-order shuffle (shard + position)
+    "q_llm_shuffle_shard" -> { (s, d) =>
+      // a training run needs the corpus in a pseudorandom order that is
+      // STABLE across runs, engines, and cluster sizes (resumable
+      // dataloaders, reproducible curricula). rand() is none of those.
+      // Order key = md5 of the doc key; shard = key-hash mod S (S becomes
+      // the output-file count at scale — O(100k) at 100 TB); position =
+      // row_number within the shard ordered by the hex key. The window
+      // partitions BY SHARD, so ordering work parallelizes across shards
+      // and no global sort ever happens — the scale contract.
+      val hex = md5(col("doc_id").cast(StringType))
+      val shard = (conv(substring(hex, 1, 8), 16, 10).cast(LongType) % 8).as("shard")
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), shard, hex.as("hx"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("hx"), col("doc_id"))))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+
+    // --------------- sequence packing: bin docs into fixed token budgets
+    "q_llm_pack_bins" -> { (s, d) =>
+      // pretraining packs documents into fixed-length token windows; the
+      // sequential greedy packer is a driver-side loop — unusable at
+      // corpus scale. The scalable equivalent: shard by key-hash, order
+      // within the shard by the same stable hash, then bin by the RUNNING
+      // token count (bin = floor((cumsum - tokens) / budget)) — a window
+      // cumsum PARTITIONED BY SHARD, so packing parallelizes and no
+      // global sort/loop exists. Fill efficiency loses only the per-bin
+      // tail fragmentation vs. the sequential packer (bounded by
+      // max_doc_tokens / budget), which is the accepted trade at scale.
+      val budget = 512
+      val hex = md5(col("doc_id").cast(StringType))
+      val shard = (conv(substring(hex, 1, 8), 16, 10).cast(LongType) % 8).as("shard")
+      val toks = size(split(normText(col("text")), " ")).cast(LongType).as("tokens")
+      val w = Window.partitionBy("shard").orderBy(col("hx"), col("doc_id"))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), shard, hex.as("hx"), toks)
+        .withColumn("bin",
+          floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("bin_tokens"))
+        .orderBy("shard", "bin")
+    },
+
     // ------------- decontamination: n-gram overlap with a benchmark set
     "q_llm_decontam" -> { (s, d) =>
       // flag training docs sharing any word-8-gram with the "benchmark"
@@ -1813,6 +1858,27 @@ object QueriesLlm {
         |    ON d.source = r.source)
         |WHERE b < COALESCE(keep_pct, 10)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_llm_shuffle_shard" ->
+      """SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos, doc_id
+        |FROM (SELECT doc_id,
+        |             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |             md5(CAST(doc_id AS VARCHAR)) AS hx
+        |      FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
+
+    "q_llm_pack_bins" ->
+      """SELECT shard, bin, count(*) AS n_docs, sum(tokens) AS bin_tokens FROM (
+        |  SELECT shard,
+        |         CAST(floor((sum(tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens) / 512.0) AS BIGINT) AS bin,
+        |         tokens
+        |  FROM (SELECT doc_id,
+        |               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |               md5(CAST(doc_id AS VARCHAR)) AS hx,
+        |               len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tokens
+        |        FROM documents))
+        |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     "q_llm_decontam" -> sqlDecontam,
 

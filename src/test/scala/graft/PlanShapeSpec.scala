@@ -132,6 +132,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "langid planned a join")
   }
 
+  test("r9: training shuffle + packing window per SHARD — never a single-partition window") {
+    // both ops' scale contract: ordering/cumsum work parallelizes across
+    // shards; a window with an empty partition spec would funnel the
+    // whole corpus through ONE task (Exchange SinglePartition)
+    for (q <- Seq("q_llm_shuffle_shard", "q_llm_pack_bins")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost its window")
+      assert(!p.contains("SinglePartition"),
+        s"$q planned a single-partition window:\n${p.take(3000)}")
+    }
+  }
+
   test("r8: stratified sample is one partial-agg pass — no Window, no per-stratum sort") {
     val p = plan("q_llm_sample_stratified")
     assert(!p.contains("Window"), "stratified sample fell back to a window sort")
