@@ -369,7 +369,14 @@ class DuckLakeXLSpark(
           // TimeZone is the one DuckDB session option with a direct Spark
           // analogue; others configure an engine this build does not run —
           // but every SET is recorded so current_setting('k') reads back
-          val cleaned = v.trim.stripPrefix("'").stripSuffix("'")
+          val t = v.trim
+          // a '…'-quoted value unescapes doubled quotes; "…" strips too
+          val cleaned =
+            if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+              t.substring(1, t.length - 1).replace("''", "'")
+            else if (t.length >= 2 && t.head == '"' && t.last == '"')
+              t.substring(1, t.length - 1)
+            else t
           sessionOptions(k.toLowerCase) = cleaned
           if (k.equalsIgnoreCase("timezone"))
             spark.conf.set("spark.sql.session.timeZone", cleaned)
@@ -523,9 +530,17 @@ class DuckLakeXLSpark(
 
   private[graft] def rewriteSelect(q00: String): String = {
     // direct file queries first — their paths sit inside quotes, which
-    // every later stage (mapOutsideQuotes, the dialect layer) skips
+    // every later stage (mapOutsideQuotes, the dialect layer) skips.
+    // The dedup cache is PER STATEMENT (a path referenced twice in one
+    // query shares a view; across statements the path re-reads, like
+    // DuckDB — a longer-lived cache would freeze the first file listing)
+    val stmtCache = scala.collection.mutable.Map[String, String]()
     val q0 = StatementRouter.rewriteSessionReadouts(
-      StatementRouter.rewriteFileReads(q00)(registerFileRead),
+      StatementRouter.rewriteFileReads(q00) { (fmt, paths, opts) =>
+        stmtCache.getOrElseUpdate(
+          s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}",
+          registerFileRead(fmt, paths, opts))
+      },
       s"$LibraryVersion $SourceId", currentSetting)
     // timestamp travel first: the ts literal sits INSIDE single quotes —
     // here the quoted text is part of the travel syntax, not a user
@@ -575,10 +590,12 @@ class DuckLakeXLSpark(
     rewritePositionalJoin(q)
   }
 
-  private var setOpViewN = 0
 
   /** backend for [[StatementRouter.rewriteFileReads]]: one temp view per
-    * distinct (format, paths, options) source. CSV mirrors DuckDB's
+    * distinct (format, paths, options) source WITHIN a statement (the
+    * per-statement cache in rewriteSelect dedups; caching across
+    * statements would freeze the file listing captured at first read,
+    * while DuckDB re-reads the path every query). CSV mirrors DuckDB's
     * sniffer defaults (header + type inference); the option names DuckDB
     * users pass map onto the Spark reader, the rest are engine-tuning
     * knobs with no Spark analogue and tolerate silently. The view wraps
@@ -586,19 +603,29 @@ class DuckLakeXLSpark(
     * distributed scans behave exactly as for catalog tables — at 100 TB
     * a path-queried parquet directory scans identically to a lake table.
     */
-  private val fileViewCache = scala.collection.mutable.Map[String, String]()
   private def registerFileRead(fmt: String, paths: Seq[String],
                                opts: Map[String, String]): String = {
-    val key = s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}"
-    fileViewCache.getOrElseUpdate(key, {
       def bool(v: String) = v.trim.equalsIgnoreCase("true") || v.trim == "1"
       // DuckDB interprets backslash escapes in delim ('\t' is a tab)
       def unesc(s: String) = s.replace("\\t", "\t").replace("\\n", "\n")
       val df = fmt match {
         case "parquet" => spark.read.parquet(paths: _*)
         case "csv" =>
+          // DuckDB SNIFFS the header; an explicit header= wins, else a
+          // cheap probe of the first line decides: any numeric field in
+          // row 1 means data, not names (the common headerless shape; an
+          // all-string headerless file still needs header=false, as the
+          // probe cannot see type contrast from one row)
+          val header = opts.get("header").map(bool).getOrElse {
+            scala.util.Try(spark.read.textFile(paths.head).head()).toOption
+              .forall { line =>
+                val sep = opts.get("delim").orElse(opts.get("sep")).getOrElse(",")
+                !line.split(java.util.regex.Pattern.quote(sep), -1).exists(f =>
+                  scala.util.Try(java.lang.Double.parseDouble(f.trim)).isSuccess)
+              }
+          }
           var r = spark.read
-            .option("header", opts.get("header").forall(bool).toString)
+            .option("header", header.toString)
             .option("inferSchema",
               (!opts.get("all_varchar").exists(bool)).toString)
           opts.get("delim").orElse(opts.get("sep"))
@@ -611,11 +638,18 @@ class DuckLakeXLSpark(
           r.csv(paths: _*)
         case _ => spark.read.json(paths: _*)
       }
-      setOpViewN += 1
-      val vn = s"__file_$setOpViewN"
+      // the name is a STABLE function of (format, paths, options): the
+      // same source re-registers under the same name every statement
+      // (fresh file listing, DuckDB's re-read semantics) instead of
+      // leaking one __file_N per statement into the session catalog;
+      // and two lake instances sharing a session map the same source to
+      // the same name, so an overwrite is a benign refresh, never a
+      // wrong-table read
+      val key = s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}"
+      val vn = "__file_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       df.createOrReplaceTempView(vn)
       vn
-    })
   }
 
   /** DuckDB `UNION [ALL|DISTINCT] BY NAME` — Spark SQL has no BY NAME set
@@ -640,8 +674,10 @@ class DuckLakeXLSpark(
         allowMissingColumns = true)
       if (!isAll) df = df.distinct()
     }
-    setOpViewN += 1
-    val vn = s"__byname_$setOpViewN"
+    // JVM-global sequence: per-instance counters collide when two lake
+    // instances share one SparkSession (session-scoped temp views) —
+    // the same hazard fixed for __file_ names
+    val vn = s"__byname_${DuckLakeXLSpark.fileViewSeq.incrementAndGet()}"
     df.createOrReplaceTempView(vn)
     s"SELECT * FROM $vn$tail"
   }
@@ -672,8 +708,7 @@ class DuckLakeXLSpark(
             s"cannot parse POSITIONAL JOIN operands in: $q")
           val joined = zipPositional(
             spark.sql(s"SELECT * FROM $lSrc"), spark.sql(s"SELECT * FROM $rSrc"))
-          setOpViewN += 1
-          val vn = s"__posjoin_$setOpViewN"
+          val vn = s"__posjoin_${DuckLakeXLSpark.fileViewSeq.incrementAndGet()}"
           joined.createOrReplaceTempView(vn)
           q = q.substring(0, lStart) + " " + vn + " " + q.substring(rEnd)
       }
@@ -2723,6 +2758,11 @@ class DuckLakeXLSpark(
   * [[DuckLakeXLSpark.rewriteSelect]])
   */
 object DuckLakeXLSpark {
+  /** JVM-global sequence for direct-file-query temp-view names — see
+    * registerFileRead's uniqueness note
+    */
+  private[api] val fileViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** `input_file_name`/`_metadata.file_path` yield (possibly URI-encoded)
     * `file:` URIs; catalog paths are plain — decode with the same
     * java.net.URI rule as `normUri`. Companion-scoped so the UDF closure

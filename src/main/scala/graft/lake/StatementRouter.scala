@@ -1584,7 +1584,7 @@ object StatementRouter {
     // (a user literal like 'see FROM "a.csv"' must not be rewritten).
     val lit = literalMask(q)
     FileFromRe.replaceSomeIn(q, m =>
-      if (lit(m.start)) None
+      if (lit(m.start) || inExprFromContext(q, lit, m.start)) None
       else Some(java.util.regex.Matcher.quoteReplacement {
         val path = m.group(3)
         val ext = m.group(4).toLowerCase
@@ -1619,6 +1619,37 @@ object StatementRouter {
       case _ => None
     }
     q
+  }
+
+  /** ANSI SQL reuses FROM inside expressions — `TRIM(x FROM 'a.csv')`,
+    * `SUBSTRING(s FROM 2)`, `EXTRACT(month FROM d)` — where the quoted
+    * operand is a VALUE, not a table. A FROM whose nearest unmatched
+    * open-paren belongs to one of those functions is an expression
+    * context and must not be rewritten (a table FROM inside a subquery
+    * paren follows SELECT/bare parens and passes through).
+    */
+  private val ExprFromFns = Set("trim", "ltrim", "rtrim", "btrim",
+    "substring", "substr", "extract", "position", "overlay")
+  private def inExprFromContext(s: String, lit: Array[Boolean], fromPos: Int): Boolean = {
+    var depth = 0
+    var i = fromPos - 1
+    while (i >= 0) {
+      if (!lit(i)) {
+        val c = s.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') {
+          if (depth == 0) {
+            var j = i - 1
+            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+            val end = j
+            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+            return ExprFromFns.contains(s.substring(j + 1, end + 1).toLowerCase)
+          } else depth -= 1
+        }
+      }
+      i -= 1
+    }
+    false
   }
 
   /** FROM/JOIN followed by a quoted path with a data-file extension

@@ -163,7 +163,15 @@ object StreamingOps {
     // directory or glob basePath. Watermarks require TIMESTAMP (with local
     // tz), not NTZ — the session tz is pinned UTC, so the conversion is
     // value-preserving; query outputs cast window bounds back to NTZ.
-    val fileSchema = spark.read.parquet(glob).schema
+    val fileSchema = scala.util.Try(spark.read.parquet(glob).schema).getOrElse(
+      // no files match yet (stream started over an empty dir): declare
+      // the CURRENT fixture generation (TIMESTAMP(MICROS) -> NTZ) so the
+      // stream starts and picks files up as they land, like the old
+      // hardcoded-schema code did
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
     val tsIsLong =
       fileSchema.fields.exists(f => f.name == "ts" && f.dataType == LongType)
     if (tsIsLong) {

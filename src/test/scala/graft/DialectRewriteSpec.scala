@@ -468,6 +468,21 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(StatementRouter.rewriteFileReads(noTouch)(reg(c5)) == noTouch)
     assert(c5.isEmpty)
 
+    // ANSI expression-FROM forms where the quoted operand IS a value —
+    // the nearest-enclosing-call guard, not just the extension heuristic
+    val c5b = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    val exprFrom = "SELECT trim('x' FROM 'a.csv'), " +
+      "substring('b.json' FROM 2), position('c' IN 'd') FROM t"
+    assert(StatementRouter.rewriteFileReads(exprFrom)(reg(c5b)) == exprFrom)
+    assert(c5b.isEmpty)
+
+    // ...but a table-FROM inside a SUBQUERY paren still rewrites
+    val c5c = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
+    assert(StatementRouter.rewriteFileReads(
+      "SELECT * FROM (SELECT a FROM 'x.parquet') q")(reg(c5c)) ==
+      "SELECT * FROM (SELECT a FROM __v1) q")
+    assert(c5c.map(_._2) == Seq(Seq("x.parquet")))
+
     // a non-literal argument leaves the call alone (fails loudly later)
     val c6 = collection.mutable.Buffer[(String, Seq[String], Map[String, String])]()
     val dynamic = "SELECT * FROM read_csv(some_col)"

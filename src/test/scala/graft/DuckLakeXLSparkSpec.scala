@@ -369,5 +369,37 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
       .collect().head.getAs[String]("tz").nonEmpty)
     assertThrows[Exception](
       lake.sql("SELECT current_setting('no_such_setting_xyz') AS x").collect())
+    // quoted SET values unescape: doubled single quotes collapse, double
+    // quotes strip (review-found: the readout re-escaped to O''Brien)
+    assert(lake.sql(
+      """SET who = 'O''Brien'; SELECT current_setting('who') AS w""")
+      .collect().head.getAs[String]("w") == "O'Brien")
+  }
+
+  test("r9: direct file queries — headerless CSV sniff, stable view names, per-statement re-read") {
+    val (lake, _, _) = freshLake()
+    val dir = Files.createTempDirectory("graft_csv_sniff").toString
+    // headerless numeric csv: DuckDB's sniffer sees data in row 1; the
+    // probe must not consume "1,10" as column names
+    Files.writeString(java.nio.file.Paths.get(s"$dir/nums.csv"), "1,10\n2,20\n")
+    assert(lake.sql(s"SELECT count(*) AS n FROM '$dir/nums.csv'")
+      .collect().head.getAs[Long]("n") == 2L)
+    // headered csv still sniffs as headered
+    Files.writeString(java.nio.file.Paths.get(s"$dir/named.csv"), "id,v\n1,a\n2,b\n")
+    assert(lake.sql(s"SELECT id, v FROM '$dir/named.csv' ORDER BY id")
+      .collect().map(_.getAs[String]("v")).toSeq == Seq("a", "b"))
+    // per-statement re-read: appending to the file is visible to the next
+    // statement (a session-lifetime view cache would freeze the listing)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/named.csv"),
+      "id,v\n1,a\n2,b\n3,c\n")
+    assert(lake.sql(s"SELECT count(*) AS n FROM '$dir/named.csv'")
+      .collect().head.getAs[Long]("n") == 3L)
+    // the same source maps to ONE stable view name — no per-statement
+    // catalog leak
+    val before = spark.catalog.listTables().filter("name like '__file_%'").count()
+    lake.sql(s"SELECT count(*) AS n FROM '$dir/named.csv'")
+    lake.sql(s"SELECT count(*) AS n FROM '$dir/named.csv'")
+    val after = spark.catalog.listTables().filter("name like '__file_%'").count()
+    assert(after == before, s"__file_ views leaked: $before -> $after")
   }
 }
