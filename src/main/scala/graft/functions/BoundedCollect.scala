@@ -179,6 +179,100 @@ case class BoundedTopK(
   override def prettyName: String = "bounded_top_k"
 }
 
+/** [[BoundedTopK]] with a STRING payload: keeps the k (key, payload)
+  * pairs with the smallest (key asc, payload asc) rank and returns the
+  * payloads (order unspecified — callers sort or rank downstream).
+  * Same bounded-buffer contract: map-side partials and the reduce-side
+  * final buffer never exceed k elements, so a vocabulary-sized group
+  * (top-k n-grams per language over a 10^8-term vocabulary) costs one
+  * partial-agg shuffle of ≤ k rows per (partition, group) instead of the
+  * per-group end-to-end sort a `row_number()` window would plan.
+  *
+  * Keys are compared as java Strings — callers build ASCII-sortable
+  * keys (zero-padded counts, hex digests) so JVM order, UTF8String
+  * binary order, and DuckDB collation agree.
+  */
+case class BoundedTopKStrings(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(String, String)]] with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): ArrayBuffer[(String, String)] =
+    new ArrayBuffer[(String, String)]
+
+  /** true iff a ranks strictly after b in (key asc, payload asc) order */
+  private def worse(a: (String, String), b: (String, String)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c > 0 || (c == 0 && a._2.compareTo(b._2) > 0)
+  }
+
+  private def add(buf: ArrayBuffer[(String, String)], e: (String, String)): Unit = {
+    if (buf.length < k) buf += e
+    else if (k > 0) {
+      var wi = 0
+      var i = 1
+      while (i < buf.length) { if (worse(buf(i), buf(wi))) wi = i; i += 1 }
+      if (worse(buf(wi), e)) buf(wi) = e
+    }
+  }
+
+  override def update(buf: ArrayBuffer[(String, String)], input: InternalRow): ArrayBuffer[(String, String)] = {
+    val kv = left.eval(input)
+    val pv = right.eval(input)
+    if (kv != null && pv != null) add(buf, (kv.toString, pv.toString))
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[(String, String)], b2: ArrayBuffer[(String, String)]): ArrayBuffer[(String, String)] = {
+    b2.foreach(add(b1, _))
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[(String, String)]): Any =
+    new GenericArrayData(buf.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(p._2)).toArray)
+
+  override def serialize(buf: ArrayBuffer[(String, String)]): Array[Byte] = {
+    val parts = buf.map { case (s, p) => (s.getBytes("UTF-8"), p.getBytes("UTF-8")) }
+    val bb = ByteBuffer.allocate(4 + parts.map(p => 8 + p._1.length + p._2.length).sum)
+    bb.putInt(parts.length)
+    parts.foreach { case (sb, pb) =>
+      bb.putInt(sb.length); bb.put(sb); bb.putInt(pb.length); bb.put(pb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, String)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[(String, String)](n)
+    var i = 0
+    while (i < n) {
+      val klen = bb.getInt
+      val kb = new Array[Byte](klen)
+      bb.get(kb)
+      val plen = bb.getInt
+      val pb = new Array[Byte](plen)
+      bb.get(pb)
+      buf += ((new String(kb, "UTF-8"), new String(pb, "UTF-8")))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BoundedTopKStrings =
+    copy(left = newLeft, right = newRight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bounded_top_k_strings"
+}
+
 object BoundedCollect {
   /** sorted list of the group's ids, buffers bounded at `cap + 1` */
   def boundedCollectLongsCol(c: Column, cap: Int): Column =
@@ -189,5 +283,11 @@ object BoundedCollect {
   def boundedTopKCol(key: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       BoundedTopK(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** payloads of the group's k smallest (key, payload) pairs, buffers ≤ k */
+  def boundedTopKStringsCol(key: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(
+      BoundedTopKStrings(ColumnBridge.expression(key), ColumnBridge.expression(payload), k)
         .toAggregateExpression())
 }

@@ -123,7 +123,21 @@ object QueriesLlm {
     * comfortably under a 1 GiB executor broadcast budget); anything larger
     * shuffle-joins. Overridable for tests via the system property.
     */
-  private val vocabGateCache = scala.collection.mutable.Map[(Int, String), Long]()
+  private val vocabGateCache = scala.collection.mutable.Map[(Int, String, String), Long]()
+
+  /** One cached gate measurement per (session, corpus dir, consumer tag):
+    * the probe is an eager full-tokenize job, and without the cache every
+    * plan/construction of the consuming query (bench warm + timed passes,
+    * EXPLAIN) re-paid it — review-found measurement skew. The tag keeps
+    * consumers with different token streams (tfidf strips stopwords, the
+    * unigram LM keeps them) from serving each other's estimate.
+    */
+  private def vocabApproxFor(s: SparkSession, d: String, tag: String,
+      words: => DataFrame): Long =
+    vocabGateCache.synchronized {
+      vocabGateCache.getOrElseUpdate((System.identityHashCode(s), d, tag),
+        words.agg(approx_count_distinct("word")).head.getLong(0))
+    }
 
   private[graft] def TfidfBroadcastMaxTerms: Long =
     sys.props.get("graft.tfidf.broadcast.max.terms").map(_.toLong)
@@ -162,6 +176,9 @@ object QueriesLlm {
 
   /** boilerplate: a 5-gram present in more than this many docs is common */
   private val BoilerplateDf = 2
+
+  /** top-k n-grams kept per language (vocab/tokenizer QA) */
+  private val NgramTopK = 5
 
   /** The copy-detect pair pipeline. The df prune here is SEMANTIC, not a
     * performance approximation: a fingerprint carried by >cap documents
@@ -1529,14 +1546,7 @@ object QueriesLlm {
         .filter(!array_contains(stop, col("word")) && length(col("word")) > 0)
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val vocabApprox = vocabGateCache.synchronized {
-        // one gate measurement per (session, corpus dir): the probe is an
-        // eager full-tokenize job, and without the cache every plan/
-        // construction of this query (bench warm + timed passes, EXPLAIN)
-        // re-paid it — review-found measurement skew
-        vocabGateCache.getOrElseUpdate((System.identityHashCode(s), d),
-          words.agg(approx_count_distinct("word")).head.getLong(0))
-      }
+      val vocabApprox = vocabApproxFor(s, d, "tfidf", words)
       val dftJoinSide =
         if (vocabApprox <= TfidfBroadcastMaxTerms) broadcast(dft) else dft
       tf.filter(col("doc_id") < 20)
@@ -1626,6 +1636,125 @@ object QueriesLlm {
           array_join(transform(array_sort(col("picked_ids")),
             x => x.cast(StringType)), ",").as("picked"))
         .orderBy("lang", "source")
+    },
+
+    // -------------- unigram-LM familiarity scoring (CCNet-style filter)
+    "q_llm_unigram_lm" -> { (s, d) =>
+      // CCNet/KenLM-style corpus-LM document scoring: per doc, the mean
+      // corpus frequency of its tokens — rare-token-heavy docs (OCR
+      // noise, codes, mangled text) score low and filter out. The log
+      // the LM formulation would take is swapped for the rational mean
+      // (monotone ranking-equivalent per-token; one IEEE division at the
+      // end keeps the twin bit-exact where sum-of-log10 would drift by
+      // ulps between engines). Unlike tfidf, stopwords stay — an LM
+      // counts everything. The corpus-frequency table is vocabulary-
+      // sized: the broadcast is gated on a MEASURED approx vocab count
+      // (same rationale as tfidf — a 100 TB web corpus's term set can
+      // land 10^8-10^9, past any broadcast, and the join degrades to a
+      // plain shuffle join instead of OOMing the driver).
+      val words = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val cf = words.groupBy("word").agg(count(lit(1)).as("cf"))
+      val vocabApprox = vocabApproxFor(s, d, "unigram", words)
+      val cfJoinSide =
+        if (vocabApprox <= TfidfBroadcastMaxTerms) broadcast(cf) else cf
+      words.join(cfJoinSide, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("cf")).cast(DoubleType) / count(lit(1)), 4).as("avg_freq"),
+          min(col("cf")).as("min_freq"))
+        .orderBy("doc_id")
+    },
+
+    // ------------- source-overlap matrix: which crawls mirror each other
+    "q_llm_source_overlap" -> { (s, d) =>
+      // corpus diagnostic: for every source pair, how many distinct
+      // word-5-gram shingles they share — mirrored crawls / syndicated
+      // content light up before any doc-level dedup runs. Shape: distinct
+      // (source, gram-hash) pairs (the per-doc native hash pass, then one
+      // distinct), grouped by gram into a sorted source set whose
+      // aggregation buffer is bounded by the SOURCE COUNT (0(100s-1000s)
+      // at any real corpus — never corpus-sized), pair-unnested, counted.
+      // Work is O(distinct grams x sources sharing them), never corpus².
+      // The oracle joins raw gram strings — identical counts (60-bit
+      // hash, injective on any real corpus).
+      val docs = Tables.t(s, d, "documents")
+        .select(col("source"), normText(col("text")).as("nt"))
+        .filter(size(split(col("nt"), " ")) >= ShingleWords)
+      val srcGrams = docs.select(col("source"),
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(
+          col("nt"), ShingleWords)).as("g"))
+        .distinct()
+      srcGrams.groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(pairsExplode(col("ss")).as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // ------------ corpus top-k n-grams per language (vocab/tokenizer QA)
+    "q_llm_ngram_topk" -> { (s, d) =>
+      // tokenizer/vocabulary design wants the highest-frequency word
+      // bigrams per language. The per-(lang, gram) count is the first
+      // aggregate; the per-lang top-k then lives INSIDE a second
+      // aggregate ([[graft.functions.BoundedTopKStrings]], buffer <= k by
+      // construction) — a 10^8-term vocabulary per language costs one
+      // partial-agg shuffle of <= k rows per (partition, lang), never the
+      // per-lang end-to-end vocabulary sort a row_number() window plans.
+      // The rank key is an ASCII-sortable encoding of (count desc, gram
+      // asc): zero-padded (10^12 - count) ++ ' ' ++ gram, so JVM order,
+      // UTF8String binary order, and DuckDB collation agree; count and
+      // gram parse back out of the key after the explode.
+      val docs = Tables.t(s, d, "documents")
+        .select(col("lang"), split(normText(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val grams = docs.select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("g"))
+      val counted = grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      val rankKey = concat(
+        lpad((lit(1000000000000L) - col("cnt")).cast(StringType), 13, "0"),
+        lit(" "), col("g"))
+      counted.groupBy("lang")
+        .agg(graft.functions.BoundedCollect
+          .boundedTopKStringsCol(rankKey, rankKey, NgramTopK).as("ks"))
+        .select(col("lang"), posexplode(array_sort(col("ks"))))
+        .select(col("lang"), (col("pos") + 1).cast(LongType).as("rnk"),
+          substring(col("col"), 15, 1000000).as("gram"),
+          (lit(1000000000000L) - substring(col("col"), 1, 13).cast(LongType)).as("cnt"))
+        .orderBy("lang", "rnk")
+    },
+
+    // ------------- canonical keep-best selection over near-dup clusters
+    "q_llm_dedup_keep_best" -> { (s, d) =>
+      // the materialization step of dedup: per near-duplicate CLUSTER
+      // (connected components over the MinHash pair list — the same
+      // [[ccLabels]] pipeline q_llm_dedup_cluster ships), keep the
+      // highest-quality member (longest by n_chars, tie-break min
+      // doc_id) and emit every clustered doc's verdict. Shape: cluster
+      // labels joined to doc metadata, canonical picked by an argmax
+      // AGGREGATE (max of a (n_chars, -doc_id) struct — cluster-count-
+      // sized output, no per-cluster sort), joined back on the label.
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+        .select("a", "b")
+      val lab = ccLabels(s, pairs)
+        .join(Tables.t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
+      val canon = lab.groupBy("label")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("label"), (-col("m.nid")).as("canonical_id"),
+          col("cluster_size"))
+      lab.join(canon, "label")
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).cast(LongType).as("kept"),
+          col("cluster_size"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2101,6 +2230,67 @@ object QueriesLlm {
          |SELECT lang, source, count(*) AS n_sampled,
          |       array_to_string(list_sort(list(doc_id)), ',') AS picked
          |FROM r WHERE rnk <= $StratumN
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_llm_unigram_lm" ->
+      """WITH w AS (SELECT doc_id, w AS word FROM (
+        |       SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |       FROM documents)
+        |     WHERE length(w) > 0),
+        |cf AS (SELECT word, count(*) AS cf FROM w GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(CAST(sum(cf) AS DOUBLE) / count(*), 4) AS avg_freq,
+        |       min(cf) AS min_freq
+        |FROM w JOIN cf USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the twin joins raw gram strings where the Spark side joins 60-bit
+    // gram fingerprints — identical counts (injective on any real corpus)
+    "q_llm_source_overlap" ->
+      s"""WITH sh0 AS ($sqlShingles),
+         |ss AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM sh0 s JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the twin states the WINDOW spelling of per-lang top-k — semantically
+    // identical to the Spark side's bounded-buffer aggregate
+    // (BoundedTopKStrings ranks by the same (cnt DESC, gram ASC) order)
+    "q_llm_ngram_topk" ->
+      s"""WITH docs AS (SELECT lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |              FROM documents),
+         |g AS (SELECT lang, unnest(list_transform(range(1, len(ws)),
+         |             i -> ws[i] || ' ' || ws[i+1])) AS g
+         |      FROM docs WHERE len(ws) >= 2),
+         |c AS (SELECT lang, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |r AS (SELECT lang, g, cnt,
+         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rnk
+         |      FROM c)
+         |SELECT lang, rnk, g AS gram, cnt FROM r WHERE rnk <= $NgramTopK
+         |ORDER BY lang, rnk""".stripMargin,
+
+    "q_llm_dedup_keep_best" -> {
+      val pairsSql = sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold)
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(doc, root) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+         |lab AS (SELECT doc AS doc_id, min(root) AS cluster_id
+         |        FROM reach GROUP BY doc),
+         |m AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+         |      FROM lab l JOIN documents d USING (doc_id)),
+         |w AS (SELECT doc_id, cluster_id,
+         |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |        first_value(doc_id) OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id ASC) AS canonical_id
+         |      FROM m)
+         |SELECT doc_id, cluster_id, canonical_id,
+         |       CAST(doc_id = canonical_id AS BIGINT) AS kept, cluster_size
+         |FROM w ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -67,4 +67,52 @@ class BoundedTopKSpec extends AnyFunSuite {
       .select(array_sort(col("ids"))).head().getSeq[Long](0)
     assert(out == Seq(1L, 3L))
   }
+
+  // ------------------------------------------------ string-payload variant
+
+  private def stringGroundTruth(rows: Seq[(String, String, String)], k: Int): Map[String, Seq[String]] =
+    rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(k).map(_._2).sorted
+    }
+
+  private def viaStringAgg(rows: Seq[(String, String, String)], k: Int, parts: Int): Map[String, Seq[String]] = {
+    val s = spark
+    import s.implicits._
+    s.createDataset(rows).toDF("g", "key", "payload").repartition(parts)
+      .groupBy("g")
+      .agg(BoundedCollect.boundedTopKStringsCol(col("key"), col("payload"), k).as("ps"))
+      .select(col("g"), array_sort(col("ps")).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+  }
+
+  test("strings variant matches the window-ranked ground truth across partition layouts") {
+    var x = 54321L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 16 }
+    val rows = (0 until 10).flatMap { g =>
+      (0 to (g * 7) % 50).map { i =>
+        (s"g$g", f"${next() % 1000}%04d", s"p${next() % 10000}")
+      }
+    }
+    val k = 4
+    val expect = stringGroundTruth(rows, k)
+    for (parts <- Seq(1, 7, 32)) {
+      assert(viaStringAgg(rows, k, parts) == expect, s"parts=$parts")
+    }
+  }
+
+  test("strings variant: key ties break by payload; nulls are skipped") {
+    val rows = Seq(
+      ("a", "same", "pz"), ("a", "same", "pa"), ("a", "same", "pm"), ("a", "zz", "p0"),
+      ("b", "k1", "only"))
+    assert(viaStringAgg(rows, 2, 3) == Map("a" -> Seq("pa", "pm"), "b" -> Seq("only")))
+    val s = spark
+    import s.implicits._
+    val df = s.createDataset(Seq(
+      (Option("a"), Option("x1")), (None: Option[String], Option("x2")),
+      (Option("b"), None: Option[String]), (Option("c"), Option("x3"))))
+      .toDF("key", "payload")
+    val out = df.agg(BoundedCollect.boundedTopKStringsCol(col("key"), col("payload"), 5).as("ps"))
+      .select(array_sort(col("ps"))).head().getSeq[String](0)
+    assert(out == Seq("x1", "x3"))
+  }
 }

@@ -169,4 +169,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanBelow, "bloom filter does not sit on the scan side")
     assert(exchangeAbove, "no exchange above the bloom prefilter — nothing was saved")
   }
+
+  test("r9: unigram LM broadcasts the gated corpus-frequency table") {
+    val p = plan("q_llm_unigram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sf-scale vocab should broadcast under the gate:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "unigram LM planned a cartesian")
+  }
+
+  test("r9: source overlap pair-unnests gram source-sets — no self-join, no cartesian") {
+    val p = plan("q_llm_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "source overlap planned a cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      s"source overlap planned a corpus self-join instead of the one-shuffle " +
+        s"collect-set + pair-unnest shape:\n${p.take(3000)}")
+  }
+
+  test("r9: ngram top-k keeps per-lang top-k inside the aggregate — no Window") {
+    val p = plan("q_llm_ngram_topk")
+    assert(!p.contains("Window"),
+      s"ngram top-k fell back to a per-lang vocabulary sort:\n${p.take(3000)}")
+    assert(p.contains("bounded_top_k_strings") || p.contains("BoundedTopKStrings") ||
+      "HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected the bounded top-k aggregate:\n${p.take(3000)}")
+  }
+
+  test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
+    val p = plan("q_llm_dedup_keep_best")
+    assert(!p.contains("Window"),
+      s"keep-best planned a per-cluster window sort:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "keep-best planned a cartesian")
+  }
 }
