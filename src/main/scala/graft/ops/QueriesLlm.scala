@@ -1755,6 +1755,45 @@ object QueriesLlm {
           (col("doc_id") === col("canonical_id")).cast(LongType).as("kept"),
           col("cluster_size"))
         .orderBy("doc_id")
+    },
+
+    // ---------- incremental dedup: today's crawl vs the existing corpus
+    "q_llm_dedup_incremental" -> { (s, d) =>
+      // the daily-ingest shape: an incoming shard (doc_id % 4 == 0
+      // stands in for "today's crawl") dedups AGAINST the standing
+      // corpus, not within itself — each new doc gets a verdict:
+      // exact_dup (normalized text already in the base), near_dup (a
+      // verified MinHash pair connects it to a base doc), or novel.
+      // Exact check = fixed-width hash semi-join (never text equality
+      // on the shuffle). Near check reuses the verified band-bucket
+      // pair pipeline over the union and keeps only CROSS pairs — at
+      // production scale the base side's signatures/band keys are the
+      // precomputed standing index and only the new shard's are built
+      // per ingest; the join shape is identical. All verdict joins key
+      // on the long doc_id (output-sized sides), never on text.
+      val withNh = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(md5(normText(col("text"))), 1, 16).as("nh"))
+      val newDocs = withNh.filter(col("doc_id") % 4 === 0)
+      val exactDup = newDocs
+        .join(withNh.filter(col("doc_id") % 4 =!= 0).select("nh").distinct(),
+          Seq("nh"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("is_exact"))
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+        .select("a", "b")
+      val nearIds = pairs
+        .filter((col("a") % 4 === 0) =!= (col("b") % 4 === 0))
+        .select(when(col("a") % 4 === 0, col("a")).otherwise(col("b")).as("doc_id"))
+        .distinct()
+        .withColumn("is_near", lit(1L))
+      newDocs.select(col("doc_id"))
+        .join(exactDup, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1L, "exact_dup")
+            .when(col("is_near") === 1L, "near_dup")
+            .otherwise("novel").as("verdict"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2291,6 +2330,26 @@ object QueriesLlm {
          |SELECT doc_id, cluster_id, canonical_id,
          |       CAST(doc_id = canonical_id AS BIGINT) AS kept, cluster_size
          |FROM w ORDER BY doc_id""".stripMargin
+    },
+
+    "q_llm_dedup_incremental" -> {
+      val pairsSql = sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold)
+      s"""WITH pairs AS ($pairsSql),
+         |nh AS (SELECT doc_id,
+         |         substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS nh
+         |       FROM documents),
+         |newd AS (SELECT doc_id, nh FROM nh WHERE doc_id % 4 = 0),
+         |base AS (SELECT DISTINCT nh FROM nh WHERE doc_id % 4 <> 0),
+         |ex AS (SELECT DISTINCT n.doc_id FROM newd n JOIN base b USING (nh)),
+         |near AS (SELECT DISTINCT CASE WHEN a % 4 = 0 THEN a ELSE b END AS doc_id
+         |         FROM pairs WHERE (a % 4 = 0) <> (b % 4 = 0))
+         |SELECT n.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'novel' END AS verdict
+         |FROM newd n LEFT JOIN ex e ON n.doc_id = e.doc_id
+         |            LEFT JOIN near r ON n.doc_id = r.doc_id
+         |ORDER BY n.doc_id""".stripMargin
     }
   )
 }

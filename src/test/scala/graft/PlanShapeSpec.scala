@@ -196,6 +196,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the bounded top-k aggregate:\n${p.take(3000)}")
   }
 
+  test("r9: incremental dedup verdict-joins on long ids — no cartesian, no text-key join") {
+    val p = plan("q_llm_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental dedup planned a cartesian")
+  }
+
   test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
     val p = plan("q_llm_dedup_keep_best")
     assert(!p.contains("Window"),
