@@ -180,6 +180,10 @@ object QueriesLlm {
   /** top-k n-grams kept per language (vocab/tokenizer QA) */
   private val NgramTopK = 5
 
+  /** chunking: window width / stride in tokens (overlap = W - S) */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
   /** The copy-detect pair pipeline. The df prune here is SEMANTIC, not a
     * performance approximation: a fingerprint carried by >cap documents
     * is corpus boilerplate, and counting it as copy evidence floods the
@@ -1794,6 +1798,30 @@ object QueriesLlm {
             .when(col("is_near") === 1L, "near_dup")
             .otherwise("novel").as("verdict"))
         .orderBy("doc_id")
+    },
+
+    // ----------- document chunking: overlapping token windows (RAG/packing)
+    "q_llm_chunk" -> { (s, d) =>
+      // context-window preparation: split every document into overlapping
+      // token windows (width [[ChunkW]], stride [[ChunkS]] — chunk i
+      // covers tokens [i*S+1, i*S+W], starts while i*S < n so the tail
+      // chunk keeps its remainder). Pure per-row explode — chunking a
+      // 100 TB corpus is MAP-ONLY, zero shuffle below the mandated ORDER
+      // BY, and the chunk digest gives downstream chunk-level dedup a
+      // join key without re-materializing chunk text.
+      val n = size(col("ws"))
+      val chunk = slice(col("ws"), col("i") * ChunkS + 1, lit(ChunkW))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+        .filter(n >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), floor((n - 1).cast(DoubleType) / ChunkS)
+            .cast(LongType))).as("i"),
+          col("ws"))
+        .select(col("doc_id"), col("i").as("chunk_id"),
+          size(chunk).cast(LongType).as("n_chunk_tokens"),
+          substring(md5(concat_ws(" ", chunk)), 1, 16).as("digest"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
@@ -2350,6 +2378,19 @@ object QueriesLlm {
          |FROM newd n LEFT JOIN ex e ON n.doc_id = e.doc_id
          |            LEFT JOIN near r ON n.doc_id = r.doc_id
          |ORDER BY n.doc_id""".stripMargin
-    }
+    },
+
+    "q_llm_chunk" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |              FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, CAST(floor(CAST(len(ws) - 1 AS DOUBLE) / $ChunkS) AS BIGINT) + 1)) AS i
+         |      FROM docs WHERE len(ws) >= 1)
+         |SELECT doc_id, i AS chunk_id,
+         |  CAST(len(list_slice(ws, CAST(i * $ChunkS + 1 AS BIGINT),
+         |       CAST(least(i * $ChunkS + $ChunkW, len(ws)) AS BIGINT))) AS BIGINT) AS n_chunk_tokens,
+         |  substring(md5(array_to_string(list_slice(ws, CAST(i * $ChunkS + 1 AS BIGINT),
+         |       CAST(least(i * $ChunkS + $ChunkW, len(ws)) AS BIGINT)), ' ')), 1, 16) AS digest
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

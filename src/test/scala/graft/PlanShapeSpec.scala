@@ -202,6 +202,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "incremental dedup planned a cartesian")
   }
 
+  test("r9: chunking is map-only — the final sort's exchange is the ONLY shuffle") {
+    val p = plan("q_llm_chunk")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"chunking should shuffle only for the mandated ORDER BY:\n${p.take(3000)}")
+    assert(p.contains("Generate"), "chunk explode missing from the plan")
+  }
+
   test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
     val p = plan("q_llm_dedup_keep_best")
     assert(!p.contains("Window"),
