@@ -615,6 +615,30 @@ object QueriesRelational {
         .filter(col("rn") <= 2)
         .orderBy("o_custkey", "rn")
     },
+    "q_ts_gapfill" -> { (s, d) =>
+      // time-series resample + gap-fill: hourly totals per event type on a
+      // COMPLETE hour grid, empty hours forward-filled from the last
+      // observed hour (the standard dashboard/feature-store shape DuckDB
+      // users build with generate_series). The one corpus-scale pass is
+      // the hourly aggregate (map-side combined); the grid is hours ×
+      // types — tiny at any corpus age, so the left join broadcasts the
+      // aggregate side never re-shuffles raw events, and the fill window
+      // partitions by type over grid-sized input. Sums ride DECIMAL so
+      // both engines add exactly (double += is order-dependent).
+      val agg = Tables.t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sv"))
+      val grid = agg.agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        .crossJoin(Tables.t(s, d, "events").select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(dbl(last(col("sv"), ignoreNulls = true).over(w)), 4).as("filled_sum"))
+        .orderBy("event_type", "hour")
+    },
 
     // ------------------------------------------------ 2.G sort/limit/set ops
     "q_win_qualify" -> { (s, d) =>
@@ -950,6 +974,20 @@ object QueriesRelational {
       ("SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER " +
        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
        "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"),
+    "q_ts_gapfill" ->
+      """WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |               count(*) AS n_events, sum(CAST(value AS DECIMAL(18,4))) AS sv
+        |             FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg),
+        |grid AS (SELECT t.event_type, g.hour
+        |         FROM (SELECT DISTINCT event_type FROM events) t,
+        |              (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b) g),
+        |j AS (SELECT g.event_type, g.hour, a.n_events, a.sv
+        |      FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour)
+        |SELECT event_type, hour, COALESCE(n_events, 0) AS n_events,
+        |  round(CAST(last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS filled_sum
+        |FROM j ORDER BY event_type, hour""".stripMargin,
     "q_sort_multikey" ->
       ("SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM lineitem " +
        "ORDER BY l_returnflag ASC, l_quantity DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 1000"),

@@ -209,6 +209,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "chunk explode missing from the plan")
   }
 
+  test("r9: gapfill joins the grid to the AGGREGATE, never re-shuffling raw events") {
+    val p = plan("q_ts_gapfill")
+    // the left join's probe side is the hours×types aggregate (tiny at any
+    // corpus age) — it must broadcast; raw events feed only the aggregate
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid join should broadcast the aggregate side:\n${p.take(3000)}")
+    assert(p.contains("Window"), "forward-fill window missing")
+  }
+
   test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
     val p = plan("q_llm_dedup_keep_best")
     assert(!p.contains("Window"),
