@@ -321,6 +321,8 @@ class DuckLakeXLSpark(
           executeCtas(s); registerViews()
         case s: StatementRouter.CopyTo        => executeCopy(s)
         case s: StatementRouter.CopyFrom      => executeCopyFrom(s); registerViews()
+        case s: StatementRouter.ExportDb      => executeExportDb(s)
+        case s: StatementRouter.ImportDb      => executeImportDb(s); registerViews()
         case s: StatementRouter.InsertValues =>
           // a literal VALUES list is driver-sized by definition -> inlined
           // into the catalog (when enabled) or one data file per INSERT
@@ -427,6 +429,7 @@ class DuckLakeXLSpark(
     case s: StatementRouter.InsertValues  => s"inserted_into_table:${s.table}"
     case s: StatementRouter.InsertSelect  => s"inserted_into_table:${s.table}"
     case s: StatementRouter.CopyFrom      => s"inserted_into_table:${s.table}"
+    case _: StatementRouter.ImportDb      => "imported_database"
     case s: StatementRouter.Delete        => s"deleted_from_table:${s.table}"
     case s: StatementRouter.Update        => s"updated_table:${s.table}"
     case s: StatementRouter.Merge         => s"merged_into_table:${s.table}"
@@ -2273,6 +2276,63 @@ class DuckLakeXLSpark(
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** `EXPORT DATABASE 'dir' [(FORMAT fmt)]` — DuckDB's whole-lake backup
+    * shape: `schema.sql` (CREATE TABLE per live table), `load.sql` (COPY
+    * FROM per table), one data file per table. Format defaults to csv
+    * like the engine the reference passes through to. Each table export
+    * is a [[executeCopy]] — a distributed scan funneled to one file (the
+    * per-table backup contract); a 100 TB lake would export per-table
+    * directories instead, but the statement surface is the same.
+    */
+  private def executeExportDb(s: StatementRouter.ExportDb): Unit = {
+    val fmt = s.format.getOrElse("csv")
+    require(Seq("csv", "parquet", "json").contains(fmt), s"EXPORT FORMAT: $fmt")
+    val dir = Paths.get(s.path)
+    Files.createDirectories(dir)
+    val tables = state.liveTables().sortBy(_.tableName)
+    val schemaSql = new StringBuilder
+    val loadSql = new StringBuilder
+    tables.foreach { t =>
+      val schema = state.schemaOf(t.tableId)
+      val cols = schema.fields
+        .map(f => s"${f.name} ${CatalogSchema.typeName(f.dataType)}")
+        .mkString(", ")
+      schemaSql.append(s"CREATE TABLE ${t.tableName}($cols);\n")
+      val out = dir.resolve(s"${t.tableName}.$fmt")
+      executeCopy(StatementRouter.CopyTo(t.tableName, out.toString, Some(fmt)))
+      loadSql.append(s"COPY ${t.tableName} FROM '$out' (FORMAT '$fmt');\n")
+    }
+    Files.write(dir.resolve("schema.sql"),
+      schemaSql.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("load.sql"),
+      loadSql.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** `IMPORT DATABASE 'dir'` — replays an export's schema.sql + load.sql
+    * through the normal create/ingest paths (so imported tables get data
+    * files, stats, and snapshots like any other write). Routed per
+    * statement WITHOUT re-entering [[sql]]: this runs inside the caller's
+    * pull→push bracket, and a nested bracket would double-push.
+    */
+  private def executeImportDb(s: StatementRouter.ImportDb): Unit = {
+    val dir = Paths.get(s.path)
+    require(Files.isDirectory(dir), s"no such export directory: ${s.path}")
+    val schemaF = dir.resolve("schema.sql")
+    require(Files.exists(schemaF), s"not an exported database (no schema.sql): ${s.path}")
+    Seq(schemaF, dir.resolve("load.sql")).filter(Files.exists(_)).foreach { f =>
+      val body = new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+      StatementRouter.split(body).foreach { st =>
+        StatementRouter.classify(st) match {
+          case c: StatementRouter.CreateTable => executeCreate(c)
+          case c: StatementRouter.CopyFrom    => executeCopyFrom(c)
+          case StatementRouter.NoOp           =>
+          case _ => throw new IllegalArgumentException(
+            s"unsupported statement in exported script: ${st.take(80)}")
+        }
+      }
+    }
   }
 
   /** `COPY t FROM 'path'` — distributed ingestion: the file(s) read with

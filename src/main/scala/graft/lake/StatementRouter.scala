@@ -66,6 +66,13 @@ object StatementRouter {
   final case class CopyTo(source: String, path: String, format: Option[String]) extends Stmt
   /** `COPY t FROM 'path' (FORMAT fmt)` — file ingestion into a lake table */
   final case class CopyFrom(table: String, path: String, format: Option[String]) extends Stmt
+  /** `EXPORT DATABASE 'dir' [(FORMAT fmt)]` — whole-lake export: DuckDB's
+    * shape (schema.sql + load.sql + one data file per table); format
+    * defaults to csv like the reference engine's
+    */
+  final case class ExportDb(path: String, format: Option[String]) extends Stmt
+  /** `IMPORT DATABASE 'dir'` — replays an exported schema.sql + load.sql */
+  final case class ImportDb(path: String) extends Stmt
   /** cols = optional explicit column list `INSERT INTO t(a, b) …` */
   final case class InsertValues(table: String, cols: Option[Seq[String]], valuesSql: String) extends Stmt
   final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String) extends Stmt
@@ -186,6 +193,10 @@ object StatementRouter {
     """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
   private val CopyFromRe =
     """(?is)^\s*COPY\s+([\w\.\"]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
+  private val ExportDbRe =
+    """(?is)^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
+  private val ImportDbRe =
+    """(?is)^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?VIEW\s+([\w\.\"]+)\s+AS\s+(.*)$""".r
   private val InsertRe =
@@ -608,6 +619,9 @@ object StatementRouter {
       parseMerge(table, alias, rest)
     case CreateViewRe(orRepl, name, select) =>
       CreateView(bareName(name), select.trim, orRepl != null)
+    case ExportDbRe(path, fmt) =>
+      ExportDb(path, Option(fmt).map(_.toLowerCase))
+    case ImportDbRe(path) => ImportDb(path)
     case CopyFromRe(table, path, fmt) =>
       CopyFrom(qualName(table), path, Option(fmt).map(_.toLowerCase))
     case CopyRe(source, path, fmt) =>

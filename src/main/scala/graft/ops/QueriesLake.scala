@@ -132,6 +132,24 @@ object QueriesLake {
            |COPY dst FROM '$out';
            |SELECT * FROM dst ORDER BY id""".stripMargin)
     },
+    // r9: EXPORT DATABASE from one lake, IMPORT DATABASE into a second,
+    // fresh lake — the DuckDB whole-database backup/restore round trip
+    // (schema.sql + load.sql + one data file per table)
+    "q_lake_export" -> { (s, _) =>
+      val lake = freshLake(s)
+      val dir = s"${lake.dataPath}/exportdb"
+      lake.sql(
+        s"""CREATE TABLE ex(id INTEGER, qty DOUBLE, val VARCHAR);
+           |INSERT INTO ex VALUES (1, 1.5, 'alpha'), (2, 2.5, 'beta'), (3, NULL, NULL);
+           |CREATE TABLE ex2(k BIGINT);
+           |INSERT INTO ex2 VALUES (7), (8);
+           |EXPORT DATABASE '$dir' (FORMAT 'csv')""".stripMargin)
+      val restored = freshLake(s)
+      restored.sql(
+        s"""IMPORT DATABASE '$dir';
+           |SELECT e.id, e.qty, e.val, (SELECT count(*) FROM ex2) AS n2
+           |FROM ex e ORDER BY e.id""".stripMargin)
+    },
     // r3: DESCRIBE through sql() — catalog-backed information schema
     "q_lake_describe" -> { (s, _) =>
       val lake = freshLake(s)
@@ -620,6 +638,11 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1,'r1'),(2,'r2'),(3,'r3'),(4,'r4')) t(id, val) ORDER BY id"),
     "q_lake_copy" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta')) t(id, val) ORDER BY id"),
+    "q_lake_export" ->
+      ("SELECT id, CAST(qty AS DOUBLE) AS qty, CAST(val AS VARCHAR) AS val, " +
+       "CAST(n2 AS BIGINT) AS n2 FROM (VALUES " +
+       "(1, 1.5, 'alpha', 2), (2, 2.5, 'beta', 2), (3, NULL, NULL, 2)) " +
+       "t(id, qty, val, n2) ORDER BY id"),
     "q_lake_comment" ->
       ("SELECT * FROM (VALUES ('id','pk','fact table')) " +
        "t(column_name, col_comment, tbl_comment)"),

@@ -508,4 +508,18 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT current_setting('nope')", "v", settings) ==
       "SELECT current_setting('nope')")
   }
+
+  test("r9: EXPORT/IMPORT DATABASE classify with and without FORMAT") {
+    assert(StatementRouter.classify("EXPORT DATABASE '/tmp/bk'") ==
+      StatementRouter.ExportDb("/tmp/bk", None))
+    assert(StatementRouter.classify("export database '/tmp/bk' (FORMAT PARQUET)") ==
+      StatementRouter.ExportDb("/tmp/bk", Some("parquet")))
+    assert(StatementRouter.classify("EXPORT DATABASE '/tmp/bk' (FORMAT 'csv')") ==
+      StatementRouter.ExportDb("/tmp/bk", Some("csv")))
+    assert(StatementRouter.classify("IMPORT DATABASE '/tmp/bk'") ==
+      StatementRouter.ImportDb("/tmp/bk"))
+    // COPY statements must still classify as COPY, not EXPORT
+    assert(StatementRouter.classify("COPY t TO '/tmp/t.csv'")
+      .isInstanceOf[StatementRouter.CopyTo])
+  }
 }
