@@ -79,4 +79,85 @@ object MultimodalOps {
       }
     spark.createDataFrame(out, decodedSchema)
   }
+
+  // ------------------------------------------------------------- resize
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("scale_num", IntegerType),
+    StructField("scale_den", IntegerType)))
+
+  /** Resize plan for decoded media: fit each (width, height) inside
+    * `maxSide` preserving aspect ratio — integer arithmetic only, so the
+    * transform is deterministic and engine-portable. A real pipeline
+    * swaps the dimension arithmetic for the codec's resample call; the
+    * Spark-side shape (pure projection over the decode output, zero
+    * shuffle) is the artifact.
+    */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0, s"maxSide must be positive: $maxSide")
+    val spark = decoded.sparkSession
+    val out = decoded.select(col("doc_id"), col("width"), col("height"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val w = r.getAs[Int]("width")
+          val h = r.getAs[Int]("height")
+          val side = math.max(w, h)
+          // scale = min(1, maxSide/side) as an exact rational
+          val (num, den) = if (side <= maxSide || side == 0) (1, 1) else (maxSide, side)
+          val ow = math.max(1, w * num / den)
+          val oh = math.max(1, h * num / den)
+          Row(r.getAs[Long]("doc_id"), w, h, ow, oh, num, den)
+        }
+      }
+    spark.createDataFrame(out, resizedSchema)
+  }
+
+  // -------------------------------------------------------- frame sample
+
+  val framesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_ts_ms", LongType),
+    StructField("frame_digest", StringType)))
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame of a
+    * payload whose "frame count" the stub decoder derives from the byte
+    * length (a real decoder reads the container index). One decoder per
+    * partition, frames emitted as (index, timestamp, content digest) —
+    * the flatMap row-explosion shape a clip-sampling pipeline needs,
+    * with output rows proportional to sampled frames, never buffered
+    * per-payload.
+    */
+  def sampleFrames(src: DataFrame, stride: Int, fps: Int = 25): DataFrame = {
+    require(stride > 0 && fps > 0, s"stride/fps must be positive: $stride/$fps")
+    val spark = src.sparkSession
+    val out = src.select(col("doc_id"), col("payload"))
+      .rdd.mapPartitions { rows =>
+        val dec = new StubDecoder
+        val it = rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val id = r.getAs[Long]("doc_id")
+          if (payload == null || payload.isEmpty) Iterator.empty
+          else {
+            // stub "container index": one frame per 8 payload bytes
+            val nFrames = math.max(1L, payload.length / 8L)
+            (0L until nFrames by stride.toLong).iterator.map { i =>
+              val b = payload(((i * 8) % payload.length).toInt) & 0xff
+              Row(id, i, i * 1000L / fps,
+                f"$b%02x${payload.length}%08x$i%04x")
+            }
+          }
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h && !dec.closed) dec.close(); h }
+          def next(): Row = it.next()
+        }
+      }
+    spark.createDataFrame(out, framesSchema)
+  }
 }

@@ -1452,6 +1452,37 @@ object QueriesLlm {
       ).orderBy("doc_id")
     },
 
+    // ------- multimodal frame sampling: partition-wise decoder flatMap
+    "q_llm_multimodal_frames" -> { (s, d) =>
+      // video-like payloads sampled every 4th frame through the
+      // partition-wise decoder lifecycle (MultimodalOps.sampleFrames —
+      // the flatMap row-explosion shape a clip-sampling pipeline needs,
+      // one decoder per partition). The oracle reproduces the stub
+      // container math (frames = bytes/8, stride ceil) from
+      // octet_length alone, so the driver row checks the REAL pipeline
+      // output, not a parallel reimplementation.
+      val src = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      graft.ops.MultimodalOps.sampleFrames(src, stride = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          max(col("frame_ts_ms")).as("last_frame_ts_ms"))
+        .orderBy("doc_id")
+    },
+
+    // ----------- multimodal resize planning: pure-projection dimensions
+    "q_llm_multimodal_resize" -> { (s, d) =>
+      // decode (partition-wise stub) -> aspect-preserving fit inside a
+      // 32px box, integer-exact rational scale (MultimodalOps.resizePlan)
+      // — zero shuffle below the ORDER BY; a real pipeline swaps the
+      // dimension arithmetic for the codec's resample call
+      val decoded = graft.ops.MultimodalOps.decodeDocuments(s, d)
+      graft.ops.MultimodalOps.resizePlan(decoded, maxSide = 32)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"))
+        .orderBy("doc_id")
+    },
+
     // --------------- copy detection: docs sharing winnowing fingerprints
     "q_llm_copy_detect" -> { (s, d) =>
       // Winnowing's guarantee (Schleimer et al., SIGMOD'03): any shared
@@ -2201,6 +2232,32 @@ object QueriesLlm {
     "q_llm_multimodal_cols" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest, " +
        "'text/plain' AS mime, n_chars FROM documents ORDER BY doc_id"),
+
+    // reproduces the stub container math (frames = bytes/8, stride-4
+    // ceil, ts = idx*1000//25) from octet_length alone — the Spark side
+    // is the REAL partition-wise sampleFrames pipeline, not arithmetic
+    "q_llm_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |             greatest(1, octet_length(encode(text)) // 8) AS nf
+        |           FROM documents WHERE octet_length(encode(text)) >= 1)
+        |SELECT doc_id,
+        |  CAST((nf - 1) // 4 + 1 AS BIGINT) AS n_frames_sampled,
+        |  CAST(((nf - 1) // 4) * 4 * 1000 // 25 AS BIGINT) AS last_frame_ts_ms
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the stub decoder's header parse (dims from byte 0 and byte len/2)
+    // + the aspect-fit rational, stated in SQL
+    "q_llm_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT doc_id,
+        |        16 + (unicode(substring(text, 1, 1)) & 63) AS w,
+        |        16 + (unicode(substring(text, len // 2 + 1, 1)) & 63) AS h
+        |      FROM b),
+        |r AS (SELECT doc_id, w, h, greatest(w, h) AS side FROM d)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CASE WHEN side <= 32 THEN w ELSE greatest(1, w * 32 // side) END AS out_width,
+        |  CASE WHEN side <= 32 THEN h ELSE greatest(1, h * 32 // side) END AS out_height
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_llm_copy_detect" -> {
       val coefList = WinnowCoefs.mkString("[", ", ", "]")

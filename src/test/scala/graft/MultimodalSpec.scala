@@ -33,6 +33,42 @@ class MultimodalSpec extends AnyFunSuite {
         .orderBy("doc_id").limit(3).collect().toSeq)
   }
 
+  test("resizePlan fits inside the box, preserves aspect via exact rationals") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val decoded = MultimodalOps.decodeDocuments(spark, "/root/testdata/sf0.001")
+    val out = MultimodalOps.resizePlan(decoded, maxSide = 32)
+    assert(out.schema == MultimodalOps.resizedSchema)
+    assert(out.count() == decoded.count())
+    val bad = out.filter(col("out_width") > 32 || col("out_height") > 32 ||
+      col("out_width") < 1 || col("out_height") < 1).count()
+    assert(bad == 0, "resize escaped the box")
+    // already-small dims pass through untouched (scale 1/1)
+    val small = out.filter(col("width") <= 32 && col("height") <= 32)
+    assert(small.filter(col("out_width") =!= col("width") ||
+      col("out_height") =!= col("height")).count() == 0)
+  }
+
+  test("sampleFrames: stride-4 count/ts math matches the stub container index") {
+    val rows = Seq(
+      Row(1L, Array.fill[Byte](80)(7)),   // 10 frames -> idx 0,4,8 sampled
+      Row(2L, Array.fill[Byte](7)(1)),    // <8 bytes -> still 1 frame
+      Row(3L, Array.emptyByteArray))      // empty -> no frames
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(2)
+    val out = MultimodalOps.sampleFrames(df, stride = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(out(1L).map(_.getLong(1)).toSeq == Seq(0L, 4L, 8L))
+    assert(out(1L).map(_.getLong(2)).toSeq == Seq(0L, 160L, 320L))
+    assert(out(2L).map(_.getLong(1)).toSeq == Seq(0L))
+    assert(!out.contains(3L))
+    // deterministic digests: same payload -> same digest on re-run
+    val again = MultimodalOps.sampleFrames(df, stride = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(out(1L).map(_.getString(3)).toSeq == again(1L).map(_.getString(3)).toSeq)
+  }
+
   test("decodePayloads works on an arbitrary binary+meta frame (many partitions)") {
     val rows = (0L until 100L).map(i =>
       Row(i, s"payload-$i".getBytes("UTF-8"), Row("image/fake", i)))
