@@ -615,6 +615,46 @@ object QueriesRelational {
         .filter(col("rn") <= 2)
         .orderBy("o_custkey", "rn")
     },
+    "q_ts_sessionize" -> { (s, d) =>
+      // batch sessionization (the session_window streaming op's batch
+      // twin): per user, a new session starts when the gap since the
+      // previous event exceeds 30 min; emit per-session event counts and
+      // exact micro-resolution durations. Shape: one lag window + one
+      // running-sum window, both PARTITIONED BY USER (parallel across
+      // users, no global sort), then a per-session aggregate — the
+      // standard product-analytics pipeline at any scale. All gap math
+      // rides unix_micros longs (exact; interval arithmetic rounds).
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = 1800L * 1000000L
+      Tables.t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts").cast(TimestampType)).as("us"))
+        .withColumn("is_new",
+          when(col("us") - lag(col("us"), 1).over(wOrd) > gapUs || lag(col("us"), 1).over(wOrd).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast(LongType).as("dur_s"))
+        .orderBy("user_id", "session_seq")
+    },
+    "q_ts_retention" -> { (s, d) =>
+      // weekly cohort retention: users bucketed by first-seen week,
+      // counted in every week they return — the product-analytics
+      // retention triangle. Two user-level aggregates + a user-key join:
+      // at 100 TB the per-(user, week) distinct and the per-user min are
+      // both map-side combined and user-count-sized, never event-sized
+      // past the first aggregate.
+      val ev = Tables.t(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"), col("wk").as("activity_week"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "activity_week")
+    },
     "q_ts_gapfill" -> { (s, d) =>
       // time-series resample + gap-fill: hourly totals per event type on a
       // COMPLETE hour grid, empty hours forward-filled from the last
@@ -974,6 +1014,27 @@ object QueriesRelational {
       ("SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER " +
        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
        "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"),
+    "q_ts_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |        CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_ts_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT f.cohort_week, a.wk AS activity_week, count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ts_gapfill" ->
       """WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |               count(*) AS n_events, sum(CAST(value AS DECIMAL(18,4))) AS sv

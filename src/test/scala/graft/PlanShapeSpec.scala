@@ -209,6 +209,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "chunk explode missing from the plan")
   }
 
+  test("r9: sessionize windows partition by user — never a single-partition sort") {
+    val p = plan("q_ts_sessionize")
+    assert(p.contains("Window"), "sessionize lost its windows")
+    assert(!p.contains("SinglePartition"),
+      s"sessionize planned a single-partition window:\n${p.take(3000)}")
+  }
+
+  test("r9: retention joins user-level aggregates — no cartesian") {
+    val p = plan("q_ts_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "retention planned a cartesian")
+  }
+
   test("r9: gapfill joins the grid to the AGGREGATE, never re-shuffling raw events") {
     val p = plan("q_ts_gapfill")
     // the left join's probe side is the hours×types aggregate (tiny at any
