@@ -934,7 +934,13 @@ object StatementRouter {
     // both are inclusive-bounds integer ranges in list position; the
     // table-function position (`FROM generate_series(...)`) differs and
     // fails loudly at the engine rather than silently changing shape
-    "generate_series" -> "sequence")
+    "generate_series" -> "sequence",
+    // DuckDB's argmax family: arg_max(val, key) == Spark max_by(val, key)
+    // (both return the val of the max non-NULL key)
+    "arg_max" -> "max_by",
+    "arg_min" -> "min_by",
+    "argmax"  -> "max_by",
+    "argmin"  -> "min_by")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>

@@ -509,6 +509,15 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT current_setting('nope')")
   }
 
+  test("r9: arg_max family renames to max_by/min_by, literal-masked") {
+    assert(rewriteDialect("SELECT arg_max(val, ts), ARG_MIN(val, ts) FROM t GROUP BY k") ==
+      "SELECT max_by(val, ts), min_by(val, ts) FROM t GROUP BY k")
+    assert(rewriteDialect("SELECT argmax(a, b) FROM t") == "SELECT max_by(a, b) FROM t")
+    // inside a string literal the name must survive verbatim
+    assert(rewriteDialect("SELECT 'use arg_max(x, y)' AS hint FROM t") ==
+      "SELECT 'use arg_max(x, y)' AS hint FROM t")
+  }
+
   test("r9: EXPORT/IMPORT DATABASE classify with and without FORMAT") {
     assert(StatementRouter.classify("EXPORT DATABASE '/tmp/bk'") ==
       StatementRouter.ExportDb("/tmp/bk", None))
