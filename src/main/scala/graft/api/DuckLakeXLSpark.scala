@@ -407,7 +407,8 @@ class DuckLakeXLSpark(
           last = Some(spark.createDataFrame(
             lines.map(Row(_)).asJava,
             StructType(Seq(StructField("plan", StringType, false)))))
-        case StatementRouter.Select(q) => last = Some(spark.sql(rewriteSelect(q)))
+        case StatementRouter.Select(q) =>
+          last = Some(metadataCountStar(q).getOrElse(spark.sql(rewriteSelect(q))))
       }
       // `ducklake_snapshot_changes` audit trail: label every snapshot the
       // statement produced (a CTAS makes two: create + insert)
@@ -2276,6 +2277,39 @@ class DuckLakeXLSpark(
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  private val CountStarRe =
+    """(?is)^\s*SELECT\s+count\s*\(\s*\*\s*\)\s*(?:AS\s+("?\w+"?)\s*)?FROM\s+([\w\.\"]+)\s*;?\s*$""".r
+
+  /** Metadata-only `SELECT count(*) FROM <lake table>`: the catalog
+    * already holds exact per-file record counts (plus one row per
+    * inlined record), so a bare count answers from the METADATA PLANE —
+    * zero Spark jobs, zero bytes scanned. At 100 TB this is the
+    * difference between an instant answer and a full-corpus scan, and it
+    * is exactly what the reference's engine does with its own
+    * ducklake_data_file counts. Bails to the real scan (returns None)
+    * for anything but the bare shape — predicates, grouping, aliases on
+    * the table, time travel — and for tables with live merge-on-read
+    * positional deletes (foreign-written delete files), where deletion
+    * overlap makes the arithmetic unsafe. The column is named exactly as
+    * the scan path would name it, so the shortcut is indistinguishable.
+    */
+  private def metadataCountStar(q: String): Option[DataFrame] = q match {
+    case CountStarRe(alias, name) =>
+      resolveTable(name.replace("\"", "")).flatMap { t =>
+        if (state.positionalDeletes(t.tableId).nonEmpty) None
+        else {
+          val n = state.filesOf(t.tableId).map(_.recordCount).sum +
+            state.inlinedOf(t.tableId).size
+          val colName = Option(alias).map(_.stripPrefix("\"").stripSuffix("\""))
+            .getOrElse("count(1)")
+          Some(spark.createDataFrame(
+            Seq(Row(n)).asJava,
+            StructType(Seq(StructField(colName, LongType, nullable = false)))))
+        }
+      }
+    case _ => None
   }
 
   /** `EXPORT DATABASE 'dir' [(FORMAT fmt)]` — DuckDB's whole-lake backup

@@ -402,4 +402,25 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     val after = spark.catalog.listTables().filter("name like '__file_%'").count()
     assert(after == before, s"__file_ views leaked: $before -> $after")
   }
+
+  test("r9: bare count(*) answers from catalog metadata — zero scan") {
+    val (lake, _, data) = freshLake()
+    lake.sql("CREATE TABLE ct(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO ct VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    lake.sql("DELETE FROM ct WHERE id = 3")
+    assert(lake.sql("SELECT count(*) FROM ct").head().getLong(0) == 3)
+    val aliased = lake.sql("SELECT count(*) AS n FROM ct")
+    assert(aliased.columns.toSeq == Seq("n") && aliased.head().getLong(0) == 3)
+    // the scan path names the bare column count(1) — the shortcut must too
+    assert(lake.sql("SELECT count(*) FROM ct").columns.toSeq == Seq("count(1)"))
+    // decisive proof it is metadata-plane: remove the parquet behind the
+    // table; the bare count still answers, a predicate count cannot
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(data)).iterator().asScala.toSeq.reverse
+      .filter(_.toString.endsWith(".parquet")).foreach(Files.deleteIfExists(_))
+    assert(lake.sql("SELECT count(*) FROM ct").head().getLong(0) == 3)
+    assertThrows[Exception] {
+      lake.sql("SELECT count(*) FROM ct WHERE id > 1").collect()
+    }
+  }
 }
