@@ -1732,6 +1732,17 @@ object StatementRouter {
       case _ => None
     }
 
+  /** `strptime(s, '%fmt')` — the parse twin of strftime — rides the same
+    * directive translation into Spark's to_timestamp (date_format and
+    * to_timestamp share one pattern dialect)
+    */
+  private def rewriteStrptime(q: String): String =
+    rewriteCalls(q, "strptime") {
+      case Seq(s, fmt) => quotedLiteral(fmt).map(f =>
+        s"to_timestamp($s, '${strftimeToJava(f).replace("'", "''")}')")
+      case _ => None
+    }
+
   /** date_diff('day', a, b) -> datediff(b, a): identical semantics
     * (midnight-boundary count). Other parts differ between the engines'
     * boundary-count vs complete-unit conventions — left to error loudly.
@@ -1968,6 +1979,7 @@ object StatementRouter {
     // string literal must survive verbatim
     q = rewriteSimilarTo(q)
     q = rewriteStrftime(q)
+    q = rewriteStrptime(q)
     q = rewriteDateDiff(q)
     q = rewriteStringSplit(q)
     // struct_pack(a := 1) -> named_struct('a', 1) — before the brace

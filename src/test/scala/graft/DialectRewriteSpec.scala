@@ -509,6 +509,14 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT current_setting('nope')")
   }
 
+  test("r9: strptime parses through the shared strftime directive translation") {
+    assert(rewriteDialect("SELECT strptime(s, '%Y-%m-%d %H:%M:%S') FROM t") ==
+      "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    // dynamic format -> untouched, fails loudly at the engine
+    val dyn = "SELECT strptime(s, fmt) FROM t"
+    assert(rewriteDialect(dyn) == dyn)
+  }
+
   test("r9: arg_max family renames to max_by/min_by, literal-masked") {
     assert(rewriteDialect("SELECT arg_max(val, ts), ARG_MIN(val, ts) FROM t GROUP BY k") ==
       "SELECT max_by(val, ts), min_by(val, ts) FROM t GROUP BY k")
