@@ -1213,6 +1213,32 @@ object QueriesLlm {
         .orderBy("split")
     },
 
+    // ---------- leakage-free split: near-dup clusters stay in ONE split
+    "q_llm_split_leakfree" -> { (s, d) =>
+      // hash-splitting by doc key leaks evaluation data: two near-dup
+      // docs can land in train AND test, and the model is then scored on
+      // (a clone of) its own training data. The leak-free split hashes
+      // the CLUSTER representative instead — every member of a near-dup
+      // cluster (connected components over the verified MinHash pairs,
+      // the same [[ccLabels]] pipeline) shares a split key, unclustered
+      // docs hash their own id. Same 80/10/10 arithmetic as q_llm_split;
+      // the label join is output-sized (clustered docs only).
+      val labels = ccLabels(s,
+        minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+          .select("a", "b"))
+      val keyed = Tables.t(s, d, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("split_key"))
+      val bucket = conv(substring(md5(col("split_key").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100
+      keyed
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // --------------- weighted per-source sampling (domain mixing weights)
     "q_llm_sample_weighted" -> { (s, d) =>
       // keep rate per source: the same deterministic bucket compared to a
@@ -2082,6 +2108,25 @@ object QueriesLlm {
         |  FROM (SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
         |        FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_llm_split_leakfree" -> {
+      val pairsSql = sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold)
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(doc, root) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+         |lab AS (SELECT doc AS doc_id, min(root) AS label FROM reach GROUP BY doc),
+         |keyed AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS split_key
+         |          FROM documents d LEFT JOIN lab l USING (doc_id))
+         |SELECT doc_id, split_key,
+         |  CASE WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    },
 
     "q_llm_sample_weighted" ->
       """SELECT source, count(*) AS kept FROM (

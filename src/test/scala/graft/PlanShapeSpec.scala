@@ -231,6 +231,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), "forward-fill window missing")
   }
 
+  test("r9: leak-free split joins output-sized labels — no cartesian") {
+    val p = plan("q_llm_split_leakfree")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "leak-free split planned a cartesian")
+  }
+
   test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
     val p = plan("q_llm_dedup_keep_best")
     assert(!p.contains("Window"),

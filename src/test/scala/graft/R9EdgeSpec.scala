@@ -75,6 +75,27 @@ class R9EdgeSpec extends AnyFunSuite {
     assert(out == Map(4L -> "exact_dup", 8L -> "near_dup", 12L -> "novel"), out.toString)
   }
 
+  test("leak-free split: near-dup cluster members land in the SAME split") {
+    val base = ("the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles carefully carry heavy wooden crates across narrow bridges " +
+      "during long summer afternoons in quiet mountain villages near deep lakes")
+    // ids chosen so a doc-id hash split WOULD separate them; the cluster
+    // key must glue them back together
+    val d = corpus(Seq(
+      (1L, base, "en", "s"),
+      (2L, base.replace("turtles", "tortoises"), "en", "s"),
+      (3L, base.replace("fox", "wolf"), "en", "s"),
+      (9L, "unrelated standalone document about compilers and garbage collection", "en", "s")))
+    val rows = run("q_llm_split_leakfree", d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clustered = rows.filter(r => Set(1L, 2L, 3L).contains(r._1))
+    assert(clustered.length == 3)
+    assert(clustered.map(_._2).distinct.length == 1, s"split keys differ: $clustered")
+    assert(clustered.map(_._3).distinct.length == 1, s"splits differ: $clustered")
+    val solo = rows.find(_._1 == 9L).get
+    assert(solo._2 == 9L, "unclustered doc must hash its own id")
+  }
+
   test("sessionize: single event per user is one zero-duration session") {
     // runs on the real fixtures' schema via the events table — build inline
     val s = spark
