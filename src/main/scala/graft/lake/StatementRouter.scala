@@ -1982,6 +1982,22 @@ object StatementRouter {
     q = rewriteStrptime(q)
     q = rewriteDateDiff(q)
     q = rewriteStringSplit(q)
+    // DuckDB's in-parens null treatment `lag(x IGNORE NULLS)` -> Spark's
+    // after-call `lag(x) IGNORE NULLS` (lead / first/last_value /
+    // nth_value ride the same rewrite; RESPECT NULLS is the no-op twin).
+    // GROUP BY ALL / ORDER BY ALL / TRY_CAST need no rewrite — Spark 4
+    // parses them natively with DuckDB's semantics (q_lake_dialect12).
+    for (fn <- Seq("lag", "lead", "first_value", "last_value", "nth_value",
+        "first", "last", "any_value")) {
+      val nullsRe = "(?is)^(.*?)\\s+(IGNORE|RESPECT)\\s+NULLS\\s*$".r
+      q = rewriteCalls(q, fn) { args =>
+        args.lastOption.collect {
+          case nullsRe(head, kw) =>
+            fn + "(" + (args.init :+ head.trim).mkString(", ") +
+              s") ${kw.toUpperCase(java.util.Locale.ROOT)} NULLS"
+        }
+      }
+    }
     // struct_pack(a := 1) -> named_struct('a', 1) — before the brace
     // literals so both spellings land on the same Spark function
     q = rewriteCalls(q, "struct_pack") { args =>

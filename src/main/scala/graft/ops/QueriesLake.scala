@@ -527,6 +527,24 @@ object QueriesLake {
            |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
            |ORDER BY c.id""".stripMargin)
     },
+    // r9 wave 2: the lazy-typist surface DuckDB users reach for first —
+    // GROUP BY ALL (group on every non-aggregate select item), ORDER BY
+    // ALL, TRY_CAST (NULL on conversion failure, never an error), and
+    // the in-parens null treatment `lag(x IGNORE NULLS)` (Spark wants
+    // the clause AFTER the call — the router relocates it)
+    "q_lake_dialect12" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d12(id INTEGER, g VARCHAR, v VARCHAR, x INTEGER);
+          |INSERT INTO d12 VALUES (1,'a','7',10),(2,'a','z',NULL),(3,'b','9',30),(4,'b','4',NULL)""".stripMargin)
+      lake.sql(
+        """SELECT d.id, d.g, lag(d.x IGNORE NULLS) OVER (ORDER BY d.id) AS prev_x,
+          |       a.n, a.sv
+          |FROM d12 d JOIN (SELECT g, count(*) AS n,
+          |                        sum(TRY_CAST(v AS INTEGER)) AS sv
+          |                 FROM d12 GROUP BY ALL) a ON a.g = d.g
+          |ORDER BY ALL""".stripMargin)
+    },
     // r8 wave 2: the PRAGMAs a DuckDB user reads output from — show_tables
     // lists, table_info('t') gives the sqlite-style column rows
     "q_lake_pragma" -> { (s, _) =>
@@ -742,6 +760,11 @@ object QueriesLake {
        "  ON n.n_nationkey = c.id " +
        "LEFT JOIN (VALUES (1,'x'),(2,'y')) j(id, tag) ON j.id = c.id " +
        "ORDER BY c.id"),
+    "q_lake_dialect12" ->
+      ("SELECT CAST(id AS INTEGER) AS id, g, CAST(prev_x AS INTEGER) AS prev_x, " +
+       "CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv FROM (VALUES " +
+       "(1,'a',NULL,2,7),(2,'a',10,2,7),(3,'b',10,2,13),(4,'b',30,2,13)) " +
+       "t(id, g, prev_x, n, sv) ORDER BY id"),
     "q_lake_pragma" ->
       ("SELECT CAST(cid AS BIGINT) AS cid, name, type, \"notnull\", " +
        "CAST(dflt_value AS VARCHAR) AS dflt_value, pk FROM (VALUES " +

@@ -180,6 +180,20 @@ object QueriesLlm {
   /** top-k n-grams kept per language (vocab/tokenizer QA) */
   private val NgramTopK = 5
 
+  /** segment dedup: words per non-overlapping segment — the fixture's
+    * texts carry no newlines, so fixed word windows stand in for the
+    * "lines" CCNet/RefinedWeb hash
+    */
+  private val SegW = 10
+  /** a segment present in more than this many docs is corpus-duplicated */
+  private val SegDupDf = 2
+
+  /** per-source document cap (the web-pipeline domain cap) */
+  private val DomainCap = 20
+
+  /** mixture sampling: fraction of the corpus token count to keep */
+  private val MixtureFrac = 0.5
+
   /** chunking: window width / stride in tokens (overlap = W - S) */
   private val ChunkW = 64
   private val ChunkS = 48
@@ -990,6 +1004,147 @@ object QueriesLlm {
       .union(e.select(col("v").as("doc_id"), col("v").as("label")))
       .groupBy("doc_id").agg(min("label").as("label"))
       .localCheckpoint(true)
+  }
+
+  // ---------------------------------------------- r9 factored helpers
+  // (spec-injectable corpora, same pattern as [[copyDetectPairsFromDocs]])
+
+  /** Corpus-level duplicated-passage REMOVAL (the CCNet/RefinedWeb
+    * line-dedup analog — the fixture texts have no newlines, so fixed
+    * [[SegW]]-word non-overlapping segments stand in for lines). Per doc:
+    * segment, count each segment's document frequency corpus-wide, and
+    * REWRITE the doc keeping only segments in ≤ [[SegDupDf]] docs —
+    * repeated passages (mirrored boilerplate, syndicated headers) vanish
+    * while per-doc-unique text survives. Shape: one segment explode
+    * (corpus-linear), a distinct-df aggregate (segment-vocabulary-sized),
+    * join back, and a per-DOC ordered reassembly whose buffer is bounded
+    * by the document length — never corpus-sized state.
+    * `docs` = (doc_id, nt normalized text).
+    */
+  private[ops] def segmentDedupFromDocs(docs: DataFrame): DataFrame = {
+    val nseg = ceil(size(col("ws")).cast(DoubleType) / SegW).cast(IntegerType)
+    val segs = docs
+      .select(col("doc_id"), split(col("nt"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), nseg), i =>
+          struct(i.as("seg_idx"),
+            concat_ws(" ",
+              slice(col("ws"), (i - 1) * SegW + lit(1), lit(SegW))).as("seg")))).as("sg"))
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
+    val dfreq = segs.select("doc_id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+    val keep = col("df") <= SegDupDf
+    segs.join(dfreq, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(keep, struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("clean"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        length(col("clean")).cast(LongType).as("clean_len"),
+        substring(md5(col("clean")), 1, 16).as("clean_digest"))
+  }
+
+  /** Per-source document cap (the standard web-pipeline domain cap: no
+    * single domain may dominate the corpus). The keep-set per source is
+    * chosen by deterministic md5 rank INSIDE the aggregate
+    * ([[graft.functions.BoundedTopK]], buffers ≤ cap by construction), so
+    * a billion-doc domain costs one partial-agg shuffle of ≤ cap rows per
+    * (partition, source) — never the per-source end-to-end sort the
+    * `row_number()` window spelling pays. Verdicts come from a BROADCAST
+    * join against the keep-sets (sources × cap rows — MBs at any corpus
+    * scale). `docs` = (doc_id, source).
+    */
+  private[ops] def domainCapFromDocs(docs: DataFrame, cap: Int): DataFrame = {
+    val withH = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast(StringType)).as("hx"))
+    val keep = withH.groupBy("source")
+      .agg(graft.functions.BoundedCollect.boundedTopKCol(
+        col("hx"), col("doc_id"), cap).as("picked"))
+      .select(explode(col("picked")).as("doc_id"), lit(1L).as("k"))
+    withH.join(broadcast(keep), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("k"), lit(0L)).as("kept"))
+  }
+
+  /** Token-budget mixture sampling: allot `frac` of the corpus's tokens
+    * across sources by fixed quality weights (4-char sources — src0-src9 —
+    * weigh 2×), then within each source admit docs in deterministic md5
+    * order until the source's budget is spent. The scale design is
+    * TWO-LEVEL: docs hash into 256 rank-buckets (the 2-hex-char md5
+    * prefix — bucket order IS hash-order prefix order), bucket token sums
+    * cumulate in a sources×256-row plane, and only the ONE boundary
+    * bucket per source (budget falls inside it) ranks its members with a
+    * window — every other bucket resolves keep/drop wholesale. Sorting
+    * touches ~1/256 of the corpus; the window spelling the oracle states
+    * would sort all of it. Returns per-doc verdicts
+    * (doc_id, source, tok, kept). `docs` = (doc_id, source, nt).
+    */
+  /** (source, budget): `frac` of the corpus tokens, allotted across
+    * sources proportionally to the fixed quality weights. Sources-sized
+    * — every term broadcasts. The float chain (wt/wsum * ctot * frac,
+    * left-assoc, floor) is stated identically in the oracle SQL so both
+    * engines compute the same IEEE doubles.
+    */
+  private[ops] def mixtureBudgets(docs: DataFrame, frac: Double): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), size(split(col("nt"), " ")).cast(LongType).as("tok"))
+      .groupBy("source").agg(sum(col("tok")).as("tok_total"))
+      .withColumn("wt",
+        when(length(col("source")) === 4, lit(2.0)).otherwise(lit(1.0)))
+    val tot = bySrc.agg(sum("wt").as("wsum"), sum("tok_total").as("ctot"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(col("wt") / col("wsum") * col("ctot") * frac)
+          .cast(LongType).as("budget"))
+  }
+
+  private[ops] def mixtureVerdictsFromDocs(docs: DataFrame, frac: Double): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("nt"), " ")).cast(LongType).as("tok"),
+        md5(col("doc_id").cast(StringType)).as("hx"))
+      .withColumn("bk", substring(col("hx"), 1, 2))
+    val budgets = mixtureBudgets(docs, frac)
+    val wB = Window.partitionBy("source").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = base.groupBy("source", "bk").agg(sum("tok").as("btok"))
+      .withColumn("off_end", sum(col("btok")).over(wB))
+      .withColumn("off_start", col("off_end") - col("btok"))
+      .join(budgets, "source")
+      .select(col("source"), col("bk"), col("off_start"), col("off_end"), col("budget"))
+    val tagged = base.join(broadcast(offs), Seq("source", "bk"))
+    val fullKeep = tagged.filter(col("off_end") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("tok"), lit(1L).as("kept"))
+    // tok >= 1 always (split('') = ['']), so off_start >= budget means the
+    // bucket's FIRST member already lands past the budget — drop wholesale
+    val fullDrop = tagged.filter(col("off_start") >= col("budget"))
+      .select(col("doc_id"), col("source"), col("tok"), lit(0L).as("kept"))
+    val wD = Window.partitionBy("source", "bk").orderBy("hx", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = tagged
+      .filter(col("off_start") < col("budget") && col("off_end") > col("budget"))
+      .withColumn("cum", col("off_start") + sum(col("tok")).over(wD))
+      .select(col("doc_id"), col("source"), col("tok"),
+        when(col("cum") <= col("budget"), 1L).otherwise(0L).as("kept"))
+    fullKeep.unionByName(fullDrop).unionByName(boundary)
+  }
+
+  /** the window-cumsum reference spelling of [[mixtureVerdictsFromDocs]]
+    * — spec-only (Round9PipelineSpec proves the bucketed plan emits the
+    * identical verdict set); the oracle SQL states this same shape
+    */
+  private[ops] def mixtureVerdictsReference(docs: DataFrame, frac: Double): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("nt"), " ")).cast(LongType).as("tok"),
+      md5(col("doc_id").cast(StringType)).as("hx"))
+    val budgets = mixtureBudgets(docs, frac)
+    val w = Window.partitionBy("source").orderBy("hx", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum", sum(col("tok")).over(w))
+      .join(budgets, "source")
+      .select(col("doc_id"), col("source"), col("tok"),
+        when(col("cum") <= col("budget"), 1L).otherwise(0L).as("kept"))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -1879,6 +2034,46 @@ object QueriesLlm {
           size(chunk).cast(LongType).as("n_chunk_tokens"),
           substring(md5(concat_ws(" ", chunk)), 1, 16).as("digest"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // ------- duplicated-passage removal (the CCNet line-dedup analog)
+    "q_llm_segment_dedup" -> { (s, d) =>
+      // see [[segmentDedupFromDocs]]: segment df across the corpus,
+      // rewrite each doc dropping segments found in > SegDupDf docs
+      segmentDedupFromDocs(
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), normText(col("text")).as("nt")))
+        .orderBy("doc_id")
+    },
+
+    // ------------------- per-source cap (the web-pipeline domain cap)
+    "q_llm_domain_cap" -> { (s, d) =>
+      // see [[domainCapFromDocs]]: top-cap keep-set per source INSIDE
+      // the aggregate (BoundedTopK), verdicts via broadcast join —
+      // never a per-source sort (Round9PipelineSpec asserts no Window)
+      domainCapFromDocs(
+        Tables.t(s, d, "documents").select(col("doc_id"), col("source")),
+        DomainCap)
+        .orderBy("doc_id")
+    },
+
+    // ------------- token-budget mixture sampling across sources
+    "q_llm_mixture_sample" -> { (s, d) =>
+      // see [[mixtureVerdictsFromDocs]]: per-source token budgets from
+      // fixed quality weights, docs admitted in md5 order until spent;
+      // two-level bucket design sorts only the boundary bucket. Output
+      // is the per-source mixture report.
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"), normText(col("text")).as("nt"))
+      mixtureVerdictsFromDocs(docs, MixtureFrac)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          sum("tok").as("tok_total"),
+          sum(when(col("kept") === 1L, col("tok")).otherwise(0L)).as("tok_kept"))
+        .join(mixtureBudgets(docs, MixtureFrac), "source")
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tok_total"), col("tok_kept"), col("budget"))
+        .orderBy("source")
     }
   )
 
@@ -2493,6 +2688,63 @@ object QueriesLlm {
          |       CAST(least(i * $ChunkS + $ChunkW, len(ws)) AS BIGINT))) AS BIGINT) AS n_chunk_tokens,
          |  substring(md5(array_to_string(list_slice(ws, CAST(i * $ChunkS + 1 AS BIGINT),
          |       CAST(least(i * $ChunkS + $ChunkW, len(ws)) AS BIGINT)), ' ')), 1, 16) AS digest
-         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_llm_segment_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |              FROM documents),
+         |segs AS (SELECT doc_id, i AS seg_idx,
+         |           array_to_string(list_slice(ws, (i-1)*$SegW + 1, (i-1)*$SegW + $SegW), ' ') AS seg
+         |         FROM (SELECT doc_id, ws,
+         |                 unnest(range(1, CAST(ceil(len(ws) / CAST($SegW AS DOUBLE)) AS BIGINT) + 1)) AS i
+         |               FROM docs)),
+         |df AS (SELECT seg, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_segs,
+         |       CAST(sum(CASE WHEN df <= $SegDupDf THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(length(coalesce(string_agg(CASE WHEN df <= $SegDupDf THEN seg END, ' ' ORDER BY seg_idx), '')) AS BIGINT) AS clean_len,
+         |       substring(md5(coalesce(string_agg(CASE WHEN df <= $SegDupDf THEN seg END, ' ' ORDER BY seg_idx), '')), 1, 16) AS clean_digest
+         |FROM segs JOIN df USING (seg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the twin states the WINDOW spelling of the per-source cap —
+    // semantically identical to the Spark side's bounded-buffer
+    // aggregate (BoundedTopK ranks by the same (md5, doc_id) order)
+    "q_llm_domain_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+         |           FROM documents)
+         |SELECT doc_id, source,
+         |       CAST(CASE WHEN rnk <= $DomainCap THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the twin states the per-source window-cumsum spelling; the Spark
+    // side's two-level bucket plan emits the identical verdict set
+    // (Round9PipelineSpec proves the equivalence) while sorting only the
+    // boundary bucket
+    "q_llm_mixture_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+         |             md5(CAST(doc_id AS VARCHAR)) AS hx
+         |           FROM documents),
+         |s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS tok_total, count(*) AS n_docs,
+         |             CAST(CASE WHEN length(source) = 4 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS wt
+         |      FROM d GROUP BY source),
+         |b AS (SELECT source, n_docs, tok_total,
+         |             CAST(floor(wt / sum(wt) OVER () * sum(tok_total) OVER () * CAST($MixtureFrac AS DOUBLE)) AS BIGINT) AS budget
+         |      FROM s),
+         |c AS (SELECT doc_id, source, tok,
+         |             sum(tok) OVER (PARTITION BY source ORDER BY hx ASC, doc_id ASC
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT c.source, b.n_docs,
+         |       CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       b.tok_total,
+         |       CAST(sum(CASE WHEN cum <= budget THEN tok ELSE 0 END) AS BIGINT) AS tok_kept,
+         |       b.budget
+         |FROM c JOIN b ON c.source = b.source
+         |GROUP BY c.source, b.n_docs, b.tok_total, b.budget
+         |ORDER BY c.source""".stripMargin
   )
 }

@@ -24,6 +24,18 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(q) == q)
   }
 
+  test("in-parens IGNORE/RESPECT NULLS relocates after the window call") {
+    assert(rewriteDialect("SELECT lag(x IGNORE NULLS) OVER (ORDER BY id) FROM t") ==
+      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY id) FROM t")
+    assert(rewriteDialect("SELECT lead(x, 2 ignore nulls) OVER w FROM t") ==
+      "SELECT lead(x, 2) IGNORE NULLS OVER w FROM t")
+    assert(rewriteDialect("SELECT last_value(v RESPECT NULLS) OVER w FROM t") ==
+      "SELECT last_value(v) RESPECT NULLS OVER w FROM t")
+    // plain calls and literals are untouched
+    val q = "SELECT lag(x) OVER w, 'lag(x IGNORE NULLS)' AS s FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
   test("* REPLACE becomes EXCEPT + recomputed columns") {
     assert(rewriteDialect("SELECT * REPLACE (price * 2 AS price) FROM t") ==
       "SELECT * EXCEPT (price), price * 2 AS price FROM t")
