@@ -336,6 +336,7 @@ class DuckLakeXLSpark(
           registerViews()
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
         case s: StatementRouter.Merge         => executeMerge(s); registerViews()
+        case s: StatementRouter.InsertOnConflict => executeUpsert(s); registerViews()
         case s: StatementRouter.Update        => executeUpdate(s); registerViews()
         case s: StatementRouter.DropTable     => executeDrop(s); registerViews()
         case s: StatementRouter.AlterTable    => executeAlter(s); registerViews()
@@ -434,6 +435,7 @@ class DuckLakeXLSpark(
     case s: StatementRouter.Delete        => s"deleted_from_table:${s.table}"
     case s: StatementRouter.Update        => s"updated_table:${s.table}"
     case s: StatementRouter.Merge         => s"merged_into_table:${s.table}"
+    case s: StatementRouter.InsertOnConflict => s"merged_into_table:${s.table}"
     case s: StatementRouter.DropTable     => s"dropped_table:${s.name}"
     case s: StatementRouter.AlterTable    => s"altered_table:${s.table}"
     case s: StatementRouter.CreateView    => s"created_view:${s.name}"
@@ -1644,10 +1646,22 @@ class DuckLakeXLSpark(
       cid += 1
       r
     }
+    // declared PRIMARY KEY -> a `pk` table tag (survives push/pull via
+    // ducklake_tag); feeds ON CONFLICT / OR REPLACE target resolution
+    val pkTag =
+      if (s.pk.isEmpty) Vector.empty
+      else {
+        val colSet = s.cols.map(_._1.toLowerCase).toSet
+        val missing = s.pk.filterNot(k => colSet(k.toLowerCase))
+        require(missing.isEmpty,
+          s"PRIMARY KEY names unknown column(s): ${missing.mkString(", ")}")
+        Vector(TagRow(tableId, snap, None, "pk", s.pk.mkString(",")))
+      }
     state = state.copy(
       tables = state.tables :+ TableRow(tableId, UUID.randomUUID().toString,
         snap, None, sid, bare),
       columns = state.columns ++ colRows,
+      tags = state.tags ++ pkTag,
       tableStats = state.tableStats :+ TableStatsRow(tableId, 0L))
     newSnapshot(cid, state.nextFileId)
   }
@@ -2094,6 +2108,53 @@ class DuckLakeXLSpark(
     state = ns
     state = state.copy(tableStats = bumpStats(t.tableId, added - removed))
     newSnapshot(state.nextCatalogId, fid)
+  }
+
+  /** `INSERT … ON CONFLICT` / `INSERT OR REPLACE|IGNORE` — desugars onto
+    * [[executeMerge]] (same constant-job copy-on-write shape). The
+    * conflict target is the explicit `(cols)` list or the table's
+    * declared PRIMARY KEY (`pk` tag); `EXCLUDED.x` maps to the merge
+    * source alias; OR REPLACE updates every non-key column; DO NOTHING /
+    * OR IGNORE keeps only the NOT-MATCHED insert. A source that hits the
+    * same target row twice errors via MERGE's cardinality guard — the
+    * same double-update rejection DuckDB applies.
+    */
+  private def executeUpsert(s: StatementRouter.InsertOnConflict): Unit = {
+    val t = requireTable(s.table)
+    val schema = state.schemaOf(t.tableId)
+    val names = s.cols.getOrElse(schema.fieldNames.toSeq)
+    val keys =
+      if (s.conflictCols.nonEmpty) s.conflictCols
+      else state.tagOf(t.tableId, "pk").map(_.split(",").toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT ON CONFLICT on ${s.table} needs an explicit conflict " +
+          "target list or a declared PRIMARY KEY"))
+    val badKeys = keys.filterNot(k => names.exists(_.equalsIgnoreCase(k)))
+    require(badKeys.isEmpty,
+      s"conflict target column(s) not in the insert list: ${badKeys.mkString(", ")}")
+    val srcSql = s"SELECT * FROM (${s.body}) AS __v(${names.mkString(", ")})"
+    val on = keys.map(k => s"t.$k = src.$k").mkString(" AND ")
+    val matchedSets = s.action match {
+      case StatementRouter.ConflictNothing => None
+      case StatementRouter.ConflictUpdate(sets) =>
+        // EXCLUDED.x -> the merge source; a bare-table-name prefix (how
+        // DuckDB references the target's current row) -> the target alias
+        val bare = s.table.split('.').last
+        Some(sets.map { case (c, e) =>
+          val e1 = mapOutsideQuotes(e)(
+            _.replaceAll("(?i)\\bEXCLUDED\\s*\\.", "src."))
+          (c, mapOutsideQuotes(e1)(_.replaceAll(
+            "(?i)\\b" + java.util.regex.Pattern.quote(bare) + "\\s*\\.", "t.")))
+        })
+      case StatementRouter.ConflictReplace =>
+        val nonKey = names.filterNot(n => keys.exists(_.equalsIgnoreCase(n)))
+        require(nonKey.nonEmpty,
+          "INSERT OR REPLACE: every inserted column is part of the key")
+        Some(nonKey.map(n => (n, s"src.$n")))
+    }
+    executeMerge(StatementRouter.Merge(s.table, "t", srcSql, "src", on,
+      matchedSets, matchedDelete = false,
+      notMatchedInsert = Some((Some(names), names.map(n => s"src.$n").mkString(", ")))))
   }
 
   /** per-file matching-row counts in ONE Spark job (`input_file_name`),

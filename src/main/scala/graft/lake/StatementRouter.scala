@@ -57,7 +57,8 @@ object StatementRouter {
 
   sealed trait Stmt
   final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean,
-                               orReplace: Boolean = false) extends Stmt
+                               orReplace: Boolean = false,
+                               pk: Seq[String] = Nil) extends Stmt
   final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean,
                                  orReplace: Boolean = false) extends Stmt
   /** `COPY <table | (query)> TO 'path' (FORMAT fmt)` — export, like the
@@ -172,6 +173,22 @@ object StatementRouter {
                          matchedDelete: Boolean,
                          notMatchedInsert: Option[(Option[Seq[String]], String)]) extends Stmt
 
+  /** `INSERT … ON CONFLICT` / `INSERT OR REPLACE|IGNORE` — DuckDB's
+    * upsert spellings. Desugared at execution into the [[Merge]]
+    * machinery (same copy-on-write shape): conflict target columns (or
+    * the table's declared PRIMARY KEY when omitted) become the ON
+    * condition, DO UPDATE SET becomes WHEN MATCHED (with `EXCLUDED.x`
+    * mapped to the source alias), DO NOTHING / OR IGNORE keeps only the
+    * NOT MATCHED insert, OR REPLACE updates every non-key column.
+    */
+  sealed trait ConflictAction
+  case object ConflictNothing extends ConflictAction
+  final case class ConflictUpdate(sets: Seq[(String, String)]) extends ConflictAction
+  case object ConflictReplace extends ConflictAction
+  final case class InsertOnConflict(table: String, cols: Option[Seq[String]],
+      body: String, conflictCols: Seq[String],
+      action: ConflictAction) extends Stmt
+
   /** `ATTACH 'ducklake:…' [AS name] (DATA_PATH '…')` — the reference's
     * init script runs this through DuckDB (ducklakexl.py:236); here attach
     * semantics live in the constructor, so a replayed script validates the
@@ -201,6 +218,8 @@ object StatementRouter {
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?VIEW\s+([\w\.\"]+)\s+AS\s+(.*)$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w\.\"]+)\s*(.*)$""".r
+  private val InsertOrRe =
+    """(?is)^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\s+([\w\.\"]+)\s*(.*)$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w\.\"]+)\s*(.*)$""".r
   private val UpdateRe =
@@ -501,7 +520,17 @@ object StatementRouter {
   }
 
   /** split "id INTEGER, val VARCHAR, d DECIMAL(10,2)" at top-level commas */
-  private[lake] def splitColumns(colDef: String): Seq[(String, String)] = {
+  private[lake] def splitColumns(colDef: String): Seq[(String, String)] =
+    splitColumnsPk(colDef)._1
+
+  /** column defs + declared PRIMARY KEY columns. Accepts the column-level
+    * `id INTEGER PRIMARY KEY` suffix and the table-level
+    * `PRIMARY KEY (a, b)` entry; the constraint itself is metadata (the
+    * recorded key feeds `INSERT … ON CONFLICT` / `INSERT OR REPLACE`
+    * target resolution — uniqueness is NOT enforced on insert, matching
+    * the lake's append-only write path).
+    */
+  private[lake] def splitColumnsPk(colDef: String): (Seq[(String, String)], Seq[String]) = {
     val parts = mutable.ArrayBuffer[String]()
     var depth = 0
     val cur = new StringBuilder
@@ -512,10 +541,84 @@ object StatementRouter {
       case c => cur.append(c)
     }
     if (cur.nonEmpty) parts += cur.toString
-    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
-      val sp = p.split("\\s+", 2)
-      require(sp.length == 2, s"cannot parse column definition: '$p'")
-      (sp(0).stripPrefix("\"").stripSuffix("\""), sp(1).trim)
+    val pk = mutable.ArrayBuffer[String]()
+    val PkTableRe = """(?is)^PRIMARY\s+KEY\s*\((.*)\)\s*$""".r
+    val PkColRe = """(?is)^(.*?)\s+PRIMARY\s+KEY\s*$""".r
+    val cols = parts.toSeq.map(_.trim).filter(_.nonEmpty).flatMap {
+      case PkTableRe(ks) =>
+        pk ++= ks.split(',').toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        None
+      case p =>
+        val sp = p.split("\\s+", 2)
+        require(sp.length == 2, s"cannot parse column definition: '$p'")
+        val name = sp(0).stripPrefix("\"").stripSuffix("\"")
+        val ty = sp(1).trim match {
+          case PkColRe(base) => pk += name; base.trim
+          case t => t
+        }
+        Some((name, ty))
+    }
+    (cols, pk.toSeq)
+  }
+
+  /** the optional explicit column list of an INSERT body:
+    * `(a, b) VALUES/SELECT …` → (Some(a, b), rest)
+    */
+  private def parseInsertBody(rest0: String): (Option[Seq[String]], String) = {
+    val r0 = rest0.trim
+    if (r0.startsWith("(")) {
+      val close = matchingParen(r0, 0)
+      val after = r0.drop(close + 1).trim
+      val up = after.toUpperCase
+      if (up.startsWith("VALUES") || up.startsWith("SELECT") || up.startsWith("(") || up.startsWith("WITH")) {
+        val names = r0.substring(1, close).split(',').toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        (Some(names), after)
+      } else (None, r0) // "(VALUES …)" style body, not a column list
+    } else (None, r0)
+  }
+
+  /** split an INSERT body at the first top-level `ON CONFLICT` (quote /
+    * paren aware: the phrase inside a VALUES string literal must not
+    * split; a SELECT body's `JOIN … ON cond` is skipped past). Returns
+    * (body, tail-after-CONFLICT).
+    */
+  private[lake] def splitOnConflict(s: String): Option[(String, String)] = {
+    val (pre, tailOpt) = splitTopLevelKeyword(s, "ON")
+    tailOpt.flatMap { tail =>
+      val m = """(?is)^CONFLICT\b(.*)$""".r.findFirstMatchIn(tail)
+      m match {
+        case Some(mm) => Some((pre, mm.group(1).trim))
+        case None =>
+          // a JOIN's ON — keep scanning the tail, re-joining what we ate
+          splitOnConflict(tail).map { case (b, t) => (s"$pre ON $b", t) }
+      }
+    }
+  }
+
+  /** parse `[(k1, k2)] DO NOTHING | DO UPDATE SET a = …` after CONFLICT */
+  private def parseConflictTail(t0: String): (Seq[String], ConflictAction) = {
+    var t = t0.trim
+    val keys =
+      if (t.startsWith("(")) {
+        val close = matchingParen(t, 0)
+        val ks = t.substring(1, close).split(',').toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        t = t.drop(close + 1).trim
+        ks
+      } else Nil
+    val NothingRe = """(?is)^DO\s+NOTHING\s*$""".r
+    val UpdateRe2 = """(?is)^DO\s+UPDATE\s+SET\s+(.*)$""".r
+    t match {
+      case NothingRe() => (keys, ConflictNothing)
+      case UpdateRe2(sets) =>
+        val (setsPart, where) = splitTopLevelKeyword(sets, "WHERE")
+        require(where.isEmpty,
+          "ON CONFLICT DO UPDATE ... WHERE is not supported")
+        (keys, ConflictUpdate(splitAssignments(setsPart)))
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse ON CONFLICT action: $other")
     }
   }
 
@@ -633,24 +736,25 @@ object StatementRouter {
       else {
         require(r.startsWith("(") && r.endsWith(")"),
           s"cannot parse CREATE TABLE body: $r")
-        CreateTable(qualName(name), splitColumns(r.drop(1).dropRight(1)), ifne != null, orRepl != null)
+        val (cols, pk) = splitColumnsPk(r.drop(1).dropRight(1))
+        CreateTable(qualName(name), cols, ifne != null, orRepl != null, pk)
       }
+    case InsertOrRe(mode, name, rest0) =>
+      // `INSERT OR REPLACE|IGNORE INTO` — conflict target is the table's
+      // declared PRIMARY KEY, resolved at execution
+      val (cols, r) = parseInsertBody(rest0)
+      InsertOnConflict(qualName(name), cols, r, Nil,
+        if (mode.equalsIgnoreCase("REPLACE")) ConflictReplace else ConflictNothing)
     case InsertRe(name, rest0) =>
-      val r0 = rest0.trim
-      // optional explicit column list: INSERT INTO t(a, b) VALUES/SELECT …
-      val (cols, r) =
-        if (r0.startsWith("(")) {
-          val close = matchingParen(r0, 0)
-          val after = r0.drop(close + 1).trim
-          val up = after.toUpperCase
-          if (up.startsWith("VALUES") || up.startsWith("SELECT") || up.startsWith("(") || up.startsWith("WITH")) {
-            val names = r0.substring(1, close).split(',').toSeq
-              .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-            (Some(names), after)
-          } else (None, r0) // "(VALUES …)" style body, not a column list
-        } else (None, r0)
-      if (r.toUpperCase.startsWith("VALUES")) InsertValues(qualName(name), cols, r)
-      else InsertSelect(qualName(name), cols, r)
+      val (cols, r0) = parseInsertBody(rest0)
+      splitOnConflict(r0) match {
+        case Some((body, tail)) =>
+          val (keys, action) = parseConflictTail(tail)
+          InsertOnConflict(qualName(name), cols, body, keys, action)
+        case None =>
+          if (r0.toUpperCase.startsWith("VALUES")) InsertValues(qualName(name), cols, r0)
+          else InsertSelect(qualName(name), cols, r0)
+      }
     case DeleteRe(name, rest) =>
       val (pre, where) = splitTopLevelKeyword(rest, "WHERE")
       require(pre.isEmpty, s"cannot parse DELETE tail: $pre")

@@ -527,6 +527,22 @@ object QueriesLake {
            |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
            |ORDER BY c.id""".stripMargin)
     },
+    // r9 wave 2: DuckDB's upsert spellings — INSERT ... ON CONFLICT
+    // (explicit target, DO UPDATE with EXCLUDED + target refs, DO
+    // NOTHING) and INSERT OR REPLACE resolving the declared PRIMARY KEY;
+    // all desugar onto the MERGE copy-on-write path
+    "q_lake_upsert" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE up2(id INTEGER PRIMARY KEY, v VARCHAR, n INTEGER);
+          |INSERT INTO up2 VALUES (1,'a',10),(2,'b',20),(3,'c',30)""".stripMargin)
+      lake.sql(
+        """INSERT INTO up2 VALUES (2,'B',99),(4,'d',40)
+          |  ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, n = up2.n + EXCLUDED.n;
+          |INSERT OR REPLACE INTO up2 VALUES (3,'C',33),(5,'e',50);
+          |INSERT INTO up2 VALUES (1,'z',0),(6,'f',60) ON CONFLICT (id) DO NOTHING;
+          |SELECT * FROM up2 ORDER BY id""".stripMargin)
+    },
     // r9 wave 2: the lazy-typist surface DuckDB users reach for first —
     // GROUP BY ALL (group on every non-aggregate select item), ORDER BY
     // ALL, TRY_CAST (NULL on conversion failure, never an error), and
@@ -760,6 +776,10 @@ object QueriesLake {
        "  ON n.n_nationkey = c.id " +
        "LEFT JOIN (VALUES (1,'x'),(2,'y')) j(id, tag) ON j.id = c.id " +
        "ORDER BY c.id"),
+    "q_lake_upsert" ->
+      ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
+       "(1,'a',10),(2,'B',119),(3,'C',33),(4,'d',40),(5,'e',50),(6,'f',60)) " +
+       "t(id, v, n) ORDER BY id"),
     "q_lake_dialect12" ->
       ("SELECT CAST(id AS INTEGER) AS id, g, CAST(prev_x AS INTEGER) AS prev_x, " +
        "CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv FROM (VALUES " +

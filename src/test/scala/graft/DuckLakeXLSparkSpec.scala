@@ -423,4 +423,35 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
       lake.sql("SELECT count(*) FROM ct WHERE id > 1").collect()
     }
   }
+
+  test("r9: upsert edges — PK survives reopen; no-PK errors; double-hit errors") {
+    val (lake, xlsx, data) = freshLake()
+    // table-level PRIMARY KEY spelling parses too
+    lake.sql(
+      """CREATE TABLE up(id INTEGER, g INTEGER, v VARCHAR, PRIMARY KEY (id, g));
+        |INSERT INTO up VALUES (1, 1, 'a'), (1, 2, 'b')""".stripMargin)
+    // the pk tag rides the workbook: a REOPENED lake resolves OR REPLACE
+    val lake2 = new DuckLakeXLSpark(spark, xlsx, data)
+    lake2.sql("INSERT OR REPLACE INTO up VALUES (1, 2, 'B2'), (2, 1, 'c')")
+    assert(lake2.sql("SELECT * FROM up ORDER BY id, g").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 1, "a"), (1, 2, "B2"), (2, 1, "c")))
+    // ON CONFLICT with no target and no declared PK is a loud error
+    lake2.sql("CREATE TABLE nopk(id INTEGER, v VARCHAR)")
+    val e = intercept[IllegalArgumentException] {
+      lake2.sql("INSERT INTO nopk VALUES (1,'x') ON CONFLICT DO NOTHING")
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"))
+    // a source hitting the same target row twice rides MERGE's
+    // cardinality guard (DuckDB's double-update rejection)
+    assertThrows[IllegalArgumentException] {
+      lake2.sql(
+        "INSERT INTO up VALUES (1, 1, 'x'), (1, 1, 'y') " +
+        "ON CONFLICT (id, g) DO UPDATE SET v = EXCLUDED.v")
+    }
+    // the phrase inside a VALUES string literal must not trigger the split
+    lake2.sql("INSERT INTO nopk VALUES (7, 'ON CONFLICT DO NOTHING')")
+    assert(lake2.sql("SELECT v FROM nopk WHERE id = 7").head().getString(0) ==
+      "ON CONFLICT DO NOTHING")
+  }
 }
