@@ -647,6 +647,19 @@ object StatementRouter {
       (p.take(eq).trim.stripPrefix("\"").stripSuffix("\""), p.drop(eq + 1).trim)
     }
 
+  /** the FROM/USING source of a join DML: "name [[AS] a]" | "(query) [AS] a" */
+  private def parseDmlSource(src: String): (String, String) =
+    if (src.startsWith("(")) {
+      val close = matchingParen(src, 0)
+      val a = src.drop(close + 1).trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+      require(a.nonEmpty && a.head.nonEmpty, "join-DML subquery source needs an alias")
+      (src.substring(1, close), a.head)
+    } else {
+      val toks = src.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+      val name = qualName(toks.head)
+      (s"SELECT * FROM $name", if (toks.length > 1) toks(1) else bareName(toks.head))
+    }
+
   /** parse the `USING …` tail of a MERGE (source, ON, WHEN clauses) */
   private def parseMerge(table: String, alias: String, rest0: String): Merge = {
     val (srcPart, afterOn0) = splitTopLevelKeyword(rest0, "ON")
@@ -756,12 +769,42 @@ object StatementRouter {
           else InsertSelect(qualName(name), cols, r0)
       }
     case DeleteRe(name, rest) =>
-      val (pre, where) = splitTopLevelKeyword(rest, "WHERE")
-      require(pre.isEmpty, s"cannot parse DELETE tail: $pre")
-      Delete(qualName(name), where)
+      // `DELETE FROM t USING s WHERE joincond` (DuckDB join-delete) —
+      // desugars onto MERGE (WHEN MATCHED DELETE); multi-match deletes
+      // are idempotent so no cardinality concern
+      splitTopLevelKeyword(rest, "USING") match {
+        case (pre0, Some(ut)) =>
+          require(pre0.isEmpty, s"cannot parse DELETE tail: $pre0")
+          val (srcPart, whereOpt) = splitTopLevelKeyword(ut, "WHERE")
+          val on = whereOpt.getOrElse(throw new IllegalArgumentException(
+            "DELETE ... USING needs a WHERE join condition"))
+          val (sourceSql, srcAlias) = parseDmlSource(srcPart)
+          Merge(qualName(name), bareName(name), sourceSql, srcAlias, on,
+            None, matchedDelete = true, None)
+        case _ =>
+          val (pre, where) = splitTopLevelKeyword(rest, "WHERE")
+          require(pre.isEmpty, s"cannot parse DELETE tail: $pre")
+          Delete(qualName(name), where)
+      }
     case UpdateRe(name, rest) =>
-      val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
-      Update(qualName(name), splitAssignments(setsPart), where)
+      // `UPDATE t SET … FROM s WHERE joincond` (DuckDB join-update) —
+      // desugars onto MERGE (WHEN MATCHED UPDATE); a target row matched
+      // by several source rows errors via the cardinality guard, where
+      // DuckDB/Postgres silently pick one — stricter, never wrong.
+      // EXTRACT(… FROM …)/TRIM(… FROM …) in a SET expression sit inside
+      // parens, so the top-level FROM split cannot misfire on them.
+      splitTopLevelKeyword(rest, "FROM") match {
+        case (setsPart0, Some(ft)) =>
+          val (srcPart, whereOpt) = splitTopLevelKeyword(ft, "WHERE")
+          val on = whereOpt.getOrElse(throw new IllegalArgumentException(
+            "UPDATE ... FROM needs a WHERE join condition"))
+          val (sourceSql, srcAlias) = parseDmlSource(srcPart)
+          Merge(qualName(name), bareName(name), sourceSql, srcAlias, on,
+            Some(splitAssignments(setsPart0)), matchedDelete = false, None)
+        case _ =>
+          val (setsPart, where) = splitTopLevelKeyword(rest, "WHERE")
+          Update(qualName(name), splitAssignments(setsPart), where)
+      }
     case DropRe(ife, name) => DropTable(qualName(name), ife != null)
     case AlterColTypeRe(name, colName, sqlType) =>
       AlterTable(qualName(name), AlterColumnType(

@@ -527,6 +527,21 @@ object QueriesLake {
            |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
            |ORDER BY c.id""".stripMargin)
     },
+    // r9 wave 2: join DML — UPDATE ... FROM and DELETE ... USING (the
+    // DuckDB/Postgres spellings), both desugared onto the MERGE
+    // copy-on-write path; SET expressions see target and source aliases
+    "q_lake_update_join" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE tj(id INTEGER, v VARCHAR, n INTEGER);
+          |INSERT INTO tj VALUES (1,'a',10),(2,'b',20),(3,'c',30),(4,'d',40);
+          |CREATE TABLE adj(id INTEGER, delta INTEGER);
+          |INSERT INTO adj VALUES (2, 5), (3, 7)""".stripMargin)
+      lake.sql(
+        """UPDATE tj SET n = tj.n + a.delta, v = upper(tj.v) FROM adj a WHERE tj.id = a.id;
+          |DELETE FROM tj USING adj a WHERE tj.id = a.id AND a.delta > 5;
+          |SELECT * FROM tj ORDER BY id""".stripMargin)
+    },
     // r9 wave 2: DuckDB's upsert spellings — INSERT ... ON CONFLICT
     // (explicit target, DO UPDATE with EXCLUDED + target refs, DO
     // NOTHING) and INSERT OR REPLACE resolving the declared PRIMARY KEY;
@@ -776,6 +791,9 @@ object QueriesLake {
        "  ON n.n_nationkey = c.id " +
        "LEFT JOIN (VALUES (1,'x'),(2,'y')) j(id, tag) ON j.id = c.id " +
        "ORDER BY c.id"),
+    "q_lake_update_join" ->
+      ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
+       "(1,'a',10),(2,'B',25),(4,'d',40)) t(id, v, n) ORDER BY id"),
     "q_lake_upsert" ->
       ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
        "(1,'a',10),(2,'B',119),(3,'C',33),(4,'d',40),(5,'e',50),(6,'f',60)) " +

@@ -454,4 +454,28 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     assert(lake2.sql("SELECT v FROM nopk WHERE id = 7").head().getString(0) ==
       "ON CONFLICT DO NOTHING")
   }
+
+  test("r9: join DML edges — multi-match update errors; plain DML untouched") {
+    val (lake, _, _) = freshLake()
+    lake.sql(
+      """CREATE TABLE jt(id INTEGER, n INTEGER);
+        |INSERT INTO jt VALUES (1, 10), (2, 20);
+        |CREATE TABLE js(id INTEGER, d INTEGER);
+        |INSERT INTO js VALUES (1, 1), (1, 2)""".stripMargin)
+    // two source rows hit target id=1 — the cardinality guard must fire
+    // (DuckDB/Postgres would silently pick one)
+    assertThrows[IllegalArgumentException] {
+      lake.sql("UPDATE jt SET n = jt.n + s.d FROM js s WHERE jt.id = s.id")
+    }
+    // a subquery source with dedup works, and plain UPDATE/DELETE still
+    // route through the simple path (FROM inside parens must not split)
+    lake.sql(
+      """UPDATE jt SET n = jt.n + s.md FROM
+        |  (SELECT id, max(d) AS md FROM js GROUP BY id) s WHERE jt.id = s.id;
+        |UPDATE jt SET n = n + (SELECT min(d) FROM js) WHERE id = 2""".stripMargin)
+    assert(lake.sql("SELECT * FROM jt ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 12), (2, 21)))
+    lake.sql("DELETE FROM jt USING js WHERE jt.id = js.id")
+    assert(lake.sql("SELECT id FROM jt").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
 }
