@@ -2036,6 +2036,39 @@ object QueriesLlm {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ---------------- distribution entropy: the degenerate-text signal
+    "q_llm_entropy" -> { (s, d) =>
+      // per-doc Shannon entropy of the character and word distributions —
+      // the quality signal that catches DEGENERATE text (key-mash, char
+      // floods, single-token repetition) that length/stopword gates pass.
+      // H = log2(n) - sum(c*log2 c)/n over the unit counts; the group
+      // sums are engine-order-dependent in the last ulps, so the output
+      // rounds to 4 decimals (the corpus-wide convention for DOUBLE
+      // outputs, §7.5). Shape: two corpus-LINEAR explode+count passes
+      // (each unit counted once per doc), constant state per doc above
+      // them — no corpus² anywhere; at 100 TB the char explode is the
+      // 16x-row stage a native one-pass counter would shrink, but the
+      // plan stays map-side-combined and shuffle-light either way.
+      def entropy(units: DataFrame): DataFrame =
+        units.groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n"),
+            round(log2(sum(col("c")).cast(DoubleType)) -
+              sum(col("c") * log2(col("c").cast(DoubleType))) / sum(col("c")), 4)
+              .as("h"))
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+      val ce = entropy(docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("nt"), lit("."), lit(0))).as("u")))
+      val we = entropy(docs.select(col("doc_id"),
+          explode(split(col("nt"), " ")).as("u"))
+        .filter(length(col("u")) > 0))
+      ce.select(col("doc_id"), col("n").as("n_chars_norm"),
+          col("h").as("char_entropy"))
+        .join(we.select(col("doc_id"), col("h").as("word_entropy")), "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ------- duplicated-passage removal (the CCNet line-dedup analog)
     "q_llm_segment_dedup" -> { (s, d) =>
       // see [[segmentDedupFromDocs]]: segment df across the corpus,
@@ -2689,6 +2722,26 @@ object QueriesLlm {
          |  substring(md5(array_to_string(list_slice(ws, CAST(i * $ChunkS + 1 AS BIGINT),
          |       CAST(least(i * $ChunkS + $ChunkW, len(ws)) AS BIGINT)), ' ')), 1, 16) AS digest
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_llm_entropy" ->
+      """WITH nt AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |            FROM documents),
+        |cc AS (SELECT doc_id, u, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(regexp_extract_all(nt, '.')) AS u FROM nt)
+        |       GROUP BY 1, 2),
+        |ce AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_norm,
+        |         round(log2(CAST(sum(c) AS DOUBLE)) -
+        |               sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS char_entropy
+        |       FROM cc GROUP BY 1),
+        |wc AS (SELECT doc_id, u, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS u FROM nt)
+        |       WHERE length(u) > 0 GROUP BY 1, 2),
+        |we AS (SELECT doc_id,
+        |         round(log2(CAST(sum(c) AS DOUBLE)) -
+        |               sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS word_entropy
+        |       FROM wc GROUP BY 1)
+        |SELECT ce.doc_id, ce.n_chars_norm, ce.char_entropy, we.word_entropy
+        |FROM ce JOIN we ON ce.doc_id = we.doc_id ORDER BY ce.doc_id""".stripMargin,
 
     "q_llm_segment_dedup" ->
       s"""WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
