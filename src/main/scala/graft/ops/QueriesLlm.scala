@@ -1081,54 +1081,64 @@ object QueriesLlm {
     * would sort all of it. Returns per-doc verdicts
     * (doc_id, source, tok, kept). `docs` = (doc_id, source, nt).
     */
-  /** (source, budget): `frac` of the corpus tokens, allotted across
-    * sources proportionally to the fixed quality weights. Sources-sized
-    * — every term broadcasts. The float chain (wt/wsum * ctot * frac,
-    * left-assoc, floor) is stated identically in the oracle SQL so both
-    * engines compute the same IEEE doubles.
+  /** (verdicts, budgets) — see [[mixtureVerdictsFromDocs]]. TWO corpus
+    * scans total: the bucket plane (per-(source, bucket) token sums, from
+    * which the per-source totals, weights, and budgets all derive — no
+    * separate corpus aggregate) and the verdict pass. The budget float
+    * chain (wt/wsum * ctot * frac, left-assoc, floor) is stated
+    * identically in the oracle SQL so both engines compute the same IEEE
+    * doubles.
     */
-  private[ops] def mixtureBudgets(docs: DataFrame, frac: Double): DataFrame = {
-    val bySrc = docs
-      .select(col("source"), size(split(col("nt"), " ")).cast(LongType).as("tok"))
-      .groupBy("source").agg(sum(col("tok")).as("tok_total"))
-      .withColumn("wt",
-        when(length(col("source")) === 4, lit(2.0)).otherwise(lit(1.0)))
-    val tot = bySrc.agg(sum("wt").as("wsum"), sum("tok_total").as("ctot"))
-    bySrc.crossJoin(broadcast(tot))
-      .select(col("source"),
-        floor(col("wt") / col("wsum") * col("ctot") * frac)
-          .cast(LongType).as("budget"))
-  }
-
-  private[ops] def mixtureVerdictsFromDocs(docs: DataFrame, frac: Double): DataFrame = {
+  private[ops] def mixtureCore(docs: DataFrame, frac: Double): (DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"), col("source"),
         size(split(col("nt"), " ")).cast(LongType).as("tok"),
         md5(col("doc_id").cast(StringType)).as("hx"))
       .withColumn("bk", substring(col("hx"), 1, 2))
-    val budgets = mixtureBudgets(docs, frac)
+    // the plane is provably tiny (≤ sources × 256 rows) at ANY corpus
+    // scale — materializing it once (eager localCheckpoint, the ccLabels
+    // convention) stops the totals/offsets/verdict consumers from each
+    // re-scanning the corpus through its lineage
+    val buckets = base.groupBy("source", "bk").agg(sum("tok").as("btok"))
+      .localCheckpoint(true)
+    val bySrc = buckets.groupBy("source").agg(sum(col("btok")).as("tok_total"))
+      .withColumn("wt",
+        when(length(col("source")) === 4, lit(2.0)).otherwise(lit(1.0)))
+    val tot = bySrc.agg(sum("wt").as("wsum"), sum("tok_total").as("ctot"))
+    val budgets = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(col("wt") / col("wsum") * col("ctot") * frac)
+          .cast(LongType).as("budget"))
     val wB = Window.partitionBy("source").orderBy("bk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = base.groupBy("source", "bk").agg(sum("tok").as("btok"))
+    val offs = buckets
       .withColumn("off_end", sum(col("btok")).over(wB))
       .withColumn("off_start", col("off_end") - col("btok"))
       .join(budgets, "source")
       .select(col("source"), col("bk"), col("off_start"), col("off_end"), col("budget"))
     val tagged = base.join(broadcast(offs), Seq("source", "bk"))
-    val fullKeep = tagged.filter(col("off_end") <= col("budget"))
-      .select(col("doc_id"), col("source"), col("tok"), lit(1L).as("kept"))
-    // tok >= 1 always (split('') = ['']), so off_start >= budget means the
-    // bucket's FIRST member already lands past the budget — drop wholesale
-    val fullDrop = tagged.filter(col("off_start") >= col("budget"))
-      .select(col("doc_id"), col("source"), col("tok"), lit(0L).as("kept"))
+    val isBoundary = col("off_start") < col("budget") && col("off_end") > col("budget")
+    // one branch resolves every non-boundary bucket wholesale: a fully
+    // funded bucket keeps all members, and off_start >= budget drops all
+    // (tok >= 1 always — split('') = [''] — so the bucket's first member
+    // already lands past the budget)
+    val wholesale = tagged.filter(!isBoundary)
+      .select(col("doc_id"), col("source"), col("tok"),
+        when(col("off_end") <= col("budget"), 1L).otherwise(0L).as("kept"))
     val wD = Window.partitionBy("source", "bk").orderBy("hx", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundary = tagged
-      .filter(col("off_start") < col("budget") && col("off_end") > col("budget"))
+    val boundary = tagged.filter(isBoundary)
       .withColumn("cum", col("off_start") + sum(col("tok")).over(wD))
       .select(col("doc_id"), col("source"), col("tok"),
         when(col("cum") <= col("budget"), 1L).otherwise(0L).as("kept"))
-    fullKeep.unionByName(fullDrop).unionByName(boundary)
+    (wholesale.unionByName(boundary), budgets)
   }
+
+  private[ops] def mixtureVerdictsFromDocs(docs: DataFrame, frac: Double): DataFrame =
+    mixtureCore(docs, frac)._1
+
+  /** (source, budget) — sources-sized; derives from the bucket plane */
+  private[ops] def mixtureBudgets(docs: DataFrame, frac: Double): DataFrame =
+    mixtureCore(docs, frac)._2
 
   /** the window-cumsum reference spelling of [[mixtureVerdictsFromDocs]]
     * — spec-only (Round9PipelineSpec proves the bucketed plan emits the
@@ -2098,12 +2108,13 @@ object QueriesLlm {
       // is the per-source mixture report.
       val docs = Tables.t(s, d, "documents")
         .select(col("doc_id"), col("source"), normText(col("text")).as("nt"))
-      mixtureVerdictsFromDocs(docs, MixtureFrac)
+      val (verdicts, budgets) = mixtureCore(docs, MixtureFrac)
+      verdicts
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
           sum("tok").as("tok_total"),
           sum(when(col("kept") === 1L, col("tok")).otherwise(0L)).as("tok_kept"))
-        .join(mixtureBudgets(docs, MixtureFrac), "source")
+        .join(budgets, "source")
         .select(col("source"), col("n_docs"), col("n_kept"),
           col("tok_total"), col("tok_kept"), col("budget"))
         .orderBy("source")
