@@ -119,7 +119,14 @@ object Bench {
     val partial = headlineTimed.size < Headline.size
     val metric = if (partial) "headline_partial_total" else "headline_6q_total"
     val hl = Headline.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":$headlineTotal,"unit":"sec","methodology":"warmup_v2_per_query_adjacent","partial":$partial,"queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"per-query adjacent warmup + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes, headline set first in freshest JVM state; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
+    // host-health verdict (r8 advice): BASELINE.md's settled-host floors
+    // are ~0.050/0.053 s; a floor ratio beyond ~1.3x means the host was
+    // degraded and the RAW numbers must not be compared across rounds —
+    // consumers reading only this file get the flag inline.
+    val floorRatio = ((probe / 0.050) + (probeScan / 0.053)) / 2.0
+    val degraded = floorRatio > 1.3
+    val health = s""""host_health":{"floor_ratio_vs_settled":${f"$floorRatio%.2f"},"degraded":$degraded,"settled_floor_ref":[0.050,0.053]}"""
+    val json = s"""{"metric":"$metric","value":$headlineTotal,"unit":"sec","methodology":"warmup_v2_per_query_adjacent","partial":$partial,$health,"queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"per-query adjacent warmup + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes, headline set first in freshest JVM state; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
     println(json)
     // r3 verdict #10: the driver's stdout tail cap truncated the JSON once;
     // always leave a complete copy on disk too

@@ -484,6 +484,32 @@ object QueriesLlm {
       .limit(k)
   }
 
+  // ------------------------------------------------------- PQ helpers
+  /** product quantization: M subspaces × K centroids (8×16 over the
+    * 64-dim fixture vectors — 8 4-bit codes per vector, a 64× cut vs
+    * float32 storage; the memory layout IVF-PQ engines scan)
+    */
+  private val PqM = 8
+  private val PqK = 16
+  private def pqSubDim = Dim / PqM
+
+  private def pqSub(e: Column, m: Column): Column =
+    slice(e, m * pqSubDim + lit(1), lit(pqSubDim))
+
+  /** deterministic codebook — the K lowest vec_ids' subvectors, one row
+    * per (subspace m, code): (m, code, cvec, cc = ⟨cvec,cvec⟩). M×K×D/M
+    * values total at ANY corpus scale — always broadcastable. A
+    * production build would Lloyd-iterate per subspace (the
+    * [[ivfMeanCentroids]] shape, grouped by (m, code)); the assignment
+    * plan below is unchanged by better centroids.
+    */
+  private[ops] def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast(LongType).as("code"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .select(col("m"), col("code"), pqSub(col("embedding"), col("m")).as("cvec"))
+      .withColumn("cc", dot(col("cvec"), col("cvec")))
+
   /** LSH-pruned top-k: score only vectors sharing >=1 table bucket with
     * the query (`arrays_overlap` over the per-table key arrays — for one
     * table this IS the oracle's bucket-equality filter)
@@ -1359,6 +1385,39 @@ object QueriesLlm {
       val v = ivfVecs(Tables.t(s, d, "embeddings"))
       val c1 = ivfMeanCentroids(ivfAssign(v, ivfSeed(v, 16)))
       ivfSearch(ivfAssign(v, c1), c1, v, queryVecId = 0, nprobe = 4, k = 10)
+    },
+
+    // --------------- product quantization: the ANN storage/scan format
+    "q_llm_embed_pq" -> { (s, d) =>
+      // PQ codes + reconstruction audit — the other half of the ANN
+      // storage story next to int8 quantization: each vector becomes M=8
+      // 4-bit codes (64× smaller than float32), the format IVF-PQ
+      // engines scan. Shape: explode each vector into its M subvectors
+      // (map-only), join the BROADCAST M×K codebook, argmin L2² per
+      // (vector, subspace) INSIDE the aggregate (min of a (dist, code)
+      // struct — partial-agg'd map-side, never a window), then per-vector
+      // code assembly. dist = ⟨x,x⟩ - 2⟨x,c⟩ + ⟨c,c⟩ with every dot a
+      // fixed-order sequential fold, so both engines compute identical
+      // doubles and the argmin is deterministic (ties break on code).
+      val emb = Tables.t(s, d, "embeddings")
+      val cb = pqCodebook(emb)
+      val subs = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+        .select(col("vec_id"), col("m"), pqSub(col("embedding"), col("m")).as("x"))
+        .withColumn("xx", dot(col("x"), col("x")))
+      subs.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          (col("xx") - lit(2.0) * dot(col("x"), col("cvec")) + col("cc")).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("code"))).as("best"))
+        .groupBy("vec_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("m"), col("best.code").as("c")))),
+            e => e("c").cast(StringType)), ",").as("codes"),
+          round(sum(col("best.dist")) / Dim, 4).as("mse"))
+        .orderBy("vec_id")
     },
 
     // ----------------- train/val/test split: deterministic hash bucketing
@@ -2340,6 +2399,34 @@ object QueriesLlm {
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    // the twin computes the same codebook/subvectors/distances from the
+    // raw table (identical fold orders) and states the window spelling
+    // of the per-(vector, subspace) argmin
+    "q_llm_embed_pq" -> {
+      def sdot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH cb0 AS (SELECT vec_id AS code, embedding, unnest(range(0, $PqM)) AS m
+         |             FROM embeddings WHERE vec_id < $PqK),
+         |cb AS (SELECT m, code,
+         |         list_slice(embedding, CAST(m*$pqSubDim+1 AS BIGINT), CAST(m*$pqSubDim+$pqSubDim AS BIGINT)) AS cvec
+         |       FROM cb0),
+         |vs0 AS (SELECT vec_id, embedding, unnest(range(0, $PqM)) AS m FROM embeddings),
+         |vs AS (SELECT vec_id, m,
+         |         list_slice(embedding, CAST(m*$pqSubDim+1 AS BIGINT), CAST(m*$pqSubDim+$pqSubDim AS BIGINT)) AS x
+         |       FROM vs0),
+         |d AS (SELECT v.vec_id, v.m, c.code,
+         |        ${sdot("v.x", "v.x")} - 2 * ${sdot("v.x", "c.cvec")} + ${sdot("c.cvec", "c.cvec")} AS dist
+         |      FROM vs v JOIN cb c ON v.m = c.m),
+         |r AS (SELECT vec_id, m, code, dist,
+         |        row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rnk
+         |      FROM d)
+         |SELECT vec_id,
+         |       array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ',') AS codes,
+         |       round(sum(dist) / $Dim, 4) AS mse
+         |FROM r WHERE rnk = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "q_llm_split" ->
       """SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (

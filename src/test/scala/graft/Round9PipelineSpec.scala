@@ -103,6 +103,27 @@ class Round9PipelineSpec extends AnyFunSuite {
     assert(mixed >= 2, "expected at least two sources with a real boundary")
   }
 
+  // --------------------------------------------------- product quantization
+
+  test("PQ: codebook seed vectors reconstruct exactly (mse 0, own codes)") {
+    val out = QueriesLlm.queries("q_llm_embed_pq")(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 16).collect()
+    assert(out.length == 16)
+    out.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getAs[String]("codes") == Seq.fill(8)(k).mkString(","),
+        s"seed $k should quantize to its own code in every subspace")
+      assert(r.getAs[Double]("mse") == 0.0)
+    }
+  }
+
+  test("PQ plans a broadcast codebook join and aggregate argmin (no window)") {
+    val p = QueriesLlm.queries("q_llm_embed_pq")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "codebook join must broadcast")
+    assert(!p.contains("Window"), "argmin must be the aggregate, not a window")
+  }
+
   test("mixture budgets: weighted 2x for 4-char sources, frac of corpus tokens") {
     val docs = Seq((1L, "srcA", "a b c d"), (2L, "longsrc", "a b c d")) // 4 tokens each
       .toDF("doc_id", "source", "nt")
