@@ -581,6 +581,10 @@ class DuckLakeXLSpark(
         snapshots().createOrReplaceTempView("__snapshots"); "__snapshots"
       })
       s = InfoSchemaRe.replaceAllIn(s, m => "__info_" + m.group(1).toLowerCase)
+      // DuckDB's own metadata table functions — the habitual spellings a
+      // DuckDB user types before reaching for information_schema
+      s = DuckTablesRe.replaceAllIn(s, _ => "__duckdb_tables")
+      s = DuckColumnsRe.replaceAllIn(s, _ => "__duckdb_columns")
       s
     }
     // COLUMNS('re') / COLUMNS(*) star expansion needs the catalog schema,
@@ -1582,6 +1586,39 @@ class DuckLakeXLSpark(
       StructField("is_nullable", StringType, false),
       StructField("comment", StringType, true))))
       .createOrReplaceTempView("__info_columns")
+    // duckdb_tables() / duckdb_columns() — the native-metadata spellings,
+    // with the columns users actually read (estimated_size = the
+    // catalog's exact record count — per-file counts + inlined rows —
+    // answered from the metadata plane like the bare count(*) shortcut)
+    val dtRows = state.liveTables().sortBy(_.tableName).map { t =>
+      Row(lakeName, schemaNameOf(t), t.tableName,
+        state.tagOf(t.tableId, "pk").isDefined,
+        state.filesOf(t.tableId).map(_.recordCount).sum +
+          state.inlinedOf(t.tableId).size,
+        state.columnsOf(t.tableId).size.toLong)
+    }
+    spark.createDataFrame(dtRows.asJava, StructType(Seq(
+      StructField("database_name", StringType, false),
+      StructField("schema_name", StringType, false),
+      StructField("table_name", StringType, false),
+      StructField("has_primary_key", BooleanType, false),
+      StructField("estimated_size", LongType, false),
+      StructField("column_count", LongType, false))))
+      .createOrReplaceTempView("__duckdb_tables")
+    val dcRows = state.liveTables().sortBy(_.tableName).flatMap { t =>
+      state.columnsOf(t.tableId).map(c =>
+        Row(lakeName, schemaNameOf(t), t.tableName, c.columnName,
+          c.columnOrder.toLong, c.columnType, c.nullsAllowed))
+    }
+    spark.createDataFrame(dcRows.asJava, StructType(Seq(
+      StructField("database_name", StringType, false),
+      StructField("schema_name", StringType, false),
+      StructField("table_name", StringType, false),
+      StructField("column_name", StringType, false),
+      StructField("column_index", LongType, false),
+      StructField("data_type", StringType, false),
+      StructField("is_nullable", BooleanType, false))))
+      .createOrReplaceTempView("__duckdb_columns")
   }
 
   private def executeCreateView(s: StatementRouter.CreateView): Unit = {
@@ -2147,10 +2184,17 @@ class DuckLakeXLSpark(
             "(?i)\\b" + java.util.regex.Pattern.quote(bare) + "\\s*\\.", "t.")))
         })
       case StatementRouter.ConflictReplace =>
-        val nonKey = names.filterNot(n => keys.exists(_.equalsIgnoreCase(n)))
+        // OR REPLACE replaces the WHOLE row (DuckDB: delete + insert):
+        // every non-key table column updates — named ones from the
+        // source, unnamed ones to NULL (keeping the old value would be
+        // an UPDATE, not a replace — review-found)
+        val nonKey = schema.fieldNames.toSeq
+          .filterNot(n => keys.exists(_.equalsIgnoreCase(n)))
         require(nonKey.nonEmpty,
-          "INSERT OR REPLACE: every inserted column is part of the key")
-        Some(nonKey.map(n => (n, s"src.$n")))
+          "INSERT OR REPLACE: every table column is part of the key")
+        Some(nonKey.map(n =>
+          if (names.exists(_.equalsIgnoreCase(n))) (n, s"src.$n")
+          else (n, "NULL")))
     }
     executeMerge(StatementRouter.Merge(s.table, "t", srcSql, "src", on,
       matchedSets, matchedDelete = false,
@@ -2938,4 +2982,6 @@ object DuckLakeXLSpark {
     """(?i)\b((?:\w+\.)*\w+)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val SnapshotsRe = """(?i)\bsnapshots\s*\(\s*\)""".r
   private val InfoSchemaRe = """(?i)(?<!\.)\binformation_schema\.(tables|columns)\b""".r
+  private val DuckTablesRe = """(?i)\bduckdb_tables\s*\(\s*\)""".r
+  private val DuckColumnsRe = """(?i)\bduckdb_columns\s*\(\s*\)""".r
 }

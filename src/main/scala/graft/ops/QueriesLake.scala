@@ -527,6 +527,22 @@ object QueriesLake {
            |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
            |ORDER BY c.id""".stripMargin)
     },
+    // r9 wave 2: duckdb_tables()/duckdb_columns() metadata functions —
+    // the native-metadata spellings; estimated_size answers from the
+    // catalog's exact record counts (metadata plane, zero scan)
+    "q_lake_duckdb_meta" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE m1(id INTEGER PRIMARY KEY, v VARCHAR);
+          |INSERT INTO m1 VALUES (1,'a'),(2,'b');
+          |CREATE TABLE m2(x INTEGER)""".stripMargin)
+      lake.sql(
+        """SELECT t.table_name, t.has_primary_key, t.column_count, t.estimated_size, c.ncols
+          |FROM duckdb_tables() t
+          |JOIN (SELECT table_name, count(*) AS ncols
+          |      FROM duckdb_columns() GROUP BY table_name) c USING (table_name)
+          |ORDER BY t.table_name""".stripMargin)
+    },
     // r9 wave 2: join DML — UPDATE ... FROM and DELETE ... USING (the
     // DuckDB/Postgres spellings), both desugared onto the MERGE
     // copy-on-write path; SET expressions see target and source aliases
@@ -791,6 +807,12 @@ object QueriesLake {
        "  ON n.n_nationkey = c.id " +
        "LEFT JOIN (VALUES (1,'x'),(2,'y')) j(id, tag) ON j.id = c.id " +
        "ORDER BY c.id"),
+    "q_lake_duckdb_meta" ->
+      ("SELECT table_name, has_primary_key, CAST(column_count AS BIGINT) AS column_count, " +
+       "CAST(estimated_size AS BIGINT) AS estimated_size, CAST(ncols AS BIGINT) AS ncols " +
+       "FROM (VALUES ('m1', true, 2, 2, 2), ('m2', false, 1, 0, 1)) " +
+       "t(table_name, has_primary_key, column_count, estimated_size, ncols) " +
+       "ORDER BY table_name"),
     "q_lake_update_join" ->
       ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
        "(1,'a',10),(2,'B',25),(4,'d',40)) t(id, v, n) ORDER BY id"),

@@ -436,6 +436,15 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     assert(lake2.sql("SELECT * FROM up ORDER BY id, g").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
       Seq((1, 1, "a"), (1, 2, "B2"), (2, 1, "c")))
+    // OR REPLACE with a COLUMN SUBSET replaces the whole row: the
+    // unnamed non-key column nulls out (DuckDB's delete+insert), it
+    // does not keep its old value
+    lake2.sql("ALTER TABLE up ADD COLUMN extra INTEGER")
+    lake2.sql("UPDATE up SET extra = 99 WHERE id = 2 AND g = 1")
+    lake2.sql("INSERT OR REPLACE INTO up (id, g, v) VALUES (2, 1, 'c2')")
+    val rep = lake2.sql("SELECT v, extra FROM up WHERE id = 2 AND g = 1").head()
+    assert(rep.getString(0) == "c2" && rep.isNullAt(1),
+      "OR REPLACE must null unnamed columns, not keep old values")
     // ON CONFLICT with no target and no declared PK is a loud error
     lake2.sql("CREATE TABLE nopk(id INTEGER, v VARCHAR)")
     val e = intercept[IllegalArgumentException] {
@@ -446,7 +455,7 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
     // cardinality guard (DuckDB's double-update rejection)
     assertThrows[IllegalArgumentException] {
       lake2.sql(
-        "INSERT INTO up VALUES (1, 1, 'x'), (1, 1, 'y') " +
+        "INSERT INTO up (id, g, v) VALUES (1, 1, 'x'), (1, 1, 'y') " +
         "ON CONFLICT (id, g) DO UPDATE SET v = EXCLUDED.v")
     }
     // the phrase inside a VALUES string literal must not trigger the split
