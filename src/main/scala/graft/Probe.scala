@@ -246,6 +246,33 @@ object Probe {
       assert(maxList <= cap + 1, "capped aggregate emitted an over-bound list")
     }
 
+    // r9b: the domain-cap keep-set under maximal skew — one "hot" domain
+    // holding 60% of a 4M-doc corpus. BoundedTopK's buffer holds ≤ cap
+    // (key, id) pairs by construction, so the hot domain costs what any
+    // domain costs; the row_number window spelling sorts the whole 2.4M
+    // hot partition end-to-end just to keep 20 rows.
+    section("domaincap") {
+      val cap = 20
+      val rows = spark.range(4000000L).select(col("id").as("doc_id"),
+        when(col("id") % 10 < 6, lit("hot"))
+          .otherwise(concat(lit("src"),
+            pmod(hash(col("id")), lit(1000)).cast(StringType)))
+          .as("source"))
+      def capped = graft.ops.QueriesLlm.domainCapFromDocs(rows, cap)
+      time("domaincap_bounded_agg")(capped)
+      time("domaincap_window_rownum") {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast(StringType)).asc, col("doc_id").asc)
+        rows.withColumn("rnk", row_number().over(w))
+          .select(col("doc_id"), col("source"),
+            (col("rnk") <= cap).cast(LongType).as("kept"))
+      }
+      val nsrc = rows.select("source").distinct().count()
+      val kept = capped.agg(sum("kept")).head.getLong(0)
+      println(s"[probe] domaincap: sources=$nsrc kept=$kept expected=${cap * nsrc}")
+      assert(kept == cap * nsrc, "cap must bind exactly per source")
+    }
+
     section("agg") {
     time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))

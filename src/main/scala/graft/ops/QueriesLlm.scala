@@ -1082,7 +1082,7 @@ object QueriesLlm {
     * join against the keep-sets (sources × cap rows — MBs at any corpus
     * scale). `docs` = (doc_id, source).
     */
-  private[ops] def domainCapFromDocs(docs: DataFrame, cap: Int): DataFrame = {
+  private[graft] def domainCapFromDocs(docs: DataFrame, cap: Int): DataFrame = {
     val withH = docs.select(col("doc_id"), col("source"),
       md5(col("doc_id").cast(StringType)).as("hx"))
     val keep = withH.groupBy("source")
