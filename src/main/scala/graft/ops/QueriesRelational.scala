@@ -679,6 +679,32 @@ object QueriesRelational {
           round(dbl(last(col("sv"), ignoreNulls = true).over(w)), 4).as("filled_sum"))
         .orderBy("event_type", "hour")
     },
+    "q_ts_anomaly" -> { (s, d) =>
+      // trailing-window anomaly detection (the observability staple):
+      // per event type, each hour's count z-scored against the previous
+      // 24 hours. The corpus-scale pass is the hourly aggregate
+      // (map-side combined); the window runs over hours × types — grid-
+      // sized at any corpus age. Mean/stddev come from EXACT integer
+      // window sums (sum, sum-of-squares — counts are longs), so both
+      // engines evaluate the identical IEEE chain: no stddev_samp
+      // implementation (Welford vs two-pass) can drift the result.
+      val hourly = Tables.t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val tw = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      val varExpr = (col("q") - col("s") * col("s") / 24.0) / 23.0
+      val zExpr = (col("cnt") - col("s") / 24.0) / sqrt(varExpr)
+      hourly
+        .withColumn("n", count(col("cnt")).over(tw))
+        .withColumn("s", sum(col("cnt")).over(tw))
+        .withColumn("q", sum(col("cnt") * col("cnt")).over(tw))
+        .filter(col("n") === 24) // full baseline only
+        .select(col("event_type"), col("hour"), col("cnt"),
+          when(varExpr > 0, round(zExpr, 4)).as("z"),
+          when(varExpr > 0 && abs(zExpr) > 3.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy("event_type", "hour")
+    },
 
     // ------------------------------------------------ 2.G sort/limit/set ops
     "q_win_qualify" -> { (s, d) =>
@@ -1049,6 +1075,24 @@ object QueriesRelational {
         |  round(CAST(last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS filled_sum
         |FROM j ORDER BY event_type, hour""".stripMargin,
+    // exact integer window sums feed the identical IEEE chain on both
+    // engines — no stddev_samp implementation variance can drift z
+    "q_ts_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour, cnt,
+        |        count(cnt) OVER tw AS n, sum(cnt) OVER tw AS s,
+        |        sum(cnt * cnt) OVER tw AS q
+        |      FROM h
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, cnt,
+        |  CASE WHEN (q - s * s / 24.0) / 23.0 > 0
+        |       THEN round((cnt - s / 24.0) / sqrt((q - s * s / 24.0) / 23.0), 4) END AS z,
+        |  CAST(CASE WHEN (q - s * s / 24.0) / 23.0 > 0
+        |            AND abs((cnt - s / 24.0) / sqrt((q - s * s / 24.0) / 23.0)) > 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM w WHERE n = 24 ORDER BY event_type, hour""".stripMargin,
     "q_sort_multikey" ->
       ("SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM lineitem " +
        "ORDER BY l_returnflag ASC, l_quantity DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 1000"),
