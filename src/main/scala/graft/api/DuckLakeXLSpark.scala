@@ -298,11 +298,49 @@ class DuckLakeXLSpark(
     */
   private var macros = Map.empty[String, (Seq[String], String)]
 
+  // ---- sequences: `ducklake_metadata` rows `seq:<name>` -> "last,incr"
+  private def seqStateOf(name: String): (Long, Long) =
+    state.metadata.find(_._1 == s"seq:$name").map { case (_, v) =>
+      val p = v.split(","); (p(0).toLong, p(1).toLong)
+    }.getOrElse(throw new IllegalArgumentException(s"no such sequence: $name"))
+
+  private def seqNext(name: String): Long = {
+    val (last, incr) = seqStateOf(name)
+    val n = last + incr
+    state = state.copy(metadata = state.metadata
+      .filterNot(_._1 == s"seq:$name") :+ (s"seq:$name" -> s"$n,$incr"))
+    n
+  }
+
+  private def seqCurr(name: String): Long = seqStateOf(name)._1
+
   private def sqlOnce(script: String): DataFrame = {
     if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
-    withLakeCatalog { StatementRouter.split(script).foreach { stmt0 =>
+    withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>
+      // sequence draws evaluate TEXTUALLY on the driver (each occurrence
+      // draws once, left to right) — sound for INSERT … VALUES and
+      // FROM-less SELECTs; a nextval over a distributed scan would
+      // silently draw once per STATEMENT instead of per row, so it is
+      // refused loudly. currval is constant per statement — safe anywhere.
+      val stmt0 =
+        if (!StatementRouter.hasCall(stmt00, "nextval") &&
+            !StatementRouter.hasCall(stmt00, "currval")) stmt00
+        else {
+          if (StatementRouter.hasCall(stmt00, "nextval")) {
+            val ok = StatementRouter.classify(stmt00) match {
+              case _: StatementRouter.InsertValues => true
+              case StatementRouter.Select(q) =>
+                !StatementRouter.selectHasTopLevelFrom(q)
+              case _ => false
+            }
+            require(ok, "nextval() is supported in INSERT ... VALUES and " +
+              "FROM-less SELECTs (a per-row sequence draw over a " +
+              "distributed scan cannot honor sequence semantics)")
+          }
+          StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
+        }
       // expand macro calls textually before re-classifying — but never
       // inside macro DDL itself (a CREATE OR REPLACE MACRO whose head
       // matches an existing macro must not expand its own signature)
@@ -357,6 +395,21 @@ class DuckLakeXLSpark(
             curSchema = state.schemaByName(sn).get.schemaName
             spark.catalog.setCurrentDatabase(curSchema)
           }
+        case s: StatementRouter.CreateSequence =>
+          val key = s"seq:${s.name}"
+          val exists = state.metadata.exists(_._1 == key)
+          if (!(exists && s.ifNotExists)) {
+            require(!exists || s.orReplace, s"sequence exists: ${s.name} " +
+              "(use CREATE OR REPLACE SEQUENCE)")
+            require(s.incr != 0, "CREATE SEQUENCE: INCREMENT must be nonzero")
+            state = state.copy(metadata = state.metadata
+              .filterNot(_._1 == key) :+ (key -> s"${s.start - s.incr},${s.incr}"))
+          }
+        case s: StatementRouter.DropSequence =>
+          val key = s"seq:${s.name}"
+          require(s.ifExists || state.metadata.exists(_._1 == key),
+            s"no such sequence: ${s.name}")
+          state = state.copy(metadata = state.metadata.filterNot(_._1 == key))
         case s: StatementRouter.CreateSchema => executeCreateSchema(s)
         case s: StatementRouter.DropSchema   => executeDropSchema(s); registerViews()
         case a: StatementRouter.Attach =>
@@ -542,11 +595,14 @@ class DuckLakeXLSpark(
     // DuckDB — a longer-lived cache would freeze the first file listing)
     val stmtCache = scala.collection.mutable.Map[String, String]()
     val q0 = StatementRouter.rewriteSessionReadouts(
-      StatementRouter.rewriteFileReads(q00) { (fmt, paths, opts) =>
-        stmtCache.getOrElseUpdate(
-          s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}",
-          registerFileRead(fmt, paths, opts))
-      },
+      StatementRouter.rewriteGlob(
+        StatementRouter.rewriteFileReads(q00) { (fmt, paths, opts) =>
+          stmtCache.getOrElseUpdate(
+            s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}",
+            registerFileRead(fmt, paths, opts))
+        }) { pattern =>
+          stmtCache.getOrElseUpdate(s"glob|$pattern", registerGlob(pattern))
+        },
       s"$LibraryVersion $SourceId", currentSetting)
     // timestamp travel first: the ts literal sits INSIDE single quotes —
     // here the quoted text is part of the travel syntax, not a user
@@ -613,6 +669,24 @@ class DuckLakeXLSpark(
     * distributed scans behave exactly as for catalog tables — at 100 TB
     * a path-queried parquet directory scans identically to a lake table.
     */
+  /** backend for [[StatementRouter.rewriteGlob]]: list the files matching
+    * the pattern (Hadoop glob — the same matcher the scan path uses, so
+    * hdfs:/s3: URIs work identically) into a one-column temp view named
+    * like DuckDB's (`file`), sorted for deterministic output. Pure
+    * metadata plane — no data is read.
+    */
+  private def registerGlob(pattern: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+    val vn = s"__glob_${java.lang.Integer.toHexString(pattern.hashCode)}"
+    spark.createDataFrame(files.map(Row(_)).asJava,
+      StructType(Seq(StructField("file", StringType, nullable = false))))
+      .createOrReplaceTempView(vn)
+    vn
+  }
+
   private def registerFileRead(fmt: String, paths: Seq[String],
                                opts: Map[String, String]): String = {
       def bool(v: String) = v.trim.equalsIgnoreCase("true") || v.trim == "1"

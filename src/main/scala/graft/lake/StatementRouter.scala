@@ -198,6 +198,19 @@ object StatementRouter {
                           dataPath: Option[String]) extends Stmt
   case object Detach extends Stmt
 
+  /** `CREATE SEQUENCE` / `DROP SEQUENCE` — DuckDB's id-generation
+    * surface. Sequence state persists as a `ducklake_metadata` row
+    * (`seq:<name>` -> "last,increment"), so it survives push/pull and
+    * concurrent-writer CAS like every other catalog fact. `nextval` is
+    * honored in INSERT … VALUES and FROM-less SELECTs (driver-evaluable,
+    * each textual occurrence draws once, left to right); a per-row draw
+    * over a distributed scan is refused loudly rather than silently
+    * computed once.
+    */
+  final case class CreateSequence(name: String, start: Long, incr: Long,
+      ifNotExists: Boolean, orReplace: Boolean) extends Stmt
+  final case class DropSequence(name: String, ifExists: Boolean) extends Stmt
+
   /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
     * (ducklakexl.py:459-464); each sql() call is already atomic here
     */
@@ -263,6 +276,10 @@ object StatementRouter {
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w\.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s*$""".r
   private val UseRe = """(?is)^\s*USE\s+([\w\.\"]+)\s*$""".r
+  private val CreateSeqRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?SEQUENCE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\"]+)\s*(.*)$""".r
+  private val DropSeqRe =
+    """(?is)^\s*DROP\s+SEQUENCE\s+(?:(IF\s+EXISTS)\s+)?([\w\"]+)\s*$""".r
   private val CreateSchemaRe =
     """(?is)^\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*$""".r
   private val DropSchemaRe =
@@ -835,6 +852,13 @@ object StatementRouter {
         Some(col.stripPrefix("\"").stripSuffix("\"")), unquoteLit(lit))
     case CommentTableRe(tbl, lit) =>
       CommentOn(qualName(tbl), None, unquoteLit(lit))
+    case CreateSeqRe(orRepl, ifne, name, rest) =>
+      val start = """(?i)START\s+(?:WITH\s+)?(-?\d+)""".r
+        .findFirstMatchIn(rest).map(_.group(1).toLong).getOrElse(1L)
+      val incr = """(?i)INCREMENT\s+(?:BY\s+)?(-?\d+)""".r
+        .findFirstMatchIn(rest).map(_.group(1).toLong).getOrElse(1L)
+      CreateSequence(bareName(name), start, incr, ifne != null, orRepl != null)
+    case DropSeqRe(ife, name) => DropSequence(bareName(name), ife != null)
     case CreateSchemaRe(ifne, name) => CreateSchema(bareName(name), ifne != null)
     case DropSchemaRe(ife, name, casc) => DropSchema(bareName(name), ife != null, casc != null)
     case UseRe(name) => Use(qualName(name))
@@ -1682,6 +1706,51 @@ object StatementRouter {
     }
     s
   }
+
+  /** true iff `name(` appears as a real call outside string literals */
+  def hasCall(q: String, name: String): Boolean = {
+    var found = false
+    rewriteCalls(q, name) { _ => found = true; None }
+    found
+  }
+
+  /** true iff the SELECT body has a top-level FROM (subquery FROMs sit
+    * inside parens and don't count) — the per-row-semantics detector for
+    * sequence draws
+    */
+  def selectHasTopLevelFrom(q: String): Boolean =
+    splitTopLevelKeyword(q, "FROM")._2.isDefined
+
+  /** substitute each `nextval('s')` / `currval('s')` occurrence with the
+    * value the callbacks return — left to right, one draw per textual
+    * occurrence (the caller enforces where this is semantically sound)
+    */
+  def rewriteSequenceCalls(q0: String)(
+      next: String => Long, curr: String => Long): String = {
+    // emit typed literals: DuckDB sequences are BIGINT-valued, and a bare
+    // small number would parse as INT (schema mismatch against the twin)
+    val q = rewriteCalls(q0, "nextval") {
+      case Seq(a) => quotedLiteral(a.trim).map(n => s"CAST(${next(n)} AS BIGINT)")
+      case _ => None
+    }
+    rewriteCalls(q, "currval") {
+      case Seq(a) => quotedLiteral(a.trim).map(n => s"CAST(${curr(n)} AS BIGINT)")
+      case _ => None
+    }
+  }
+
+  /** `FROM glob('pattern')` — DuckDB's file-listing table function.
+    * The caller's `register` lists matching files (metadata plane) into
+    * a temp view with DuckDB's column name (`file`) and returns the view
+    * name. Only a single quoted-literal pattern rewrites; anything else
+    * is left to fail resolution loudly. The infix `x GLOB 'pat'` match
+    * operator never has a following paren, so it cannot collide.
+    */
+  def rewriteGlob(q0: String)(register: String => String): String =
+    rewriteCalls(q0, "glob") { args =>
+      if (args.length == 1) quotedLiteral(args.head.trim).map(register)
+      else None
+    }
 
   /** Direct file queries — DuckDB's pass-through engine makes
     * `SELECT * FROM 'data/x.parquet'` and the `read_parquet` /

@@ -527,6 +527,30 @@ object QueriesLake {
            |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
            |ORDER BY c.id""".stripMargin)
     },
+    // r9 wave 2: CREATE SEQUENCE / nextval / currval — sequence state
+    // rides ducklake_metadata (push/pull-persistent); draws evaluate on
+    // the driver, one per textual occurrence, left to right
+    "q_lake_seq" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE SEQUENCE ids START 100 INCREMENT 10;
+          |CREATE TABLE st(id INTEGER, v VARCHAR);
+          |INSERT INTO st VALUES (nextval('ids'), 'a'), (nextval('ids'), 'b');
+          |INSERT INTO st VALUES (nextval('ids'), 'c')""".stripMargin)
+      lake.sql("SELECT st.id, st.v, currval('ids') AS cv FROM st ORDER BY st.id")
+    },
+    // r9 wave 2: glob('pattern') file-listing table function (DuckDB's
+    // exploration spelling before reading anything) — metadata plane,
+    // Hadoop glob matcher, deterministic sorted output
+    "q_lake_glob" -> { (s, _) =>
+      val lake = freshLake(s)
+      val tmp = Files.createTempDirectory("graft_glob")
+      Seq("a.csv", "b.csv", "c.txt").foreach(f =>
+        Files.writeString(tmp.resolve(f), "x\n"))
+      lake.sql(
+        s"""SELECT regexp_extract(file, '[^/]+$$', 0) AS name
+           |FROM glob('$tmp/*.csv') ORDER BY name""".stripMargin)
+    },
     // r9 wave 2: duckdb_tables()/duckdb_columns() metadata functions —
     // the native-metadata spellings; estimated_size answers from the
     // catalog's exact record counts (metadata plane, zero scan)
@@ -807,6 +831,11 @@ object QueriesLake {
        "  ON n.n_nationkey = c.id " +
        "LEFT JOIN (VALUES (1,'x'),(2,'y')) j(id, tag) ON j.id = c.id " +
        "ORDER BY c.id"),
+    "q_lake_glob" ->
+      "SELECT * FROM (VALUES ('a.csv'), ('b.csv')) t(name) ORDER BY name",
+    "q_lake_seq" ->
+      ("SELECT CAST(id AS INTEGER) AS id, v, CAST(cv AS BIGINT) AS cv FROM (VALUES " +
+       "(100,'a',120),(110,'b',120),(120,'c',120)) t(id, v, cv) ORDER BY id"),
     "q_lake_duckdb_meta" ->
       ("SELECT table_name, has_primary_key, CAST(column_count AS BIGINT) AS column_count, " +
        "CAST(estimated_size AS BIGINT) AS estimated_size, CAST(ncols AS BIGINT) AS ncols " +

@@ -464,6 +464,34 @@ class DuckLakeXLSparkSpec extends AnyFunSuite {
       "ON CONFLICT DO NOTHING")
   }
 
+  test("r9: sequences — reopen persistence, scalar draw, per-row refusal") {
+    val (lake, xlsx, data) = freshLake()
+    lake.sql("CREATE SEQUENCE s1 START 5 INCREMENT 2")
+    assert(lake.sql("SELECT nextval('s1') AS v").head().getLong(0) == 5L)
+    assert(lake.sql("SELECT nextval('s1') AS v").head().getLong(0) == 7L)
+    // state rides the workbook: a REOPENED lake continues, not restarts
+    val lake2 = new DuckLakeXLSpark(spark, xlsx, data)
+    assert(lake2.sql("SELECT nextval('s1') AS v").head().getLong(0) == 9L)
+    assert(lake2.sql("SELECT currval('s1') AS v").head().getLong(0) == 9L)
+    // a per-row draw over a scan is refused loudly, not computed once
+    lake2.sql("CREATE TABLE sq(id INTEGER); INSERT INTO sq VALUES (1),(2)")
+    val e = intercept[IllegalArgumentException] {
+      lake2.sql("SELECT nextval('s1') AS v FROM sq")
+    }
+    assert(e.getMessage.contains("nextval"))
+    // literal text must never draw
+    lake2.sql("CREATE TABLE sv(t VARCHAR); INSERT INTO sv VALUES ('nextval(''s1'')')")
+    assert(lake2.sql("SELECT t FROM sv").head().getString(0) == "nextval('s1')")
+    assert(lake2.sql("SELECT currval('s1') AS v").head().getLong(0) == 9L)
+    // unknown sequence and duplicate create are loud; IF NOT EXISTS quiet
+    assertThrows[IllegalArgumentException] { lake2.sql("SELECT nextval('nope') AS v") }
+    assertThrows[IllegalArgumentException] { lake2.sql("CREATE SEQUENCE s1") }
+    lake2.sql("CREATE SEQUENCE IF NOT EXISTS s1 START 999")
+    assert(lake2.sql("SELECT nextval('s1') AS v").head().getLong(0) == 11L)
+    lake2.sql("DROP SEQUENCE s1")
+    assertThrows[IllegalArgumentException] { lake2.sql("SELECT currval('s1') AS v") }
+  }
+
   test("r9: join DML edges — multi-match update errors; plain DML untouched") {
     val (lake, _, _) = freshLake()
     lake.sql(
