@@ -2442,6 +2442,23 @@ class DuckLakeXLSpark(
       else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
       else "parquet"
     }
+    if (s.partitionBy.nonEmpty) {
+      // PARTITION_BY: hive-layout directory export (path/a=x/b=y/*) —
+      // the 100 TB shape: the write stays fully distributed (one file
+      // per task per partition value, NO coalesce-to-one funnel), and a
+      // read of the directory recovers the partition columns. This is
+      // the one COPY form whose output is a directory, like DuckDB's.
+      val missing = s.partitionBy.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"PARTITION_BY names unknown column(s): ${missing.mkString(", ")}")
+      val wp = df.write.mode("overwrite").partitionBy(s.partitionBy: _*)
+      fmt match {
+        case "csv"  => wp.option("header", "true").csv(s.path)
+        case "json" => wp.json(s.path)
+        case _      => wp.parquet(s.path)
+      }
+      return
+    }
     val tmp = Files.createTempDirectory(Paths.get(dataPath), ".copy")
     val w = df.coalesce(1).write.mode("overwrite")
     fmt match {

@@ -64,7 +64,8 @@ object StatementRouter {
   /** `COPY <table | (query)> TO 'path' (FORMAT fmt)` — export, like the
     * DuckDB pass-through; format defaults from the path extension
     */
-  final case class CopyTo(source: String, path: String, format: Option[String]) extends Stmt
+  final case class CopyTo(source: String, path: String, format: Option[String],
+                          partitionBy: Seq[String] = Nil) extends Stmt
   /** `COPY t FROM 'path' (FORMAT fmt)` — file ingestion into a lake table */
   final case class CopyFrom(table: String, path: String, format: Option[String]) extends Stmt
   /** `EXPORT DATABASE 'dir' [(FORMAT fmt)]` — whole-lake export: DuckDB's
@@ -220,7 +221,7 @@ object StatementRouter {
   private val CreateRe =
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*(.*)$""".r
   private val CopyRe =
-    """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
+    """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
   private val CopyFromRe =
     """(?is)^\s*COPY\s+([\w\.\"]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
   private val ExportDbRe =
@@ -757,8 +758,16 @@ object StatementRouter {
     case ImportDbRe(path) => ImportDb(path)
     case CopyFromRe(table, path, fmt) =>
       CopyFrom(qualName(table), path, Option(fmt).map(_.toLowerCase))
-    case CopyRe(source, path, fmt) =>
-      CopyTo(source.trim, path, Option(fmt).map(_.toLowerCase))
+    case CopyRe(source, path, optBlob) =>
+      // option blob: FORMAT fmt and/or PARTITION_BY (a, b) in any order
+      val blob = Option(optBlob).getOrElse("")
+      val fmt = """(?i)\bFORMAT\s+'?(\w+)'?""".r
+        .findFirstMatchIn(blob).map(_.group(1).toLowerCase)
+      val pby = """(?is)\bPARTITION_BY\s*\(([^)]*)\)""".r
+        .findFirstMatchIn(blob).map(_.group(1).split(',').toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      CopyTo(source.trim, path, fmt, pby)
     case CreateRe(orRepl, ifne, name, rest) =>
       val r = rest.trim
       if (r.toUpperCase.startsWith("AS") )

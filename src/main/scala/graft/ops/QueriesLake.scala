@@ -527,6 +527,18 @@ object QueriesLake {
            |LEFT JOIN read_json('${tmp.resolve("tags.jsonl")}') j ON j.id = c.id
            |ORDER BY c.id""".stripMargin)
     },
+    // r9 wave 2: partitioned export — COPY ... (PARTITION_BY (col)):
+    // hive-layout directory, fully distributed write (no one-file
+    // funnel), partition column recovered on read-back
+    "q_lake_copy_part" -> { (s, _) =>
+      val lake = freshLake(s)
+      val out = Files.createTempDirectory("graft_part").resolve("exp")
+      lake.sql(
+        """CREATE TABLE pe(id INTEGER, region VARCHAR, v DOUBLE);
+          |INSERT INTO pe VALUES (1,'east',1.5),(2,'west',2.5),(3,'east',3.5)""".stripMargin)
+      lake.sql(s"COPY pe TO '$out' (FORMAT parquet, PARTITION_BY (region))")
+      lake.sql(s"SELECT id, region, v FROM read_parquet('$out') ORDER BY id")
+    },
     // r9 wave 2: CREATE SEQUENCE / nextval / currval — sequence state
     // rides ducklake_metadata (push/pull-persistent); draws evaluate on
     // the driver, one per textual occurrence, left to right
@@ -833,6 +845,9 @@ object QueriesLake {
        "ORDER BY c.id"),
     "q_lake_glob" ->
       "SELECT * FROM (VALUES ('a.csv'), ('b.csv')) t(name) ORDER BY name",
+    "q_lake_copy_part" ->
+      ("SELECT CAST(id AS INTEGER) AS id, region, CAST(v AS DOUBLE) AS v FROM (VALUES " +
+       "(1,'east',1.5),(2,'west',2.5),(3,'east',3.5)) t(id, region, v) ORDER BY id"),
     "q_lake_seq" ->
       ("SELECT CAST(id AS INTEGER) AS id, v, CAST(cv AS BIGINT) AS cv FROM (VALUES " +
        "(100,'a',120),(110,'b',120),(120,'c',120)) t(id, v, cv) ORDER BY id"),
