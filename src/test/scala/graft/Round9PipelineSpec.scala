@@ -124,6 +124,14 @@ class Round9PipelineSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "argmin must be the aggregate, not a window")
   }
 
+  test("segment dedup and mixture plan no cartesian products") {
+    for (q <- Seq("q_llm_segment_dedup", "q_llm_mixture_sample", "q_llm_entropy")) {
+      val p = QueriesLlm.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("mixture budgets: weighted 2x for 4-char sources, frac of corpus tokens") {
     val docs = Seq((1L, "srcA", "a b c d"), (2L, "longsrc", "a b c d")) // 4 tokens each
       .toDF("doc_id", "source", "nt")
