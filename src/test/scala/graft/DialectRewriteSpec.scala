@@ -24,6 +24,32 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(q) == q)
   }
 
+  test("ON CONFLICT classification skips a SELECT body's JOIN ... ON") {
+    StatementRouter.classify(
+      "INSERT INTO t SELECT a.id, b.v FROM a JOIN b ON a.id = b.id " +
+      "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v") match {
+      case StatementRouter.InsertOnConflict(_, None, body, Seq("id"),
+          StatementRouter.ConflictUpdate(Seq(("v", e)))) =>
+        assert(body.contains("JOIN b ON a.id = b.id"), body)
+        assert(e.contains("EXCLUDED.v"))
+      case other => fail(s"unexpected classification: $other")
+    }
+    // no conflict clause -> plain InsertSelect, JOIN ... ON untouched
+    StatementRouter.classify(
+      "INSERT INTO t SELECT a.id FROM a JOIN b ON a.id = b.id") match {
+      case StatementRouter.InsertSelect(_, None, body) =>
+        assert(body.contains("ON a.id = b.id"))
+      case other => fail(s"unexpected classification: $other")
+    }
+    // the phrase inside a VALUES literal never splits
+    StatementRouter.classify(
+      "INSERT INTO t VALUES (1, 'x ON CONFLICT y')") match {
+      case StatementRouter.InsertValues(_, None, body) =>
+        assert(body.contains("'x ON CONFLICT y'"))
+      case other => fail(s"unexpected classification: $other")
+    }
+  }
+
   test("in-parens IGNORE/RESPECT NULLS relocates after the window call") {
     assert(rewriteDialect("SELECT lag(x IGNORE NULLS) OVER (ORDER BY id) FROM t") ==
       "SELECT lag(x) IGNORE NULLS OVER (ORDER BY id) FROM t")
