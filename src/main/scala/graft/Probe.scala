@@ -273,6 +273,35 @@ object Probe {
       assert(kept == cap * nsrc, "cap must bind exactly per source")
     }
 
+    // r9b: mixture sampling at 4M docs — how much of the corpus does the
+    // boundary bucket actually sort, and what does the two-level plan
+    // save vs the per-source window cumsum?
+    section("mixture") {
+      val docs = spark.range(4000000L).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(hash(col("id")), lit(4)).cast(StringType)).as("source"),
+        // synthetic "text" with 1-40 tokens — cheap but realistic spread
+        concat_ws(" ", transform(sequence(lit(1),
+          pmod(col("id"), lit(40)).cast(IntegerType) + 1), i =>
+          concat(lit("w"), i.cast(StringType)))).as("nt"))
+      def fast = graft.ops.QueriesLlm.mixtureVerdictsFromDocs(docs, 0.5)
+      def ref = graft.ops.QueriesLlm.mixtureVerdictsReference(docs, 0.5)
+      time("mixture_bucketed_4M")(fast)
+      time("mixture_window_4M")(ref)
+      // boundary fraction: docs that actually enter the sort
+      val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("nt"), " ")).cast("long").as("tok"),
+        md5(col("doc_id").cast("string")).as("hx"))
+        .withColumn("bk", substring(col("hx"), 1, 2))
+      val perBucket = base.groupBy("source", "bk").agg(sum("tok").as("btok"),
+        count(lit(1)).as("n"))
+      val total = 4000000L
+      // one boundary bucket per source of 256 → expected ~1/256 sorted
+      val avgBucket = perBucket.agg(avg("n")).head.getDouble(0)
+      println(f"[probe] mixture: avg bucket ${avgBucket}%.0f docs " +
+        f"(${100.0 * avgBucket * 4 / total}%.2f%% of corpus enters the sort " +
+        "across the 4 boundary buckets)")
+    }
+
     section("agg") {
     time("li_scan7cols")(li.select("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))

@@ -1159,7 +1159,7 @@ object QueriesLlm {
     (wholesale.unionByName(boundary), budgets)
   }
 
-  private[ops] def mixtureVerdictsFromDocs(docs: DataFrame, frac: Double): DataFrame =
+  private[graft] def mixtureVerdictsFromDocs(docs: DataFrame, frac: Double): DataFrame =
     mixtureCore(docs, frac)._1
 
   /** (source, budget) — sources-sized; derives from the bucket plane */
@@ -1170,7 +1170,7 @@ object QueriesLlm {
     * — spec-only (Round9PipelineSpec proves the bucketed plan emits the
     * identical verdict set); the oracle SQL states this same shape
     */
-  private[ops] def mixtureVerdictsReference(docs: DataFrame, frac: Double): DataFrame = {
+  private[graft] def mixtureVerdictsReference(docs: DataFrame, frac: Double): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
       size(split(col("nt"), " ")).cast(LongType).as("tok"),
       md5(col("doc_id").cast(StringType)).as("hx"))
