@@ -1420,6 +1420,59 @@ object QueriesLlm {
         .orderBy("vec_id")
     },
 
+    // ------------- the composed curation pipeline, end to end (one row
+    // proving the operators CHAIN the way a real corpus build runs them)
+    "q_llm_pipeline_e2e" -> { (s, d) =>
+      // quality gate -> exact dedup -> near-dup keep-best -> 80/10/10
+      // split -> per-split yield. Every stage is the same machinery its
+      // standalone row ships (TextStatsRaw gate, md5-prefix exact keys,
+      // corpus MinHash pairs restricted to survivors, ccLabels + argmax
+      // canonical, hash-bucket split), so the chain inherits each
+      // stage's scale shape: per-row gates, one hash shuffle, pair work
+      // bounded by the band structure, output-sized cluster joins,
+      // pure-hash split — nothing new materializes corpus² anywhere.
+      val ts = graft.functions.TextSketch.textStatsRawCol(
+        col("text"), Stopwords.take(5))
+      val nWords = col("ts.n_words")
+      val stopRatio = col("ts.stop_cnt").cast(DoubleType) / nWords
+      val punctRatio = (col("ts.norm_len") - col("ts.alnum_len"))
+        .cast(DoubleType) / col("ts.norm_len")
+      val kept0 = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          normText(col("text")).as("nt"), ts.as("ts"))
+        .filter(nWords >= 20 && nWords <= 50000 &&
+          stopRatio > 0.01 && punctRatio < 0.3)
+        .select("doc_id", "n_chars", "nt")
+      val exactKeep = kept0
+        .groupBy(substring(md5(col("nt")), 1, 16).as("nh"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val kept1 = kept0.join(exactKeep, "doc_id").select("doc_id", "n_chars")
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+        .select("a", "b")
+      val sp = pairs
+        .join(kept1.select(col("doc_id").as("a")), "a")
+        .join(kept1.select(col("doc_id").as("b")), "b")
+      val lab = ccLabels(s, sp.select("a", "b"))
+        .join(kept1, "doc_id")
+      val canon = lab.groupBy("label")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("doc_id"), lit(1L).as("is_canon"))
+      val finalKeep = kept1
+        .join(lab.select(col("doc_id"), lit(1L).as("in_cluster")), Seq("doc_id"), "left")
+        .join(canon, Seq("doc_id"), "left")
+        .filter(col("in_cluster").isNull || col("is_canon") === 1L)
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100
+      finalKeep.select(col("doc_id"), col("n_chars"), bucket.as("b"))
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"),
+          min("doc_id").as("first_doc"))
+        .orderBy("split")
+    },
+
     // ----------------- train/val/test split: deterministic hash bucketing
     "q_llm_split" -> { (s, d) =>
       // split assignment must be a pure function of the doc key (stable
@@ -2426,6 +2479,55 @@ object QueriesLlm {
          |       round(sum(dist) / $Dim, 4) AS mse
          |FROM r WHERE rnk = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    // the composed-pipeline twin: every stage is the standalone row's
+    // oracle fragment (quality CASE, md5-prefix exact keys, the MinHash
+    // pair CTE restricted to survivors, the recursive-CTE labels +
+    // window canonical, the hash-bucket split)
+    "q_llm_pipeline_e2e" -> {
+      val stopList = Stopwords.take(5).map(w => s"'$w'").mkString("[", ",", "]")
+      val pairsSql = sqlMinhashPairs(sqlShingles, NumHashes, Bands, JacThreshold)
+      s"""WITH RECURSIVE
+         |norm0 AS (SELECT doc_id, n_chars,
+         |            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+         |            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |          FROM documents),
+         |kept0 AS (SELECT doc_id, n_chars, nt FROM norm0
+         |          WHERE len(ws) >= 20 AND len(ws) <= 50000
+         |            AND CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS DOUBLE) / len(ws) > 0.01
+         |            AND CAST(length(nt) - length(regexp_replace(nt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(nt) < 0.3),
+         |kept1 AS (SELECT k.doc_id, k.n_chars FROM kept0 k
+         |          JOIN (SELECT min(doc_id) AS doc_id FROM kept0
+         |                GROUP BY substring(md5(nt), 1, 16)) e ON k.doc_id = e.doc_id),
+         |pairs0 AS ($pairsSql),
+         |pairs AS (SELECT a, b FROM pairs0
+         |          WHERE a IN (SELECT doc_id FROM kept1)
+         |            AND b IN (SELECT doc_id FROM kept1)),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(doc, root) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+         |lab AS (SELECT doc AS doc_id, min(root) AS cluster_id
+         |        FROM reach GROUP BY doc),
+         |w AS (SELECT l.doc_id, first_value(l.doc_id) OVER (
+         |        PARTITION BY l.cluster_id ORDER BY k.n_chars DESC, l.doc_id ASC)
+         |        AS canonical_id
+         |      FROM lab l JOIN kept1 k USING (doc_id)),
+         |final AS (SELECT k.doc_id, k.n_chars FROM kept1 k
+         |          LEFT JOIN w ON k.doc_id = w.doc_id
+         |          WHERE w.doc_id IS NULL OR w.doc_id = w.canonical_id)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |       min(doc_id) AS first_doc
+         |FROM (SELECT doc_id, n_chars,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, n_chars,
+         |              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+         |            FROM final))
+         |GROUP BY split ORDER BY split""".stripMargin
     },
 
     "q_llm_split" ->

@@ -125,7 +125,8 @@ class Round9PipelineSpec extends AnyFunSuite {
   }
 
   test("segment dedup and mixture plan no cartesian products") {
-    for (q <- Seq("q_llm_segment_dedup", "q_llm_mixture_sample", "q_llm_entropy")) {
+    for (q <- Seq("q_llm_segment_dedup", "q_llm_mixture_sample", "q_llm_entropy",
+        "q_llm_pipeline_e2e")) {
       val p = QueriesLlm.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
