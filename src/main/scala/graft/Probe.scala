@@ -238,8 +238,8 @@ object Probe {
         .agg(collect_list(col("vec_id")).as("ds")))
       val total = rows.count()
       val biggest = rows.groupBy("bucket").count()
-        .agg(max("count")).head.getLong(0)
-      val maxList = capped.agg(max(size(col("ds")))).head.getInt(0)
+        .agg(max("count")).head().getLong(0)
+      val maxList = capped.agg(max(size(col("ds")))).head().getInt(0)
       println(s"[probe] degenerate: corpus=$total " +
         s"biggest_bucket=$biggest (${100 * biggest / total}%) " +
         s"max_emitted_list=$maxList (cap+1=${cap + 1})")
@@ -268,7 +268,7 @@ object Probe {
             (col("rnk") <= cap).cast(LongType).as("kept"))
       }
       val nsrc = rows.select("source").distinct().count()
-      val kept = capped.agg(sum("kept")).head.getLong(0)
+      val kept = capped.agg(sum("kept")).head().getLong(0)
       println(s"[probe] domaincap: sources=$nsrc kept=$kept expected=${cap * nsrc}")
       assert(kept == cap * nsrc, "cap must bind exactly per source")
     }
@@ -296,7 +296,7 @@ object Probe {
         count(lit(1)).as("n"))
       val total = 4000000L
       // one boundary bucket per source of 256 → expected ~1/256 sorted
-      val avgBucket = perBucket.agg(avg("n")).head.getDouble(0)
+      val avgBucket = perBucket.agg(avg("n")).head().getDouble(0)
       println(f"[probe] mixture: avg bucket ${avgBucket}%.0f docs " +
         f"(${100.0 * avgBucket * 4 / total}%.2f%% of corpus enters the sort " +
         "across the 4 boundary buckets)")
