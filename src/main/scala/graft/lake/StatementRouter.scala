@@ -300,7 +300,10 @@ object StatementRouter {
     else Some(s.stripPrefix("'").stripSuffix("'").replace("''", "'"))
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w\.\"]+)(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
-  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+(?:ALL\s+)?TABLES\s*$""".r
+  // DuckDB's `SHOW t` / `SHOW TABLE t` describe shorthand (checked AFTER
+  // ShowTablesRe so the bare TABLES listing wins)
+  private val ShowTableRe = """(?is)^\s*SHOW\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val DescribeSelectRe = """(?is)^\s*DESC(?:RIBE)?\s+((?:SELECT|FROM|WITH)\s+.+)$""".r
@@ -872,6 +875,7 @@ object StatementRouter {
     case DropSchemaRe(ife, name, casc) => DropSchema(bareName(name), ife != null, casc != null)
     case UseRe(name) => Use(qualName(name))
     case ShowTablesRe() => ShowTables
+    case ShowTableRe(name) => Describe(qualName(name))
     case ExplainRe(select) => Explain(select.trim)
     case DescribeSelectRe(sel) => DescribeQuery(sel.trim)
     case DescribeRe(name) => Describe(qualName(name))

@@ -639,6 +639,8 @@ object QueriesLake {
       lake.sql(
         """CREATE TABLE pr(id INTEGER, v VARCHAR);
           |PRAGMA show_tables;
+          |SHOW TABLES;
+          |SHOW pr;
           |PRAGMA database_size;
           |PRAGMA version;
           |SET memory_limit = '8GB';

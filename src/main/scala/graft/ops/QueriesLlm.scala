@@ -1420,6 +1420,40 @@ object QueriesLlm {
         .orderBy("vec_id")
     },
 
+    // ------------------- the corpus report card (the first query a data
+    // engineer runs against a new dump)
+    "q_llm_corpus_stats" -> { (s, d) =>
+      // one row summarizing the corpus: doc/source/language counts,
+      // exact token total and vocabulary size, length spread, and the
+      // exact-duplicate rate. Two passes: a per-row metadata aggregate
+      // (map-side combined) and one word-level distinct for the
+      // vocabulary (the honest cost of an EXACT vocab count — the
+      // approx_count_distinct one-pass variant is what the tfidf gate
+      // uses; both shapes ship).
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          normText(col("text")).as("nt"))
+        .withColumn("tok", size(split(col("nt"), " ")).cast(LongType))
+      val meta = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("tok")).as("total_tokens"),
+        min(col("tok")).as("min_tokens"),
+        max(col("tok")).as("max_tokens"),
+        countDistinct(substring(md5(col("nt")), 1, 16)).as("n_distinct_texts"))
+      val vocab = docs
+        .select(explode(split(col("nt"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(countDistinct(col("w")).as("vocab_size"))
+      meta.crossJoin(vocab)
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_tokens"), col("min_tokens"), col("max_tokens"),
+          col("vocab_size"),
+          round((col("n_docs") - col("n_distinct_texts")).cast(DoubleType) /
+            col("n_docs"), 4).as("exact_dup_rate"))
+    },
+
     // ------------- the composed curation pipeline, end to end (one row
     // proving the operators CHAIN the way a real corpus build runs them)
     "q_llm_pipeline_e2e" -> { (s, d) =>
@@ -2480,6 +2514,25 @@ object QueriesLlm {
          |FROM r WHERE rnk = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    "q_llm_corpus_stats" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |m AS (SELECT count(*) AS n_docs,
+        |        count(DISTINCT source) AS n_sources,
+        |        count(DISTINCT lang) AS n_langs,
+        |        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |        min(tok) AS min_tokens, max(tok) AS max_tokens,
+        |        count(DISTINCT substring(md5(nt), 1, 16)) AS n_distinct_texts
+        |      FROM d),
+        |v AS (SELECT count(DISTINCT w) AS vocab_size FROM (
+        |        SELECT unnest(string_split(nt, ' ')) AS w FROM d) WHERE length(w) > 0)
+        |SELECT n_docs, n_sources, n_langs, total_tokens, min_tokens, max_tokens,
+        |       vocab_size,
+        |       round(CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs, 4) AS exact_dup_rate
+        |FROM m CROSS JOIN v""".stripMargin,
 
     // the composed-pipeline twin: every stage is the standalone row's
     // oracle fragment (quality CASE, md5-prefix exact keys, the MinHash
