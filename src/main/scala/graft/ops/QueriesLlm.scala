@@ -1420,6 +1420,38 @@ object QueriesLlm {
         .orderBy("vec_id")
     },
 
+    // -------------- chunk-level dedup: vector-store ingest hygiene
+    "q_llm_chunk_dedup" -> { (s, d) =>
+      // a RAG index should store each distinct chunk ONCE: chunks (the
+      // q_llm_chunk windows) dedup by content digest, with the canonical
+      // copy at the smallest (doc_id, chunk_id). Per doc: how many of
+      // its chunks it owns vs. points elsewhere — the dedup ledger an
+      // ingest job writes. Shape: one digest-keyed argmin aggregate
+      // (map-side combined, distinct-digest-sized output) joined back on
+      // the fixed-width digest; work O(corpus chunks), never chunks².
+      val n = size(col("ws"))
+      val chunk = slice(col("ws"), col("i") * ChunkS + 1, lit(ChunkW))
+      val chunks = Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+        .filter(n >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), floor((n - 1).cast(DoubleType) / ChunkS)
+            .cast(LongType))).as("i"), col("ws"))
+        .select(col("doc_id"), col("i").as("chunk_id"),
+          substring(md5(concat_ws(" ", chunk)), 1, 16).as("digest"))
+      val canon = chunks.groupBy("digest")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+        .select(col("digest"), col("m.doc_id").as("cdoc"), col("m.chunk_id").as("cchunk"))
+      chunks.join(canon, "digest")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") === col("cdoc") &&
+            col("chunk_id") === col("cchunk"), 1L).otherwise(0L)).as("n_owned"))
+        .select(col("doc_id"), col("n_chunks"), col("n_owned"),
+          (col("n_chunks") - col("n_owned")).as("n_deduped"))
+        .orderBy("doc_id")
+    },
+
     // ------------------- the corpus report card (the first query a data
     // engineer runs against a new dump)
     "q_llm_corpus_stats" -> { (s, d) =>
@@ -2514,6 +2546,26 @@ object QueriesLlm {
          |FROM r WHERE rnk = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    // the twin states the window spelling of the per-digest canonical;
+    // the Spark side's argmin aggregate is tie-free ((doc, chunk) unique)
+    "q_llm_chunk_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |              FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, CAST(floor(CAST(len(ws) - 1 AS DOUBLE) / $ChunkS) AS BIGINT) + 1)) AS i
+         |      FROM docs WHERE len(ws) >= 1),
+         |ch AS (SELECT doc_id, i AS chunk_id,
+         |         substring(md5(array_to_string(list_slice(ws, CAST(i * $ChunkS + 1 AS BIGINT),
+         |           CAST(least(i * $ChunkS + $ChunkW, len(ws)) AS BIGINT)), ' ')), 1, 16) AS digest
+         |       FROM c),
+         |r AS (SELECT doc_id, chunk_id, digest,
+         |        row_number() OVER (PARTITION BY digest ORDER BY doc_id ASC, chunk_id ASC) AS rnk
+         |      FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+         |       CAST(count(*) - sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_llm_corpus_stats" ->
       """WITH d AS (SELECT doc_id, lang, source,
