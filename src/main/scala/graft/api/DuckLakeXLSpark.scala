@@ -438,6 +438,15 @@ class DuckLakeXLSpark(
             spark.conf.set("spark.sql.session.timeZone", cleaned)
         case StatementRouter.Vacuum => vacuumLocal()
         case StatementRouter.ShowTables => last = Some(showTables())
+        case StatementRouter.ShowDatabases =>
+          last = Some(spark.createDataFrame(
+            Seq(Row(lakeName), Row(s"__ducklake_metadata_$lakeName")).asJava,
+            StructType(Seq(StructField("database_name", StringType, false)))))
+        case StatementRouter.ShowSchemas =>
+          last = Some(spark.createDataFrame(
+            state.liveSchemas().sortBy(_.schemaName)
+              .map(sc => Row(sc.schemaName)).asJava,
+            StructType(Seq(StructField("schema_name", StringType, false)))))
         case StatementRouter.Describe(name) => last = Some(describeTable(name))
         case StatementRouter.TableInfo(name) => last = Some(tableInfo(name))
         case StatementRouter.DatabaseSize => last = Some(databaseSize())

@@ -198,6 +198,11 @@ object StatementRouter {
   final case class Attach(target: String, alias: Option[String],
                           dataPath: Option[String]) extends Stmt
   case object Detach extends Stmt
+  /** `SHOW DATABASES` / `SHOW SCHEMAS` — the attached-catalog and
+    * schema listings a DuckDB user orients with
+    */
+  case object ShowDatabases extends Stmt
+  case object ShowSchemas extends Stmt
 
   /** `CREATE SEQUENCE` / `DROP SEQUENCE` — DuckDB's id-generation
     * surface. Sequence state persists as a `ducklake_metadata` row
@@ -301,8 +306,11 @@ object StatementRouter {
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w\.\"]+)(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+(?:ALL\s+)?TABLES\s*$""".r
+  private val ShowDatabasesRe = """(?is)^\s*SHOW\s+DATABASES\s*$""".r
+  private val ShowSchemasRe = """(?is)^\s*SHOW\s+SCHEMAS\s*$""".r
   // DuckDB's `SHOW t` / `SHOW TABLE t` describe shorthand (checked AFTER
-  // ShowTablesRe so the bare TABLES listing wins)
+  // the TABLES/DATABASES/SCHEMAS listings so those keywords never parse
+  // as a table name)
   private val ShowTableRe = """(?is)^\s*SHOW\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
@@ -875,6 +883,8 @@ object StatementRouter {
     case DropSchemaRe(ife, name, casc) => DropSchema(bareName(name), ife != null, casc != null)
     case UseRe(name) => Use(qualName(name))
     case ShowTablesRe() => ShowTables
+    case ShowDatabasesRe() => ShowDatabases
+    case ShowSchemasRe() => ShowSchemas
     case ShowTableRe(name) => Describe(qualName(name))
     case ExplainRe(select) => Explain(select.trim)
     case DescribeSelectRe(sel) => DescribeQuery(sel.trim)

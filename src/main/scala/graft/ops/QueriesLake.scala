@@ -641,6 +641,8 @@ object QueriesLake {
           |PRAGMA show_tables;
           |SHOW TABLES;
           |SHOW pr;
+          |SHOW DATABASES;
+          |SHOW SCHEMAS;
           |PRAGMA database_size;
           |PRAGMA version;
           |SET memory_limit = '8GB';
