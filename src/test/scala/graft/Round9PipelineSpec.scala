@@ -80,6 +80,27 @@ class Round9PipelineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "keep-set verdict join should broadcast")
   }
 
+  test("segment dedup keeps a partial tail segment intact") {
+    // 14 words = one full 10-word segment + a 4-word tail; both unique
+    val words = (1 to 14).map(i => s"t$i").mkString(" ")
+    val out = QueriesLlm.segmentDedupFromDocs(
+      Seq((1L, words)).toDF("doc_id", "nt")).collect()
+    assert(out.head.getAs[Long]("n_segs") == 2L)
+    assert(out.head.getAs[Long]("n_kept") == 2L)
+    // reassembly restores the exact original text
+    assert(out.head.getAs[Long]("clean_len") == words.length.toLong)
+  }
+
+  test("domain cap 0 drops everything; mixture frac 0 keeps nothing") {
+    val docs = (1L to 30L).map(i => (i, "s", "a b c")).toDF("doc_id", "source", "nt")
+    val capped = QueriesLlm.domainCapFromDocs(
+      docs.select("doc_id", "source"), 0)
+    assert(capped.agg(sum("kept")).head().getLong(0) == 0L)
+    val mixed = QueriesLlm.mixtureVerdictsFromDocs(docs, 0.0)
+    assert(mixed.agg(sum("kept")).head().getLong(0) == 0L)
+    assert(mixed.count() == 30L, "every doc still gets a verdict row")
+  }
+
   // ------------------------------------------------------ mixture sample
 
   test("bucketed mixture == the window-cumsum reference, incl. boundary buckets") {
