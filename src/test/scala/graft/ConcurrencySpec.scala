@@ -94,6 +94,25 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(n == 2, s"expected exactly one bounded retry, saw $n pushes raced")
   }
 
+  test("r9: sequence draws survive CAS contention without duplicate ids") {
+    val (xlsx, data) = freshLakePath()
+    val a = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("CREATE SEQUENCE ids START 1; CREATE TABLE t(id INTEGER)")
+    val b = new DuckLakeXLSpark(spark, xlsx, data)
+    b.pull()
+    // A draws id 1 and commits BETWEEN B's pull and push. B's first
+    // attempt also drew 1 from its stale base — the CAS replay must
+    // re-pull the committed sequence state and draw 2, never a duplicate
+    var fired = false
+    b.onBeforePush = () => {
+      if (!fired) { fired = true; a.sql("INSERT INTO t VALUES (nextval('ids'))") }
+    }
+    b.sql("INSERT INTO t VALUES (nextval('ids'))")
+    val ids = new DuckLakeXLSpark(spark, xlsx, data)
+      .sql("SELECT id FROM t ORDER BY id").collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(1, 2), s"expected distinct sequence draws, got $ids")
+  }
+
   test("interleaved sql() calls from two sessions serialize cleanly") {
     val (xlsx, data) = freshLakePath()
     val a = new DuckLakeXLSpark(spark, xlsx, data)
