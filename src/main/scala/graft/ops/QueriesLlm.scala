@@ -2681,7 +2681,7 @@ object QueriesLlm {
         |ORDER BY shard, pos""".stripMargin,
 
     "q_llm_pack_bins" ->
-      """SELECT shard, bin, count(*) AS n_docs, sum(tokens) AS bin_tokens FROM (
+      """SELECT shard, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens FROM (
         |  SELECT shard,
         |         CAST(floor((sum(tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens) / 512.0) AS BIGINT) AS bin,

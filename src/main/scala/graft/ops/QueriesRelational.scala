@@ -1047,8 +1047,8 @@ object QueriesRelational {
         |             THEN 1 ELSE 0 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |s AS (SELECT user_id, us,
-        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |      FROM g)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s

@@ -65,20 +65,26 @@ def compare(name, con, sql):
     try:
         oracle = con.sql(sql)
         ocols = sorted(oracle.columns)
+        # Type-strict gate (round-9 lesson): DuckDB HUGEINT/UHUGEINT and
+        # DECIMAL serialize differently from Spark's BIGINT/DOUBLE in the
+        # driver's hasher, so a value-equal result can still red the driver.
+        # Python fetchall() sees both as int/Decimal and masks it — FAIL here.
+        bad = [(c, str(t)) for c, t in zip(oracle.columns, oracle.types)
+               if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))]
+        if bad:
+            return f"ORACLE TYPE LINT: {bad} — cast to BIGINT/DOUBLE in the twin", warns
         oidx = [oracle.columns.index(c) for c in ocols]
         orows = [tuple(r[i] for i in oidx) for r in oracle.fetchall()]
-        for c, t in zip(oracle.columns, oracle.types):
-            if "DECIMAL" in str(t).upper():
-                warns.append(f"oracle col {c} is {t} (driver hash risk)")
     except Exception as e:
         return f"ORACLE ERROR: {str(e).splitlines()[0]}", warns
     srel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
     scols = sorted(srel.columns)
     if scols != ocols:
         return f"SCHEMA MISMATCH spark={scols} oracle={ocols}", warns
-    for c, t in zip(srel.columns, srel.types):
-        if "DECIMAL" in str(t).upper():
-            warns.append(f"spark col {c} is {t} (driver hash risk)")
+    sbad = [(c, str(t)) for c, t in zip(srel.columns, srel.types)
+            if "DECIMAL" in str(t).upper()]
+    if sbad:
+        return f"SPARK TYPE LINT: {sbad} — cast to DOUBLE/BIGINT in the query", warns
     sidx = [srel.columns.index(c) for c in scols]
     srows = [tuple(r[i] for i in sidx) for r in srel.fetchall()]
     if len(srows) != len(orows):
