@@ -298,21 +298,32 @@ class DuckLakeXLSpark(
     */
   private var macros = Map.empty[String, (Seq[String], String)]
 
-  // ---- sequences: `ducklake_metadata` rows `seq:<name>` -> "last,incr"
-  private def seqStateOf(name: String): (Long, Long) =
+  // ---- sequences: `ducklake_metadata` rows `seq:<name>` -> "last,incr[,drawn]"
+  // (third field 0 = created but never drawn; absent in pre-r10 lakes =
+  // treated as drawn, the safe reading for an already-used sequence)
+  private def seqStateOf(name: String): (Long, Long, Boolean) =
     state.metadata.find(_._1 == s"seq:$name").map { case (_, v) =>
-      val p = v.split(","); (p(0).toLong, p(1).toLong)
+      val p = v.split(",")
+      (p(0).toLong, p(1).toLong, p.length < 3 || p(2) != "0")
     }.getOrElse(throw new IllegalArgumentException(s"no such sequence: $name"))
 
   private def seqNext(name: String): Long = {
-    val (last, incr) = seqStateOf(name)
+    val (last, incr, _) = seqStateOf(name)
     val n = last + incr
     state = state.copy(metadata = state.metadata
-      .filterNot(_._1 == s"seq:$name") :+ (s"seq:$name" -> s"$n,$incr"))
+      .filterNot(_._1 == s"seq:$name") :+ (s"seq:$name" -> s"$n,$incr,1"))
     n
   }
 
-  private def seqCurr(name: String): Long = seqStateOf(name)._1
+  /** DuckDB errors on currval before the first nextval — the stored
+    * `last` at that point is start-increment, a value the sequence never
+    * produced, so returning it would fabricate a draw */
+  private def seqCurr(name: String): Long = {
+    val (last, _, drawn) = seqStateOf(name)
+    require(drawn, s"currval: sequence '$name' has not been drawn yet " +
+      "(call nextval first)")
+    last
+  }
 
   private def sqlOnce(script: String): DataFrame = {
     if (remote.exists) pull()
@@ -403,7 +414,7 @@ class DuckLakeXLSpark(
               "(use CREATE OR REPLACE SEQUENCE)")
             require(s.incr != 0, "CREATE SEQUENCE: INCREMENT must be nonzero")
             state = state.copy(metadata = state.metadata
-              .filterNot(_._1 == key) :+ (key -> s"${s.start - s.incr},${s.incr}"))
+              .filterNot(_._1 == key) :+ (key -> s"${s.start - s.incr},${s.incr},0"))
           }
         case s: StatementRouter.DropSequence =>
           val key = s"seq:${s.name}"
@@ -687,8 +698,15 @@ class DuckLakeXLSpark(
   private def registerGlob(pattern: String): String = {
     val p = new org.apache.hadoop.fs.Path(pattern)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // local files render as bare paths (DuckDB's glob() output shape);
+    // remote URIs keep scheme+authority — s3a://bucket/x.parquet must
+    // round-trip back into a read, stripping the bucket would break it
     val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+      .filter(_.isFile).map(_.getPath).map { fp =>
+        val u = fp.toUri
+        if (u.getScheme == null || u.getScheme == "file") u.getPath
+        else fp.toString
+      }.sorted
     val vn = s"__glob_${java.lang.Integer.toHexString(pattern.hashCode)}"
     spark.createDataFrame(files.map(Row(_)).asJava,
       StructType(Seq(StructField("file", StringType, nullable = false))))
@@ -2252,7 +2270,24 @@ class DuckLakeXLSpark(
     val badKeys = keys.filterNot(k => names.exists(_.equalsIgnoreCase(k)))
     require(badKeys.isEmpty,
       s"conflict target column(s) not in the insert list: ${badKeys.mkString(", ")}")
-    val srcSql = s"SELECT * FROM (${s.body}) AS __v(${names.mkString(", ")})"
+    // DO NOTHING / OR IGNORE with duplicate conflict keys INSIDE the
+    // source: DuckDB's row-at-a-time upsert inserts the first and ignores
+    // the rest, while the set-based anti-join would insert all of them —
+    // creating duplicate-PK rows a later DO UPDATE then trips over. Keep
+    // the first row per key (VALUES order; any-one for an unordered
+    // SELECT source). The window shuffles on the same conflict key the
+    // merge partitions by, so no extra exchange shape at scale.
+    val srcSql = s.action match {
+      case StatementRouter.ConflictNothing =>
+        s"""SELECT ${names.mkString(", ")} FROM (
+           |  SELECT __v.*, row_number() OVER (
+           |    PARTITION BY ${keys.mkString(", ")} ORDER BY __rid) AS __rn
+           |  FROM (SELECT *, monotonically_increasing_id() AS __rid
+           |        FROM (${s.body}) AS __v0(${names.mkString(", ")})) __v
+           |) WHERE __rn = 1""".stripMargin
+      case _ =>
+        s"SELECT * FROM (${s.body}) AS __v(${names.mkString(", ")})"
+    }
     val on = keys.map(k => s"t.$k = src.$k").mkString(" AND ")
     val matchedSets = s.action match {
       case StatementRouter.ConflictNothing => None
@@ -2460,18 +2495,32 @@ class DuckLakeXLSpark(
       val missing = s.partitionBy.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
       require(missing.isEmpty,
         s"PARTITION_BY names unknown column(s): ${missing.mkString(", ")}")
-      val wp = df.write.mode("overwrite").partitionBy(s.partitionBy: _*)
+      // DuckDB errors on an existing non-empty target directory unless
+      // OVERWRITE[_OR_IGNORE] is given; mode("overwrite") here would
+      // recursively DELETE whatever a mistyped path points at instead
+      val dest0 = Paths.get(s.path)
+      if (!s.overwrite && Files.isDirectory(dest0) &&
+          Files.list(dest0).iterator().hasNext)
+        throw new IllegalStateException(
+          s"COPY target directory not empty: ${s.path} " +
+          "(add OVERWRITE_OR_IGNORE to replace it)")
+      val wp = df.write.mode("overwrite").options(s.writerOptions)
+        .partitionBy(s.partitionBy: _*)
       fmt match {
-        case "csv"  => wp.option("header", "true").csv(s.path)
+        case "csv"  =>
+          if (!s.writerOptions.contains("header")) wp.option("header", "true")
+          wp.csv(s.path)
         case "json" => wp.json(s.path)
         case _      => wp.parquet(s.path)
       }
       return
     }
     val tmp = Files.createTempDirectory(Paths.get(dataPath), ".copy")
-    val w = df.coalesce(1).write.mode("overwrite")
+    val w = df.coalesce(1).write.mode("overwrite").options(s.writerOptions)
     fmt match {
-      case "csv"  => w.option("header", "true").csv(tmp.toString)
+      case "csv"  =>
+        if (!s.writerOptions.contains("header")) w.option("header", "true")
+        w.csv(tmp.toString)
       case "json" => w.json(tmp.toString)
       case _      => w.parquet(tmp.toString)
     }

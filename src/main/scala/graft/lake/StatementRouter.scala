@@ -65,7 +65,9 @@ object StatementRouter {
     * DuckDB pass-through; format defaults from the path extension
     */
   final case class CopyTo(source: String, path: String, format: Option[String],
-                          partitionBy: Seq[String] = Nil) extends Stmt
+                          partitionBy: Seq[String] = Nil,
+                          writerOptions: Map[String, String] = Map.empty,
+                          overwrite: Boolean = false) extends Stmt
   /** `COPY t FROM 'path' (FORMAT fmt)` — file ingestion into a lake table */
   final case class CopyFrom(table: String, path: String, format: Option[String]) extends Stmt
   /** `EXPORT DATABASE 'dir' [(FORMAT fmt)]` — whole-lake export: DuckDB's
@@ -749,6 +751,77 @@ object StatementRouter {
     Merge(table, alias, sourceSql, srcAlias, onCond, matchedSets, matchedDelete, notMatched)
   }
 
+  /** COPY ... TO option blob: `FORMAT csv, DELIMITER '|', HEADER false,
+    * PARTITION_BY (a, b), ...`. Options that shape the OUTPUT BYTES
+    * (delimiter, header, quote, escape, null string, compression, date
+    * formats) are parsed into Spark writer options and honored;
+    * engine-tuning knobs with no output effect are tolerated silently;
+    * anything unrecognized throws — before round 10 the blob was
+    * pattern-scanned for FORMAT/PARTITION_BY only, so
+    * `(DELIMITER '|', HEADER false)` silently wrote a comma-delimited
+    * file WITH a header.
+    * Returns (format, partitionBy, writerOptions, overwrite).
+    */
+  private[graft] def parseCopyOptions(blob: String)
+      : (Option[String], Seq[String], Map[String, String], Boolean) = {
+    if (blob.trim.isEmpty) return (None, Nil, Map.empty, false)
+    // split on commas outside single quotes and parens
+    val parts = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder; var depth = 0; var inQ = false
+    for (c <- blob) c match {
+      case '\'' => inQ = !inQ; sb += c
+      case '(' if !inQ => depth += 1; sb += c
+      case ')' if !inQ => depth -= 1; sb += c
+      case ',' if !inQ && depth == 0 => parts += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    val OptRe = """(?s)^\s*(\w+)\s*(.*?)\s*$""".r
+    def unq(v: String): String = {
+      val t = v.trim
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        t.drop(1).dropRight(1).replace("''", "'")
+      else t
+    }
+    def boolOf(v: String): Boolean = {
+      val t = unq(v).toLowerCase
+      t.isEmpty || t == "true" || t == "1" || t == "on" // bare flag = true
+    }
+    var fmt: Option[String] = None
+    var pby: Seq[String] = Nil
+    var ow = false
+    val wopts = scala.collection.mutable.Map[String, String]()
+    parts.filter(_.trim.nonEmpty).foreach { part =>
+      val OptRe(key0, value) = part
+      key0.toUpperCase match {
+        case "FORMAT" => fmt = Some(unq(value).toLowerCase)
+        case "PARTITION_BY" =>
+          val inner = value.trim
+          val body = if (inner.startsWith("(")) inner.drop(1).dropRight(1) else inner
+          pby = body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)
+        case "DELIMITER" | "DELIM" | "SEP" => wopts("sep") = unq(value)
+        case "HEADER" => wopts("header") = boolOf(value).toString
+        case "QUOTE" => wopts("quote") = unq(value)
+        case "ESCAPE" => wopts("escape") = unq(value)
+        case "NULLSTR" | "NULL" => wopts("nullValue") = unq(value)
+        case "COMPRESSION" | "CODEC" =>
+          val c = unq(value).toLowerCase
+          wopts("compression") = if (c == "uncompressed") "none" else c
+        case "DATEFORMAT" => wopts("dateFormat") = unq(value)
+        case "TIMESTAMPFORMAT" => wopts("timestampFormat") = unq(value)
+        case "OVERWRITE" | "OVERWRITE_OR_IGNORE" => ow = boolOf(value)
+        // engine-tuning knobs: no effect on output bytes, tolerated
+        case "ROW_GROUP_SIZE" | "ROW_GROUP_SIZE_BYTES" | "ROW_GROUPS_PER_FILE"
+           | "USE_TMP_FILE" => ()
+        case other => throw new IllegalArgumentException(
+          s"COPY option not supported: $other (would silently change the " +
+          "output if ignored)")
+      }
+    }
+    (fmt, pby, wopts.toMap, ow)
+  }
+
   def classify(stmt: String): Stmt = stmt match {
     case NoOpRe() => NoOp
     case VacuumRe() => Vacuum
@@ -770,15 +843,9 @@ object StatementRouter {
     case CopyFromRe(table, path, fmt) =>
       CopyFrom(qualName(table), path, Option(fmt).map(_.toLowerCase))
     case CopyRe(source, path, optBlob) =>
-      // option blob: FORMAT fmt and/or PARTITION_BY (a, b) in any order
-      val blob = Option(optBlob).getOrElse("")
-      val fmt = """(?i)\bFORMAT\s+'?(\w+)'?""".r
-        .findFirstMatchIn(blob).map(_.group(1).toLowerCase)
-      val pby = """(?is)\bPARTITION_BY\s*\(([^)]*)\)""".r
-        .findFirstMatchIn(blob).map(_.group(1).split(',').toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-        .getOrElse(Nil)
-      CopyTo(source.trim, path, fmt, pby)
+      val (fmt, pby, wopts, ow) =
+        parseCopyOptions(Option(optBlob).getOrElse(""))
+      CopyTo(source.trim, path, fmt, pby, wopts, ow)
     case CreateRe(orRepl, ifne, name, rest) =>
       val r = rest.trim
       if (r.toUpperCase.startsWith("AS") )

@@ -628,6 +628,28 @@ object QueriesLake {
           |                 FROM d12 GROUP BY ALL) a ON a.g = d.g
           |ORDER BY ALL""".stripMargin)
     },
+    // r10: WITH RECURSIVE pass-through (reference reachable via DuckDB
+    // pass-through, ducklakexl.py:394) — Spark 4.x executes recursive
+    // CTEs natively; what this row pins is that the router's clause
+    // strip/re-wrap and dialect regexes do not mangle the recursive
+    // member. Transitive closure over a graph WITH a cycle (4->2),
+    // bounded by a depth guard, dedup'd by min(depth).
+    "q_lake_dialect13" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE edges13(src INTEGER, dst INTEGER);
+          |INSERT INTO edges13 VALUES (1,2),(2,3),(3,4),(2,5),(4,2),(6,7)""".stripMargin)
+      lake.sql(
+        """WITH RECURSIVE reach(node, depth) AS (
+          |  SELECT 1, 0
+          |  UNION ALL
+          |  SELECT e.dst, r.depth + 1
+          |  FROM reach r JOIN edges13 e ON e.src = r.node
+          |  WHERE r.depth < 6
+          |)
+          |SELECT node, CAST(min(depth) AS INTEGER) AS d
+          |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+    },
     // r8 wave 2: the PRAGMAs a DuckDB user reads output from — show_tables
     // lists, table_info('t') gives the sqlite-style column rows
     "q_lake_pragma" -> { (s, _) =>
@@ -873,6 +895,20 @@ object QueriesLake {
        "CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv FROM (VALUES " +
        "(1,'a',NULL,2,7),(2,'a',10,2,7),(3,'b',10,2,13),(4,'b',30,2,13)) " +
        "t(id, g, prev_x, n, sv) ORDER BY id"),
+    // the twin runs the SAME recursive query in DuckDB (edges inlined) —
+    // recursion semantics themselves are oracle-checked, not hand-listed
+    "q_lake_dialect13" ->
+      """WITH RECURSIVE edges13(src, dst) AS (
+        |  SELECT * FROM (VALUES (1,2),(2,3),(3,4),(2,5),(4,2),(6,7)) v
+        |), reach(node, depth) AS (
+        |  SELECT 1, 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges13 e ON e.src = r.node
+        |  WHERE r.depth < 6
+        |)
+        |SELECT node, CAST(min(depth) AS INTEGER) AS d
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "q_lake_pragma" ->
       ("SELECT CAST(cid AS BIGINT) AS cid, name, type, \"notnull\", " +
        "CAST(dflt_value AS VARCHAR) AS dflt_value, pk FROM (VALUES " +

@@ -577,4 +577,26 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(StatementRouter.classify("COPY t TO '/tmp/t.csv'")
       .isInstanceOf[StatementRouter.CopyTo])
   }
+
+  test("r10: WITH RECURSIVE survives classification and the dialect layer") {
+    val q =
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT 1, 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 6
+        |)
+        |SELECT node, min(depth) AS d FROM reach GROUP BY node ORDER BY node""".stripMargin
+    // routes as a plain Select — never mistaken for DDL/DML
+    assert(StatementRouter.classify(q) == StatementRouter.Select(q))
+    // the dialect regexes must not touch it: RECURSIVE keyword, the
+    // self-referencing member, and the UNION ALL seam all intact
+    assert(rewriteDialect(q) == q)
+    // and with a DuckDB-only spelling inside the recursive member, the
+    // rewrite is local to that spelling (depth // 1 int division)
+    val q2 = q.replace("r.depth + 1", "(r.depth + 1) // 1")
+    val r2 = rewriteDialect(q2)
+    assert(r2.contains("WITH RECURSIVE reach(node, depth) AS"), r2)
+    assert(!r2.contains("//"), r2)
+  }
 }

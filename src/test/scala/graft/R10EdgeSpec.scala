@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+import graft.lake.StatementRouter
+
+/** Round-10 advice closures: COPY option whitelist + honored writer
+  * options, the partitioned-COPY overwrite guard, currval-before-nextval,
+  * ON CONFLICT DO NOTHING intra-source duplicate keys, and glob() URI
+  * fidelity for scheme-qualified paths.
+  */
+class R10EdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshLake(): DuckLakeXLSpark = {
+    val dir = Files.createTempDirectory("graft_r10_edge").toString
+    new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+  }
+
+  test("parseCopyOptions: output-shaping options parsed, tuning tolerated, unknown thrown") {
+    val (fmt, pby, w, ow) = StatementRouter.parseCopyOptions(
+      "FORMAT csv, DELIMITER '|', HEADER false, QUOTE '\"', NULL 'NA', " +
+      "COMPRESSION gzip, ROW_GROUP_SIZE 100000, OVERWRITE_OR_IGNORE")
+    assert(fmt.contains("csv"))
+    assert(pby.isEmpty)
+    assert(w("sep") == "|" && w("header") == "false" && w("quote") == "\"" &&
+      w("nullValue") == "NA" && w("compression") == "gzip")
+    assert(ow)
+    // PARTITION_BY list + quoted delimiter containing a comma
+    val (_, p2, w2, ow2) = StatementRouter.parseCopyOptions(
+      "PARTITION_BY (a, b), DELIMITER ','")
+    assert(p2 == Seq("a", "b") && w2("sep") == "," && !ow2)
+    // unknown output-shaping option: loud, not silent
+    val e = intercept[IllegalArgumentException] {
+      StatementRouter.parseCopyOptions("FORMAT csv, PER_THREAD_OUTPUT true")
+    }
+    assert(e.getMessage.contains("PER_THREAD_OUTPUT"))
+  }
+
+  test("COPY TO honors DELIMITER and HEADER false (was silently ignored)") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE cx(id INTEGER, v VARCHAR); " +
+      "INSERT INTO cx VALUES (1,'a'),(2,'b')")
+    val out = Files.createTempDirectory("graft_copy_opts").resolve("cx.csv")
+    lake.sql(s"COPY cx TO '$out' (DELIMITER '|', HEADER false)")
+    val lines = Files.readAllLines(out)
+    assert(lines.size() == 2, lines)
+    assert(lines.get(0) == "1|a" && lines.get(1) == "2|b", lines)
+  }
+
+  test("partitioned COPY TO refuses a non-empty target without OVERWRITE_OR_IGNORE") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE pt(id INTEGER, region VARCHAR); " +
+      "INSERT INTO pt VALUES (1,'east'),(2,'west')")
+    val tgt = Files.createTempDirectory("graft_copy_guard")
+    Files.writeString(tgt.resolve("precious.txt"), "do not delete")
+    val e = intercept[IllegalStateException] {
+      lake.sql(s"COPY pt TO '$tgt' (FORMAT parquet, PARTITION_BY (region))")
+    }
+    assert(e.getMessage.contains("not empty"))
+    assert(Files.exists(tgt.resolve("precious.txt")), "existing data must survive")
+    // explicit opt-in replaces it
+    lake.sql(s"COPY pt TO '$tgt' (FORMAT parquet, PARTITION_BY (region), OVERWRITE_OR_IGNORE)")
+    val back = spark.read.parquet(tgt.toString)
+    assert(back.count() == 2)
+    assert(back.columns.contains("region"))
+  }
+
+  test("currval before the first nextval errors (DuckDB semantics)") {
+    val lake = freshLake()
+    lake.sql("CREATE SEQUENCE s10 START 5 INCREMENT 2")
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("SELECT currval('s10') AS v")
+    }
+    assert(e.getMessage.contains("has not been drawn"))
+    assert(lake.sql("SELECT nextval('s10') AS v").head().getLong(0) == 5L)
+    assert(lake.sql("SELECT currval('s10') AS v").head().getLong(0) == 5L)
+    // drawn-ness survives a reopen from the workbook alone
+    val lake2 = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(lake2.sql("SELECT currval('s10') AS v").head().getLong(0) == 5L)
+  }
+
+  test("INSERT ... ON CONFLICT DO NOTHING dedups duplicate keys inside the source") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE oc(id INTEGER PRIMARY KEY, v VARCHAR); " +
+      "INSERT INTO oc VALUES (1,'kept')")
+    // 1 conflicts with the target; 2 appears twice in the source — DuckDB's
+    // row-at-a-time upsert keeps the FIRST (2,'first'), never both
+    lake.sql("INSERT INTO oc VALUES (1,'clobber'),(2,'first'),(2,'second') " +
+      "ON CONFLICT (id) DO NOTHING")
+    val rows = lake.sql("SELECT id, v FROM oc ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "kept"), (2, "first")), rows.mkString(","))
+    // and the table stays upsertable afterwards (no duplicate-PK residue)
+    lake.sql("INSERT INTO oc VALUES (2,'upd') ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v")
+    assert(lake.sql("SELECT v FROM oc WHERE id = 2").head().getString(0) == "upd")
+  }
+
+  test("glob() keeps local paths bare and returns joinable paths") {
+    val lake = freshLake()
+    val dir = Files.createTempDirectory("graft_glob10")
+    Files.writeString(dir.resolve("a.csv"), "x\n1\n")
+    Files.writeString(dir.resolve("b.csv"), "x\n2\n")
+    val rows = lake.sql(s"SELECT file FROM glob('$dir/*.csv') ORDER BY file").collect()
+    val files = rows.map(_.getString(0)).toSeq
+    assert(files == Seq(s"$dir/a.csv", s"$dir/b.csv"), files)
+    // every returned path must be directly readable again (round-trip)
+    files.foreach { f => assert(Files.exists(Paths.get(f)), f) }
+  }
+}
