@@ -406,6 +406,61 @@ object TextSketch {
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w, b, m))
   def textStatsRawCol(c: Column, stops: Seq[String]): Column =
     ColumnBridge.column(TextStatsRaw(ColumnBridge.expression(c), stops))
+
+  /** per-doc Shannon entropies of the char and word distributions over
+    * already-NORMALIZED text (lower-cased, single-spaced, trimmed):
+    * H = log2(n) − Σ c·log2(c) / n in bits, plus the normalized char
+    * count. One pass per row, state bounded by the doc's alphabet +
+    * vocabulary — replaces the per-char explode + corpus-wide groupBy
+    * that inflated the corpus-linear stage 16× (r9 verdict item 3).
+    * Null on empty input: the explode formulation emitted no unit rows
+    * for such docs, so they vanished from the join — kept identical.
+    * Char units are CODE POINTS (what both regexp '.' engines match),
+    * spaces included; word units are the single-space-split tokens.
+    */
+  def entropyStats(nt: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = nt.toString
+    if (s.isEmpty) return null
+    val charCnt = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = charCnt.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val wordCnt = new java.util.HashMap[String, Array[Long]]()
+    var nw = 0L
+    var start = 0
+    while (start <= s.length) {
+      val end0 = s.indexOf(' ', start)
+      val end = if (end0 < 0) s.length else end0
+      if (end > start) {
+        val slot = wordCnt.computeIfAbsent(s.substring(start, end),
+          _ => new Array[Long](1))
+        slot(0) += 1
+        nw += 1
+      }
+      start = end + 1
+    }
+    val ln2 = Math.log(2.0)
+    def entropy(counts: java.util.Collection[Array[Long]], total: Long): Double = {
+      var acc = 0.0
+      val it = counts.iterator()
+      while (it.hasNext) {
+        val c = it.next()(0).toDouble
+        acc += c * (Math.log(c) / ln2)
+      }
+      Math.log(total.toDouble) / ln2 - acc / total
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n, entropy(charCnt.values(), n),
+      if (nw == 0) null else entropy(wordCnt.values(), nw)))
+  }
+  def entropyStatsCol(c: Column): Column =
+    ColumnBridge.column(EntropyStats(ColumnBridge.expression(c)))
 }
 
 /** distinct sampled n-gram (char) / n-shingle (word) 60-bit md5-prefix
@@ -514,6 +569,25 @@ case class TextStatsRaw(child: Expression, stops: Seq[String])
       s"${ev.value} = graft.functions.TextSketch.textStatsRaw($c, $stopsRef);")
   }
   override protected def withNewChildInternal(newChild: Expression): TextStatsRaw =
+    copy(child = newChild)
+}
+
+/** per-document char/word Shannon entropies of normalized text in one
+  * pass; null on empty input — see [[TextSketch.entropyStats]]
+  */
+case class EntropyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars_norm", LongType, nullable = false),
+    StructField("char_entropy", DoubleType, nullable = false),
+    StructField("word_entropy", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.entropyStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextSketch.entropyStats($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): EntropyStats =
     copy(child = newChild)
 }
 

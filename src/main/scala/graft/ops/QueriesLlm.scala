@@ -2229,31 +2229,22 @@ object QueriesLlm {
       // per-doc Shannon entropy of the character and word distributions —
       // the quality signal that catches DEGENERATE text (key-mash, char
       // floods, single-token repetition) that length/stopword gates pass.
-      // H = log2(n) - sum(c*log2 c)/n over the unit counts; the group
-      // sums are engine-order-dependent in the last ulps, so the output
-      // rounds to 4 decimals (the corpus-wide convention for DOUBLE
-      // outputs, §7.5). Shape: two corpus-LINEAR explode+count passes
-      // (each unit counted once per doc), constant state per doc above
-      // them — no corpus² anywhere; at 100 TB the char explode is the
-      // 16x-row stage a native one-pass counter would shrink, but the
-      // plan stays map-side-combined and shuffle-light either way.
-      def entropy(units: DataFrame): DataFrame =
-        units.groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n"),
-            round(log2(sum(col("c")).cast(DoubleType)) -
-              sum(col("c") * log2(col("c").cast(DoubleType))) / sum(col("c")), 4)
-              .as("h"))
-      val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"), normText(col("text")).as("nt"))
-      val ce = entropy(docs.select(col("doc_id"),
-        explode(regexp_extract_all(col("nt"), lit("."), lit(0))).as("u")))
-      val we = entropy(docs.select(col("doc_id"),
-          explode(split(col("nt"), " ")).as("u"))
-        .filter(length(col("u")) > 0))
-      ce.select(col("doc_id"), col("n").as("n_chars_norm"),
-          col("h").as("char_entropy"))
-        .join(we.select(col("doc_id"), col("h").as("word_entropy")), "doc_id")
+      // H = log2(n) - sum(c*log2 c)/n over the unit counts; summation
+      // order moves the last ulps, so the output rounds to 4 decimals
+      // (the corpus-wide convention for DOUBLE outputs, §7.5).
+      // Shape (r10): ONE native per-row pass ([[TextSketch.entropyStats]],
+      // state bounded by the doc's alphabet + vocabulary) — a narrow
+      // map-only projection with NO explode and NO groupBy; r9's version
+      // exploded one row per CHARACTER (16x the corpus) into a
+      // corpus-wide count shuffle. Empty-normalized docs drop, exactly
+      // as the explode formulation dropped them.
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextSketch.entropyStatsCol(normText(col("text"))).as("es"))
+        .filter(col("es").isNotNull)
+        .select(col("doc_id"), col("es.n_chars_norm").as("n_chars_norm"),
+          round(col("es.char_entropy"), 4).as("char_entropy"),
+          round(col("es.word_entropy"), 4).as("word_entropy"))
         .orderBy("doc_id")
     },
 

@@ -237,6 +237,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "leak-free split planned a cartesian")
   }
 
+  test("r10: entropy is one native per-row pass — no char explode, no count shuffle") {
+    // r9's shape exploded one row per CHARACTER (16x the corpus) into a
+    // corpus-wide groupBy; the native EntropyStats expression computes
+    // both entropies per row, leaving only the mandated ORDER BY exchange
+    val p = plan("q_llm_entropy")
+    assert(!p.contains("Generate"), s"entropy re-grew an explode:\n${p.take(3000)}")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the ORDER BY exchange, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("rangepartitioning"), p.take(2000))
+  }
+
   test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
     val p = plan("q_llm_dedup_keep_best")
     assert(!p.contains("Window"),

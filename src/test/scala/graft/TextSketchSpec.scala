@@ -230,4 +230,53 @@ class TextSketchSpec extends AnyFunSuite {
     val bad = joined.filter(!(col("sig_old") <=> col("sig_new"))).limit(5).collect()
     assert(bad.isEmpty, s"signature mismatch: ${bad.mkString("; ")}")
   }
+
+  test("EntropyStats == the explode+groupBy entropies (generated + fixture corpus)") {
+    // summation ORDER differs between the two shapes, so entropies agree
+    // to ~ulps, not bit-exactly; the query convention rounds to 4
+    // decimals and the comparison here uses 1e-9 — six orders tighter
+    def oldEntropy(doc: DataFrame): DataFrame = {
+      def entropy(units: DataFrame): DataFrame =
+        units.groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n"),
+            (log2(sum(col("c")).cast(DoubleType)) -
+              sum(col("c") * log2(col("c").cast(DoubleType))) / sum(col("c")))
+              .as("h"))
+      val ce = entropy(doc.select(col("doc_id"),
+        explode(regexp_extract_all(col("nt"), lit("."), lit(0))).as("u")))
+      val we = entropy(doc.select(col("doc_id"),
+          explode(split(col("nt"), " ")).as("u"))
+        .filter(length(col("u")) > 0))
+      ce.select(col("doc_id"), col("n").as("n_old"), col("h").as("ch_old"))
+        .join(we.select(col("doc_id"), col("h").as("wh_old")), "doc_id")
+    }
+    def check(doc: DataFrame): Unit = {
+      val old = oldEntropy(doc)
+      val nw = doc
+        .select(col("doc_id"), TextSketch.entropyStatsCol(col("nt")).as("es"))
+        .filter(col("es").isNotNull)
+        .select(col("doc_id"), col("es.n_chars_norm").as("n_new"),
+          col("es.char_entropy").as("ch_new"), col("es.word_entropy").as("wh_new"))
+      val joined = old.join(nw, "doc_id")
+      assert(joined.count() == old.count(), "doc coverage differs (old side)")
+      assert(joined.count() == nw.count(), "doc coverage differs (new side)")
+      val bad = joined.filter(col("n_old") =!= col("n_new") ||
+          abs(col("ch_old") - col("ch_new")) > 1e-9 ||
+          abs(col("wh_old") - col("wh_new")) > 1e-9)
+        .limit(5).collect()
+      assert(bad.isEmpty, s"entropy mismatch: ${bad.mkString("; ")}")
+    }
+    val texts = Gen.listOfN(60, genText).sample.get ++ Seq(
+      "", "   ", "aaaa", "a a a a", "Ωmega 中文 mixed42", "𐍈𐍈 𐍈 x")
+    check(spark.createDataFrame(
+        spark.sparkContext.parallelize(texts.zipWithIndex.map {
+          case (t, i) => Row(i.toLong, t) }, 4),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+      .select(col("doc_id"), norm(col("t")).as("nt")))
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    check(docsNorm(d))
+  }
 }
