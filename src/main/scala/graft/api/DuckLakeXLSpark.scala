@@ -315,6 +315,66 @@ class DuckLakeXLSpark(
     n
   }
 
+  /** reserve `n` draws in one step: advances the head by n*incr through
+    * the same CAS-pushed metadata as single draws (a conflicting writer
+    * replays the whole script against re-pulled state, so ranges never
+    * overlap) and returns (previous last, incr) — the caller assigns
+    * last + incr*(i+1) for i in [0, n) */
+  private def seqReserve(name: String, n: Long): (Long, Long) = {
+    val (last, incr, _) = seqStateOf(name)
+    if (n > 0)
+      state = state.copy(metadata = state.metadata
+        .filterNot(_._1 == s"seq:$name") :+
+        (s"seq:$name" -> s"${last + incr * n},$incr,1"))
+    (last, incr)
+  }
+
+  /** `INSERT INTO t SELECT nextval('s'), x FROM big` — the distributed-
+    * safe sequence draw (r10): DuckDB draws row-at-a-time, which a
+    * distributed scan cannot honor call-by-call, so the whole range is
+    * reserved up front (one count pass), values assigned as
+    * base + row_index*step in one distributed pass (contiguous indices
+    * via per-partition offsets — no single-partition window), and the
+    * advanced head commits through the same CAS push as the inserted
+    * rows: both land atomically or the script replays. With m nextval
+    * sites per sequence the row draws interleave left-to-right, exactly
+    * the row-at-a-time order. At 100 TB this is two scans of the source
+    * and zero extra shuffles.
+    */
+  private def executeInsertSelectSeq(s: StatementRouter.InsertSelect): Unit = {
+    val parsed = StatementRouter.extractNextvalItems(s.select)
+    require(parsed.isDefined,
+      "nextval() over a scan is supported only as a top-level select " +
+      "item (optionally aliased), e.g. INSERT INTO t SELECT nextval('s')" +
+      ", x FROM src — nested in an expression or under DISTINCT, the " +
+      "reserved-range assignment cannot see the call site")
+    val (body, sites) = parsed.get
+    val df0 = spark.sql(rewriteSelect(body))
+    val n = df0.count()
+    val bySeq = sites.zipWithIndex.groupBy(_._1.seq) // preserve list order
+    val reserved = bySeq.map { case (nm, ss) =>
+      nm -> (seqReserve(nm, n * ss.size), ss.size)
+    }
+    // contiguous 0-based row index, distributed (zipWithIndex computes
+    // per-partition counts, then offsets — never a global sort/window)
+    val sch = StructType(df0.schema.fields :+
+      StructField("__graft_rid", LongType, nullable = false))
+    var out = spark.createDataFrame(
+      df0.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      sch)
+    bySeq.foreach { case (nm, ss) =>
+      val ((last, incr), m) = reserved(nm)
+      ss.map(_._1).zipWithIndex.foreach { case (site, j) =>
+        // insert mapping is positional, so the placeholder name can stay
+        out = out.withColumn(site.placeholder,
+          (lit(last) + lit(incr) *
+            (col("__graft_rid") * m + (j + 1))).cast(LongType))
+      }
+    }
+    executeInsertDF(s.table, s.cols,
+      out.select(df0.columns.map(c => col(s"`$c`")).toSeq: _*))
+  }
+
   /** DuckDB errors on currval before the first nextval — the stored
     * `last` at that point is start-increment, a value the sequence never
     * produced, so returning it would fabricate a draw */
@@ -332,26 +392,37 @@ class DuckLakeXLSpark(
     withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>
       // sequence draws evaluate TEXTUALLY on the driver (each occurrence
       // draws once, left to right) — sound for INSERT … VALUES and
-      // FROM-less SELECTs; a nextval over a distributed scan would
-      // silently draw once per STATEMENT instead of per row, so it is
-      // refused loudly. currval is constant per statement — safe anywhere.
+      // FROM-less SELECTs. An INSERT … SELECT nextval(…) … FROM <scan>
+      // instead routes to the distributed-draw path (r10): reserve a
+      // count-sized range, assign base + row_index*incr per row, commit
+      // the advanced head through the same CAS push. Anything else with
+      // a per-row draw is refused loudly. currval is constant per
+      // statement — safe anywhere.
       val stmt0 =
         if (!StatementRouter.hasCall(stmt00, "nextval") &&
             !StatementRouter.hasCall(stmt00, "currval")) stmt00
-        else {
-          if (StatementRouter.hasCall(stmt00, "nextval")) {
-            val ok = StatementRouter.classify(stmt00) match {
-              case _: StatementRouter.InsertValues => true
-              case StatementRouter.Select(q) =>
-                !StatementRouter.selectHasTopLevelFrom(q)
-              case _ => false
-            }
-            require(ok, "nextval() is supported in INSERT ... VALUES and " +
-              "FROM-less SELECTs (a per-row sequence draw over a " +
-              "distributed scan cannot honor sequence semantics)")
+        else if (StatementRouter.hasCall(stmt00, "nextval")) {
+          StatementRouter.classify(stmt00) match {
+            case _: StatementRouter.InsertValues =>
+              StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
+            case StatementRouter.Select(q)
+                if !StatementRouter.selectHasTopLevelFrom(q) =>
+              StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
+            case s: StatementRouter.InsertSelect
+                if !StatementRouter.selectHasTopLevelFrom(s.select) =>
+              StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
+            case _: StatementRouter.InsertSelect =>
+              // distributed draw: nextval survives to execution
+              // (executeInsertSelectSeq); currval resolves now
+              StatementRouter.rewriteCurrvalCalls(stmt00)(seqCurr)
+            case _ =>
+              throw new IllegalArgumentException(
+                "nextval() is supported in INSERT ... VALUES, FROM-less " +
+                "SELECTs, and INSERT ... SELECT over a scan (reserved-" +
+                "range assignment); a per-row draw elsewhere cannot " +
+                "honor sequence semantics")
           }
-          StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
-        }
+        } else StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
       // expand macro calls textually before re-classifying — but never
       // inside macro DDL itself (a CREATE OR REPLACE MACRO whose head
       // matches an existing macro must not expand its own signature)
@@ -381,7 +452,10 @@ class DuckLakeXLSpark(
           executeInsertDF(s.table, s.cols, valuesDF(s.table, s.cols, s.valuesSql))
           registerViews()
         case s: StatementRouter.InsertSelect =>
-          executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
+          if (StatementRouter.hasCall(s.select, "nextval"))
+            executeInsertSelectSeq(s)
+          else
+            executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
           registerViews()
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
         case s: StatementRouter.Merge         => executeMerge(s); registerViews()

@@ -1823,10 +1823,58 @@ object StatementRouter {
       case Seq(a) => quotedLiteral(a.trim).map(n => s"CAST(${next(n)} AS BIGINT)")
       case _ => None
     }
+    rewriteCurrvalCalls(q)(curr)
+  }
+
+  /** currval only — used by the distributed-draw path, where nextval must
+    * survive to execution but currval is still a per-statement constant */
+  def rewriteCurrvalCalls(q: String)(curr: String => Long): String =
     rewriteCalls(q, "currval") {
       case Seq(a) => quotedLiteral(a.trim).map(n => s"CAST(${curr(n)} AS BIGINT)")
       case _ => None
     }
+
+  /** one extracted `nextval` select item: the unique placeholder alias it
+    * was replaced with, the sequence name, and the user's alias if any */
+  final case class NextvalSite(placeholder: String, seq: String,
+                               alias: Option[String])
+
+  /** Distributed sequence-draw support (`INSERT INTO t SELECT
+    * nextval('s'), x FROM big`): when every `nextval` in the SELECT body
+    * is a TOP-LEVEL select item (optionally aliased), pull them out —
+    * returns the body with each such item replaced by a uniquely-aliased
+    * NULL BIGINT placeholder, plus the per-site descriptors, in select-
+    * list order. None when the body has no top-level FROM, starts with
+    * DISTINCT, or any nextval sits NESTED inside an expression — the
+    * caller refuses those loudly (a partial rewrite would silently draw
+    * wrong values).
+    */
+  def extractNextvalItems(select0: String): Option[(String, Seq[NextvalSite])] = {
+    val (head, fromTail) = splitTopLevelKeyword(select0, "FROM")
+    if (fromTail.isEmpty) return None
+    val hm = """(?is)^\s*SELECT\s+(.*)$""".r.findFirstMatchIn(head)
+    if (hm.isEmpty) return None
+    val itemsStr = hm.get.group(1)
+    if ("""(?is)^\s*(DISTINCT|ALL)\b""".r.findFirstIn(itemsStr).isDefined)
+      return None
+    val ItemRe =
+      """(?is)^\s*nextval\s*\(\s*'([^']+)'\s*\)\s*(?:(?:AS\s+)?("?\w+"?))?\s*$""".r
+    var k = 0
+    val sites = Seq.newBuilder[NextvalSite]
+    val newItems = splitTopCommas(itemsStr).map {
+      case ItemRe(seq, alias) =>
+        val ph = s"__graft_seq_$k"
+        k += 1
+        sites += NextvalSite(ph, seq,
+          Option(alias).map(_.stripPrefix("\"").stripSuffix("\"")))
+        s"CAST(NULL AS BIGINT) AS $ph"
+      case it =>
+        if (hasCall(it, "nextval")) return None // nested — refuse upstream
+        it
+    }
+    if (k == 0) return None
+    Some(("SELECT " + newItems.mkString(", ") + " FROM " + fromTail.get,
+      sites.result()))
   }
 
   /** `FROM glob('pattern')` — DuckDB's file-listing table function.

@@ -551,6 +551,24 @@ object QueriesLake {
           |INSERT INTO st VALUES (nextval('ids'), 'c')""".stripMargin)
       lake.sql("SELECT st.id, st.v, currval('ids') AS cv FROM st ORDER BY st.id")
     },
+    // r10: sequence draws over a DISTRIBUTED SCAN — nextval as a select
+    // item over a real FROM reserves a count-sized range and assigns
+    // base + row_index*incr in one distributed pass; the advanced head
+    // CAS-commits with the insert, and persists through a reopen
+    "q_lake_seq2" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE src2(v VARCHAR);
+          |INSERT INTO src2 VALUES ('a'),('b'),('c'),('d');
+          |CREATE SEQUENCE ids2 START 100 INCREMENT 10;
+          |CREATE TABLE dst2(id BIGINT, v VARCHAR);
+          |INSERT INTO dst2 SELECT nextval('ids2'), v FROM src2
+          |WHERE v <> 'c' ORDER BY v""".stripMargin)
+      // reopen from the workbook alone: the advanced head must persist
+      val re = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      re.sql("INSERT INTO dst2 VALUES (nextval('ids2'), 'tail')")
+      re.sql("SELECT id, v FROM dst2 ORDER BY id")
+    },
     // r9 wave 2: glob('pattern') file-listing table function (DuckDB's
     // exploration spelling before reading anything) — metadata plane,
     // Hadoop glob matcher, deterministic sorted output
@@ -877,6 +895,9 @@ object QueriesLake {
     "q_lake_seq" ->
       ("SELECT CAST(id AS INTEGER) AS id, v, CAST(cv AS BIGINT) AS cv FROM (VALUES " +
        "(100,'a',120),(110,'b',120),(120,'c',120)) t(id, v, cv) ORDER BY id"),
+    "q_lake_seq2" ->
+      ("SELECT CAST(id AS BIGINT) AS id, v FROM (VALUES " +
+       "(100,'a'),(110,'b'),(120,'d'),(130,'tail')) t(id, v) ORDER BY id"),
     "q_lake_duckdb_meta" ->
       ("SELECT table_name, has_primary_key, CAST(column_count AS BIGINT) AS column_count, " +
        "CAST(estimated_size AS BIGINT) AS estimated_size, CAST(ncols AS BIGINT) AS ncols " +

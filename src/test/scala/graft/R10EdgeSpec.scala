@@ -99,6 +99,27 @@ class R10EdgeSpec extends AnyFunSuite {
     assert(lake.sql("SELECT v FROM oc WHERE id = 2").head().getString(0) == "upd")
   }
 
+  test("distributed nextval: multi-site interleave, empty scan, nested refusal") {
+    val lake = freshLake()
+    lake.sql("CREATE SEQUENCE ds START 1 INCREMENT 1; " +
+      "CREATE TABLE dsrc(v VARCHAR); INSERT INTO dsrc VALUES ('x'),('y'); " +
+      "CREATE TABLE ddst(a BIGINT, v VARCHAR, b BIGINT)")
+    // two sites in one row: row-at-a-time interleave — (1,x,2), (3,y,4)
+    lake.sql("INSERT INTO ddst SELECT nextval('ds'), v, nextval('ds') " +
+      "FROM dsrc ORDER BY v")
+    val rows = lake.sql("SELECT a, v, b FROM ddst ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "x", 2L), (3L, "y", 4L)), rows.mkString(","))
+    // empty scan: no rows, head unchanged (next draw continues at 5)
+    lake.sql("INSERT INTO ddst SELECT nextval('ds'), v, 0 FROM dsrc WHERE v = 'none'")
+    assert(lake.sql("SELECT nextval('ds') AS n").head().getLong(0) == 5L)
+    // nested in an expression over a scan: refused loudly, never silent
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO ddst SELECT nextval('ds') + 1, v, 0 FROM dsrc")
+    }
+    assert(e.getMessage.contains("top-level select item"), e.getMessage)
+  }
+
   test("glob() keeps local paths bare and returns joinable paths") {
     val lake = freshLake()
     val dir = Files.createTempDirectory("graft_glob10")
