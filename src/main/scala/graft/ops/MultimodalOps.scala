@@ -23,10 +23,18 @@ object MultimodalOps {
   /** what a real decoder would yield per payload */
   final case class Decoded(width: Int, height: Int, channels: Int, ok: Boolean)
 
+  /** the per-partition decoder contract: one instance per partition,
+    * rows streamed through `decode`, `close()` with the partition */
+  trait Decoder {
+    def decode(payload: Array[Byte]): Decoded
+    def close(): Unit
+    def closed: Boolean
+  }
+
   /** deterministic fake decoder: "parses" a header from the payload bytes.
     * Stands in for e.g. a JPEG decoder; one instance per partition.
     */
-  final class StubDecoder {
+  final class StubDecoder extends Decoder {
     var closed = false
     def decode(payload: Array[Byte]): Decoded = {
       require(!closed, "decoder used after close")
@@ -38,6 +46,30 @@ object MultimodalOps {
         val h = 16 + (payload(payload.length / 2) & 0x3f)
         Decoded(w, h, 3, ok = true)
       }
+    }
+    def close(): Unit = closed = true
+  }
+
+  /** REAL codec path behind the same seam: `javax.imageio` ships in the
+    * JDK (no new dependencies) and decodes PNG/BMP/GIF/JPEG payloads.
+    * Undecodable bytes yield ok=false rather than failing the partition
+    * — at 100 TB some corrupt payloads are a certainty, and one bad blob
+    * must not kill a task. Same lifecycle as the stub: one instance per
+    * partition (ImageIO reader caches warm up once per task, the
+    * amortized-init shape that makes per-row-expensive decode viable).
+    */
+  final class ImageIODecoder extends Decoder {
+    var closed = false
+    def decode(payload: Array[Byte]): Decoded = {
+      require(!closed, "decoder used after close")
+      if (payload == null || payload.isEmpty) Decoded(0, 0, 0, ok = false)
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) Decoded(0, 0, 0, ok = false)
+        else Decoded(img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, ok = true)
+      } catch { case _: java.io.IOException => Decoded(0, 0, 0, ok = false) }
     }
     def close(): Unit = closed = true
   }
@@ -59,14 +91,19 @@ object MultimodalOps {
     decodePayloads(src)
   }
 
-  /** the reusable operator: any df with (doc_id, payload, meta.mime) */
-  def decodePayloads(src: DataFrame): DataFrame = {
+  /** the reusable operator: any df with (doc_id, payload, meta.mime).
+    * `decoder` picks the codec — the stub by default (the oracle row's
+    * deterministic shape), [[ImageIODecoder]] for real PNG/BMP/GIF/JPEG
+    * payloads; the factory runs ON THE EXECUTOR, once per partition.
+    */
+  def decodePayloads(src: DataFrame,
+                     decoder: () => Decoder = () => new StubDecoder): DataFrame = {
     val spark = src.sparkSession
     val out = src.select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .rdd
       .mapPartitions { rows =>
         // per-partition decoder lifecycle (the mapInPandas batch shape)
-        val dec = new StubDecoder
+        val dec = decoder()
         val it = rows.map { r =>
           val d = dec.decode(r.getAs[Array[Byte]]("payload"))
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),

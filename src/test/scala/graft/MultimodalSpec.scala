@@ -84,4 +84,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.agg(min("width"), max("width")).collect()(0).toSeq.forall(
       v => v.asInstanceOf[Int] >= 16 && v.asInstanceOf[Int] < 80))
   }
+
+  test("ImageIODecoder decodes real in-test PNGs through the partition-wise path") {
+    // real codec, same seam: render PNGs of known dimensions with the
+    // JDK's ImageIO and push them through decodePayloads as binary
+    // payloads — the executor-side factory builds one decoder per
+    // partition and corrupt payloads degrade to ok=false, not a crash
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, png(20, 30), Row("image/png")),
+      Row(2L, png(64, 8), Row("image/png")),
+      Row(3L, "not an image at all".getBytes("UTF-8"), Row("image/png")),
+      Row(4L, Array.emptyByteArray, Row("image/png")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(StructField("mime", StringType))))))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(3)
+    val out = MultimodalOps.decodePayloads(df,
+        () => new MultimodalOps.ImageIODecoder)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((20, 30, 3, true)), out(1L))
+    assert(out(2L) == ((64, 8, 3, true)), out(2L))
+    assert(!out(3L)._4, "garbage bytes must decode to ok=false")
+    assert(!out(4L)._4, "empty payload must decode to ok=false")
+    // and the real decode chains into the resize plan unchanged
+    val rp = MultimodalOps.resizePlan(
+      MultimodalOps.decodePayloads(df, () => new MultimodalOps.ImageIODecoder)
+        .filter(col("ok")), maxSide = 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(rp(1L) == ((10, 16)), rp(1L))  // 20x30 -> x16/30 -> 10x16
+    assert(rp(2L) == ((16, 2)), rp(2L))   // 64x8  -> x16/64 -> 16x2
+  }
 }
