@@ -37,7 +37,8 @@ object Bench {
       graft.ops.Tables.t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          (sum(round(col("value") * 10000).cast("long"))
+            .cast("double") / 10000.0).as("sum_value"))
     }
 
     val benchable0 = SparkEntry.queries.view

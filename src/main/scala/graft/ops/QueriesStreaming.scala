@@ -74,7 +74,7 @@ object QueriesStreaming {
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS cnt, " +
-       "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value " +
+       "CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value " +
        "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
     "q_stream_sliding" ->
       // each event belongs to the 4 sliding windows whose starts are the

@@ -28,9 +28,13 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      // exact order-independent sum via 4-decimal scaled BIGINT (the
+      // q_agg_groupby trick): Spark's decimal aggregation buffers cost
+      // ~2x a long sum per row (measured at sf1, SCALE.md §7), and the
+      // round-trip stays hash-identical to the DECIMAL(18,4) formulation
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
-          .cast(DoubleType).as("sum_value"))
+        (sum(round(col("value") * 10000).cast(LongType))
+          .cast(DoubleType) / 10000.0).as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
 
   /** sliding 1-hour window, 15-minute slide: events per window */
