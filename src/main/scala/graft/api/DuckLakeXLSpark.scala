@@ -454,7 +454,15 @@ class DuckLakeXLSpark(
         case s: StatementRouter.InsertSelect =>
           if (StatementRouter.hasCall(s.select, "nextval"))
             executeInsertSelectSeq(s)
-          else
+          else if (s.byName) {
+            // BY NAME: the source's own column names pick the target
+            // columns (order-free; unnamed table columns fill NULL) —
+            // executeInsertDF's named path does exactly that mapping
+            val body = if (s.select.startsWith("("))
+              s"SELECT * FROM ${s.select}" else s.select
+            val df = spark.sql(rewriteSelect(body))
+            executeInsertDF(s.table, Some(df.columns.toSeq), df)
+          } else
             executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
           registerViews()
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
@@ -681,7 +689,88 @@ class DuckLakeXLSpark(
     */
   private def dexpr(e: String): Column = expr(StatementRouter.rewriteDialect(e))
 
+  private val RecCteRe =
+    """(?is)^\s*WITH\s+RECURSIVE\s+("?\w+"?)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
+
+  /** DuckDB's `WITH RECURSIVE name AS (anchor UNION step) …` — the
+    * cycle-safe closure spelling (terminates WITHOUT a depth guard:
+    * already-seen rows neither re-emit nor re-enter the working table).
+    * Spark 4 executes only the UNION ALL form natively, so the distinct
+    * form runs here as SEMI-NAIVE iteration — which IS SQL's recursive
+    * semantics: the working table each round is the PREVIOUS round's new
+    * rows; step output dedups against everything produced so far. Each
+    * round localCheckpoints the two frames (lineage truncation, the CC
+    * pattern), the only driver materialization is a 1-row emptiness
+    * probe, and a non-converging query fails LOUDLY at the iteration
+    * cap. UNION ALL bodies pass through to Spark untouched.
+    */
+  private def rewriteRecursiveUnion(q0: String): String = {
+    val m = RecCteRe.findPrefixMatchOf(q0).getOrElse(return q0)
+    val open = m.end - 1
+    val close = StatementRouter.matchingParen(q0, open)
+    val body = q0.substring(open + 1, close)
+    val (anchor, tailOpt) = StatementRouter.splitTopLevelKeyword(body, "UNION")
+    if (tailOpt.isEmpty) return q0
+    val tail = tailOpt.get
+    if ("""(?is)^ALL\b""".r.findFirstIn(tail).isDefined)
+      return q0 // UNION ALL -> Spark-native recursion
+    val step = """(?is)^DISTINCT\b""".r.replaceFirstIn(tail, "").trim
+    val name = m.group(1).stripPrefix("\"").stripSuffix("\"")
+    val cols = Option(m.group(2)).map(_.split(',').toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+    val viewName = s"__rec_${name}_${DuckLakeXLSpark.fileViewSeq.incrementAndGet()}"
+    // identifier-substitute the CTE name (word-bounded, not after a dot,
+    // outside string literals) — a unique view name cannot shadow a lake
+    // table for later statements the way reusing the CTE name would
+    def subst(s: String): String = mapOutsideQuotes(s)(
+      _.replaceAll("(?i)(?<![\\w.\"])" +
+        java.util.regex.Pattern.quote(name) + "\\b", viewName))
+    def shape(df: DataFrame, like: Option[DataFrame]): DataFrame = {
+      val named = cols match {
+        case Some(cs) => df.toDF(cs: _*)
+        case None => like.map(l => df.toDF(l.columns: _*)).getOrElse(df)
+      }
+      // align step types to the anchor's (DuckDB unifies; except() insists)
+      like match {
+        case Some(l) => named.select(l.schema.fields.map(f =>
+          col(s"`${f.name}`").cast(f.dataType)).toSeq: _*)
+        case None => named
+      }
+    }
+    var acc = shape(spark.sql(rewriteSelect(anchor)).distinct(), None)
+      .localCheckpoint()
+    var frontier = acc
+    var iter = 0
+    // DuckDB loops forever on a non-converging recursion; a loud cap is
+    // the distributed-job-friendly stand-in (each round is a Spark job)
+    val cap = spark.conf.getOption("spark.graft.recursionCap")
+      .map(_.toInt).getOrElse(1000)
+    while (!frontier.isEmpty) {
+      iter += 1
+      require(iter <= cap,
+        s"WITH RECURSIVE '$name' did not converge within $cap iterations " +
+        "(UNION-distinct recursion only terminates when the step stops " +
+        "producing new rows)")
+      frontier.createOrReplaceTempView(viewName)
+      val next = shape(spark.sql(rewriteSelect(subst(step))).distinct(), Some(acc))
+        .except(acc).localCheckpoint()
+      if (!next.isEmpty) acc = acc.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    acc.createOrReplaceTempView(viewName)
+    val rest0 = q0.substring(close + 1).trim
+    val rest =
+      if (rest0.startsWith(","))
+        "WITH RECURSIVE " + rest0.drop(1).trim // further CTEs keep recursion
+      else rest0
+    rewriteRecursiveUnion(subst(rest))
+  }
+
   private[graft] def rewriteSelect(q00: String): String = {
+    // recursive UNION-distinct CTEs first: they evaluate ITERATIVELY
+    // (sub-queries re-enter this pipeline), leaving a registered view +
+    // the remaining query text for the passes below
+    val q00r = rewriteRecursiveUnion(q00)
     // direct file queries first — their paths sit inside quotes, which
     // every later stage (mapOutsideQuotes, the dialect layer) skips.
     // The dedup cache is PER STATEMENT (a path referenced twice in one
@@ -690,7 +779,7 @@ class DuckLakeXLSpark(
     val stmtCache = scala.collection.mutable.Map[String, String]()
     val q0 = StatementRouter.rewriteSessionReadouts(
       StatementRouter.rewriteGlob(
-        StatementRouter.rewriteFileReads(q00) { (fmt, paths, opts) =>
+        StatementRouter.rewriteFileReads(q00r) { (fmt, paths, opts) =>
           stmtCache.getOrElseUpdate(
             s"$fmt|${paths.mkString("|")}|${opts.toSeq.sorted.mkString(",")}",
             registerFileRead(fmt, paths, opts))
@@ -2711,8 +2800,16 @@ class DuckLakeXLSpark(
       else "parquet"
     }
     val df = fmt match {
-      case "csv"  => spark.read.schema(schema).option("header", "true").csv(s.path)
-      case "json" => spark.read.schema(schema).json(s.path)
+      case "csv"  =>
+        var r = spark.read.schema(schema).option("header", "true")
+        // same whitelist-parsed option names as COPY TO (sep/quote/
+        // escape/nullValue/header/compression/date formats), applied to
+        // the reader — (DELIMITER '|', HEADER false) must shape the READ
+        // exactly as it shaped the write, or a round-trip corrupts
+        r = r.options(s.readerOptions)
+        r.csv(s.path)
+      case "json" => spark.read.schema(schema)
+        .options(s.readerOptions).json(s.path)
       case _      => spark.read.schema(schema).parquet(s.path)
     }
     executeInsertDF(s.table, None, df)

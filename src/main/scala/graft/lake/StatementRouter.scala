@@ -68,8 +68,11 @@ object StatementRouter {
                           partitionBy: Seq[String] = Nil,
                           writerOptions: Map[String, String] = Map.empty,
                           overwrite: Boolean = false) extends Stmt
-  /** `COPY t FROM 'path' (FORMAT fmt)` — file ingestion into a lake table */
-  final case class CopyFrom(table: String, path: String, format: Option[String]) extends Stmt
+  /** `COPY t FROM 'path' (FORMAT fmt, DELIMITER …, HEADER …)` — file
+    * ingestion into a lake table; options parse through the same
+    * whitelist as COPY TO (reader side) */
+  final case class CopyFrom(table: String, path: String, format: Option[String],
+                            readerOptions: Map[String, String] = Map.empty) extends Stmt
   /** `EXPORT DATABASE 'dir' [(FORMAT fmt)]` — whole-lake export: DuckDB's
     * shape (schema.sql + load.sql + one data file per table); format
     * defaults to csv like the reference engine's
@@ -79,7 +82,10 @@ object StatementRouter {
   final case class ImportDb(path: String) extends Stmt
   /** cols = optional explicit column list `INSERT INTO t(a, b) …` */
   final case class InsertValues(table: String, cols: Option[Seq[String]], valuesSql: String) extends Stmt
-  final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String) extends Stmt
+  /** byName: DuckDB `INSERT INTO t BY NAME SELECT …` — the source's own
+    * column NAMES map to table columns (order-free, missing cols NULL) */
+  final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String,
+                                byName: Boolean = false) extends Stmt
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)], where: Option[String]) extends Stmt
   final case class DropTable(name: String, ifExists: Boolean) extends Stmt
@@ -230,7 +236,7 @@ object StatementRouter {
   private val CopyRe =
     """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
   private val CopyFromRe =
-    """(?is)^\s*COPY\s+([\w\.\"]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
+    """(?is)^\s*COPY\s+([\w\.\"]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
   private val ExportDbRe =
     """(?is)^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
   private val ImportDbRe =
@@ -346,7 +352,7 @@ object StatementRouter {
     * the old lazy-regex WHERE split (`UPDATE t SET v = 'a WHERE b'` must
     * not split inside the literal)
     */
-  private[lake] def splitTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
+  private[graft] def splitTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
     var i = 0
     var depth = 0
     var inS = false
@@ -532,7 +538,7 @@ object StatementRouter {
   }
 
   /** index of the ')' matching the '(' at `open`, honoring string literals */
-  private def matchingParen(s: String, open: Int): Int = {
+  private[graft] def matchingParen(s: String, open: Int): Int = {
     var i = open
     var depth = 0
     var inS = false
@@ -602,7 +608,10 @@ object StatementRouter {
       val close = matchingParen(r0, 0)
       val after = r0.drop(close + 1).trim
       val up = after.toUpperCase
-      if (up.startsWith("VALUES") || up.startsWith("SELECT") || up.startsWith("(") || up.startsWith("WITH")) {
+      // "BY" = `(cols) BY NAME …`, recognized so the contradiction of a
+      // column list WITH by-name mapping can be refused loudly downstream
+      if (up.startsWith("VALUES") || up.startsWith("SELECT") || up.startsWith("(") ||
+          up.startsWith("WITH") || up.startsWith("BY")) {
         val names = r0.substring(1, close).split(',').toSeq
           .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
         (Some(names), after)
@@ -840,8 +849,11 @@ object StatementRouter {
     case ExportDbRe(path, fmt) =>
       ExportDb(path, Option(fmt).map(_.toLowerCase))
     case ImportDbRe(path) => ImportDb(path)
-    case CopyFromRe(table, path, fmt) =>
-      CopyFrom(qualName(table), path, Option(fmt).map(_.toLowerCase))
+    case CopyFromRe(table, path, optBlob) =>
+      val (fmt, pby, wopts, _) =
+        parseCopyOptions(Option(optBlob).getOrElse(""))
+      require(pby.isEmpty, "COPY ... FROM does not take PARTITION_BY")
+      CopyFrom(qualName(table), path, fmt, wopts)
     case CopyRe(source, path, optBlob) =>
       val (fmt, pby, wopts, ow) =
         parseCopyOptions(Option(optBlob).getOrElse(""))
@@ -869,7 +881,13 @@ object StatementRouter {
           val (keys, action) = parseConflictTail(tail)
           InsertOnConflict(qualName(name), cols, body, keys, action)
         case None =>
-          if (r0.toUpperCase.startsWith("VALUES")) InsertValues(qualName(name), cols, r0)
+          val bn = """(?is)^BY\s+NAME\b\s*(.*)$""".r.findFirstMatchIn(r0)
+          if (bn.isDefined) {
+            require(cols.isEmpty,
+              "INSERT ... BY NAME takes no column list (names come from the source)")
+            InsertSelect(qualName(name), None, bn.get.group(1).trim, byName = true)
+          }
+          else if (r0.toUpperCase.startsWith("VALUES")) InsertValues(qualName(name), cols, r0)
           else InsertSelect(qualName(name), cols, r0)
       }
     case DeleteRe(name, rest) =>

@@ -668,6 +668,33 @@ object QueriesLake {
           |SELECT node, CAST(min(depth) AS INTEGER) AS d
           |FROM reach GROUP BY node ORDER BY node""".stripMargin)
     },
+    // r10: the UNION-distinct recursion (no depth guard — termination
+    // comes from dedup) over a CYCLIC graph: Spark only runs the UNION
+    // ALL form natively, so this exercises the semi-naive iterative
+    // evaluator in rewriteSelect
+    "q_lake_dialect14" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE edges14(src INTEGER, dst INTEGER);
+          |INSERT INTO edges14 VALUES (1,2),(2,3),(3,1),(3,4),(5,6)""".stripMargin)
+      lake.sql(
+        """WITH RECURSIVE reach(node) AS (
+          |  SELECT 1
+          |  UNION
+          |  SELECT e.dst FROM reach r JOIN edges14 e ON e.src = r.node
+          |)
+          |SELECT node FROM reach ORDER BY node""".stripMargin)
+    },
+    // r10: INSERT ... BY NAME — the source's own column names pick the
+    // target columns, order-free, unnamed columns NULL
+    "q_lake_byname" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE bn(a INTEGER, b VARCHAR, c DOUBLE);
+          |INSERT INTO bn BY NAME SELECT 'x' AS b, 1 AS a;
+          |INSERT INTO bn BY NAME SELECT 2.5 AS c, 'y' AS b, 7 AS a""".stripMargin)
+      lake.sql("SELECT a, b, c FROM bn ORDER BY a")
+    },
     // r8 wave 2: the PRAGMAs a DuckDB user reads output from — show_tables
     // lists, table_info('t') gives the sqlite-style column rows
     "q_lake_pragma" -> { (s, _) =>
@@ -916,6 +943,18 @@ object QueriesLake {
        "CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv FROM (VALUES " +
        "(1,'a',NULL,2,7),(2,'a',10,2,7),(3,'b',10,2,13),(4,'b',30,2,13)) " +
        "t(id, g, prev_x, n, sv) ORDER BY id"),
+    "q_lake_dialect14" ->
+      """WITH RECURSIVE edges14(src, dst) AS (
+        |  SELECT * FROM (VALUES (1,2),(2,3),(3,1),(3,4),(5,6)) v
+        |), reach(node) AS (
+        |  SELECT 1
+        |  UNION
+        |  SELECT e.dst FROM reach r JOIN edges14 e ON e.src = r.node
+        |)
+        |SELECT node FROM reach ORDER BY node""".stripMargin,
+    "q_lake_byname" ->
+      ("SELECT CAST(a AS INTEGER) AS a, b, CAST(c AS DOUBLE) AS c FROM (VALUES " +
+       "(1, 'x', NULL), (7, 'y', 2.5)) t(a, b, c) ORDER BY a"),
     // the twin runs the SAME recursive query in DuckDB (edges inlined) —
     // recursion semantics themselves are oracle-checked, not hand-listed
     "q_lake_dialect13" ->

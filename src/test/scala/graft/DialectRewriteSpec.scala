@@ -37,7 +37,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     // no conflict clause -> plain InsertSelect, JOIN ... ON untouched
     StatementRouter.classify(
       "INSERT INTO t SELECT a.id FROM a JOIN b ON a.id = b.id") match {
-      case StatementRouter.InsertSelect(_, None, body) =>
+      case StatementRouter.InsertSelect(_, None, body, _) =>
         assert(body.contains("ON a.id = b.id"))
       case other => fail(s"unexpected classification: $other")
     }

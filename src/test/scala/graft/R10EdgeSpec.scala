@@ -51,6 +51,19 @@ class R10EdgeSpec extends AnyFunSuite {
     assert(lines.get(0) == "1|a" && lines.get(1) == "2|b", lines)
   }
 
+  test("COPY TO / COPY FROM round-trip with shaping options") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE rt(id INTEGER, v VARCHAR); " +
+      "INSERT INTO rt VALUES (1,'a'),(2,'with,comma')")
+    val out = Files.createTempDirectory("graft_copy_rt").resolve("rt.csv")
+    lake.sql(s"COPY rt TO '$out' (DELIMITER '|', HEADER false)")
+    lake.sql("CREATE TABLE rt2(id INTEGER, v VARCHAR)")
+    lake.sql(s"COPY rt2 FROM '$out' (DELIMITER '|', HEADER false)")
+    val rows = lake.sql("SELECT id, v FROM rt2 ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "with,comma")), rows.mkString(";"))
+  }
+
   test("partitioned COPY TO refuses a non-empty target without OVERWRITE_OR_IGNORE") {
     val lake = freshLake()
     lake.sql("CREATE TABLE pt(id INTEGER, region VARCHAR); " +
@@ -118,6 +131,44 @@ class R10EdgeSpec extends AnyFunSuite {
       lake.sql("INSERT INTO ddst SELECT nextval('ds') + 1, v, 0 FROM dsrc")
     }
     assert(e.getMessage.contains("top-level select item"), e.getMessage)
+  }
+
+  test("recursive UNION: cycle-safe, chains into later CTEs, refuses non-convergence") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE e14(src INTEGER, dst INTEGER); " +
+      "INSERT INTO e14 VALUES (1,2),(2,1),(2,3)")
+    // UNION-distinct over a 2-cycle, then a FOLLOW-UP CTE consuming it
+    val rows = lake.sql(
+      """WITH RECURSIVE reach(node) AS (
+        |  SELECT 1
+        |  UNION
+        |  SELECT e.dst FROM reach r JOIN e14 e ON e.src = r.node
+        |), agg AS (SELECT count(*) AS n, CAST(sum(node) AS BIGINT) AS s FROM reach)
+        |SELECT n, s FROM agg""".stripMargin).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 3 && rows(0).getLong(1) == 6,
+      rows.mkString(","))
+    // a step that always produces fresh rows must fail LOUDLY at the cap
+    // (lowered here: 1000 real iterations = 1000 Spark jobs of test time)
+    spark.conf.set("spark.graft.recursionCap", "8")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        lake.sql("WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n + 1 FROM t) " +
+          "SELECT count(*) AS c FROM t")
+      }
+      assert(e.getMessage.contains("did not converge"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.recursionCap")
+  }
+
+  test("INSERT BY NAME refuses a column list; maps names regardless of order") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE bn2(a INTEGER, b VARCHAR)")
+    lake.sql("INSERT INTO bn2 BY NAME SELECT 'v' AS b, 3 AS a")
+    val r = lake.sql("SELECT a, b FROM bn2").head()
+    assert(r.getInt(0) == 3 && r.getString(1) == "v")
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO bn2(a, b) BY NAME SELECT 'v' AS b, 3 AS a")
+    }
+    assert(e.getMessage.contains("no column list"), e.getMessage)
   }
 
   test("glob() keeps local paths bare and returns joinable paths") {
