@@ -389,6 +389,10 @@ class DuckLakeXLSpark(
     if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
+    // explicit-transaction scope: BEGIN snapshots (catalog, macros),
+    // ROLLBACK restores them; COMMIT just closes the scope (the push at
+    // the end of sql() is the durable commit, unchanged)
+    var txnBase: Option[(CatalogState, Map[String, (Seq[String], String)])] = None
     withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>
       // sequence draws evaluate TEXTUALLY on the driver (each occurrence
       // draws once, left to right) — sound for INSERT … VALUES and
@@ -513,7 +517,24 @@ class DuckLakeXLSpark(
             s"ATTACH alias '$al' does not match this lake: $lakeName"))
         case StatementRouter.Detach => // noop — attachment is the object's lifetime
         case s: StatementRouter.CommentOn => executeComment(s); registerViews()
-        case StatementRouter.NoOp => // BEGIN/COMMIT — each sql() is atomic
+        case StatementRouter.NoOp => // CREATE INDEX etc. — accepted, dropped
+        case StatementRouter.Begin =>
+          require(txnBase.isEmpty, "transaction is already active")
+          txnBase = Some((state, macros))
+        case StatementRouter.Commit =>
+          require(txnBase.isDefined, "no transaction is active")
+          txnBase = None
+        case StatementRouter.Rollback =>
+          // restore the catalog + macro registry to the BEGIN snapshot:
+          // everything the transaction wrote disappears (any parquet
+          // written in between is unreferenced — vacuum's job, like any
+          // aborted writer's files). ROLLBACK as a silent no-op KEPT the
+          // rolled-back writes before r10.
+          require(txnBase.isDefined, "no transaction is active")
+          state = txnBase.get._1
+          macros = txnBase.get._2
+          txnBase = None
+          registerViews()
         case StatementRouter.SetOption(k, v) =>
           // TimeZone is the one DuckDB session option with a direct Spark
           // analogue; others configure an engine this build does not run —
@@ -2778,7 +2799,8 @@ class DuckLakeXLSpark(
         StatementRouter.classify(st) match {
           case c: StatementRouter.CreateTable => executeCreate(c)
           case c: StatementRouter.CopyFrom    => executeCopyFrom(c)
-          case StatementRouter.NoOp           =>
+          case StatementRouter.NoOp | StatementRouter.Begin |
+               StatementRouter.Commit =>
           case _ => throw new IllegalArgumentException(
             s"unsupported statement in exported script: ${st.take(80)}")
         }

@@ -225,9 +225,14 @@ object StatementRouter {
       ifNotExists: Boolean, orReplace: Boolean) extends Stmt
   final case class DropSequence(name: String, ifExists: Boolean) extends Stmt
 
-  /** BEGIN/COMMIT/ROLLBACK — the reference's own pull scripts emit these
-    * (ducklakexl.py:459-464); each sql() call is already atomic here
-    */
+  /** BEGIN/COMMIT/ROLLBACK — the reference's DuckDB honors these
+    * (ducklakexl.py:459-464 emits them in its own pull scripts), so they
+    * classify as real statements: the executor snapshots/restores the
+    * in-memory catalog state. ROLLBACK as a silent no-op would KEEP the
+    * rolled-back writes (r10 fix). */
+  case object Begin extends Stmt
+  case object Commit extends Stmt
+  case object Rollback extends Stmt
   case object NoOp extends Stmt
   final case class Select(sql: String) extends Stmt
 
@@ -269,8 +274,15 @@ object StatementRouter {
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?([\w\"]+)\s+TO\s+([\w\"]+)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
-  private val NoOpRe =
-    """(?is)^\s*(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$""".r
+  private val BeginRe = """(?is)^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$""".r
+  private val CommitRe = """(?is)^\s*(?:COMMIT|END)(?:\s+TRANSACTION)?\s*$""".r
+  private val RollbackRe = """(?is)^\s*(?:ROLLBACK|ABORT)(?:\s+TRANSACTION)?\s*$""".r
+  // CREATE/DROP INDEX: DuckDB accepts them; in the reference the index
+  // lives only in the per-connection in-memory engine and is NOT
+  // persisted through push/pull — accepted-and-dropped is the faithful
+  // behavior, so they classify as session no-ops
+  private val IndexRe =
+    """(?is)^\s*(?:CREATE\s+(?:UNIQUE\s+)?INDEX\b|DROP\s+INDEX\b).*$""".r
   // DuckDB session/maintenance statements with no Spark-side action:
   // PRAGMA <anything>, CHECKPOINT (every push IS a checkpoint here),
   // ANALYZE (stats are collected at write time), RESET <key>
@@ -832,7 +844,10 @@ object StatementRouter {
   }
 
   def classify(stmt: String): Stmt = stmt match {
-    case NoOpRe() => NoOp
+    case BeginRe() => Begin
+    case CommitRe() => Commit
+    case RollbackRe() => Rollback
+    case IndexRe() => NoOp
     case VacuumRe() => Vacuum
     case SetRe(k, v) => SetOption(k, v)
     case PragmaShowTablesRe() => ShowTables

@@ -685,6 +685,23 @@ object QueriesLake {
           |)
           |SELECT node FROM reach ORDER BY node""".stripMargin)
     },
+    // r10: explicit transactions — ROLLBACK must DISCARD the transaction's
+    // writes (catalog-state restore), COMMIT closes the scope; a silent
+    // no-op here kept rolled-back rows
+    "q_lake_txn" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE tx(id INTEGER, v VARCHAR);
+          |INSERT INTO tx VALUES (1,'base');
+          |BEGIN;
+          |INSERT INTO tx VALUES (2,'rolled');
+          |UPDATE tx SET v = 'mutated' WHERE id = 1;
+          |ROLLBACK;
+          |BEGIN;
+          |INSERT INTO tx VALUES (3,'committed');
+          |COMMIT""".stripMargin)
+      lake.sql("SELECT id, v FROM tx ORDER BY id")
+    },
     // r10: INSERT ... BY NAME — the source's own column names pick the
     // target columns, order-free, unnamed columns NULL
     "q_lake_byname" -> { (s, _) =>
@@ -955,6 +972,9 @@ object QueriesLake {
     "q_lake_byname" ->
       ("SELECT CAST(a AS INTEGER) AS a, b, CAST(c AS DOUBLE) AS c FROM (VALUES " +
        "(1, 'x', NULL), (7, 'y', 2.5)) t(a, b, c) ORDER BY a"),
+    "q_lake_txn" ->
+      ("SELECT CAST(id AS INTEGER) AS id, v FROM (VALUES " +
+       "(1,'base'),(3,'committed')) t(id, v) ORDER BY id"),
     // the twin runs the SAME recursive query in DuckDB (edges inlined) —
     // recursion semantics themselves are oracle-checked, not hand-listed
     "q_lake_dialect13" ->

@@ -171,6 +171,33 @@ class R10EdgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no column list"), e.getMessage)
   }
 
+  test("ROLLBACK discards the transaction's writes; COMMIT keeps them") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE tx(id INTEGER, v VARCHAR); INSERT INTO tx VALUES (1,'keep')")
+    lake.sql(
+      """BEGIN;
+        |INSERT INTO tx VALUES (2,'discard');
+        |UPDATE tx SET v = 'mutated' WHERE id = 1;
+        |ROLLBACK;
+        |BEGIN TRANSACTION;
+        |INSERT INTO tx VALUES (3,'kept');
+        |COMMIT""".stripMargin)
+    val rows = lake.sql("SELECT id, v FROM tx ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "keep"), (3, "kept")), rows.mkString(","))
+    // rolled-back state survives a reopen (the push carried the restored catalog)
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(re.sql("SELECT count(*) AS c FROM tx").head().getLong(0) == 2)
+    // protocol errors are loud, like DuckDB's
+    val e1 = intercept[IllegalArgumentException] { lake.sql("ROLLBACK") }
+    assert(e1.getMessage.contains("no transaction"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { lake.sql("BEGIN; BEGIN") }
+    assert(e2.getMessage.contains("already active"), e2.getMessage)
+    // CREATE INDEX is accepted and dropped (the reference's in-memory
+    // index never persisted through push/pull either)
+    lake.sql("CREATE INDEX idx_tx ON tx(id); DROP INDEX idx_tx")
+  }
+
   test("glob() keeps local paths bare and returns joinable paths") {
     val lake = freshLake()
     val dir = Files.createTempDirectory("graft_glob10")
