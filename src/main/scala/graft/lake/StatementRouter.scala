@@ -1234,7 +1234,15 @@ object StatementRouter {
     "arg_max" -> "max_by",
     "arg_min" -> "min_by",
     "argmax"  -> "max_by",
-    "argmin"  -> "min_by")
+    "argmin"  -> "min_by",
+    // DuckDB quantile_cont == Spark percentile (exact, interpolated);
+    // quantile_disc has no drop-in twin (Spark's percentile_disc is
+    // WITHIN GROUP-shaped) and stays out — loud failure over silent drift
+    "quantile_cont" -> "percentile",
+    // select-position unnest == explode (one output row per element,
+    // other select items repeated); the FROM-position table function is
+    // rewritten separately BEFORE this rename
+    "unnest" -> "explode")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
@@ -1263,6 +1271,54 @@ object StatementRouter {
       }
     }
     q
+  }
+
+  /** `FROM unnest(expr)` — DuckDB's table-function position; the derived
+    * table carries DuckDB's output column name (`unnest`), and a
+    * following `AS t(x)` column alias keeps working on the subquery */
+  private def rewriteUnnestFrom(q0: String): String = {
+    val re = """(?i)\bFROM\s+unnest\s*\(""".r
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      re.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          if (lit(start)) from = start + 1
+          else {
+            val open = q.indexOf('(', from + m.end - 1)
+            val close = matchingParen(q, open)
+            val rep = s"FROM (SELECT explode(${q.substring(open + 1, close)})" +
+              " AS unnest)"
+            q = q.substring(0, start) + rep + q.substring(close + 1)
+            from = start + rep.length
+          }
+      }
+    }
+    q
+  }
+
+  /** DuckDB `string_agg(v[, sep] [ORDER BY …])` / `group_concat(…)`:
+    * Spark 4 has string_agg, but (a) its default separator is '' where
+    * DuckDB's is ',', and (b) DuckDB puts ORDER BY INSIDE the call where
+    * Spark wants `WITHIN GROUP (ORDER BY …)` — both silently change
+    * output if left alone */
+  private def rewriteStringAgg(q0: String): String = {
+    def rw(args: Seq[String]): Option[String] = {
+      if (args.isEmpty || args.length > 2) return None
+      val (lastBody, obTail) = splitTopLevelKeyword(args.last, "ORDER")
+      val ob = obTail.flatMap(t =>
+        """(?is)^BY\b(.*)$""".r.findFirstMatchIn(t).map(_.group(1).trim))
+      if (obTail.isDefined && ob.isEmpty) return None // ORDER w/o BY — not ours
+      val expr = if (args.length == 1) lastBody.trim else args.head.trim
+      val sep = if (args.length == 2) lastBody.trim else "','"
+      Some(s"string_agg($expr, $sep)" +
+        ob.map(o => s" WITHIN GROUP (ORDER BY $o)").getOrElse(""))
+    }
+    rewriteCalls(rewriteCalls(q0, "string_agg")(rw), "group_concat")(rw)
   }
 
   private def rewriteGenerateSeriesFrom(q0: String): String = {
@@ -2334,6 +2390,10 @@ object StatementRouter {
     // derived table carrying DuckDB's output column name — MUST precede
     // renameFns, which maps list-position generate_series to sequence
     q = rewriteGenerateSeriesFrom(q)
+    // FROM-position unnest must also precede renameFns (which maps the
+    // select-position spelling to explode)
+    q = rewriteUnnestFrom(q)
+    q = rewriteStringAgg(q)
     q = mapOutsideLiterals(q)(renameFns)
     q = rewriteCalls(q, "list_position") { args =>
       Some(s"nullif(array_position(${args.mkString(", ")}), 0)")

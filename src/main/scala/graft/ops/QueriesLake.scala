@@ -685,6 +685,32 @@ object QueriesLake {
           |)
           |SELECT node FROM reach ORDER BY node""".stripMargin)
     },
+    // r10: string_agg (default ',' + in-call ORDER BY), select- and
+    // FROM-position unnest, quantile_cont/median — the everyday DuckDB
+    // aggregate/flatten spellings
+    "q_lake_dialect15" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d15(g VARCHAR, v VARCHAR, x INTEGER);
+          |INSERT INTO d15 VALUES ('a','u',1),('a','w',3),('a','v',2),('b','z',9)""".stripMargin)
+      lake.sql(
+        """SELECT g,
+          |       string_agg(v ORDER BY x DESC) AS vs,
+          |       string_agg(v, '|' ORDER BY v) AS vs2,
+          |       CAST(quantile_cont(x, 0.5) AS DOUBLE) AS med,
+          |       CAST(median(x) AS DOUBLE) AS med2
+          |FROM d15 GROUP BY g ORDER BY g""".stripMargin)
+    },
+    "q_lake_dialect16" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d16(id INTEGER, xs VARCHAR);
+          |INSERT INTO d16 VALUES (1,'a,b'),(2,'c')""".stripMargin)
+      lake.sql(
+        """SELECT id, unnest(string_split(xs, ',')) AS u FROM d16
+          |UNION ALL
+          |SELECT 0 AS id, unnest FROM unnest(['q','r']) ORDER BY id, u""".stripMargin)
+    },
     // r10: explicit transactions — ROLLBACK must DISCARD the transaction's
     // writes (catalog-state restore), COMMIT closes the scope; a silent
     // no-op here kept rolled-back rows
@@ -975,6 +1001,23 @@ object QueriesLake {
     "q_lake_txn" ->
       ("SELECT CAST(id AS INTEGER) AS id, v FROM (VALUES " +
        "(1,'base'),(3,'committed')) t(id, v) ORDER BY id"),
+    // twins run the SAME aggregate/flatten spellings natively in DuckDB
+    "q_lake_dialect15" ->
+      """WITH d15(g, v, x) AS (SELECT * FROM (VALUES
+        |  ('a','u',1),('a','w',3),('a','v',2),('b','z',9)))
+        |SELECT g,
+        |       string_agg(v, ',' ORDER BY x DESC) AS vs,
+        |       string_agg(v, '|' ORDER BY v) AS vs2,
+        |       CAST(quantile_cont(x, 0.5) AS DOUBLE) AS med,
+        |       CAST(median(x) AS DOUBLE) AS med2
+        |FROM d15 GROUP BY g ORDER BY g""".stripMargin,
+    "q_lake_dialect16" ->
+      """WITH d16(id, xs) AS (SELECT * FROM (VALUES (1,'a,b'),(2,'c')))
+        |SELECT id, u FROM (
+        |  SELECT id, unnest(string_split(xs, ',')) AS u FROM d16
+        |  UNION ALL
+        |  SELECT 0 AS id, unnest(['q','r']) AS u
+        |) ORDER BY id, u""".stripMargin,
     // the twin runs the SAME recursive query in DuckDB (edges inlined) —
     // recursion semantics themselves are oracle-checked, not hand-listed
     "q_lake_dialect13" ->

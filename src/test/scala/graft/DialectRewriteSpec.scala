@@ -578,6 +578,34 @@ class DialectRewriteSpec extends AnyFunSuite {
       .isInstanceOf[StatementRouter.CopyTo])
   }
 
+  test("r10: string_agg/group_concat separator default + in-call ORDER BY") {
+    // DuckDB's default separator is ',' — Spark's is '' (silent corruption)
+    assert(rewriteDialect("SELECT string_agg(v) FROM t") ==
+      "SELECT string_agg(v, ',') FROM t")
+    // in-call ORDER BY relocates to WITHIN GROUP
+    assert(rewriteDialect("SELECT string_agg(v, '|' ORDER BY ts DESC) FROM t") ==
+      "SELECT string_agg(v, '|') WITHIN GROUP (ORDER BY ts DESC) FROM t")
+    assert(rewriteDialect("SELECT string_agg(v ORDER BY v) FROM t") ==
+      "SELECT string_agg(v, ',') WITHIN GROUP (ORDER BY v) FROM t")
+    assert(rewriteDialect("SELECT group_concat(v, ';') FROM t") ==
+      "SELECT string_agg(v, ';') FROM t")
+    // literal containing the phrase is untouched
+    val q = "SELECT 'string_agg(v)' AS s FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
+  test("r10: unnest maps to explode in both positions; quantile_cont renames") {
+    assert(rewriteDialect("SELECT unnest(xs) AS u, id FROM t") ==
+      "SELECT explode(xs) AS u, id FROM t")
+    val f = rewriteDialect("SELECT * FROM unnest(xs)")
+    assert(f == "SELECT * FROM (SELECT explode(xs) AS unnest)", f)
+    assert(rewriteDialect("SELECT quantile_cont(x, 0.5) FROM t") ==
+      "SELECT percentile(x, 0.5) FROM t")
+    // epoch_ms-style family guard: unnest_something is untouched
+    val q = "SELECT unnest_other(x) FROM t"
+    assert(rewriteDialect(q) == q)
+  }
+
   test("r10: WITH RECURSIVE survives classification and the dialect layer") {
     val q =
       """WITH RECURSIVE reach(node, depth) AS (
