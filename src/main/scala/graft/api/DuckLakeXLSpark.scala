@@ -550,6 +550,13 @@ class DuckLakeXLSpark(
           sessionOptions(k.toLowerCase) = cleaned
           if (k.equalsIgnoreCase("timezone"))
             spark.conf.set("spark.sql.session.timeZone", cleaned)
+        case StatementRouter.SetVariable(n, e) =>
+          // evaluate ONCE now (DuckDB semantics) — the expr may reference
+          // lake tables/macros, so it rides the full select pipeline
+          sessionVariables(n.toLowerCase) =
+            renderSqlLiteral(spark.sql(rewriteSelect(s"SELECT $e")).head().get(0))
+        case StatementRouter.ResetVariable(n) =>
+          sessionVariables.remove(n.toLowerCase)
         case StatementRouter.Vacuum => vacuumLocal()
         case StatementRouter.ShowTables => last = Some(showTables())
         case StatementRouter.ShowDatabases =>
@@ -708,7 +715,8 @@ class DuckLakeXLSpark(
     * DELETE predicate would run 0-based and delete the WRONG rows (the
     * silent off-by-one the rewrite layer exists to prevent; review-found)
     */
-  private def dexpr(e: String): Column = expr(StatementRouter.rewriteDialect(e))
+  private def dexpr(e: String): Column =
+    expr(StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(e)))
 
   private val RecCteRe =
     """(?is)^\s*WITH\s+RECURSIVE\s+("?\w+"?)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
@@ -808,6 +816,9 @@ class DuckLakeXLSpark(
           stmtCache.getOrElseUpdate(s"glob|$pattern", registerGlob(pattern))
         },
       s"$LibraryVersion $SourceId", currentSetting)
+    // getvariable('x') -> the literal captured at SET VARIABLE time
+    val q0v = StatementRouter.rewriteGetVariable(q0)(
+      n => sessionVariables.get(n.toLowerCase))
     // timestamp travel first: the ts literal sits INSIDE single quotes —
     // here the quoted text is part of the travel syntax, not a user
     // literal, so these two run on the whole string. A QUALIFIED name
@@ -821,7 +832,7 @@ class DuckLakeXLSpark(
         tableAt(name, id).createOrReplaceTempView(vn)
         vn
       }
-    var q = TimestampAtRe.replaceAllIn(q0,
+    var q = TimestampAtRe.replaceAllIn(q0v,
       m => java.util.regex.Matcher.quoteReplacement(travelTs(m.group(1), m.group(2))))
     q = TimestampAsOfRe.replaceAllIn(q,
       m => java.util.regex.Matcher.quoteReplacement(travelTs(m.group(1), m.group(2))))
@@ -853,6 +864,13 @@ class DuckLakeXLSpark(
       resolveTable(name).map(t => state.columnsOf(t.tableId).map(_.columnName).toSeq))
     // DuckDB-only spellings (ASOF JOIN, * EXCLUDE/REPLACE, DISTINCT ON,
     // QUALIFY, list_* lambdas) — the reference's dialect contract
+    // literal escape translation BEFORE the dialect layer: DuckDB
+    // literals are escape-free, Spark's parser processes backslash
+    // escapes — user backslashes double here; the dialect rewrites below
+    // READ doubled (= Spark-spelled) user literals and EMIT Spark-spelled
+    // literals of their own (string_split's \\Q quoting etc.), which a
+    // later doubling pass would corrupt (r10 regression, q_lake_dialect3)
+    q = StatementRouter.sparkifyLiterals(q)
     q = StatementRouter.rewriteDialect(q)
     // the two set-shape clauses Spark's parser lacks outright: operands
     // evaluate individually and re-enter the string pipeline as temp views
@@ -1569,6 +1587,21 @@ class DuckLakeXLSpark(
     * engine facts a DuckDB user expects the readout to reflect.
     */
   private val sessionOptions = scala.collection.mutable.Map[String, String]()
+
+  /** DuckDB session variables (SET VARIABLE / getvariable): stored as
+    * RENDERED SQL literals — the expression evaluates once at SET time,
+    * exactly DuckDB's semantics */
+  private val sessionVariables = scala.collection.mutable.Map[String, String]()
+
+  private def renderSqlLiteral(v: Any): String = v match {
+    case null => "CAST(NULL AS STRING)"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case other => "'" + other.toString.replace("'", "''") + "'"
+  }
   private def currentSetting(key: String): Option[String] = {
     val k = key.toLowerCase
     sessionOptions.get(k).orElse(k match {
@@ -2069,8 +2102,9 @@ class DuckLakeXLSpark(
   private def valuesDF(table: String, cols: Option[Seq[String]], valuesSql: String): DataFrame = {
     val t = requireTable(table)
     val names = cols.getOrElse(state.columnsOf(t.tableId).map(_.columnName))
-    spark.sql(s"SELECT * FROM (${StatementRouter.rewriteDialect(valuesSql)}) " +
-      s"AS t(${names.mkString(", ")})")
+    spark.sql("SELECT * FROM (" +
+      StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(valuesSql)) +
+      s") AS t(${names.mkString(", ")})")
   }
 
   /** append: write df as parquet data file(s) under dataPath/<table>/, add

@@ -145,6 +145,10 @@ object StatementRouter {
     * this build does not run)
     */
   final case class SetOption(key: String, value: String) extends Stmt
+  /** DuckDB session variables: `SET VARIABLE x = <expr>` evaluates the
+    * expression ONCE at set time; `getvariable('x')` reads it back */
+  final case class SetVariable(name: String, expr: String) extends Stmt
+  final case class ResetVariable(name: String) extends Stmt
   case object Vacuum extends Stmt
   /** DuckDB's `SUMMARIZE t` — per-column stats in one table pass */
   final case class Summarize(name: String) extends Stmt
@@ -298,6 +302,10 @@ object StatementRouter {
     """(?is)^\s*PRAGMA\s+database_size\s*$""".r
   private val PragmaVersionRe =
     """(?is)^\s*PRAGMA\s+version\s*$""".r
+  private val SetVariableRe =
+    """(?is)^\s*SET\s+VARIABLE\s+([\w]+)\s*=\s*(.+?)\s*$""".r
+  private val ResetVariableRe =
+    """(?is)^\s*RESET\s+VARIABLE\s+([\w]+)\s*$""".r
   private val SetRe =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w\.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s*$""".r
@@ -849,6 +857,8 @@ object StatementRouter {
     case RollbackRe() => Rollback
     case IndexRe() => NoOp
     case VacuumRe() => Vacuum
+    case SetVariableRe(n, e) => SetVariable(n, e)
+    case ResetVariableRe(n) => ResetVariable(n)
     case SetRe(k, v) => SetOption(k, v)
     case PragmaShowTablesRe() => ShowTables
     case PragmaTableInfoRe(name) => TableInfo(qualName(name))
@@ -1915,6 +1925,191 @@ object StatementRouter {
     rewriteCurrvalCalls(q)(curr)
   }
 
+  /** `getvariable('x')` -> the stored literal (NULL for unset, DuckDB's
+    * behavior); the caller supplies the rendered-literal lookup */
+  def rewriteGetVariable(q: String)(lookup: String => Option[String]): String =
+    rewriteCalls(q, "getvariable") {
+      case Seq(a) => quotedLiteral(a.trim)
+        .map(n => lookup(n).getOrElse("CAST(NULL AS STRING)"))
+      case _ => None
+    }
+
+  /** DuckDB JSON accessors — Spark's twin is `get_json_object(j, '$.p')`:
+    *  - `json_extract_string` / `json_value` / `->>` return the unquoted
+    *    leaf, exactly get_json_object's behavior;
+    *  - `json_extract` / `->` return JSON — identical through
+    *    get_json_object for objects/arrays/numbers; a STRING leaf loses
+    *    its quotes (DuckDB renders `"v"`). The common shapes (extract
+    *    then cast, chain then leaf) are exact; documented divergence
+    *    for bare string-leaf `->`/json_extract.
+    *  - 2-arg `json_array_length(j, path)` composes through
+    *    get_json_object (the 1-arg name exists in Spark as-is).
+    * Paths: DuckDB accepts '$.a.b', '/a/b', or bare 'a'; bare keys
+    * normalize to '$.key', integers to '$[i]'.
+    */
+  private def jsonPath(raw: String): String =
+    if (raw.startsWith("$")) raw
+    else if (raw.startsWith("/")) "$." + raw.stripPrefix("/").replace("/", ".")
+    else if (raw.forall(_.isDigit) && raw.nonEmpty) s"$$[$raw]"
+    else "$." + raw
+
+  private def rewriteJsonFns(q0: String): String = {
+    def ext(args: Seq[String]): Option[String] =
+      if (args.length != 2) None
+      else quotedLiteral(args(1).trim).map(p =>
+        s"get_json_object(${args(0).trim}, '${jsonPath(p)}')")
+    var q = rewriteCalls(q0, "json_extract_string")(ext)
+    q = rewriteCalls(q, "json_value")(ext)
+    q = rewriteCalls(q, "json_extract")(ext)
+    rewriteCalls(q, "json_array_length") { args =>
+      if (args.length != 2) None
+      else quotedLiteral(args(1).trim).map(p =>
+        s"json_array_length(get_json_object(${args(0).trim}, '${jsonPath(p)}'))")
+    }
+  }
+
+  /** higher-order functions whose second argument is a lambda — a bare
+    * `x -> 'c'` inside these is a constant lambda, not a JSON access */
+  private val LambdaHofs = Set(
+    "transform", "filter", "aggregate", "reduce", "exists", "forall",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "list_transform", "list_filter", "array_sort")
+
+  /** `j -> 'k'`, `j ->> 'k'`, `j -> 0` — DuckDB's JSON arrow operators.
+    * The LHS primary (identifier chain, function call, or parenthesized
+    * expression) is wrapped into get_json_object; chains nest through
+    * left-to-right rescan. `->` with a bare-identifier LHS directly
+    * inside a known lambda-taking HOF is left alone (that's a lambda).
+    */
+  private def rewriteJsonArrows(q0: String): String = {
+    val ArrowRe = """(->>|->)\s*(?:'([^']*)'|(\d+))""".r
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      ArrowRe.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          if (lit(start)) { from = start + 1 }
+          else {
+            // find the LHS primary: walk left over whitespace, then either
+            // a )-terminated call/paren group (reverse-matched) plus any
+            // leading identifier, or an identifier chain a.b."c"
+            var i = start - 1
+            while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+            val lhsEnd = i
+            var ok = i >= 0
+            if (ok && q.charAt(i) == ')') {
+              var depth = 0
+              var done = false
+              while (i >= 0 && !done) {
+                if (!lit(i)) {
+                  if (q.charAt(i) == ')') depth += 1
+                  else if (q.charAt(i) == '(') { depth -= 1; if (depth == 0) done = true }
+                }
+                if (!done) i -= 1
+              }
+              ok = done
+              i -= 1
+              while (ok && i >= 0 &&
+                (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+            } else if (ok) {
+              val idEnd = i
+              while (i >= 0 &&
+                (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+              ok = idEnd > i
+            }
+            val lhsStart = i + 1
+            val lhs = q.substring(lhsStart, lhsEnd + 1)
+            // lambda guard: plain `->`, bare identifier, inside a HOF call
+            val isBareId = lhs.nonEmpty && lhs.forall(c => c.isLetterOrDigit || c == '_')
+            val isLambda = m.group(1) == "->" && isBareId && {
+              var j = lhsStart - 1
+              var depth = 0
+              var callName = ""
+              var done = false
+              while (j >= 0 && !done) {
+                if (!lit(j)) {
+                  val c = q.charAt(j)
+                  if (c == ')') depth += 1
+                  else if (c == '(') {
+                    if (depth == 0) {
+                      var k = j - 1
+                      while (k >= 0 && !lit(k) && q.charAt(k).isWhitespace) k -= 1
+                      val e = k
+                      while (k >= 0 && (q.charAt(k).isLetterOrDigit || q.charAt(k) == '_')) k -= 1
+                      callName = q.substring(k + 1, e + 1).toLowerCase
+                      done = true
+                    } else depth -= 1
+                  }
+                }
+                j -= 1
+              }
+              LambdaHofs.contains(callName)
+            }
+            if (!ok || lhs.isEmpty || isLambda) from = start + m.group(1).length
+            else {
+              val rawKey = Option(m.group(2)).getOrElse(m.group(3))
+              val rep = s"get_json_object($lhs, '${jsonPath(rawKey)}')"
+              q = q.substring(0, lhsStart) + rep + q.substring(from + m.end)
+              from = lhsStart // rescan: a chained arrow now follows the call
+            }
+          }
+      }
+    }
+    q
+  }
+
+  /** DuckDB 4-arg `regexp_replace(s, re, rep, flags)` — Spark's 3-arg
+    * form is global already, so a literal 'g' just drops; 'i'/'s' fold
+    * into the pattern as inline flags when the pattern is a literal.
+    * Anything non-literal or with other flags stays put (loud failure
+    * beats silently changed replacement semantics). */
+  def rewriteRegexpFlags(q: String): String =
+    rewriteCalls(q, "regexp_replace") { args =>
+      if (args.length != 4) None
+      else quotedLiteral(args(3).trim) match {
+        case Some(flags) if flags.nonEmpty && flags.forall("gis".contains(_)) =>
+          val inline = flags.filter(_ != 'g')
+          if (inline.isEmpty)
+            Some(s"regexp_replace(${args(0).trim}, ${args(1).trim}, ${args(2).trim})")
+          else quotedLiteral(args(1).trim).map { p =>
+            s"regexp_replace(${args(0).trim}, '(?$inline)$p', ${args(2).trim})"
+          }
+        case _ => None
+      }
+    }
+
+  /** DuckDB single-quoted string literals are ESCAPE-FREE (backslash is
+    * an ordinary character; only '' escapes a quote), while Spark's
+    * parser processes backslash escapes — so a pasted DuckDB `'\s+'`
+    * silently reached Spark as `'s+'` (r10 find, via SET VARIABLE).
+    * Double every backslash inside single-quoted literals just before
+    * text reaches Spark's parser; the '' quote-escape passes through.
+    */
+  def sparkifyLiterals(s: String): String = {
+    val out = new StringBuilder(s.length + 8)
+    var inS = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inS) {
+        if (c == '\'') inS = true
+        out.append(c)
+      } else c match {
+        case '\'' =>
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append("''"); i += 1 }
+          else { inS = false; out.append(c) }
+        case '\\' => out.append("\\\\")
+        case ch => out.append(ch)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   /** currval only — used by the distributed-draw path, where nextval must
     * survive to execution but currval is still a per-statement constant */
   def rewriteCurrvalCalls(q: String)(curr: String => Long): String =
@@ -2394,6 +2589,9 @@ object StatementRouter {
     // select-position spelling to explode)
     q = rewriteUnnestFrom(q)
     q = rewriteStringAgg(q)
+    q = rewriteRegexpFlags(q)
+    q = rewriteJsonFns(q)
+    q = rewriteJsonArrows(q)
     q = mapOutsideLiterals(q)(renameFns)
     q = rewriteCalls(q, "list_position") { args =>
       Some(s"nullif(array_position(${args.mkString(", ")}), 0)")

@@ -711,6 +711,37 @@ object QueriesLake {
           |UNION ALL
           |SELECT 0 AS id, unnest FROM unnest(['q','r']) ORDER BY id, u""".stripMargin)
     },
+    // r10: DuckDB JSON accessors — -> / ->> arrows (simple, chained,
+    // array index), json_extract family, 2-arg json_array_length
+    "q_lake_json" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE js(id INTEGER, j VARCHAR);
+          |INSERT INTO js VALUES
+          |  (1,'{"a":{"b":7},"xs":[1,2,3],"s":"txt"}'),
+          |  (2,'{"a":{"b":9},"xs":[],"s":"y"}')""".stripMargin)
+      lake.sql(
+        """SELECT id,
+          |       CAST(j -> 'a' ->> 'b' AS BIGINT) AS ab,
+          |       CAST(json_array_length(j, '$.xs') AS BIGINT) AS n,
+          |       j ->> 's' AS sv,
+          |       CAST(json_extract(j, '$.xs[1]') AS BIGINT) AS x1
+          |FROM js ORDER BY id""".stripMargin)
+    },
+    // r10: SET VARIABLE / getvariable + DuckDB's 4-arg regexp_replace
+    // flags — the everyday parameterized-script spelling
+    "q_lake_vars" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE vr(id INTEGER, s VARCHAR);
+          |INSERT INTO vr VALUES (1,'a  b'),(2,'c   d e');
+          |SET VARIABLE pat = '\s+';
+          |SET VARIABLE rep = '_'""".stripMargin)
+      lake.sql(
+        """SELECT id,
+          |       regexp_replace(s, getvariable('pat'), getvariable('rep'), 'g') AS clean
+          |FROM vr ORDER BY id""".stripMargin)
+    },
     // r10: explicit transactions — ROLLBACK must DISCARD the transaction's
     // writes (catalog-state restore), COMMIT closes the scope; a silent
     // no-op here kept rolled-back rows
@@ -1001,6 +1032,20 @@ object QueriesLake {
     "q_lake_txn" ->
       ("SELECT CAST(id AS INTEGER) AS id, v FROM (VALUES " +
        "(1,'base'),(3,'committed')) t(id, v) ORDER BY id"),
+    // the twin runs DuckDB's own arrows/json functions over inline VALUES
+    "q_lake_json" ->
+      """SELECT id,
+        |       CAST(j -> 'a' ->> 'b' AS BIGINT) AS ab,
+        |       CAST(json_array_length(j, '$.xs') AS BIGINT) AS n,
+        |       j ->> 's' AS sv,
+        |       CAST(json_extract(j, '$.xs[1]') AS BIGINT) AS x1
+        |FROM (VALUES
+        |  (1,'{"a":{"b":7},"xs":[1,2,3],"s":"txt"}'),
+        |  (2,'{"a":{"b":9},"xs":[],"s":"y"}')) t(id, j) ORDER BY id""".stripMargin,
+    "q_lake_vars" ->
+      ("SELECT CAST(id AS INTEGER) AS id, " +
+       "regexp_replace(s, '\\s+', '_', 'g') AS clean FROM (VALUES " +
+       "(1,'a  b'),(2,'c   d e')) t(id, s) ORDER BY id"),
     // twins run the SAME aggregate/flatten spellings natively in DuckDB
     "q_lake_dialect15" ->
       """WITH d15(g, v, x) AS (SELECT * FROM (VALUES

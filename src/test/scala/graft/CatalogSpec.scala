@@ -137,10 +137,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(classify("CREATE OR REPLACE VIEW v AS SELECT 1 AS x") ==
       CreateView("v", "SELECT 1 AS x", true))
     assert(classify("DROP VIEW IF EXISTS v") == DropView("v", true))
-    // transaction statements the reference's own pull emits (#7)
-    assert(classify("BEGIN") == NoOp)
-    assert(classify("BEGIN TRANSACTION") == NoOp)
-    assert(classify("COMMIT") == NoOp)
+    // transaction statements the reference's own pull emits (#7) —
+    // real scoping statements since r10 (ROLLBACK restores the catalog)
+    assert(classify("BEGIN") == Begin)
+    assert(classify("BEGIN TRANSACTION") == Begin)
+    assert(classify("COMMIT") == Commit)
+    assert(classify("ROLLBACK") == Rollback)
+    assert(classify("CREATE INDEX i ON t(x)") == NoOp)
     assert(classify("TRUNCATE t") == Delete("t", None))
     assert(classify("TRUNCATE TABLE t") == Delete("t", None))
   }

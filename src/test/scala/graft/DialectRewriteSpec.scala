@@ -606,6 +606,67 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(q) == q)
   }
 
+  test("r10: 4-arg regexp_replace flags fold into the Spark 3-arg form") {
+    // 'g' = Spark's default global behavior -> just drops
+    assert(rewriteDialect("SELECT regexp_replace(s, '\\s+', ' ', 'g') FROM t") ==
+      "SELECT regexp_replace(s, '\\s+', ' ') FROM t")
+    // 'i' folds into the pattern as an inline flag
+    assert(rewriteDialect("SELECT regexp_replace(s, 'abc', 'x', 'gi') FROM t") ==
+      "SELECT regexp_replace(s, '(?i)abc', 'x') FROM t")
+    // unknown flags / non-literal flags stay put (loud failure at engine)
+    val q1 = "SELECT regexp_replace(s, 'a', 'x', f) FROM t"
+    assert(rewriteDialect(q1) == q1)
+    val q2 = "SELECT regexp_replace(s, 'a', 'x', 'm') FROM t"
+    assert(rewriteDialect(q2) == q2)
+    // 3-arg calls untouched
+    val q3 = "SELECT regexp_replace(s, 'a', 'x') FROM t"
+    assert(rewriteDialect(q3) == q3)
+  }
+
+  test("r10: sparkifyLiterals doubles backslashes in user literals only") {
+    // DuckDB literals are escape-free; Spark's parser unescapes — the
+    // round-trip must preserve the user's bytes
+    assert(StatementRouter.sparkifyLiterals("SELECT '\\s+' AS p") ==
+      "SELECT '\\\\s+' AS p")
+    // quote-escape '' passes through; text outside literals untouched
+    assert(StatementRouter.sparkifyLiterals("SELECT 'it''s \\ ok', col FROM t") ==
+      "SELECT 'it''s \\\\ ok', col FROM t")
+    val clean = "SELECT a FROM t WHERE b = 'plain'"
+    assert(StatementRouter.sparkifyLiterals(clean) == clean)
+    // and it runs BEFORE the dialect layer, so dialect-emitted
+    // Spark-spelled literals (string_split's \\Q quoting) are never
+    // double-doubled — pinned by q_lake_dialect3 staying green
+  }
+
+  test("r10: json_extract family and -> / ->> arrows map to get_json_object") {
+    assert(rewriteDialect("SELECT json_extract_string(j, '$.k') FROM t") ==
+      "SELECT get_json_object(j, '$.k') FROM t")
+    // bare keys and slash paths normalize to $.-paths
+    assert(rewriteDialect("SELECT json_extract(j, 'k') FROM t") ==
+      "SELECT get_json_object(j, '$.k') FROM t")
+    assert(rewriteDialect("SELECT json_value(j, '/a/b') FROM t") ==
+      "SELECT get_json_object(j, '$.a.b') FROM t")
+    assert(rewriteDialect("SELECT json_array_length(j, '$.xs') FROM t") ==
+      "SELECT json_array_length(get_json_object(j, '$.xs')) FROM t")
+    // arrows: simple, chained, array index, qualified LHS, call LHS
+    assert(rewriteDialect("SELECT props ->> 'k' FROM t") ==
+      "SELECT get_json_object(props, '$.k') FROM t")
+    assert(rewriteDialect("SELECT t.j -> 'a' ->> 'b' FROM t") ==
+      "SELECT get_json_object(get_json_object(t.j, '$.a'), '$.b') FROM t")
+    assert(rewriteDialect("SELECT j -> 0 FROM t") ==
+      "SELECT get_json_object(j, '$[0]') FROM t")
+    assert(rewriteDialect("SELECT upper(j) ->> 'k' FROM t") ==
+      "SELECT get_json_object(upper(j), '$.k') FROM t")
+    // lambda arrows survive: bare param inside a HOF
+    val lam = "SELECT transform(xs, x -> 'c') FROM t"
+    assert(rewriteDialect(lam) == lam)
+    val lam2 = "SELECT filter(xs, x -> x > 1) FROM t"
+    assert(rewriteDialect(lam2) == lam2)
+    // arrow inside a string literal untouched
+    val s = "SELECT '-> ''k''' AS x FROM t"
+    assert(rewriteDialect(s) == s)
+  }
+
   test("r10: WITH RECURSIVE survives classification and the dialect layer") {
     val q =
       """WITH RECURSIVE reach(node, depth) AS (

@@ -198,6 +198,24 @@ class R10EdgeSpec extends AnyFunSuite {
     lake.sql("CREATE INDEX idx_tx ON tx(id); DROP INDEX idx_tx")
   }
 
+  test("SET VARIABLE evaluates once; getvariable reads back; RESET yields NULL") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE vt(x INTEGER); INSERT INTO vt VALUES (10),(20)")
+    // expression over a lake table, evaluated at SET time
+    lake.sql("SET VARIABLE cutoff = (SELECT max(x) FROM vt)")
+    lake.sql("SET VARIABLE tag = 'it''s'")
+    val r = lake.sql("SELECT getvariable('cutoff') AS c, getvariable('tag') AS t").head()
+    assert(r.getInt(0) == 20 && r.getString(1) == "it's", r)
+    // set-time snapshot: later table changes don't move the variable
+    lake.sql("INSERT INTO vt VALUES (99)")
+    assert(lake.sql("SELECT getvariable('cutoff') AS c").head().getInt(0) == 20)
+    // usable in a WHERE over a scan
+    assert(lake.sql("SELECT count(*) AS n FROM vt WHERE x <= getvariable('cutoff')")
+      .head().getLong(0) == 2)
+    lake.sql("RESET VARIABLE cutoff")
+    assert(lake.sql("SELECT getvariable('cutoff') AS c").head().isNullAt(0))
+  }
+
   test("glob() keeps local paths bare and returns joinable paths") {
     val lake = freshLake()
     val dir = Files.createTempDirectory("graft_glob10")
