@@ -1252,7 +1252,14 @@ object StatementRouter {
     // select-position unnest == explode (one output row per element,
     // other select items repeated); the FROM-position table function is
     // rewritten separately BEFORE this rename
-    "unnest" -> "explode")
+    "unnest" -> "explode",
+    // DuckDB spelling aliases with exact Spark twins
+    "datetrunc" -> "date_trunc",
+    "datepart"  -> "date_part",
+    // list length: Spark's size (len/length stay out — DuckDB's work on
+    // strings AND lists, Spark's length is string-only; a blind rename
+    // would silently string-ify list lengths)
+    "array_length" -> "size")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
@@ -1377,6 +1384,28 @@ object StatementRouter {
         val names = entries.map(_._2).mkString(", ")
         val adds = entries.map { case (ex, n) => s"$ex AS $n" }.mkString(", ")
         rewriteStarReplace(
+          s.substring(0, m.start) + s"* EXCEPT ($names), $adds" + s.substring(close + 1))
+    }
+
+  private val StarRenameRe = """(?i)\*\s+RENAME\s*\(""".r
+
+  /** `* RENAME (a AS b, c AS d)` — the third DuckDB star modifier
+    * (EXCLUDE/REPLACE's sibling): keep every column, under new names
+    * for the listed ones — desugars exactly like REPLACE */
+  private def rewriteStarRename(s: String): String =
+    StarRenameRe.findAllMatchIn(s).find(m => !literalMask(s)(m.start)) match {
+      case None => s
+      case Some(m) =>
+        val open = s.indexOf('(', m.start)
+        val close = matchingParen(s, open)
+        val entries = splitTopCommas(s.substring(open + 1, close)).map { e =>
+          val (ex, alias) = splitTopLevelKeyword(e, "AS")
+          require(alias.isDefined, s"cannot parse RENAME entry: '$e'")
+          (ex.trim, alias.get.stripPrefix("\"").stripSuffix("\""))
+        }
+        val names = entries.map(_._1).mkString(", ")
+        val adds = entries.map { case (ex, n) => s"$ex AS $n" }.mkString(", ")
+        rewriteStarRename(
           s.substring(0, m.start) + s"* EXCEPT ($names), $adds" + s.substring(close + 1))
     }
 
@@ -2062,6 +2091,35 @@ object StatementRouter {
     q
   }
 
+  /** `list_slice(l, a, b)` / `array_slice` — DuckDB's inclusive 1-based
+    * [a, b] window vs Spark's slice(l, start, LENGTH): rewritten only
+    * when both bounds are positive integer literals (the common case);
+    * negative / expression bounds have end-relative semantics with no
+    * 1:1 twin and stay out (loud failure over a silently shifted window).
+    * dayname/monthname format through date_format. */
+  private def rewriteListMisc(q0: String): String = {
+    def sliceRw(args: Seq[String]): Option[String] = args match {
+      case Seq(l, a, b) =>
+        val IntLit = """^\s*(\d+)\s*$""".r
+        (a, b) match {
+          case (IntLit(ai), IntLit(bi)) if ai.toInt >= 1 && bi.toInt >= ai.toInt =>
+            Some(s"slice(${l.trim}, $ai, ${bi.toInt - ai.toInt + 1})")
+          case _ => None
+        }
+      case _ => None
+    }
+    var q = rewriteCalls(q0, "list_slice")(sliceRw)
+    q = rewriteCalls(q, "array_slice")(sliceRw)
+    q = rewriteCalls(q, "dayname") {
+      case Seq(x) => Some(s"date_format(${x.trim}, 'EEEE')")
+      case _ => None
+    }
+    rewriteCalls(q, "monthname") {
+      case Seq(x) => Some(s"date_format(${x.trim}, 'MMMM')")
+      case _ => None
+    }
+  }
+
   /** DuckDB 4-arg `regexp_replace(s, re, rep, flags)` — Spark's 3-arg
     * form is global already, so a literal 'g' just drops; 'i'/'s' fold
     * into the pattern as inline flags when the pattern is a literal.
@@ -2592,6 +2650,7 @@ object StatementRouter {
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)
     q = rewriteJsonArrows(q)
+    q = rewriteListMisc(q)
     q = mapOutsideLiterals(q)(renameFns)
     q = rewriteCalls(q, "list_position") { args =>
       Some(s"nullif(array_position(${args.mkString(", ")}), 0)")
@@ -2655,6 +2714,7 @@ object StatementRouter {
     q = rewriteBraces(q)
     q = rewriteBrackets(q)
     q = rewriteStarReplace(q)
+    q = rewriteStarRename(q)
     q = rewriteDistinctOn(q)
     q = rewriteQualify(q)
     rewriteAsof(q)

@@ -711,6 +711,20 @@ object QueriesLake {
           |UNION ALL
           |SELECT 0 AS id, unnest FROM unnest(['q','r']) ORDER BY id, u""".stripMargin)
     },
+    // r10: the third star modifier (* RENAME), literal-bounds list_slice,
+    // dayname/monthname, datepart/datetrunc aliases — composed
+    "q_lake_dialect17" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d17(a INTEGER, b VARCHAR, d DATE);
+          |INSERT INTO d17 VALUES (1,'x',DATE '1995-03-15'),(2,'y',DATE '1995-07-04')""".stripMargin)
+      lake.sql(
+        """SELECT * RENAME (a AS id) FROM (
+          |  SELECT a, dayname(d) AS dn, monthname(d) AS mn,
+          |         CAST(datepart('year', d) AS BIGINT) AS yr,
+          |         array_to_string(list_slice(string_split(b || ',u,v,w', ','), 2, 3), '|') AS sl
+          |  FROM d17) ORDER BY id""".stripMargin)
+    },
     // r10: DuckDB JSON accessors — -> / ->> arrows (simple, chained,
     // array index), json_extract family, 2-arg json_array_length
     "q_lake_json" -> { (s, _) =>
@@ -1032,6 +1046,15 @@ object QueriesLake {
     "q_lake_txn" ->
       ("SELECT CAST(id AS INTEGER) AS id, v FROM (VALUES " +
        "(1,'base'),(3,'committed')) t(id, v) ORDER BY id"),
+    // (driver DuckDB 1.0.0 predates `* RENAME` — the twin aliases
+    // explicitly; the Spark side runs the star-modifier spelling)
+    "q_lake_dialect17" ->
+      """SELECT a AS id, dn, mn, yr, sl FROM (
+        |  SELECT a, dayname(d) AS dn, monthname(d) AS mn,
+        |         CAST(datepart('year', d) AS BIGINT) AS yr,
+        |         array_to_string(list_slice(string_split(b || ',u,v,w', ','), 2, 3), '|') AS sl
+        |  FROM (VALUES (1,'x',DATE '1995-03-15'),(2,'y',DATE '1995-07-04')) t(a, b, d)
+        |) ORDER BY id""".stripMargin,
     // the twin runs DuckDB's own arrows/json functions over inline VALUES
     "q_lake_json" ->
       """SELECT id,

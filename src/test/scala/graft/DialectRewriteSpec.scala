@@ -623,6 +623,26 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(q3) == q3)
   }
 
+  test("r10: * RENAME desugars like REPLACE; list_slice/dayname map over") {
+    assert(rewriteDialect("SELECT * RENAME (a AS b) FROM t") ==
+      "SELECT * EXCEPT (a), a AS b FROM t")
+    assert(rewriteDialect("SELECT t.* RENAME (a AS b, c AS d) FROM t") ==
+      "SELECT t.* EXCEPT (a, c), a AS b, c AS d FROM t")
+    val lit = "SELECT '* RENAME (a AS b)' AS s FROM t"
+    assert(rewriteDialect(lit) == lit)
+    // inclusive 1-based [a,b] -> slice(l, a, len); literal bounds only
+    assert(rewriteDialect("SELECT list_slice(xs, 2, 4) FROM t") ==
+      "SELECT slice(xs, 2, 3) FROM t")
+    val neg = "SELECT list_slice(xs, 2, n) FROM t"
+    assert(rewriteDialect(neg) == neg)
+    assert(rewriteDialect("SELECT dayname(d), monthname(d) FROM t") ==
+      "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t")
+    assert(rewriteDialect("SELECT datetrunc('day', ts), datepart('year', d) FROM t") ==
+      "SELECT date_trunc('day', ts), date_part('year', d) FROM t")
+    assert(rewriteDialect("SELECT array_length(xs) FROM t") ==
+      "SELECT size(xs) FROM t")
+  }
+
   test("r10: sparkifyLiterals doubles backslashes in user literals only") {
     // DuckDB literals are escape-free; Spark's parser unescapes — the
     // round-trip must preserve the user's bytes
