@@ -283,12 +283,15 @@ class DuckLakeXLSpark(
     */
   def sql(script: String): DataFrame = {
     val macrosBefore = macros
+    val preparedBefore = prepared
     try sqlOnce(script)
     catch {
       case _: java.util.ConcurrentModificationException if casAutoRetry =>
-        // the rejected attempt committed nothing; roll session macro
-        // registrations back too so the replayed script re-runs cleanly
+        // the rejected attempt committed nothing; roll session macro +
+        // prepared-statement registrations back too so the replayed
+        // script re-runs cleanly
         macros = macrosBefore
+        prepared = preparedBefore
         sqlOnce(script)
     }
   }
@@ -297,6 +300,9 @@ class DuckLakeXLSpark(
     * the reference's per-connection DuckDB catalog gives them
     */
   private var macros = Map.empty[String, (Seq[String], String)]
+
+  /** session-lifetime prepared statements (PREPARE name AS …) */
+  private var prepared = Map.empty[String, String]
 
   // ---- sequences: `ducklake_metadata` rows `seq:<name>` -> "last,incr[,drawn]"
   // (third field 0 = created but never drawn; absent in pre-r10 lakes =
@@ -427,13 +433,24 @@ class DuckLakeXLSpark(
                 "honor sequence semantics")
           }
         } else StatementRouter.rewriteSequenceCalls(stmt00)(seqNext, seqCurr)
+      // EXECUTE binds its arguments into the prepared body and the bound
+      // statement re-enters the pipeline (macros, routing) like pasted
+      // text; a nextval inside a prepared body reaches Spark unresolved
+      // and fails LOUDLY (the sequence pre-pass saw only "EXECUTE ...")
+      val stmtE = StatementRouter.classify(stmt0) match {
+        case StatementRouter.Execute(n, args) =>
+          val body = prepared.getOrElse(n,
+            throw new IllegalArgumentException(s"no prepared statement: $n"))
+          StatementRouter.bindPrepared(body, args)
+        case _ => stmt0
+      }
       // expand macro calls textually before re-classifying — but never
       // inside macro DDL itself (a CREATE OR REPLACE MACRO whose head
       // matches an existing macro must not expand its own signature)
-      val classified = StatementRouter.classify(stmt0) match {
+      val classified = StatementRouter.classify(stmtE) match {
         case m @ (_: StatementRouter.CreateMacro | _: StatementRouter.DropMacro) => m
         case c if macros.isEmpty => c
-        case _ => StatementRouter.classify(StatementRouter.expandMacros(stmt0, macros))
+        case _ => StatementRouter.classify(StatementRouter.expandMacros(stmtE, macros))
       }
       val preSnap = state.currentSnapshot
       classified match {
@@ -518,6 +535,13 @@ class DuckLakeXLSpark(
         case StatementRouter.Detach => // noop — attachment is the object's lifetime
         case s: StatementRouter.CommentOn => executeComment(s); registerViews()
         case StatementRouter.NoOp => // CREATE INDEX etc. — accepted, dropped
+        case StatementRouter.Prepare(n, body) =>
+          prepared += (n -> body)
+        case StatementRouter.Deallocate(n, ife) =>
+          require(ife || prepared.contains(n), s"no prepared statement: $n")
+          prepared -= n
+        case _: StatementRouter.Execute =>
+          throw new IllegalStateException("unreachable: EXECUTE binds before routing")
         case StatementRouter.Begin =>
           require(txnBase.isEmpty, "transaction is already active")
           txnBase = Some((state, macros))

@@ -159,6 +159,13 @@ object StatementRouter {
     * mirroring the reference's per-connection DuckDB catalog (macros are
     * not DuckLake catalog objects in the spec — no sheet round-trip).
     */
+  /** `PREPARE name AS <stmt with $1/$2 or ?>` / `EXECUTE name(args)` /
+    * `DEALLOCATE [PREPARE] [IF EXISTS] name` — DuckDB prepared
+    * statements; EXECUTE binds the argument texts positionally and the
+    * bound statement re-enters the normal routing pipeline */
+  final case class Prepare(name: String, sql: String) extends Stmt
+  final case class Execute(name: String, args: Seq[String]) extends Stmt
+  final case class Deallocate(name: String, ifExists: Boolean) extends Stmt
   final case class CreateMacro(name: String, params: Seq[String], body: String,
       orReplace: Boolean) extends Stmt
   final case class DropMacro(name: String, ifExists: Boolean) extends Stmt
@@ -348,6 +355,12 @@ object StatementRouter {
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w\"]+)\s*\(([^)]*)\)\s+AS\s+(.+)$""".r
   private val DropMacroRe =
     """(?is)^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
+  private val PrepareRe =
+    """(?is)^\s*PREPARE\s+([\w\"]+)\s+AS\s+(.+)$""".r
+  private val ExecuteRe =
+    """(?is)^\s*EXECUTE\s+([\w\"]+)\s*(?:\((.*)\))?\s*$""".r
+  private val DeallocateRe =
+    """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
   private val PivotRe = """(?is)^\s*PIVOT\s+([\w\.\"]+)\s+ON\s+(.+)$""".r
   private val UnpivotRe =
     """(?is)^\s*UNPIVOT\s+([\w\.\"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)\s*$""".r
@@ -1012,6 +1025,11 @@ object StatementRouter {
         splitTopCommas(params).map(_.trim).filter(_.nonEmpty), scalarOrQuery,
         orRepl != null)
     case DropMacroRe(ife, name) => DropMacro(bareName(name), ife != null)
+    case PrepareRe(name, body) => Prepare(bareName(name), body.trim)
+    case ExecuteRe(name, argBlob) =>
+      Execute(bareName(name), Option(argBlob).map(b =>
+        splitTopCommas(b).map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
+    case DeallocateRe(ife, name) => Deallocate(bareName(name), ife != null)
     case PivotRe(name, rest) => parsePivot(qualName(name), rest)
     // DuckDB `UNPIVOT t ON a, b INTO NAME k VALUE v` -> Spark's UNPIVOT
     // clause (both engines exclude NULL cells by default)
@@ -1952,6 +1970,37 @@ object StatementRouter {
       case _ => None
     }
     rewriteCurrvalCalls(q)(curr)
+  }
+
+  /** bind EXECUTE arguments into a prepared body: `$N` (1-based) and
+    * positional `?` placeholders substitute the raw argument texts,
+    * outside string literals only */
+  def bindPrepared(sql: String, args: Seq[String]): String = {
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    var inS = false
+    var next = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inS) { out.append(c); if (c == '\'') inS = false; i += 1 }
+      else c match {
+        case '\'' => inS = true; out.append(c); i += 1
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          val n = sql.substring(i + 1, j).toInt
+          require(n >= 1 && n <= args.length,
+            s"prepared parameter $$$n not bound (${args.length} given)")
+          out.append(args(n - 1))
+          i = j
+        case '?' =>
+          require(next < args.length,
+            s"not enough EXECUTE arguments for the '?' placeholders")
+          out.append(args(next)); next += 1; i += 1
+        case ch => out.append(ch); i += 1
+      }
+    }
+    out.toString
   }
 
   /** `getvariable('x')` -> the stored literal (NULL for unset, DuckDB's

@@ -711,6 +711,19 @@ object QueriesLake {
           |UNION ALL
           |SELECT 0 AS id, unnest FROM unnest(['q','r']) ORDER BY id, u""".stripMargin)
     },
+    // r10: PREPARE/EXECUTE — parameterized statements, the DuckDB app
+    // pattern for repeated queries; $N and ? binding, DML included
+    "q_lake_prepare" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE pp(id INTEGER, v VARCHAR, n INTEGER);
+          |INSERT INTO pp VALUES (1,'a',10),(2,'b',20),(3,'c',30);
+          |PREPARE bump AS UPDATE pp SET n = n + $2 WHERE id = $1;
+          |EXECUTE bump(2, 5);
+          |EXECUTE bump(3, 7);
+          |PREPARE pick AS SELECT id, v, n FROM pp WHERE n <= ? ORDER BY id""".stripMargin)
+      lake.sql("EXECUTE pick(37)")
+    },
     // r10: the third star modifier (* RENAME), literal-bounds list_slice,
     // dayname/monthname, datepart/datetrunc aliases — composed
     "q_lake_dialect17" -> { (s, _) =>
@@ -1048,6 +1061,9 @@ object QueriesLake {
        "(1,'base'),(3,'committed')) t(id, v) ORDER BY id"),
     // (driver DuckDB 1.0.0 predates `* RENAME` — the twin aliases
     // explicitly; the Spark side runs the star-modifier spelling)
+    "q_lake_prepare" ->
+      ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
+       "(1,'a',10),(2,'b',25),(3,'c',37)) t(id, v, n) ORDER BY id"),
     "q_lake_dialect17" ->
       """SELECT a AS id, dn, mn, yr, sl FROM (
         |  SELECT a, dayname(d) AS dn, monthname(d) AS mn,

@@ -216,6 +216,27 @@ class R10EdgeSpec extends AnyFunSuite {
     assert(lake.sql("SELECT getvariable('cutoff') AS c").head().isNullAt(0))
   }
 
+  test("PREPARE/EXECUTE: $N and ? binding, DML through prepared, deallocate") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE pt10(id INTEGER, v VARCHAR); " +
+      "INSERT INTO pt10 VALUES (1,'a'),(2,'b'),(3,'c')")
+    lake.sql("PREPARE get_by_id AS SELECT id, v FROM pt10 WHERE id = $1")
+    assert(lake.sql("EXECUTE get_by_id(2)").head().getString(1) == "b")
+    // ? placeholders bind positionally; a literal '?' in a string survives
+    lake.sql("PREPARE upd AS UPDATE pt10 SET v = ? WHERE id = ? AND v <> 'q?x'")
+    lake.sql("EXECUTE upd('B', 2)")
+    assert(lake.sql("SELECT v FROM pt10 WHERE id = 2").head().getString(0) == "B")
+    // $N may repeat and appear out of order
+    lake.sql("PREPARE win AS SELECT count(*) AS n FROM pt10 WHERE id >= $2 AND id <= $2 + $1")
+    assert(lake.sql("EXECUTE win(1, 2)").head().getLong(0) == 2)
+    lake.sql("DEALLOCATE get_by_id")
+    val e = intercept[IllegalArgumentException] { lake.sql("EXECUTE get_by_id(1)") }
+    assert(e.getMessage.contains("no prepared statement"), e.getMessage)
+    lake.sql("DEALLOCATE IF EXISTS get_by_id") // no-throw
+    val e2 = intercept[IllegalArgumentException] { lake.sql("EXECUTE upd('x')") }
+    assert(e2.getMessage.contains("not enough"), e2.getMessage)
+  }
+
   test("glob() keeps local paths bare and returns joinable paths") {
     val lake = freshLake()
     val dir = Files.createTempDirectory("graft_glob10")
