@@ -1356,6 +1356,51 @@ object StatementRouter {
     rewriteCalls(rewriteCalls(q0, "string_agg")(rw), "group_concat")(rw)
   }
 
+  /** `FROM range(...)` — DuckDB's half-open integer table function
+    * (range(n) = 0..n-1; range(a,b[,c]) excludes b). Literal args only:
+    * the exclusive end maps onto sequence's INCLUSIVE end arithmetically,
+    * and an empty range needs a WHERE-style guard Spark's sequence can't
+    * express for runtime args (sequence(0,-1) would COUNT DOWN). */
+  private def rewriteRangeFrom(q0: String): String = {
+    val re = """(?i)\bFROM\s+range\s*\(""".r
+    val IntLit = """^\s*(-?\d+)\s*$""".r
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      re.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          if (lit(start)) { from = start + 1 }
+          else {
+            val open = q.indexOf('(', from + m.end - 1)
+            val close = matchingParen(q, open)
+            val args = splitTopCommas(q.substring(open + 1, close))
+            val lits = args.map { case IntLit(v) => Some(v.toLong); case _ => None }
+            if (lits.exists(_.isEmpty) || lits.isEmpty || lits.length > 3) {
+              from = close + 1 // non-literal / arity — leave, fails loudly
+            } else {
+              val (a, b, c) = lits.map(_.get) match {
+                case Seq(n) => (0L, n, 1L)
+                case Seq(x, y) => (x, y, 1L)
+                case Seq(x, y, z) => (x, y, z)
+              }
+              require(c != 0, "range() step must be nonzero")
+              val empty = if (c > 0) a >= b else a <= b
+              val rep =
+                if (empty) "FROM (SELECT CAST(NULL AS BIGINT) AS range LIMIT 0)"
+                else s"FROM (SELECT explode(sequence(${a}L, ${b - (if (c > 0) 1 else -1)}L, ${c}L)) AS range)"
+              q = q.substring(0, start) + rep + q.substring(close + 1)
+              from = start + rep.length
+            }
+          }
+      }
+    }
+    q
+  }
+
   private def rewriteGenerateSeriesFrom(q0: String): String = {
     val re = """(?i)\bFROM\s+generate_series\s*\(""".r
     var q = q0
@@ -2692,6 +2737,7 @@ object StatementRouter {
     // derived table carrying DuckDB's output column name — MUST precede
     // renameFns, which maps list-position generate_series to sequence
     q = rewriteGenerateSeriesFrom(q)
+    q = rewriteRangeFrom(q)
     // FROM-position unnest must also precede renameFns (which maps the
     // select-position spelling to explode)
     q = rewriteUnnestFrom(q)

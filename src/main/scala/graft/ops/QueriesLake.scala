@@ -711,6 +711,19 @@ object QueriesLake {
           |UNION ALL
           |SELECT 0 AS id, unnest FROM unnest(['q','r']) ORDER BY id, u""".stripMargin)
     },
+    // r10: FROM range() table function + GROUP BY ROLLUP/CUBE native
+    // pass-through — proven as pasted, like GROUP BY ALL was
+    "q_lake_dialect18" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d18(r VARCHAR, p VARCHAR, amt INTEGER);
+          |INSERT INTO d18 VALUES ('e','x',1),('e','y',2),('w','x',4)""".stripMargin)
+      lake.sql(
+        """SELECT coalesce(r, 'ALL') AS r, coalesce(p, 'ALL') AS p,
+          |       CAST(sum(amt) AS BIGINT) AS total,
+          |       (SELECT CAST(sum(range) AS BIGINT) FROM range(4)) AS rng
+          |FROM d18 GROUP BY ROLLUP (r, p) ORDER BY r, p""".stripMargin)
+    },
     // r10: PREPARE/EXECUTE — parameterized statements, the DuckDB app
     // pattern for repeated queries; $N and ? binding, DML included
     "q_lake_prepare" -> { (s, _) =>
@@ -1064,6 +1077,12 @@ object QueriesLake {
     "q_lake_prepare" ->
       ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
        "(1,'a',10),(2,'b',25),(3,'c',37)) t(id, v, n) ORDER BY id"),
+    "q_lake_dialect18" ->
+      """WITH d18(r, p, amt) AS (SELECT * FROM (VALUES ('e','x',1),('e','y',2),('w','x',4)))
+        |SELECT coalesce(r, 'ALL') AS r, coalesce(p, 'ALL') AS p,
+        |       CAST(sum(amt) AS BIGINT) AS total,
+        |       (SELECT CAST(sum(range) AS BIGINT) FROM range(4)) AS rng
+        |FROM d18 GROUP BY ROLLUP (r, p) ORDER BY r, p""".stripMargin,
     "q_lake_dialect17" ->
       """SELECT a AS id, dn, mn, yr, sl FROM (
         |  SELECT a, dayname(d) AS dn, monthname(d) AS mn,

@@ -643,6 +643,20 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT size(xs) FROM t")
   }
 
+  test("r10: FROM range() maps half-open onto sequence; empty and negative-step") {
+    assert(rewriteDialect("SELECT * FROM range(3)") ==
+      "SELECT * FROM (SELECT explode(sequence(0L, 2L, 1L)) AS range)")
+    assert(rewriteDialect("SELECT * FROM range(2, 6)") ==
+      "SELECT * FROM (SELECT explode(sequence(2L, 5L, 1L)) AS range)")
+    assert(rewriteDialect("SELECT * FROM range(5, 0, -2)") ==
+      "SELECT * FROM (SELECT explode(sequence(5L, 1L, -2L)) AS range)")
+    assert(rewriteDialect("SELECT * FROM range(0)") ==
+      "SELECT * FROM (SELECT CAST(NULL AS BIGINT) AS range LIMIT 0)")
+    // non-literal args stay (loud failure at resolution, never a wrong range)
+    val q = "SELECT * FROM range(n)"
+    assert(rewriteDialect(q) == q)
+  }
+
   test("r10: sparkifyLiterals doubles backslashes in user literals only") {
     // DuckDB literals are escape-free; Spark's parser unescapes — the
     // round-trip must preserve the user's bytes
