@@ -355,7 +355,12 @@ class DuckLakeXLSpark(
       ", x FROM src — nested in an expression or under DISTINCT, the " +
       "reserved-range assignment cannot see the call site")
     val (body, sites) = parsed.get
-    val df0 = spark.sql(rewriteSelect(body))
+    // materialize ONCE: the count pass and the index pass must see the
+    // SAME rows — a non-deterministic source (rand() filter) re-evaluated
+    // for zipWithIndex could yield more rows than were reserved, pushing
+    // draws past the reserved range into a concurrent writer's
+    // (review-found). localCheckpoint pins the partitions.
+    val df0 = spark.sql(rewriteSelect(body)).localCheckpoint()
     val n = df0.count()
     val bySeq = sites.zipWithIndex.groupBy(_._1.seq) // preserve list order
     val reserved = bySeq.map { case (nm, ss) =>
@@ -371,14 +376,27 @@ class DuckLakeXLSpark(
     bySeq.foreach { case (nm, ss) =>
       val ((last, incr), m) = reserved(nm)
       ss.map(_._1).zipWithIndex.foreach { case (site, j) =>
-        // insert mapping is positional, so the placeholder name can stay
         out = out.withColumn(site.placeholder,
           (lit(last) + lit(incr) *
             (col("__graft_rid") * m + (j + 1))).cast(LongType))
       }
     }
-    executeInsertDF(s.table, s.cols,
-      out.select(df0.columns.map(c => col(s"`$c`")).toSeq: _*))
+    // BY NAME maps by the SOURCE's column names, so each nextval item
+    // must carry its alias (DuckDB needs one there for the same reason);
+    // positional inserts keep the placeholder names — mapping is by slot
+    val outCols = df0.columns.map { c =>
+      sites.find(_.placeholder == c) match {
+        case Some(site) if s.byName =>
+          val alias = site.alias.getOrElse(throw new IllegalArgumentException(
+            "INSERT ... BY NAME needs an AS alias on each nextval() item " +
+            "(the name picks the target column)"))
+          col(s"`$c`").as(alias)
+        case _ => col(s"`$c`")
+      }
+    }.toSeq
+    val outDF = out.select(outCols: _*)
+    if (s.byName) executeInsertDF(s.table, Some(outDF.columns.toSeq), outDF)
+    else executeInsertDF(s.table, s.cols, outDF)
   }
 
   /** DuckDB errors on currval before the first nextval — the stored
@@ -1624,7 +1642,14 @@ class DuckLakeXLSpark(
     case n: java.lang.Number => n.toString
     case d: java.sql.Date => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
-    case other => "'" + other.toString.replace("'", "''") + "'"
+    case t: java.time.LocalDateTime => s"TIMESTAMP '${t.toString.replace('T', ' ')}'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    // lists/structs/maps/binary have no faithful literal round-trip here —
+    // toString would store 'ArraySeq(1, 2, 3)' and queries would silently
+    // read junk (review-found); refuse loudly instead
+    case other => throw new IllegalArgumentException(
+      s"SET VARIABLE only supports atomic values (string/number/bool/" +
+      s"date/timestamp); got ${other.getClass.getSimpleName}")
   }
   private def currentSetting(key: String): Option[String] = {
     val k = key.toLowerCase
@@ -2741,11 +2766,13 @@ class DuckLakeXLSpark(
       // OVERWRITE[_OR_IGNORE] is given; mode("overwrite") here would
       // recursively DELETE whatever a mistyped path points at instead
       val dest0 = Paths.get(s.path)
-      if (!s.overwrite && Files.isDirectory(dest0) &&
-          Files.list(dest0).iterator().hasNext)
-        throw new IllegalStateException(
+      if (!s.overwrite && Files.isDirectory(dest0)) {
+        val ls = Files.list(dest0) // close: a leaked dir stream is an fd
+        val nonEmpty = try ls.iterator().hasNext finally ls.close()
+        if (nonEmpty) throw new IllegalStateException(
           s"COPY target directory not empty: ${s.path} " +
           "(add OVERWRITE_OR_IGNORE to replace it)")
+      }
       val wp = df.write.mode("overwrite").options(s.writerOptions)
         .partitionBy(s.partitionBy: _*)
       fmt match {

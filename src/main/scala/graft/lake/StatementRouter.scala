@@ -888,9 +888,10 @@ object StatementRouter {
       ExportDb(path, Option(fmt).map(_.toLowerCase))
     case ImportDbRe(path) => ImportDb(path)
     case CopyFromRe(table, path, optBlob) =>
-      val (fmt, pby, wopts, _) =
+      val (fmt, pby, wopts, ow) =
         parseCopyOptions(Option(optBlob).getOrElse(""))
       require(pby.isEmpty, "COPY ... FROM does not take PARTITION_BY")
+      require(!ow, "COPY ... FROM does not take OVERWRITE options")
       CopyFrom(qualName(table), path, fmt, wopts)
     case CopyRe(source, path, optBlob) =>
       val (fmt, pby, wopts, ow) =
@@ -1356,14 +1357,16 @@ object StatementRouter {
     rewriteCalls(rewriteCalls(q0, "string_agg")(rw), "group_concat")(rw)
   }
 
-  /** `FROM range(...)` — DuckDB's half-open integer table function
-    * (range(n) = 0..n-1; range(a,b[,c]) excludes b). Literal args only:
-    * the exclusive end maps onto sequence's INCLUSIVE end arithmetically,
-    * and an empty range needs a WHERE-style guard Spark's sequence can't
-    * express for runtime args (sequence(0,-1) would COUNT DOWN). */
+  /** `FROM range(...)` — DuckDB's half-open integer table function.
+    * Spark's native range() TVF has the SAME half-open semantics
+    * (range(n)=0..n-1, range(a,b[,c]) excludes b, negative steps, empty
+    * when crossed) but names its column `id` where DuckDB names it
+    * `range` — left alone, a non-literal-arg call would silently run
+    * with the wrong output schema (review-found). The rewrite is just
+    * the rename, for literal AND runtime args alike; a 4th argument
+    * (Spark's numPartitions, no DuckDB meaning) is refused. */
   private def rewriteRangeFrom(q0: String): String = {
     val re = """(?i)\bFROM\s+range\s*\(""".r
-    val IntLit = """^\s*(-?\d+)\s*$""".r
     var q = q0
     var from = 0
     var go = true
@@ -1378,23 +1381,11 @@ object StatementRouter {
             val open = q.indexOf('(', from + m.end - 1)
             val close = matchingParen(q, open)
             val args = splitTopCommas(q.substring(open + 1, close))
-            val lits = args.map { case IntLit(v) => Some(v.toLong); case _ => None }
-            if (lits.exists(_.isEmpty) || lits.isEmpty || lits.length > 3) {
-              from = close + 1 // non-literal / arity — leave, fails loudly
-            } else {
-              val (a, b, c) = lits.map(_.get) match {
-                case Seq(n) => (0L, n, 1L)
-                case Seq(x, y) => (x, y, 1L)
-                case Seq(x, y, z) => (x, y, z)
-              }
-              require(c != 0, "range() step must be nonzero")
-              val empty = if (c > 0) a >= b else a <= b
-              val rep =
-                if (empty) "FROM (SELECT CAST(NULL AS BIGINT) AS range LIMIT 0)"
-                else s"FROM (SELECT explode(sequence(${a}L, ${b - (if (c > 0) 1 else -1)}L, ${c}L)) AS range)"
-              q = q.substring(0, start) + rep + q.substring(close + 1)
-              from = start + rep.length
-            }
+            require(args.length <= 3,
+              "range() takes at most 3 arguments (start, stop, step)")
+            val rep = s"FROM (SELECT id AS range FROM range(${q.substring(open + 1, close)}))"
+            q = q.substring(0, start) + rep + q.substring(close + 1)
+            from = start + rep.length
           }
       }
     }
@@ -1454,7 +1445,12 @@ object StatementRouter {
 
   /** `* RENAME (a AS b, c AS d)` — the third DuckDB star modifier
     * (EXCLUDE/REPLACE's sibling): keep every column, under new names
-    * for the listed ones — desugars exactly like REPLACE */
+    * for the listed ones — desugars exactly like REPLACE. Known
+    * divergence: the renamed columns move to the END of the select list
+    * (DuckDB keeps their position) — the schema-free desugar cannot know
+    * the star's expansion order. Names and values are exact; positional
+    * consumers (INSERT without a column list, UNION by position) of a
+    * *RENAME select see the moved order. */
   private def rewriteStarRename(s: String): String =
     StarRenameRe.findAllMatchIn(s).find(m => !literalMask(s)(m.start)) match {
       case None => s
@@ -2146,9 +2142,14 @@ object StatementRouter {
             }
             val lhsStart = i + 1
             val lhs = q.substring(lhsStart, lhsEnd + 1)
-            // lambda guard: plain `->`, bare identifier, inside a HOF call
+            // lambda guards: plain `->` with (a) a parenthesized
+            // bare-identifier tuple LHS — `(x, y) -> …` is ALWAYS a
+            // lambda (review-found: zip_with's tuple params were being
+            // rewritten) — or (b) a bare identifier LHS inside a HOF call
+            val isTupleParams = m.group(1) == "->" &&
+              """^\(\s*\w+\s*(,\s*\w+\s*)*\)$""".r.matches(lhs.trim)
             val isBareId = lhs.nonEmpty && lhs.forall(c => c.isLetterOrDigit || c == '_')
-            val isLambda = m.group(1) == "->" && isBareId && {
+            val isLambda = isTupleParams || (m.group(1) == "->" && isBareId && {
               var j = lhsStart - 1
               var depth = 0
               var callName = ""
@@ -2171,7 +2172,7 @@ object StatementRouter {
                 j -= 1
               }
               LambdaHofs.contains(callName)
-            }
+            })
             if (!ok || lhs.isEmpty || isLambda) from = start + m.group(1).length
             else {
               val rawKey = Option(m.group(2)).getOrElse(m.group(3))

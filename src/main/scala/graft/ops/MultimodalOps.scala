@@ -69,7 +69,13 @@ object MultimodalOps {
         if (img == null) Decoded(0, 0, 0, ok = false)
         else Decoded(img.getWidth, img.getHeight,
           img.getRaster.getNumBands, ok = true)
-      } catch { case _: java.io.IOException => Decoded(0, 0, 0, ok = false) }
+      } catch {
+        // ImageIO plugins throw UNCHECKED exceptions on truncated or
+        // malformed-but-recognized payloads (IndexOutOfBounds, CMMException,
+        // IllegalArgument …) — any of them escaping would kill the task,
+        // the exact failure this class exists to prevent (review-found)
+        case scala.util.control.NonFatal(_) => Decoded(0, 0, 0, ok = false)
+      }
     }
     def close(): Unit = closed = true
   }

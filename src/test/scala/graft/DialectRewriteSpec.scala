@@ -643,18 +643,19 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT size(xs) FROM t")
   }
 
-  test("r10: FROM range() maps half-open onto sequence; empty and negative-step") {
+  test("r10: FROM range() renames Spark's native half-open TVF column") {
+    // Spark's range() TVF shares DuckDB's half-open semantics but names
+    // the column `id` — the rewrite is the rename, literal or not
     assert(rewriteDialect("SELECT * FROM range(3)") ==
-      "SELECT * FROM (SELECT explode(sequence(0L, 2L, 1L)) AS range)")
-    assert(rewriteDialect("SELECT * FROM range(2, 6)") ==
-      "SELECT * FROM (SELECT explode(sequence(2L, 5L, 1L)) AS range)")
+      "SELECT * FROM (SELECT id AS range FROM range(3))")
     assert(rewriteDialect("SELECT * FROM range(5, 0, -2)") ==
-      "SELECT * FROM (SELECT explode(sequence(5L, 1L, -2L)) AS range)")
-    assert(rewriteDialect("SELECT * FROM range(0)") ==
-      "SELECT * FROM (SELECT CAST(NULL AS BIGINT) AS range LIMIT 0)")
-    // non-literal args stay (loud failure at resolution, never a wrong range)
-    val q = "SELECT * FROM range(n)"
-    assert(rewriteDialect(q) == q)
+      "SELECT * FROM (SELECT id AS range FROM range(5, 0, -2))")
+    assert(rewriteDialect("SELECT * FROM range(2 + 3)") ==
+      "SELECT * FROM (SELECT id AS range FROM range(2 + 3))")
+    // Spark's 4th numPartitions arg has no DuckDB meaning — refused
+    intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT * FROM range(0, 10, 1, 4)")
+    }
   }
 
   test("r10: sparkifyLiterals doubles backslashes in user literals only") {
@@ -696,6 +697,11 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(lam) == lam)
     val lam2 = "SELECT filter(xs, x -> x > 1) FROM t"
     assert(rewriteDialect(lam2) == lam2)
+    // review fix: tuple-param lambdas with literal bodies survive too
+    val lam3 = "SELECT zip_with(a, b, (x, y) -> 'k') FROM t"
+    assert(rewriteDialect(lam3) == lam3)
+    val lam4 = "SELECT array_sort(l, (l, r) -> 1) FROM t"
+    assert(rewriteDialect(lam4) == lam4)
     // arrow inside a string literal untouched
     val s = "SELECT '-> ''k''' AS x FROM t"
     assert(rewriteDialect(s) == s)

@@ -237,6 +237,30 @@ class R10EdgeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not enough"), e2.getMessage)
   }
 
+  test("review fixes: BY NAME + nextval maps by name; SET VARIABLE list refused") {
+    val lake = freshLake()
+    lake.sql("CREATE SEQUENCE bs START 1; " +
+      "CREATE TABLE bt(a BIGINT, b VARCHAR); " +
+      "CREATE TABLE bsrc(v VARCHAR); INSERT INTO bsrc VALUES ('x'),('y')")
+    // BY NAME with the sequence item aliased: 'b' text maps to column b,
+    // draws to column a — positionally they'd be swapped (review-found)
+    lake.sql("INSERT INTO bt BY NAME SELECT v AS b, nextval('bs') AS a " +
+      "FROM bsrc ORDER BY v")
+    val rows = lake.sql("SELECT a, b FROM bt ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y")), rows.mkString(","))
+    // missing alias on the draw item is refused, not mis-mapped
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO bt BY NAME SELECT v AS b, nextval('bs') FROM bsrc")
+    }
+    assert(e.getMessage.contains("AS alias"), e.getMessage)
+    // non-atomic variable values are refused, never stringified
+    val e2 = intercept[IllegalArgumentException] {
+      lake.sql("SET VARIABLE xs = [1, 2, 3]")
+    }
+    assert(e2.getMessage.contains("atomic"), e2.getMessage)
+  }
+
   test("glob() keeps local paths bare and returns joinable paths") {
     val lake = freshLake()
     val dir = Files.createTempDirectory("graft_glob10")
