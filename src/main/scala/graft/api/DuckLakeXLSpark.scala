@@ -573,9 +573,15 @@ class DuckLakeXLSpark(
           // aborted writer's files). ROLLBACK as a silent no-op KEPT the
           // rolled-back writes before r10.
           require(txnBase.isDefined, "no transaction is active")
+          // a CREATE VIEW inside the transaction registered a temp view;
+          // restoring the catalog alone would leave it resolvable (temp
+          // views shadow the DSv2 catalog) — drop what the txn created
+          val txnViews = state.liveViews().map(_.viewName).toSet
           state = txnBase.get._1
           macros = txnBase.get._2
           txnBase = None
+          (txnViews -- state.liveViews().map(_.viewName).toSet)
+            .foreach(spark.catalog.dropTempView)
           registerViews()
         case StatementRouter.SetOption(k, v) =>
           // TimeZone is the one DuckDB session option with a direct Spark

@@ -196,6 +196,9 @@ class R10EdgeSpec extends AnyFunSuite {
     // CREATE INDEX is accepted and dropped (the reference's in-memory
     // index never persisted through push/pull either)
     lake.sql("CREATE INDEX idx_tx ON tx(id); DROP INDEX idx_tx")
+    // a view created inside a rolled-back txn must not stay resolvable
+    lake.sql("BEGIN; CREATE VIEW txv AS SELECT id FROM tx; ROLLBACK")
+    assertThrows[Exception] { lake.sql("SELECT * FROM txv") }
   }
 
   test("SET VARIABLE evaluates once; getvariable reads back; RESET yields NULL") {
