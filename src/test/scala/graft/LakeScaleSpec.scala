@@ -625,7 +625,7 @@ class LakeScaleSpec extends AnyFunSuite {
       // (AQE off for the INSERT: it would coalesce the tiny shuffle to 1)
       val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try lake.sql("INSERT INTO big SELECT CAST(id AS INTEGER) AS id FROM range(0, 50) DISTRIBUTE BY id")
+      try lake.sql("INSERT INTO big SELECT CAST(range AS INTEGER) AS id FROM range(0, 50) DISTRIBUTE BY id")
       finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       def sheet(n: String): Seq[Seq[String]] =
         XlsxCodec.read(xlsx).find(_._1 == n).map(_._2).getOrElse(Seq.empty)
