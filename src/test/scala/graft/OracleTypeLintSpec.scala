@@ -29,6 +29,25 @@ class OracleTypeLintSpec extends AnyFunSuite {
     case c => c.toString
   } + "\""
 
+  test("every query has an oracle twin except the documented no-oracle trio") {
+    // the r9 verdict's broken invariant, now structural: an operator
+    // landing WITHOUT its oracle row fails the suite, not the driver.
+    // The three exceptions are no-oracle BY DESIGN (SURVEY §2.E/§2.I:
+    // approximate results / multi-batch streaming semantics) and are
+    // spec-proven instead (ApproxDistinctSpec, StreamingSpec).
+    val noOracleByDesign = Set(
+      "q_agg_approx_distinct", "q_agg_approx_percentile",
+      "q_stream_watermark_late")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == noOracleByDesign,
+      s"queries without an oracle twin: ${(missing -- noOracleByDesign).toSeq.sorted
+        .mkString(", ")} — every new operator lands WITH its oracle row " +
+      "in the same commit (r9 verdict item 8)")
+    // and no twin points at a query that doesn't exist
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle twins without a query: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+
   test("no oracle twin emits HUGEINT/UHUGEINT/DECIMAL output columns") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists(), "no testdata")
