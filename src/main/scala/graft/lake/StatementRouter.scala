@@ -2219,7 +2219,15 @@ object StatementRouter {
     * form is global already, so a literal 'g' just drops; 'i'/'s' fold
     * into the pattern as inline flags when the pattern is a literal.
     * Anything non-literal or with other flags stays put (loud failure
-    * beats silently changed replacement semantics). */
+    * beats silently changed replacement semantics).
+    *
+    * KNOWN DIVERGENCE (documented, not silent-by-accident): DuckDB's
+    * 3-arg regexp_replace replaces the FIRST match only; Spark's
+    * replaces ALL. The 4-arg 'g' spelling — the one this rewrite
+    * handles — is the unambiguous way to say "global" in both worlds;
+    * a first-only emulation needs a native replaceFirst Expression
+    * (future work), since no composition of Spark built-ins carries
+    * backreference replacement semantics. */
   def rewriteRegexpFlags(q: String): String =
     rewriteCalls(q, "regexp_replace") { args =>
       if (args.length != 4) None
