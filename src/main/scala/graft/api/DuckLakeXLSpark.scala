@@ -120,6 +120,15 @@ class DuckLakeXLSpark(
     // instance (last registration wins — reopen semantics).
     DuckLakeCatalog.register(lakeName, this)
     spark.conf.set(s"spark.sql.catalog.$lakeName", classOf[DuckLakeCatalog].getName)
+    // SQL-callable natives the dialect rewrites target: DuckDB's 3-arg
+    // regexp_replace is FIRST-match-only (Spark's is global) — the
+    // rewrite routes it here with \\N backrefs translated
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_regexp_replace_first", { exprs =>
+        require(exprs.length == 3,
+          "__graft_regexp_replace_first(subject, pattern, replacement)")
+        graft.functions.RegexpReplaceFirst(exprs(0), exprs(1), exprs(2))
+      })
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)

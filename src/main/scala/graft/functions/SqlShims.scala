@@ -13,3 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** registering a custom Expression under a SQL-callable name goes
+  * through `sessionState.functionRegistry`, which is sql-package-private
+  * — same forwarder pattern as [[ColumnBridge]] */
+object FunctionRegistryBridge {
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "internal")
+}

@@ -2230,7 +2230,11 @@ object StatementRouter {
     * backreference replacement semantics. */
   def rewriteRegexpFlags(q: String): String =
     rewriteCalls(q, "regexp_replace") { args =>
-      if (args.length != 4) None
+      if (args.length == 3)
+        // DuckDB 3-arg = FIRST match only; Spark's builtin is global —
+        // route to the registered native (graft.functions.RegexpReplaceFirst)
+        Some(s"__graft_regexp_replace_first(${args.map(_.trim).mkString(", ")})")
+      else if (args.length != 4) None
       else quotedLiteral(args(3).trim) match {
         case Some(flags) if flags.nonEmpty && flags.forall("gis".contains(_)) =>
           val inline = flags.filter(_ != 'g')

@@ -711,6 +711,21 @@ object QueriesLake {
           |UNION ALL
           |SELECT 0 AS id, unnest FROM unnest(['q','r']) ORDER BY id, u""".stripMargin)
     },
+    // r10: 3-arg regexp_replace is FIRST-match-only in DuckDB (Spark's
+    // builtin is global) — routed to a native replaceFirst expression
+    // with \N backref translation; 'g' stays global
+    "q_lake_dialect19" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE d19(id INTEGER, s VARCHAR);
+          |INSERT INTO d19 VALUES (1,'one two three four'),(2,'o o o')""".stripMargin)
+      lake.sql(
+        """SELECT id,
+          |       regexp_replace(s, '(\w+) (\w+)', '\2 \1') AS swapped,
+          |       regexp_replace(s, 'o', '0') AS first_only,
+          |       regexp_replace(s, 'o', '0', 'g') AS all_o
+          |FROM d19 ORDER BY id""".stripMargin)
+    },
     // r10: FROM range() table function + GROUP BY ROLLUP/CUBE native
     // pass-through — proven as pasted, like GROUP BY ALL was
     "q_lake_dialect18" -> { (s, _) =>
@@ -1077,6 +1092,13 @@ object QueriesLake {
     "q_lake_prepare" ->
       ("SELECT CAST(id AS INTEGER) AS id, v, CAST(n AS INTEGER) AS n FROM (VALUES " +
        "(1,'a',10),(2,'b',25),(3,'c',37)) t(id, v, n) ORDER BY id"),
+    "q_lake_dialect19" ->
+      """SELECT id,
+        |       regexp_replace(s, '(\w+) (\w+)', '\2 \1') AS swapped,
+        |       regexp_replace(s, 'o', '0') AS first_only,
+        |       regexp_replace(s, 'o', '0', 'g') AS all_o
+        |FROM (VALUES (1,'one two three four'),(2,'o o o')) t(id, s)
+        |ORDER BY id""".stripMargin,
     "q_lake_dialect18" ->
       """WITH d18(r, p, amt) AS (SELECT * FROM (VALUES ('e','x',1),('e','y',2),('w','x',4)))
         |SELECT coalesce(r, 'ALL') AS r, coalesce(p, 'ALL') AS p,

@@ -618,9 +618,25 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(q1) == q1)
     val q2 = "SELECT regexp_replace(s, 'a', 'x', 'm') FROM t"
     assert(rewriteDialect(q2) == q2)
-    // 3-arg calls untouched
-    val q3 = "SELECT regexp_replace(s, 'a', 'x') FROM t"
-    assert(rewriteDialect(q3) == q3)
+    // 3-arg = DuckDB's FIRST-match-only form -> the registered native
+    assert(rewriteDialect("SELECT regexp_replace(s, 'a', 'x') FROM t") ==
+      "SELECT __graft_regexp_replace_first(s, 'a', 'x') FROM t")
+  }
+
+  test("r10: RegexpFirst replacement translation and first-only behavior") {
+    import graft.functions.RegexpFirst
+    def rf(s: String, p: String, r: String): String =
+      RegexpFirst.replaceFirst(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.unsafe.types.UTF8String.fromString(p),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r)).toString
+    assert(rf("hello world foo", "o", "0") == "hell0 world foo")
+    // DuckDB \\N backrefs swap groups; only the FIRST match rewrites
+    assert(rf("one two three four", "(\\w+) (\\w+)", "\\2 \\1") ==
+      "two one three four")
+    // a literal $ in the replacement is not a Java group ref
+    assert(rf("price", "price", "$9") == "$9")
+    assert(rf("no match here", "zzz", "x") == "no match here")
   }
 
   test("r10: * RENAME desugars like REPLACE; list_slice/dayname map over") {
