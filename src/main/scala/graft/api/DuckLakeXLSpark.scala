@@ -106,6 +106,21 @@ class DuckLakeXLSpark(
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(java.time.ZoneOffset.UTC)
 
+  /** session-lifetime TEMP tables (CREATE TEMP TABLE [AS]) — DuckDB's
+    * temp schema: never synced to the workbook, gone with this object,
+    * shadowing lake tables on bare names (Spark resolves temp views
+    * before catalog tables, the same search order). Each is an EAGER
+    * `localCheckpoint` snapshot, so a CTAS temp keeps its content even
+    * when the lake table it was staged from is rewritten underneath —
+    * DuckDB temp tables are materialized the same way. Scale note: the
+    * snapshot lives in executor block storage (MEMORY_AND_DISK), the
+    * right home for the staging-sized tables this idiom carries; a
+    * cluster job staging terabytes should CTAS a real lake table instead.
+    * Declared BEFORE initialize(): registerViews reads it during
+    * construction (field initializers run in declaration order).
+    */
+  private var tempTables = Map.empty[String, DataFrame]
+
   initialize()
 
   // ------------------------------------------------------------ bootstrap
@@ -120,6 +135,9 @@ class DuckLakeXLSpark(
     // instance (last registration wins — reopen semantics).
     DuckLakeCatalog.register(lakeName, this)
     spark.conf.set(s"spark.sql.catalog.$lakeName", classOf[DuckLakeCatalog].getName)
+    // DuckDB TIME columns map to Spark 4.1's TIME type, which ships
+    // behind a feature flag — a lake session needs it on (runtime conf)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     // SQL-callable natives the dialect rewrites target: DuckDB's 3-arg
     // regexp_replace is FIRST-match-only (Spark's is global) — the
     // rewrite routes it here with \\N backrefs translated
@@ -293,14 +311,18 @@ class DuckLakeXLSpark(
   def sql(script: String): DataFrame = {
     val macrosBefore = macros
     val preparedBefore = prepared
+    val tempBefore = tempTables
     try sqlOnce(script)
     catch {
       case _: java.util.ConcurrentModificationException if casAutoRetry =>
         // the rejected attempt committed nothing; roll session macro +
-        // prepared-statement registrations back too so the replayed
-        // script re-runs cleanly
+        // prepared-statement + temp-table registrations back too so the
+        // replayed script re-runs cleanly
         macros = macrosBefore
         prepared = preparedBefore
+        (tempTables.keySet -- tempBefore.keySet).foreach(spark.catalog.dropTempView)
+        tempTables = tempBefore
+        tempBefore.foreach { case (n, df) => df.createOrReplaceTempView(n) }
         sqlOnce(script)
     }
   }
@@ -312,6 +334,15 @@ class DuckLakeXLSpark(
 
   /** session-lifetime prepared statements (PREPARE name AS …) */
   private var prepared = Map.empty[String, String]
+
+  private def isTempTable(name: String): Boolean =
+    !name.contains(".") && tempTables.contains(name.toLowerCase)
+
+  private def putTempTable(name: String, df: DataFrame): Unit = {
+    val snap = df.localCheckpoint(true)
+    tempTables += name.toLowerCase -> snap
+    snap.createOrReplaceTempView(name)
+  }
 
   // ---- sequences: `ducklake_metadata` rows `seq:<name>` -> "last,incr[,drawn]"
   // (third field 0 = created but never drawn; absent in pre-r10 lakes =
@@ -481,6 +512,21 @@ class DuckLakeXLSpark(
       }
       val preSnap = state.currentSnapshot
       classified match {
+        case s: StatementRouter.CreateTable if s.temp =>
+          if (tempTables.contains(s.name.toLowerCase) && !s.orReplace) {
+            if (!s.ifNotExists)
+              throw new IllegalArgumentException(s"temp table exists: ${s.name}")
+          } else {
+            val schema = StructType(s.cols.map { case (n, t) =>
+              StructField(n, CatalogSchema.parseType(t), true) })
+            putTempTable(s.name, spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), schema))
+          }
+        case s: StatementRouter.CreateTableAs if s.temp =>
+          if (tempTables.contains(s.name.toLowerCase) && !s.orReplace) {
+            if (!s.ifNotExists)
+              throw new IllegalArgumentException(s"temp table exists: ${s.name}")
+          } else putTempTable(s.name, spark.sql(rewriteSelect(s.select)))
         case s: StatementRouter.CreateTable =>
           if (s.orReplace) executeDrop(StatementRouter.DropTable(s.name, ifExists = true))
           executeCreate(s); registerViews()
@@ -491,6 +537,8 @@ class DuckLakeXLSpark(
         case s: StatementRouter.CopyFrom      => executeCopyFrom(s); registerViews()
         case s: StatementRouter.ExportDb      => executeExportDb(s)
         case s: StatementRouter.ImportDb      => executeImportDb(s); registerViews()
+        case s: StatementRouter.InsertValues if isTempTable(s.table) =>
+          insertIntoTemp(s.table, s.cols, tempValuesDF(s.table, s.cols, s.valuesSql))
         case s: StatementRouter.InsertValues =>
           // a literal VALUES list is driver-sized by definition -> inlined
           // into the catalog (when enabled) or one data file per INSERT
@@ -499,6 +547,11 @@ class DuckLakeXLSpark(
           // produces
           executeInsertDF(s.table, s.cols, valuesDF(s.table, s.cols, s.valuesSql))
           registerViews()
+        case s: StatementRouter.InsertSelect if isTempTable(s.table) =>
+          require(!StatementRouter.hasCall(s.select, "nextval") && !s.byName,
+            "INSERT into a TEMP table takes a plain SELECT " +
+            "(no sequences, no BY NAME)")
+          insertIntoTemp(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
         case s: StatementRouter.InsertSelect =>
           if (StatementRouter.hasCall(s.select, "nextval"))
             executeInsertSelectSeq(s)
@@ -513,10 +566,26 @@ class DuckLakeXLSpark(
           } else
             executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
           registerViews()
+        case s: StatementRouter.Delete if isTempTable(s.table) =>
+          throw new IllegalArgumentException(
+            s"DELETE on TEMP table ${s.table} is not supported — " +
+            "recreate it with CREATE OR REPLACE TEMP TABLE … AS SELECT")
+        case s: StatementRouter.Update if isTempTable(s.table) =>
+          throw new IllegalArgumentException(
+            s"UPDATE on TEMP table ${s.table} is not supported — " +
+            "recreate it with CREATE OR REPLACE TEMP TABLE … AS SELECT")
+        case s: StatementRouter.Merge if isTempTable(s.table) =>
+          throw new IllegalArgumentException(
+            s"MERGE into TEMP table ${s.table} is not supported — " +
+            "recreate it with CREATE OR REPLACE TEMP TABLE … AS SELECT")
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
         case s: StatementRouter.Merge         => executeMerge(s); registerViews()
         case s: StatementRouter.InsertOnConflict => executeUpsert(s); registerViews()
         case s: StatementRouter.Update        => executeUpdate(s); registerViews()
+        case s: StatementRouter.DropTable if isTempTable(s.name) =>
+          // DuckDB's search path: a bare DROP TABLE hits temp first
+          tempTables -= s.name.toLowerCase
+          spark.catalog.dropTempView(s.name)
         case s: StatementRouter.DropTable     => executeDrop(s); registerViews()
         case s: StatementRouter.AlterTable    => executeAlter(s); registerViews()
         case s: StatementRouter.CreateView    => executeCreateView(s); registerViews()
@@ -582,16 +651,8 @@ class DuckLakeXLSpark(
           // aborted writer's files). ROLLBACK as a silent no-op KEPT the
           // rolled-back writes before r10.
           require(txnBase.isDefined, "no transaction is active")
-          // a CREATE VIEW inside the transaction registered a temp view;
-          // restoring the catalog alone would leave it resolvable (temp
-          // views shadow the DSv2 catalog) — drop what the txn created
-          val txnViews = state.liveViews().map(_.viewName).toSet
-          state = txnBase.get._1
-          macros = txnBase.get._2
+          restoreTxnSnapshot(txnBase.get)
           txnBase = None
-          (txnViews -- state.liveViews().map(_.viewName).toSet)
-            .foreach(spark.catalog.dropTempView)
-          registerViews()
         case StatementRouter.SetOption(k, v) =>
           // TimeZone is the one DuckDB session option with a direct Spark
           // analogue; others configure an engine this build does not run —
@@ -660,8 +721,37 @@ class DuckLakeXLSpark(
           ((preSnap + 1) to postSnap).map(SnapshotChangeRow(_, label)))
       }
     } }
+    // transactions are SCRIPT-scoped (txnBase is method-local by design —
+    // the reference's persistent-connection txn scope cannot survive the
+    // pull/push bracket). A BEGIN left open at end of script must NOT be
+    // durably committed by the end-of-script push (DuckDB never durably
+    // commits an unclosed transaction): restore the BEGIN snapshot, then
+    // fail LOUDLY so the writer learns the writes were discarded.
+    txnBase.foreach { base =>
+      restoreTxnSnapshot(base)
+      push() // the push persists the restored (pre-BEGIN) catalog
+      throw new IllegalStateException(
+        "transaction left open at end of sql() script: transactions are " +
+        "script-scoped — COMMIT or ROLLBACK before the script ends " +
+        "(uncommitted writes were rolled back, not committed)")
+    }
     push()
     last.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Restore catalog + macro registry to a BEGIN snapshot (ROLLBACK and
+    * the end-of-script open-transaction guard share this). A CREATE VIEW
+    * inside the transaction registered a temp view; restoring the catalog
+    * alone would leave it resolvable (temp views shadow the DSv2 catalog)
+    * — drop what the txn created. */
+  private def restoreTxnSnapshot(
+      base: (CatalogState, Map[String, (Seq[String], String)])): Unit = {
+    val txnViews = state.liveViews().map(_.viewName).toSet
+    state = base._1
+    macros = base._2
+    (txnViews -- state.liveViews().map(_.viewName).toSet)
+      .foreach(spark.catalog.dropTempView)
+    registerViews()
   }
 
   /** DuckLake-style `changes_made` summary for the audit sheet */
@@ -1567,7 +1657,8 @@ class DuckLakeXLSpark(
   /** `SHOW TABLES`: live tables and views, like the DuckDB pass-through */
   def showTables(): DataFrame = {
     val names = (state.liveTablesIn(curSchema).map(_.tableName) ++
-      state.liveViews().map(_.viewName)).sorted
+      state.liveViews().map(_.viewName) ++
+      tempTables.keys).distinct.sorted
     spark.createDataFrame(names.map(Row(_)).asJava,
       StructType(Seq(StructField("name", StringType, false))))
   }
@@ -1577,7 +1668,13 @@ class DuckLakeXLSpark(
     * describes both)
     */
   def describeTable(name: String): DataFrame = {
-    val rows = resolveTable(name) match {
+    val rows = if (isTempTable(name))
+      tempTables(name.toLowerCase).schema.fields.toVector.map { f =>
+        val tn = try CatalogSchema.typeName(f.dataType)
+                 catch { case _: IllegalArgumentException => f.dataType.sql }
+        Row(f.name, tn, if (f.nullable) "YES" else "NO")
+      }
+    else resolveTable(name) match {
       case Some(t) =>
         state.columnsOf(t.tableId).map(c =>
           Row(c.columnName, c.columnType, if (c.nullsAllowed) "YES" else "NO"))
@@ -1917,12 +2014,15 @@ class DuckLakeXLSpark(
     // reference an earlier one); a view whose base was dropped must not
     // brick the whole lake on reopen. Resolution needs the catalog scope.
     withLakeCatalog {
-      state.liveViews().foreach { v =>
-        try spark.sql(rewriteSelect(v.sql)).createOrReplaceTempView(v.viewName)
-        catch { case e: Exception =>
-          System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
+      // a live TEMP table shadows a same-named lake view (DuckDB search
+      // path: temp first) — re-registering the view would un-shadow it
+      state.liveViews().filterNot(v => tempTables.contains(v.viewName.toLowerCase))
+        .foreach { v =>
+          try spark.sql(rewriteSelect(v.sql)).createOrReplaceTempView(v.viewName)
+          catch { case e: Exception =>
+            System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
+          }
         }
-      }
     }
   }
 
@@ -2060,8 +2160,11 @@ class DuckLakeXLSpark(
     cid += 1
     val snap = state.currentSnapshot + 1
     val colRows = s.cols.zipWithIndex.map { case ((cn, ct), i) =>
+      // canonicalTypeName (not typeName∘parseType): JSON/UUID/HUGEINT/
+      // TIMESTAMPTZ share a Spark storage type with VARCHAR/DECIMAL/
+      // TIMESTAMP — the catalog string must keep the declared identity
       val r = ColumnRow(cid, snap, None, tableId, i, cn,
-        CatalogSchema.typeName(CatalogSchema.parseType(ct)), nullsAllowed = true)
+        CatalogSchema.canonicalTypeName(ct), nullsAllowed = true)
       cid += 1
       r
     }
@@ -2158,6 +2261,47 @@ class DuckLakeXLSpark(
     val cols = df.schema.fields.map(f => (f.name, CatalogSchema.typeName(f.dataType))).toSeq
     executeCreate(StatementRouter.CreateTable(s.name, cols, ifNotExists = false))
     executeInsertDF(s.name, None, df)
+  }
+
+  /** TEMP-table variant of [[valuesDF]]: column names come from the temp
+    * snapshot's schema, not the lake catalog
+    */
+  private def tempValuesDF(table: String, cols: Option[Seq[String]],
+      valuesSql: String): DataFrame = {
+    val names = cols.getOrElse(tempTables(table.toLowerCase).columns.toSeq)
+    spark.sql("SELECT * FROM (" +
+      StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(valuesSql)) +
+      s") AS t(${names.mkString(", ")})")
+  }
+
+  /** INSERT into a TEMP table: coerce to the snapshot's schema (same
+    * rules as the lake path), append, re-snapshot
+    */
+  private def insertIntoTemp(table: String, cols: Option[Seq[String]],
+      dfIn: DataFrame): Unit = {
+    val cur = tempTables(table.toLowerCase)
+    val schema = cur.schema
+    val coerced = cols match {
+      case None =>
+        require(dfIn.schema.length == schema.length,
+          s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
+        dfIn.select(dfIn.columns.zip(schema.fields).toSeq.map { case (c, f) =>
+          colq(dfIn, c).cast(f.dataType).as(f.name)
+        }: _*)
+      case Some(names) =>
+        require(names.length == dfIn.schema.length,
+          s"INSERT column list size ${names.length} != value arity ${dfIn.schema.length}")
+        val byName = names.map(_.toLowerCase).zip(dfIn.columns).toMap
+        val unknown = byName.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+        require(unknown.isEmpty, s"INSERT names unknown column(s): ${unknown.mkString(", ")}")
+        dfIn.select(schema.fields.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(src) => colq(dfIn, src).cast(f.dataType).as(f.name)
+            case None      => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+    }
+    putTempTable(table, cur.union(coerced))
   }
 
   /** `VALUES (…),(…)` -> DataFrame named after the explicit column list
@@ -2676,14 +2820,14 @@ class DuckLakeXLSpark(
         newSnapshot(state.nextCatalogId, state.nextFileId)
         spark.catalog.dropTempView(s.table)
       case StatementRouter.AddColumn(name, sqlType) =>
-        val dt = CatalogSchema.parseType(sqlType) // validate early
+        val canon = CatalogSchema.canonicalTypeName(sqlType) // validate early
         require(!state.columnsOf(t.tableId).exists(_.columnName.equalsIgnoreCase(name)),
           s"column exists: $name")
         val cid = state.nextCatalogId
         val order = state.columnsOf(t.tableId).map(_.columnOrder).maxOption.getOrElse(-1) + 1
         state = state.copy(columns = state.columns :+
           ColumnRow(cid, snap, None, t.tableId, order, name,
-            CatalogSchema.typeName(dt), nullsAllowed = true))
+            canon, nullsAllowed = true))
         newSnapshot(cid + 1, state.nextFileId)
       case StatementRouter.DropColumn(name) =>
         val cols = state.columnsOf(t.tableId)
@@ -2728,7 +2872,7 @@ class DuckLakeXLSpark(
         state = state.copy(columns = state.columns.map(x =>
           if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
           :+ c.copy(beginSnapshot = snap, endSnapshot = None,
-            columnType = CatalogSchema.typeName(dtNew)))
+            columnType = CatalogSchema.canonicalTypeName(sqlType)))
         newSnapshot(state.nextCatalogId, state.nextFileId)
       case StatementRouter.SetPartitionedBy(colNames) =>
         // DuckLake partition-spec DDL: metadata-only. Ends any live spec,
@@ -2986,9 +3130,19 @@ class DuckLakeXLSpark(
   private def fileStatsBatch(paths: Seq[String], schema: StructType, cols: Vector[ColumnRow])
       : Map[String, (Long, Map[Long, (Option[String], Option[String], Long)])] = withoutAQE {
     val fdf = spark.read.schema(schema).parquet(paths: _*)
+    // nested/binary columns carry NO min/max (maps are not even orderable
+    // in Spark; an array/struct/binary min cast to string is not a usable
+    // pruning bound) — null count still applies to every type
+    def statable(name: String): Boolean =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).forall(_.dataType match {
+        case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+        case _ => true
+      })
     val statAggs = cols.flatMap(c => Seq(
-      min(colq(fdf, c.columnName)).cast(StringType).as(s"mn_${c.columnOrder}"),
-      max(colq(fdf, c.columnName)).cast(StringType).as(s"mx_${c.columnOrder}"),
+      (if (statable(c.columnName)) min(colq(fdf, c.columnName)).cast(StringType)
+       else lit(null).cast(StringType)).as(s"mn_${c.columnOrder}"),
+      (if (statable(c.columnName)) max(colq(fdf, c.columnName)).cast(StringType)
+       else lit(null).cast(StringType)).as(s"mx_${c.columnOrder}"),
       sum(when(colq(fdf, c.columnName).isNull, 1L).otherwise(0L)).as(s"nl_${c.columnOrder}"))) :+
       count(lit(1)).as("cnt")
     val rows = fdf.groupBy(input_file_name().as("_file"))

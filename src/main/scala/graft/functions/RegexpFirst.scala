@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -50,11 +50,18 @@ object RegexpFirst {
 
 case class RegexpReplaceFirst(subject: Expression, pattern: Expression,
                               replacement: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def first: Expression = subject
   override def second: Expression = pattern
   override def third: Expression = replacement
   override def dataType: DataType = StringType
+  // DuckDB implicitly casts a non-string subject (e.g. an INT routed
+  // through the 3-arg rewrite); without declared input types that call
+  // reached nullSafeEval and died with a ClassCastException at runtime.
+  // (Seq[DataType] is a covariant override of Seq[AbstractDataType] —
+  // AbstractDataType itself is private[sql] and cannot be named here.)
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
   override def nullSafeEval(s: Any, p: Any, r: Any): Any =
     RegexpFirst.replaceFirst(s.asInstanceOf[UTF8String],
       p.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])

@@ -58,25 +58,190 @@ object CatalogSchema {
   /** every sheet name the state interprets; anything else round-trips inert */
   val knownSheetNames: Set[String] = tables.map { case (t, _) => sheetName(t) }.toSet
 
-  /** SQL type string (DuckDB-compatible DDL) -> Spark DataType */
-  def parseType(t: String): DataType = {
-    val u = t.trim.toUpperCase
-    val dec = "DECIMAL\\((\\d+)\\s*,\\s*(\\d+)\\)".r
-    u match {
-      case "INTEGER" | "INT" | "INT4"  => IntegerType
-      case "BIGINT" | "INT8" | "LONG"  => LongType
-      case "SMALLINT" | "INT2"         => ShortType
-      case "TINYINT" | "INT1"          => ByteType
-      case "VARCHAR" | "TEXT" | "STRING" => StringType
-      case "DOUBLE" | "FLOAT8"         => DoubleType
-      case "FLOAT" | "REAL" | "FLOAT4" => FloatType
-      case "BOOLEAN" | "BOOL"          => BooleanType
-      case "DATE"                      => DateType
-      case "TIMESTAMP" | "DATETIME"    => TimestampNTZType
-      case dec(p, s)                   => DecimalType(p.toInt, s.toInt)
-      case other => throw new IllegalArgumentException(s"unsupported column type: $other")
-    }
+  /** Parsed DuckDB DDL type: keeps the LOGICAL identity (JSON vs VARCHAR,
+    * UUID vs VARCHAR, HUGEINT vs DECIMAL(38,0)) that the Spark
+    * [[DataType]] alone cannot carry — the catalog's `column_type` string
+    * stores [[render]], so a reopened lake still DESCRIBEs `JSON`, not
+    * `VARCHAR` (the r8/r9 HUGEINT-twin lesson applied to DDL).
+    */
+  sealed trait LakeType { def spark: DataType; def render: String }
+  private final case class PrimT(canon: String, spark: DataType) extends LakeType {
+    def render: String = canon
   }
+  private final case class ArrT(elem: LakeType) extends LakeType {
+    def spark: DataType = ArrayType(elem.spark)
+    def render: String = s"${elem.render}[]"
+  }
+  private final case class StructT(fields: Seq[(String, LakeType)]) extends LakeType {
+    def spark: DataType =
+      StructType(fields.map { case (n, t) => StructField(n, t.spark, true) })
+    def render: String =
+      fields.map { case (n, t) => s"$n ${t.render}" }.mkString("STRUCT(", ", ", ")")
+  }
+  private final case class MapT(k: LakeType, v: LakeType) extends LakeType {
+    def spark: DataType = MapType(k.spark, v.spark)
+    def render: String = s"MAP(${k.render}, ${v.render})"
+  }
+
+  /** SQL type string (DuckDB-compatible DDL) -> Spark DataType */
+  def parseType(t: String): DataType = parseLakeType(t).spark
+
+  /** validate + normalize a DDL type string, PRESERVING logical aliases
+    * (`JSON` stays `JSON`); this is what `ducklake_column.column_type`
+    * stores for CREATE TABLE / ADD COLUMN
+    */
+  def canonicalTypeName(t: String): String = parseLakeType(t).render
+
+  /** Recursive-descent parser for the DuckDB DDL type grammar:
+    * `base ::= NAME | NAME(args) | STRUCT(name type, …) | MAP(type, type)`
+    * with any number of `[]` / `[n]` array suffixes. DuckDB's CREATE
+    * TABLE reaches the reference verbatim (ducklakexl.py:394), so the
+    * lake must accept the nested/logical types DuckLake v0.1 stores.
+    */
+  def parseLakeType(t: String): LakeType = {
+    val (ty, rest) = parseOne(t, 0)
+    val end = skipWs(t, rest)
+    require(end == t.length,
+      s"unsupported column type (trailing '${t.substring(end)}'): $t")
+    ty
+  }
+
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  /** parse one type starting at `from`; returns (type, index after it) */
+  private def parseOne(s: String, from: Int): (LakeType, Int) = {
+    var i = skipWs(s, from)
+    val start = i
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+    require(i > start, s"unsupported column type: ${s.substring(from)}")
+    var word = s.substring(start, i).toUpperCase
+    var j = skipWs(s, i)
+    // two-word spellings: TIMESTAMP WITH[OUT] TIME ZONE, DOUBLE PRECISION
+    def peekWord(k0: Int): (String, Int) = {
+      var k = skipWs(s, k0)
+      val st = k
+      while (k < s.length && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k += 1
+      (s.substring(st, k).toUpperCase, k)
+    }
+    if (word == "TIMESTAMP" || word == "TIME") {
+      val (w1, k1) = peekWord(j)
+      if (w1 == "WITH" || w1 == "WITHOUT") {
+        val (w2, k2) = peekWord(k1)
+        val (w3, k3) = peekWord(k2)
+        require(w2 == "TIME" && w3 == "ZONE",
+          s"unsupported column type: ${s.substring(from)}")
+        word = word + (if (w1 == "WITH") "TZ" else "")
+        j = skipWs(s, k3)
+      }
+    } else if (word == "DOUBLE") {
+      val (w1, k1) = peekWord(j)
+      if (w1 == "PRECISION") j = skipWs(s, k1)
+    }
+    var base: LakeType = word match {
+      case "STRUCT" | "ROW" =>
+        require(j < s.length && s.charAt(j) == '(', s"STRUCT needs a field list: $s")
+        var k = j + 1
+        val fields = Seq.newBuilder[(String, LakeType)]
+        var more = true
+        while (more) {
+          k = skipWs(s, k)
+          // field name: bare or "quoted"
+          val name =
+            if (k < s.length && s.charAt(k) == '"') {
+              val close = s.indexOf('"', k + 1)
+              require(close > k, s"unterminated quoted field name: $s")
+              val n = s.substring(k + 1, close); k = close + 1; n
+            } else {
+              val st = k
+              while (k < s.length && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k += 1
+              require(k > st, s"STRUCT field needs a name: $s")
+              s.substring(st, k)
+            }
+          val (ft, k2) = parseOne(s, k)
+          fields += ((name, ft))
+          k = skipWs(s, k2)
+          if (k < s.length && s.charAt(k) == ',') { k += 1 }
+          else { require(k < s.length && s.charAt(k) == ')', s"unterminated STRUCT(: $s"); more = false }
+        }
+        j = k + 1
+        StructT(fields.result())
+      case "MAP" =>
+        require(j < s.length && s.charAt(j) == '(', s"MAP needs (key, value): $s")
+        val (kt, a) = parseOne(s, j + 1)
+        val a2 = skipWs(s, a)
+        require(a2 < s.length && s.charAt(a2) == ',', s"MAP needs (key, value): $s")
+        val (vt, b) = parseOne(s, a2 + 1)
+        val b2 = skipWs(s, b)
+        require(b2 < s.length && s.charAt(b2) == ')', s"unterminated MAP(: $s")
+        j = b2 + 1
+        MapT(kt, vt)
+      case "DECIMAL" | "NUMERIC" =>
+        if (j < s.length && s.charAt(j) == '(') {
+          val close = s.indexOf(')', j)
+          require(close > j, s"unterminated DECIMAL(: $s")
+          val parts = s.substring(j + 1, close).split(',').map(_.trim)
+          require(parts.length == 2 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit)),
+            s"DECIMAL needs (precision, scale): $s")
+          j = close + 1
+          PrimT(s"DECIMAL(${parts(0)},${parts(1)})",
+            DecimalType(parts(0).toInt, parts(1).toInt))
+        } else PrimT("DECIMAL(18,3)", DecimalType(18, 3)) // DuckDB default
+      case "VARCHAR" | "CHAR" if j < s.length && s.charAt(j) == '(' =>
+        // VARCHAR(n): DuckDB treats the length as documentation only
+        val close = s.indexOf(')', j)
+        require(close > j && s.substring(j + 1, close).trim.forall(_.isDigit),
+          s"bad VARCHAR length: $s")
+        j = close + 1
+        PrimT("VARCHAR", StringType)
+      case _ => primType(word).getOrElse(
+        throw new IllegalArgumentException(s"unsupported column type: $word"))
+    }
+    // array suffixes: `[]` (list) or `[n]` (fixed array — stored as list)
+    var k = skipWs(s, j)
+    while (k < s.length && s.charAt(k) == '[') {
+      val close = s.indexOf(']', k)
+      require(close > 0 && s.substring(k + 1, close).trim.forall(_.isDigit),
+        s"bad array suffix: $s")
+      base = ArrT(base)
+      k = skipWs(s, close + 1)
+    }
+    (base, k)
+  }
+
+  private def primType(word: String): Option[LakeType] = Option(word match {
+    case "INTEGER" | "INT" | "INT4" | "SIGNED" => PrimT("INTEGER", IntegerType)
+    case "BIGINT" | "INT8" | "LONG"    => PrimT("BIGINT", LongType)
+    case "SMALLINT" | "INT2" | "SHORT" => PrimT("SMALLINT", ShortType)
+    case "TINYINT" | "INT1"            => PrimT("TINYINT", ByteType)
+    case "VARCHAR" | "TEXT" | "STRING" | "BPCHAR" | "CHAR" => PrimT("VARCHAR", StringType)
+    case "DOUBLE" | "FLOAT8"           => PrimT("DOUBLE", DoubleType)
+    case "FLOAT" | "REAL" | "FLOAT4"   => PrimT("FLOAT", FloatType)
+    case "BOOLEAN" | "BOOL" | "LOGICAL" => PrimT("BOOLEAN", BooleanType)
+    case "DATE"                        => PrimT("DATE", DateType)
+    case "TIMESTAMP" | "DATETIME"      => PrimT("TIMESTAMP", TimestampNTZType)
+    // logical types whose Spark storage type is shared — the catalog
+    // string keeps the identity, the engine stores the physical twin
+    case "TIMESTAMPTZ"                 => PrimT("TIMESTAMPTZ", TimestampType)
+    case "JSON"                        => PrimT("JSON", StringType)
+    case "UUID"                        => PrimT("UUID", StringType)
+    case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" => PrimT("BLOB", BinaryType)
+    case "TIME"                        => PrimT("TIME", TimeType(6))
+    // int128: DECIMAL(38,0) covers ±10^38 (vs ±1.7e38 for int128) — the
+    // widest exact integer Spark/parquet store; values past 10^38-1
+    // overflow LOUDLY at insert rather than silently wrapping
+    case "HUGEINT"                     => PrimT("HUGEINT", DecimalType(38, 0))
+    case "INTERVAL" => throw new IllegalArgumentException(
+      "INTERVAL columns are not supported: DuckDB's INTERVAL mixes " +
+      "months, days and microseconds in one value; Spark's parquet-" +
+      "storable intervals are year-month XOR day-time, so no lossless " +
+      "lake column type exists. Store the components (e.g. BIGINT " +
+      "microseconds) or a VARCHAR ISO-8601 string instead.")
+    case _ => null
+  })
 
   /** lossless type promotions `ALTER COLUMN TYPE` accepts (DuckLake type
     * widening): numeric ladder, small-int-family -> float/double, float ->
@@ -106,8 +271,15 @@ object CatalogSchema {
     case FloatType        => "FLOAT"
     case BooleanType      => "BOOLEAN"
     case DateType         => "DATE"
-    case TimestampNTZType | TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP"
+    case TimestampType    => "TIMESTAMPTZ"
+    case BinaryType       => "BLOB"
+    case _: TimeType      => "TIME"
     case d: DecimalType   => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(e, _)  => s"${typeName(e)}[]"
+    case StructType(fs)   =>
+      fs.map(f => s"${f.name} ${typeName(f.dataType)}").mkString("STRUCT(", ", ", ")")
+    case MapType(k, v, _) => s"MAP(${typeName(k)}, ${typeName(v)})"
     case other => throw new IllegalArgumentException(s"unsupported data type: $other")
   }
 }

@@ -58,9 +58,11 @@ object StatementRouter {
   sealed trait Stmt
   final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean,
                                orReplace: Boolean = false,
-                               pk: Seq[String] = Nil) extends Stmt
+                               pk: Seq[String] = Nil,
+                               temp: Boolean = false) extends Stmt
   final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean,
-                                 orReplace: Boolean = false) extends Stmt
+                                 orReplace: Boolean = false,
+                                 temp: Boolean = false) extends Stmt
   /** `COPY <table | (query)> TO 'path' (FORMAT fmt)` — export, like the
     * DuckDB pass-through; format defaults from the path extension
     */
@@ -248,7 +250,7 @@ object StatementRouter {
   final case class Select(sql: String) extends Stmt
 
   private val CreateRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*(.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?(?:(TEMP|TEMPORARY)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\.\"]+)\s*(.*)$""".r
   private val CopyRe =
     """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
   private val CopyFromRe =
@@ -291,9 +293,14 @@ object StatementRouter {
   // CREATE/DROP INDEX: DuckDB accepts them; in the reference the index
   // lives only in the per-connection in-memory engine and is NOT
   // persisted through push/pull — accepted-and-dropped is the faithful
-  // behavior, so they classify as session no-ops
+  // behavior, so they classify as session no-ops. CREATE UNIQUE INDEX is
+  // different: DuckDB ENFORCES the uniqueness constraint in-session, so
+  // dropping it would let duplicate inserts succeed that the reference
+  // errors on — silently weaker semantics. Refused loudly instead.
+  private val UniqueIndexRe =
+    """(?is)^\s*CREATE\s+UNIQUE\s+INDEX\b.*$""".r
   private val IndexRe =
-    """(?is)^\s*(?:CREATE\s+(?:UNIQUE\s+)?INDEX\b|DROP\s+INDEX\b).*$""".r
+    """(?is)^\s*(?:CREATE\s+INDEX\b|DROP\s+INDEX\b).*$""".r
   // DuckDB session/maintenance statements with no Spark-side action:
   // PRAGMA <anything>, CHECKPOINT (every push IS a checkpoint here),
   // ANALYZE (stats are collected at write time), RESET <key>
@@ -705,6 +712,10 @@ object StatementRouter {
       case '\'' => inStr = !inStr; cur.append('\'')
       case '(' if !inStr => depth += 1; cur.append('(')
       case ')' if !inStr => depth -= 1; cur.append(')')
+      // DuckDB list literals/subscripts: a comma inside [1, 2] is not an
+      // argument separator (r11 — map(['k1','k2'], [1,2]) split 4-ways)
+      case '[' if !inStr => depth += 1; cur.append('[')
+      case ']' if !inStr => depth -= 1; cur.append(']')
       case ',' if depth == 0 && !inStr => parts += cur.toString; cur.clear()
       case c => cur.append(c)
     }
@@ -868,6 +879,11 @@ object StatementRouter {
     case BeginRe() => Begin
     case CommitRe() => Commit
     case RollbackRe() => Rollback
+    case UniqueIndexRe() => throw new IllegalArgumentException(
+      "CREATE UNIQUE INDEX is not supported: DuckDB enforces the " +
+      "uniqueness constraint and this engine does not — accepting it " +
+      "would silently allow duplicate inserts the reference rejects. " +
+      "Plain CREATE INDEX (no constraint semantics) is accepted.")
     case IndexRe() => NoOp
     case VacuumRe() => Vacuum
     case SetVariableRe(n, e) => SetVariable(n, e)
@@ -897,15 +913,23 @@ object StatementRouter {
       val (fmt, pby, wopts, ow) =
         parseCopyOptions(Option(optBlob).getOrElse(""))
       CopyTo(source.trim, path, fmt, pby, wopts, ow)
-    case CreateRe(orRepl, ifne, name, rest) =>
+    case CreateRe(orRepl, tmp, ifne, name, rest) =>
       val r = rest.trim
+      val temp = tmp != null
+      // a TEMP table is session-scoped (DuckDB's temp schema): bare name
+      // only, never schema-qualified into the lake
+      if (temp) require(!name.contains("."),
+        s"CREATE TEMP TABLE takes an unqualified name: $name")
+      val nm = if (temp) bareName(name) else qualName(name)
       if (r.toUpperCase.startsWith("AS") )
-        CreateTableAs(qualName(name), r.drop(2).trim, ifne != null, orRepl != null)
+        CreateTableAs(nm, r.drop(2).trim, ifne != null, orRepl != null, temp)
       else {
         require(r.startsWith("(") && r.endsWith(")"),
           s"cannot parse CREATE TABLE body: $r")
         val (cols, pk) = splitColumnsPk(r.drop(1).dropRight(1))
-        CreateTable(qualName(name), cols, ifne != null, orRepl != null, pk)
+        require(!temp || pk.isEmpty,
+          "CREATE TEMP TABLE does not take a PRIMARY KEY here")
+        CreateTable(nm, cols, ifne != null, orRepl != null, pk, temp)
       }
     case InsertOrRe(mode, name, rest0) =>
       // `INSERT OR REPLACE|IGNORE INTO` — conflict target is the table's
@@ -1620,6 +1644,120 @@ object StatementRouter {
     }
   }
 
+  /** DuckDB type spelling in a CAST target -> Spark DDL spelling, only
+    * for spellings Spark's parser does not take: array suffixes
+    * (`VARCHAR[]` -> `ARRAY<STRING>`), DuckDB-style `STRUCT(a T)` /
+    * `MAP(K, V)`, and the logical scalars JSON/UUID (-> STRING),
+    * BLOB/BYTEA/VARBINARY (-> BINARY), HUGEINT (-> DECIMAL(38,0)),
+    * TIMESTAMPTZ (-> TIMESTAMP), DATETIME (-> TIMESTAMP_NTZ). Spellings
+    * Spark already parses (INTEGER, DECIMAL(p,s), DATE …) are left
+    * untouched so settled plans do not move.
+    */
+  private def sparkCastType(tok: String): Option[String] = {
+    val t = tok.trim
+    val u = t.toUpperCase(java.util.Locale.ROOT)
+    val word = u.takeWhile(c => c.isLetterOrDigit || c == '_')
+    val needs = t.contains('[') ||
+      ((word == "STRUCT" || word == "MAP") && t.contains('(')) ||
+      Set("JSON", "UUID", "BLOB", "BYTEA", "VARBINARY", "HUGEINT",
+          "TIMESTAMPTZ", "DATETIME").contains(u)
+    if (!needs) None
+    else scala.util.Try(CatalogSchema.parseLakeType(t).spark.sql).toOption
+  }
+
+  /** capture a type token starting at `st` in `s`: NAME, one optional
+    * balanced paren group, then any `[]`/`[n]` suffixes; returns the end
+    * index (exclusive) or -1 when no identifier starts there
+    */
+  private def typeTokenEnd(s: String, st: Int): Int = {
+    var k = st
+    while (k < s.length && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k += 1
+    if (k == st) return -1
+    var end = k
+    var j = k
+    while (j < s.length && s.charAt(j).isWhitespace) j += 1
+    if (j < s.length && s.charAt(j) == '(') {
+      var depth = 0
+      var i = j
+      var close = -1
+      while (i < s.length && close < 0) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+        i += 1
+      }
+      if (close < 0) return end
+      end = close + 1
+    }
+    var more = true
+    while (more) {
+      var i = end
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i < s.length && s.charAt(i) == '[') {
+        val close = s.indexOf(']', i)
+        if (close > 0 && s.substring(i + 1, close).trim.forall(_.isDigit))
+          end = close + 1
+        else more = false
+      } else more = false
+    }
+    end
+  }
+
+  /** rewrite `expr::TYPE` and `CAST/TRY_CAST(expr AS TYPE)` targets whose
+    * DuckDB spelling Spark cannot parse (see [[sparkCastType]])
+    */
+  private def rewriteCastTargets(q0: String): String = {
+    var q = q0
+    // ::TYPE — scan outside literals
+    val sb = new StringBuilder
+    val m = literalMask(q)
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (!m(i) && c == ':' && i + 1 < q.length && q.charAt(i + 1) == ':' &&
+          (i == 0 || q.charAt(i - 1) != ':')) {
+        var k = i + 2
+        while (k < q.length && q.charAt(k).isWhitespace) k += 1
+        val end = typeTokenEnd(q, k)
+        if (end > 0) {
+          sparkCastType(q.substring(k, end)) match {
+            case Some(tr) => sb.append("::").append(tr); i = end
+            case None     => sb.append("::"); i += 2
+          }
+        } else { sb.append("::"); i += 2 }
+      } else { sb.append(c); i += 1 }
+    }
+    q = sb.toString
+    // CAST(expr AS TYPE) / TRY_CAST(expr AS TYPE)
+    for (fn <- Seq("cast", "try_cast")) q = rewriteCalls(q, fn) { args =>
+      if (args.length != 1) None
+      else {
+        val a = args.head
+        val lm = literalMask(a)
+        // last depth-0 ` AS ` outside literals
+        var depth = 0
+        var at = -1
+        var j = 0
+        while (j < a.length) {
+          val ch = a.charAt(j)
+          if (!lm(j)) {
+            if (ch == '(' || ch == '[') depth += 1
+            else if (ch == ')' || ch == ']') depth -= 1
+            else if (depth == 0 && (ch == 'a' || ch == 'A') && j > 0 &&
+                a.charAt(j - 1).isWhitespace && j + 2 < a.length &&
+                (a.charAt(j + 1) == 's' || a.charAt(j + 1) == 'S') &&
+                a.charAt(j + 2).isWhitespace) at = j
+          }
+          j += 1
+        }
+        if (at < 0) None
+        else sparkCastType(a.substring(at + 3)).map(tr =>
+          s"${fn.toUpperCase(java.util.Locale.ROOT)}(${a.substring(0, at).trim} AS $tr)")
+      }
+    }
+    q
+  }
+
   private val SamplePctRe =
     """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)""".r
   private val SampleRowsRe =
@@ -2221,13 +2359,11 @@ object StatementRouter {
     * Anything non-literal or with other flags stays put (loud failure
     * beats silently changed replacement semantics).
     *
-    * KNOWN DIVERGENCE (documented, not silent-by-accident): DuckDB's
-    * 3-arg regexp_replace replaces the FIRST match only; Spark's
-    * replaces ALL. The 4-arg 'g' spelling — the one this rewrite
-    * handles — is the unambiguous way to say "global" in both worlds;
-    * a first-only emulation needs a native replaceFirst Expression
-    * (future work), since no composition of Spark built-ins carries
-    * backreference replacement semantics. */
+    * The 3-arg form matches DuckDB exactly: FIRST match only, routed to
+    * the native codegen'd [[graft.functions.RegexpReplaceFirst]] (Spark's
+    * builtin 3-arg regexp_replace is global, which would diverge). The
+    * 4-arg 'g' spelling is global in both worlds and maps to the
+    * builtin. */
   def rewriteRegexpFlags(q: String): String =
     rewriteCalls(q, "regexp_replace") { args =>
       if (args.length == 3)
@@ -2754,6 +2890,9 @@ object StatementRouter {
     // FROM-position unnest must also precede renameFns (which maps the
     // select-position spelling to explode)
     q = rewriteUnnestFrom(q)
+    // cast targets (`x::VARCHAR[]`, CAST(x AS STRUCT(…)), ::JSON/::BLOB)
+    // before the bracket pass so array-type suffixes are already gone
+    q = rewriteCastTargets(q)
     q = rewriteStringAgg(q)
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)
@@ -2762,6 +2901,14 @@ object StatementRouter {
     q = mapOutsideLiterals(q)(renameFns)
     q = rewriteCalls(q, "list_position") { args =>
       Some(s"nullif(array_position(${args.mkString(", ")}), 0)")
+    }
+    // DuckDB's map() takes (keys_list, values_list) — Spark's same-name
+    // builtin takes interleaved varargs, so the 2-arg form must map to
+    // map_from_arrays (a 2-arg Spark map(k, v) spelling is not DuckDB
+    // dialect and is not expected through this router)
+    q = rewriteCalls(q, "map") { args =>
+      if (args.length == 2) Some(s"map_from_arrays(${args.map(_.trim).mkString(", ")})")
+      else None
     }
     q = mapOutsideLiterals(q) { seg =>
       StarExcludeBareRe.replaceAllIn(

@@ -911,6 +911,75 @@ object QueriesLake {
           |CREATE MACRO addtax(x) AS x + x // 10;
           |CREATE OR REPLACE MACRO addtax(x) AS x + x // 5""".stripMargin)
       lake.sql("SELECT id, addtax(v) AS taxed FROM mt WHERE addtax(v) > 12 ORDER BY id")
+    },
+    // r11: lake column types beyond scalars — LIST / STRUCT / MAP / JSON
+    // / BLOB / UUID / HUGEINT as CREATE TABLE column types (DuckDB DDL
+    // reaches the reference verbatim, ducklakexl.py:394; DuckLake v0.1
+    // stores these), with element access, the full xlsx round-trip, and
+    // a REOPEN from the workbook alone proving the catalog's type
+    // strings survive the sheet trip
+    "q_lake_types" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE typed(
+          |  id INTEGER,
+          |  tags VARCHAR[],
+          |  meta STRUCT(mime VARCHAR, w INTEGER),
+          |  attrs MAP(VARCHAR, INTEGER),
+          |  doc JSON,
+          |  payload BLOB,
+          |  uid UUID,
+          |  big HUGEINT)""".stripMargin)
+      lake.sql(
+        """INSERT INTO typed VALUES
+          |  (1, ['a','b'], {'mime': 'text/plain', 'w': 640}, map(['k1','k2'], [1,2]),
+          |   '{"x": 7}', 'abc'::BLOB, '00000000-0000-0000-0000-000000000001',
+          |   99999999999999999999),
+          |  (2, ['c'], {'mime': 'image/png', 'w': 800}, map(['k1'], [5]),
+          |   '{"x": 9}', 'xy'::BLOB, '00000000-0000-0000-0000-000000000002', -3)""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql(
+        """SELECT id, tags, tags[1] AS tag1, meta.mime AS mime, meta.w AS w,
+          |       attrs['k1'] AS k1, doc->>'x' AS x,
+          |       payload::VARCHAR AS payload_str, octet_length(payload) AS n_bytes,
+          |       uid, big::VARCHAR AS big_str
+          |FROM typed ORDER BY id""".stripMargin)
+    },
+    // r11: CREATE TEMP TABLE — the standard DuckDB ETL session idiom
+    // (stage into a temp, join against the lake). Session-lifetime only:
+    // never synced to the workbook, gone on reopen (TempTableSpec pins
+    // both), shadowing lake names like DuckDB's temp schema
+    "q_lake_temp" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE base(id INTEGER, v VARCHAR);
+          |INSERT INTO base VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')""".stripMargin)
+      lake.sql(
+        """CREATE TEMP TABLE stage AS SELECT id, upper(v) AS vu FROM base WHERE id >= 2;
+          |INSERT INTO stage VALUES (9, 'ZZ')""".stripMargin)
+      lake.sql(
+        """SELECT b.id, b.v, st.vu
+          |FROM base b JOIN stage st ON b.id = st.id
+          |ORDER BY b.id""".stripMargin)
+    },
+    // r11: the multimodal north star lake-native — the payload column
+    // LIVES IN a lake table (BLOB + STRUCT metadata), not beside it in a
+    // fixture view; INSERT … SELECT from the corpus, reopen, digest
+    "q_lake_multimodal_blob" -> { (s, d) =>
+      val lake = freshLake(s)
+      Tables.t(s, d, "documents").createOrReplaceTempView("mm_docs_src")
+      lake.sql(
+        "CREATE TABLE media(doc_id BIGINT, payload BLOB, " +
+        "meta STRUCT(mime VARCHAR, n_chars BIGINT))")
+      lake.sql(
+        """INSERT INTO media
+          |SELECT doc_id, text::BLOB, {'mime': 'text/plain', 'n_chars': n_chars}
+          |FROM mm_docs_src""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql(
+        """SELECT doc_id, octet_length(payload) AS n_bytes, md5(payload) AS digest,
+          |       meta.mime AS mime, meta.n_chars AS n_chars
+          |FROM media ORDER BY doc_id""".stripMargin)
     }
   )
 
@@ -1162,6 +1231,20 @@ object QueriesLake {
        "CAST(dflt_value AS VARCHAR) AS dflt_value, pk FROM (VALUES " +
        "(0, 'id', 'INTEGER', false, NULL, false), " +
        "(1, 'v', 'VARCHAR', false, NULL, false)) " +
-       "t(cid, name, type, \"notnull\", dflt_value, pk) ORDER BY cid")
+       "t(cid, name, type, \"notnull\", dflt_value, pk) ORDER BY cid"),
+    "q_lake_types" ->
+      ("SELECT * FROM (VALUES " +
+       "(1, ['a','b'], 'a', 'text/plain', 640, 1, '7', 'abc', 3, " +
+       "'00000000-0000-0000-0000-000000000001', '99999999999999999999'), " +
+       "(2, ['c'], 'c', 'image/png', 800, 5, '9', 'xy', 2, " +
+       "'00000000-0000-0000-0000-000000000002', '-3')) " +
+       "t(id, tags, tag1, mime, w, k1, x, payload_str, n_bytes, uid, big_str) " +
+       "ORDER BY id"),
+    "q_lake_multimodal_blob" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest, " +
+       "'text/plain' AS mime, n_chars FROM documents ORDER BY doc_id"),
+    "q_lake_temp" ->
+      ("SELECT * FROM (VALUES (2,'b','B'),(3,'c','C'),(4,'d','D')) " +
+       "t(id, v, vu) ORDER BY id")
   )
 }

@@ -191,9 +191,13 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT element_at(array(a, b), 1)")
   }
 
-  test("r7b: array TYPE declarations and literal contents untouched") {
+  test("r7b: array TYPE declarations translate to Spark DDL; literal contents untouched") {
+    // r11: cast targets with DuckDB array suffixes now translate to the
+    // spelling Spark's parser takes (they used to pass through and fail)
     assert(rewriteDialect("SELECT CAST(x AS INTEGER[]) FROM t") ==
-      "SELECT CAST(x AS INTEGER[]) FROM t")
+      "SELECT CAST(x AS ARRAY<INT>) FROM t")
+    assert(rewriteDialect("SELECT x::VARCHAR[] FROM t") ==
+      "SELECT x::ARRAY<STRING> FROM t")
     val lit = "SELECT 'a[1]' AS s FROM t"
     assert(rewriteDialect(lit) == lit)
   }
@@ -263,11 +267,13 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT element_at(date, 1) FROM t")
     assert(rewriteDialect("SELECT json[2], time[i] FROM t") ==
       "SELECT element_at(json, 2), element_at(time, i) FROM t")
-    // …while CAST / :: contexts keep the sized-array TYPE untouched
+    // …while CAST / :: contexts treat the sized-array suffix as a TYPE —
+    // translated (r11) to the ARRAY<> spelling Spark parses (DuckDB's
+    // fixed-size arrays are stored as lists, same as the lake's DDL)
     assert(rewriteDialect("SELECT CAST(x AS INTEGER[3]) FROM t") ==
-      "SELECT CAST(x AS INTEGER[3]) FROM t")
+      "SELECT CAST(x AS ARRAY<INT>) FROM t")
     assert(rewriteDialect("SELECT x::INTEGER[3] FROM t") ==
-      "SELECT x::INTEGER[3] FROM t")
+      "SELECT x::ARRAY<INT> FROM t")
   }
 
   test("r8: ARRAY keyword literals collapse into array(); row[] is a subscript") {

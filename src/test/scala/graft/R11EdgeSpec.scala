@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+
+/** Round-11 advice closures: the end-of-script open-transaction guard
+  * (an unclosed BEGIN must never be durably committed by the final
+  * push), the CREATE UNIQUE INDEX loud refusal, and implicit casting on
+  * the 3-arg regexp_replace native (non-string subject coerces at
+  * analysis time instead of ClassCastException at runtime).
+  */
+class R11EdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshLake(): DuckLakeXLSpark = {
+    val dir = Files.createTempDirectory("graft_r11_edge").toString
+    new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+  }
+
+  test("BEGIN left open at script end: rolled back, loud, never durable") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE otx(id INTEGER); INSERT INTO otx VALUES (1)")
+    val e = intercept[IllegalStateException] {
+      lake.sql("BEGIN; INSERT INTO otx VALUES (2); UPDATE otx SET id = 9 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("transaction left open"), e.getMessage)
+    // the uncommitted writes were discarded, in-session AND durably
+    assert(lake.sql("SELECT count(*) AS c FROM otx").head().getLong(0) == 1L)
+    assert(lake.sql("SELECT id FROM otx").head().getInt(0) == 1)
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(re.sql("SELECT count(*) AS c FROM otx").head().getLong(0) == 1L)
+    // the next script starts clean: no phantom open transaction
+    val e2 = intercept[IllegalArgumentException] { lake.sql("ROLLBACK") }
+    assert(e2.getMessage.contains("no transaction"), e2.getMessage)
+    // a view created inside the abandoned txn must not stay resolvable
+    intercept[IllegalStateException] {
+      lake.sql("BEGIN; CREATE VIEW otxv AS SELECT id FROM otx")
+    }
+    assertThrows[Exception] { lake.sql("SELECT * FROM otxv") }
+  }
+
+  test("CREATE UNIQUE INDEX refused loudly; plain CREATE INDEX still no-op") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE uix(id INTEGER)")
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("CREATE UNIQUE INDEX u_idx ON uix(id)")
+    }
+    assert(e.getMessage.contains("UNIQUE INDEX"), e.getMessage)
+    lake.sql("CREATE INDEX p_idx ON uix(id); DROP INDEX p_idx") // unchanged
+  }
+
+  test("DDL type parser: nested + logical types parse, render, round-trip") {
+    import graft.lake.CatalogSchema._
+    import org.apache.spark.sql.types._
+    assert(parseType("VARCHAR[]") == ArrayType(StringType))
+    assert(parseType("INTEGER[][]") == ArrayType(ArrayType(IntegerType)))
+    assert(parseType("STRUCT(a INTEGER, b VARCHAR[])") ==
+      StructType(Seq(StructField("a", IntegerType), StructField("b", ArrayType(StringType)))))
+    assert(parseType("MAP(VARCHAR, STRUCT(x DOUBLE))") ==
+      MapType(StringType, StructType(Seq(StructField("x", DoubleType)))))
+    assert(parseType("JSON") == StringType && parseType("UUID") == StringType)
+    assert(parseType("BLOB") == BinaryType && parseType("BYTEA") == BinaryType)
+    assert(parseType("HUGEINT") == DecimalType(38, 0))
+    assert(parseType("TIMESTAMPTZ") == TimestampType)
+    assert(parseType("TIMESTAMP WITH TIME ZONE") == TimestampType)
+    assert(parseType("TIMESTAMP WITHOUT TIME ZONE") == TimestampNTZType)
+    assert(parseType("DOUBLE PRECISION") == DoubleType)
+    assert(parseType("TIME") == TimeType(6))
+    // canonical strings keep the LOGICAL identity (JSON stays JSON)
+    assert(canonicalTypeName("json") == "JSON")
+    assert(canonicalTypeName("uuid") == "UUID")
+    assert(canonicalTypeName("hugeint") == "HUGEINT")
+    assert(canonicalTypeName("text[]") == "VARCHAR[]")
+    assert(canonicalTypeName("struct(a int, b text)") == "STRUCT(a INTEGER, b VARCHAR)")
+    assert(canonicalTypeName("MAP(varchar, int)") == "MAP(VARCHAR, INTEGER)")
+    // canonical strings REPARSE to the same Spark type (xlsx round-trip)
+    for (t <- Seq("VARCHAR[]", "STRUCT(a INTEGER, b VARCHAR[])",
+        "MAP(VARCHAR, INTEGER)", "JSON", "BLOB", "UUID", "HUGEINT",
+        "TIMESTAMPTZ", "TIME", "DECIMAL(12,2)[]"))
+      assert(parseType(canonicalTypeName(t)) == parseType(t), t)
+    // INTERVAL refuses loudly with the why
+    val e = intercept[IllegalArgumentException] { parseType("INTERVAL") }
+    assert(e.getMessage.contains("INTERVAL"), e.getMessage)
+    // trailing garbage refuses
+    intercept[IllegalArgumentException] { parseType("INTEGER PRIMARY") }
+  }
+
+  test("TIME and TIMESTAMPTZ lake columns round-trip through xlsx + parquet") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE tt2(id INTEGER, t TIME, tz TIMESTAMPTZ)")
+    lake.sql("INSERT INTO tt2 VALUES " +
+      "(1, TIME '11:30:00', TIMESTAMP '2024-03-01 10:00:00'), " +
+      "(2, TIME '23:59:59', TIMESTAMP '2024-03-02 00:00:00')")
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    val rows = re.sql(
+      "SELECT id, t::VARCHAR AS ts, hour(tz) AS h FROM tt2 ORDER BY id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("11:30:00", "23:59:59"),
+      rows.mkString(","))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(10, 0), rows.mkString(","))
+    // the catalog column_type strings kept their identity across reopen
+    val desc = re.sql("DESCRIBE tt2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("t") == "TIME" && desc("tz") == "TIMESTAMPTZ", desc)
+  }
+
+  test("TEMP tables: session-only, snapshot semantics, shadowing, no workbook trace") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE tb(id INTEGER, v VARCHAR); " +
+      "INSERT INTO tb VALUES (1,'a'),(2,'b'),(3,'c')")
+    lake.sql("CREATE TEMP TABLE st AS SELECT id, upper(v) AS vu FROM tb WHERE id >= 2")
+    // snapshot semantics: rewriting the lake table does NOT move the temp
+    lake.sql("DELETE FROM tb WHERE id = 3")
+    assert(lake.sql("SELECT count(*) AS c FROM st").head().getLong(0) == 2L)
+    // INSERT appends; DESCRIBE answers; SHOW TABLES lists it
+    lake.sql("INSERT INTO st VALUES (9, 'ZZ')")
+    assert(lake.sql("SELECT count(*) AS c FROM st").head().getLong(0) == 3L)
+    assert(lake.sql("DESCRIBE st").collect().map(_.getString(0)).toSeq == Seq("id", "vu"))
+    assert(lake.sql("SHOW TABLES").collect().map(_.getString(0)).contains("st"))
+    // not a workbook sheet, and a REOPEN does not see it
+    assert(!graft.xlsx.XlsxCodec.sheetNames(lake.excelPath).exists(_.equalsIgnoreCase("st")))
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assertThrows[Exception] { re.sql("INSERT INTO st VALUES (1, 'x')") }
+    // temp SHADOWS a same-named lake table on bare names (DuckDB search
+    // path); dropping the temp un-shadows
+    lake.sql("CREATE TEMP TABLE tb AS SELECT 99 AS id, 'tmp' AS v")
+    assert(lake.sql("SELECT max(id) AS m FROM tb").head().getInt(0) == 99)
+    lake.sql("DROP TABLE tb") // hits the temp first
+    assert(lake.sql("SELECT count(*) AS c FROM tb").head().getLong(0) == 2L)
+    // duplicate create errors; IF NOT EXISTS and OR REPLACE don't
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("CREATE TEMP TABLE st(id INTEGER)")
+    }
+    assert(e.getMessage.contains("exists"), e.getMessage)
+    lake.sql("CREATE TEMP TABLE IF NOT EXISTS st(id INTEGER)")
+    assert(lake.sql("SELECT count(*) AS c FROM st").head().getLong(0) == 3L)
+    lake.sql("CREATE OR REPLACE TEMP TABLE st AS SELECT 1 AS one")
+    assert(lake.sql("SELECT * FROM st").head().getInt(0) == 1)
+    // DML beyond INSERT refuses loudly
+    val e2 = intercept[IllegalArgumentException] { lake.sql("DELETE FROM st WHERE one = 1") }
+    assert(e2.getMessage.contains("TEMP"), e2.getMessage)
+  }
+
+  test("3-arg regexp_replace implicitly casts a non-string subject") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE rrf(n INTEGER); INSERT INTO rrf VALUES (11211)")
+    // DuckDB casts the INT to VARCHAR; first-match-only on the digits
+    val r = lake.sql("SELECT regexp_replace(n, '1', 'X') AS s FROM rrf").head()
+    assert(r.getString(0) == "X1211", r.getString(0))
+  }
+}
