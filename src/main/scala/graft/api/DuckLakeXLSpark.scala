@@ -578,6 +578,8 @@ class DuckLakeXLSpark(
           throw new IllegalArgumentException(
             s"MERGE into TEMP table ${s.table} is not supported — " +
             "recreate it with CREATE OR REPLACE TEMP TABLE … AS SELECT")
+        case s: StatementRouter.Returning =>
+          last = Some(executeReturning(s))
         case s: StatementRouter.Delete        => executeDelete(s); registerViews()
         case s: StatementRouter.Merge         => executeMerge(s); registerViews()
         case s: StatementRouter.InsertOnConflict => executeUpsert(s); registerViews()
@@ -756,6 +758,7 @@ class DuckLakeXLSpark(
 
   /** DuckLake-style `changes_made` summary for the audit sheet */
   private def changeLabel(st: StatementRouter.Stmt): String = st match {
+    case s: StatementRouter.Returning     => changeLabel(s.inner)
     case s: StatementRouter.CreateTable   => s"created_table:${s.name}"
     case s: StatementRouter.CreateTableAs => s"created_table:${s.name}"
     case s: StatementRouter.InsertValues  => s"inserted_into_table:${s.table}"
@@ -2263,6 +2266,65 @@ class DuckLakeXLSpark(
     executeInsertDF(s.name, None, df)
   }
 
+  /** DML `RETURNING <exprs>`: run the write, hand back the affected rows
+    * (post-image for INSERT/UPDATE, the removed rows for DELETE)
+    * projected through the expression list. INSERT…SELECT and the
+    * pre-images snapshot via `localCheckpoint` so a self-referencing or
+    * nondeterministic source cannot drift between what was written and
+    * what is returned — the materialization RETURNING semantics imply
+    * (DuckDB materializes the clause's result the same way).
+    */
+  private def executeReturning(s: StatementRouter.Returning): DataFrame = {
+    val post: DataFrame = s.inner match {
+      case iv: StatementRouter.InsertValues =>
+        require(!isTempTable(iv.table), "RETURNING on a TEMP table is not supported")
+        // a VALUES literal is deterministic — recompute the post-image
+        // instead of checkpointing, keeping the inline/one-file path
+        executeInsertDF(iv.table, iv.cols, valuesDF(iv.table, iv.cols, iv.valuesSql))
+        registerViews()
+        val schema = state.schemaOf(requireTable(iv.table).tableId)
+        coerceToTableSchema(schema, iv.cols, valuesDF(iv.table, iv.cols, iv.valuesSql))
+      case is: StatementRouter.InsertSelect =>
+        require(!isTempTable(is.table), "RETURNING on a TEMP table is not supported")
+        require(!StatementRouter.hasCall(is.select, "nextval") && !is.byName,
+          "INSERT … RETURNING takes a plain SELECT source (no sequences, no BY NAME)")
+        val schema = state.schemaOf(requireTable(is.table).tableId)
+        val df = coerceToTableSchema(schema, is.cols,
+          spark.sql(rewriteSelect(is.select))).localCheckpoint(true)
+        executeInsertDF(is.table, None, df)
+        registerViews()
+        df
+      case d: StatementRouter.Delete =>
+        require(!isTempTable(d.table), "RETURNING on a TEMP table is not supported")
+        val pre = spark.sql(rewriteSelect(s"SELECT * FROM ${d.table}" +
+          d.where.map(w => s" WHERE $w").getOrElse(""))).localCheckpoint(true)
+        executeDelete(d)
+        registerViews()
+        pre
+      case u: StatementRouter.Update =>
+        require(!isTempTable(u.table), "RETURNING on a TEMP table is not supported")
+        val schema = state.schemaOf(requireTable(u.table).tableId)
+        // post-image = assignments applied over the PRE-update matching
+        // rows (the predicate reads old values, like the update itself)
+        val proj = schema.fieldNames.map { fn =>
+          u.sets.find(_._1.equalsIgnoreCase(fn)) match {
+            case Some((_, e)) => s"($e) AS `$fn`"
+            case None         => s"`$fn`"
+          }
+        }.mkString(", ")
+        val pre = spark.sql(rewriteSelect(s"SELECT $proj FROM ${u.table}" +
+          u.where.map(w => s" WHERE $w").getOrElse(""))).localCheckpoint(true)
+        executeUpdate(u)
+        registerViews()
+        pre
+      case other => throw new IllegalStateException(s"unreachable RETURNING: $other")
+    }
+    post.createOrReplaceTempView("__graft_returning")
+    try spark.sql(rewriteSelect(s"SELECT ${s.exprs} FROM __graft_returning"))
+      .localCheckpoint(true)
+    finally spark.catalog.dropTempView("__graft_returning")
+  }
+
   /** TEMP-table variant of [[valuesDF]]: column names come from the temp
     * snapshot's schema, not the lake catalog
     */
@@ -2322,31 +2384,36 @@ class DuckLakeXLSpark(
     * With an explicit column list, unlisted columns fill with NULL
     * (standard SQL); otherwise the insert is positional.
     */
+  /** cast-to-declared-type (reference relies on DuckDB's implicit cast of
+    * VALUES to column types); with a column list, unlisted columns fill
+    * NULL — shared by the insert path and DML RETURNING's post-image
+    */
+  private def coerceToTableSchema(schema: StructType, cols: Option[Seq[String]],
+      dfIn: DataFrame): DataFrame = cols match {
+    case None =>
+      require(dfIn.schema.length == schema.length,
+        s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
+      dfIn.select(dfIn.columns.zip(schema.fields).toSeq.map { case (c, f) =>
+        colq(dfIn, c).cast(f.dataType).as(f.name)
+      }: _*)
+    case Some(names) =>
+      require(names.length == dfIn.schema.length,
+        s"INSERT column list size ${names.length} != value arity ${dfIn.schema.length}")
+      val byName = names.map(_.toLowerCase).zip(dfIn.columns).toMap
+      val unknown = byName.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+      require(unknown.isEmpty, s"INSERT names unknown column(s): ${unknown.mkString(", ")}")
+      dfIn.select(schema.fields.map { f =>
+        byName.get(f.name.toLowerCase) match {
+          case Some(src) => colq(dfIn, src).cast(f.dataType).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+  }
+
   private def executeInsertDF(table: String, cols: Option[Seq[String]], dfIn: DataFrame): Unit = {
     val t = requireTable(table)
     val schema = state.schemaOf(t.tableId)
-    // cast-to-declared-type (reference relies on DuckDB's implicit cast of
-    // VALUES to column types)
-    val df = cols match {
-      case None =>
-        require(dfIn.schema.length == schema.length,
-          s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
-        dfIn.select(dfIn.columns.zip(schema.fields).toSeq.map { case (c, f) =>
-          colq(dfIn, c).cast(f.dataType).as(f.name)
-        }: _*)
-      case Some(names) =>
-        require(names.length == dfIn.schema.length,
-          s"INSERT column list size ${names.length} != value arity ${dfIn.schema.length}")
-        val byName = names.map(_.toLowerCase).zip(dfIn.columns).toMap
-        val unknown = byName.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
-        require(unknown.isEmpty, s"INSERT names unknown column(s): ${unknown.mkString(", ")}")
-        dfIn.select(schema.fields.map { f =>
-          byName.get(f.name.toLowerCase) match {
-            case Some(src) => colq(dfIn, src).cast(f.dataType).as(f.name)
-            case None      => lit(null).cast(f.dataType).as(f.name)
-          }
-        }.toSeq: _*)
-    }
+    val df = coerceToTableSchema(schema, cols, dfIn)
 
     val partCols = state.partitionColumnsOf(t.tableId).map(_.columnName)
     // a literal VALUES folds to a LocalRelation — driver-sized by

@@ -90,6 +90,11 @@ object StatementRouter {
                                 byName: Boolean = false) extends Stmt
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)], where: Option[String]) extends Stmt
+  /** DuckDB DML `… RETURNING <exprs>`: the statement's result is the
+    * affected rows (post-image for INSERT/UPDATE, deleted rows for
+    * DELETE) projected through `exprs`
+    */
+  final case class Returning(inner: Stmt, exprs: String) extends Stmt
   final case class DropTable(name: String, ifExists: Boolean) extends Stmt
   /** ALTER TABLE: rename-table / add-column / drop-column / rename-column.
     * RENAME COLUMN keeps the columnId and swaps the name's lifetime; scans
@@ -875,7 +880,49 @@ object StatementRouter {
     (fmt, pby, wopts.toMap, ow)
   }
 
-  def classify(stmt: String): Stmt = stmt match {
+  /** split a trailing top-level `RETURNING <exprs>` off a DML statement
+    * (outside literals, paren depth 0, last occurrence — matching how
+    * DuckDB's parser attaches the clause)
+    */
+  private def splitReturning(stmt: String): Option[(String, String)] = {
+    val head = stmt.trim.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
+    if (head != "INSERT" && head != "UPDATE" && head != "DELETE") return None
+    val m = literalMask(stmt)
+    var depth = 0
+    var at = -1
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (!m(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && (c == 'r' || c == 'R') &&
+            stmt.regionMatches(true, i, "RETURNING", 0, 9) &&
+            (i == 0 || !identChar(stmt.charAt(i - 1))) &&
+            (i + 9 >= stmt.length || !identChar(stmt.charAt(i + 9)))) at = i
+      }
+      i += 1
+    }
+    if (at < 0) None
+    else {
+      val exprs = stmt.substring(at + 9).trim
+      require(exprs.nonEmpty, "RETURNING needs an expression list")
+      Some((stmt.substring(0, at).trim, exprs))
+    }
+  }
+
+  def classify(stmt: String): Stmt = splitReturning(stmt) match {
+    case Some((head, exprs)) =>
+      classify(head) match {
+        case inner @ (_: InsertValues | _: InsertSelect | _: Delete | _: Update) =>
+          Returning(inner, exprs)
+        case _ => throw new IllegalArgumentException(
+          "RETURNING is supported on INSERT / UPDATE / DELETE only")
+      }
+    case None => classifyInner(stmt)
+  }
+
+  private def classifyInner(stmt: String): Stmt = stmt match {
     case BeginRe() => Begin
     case CommitRe() => Commit
     case RollbackRe() => Rollback
@@ -1762,6 +1809,135 @@ object StatementRouter {
     """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)""".r
   private val SampleRowsRe =
     """(?i)\bUSING\s+SAMPLE\s+(\d+)(?:\s+ROWS)?\b""".r
+  // seeded row-count sample: `FROM t USING SAMPLE <n> [ROWS] REPEATABLE
+  // (<seed>)` (also the reservoir(<n> ROWS) and `(method, seed)`
+  // spellings). DuckDB's seeded reservoir draw is engine-internal, so no
+  // cross-engine run reproduces it — this engine defines the seeded draw
+  // DETERMINISTICALLY as the md5 rank over (seed, row values): every
+  // engine computing md5(concat_ws('|', seed, cols…)) picks the same
+  // rows, which is what makes the form oracle-checkable. Distributed
+  // shape: ORDER BY + LIMIT n = TakeOrderedAndProject, no global sort.
+  private val SampleSeededRowsRe =
+    ("""(?i)\bFROM\s+([\w\.\"]+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+USING\s+SAMPLE\s+""" +
+     """(?:reservoir\s*\(\s*(\d+)\s*(?:ROWS?)?\s*\)|(\d+)\s*(?:ROWS?)?)\s*""" +
+     """(?:REPEATABLE\s*\(\s*(\d+)\s*\)|\(\s*[A-Za-z]\w*\s*,\s*(\d+)\s*\))""").r
+  // seeded percent sample -> Spark's own seeded TABLESAMPLE (REPEATABLE
+  // is per-engine deterministic, not cross-engine — no oracle twin)
+  private val SampleSeededPctRe =
+    ("""(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)\s*""" +
+     """(?:REPEATABLE\s*\(\s*(\d+)\s*\)|\(\s*[A-Za-z]\w*\s*,\s*(\d+)\s*\))""").r
+
+  /** DuckDB window frame `EXCLUDE` modifier — Spark has no equivalent.
+    * `EXCLUDE NO OTHERS` (the default) drops; `EXCLUDE CURRENT ROW`
+    * rewrites as frame-aggregate minus the current row's contribution,
+    * which is exactly right for the decomposable aggregates sum / count
+    * / avg over a frame that CONTAINS the current row (checked — a frame
+    * like `5 PRECEDING AND 2 PRECEDING` never held the current row, so
+    * subtracting it would be wrong: refused loudly). EXCLUDE GROUP /
+    * EXCLUDE TIES need peer-group bookkeeping no composition of Spark
+    * window built-ins carries: refused loudly.
+    */
+  private def rewriteWindowExclude(q0: String): String = {
+    val overRe = """(?i)\bOVER\s*\(""".r
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      overRe.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val overStart = from + m.start
+          if (lit(overStart)) { from = overStart + 1 }
+          else {
+            val open = from + m.end - 1
+            val close = matchingParen(q, open)
+            val body = q.substring(open + 1, close)
+            val exRe = """(?is)^(.*?)\s*\bEXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS|GROUP|TIES)\s*$""".r
+            body match {
+              case exRe(frame, modRaw) =>
+                val mod = modRaw.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+                if (mod == "NO OTHERS") {
+                  // the default — drop the modifier
+                  q = q.substring(0, open + 1) + frame + q.substring(close)
+                  from = overStart + 1
+                } else if (mod != "CURRENT ROW") {
+                  throw new IllegalArgumentException(
+                    s"window frame EXCLUDE $mod is not supported (needs peer-" +
+                    "group bookkeeping Spark windows cannot express); EXCLUDE " +
+                    "CURRENT ROW and EXCLUDE NO OTHERS are")
+                } else {
+                  // frame must contain the current row for minus-current
+                  val f = frame.toUpperCase(java.util.Locale.ROOT)
+                  val contains =
+                    !f.contains(" PRECEDING AND") || f.contains("AND CURRENT ROW") ||
+                      f.contains("FOLLOWING")
+                  val bothPreceding = """(?s).*PRECEDING\s+AND\s+\d+\s+PRECEDING.*""".r
+                    .matches(f)
+                  val bothFollowing = """(?s).*\bBETWEEN\s+\d+\s+FOLLOWING.*""".r.matches(f)
+                  require(contains && !bothPreceding && !bothFollowing,
+                    s"EXCLUDE CURRENT ROW over a frame that does not contain " +
+                    s"the current row ($frame) — nothing to exclude; remove the " +
+                    "modifier")
+                  // the aggregate call directly before OVER
+                  val callStart = primaryStart(q, overStart)
+                  require(callStart >= 0, "cannot locate the window function for EXCLUDE")
+                  val callText = q.substring(callStart, overStart).trim
+                  val fnOpen = callText.indexOf('(')
+                  require(fnOpen > 0 && callText.endsWith(")"),
+                    s"cannot parse window function '$callText' for EXCLUDE")
+                  val fn = callText.substring(0, fnOpen).trim.toLowerCase(java.util.Locale.ROOT)
+                  val arg = callText.substring(fnOpen + 1, callText.length - 1).trim
+                  val over = s"OVER (${frame.trim})"
+                  // rows REMAINING after the exclusion: when zero, the
+                  // excluded aggregate is NULL (sum over no rows), not 0
+                  def remaining =
+                    s"((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END))"
+                  val rep = fn match {
+                    case "sum" =>
+                      s"(CASE WHEN $remaining = 0 THEN NULL " +
+                      s"ELSE (sum($arg) $over) - coalesce($arg, 0) END)"
+                    case "count" if arg == "*" || arg == "1" =>
+                      s"((count($arg) $over) - 1)"
+                    case "count" =>
+                      s"((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END))"
+                    case "avg" =>
+                      s"(CAST((sum($arg) $over) - coalesce($arg, 0) AS DOUBLE) / " +
+                      s"nullif((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END), 0))"
+                    case other => throw new IllegalArgumentException(
+                      s"EXCLUDE CURRENT ROW is supported for sum / count / avg " +
+                      s"(frame minus current-row contribution); '$other' has no " +
+                      "such decomposition — rewrite the query without EXCLUDE")
+                  }
+                  q = q.substring(0, callStart) + rep + q.substring(close + 1)
+                  from = callStart + rep.length
+                }
+              case _ => from = open + 1
+            }
+          }
+      }
+    }
+    q
+  }
+
+  private def rewriteSampleSeeded(q: String): String = {
+    val afterRows = SampleSeededRowsRe.replaceAllIn(q, m => {
+      val base = m.group(1)
+      val alias = Option(m.group(2)).getOrElse(bareName(m.group(1)))
+      val n = Option(m.group(3)).getOrElse(m.group(4))
+      val seed = Option(m.group(5)).getOrElse(m.group(6))
+      // the md5 rank key is projected first (Spark rejects `*` in Sort),
+      // ordered + limited, then dropped again via EXCEPT
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT * EXCEPT (__smp_k) FROM " +
+        s"(SELECT *, md5(concat_ws('|', $seed, *)) AS __smp_k FROM $base) " +
+        s"ORDER BY __smp_k LIMIT $n) AS $alias")
+    })
+    SampleSeededPctRe.replaceAllIn(afterRows, m => {
+      val seed = Option(m.group(2)).getOrElse(m.group(3))
+      s"TABLESAMPLE (${m.group(1)} PERCENT) REPEATABLE ($seed)"
+    })
+  }
 
   // ------------------------------------------ DuckDB bracket semantics
   // DuckDB subscripts are 1-BASED (`arr[1]` = first element) and a bare
@@ -2924,8 +3100,13 @@ object StatementRouter {
     // length-free. VARCHAR(n) keeps its length (Spark accepts it).
     q = mapOutsideLiterals(q)(
       _.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING"))
-    // USING SAMPLE n% / n ROWS -> TABLESAMPLE (…); sampling stays
-    // nondeterministic on both engines (capability pass-through, no oracle)
+    // USING SAMPLE: seeded forms first (deterministic md5-rank rows /
+    // Spark seeded percent), then the unseeded forms -> TABLESAMPLE (…),
+    // which stay nondeterministic on both engines (capability
+    // pass-through, no oracle)
+    // window frame EXCLUDE modifiers (before any other OVER-body work)
+    q = rewriteWindowExclude(q)
+    q = mapOutsideLiterals(q)(rewriteSampleSeeded)
     q = mapOutsideLiterals(q) { seg =>
       SampleRowsRe.replaceAllIn(
         SamplePctRe.replaceAllIn(seg, "TABLESAMPLE ($1 PERCENT)"),

@@ -962,6 +962,78 @@ object QueriesLake {
           |FROM base b JOIN stage st ON b.id = st.id
           |ORDER BY b.id""".stripMargin)
     },
+    // r11: generate_series as a TABLE FUNCTION (inclusive bounds, the
+    // DuckDB spelling the repo's own oracle twins already use) + the
+    // unnest(generate_series(…)) select-position form + 3-arg step —
+    // the oracle runs the IDENTICAL text natively in DuckDB
+    "q_lake_dialect20" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+          |       CAST(array_length(generate_series(0, 20, 5)) AS BIGINT) AS step_len
+          |FROM (SELECT n, unnest(generate_series(1, n)) AS k
+          |      FROM (SELECT generate_series AS n FROM generate_series(2, 4)) g) u
+          |ORDER BY n, k""".stripMargin)
+    },
+    // r11: named WINDOW clause (Spark-native pass-through, pinned) +
+    // frame EXCLUDE modifiers (NO OTHERS drops; CURRENT ROW rewrites as
+    // frame-aggregate minus the current row's contribution for
+    // sum/count/avg — StatementRouter.rewriteWindowExclude); the oracle
+    // runs the identical text natively in DuckDB
+    "q_lake_dialect21" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT id, g,
+          |  CAST(sum(v) OVER w AS BIGINT) AS s_run,
+          |  CAST(sum(v) OVER (PARTITION BY g ORDER BY id
+          |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s_nbrs,
+          |  CAST(count(*) OVER (PARTITION BY g
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          |    EXCLUDE CURRENT ROW) AS BIGINT) AS n_others,
+          |  round(avg(v) OVER (PARTITION BY g
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          |    EXCLUDE CURRENT ROW), 3) AS a_others,
+          |  CAST(count(v) OVER (PARTITION BY g
+          |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS BIGINT) AS n_frame
+          |FROM (VALUES (1,'a',10),(2,'a',NULL),(3,'a',30),(4,'b',5),(5,'b',7)) t(id, g, v)
+          |WINDOW w AS (PARTITION BY g ORDER BY id)
+          |ORDER BY id""".stripMargin)
+    },
+    // r11: USING SAMPLE — the seeded row-count form is DETERMINISTIC by
+    // definition here (md5 rank over (seed, row values), see
+    // StatementRouter.rewriteSampleSeeded), so the oracle can replay the
+    // identical draw with explicit columns; unseeded % / ROWS forms pass
+    // through as TABLESAMPLE (no oracle — R11EdgeSpec pins behavior)
+    "q_lake_sample" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE smp(id INTEGER, v VARCHAR);
+          |INSERT INTO smp VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),
+          |  (5,'e'),(6,'f'),(7,'g'),(8,'h')""".stripMargin)
+      lake.sql(
+        "SELECT id, v FROM smp USING SAMPLE 3 ROWS REPEATABLE (42) ORDER BY id")
+    },
+    // r11: DML RETURNING — INSERT returns the post-image (unlisted
+    // columns as their NULL fill), UPDATE the post-image of matched
+    // rows, DELETE the removed rows; expressions project over them
+    "q_lake_returning" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE rt(id INTEGER, qty INTEGER, v VARCHAR)")
+      val ins = lake.sql(
+        "INSERT INTO rt VALUES (1,10,'a'),(2,20,'b'),(3,30,'c') " +
+        "RETURNING id, qty * 2 AS dbl")
+      val upd = lake.sql(
+        "UPDATE rt SET qty = qty + 5, v = 'bumped' WHERE id >= 2 RETURNING id, qty, v")
+      val del = lake.sql("DELETE FROM rt WHERE id = 1 RETURNING *")
+      import org.apache.spark.sql.functions.lit
+      ins.withColumn("stmt", lit("insert"))
+        .select("stmt", "id", "dbl")
+        .unionByName(upd.withColumn("stmt", lit("update"))
+          .selectExpr("stmt", "id", "qty AS dbl"))
+        .unionByName(del.withColumn("stmt", lit("delete"))
+          .selectExpr("stmt", "id", "qty AS dbl"))
+        .orderBy("stmt", "id")
+    },
     // r11: the multimodal north star lake-native — the payload column
     // LIVES IN a lake table (BLOB + STRUCT metadata), not beside it in a
     // fixture view; INSERT … SELECT from the corpus, reopen, digest
@@ -1245,6 +1317,40 @@ object QueriesLake {
        "'text/plain' AS mime, n_chars FROM documents ORDER BY doc_id"),
     "q_lake_temp" ->
       ("SELECT * FROM (VALUES (2,'b','B'),(3,'c','C'),(4,'d','D')) " +
-       "t(id, v, vu) ORDER BY id")
+       "t(id, v, vu) ORDER BY id"),
+    "q_lake_dialect21" ->
+      """SELECT id, g,
+        |  CAST(sum(v) OVER w AS BIGINT) AS s_run,
+        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s_nbrs,
+        |  CAST(count(*) OVER (PARTITION BY g
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE CURRENT ROW) AS BIGINT) AS n_others,
+        |  round(avg(v) OVER (PARTITION BY g
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE CURRENT ROW), 3) AS a_others,
+        |  CAST(count(v) OVER (PARTITION BY g
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS BIGINT) AS n_frame
+        |FROM (VALUES (1,'a',10),(2,'a',NULL),(3,'a',30),(4,'b',5),(5,'b',7)) t(id, g, v)
+        |WINDOW w AS (PARTITION BY g ORDER BY id)
+        |ORDER BY id""".stripMargin,
+    "q_lake_returning" ->
+      ("SELECT * FROM (VALUES ('delete', 1, 10), " +
+       "('insert', 1, 20), ('insert', 2, 40), ('insert', 3, 60), " +
+       "('update', 2, 25), ('update', 3, 35)) t(stmt, id, dbl) " +
+       "ORDER BY stmt, id"),
+    // DuckDB runs the identical generate_series text natively
+    "q_lake_dialect20" ->
+      """SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |       CAST(array_length(generate_series(0, 20, 5)) AS BIGINT) AS step_len
+        |FROM (SELECT n, unnest(generate_series(1, n)) AS k
+        |      FROM (SELECT generate_series AS n FROM generate_series(2, 4)) g) u
+        |ORDER BY n, k""".stripMargin,
+    // the oracle REPLAYS the engine's documented deterministic draw:
+    // md5 rank over (seed, id, v) — identical strings hash identically
+    "q_lake_sample" ->
+      ("SELECT id, v FROM (SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')," +
+       "(5,'e'),(6,'f'),(7,'g'),(8,'h')) t(id, v) " +
+       "ORDER BY md5(concat_ws('|', 42, id, v)) LIMIT 3) ORDER BY id")
   )
 }

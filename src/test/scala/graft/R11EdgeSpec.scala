@@ -143,6 +143,54 @@ class R11EdgeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("TEMP"), e2.getMessage)
   }
 
+  test("USING SAMPLE: unseeded % and ROWS forms run; seeded rows deterministic") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE sm(id INTEGER); " +
+      "INSERT INTO sm SELECT CAST(range AS INTEGER) FROM range(0, 100)")
+    // percent form: row count is probabilistic, bounded by the table
+    val pct = lake.sql("SELECT count(*) AS c FROM sm USING SAMPLE 50%").head().getLong(0)
+    assert(pct >= 0L && pct <= 100L)
+    // ROWS form: Spark's TABLESAMPLE (n ROWS) is an exact cap
+    assert(lake.sql("SELECT count(*) AS c FROM sm USING SAMPLE 10 ROWS")
+      .head().getLong(0) == 10L)
+    // seeded rows: same seed -> same rows, different seed -> (almost
+    // surely) different rows; the draw is the documented md5 rank
+    def draw(seed: Int): Seq[Int] =
+      lake.sql(s"SELECT id FROM sm USING SAMPLE 5 ROWS REPEATABLE ($seed) ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+    assert(draw(7) == draw(7))
+    assert(draw(7).length == 5)
+    assert(draw(7) != draw(8))
+    // seeded percent: per-engine deterministic via Spark's REPEATABLE
+    def pdraw(): Long =
+      lake.sql("SELECT count(*) AS c FROM sm USING SAMPLE 30% REPEATABLE (11)")
+        .head().getLong(0)
+    assert(pdraw() == pdraw())
+    // the (method, seed) spelling routes too
+    assert(lake.sql("SELECT id FROM sm USING SAMPLE 5 ROWS (reservoir, 7) ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == draw(7))
+  }
+
+  test("window EXCLUDE: GROUP/TIES, non-decomposable fns, wrong frames refuse loudly") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE wx(id INTEGER, v INTEGER); " +
+      "INSERT INTO wx VALUES (1,10),(2,20),(3,30)")
+    def bad(q: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { lake.sql(q) }
+      assert(e.getMessage.contains(needle), s"$q -> ${e.getMessage}")
+    }
+    bad("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+        "EXCLUDE GROUP) FROM wx", "EXCLUDE GROUP")
+    bad("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+        "EXCLUDE TIES) FROM wx", "EXCLUDE TIES")
+    bad("SELECT max(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+        "EXCLUDE CURRENT ROW) FROM wx", "max")
+    bad("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING " +
+        "EXCLUDE CURRENT ROW) FROM wx", "does not contain")
+    // RETURNING refusals: unsupported carrier statements stay loud
+    bad("INSERT OR REPLACE INTO wx VALUES (1, 5) RETURNING id", "RETURNING")
+  }
+
   test("3-arg regexp_replace implicitly casts a non-string subject") {
     val lake = freshLake()
     lake.sql("CREATE TABLE rrf(n INTEGER); INSERT INTO rrf VALUES (11211)")
