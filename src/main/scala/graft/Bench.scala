@@ -18,6 +18,33 @@ object Bench {
     "q_agg_groupby", "q_join_inner", "q_join_multiway",
     "q_win_topk_per_group", "q_events_tumbling_batch", "q_fn_json")
 
+  /** shuffle-bytes audit (r10 verdict #7): wall time catches wins but
+    * can't see a plan regression hiding under host noise — shuffle
+    * read/write bytes and the count of shuffle-writing stages are
+    * deterministic per plan, so round-over-round growth is a real plan
+    * change. Task-metrics based: AQE-final truth, no private plan APIs.
+    */
+  private final class ShuffleAudit extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
+    private val shuffleStages =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        val w = m.shuffleWriteMetrics.bytesWritten
+        write.addAndGet(w)
+        if (w > 0) shuffleStages.add(te.stageId)
+        tasks.incrementAndGet()
+      }
+    }
+    def snap(): (Long, Long, Int, Long) =
+      (read.get, write.get, shuffleStages.size, tasks.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -106,7 +133,23 @@ object Bench {
       val ts = Seq.fill(3)(materialize(n))
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
     }
+    val audit = new ShuffleAudit
+    spark.sparkContext.addSparkListener(audit)
+    // one audited pass per HEADLINE query (bytes are deterministic per
+    // plan — one pass suffices; the timed passes stay unperturbed)
+    def auditedPass(n: String): Option[(String, String)] = {
+      import org.apache.spark.sql.graftshim.ListenerBridge
+      ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val (r0, w0, s0, t0) = audit.snap()
+      if (materialize(n) < 0) return None
+      ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val (r1, w1, s1, t1) = audit.snap()
+      Some(n -> (s"""{"shuffle_read_b":${r1 - r0},"shuffle_write_b":${w1 - w0},""" +
+        s""""shuffle_write_stages":${s1 - s0},"tasks":${t1 - t0}}"""))
+    }
     val timed = names.map(n => n -> median3(n)) // reported: median of 3
+    val shuffleAudit = Headline.filter(benchable.contains).flatMap(auditedPass)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -127,7 +170,7 @@ object Bench {
     val floorRatio = ((probe / 0.050) + (probeScan / 0.053)) / 2.0
     val degraded = floorRatio > 1.3
     val health = s""""host_health":{"floor_ratio_vs_settled":${f"$floorRatio%.2f"},"degraded":$degraded,"settled_floor_ref":[0.050,0.053]}"""
-    val json = s"""{"metric":"$metric","value":$headlineTotal,"unit":"sec","methodology":"warmup_v2_per_query_adjacent","partial":$partial,$health,"queries":$qs,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"per-query adjacent warmup + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes, headline set first in freshest JVM state; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays)"}"""
+    val json = s"""{"metric":"$metric","value":$headlineTotal,"unit":"sec","methodology":"warmup_v2_per_query_adjacent","partial":$partial,$health,"queries":$qs,"shuffle_audit":$shuffleAudit,"sf":"$sfDir","headline":$hl,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"per-query adjacent warmup + noop-sink materialization + clearCache isolation; per-query MEDIAN of 3 timed passes, headline set first in freshest JVM state; per_query_overhead_sec = warm noop of a 1-row range; per_query_scan_floor_sec = warm noop of a 5-row parquet scan (realistic fixed cost each timed query also pays); shuffle_audit = per-headline-query task-metric deltas over one audited pass (deterministic per plan) — compare round-over-round for plan regressions wall time cannot see"}"""
     println(json)
     // r3 verdict #10: the driver's stdout tail cap truncated the JSON once;
     // always leave a complete copy on disk too

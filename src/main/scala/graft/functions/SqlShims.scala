@@ -24,3 +24,12 @@ object FunctionRegistryBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "internal")
 }
+
+/** the bench's shuffle-bytes audit reads task-metric deltas around a
+  * query; the listener queue is async, so the deltas are only exact
+  * after `listenerBus.waitUntilEmpty()` — which is private[spark]
+  */
+object ListenerBridge {
+  def waitUntilEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
