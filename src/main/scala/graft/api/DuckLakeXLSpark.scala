@@ -2162,31 +2162,47 @@ class DuckLakeXLSpark(
     val tableId = cid
     cid += 1
     val snap = state.currentSnapshot + 1
-    val colRows = s.cols.zipWithIndex.map { case ((cn, ct), i) =>
+    // PRIMARY KEY implies NOT NULL (DuckDB); defs may be empty for
+    // callers constructing CreateTable programmatically — fall back flat
+    val defs =
+      if (s.defs.nonEmpty) s.defs
+      else s.cols.map { case (n, t) => StatementRouter.ColDef(n, t) }
+    val pkSet = s.pk.map(_.toLowerCase).toSet
+    val colTags = Vector.newBuilder[ColumnTagRow]
+    val colRows = defs.zipWithIndex.map { case (d, i) =>
       // canonicalTypeName (not typeName∘parseType): JSON/UUID/HUGEINT/
       // TIMESTAMPTZ share a Spark storage type with VARCHAR/DECIMAL/
       // TIMESTAMP — the catalog string must keep the declared identity
-      val r = ColumnRow(cid, snap, None, tableId, i, cn,
-        CatalogSchema.canonicalTypeName(ct), nullsAllowed = true)
+      val r = ColumnRow(cid, snap, None, tableId, i, d.name,
+        CatalogSchema.canonicalTypeName(d.ty),
+        nullsAllowed = !(d.notNull || pkSet(d.name.toLowerCase)))
+      // DEFAULT / CHECK round-trip as column tags (like pk), surviving
+      // push/pull with zero sheet-schema change; write paths read them
+      d.default.foreach(e => colTags += ColumnTagRow(tableId, cid, snap, None, "default", e))
+      d.check.foreach(e => colTags += ColumnTagRow(tableId, cid, snap, None, "check", e))
       cid += 1
       r
     }
     // declared PRIMARY KEY -> a `pk` table tag (survives push/pull via
     // ducklake_tag); feeds ON CONFLICT / OR REPLACE target resolution
+    val colSet = s.cols.map(_._1.toLowerCase).toSet
     val pkTag =
       if (s.pk.isEmpty) Vector.empty
       else {
-        val colSet = s.cols.map(_._1.toLowerCase).toSet
         val missing = s.pk.filterNot(k => colSet(k.toLowerCase))
         require(missing.isEmpty,
           s"PRIMARY KEY names unknown column(s): ${missing.mkString(", ")}")
         Vector(TagRow(tableId, snap, None, "pk", s.pk.mkString(",")))
       }
+    // table-level CHECK constraints -> numbered table tags
+    val checkTags = s.tableChecks.zipWithIndex.map { case (e, i) =>
+      TagRow(tableId, snap, None, s"check:$i", e) }.toVector
     state = state.copy(
       tables = state.tables :+ TableRow(tableId, UUID.randomUUID().toString,
         snap, None, sid, bare),
       columns = state.columns ++ colRows,
-      tags = state.tags ++ pkTag,
+      tags = state.tags ++ pkTag ++ checkTags,
+      columnTags = state.columnTags ++ colTags.result(),
       tableStats = state.tableStats :+ TableStatsRow(tableId, 0L))
     newSnapshot(cid, state.nextFileId)
   }
@@ -2282,15 +2298,19 @@ class DuckLakeXLSpark(
         // instead of checkpointing, keeping the inline/one-file path
         executeInsertDF(iv.table, iv.cols, valuesDF(iv.table, iv.cols, iv.valuesSql))
         registerViews()
-        val schema = state.schemaOf(requireTable(iv.table).tableId)
-        coerceToTableSchema(schema, iv.cols, valuesDF(iv.table, iv.cols, iv.valuesSql))
+        val t = requireTable(iv.table)
+        coerceToTableSchema(state.schemaOf(t.tableId), iv.cols,
+          valuesDF(iv.table, iv.cols, iv.valuesSql),
+          defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) })
       case is: StatementRouter.InsertSelect =>
         require(!isTempTable(is.table), "RETURNING on a TEMP table is not supported")
         require(!StatementRouter.hasCall(is.select, "nextval") && !is.byName,
           "INSERT … RETURNING takes a plain SELECT source (no sequences, no BY NAME)")
-        val schema = state.schemaOf(requireTable(is.table).tableId)
-        val df = coerceToTableSchema(schema, is.cols,
-          spark.sql(rewriteSelect(is.select))).localCheckpoint(true)
+        val t = requireTable(is.table)
+        val df = coerceToTableSchema(state.schemaOf(t.tableId), is.cols,
+          spark.sql(rewriteSelect(is.select)),
+          defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) })
+          .localCheckpoint(true)
         executeInsertDF(is.table, None, df)
         registerViews()
         df
@@ -2367,11 +2387,35 @@ class DuckLakeXLSpark(
   }
 
   /** `VALUES (…),(…)` -> DataFrame named after the explicit column list
-    * (when given) or the table's columns
+    * (when given) or the table's columns. The DEFAULT keyword in a value
+    * position substitutes that column's declared default (NULL without
+    * one, DuckDB semantics); `INSERT INTO t DEFAULT VALUES` is one row
+    * of all defaults.
     */
-  private def valuesDF(table: String, cols: Option[Seq[String]], valuesSql: String): DataFrame = {
+  private def valuesDF(table: String, cols: Option[Seq[String]], valuesSql0: String): DataFrame = {
     val t = requireTable(table)
     val names = cols.getOrElse(state.columnsOf(t.tableId).map(_.columnName))
+    val defaults = defaultTextsOf(t)
+    def defaultText(i: Int): String =
+      if (i < names.length) defaults.getOrElse(names(i).toLowerCase, "NULL") else "NULL"
+    val valuesSql =
+      if (valuesSql0.trim.equalsIgnoreCase("DEFAULT VALUES"))
+        "VALUES (" + names.indices.map(defaultText).mkString(", ") + ")"
+      else if (!"(?i)\\bDEFAULT\\b".r.findFirstIn(valuesSql0).isDefined) valuesSql0
+      else {
+        // substitute bare DEFAULT tokens per value position
+        val tail = valuesSql0.trim.replaceFirst("(?is)^VALUES", "")
+        val rows = StatementRouter.splitTopCommas(tail).map { row =>
+          val r = row.trim
+          require(r.startsWith("(") && r.endsWith(")"),
+            s"cannot parse VALUES row: $r")
+          val items = StatementRouter.splitTopCommas(r.drop(1).dropRight(1))
+          items.zipWithIndex.map { case (it, i) =>
+            if (it.trim.equalsIgnoreCase("DEFAULT")) defaultText(i) else it
+          }.mkString("(", ", ", ")")
+        }
+        "VALUES " + rows.mkString(", ")
+      }
     spark.sql("SELECT * FROM (" +
       StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(valuesSql)) +
       s") AS t(${names.mkString(", ")})")
@@ -2384,12 +2428,57 @@ class DuckLakeXLSpark(
     * With an explicit column list, unlisted columns fill with NULL
     * (standard SQL); otherwise the insert is positional.
     */
+  /** live DEFAULT expression texts of a table, lowercase column -> text */
+  private def defaultTextsOf(t: TableRow): Map[String, String] =
+    state.columnsOf(t.tableId).flatMap(c =>
+      state.columnTagOf(t.tableId, c.columnId, "default")
+        .map(e => c.columnName.toLowerCase -> e)).toMap
+
+  /** NOT NULL + CHECK enforcement as a ZERO-extra-job projection: each
+    * constrained column wraps in when(violation, raise_error(…)), and the
+    * CHECK conditions attach to the first output column (a detached guard
+    * column would be pruned away by the optimizer — review-found risk).
+    * A violating row fails the WRITE job loudly, before anything
+    * registers in the catalog; the orphaned part files belong to the
+    * scheduled-deletion sweep like any aborted writer's. DuckDB CHECK
+    * semantics: only an expression evaluating FALSE violates — NULL
+    * passes (hence the coalesce(…, true)).
+    */
+  private def enforceConstraints(t: TableRow, df: DataFrame): DataFrame = {
+    val cols = state.columnsOf(t.tableId)
+    val notNull = cols.filter(!_.nullsAllowed).map(_.columnName.toLowerCase).toSet
+    val colChecks = cols.flatMap(c =>
+      state.columnTagOf(t.tableId, c.columnId, "check").map(e => c.columnName -> e))
+    val tableChecks = state.tags.filter(tg => tg.objectId == t.tableId &&
+      tg.key.startsWith("check:") && tg.endSnapshot.isEmpty).map(_.value)
+    if (notNull.isEmpty && colChecks.isEmpty && tableChecks.isEmpty) return df
+    val allChecks = colChecks.map(_._2) ++ tableChecks
+    val checkCond =
+      if (allChecks.isEmpty) None
+      else Some(allChecks.map(e =>
+        coalesce(dexpr(e).cast(BooleanType), lit(true))).reduce(_ && _))
+    val out = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      var c = colq(df, f.name)
+      if (notNull(f.name.toLowerCase))
+        c = when(c.isNull, raise_error(lit(
+          s"NOT NULL constraint failed: ${t.tableName}.${f.name}"))
+          .cast(f.dataType)).otherwise(c)
+      if (i == 0) checkCond.foreach { ok =>
+        c = when(ok, c).otherwise(raise_error(lit(
+          s"CHECK constraint failed: ${t.tableName}")).cast(f.dataType))
+      }
+      c.as(f.name)
+    }
+    df.select(out.toSeq: _*)
+  }
+
   /** cast-to-declared-type (reference relies on DuckDB's implicit cast of
     * VALUES to column types); with a column list, unlisted columns fill
-    * NULL — shared by the insert path and DML RETURNING's post-image
+    * their declared DEFAULT (NULL without one) — shared by the insert
+    * path and DML RETURNING's post-image
     */
   private def coerceToTableSchema(schema: StructType, cols: Option[Seq[String]],
-      dfIn: DataFrame): DataFrame = cols match {
+      dfIn: DataFrame, defaults: Map[String, Column] = Map.empty): DataFrame = cols match {
     case None =>
       require(dfIn.schema.length == schema.length,
         s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
@@ -2405,7 +2494,8 @@ class DuckLakeXLSpark(
       dfIn.select(schema.fields.map { f =>
         byName.get(f.name.toLowerCase) match {
           case Some(src) => colq(dfIn, src).cast(f.dataType).as(f.name)
-          case None      => lit(null).cast(f.dataType).as(f.name)
+          case None      => defaults.getOrElse(f.name.toLowerCase, lit(null))
+                              .cast(f.dataType).as(f.name)
         }
       }.toSeq: _*)
   }
@@ -2413,7 +2503,8 @@ class DuckLakeXLSpark(
   private def executeInsertDF(table: String, cols: Option[Seq[String]], dfIn: DataFrame): Unit = {
     val t = requireTable(table)
     val schema = state.schemaOf(t.tableId)
-    val df = coerceToTableSchema(schema, cols, dfIn)
+    val df = enforceConstraints(t, coerceToTableSchema(schema, cols, dfIn,
+      defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) }))
 
     val partCols = state.partitionColumnsOf(t.tableId).map(_.columnName)
     // a literal VALUES folds to a LocalRelation — driver-sized by
@@ -2597,7 +2688,7 @@ class DuckLakeXLSpark(
       }
     }.toSeq: _*)
     val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid,
-      writeParquetFiles(updated, t), schema)
+      writeParquetFiles(enforceConstraints(t, updated), t), schema)
     state = ns2
     newSnapshot(state.nextCatalogId, fid2)
   }
@@ -2919,6 +3010,38 @@ class DuckLakeXLSpark(
         state = state.copy(columns = state.columns.map(x =>
           if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
           :+ c.copy(beginSnapshot = snap, endSnapshot = None, columnName = newName))
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+      case StatementRouter.SetColumnDefault(colName, exprOpt) =>
+        val c = state.columnsOf(t.tableId)
+          .find(_.columnName.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $colName"))
+        exprOpt.foreach(e => dexpr(e)) // validate the expression early
+        // end any live default tag; begin the new one (metadata-only)
+        val ended = state.columnTags.map(x =>
+          if (x.tableId == t.tableId && x.columnId == c.columnId &&
+              x.key == "default" && x.endSnapshot.isEmpty)
+            x.copy(endSnapshot = Some(snap)) else x)
+        state = state.copy(columnTags = ended ++
+          exprOpt.map(e => ColumnTagRow(t.tableId, c.columnId, snap, None, "default", e)).toVector)
+        newSnapshot(state.nextCatalogId, state.nextFileId)
+      case StatementRouter.SetColumnNotNull(colName, notNull) =>
+        val c = state.columnsOf(t.tableId)
+          .find(_.columnName.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $colName"))
+        if (notNull) {
+          // DuckDB validates existing rows before accepting SET NOT NULL:
+          // one aggregate job over the live scan (pushed-down null check)
+          val files = state.filesOf(t.tableId)
+          if (files.nonEmpty) {
+            val live = readFiles(t, files)
+            val nulls = live.filter(colq(live, c.columnName).isNull).limit(1).count()
+            require(nulls == 0L,
+              s"SET NOT NULL on ${s.table}.$colName: existing rows contain NULL")
+          }
+        }
+        state = state.copy(columns = state.columns.map(x =>
+          if (x.columnId == c.columnId && x.endSnapshot.isEmpty) x.copy(endSnapshot = Some(snap)) else x)
+          :+ c.copy(beginSnapshot = snap, endSnapshot = None, nullsAllowed = !notNull))
         newSnapshot(state.nextCatalogId, state.nextFileId)
       case StatementRouter.AlterColumnType(colName, sqlType) =>
         // type WIDENING, metadata-only: same columnId, new column_type

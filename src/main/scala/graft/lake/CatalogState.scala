@@ -106,6 +106,13 @@ object CatalogSchema {
     ty
   }
 
+  /** parse a type at the HEAD of `t`, returning it plus the index where
+    * it ends — the column-definition parser uses this to split
+    * `INTEGER NOT NULL DEFAULT 7` into type and constraint tail without
+    * re-guessing where multi-word/nested type spellings stop
+    */
+  def parseLakeTypePrefix(t: String): (LakeType, Int) = parseOne(t, 0)
+
   private def skipWs(s: String, i0: Int): Int = {
     var i = i0
     while (i < s.length && s.charAt(i).isWhitespace) i += 1

@@ -56,10 +56,20 @@ object StatementRouter {
   }
 
   sealed trait Stmt
+  /** one parsed column definition: type plus the DuckDB column
+    * constraints this engine carries (NOT NULL enforced at write time,
+    * DEFAULT filled at insert, CHECK enforced at write time; UNIQUE and
+    * REFERENCES refuse loudly — unenforceable here)
+    */
+  final case class ColDef(name: String, ty: String, notNull: Boolean = false,
+                          default: Option[String] = None,
+                          check: Option[String] = None)
   final case class CreateTable(name: String, cols: Seq[(String, String)], ifNotExists: Boolean,
                                orReplace: Boolean = false,
                                pk: Seq[String] = Nil,
-                               temp: Boolean = false) extends Stmt
+                               temp: Boolean = false,
+                               defs: Seq[ColDef] = Nil,
+                               tableChecks: Seq[String] = Nil) extends Stmt
   final case class CreateTableAs(name: String, select: String, ifNotExists: Boolean,
                                  orReplace: Boolean = false,
                                  temp: Boolean = false) extends Stmt
@@ -113,6 +123,10 @@ object StatementRouter {
     * DuckDB, ducklakexl.py:394)
     */
   final case class AlterColumnType(name: String, sqlType: String) extends AlterOp
+  /** `ALTER COLUMN c SET DEFAULT e` / `DROP DEFAULT` (expr None) */
+  final case class SetColumnDefault(name: String, expr: Option[String]) extends AlterOp
+  /** `ALTER COLUMN c SET NOT NULL` (validates existing rows) / `DROP NOT NULL` */
+  final case class SetColumnNotNull(name: String, notNull: Boolean) extends AlterOp
   /** `ALTER TABLE t SET PARTITIONED BY (c1, …)` — DuckLake's partition-spec
     * DDL (metadata-only; applies to files written from now on)
     */
@@ -290,6 +304,12 @@ object StatementRouter {
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*$""".r
   private val AlterRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+RENAME\s+(?:COLUMN\s+)?([\w\"]+)\s+TO\s+([\w\"]+)\s*$""".r
+  private val AlterSetDefaultRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+SET\s+DEFAULT\s+(.+?)\s*$""".r
+  private val AlterDropDefaultRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+DROP\s+DEFAULT\s*$""".r
+  private val AlterSetNotNullRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w\.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+(SET|DROP)\s+NOT\s+NULL\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val BeginRe = """(?is)^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$""".r
@@ -613,6 +633,23 @@ object StatementRouter {
     * the lake's append-only write path).
     */
   private[lake] def splitColumnsPk(colDef: String): (Seq[(String, String)], Seq[String]) = {
+    val (defs, pk, _) = splitColumnDefs(colDef)
+    (defs.map(d => (d.name, d.ty)), pk)
+  }
+
+  /** full column-definition parser: `name TYPE [constraints…]` entries
+    * plus the table-level `PRIMARY KEY (…)` / `CHECK (…)` entries. The
+    * TYPE boundary comes from the DDL type parser itself
+    * ([[CatalogSchema.parseLakeTypePrefix]]) so multi-word and nested
+    * spellings (`TIMESTAMP WITH TIME ZONE`, `STRUCT(a INT)[]`) never
+    * bleed into the constraint tail. Recognized column constraints:
+    * NOT NULL / NULL, PRIMARY KEY (implies NOT NULL, like DuckDB),
+    * DEFAULT <expr>, CHECK (<expr>); UNIQUE / REFERENCES / COLLATE
+    * refuse loudly — this engine cannot enforce them, and silently
+    * dropping an enforced constraint is the worst failure mode.
+    */
+  private[lake] def splitColumnDefs(colDef: String)
+      : (Seq[ColDef], Seq[String], Seq[String]) = {
     val parts = mutable.ArrayBuffer[String]()
     var depth = 0
     val cur = new StringBuilder
@@ -624,24 +661,74 @@ object StatementRouter {
     }
     if (cur.nonEmpty) parts += cur.toString
     val pk = mutable.ArrayBuffer[String]()
+    val tableChecks = mutable.ArrayBuffer[String]()
     val PkTableRe = """(?is)^PRIMARY\s+KEY\s*\((.*)\)\s*$""".r
-    val PkColRe = """(?is)^(.*?)\s+PRIMARY\s+KEY\s*$""".r
-    val cols = parts.toSeq.map(_.trim).filter(_.nonEmpty).flatMap {
+    val CheckTableRe = """(?is)^(?:CONSTRAINT\s+\w+\s+)?CHECK\s*\((.*)\)\s*$""".r
+    val RefuseTableRe = """(?is)^(?:CONSTRAINT\s+\w+\s+)?(UNIQUE|FOREIGN\s+KEY)\b.*$""".r
+    val defs = parts.toSeq.map(_.trim).filter(_.nonEmpty).flatMap {
       case PkTableRe(ks) =>
         pk ++= ks.split(',').toSeq
           .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
         None
+      case CheckTableRe(e) => tableChecks += e.trim; None
+      case RefuseTableRe(kind) => throw new IllegalArgumentException(
+        s"table constraint ${kind.toUpperCase(java.util.Locale.ROOT)} is not " +
+        "supported: this engine cannot enforce it, and accepting-then-" +
+        "ignoring an enforced constraint silently weakens semantics")
       case p =>
         val sp = p.split("\\s+", 2)
         require(sp.length == 2, s"cannot parse column definition: '$p'")
         val name = sp(0).stripPrefix("\"").stripSuffix("\"")
-        val ty = sp(1).trim match {
-          case PkColRe(base) => pk += name; base.trim
-          case t => t
+        val rest = sp(1).trim
+        val (_, tyEnd) = CatalogSchema.parseLakeTypePrefix(rest)
+        val ty = rest.substring(0, tyEnd).trim
+        var tail = rest.substring(tyEnd).trim
+        var notNull = false
+        var default: Option[String] = None
+        var check: Option[String] = None
+        while (tail.nonEmpty) {
+          val up = tail.toUpperCase(java.util.Locale.ROOT)
+          def drop(n: Int): Unit = tail = tail.substring(n).trim
+          if (up.startsWith("NOT NULL") || up.matches("(?s)^NOT\\s+NULL\\b.*")) {
+            notNull = true; tail = tail.replaceFirst("(?is)^NOT\\s+NULL", "").trim
+          } else if (up.startsWith("NULL")) { drop(4) }
+          else if (up.matches("(?s)^PRIMARY\\s+KEY\\b.*")) {
+            pk += name; notNull = true
+            tail = tail.replaceFirst("(?is)^PRIMARY\\s+KEY", "").trim
+          } else if (up.startsWith("CHECK")) {
+            val open = tail.indexOf('(')
+            require(open > 0, s"CHECK needs a parenthesized expression: $p")
+            val close = matchingParen(tail, open)
+            check = Some(tail.substring(open + 1, close).trim)
+            tail = tail.substring(close + 1).trim
+          } else if (up.startsWith("DEFAULT")) {
+            var r = tail.substring(7).trim
+            require(r.nonEmpty, s"DEFAULT needs an expression: $p")
+            // the default expression: a parenthesized group, or tokens up
+            // to the next top-level constraint keyword
+            val e =
+              if (r.startsWith("(")) { val c = matchingParen(r, 0); r.substring(0, c + 1) }
+              else {
+                val stop = """(?is)\b(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|CHECK|REFERENCES|COLLATE)\b""".r
+                  .findFirstMatchIn(r).map(_.start).getOrElse(r.length)
+                r.substring(0, stop).trim
+              }
+            require(e.nonEmpty, s"DEFAULT needs an expression: $p")
+            default = Some(e)
+            tail = r.substring(e.length).trim
+          } else if (up.startsWith("UNIQUE") || up.startsWith("REFERENCES") ||
+                     up.startsWith("COLLATE")) {
+            val kw = up.takeWhile(!_.isWhitespace)
+            throw new IllegalArgumentException(
+              s"column constraint $kw is not supported: this engine cannot " +
+              "enforce it, and accepting-then-ignoring an enforced " +
+              "constraint silently weakens semantics")
+          } else throw new IllegalArgumentException(
+            s"cannot parse column constraint '$tail' in: '$p'")
         }
-        Some((name, ty))
+        Some(ColDef(name, ty, notNull, default, check))
     }
-    (cols, pk.toSeq)
+    (defs, pk.toSeq, tableChecks.toSeq)
   }
 
   /** the optional explicit column list of an INSERT body:
@@ -973,10 +1060,12 @@ object StatementRouter {
       else {
         require(r.startsWith("(") && r.endsWith(")"),
           s"cannot parse CREATE TABLE body: $r")
-        val (cols, pk) = splitColumnsPk(r.drop(1).dropRight(1))
-        require(!temp || pk.isEmpty,
-          "CREATE TEMP TABLE does not take a PRIMARY KEY here")
-        CreateTable(nm, cols, ifne != null, orRepl != null, pk, temp)
+        val (defs, pk, tableChecks) = splitColumnDefs(r.drop(1).dropRight(1))
+        require(!temp || (pk.isEmpty && tableChecks.isEmpty &&
+            defs.forall(d => !d.notNull && d.default.isEmpty && d.check.isEmpty)),
+          "CREATE TEMP TABLE does not take constraints")
+        CreateTable(nm, defs.map(d => (d.name, d.ty)), ifne != null,
+          orRepl != null, pk, temp, defs, tableChecks)
       }
     case InsertOrRe(mode, name, rest0) =>
       // `INSERT OR REPLACE|IGNORE INTO` — conflict target is the table's
@@ -997,6 +1086,9 @@ object StatementRouter {
               "INSERT ... BY NAME takes no column list (names come from the source)")
             InsertSelect(qualName(name), None, bn.get.group(1).trim, byName = true)
           }
+          else if (r0.trim.toUpperCase(java.util.Locale.ROOT)
+              .matches("(?s)DEFAULT\\s+VALUES\\s*"))
+            InsertValues(qualName(name), cols, "DEFAULT VALUES")
           else if (r0.toUpperCase.startsWith("VALUES")) InsertValues(qualName(name), cols, r0)
           else InsertSelect(qualName(name), cols, r0)
       }
@@ -1038,6 +1130,16 @@ object StatementRouter {
           Update(qualName(name), splitAssignments(setsPart), where)
       }
     case DropRe(ife, name) => DropTable(qualName(name), ife != null)
+    case AlterSetDefaultRe(name, colName, e) =>
+      AlterTable(qualName(name), SetColumnDefault(
+        colName.stripPrefix("\"").stripSuffix("\""), Some(e.trim)))
+    case AlterDropDefaultRe(name, colName) =>
+      AlterTable(qualName(name), SetColumnDefault(
+        colName.stripPrefix("\"").stripSuffix("\""), None))
+    case AlterSetNotNullRe(name, colName, mode) =>
+      AlterTable(qualName(name), SetColumnNotNull(
+        colName.stripPrefix("\"").stripSuffix("\""),
+        mode.equalsIgnoreCase("SET")))
     case AlterColTypeRe(name, colName, sqlType) =>
       AlterTable(qualName(name), AlterColumnType(
         colName.stripPrefix("\"").stripSuffix("\""), sqlType.trim))

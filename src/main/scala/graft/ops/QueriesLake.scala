@@ -1013,6 +1013,26 @@ object QueriesLake {
       lake.sql(
         "SELECT id, v FROM smp USING SAMPLE 3 ROWS REPEATABLE (42) ORDER BY id")
     },
+    // r11: column constraints — NOT NULL and CHECK are ENFORCED at write
+    // time (raise_error projection, zero extra jobs), DEFAULT fills
+    // unlisted columns / DEFAULT tokens / DEFAULT VALUES; constraints
+    // round-trip the workbook as tags (reopen below still enforces —
+    // R11EdgeSpec pins the violation paths)
+    "q_lake_constraints" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE ct2(
+          |  id INTEGER PRIMARY KEY,
+          |  name VARCHAR NOT NULL,
+          |  qty INTEGER DEFAULT 1 CHECK (qty >= 0),
+          |  tag VARCHAR DEFAULT 'none',
+          |  CHECK (id < 1000))""".stripMargin)
+      lake.sql("INSERT INTO ct2(id, name) VALUES (1, 'a')")
+      lake.sql("INSERT INTO ct2 VALUES (2, 'b', 5, DEFAULT)")
+      lake.sql("INSERT INTO ct2(id, name, qty) VALUES (3, 'c', 7)")
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql("SELECT id, name, qty, tag FROM ct2 ORDER BY id")
+    },
     // r11: DML RETURNING — INSERT returns the post-image (unlisted
     // columns as their NULL fill), UPDATE the post-image of matched
     // rows, DELETE the removed rows; expressions project over them
@@ -1334,6 +1354,9 @@ object QueriesLake {
         |FROM (VALUES (1,'a',10),(2,'a',NULL),(3,'a',30),(4,'b',5),(5,'b',7)) t(id, g, v)
         |WINDOW w AS (PARTITION BY g ORDER BY id)
         |ORDER BY id""".stripMargin,
+    "q_lake_constraints" ->
+      ("SELECT * FROM (VALUES (1, 'a', 1, 'none'), (2, 'b', 5, 'none'), " +
+       "(3, 'c', 7, 'none')) t(id, name, qty, tag) ORDER BY id"),
     "q_lake_returning" ->
       ("SELECT * FROM (VALUES ('delete', 1, 10), " +
        "('insert', 1, 20), ('insert', 2, 40), ('insert', 3, 60), " +

@@ -111,9 +111,11 @@ class CatalogSpec extends AnyFunSuite {
   test("statement classification") {
     import StatementRouter._
     assert(classify("CREATE TABLE my_table(id INTEGER, val VARCHAR)") ==
-      CreateTable("my_table", Seq("id" -> "INTEGER", "val" -> "VARCHAR"), false))
+      CreateTable("my_table", Seq("id" -> "INTEGER", "val" -> "VARCHAR"), false,
+        defs = Seq(ColDef("id", "INTEGER"), ColDef("val", "VARCHAR"))))
     assert(classify("create table if not exists t (a DECIMAL(10,2), b VARCHAR)") ==
-      CreateTable("t", Seq("a" -> "DECIMAL(10,2)", "b" -> "VARCHAR"), true))
+      CreateTable("t", Seq("a" -> "DECIMAL(10,2)", "b" -> "VARCHAR"), true,
+        defs = Seq(ColDef("a", "DECIMAL(10,2)"), ColDef("b", "VARCHAR"))))
     assert(classify("INSERT INTO t VALUES (1,'a')") == InsertValues("t", None, "VALUES (1,'a')"))
     assert(classify("INSERT INTO t SELECT * FROM u") == InsertSelect("t", None, "SELECT * FROM u"))
     assert(classify("DELETE FROM t WHERE id = 3") == Delete("t", Some("id = 3")))

@@ -191,6 +191,81 @@ class R11EdgeSpec extends AnyFunSuite {
     bad("INSERT OR REPLACE INTO wx VALUES (1, 5) RETURNING id", "RETURNING")
   }
 
+  test("constraints: NOT NULL/CHECK enforce loudly, survive reopen; UNIQUE/FK refuse") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE cst(
+        |  id INTEGER PRIMARY KEY,
+        |  name VARCHAR NOT NULL,
+        |  qty INTEGER DEFAULT 1 CHECK (qty >= 0),
+        |  CHECK (id < 1000))""".stripMargin)
+    lake.sql("INSERT INTO cst(id, name) VALUES (1, 'a')")
+    def violates(q: String, needle: String, l: DuckLakeXLSpark = lake): Unit = {
+      val e = intercept[Exception] { l.sql(q) }
+      def msgs(x: Throwable): String =
+        if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+      assert(msgs(e).contains(needle), s"$q -> ${msgs(e)}")
+    }
+    violates("INSERT INTO cst(id) VALUES (2)", "NOT NULL constraint failed: cst.name")
+    violates("INSERT INTO cst VALUES (2, NULL, 1)", "NOT NULL constraint failed")
+    violates("INSERT INTO cst VALUES (2, 'b', -1)", "CHECK constraint failed")
+    violates("INSERT INTO cst VALUES (2000, 'b', 1)", "CHECK constraint failed")
+    violates("UPDATE cst SET qty = -5 WHERE id = 1", "CHECK constraint failed")
+    // PRIMARY KEY implies NOT NULL (DuckDB)
+    violates("INSERT INTO cst VALUES (NULL, 'x', 1)", "NOT NULL constraint failed: cst.id")
+    // a failed write committed NOTHING
+    assert(lake.sql("SELECT count(*) AS c FROM cst").head().getLong(0) == 1L)
+    // constraints round-trip the workbook: a REOPEN still enforces
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    violates("INSERT INTO cst VALUES (5, 'e', -9)", "CHECK constraint failed", re)
+    re.sql("INSERT INTO cst(id, name) VALUES (6, 'f')")
+    val r6 = re.sql("SELECT qty FROM cst WHERE id = 6").head()
+    assert(r6.getInt(0) == 1) // DEFAULT survived the reopen too
+    // DESCRIBE reflects declared nullability
+    val nulls = re.sql("DESCRIBE cst").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(nulls("id") == "NO" && nulls("name") == "NO" && nulls("qty") == "YES")
+    // DEFAULT VALUES inserts a full default row
+    lake.sql("CREATE TABLE dv(a INTEGER DEFAULT 7, b VARCHAR DEFAULT 'x')")
+    lake.sql("INSERT INTO dv DEFAULT VALUES")
+    val dv = lake.sql("SELECT a, b FROM dv").head()
+    assert(dv.getInt(0) == 7 && dv.getString(1) == "x")
+    // unenforceable constraints refuse at CREATE, not silently drop
+    val e1 = intercept[IllegalArgumentException] {
+      lake.sql("CREATE TABLE u1(id INTEGER UNIQUE)")
+    }
+    assert(e1.getMessage.contains("UNIQUE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      lake.sql("CREATE TABLE u2(id INTEGER REFERENCES cst(id))")
+    }
+    assert(e2.getMessage.contains("REFERENCES"), e2.getMessage)
+  }
+
+  test("ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE ac(id INTEGER, v VARCHAR); INSERT INTO ac VALUES (1, 'a')")
+    // SET DEFAULT takes effect for later inserts; DROP reverts to NULL
+    lake.sql("ALTER TABLE ac ALTER COLUMN v SET DEFAULT 'dflt'")
+    lake.sql("INSERT INTO ac(id) VALUES (2)")
+    lake.sql("ALTER TABLE ac ALTER v DROP DEFAULT")
+    lake.sql("INSERT INTO ac(id) VALUES (3)")
+    val vs = lake.sql("SELECT v FROM ac ORDER BY id").collect().map(r => Option(r.getString(0)))
+    assert(vs.toSeq == Seq(Some("a"), Some("dflt"), None), vs.mkString(","))
+    // SET NOT NULL refuses while NULLs exist, accepts after they're gone
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("ALTER TABLE ac ALTER COLUMN v SET NOT NULL")
+    }
+    assert(e.getMessage.contains("contain NULL"), e.getMessage)
+    lake.sql("DELETE FROM ac WHERE v IS NULL; ALTER TABLE ac ALTER COLUMN v SET NOT NULL")
+    val e2 = intercept[Exception] { lake.sql("INSERT INTO ac VALUES (4, NULL)") }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+    assert(msgs(e2).contains("NOT NULL constraint failed"), msgs(e2))
+    // DROP NOT NULL re-opens the column
+    lake.sql("ALTER TABLE ac ALTER COLUMN v DROP NOT NULL; INSERT INTO ac VALUES (5, NULL)")
+    assert(lake.sql("SELECT count(*) AS c FROM ac WHERE v IS NULL").head().getLong(0) == 1L)
+  }
+
   test("3-arg regexp_replace implicitly casts a non-string subject") {
     val lake = freshLake()
     lake.sql("CREATE TABLE rrf(n INTEGER); INSERT INTO rrf VALUES (11211)")
