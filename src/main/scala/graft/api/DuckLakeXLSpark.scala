@@ -2776,7 +2776,7 @@ class DuckLakeXLSpark(
             }
           }.toSeq: _*)
         }
-      val rewrittenFiles = writeParquetFiles(rewritten, t)
+      val rewrittenFiles = writeParquetFiles(enforceConstraints(t, rewritten), t)
       val (ns2, fid2) = appendWrittenFiles(ns, t, snap, fid, rewrittenFiles, schema)
       // cardinality guard (standard MERGE semantics: engines ERROR when one
       // target row is matched by several source rows — the left_outer
@@ -2810,14 +2810,16 @@ class DuckLakeXLSpark(
       require(names.length == exprs.length,
         s"MERGE INSERT arity ${exprs.length} != column list ${names.length}")
       val byName = names.map(_.toLowerCase).zip(rowDF.columns).toMap
+      val defaults = defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) }
       val aligned = rowDF.select(schema.fields.map { f =>
         byName.get(f.name.toLowerCase) match {
           case Some(src) => colq(rowDF, src).cast(f.dataType).as(f.name)
-          case None      => lit(null).cast(f.dataType).as(f.name)
+          case None      => defaults.getOrElse(f.name.toLowerCase, lit(null))
+                              .cast(f.dataType).as(f.name)
         }
       }.toSeq: _*)
       val (ns3, fid3) = appendWrittenFiles(ns, t, snap, fid,
-        writeParquetFiles(aligned, t), schema)
+        writeParquetFiles(enforceConstraints(t, aligned), t), schema)
       ns = ns3; fid = fid3
     }
 

@@ -709,8 +709,13 @@ object StatementRouter {
             val e =
               if (r.startsWith("(")) { val c = matchingParen(r, 0); r.substring(0, c + 1) }
               else {
-                val stop = """(?is)\b(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|CHECK|REFERENCES|COLLATE)\b""".r
-                  .findFirstMatchIn(r).map(_.start).getOrElse(r.length)
+                // stop at the next constraint keyword OUTSIDE string
+                // literals (a DEFAULT 'not null here' literal must not
+                // truncate the expression)
+                val lm = literalMask(r)
+                val stopRe = """(?is)\b(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|CHECK|REFERENCES|COLLATE)\b""".r
+                val stop = stopRe.findAllMatchIn(r).map(_.start)
+                  .find(i => !lm(i)).getOrElse(r.length)
                 r.substring(0, stop).trim
               }
             require(e.nonEmpty, s"DEFAULT needs an expression: $p")

@@ -241,6 +241,40 @@ class R11EdgeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("REFERENCES"), e2.getMessage)
   }
 
+  test("MERGE and ON CONFLICT honor NOT NULL/CHECK; MERGE insert fills defaults") {
+    val lake = freshLake()
+    lake.sql(
+      """CREATE TABLE mc(id INTEGER PRIMARY KEY, qty INTEGER CHECK (qty >= 0),
+        |  tag VARCHAR DEFAULT 'new');
+        |INSERT INTO mc VALUES (1, 5, 'old')""".stripMargin)
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+    // upsert DO UPDATE that violates CHECK fails loudly, commits nothing
+    val e = intercept[Exception] {
+      lake.sql("INSERT INTO mc(id, qty) VALUES (1, 3) " +
+        "ON CONFLICT (id) DO UPDATE SET qty = -1")
+    }
+    assert(msgs(e).contains("CHECK constraint failed"), msgs(e))
+    assert(lake.sql("SELECT qty FROM mc WHERE id = 1").head().getInt(0) == 5)
+    // MERGE not-matched INSERT fills the declared default for tag
+    lake.sql(
+      """MERGE INTO mc USING (SELECT 2 AS id, 9 AS qty) s ON mc.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)""".stripMargin)
+    val r = lake.sql("SELECT qty, tag FROM mc WHERE id = 2").head()
+    assert(r.getInt(0) == 9 && r.getString(1) == "new", r)
+    // ... and a violating MERGE insert fails loudly
+    val e2 = intercept[Exception] {
+      lake.sql(
+        """MERGE INTO mc USING (SELECT 3 AS id, -7 AS qty) s ON mc.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)""".stripMargin)
+    }
+    assert(msgs(e2).contains("CHECK constraint failed"), msgs(e2))
+    // a DEFAULT whose literal contains a constraint keyword parses whole
+    lake.sql("CREATE TABLE kw(id INTEGER, note VARCHAR DEFAULT 'not null here' NOT NULL)")
+    lake.sql("INSERT INTO kw(id) VALUES (1)")
+    assert(lake.sql("SELECT note FROM kw").head().getString(0) == "not null here")
+  }
+
   test("ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL") {
     val lake = freshLake()
     lake.sql("CREATE TABLE ac(id INTEGER, v VARCHAR); INSERT INTO ac VALUES (1, 'a')")
