@@ -1268,10 +1268,15 @@ class DuckLakeXLSpark(
 
   /** the current-schema projection over one physical epoch's raw scan:
     * rename/cast mapped fields, surface hive-partition mapped columns
-    * from the file path, NULL-fill columns a file epoch doesn't carry
+    * from the file path, and fill columns a file epoch doesn't carry —
+    * with the column's `initial_default` (DuckLake's ADD COLUMN …
+    * DEFAULT semantics: rows that PREDATE the column read the default,
+    * while post-ADD files carry the physical column so an explicitly
+    * inserted NULL stays NULL) or plain NULL without one
     */
   private def epochProjection(df: DataFrame, phys: PhysEpoch,
-      curCols: Vector[ColumnRow]): DataFrame =
+      curCols: Vector[ColumnRow],
+      snapshot: Long = state.currentSnapshot): DataFrame =
     df.select(curCols.map { c =>
       val dt = CatalogSchema.parseType(c.columnType)
       phys.cols.get(c.columnId) match {
@@ -1282,7 +1287,9 @@ class DuckLakeXLSpark(
             regexp_extract(input_file_name(),
               java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
               .cast(dt).as(c.columnName)
-          case None => lit(null).cast(dt).as(c.columnName)
+          case None =>
+            state.columnTagOf(c.tableId, c.columnId, "initial_default", snapshot)
+              .map(dexpr).getOrElse(lit(null)).cast(dt).as(c.columnName)
         }
       }
     }: _*)
@@ -1364,7 +1371,7 @@ class DuckLakeXLSpark(
           Map.empty[String, String])(spark)
         val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .baseRelationToDataFrame(relation)
-        epochProjection(df, phys, curCols)
+        epochProjection(df, phys, curCols, snapshot)
       }
       dfs.reduce(_.unionByName(_))
     }
@@ -1399,7 +1406,9 @@ class DuckLakeXLSpark(
               regexp_extract(input_file_name(),
                 java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
                 .cast(dt).as(c.columnName)
-            case None => lit(null).cast(dt).as(c.columnName)
+            case None =>
+              state.columnTagOf(c.tableId, c.columnId, "initial_default", snapshot)
+                .map(dexpr).getOrElse(lit(null)).cast(dt).as(c.columnName)
           }
         }
       } ++ Seq(
@@ -2980,14 +2989,37 @@ class DuckLakeXLSpark(
         newSnapshot(state.nextCatalogId, state.nextFileId)
         spark.catalog.dropTempView(s.table)
       case StatementRouter.AddColumn(name, sqlType) =>
-        val canon = CatalogSchema.canonicalTypeName(sqlType) // validate early
+        // the captured "type" may carry a constraint tail (DEFAULT /
+        // NOT NULL / CHECK) — parse it like a CREATE TABLE column def
+        val (ds, pkL, tcl) = StatementRouter.splitColumnDefs(s"$name $sqlType")
+        require(ds.length == 1 && pkL.isEmpty && tcl.isEmpty,
+          s"cannot parse ADD COLUMN definition: $name $sqlType")
+        val d = ds.head
+        val canon = CatalogSchema.canonicalTypeName(d.ty) // validate early
         require(!state.columnsOf(t.tableId).exists(_.columnName.equalsIgnoreCase(name)),
           s"column exists: $name")
+        require(!d.notNull || d.default.isDefined ||
+            state.filesOf(t.tableId).isEmpty,
+          s"ADD COLUMN $name NOT NULL needs a DEFAULT: existing rows " +
+          "would violate the constraint")
+        d.default.foreach(e => dexpr(e)) // validate the expression early
         val cid = state.nextCatalogId
         val order = state.columnsOf(t.tableId).map(_.columnOrder).maxOption.getOrElse(-1) + 1
-        state = state.copy(columns = state.columns :+
-          ColumnRow(cid, snap, None, t.tableId, order, name,
-            canon, nullsAllowed = true))
+        // DEFAULT on ADD COLUMN is BOTH the insert default and the
+        // initial default (DuckLake: rows predating the column read it);
+        // post-ADD files carry the physical column, so explicit NULLs
+        // survive — see epochProjection
+        val newTags =
+          d.default.toVector.flatMap(e => Vector(
+            ColumnTagRow(t.tableId, cid, snap, None, "default", e),
+            ColumnTagRow(t.tableId, cid, snap, None, "initial_default", e))) ++
+          d.check.toVector.map(e =>
+            ColumnTagRow(t.tableId, cid, snap, None, "check", e))
+        state = state.copy(
+          columns = state.columns :+
+            ColumnRow(cid, snap, None, t.tableId, order, name,
+              canon, nullsAllowed = !d.notNull),
+          columnTags = state.columnTags ++ newTags)
         newSnapshot(cid + 1, state.nextFileId)
       case StatementRouter.DropColumn(name) =>
         val cols = state.columnsOf(t.tableId)

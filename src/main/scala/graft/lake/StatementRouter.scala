@@ -648,7 +648,7 @@ object StatementRouter {
     * refuse loudly — this engine cannot enforce them, and silently
     * dropping an enforced constraint is the worst failure mode.
     */
-  private[lake] def splitColumnDefs(colDef: String)
+  private[graft] def splitColumnDefs(colDef: String)
       : (Seq[ColDef], Seq[String], Seq[String]) = {
     val parts = mutable.ArrayBuffer[String]()
     var depth = 0

@@ -275,6 +275,31 @@ class R11EdgeSpec extends AnyFunSuite {
     assert(lake.sql("SELECT note FROM kw").head().getString(0) == "not null here")
   }
 
+  test("ADD COLUMN with DEFAULT: old rows read the default, explicit NULLs survive") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE adc(id INTEGER); INSERT INTO adc VALUES (1), (2)")
+    lake.sql("ALTER TABLE adc ADD COLUMN score INTEGER DEFAULT 100")
+    // rows predating the column read the INITIAL default (DuckLake), not NULL
+    assert(lake.sql("SELECT score FROM adc WHERE id = 1").head().getInt(0) == 100)
+    // a post-ADD insert can still put an explicit NULL there…
+    lake.sql("INSERT INTO adc VALUES (3, NULL)")
+    assert(lake.sql("SELECT count(*) AS c FROM adc WHERE score IS NULL")
+      .head().getLong(0) == 1L)
+    // …and an unlisted column takes the default
+    lake.sql("INSERT INTO adc(id) VALUES (4)")
+    assert(lake.sql("SELECT score FROM adc WHERE id = 4").head().getInt(0) == 100)
+    // the initial default survives a reopen (tags round-trip the workbook)
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    assert(re.sql("SELECT score FROM adc WHERE id = 2").head().getInt(0) == 100)
+    // NOT NULL without a DEFAULT refuses while rows exist
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("ALTER TABLE adc ADD COLUMN req VARCHAR NOT NULL")
+    }
+    assert(e.getMessage.contains("needs a DEFAULT"), e.getMessage)
+    lake.sql("ALTER TABLE adc ADD COLUMN req VARCHAR NOT NULL DEFAULT 'ok'")
+    assert(lake.sql("SELECT req FROM adc WHERE id = 1").head().getString(0) == "ok")
+  }
+
   test("ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL") {
     val lake = freshLake()
     lake.sql("CREATE TABLE ac(id INTEGER, v VARCHAR); INSERT INTO ac VALUES (1, 'a')")
