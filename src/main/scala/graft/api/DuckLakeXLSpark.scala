@@ -702,6 +702,36 @@ class DuckLakeXLSpark(
           require(s.ifExists || macros.contains(s.name), s"no such macro: ${s.name}")
           macros -= s.name
         case s: StatementRouter.Pivot => last = Some(executePivot(s))
+        case StatementRouter.ExplainAnalyze(q) =>
+          // run the query (noop sink — full materialization, no driver
+          // collect), then render the EXECUTED plan with runtime SQL
+          // metrics, the Spark analogue of DuckDB's profiled plan
+          val df = spark.sql(rewriteSelect(q))
+          // execute THIS plan instance (a .write/.count would build a new
+          // QueryExecution whose metrics land on different plan nodes):
+          // full materialization, nothing collected to the driver
+          val t0 = System.nanoTime()
+          df.queryExecution.executedPlan.execute().foreach(_ => ())
+          val wallMs = (System.nanoTime() - t0) / 1e6
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val lines = scala.collection.mutable.ArrayBuffer[String]()
+          lines += f"total wall time: $wallMs%.1f ms"
+          def walk(p: SparkPlan, depth: Int): Unit = {
+            val m = p.metrics.toSeq.sortBy(_._1)
+              .filter(_._2.value > 0)
+              .map { case (k, v) => s"$k=${v.value}" }.mkString(", ")
+            lines += ("  " * depth + p.nodeName + (if (m.nonEmpty) s" [$m]" else ""))
+            p match {
+              case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+              case qs: QueryStageExec       => walk(qs.plan, depth + 1)
+              case _ => p.children.foreach(walk(_, depth + 1))
+            }
+          }
+          walk(df.queryExecution.executedPlan, 0)
+          last = Some(spark.createDataFrame(
+            lines.toSeq.map(Row(_)).asJava,
+            StructType(Seq(StructField("explain_analyze", StringType, false)))))
         case StatementRouter.Explain(q) =>
           // the formatted physical plan as rows (DuckDB pass-through gives
           // the reference EXPLAIN for free; here it is Catalyst's plan)

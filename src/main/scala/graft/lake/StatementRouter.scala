@@ -201,6 +201,10 @@ object StatementRouter {
       using: Seq[(String, Option[String])],
       groupBy: Option[Seq[String]]) extends Stmt
   final case class Explain(select: String) extends Stmt
+  /** `EXPLAIN ANALYZE q` — runs q and reports the executed plan with
+    * per-operator runtime metrics (rows, time), like the DuckDB form
+    */
+  final case class ExplainAnalyze(select: String) extends Stmt
   /** `MERGE INTO` upsert — a Spark-native extension (the reference's
     * engine has no MERGE): copy-on-write over the affected target files.
     * Supported: WHEN MATCHED THEN UPDATE SET … / DELETE, WHEN NOT MATCHED
@@ -379,7 +383,8 @@ object StatementRouter {
   // the TABLES/DATABASES/SCHEMAS listings so those keywords never parse
   // as a table name)
   private val ShowTableRe = """(?is)^\s*SHOW\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
-  private val ExplainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$""".r
+  private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r
+  private val ExplainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
   private val DescribeRe = """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
   private val DescribeSelectRe = """(?is)^\s*DESC(?:RIBE)?\s+((?:SELECT|FROM|WITH)\s+.+)$""".r
   private val SummarizeRe = """(?is)^\s*SUMMARIZE\s+(?:TABLE\s+)?([\w\.\"]+)\s*$""".r
@@ -1188,6 +1193,7 @@ object StatementRouter {
     case ShowDatabasesRe() => ShowDatabases
     case ShowSchemasRe() => ShowSchemas
     case ShowTableRe(name) => Describe(qualName(name))
+    case ExplainAnalyzeRe(select) => ExplainAnalyze(select.trim)
     case ExplainRe(select) => Explain(select.trim)
     case DescribeSelectRe(sel) => DescribeQuery(sel.trim)
     case DescribeRe(name) => Describe(qualName(name))

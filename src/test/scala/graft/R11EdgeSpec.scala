@@ -325,6 +325,20 @@ class R11EdgeSpec extends AnyFunSuite {
     assert(lake.sql("SELECT count(*) AS c FROM ac WHERE v IS NULL").head().getLong(0) == 1L)
   }
 
+  test("EXPLAIN ANALYZE runs the query and reports runtime metrics") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE ea(id INTEGER, g VARCHAR); " +
+      "INSERT INTO ea VALUES (1,'a'),(2,'a'),(3,'b')")
+    val out = lake.sql("EXPLAIN ANALYZE SELECT g, count(*) AS c FROM ea GROUP BY g")
+      .collect().map(_.getString(0))
+    assert(out.head.startsWith("total wall time:"), out.head)
+    assert(out.exists(_.contains("HashAggregate")), out.mkString("\n"))
+    assert(out.exists(_.contains("numOutputRows=")), out.mkString("\n"))
+    // plain EXPLAIN still answers without executing
+    val plain = lake.sql("EXPLAIN SELECT g FROM ea").collect().map(_.getString(0))
+    assert(plain.nonEmpty)
+  }
+
   test("3-arg regexp_replace implicitly casts a non-string subject") {
     val lake = freshLake()
     lake.sql("CREATE TABLE rrf(n INTEGER); INSERT INTO rrf VALUES (11211)")
