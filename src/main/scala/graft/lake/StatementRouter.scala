@@ -1459,6 +1459,10 @@ object StatementRouter {
     // DuckDB spelling aliases with exact Spark twins
     "datetrunc" -> "date_trunc",
     "datepart"  -> "date_part",
+    // 1-based substring position, 0 when absent — exact twins
+    "strpos" -> "instr",
+    // list_zip pads the shorter side with NULL structs on both engines
+    "list_zip" -> "arrays_zip",
     // list length: Spark's size (len/length stay out — DuckDB's work on
     // strings AND lists, Spark's length is string-only; a blind rename
     // would silently string-ify list lengths)
@@ -2964,12 +2968,103 @@ object StatementRouter {
     * directive translation into Spark's to_timestamp (date_format and
     * to_timestamp share one pattern dialect)
     */
-  private def rewriteStrptime(q: String): String =
-    rewriteCalls(q, "strptime") {
+  private def rewriteStrptime(q: String): String = {
+    val q1 = rewriteCalls(q, "try_strptime") {
+      case Seq(s, fmt) => quotedLiteral(fmt).map(f =>
+        s"try_to_timestamp($s, '${strftimeToJava(f).replace("'", "''")}')")
+      case _ => None
+    }
+    rewriteCalls(q1, "strptime") {
       case Seq(s, fmt) => quotedLiteral(fmt).map(f =>
         s"to_timestamp($s, '${strftimeToJava(f).replace("'", "''")}')")
       case _ => None
     }
+  }
+
+  /** r11 function-family wave (barrage-probe findings): DuckDB scalars
+    * with composable Spark twins — each mapping is exact or carries the
+    * guard that keeps it exact; anything without a faithful composition
+    * (gamma, nextafter, age, time_bucket, even) still fails LOUDLY.
+    */
+  private def rewriteScalarMisc(q0: String): String = {
+    var q = q0
+    // to_hex: uppercase digits on both engines (oracle-measured)
+    q = rewriteCalls(q, "to_hex") { args =>
+      Some(s"hex(${args.mkString(", ")})")
+    }
+    // list_unique = COUNT of distinct non-NULL elements (not the list)
+    q = rewriteCalls(q, "list_unique") {
+      case Seq(a) =>
+        Some(s"size(array_distinct(filter(($a), __lu -> __lu IS NOT NULL)))")
+      case _ => None
+    }
+    // isfinite / isinf over DOUBLE (NaN is neither finite nor infinite)
+    q = rewriteCalls(q, "isfinite") { case Seq(a) =>
+      Some(s"(NOT isnan(($a)) AND abs(($a)) < CAST('Infinity' AS DOUBLE))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "isinf") { case Seq(a) =>
+      Some(s"(abs(($a)) = CAST('Infinity' AS DOUBLE))")
+      case _ => None
+    }
+    // fmt-style format('{} and {}', …) -> printf, for the plain {} form
+    // only ({0} reordering / {:spec} have no printf twin: loud)
+    q = rewriteCalls(q, "format") { args =>
+      args.headOption.flatMap(quotedLiteral).flatMap { f =>
+        if (f.contains("{}") && !"""\{[^}]+\}""".r.findFirstIn(f).isDefined) {
+          val pf = f.replace("%", "%%").replace("{}", "%s").replace("'", "''")
+          Some(s"printf('$pf', ${args.tail.mkString(", ")})")
+        } else None
+      }
+    }
+    // character-set similarity (DuckDB string metrics)
+    q = rewriteCalls(q, "jaccard") {
+      case Seq(a, b) => Some(
+        s"(CAST(size(array_intersect(split(($a), ''), split(($b), ''))) AS DOUBLE) / " +
+        s"size(array_union(split(($a), ''), split(($b), ''))))")
+      case _ => None
+    }
+    // mismatches is DuckDB's alias for hamming — rewrite the alias to
+    // the canonical name FIRST so the hamming pass below expands both
+    q = rewriteCalls(q, "mismatches") {
+      case Seq(a, b) => Some(s"hamming($a, $b)")
+      case _ => None
+    }
+    // hamming: DuckDB errors on unequal lengths — keep that loudness
+    q = rewriteCalls(q, "hamming") {
+      case Seq(a, b) => Some(
+        s"(CASE WHEN length(($a)) <> length(($b)) THEN " +
+        s"CAST(raise_error('hamming: strings must be of equal length') AS BIGINT) " +
+        s"ELSE size(filter(zip_with(split(($a), ''), split(($b), ''), " +
+        s"(__hx, __hy) -> __hx <> __hy), __hz -> __hz)) END)")
+      case _ => None
+    }
+    // embedding-list math (DuckDB list_* numeric family): single-pass
+    // higher-order compositions, codegen-friendly, no UDFs
+    def dot(a: String, b: String): String =
+      s"aggregate(zip_with(($a), ($b), (__dx, __dy) -> CAST(__dx AS DOUBLE) * __dy), " +
+      s"CAST(0 AS DOUBLE), (__ds, __dv) -> __ds + __dv)"
+    def norm2(a: String): String =
+      s"aggregate(($a), CAST(0 AS DOUBLE), (__ns, __nv) -> __ns + CAST(__nv AS DOUBLE) * __nv)"
+    for (fn <- Seq("list_dot_product", "list_inner_product"))
+      q = rewriteCalls(q, fn) {
+        case Seq(a, b) => Some(s"(${dot(a, b)})")
+        case _ => None
+      }
+    q = rewriteCalls(q, "list_cosine_similarity") {
+      case Seq(a, b) =>
+        Some(s"(${dot(a, b)} / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "list_distance") {
+      case Seq(a, b) => Some(
+        s"sqrt(aggregate(zip_with(($a), ($b), " +
+        s"(__lx, __ly) -> (CAST(__lx AS DOUBLE) - __ly) * (CAST(__lx AS DOUBLE) - __ly)), " +
+        s"CAST(0 AS DOUBLE), (__ls, __lv) -> __ls + __lv))")
+      case _ => None
+    }
+    q
+  }
 
   /** date_diff('day', a, b) -> datediff(b, a): identical semantics
     * (midnight-boundary count). Other parts differ between the engines'
@@ -2998,7 +3093,16 @@ object StatementRouter {
       }
       case _ => None
     }
-    rewriteCalls(rewriteCalls(q, "string_split")(f), "str_split")(f)
+    Seq("string_split", "str_split", "string_to_array", "string_split_regex")
+      .foldLeft(q) { (acc, fn) =>
+        if (fn == "string_split_regex")
+          // the _regex variant passes the separator through as a pattern
+          rewriteCalls(acc, fn) {
+            case Seq(s, sep) => Some(s"split($s, $sep)")
+            case _ => None
+          }
+        else rewriteCalls(acc, fn)(f)
+      }
   }
 
   // ------------------------------------------ DuckDB FROM-first syntax
@@ -3233,6 +3337,7 @@ object StatementRouter {
     q = rewriteSimilarTo(q)
     q = rewriteStrftime(q)
     q = rewriteStrptime(q)
+    q = rewriteScalarMisc(q)
     q = rewriteDateDiff(q)
     q = rewriteStringSplit(q)
     // DuckDB's in-parens null treatment `lag(x IGNORE NULLS)` -> Spark's

@@ -999,6 +999,31 @@ object QueriesLake {
           |WINDOW w AS (PARTITION BY g ORDER BY id)
           |ORDER BY id""".stripMargin)
     },
+    // r11 function-family wave (barrage-probe closures): strpos, to_hex
+    // (lowercase like DuckDB), list_unique (count of distinct non-NULLs),
+    // isfinite/isinf, fmt-style format -> printf, jaccard/hamming string
+    // metrics, list_dot_product / list_cosine_similarity / list_distance
+    // (single-pass higher-order compositions), string_to_array,
+    // try_strptime — the oracle replays the IDENTICAL text in DuckDB
+    "q_lake_fn_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST(strpos('Hello World', 'World') AS BIGINT) AS sp,
+          |  to_hex(255) AS hx,
+          |  CAST(list_unique([1, 2, 2, NULL, 3]) AS BIGINT) AS lu,
+          |  isfinite(1.5) AS fin,
+          |  isinf(CAST('Infinity' AS DOUBLE)) AS inf,
+          |  format('{} and {}', 1, 'x') AS fm,
+          |  round(jaccard('abc', 'abd'), 6) AS jc,
+          |  CAST(hamming('abc', 'abd') AS BIGINT) AS hm,
+          |  round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS dp,
+          |  round(list_cosine_similarity([1.0, 0.0], [0.6, 0.8]), 6) AS cs,
+          |  round(list_distance([1.0, 2.0], [4.0, 6.0]), 6) AS ld,
+          |  string_to_array('a|b', '|') AS sta,
+          |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
+          |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin)
+    },
     // r11: USING SAMPLE — the seeded row-count form is DETERMINISTIC by
     // definition here (md5 rank over (seed, row values), see
     // StatementRouter.rewriteSampleSeeded), so the oracle can replay the
@@ -1354,6 +1379,22 @@ object QueriesLake {
         |FROM (VALUES (1,'a',10),(2,'a',NULL),(3,'a',30),(4,'b',5),(5,'b',7)) t(id, g, v)
         |WINDOW w AS (PARTITION BY g ORDER BY id)
         |ORDER BY id""".stripMargin,
+    "q_lake_fn_wave" ->
+      """SELECT
+        |  CAST(strpos('Hello World', 'World') AS BIGINT) AS sp,
+        |  to_hex(255) AS hx,
+        |  CAST(list_unique([1, 2, 2, NULL, 3]) AS BIGINT) AS lu,
+        |  isfinite(1.5) AS fin,
+        |  isinf(CAST('Infinity' AS DOUBLE)) AS inf,
+        |  format('{} and {}', 1, 'x') AS fm,
+        |  round(jaccard('abc', 'abd'), 6) AS jc,
+        |  CAST(hamming('abc', 'abd') AS BIGINT) AS hm,
+        |  round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS dp,
+        |  round(list_cosine_similarity([1.0, 0.0], [0.6, 0.8]), 6) AS cs,
+        |  round(list_distance([1.0, 2.0], [4.0, 6.0]), 6) AS ld,
+        |  string_to_array('a|b', '|') AS sta,
+        |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
+        |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin,
     "q_lake_constraints" ->
       ("SELECT * FROM (VALUES (1, 'a', 1, 'none'), (2, 'b', 5, 'none'), " +
        "(3, 'c', 7, 'none')) t(id, name, qty, tag) ORDER BY id"),

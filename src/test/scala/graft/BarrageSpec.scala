@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+
+/** Dialect breadth probe, pinned (r11): a barrage of everyday DuckDB
+  * expressions through the router. Every spelling is either RUNNABLE
+  * (and its values are oracle-checked by q_lake_fn_wave / the dialect
+  * rows) or in the KNOWN-REFUSED set, which must fail LOUDLY — a new
+  * refusal appearing here means a rewrite regressed; a refusal
+  * disappearing means a mapping landed and the pin should move.
+  */
+class BarrageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("everyday-DuckDB expression barrage: runnable set runs, refusals stay loud") {
+    val dir = Files.createTempDirectory("graft_barrage").toString
+    val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    lake.sql("CREATE TABLE b(id INTEGER, s VARCHAR, d DATE, x DOUBLE); " +
+      "INSERT INTO b VALUES (1, 'Hello World', DATE '2024-03-15', 2.5)")
+    val runnable = Seq(
+      "SELECT EXTRACT(YEAR FROM d) AS v FROM b",
+      "SELECT s ILIKE 'hello%' AS v FROM b",
+      "SELECT position('World' IN s) AS v FROM b",
+      "SELECT d + 5 AS v FROM b",
+      "SELECT d - DATE '2024-03-01' AS v FROM b",
+      "SELECT d + INTERVAL 3 DAY AS v FROM b",
+      "SELECT last_day(d) AS v FROM b",
+      "SELECT date_part('month', d) AS v FROM b",
+      "SELECT string_to_array(s, ' ') AS v FROM b",
+      "SELECT string_split_regex(s, '\\s+') AS v FROM b",
+      "SELECT array_agg(s) AS v FROM b",
+      "SELECT list_unique([1,2,2,NULL,3]) AS v FROM b",
+      "SELECT regexp_extract(s, '([A-Z])\\w+', 1) AS v FROM b",
+      "SELECT left(s, 5) AS v, right(s, 5) AS w FROM b",
+      "SELECT repeat('ab', 3) AS v FROM b",
+      "SELECT md5(s) AS v FROM b",
+      "SELECT strpos(s, 'World') AS v FROM b",
+      "SELECT instr(s, 'World') AS v FROM b",
+      "SELECT to_hex(255) AS v FROM b",
+      "SELECT bit_length(s) AS v FROM b",
+      "SELECT jaccard('abc','abd') AS v FROM b",
+      "SELECT hamming('abc','abd') AS v FROM b",
+      "SELECT mismatches('abc','abd') AS v FROM b",
+      "SELECT greatest(1, 2) AS v, least(3, 4) AS w FROM b",
+      "SELECT isfinite(x) AS v, isinf(x) AS w FROM b",
+      "SELECT isnan(x) AS v FROM b",
+      "SELECT format('{} and {}', 1, 2) AS v FROM b",
+      "SELECT list_zip([1,2],[3,4]) AS v FROM b",
+      "SELECT flatten([[1,2],[3]]) AS v FROM b",
+      "SELECT list_dot_product([1.0,2.0],[3.0,4.0]) AS v FROM b",
+      "SELECT list_inner_product([1.0,2.0],[3.0,4.0]) AS v FROM b",
+      "SELECT list_cosine_similarity([1.0,0.0],[1.0,0.0]) AS v FROM b",
+      "SELECT list_distance([1.0,2.0],[4.0,6.0]) AS v FROM b",
+      "SELECT array_to_string([1,2], '-') AS v FROM b",
+      "SELECT try_strptime('x', '%Y') AS v FROM b",
+      "SELECT typeof(x) AS v FROM b",
+      "SELECT uuid() IS NOT NULL AS v FROM b",
+      "SELECT epoch(TIMESTAMP '2024-01-01 00:00:00') AS v FROM b",
+      "SELECT make_date(2024, 3, 15) AS v FROM b")
+    // no faithful Spark composition exists — these MUST stay loud
+    val refused = Seq(
+      "SELECT age(DATE '2024-03-20', d) AS v FROM b",          // INTERVAL result
+      "SELECT damerau_levenshtein('abc','acb') AS v FROM b",   // no native twin
+      "SELECT even(2.5) AS v FROM b",
+      "SELECT gamma(5) AS v FROM b",
+      "SELECT nextafter(1.0, 2.0) AS v FROM b",
+      "SELECT x // 1 AS v FROM b",                             // double floor-div
+      "SELECT time_bucket(INTERVAL 1 DAY, d) AS v FROM b")
+    val broken = runnable.flatMap { q =>
+      try { lake.sql(q).collect(); None }
+      catch { case e: Throwable =>
+        Some(q + " ==> " + e.getMessage.linesIterator.take(1).mkString) }
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+    val silent = refused.filter(q =>
+      try { lake.sql(q).collect(); true } catch { case _: Throwable => false })
+    assert(silent.isEmpty,
+      s"known-refused spellings now run — verify values and move the pin:\n" +
+      silent.mkString("\n"))
+  }
+}
