@@ -230,6 +230,12 @@ object CatalogSchema {
     case "BOOLEAN" | "BOOL" | "LOGICAL" => PrimT("BOOLEAN", BooleanType)
     case "DATE"                        => PrimT("DATE", DateType)
     case "TIMESTAMP" | "DATETIME"      => PrimT("TIMESTAMP", TimestampNTZType)
+    // DuckDB's unsigned family: stored as the next-wider SIGNED type
+    // (the smallest Spark/parquet type that carries the full range)
+    case "UTINYINT"                    => PrimT("UTINYINT", ShortType)
+    case "USMALLINT"                   => PrimT("USMALLINT", IntegerType)
+    case "UINTEGER"                    => PrimT("UINTEGER", LongType)
+    case "UBIGINT"                     => PrimT("UBIGINT", DecimalType(20, 0))
     // logical types whose Spark storage type is shared — the catalog
     // string keeps the identity, the engine stores the physical twin
     case "TIMESTAMPTZ"                 => PrimT("TIMESTAMPTZ", TimestampType)

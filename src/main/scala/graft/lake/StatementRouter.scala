@@ -1315,13 +1315,23 @@ object StatementRouter {
             val open = it.indexOf('(', at)
             val close = matchingParen(it, open)
             val arg = it.substring(open + 1, close).trim
+            val LambdaLike =
+              """(?is)^(\w+)\s*->\s*\1\s+(NOT\s+)?LIKE\s+'((?:[^']|'')*)'\s*$""".r
             val matched =
               if (arg == "*") names
-              else {
-                require(arg.startsWith("'") && arg.endsWith("'") && arg.length >= 2,
-                  s"unsupported COLUMNS argument: $arg")
-                val re = arg.stripPrefix("'").stripSuffix("'").r
-                names.filter(n => re.findFirstIn(n).isDefined)
+              else arg match {
+                // lambda form over the NAME: `c -> c [NOT] LIKE 'pat'`
+                // (evaluated here at expansion time — names are known)
+                case LambdaLike(_, not, pat) =>
+                  val re = ("(?s)^" + java.util.regex.Pattern.quote(
+                    pat.replace("''", "'"))
+                    .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+                  names.filter(n => re.matches(n) == (not == null))
+                case _ =>
+                  require(arg.startsWith("'") && arg.endsWith("'") && arg.length >= 2,
+                    s"unsupported COLUMNS argument: $arg")
+                  val re = arg.stripPrefix("'").stripSuffix("'").r
+                  names.filter(n => re.findFirstIn(n).isDefined)
               }
             require(matched.nonEmpty, s"COLUMNS($arg) matched no columns")
             val bare = it.substring(0, at).trim.isEmpty && it.substring(close + 1).trim.isEmpty
@@ -1461,6 +1471,8 @@ object StatementRouter {
     "datepart"  -> "date_part",
     // 1-based substring position, 0 when absent — exact twins
     "strpos" -> "instr",
+    "prefix" -> "startswith",
+    "suffix" -> "endswith",
     // list_zip pads the shorter side with NULL structs on both engines
     "list_zip" -> "arrays_zip",
     // list length: Spark's size (len/length stay out — DuckDB's work on
@@ -1824,7 +1836,8 @@ object StatementRouter {
     val needs = t.contains('[') ||
       ((word == "STRUCT" || word == "MAP") && t.contains('(')) ||
       Set("JSON", "UUID", "BLOB", "BYTEA", "VARBINARY", "HUGEINT",
-          "TIMESTAMPTZ", "DATETIME").contains(u)
+          "TIMESTAMPTZ", "DATETIME",
+          "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT").contains(u)
     if (!needs) None
     else scala.util.Try(CatalogSchema.parseLakeType(t).spark.sql).toOption
   }
@@ -2683,7 +2696,40 @@ object StatementRouter {
     * Double every backslash inside single-quoted literals just before
     * text reaches Spark's parser; the '' quote-escape passes through.
     */
-  def sparkifyLiterals(s: String): String = {
+  /** DuckDB literal spellings Spark's lexer lacks: `$$…$$` dollar-quoted
+    * strings (content re-escaped into a plain literal), hex integers
+    * (`0x1F` -> 31) and digit-separator underscores (`1_000_000` ->
+    * 1000000). Tagged `$tag$…$tag$` quotes stay out (loud). A token
+    * starting with a digit can never be an identifier, so the numeric
+    * passes cannot touch column names.
+    */
+  private def normalizeLiteralForms(s0: String): String = {
+    var q = s0
+    // bare $$…$$ outside ordinary quotes
+    var go = q.contains("$$")
+    while (go) {
+      val lit = literalMask(q)
+      val at = q.indexOf("$$")
+      if (at < 0 || lit(at)) go = false
+      else {
+        val close = q.indexOf("$$", at + 2)
+        require(close > 0, "unterminated $$ quote: " + s0)
+        val content = q.substring(at + 2, close).replace("'", "''")
+        q = q.substring(0, at) + "'" + content + "'" + q.substring(close + 2)
+        go = q.indexOf("$$") >= 0
+      }
+    }
+    q = mapOutsideLiterals(q) { seg =>
+      val hexed = """\b0[xX]([0-9a-fA-F]+)\b""".r.replaceAllIn(seg,
+        m => BigInt(m.group(1), 16).toString)
+      """\b(\d[\d_]*(?:\.[\d_]+)?)\b""".r.replaceAllIn(hexed, m =>
+        if (m.group(1).contains('_')) m.group(1).replace("_", "") else m.group(1))
+    }
+    q
+  }
+
+  def sparkifyLiterals(s00: String): String = {
+    val s = normalizeLiteralForms(s00)
     val out = new StringBuilder(s.length + 8)
     var inS = false
     var i = 0
@@ -2981,6 +3027,43 @@ object StatementRouter {
     }
   }
 
+  /** quantified comparisons `x = ANY (sub)` -> `x IN (sub)` and
+    * `x <> ALL (sub)` -> `x NOT IN (sub)` — the two idioms with exact
+    * Spark twins; a bare VALUES body wraps into a subquery. Other
+    * operator+quantifier pairs have no Spark spelling: loud.
+    */
+  private def rewriteQuantified(q0: String): String = {
+    var q = q0
+    for ((pat, rep) <- Seq(("""(?i)=\s*ANY\s*\(""", " IN ("),
+                           ("""(?i)(?:<>|!=)\s*ALL\s*\(""", " NOT IN ("))) {
+      val r = pat.r
+      var from = 0
+      var go = true
+      while (go) {
+        val lit = literalMask(q)
+        r.findFirstMatchIn(q.substring(from)) match {
+          case None => go = false
+          case Some(m) =>
+            val start = from + m.start
+            if (lit(start)) from = start + 1
+            else {
+              val open = from + m.end - 1
+              val close = matchingParen(q, open)
+              val inner = q.substring(open + 1, close).trim
+              val body =
+                if (inner.toUpperCase(java.util.Locale.ROOT).startsWith("VALUES"))
+                  s"SELECT * FROM ($inner) AS __q"
+                else inner
+              q = q.substring(0, start) + rep.dropRight(1) + "(" + body +
+                q.substring(close)
+              from = start + rep.length + body.length
+            }
+        }
+      }
+    }
+    q
+  }
+
   /** r11 function-family wave (barrage-probe findings): DuckDB scalars
     * with composable Spark twins — each mapping is exact or carries the
     * guard that keeps it exact; anything without a faithful composition
@@ -3024,6 +3107,30 @@ object StatementRouter {
         s"size(array_union(split(($a), ''), split(($b), ''))))")
       case _ => None
     }
+    // CTE materialization hints: Spark decides its own materialization,
+    // the hint itself has no semantic content — strip it
+    q = mapOutsideLiterals(q)(
+      _.replaceAll("(?i)\\bAS\\s+(?:NOT\\s+)?MATERIALIZED\\s*\\(", "AS ("))
+    // quantified comparisons: the two idiomatic forms with exact Spark
+    // twins (`= ANY` ≡ IN, `<> ALL` ≡ NOT IN); other operator+quantifier
+    // pairs have no Spark spelling and stay loud
+    q = rewriteQuantified(q)
+    // in-call ORDER BY on first/last -> min_by/max_by (the value at the
+    // smallest/largest key — exact, null-key rows ignored on both sides)
+    for ((fn, asc, desc) <- Seq(("first", "min_by", "max_by"),
+                                ("last", "max_by", "min_by")))
+      q = rewriteCalls(q, fn) { args =>
+        args match {
+          case Seq(one) =>
+            val m = """(?is)^(.*?)\s+ORDER\s+BY\s+(.+?)(\s+DESC|\s+ASC)?\s*$""".r
+            m.findFirstMatchIn(one).map { mm =>
+              val tgt = if (Option(mm.group(3)).exists(_.trim.equalsIgnoreCase("DESC")))
+                desc else asc
+              s"$tgt(${mm.group(1).trim}, ${mm.group(2).trim})"
+            }
+          case _ => None
+        }
+      }
     // mismatches is DuckDB's alias for hamming — rewrite the alias to
     // the canonical name FIRST so the hamming pass below expands both
     q = rewriteCalls(q, "mismatches") {

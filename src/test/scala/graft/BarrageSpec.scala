@@ -82,4 +82,60 @@ class BarrageSpec extends AnyFunSuite {
       s"known-refused spellings now run — verify values and move the pin:\n" +
       silent.mkString("\n"))
   }
+
+  test("statement-shape barrage: runnable set runs, refusals stay loud") {
+    val dir = Files.createTempDirectory("graft_barrage2").toString
+    val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    lake.sql("CREATE TABLE t(id INTEGER, v VARCHAR); " +
+      "INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+    val runnable = Seq(
+      "CREATE TABLE c1 AS FROM t",                       // FROM-first CTAS
+      "INSERT INTO c1 FROM t",                           // FROM-first insert body
+      "VALUES (1, 'x'), (2, 'y')",                       // bare VALUES statement
+      "WITH m AS MATERIALIZED (SELECT id FROM t) SELECT count(*) AS c FROM m",
+      "WITH m AS NOT MATERIALIZED (SELECT id FROM t) SELECT count(*) AS c FROM m",
+      "SELECT COLUMNS(c -> c LIKE 'i%') FROM t",          // lambda COLUMNS
+      "SELECT CAST('5' AS USMALLINT) AS v",               // unsigned family
+      "SELECT CAST(5 AS UBIGINT) AS v",
+      "SELECT prefix(v, 'a') AS p, suffix(v, 'a') AS s FROM t",
+      "SELECT 'a' IN (SELECT v FROM t) AS v",
+      "SELECT id FROM t WHERE id = ANY (SELECT id FROM t)",
+      "SELECT id FROM t WHERE id <> ALL (VALUES (99))",
+      "SELECT first(v ORDER BY id) AS a, last(v ORDER BY id) AS z FROM t",
+      "SELECT first(v ORDER BY id DESC) AS a FROM t",
+      "SELECT 0x1F AS v",                                 // hex literal
+      "SELECT 1_000_000 AS v",                            // digit separators
+      "SELECT 'dq' AS v FROM t WHERE v = $$a$$",          // dollar quotes
+      "SELECT id, v FROM (SELECT id FROM t) t1 POSITIONAL JOIN (SELECT v FROM t) t2",
+      "TABLE t",
+      "SUMMARIZE t",
+      "SELECT id FROM t OFFSET 1",
+      "FROM t SELECT id WHERE id > 1")
+    val refused = Seq(
+      "SELECT * FROM t LIMIT 50%",         // percent limit: needs a count
+      "SELECT bar(3, 0, 5, 5) AS v",       // ASCII bar chart
+      // POSITIONAL JOIN with same-named sides needs output dedup we
+      // do not fabricate
+      "SELECT t1.id FROM t t1 POSITIONAL JOIN t t2")
+    val broken = runnable.flatMap { q =>
+      try { lake.sql(q).collect(); None }
+      catch { case e: Throwable =>
+        Some(q + " ==> " + e.getMessage.linesIterator.take(1).mkString) }
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+    val silent = refused.filter(q =>
+      try { lake.sql(q).collect(); true } catch { case _: Throwable => false })
+    assert(silent.isEmpty,
+      "known-refused shapes now run — verify values and move the pin:\n" +
+      silent.mkString("\n"))
+    // spot-check values the rewrites produce
+    assert(lake.sql("SELECT 0x1F AS v").head().get(0).toString == "31")
+    assert(lake.sql("SELECT 1_000_000 AS v").head().get(0).toString == "1000000")
+    assert(lake.sql("SELECT first(v ORDER BY id DESC) AS a FROM t")
+      .head().getString(0) == "c")
+    assert(lake.sql("SELECT id FROM t WHERE id <> ALL (VALUES (99)) ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(lake.sql("SELECT COLUMNS(c -> c LIKE 'i%') FROM t ORDER BY id")
+      .columns.toSeq == Seq("id"))
+  }
 }
