@@ -131,6 +131,12 @@ class BarrageSpec extends AnyFunSuite {
     // spot-check values the rewrites produce
     assert(lake.sql("SELECT 0x1F AS v").head().get(0).toString == "31")
     assert(lake.sql("SELECT 1_000_000 AS v").head().get(0).toString == "1000000")
+    // hostile literals: the numeric/dollar passes must not touch string
+    // CONTENT, and '' escapes inside dollar quotes must survive
+    assert(lake.sql("SELECT '0x1F and 1_000' AS v").head().getString(0)
+      == "0x1F and 1_000")
+    assert(lake.sql("SELECT '$$' AS v").head().getString(0) == "$$")
+    assert(lake.sql("SELECT $$it's 0x10$$ AS v").head().getString(0) == "it's 0x10")
     assert(lake.sql("SELECT first(v ORDER BY id DESC) AS a FROM t")
       .head().getString(0) == "c")
     assert(lake.sql("SELECT id FROM t WHERE id <> ALL (VALUES (99)) ORDER BY id")
