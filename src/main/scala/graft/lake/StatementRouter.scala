@@ -2705,18 +2705,19 @@ object StatementRouter {
     */
   private def normalizeLiteralForms(s0: String): String = {
     var q = s0
-    // bare $$…$$ outside ordinary quotes
-    var go = q.contains("$$")
-    while (go) {
-      val lit = literalMask(q)
-      val at = q.indexOf("$$")
-      if (at < 0 || lit(at)) go = false
+    // bare $$…$$ outside ordinary quotes (a '$$' INSIDE a normal string
+    // literal is content — skip it and keep scanning, r11 review)
+    var from = 0
+    while (from >= 0) {
+      val at = q.indexOf("$$", from)
+      if (at < 0) from = -1
+      else if (literalMask(q)(at)) from = at + 1
       else {
         val close = q.indexOf("$$", at + 2)
         require(close > 0, "unterminated $$ quote: " + s0)
         val content = q.substring(at + 2, close).replace("'", "''")
         q = q.substring(0, at) + "'" + content + "'" + q.substring(close + 2)
-        go = q.indexOf("$$") >= 0
+        from = at + content.length + 2
       }
     }
     q = mapOutsideLiterals(q) { seg =>

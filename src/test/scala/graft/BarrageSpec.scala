@@ -137,6 +137,9 @@ class BarrageSpec extends AnyFunSuite {
       == "0x1F and 1_000")
     assert(lake.sql("SELECT '$$' AS v").head().getString(0) == "$$")
     assert(lake.sql("SELECT $$it's 0x10$$ AS v").head().getString(0) == "it's 0x10")
+    // a quoted '$$' before a REAL dollar quote must not stop the scan
+    val both = lake.sql("SELECT '$$' AS a, $$real$$ AS b").head()
+    assert(both.getString(0) == "$$" && both.getString(1) == "real", both)
     assert(lake.sql("SELECT first(v ORDER BY id DESC) AS a FROM t")
       .head().getString(0) == "c")
     assert(lake.sql("SELECT id FROM t WHERE id <> ALL (VALUES (99)) ORDER BY id")
