@@ -339,6 +339,31 @@ class R11EdgeSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("CTAS derives nested column types; constraints hold on partitioned tables") {
+    val lake = freshLake()
+    // CTAS from a SELECT producing list/struct/binary columns — typeName
+    // must render lake DDL for all of them, and the reopen must re-parse
+    lake.sql("CREATE TABLE nc AS SELECT 1 AS id, ['x','y'] AS tags, " +
+      "{'w': 640} AS meta, 'abc'::BLOB AS payload")
+    val desc = lake.sql("DESCRIBE nc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("tags") == "VARCHAR[]" && desc("meta") == "STRUCT(w INTEGER)" &&
+      desc("payload") == "BLOB", desc)
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    val r = re.sql("SELECT tags[2] AS t2, meta.w AS w, octet_length(payload) AS n " +
+      "FROM nc").head()
+    assert(r.getString(0) == "y" && r.getInt(1) == 640 && r.getInt(2) == 3, r)
+    // constraint enforcement rides the PARTITIONED write path too
+    lake.sql("CREATE TABLE pc(id INTEGER, region VARCHAR NOT NULL); " +
+      "ALTER TABLE pc SET PARTITIONED BY (region); " +
+      "INSERT INTO pc VALUES (1, 'west')")
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+    val e = intercept[Exception] { lake.sql("INSERT INTO pc VALUES (2, NULL)") }
+    assert(msgs(e).contains("NOT NULL constraint failed"), msgs(e))
+    assert(lake.sql("SELECT count(*) AS c FROM pc").head().getLong(0) == 1L)
+  }
+
   test("3-arg regexp_replace implicitly casts a non-string subject") {
     val lake = freshLake()
     lake.sql("CREATE TABLE rrf(n INTEGER); INSERT INTO rrf VALUES (11211)")
