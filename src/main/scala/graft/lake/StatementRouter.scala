@@ -3132,6 +3132,72 @@ object StatementRouter {
           case _ => None
         }
       }
+    // ---- aggregate-surface wave (r11 barrage #3) ----
+    // DuckDB's FILTER shorthand omits WHERE: `agg(...) FILTER (pred)`.
+    // Only a FILTER directly after a ')' is the clause — a bare
+    // `filter(list, lambda)` is the higher-order function and must not
+    // be touched (checked via the preceding non-space character)
+    q = {
+      val re = """(?i)\bFILTER\s*\(\s*""".r
+      val sb = new StringBuilder
+      var last = 0
+      val lit = literalMask(q)
+      for (m <- re.findAllMatchIn(q)) if (!lit(m.start)) {
+        var p = m.start - 1
+        while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+        val afterParen = p >= 0 && q.charAt(p) == ')'
+        val hasWhere = q.regionMatches(true, m.end, "WHERE", 0, 5)
+        if (afterParen && !hasWhere) {
+          sb.append(q.substring(last, m.end)).append("WHERE ")
+          last = m.end
+        }
+      }
+      if (last == 0) q else { sb.append(q.substring(last)); sb.toString }
+    }
+    // geometric mean: exp of the mean log — exact for the positive
+    // domain the function is defined on
+    q = rewriteCalls(q, "geomean") {
+      case Seq(a) => Some(s"exp(avg(ln($a)))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "geometric_mean") {
+      case Seq(a) => Some(s"exp(avg(ln($a)))")
+      case _ => None
+    }
+    // Kahan-compensated variants: Spark's sum/avg accumulate in their
+    // own (parallel) order anyway, so the fused spelling maps to the
+    // plain aggregate — differences live below double print precision
+    q = rewriteCalls(q, "fsum") { case Seq(a) => Some(s"sum($a)"); case _ => None }
+    q = rewriteCalls(q, "favg") { case Seq(a) => Some(s"avg($a)"); case _ => None }
+    q = rewriteCalls(q, "kahan_sum") { case Seq(a) => Some(s"sum($a)"); case _ => None }
+    // DuckDB's 2-arg min/max return the n smallest/largest AS A LIST
+    // (ascending/descending) — collect + sort + slice, the same
+    // per-group materialization DuckDB performs
+    q = rewriteCalls(q, "min") {
+      case Seq(a, n) => Some(s"slice(array_sort(collect_list($a)), 1, $n)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "max") {
+      case Seq(a, n) => Some(s"slice(reverse(array_sort(collect_list($a))), 1, $n)")
+      case _ => None
+    }
+    // quantile_disc(x, q) -> the WITHIN GROUP spelling Spark parses
+    q = rewriteCalls(q, "quantile_disc") {
+      case Seq(a, p) => Some(s"percentile_disc($p) WITHIN GROUP (ORDER BY $a)")
+      case _ => None
+    }
+    // in-call ORDER BY on COMMUTATIVE aggregates is a determinism hint
+    // DuckDB accepts; the result is order-independent, so it drops
+    // (order-SENSITIVE aggregates — string_agg, list/collect, first/last
+    // — are handled by their own rewrites above and keep the ordering)
+    for (fn <- Seq("sum", "avg", "min", "max", "count", "bool_and",
+        "bool_or", "bit_and", "bit_or", "bit_xor", "product"))
+      q = rewriteCalls(q, fn) {
+        case Seq(one) =>
+          val m = """(?is)^(.*?)\s+ORDER\s+BY\s+.+$""".r
+          m.findFirstMatchIn(one).map(mm => s"$fn(${mm.group(1).trim})")
+        case _ => None
+      }
     // mismatches is DuckDB's alias for hamming — rewrite the alias to
     // the canonical name FIRST so the hamming pass below expands both
     q = rewriteCalls(q, "mismatches") {

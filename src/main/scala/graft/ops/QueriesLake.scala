@@ -1024,6 +1024,20 @@ object QueriesLake {
           |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
           |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin)
     },
+    // r11 aggregate wave (barrage #3): geomean, fsum (Kahan spelling),
+    // 2-arg min/max (top-n LIST), quantile_disc (-> WITHIN GROUP),
+    // FILTER-without-WHERE shorthand, in-call ORDER BY dropped on
+    // commutative aggregates — oracle replays the IDENTICAL text
+    "q_lake_agg_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT round(geomean(x), 6) AS gm,
+          |       CAST(fsum(x) AS DOUBLE) AS fs,
+          |       quantile_disc(x, 0.5) AS qd,
+          |       CAST(count(*) FILTER (g = 'a') AS BIGINT) AS cf,
+          |       round(sum(x ORDER BY id), 6) AS so
+          |FROM (SELECT id, g, CAST(x AS DOUBLE) AS x FROM (VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0)) t0(id, g, x)) t""".stripMargin)
+    },
     // r11: USING SAMPLE — the seeded row-count form is DETERMINISTIC by
     // definition here (md5 rank over (seed, row values), see
     // StatementRouter.rewriteSampleSeeded), so the oracle can replay the
@@ -1379,6 +1393,13 @@ object QueriesLake {
         |FROM (VALUES (1,'a',10),(2,'a',NULL),(3,'a',30),(4,'b',5),(5,'b',7)) t(id, g, v)
         |WINDOW w AS (PARTITION BY g ORDER BY id)
         |ORDER BY id""".stripMargin,
+    "q_lake_agg_wave" ->
+      """SELECT round(geomean(x), 6) AS gm,
+        |       CAST(fsum(x) AS DOUBLE) AS fs,
+        |       quantile_disc(x, 0.5) AS qd,
+        |       CAST(count(*) FILTER (g = 'a') AS BIGINT) AS cf,
+        |       round(sum(x ORDER BY id), 6) AS so
+        |FROM (SELECT id, g, CAST(x AS DOUBLE) AS x FROM (VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0)) t0(id, g, x)) t""".stripMargin,
     "q_lake_fn_wave" ->
       """SELECT
         |  CAST(strpos('Hello World', 'World') AS BIGINT) AS sp,

@@ -128,6 +128,39 @@ class BarrageSpec extends AnyFunSuite {
     assert(silent.isEmpty,
       "known-refused shapes now run — verify values and move the pin:\n" +
       silent.mkString("\n"))
+    // aggregate surface (barrage #3): the mapped set runs…
+    lake.sql("CREATE TABLE ag(id INTEGER, g VARCHAR, x DOUBLE); " +
+      "INSERT INTO ag VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0)")
+    val aggRunnable = Seq(
+      "SELECT median(x) AS v FROM ag", "SELECT mode(g) AS v FROM ag",
+      "SELECT skewness(x) AS v FROM ag", "SELECT kurtosis(x) AS v FROM ag",
+      "SELECT bit_and(id) AS v, bit_or(id) AS w, bit_xor(id) AS u FROM ag",
+      "SELECT corr(x, id) AS v, covar_pop(x, id) AS w FROM ag",
+      "SELECT regr_slope(x, id) AS v, regr_r2(x, id) AS w FROM ag",
+      "SELECT geomean(x) AS v, fsum(x) AS w, favg(x) AS u FROM ag",
+      "SELECT min(x, 2) AS v, max(x, 2) AS w FROM ag",
+      "SELECT quantile_disc(x, 0.5) AS v FROM ag",
+      "SELECT count(*) FILTER (g = 'a') AS v FROM ag",
+      "SELECT sum(x ORDER BY id) AS v FROM ag",
+      "SELECT filter([1,2,3], fx -> fx > 1) AS v FROM ag")
+    val aggBroken = aggRunnable.flatMap { q =>
+      try { lake.sql(q).collect(); None }
+      catch { case e: Throwable =>
+        Some(q + " ==> " + e.getMessage.linesIterator.take(1).mkString) }
+    }
+    assert(aggBroken.isEmpty, aggBroken.mkString("\n"))
+    // …and the no-faithful-composition set stays loud
+    val aggRefused = Seq(
+      "SELECT product(x) AS v FROM ag",   // sign/zero handling + FP order
+      "SELECT entropy(g) AS v FROM ag",   // categorical: needs nested agg
+      "SELECT mad(x) AS v FROM ag",       // median-of-deviations: two-pass
+      "SELECT histogram(g) AS v FROM ag") // value->count map: nested agg
+    val aggSilent = aggRefused.filter(q =>
+      try { lake.sql(q).collect(); true } catch { case _: Throwable => false })
+    assert(aggSilent.isEmpty, aggSilent.mkString("\n"))
+    // the FILTER shorthand fix must not break the higher-order filter()
+    assert(lake.sql("SELECT filter([1,2,3], fx -> fx > 1) AS v FROM ag LIMIT 1")
+      .head().getSeq[Int](0) == Seq(2, 3))
     // spot-check values the rewrites produce
     assert(lake.sql("SELECT 0x1F AS v").head().get(0).toString == "31")
     assert(lake.sql("SELECT 1_000_000 AS v").head().get(0).toString == "1000000")
