@@ -453,10 +453,12 @@ class DuckLakeXLSpark(
     if (remote.exists) pull()
     registerViews()
     var last: Option[DataFrame] = None
-    // explicit-transaction scope: BEGIN snapshots (catalog, macros),
-    // ROLLBACK restores them; COMMIT just closes the scope (the push at
-    // the end of sql() is the durable commit, unchanged)
-    var txnBase: Option[(CatalogState, Map[String, (Seq[String], String)])] = None
+    // explicit-transaction scope: BEGIN snapshots (catalog, macros,
+    // prepared statements, temp tables — DuckDB's temp schema and PREPARE
+    // are transactional too), ROLLBACK restores them; COMMIT just closes
+    // the scope (the push at the end of sql() is the durable commit,
+    // unchanged)
+    var txnBase: Option[TxnSnapshot] = None
     withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>
       // sequence draws evaluate TEXTUALLY on the driver (each occurrence
       // draws once, left to right) — sound for INSERT … VALUES and
@@ -642,7 +644,7 @@ class DuckLakeXLSpark(
           throw new IllegalStateException("unreachable: EXECUTE binds before routing")
         case StatementRouter.Begin =>
           require(txnBase.isEmpty, "transaction is already active")
-          txnBase = Some((state, macros))
+          txnBase = Some(TxnSnapshot(state, macros, prepared, tempTables))
         case StatementRouter.Commit =>
           require(txnBase.isDefined, "no transaction is active")
           txnBase = None
@@ -771,18 +773,34 @@ class DuckLakeXLSpark(
     last.getOrElse(spark.emptyDataFrame)
   }
 
-  /** Restore catalog + macro registry to a BEGIN snapshot (ROLLBACK and
-    * the end-of-script open-transaction guard share this). A CREATE VIEW
-    * inside the transaction registered a temp view; restoring the catalog
-    * alone would leave it resolvable (temp views shadow the DSv2 catalog)
-    * — drop what the txn created. */
-  private def restoreTxnSnapshot(
-      base: (CatalogState, Map[String, (Seq[String], String)])): Unit = {
+  /** Everything a BEGIN must capture so ROLLBACK is complete: catalog,
+    * macros, prepared statements, and temp tables (DuckDB's temp schema
+    * and PREPARE are transactional — a CREATE TEMP TABLE inside
+    * BEGIN…ROLLBACK must not survive). */
+  private case class TxnSnapshot(
+      state: CatalogState,
+      macros: Map[String, (Seq[String], String)],
+      prepared: Map[String, String],
+      tempTables: Map[String, DataFrame])
+
+  /** Restore session registries to a BEGIN snapshot (ROLLBACK and the
+    * end-of-script open-transaction guard share this). A CREATE VIEW or
+    * CREATE TEMP TABLE inside the transaction registered a temp view;
+    * restoring the catalog alone would leave it resolvable (temp views
+    * shadow the DSv2 catalog) — drop what the txn created, and re-register
+    * base temp tables so a txn-dropped or txn-replaced temp resolves to
+    * its pre-BEGIN content again. */
+  private def restoreTxnSnapshot(base: TxnSnapshot): Unit = {
     val txnViews = state.liveViews().map(_.viewName).toSet
-    state = base._1
-    macros = base._2
+    state = base.state
+    macros = base.macros
+    prepared = base.prepared
+    val txnTemps = tempTables
+    tempTables = base.tempTables
     (txnViews -- state.liveViews().map(_.viewName).toSet)
       .foreach(spark.catalog.dropTempView)
+    (txnTemps.keySet -- tempTables.keySet).foreach(spark.catalog.dropTempView)
+    tempTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     registerViews()
   }
 
@@ -2333,14 +2351,32 @@ class DuckLakeXLSpark(
     val post: DataFrame = s.inner match {
       case iv: StatementRouter.InsertValues =>
         require(!isTempTable(iv.table), "RETURNING on a TEMP table is not supported")
-        // a VALUES literal is deterministic — recompute the post-image
-        // instead of checkpointing, keeping the inline/one-file path
-        executeInsertDF(iv.table, iv.cols, valuesDF(iv.table, iv.cols, iv.valuesSql))
-        registerViews()
         val t = requireTable(iv.table)
-        coerceToTableSchema(state.schemaOf(t.tableId), iv.cols,
-          valuesDF(iv.table, iv.cols, iv.valuesSql),
-          defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) })
+        def postImage(): DataFrame =
+          coerceToTableSchema(state.schemaOf(t.tableId), iv.cols,
+            valuesDF(iv.table, iv.cols, iv.valuesSql),
+            defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) })
+        val img = postImage()
+        val volatileRow = img.queryExecution.analyzed
+          .exists(_.expressions.exists(_.find(!_.deterministic).isDefined))
+        if (volatileRow) {
+          // a non-deterministic default or VALUES expression (uuid(),
+          // random()) must be drawn ONCE: checkpoint the coerced rows,
+          // insert FROM the checkpoint, and return that same draw —
+          // recomputing would return values that were never written
+          // (DuckDB returns the written values). Costs the inline/
+          // one-file path, which a volatile row forfeits by nature.
+          val df = img.localCheckpoint(true)
+          executeInsertDF(iv.table, None, df)
+          registerViews()
+          df
+        } else {
+          // a deterministic VALUES literal — recompute the post-image
+          // instead of checkpointing, keeping the inline/one-file path
+          executeInsertDF(iv.table, iv.cols, valuesDF(iv.table, iv.cols, iv.valuesSql))
+          registerViews()
+          postImage()
+        }
       case is: StatementRouter.InsertSelect =>
         require(!isTempTable(is.table), "RETURNING on a TEMP table is not supported")
         require(!StatementRouter.hasCall(is.select, "nextval") && !is.byName,

@@ -30,7 +30,7 @@ object CatalogSchema {
     "ducklake_schema" -> Seq("schema_id", "schema_uuid", "begin_snapshot", "end_snapshot", "schema_name"),
     "ducklake_table" -> Seq("table_id", "table_uuid", "begin_snapshot", "end_snapshot", "schema_id", "table_name"),
     "ducklake_view" -> Seq("view_id", "view_uuid", "begin_snapshot", "end_snapshot", "schema_id", "view_name", "sql"),
-    "ducklake_column" -> Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order", "column_name", "column_type", "nulls_allowed"),
+    "ducklake_column" -> Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order", "column_name", "column_type", "nulls_allowed", "initial_default", "default_value"),
     "ducklake_partition_info" -> Seq("partition_id", "table_id", "begin_snapshot", "end_snapshot"),
     "ducklake_partition_column" -> Seq("partition_id", "table_id", "partition_key_index", "column_id"),
     "ducklake_data_file" -> Seq("data_file_id", "table_id", "begin_snapshot", "end_snapshot", "path", "record_count", "file_size_bytes", "mapping_id"),
@@ -577,11 +577,24 @@ final case class CatalogState(
           views.map(v => Seq(v.viewId.toString, v.viewUuid, v.beginSnapshot.toString,
             optS(v.endSnapshot), v.schemaId.toString, v.viewName, v.sql))),
       XlsxSheet(sheetName("ducklake_column"),
+        // DuckLake v0.1 stores column defaults IN ducklake_column
+        // (initial_default / default_value); internally they version as
+        // column tags (ALTER SET DEFAULT ends one tag and begins the
+        // next), so the sheet renders the ALIVE tag per column — a real
+        // DuckLake reader of this workbook sees the current defaults
         Seq("column_id", "begin_snapshot", "end_snapshot", "table_id", "column_order",
-          "column_name", "column_type", "nulls_allowed") +:
-          columns.map(c => Seq(c.columnId.toString, c.beginSnapshot.toString,
-            optS(c.endSnapshot), c.tableId.toString, c.columnOrder.toString,
-            c.columnName, c.columnType, c.nullsAllowed.toString))),
+          "column_name", "column_type", "nulls_allowed", "initial_default",
+          "default_value") +:
+          columns.map { c =>
+            def aliveTag(key: String): String =
+              columnTags.filter(t => t.tableId == c.tableId &&
+                  t.columnId == c.columnId && t.key == key && t.endSnapshot.isEmpty)
+                .sortBy(_.beginSnapshot).lastOption.map(_.value).getOrElse("")
+            Seq(c.columnId.toString, c.beginSnapshot.toString,
+              optS(c.endSnapshot), c.tableId.toString, c.columnOrder.toString,
+              c.columnName, c.columnType, c.nullsAllowed.toString,
+              aliveTag("initial_default"), aliveTag("default"))
+          }),
       XlsxSheet(sheetName("ducklake_partition_info"),
         Seq("partition_id", "table_id", "begin_snapshot", "end_snapshot") +:
           partitionInfo.map(p => Seq(p.partitionId.toString, p.tableId.toString,
@@ -734,6 +747,31 @@ object CatalogState {
         case _ => Seq.empty
       }
     }.toVector
+    // columns + their tag registry parse together: DuckLake v0.1 carries
+    // column defaults in ducklake_column itself (initial_default /
+    // default_value). A workbook written by a real DuckLake has no
+    // column_tag rows for them — synthesize tags so this engine's
+    // default machinery sees them; our own workbooks also carry the
+    // versioned tags, which win (no duplication).
+    val colMaps = rowsOf("ducklake_column")
+    val parsedColumns = colMaps.map(m => ColumnRow(
+      asLong(m("column_id")), asLong(m("begin_snapshot")),
+      ol(m.getOrElse("end_snapshot", "")), asLong(m("table_id")),
+      asLong(m("column_order")).toInt, m("column_name"), m("column_type"),
+      asBool(m.getOrElse("nulls_allowed", "true")).getOrElse(true))).toVector
+    val parsedColumnTags = rowsOf("ducklake_column_tag").map(m => ColumnTagRow(
+      asLong(m("table_id")), asLong(m("column_id")), asLong(m("begin_snapshot")),
+      ol(m.getOrElse("end_snapshot", "")), m.getOrElse("key", ""),
+      m.getOrElse("value", ""))).toVector
+    val synthesizedTags = colMaps.zip(parsedColumns).flatMap { case (m, c) =>
+      def synth(cellKey: String, tagKey: String): Option[ColumnTagRow] =
+        optCell(m.getOrElse(cellKey, ""))
+          .filter(_ => !parsedColumnTags.exists(t => t.tableId == c.tableId &&
+            t.columnId == c.columnId && t.key == tagKey))
+          .map(v => ColumnTagRow(c.tableId, c.columnId, c.beginSnapshot, None, tagKey, v))
+      synth("initial_default", "initial_default").toSeq ++
+        synth("default_value", "default").toSeq
+    }.distinctBy(t => (t.tableId, t.columnId, t.key)).toVector
     CatalogState(
       metadata = rowsOf("ducklake_metadata")
         .map(m => (m.getOrElse("key", ""), m.getOrElse("value", ""))).toVector
@@ -762,11 +800,7 @@ object CatalogState {
         asLong(m("begin_snapshot")), ol(m.getOrElse("end_snapshot", "")),
         ol(m.getOrElse("schema_id", "")).getOrElse(0L), m("view_name"),
         m.getOrElse("sql", ""))).toVector,
-      columns = rowsOf("ducklake_column").map(m => ColumnRow(
-        asLong(m("column_id")), asLong(m("begin_snapshot")),
-        ol(m.getOrElse("end_snapshot", "")), asLong(m("table_id")),
-        asLong(m("column_order")).toInt, m("column_name"), m("column_type"),
-        asBool(m.getOrElse("nulls_allowed", "true")).getOrElse(true))).toVector,
+      columns = parsedColumns,
       // partition sheets parse defensively (getOrElse) — a foreign tool may
       // have written a partial header before this engine interpreted them
       partitionInfo = rowsOf("ducklake_partition_info").map(m => PartitionInfoRow(
@@ -812,10 +846,7 @@ object CatalogState {
         asLong(m("object_id")), asLong(m("begin_snapshot")),
         ol(m.getOrElse("end_snapshot", "")), m.getOrElse("key", ""),
         m.getOrElse("value", ""))).toVector,
-      columnTags = rowsOf("ducklake_column_tag").map(m => ColumnTagRow(
-        asLong(m("table_id")), asLong(m("column_id")), asLong(m("begin_snapshot")),
-        ol(m.getOrElse("end_snapshot", "")), m.getOrElse("key", ""),
-        m.getOrElse("value", ""))).toVector,
+      columnTags = parsedColumnTags ++ synthesizedTags,
       fileColumnStats = rowsOf("ducklake_file_column_statistics").map(m => FileColumnStatsRow(
         asLong(m("data_file_id")), asLong(m("table_id")), asLong(m("column_id")),
         optCell(m.getOrElse("min_value", "")), optCell(m.getOrElse("max_value", "")),

@@ -716,11 +716,26 @@ object StatementRouter {
               else {
                 // stop at the next constraint keyword OUTSIDE string
                 // literals (a DEFAULT 'not null here' literal must not
-                // truncate the expression)
+                // truncate the expression) and OUTSIDE parens/brackets
+                // (`DEFAULT coalesce(NULL, 7)` must keep its whole call),
+                // and a LEADING lone NULL is itself a valid default
+                // expression (`a INT DEFAULT NULL`)
                 val lm = literalMask(r)
+                val depth = new Array[Int](r.length)
+                var d = 0
+                var di = 0
+                while (di < r.length) {
+                  val c = r.charAt(di)
+                  if (!lm(di) && (c == '(' || c == '[')) d += 1
+                  depth(di) = d
+                  if (!lm(di) && (c == ')' || c == ']')) d -= 1
+                  di += 1
+                }
                 val stopRe = """(?is)\b(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|CHECK|REFERENCES|COLLATE)\b""".r
-                val stop = stopRe.findAllMatchIn(r).map(_.start)
-                  .find(i => !lm(i)).getOrElse(r.length)
+                val stop = stopRe.findAllMatchIn(r)
+                  .filter(m => !(m.start == 0 && m.group(1).equalsIgnoreCase("NULL")))
+                  .map(_.start)
+                  .find(i => !lm(i) && depth(i) == 0).getOrElse(r.length)
                 r.substring(0, stop).trim
               }
             require(e.nonEmpty, s"DEFAULT needs an expression: $p")
@@ -1478,7 +1493,13 @@ object StatementRouter {
     // list length: Spark's size (len/length stay out — DuckDB's work on
     // strings AND lists, Spark's length is string-only; a blind rename
     // would silently string-ify list lengths)
-    "array_length" -> "size")
+    "array_length" -> "size",
+    // volatile row functions: DuckDB random() is uniform [0,1) like
+    // Spark's rand(); gen_random_uuid() == uuid() (v4, rendered as the
+    // canonical hex string here — the same STRING carrier the lake's
+    // UUID column type uses)
+    "random" -> "rand",
+    "gen_random_uuid" -> "uuid")
 
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>

@@ -77,6 +77,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(rt == st)
   }
 
+  test("column defaults live IN the ducklake_column sheet (DuckLake v0.1)") {
+    val st = CatalogState.empty.copy(
+      metadata = Vector("version" -> "0.1"),
+      snapshots = Vector(SnapshotRow(0, "2025-01-01 00:00:00", 0, 9, 1)),
+      schemas = Vector(SchemaRow(1, "uuid-s", 0, None, "main")),
+      tables = Vector(TableRow(2, "uuid-t", 0, None, 1, "t")),
+      columns = Vector(
+        ColumnRow(4, 0, None, 2, 0, "id", "INTEGER", true),
+        ColumnRow(5, 0, None, 2, 1, "v", "INTEGER", true)),
+      columnTags = Vector(
+        ColumnTagRow(2, 5, 0, None, "default", "7"),
+        ColumnTagRow(2, 5, 0, None, "initial_default", "7"),
+        // an ENDED default must not render (it was dropped)
+        ColumnTagRow(2, 4, 0, Some(0), "default", "99")))
+    val sheet = st.toSheets.find(_.name == "column").get
+    val hdr = sheet.rows.head
+    val iDef = hdr.indexOf("initial_default")
+    val iVal = hdr.indexOf("default_value")
+    assert(iDef >= 0 && iVal >= 0)
+    val byId = sheet.rows.tail.map(r => r.head -> r).toMap
+    assert(byId("5")(iDef) == "7" && byId("5")(iVal) == "7")
+    assert(byId("4")(iDef) == "" && byId("4")(iVal) == "")
+    // tag-carrying workbooks round-trip identically (tags win, no dup)
+    assert(CatalogState.fromSheets(st.toSheets) == st)
+    // a FOREIGN DuckLake workbook has the cells but no column_tag rows:
+    // the defaults must still be visible through the tag registry
+    val foreign = st.toSheets.map { s =>
+      if (s.name == "column_tag") s.copy(rows = Seq(s.rows.head)) else s
+    }
+    val ft = CatalogState.fromSheets(foreign)
+    assert(ft.columnTagOf(2, 5, "default").contains("7"))
+    assert(ft.columnTagOf(2, 5, "initial_default").contains("7"))
+    assert(ft.columnTagOf(2, 4, "default").isEmpty)
+  }
+
   test("snapshot-scoped visibility: dropped tables and ended files filtered") {
     val st = CatalogState.empty.copy(
       snapshots = Vector(SnapshotRow(0, "t", 0, 9, 9), SnapshotRow(1, "t", 1, 9, 9),

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+
+/** Round-12 advice closures: DEFAULT expression capture in column
+  * definitions (lone NULL is a valid default; a function call whose
+  * arguments contain constraint keywords — `coalesce(NULL, 7)` — must
+  * not be truncated at the keyword inside its parens), matching
+  * DuckDB's accepted DDL (ducklakexl.py:394 passes DDL through).
+  */
+class R12EdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshLake(): DuckLakeXLSpark = {
+    val dir = Files.createTempDirectory("graft_r12_edge").toString
+    new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+  }
+
+  test("DEFAULT NULL parses as a valid default expression") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE dn(id INTEGER, v VARCHAR DEFAULT NULL)")
+    lake.sql("INSERT INTO dn(id) VALUES (1)")
+    val r = lake.sql("SELECT id, v FROM dn").head()
+    assert(r.getInt(0) == 1 && r.isNullAt(1))
+    // and DEFAULT NULL followed by another constraint still splits there
+    lake.sql("CREATE TABLE dn2(id INTEGER, q INTEGER DEFAULT NULL CHECK (q IS NULL OR q > 0))")
+    lake.sql("INSERT INTO dn2(id) VALUES (1)")
+    assert(lake.sql("SELECT q FROM dn2").head().isNullAt(0))
+    val e = intercept[Exception] { lake.sql("INSERT INTO dn2 VALUES (2, -5)") }
+    assert(e.getMessage != null)
+  }
+
+  test("DEFAULT with keyword-bearing call arguments parses whole") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE dc(id INTEGER, v INTEGER DEFAULT coalesce(NULL, 7))")
+    lake.sql("INSERT INTO dc(id) VALUES (1)")
+    assert(lake.sql("SELECT v FROM dc").head().getInt(0) == 7)
+    // keyword inside parens + a REAL trailing constraint after the call
+    lake.sql("CREATE TABLE dc2(id INTEGER, v INTEGER DEFAULT coalesce(NULL, 7) NOT NULL)")
+    lake.sql("INSERT INTO dc2(id) VALUES (2)")
+    assert(lake.sql("SELECT v FROM dc2").head().getInt(0) == 7)
+    intercept[Exception] { lake.sql("INSERT INTO dc2 VALUES (3, NULL)") }
+  }
+
+  test("ROLLBACK undoes TEMP tables and prepared statements too") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE rt(id INTEGER); INSERT INTO rt VALUES (1),(2)")
+    lake.sql("CREATE TEMP TABLE keepme AS SELECT id FROM rt WHERE id = 1")
+    lake.sql("PREPARE keptstmt AS SELECT count(*) AS c FROM rt")
+    lake.sql(
+      """BEGIN;
+        |CREATE TEMP TABLE txntemp AS SELECT id FROM rt;
+        |CREATE OR REPLACE TEMP TABLE keepme AS SELECT id FROM rt WHERE id = 2;
+        |PREPARE txnstmt AS SELECT 1 AS one;
+        |ROLLBACK""".stripMargin)
+    // txn-created temp + prepared are gone (DuckDB: temp schema and
+    // PREPARE are transactional)
+    assertThrows[Exception] { lake.sql("SELECT * FROM txntemp") }
+    assertThrows[Exception] { lake.sql("EXECUTE txnstmt") }
+    // txn-replaced temp resolves to its pre-BEGIN content again
+    assert(lake.sql("SELECT id FROM keepme").head().getInt(0) == 1)
+    // pre-txn prepared statement still works
+    assert(lake.sql("EXECUTE keptstmt").head().getLong(0) == 2L)
+  }
+
+  test("INSERT…RETURNING with a volatile default returns the WRITTEN draw") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE vr(id INTEGER, uid VARCHAR DEFAULT uuid(), " +
+      "r DOUBLE DEFAULT random())")
+    val ret = lake.sql("INSERT INTO vr(id) VALUES (1), (2) RETURNING id, uid, r")
+      .collect().sortBy(_.getInt(0))
+    val stored = lake.sql("SELECT id, uid, r FROM vr ORDER BY id").collect()
+    assert(ret.length == 2 && stored.length == 2)
+    ret.zip(stored).foreach { case (a, b) =>
+      assert(a.getInt(0) == b.getInt(0))
+      // the returned values must BE the stored values, not a fresh draw
+      assert(a.getString(1) == b.getString(1))
+      assert(a.getDouble(2) == b.getDouble(2))
+    }
+    // each row drew its own uuid
+    assert(stored(0).getString(1) != stored(1).getString(1))
+    // the deterministic fast path still returns the literal post-image
+    val det = lake.sql("INSERT INTO vr(id, uid, r) VALUES (3, 'x', 0.5) " +
+      "RETURNING id, uid, r").head()
+    assert(det.getInt(0) == 3 && det.getString(1) == "x" && det.getDouble(2) == 0.5)
+  }
+}
