@@ -147,6 +147,21 @@ class DuckLakeXLSpark(
           "__graft_regexp_replace_first(subject, pattern, replacement)")
         graft.functions.RegexpReplaceFirst(exprs(0), exprs(1), exprs(2))
       })
+    // profiling aggregates (DuckDB histogram/entropy/mad/product): native
+    // partial-able TypedImperativeAggregates — the dialect rewrites route
+    // the DuckDB spellings here (the analyzer wraps an AggregateFunction
+    // returned from a registry builder into its AggregateExpression)
+    def reg1(name: String, mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+        spark, name, { exprs =>
+          require(exprs.length == 1, s"$name(x)")
+          mk(exprs.head)
+        })
+    reg1("__graft_histogram", graft.functions.HistogramAgg(_))
+    reg1("__graft_entropy", graft.functions.EntropyAgg(_))
+    reg1("__graft_mad", graft.functions.MadAgg(_))
+    reg1("__graft_product", graft.functions.ProductAgg(_))
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)

@@ -1501,6 +1501,52 @@ object StatementRouter {
     "random" -> "rand",
     "gen_random_uuid" -> "uuid")
 
+  /** parse a literal INTERVAL expression — quoted (`INTERVAL '1 hour 30
+    * minutes'`) or bare (`INTERVAL 1 DAY`) — into (months, micros).
+    * DuckDB refuses month widths mixed with day/time parts, so callers
+    * treat (m>0, us>0) as unmappable. Non-literal intervals -> None.
+    */
+  private[lake] def parseIntervalLiteral(s0: String): Option[(Long, Long)] = {
+    val s = s0.trim
+    val body =
+      """(?is)^INTERVAL\s+'([^']+)'$""".r.findFirstMatchIn(s).map(_.group(1))
+        .orElse("""(?is)^INTERVAL\s+([0-9][0-9_ a-z]*)$""".r
+          .findFirstMatchIn(s).map(_.group(1)))
+    body.flatMap { b =>
+      val parts = """(\d+)\s*([a-zA-Z]+)""".r.findAllMatchIn(b).toSeq
+      // reject anything the pair-scan did not fully consume ('1 x 2')
+      if (parts.isEmpty || b.replaceAll("\\s+", "").length !=
+          parts.map(m => m.group(1).length + m.group(2).length).sum) None
+      else {
+        var months = 0L
+        var micros = 0L
+        var ok = true
+        parts.foreach { m =>
+          val n = m.group(1).toLong
+          val u0 = m.group(2).toLowerCase(java.util.Locale.ROOT)
+          // plural strip, but 'ms'/'us' are units of their own
+          val u = if (u0.length > 2 && u0.endsWith("s")) u0.dropRight(1) else u0
+          u match {
+            case "microsecond" | "us" => micros += n
+            case "millisecond" | "ms" => micros += n * 1000L
+            case "second" | "sec"   => micros += n * 1000000L
+            case "minute" | "min"   => micros += n * 60000000L
+            case "hour"             => micros += n * 3600000000L
+            case "day"              => micros += n * 86400000000L
+            case "week"             => micros += n * 7L * 86400000000L
+            case "month" | "mon"    => months += n
+            case "quarter"          => months += n * 3L
+            case "year"             => months += n * 12L
+            case "decade"           => months += n * 120L
+            case "century"          => months += n * 1200L
+            case _                  => ok = false
+          }
+        }
+        if (ok && (months == 0L || micros == 0L)) Some((months, micros)) else None
+      }
+    }
+  }
+
   private def renameFns(seg: String): String =
     FnRenames.foldLeft(seg) { case (acc, (from, to)) =>
       acc.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
@@ -2012,24 +2058,7 @@ object StatementRouter {
                   // the default — drop the modifier
                   q = q.substring(0, open + 1) + frame + q.substring(close)
                   from = overStart + 1
-                } else if (mod != "CURRENT ROW") {
-                  throw new IllegalArgumentException(
-                    s"window frame EXCLUDE $mod is not supported (needs peer-" +
-                    "group bookkeeping Spark windows cannot express); EXCLUDE " +
-                    "CURRENT ROW and EXCLUDE NO OTHERS are")
                 } else {
-                  // frame must contain the current row for minus-current
-                  val f = frame.toUpperCase(java.util.Locale.ROOT)
-                  val contains =
-                    !f.contains(" PRECEDING AND") || f.contains("AND CURRENT ROW") ||
-                      f.contains("FOLLOWING")
-                  val bothPreceding = """(?s).*PRECEDING\s+AND\s+\d+\s+PRECEDING.*""".r
-                    .matches(f)
-                  val bothFollowing = """(?s).*\bBETWEEN\s+\d+\s+FOLLOWING.*""".r.matches(f)
-                  require(contains && !bothPreceding && !bothFollowing,
-                    s"EXCLUDE CURRENT ROW over a frame that does not contain " +
-                    s"the current row ($frame) — nothing to exclude; remove the " +
-                    "modifier")
                   // the aggregate call directly before OVER
                   val callStart = primaryStart(q, overStart)
                   require(callStart >= 0, "cannot locate the window function for EXCLUDE")
@@ -2040,25 +2069,91 @@ object StatementRouter {
                   val fn = callText.substring(0, fnOpen).trim.toLowerCase(java.util.Locale.ROOT)
                   val arg = callText.substring(fnOpen + 1, callText.length - 1).trim
                   val over = s"OVER (${frame.trim})"
-                  // rows REMAINING after the exclusion: when zero, the
-                  // excluded aggregate is NULL (sum over no rows), not 0
-                  def remaining =
-                    s"((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END))"
-                  val rep = fn match {
-                    case "sum" =>
-                      s"(CASE WHEN $remaining = 0 THEN NULL " +
-                      s"ELSE (sum($arg) $over) - coalesce($arg, 0) END)"
-                    case "count" if arg == "*" || arg == "1" =>
-                      s"((count($arg) $over) - 1)"
-                    case "count" =>
+                  val rep = if (mod == "CURRENT ROW") {
+                    // frame must contain the current row for minus-current
+                    val f = frame.toUpperCase(java.util.Locale.ROOT)
+                    val contains =
+                      !f.contains(" PRECEDING AND") || f.contains("AND CURRENT ROW") ||
+                        f.contains("FOLLOWING")
+                    val bothPreceding = """(?s).*PRECEDING\s+AND\s+\d+\s+PRECEDING.*""".r
+                      .matches(f)
+                    val bothFollowing = """(?s).*\bBETWEEN\s+\d+\s+FOLLOWING.*""".r.matches(f)
+                    require(contains && !bothPreceding && !bothFollowing,
+                      s"EXCLUDE CURRENT ROW over a frame that does not contain " +
+                      s"the current row ($frame) — nothing to exclude; remove the " +
+                      "modifier")
+                    // rows REMAINING after the exclusion: when zero, the
+                    // excluded aggregate is NULL (sum over no rows), not 0
+                    def remaining =
                       s"((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END))"
-                    case "avg" =>
-                      s"(CAST((sum($arg) $over) - coalesce($arg, 0) AS DOUBLE) / " +
-                      s"nullif((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END), 0))"
-                    case other => throw new IllegalArgumentException(
-                      s"EXCLUDE CURRENT ROW is supported for sum / count / avg " +
-                      s"(frame minus current-row contribution); '$other' has no " +
-                      "such decomposition — rewrite the query without EXCLUDE")
+                    fn match {
+                      case "sum" =>
+                        s"(CASE WHEN $remaining = 0 THEN NULL " +
+                        s"ELSE (sum($arg) $over) - coalesce($arg, 0) END)"
+                      case "count" if arg == "*" || arg == "1" =>
+                        s"((count($arg) $over) - 1)"
+                      case "count" =>
+                        s"((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END))"
+                      case "avg" =>
+                        s"(CAST((sum($arg) $over) - coalesce($arg, 0) AS DOUBLE) / " +
+                        s"nullif((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END), 0))"
+                      case other => throw new IllegalArgumentException(
+                        s"EXCLUDE CURRENT ROW is supported for sum / count / avg " +
+                        s"(frame minus current-row contribution); '$other' has no " +
+                        "such decomposition — rewrite the query without EXCLUDE")
+                    }
+                  } else {
+                    // EXCLUDE GROUP / TIES (r12): frame-aggregate minus the
+                    // PEER-GROUP aggregate (a second window over the same
+                    // partition+order with RANGE BETWEEN CURRENT ROW AND
+                    // CURRENT ROW — exactly the order-key peers); TIES adds
+                    // the current row's own contribution back. Sound only
+                    // when the frame contains the WHOLE peer group: any
+                    // RANGE frame spanning value-distance 0, or ROWS over
+                    // the full partition — anything else stays loud.
+                    val fs = """(?is)^(.*?)\s*\b(ROWS|RANGE|GROUPS)\s+(.*)$""".r
+                    val (po, mode, bounds) = frame.trim match {
+                      case fs(p, md, b) =>
+                        (p.trim, md.toUpperCase(java.util.Locale.ROOT),
+                          b.toUpperCase(java.util.Locale.ROOT).trim)
+                      // no explicit frame: the default is RANGE UNBOUNDED
+                      // PRECEDING AND CURRENT ROW — peer-complete
+                      case other => (other.trim, "RANGE",
+                        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+                    }
+                    require("""(?is).*\bORDER\s+BY\b.*""".r.matches(po),
+                      s"EXCLUDE $mod needs an ORDER BY (peers are the order-key equals)")
+                    val wholePeers = mode match {
+                      case "RANGE" =>
+                        !("""(?s).*PRECEDING\s+AND\s+\S+\s+PRECEDING.*""".r.matches(bounds) ||
+                          """(?s).*\bBETWEEN\s+\S+\s+FOLLOWING.*""".r.matches(bounds))
+                      case "ROWS" =>
+                        bounds.replaceAll("\\s+", " ") ==
+                          "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+                      case _ => false
+                    }
+                    require(wholePeers,
+                      s"EXCLUDE $mod over a $mode frame that may not contain the " +
+                      "whole peer group has no frame-minus-peer-group " +
+                      "decomposition — use a RANGE frame spanning the current " +
+                      "row, or ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+                    val pover = s"OVER ($po RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+                    val back = mod == "TIES"
+                    def cnt = s"((count($arg) $over) - (count($arg) $pover)" +
+                      (if (!back) ""
+                       else if (arg == "*" || arg == "1") " + 1"
+                       else s" + (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)") + ")"
+                    def sm = s"((sum($arg) $over) - coalesce(sum($arg) $pover, 0)" +
+                      (if (back) s" + coalesce($arg, 0)" else "") + ")"
+                    fn match {
+                      case "count" => cnt
+                      case "sum"   => s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sm END)"
+                      case "avg"   => s"(CAST($sm AS DOUBLE) / nullif($cnt, 0))"
+                      case other => throw new IllegalArgumentException(
+                        s"window frame EXCLUDE $mod is supported for sum / count " +
+                        s"/ avg; '$other' has no frame-minus-peer-group " +
+                        "decomposition — rewrite the query without EXCLUDE")
+                    }
                   }
                   q = q.substring(0, callStart) + rep + q.substring(close + 1)
                   from = callStart + rep.length
@@ -3219,6 +3314,64 @@ object StatementRouter {
           m.findFirstMatchIn(one).map(mm => s"$fn(${mm.group(1).trim})")
         case _ => None
       }
+    // profiling aggregates -> the native registrations (r12): histogram
+    // builds the value->count MAP (keys ascending, bounded+loud),
+    // entropy is Shannon log2 over the same counts, mad is the
+    // interpolated median-of-deviations, product multiplies exactly
+    // (sign/zero/NULL semantics measured against DuckDB)
+    q = rewriteCalls(q, "histogram") {
+      case Seq(a) => Some(s"__graft_histogram($a)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "entropy") {
+      case Seq(a) => Some(s"__graft_entropy($a)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "mad") {
+      case Seq(a) => Some(s"__graft_mad(CAST(($a) AS DOUBLE))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "product") {
+      case Seq(a) => Some(s"__graft_product(CAST(($a) AS DOUBLE))")
+      case _ => None
+    }
+    // time_bucket (r12): the TimescaleDB-style bucketing DuckDB ships.
+    // Measured semantics: sub-day widths floor in epoch MICROS (exact
+    // integer math, floor-toward-minus-infinity via pmod); widths that
+    // are whole days (including '48 hours') count days from the origin
+    // Monday DATE '2000-01-03'; month-based widths count whole months
+    // from DATE '2000-01-01'. An INTERVAL third arg shifts in, buckets,
+    // shifts back. Result is TIMESTAMP (DuckDB keeps DATE for DATE
+    // inputs on day/month widths — divergence accepted over a silent
+    // wrong value; a runtime type dispatch has no textual spelling).
+    // Non-literal widths and the TIMESTAMP-origin form stay LOUD.
+    q = rewriteCalls(q, "time_bucket") { args =>
+      def bucket(w: String, ts: String): Option[String] =
+        parseIntervalLiteral(w).flatMap { case (months, micros) =>
+          if (months > 0 && micros == 0L) {
+            val mb = s"CAST(months_between(trunc(CAST(($ts) AS DATE), 'MM'), " +
+              "DATE '2000-01-01') AS BIGINT)"
+            Some(s"CAST(add_months(DATE '2000-01-01', " +
+              s"CAST(($mb - pmod($mb, $months)) AS INT)) AS TIMESTAMP)")
+          } else if (months == 0L && micros > 0L && micros % 86400000000L == 0L) {
+            val d = micros / 86400000000L
+            val dd = s"CAST(datediff(CAST(($ts) AS DATE), DATE '2000-01-03') AS BIGINT)"
+            Some(s"CAST(date_add(DATE '2000-01-03', " +
+              s"CAST(($dd - pmod($dd, $d)) AS INT)) AS TIMESTAMP)")
+          } else if (months == 0L && micros > 0L) {
+            val us = s"unix_micros(CAST(($ts) AS TIMESTAMP))"
+            Some(s"timestamp_micros($us - pmod($us, ${micros}L))")
+          } else None
+        }
+      args match {
+        case Seq(w, ts) => bucket(w, ts)
+        case Seq(w, ts, off)
+            if off.trim.toUpperCase(java.util.Locale.ROOT).startsWith("INTERVAL") &&
+              parseIntervalLiteral(off).isDefined =>
+          bucket(w, s"(($ts) - ($off))").map(b => s"($b + ($off))")
+        case _ => None
+      }
+    }
     // mismatches is DuckDB's alias for hamming — rewrite the alias to
     // the canonical name FIRST so the hamming pass below expands both
     q = rewriteCalls(q, "mismatches") {

@@ -980,6 +980,49 @@ object QueriesLake {
     // frame-aggregate minus the current row's contribution for
     // sum/count/avg — StatementRouter.rewriteWindowExclude); the oracle
     // runs the identical text natively in DuckDB
+    // r12: window EXCLUDE GROUP / TIES — frame-aggregate minus the
+    // peer-group aggregate (a second window with RANGE BETWEEN CURRENT
+    // ROW AND CURRENT ROW), TIES adding the current row back; NULL
+    // members and whole-peer-group frames covered (values measured
+    // against DuckDB; the oracle replays the IDENTICAL text)
+    "q_lake_dialect23" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT id, g, k, v,
+          |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          |    EXCLUDE GROUP) AS BIGINT) AS s_xgrp,
+          |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          |    EXCLUDE TIES) AS BIGINT) AS s_xties,
+          |  CAST(count(v) OVER (PARTITION BY g ORDER BY k
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS c_xgrp,
+          |  round(avg(v) OVER (PARTITION BY g ORDER BY k
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES), 3) AS a_xties,
+          |  CAST(count(*) OVER (PARTITION BY g ORDER BY k
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS cs_xties
+          |FROM (VALUES (1,'a',1,10),(2,'a',1,NULL),(3,'a',2,30),(4,'a',2,40),(5,'a',3,50),
+          |             (6,'b',1,5),(7,'b',1,7)) t(id, g, k, v)
+          |ORDER BY id""".stripMargin)
+    },
+    // r12: time_bucket — sub-day widths epoch-align in micros, whole-day
+    // widths count from Monday 2000-01-03, month widths from 2000-01-01,
+    // the INTERVAL offset shifts in/out (all measured; the oracle
+    // replays the IDENTICAL text). VARCHAR-cast outputs per §7.5.
+    "q_lake_dialect22" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST(time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS b15,
+          |  CAST(time_bucket(INTERVAL '1 hour 30 minutes', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS b90,
+          |  CAST(time_bucket(INTERVAL '10 seconds', TIMESTAMP '1969-12-31 23:59:55') AS VARCHAR) AS bneg,
+          |  CAST(time_bucket(INTERVAL '2 days', TIMESTAMP '1999-12-31 10:00:00') AS VARCHAR) AS b2d,
+          |  CAST(time_bucket(INTERVAL '48 hours', TIMESTAMP '2024-03-16 10:37:22') AS VARCHAR) AS b48h,
+          |  CAST(time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS bwk,
+          |  CAST(time_bucket(INTERVAL '3 months', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS b3mo,
+          |  CAST(time_bucket(INTERVAL '2 months', TIMESTAMP '1999-11-15 10:00:00') AS VARCHAR) AS b2mo,
+          |  CAST(time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-15 10:37:22', INTERVAL '5 minutes') AS VARCHAR) AS boff""".stripMargin)
+    },
     "q_lake_dialect21" -> { (s, _) =>
       val lake = freshLake(s)
       lake.sql(
@@ -1037,6 +1080,26 @@ object QueriesLake {
           |       CAST(count(*) FILTER (g = 'a') AS BIGINT) AS cf,
           |       round(sum(x ORDER BY id), 6) AS so
           |FROM (SELECT id, g, CAST(x AS DOUBLE) AS x FROM (VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0)) t0(id, g, x)) t""".stripMargin)
+    },
+    // r12 profiling aggregates (top r11 refusals): histogram / entropy /
+    // mad / product as native partial-able TypedImperativeAggregates
+    // (functions/ProfileAggs.scala) — the histogram MAP serializes to a
+    // canonical `k:v,...` string on BOTH sides (the r11 ARRAY-output
+    // lesson: oracle rows emit atomic types only); DuckDB replays the
+    // IDENTICAL text
+    "q_lake_profile_aggs" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT g,
+          |  round(product(x), 6) AS pr,
+          |  round(entropy(c), 6) AS en,
+          |  round(mad(x), 6) AS md,
+          |  array_to_string(list_transform(map_entries(histogram(c)),
+          |    e -> concat(e.key, ':', e.value)), ',') AS hg
+          |FROM (SELECT g, c, CAST(x AS DOUBLE) AS x FROM (VALUES
+          |  ('a','u',1.0),('a','v',2.0),('a','u',3.0),
+          |  ('b','w',0.5),('b','w',-4.0),('b','u',2.5)) t0(g,c,x)) t
+          |GROUP BY g ORDER BY g""".stripMargin)
     },
     // r11: USING SAMPLE — the seeded row-count form is DETERMINISTIC by
     // definition here (md5 rank over (seed, row values), see
@@ -1377,6 +1440,34 @@ object QueriesLake {
     "q_lake_temp" ->
       ("SELECT * FROM (VALUES (2,'b','B'),(3,'c','C'),(4,'d','D')) " +
        "t(id, v, vu) ORDER BY id"),
+    "q_lake_dialect23" ->
+      """SELECT id, g, k, v,
+        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS s_xgrp,
+        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE TIES) AS BIGINT) AS s_xties,
+        |  CAST(count(v) OVER (PARTITION BY g ORDER BY k
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS c_xgrp,
+        |  round(avg(v) OVER (PARTITION BY g ORDER BY k
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES), 3) AS a_xties,
+        |  CAST(count(*) OVER (PARTITION BY g ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS cs_xties
+        |FROM (VALUES (1,'a',1,10),(2,'a',1,NULL),(3,'a',2,30),(4,'a',2,40),(5,'a',3,50),
+        |             (6,'b',1,5),(7,'b',1,7)) t(id, g, k, v)
+        |ORDER BY id""".stripMargin,
+    "q_lake_dialect22" ->
+      """SELECT
+        |  CAST(time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS b15,
+        |  CAST(time_bucket(INTERVAL '1 hour 30 minutes', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS b90,
+        |  CAST(time_bucket(INTERVAL '10 seconds', TIMESTAMP '1969-12-31 23:59:55') AS VARCHAR) AS bneg,
+        |  CAST(time_bucket(INTERVAL '2 days', TIMESTAMP '1999-12-31 10:00:00') AS VARCHAR) AS b2d,
+        |  CAST(time_bucket(INTERVAL '48 hours', TIMESTAMP '2024-03-16 10:37:22') AS VARCHAR) AS b48h,
+        |  CAST(time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS bwk,
+        |  CAST(time_bucket(INTERVAL '3 months', TIMESTAMP '2024-03-15 10:37:22') AS VARCHAR) AS b3mo,
+        |  CAST(time_bucket(INTERVAL '2 months', TIMESTAMP '1999-11-15 10:00:00') AS VARCHAR) AS b2mo,
+        |  CAST(time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-15 10:37:22', INTERVAL '5 minutes') AS VARCHAR) AS boff""".stripMargin,
     "q_lake_dialect21" ->
       """SELECT id, g,
         |  CAST(sum(v) OVER w AS BIGINT) AS s_run,
@@ -1416,6 +1507,17 @@ object QueriesLake {
         |  array_to_string(string_to_array('a|b', '|'), '+') AS sta,
         |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
         |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin,
+    "q_lake_profile_aggs" ->
+      """SELECT g,
+        |  round(product(x), 6) AS pr,
+        |  round(entropy(c), 6) AS en,
+        |  round(mad(x), 6) AS md,
+        |  array_to_string(list_transform(map_entries(histogram(c)),
+        |    e -> concat(e.key, ':', e.value)), ',') AS hg
+        |FROM (SELECT g, c, CAST(x AS DOUBLE) AS x FROM (VALUES
+        |  ('a','u',1.0),('a','v',2.0),('a','u',3.0),
+        |  ('b','w',0.5),('b','w',-4.0),('b','u',2.5)) t0(g,c,x)) t
+        |GROUP BY g ORDER BY g""".stripMargin,
     "q_lake_constraints" ->
       ("SELECT * FROM (VALUES (1, 'a', 1, 'none'), (2, 'b', 5, 'none'), " +
        "(3, 'c', 7, 'none')) t(id, name, qty, tag) ORDER BY id"),

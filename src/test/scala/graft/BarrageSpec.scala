@@ -69,7 +69,10 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT gamma(5) AS v FROM b",
       "SELECT nextafter(1.0, 2.0) AS v FROM b",
       "SELECT x // 1 AS v FROM b",                             // double floor-div
-      "SELECT time_bucket(INTERVAL 1 DAY, d) AS v FROM b")
+      // time_bucket with a non-literal width / TIMESTAMP origin: no
+      // static rewrite (the literal-width forms run — r12)
+      "SELECT time_bucket(INTERVAL (id) DAY, d) AS v FROM b",
+      "SELECT time_bucket(INTERVAL 1 DAY, d, TIMESTAMP '2000-02-01') AS v FROM b")
     val broken = runnable.flatMap { q =>
       try { lake.sql(q).collect(); None }
       catch { case e: Throwable =>
@@ -81,6 +84,32 @@ class BarrageSpec extends AnyFunSuite {
     assert(silent.isEmpty,
       s"known-refused spellings now run — verify values and move the pin:\n" +
       silent.mkString("\n"))
+    // r12 time_bucket values, measured against DuckDB 1.0: sub-day
+    // widths epoch-align (floor toward -inf), whole-day widths count
+    // from Monday 2000-01-03, month widths from 2000-01-01, the
+    // INTERVAL offset shifts in/out, '48 hours' == '2 days'
+    def tb(sql: String): String =
+      lake.sql(sql).head().getTimestamp(0).toString
+    assert(tb("SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-15 10:37:22') AS v")
+      == "2024-03-15 10:30:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '1 hour 30 minutes', TIMESTAMP '2024-03-15 10:37:22') AS v")
+      == "2024-03-15 10:30:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '10 seconds', TIMESTAMP '1969-12-31 23:59:55') AS v")
+      == "1969-12-31 23:59:50.0")
+    assert(tb("SELECT time_bucket(INTERVAL '2 days', TIMESTAMP '1999-12-31 10:00:00') AS v")
+      == "1999-12-30 00:00:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '48 hours', TIMESTAMP '2024-03-16 10:37:22') AS v")
+      == "2024-03-15 00:00:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-15 10:37:22') AS v")
+      == "2024-03-11 00:00:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '3 months', TIMESTAMP '2024-03-15 10:37:22') AS v")
+      == "2024-01-01 00:00:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '2 months', TIMESTAMP '1999-11-15 10:00:00') AS v")
+      == "1999-11-01 00:00:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-15 10:37:22', INTERVAL '5 minutes') AS v")
+      == "2024-03-15 10:35:00.0")
+    assert(tb("SELECT time_bucket(INTERVAL 1 DAY, TIMESTAMP '2024-03-15 10:37:22') AS v")
+      == "2024-03-15 00:00:00.0")
   }
 
   test("statement-shape barrage: runnable set runs, refusals stay loud") {
@@ -142,22 +171,45 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT quantile_disc(x, 0.5) AS v FROM ag",
       "SELECT count(*) FILTER (g = 'a') AS v FROM ag",
       "SELECT sum(x ORDER BY id) AS v FROM ag",
-      "SELECT filter([1,2,3], fx -> fx > 1) AS v FROM ag")
+      "SELECT filter([1,2,3], fx -> fx > 1) AS v FROM ag",
+      // r12: the native profiling aggregates
+      "SELECT product(x) AS v FROM ag", "SELECT entropy(g) AS v FROM ag",
+      "SELECT mad(x) AS v FROM ag", "SELECT histogram(g) AS v FROM ag")
     val aggBroken = aggRunnable.flatMap { q =>
       try { lake.sql(q).collect(); None }
       catch { case e: Throwable =>
         Some(q + " ==> " + e.getMessage.linesIterator.take(1).mkString) }
     }
     assert(aggBroken.isEmpty, aggBroken.mkString("\n"))
-    // …and the no-faithful-composition set stays loud
-    val aggRefused = Seq(
-      "SELECT product(x) AS v FROM ag",   // sign/zero handling + FP order
-      "SELECT entropy(g) AS v FROM ag",   // categorical: needs nested agg
-      "SELECT mad(x) AS v FROM ag",       // median-of-deviations: two-pass
-      "SELECT histogram(g) AS v FROM ag") // value->count map: nested agg
-    val aggSilent = aggRefused.filter(q =>
-      try { lake.sql(q).collect(); true } catch { case _: Throwable => false })
-    assert(aggSilent.isEmpty, aggSilent.mkString("\n"))
+    // r12 profiling-aggregate values, measured against DuckDB 1.0:
+    // product keeps IEEE signed zero and NULLs out; entropy is log2 with
+    // all-NULL -> 0.0; mad interpolates both medians; histogram sorts
+    // keys ascending and skips NULL keys
+    assert(lake.sql("SELECT product(x) AS v FROM ag").head().getDouble(0) == 24.0)
+    assert(lake.sql(
+      "SELECT product(x) AS v FROM (VALUES (2.0),(0.0),(-4.0)) t(x)")
+      .head().getDouble(0).toString == "-0.0")
+    assert(lake.sql("SELECT product(x) AS v FROM (SELECT x FROM ag WHERE false) t")
+      .head().isNullAt(0))
+    assert(math.abs(lake.sql(
+      "SELECT entropy(g) AS v FROM (VALUES ('b'),('a'),('b')) t(g)")
+      .head().getDouble(0) - 0.9182958340544893) < 1e-12)
+    assert(lake.sql("SELECT entropy(g) AS v FROM (VALUES (CAST(NULL AS VARCHAR))) t(g)")
+      .head().getDouble(0) == 0.0)
+    assert(lake.sql(
+      "SELECT mad(x) AS v FROM (VALUES (1.0),(2.0),(4.0),(100.0)) t(x)")
+      .head().getDouble(0) == 1.5)
+    assert(lake.sql("SELECT mad(x) AS v FROM (VALUES (1.0),(2.0)) t(x)")
+      .head().getDouble(0) == 0.5)
+    val hist = lake.sql(
+      "SELECT histogram(g) AS v FROM (VALUES ('b'),('a'),('b'),(NULL)) t(g)")
+      .head().getMap[String, Long](0)
+    assert(hist.toSeq == Seq("a" -> 1L, "b" -> 2L))
+    // histogram in a GROUP BY keeps per-group maps
+    val hg = lake.sql("SELECT g, histogram(id) AS v FROM ag GROUP BY g ORDER BY g")
+      .collect()
+    assert(hg(0).getMap[Int, Long](1).toSeq == Seq(1 -> 1L, 2 -> 1L))
+    assert(hg(1).getMap[Int, Long](1).toSeq == Seq(3 -> 1L, 4 -> 1L))
     // the FILTER shorthand fix must not break the higher-order filter()
     assert(lake.sql("SELECT filter([1,2,3], fx -> fx > 1) AS v FROM ag LIMIT 1")
       .head().getSeq[Int](0) == Seq(2, 3))

@@ -67,6 +67,30 @@ class R12EdgeSpec extends AnyFunSuite {
     assert(lake.sql("EXECUTE keptstmt").head().getLong(0) == 2L)
   }
 
+  test("window EXCLUDE GROUP/TIES: supported frames run, the rest stay loud") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE wg(id INTEGER, k INTEGER, v INTEGER); " +
+      "INSERT INTO wg VALUES (1,1,10),(2,1,20),(3,2,30)")
+    // whole-partition RANGE frame: GROUP excludes self + peers
+    val r = lake.sql(
+      """SELECT id, CAST(sum(v) OVER (ORDER BY k
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |  EXCLUDE GROUP) AS BIGINT) AS s FROM wg ORDER BY id""".stripMargin)
+      .collect()
+    assert(r.map(x => Option(x.get(1)).map(_.toString).orNull).toSeq ==
+      Seq("30", "30", "30"))
+    def bad(q: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { lake.sql(q) }
+      assert(e.getMessage.contains(needle), s"$q -> ${e.getMessage}")
+    }
+    // a non-decomposable function stays loud under GROUP/TIES too
+    bad("SELECT max(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING " +
+        "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM wg", "max")
+    // a RANGE frame that never spans the peer group stays loud
+    bad("SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND " +
+        "2 PRECEDING EXCLUDE TIES) FROM wg", "EXCLUDE TIES")
+  }
+
   test("INSERT…RETURNING with a volatile default returns the WRITTEN draw") {
     val lake = freshLake()
     lake.sql("CREATE TABLE vr(id INTEGER, uid VARCHAR DEFAULT uuid(), " +
