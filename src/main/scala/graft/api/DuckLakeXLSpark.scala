@@ -1350,12 +1350,25 @@ class DuckLakeXLSpark(
             regexp_extract(input_file_name(),
               java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
               .cast(dt).as(c.columnName)
-          case None =>
-            state.columnTagOf(c.tableId, c.columnId, "initial_default", snapshot)
-              .map(dexpr).getOrElse(lit(null)).cast(dt).as(c.columnName)
+          case None => initialDefaultFill(c, dt, snapshot)
         }
       }
     }: _*)
+
+  /** the fill for a column a file epoch does not carry: its
+    * `initial_default` (or NULL), rendered through the INTERVAL text
+    * carrier when the column is logically INTERVAL — the same coercion
+    * every write of the column gets */
+  private def initialDefaultFill(c: ColumnRow, dt: DataType, snapshot: Long): Column = {
+    val d0 = state.columnTagOf(c.tableId, c.columnId, "initial_default", snapshot)
+      .map(dexpr).getOrElse(lit(null))
+    val d = if (c.columnType.trim.equalsIgnoreCase("INTERVAL"))
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.IntervalText(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(d0)))
+    else d0
+    d.cast(dt).as(c.columnName)
+  }
 
   /** time travel: the table as of a snapshot id. The scan goes through a
     * [[DuckLakeFileIndex]], so pushed-down predicates prune the file list
@@ -1469,9 +1482,7 @@ class DuckLakeXLSpark(
               regexp_extract(input_file_name(),
                 java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
                 .cast(dt).as(c.columnName)
-            case None =>
-              state.columnTagOf(c.tableId, c.columnId, "initial_default", snapshot)
-                .map(dexpr).getOrElse(lit(null)).cast(dt).as(c.columnName)
+            case None => initialDefaultFill(c, dt, snapshot)
           }
         }
       } ++ Seq(
@@ -2488,12 +2499,38 @@ class DuckLakeXLSpark(
     val defaults = defaultTextsOf(t)
     def defaultText(i: Int): String =
       if (i < names.length) defaults.getOrElse(names(i).toLowerCase, "NULL") else "NULL"
+    // INTERVAL-destined cells: Spark's interval parse cannot carry
+    // DuckDB's day/time split ('2 days' and '48 hours' are one micros
+    // value, and year-month vs day-time literals have no common VALUES
+    // type), so a BARE interval-literal cell canonicalizes TEXTUALLY
+    // here — the only layer where the source spelling still exists.
+    // Non-literal interval expressions fall through to the runtime
+    // coercion (coerceValue/IntervalText).
+    val ivPos: Set[Int] = {
+      val types = state.columnsOf(t.tableId)
+        .map(c => c.columnName.toLowerCase -> c.columnType).toMap
+      names.zipWithIndex.collect { case (n, i)
+        if types.get(n.toLowerCase).exists(_.trim.equalsIgnoreCase("INTERVAL")) => i
+      }.toSet
+    }
+    val ivLitRe = """(?is)^INTERVAL\s+(?:'[^']*'|[0-9][0-9_ a-zA-Z]*)$""".r
+    def canonCell(it: String, i: Int): String = {
+      val c = it.trim
+      if (ivPos.contains(i) && ivLitRe.matches(c))
+        try {
+          val (m, d, us) = graft.functions.IntervalText.parse(c)
+          "'" + graft.functions.IntervalText.render(m, d, us) + "'"
+        } catch { case _: IllegalArgumentException => it }
+      else it
+    }
+    val hasDefaultTok = "(?i)\\bDEFAULT\\b".r.findFirstIn(valuesSql0).isDefined
     val valuesSql =
       if (valuesSql0.trim.equalsIgnoreCase("DEFAULT VALUES"))
         "VALUES (" + names.indices.map(defaultText).mkString(", ") + ")"
-      else if (!"(?i)\\bDEFAULT\\b".r.findFirstIn(valuesSql0).isDefined) valuesSql0
+      else if (!hasDefaultTok && ivPos.isEmpty) valuesSql0
       else {
-        // substitute bare DEFAULT tokens per value position
+        // substitute bare DEFAULT tokens / canonicalize bare interval
+        // literals per value position
         val tail = valuesSql0.trim.replaceFirst("(?is)^VALUES", "")
         val rows = StatementRouter.splitTopCommas(tail).map { row =>
           val r = row.trim
@@ -2501,7 +2538,9 @@ class DuckLakeXLSpark(
             s"cannot parse VALUES row: $r")
           val items = StatementRouter.splitTopCommas(r.drop(1).dropRight(1))
           items.zipWithIndex.map { case (it, i) =>
-            if (it.trim.equalsIgnoreCase("DEFAULT")) defaultText(i) else it
+            // a substituted DEFAULT may itself be an interval literal
+            canonCell(
+              if (it.trim.equalsIgnoreCase("DEFAULT")) defaultText(i) else it, i)
           }.mkString("(", ", ", ")")
         }
         "VALUES " + rows.mkString(", ")
@@ -2567,13 +2606,32 @@ class DuckLakeXLSpark(
     * their declared DEFAULT (NULL without one) — shared by the insert
     * path and DML RETURNING's post-image
     */
+  /** cast one incoming value column to its table field: INTERVAL
+    * columns (metadata-tagged by schemaOf) coerce through the canonical
+    * text renderer instead of a bare cast — `.cast(STRING)` on a Spark
+    * interval would store Spark's `INTERVAL '…'` spelling, which DuckDB
+    * text it is not */
+  private def coerceValue(src: Column, f: StructField): Column = {
+    val c =
+      if (f.metadata.contains("graft_logical") &&
+          f.metadata.getString("graft_logical") == "INTERVAL")
+        org.apache.spark.sql.graftshim.ColumnBridge.column(
+          graft.functions.IntervalText(
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(src)))
+      else src
+    c.cast(f.dataType)
+  }
+
+  private def coerceField(src: Column, f: StructField): Column =
+    coerceValue(src, f).as(f.name)
+
   private def coerceToTableSchema(schema: StructType, cols: Option[Seq[String]],
       dfIn: DataFrame, defaults: Map[String, Column] = Map.empty): DataFrame = cols match {
     case None =>
       require(dfIn.schema.length == schema.length,
         s"INSERT column count ${dfIn.schema.length} != table arity ${schema.length}")
       dfIn.select(dfIn.columns.zip(schema.fields).toSeq.map { case (c, f) =>
-        colq(dfIn, c).cast(f.dataType).as(f.name)
+        coerceField(colq(dfIn, c), f)
       }: _*)
     case Some(names) =>
       require(names.length == dfIn.schema.length,
@@ -2583,9 +2641,9 @@ class DuckLakeXLSpark(
       require(unknown.isEmpty, s"INSERT names unknown column(s): ${unknown.mkString(", ")}")
       dfIn.select(schema.fields.map { f =>
         byName.get(f.name.toLowerCase) match {
-          case Some(src) => colq(dfIn, src).cast(f.dataType).as(f.name)
-          case None      => defaults.getOrElse(f.name.toLowerCase, lit(null))
-                              .cast(f.dataType).as(f.name)
+          case Some(src) => coerceField(colq(dfIn, src), f)
+          case None      => coerceField(
+                              defaults.getOrElse(f.name.toLowerCase, lit(null)), f)
         }
       }.toSeq: _*)
   }
@@ -2773,7 +2831,7 @@ class DuckLakeXLSpark(
     val src = readFiles(t, affected)
     val updated = src.select(schema.fields.map { fld =>
       sets.get(fld.name.toLowerCase) match {
-        case Some(e) => when(pred, e.cast(fld.dataType)).otherwise(colq(src, fld.name)).as(fld.name)
+        case Some(e) => when(pred, coerceValue(e, fld)).otherwise(colq(src, fld.name)).as(fld.name)
         case None    => colq(src, fld.name)
       }
     }.toSeq: _*)
@@ -2861,7 +2919,7 @@ class DuckLakeXLSpark(
           joined.select(schema.fields.map { f =>
             val tcol = col(s"${s.tgtAlias}.${f.name}")
             sets.get(f.name.toLowerCase) match {
-              case Some(e) => when(col("__m").isNotNull, e.cast(f.dataType)).otherwise(tcol).as(f.name)
+              case Some(e) => when(col("__m").isNotNull, coerceValue(e, f)).otherwise(tcol).as(f.name)
               case None    => tcol.as(f.name)
             }
           }.toSeq: _*)
@@ -2903,9 +2961,9 @@ class DuckLakeXLSpark(
       val defaults = defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) }
       val aligned = rowDF.select(schema.fields.map { f =>
         byName.get(f.name.toLowerCase) match {
-          case Some(src) => colq(rowDF, src).cast(f.dataType).as(f.name)
-          case None      => defaults.getOrElse(f.name.toLowerCase, lit(null))
-                              .cast(f.dataType).as(f.name)
+          case Some(src) => coerceField(colq(rowDF, src), f)
+          case None      => coerceField(
+                              defaults.getOrElse(f.name.toLowerCase, lit(null)), f)
         }
       }.toSeq: _*)
       val (ns3, fid3) = appendWrittenFiles(ns, t, snap, fid,

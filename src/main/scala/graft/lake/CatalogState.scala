@@ -247,12 +247,13 @@ object CatalogSchema {
     // widest exact integer Spark/parquet store; values past 10^38-1
     // overflow LOUDLY at insert rather than silently wrapping
     case "HUGEINT"                     => PrimT("HUGEINT", DecimalType(38, 0))
-    case "INTERVAL" => throw new IllegalArgumentException(
-      "INTERVAL columns are not supported: DuckDB's INTERVAL mixes " +
-      "months, days and microseconds in one value; Spark's parquet-" +
-      "storable intervals are year-month XOR day-time, so no lossless " +
-      "lake column type exists. Store the components (e.g. BIGINT " +
-      "microseconds) or a VARCHAR ISO-8601 string instead.")
+    // DuckDB's INTERVAL mixes months, days and microseconds in one
+    // value; Spark's parquet-storable intervals are year-month XOR
+    // day-time, so the lossless carrier is the CANONICAL DuckDB text
+    // rendering (functions/IntervalText coerces any Spark interval
+    // flavor or interval string into it at write time) — DESCRIBE still
+    // reads INTERVAL, same treatment as JSON/UUID
+    case "INTERVAL"                    => PrimT("INTERVAL", StringType)
     case _ => null
   })
 
@@ -491,8 +492,17 @@ final case class CatalogState(
       aliveAt[ColumnTagRow](_.beginSnapshot, _.endSnapshot, snap)(t)).map(_.value)
 
   def schemaOf(tableId: Long, snap: Long = currentSnapshot): StructType =
-    StructType(columnsOf(tableId, snap).map(c =>
-      StructField(c.columnName, CatalogSchema.parseType(c.columnType), c.nullsAllowed)))
+    StructType(columnsOf(tableId, snap).map { c =>
+      val f = StructField(c.columnName, CatalogSchema.parseType(c.columnType),
+        c.nullsAllowed)
+      // logical types whose physical carrier needs WRITE-time coercion
+      // (INTERVAL -> canonical text) advertise themselves in metadata —
+      // the insert coercion keys on it, everything else ignores it
+      if (c.columnType.trim.equalsIgnoreCase("INTERVAL"))
+        f.copy(metadata = new MetadataBuilder()
+          .putString("graft_logical", "INTERVAL").build())
+      else f
+    })
 
   /** the table's live partition-key columns at `snap`, in key order
     * (empty = unpartitioned)

@@ -980,6 +980,26 @@ object QueriesLake {
     // frame-aggregate minus the current row's contribution for
     // sum/count/avg — StatementRouter.rewriteWindowExclude); the oracle
     // runs the identical text natively in DuckDB
+    // r12: INTERVAL lake column type — logical INTERVAL on the canonical
+    // DuckDB-text VARCHAR carrier (functions/IntervalText renders any
+    // Spark interval flavor or interval string at write time; rendering
+    // measured against DuckDB 1.0), surviving the workbook round-trip
+    // and a REOPEN. Bare interval-literal VALUES cells canonicalize
+    // TEXTUALLY before Spark parses them (valuesDF), so one multi-row
+    // INSERT can mix year-month, day-time and string spellings exactly
+    // like DuckDB's.
+    "q_lake_interval" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE ivt(id INTEGER, iv INTERVAL);
+          |INSERT INTO ivt VALUES
+          |  (1, INTERVAL '3 hours'), (2, INTERVAL '2 days'),
+          |  (3, INTERVAL '1 year 2 months'), (4, '1 month 2 days 03:04:05'),
+          |  (5, INTERVAL '90 seconds'), (6, INTERVAL '-3 hours'),
+          |  (7, INTERVAL '1 day 1 microsecond')""".stripMargin)
+      val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
+      reopened.sql("SELECT id, CAST(iv AS VARCHAR) AS iv_str FROM ivt ORDER BY id")
+    },
     // r12: window EXCLUDE GROUP / TIES — frame-aggregate minus the
     // peer-group aggregate (a second window with RANGE BETWEEN CURRENT
     // ROW AND CURRENT ROW), TIES adding the current row back; NULL
@@ -1440,6 +1460,15 @@ object QueriesLake {
     "q_lake_temp" ->
       ("SELECT * FROM (VALUES (2,'b','B'),(3,'c','C'),(4,'d','D')) " +
        "t(id, v, vu) ORDER BY id"),
+    // DuckDB unifies the literal flavors and the string cell into one
+    // INTERVAL column and renders the identical canonical text
+    "q_lake_interval" ->
+      """SELECT id, CAST(iv AS VARCHAR) AS iv_str FROM (VALUES
+        | (1, INTERVAL '3 hours'), (2, INTERVAL '2 days'),
+        | (3, INTERVAL '1 year 2 months'), (4, '1 month 2 days 03:04:05'),
+        | (5, INTERVAL '90 seconds'), (6, INTERVAL '-3 hours'),
+        | (7, INTERVAL '1 day 1 microsecond')) t(id, iv)
+        |ORDER BY id""".stripMargin,
     "q_lake_dialect23" ->
       """SELECT id, g, k, v,
         |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k

@@ -81,9 +81,10 @@ class R11EdgeSpec extends AnyFunSuite {
         "MAP(VARCHAR, INTEGER)", "JSON", "BLOB", "UUID", "HUGEINT",
         "TIMESTAMPTZ", "TIME", "DECIMAL(12,2)[]"))
       assert(parseType(canonicalTypeName(t)) == parseType(t), t)
-    // INTERVAL refuses loudly with the why
-    val e = intercept[IllegalArgumentException] { parseType("INTERVAL") }
-    assert(e.getMessage.contains("INTERVAL"), e.getMessage)
+    // INTERVAL is a logical type on a VARCHAR carrier since r12 (the
+    // canonical DuckDB text rendering; functions/IntervalText)
+    assert(canonicalTypeName("interval") == "INTERVAL")
+    assert(parseType("INTERVAL") == org.apache.spark.sql.types.StringType)
     // trailing garbage refuses
     intercept[IllegalArgumentException] { parseType("INTEGER PRIMARY") }
   }

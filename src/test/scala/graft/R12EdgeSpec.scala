@@ -67,6 +67,29 @@ class R12EdgeSpec extends AnyFunSuite {
     assert(lake.sql("EXECUTE keptstmt").head().getLong(0) == 2L)
   }
 
+  test("INTERVAL columns: canonical text carrier, DML, reopen, loud bad input") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE iv2(id INTEGER, iv INTERVAL)")
+    lake.sql("INSERT INTO iv2 VALUES (1, INTERVAL '2 days'), (2, '90 seconds')")
+    // UPDATE coerces through the same canonical renderer
+    lake.sql("UPDATE iv2 SET iv = INTERVAL '3 hours' WHERE id = 2")
+    val rows = lake.sql("SELECT id, iv FROM iv2 ORDER BY id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("2 days", "03:00:00"))
+    // the catalog keeps the logical identity across the workbook trip
+    val re = new DuckLakeXLSpark(spark, lake.excelPath, lake.dataPath)
+    val desc = re.sql("DESCRIBE iv2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("iv") == "INTERVAL", desc.toString)
+    assert(re.sql("SELECT iv FROM iv2 WHERE id = 1").head().getString(0) == "2 days")
+    // an unparseable interval string fails LOUDLY, not as a silent zero
+    val e = intercept[Exception] {
+      lake.sql("INSERT INTO iv2 VALUES (3, 'not an interval')")
+    }
+    assert(e.getMessage != null)
+    // a numeric cell cannot silently become an interval
+    assertThrows[Exception] { lake.sql("INSERT INTO iv2 VALUES (4, 17)") }
+  }
+
   test("window EXCLUDE GROUP/TIES: supported frames run, the rest stay loud") {
     val lake = freshLake()
     lake.sql("CREATE TABLE wg(id INTEGER, k INTEGER, v INTEGER); " +
