@@ -18,6 +18,20 @@ object Bench {
     "q_agg_groupby", "q_join_inner", "q_join_multiway",
     "q_win_topk_per_group", "q_events_tumbling_batch", "q_fn_json")
 
+  /** r12 (r11 verdict #3): the shuffle audit was headline-only, so the
+    * four r11 wall-time movers (embcos/split_leakfree/embcluster/
+    * bitwise) had no plan-deterministic bytes to adjudicate against.
+    * Extend the audited set to the most expensive LLM-pipeline queries
+    * plus those movers — their exchange-stage counts are additionally
+    * pinned by BenchShapeSpec so a plan regression fails `sbt test`.
+    */
+  private val AuditExtra = Seq(
+    "q_llm_pipeline_e2e", "q_llm_dedup_incremental", "q_llm_dedup_contain",
+    "q_llm_dedup_cluster", "q_llm_dedup_keep_best", "q_llm_split_leakfree",
+    "q_llm_segment_dedup", "q_llm_source_overlap",
+    "q_llm_dedup_embcos_banded", "q_llm_copy_detect",
+    "q_llm_dedup_embcos", "q_llm_dedup_embcluster", "q_fn_bitwise")
+
   /** shuffle-bytes audit (r10 verdict #7): wall time catches wins but
     * can't see a plan regression hiding under host noise — shuffle
     * read/write bytes and the count of shuffle-writing stages are
@@ -148,7 +162,8 @@ object Bench {
         s""""shuffle_write_stages":${s1 - s0},"tasks":${t1 - t0}}"""))
     }
     val timed = names.map(n => n -> median3(n)) // reported: median of 3
-    val shuffleAudit = Headline.filter(benchable.contains).flatMap(auditedPass)
+    val shuffleAudit = (Headline ++ AuditExtra).distinct
+      .filter(benchable.contains).flatMap(auditedPass)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }

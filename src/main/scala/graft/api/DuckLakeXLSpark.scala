@@ -162,6 +162,25 @@ class DuckLakeXLSpark(
     reg1("__graft_entropy", graft.functions.EntropyAgg(_))
     reg1("__graft_mad", graft.functions.MadAgg(_))
     reg1("__graft_product", graft.functions.ProductAgg(_))
+    // r12 scalar wave (functions/ScalarWave): measured DuckDB twins the
+    // dialect rewrites target — age/nextafter/damerau/bar/`//`
+    def reg2(name: String, mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+        spark, name, { exprs =>
+          require(exprs.length == 2, s"$name(a, b)")
+          mk(exprs(0), exprs(1))
+        })
+    reg2("__graft_age", graft.functions.AgeText(_, _))
+    reg2("__graft_nextafter", graft.functions.NextAfter(_, _))
+    reg2("__graft_damerau", graft.functions.DamerauLevenshtein(_, _))
+    reg2("__graft_fdiv", graft.functions.FloorDiv(_, _))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_bar", { exprs =>
+        require(exprs.length == 4, "__graft_bar(x, min, max, width)")
+        graft.functions.BarText(exprs(0), exprs(1), exprs(2), exprs(3))
+      })
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
@@ -759,7 +778,18 @@ class DuckLakeXLSpark(
             lines.map(Row(_)).asJava,
             StructType(Seq(StructField("plan", StringType, false)))))
         case StatementRouter.Select(q) =>
-          last = Some(metadataCountStar(q).getOrElse(spark.sql(rewriteSelect(q))))
+          // percent limit needs the total row count: run the inner query,
+          // count (one distributed aggregate — the same pass DuckDB's own
+          // percent limit pays), then floor(n*pct/100) as a plain limit.
+          // Ordered queries stay ordered (limit-on-sort is Spark's top-k).
+          last = Some(StatementRouter.stripPercentLimit(q) match {
+            case Some((inner, pct)) =>
+              val df = spark.sql(rewriteSelect(inner))
+              val k = math.floor(df.count() * pct / 100.0).toLong
+              df.limit(math.min(k, Int.MaxValue.toLong).toInt)
+            case None =>
+              metadataCountStar(q).getOrElse(spark.sql(rewriteSelect(q)))
+          })
       }
       // `ducklake_snapshot_changes` audit trail: label every snapshot the
       // statement produced (a CTAS makes two: create + insert)

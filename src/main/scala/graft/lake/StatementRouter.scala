@@ -2507,6 +2507,75 @@ object StatementRouter {
     s
   }
 
+  /** DuckDB percent limit `… LIMIT 30%` (r12): detect a TOP-LEVEL
+    * trailing percent limit and return (inner query, percent). Measured
+    * row count: floor(n * pct / 100) — LIMIT 33% of 3 rows is 0 rows,
+    * 50% of 3 is 1. The caller runs the inner query, counts, and applies
+    * a plain limit (two passes — the total is not knowable without one,
+    * exactly as DuckDB's own percent limit materializes a count).
+    * Nested percent limits (inside subqueries) stay loud.
+    */
+  private val PercentLimitRe =
+    """(?is)^(.*\S)\s+LIMIT\s+(\d+(?:\.\d+)?)\s*%\s*;?\s*$""".r
+  def stripPercentLimit(q: String): Option[(String, Double)] =
+    PercentLimitRe.findFirstMatchIn(q).flatMap { m =>
+      val limitPos = q.toLowerCase(java.util.Locale.ROOT).lastIndexOf("limit")
+      if (limitPos < 0) None
+      else {
+        val lit = literalMask(q)
+        var depth = 0
+        var i = 0
+        while (i < limitPos) {
+          if (!lit(i)) {
+            val ch = q.charAt(i)
+            if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          }
+          i += 1
+        }
+        if (depth == 0 && !lit(limitPos)) Some((m.group(1), m.group(2).toDouble))
+        else None
+      }
+    }
+
+  /** DuckDB `a // b` -> `__graft_fdiv(a, b)` (functions/ScalarWave
+    * FloorDiv: trunc-toward-zero integer division for integral operands,
+    * PLAIN division for floating operands — DuckDB does not floor
+    * doubles — NULL on zero divisor; all measured). Same rightmost-first
+    * infix extraction as rewritePowerOp.
+    */
+  private[lake] def rewriteFloorDivOp(s0: String): String = {
+    var s = s0
+    var go = true
+    while (go) {
+      val lit = literalMask(s)
+      var op = -1
+      var i = s.length - 1
+      while (i > 0 && op < 0) {
+        if (!lit(i) && s.charAt(i) == '/' && s.charAt(i - 1) == '/' &&
+            !lit(i - 1)) op = i - 1
+        i -= 1
+      }
+      if (op < 0) go = false
+      else {
+        var ls = primaryStart(s, op)
+        while (ls > 0 && s.charAt(ls) == '[' &&
+               (identChar(s.charAt(ls - 1)) || s.charAt(ls - 1) == ')' ||
+                s.charAt(ls - 1) == ']' || s.charAt(ls - 1) == '"')) {
+          val prev = primaryStart(s, ls)
+          if (prev < 0 || prev >= ls) return s
+          ls = prev
+        }
+        val re = primaryEnd(s, op + 2)
+        if (ls < 0 || re < 0) return s
+        val l = s.substring(ls, op).trim
+        val r = s.substring(op + 2, re).trim
+        if (l.isEmpty || r.isEmpty) return s
+        s = s.substring(0, ls) + s"__graft_fdiv($l, $r)" + s.substring(re)
+      }
+    }
+    s
+  }
+
   /** rewrite each top-level call of `name`: `f(args)` returning None
     * leaves that call unchanged (and scanning continues past it)
     */
@@ -3184,10 +3253,46 @@ object StatementRouter {
   /** r11 function-family wave (barrage-probe findings): DuckDB scalars
     * with composable Spark twins — each mapping is exact or carries the
     * guard that keeps it exact; anything without a faithful composition
-    * (gamma, nextafter, age, time_bucket, even) still fails LOUDLY.
+    * (gamma — no libm tgamma twin in the JVM, a Lanczos approximation
+    * can differ in the last ulp and the oracle hashes exact doubles;
+    * 1-arg age — current_date-relative, volatile) still fails LOUDLY.
     */
   private def rewriteScalarMisc(q0: String): String = {
     var q = q0
+    // ---- r12 scalar wave (measured twins; functions/ScalarWave) ----
+    // even: round away from zero to the next even integer, DOUBLE
+    // (even(2.5)=4, even(-2.5)=-4, even(2)=2 — sign/ceil composition)
+    q = rewriteCalls(q, "even") {
+      case Seq(a) => Some(
+        s"(sign(CAST(($a) AS DOUBLE)) * ceil(abs(CAST(($a) AS DOUBLE)) / 2) * 2.0)")
+      case _ => None
+    }
+    // age(a, b): canonical interval text via the componentwise borrow
+    // algorithm measured against DuckDB (ScalarWave.age)
+    q = rewriteCalls(q, "age") {
+      case Seq(a, b) =>
+        Some(s"__graft_age(CAST(($a) AS TIMESTAMP), CAST(($b) AS TIMESTAMP))")
+      case _ => None // 1-arg form is current_date-relative: loud
+    }
+    // nextafter: Java Math.nextAfter is bit-exact with C++ std::nextafter
+    q = rewriteCalls(q, "nextafter") {
+      case Seq(a, b) =>
+        Some(s"__graft_nextafter(CAST(($a) AS DOUBLE), CAST(($b) AS DOUBLE))")
+      case _ => None
+    }
+    // full Damerau-Levenshtein over UTF-8 bytes (BIGINT, like DuckDB)
+    q = rewriteCalls(q, "damerau_levenshtein") {
+      case Seq(a, b) => Some(s"__graft_damerau($a, $b)")
+      case _ => None
+    }
+    // bar(x, min, max[, width=80]): unicode block chart, measured
+    // contract incl. the pad-to-width-BYTES quirk (ScalarWave.bar)
+    q = rewriteCalls(q, "bar") { args =>
+      if (args.length == 3 || args.length == 4) {
+        val a4 = if (args.length == 3) args :+ "80" else args
+        Some(s"__graft_bar(${a4.map(x => s"CAST(($x) AS DOUBLE)").mkString(", ")})")
+      } else None
+    }
     // to_hex: uppercase digits on both engines (oracle-measured)
     q = rewriteCalls(q, "to_hex") { args =>
       Some(s"hex(${args.mkString(", ")})")
@@ -3655,9 +3760,10 @@ object StatementRouter {
       StarExcludeBareRe.replaceAllIn(
         StarExcludeParenRe.replaceAllIn(seg, "$1EXCEPT$2"), "$1EXCEPT ($2)")
     }
-    // DuckDB integer division `a // b` -> Spark `a div b` (`//` is not a
-    // comment marker in either dialect, so the bare token is unambiguous)
-    q = mapOutsideLiterals(q)(_.replace("//", " div "))
+    // DuckDB division `a // b` (`//` is not a comment marker in either
+    // dialect) -> type-dispatching native FloorDiv: integer operands
+    // trunc-divide, floating operands PLAIN-divide (r12, measured)
+    q = rewriteFloorDivOp(q)
     // DuckDB power `a ** b` / `a ^ b` -> power(a, b); Spark's `^` is XOR
     q = rewritePowerOp(q)
     // bare VARCHAR in a SELECT-position cast (x::VARCHAR, CAST(x AS

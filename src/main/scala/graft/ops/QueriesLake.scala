@@ -1087,6 +1087,38 @@ object QueriesLake {
           |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
           |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin)
     },
+    // r12 scalar wave (the r11 verdict's remaining refusals, each
+    // measured against DuckDB 1.0 — functions/ScalarWave): age (interval
+    // text via the componentwise borrow algorithm), full
+    // damerau_levenshtein over UTF-8 bytes, even, bit-exact nextafter,
+    // `//` (ints trunc-divide, doubles PLAIN-divide), bar() with the
+    // pad-to-width-BYTES quirk — the oracle replays the IDENTICAL text
+    "q_lake_fn_wave2" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST(age(TIMESTAMP '2024-03-10 05:00:00', TIMESTAMP '2024-01-15 10:30:00') AS VARCHAR) AS ag1,
+          |  CAST(age(DATE '2024-03-10', DATE '2024-01-15') AS VARCHAR) AS ag2,
+          |  CAST(age(DATE '2024-01-15', DATE '2024-03-10') AS VARCHAR) AS ag3,
+          |  CAST(age(DATE '2025-07-04', DATE '2022-12-25') AS VARCHAR) AS ag4,
+          |  CAST(damerau_levenshtein('ca', 'abc') AS BIGINT) AS dl1,
+          |  CAST(damerau_levenshtein('kitten', 'sitting') AS BIGINT) AS dl2,
+          |  even(2.5) AS ev1, even(-2.5) AS ev2, even(0) AS ev3,
+          |  nextafter(1.0, 2.0) AS na1, nextafter(0.0, -1.0) AS na2,
+          |  CAST(7 // 2 AS BIGINT) AS fd1, CAST((-7) // 2 AS BIGINT) AS fd2,
+          |  7.5 // 2 AS fd3,
+          |  bar(3, 0, 5, 5) AS b1, bar(2.7, 0, 5, 10) AS b2,
+          |  bar(0, 0, 5, 5) AS b3, bar(4.99, 0, 5, 5) AS b4""".stripMargin)
+    },
+    // r12 percent limit: floor(n*pct/100) rows of the ORDERED query
+    // (two passes — count, then plain limit; DuckDB's own percent limit
+    // also materializes the count)
+    "q_lake_limit_pct" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e'))
+          |  t(id, v) ORDER BY id LIMIT 40%""".stripMargin)
+    },
     // r11 aggregate wave (barrage #3): geomean, fsum (Kahan spelling),
     // 2-arg min/max (top-n LIST), quantile_disc (-> WITHIN GROUP),
     // FILTER-without-WHERE shorthand, in-call ORDER BY dropped on
@@ -1536,6 +1568,24 @@ object QueriesLake {
         |  array_to_string(string_to_array('a|b', '|'), '+') AS sta,
         |  CAST(try_strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR) AS tsv,
         |  CAST(try_strptime('nope', '%Y-%m-%d') AS VARCHAR) AS tsn""".stripMargin,
+    // DuckDB replays the identical scalar-wave text natively
+    "q_lake_fn_wave2" ->
+      """SELECT
+        |  CAST(age(TIMESTAMP '2024-03-10 05:00:00', TIMESTAMP '2024-01-15 10:30:00') AS VARCHAR) AS ag1,
+        |  CAST(age(DATE '2024-03-10', DATE '2024-01-15') AS VARCHAR) AS ag2,
+        |  CAST(age(DATE '2024-01-15', DATE '2024-03-10') AS VARCHAR) AS ag3,
+        |  CAST(age(DATE '2025-07-04', DATE '2022-12-25') AS VARCHAR) AS ag4,
+        |  CAST(damerau_levenshtein('ca', 'abc') AS BIGINT) AS dl1,
+        |  CAST(damerau_levenshtein('kitten', 'sitting') AS BIGINT) AS dl2,
+        |  even(2.5) AS ev1, even(-2.5) AS ev2, even(0) AS ev3,
+        |  nextafter(1.0, 2.0) AS na1, nextafter(0.0, -1.0) AS na2,
+        |  CAST(7 // 2 AS BIGINT) AS fd1, CAST((-7) // 2 AS BIGINT) AS fd2,
+        |  7.5 // 2 AS fd3,
+        |  bar(3, 0, 5, 5) AS b1, bar(2.7, 0, 5, 10) AS b2,
+        |  bar(0, 0, 5, 5) AS b3, bar(4.99, 0, 5, 5) AS b4""".stripMargin,
+    "q_lake_limit_pct" ->
+      """SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e'))
+        |  t(id, v) ORDER BY id LIMIT 40%""".stripMargin,
     "q_lake_profile_aggs" ->
       """SELECT g,
         |  round(product(x), 6) AS pr,

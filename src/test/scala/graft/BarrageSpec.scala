@@ -60,15 +60,20 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT typeof(x) AS v FROM b",
       "SELECT uuid() IS NOT NULL AS v FROM b",
       "SELECT epoch(TIMESTAMP '2024-01-01 00:00:00') AS v FROM b",
-      "SELECT make_date(2024, 3, 15) AS v FROM b")
+      "SELECT make_date(2024, 3, 15) AS v FROM b",
+      // r12 scalar wave (values asserted below / oracle-checked)
+      "SELECT age(DATE '2024-03-20', d) AS v FROM b",
+      "SELECT damerau_levenshtein('abc','acb') AS v FROM b",
+      "SELECT even(2.5) AS v FROM b",
+      "SELECT nextafter(1.0, 2.0) AS v FROM b",
+      "SELECT x // 1 AS v FROM b")
     // no faithful Spark composition exists — these MUST stay loud
     val refused = Seq(
-      "SELECT age(DATE '2024-03-20', d) AS v FROM b",          // INTERVAL result
-      "SELECT damerau_levenshtein('abc','acb') AS v FROM b",   // no native twin
-      "SELECT even(2.5) AS v FROM b",
+      // no libm tgamma twin in the JVM; a Lanczos approximation can be
+      // off in the last ulp and the oracle hashes exact doubles
       "SELECT gamma(5) AS v FROM b",
-      "SELECT nextafter(1.0, 2.0) AS v FROM b",
-      "SELECT x // 1 AS v FROM b",                             // double floor-div
+      // 1-arg age is current_date-relative: volatile, unverifiable
+      "SELECT age(TIMESTAMP '2024-03-20 00:00:00') AS v FROM b",
       // time_bucket with a non-literal width / TIMESTAMP origin: no
       // static rewrite (the literal-width forms run — r12)
       "SELECT time_bucket(INTERVAL (id) DAY, d) AS v FROM b",
@@ -110,6 +115,53 @@ class BarrageSpec extends AnyFunSuite {
       == "2024-03-15 10:35:00.0")
     assert(tb("SELECT time_bucket(INTERVAL 1 DAY, TIMESTAMP '2024-03-15 10:37:22') AS v")
       == "2024-03-15 00:00:00.0")
+
+    // r12 scalar-wave values, all measured against DuckDB 1.0 this
+    // session (ScalarWave documents each contract)
+    def one(sql: String): Any = lake.sql(sql).head().get(0)
+    // age: day borrow uses B's month length (Jan=31 -> 26, not 24)
+    assert(one("SELECT age(DATE '2024-03-10', DATE '2024-01-15') AS v").toString
+      == "1 month 26 days")
+    assert(one("SELECT age(DATE '2024-01-15', DATE '2024-03-10') AS v").toString
+      == "-1 month -26 days")
+    assert(one("SELECT age(TIMESTAMP '2024-03-10 05:00:00', " +
+      "TIMESTAMP '2024-01-15 10:30:00') AS v").toString == "1 month 25 days 18:30:00")
+    assert(one("SELECT age(TIMESTAMP '2024-03-01 05:00:00', " +
+      "TIMESTAMP '2024-02-28 10:00:00') AS v").toString == "1 day 19:00:00")
+    assert(one("SELECT age(DATE '2025-07-04', DATE '2022-12-25') AS v").toString
+      == "2 years 6 months 10 days")
+    assert(one("SELECT age(DATE '2024-03-15', DATE '2024-03-15') AS v").toString
+      == "00:00:00")
+    // full DL with the dictionary ('ca'->'abc' is 2; OSA would say 3),
+    // over UTF-8 BYTES ('é' vs 'e' is 2)
+    assert(one("SELECT damerau_levenshtein('abc','acb') AS v") == 1L)
+    assert(one("SELECT damerau_levenshtein('ca','abc') AS v") == 2L)
+    assert(one("SELECT damerau_levenshtein('kitten','sitting') AS v") == 3L)
+    assert(one("SELECT damerau_levenshtein('é','e') AS v") == 2L)
+    assert(one("SELECT damerau_levenshtein('', 'abc') AS v") == 3L)
+    // even: away-from-zero to the next even integer, DOUBLE
+    assert(one("SELECT even(2.5) AS v") == 4.0)
+    assert(one("SELECT even(-2.5) AS v") == -4.0)
+    assert(one("SELECT even(2.0) AS v") == 2.0)
+    assert(one("SELECT even(-0.5) AS v") == -2.0)
+    assert(one("SELECT even(0) AS v") == 0.0)
+    // nextafter: bit-exact IEEE step
+    assert(one("SELECT nextafter(1.0, 2.0) AS v") == 1.0000000000000002)
+    assert(one("SELECT nextafter(0.0, -1.0) AS v") == -java.lang.Double.MIN_VALUE)
+    // `//`: ints trunc toward zero, doubles PLAIN-divide, /0 -> NULL
+    assert(one("SELECT 7 // 2 AS v") == 3L)
+    assert(one("SELECT (-7) // 2 AS v") == -3L)
+    assert(one("SELECT 7.5 // 2 AS v") == 3.75)
+    assert(lake.sql("SELECT 7 // 0 AS v").head().isNullAt(0))
+    assert(lake.sql("SELECT 7.5 // 0 AS v").head().isNullAt(0))
+    // bar: floor-eighth partial block, pad to width BYTES
+    assert(one("SELECT bar(3, 0, 5, 5) AS v") == "███")
+    assert(one("SELECT bar(2.7, 0, 5, 10) AS v") ==
+      "█████▍")
+    assert(one("SELECT bar(0, 0, 5, 5) AS v") == "     ")
+    assert(one("SELECT bar(1.0, 0, 5, 5) AS v") == "█  ")
+    assert(one("SELECT bar(4.99, 0, 5, 5) AS v") ==
+      "████▉")
   }
 
   test("statement-shape barrage: runnable set runs, refusals stay loud") {
@@ -139,10 +191,10 @@ class BarrageSpec extends AnyFunSuite {
       "TABLE t",
       "SUMMARIZE t",
       "SELECT id FROM t OFFSET 1",
-      "FROM t SELECT id WHERE id > 1")
+      "FROM t SELECT id WHERE id > 1",
+      "SELECT * FROM t LIMIT 50%",          // r12: count pass + floor limit
+      "SELECT bar(3, 0, 5, 5) AS v")        // r12: native BarText
     val refused = Seq(
-      "SELECT * FROM t LIMIT 50%",         // percent limit: needs a count
-      "SELECT bar(3, 0, 5, 5) AS v",       // ASCII bar chart
       // POSITIONAL JOIN with same-named sides needs output dedup we
       // do not fabricate
       "SELECT t1.id FROM t t1 POSITIONAL JOIN t t2")
@@ -157,6 +209,14 @@ class BarrageSpec extends AnyFunSuite {
     assert(silent.isEmpty,
       "known-refused shapes now run — verify values and move the pin:\n" +
       silent.mkString("\n"))
+    // percent limit (r12), measured: floor(n*pct/100) rows — 50% of 3
+    // is 1 row, 33% is 0, 34% is 1; ordered queries keep their order
+    assert(lake.sql("SELECT id FROM t ORDER BY id LIMIT 50%").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    assert(lake.sql("SELECT id FROM t LIMIT 33%").count() == 0L)
+    assert(lake.sql("SELECT id FROM t LIMIT 34%").count() == 1L)
+    assert(lake.sql("SELECT id FROM t ORDER BY id DESC LIMIT 100%").collect()
+      .map(_.getInt(0)).toSeq == Seq(3, 2, 1))
     // aggregate surface (barrage #3): the mapped set runs…
     lake.sql("CREATE TABLE ag(id INTEGER, g VARCHAR, x DOUBLE); " +
       "INSERT INTO ag VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0)")

@@ -30,7 +30,26 @@ class BenchShapeSpec extends AnyFunSuite {
                                      // time (5 shuffle-write stages in the
                                      // r11 runtime audit)
     "q_win_topk_per_group" -> 2,     // window partition + ORDER BY
-    "q_fn_json" -> 1                 // per-row projection + final ORDER BY
+    "q_fn_json" -> 1,                // per-row projection + final ORDER BY
+    // r12 (r11 verdict #3): the most expensive LLM-pipeline queries plus
+    // the four r11 wall-time movers join the audited set — Bench now
+    // records their shuffle bytes per round, and these compile-time
+    // exchange counts make a plan regression fail `sbt test` directly.
+    // 0-exchange pins are the strongest claims: those pipelines are
+    // single-pass / broadcast-only by design (SCALE.md) and must stay so.
+    "q_llm_pipeline_e2e" -> 17,      // full curation chain (multi-stage)
+    "q_llm_dedup_incremental" -> 7,  // semi-join vs standing corpus
+    "q_llm_dedup_contain" -> 0,      // df-pruned posting join, broadcast
+    "q_llm_dedup_cluster" -> 1,      // LSH buckets + local union-find
+    "q_llm_dedup_keep_best" -> 5,    // argmax-in-aggregate over clusters
+    "q_llm_split_leakfree" -> 3,     // leak-free split via group ranking
+    "q_llm_segment_dedup" -> 5,      // boundary-bucket two-level ranking
+    "q_llm_source_overlap" -> 3,     // gram-set overlap join
+    "q_llm_dedup_embcos_banded" -> 0, // banded plane-bucket self-join
+    "q_llm_copy_detect" -> 3,        // winnow fingerprints + pair join
+    "q_llm_dedup_embcos" -> 0,       // plane-bucket self-join (broadcast)
+    "q_llm_dedup_embcluster" -> 1,   // bucketed centroid assignment
+    "q_fn_bitwise" -> 1              // projection + final ORDER BY
   )
 
   for ((q, cap) <- pins)

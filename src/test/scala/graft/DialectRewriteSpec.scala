@@ -121,9 +121,12 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT array_contains(array(1, 2), k) FROM t")
   }
 
-  test("integer division // becomes div, except inside literals") {
+  test("division // becomes the type-dispatching fdiv, except inside literals") {
+    // r12: `//` maps to the native FloorDiv (ints trunc-divide, doubles
+    // PLAIN-divide like DuckDB, NULL on zero divisor) instead of `div`,
+    // which refused floating operands
     assert(rewriteDialect("SELECT a // b AS d FROM t") ==
-      "SELECT a  div  b AS d FROM t")
+      "SELECT __graft_fdiv(a, b) AS d FROM t")
     val q = "SELECT 'http://x' AS u FROM t"
     assert(rewriteDialect(q) == q)
   }
