@@ -176,6 +176,9 @@ class DuckLakeXLSpark(
     reg2("__graft_nextafter", graft.functions.NextAfter(_, _))
     reg2("__graft_damerau", graft.functions.DamerauLevenshtein(_, _))
     reg2("__graft_fdiv", graft.functions.FloorDiv(_, _))
+    reg2("__graft_gcd", graft.functions.Gcd(_, _))
+    reg2("__graft_lcm", graft.functions.Lcm(_, _))
+    reg1("__graft_len", graft.functions.LenOf(_))
     org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
       spark, "__graft_bar", { exprs =>
         require(exprs.length == 4, "__graft_bar(x, min, max, width)")

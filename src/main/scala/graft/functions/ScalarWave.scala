@@ -117,6 +117,79 @@ object ScalarWave {
   }
 }
 
+/** DuckDB `len(x)` — BIGINT length with type dispatch: codepoints for
+  * VARCHAR (len('héllo') = 5), bytes for BLOB, element count for LIST.
+  * One native covers what Spark splits across length()/size().
+  */
+case class LenOf(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"len() needs VARCHAR, BLOB or LIST, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => v.asInstanceOf[UTF8String].numChars().toLong
+    case BinaryType => v.asInstanceOf[Array[Byte]].length.toLong
+    case _: ArrayType =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements().toLong
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => child.dataType match {
+      case StringType => s"(long)($c).numChars()"
+      case BinaryType => s"(long)($c).length"
+      case _: ArrayType => s"(long)($c).numElements()"
+    })
+  override protected def withNewChildInternal(c: Expression): LenOf = copy(child = c)
+  override def prettyName: String = "len"
+}
+
+/** DuckDB `gcd` / `lcm` (measured): BIGINT over absolute values
+  * (gcd(-12, 18) = 6, lcm(-4, 6) = 12); zero operands give 0.
+  */
+object GcdLcm {
+  def gcd(a0: Long, b0: Long): Long = {
+    var a = math.abs(a0); var b = math.abs(b0)
+    while (b != 0) { val t = a % b; a = b; b = t }
+    a
+  }
+  def lcm(a: Long, b: Long): Long = {
+    if (a == 0 || b == 0) 0L
+    else math.abs(a / gcd(a, b) * b)
+  }
+}
+
+case class Gcd(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("gcd(a, b) needs BIGINTs")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GcdLcm.gcd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GcdLcm.gcd($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Gcd =
+    copy(left = l, right = r)
+  override def prettyName: String = "gcd"
+}
+
+case class Lcm(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("lcm(a, b) needs BIGINTs")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GcdLcm.lcm(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GcdLcm.lcm($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Lcm =
+    copy(left = l, right = r)
+  override def prettyName: String = "lcm"
+}
+
 /** DuckDB `age(a, b)` — canonical interval text (the lake's INTERVAL
   * carrier, see IntervalText). Timestamp inputs in session-UTC micros.
   */

@@ -3293,6 +3293,138 @@ object StatementRouter {
         Some(s"__graft_bar(${a4.map(x => s"CAST(($x) AS DOUBLE)").mkString(", ")})")
       } else None
     }
+    // ---- r12 wave 2 (gap probe against DuckDB 1.0) ----
+    // 2-arg trim family: Spark's 2-arg ltrim/rtrim take (trimStr, str)
+    // — REVERSED from DuckDB's (str, chars) — so the bare rename was a
+    // silent wrong-value (ltrim('xxabc','x') returned ''). The ANSI
+    // TRIM(LEADING/TRAILING/BOTH … FROM …) spelling is unambiguous.
+    for ((fn, mode) <- Seq(("ltrim", "LEADING"), ("rtrim", "TRAILING"),
+                           ("trim", "BOTH"), ("btrim", "BOTH")))
+      q = rewriteCalls(q, fn) {
+        case Seq(s, c) => Some(s"TRIM($mode ($c) FROM ($s))")
+        case Seq(s) if fn == "btrim" => Some(s"TRIM(BOTH FROM ($s))")
+        case _ => None
+      }
+    // len/length: BIGINT with type dispatch (codepoints / bytes /
+    // element count) — Spark splits this across length()/size(), and
+    // renameFns deliberately left these alone (array_length -> size is
+    // already exact there)
+    for (fn <- Seq("len", "length"))
+      q = rewriteCalls(q, fn) {
+        case Seq(a) => Some(s"__graft_len($a)")
+        case _ => None
+      }
+    // gcd/lcm (+ long spellings): BIGINT over absolute values
+    for ((fn, tgt) <- Seq(("gcd", "__graft_gcd"), ("lcm", "__graft_lcm"),
+                          ("greatest_common_divisor", "__graft_gcd"),
+                          ("least_common_multiple", "__graft_lcm")))
+      q = rewriteCalls(q, fn) {
+        case Seq(a, b) =>
+          Some(s"$tgt(CAST(($a) AS BIGINT), CAST(($b) AS BIGINT))")
+        case _ => None
+      }
+    // to_base(x, b) -> conv (uppercase digits on both engines)
+    q = rewriteCalls(q, "to_base") {
+      case Seq(a, b) => Some(s"conv(CAST(($a) AS BIGINT), 10, ($b))")
+      case _ => None
+    }
+    // ISO week functions (Spark 4 dropped the weekofyear builtin;
+    // EXTRACT's WEEK/YEAROFWEEK fields are the ISO twins)
+    q = rewriteCalls(q, "weekofyear") {
+      case Seq(a) => Some(s"extract(WEEK FROM ($a))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "yearweek") {
+      case Seq(a) => Some(
+        s"CAST(extract(YEAROFWEEK FROM ($a)) * 100 + extract(WEEK FROM ($a)) AS BIGINT)")
+      case _ => None
+    }
+    // interval constructors -> Spark ANSI interval makers (arithmetic
+    // composes; note DATE + day-time interval yields TIMESTAMP in Spark
+    // where DuckDB keeps DATE for whole-day intervals — cast at the edge)
+    for ((fn, mk) <- Seq(
+        ("to_years", (n: String) => s"make_ym_interval(($n), 0)"),
+        ("to_months", (n: String) => s"make_ym_interval(0, ($n))"),
+        ("to_weeks", (n: String) => s"make_dt_interval(($n) * 7)"),
+        ("to_days", (n: String) => s"make_dt_interval(($n))"),
+        ("to_hours", (n: String) => s"make_dt_interval(0, ($n))"),
+        ("to_minutes", (n: String) => s"make_dt_interval(0, 0, ($n))"),
+        ("to_seconds", (n: String) => s"make_dt_interval(0, 0, 0, ($n))"),
+        ("to_milliseconds", (n: String) => s"make_dt_interval(0, 0, 0, ($n) / 1000.0)"),
+        ("to_microseconds", (n: String) => s"make_dt_interval(0, 0, 0, ($n) / 1000000.0)")))
+      q = rewriteCalls(q, fn) {
+        case Seq(a) => Some(mk(a))
+        case _ => None
+      }
+    // 3-arg date_sub/datesub: SIGNED count of COMPLETE units from a to
+    // b, truncating toward zero (measured: date_sub('hour',
+    // 00:30, 05:00) = 4; 'day' b<a gives negative). Exact units via
+    // epoch micros + integral division; month family via
+    // months_between's complete-month integer part (cast truncates
+    // toward zero). Other units stay loud.
+    for (fn <- Seq("date_sub", "datesub"))
+      q = rewriteCalls(q, fn) { args =>
+        if (args.length != 3) None
+        else quotedLiteral(args(0)).flatMap { unit =>
+          val (a, b) = (args(1), args(2))
+          def viaMicros(w: Long) = Some(
+            s"((unix_micros(CAST(($b) AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(($a) AS TIMESTAMP))) div ${w}L)")
+          unit.toLowerCase(java.util.Locale.ROOT).stripSuffix("s") match {
+            case "second" => viaMicros(1000000L)
+            case "minute" => viaMicros(60000000L)
+            case "hour"   => viaMicros(3600000000L)
+            case "day"    => viaMicros(86400000000L)
+            case "week"   => viaMicros(7L * 86400000000L)
+            case "month"  => Some(s"CAST(months_between(($b), ($a)) AS BIGINT)")
+            case "quarter" => Some(s"(CAST(months_between(($b), ($a)) AS BIGINT) div 3)")
+            case "year"   => Some(s"(CAST(months_between(($b), ($a)) AS BIGINT) div 12)")
+            case _ => None
+          }
+        }
+      }
+    // list_reduce: fold without an init — seed with element 1, reduce
+    // the tail (DuckDB errors on an empty list; this renders NULL — the
+    // one divergence, noted here over a fabricated error)
+    q = rewriteCalls(q, "list_reduce") {
+      case Seq(l, lam) => Some(
+        s"reduce(slice(($l), 2, greatest(size(($l)) - 1, 0)), " +
+        s"try_element_at(($l), 1), $lam)")
+      case _ => None
+    }
+    // list_aggregate: the order-insensitive names with exact twins;
+    // sum/avg stay loud (result type depends on the element type in
+    // ways a textual rewrite cannot reproduce)
+    q = rewriteCalls(q, "list_aggregate") {
+      case Seq(l, name) => quotedLiteral(name).flatMap {
+        case "min" => Some(s"array_min($l)")
+        case "max" => Some(s"array_max($l)")
+        case "count" => Some(
+          s"CAST(size(filter(($l), __la -> __la IS NOT NULL)) AS BIGINT)")
+        case _ => None
+      }
+      case _ => None
+    }
+    // list_any_value: first non-NULL element (NULL when none)
+    q = rewriteCalls(q, "list_any_value") {
+      case Seq(l) =>
+        Some(s"try_element_at(filter(($l), __lav -> __lav IS NOT NULL), 1)")
+      case _ => None
+    }
+    // generate_subscripts(l, 1) -> 1-based index stream
+    q = rewriteCalls(q, "generate_subscripts") {
+      case Seq(l, dim) if dim.trim == "1" =>
+        Some(s"explode(sequence(1, size(($l))))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "array_reverse") {
+      case Seq(a) => Some(s"reverse($a)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "regexp_split_to_array") {
+      case Seq(s, p) => Some(s"split($s, $p)")
+      case _ => None
+    }
     // to_hex: uppercase digits on both engines (oracle-measured)
     q = rewriteCalls(q, "to_hex") { args =>
       Some(s"hex(${args.mkString(", ")})")
@@ -3764,6 +3896,13 @@ object StatementRouter {
     // dialect) -> type-dispatching native FloorDiv: integer operands
     // trunc-divide, floating operands PLAIN-divide (r12, measured)
     q = rewriteFloorDivOp(q)
+    // Postgres-style LIKE operators (longest token first so `!~~*`
+    // never half-matches); Spark has native ILIKE. Bare `~`/`!~` regex
+    // operators stay out: `~` is ALSO DuckDB's prefix bitwise-NOT and a
+    // textual pass cannot disambiguate — those spellings stay loud.
+    q = mapOutsideLiterals(q)(_
+      .replace("!~~*", " NOT ILIKE ").replace("!~~", " NOT LIKE ")
+      .replace("~~*", " ILIKE ").replace("~~", " LIKE "))
     // DuckDB power `a ** b` / `a ^ b` -> power(a, b); Spark's `^` is XOR
     q = rewritePowerOp(q)
     // bare VARCHAR in a SELECT-position cast (x::VARCHAR, CAST(x AS

@@ -1110,6 +1110,40 @@ object QueriesLake {
           |  bar(3, 0, 5, 5) AS b1, bar(2.7, 0, 5, 10) AS b2,
           |  bar(0, 0, 5, 5) AS b3, bar(4.99, 0, 5, 5) AS b4""".stripMargin)
     },
+    // r12 wave-2 (gap probe): 2-arg trim family via ANSI TRIM (Spark's
+    // 2-arg ltrim/rtrim argument order is REVERSED from DuckDB's —
+    // the bare rename was a silent wrong-value), type-dispatching
+    // len/length, gcd/lcm, to_base, ISO weekofyear/yearweek, interval
+    // constructors (to_days/to_hours), 3-arg date_sub, list_reduce /
+    // list_aggregate / list_any_value, array_reverse,
+    // regexp_split_to_array, Postgres ~~ LIKE operators — the oracle
+    // replays the IDENTICAL text
+    "q_lake_fn_wave3" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  ltrim('xxabc', 'x') AS lt, rtrim('abcyy', 'y') AS rt,
+          |  trim('xxabcxx', 'x') AS tr,
+          |  CAST(len('héllo') AS BIGINT) AS ln1,
+          |  CAST(len([1, 2, NULL]) AS BIGINT) AS ln2,
+          |  CAST(gcd(-12, 18) AS BIGINT) AS g1,
+          |  CAST(lcm(-4, 6) AS BIGINT) AS l1,
+          |  to_base(255, 16) AS tb,
+          |  CAST(weekofyear(DATE '2021-01-01') AS BIGINT) AS wy,
+          |  CAST(yearweek(DATE '2024-12-31') AS BIGINT) AS yw,
+          |  CAST(DATE '2024-01-01' + to_days(3) AS DATE) AS dd,
+          |  CAST(TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS VARCHAR) AS dh,
+          |  CAST(date_sub('day', DATE '2024-03-01', DATE '2024-01-01') AS BIGINT) AS ds1,
+          |  CAST(date_sub('month', DATE '2024-03-10', DATE '2024-01-15') AS BIGINT) AS ds2,
+          |  CAST(list_reduce([1, 2, 3, 4], (a, b) -> a + b) AS BIGINT) AS lr,
+          |  list_aggregate(['a', 'b'], 'min') AS la1,
+          |  CAST(list_aggregate([1, NULL, 3], 'count') AS BIGINT) AS la2,
+          |  CAST(list_any_value([NULL, 3, 4]) AS BIGINT) AS lav,
+          |  array_to_string(array_reverse([1, 2, 3]), ',') AS ar,
+          |  array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), ',') AS rs,
+          |  ('abc' ~~ 'a%') AS lk1, ('ABC' ~~* 'a%') AS lk2,
+          |  ('abc' !~~ 'b%') AS lk3""".stripMargin)
+    },
     // r12 percent limit: floor(n*pct/100) rows of the ORDERED query
     // (two passes — count, then plain limit; DuckDB's own percent limit
     // also materializes the count)
@@ -1586,6 +1620,30 @@ object QueriesLake {
     "q_lake_limit_pct" ->
       """SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e'))
         |  t(id, v) ORDER BY id LIMIT 40%""".stripMargin,
+    // DuckDB replays the identical wave-2 text natively
+    "q_lake_fn_wave3" ->
+      """SELECT
+        |  ltrim('xxabc', 'x') AS lt, rtrim('abcyy', 'y') AS rt,
+        |  trim('xxabcxx', 'x') AS tr,
+        |  CAST(len('héllo') AS BIGINT) AS ln1,
+        |  CAST(len([1, 2, NULL]) AS BIGINT) AS ln2,
+        |  CAST(gcd(-12, 18) AS BIGINT) AS g1,
+        |  CAST(lcm(-4, 6) AS BIGINT) AS l1,
+        |  to_base(255, 16) AS tb,
+        |  CAST(weekofyear(DATE '2021-01-01') AS BIGINT) AS wy,
+        |  CAST(yearweek(DATE '2024-12-31') AS BIGINT) AS yw,
+        |  CAST(DATE '2024-01-01' + to_days(3) AS DATE) AS dd,
+        |  CAST(TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS VARCHAR) AS dh,
+        |  CAST(date_sub('day', DATE '2024-03-01', DATE '2024-01-01') AS BIGINT) AS ds1,
+        |  CAST(date_sub('month', DATE '2024-03-10', DATE '2024-01-15') AS BIGINT) AS ds2,
+        |  CAST(list_reduce([1, 2, 3, 4], (a, b) -> a + b) AS BIGINT) AS lr,
+        |  list_aggregate(['a', 'b'], 'min') AS la1,
+        |  CAST(list_aggregate([1, NULL, 3], 'count') AS BIGINT) AS la2,
+        |  CAST(list_any_value([NULL, 3, 4]) AS BIGINT) AS lav,
+        |  array_to_string(array_reverse([1, 2, 3]), ',') AS ar,
+        |  array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), ',') AS rs,
+        |  ('abc' ~~ 'a%') AS lk1, ('ABC' ~~* 'a%') AS lk2,
+        |  ('abc' !~~ 'b%') AS lk3""".stripMargin,
     "q_lake_profile_aggs" ->
       """SELECT g,
         |  round(product(x), 6) AS pr,

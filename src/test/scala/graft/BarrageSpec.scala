@@ -164,6 +164,61 @@ class BarrageSpec extends AnyFunSuite {
       "████▉")
   }
 
+  test("r12 wave-2 barrage: gap-probe spellings run with DuckDB-measured values") {
+    val dir = Files.createTempDirectory("graft_barrage_w2").toString
+    val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    lake.sql("CREATE TABLE w(id INTEGER); INSERT INTO w VALUES (1)")
+    def one(q: String): Any = lake.sql(q).head().get(0)
+    // 2-arg trim family: Spark's (trimStr, str) order is REVERSED from
+    // DuckDB's (str, chars) — the rewrite goes through ANSI TRIM(...
+    // FROM ...) so ltrim('xxabc','x') is 'abc', not the silent '' the
+    // bare rename produced
+    assert(one("SELECT ltrim('xxabc','x') AS v") == "abc")
+    assert(one("SELECT rtrim('abcyy','y') AS v") == "abc")
+    assert(one("SELECT trim('xxabcxx','x') AS v") == "abc")
+    assert(one("SELECT btrim('xxabcxx','x') AS v") == "abc")
+    // len/length: type-dispatching BIGINT (codepoints / elements)
+    assert(one("SELECT len('héllo') AS v") == 5L)
+    assert(one("SELECT len([1,2,NULL]) AS v") == 3L)
+    assert(one("SELECT length('abc') AS v") == 3L)
+    // gcd/lcm over absolute values
+    assert(one("SELECT gcd(-12, 18) AS v") == 6L)
+    assert(one("SELECT lcm(-4, 6) AS v") == 12L)
+    assert(one("SELECT least_common_multiple(4, 6) AS v") == 12L)
+    assert(one("SELECT to_base(255, 16) AS v") == "FF")
+    // ISO week twins (Spark 4 has no weekofyear builtin; EXTRACT WEEK /
+    // YEAROFWEEK are the ISO fields)
+    assert(one("SELECT weekofyear(DATE '2021-01-01') AS v") == 53)
+    assert(one("SELECT yearweek(DATE '2024-12-31') AS v") == 202501L)
+    // interval constructors -> ANSI interval makers
+    assert(one("SELECT CAST(DATE '2024-01-01' + to_days(3) AS DATE) AS v")
+      .toString == "2024-01-04")
+    assert(one("SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS VARCHAR) AS v")
+      == "2024-01-01 02:00:00")
+    // 3-arg date_sub: SIGNED complete units, trunc toward zero
+    assert(one("SELECT date_sub('day', DATE '2024-03-01', DATE '2024-01-01') AS v") == -60L)
+    assert(one("SELECT date_sub('hour', TIMESTAMP '2024-01-01 00:30:00', " +
+      "TIMESTAMP '2024-01-01 05:00:00') AS v") == 4L)
+    assert(one("SELECT date_sub('month', DATE '2024-03-10', DATE '2024-01-15') AS v") == -1L)
+    // list fold/aggregate family
+    assert(one("SELECT list_reduce([1,2,3,4], (a,b) -> a + b) AS v") == 10)
+    assert(one("SELECT list_reduce([5], (a,b) -> a + b) AS v") == 5)
+    assert(one("SELECT list_aggregate(['a','b'], 'min') AS v") == "a")
+    assert(one("SELECT list_aggregate([1,NULL,3], 'count') AS v") == 2L)
+    assert(one("SELECT list_any_value([NULL, 3, 4]) AS v") == 3)
+    assert(one("SELECT array_to_string(array_reverse([1,2,3]), ',') AS v") == "3,2,1")
+    assert(one("SELECT array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), ',') AS v")
+      == "a,b,c")
+    assert(lake.sql("SELECT generate_subscripts([9,8,7], 1) AS i").collect()
+      .map(_.get(0)).mkString(",") == "1,2,3")
+    // Postgres LIKE operators (`~`/`!~` regex stay loud: `~` doubles as
+    // DuckDB's prefix bitwise-NOT and text cannot disambiguate)
+    assert(one("SELECT ('abc' ~~ 'a%') AS v") == true)
+    assert(one("SELECT ('ABC' ~~* 'a%') AS v") == true)
+    assert(one("SELECT ('abc' !~~ 'b%') AS v") == true)
+    assert(one("SELECT ('ABC' !~~* 'b%') AS v") == true)
+  }
+
   test("statement-shape barrage: runnable set runs, refusals stay loud") {
     val dir = Files.createTempDirectory("graft_barrage2").toString
     val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
