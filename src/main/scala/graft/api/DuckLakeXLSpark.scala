@@ -787,7 +787,16 @@ class DuckLakeXLSpark(
           // Ordered queries stay ordered (limit-on-sort is Spark's top-k).
           last = Some(StatementRouter.stripPercentLimit(q) match {
             case Some((inner, pct)) =>
-              val df = spark.sql(rewriteSelect(inner))
+              val df0 = spark.sql(rewriteSelect(inner))
+              // the count pass and the limit pass must see the SAME rows:
+              // a non-deterministic inner query (rand() filter, uuid())
+              // re-evaluated for the limit could return a row set the
+              // count was never true of — pin the draw with a checkpoint,
+              // exactly like the nextval count pass (review-found). A
+              // deterministic query skips the materialization.
+              val volatileQ = df0.queryExecution.analyzed
+                .exists(_.expressions.exists(_.find(!_.deterministic).isDefined))
+              val df = if (volatileQ) df0.localCheckpoint(true) else df0
               val k = math.floor(df.count() * pct / 100.0).toLong
               df.limit(math.min(k, Int.MaxValue.toLong).toInt)
             case None =>

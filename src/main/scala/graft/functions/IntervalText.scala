@@ -70,15 +70,39 @@ object IntervalText {
         m.group(4).toLong) * 1000000L + frac)
     }
     val noTime = TimeRe.replaceAllIn(s, " ")
+    // fraction handling, measured against DuckDB 1.0 (r12 review fix —
+    // rounding was wrong: '1.5 days' is '1 day 12:00:00', not '2 days'):
+    // year-family units truncate to whole MONTHS and DISCARD the rest
+    // ('1.55 years' = 18 months, no days); month/quarter cascade their
+    // month-fraction to whole DAYS and discard the rest ('1.25 months' =
+    // '1 month 7 days'); day/week cascade their day-fraction into micros
+    // exactly ('1.5 weeks' = '10 days 12:00:00'); sub-day units are
+    // exact micros. Truncation is toward zero ('-1.5 days' =
+    // '-1 day -12:00:00').
+    def addYearFam(totalMonths: Double): Unit = months += totalMonths.toLong
+    def addMonthFam(totalMonths: Double): Unit = {
+      val t = totalMonths.toLong
+      months += t
+      days += ((totalMonths - t) * 30).toLong
+    }
+    def addDayFam(totalDays: Double): Unit = {
+      val t = totalDays.toLong
+      days += t
+      micros += math.round((totalDays - t) * 86400000000L)
+    }
     for (m <- UnitRe.findAllMatchIn(noTime)) {
       val n = m.group(1).toDouble
       val u0 = m.group(2).toLowerCase(java.util.Locale.ROOT)
       val u = if (u0.length > 2 && u0.endsWith("s")) u0.dropRight(1) else u0
       u match {
-        case "year" | "yr"          => months += math.round(n * 12)
-        case "month" | "mon"        => months += math.round(n)
-        case "week"                 => days += math.round(n * 7)
-        case "day"                  => days += math.round(n)
+        case "millennium" | "millennia" => addYearFam(n * 12000)
+        case "century" | "centurie"     => addYearFam(n * 1200)
+        case "decade"               => addYearFam(n * 120)
+        case "year" | "yr"          => addYearFam(n * 12)
+        case "quarter"              => addMonthFam(n * 3)
+        case "month" | "mon"        => addMonthFam(n)
+        case "week"                 => addDayFam(n * 7)
+        case "day"                  => addDayFam(n)
         case "hour" | "hr"          => micros += math.round(n * 3600000000L)
         case "minute" | "min"       => micros += math.round(n * 60000000L)
         case "second" | "sec"       => micros += math.round(n * 1000000L)

@@ -281,7 +281,9 @@ case class BarText(first: Expression, second: Expression,
 case class FloorDiv(left: Expression, right: Expression)
   extends BinaryExpression {
   private def integral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
+    // a NULL-typed operand keeps integer mode: DuckDB types NULL // 2
+    // as integer, and the result is NULL either way
+    case ByteType | ShortType | IntegerType | LongType | NullType => true
     case _ => false
   }
   private lazy val intMode = integral(left.dataType) && integral(right.dataType)
@@ -312,9 +314,12 @@ case class FloorDiv(left: Expression, right: Expression)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // per-child numeric conversion: Decimal carries an object in codegen
+    // per-child numeric conversion: Decimal carries an object in codegen;
+    // a NullType child's value slot is dead code (its isNull is constant
+    // true) but must still typecheck — emit the zero of the mode
     def conv(v: String, dt: DataType): String =
-      if (dt.isInstanceOf[DecimalType]) s"$v.toDouble()"
+      if (dt == NullType) (if (intMode) "0L" else "0.0")
+      else if (dt.isInstanceOf[DecimalType]) s"$v.toDouble()"
       else if (intMode) s"(long)($v)" else s"(double)($v)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (av, bv) = (conv(a, left.dataType), conv(b, right.dataType))

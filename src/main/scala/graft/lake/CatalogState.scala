@@ -773,15 +773,22 @@ object CatalogState {
       asLong(m("table_id")), asLong(m("column_id")), asLong(m("begin_snapshot")),
       ol(m.getOrElse("end_snapshot", "")), m.getOrElse("key", ""),
       m.getOrElse("value", ""))).toVector
-    val synthesizedTags = colMaps.zip(parsedColumns).flatMap { case (m, c) =>
-      def synth(cellKey: String, tagKey: String): Option[ColumnTagRow] =
-        optCell(m.getOrElse(cellKey, ""))
-          .filter(_ => !parsedColumnTags.exists(t => t.tableId == c.tableId &&
-            t.columnId == c.columnId && t.key == tagKey))
-          .map(v => ColumnTagRow(c.tableId, c.columnId, c.beginSnapshot, None, tagKey, v))
-      synth("initial_default", "initial_default").toSeq ++
-        synth("default_value", "default").toSeq
-    }.distinctBy(t => (t.tableId, t.columnId, t.key)).toVector
+    // synthesize from the LIVE column-row version first (r12 review
+    // fix): a foreign workbook where a column's DEFAULT was altered has
+    // an ended row version and a live one with different default cells;
+    // distinctBy keeps the first hit, which must be the live row's
+    // value, not the stale ended version's
+    val synthesizedTags = colMaps.zip(parsedColumns)
+      .sortBy { case (_, c) => (c.endSnapshot.isDefined, -c.beginSnapshot) }
+      .flatMap { case (m, c) =>
+        def synth(cellKey: String, tagKey: String): Option[ColumnTagRow] =
+          optCell(m.getOrElse(cellKey, ""))
+            .filter(_ => !parsedColumnTags.exists(t => t.tableId == c.tableId &&
+              t.columnId == c.columnId && t.key == tagKey))
+            .map(v => ColumnTagRow(c.tableId, c.columnId, c.beginSnapshot, None, tagKey, v))
+        synth("initial_default", "initial_default").toSeq ++
+          synth("default_value", "default").toSeq
+      }.distinctBy(t => (t.tableId, t.columnId, t.key)).toVector
     CatalogState(
       metadata = rowsOf("ducklake_metadata")
         .map(m => (m.getOrElse("key", ""), m.getOrElse("value", ""))).toVector

@@ -1505,6 +1505,12 @@ object StatementRouter {
     * minutes'`) or bare (`INTERVAL 1 DAY`) — into (months, micros).
     * DuckDB refuses month widths mixed with day/time parts, so callers
     * treat (m>0, us>0) as unmappable. Non-literal intervals -> None.
+    * NOT the same contract as functions/IntervalText.parse (the lake
+    * INTERVAL column carrier): this one is a time_bucket WIDTH parser —
+    * integer-only values, days folded into micros (a width has no
+    * calendar identity), unmappable means a LOUD refusal downstream —
+    * while IntervalText keeps (months, days, micros) distinct and
+    * cascades fractions the way DuckDB renders values.
     */
   private[lake] def parseIntervalLiteral(s0: String): Option[(Long, Long)] = {
     val s = s0.trim
@@ -2459,45 +2465,125 @@ object StatementRouter {
     i
   }
 
+  /** extend an operand's left edge (r12 review fixes): through a
+    * subscripted base (`xs[1]`), `::TYPE` cast chains (`a::DOUBLE`),
+    * and — when `multChain` (for `//`, which sits at multiplicative
+    * precedence) — back over `*` `/` `%` `**` `^` chains so
+    * `5 * 7 // 2` extracts `(5 * 7, 2)` like DuckDB's left-associative
+    * same-precedence parse, not `5 * fdiv(7, 2)`.
+    */
+  private def extendOperandLeft(s: String, ls0: Int, lit: Array[Boolean],
+      multChain: Boolean): Int = {
+    var ls = ls0
+    var go = ls > 0
+    while (go) {
+      go = false
+      while (ls > 0 && s.charAt(ls) == '[' &&
+             (identChar(s.charAt(ls - 1)) || s.charAt(ls - 1) == ')' ||
+              s.charAt(ls - 1) == ']' || s.charAt(ls - 1) == '"')) {
+        val prev = primaryStart(s, ls)
+        if (prev < 0 || prev >= ls) return ls
+        ls = prev
+      }
+      var k = ls - 1
+      while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+      if (k >= 1 && !lit(k) && s.charAt(k) == ':' && s.charAt(k - 1) == ':') {
+        val prev = primaryStart(s, k - 1)
+        if (prev >= 0 && prev < ls) { ls = prev; go = true }
+      } else if (multChain && k >= 0 && !lit(k)) {
+        val c = s.charAt(k)
+        val opPos =
+          if (c == '^' || c == '%') k
+          else if (c == '*')
+            (if (k > 0 && s.charAt(k - 1) == '*' && !lit(k - 1)) k - 1 else k)
+          // a lone '/': an earlier '//' cannot exist (leftmost-first)
+          else if (c == '/' && !(k > 0 && s.charAt(k - 1) == '/')) k
+          else -1
+        if (opPos >= 0) {
+          val prev = primaryStart(s, opPos)
+          if (prev >= 0 && prev < ls) { ls = prev; go = true }
+        }
+      }
+    }
+    ls
+  }
+
+  /** extend an operand's right edge: through `::TYPE[(args)][[]]` cast
+    * suffixes and — when `powerChain` (for `//`) — over the
+    * tighter-binding `**`/`^` so `100 // 3 ** 2` extracts
+    * `(100, 3 ** 2)` (measured: 11.11…, `**` binds above `//`).
+    */
+  private def extendOperandRight(s: String, re0: Int, lit: Array[Boolean],
+      powerChain: Boolean): Int = {
+    var re = re0
+    var go = true
+    while (go) {
+      go = false
+      var k = re
+      while (k < s.length && s.charAt(k).isWhitespace) k += 1
+      if (k + 1 < s.length && !lit(k) && s.charAt(k) == ':' &&
+          s.charAt(k + 1) == ':') {
+        var j = k + 2
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && identChar(s.charAt(j))) {
+          while (j < s.length && identChar(s.charAt(j))) j += 1
+          if (j < s.length && s.charAt(j) == '(') {
+            val c2 = matchingParen(s, j)
+            if (c2 < 0) return re
+            j = c2 + 1
+          }
+          while (j + 1 < s.length && s.charAt(j) == '[' && s.charAt(j + 1) == ']')
+            j += 2
+          re = j; go = true
+        }
+      } else if (powerChain && k < s.length && !lit(k) &&
+                 (s.charAt(k) == '^' ||
+                  (s.charAt(k) == '*' && k + 1 < s.length &&
+                   s.charAt(k + 1) == '*' && !lit(k + 1)))) {
+        val opLen = if (s.charAt(k) == '^') 1 else 2
+        val e2 = primaryEnd(s, k + opLen)
+        if (e2 > re) { re = e2; go = true }
+      }
+    }
+    re
+  }
+
   /** DuckDB's power operators: `a ** b` and `a ^ b` -> `power(a, b)`.
     * Spark parses `^` as bitwise XOR (2 ^ 3 = 1 where DuckDB gives 8.0) —
     * a silent-wrong-answer trap, so the lake dialect rewrites it; xor
-    * stays reachable as the xor() function in both engines. Rightmost
-    * operator first + full re-scan = right associativity (a ^ b ^ c ->
-    * power(a, power(b, c)), DuckDB's binding). An operand that fails to
-    * parse leaves the statement unchanged for the engine's own error.
+    * stays reachable as the xor() function in both engines. LEFTMOST
+    * operator first + full re-scan = left associativity (measured:
+    * 2 ^ 3 ^ 2 = 64 in DuckDB, i.e. power(power(2, 3), 2) — the r12
+    * review corrected the earlier rightmost-first scan, which built the
+    * right-associative 512). Operands extend through `::TYPE` casts and
+    * subscripts; one that fails to parse leaves the statement unchanged
+    * for the engine's own error.
     */
   private[lake] def rewritePowerOp(s0: String): String = {
     var s = s0
     var go = true
     while (go) {
       val lit = literalMask(s)
-      // rightmost `**` or `^` outside literals
+      // leftmost `**` or `^` outside literals
       var op = -1
       var opLen = 0
-      var i = s.length - 1
-      while (i >= 0 && op < 0) {
+      var i = 0
+      while (i < s.length && op < 0) {
         if (!lit(i)) {
-          if (s.charAt(i) == '^') { op = i; opLen = 1 }
-          else if (s.charAt(i) == '*' && i > 0 && s.charAt(i - 1) == '*' &&
-                   !lit(i - 1)) { op = i - 1; opLen = 2 }
+          if (s.charAt(i) == '*' && i + 1 < s.length &&
+              s.charAt(i + 1) == '*' && !lit(i + 1)) { op = i; opLen = 2 }
+          else if (s.charAt(i) == '^') { op = i; opLen = 1 }
         }
-        i -= 1
+        i += 1
       }
       if (op < 0) go = false
       else {
         var ls = primaryStart(s, op)
-        // a subscripted base (`xs[1] ^ 2`): primaryStart stops at the `[`
-        // group — extend through the base so the whole chain is the operand
-        while (ls > 0 && s.charAt(ls) == '[' &&
-               (identChar(s.charAt(ls - 1)) || s.charAt(ls - 1) == ')' ||
-                s.charAt(ls - 1) == ']' || s.charAt(ls - 1) == '"')) {
-          val prev = primaryStart(s, ls)
-          if (prev < 0 || prev >= ls) return s
-          ls = prev
-        }
-        val re = primaryEnd(s, op + opLen)
-        if (ls < 0 || re < 0) return s
+        if (ls < 0) return s
+        ls = extendOperandLeft(s, ls, lit, multChain = false)
+        var re = primaryEnd(s, op + opLen)
+        if (re < 0) return s
+        re = extendOperandRight(s, re, lit, powerChain = false)
         val l = s.substring(ls, op).trim
         val r = s.substring(op + opLen, re).trim
         if (l.isEmpty || r.isEmpty) return s
@@ -2540,8 +2626,13 @@ object StatementRouter {
   /** DuckDB `a // b` -> `__graft_fdiv(a, b)` (functions/ScalarWave
     * FloorDiv: trunc-toward-zero integer division for integral operands,
     * PLAIN division for floating operands — DuckDB does not floor
-    * doubles — NULL on zero divisor; all measured). Same rightmost-first
-    * infix extraction as rewritePowerOp.
+    * doubles — NULL on zero divisor; all measured). `//` sits at
+    * multiplicative precedence, left-associative: the scan is
+    * LEFTMOST-first (100 // 7 // 2 = 7, not 33), the LEFT operand
+    * extends back over the whole `*` `/` `%` `**` `^` chain
+    * (5 * 7 // 2 = 17) and `::` casts, and the RIGHT operand extends
+    * over the tighter-binding power operators (100 // 3 ** 2) and
+    * casts — all DuckDB-measured (r12 review fix).
     */
   private[lake] def rewriteFloorDivOp(s0: String): String = {
     var s = s0
@@ -2549,24 +2640,20 @@ object StatementRouter {
     while (go) {
       val lit = literalMask(s)
       var op = -1
-      var i = s.length - 1
-      while (i > 0 && op < 0) {
-        if (!lit(i) && s.charAt(i) == '/' && s.charAt(i - 1) == '/' &&
-            !lit(i - 1)) op = i - 1
-        i -= 1
+      var i = 0
+      while (i < s.length - 1 && op < 0) {
+        if (!lit(i) && s.charAt(i) == '/' && s.charAt(i + 1) == '/' &&
+            !lit(i + 1)) op = i
+        i += 1
       }
       if (op < 0) go = false
       else {
         var ls = primaryStart(s, op)
-        while (ls > 0 && s.charAt(ls) == '[' &&
-               (identChar(s.charAt(ls - 1)) || s.charAt(ls - 1) == ')' ||
-                s.charAt(ls - 1) == ']' || s.charAt(ls - 1) == '"')) {
-          val prev = primaryStart(s, ls)
-          if (prev < 0 || prev >= ls) return s
-          ls = prev
-        }
-        val re = primaryEnd(s, op + 2)
-        if (ls < 0 || re < 0) return s
+        if (ls < 0) return s
+        ls = extendOperandLeft(s, ls, lit, multChain = true)
+        var re = primaryEnd(s, op + 2)
+        if (re < 0) return s
+        re = extendOperandRight(s, re, lit, powerChain = true)
         val l = s.substring(ls, op).trim
         val r = s.substring(op + 2, re).trim
         if (l.isEmpty || r.isEmpty) return s
@@ -2600,10 +2687,15 @@ object StatementRouter {
                 // re-scan FROM the replacement so calls nested inside the
                 // rewritten arguments are still visited (r8 advice:
                 // date_diff('day', a, date_diff('day', b, c)) must rewrite
-                // both). The head was transformed so the same site cannot
-                // re-match — guarded anyway against a self-named rewrite
+                // both). When the replacement's own head re-matches the
+                // regex (trim -> TRIM(BOTH … FROM …), sum -> sum(…)),
+                // advance ONE char — past the head's word boundary, so the
+                // emitted head cannot loop — instead of past the whole
+                // replacement, which skipped same-named calls nested in
+                // the rewritten arguments (r12 review: trim(trim(s,'x'),
+                // 'a') left the inner 2-arg trim unrewritten)
                 from =
-                  if (re.findPrefixMatchOf(rep).isDefined) start + rep.length
+                  if (re.findPrefixMatchOf(rep).isDefined) start + 1
                   else start
               case None => from = open + 1
             }
@@ -3411,10 +3503,12 @@ object StatementRouter {
         Some(s"try_element_at(filter(($l), __lav -> __lav IS NOT NULL), 1)")
       case _ => None
     }
-    // generate_subscripts(l, 1) -> 1-based index stream
+    // generate_subscripts(l, 1) -> 1-based index stream. Spark's
+    // sequence(1, 0) steps BACKWARD ([1, 0]) — slice to size() so an
+    // empty list yields zero rows like DuckDB, not two phantom ones
     q = rewriteCalls(q, "generate_subscripts") {
       case Seq(l, dim) if dim.trim == "1" =>
-        Some(s"explode(sequence(1, size(($l))))")
+        Some(s"explode(slice(sequence(1, greatest(size(($l)), 1)), 1, size(($l))))")
       case _ => None
     }
     q = rewriteCalls(q, "array_reverse") {

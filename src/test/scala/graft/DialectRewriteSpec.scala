@@ -413,9 +413,11 @@ class DialectRewriteSpec extends AnyFunSuite {
   test("r8 wave 2: power operators ** and ^ become power()") {
     assert(rewriteDialect("SELECT 2 ** 3 AS x") == "SELECT power(2, 3) AS x")
     assert(rewriteDialect("SELECT a ^ 2 FROM t") == "SELECT power(a, 2) FROM t")
-    // right-associative chain, DuckDB's binding
+    // LEFT-associative chain — measured: DuckDB 2 ^ 3 ^ 2 = 64 =
+    // power(power(2, 3), 2); the earlier right-associative pin encoded
+    // an unmeasured (and wrong) assumption (r12 review fix)
     assert(rewriteDialect("SELECT a ^ b ^ c FROM t") ==
-      "SELECT power(a, power(b, c)) FROM t")
+      "SELECT power(power(a, b), c) FROM t")
     // call + qualified + bracketed operands
     assert(rewriteDialect("SELECT f(x) ** t.c AS x FROM t") ==
       "SELECT power(f(x), t.c) AS x FROM t")

@@ -90,6 +90,47 @@ class R12EdgeSpec extends AnyFunSuite {
     assertThrows[Exception] { lake.sql("INSERT INTO iv2 VALUES (4, 17)") }
   }
 
+  test("r12 review fixes: // and ^ precedence, trim nesting, interval fractions, subscripts") {
+    val lake = freshLake()
+    def one(q: String): Any = lake.sql(q).head().get(0)
+    // `//` is left-associative at multiplicative precedence (measured:
+    // 100 // 7 // 2 = 7, not the rightmost-first 33) and chains with
+    // * / % on the left, tighter-binding ** on the right
+    assert(one("SELECT 100 // 7 // 2 AS v") == 7L)
+    assert(one("SELECT 5 * 7 // 2 AS v") == 17L)
+    assert(one("SELECT 7 // 2 * 5 AS v") == 15L)
+    assert(one("SELECT 2 + 3 * 4 // 5 AS v") == 4L)
+    assert(one("SELECT (1+5) // 2 // 2 AS v") == 1L)
+    assert(one("SELECT round(100 // 3 ** 2, 4) AS v") == 11.1111)
+    assert(one("SELECT 2 ** 3 // 2 AS v") == 4.0)
+    // `::` casts bind tighter than // and ^
+    assert(one("SELECT 7.5::DOUBLE // 2 AS v") == 3.75)
+    assert(one("SELECT 2::DOUBLE ^ 3 AS v") == 8.0)
+    assert(lake.sql("SELECT NULL // 2 AS v").head().isNullAt(0))
+    // `^`/`**` are LEFT-associative (measured: 2 ^ 3 ^ 2 = 64, the old
+    // rightmost-first scan built the right-associative 512)
+    assert(one("SELECT 2 ^ 3 ^ 2 AS v") == 64.0)
+    assert(one("SELECT 2 ** 3 ** 2 AS v") == 64.0)
+    // a 2-arg trim nested inside another trim's arguments still rewrites
+    assert(one("SELECT trim(trim('xxabcxx','x'), 'a') AS v") == "bc")
+    // interval fractions cascade like DuckDB instead of rounding:
+    // day/week fraction -> exact time; month fraction -> whole days
+    // (rest discarded); year-family -> whole months (rest discarded)
+    lake.sql("CREATE TABLE ivf(id INTEGER, iv INTERVAL); " +
+      "INSERT INTO ivf VALUES (1, INTERVAL '1.5 days'), " +
+      "(2, INTERVAL '1.25 months'), (3, INTERVAL '1.55 years'), " +
+      "(4, INTERVAL '1 quarter'), (5, INTERVAL '-1.5 days'), " +
+      "(6, INTERVAL '1.5 weeks'), (7, INTERVAL '2 decades')")
+    assert(lake.sql("SELECT iv FROM ivf ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq(
+        "1 day 12:00:00", "1 month 7 days", "1 year 6 months",
+        "3 months", "-1 day -12:00:00", "10 days 12:00:00", "20 years"))
+    // generate_subscripts of an empty list: zero rows (Spark's
+    // sequence(1, 0) steps backward — the slice guard kills it)
+    assert(lake.sql("SELECT generate_subscripts(slice([1], 1, 0), 1) AS i")
+      .count() == 0L)
+  }
+
   test("window EXCLUDE GROUP/TIES: supported frames run, the rest stay loud") {
     val lake = freshLake()
     lake.sql("CREATE TABLE wg(id INTEGER, k INTEGER, v INTEGER); " +
