@@ -176,6 +176,7 @@ class DuckLakeXLSpark(
     reg2("__graft_nextafter", graft.functions.NextAfter(_, _))
     reg2("__graft_damerau", graft.functions.DamerauLevenshtein(_, _))
     reg2("__graft_fdiv", graft.functions.FloorDiv(_, _))
+    reg2("__graft_div", graft.functions.DoubleDiv(_, _))
     reg2("__graft_gcd", graft.functions.Gcd(_, _))
     reg2("__graft_lcm", graft.functions.Lcm(_, _))
     reg1("__graft_len", graft.functions.LenOf(_))

@@ -272,6 +272,57 @@ case class BarText(first: Expression, second: Expression,
   override def prettyName: String = "bar"
 }
 
+/** DuckDB `/` (measured): ALWAYS DOUBLE — `6 / 3` is DOUBLE 2.0 and
+  * `1 / 2.6` is the full-precision 0.3846153846153846, where Spark
+  * keeps DECIMAL division at scale 6 (0.384615 — a silent precision
+  * loss the r12 differential barrage caught) — and NULL on a zero
+  * divisor (Spark doubles give Infinity, ANSI errors).
+  */
+case class DoubleDiv(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def numeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | NullType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => numeric(e.dataType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"/ needs numeric operands, got ${left.dataType.simpleString}, " +
+      right.dataType.simpleString)
+  private def toD(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case n: Number => n.doubleValue()
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input); if (a == null) return null
+    val b = right.eval(input); if (b == null) return null
+    val d = toD(b); if (d == 0.0) null else toD(a) / d
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def conv(v: String, dt: DataType): String =
+      if (dt == NullType) "0.0"
+      else if (dt.isInstanceOf[DecimalType]) s"$v.toDouble()"
+      else s"(double)($v)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val bn = ctx.freshName("divB")
+      s"""double $bn = ${conv(b, right.dataType)};
+         |if ($bn == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${conv(a, left.dataType)}) / $bn; }
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleDiv =
+    copy(left = l, right = r)
+  override def prettyName: String = "ddiv"
+}
+
 /** DuckDB `//` (measured): integral operands -> integer division
   * truncating toward zero (-7 // 2 = -3), floating operands -> PLAIN
   * division (7.5 // 2 = 3.75 — DuckDB does NOT floor doubles), either

@@ -2634,16 +2634,33 @@ object StatementRouter {
     * over the tighter-binding power operators (100 // 3 ** 2) and
     * casts — all DuckDB-measured (r12 review fix).
     */
-  private[lake] def rewriteFloorDivOp(s0: String): String = {
+  private[lake] def rewriteFloorDivOp(s0: String): String =
+    rewriteMulPrecOp(s0, "//", "__graft_fdiv")
+
+  /** DuckDB `/` (measured): ALWAYS DOUBLE — `6 / 3` is DOUBLE 2.0,
+    * `1 / 2.6` is full-precision 0.3846153846153846 where Spark's
+    * DECIMAL division truncates at scale 6 (the r12 differential
+    * barrage caught that silent loss) — and NULL on a zero divisor
+    * (Spark doubles give Infinity; ANSI mode errors). Runs AFTER the
+    * `//` rewrite, so every remaining slash is plain division.
+    */
+  private[lake] def rewriteDivOp(s0: String): String =
+    rewriteMulPrecOp(s0, "/", "__graft_div")
+
+  /** shared leftmost-first multiplicative-precedence infix extraction
+    * (see rewriteFloorDivOp's scaladoc for the measured binding rules)
+    */
+  private def rewriteMulPrecOp(s0: String, opStr: String, target: String): String = {
     var s = s0
     var go = true
     while (go) {
       val lit = literalMask(s)
       var op = -1
       var i = 0
-      while (i < s.length - 1 && op < 0) {
-        if (!lit(i) && s.charAt(i) == '/' && s.charAt(i + 1) == '/' &&
-            !lit(i + 1)) op = i
+      while (i <= s.length - opStr.length && op < 0) {
+        if (!lit(i) && s.startsWith(opStr, i) &&
+            (opStr != "/" || ((i == 0 || s.charAt(i - 1) != '/') &&
+              (i + 1 >= s.length || s.charAt(i + 1) != '/')))) op = i
         i += 1
       }
       if (op < 0) go = false
@@ -2651,13 +2668,13 @@ object StatementRouter {
         var ls = primaryStart(s, op)
         if (ls < 0) return s
         ls = extendOperandLeft(s, ls, lit, multChain = true)
-        var re = primaryEnd(s, op + 2)
+        var re = primaryEnd(s, op + opStr.length)
         if (re < 0) return s
         re = extendOperandRight(s, re, lit, powerChain = true)
         val l = s.substring(ls, op).trim
-        val r = s.substring(op + 2, re).trim
+        val r = s.substring(op + opStr.length, re).trim
         if (l.isEmpty || r.isEmpty) return s
-        s = s.substring(0, ls) + s"__graft_fdiv($l, $r)" + s.substring(re)
+        s = s.substring(0, ls) + s"$target($l, $r)" + s.substring(re)
       }
     }
     s
@@ -3990,6 +4007,10 @@ object StatementRouter {
     // dialect) -> type-dispatching native FloorDiv: integer operands
     // trunc-divide, floating operands PLAIN-divide (r12, measured)
     q = rewriteFloorDivOp(q)
+    // then every remaining `/` -> always-DOUBLE division with NULL on a
+    // zero divisor (DuckDB's `/`; Spark's DECIMAL division truncates at
+    // scale 6 and its double division yields Infinity on zero)
+    q = rewriteDivOp(q)
     // Postgres-style LIKE operators (longest token first so `!~~*`
     // never half-matches); Spark has native ILIKE. Bare `~`/`!~` regex
     // operators stay out: `~` is ALSO DuckDB's prefix bitwise-NOT and a
