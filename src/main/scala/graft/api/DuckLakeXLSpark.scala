@@ -177,6 +177,7 @@ class DuckLakeXLSpark(
     reg2("__graft_damerau", graft.functions.DamerauLevenshtein(_, _))
     reg2("__graft_fdiv", graft.functions.FloorDiv(_, _))
     reg2("__graft_div", graft.functions.DoubleDiv(_, _))
+    reg2("__graft_months_complete", graft.functions.MonthsComplete(_, _))
     reg2("__graft_gcd", graft.functions.Gcd(_, _))
     reg2("__graft_lcm", graft.functions.Lcm(_, _))
     reg1("__graft_len", graft.functions.LenOf(_))
@@ -438,7 +439,7 @@ class DuckLakeXLSpark(
     // for zipWithIndex could yield more rows than were reserved, pushing
     // draws past the reserved range into a concurrent writer's
     // (review-found). localCheckpoint pins the partitions.
-    val df0 = spark.sql(rewriteSelect(body)).localCheckpoint()
+    val df0 = sqlSelect((body)).localCheckpoint()
     val n = df0.count()
     val bySeq = sites.zipWithIndex.groupBy(_._1.seq) // preserve list order
     val reserved = bySeq.map { case (nm, ss) =>
@@ -566,7 +567,7 @@ class DuckLakeXLSpark(
           if (tempTables.contains(s.name.toLowerCase) && !s.orReplace) {
             if (!s.ifNotExists)
               throw new IllegalArgumentException(s"temp table exists: ${s.name}")
-          } else putTempTable(s.name, spark.sql(rewriteSelect(s.select)))
+          } else putTempTable(s.name, sqlSelect((s.select)))
         case s: StatementRouter.CreateTable =>
           if (s.orReplace) executeDrop(StatementRouter.DropTable(s.name, ifExists = true))
           executeCreate(s); registerViews()
@@ -591,7 +592,7 @@ class DuckLakeXLSpark(
           require(!StatementRouter.hasCall(s.select, "nextval") && !s.byName,
             "INSERT into a TEMP table takes a plain SELECT " +
             "(no sequences, no BY NAME)")
-          insertIntoTemp(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
+          insertIntoTemp(s.table, s.cols, sqlSelect((s.select)))
         case s: StatementRouter.InsertSelect =>
           if (StatementRouter.hasCall(s.select, "nextval"))
             executeInsertSelectSeq(s)
@@ -601,10 +602,10 @@ class DuckLakeXLSpark(
             // executeInsertDF's named path does exactly that mapping
             val body = if (s.select.startsWith("("))
               s"SELECT * FROM ${s.select}" else s.select
-            val df = spark.sql(rewriteSelect(body))
+            val df = sqlSelect((body))
             executeInsertDF(s.table, Some(df.columns.toSeq), df)
           } else
-            executeInsertDF(s.table, s.cols, spark.sql(rewriteSelect(s.select)))
+            executeInsertDF(s.table, s.cols, sqlSelect((s.select)))
           registerViews()
         case s: StatementRouter.Delete if isTempTable(s.table) =>
           throw new IllegalArgumentException(
@@ -714,7 +715,7 @@ class DuckLakeXLSpark(
           // evaluate ONCE now (DuckDB semantics) — the expr may reference
           // lake tables/macros, so it rides the full select pipeline
           sessionVariables(n.toLowerCase) =
-            renderSqlLiteral(spark.sql(rewriteSelect(s"SELECT $e")).head().get(0))
+            renderSqlLiteral(sqlSelect((s"SELECT $e")).head().get(0))
         case StatementRouter.ResetVariable(n) =>
           sessionVariables.remove(n.toLowerCase)
         case StatementRouter.Vacuum => vacuumLocal()
@@ -746,7 +747,7 @@ class DuckLakeXLSpark(
           // run the query (noop sink — full materialization, no driver
           // collect), then render the EXECUTED plan with runtime SQL
           // metrics, the Spark analogue of DuckDB's profiled plan
-          val df = spark.sql(rewriteSelect(q))
+          val df = sqlSelect((q))
           // execute THIS plan instance (a .write/.count would build a new
           // QueryExecution whose metrics land on different plan nodes):
           // full materialization, nothing collected to the driver
@@ -775,7 +776,7 @@ class DuckLakeXLSpark(
         case StatementRouter.Explain(q) =>
           // the formatted physical plan as rows (DuckDB pass-through gives
           // the reference EXPLAIN for free; here it is Catalyst's plan)
-          val lines = spark.sql(rewriteSelect(q)).queryExecution.explainString(
+          val lines = sqlSelect((q)).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
             .linesIterator.toSeq
           last = Some(spark.createDataFrame(
@@ -788,7 +789,7 @@ class DuckLakeXLSpark(
           // Ordered queries stay ordered (limit-on-sort is Spark's top-k).
           last = Some(StatementRouter.stripPercentLimit(q) match {
             case Some((inner, pct)) =>
-              val df0 = spark.sql(rewriteSelect(inner))
+              val df0 = sqlSelect((inner))
               // the count pass and the limit pass must see the SAME rows:
               // a non-deterministic inner query (rand() filter, uuid())
               // re-evaluated for the limit could return a row set the
@@ -801,7 +802,7 @@ class DuckLakeXLSpark(
               val k = math.floor(df.count() * pct / 100.0).toLong
               df.limit(math.min(k, Int.MaxValue.toLong).toInt)
             case None =>
-              metadataCountStar(q).getOrElse(spark.sql(rewriteSelect(q)))
+              metadataCountStar(q).getOrElse(sqlSelect((q)))
           })
       }
       // `ducklake_snapshot_changes` audit trail: label every snapshot the
@@ -1022,7 +1023,7 @@ class DuckLakeXLSpark(
         case None => named
       }
     }
-    var acc = shape(spark.sql(rewriteSelect(anchor)).distinct(), None)
+    var acc = shape(sqlSelect((anchor)).distinct(), None)
       .localCheckpoint()
     var frontier = acc
     var iter = 0
@@ -1037,7 +1038,7 @@ class DuckLakeXLSpark(
         "(UNION-distinct recursion only terminates when the step stops " +
         "producing new rows)")
       frontier.createOrReplaceTempView(viewName)
-      val next = shape(spark.sql(rewriteSelect(subst(step))).distinct(), Some(acc))
+      val next = shape(sqlSelect((subst(step))).distinct(), Some(acc))
         .except(acc).localCheckpoint()
       if (!next.isEmpty) acc = acc.unionAll(next).localCheckpoint()
       frontier = next
@@ -1049,6 +1050,24 @@ class DuckLakeXLSpark(
         "WITH RECURSIVE " + rest0.drop(1).trim // further CTEs keep recursion
       else rest0
     rewriteRecursiveUnion(subst(rest))
+  }
+
+  /** routed SELECT text -> DataFrame, with the type-aware post-analysis
+    * fixes a textual dialect rewrite cannot make: `DATE - DATE` becomes
+    * a day COUNT (DuckDB: BIGINT days) instead of Spark's
+    * `INTERVAL '…' DAY` — the operand types are only known after
+    * analysis, so the swap happens on the analyzed plan (r12
+    * differential-barrage finding).
+    */
+  private def sqlSelect(q: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.sql(rewriteSelect(q))
+    import org.apache.spark.sql.catalyst.expressions.{DateDiff, SubtractDates}
+    val analyzed = df.queryExecution.analyzed
+    val fixed = analyzed.transformAllExpressions {
+      case s: SubtractDates => DateDiff(s.left, s.right)
+    }
+    if (fixed fastEquals analyzed) df
+    else org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark, fixed)
   }
 
   private[graft] def rewriteSelect(q00: String): String = {
@@ -1810,7 +1829,7 @@ class DuckLakeXLSpark(
       case None =>
         val v = state.viewByName(name).getOrElse(
           throw new IllegalArgumentException(s"no such table or view: $name"))
-        spark.sql(rewriteSelect(v.sql)).schema.fields.toVector.map { f =>
+        sqlSelect((v.sql)).schema.fields.toVector.map { f =>
           val tn = try CatalogSchema.typeName(f.dataType)
                    catch { case _: IllegalArgumentException => f.dataType.sql }
           Row(f.name, tn, if (f.nullable) "YES" else "NO")
@@ -1826,7 +1845,7 @@ class DuckLakeXLSpark(
     * schema, no execution (the describeTable output shape)
     */
   def describeQuery(select: String): DataFrame = {
-    val rows = withLakeCatalog(spark.sql(rewriteSelect(select)))
+    val rows = withLakeCatalog(sqlSelect((select)))
       .schema.fields.toVector.map { f =>
         val tn = try CatalogSchema.typeName(f.dataType)
                  catch { case _: IllegalArgumentException => f.dataType.sql }
@@ -1965,7 +1984,7 @@ class DuckLakeXLSpark(
       case None =>
         val v = state.viewByName(name).getOrElse(
           throw new IllegalArgumentException(s"no such table or view: $name"))
-        val d = withLakeCatalog(spark.sql(rewriteSelect(v.sql)))
+        val d = withLakeCatalog(sqlSelect((v.sql)))
         (d, d.schema.fields.toVector.map { f =>
           try CatalogSchema.typeName(f.dataType)
           catch { case _: IllegalArgumentException => f.dataType.sql }
@@ -2016,7 +2035,7 @@ class DuckLakeXLSpark(
       case None =>
         val v = state.viewByName(s.table).getOrElse(
           throw new IllegalArgumentException(s"no such table or view: ${s.table}"))
-        withLakeCatalog(spark.sql(rewriteSelect(v.sql)))
+        withLakeCatalog(sqlSelect((v.sql)))
     }
     val values = df.select(col(s.onCol)).filter(col(s.onCol).isNotNull)
       .distinct().orderBy(s.onCol).limit(10001).collect().map(_.get(0)).toSeq
@@ -2147,7 +2166,7 @@ class DuckLakeXLSpark(
       // path: temp first) — re-registering the view would un-shadow it
       state.liveViews().filterNot(v => tempTables.contains(v.viewName.toLowerCase))
         .foreach { v =>
-          try spark.sql(rewriteSelect(v.sql)).createOrReplaceTempView(v.viewName)
+          try sqlSelect((v.sql)).createOrReplaceTempView(v.viewName)
           catch { case e: Exception =>
             System.err.println(s"[ducklakexl] view ${v.viewName} skipped: ${e.getMessage}")
           }
@@ -2238,7 +2257,7 @@ class DuckLakeXLSpark(
         throw new IllegalArgumentException(s"view exists: ${s.name}")
       case maybeOld =>
         require(resolveTable(s.name).isEmpty, s"table exists: ${s.name}")
-        spark.sql(rewriteSelect(s.select)) // validate eagerly, like DuckDB
+        sqlSelect((s.select)) // validate eagerly, like DuckDB
         val snap = state.currentSnapshot + 1
         val vid = state.nextCatalogId
         val ended = maybeOld match {
@@ -2402,7 +2421,7 @@ class DuckLakeXLSpark(
 
   private def executeCtas(s: StatementRouter.CreateTableAs): Unit = {
     if (resolveTable(s.name).isDefined && s.ifNotExists) return
-    val df = spark.sql(rewriteSelect(s.select))
+    val df = sqlSelect((s.select))
     val cols = df.schema.fields.map(f => (f.name, CatalogSchema.typeName(f.dataType))).toSeq
     executeCreate(StatementRouter.CreateTable(s.name, cols, ifNotExists = false))
     executeInsertDF(s.name, None, df)
@@ -2452,7 +2471,7 @@ class DuckLakeXLSpark(
           "INSERT … RETURNING takes a plain SELECT source (no sequences, no BY NAME)")
         val t = requireTable(is.table)
         val df = coerceToTableSchema(state.schemaOf(t.tableId), is.cols,
-          spark.sql(rewriteSelect(is.select)),
+          sqlSelect((is.select)),
           defaultTextsOf(t).map { case (k, v) => k -> dexpr(v) })
           .localCheckpoint(true)
         executeInsertDF(is.table, None, df)
@@ -2460,7 +2479,7 @@ class DuckLakeXLSpark(
         df
       case d: StatementRouter.Delete =>
         require(!isTempTable(d.table), "RETURNING on a TEMP table is not supported")
-        val pre = spark.sql(rewriteSelect(s"SELECT * FROM ${d.table}" +
+        val pre = sqlSelect((s"SELECT * FROM ${d.table}" +
           d.where.map(w => s" WHERE $w").getOrElse(""))).localCheckpoint(true)
         executeDelete(d)
         registerViews()
@@ -2476,7 +2495,7 @@ class DuckLakeXLSpark(
             case None         => s"`$fn`"
           }
         }.mkString(", ")
-        val pre = spark.sql(rewriteSelect(s"SELECT $proj FROM ${u.table}" +
+        val pre = sqlSelect((s"SELECT $proj FROM ${u.table}" +
           u.where.map(w => s" WHERE $w").getOrElse(""))).localCheckpoint(true)
         executeUpdate(u)
         registerViews()
@@ -2484,7 +2503,7 @@ class DuckLakeXLSpark(
       case other => throw new IllegalStateException(s"unreachable RETURNING: $other")
     }
     post.createOrReplaceTempView("__graft_returning")
-    try spark.sql(rewriteSelect(s"SELECT ${s.exprs} FROM __graft_returning"))
+    try sqlSelect((s"SELECT ${s.exprs} FROM __graft_returning"))
       .localCheckpoint(true)
     finally spark.catalog.dropTempView("__graft_returning")
   }
@@ -2919,7 +2938,7 @@ class DuckLakeXLSpark(
     val live = state.filesOf(t.tableId)
     val snap = state.currentSnapshot + 1
     var fid = state.nextFileId
-    val srcDF = spark.sql(rewriteSelect(s.sourceSql)).alias(s.srcAlias)
+    val srcDF = sqlSelect((s.sourceSql)).alias(s.srcAlias)
     val cond = dexpr(s.on)
 
     // per-file MATCHED-target-row counts (left_semi keeps each matched
@@ -3311,7 +3330,7 @@ class DuckLakeXLSpark(
     val inner =
       if (s.source.startsWith("(")) s.source.stripPrefix("(").stripSuffix(")")
       else s"SELECT * FROM ${s.source}"
-    val df = spark.sql(rewriteSelect(inner))
+    val df = sqlSelect((inner))
     val fmt = s.format.getOrElse {
       val p = s.path.toLowerCase
       if (p.endsWith(".csv")) "csv"

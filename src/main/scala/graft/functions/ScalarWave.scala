@@ -50,6 +50,24 @@ object ScalarWave {
     else (months0, dayA.toLong - db.getDayOfMonth, micros)
   }
 
+  /** complete calendar months from a to b with DuckDB's add-months
+    * clamp (measured: date_sub('month', Jan-31 10:00, Feb-29 10:00) = 1
+    * because Jan-31 + 1 month clamps to Feb-29 and 10:00 <= 10:00, but
+    * Feb-28 09:00 gives 0; same-day-of-month with an earlier
+    * time-of-day does NOT complete the month — where Spark's
+    * months_between ignores time when the days match). Signed,
+    * symmetric negation.
+    */
+  def monthsComplete(aMicros: Long, bMicros: Long): Long = {
+    if (bMicros < aMicros) return -monthsComplete(bMicros, aMicros)
+    def ldt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val a = ldt(aMicros); val b = ldt(bMicros)
+    val m0 = (b.getYear - a.getYear) * 12L + (b.getMonthValue - a.getMonthValue)
+    if (a.plusMonths(m0).isAfter(b)) m0 - 1 else m0
+  }
+
   /** DuckDB `damerau_levenshtein` (measured): FULL Damerau-Levenshtein
     * (with the alphabet dictionary — 'ca'→'abc' is 2, where the
     * restricted OSA variant says 3) computed over UTF-8 BYTES
@@ -210,6 +228,27 @@ case class AgeText(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AgeText =
     copy(left = l, right = r)
   override def prettyName: String = "age"
+}
+
+/** signed complete-calendar-months count (ScalarWave.monthsComplete's
+  * measured DuckDB contract) — the date_sub month/quarter/year family.
+  */
+case class MonthsComplete(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[TimestampType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "months_complete(a, b) needs two timestamps")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ScalarWave.monthsComplete(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ScalarWave.monthsComplete($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MonthsComplete =
+    copy(left = l, right = r)
+  override def prettyName: String = "months_complete"
 }
 
 /** IEEE-754 nextafter — Java's Math.nextAfter is bit-exact with C++

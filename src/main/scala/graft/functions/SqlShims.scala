@@ -25,6 +25,19 @@ object FunctionRegistryBridge {
       .createOrReplaceTempFunction(name, builder, "internal")
 }
 
+/** building a DataFrame from a transformed LogicalPlan goes through
+  * `Dataset.ofRows`, sql-package-private in Spark 4 — same forwarder
+  * pattern as [[ColumnBridge]] (used for type-aware post-analysis
+  * dialect fixes a textual rewrite cannot make, e.g. DATE - DATE)
+  */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
 /** the bench's shuffle-bytes audit reads task-metric deltas around a
   * query; the listener queue is async, so the deltas are only exact
   * after `listenerBus.waitUntilEmpty()` — which is private[spark]

@@ -3414,6 +3414,24 @@ object StatementRouter {
         case Seq(s) if fn == "btrim" => Some(s"TRIM(BOTH FROM ($s))")
         case _ => None
       }
+    // left/right with NEGATIVE counts (r12 string differential):
+    // DuckDB's left(s, -n) drops the LAST n characters and right(s, -n)
+    // drops the FIRST n, where Spark returns '' — substring twins cover
+    // both signs (Spark's substring with a negative start counts from
+    // the end, which IS right(s, n))
+    q = rewriteCalls(q, "left") {
+      case Seq(s, n) => Some(
+        s"(CASE WHEN ($n) >= 0 THEN substring(($s), 1, ($n)) " +
+        s"ELSE substring(($s), 1, CAST(greatest(char_length($s) + ($n), 0) AS INT)) END)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "right") {
+      case Seq(s, n) => Some(
+        s"(CASE WHEN ($n) > 0 THEN substring(($s), -($n)) " +
+        s"WHEN ($n) = 0 THEN '' " +
+        s"ELSE substring(($s), CAST(-($n) + 1 AS INT)) END)")
+      case _ => None
+    }
     // len/length: BIGINT with type dispatch (codepoints / bytes /
     // element count) — Spark splits this across length()/size(), and
     // renameFns deliberately left these alone (array_length -> size is
@@ -3485,9 +3503,15 @@ object StatementRouter {
             case "hour"   => viaMicros(3600000000L)
             case "day"    => viaMicros(86400000000L)
             case "week"   => viaMicros(7L * 86400000000L)
-            case "month"  => Some(s"CAST(months_between(($b), ($a)) AS BIGINT)")
-            case "quarter" => Some(s"(CAST(months_between(($b), ($a)) AS BIGINT) div 3)")
-            case "year"   => Some(s"(CAST(months_between(($b), ($a)) AS BIGINT) div 12)")
+            // complete months need DuckDB's add-months clamp AND
+            // time-of-day (months_between ignores time when the days
+            // match — r12 date differential): native MonthsComplete
+            case "month"  => Some(
+              s"__graft_months_complete(CAST(($a) AS TIMESTAMP), CAST(($b) AS TIMESTAMP))")
+            case "quarter" => Some(
+              s"(__graft_months_complete(CAST(($a) AS TIMESTAMP), CAST(($b) AS TIMESTAMP)) div 3)")
+            case "year"   => Some(
+              s"(__graft_months_complete(CAST(($a) AS TIMESTAMP), CAST(($b) AS TIMESTAMP)) div 12)")
             case _ => None
           }
         }
@@ -3762,15 +3786,126 @@ object StatementRouter {
     q
   }
 
-  /** date_diff('day', a, b) -> datediff(b, a): identical semantics
-    * (midnight-boundary count). Other parts differ between the engines'
-    * boundary-count vs complete-unit conventions — left to error loudly.
+  /** DuckDB date_part/extract fields with no — or DIVERGENT — Spark
+    * twin (r12 date differential barrage, all measured): `dow` is
+    * Sunday=0 where Spark's dayofweek is Sunday=1 (a silent off-by-one
+    * before this), isodow Monday=1..Sunday=7, century/millennium =
+    * ceil(year/100|1000), decade = trunc(year/10), epoch = DOUBLE
+    * seconds, yearweek = isoyear*100 + isoweek.
+    */
+  private def dateFieldExpr(field0: String, x: String): Option[String] = {
+    val fl = field0.toLowerCase(java.util.Locale.ROOT)
+    val field = if (fl.length > 2 && fl.endsWith("s")) fl.dropRight(1) else fl
+    field match {
+      case "dow" | "dayofweek" =>
+        Some(s"CAST(dayofweek(CAST(($x) AS DATE)) - 1 AS BIGINT)")
+      case "isodow" =>
+        Some(s"CAST(pmod(dayofweek(CAST(($x) AS DATE)) + 5, 7) + 1 AS BIGINT)")
+      case "century" =>
+        Some(s"CAST(ceil(year(CAST(($x) AS DATE)) / 100.0) AS BIGINT)")
+      case "millennium" =>
+        Some(s"CAST(ceil(year(CAST(($x) AS DATE)) / 1000.0) AS BIGINT)")
+      case "decade" =>
+        Some(s"CAST(year(CAST(($x) AS DATE)) div 10 AS BIGINT)")
+      case "epoch" =>
+        // CAST to DOUBLE first: this emission lands AFTER the `/`
+        // operator pass, and Spark's BIGINT / DECIMAL is DECIMAL
+        Some(s"(CAST(unix_micros(CAST(($x) AS TIMESTAMP)) AS DOUBLE) / 1000000.0)")
+      case "yearweek" =>
+        Some(s"CAST(extract(YEAROFWEEK FROM ($x)) * 100 + " +
+          s"extract(WEEK FROM ($x)) AS BIGINT)")
+      // Spark's second is DECIMAL(8,6) ('46.000000'); DuckDB's is the
+      // whole-second BIGINT — and DuckDB's millisecond/microsecond
+      // include the seconds part (46.75s -> 46750 ms)
+      case "second" | "sec" =>
+        Some(s"CAST(second(CAST(($x) AS TIMESTAMP)) AS BIGINT)")
+      case "millisecond" =>
+        Some(s"((unix_micros(CAST(($x) AS TIMESTAMP)) - " +
+          s"unix_micros(date_trunc('MINUTE', CAST(($x) AS TIMESTAMP)))) div 1000L)")
+      case "microsecond" =>
+        Some(s"(unix_micros(CAST(($x) AS TIMESTAMP)) - " +
+          s"unix_micros(date_trunc('MINUTE', CAST(($x) AS TIMESTAMP))))")
+      case "dayofyear" | "doy" =>
+        Some(s"CAST(dayofyear(CAST(($x) AS DATE)) AS BIGINT)")
+      case _ => None // everything else: Spark's own date_part/extract agrees
+    }
+  }
+
+  private def rewriteDateParts(q0: String): String = {
+    def f(args: Seq[String]): Option[String] = args match {
+      case Seq(p, x) => quotedLiteral(p).flatMap(fld => dateFieldExpr(fld, x))
+      case _ => None
+    }
+    var q = rewriteCalls(rewriteCalls(q0, "date_part")(f), "datepart")(f)
+    q = rewriteCalls(q, "extract") {
+      case Seq(one) =>
+        """(?is)^\s*(\w+)\s+FROM\s+(.+)$""".r.findFirstMatchIn(one)
+          .flatMap(m => dateFieldExpr(m.group(1), m.group(2)))
+      case _ => None
+    }
+    q
+  }
+
+  /** DuckDB date_trunc returns DATE for day-or-coarser units and
+    * TIMESTAMP only for sub-day ones (measured) — Spark's date_trunc is
+    * always TIMESTAMP, so `date_trunc('month', ts)` rendered
+    * '2004-08-01 00:00:00' where DuckDB says '2004-08-01'. Map the
+    * coarse units onto Spark's DATE-returning trunc()/CAST; sub-day
+    * units keep Spark's date_trunc (types already agree).
+    */
+  private def rewriteDateTrunc(q0: String): String =
+    rewriteCalls(q0, "date_trunc") {
+      case Seq(u, x) => quotedLiteral(u).flatMap(
+        _.toLowerCase(java.util.Locale.ROOT) match {
+          case "day" | "d" | "dd" => Some(s"CAST(($x) AS DATE)")
+          case "week" => Some(s"trunc(CAST(($x) AS DATE), 'WEEK')")
+          case "month" | "mon" | "mm" => Some(s"trunc(CAST(($x) AS DATE), 'MONTH')")
+          case "quarter" => Some(s"trunc(CAST(($x) AS DATE), 'QUARTER')")
+          case "year" | "y" | "yy" | "yyyy" => Some(s"trunc(CAST(($x) AS DATE), 'YEAR')")
+          case _ => None
+        })
+      case _ => None
+    }
+
+  /** date_diff = signed count of unit-BOUNDARY CROSSINGS from a to b
+    * (r12: extended from the day-only mapping to every unit, each
+    * measured: date_diff('week', Wed, next-Mon) = 1 because one Monday
+    * boundary is crossed; 'month' Jan-31 -> Feb-1 = 1; 'second' between
+    * two DATEs is 86400 per day — a DIFFERENT convention from
+    * date_sub's complete-intervals). Exact units via unit-truncation +
+    * epoch arithmetic; calendar units via year/month/quarter algebra.
     */
   private def rewriteDateDiff(q: String): String = {
     def f(args: Seq[String]): Option[String] = args match {
-      case Seq(part, a, b) if quotedLiteral(part).exists(p =>
-        Set("day", "days", "d").contains(p.toLowerCase)) =>
-        Some(s"datediff($b, $a)")
+      case Seq(part, a, b) => quotedLiteral(part).flatMap { p0 =>
+        val pl = p0.toLowerCase(java.util.Locale.ROOT)
+        val p = if (pl.length > 2 && pl.endsWith("s")) pl.dropRight(1) else pl
+        def ymd(expr: String => String) =
+          Some(s"(${expr(b)} - ${expr(a)})")
+        def bound(u: String, w: Long) = Some(
+          s"((unix_micros(date_trunc('$u', CAST(($b) AS TIMESTAMP))) - " +
+          s"unix_micros(date_trunc('$u', CAST(($a) AS TIMESTAMP)))) div ${w}L)")
+        p match {
+          case "day" | "d" | "dd" => Some(s"datediff($b, $a)")
+          case "week" => Some(
+            s"(datediff(trunc(CAST(($b) AS DATE), 'WEEK'), " +
+            s"trunc(CAST(($a) AS DATE), 'WEEK')) div 7)")
+          case "month" | "mon" =>
+            ymd(x => s"(year(CAST(($x) AS DATE)) * 12 + month(CAST(($x) AS DATE)))")
+          case "quarter" =>
+            ymd(x => s"(year(CAST(($x) AS DATE)) * 4 + quarter(CAST(($x) AS DATE)))")
+          case "year" | "y" | "yy" | "yyyy" =>
+            ymd(x => s"year(CAST(($x) AS DATE))")
+          case "hour" | "hr" => bound("hour", 3600000000L)
+          case "minute" | "min" => bound("minute", 60000000L)
+          case "second" | "sec" => bound("second", 1000000L)
+          case "millisecond" | "ms" =>
+            ymd(x => s"(unix_micros(CAST(($x) AS TIMESTAMP)) div 1000L)")
+          case "microsecond" | "us" =>
+            ymd(x => s"unix_micros(CAST(($x) AS TIMESTAMP))")
+          case _ => None
+        }
+      }
       case _ => None
     }
     rewriteCalls(rewriteCalls(q, "date_diff")(f), "datediff")(f)
@@ -4047,6 +4182,8 @@ object StatementRouter {
     q = rewriteStrptime(q)
     q = rewriteScalarMisc(q)
     q = rewriteDateDiff(q)
+    q = rewriteDateParts(q)
+    q = rewriteDateTrunc(q)
     q = rewriteStringSplit(q)
     // DuckDB's in-parens null treatment `lag(x IGNORE NULLS)` -> Spark's
     // after-call `lag(x) IGNORE NULLS` (lead / first/last_value /

@@ -211,6 +211,26 @@ class BarrageSpec extends AnyFunSuite {
       == "a,b,c")
     assert(lake.sql("SELECT generate_subscripts([9,8,7], 1) AS i").collect()
       .map(_.get(0)).mkString(",") == "1,2,3")
+    // date_part divergent fields (r12 date differential): dow is
+    // Sunday=0 (Spark's dayofweek is Sunday=1 — silent off-by-one
+    // before), epoch is DOUBLE seconds (numeric here: Spark renders
+    // doubles scientifically so the VARCHAR twin can't cover it)
+    assert(one("SELECT date_part('dow', DATE '2024-01-07') AS v") == 0L)
+    assert(one("SELECT date_part('isodow', DATE '2024-01-07') AS v") == 7L)
+    assert(one("SELECT date_part('epoch', TIMESTAMP '2024-01-01 00:00:05') AS v")
+      == 1.704067205e9)
+    assert(one("SELECT date_part('second', TIMESTAMP '2024-01-01 00:00:46.75') AS v")
+      == 46L)
+    assert(one("SELECT date_part('milliseconds', TIMESTAMP '2024-01-01 00:00:46.75') AS v")
+      == 46750L)
+    // date_sub month clamp: Jan-31 + 1 month clamps to Feb-29, so
+    // 10:00 -> 10:00 completes the month; 09:00 on Feb-28 does not
+    assert(one("SELECT date_sub('month', TIMESTAMP '2024-01-31 10:00:00', " +
+      "TIMESTAMP '2024-02-29 10:00:00') AS v") == 1L)
+    assert(one("SELECT date_sub('month', TIMESTAMP '2024-01-31 10:00:00', " +
+      "TIMESTAMP '2024-02-28 09:00:00') AS v") == 0L)
+    // DATE - DATE is a day COUNT like DuckDB, not Spark's DAY interval
+    assert(one("SELECT (DATE '2024-03-10' - DATE '2024-03-01') AS v") == 9)
     // Postgres LIKE operators (`~`/`!~` regex stay loud: `~` doubles as
     // DuckDB's prefix bitwise-NOT and text cannot disambiguate)
     assert(one("SELECT ('abc' ~~ 'a%') AS v") == true)

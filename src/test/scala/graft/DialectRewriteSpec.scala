@@ -235,13 +235,17 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(dyn) == dyn)
   }
 
-  test("r7b: date_diff('day', a, b) flips to datediff(b, a); other parts untouched") {
+  test("r7b/r12: date_diff maps every unit to boundary-crossing twins") {
     assert(rewriteDialect("SELECT date_diff('day', d1, d2) FROM t") ==
       "SELECT datediff(d2, d1) FROM t")
     assert(rewriteDialect("SELECT datediff('day', d1, d2) FROM t") ==
       "SELECT datediff(d2, d1) FROM t")
-    val m = "SELECT date_diff('month', d1, d2) FROM t"
-    assert(rewriteDialect(m) == m)
+    // r12: month family maps to the native complete-months counter
+    // scaled to calendar boundaries (year*12+month algebra)
+    assert(rewriteDialect("SELECT date_diff('month', d1, d2) FROM t").contains(
+      "year(CAST((d2) AS DATE)) * 12 + month(CAST((d2) AS DATE))"))
+    assert(rewriteDialect("SELECT date_diff('hour', a, b) FROM t").contains(
+      "date_trunc('hour'"))
     // Spark's own 2-arg datediff passes through
     val two = "SELECT datediff(d2, d1) FROM t"
     assert(rewriteDialect(two) == two)
@@ -664,8 +668,10 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(neg) == neg)
     assert(rewriteDialect("SELECT dayname(d), monthname(d) FROM t") ==
       "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t")
+    // r12: date_trunc('day') returns DATE like DuckDB (CAST), not
+    // Spark's midnight TIMESTAMP
     assert(rewriteDialect("SELECT datetrunc('day', ts), datepart('year', d) FROM t") ==
-      "SELECT date_trunc('day', ts), date_part('year', d) FROM t")
+      "SELECT CAST((ts) AS DATE), date_part('year', d) FROM t")
     assert(rewriteDialect("SELECT array_length(xs) FROM t") ==
       "SELECT size(xs) FROM t")
   }
