@@ -1144,6 +1144,31 @@ object QueriesLake {
           |  ('abc' ~~ 'a%') AS lk1, ('ABC' ~~* 'a%') AS lk2,
           |  ('abc' !~~ 'b%') AS lk3""".stripMargin)
     },
+    // r12 date wave (differential-barrage closures, all measured):
+    // date_trunc DATE results, boundary-crossing date_diff units,
+    // Sunday=0 dow / isodow / century, clamp-aware date_sub months,
+    // DATE - DATE day counts, negative left/right — the oracle replays
+    // the IDENTICAL text
+    "q_lake_date_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST(date_trunc('month', TIMESTAMP '2004-08-20 23:07:35') AS VARCHAR) AS dt1,
+          |  CAST(date_trunc('week', TIMESTAMP '2005-12-14 16:25:21') AS VARCHAR) AS dt2,
+          |  CAST(date_diff('week', DATE '2024-03-13', DATE '2024-03-18') AS BIGINT) AS dd1,
+          |  CAST(date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS BIGINT) AS dd2,
+          |  CAST(date_diff('second', DATE '2001-11-27', DATE '2001-11-28') AS BIGINT) AS dd3,
+          |  CAST(date_part('dow', DATE '2024-01-07') AS BIGINT) AS dp1,
+          |  CAST(date_part('isodow', DATE '2024-01-07') AS BIGINT) AS dp2,
+          |  CAST(date_part('century', DATE '2029-02-12') AS BIGINT) AS dp3,
+          |  CAST(date_part('second', TIMESTAMP '2024-01-01 00:00:46.75') AS BIGINT) AS dp4,
+          |  CAST(date_sub('month', TIMESTAMP '2024-01-31 10:00:00', TIMESTAMP '2024-02-29 10:00:00') AS BIGINT) AS ds1,
+          |  CAST(date_sub('month', TIMESTAMP '2024-01-31 10:00:00', TIMESTAMP '2024-02-28 09:00:00') AS BIGINT) AS ds2,
+          |  CAST((DATE '2024-03-10' - DATE '2024-03-01') AS BIGINT) AS dm1,
+          |  left('Hello World', -5) AS lf1,
+          |  right('The quick brown fox', -1) AS rt1,
+          |  CAST(yearweek(DATE '2021-01-01') AS BIGINT) AS yw1""".stripMargin)
+    },
     // r12 percent limit: floor(n*pct/100) rows of the ORDERED query
     // (two passes — count, then plain limit; DuckDB's own percent limit
     // also materializes the count)
@@ -1620,6 +1645,24 @@ object QueriesLake {
     "q_lake_limit_pct" ->
       """SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e'))
         |  t(id, v) ORDER BY id LIMIT 40%""".stripMargin,
+    // DuckDB replays the identical date-wave text natively
+    "q_lake_date_wave" ->
+      """SELECT
+        |  CAST(date_trunc('month', TIMESTAMP '2004-08-20 23:07:35') AS VARCHAR) AS dt1,
+        |  CAST(date_trunc('week', TIMESTAMP '2005-12-14 16:25:21') AS VARCHAR) AS dt2,
+        |  CAST(date_diff('week', DATE '2024-03-13', DATE '2024-03-18') AS BIGINT) AS dd1,
+        |  CAST(date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS BIGINT) AS dd2,
+        |  CAST(date_diff('second', DATE '2001-11-27', DATE '2001-11-28') AS BIGINT) AS dd3,
+        |  CAST(date_part('dow', DATE '2024-01-07') AS BIGINT) AS dp1,
+        |  CAST(date_part('isodow', DATE '2024-01-07') AS BIGINT) AS dp2,
+        |  CAST(date_part('century', DATE '2029-02-12') AS BIGINT) AS dp3,
+        |  CAST(date_part('second', TIMESTAMP '2024-01-01 00:00:46.75') AS BIGINT) AS dp4,
+        |  CAST(date_sub('month', TIMESTAMP '2024-01-31 10:00:00', TIMESTAMP '2024-02-29 10:00:00') AS BIGINT) AS ds1,
+        |  CAST(date_sub('month', TIMESTAMP '2024-01-31 10:00:00', TIMESTAMP '2024-02-28 09:00:00') AS BIGINT) AS ds2,
+        |  CAST((DATE '2024-03-10' - DATE '2024-03-01') AS BIGINT) AS dm1,
+        |  left('Hello World', -5) AS lf1,
+        |  right('The quick brown fox', -1) AS rt1,
+        |  CAST(yearweek(DATE '2021-01-01') AS BIGINT) AS yw1""".stripMargin,
     // DuckDB replays the identical wave-2 text natively
     "q_lake_fn_wave3" ->
       """SELECT
