@@ -178,6 +178,18 @@ class DuckLakeXLSpark(
     reg2("__graft_fdiv", graft.functions.FloorDiv(_, _))
     reg2("__graft_div", graft.functions.DoubleDiv(_, _))
     reg2("__graft_months_complete", graft.functions.MonthsComplete(_, _))
+    // r12 aggregate differential: DECIMAL-aware avg/quantile family +
+    // Spark's own skew/kurt under unrewritable names (the
+    // bias-correction compositions reference them)
+    reg1("__graft_avg", graft.functions.AvgDuck(_))
+    reg1("__graft_median", e => graft.functions.QuantileDuck(e,
+      org.apache.spark.sql.catalyst.expressions.Literal(0.5d), "median"))
+    reg2("__graft_quantile_cont", graft.functions.QuantileDuck(_, _, "cont"))
+    reg2("__graft_quantile_disc", graft.functions.QuantileDuck(_, _, "disc"))
+    reg1("__graft_skew",
+      org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(_))
+    reg1("__graft_kurt",
+      org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(_))
     reg2("__graft_gcd", graft.functions.Gcd(_, _))
     reg2("__graft_lcm", graft.functions.Lcm(_, _))
     reg1("__graft_len", graft.functions.LenOf(_))

@@ -154,28 +154,37 @@ case class EntropyAgg(
 }
 
 /** DuckDB `mad(x)`: median(|x - median(x)|), INTERPOLATED median on both
-  * passes (mad of {1,2} = 0.5 — measured), DOUBLE in/out (the caller's
-  * rewrite casts; DuckDB's DECIMAL-preserving variant is out of scope).
-  * Buffers the group's values like Spark's exact percentile — an exact
-  * two-level median has no streaming form.
+  * passes (mad of {1,2} = 0.5 — measured). DOUBLE in/out for
+  * double/integral inputs; for DECIMAL inputs (r12 aggregate
+  * differential) the whole pipeline runs in EXACT BigDecimal arithmetic
+  * and the result truncates DOWN to the input scale (mad of
+  * {1.1, 2.2, 3.0, 9.9} = 0.95 exact -> 0.9 at scale 1 — measured),
+  * returning the input DECIMAL type like DuckDB. Buffers the group's
+  * values like Spark's exact percentile — an exact two-level median has
+  * no streaming form.
   */
 case class MadAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.ArrayBuffer[Double]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[MadAgg.Buf] with UnaryLike[Expression] {
 
-  override def createAggregationBuffer(): mutable.ArrayBuffer[Double] =
-    mutable.ArrayBuffer.empty[Double]
+  private lazy val dec = child.dataType.isInstanceOf[DecimalType]
 
-  override def update(buf: mutable.ArrayBuffer[Double], input: InternalRow): mutable.ArrayBuffer[Double] = {
+  override def createAggregationBuffer(): MadAgg.Buf =
+    MadAgg.Buf(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
+
+  override def update(buf: MadAgg.Buf, input: InternalRow): MadAgg.Buf = {
     val v = child.eval(input)
-    if (v != null) buf += v.asInstanceOf[Double]
+    if (v != null) {
+      if (dec) buf.bigs += v.asInstanceOf[Decimal].toJavaBigDecimal
+      else buf.ds += v.asInstanceOf[Number].doubleValue()
+    }
     buf
   }
 
-  override def merge(b1: mutable.ArrayBuffer[Double], b2: mutable.ArrayBuffer[Double]): mutable.ArrayBuffer[Double] = {
-    b1 ++= b2
+  override def merge(b1: MadAgg.Buf, b2: MadAgg.Buf): MadAgg.Buf = {
+    b1.ds ++= b2.ds; b1.bigs ++= b2.bigs
     b1
   }
 
@@ -183,35 +192,58 @@ case class MadAgg(
     val n = a.length
     if (n % 2 == 1) a(n / 2) else (a(n / 2 - 1) + a(n / 2)) / 2d
   }
-
-  override def eval(buf: mutable.ArrayBuffer[Double]): Any = {
-    if (buf.isEmpty) return null
-    val vals = buf.toArray
-    java.util.Arrays.sort(vals)
-    val med = medianOfSorted(vals)
-    val dev = vals.map(v => math.abs(v - med))
-    java.util.Arrays.sort(dev)
-    medianOfSorted(dev)
+  private def medianOfSortedBig(a: Array[java.math.BigDecimal]): java.math.BigDecimal = {
+    val n = a.length
+    if (n % 2 == 1) a(n / 2)
+    else a(n / 2 - 1).add(a(n / 2))
+      .divide(java.math.BigDecimal.valueOf(2))
   }
 
-  override def serialize(buf: mutable.ArrayBuffer[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
-    bb.putInt(buf.length)
-    buf.foreach(bb.putDouble)
+  override def eval(buf: MadAgg.Buf): Any = {
+    if (dec) {
+      if (buf.bigs.isEmpty) return null
+      val dt = child.dataType.asInstanceOf[DecimalType]
+      val vals = buf.bigs.sorted.toArray
+      val med = medianOfSortedBig(vals)
+      val dev = vals.map(v => v.subtract(med).abs()).sorted
+      Decimal(medianOfSortedBig(dev)
+        .setScale(dt.scale, java.math.RoundingMode.DOWN), dt.precision, dt.scale)
+    } else {
+      if (buf.ds.isEmpty) return null
+      val vals = buf.ds.toArray
+      java.util.Arrays.sort(vals)
+      val med = medianOfSorted(vals)
+      val dev = vals.map(v => math.abs(v - med))
+      java.util.Arrays.sort(dev)
+      medianOfSorted(dev)
+    }
+  }
+
+  override def serialize(buf: MadAgg.Buf): Array[Byte] = {
+    val bigBytes = graft.functions.DecAggUtil.serializeBigs(buf.bigs)
+    val bb = ByteBuffer.allocate(8 + 8 * buf.ds.length + bigBytes.length)
+    bb.putInt(buf.ds.length)
+    buf.ds.foreach(bb.putDouble)
+    bb.putInt(bigBytes.length)
+    bb.put(bigBytes)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Double] = {
+  override def deserialize(bytes: Array[Byte]): MadAgg.Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = new mutable.ArrayBuffer[Double](n)
     var i = 0
     while (i < n) { buf += bb.getDouble; i += 1 }
-    buf
+    val nb = bb.getInt
+    val arr = new Array[Byte](nb)
+    bb.get(arr)
+    MadAgg.Buf(buf, graft.functions.DecAggUtil.deserializeBigs(arr))
   }
 
   override def nullable: Boolean = true
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType =
+    if (dec) child.dataType else DoubleType
   override def withNewMutableAggBufferOffset(newOffset: Int): MadAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): MadAgg =
@@ -219,6 +251,10 @@ case class MadAgg(
   override protected def withNewChildInternal(newChild: Expression): MadAgg =
     copy(child = newChild)
   override def prettyName: String = "mad"
+}
+object MadAgg {
+  case class Buf(ds: mutable.ArrayBuffer[Double],
+                 bigs: mutable.ArrayBuffer[java.math.BigDecimal])
 }
 
 /** DuckDB `product(x)`: exact DOUBLE multiplication (keeps IEEE signed

@@ -1473,10 +1473,10 @@ object StatementRouter {
     "arg_min" -> "min_by",
     "argmax"  -> "max_by",
     "argmin"  -> "min_by",
-    // DuckDB quantile_cont == Spark percentile (exact, interpolated);
-    // quantile_disc has no drop-in twin (Spark's percentile_disc is
-    // WITHIN GROUP-shaped) and stays out — loud failure over silent drift
-    "quantile_cont" -> "percentile",
+    // quantile_cont/quantile_disc/median route to the DECIMAL-aware
+    // natives in rewriteScalarMisc (r12 aggregate differential) — the
+    // old quantile_cont -> percentile rename lost DuckDB's
+    // input-type-preserving DECIMAL semantics
     // select-position unnest == explode (one output row per element,
     // other select items repeated); the FROM-position table function is
     // rewritten separately BEFORE this rename
@@ -3669,11 +3669,6 @@ object StatementRouter {
       case Seq(a, n) => Some(s"slice(reverse(array_sort(collect_list($a))), 1, $n)")
       case _ => None
     }
-    // quantile_disc(x, q) -> the WITHIN GROUP spelling Spark parses
-    q = rewriteCalls(q, "quantile_disc") {
-      case Seq(a, p) => Some(s"percentile_disc($p) WITHIN GROUP (ORDER BY $a)")
-      case _ => None
-    }
     // in-call ORDER BY on COMMUTATIVE aggregates is a determinism hint
     // DuckDB accepts; the result is order-independent, so it drops
     // (order-SENSITIVE aggregates — string_agg, list/collect, first/last
@@ -3700,11 +3695,63 @@ object StatementRouter {
       case _ => None
     }
     q = rewriteCalls(q, "mad") {
-      case Seq(a) => Some(s"__graft_mad(CAST(($a) AS DOUBLE))")
+      // raw input (not CAST AS DOUBLE): MadAgg dispatches on the type —
+      // DECIMAL inputs run the exact BigDecimal pipeline (r12)
+      case Seq(a) => Some(s"__graft_mad($a)")
       case _ => None
     }
     q = rewriteCalls(q, "product") {
       case Seq(a) => Some(s"__graft_product(CAST(($a) AS DOUBLE))")
+      case _ => None
+    }
+    // r12 aggregate differential: DuckDB's quantile family is
+    // DECIMAL-aware and type-preserving in ways Spark's percentile
+    // twins are not (quantile_disc returns the INPUT type; DECIMAL
+    // quantile_cont interpolates exactly then truncates to the input
+    // scale; median is cont for non-decimal, disc for DECIMAL) — all
+    // route to the QuantileDuck natives (functions/DecimalAggs)
+    for ((fn, tgt) <- Seq(("quantile_cont", "__graft_quantile_cont"),
+                          ("quantile_disc", "__graft_quantile_disc"),
+                          ("quantile", "__graft_quantile_disc")))
+      q = rewriteCalls(q, fn) {
+        case Seq(a, p) => Some(s"$tgt($a, $p)")
+        case _ => None
+      }
+    for (fn <- Seq("median", "mean"))
+      q = rewriteCalls(q, fn) {
+        case Seq(a) =>
+          if (fn == "median") Some(s"__graft_median($a)")
+          else Some(s"__graft_avg($a)")
+        case _ => None
+      }
+    // avg(DECIMAL): DuckDB sums EXACTLY and converts to DOUBLE only at
+    // the division (avg of three 0.1s is exactly 0.1); Spark's DECIMAL
+    // avg truncates the quotient at scale+4 — a silent precision loss.
+    // AvgDuck dispatches on the input type (exact sums for
+    // decimal/integral, plain double sums for floating inputs).
+    q = rewriteCalls(q, "avg") {
+      case Seq(a) => Some(s"__graft_avg($a)")
+      case _ => None
+    }
+    // skewness/kurtosis: DuckDB reports the BIAS-CORRECTED sample
+    // statistics where Spark reports population g1/g2 (measured:
+    // duck_skew = g1 * sqrt(n(n-1))/(n-2); duck_kurt =
+    // ((n+1)g2 + 6)(n-1)/((n-2)(n-3)); NULL when the denominator
+    // vanishes — n<=2 / n<=3, matching DuckDB). __graft_skew/__graft_kurt
+    // are Spark's own aggregates under unrewritable names so the
+    // composition cannot re-trigger this pass.
+    q = rewriteCalls(q, "skewness") {
+      case Seq(a) =>
+        val n = s"CAST(count(($a)) AS DOUBLE)"
+        Some(s"__graft_div(__graft_skew(CAST(($a) AS DOUBLE)) * " +
+          s"sqrt($n * ($n - 1)), $n - 2)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "kurtosis") {
+      case Seq(a) =>
+        val n = s"CAST(count(($a)) AS DOUBLE)"
+        Some(s"__graft_div((($n + 1) * __graft_kurt(CAST(($a) AS DOUBLE)) + 6) * " +
+          s"($n - 1), ($n - 2) * ($n - 3))")
       case _ => None
     }
     // time_bucket (r12): the TimescaleDB-style bucketing DuckDB ships.

@@ -331,11 +331,16 @@ class BarrageSpec extends AnyFunSuite {
       .head().getDouble(0) - 0.9182958340544893) < 1e-12)
     assert(lake.sql("SELECT entropy(g) AS v FROM (VALUES (CAST(NULL AS VARCHAR))) t(g)")
       .head().getDouble(0) == 0.0)
+    // r12: DECIMAL literals keep DuckDB's DECIMAL-typed mad (the exact
+    // BigDecimal pipeline); DOUBLE inputs still return DOUBLE
     assert(lake.sql(
       "SELECT mad(x) AS v FROM (VALUES (1.0),(2.0),(4.0),(100.0)) t(x)")
-      .head().getDouble(0) == 1.5)
+      .head().get(0).toString == "1.5")
     assert(lake.sql("SELECT mad(x) AS v FROM (VALUES (1.0),(2.0)) t(x)")
-      .head().getDouble(0) == 0.5)
+      .head().get(0).toString == "0.5")
+    assert(lake.sql(
+      "SELECT mad(x) AS v FROM (VALUES (CAST(1.0 AS DOUBLE)),(2.0),(4.0),(100.0)) t(x)")
+      .head().getDouble(0) == 1.5)
     val hist = lake.sql(
       "SELECT histogram(g) AS v FROM (VALUES ('b'),('a'),('b'),(NULL)) t(g)")
       .head().getMap[String, Long](0)

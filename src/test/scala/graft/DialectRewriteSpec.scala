@@ -615,7 +615,8 @@ class DialectRewriteSpec extends AnyFunSuite {
     val f = rewriteDialect("SELECT * FROM unnest(xs)")
     assert(f == "SELECT * FROM (SELECT explode(xs) AS unnest)", f)
     assert(rewriteDialect("SELECT quantile_cont(x, 0.5) FROM t") ==
-      "SELECT percentile(x, 0.5) FROM t")
+      // r12: routes to the DECIMAL-aware native instead of percentile
+      "SELECT __graft_quantile_cont(x, 0.5) FROM t")
     // epoch_ms-style family guard: unnest_something is untouched
     val q = "SELECT unnest_other(x) FROM t"
     assert(rewriteDialect(q) == q)
