@@ -1144,6 +1144,28 @@ object QueriesLake {
           |  ('abc' ~~ 'a%') AS lk1, ('ABC' ~~* 'a%') AS lk2,
           |  ('abc' !~~ 'b%') AS lk3""".stripMargin)
     },
+    // r12 aggregate wave 2 (aggregate-differential closures): exact
+    // DECIMAL-aware avg, input-type-preserving median/quantiles,
+    // DECIMAL mad, bias-corrected skewness/kurtosis — identical text
+    // replays in DuckDB
+    "q_lake_agg_wave2" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT g,
+          |  avg(d) AS av,
+          |  CAST(median(d) AS VARCHAR) AS md,
+          |  CAST(quantile_cont(d, 0.25) AS VARCHAR) AS qc,
+          |  CAST(quantile_disc(i, 0.5) AS BIGINT) AS qd,
+          |  CAST(mad(d) AS VARCHAR) AS md2,
+          |  round(skewness(d), 6) AS sk,
+          |  round(kurtosis(d), 6) AS kt
+          |FROM (VALUES (0, 'a', 8, 4.59), (1, 'c', 4, 2.27), (2, 'a', 20, 2.22),
+          |  (3, 'c', 0, 2.56), (4, 'a', 20, -2.97), (5, 'b', 13, 1.71),
+          |  (6, 'a', 20, 5.26), (7, 'a', 17, -2.53), (8, 'c', 19, 6.63),
+          |  (9, 'c', 9, -2.63), (10, 'b', 12, 2.47), (11, 'a', 15, 7.47),
+          |  (12, 'b', -5, -1.30), (13, 'a', -2, 5.89)) t(id, g, i, d)
+          |GROUP BY g ORDER BY g""".stripMargin)
+    },
     // r12 date wave (differential-barrage closures, all measured):
     // date_trunc DATE results, boundary-crossing date_diff units,
     // Sunday=0 dow / isodow / century, clamp-aware date_sub months,
@@ -1645,6 +1667,22 @@ object QueriesLake {
     "q_lake_limit_pct" ->
       """SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e'))
         |  t(id, v) ORDER BY id LIMIT 40%""".stripMargin,
+    // DuckDB replays the identical agg-wave-2 text natively
+    "q_lake_agg_wave2" ->
+      """SELECT g,
+        |  avg(d) AS av,
+        |  CAST(median(d) AS VARCHAR) AS md,
+        |  CAST(quantile_cont(d, 0.25) AS VARCHAR) AS qc,
+        |  CAST(quantile_disc(i, 0.5) AS BIGINT) AS qd,
+        |  CAST(mad(d) AS VARCHAR) AS md2,
+        |  round(skewness(d), 6) AS sk,
+        |  round(kurtosis(d), 6) AS kt
+        |FROM (VALUES (0, 'a', 8, 4.59), (1, 'c', 4, 2.27), (2, 'a', 20, 2.22),
+        |  (3, 'c', 0, 2.56), (4, 'a', 20, -2.97), (5, 'b', 13, 1.71),
+        |  (6, 'a', 20, 5.26), (7, 'a', 17, -2.53), (8, 'c', 19, 6.63),
+        |  (9, 'c', 9, -2.63), (10, 'b', 12, 2.47), (11, 'a', 15, 7.47),
+        |  (12, 'b', -5, -1.30), (13, 'a', -2, 5.89)) t(id, g, i, d)
+        |GROUP BY g ORDER BY g""".stripMargin,
     // DuckDB replays the identical date-wave text natively
     "q_lake_date_wave" ->
       """SELECT
