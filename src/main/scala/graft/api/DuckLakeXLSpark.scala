@@ -190,6 +190,8 @@ class DuckLakeXLSpark(
       org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(_))
     reg1("__graft_kurt",
       org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(_))
+    reg1("__graft_list_sum", graft.functions.ListSum(_))
+    reg1("__graft_list_avg", graft.functions.ListAvg(_))
     reg2("__graft_gcd", graft.functions.Gcd(_, _))
     reg2("__graft_lcm", graft.functions.Lcm(_, _))
     reg1("__graft_len", graft.functions.LenOf(_))

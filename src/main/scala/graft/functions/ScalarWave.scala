@@ -163,6 +163,114 @@ case class LenOf(child: Expression)
   override def prettyName: String = "len"
 }
 
+/** DuckDB `list_sum` (measured): skips NULL elements, NULL for
+  * empty/all-NULL lists; HUGEINT for integral elements (this lake's
+  * HUGEINT convention is DECIMAL(38,0)), exact DECIMAL(38,s) for
+  * decimal elements, DOUBLE otherwise.
+  */
+case class ListSum(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"list_sum() needs a numeric list, got ${other.simpleString}")
+  }
+  override def dataType: DataType = elem match {
+    case e if integral(e) => DecimalType(38, 0)
+    case d: DecimalType => DecimalType(38, d.scale)
+    case _ => DoubleType
+  }
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var count = 0
+    if (dataType == DoubleType) {
+      var s = 0d
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          s += arr.get(i, elem).asInstanceOf[Number].doubleValue(); count += 1
+        }
+        i += 1
+      }
+      if (count == 0) null else s
+    } else {
+      var s = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          s = s.add(DecAggUtil.toBig(arr.get(i, elem), elem)); count += 1
+        }
+        i += 1
+      }
+      if (count == 0) null
+      else {
+        val dt = dataType.asInstanceOf[DecimalType]
+        Decimal(s.setScale(dt.scale), dt.precision, dt.scale)
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): ListSum = copy(child = c)
+  override def prettyName: String = "list_sum"
+}
+
+/** DuckDB `list_avg` (measured): always DOUBLE, exact sums for
+  * integral/decimal elements converted only at the final division
+  * (same contract as AvgDuck), NULLs skipped, NULL for empty lists.
+  */
+case class ListAvg(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def exact: Boolean = elem match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"list_avg() needs a numeric list, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var count = 0
+    if (exact) {
+      var s = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          s = s.add(DecAggUtil.toBig(arr.get(i, elem), elem)); count += 1
+        }
+        i += 1
+      }
+      if (count == 0) null else s.doubleValue() / count
+    } else {
+      var s = 0d
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          s += arr.get(i, elem).asInstanceOf[Number].doubleValue(); count += 1
+        }
+        i += 1
+      }
+      if (count == 0) null else s / count
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): ListAvg = copy(child = c)
+  override def prettyName: String = "list_avg"
+}
+
 /** DuckDB `gcd` / `lcm` (measured): BIGINT over absolute values
   * (gcd(-12, 18) = 6, lcm(-4, 6) = 12); zero operands give 0.
   */

@@ -1440,15 +1440,16 @@ object StatementRouter {
     "list_pack"      -> "array",
     "list_contains"  -> "array_contains",
     "list_has_any"   -> "arrays_overlap",
-    "list_distinct"  -> "array_distinct",
-    "list_sort"      -> "sort_array",
+    // list_distinct / list_prepend / list_sort family: explicit
+    // rewrites in rewriteDialect (r12 list differential — measured
+    // orders and argument swaps a bare rename cannot carry)
+    "list_sort"      -> "array_sort", // asc NULLS LAST, like DuckDB
+                                      // (sort_array puts NULLs first)
+    "list_min"       -> "array_min",
+    "list_max"       -> "array_max",
+    "list_reverse"   -> "reverse",
     "list_concat"    -> "concat",
     "list_append"    -> "array_append",
-    "list_prepend"   -> "array_prepend",
-    // list_position: NOT a bare rename — DuckDB returns NULL when the
-    // element is absent, Spark's array_position returns 0 (a silently
-    // wrong value that flips IS NULL predicates); rewritten to
-    // nullif(array_position(…), 0) in rewriteDialect
     // array_to_string(list, sep) == Spark's array_join(array, delimiter)
     "array_to_string" -> "array_join",
     // DuckDB's list(x) aggregate is Spark's collect_list (insertion
@@ -2935,8 +2936,10 @@ object StatementRouter {
       case Seq(l, a, b) =>
         val IntLit = """^\s*(\d+)\s*$""".r
         (a, b) match {
-          case (IntLit(ai), IntLit(bi)) if ai.toInt >= 1 && bi.toInt >= ai.toInt =>
-            Some(s"slice(${l.trim}, $ai, ${bi.toInt - ai.toInt + 1})")
+          // an inverted/out-of-range window is DuckDB's empty list, not
+          // an error — emit a zero-length slice (r12 list differential)
+          case (IntLit(ai), IntLit(bi)) if ai.toInt >= 1 =>
+            Some(s"slice(${l.trim}, $ai, ${math.max(bi.toInt - ai.toInt + 1, 0)})")
           case _ => None
         }
       case _ => None
@@ -4170,8 +4173,42 @@ object StatementRouter {
     q = rewriteJsonArrows(q)
     q = rewriteListMisc(q)
     q = mapOutsideLiterals(q)(renameFns)
+    // list_position: plain array_position — MEASURED DuckDB 1.0 returns
+    // 0 when the element is absent and NULL for a NULL target, exactly
+    // Spark's semantics (the r8 nullif wrapper encoded the docs of a
+    // later version and silently flipped absent to NULL — r12 list
+    // differential fix)
     q = rewriteCalls(q, "list_position") { args =>
-      Some(s"nullif(array_position(${args.mkString(", ")}), 0)")
+      Some(s"array_position(${args.mkString(", ")})")
+    }
+    // list_reverse_sort: descending with NULLS LAST (measured)
+    q = rewriteCalls(q, "list_reverse_sort") {
+      case Seq(l) => Some(s"sort_array(($l), false)")
+      case _ => None
+    }
+    // list_distinct: DuckDB 1.0 renders the REVERSE of first-occurrence
+    // dedup with NULLs dropped ([1,2,2,3,1] -> [3,2,1] — measured)
+    q = rewriteCalls(q, "list_distinct") {
+      case Seq(l) =>
+        Some(s"reverse(array_distinct(filter(($l), __ld -> __ld IS NOT NULL)))")
+      case _ => None
+    }
+    // list_prepend takes (element, list) — Spark's array_prepend is
+    // (list, element): swap (the bare rename was a loud type error)
+    q = rewriteCalls(q, "list_prepend") {
+      case Seq(e, l) => Some(s"array_prepend($l, $e)")
+      case _ => None
+    }
+    // list_sum / list_avg: DECIMAL-aware natives (HUGEINT-convention
+    // DECIMAL(38,0) for integral elements, exact decimal sums, DOUBLE
+    // average — functions/ScalarWave)
+    q = rewriteCalls(q, "list_sum") {
+      case Seq(l) => Some(s"__graft_list_sum($l)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "list_avg") {
+      case Seq(l) => Some(s"__graft_list_avg($l)")
+      case _ => None
     }
     // DuckDB's map() takes (keys_list, values_list) — Spark's same-name
     // builtin takes interleaved varargs, so the 2-arg form must map to

@@ -135,16 +135,21 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect("SELECT list(v) FROM t GROUP BY k") ==
       "SELECT collect_list(v) FROM t GROUP BY k")
     // the bare `list` rename must not clobber the list_* family
+    // r12: list_sort -> array_sort (asc NULLS LAST, DuckDB's measured
+    // order — sort_array puts NULLs first)
     assert(rewriteDialect("SELECT list_sort(list(v)) FROM t") ==
-      "SELECT sort_array(collect_list(v)) FROM t")
+      "SELECT array_sort(collect_list(v)) FROM t")
     assert(rewriteDialect("SELECT starts_with(v, 'a'), ends_with(v, 'z') FROM t") ==
       "SELECT startswith(v, 'a'), endswith(v, 'z') FROM t")
     assert(rewriteDialect("SELECT * FROM t WHERE regexp_matches(v, 'x+')") ==
       "SELECT * FROM t WHERE regexp_like(v, 'x+')")
     // list_position carries DuckDB's NULL-when-absent (array_position
     // returns 0 there — r8 review fix)
+    // r12 list differential: MEASURED DuckDB 1.0 list_position returns
+    // 0 when absent (the r8 nullif wrapper encoded a later version's
+    // docs and silently flipped absent to NULL)
     assert(rewriteDialect("SELECT list_append(xs, 1), list_position(xs, 2) FROM t") ==
-      "SELECT array_append(xs, 1), nullif(array_position(xs, 2), 0) FROM t")
+      "SELECT array_append(xs, 1), array_position(xs, 2) FROM t")
   }
 
   test("bare VARCHAR casts map to STRING; sized VARCHAR(n) survives") {
@@ -382,7 +387,8 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(l2) == l2)
     // list_position: absent element must be NULL (DuckDB), not 0 (Spark)
     assert(rewriteDialect("SELECT list_position(xs, 5) FROM t") ==
-      "SELECT nullif(array_position(xs, 5), 0) FROM t")
+      // r12: measured DuckDB 1.0 returns 0 when absent — plain rename
+      "SELECT array_position(xs, 5) FROM t")
     // DISTINCT ON across a newline-split ORDER BY keeps the user's order
     val d = rewriteDialect("SELECT DISTINCT ON (k) v FROM t ORDER\nBY ts DESC")
     assert(d.toLowerCase.contains("row_number"), d)
