@@ -200,6 +200,33 @@ class DuckLakeXLSpark(
         require(exprs.length == 4, "__graft_bar(x, min, max, width)")
         graft.functions.BarText(exprs(0), exprs(1), exprs(2), exprs(3))
       })
+    // r13 JSON / struct-map / regexp differential natives (measured
+    // DuckDB 1.0 semantics — see functions/DuckJson, DuckStruct,
+    // RegexpDuck Scaladoc for the measured divergences they close)
+    reg2("__graft_json_extract", graft.functions.DuckJsonExtract(_, _, unquote = false))
+    reg2("__graft_json_extract_str", graft.functions.DuckJsonExtract(_, _, unquote = true))
+    reg2("__graft_json_array_length", graft.functions.DuckJsonArrayLength(_, _))
+    reg1("__graft_json_valid", graft.functions.DuckJsonValid(_))
+    reg2("__graft_subscript", graft.functions.DuckSubscript(_, _))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_struct_insert", { exprs =>
+        graft.functions.StructInsert(exprs)
+      })
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_regexp_matches", { exprs =>
+        require(exprs.length == 3, "__graft_regexp_matches(s, p, flags)")
+        graft.functions.RegexpMatchesDuck(exprs(0), exprs(1), exprs(2), full = false)
+      })
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_regexp_full_match", { exprs =>
+        require(exprs.length == 3, "__graft_regexp_full_match(s, p, flags)")
+        graft.functions.RegexpMatchesDuck(exprs(0), exprs(1), exprs(2), full = true)
+      })
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_regexp_replace", { exprs =>
+        require(exprs.length == 4, "__graft_regexp_replace(s, p, r, flags)")
+        graft.functions.RegexpReplaceDuck(exprs(0), exprs(1), exprs(2), exprs(3))
+      })
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
@@ -1075,10 +1102,19 @@ class DuckLakeXLSpark(
     */
   private def sqlSelect(q: String): org.apache.spark.sql.DataFrame = {
     val df = spark.sql(rewriteSelect(q))
-    import org.apache.spark.sql.catalyst.expressions.{DateDiff, SubtractDates}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
     val analyzed = df.queryExecution.analyzed
     val fixed = analyzed.transformAllExpressions {
       case s: SubtractDates => DateDiff(s.left, s.right)
+      // CAST(container AS VARCHAR) — DuckDB renders structs with their
+      // field names, maps as {k=v}, NULLs uppercase (r13 struct/map
+      // differential); the element types are only known post-analysis
+      case c: Cast if c.dataType == StringType && (c.child.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          }) =>
+        graft.functions.DuckVarcharCast(c.child)
     }
     if (fixed fastEquals analyzed) df
     else org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark, fixed)
@@ -1319,19 +1355,27 @@ class DuckLakeXLSpark(
   }
 
   private def zipPositional(l: DataFrame, r: DataFrame): DataFrame = {
-    val dup = l.columns.toSet.intersect(r.columns.toSet)
-    require(dup.isEmpty, "POSITIONAL JOIN requires distinct column names " +
-      s"on the two sides; duplicated: ${dup.mkString(", ")}")
+    // same-named sides are legal in DuckDB and the output KEEPS the
+    // duplicate names (measured r13: `l(v) POSITIONAL JOIN r(v)` yields
+    // columns `v, v`) — join under disambiguated right-side names, then
+    // restore the originals; later unqualified references to a
+    // duplicated name fail loud at analysis, same as DuckDB's binder
+    val lNames = l.columns.toSeq
+    val rNames = r.columns.toSeq
+    val taken = lNames.toSet
+    val rSafe = rNames.map(n => if (taken(n)) s"__pos_rdup_$n" else n)
+    val r2 = r.toDF(rSafe: _*)
     def withPos(df: DataFrame, cn: String): DataFrame = {
       val sch = StructType(df.schema.fields :+ StructField(cn, LongType, nullable = false))
       spark.createDataFrame(
         df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }, sch)
     }
     val li = withPos(l, "__pos_l")
-    val ri = withPos(r, "__pos_r")
+    val ri = withPos(r2, "__pos_r")
     li.join(ri, li("__pos_l") === ri("__pos_r"), "full_outer")
       .sort(coalesce(col("__pos_l"), col("__pos_r")))
       .drop("__pos_l", "__pos_r")
+      .toDF(lNames ++ rNames: _*)
   }
 
   /** latest snapshot whose snapshot_time <= ts — DuckLake's

@@ -2372,7 +2372,7 @@ object StatementRouter {
               s.substring(0, baseStart) + rep + s.substring(close + 1))
           } else {
             val out = s.substring(0, baseStart) +
-              s"element_at($base, $content)" + s.substring(close + 1)
+              s"__graft_subscript($base, $content)" + s.substring(close + 1)
             return rewriteBrackets(out)
           }
         } else if (prev == '\'') {
@@ -2802,27 +2802,29 @@ object StatementRouter {
     *    for bare string-leaf `->`/json_extract.
     *  - 2-arg `json_array_length(j, path)` composes through
     *    get_json_object (the 1-arg name exists in Spark as-is).
-    * Paths: DuckDB accepts '$.a.b', '/a/b', or bare 'a'; bare keys
-    * normalize to '$.key', integers to '$[i]'.
+    * Paths (r13, measured): '$.a.b' JSONPath, '/a/b' JSON Pointer, and
+    * a bare string is a SINGLE top-level key — the path grammar lives in
+    * the native [[graft.functions.DuckJsonPath]]; this rewrite only
+    * routes the spellings there.
     */
-  private def jsonPath(raw: String): String =
-    if (raw.startsWith("$")) raw
-    else if (raw.startsWith("/")) "$." + raw.stripPrefix("/").replace("/", ".")
-    else if (raw.forall(_.isDigit) && raw.nonEmpty) s"$$[$raw]"
-    else "$." + raw
-
   private def rewriteJsonFns(q0: String): String = {
-    def ext(args: Seq[String]): Option[String] =
+    def ext(unq: Boolean)(args: Seq[String]): Option[String] =
       if (args.length != 2) None
-      else quotedLiteral(args(1).trim).map(p =>
-        s"get_json_object(${args(0).trim}, '${jsonPath(p)}')")
-    var q = rewriteCalls(q0, "json_extract_string")(ext)
-    q = rewriteCalls(q, "json_value")(ext)
-    q = rewriteCalls(q, "json_extract")(ext)
+      else Some(s"__graft_json_extract${if (unq) "_str" else ""}" +
+        s"(${args(0).trim}, ${args(1).trim})")
+    var q = rewriteCalls(q0, "json_extract_string")(ext(unq = true))
+    q = rewriteCalls(q, "json_value")(ext(unq = true))
+    q = rewriteCalls(q, "json_extract")(ext(unq = false))
+    q = rewriteCalls(q, "json_valid") {
+      case Seq(a) => Some(s"__graft_json_valid(${a.trim})")
+      case _ => None
+    }
     rewriteCalls(q, "json_array_length") { args =>
-      if (args.length != 2) None
-      else quotedLiteral(args(1).trim).map(p =>
-        s"json_array_length(get_json_object(${args(0).trim}, '${jsonPath(p)}'))")
+      if (args.length == 1)
+        Some(s"__graft_json_array_length(${args(0).trim}, '$$')")
+      else if (args.length == 2)
+        Some(s"__graft_json_array_length(${args(0).trim}, ${args(1).trim})")
+      else None
     }
   }
 
@@ -2840,7 +2842,7 @@ object StatementRouter {
     * inside a known lambda-taking HOF is left alone (that's a lambda).
     */
   private def rewriteJsonArrows(q0: String): String = {
-    val ArrowRe = """(->>|->)\s*(?:'([^']*)'|(\d+))""".r
+    val ArrowRe = """(->>|->)\s*(?:'([^']*)'|(-?\d+))""".r
     var q = q0
     var from = 0
     var go = true
@@ -2859,7 +2861,11 @@ object StatementRouter {
             while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
             val lhsEnd = i
             var ok = i >= 0
-            if (ok && q.charAt(i) == ')') {
+            if (ok && q.charAt(i) == '\'' && lit(i)) {
+              // string-literal LHS: `'{"a": 1}' -> 'a'` (r13) — walk the
+              // whole literal (mask covers the quotes and '' escapes)
+              while (i >= 0 && lit(i)) i -= 1
+            } else if (ok && q.charAt(i) == ')') {
               var depth = 0
               var done = false
               while (i >= 0 && !done) {
@@ -2878,6 +2884,21 @@ object StatementRouter {
               while (i >= 0 &&
                 (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
               ok = idEnd > i
+            }
+            // `'…'::STRING ->> 'a'` — the ::TYPE pass ran before this
+            // one, so a cast chain may sit under the arrow: keep walking
+            // left across `::` to the cast base (literal or identifier)
+            while (ok && i >= 1 && q.charAt(i) == ':' && q.charAt(i - 1) == ':') {
+              i -= 2
+              while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+              if (i >= 0 && q.charAt(i) == '\'' && lit(i)) {
+                while (i >= 0 && lit(i)) i -= 1
+              } else {
+                val idEnd = i
+                while (i >= 0 &&
+                  (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+                ok = idEnd > i
+              }
             }
             val lhsStart = i + 1
             val lhs = q.substring(lhsStart, lhsEnd + 1)
@@ -2914,8 +2935,17 @@ object StatementRouter {
             })
             if (!ok || lhs.isEmpty || isLambda) from = start + m.group(1).length
             else {
-              val rawKey = Option(m.group(2)).getOrElse(m.group(3))
-              val rep = s"get_json_object($lhs, '${jsonPath(rawKey)}')"
+              // `->` keeps JSON text (string leaves stay quoted), `->>`
+              // unquotes — native DuckJsonExtract twins both (r13). A
+              // quoted key passes through verbatim (single top-level key
+              // unless it spells a $/pointer path); an integer subscript
+              // becomes `$[i]` (negative measured NULL, handled native).
+              val fn = if (m.group(1) == "->>") "__graft_json_extract_str"
+                       else "__graft_json_extract"
+              val keyLit =
+                if (m.group(2) != null) s"'${m.group(2)}'"
+                else s"'$$[${m.group(3)}]'"
+              val rep = s"$fn($lhs, $keyLit)"
               q = q.substring(0, lhsStart) + rep + q.substring(from + m.end)
               from = lhsStart // rescan: a chained arrow now follows the call
             }
@@ -2967,24 +2997,54 @@ object StatementRouter {
     * builtin 3-arg regexp_replace is global, which would diverge). The
     * 4-arg 'g' spelling is global in both worlds and maps to the
     * builtin. */
-  def rewriteRegexpFlags(q: String): String =
-    rewriteCalls(q, "regexp_replace") { args =>
+  def rewriteRegexpFlags(q0: String): String = {
+    // every replace spelling lands on the native RegexpReplaceDuck:
+    // FIRST-match unless 'g', \N backrefs translated, POSIX classes and
+    // option letters handled at pattern-compile (r13 regexp barrage —
+    // the old literal-inline path silently made 4-arg 'i' GLOBAL and
+    // left \N backrefs to Java's different rules)
+    var q = rewriteCalls(q0, "regexp_replace") { args =>
       if (args.length == 3)
-        // DuckDB 3-arg = FIRST match only; Spark's builtin is global —
-        // route to the registered native (graft.functions.RegexpReplaceFirst)
-        Some(s"__graft_regexp_replace_first(${args.map(_.trim).mkString(", ")})")
-      else if (args.length != 4) None
-      else quotedLiteral(args(3).trim) match {
-        case Some(flags) if flags.nonEmpty && flags.forall("gis".contains(_)) =>
-          val inline = flags.filter(_ != 'g')
-          if (inline.isEmpty)
-            Some(s"regexp_replace(${args(0).trim}, ${args(1).trim}, ${args(2).trim})")
-          else quotedLiteral(args(1).trim).map { p =>
-            s"regexp_replace(${args(0).trim}, '(?$inline)$p', ${args(2).trim})"
-          }
-        case _ => None
-      }
+        Some(s"__graft_regexp_replace(${args.map(_.trim).mkString(", ")}, '')")
+      else if (args.length == 4)
+        Some(s"__graft_regexp_replace(${args.map(_.trim).mkString(", ")})")
+      else None
     }
+    // regexp_matches is find-anywhere with option letters; full_match
+    // anchors the whole string — both native (Java mis-parses RE2's
+    // [[:upper:]] silently, so even the 2-arg form routes there)
+    q = rewriteCalls(q, "regexp_matches") { args =>
+      if (args.length == 2)
+        Some(s"__graft_regexp_matches(${args.map(_.trim).mkString(", ")}, '')")
+      else if (args.length == 3)
+        Some(s"__graft_regexp_matches(${args.map(_.trim).mkString(", ")})")
+      else None
+    }
+    q = rewriteCalls(q, "regexp_full_match") { args =>
+      if (args.length == 2)
+        Some(s"__graft_regexp_full_match(${args.map(_.trim).mkString(", ")}, '')")
+      else if (args.length == 3)
+        Some(s"__graft_regexp_full_match(${args.map(_.trim).mkString(", ")})")
+      else None
+    }
+    // DuckDB's default group for regexp_extract[_all] is 0 (the whole
+    // match); Spark's is 1 and ERRORS on a groupless pattern (r13). A
+    // LIST third argument names the groups into a struct (measured
+    // `{'y': 2024, …}`).
+    def extRw(fn: String)(args: Seq[String]): Option[String] =
+      if (args.length == 2) Some(s"$fn(${args(0).trim}, ${args(1).trim}, 0)")
+      else if (args.length == 3 && args(2).trim.startsWith("[")) {
+        val inner = args(2).trim.stripPrefix("[").stripSuffix("]")
+        val names = inner.split(",").map(_.trim).toSeq
+        require(names.forall(n => n.startsWith("'") && n.endsWith("'")),
+          s"regexp_extract group names must be quoted literals: $inner")
+        Some("named_struct(" + names.zipWithIndex.map { case (n, i) =>
+          s"$n, $fn(${args(0).trim}, ${args(1).trim}, ${i + 1})"
+        }.mkString(", ") + ")")
+      } else None
+    q = rewriteCalls(q, "regexp_extract")(extRw("regexp_extract"))
+    rewriteCalls(q, "regexp_extract_all")(extRw("regexp_extract_all"))
+  }
 
   /** DuckDB single-quoted string literals are ESCAPE-FREE (backslash is
     * an ordinary character; only '' escapes a quote), while Spark's
@@ -4295,6 +4355,39 @@ object StatementRouter {
       }.mkString(", ") + ")")
     }
     q = rewriteBraces(q)
+    // struct_insert(s, b := 9) -> native append (measured field order:
+    // existing first, new appended — r13 struct/map differential);
+    // after the brace pass so a struct-literal first argument's commas
+    // are already inside named_struct(...) parens
+    q = rewriteCalls(q, "struct_insert") { args =>
+      if (args.length < 2) None
+      else Some("__graft_struct_insert(" + args.head.trim + ", " +
+        args.tail.map { a =>
+          val at = a.indexOf(":=")
+          require(at > 0, s"cannot parse struct_insert entry: $a")
+          s"'${a.take(at).trim.stripPrefix("\"").stripSuffix("\"")}', ${a.drop(at + 2).trim}"
+        }.mkString(", ") + ")")
+    }
+    // AFTER the brace pass: a struct-literal argument `{'a': 1, 'b': 2}`
+    // holds top-level commas the call-splitter cannot see until braces
+    // became named_struct(...) parens (r13).
+    // struct_extract(s, 'k') / map_extract(m, k) / element_at(x, k):
+    // all land on the type-dispatched native subscript — DuckDB's
+    // element_at/map_extract return a LIST of matches on a MAP
+    // (measured `[7]` / `[]`), which Spark's element_at conflates
+    for (fn <- Seq("struct_extract", "map_extract", "element_at")) {
+      q = rewriteCalls(q, fn) {
+        case Seq(a, b) => Some(s"__graft_subscript(${a.trim}, ${b.trim})")
+        case _ => None
+      }
+    }
+    // row(...) -> unnamed struct; the reserved __graft_unnamed_N field
+    // names make the VARCHAR renderer print DuckDB's paren form
+    q = rewriteCalls(q, "row") { args =>
+      Some("named_struct(" + args.zipWithIndex.map { case (a, i) =>
+        s"'__graft_unnamed_${i + 1}', ${a.trim}"
+      }.mkString(", ") + ")")
+    }
     q = rewriteBrackets(q)
     q = rewriteStarReplace(q)
     q = rewriteStarRename(q)

@@ -446,14 +446,15 @@ object QueriesLake {
     },
     // r8 dialect breadth: struct literals {'k': v} (nested), MAP {k: v},
     // struct_pack(k := v), dot field access, and map['key'] — the DuckDB
-    // struct/map surface; final outputs stay scalar (§7.5)
+    // struct/map surface; final outputs stay scalar (§7.5). r13: map
+    // subscript returns a LIST of matches (measured), so `[1]` scalarizes.
     "q_lake_dialect6" -> { (s, _) =>
       val lake = freshLake(s)
       lake.sql(
         """CREATE TABLE d6(id INTEGER, a INTEGER, b VARCHAR);
           |INSERT INTO d6 VALUES (1, 4, 'x'), (2, 9, 'y')""".stripMargin)
       lake.sql(
-        """SELECT id, st.a AS sa, st.nest.twice AS tw, el['k1'] AS mk, sp.p AS spp
+        """SELECT id, st.a AS sa, st.nest.twice AS tw, el['k1'][1] AS mk, sp.p AS spp
           |FROM (SELECT id,
           |             {'a': a, 'nest': {'twice': a * 2}} AS st,
           |             MAP {'k1': b, 'k2': 'z'} AS el,
@@ -940,7 +941,7 @@ object QueriesLake {
       val reopened = new DuckLakeXLSpark(s, lake.excelPath, lake.dataPath)
       reopened.sql(
         """SELECT id, array_to_string(tags, ',') AS tags_str, tags[1] AS tag1, meta.mime AS mime, meta.w AS w,
-          |       attrs['k1'] AS k1, doc->>'x' AS x,
+          |       attrs['k1'][1] AS k1, doc->>'x' AS x,
           |       payload::VARCHAR AS payload_str, octet_length(payload) AS n_bytes,
           |       uid, big::VARCHAR AS big_str
           |FROM typed ORDER BY id""".stripMargin)
@@ -1307,6 +1308,96 @@ object QueriesLake {
         """SELECT doc_id, octet_length(payload) AS n_bytes, md5(payload) AS digest,
           |       meta.mime AS mime, meta.n_chars AS n_chars
           |FROM media ORDER BY doc_id""".stripMargin)
+    },
+    // r13 JSON differential wave (barrage #7): -> keeps JSON text while
+    // ->> unquotes leaves, negative subscripts are NULL, json_extract's
+    // path grammar ($-path / JSON-pointer / bare SINGLE key — 'a.b' is
+    // one key, NOT a traversal), 2-arg json_array_length is 0 on
+    // non-array and NULL on missing, json_valid — the semantics
+    // JsonDifferentialSpec fixed, replayed as an oracle row (DuckDB runs
+    // the IDENTICAL text)
+    "q_lake_json_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE jw(id INTEGER, j VARCHAR);
+          |INSERT INTO jw VALUES
+          |  (1,'{"a":{"b":7},"xs":[1,2,3],"s":"txt"}'),
+          |  (2,'{"a":{"b":9},"xs":[],"s":"y"}')""".stripMargin)
+      lake.sql(
+        """SELECT id,
+          |  CAST(j -> 'a' AS VARCHAR) AS j_obj,
+          |  j ->> 's' AS j_str,
+          |  CAST(j -> 's' AS VARCHAR) AS j_q,
+          |  CAST(j -> 'xs' ->> 1 AS BIGINT) AS j_idx,
+          |  j ->> 'missing' AS j_miss,
+          |  j -> 'xs' ->> -1 AS j_neg,
+          |  CAST(json_extract(j, '/a/b') AS VARCHAR) AS j_ptr,
+          |  json_extract_string(j, '$.a.b') AS j_path,
+          |  CAST(json_extract(j, 'a.b') AS VARCHAR) AS j_bare,
+          |  CAST(json_array_length(j, '$.xs') AS BIGINT) AS n_xs,
+          |  CAST(json_array_length(j, '$.s') AS BIGINT) AS n_s,
+          |  CAST(json_array_length(j, '$.zz') AS BIGINT) AS n_zz,
+          |  json_valid(j) AS ok1,
+          |  json_valid(j || '{') AS ok2
+          |FROM jw ORDER BY id""".stripMargin)
+    },
+    // r13 struct/map differential wave: struct literals render with
+    // field names ({'a': 1, 'b': x}), row() prints parens, struct
+    // comparisons are lexicographic by field, map subscript returns a
+    // LIST of matches ([10] / []), map VARCHAR render is {k=v} — the
+    // semantics StructMapDifferentialSpec fixed, replayed as an oracle
+    // row (DuckDB runs the IDENTICAL text)
+    "q_lake_struct_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST({'a': 1, 'b': 'x'} AS VARCHAR) AS st1,
+          |  CAST(({'n': {'m': 7}}).n.m AS BIGINT) AS st2,
+          |  {'a': 1, 'b': 'x'}['b'] AS st3,
+          |  CAST(struct_pack(a := 5).a AS BIGINT) AS st4,
+          |  CAST(struct_insert({'a': 1}, b := 9) AS VARCHAR) AS st5,
+          |  CAST(row(1, 'two', 3.5) AS VARCHAR) AS st6,
+          |  ({'a': 1, 'b': 2} < {'a': 1, 'b': 3}) AS st7,
+          |  CAST(({'a': NULL}).a AS VARCHAR) AS st8,
+          |  CAST(({'d': DATE '2024-03-01'}).d + 1 AS VARCHAR) AS st9,
+          |  CAST(map(['k1','k2'],[10,20])['k1'] AS VARCHAR) AS mp1,
+          |  CAST(map(['k1','k2'],[10,20])['nope'] AS VARCHAR) AS mp2,
+          |  array_to_string(map_keys(map(['k1','k2'],[10,20])), ',') AS mp3,
+          |  CAST(cardinality(map(['k1','k2'],[10,20])) AS BIGINT) AS mp4,
+          |  CAST(map(['k'],[1]) AS VARCHAR) AS mp5,
+          |  CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}]) AS VARCHAR) AS mp6,
+          |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
+          |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin)
+    },
+    // r13 regexp differential wave: extract defaults to group 0 (Spark
+    // errors on groupless patterns at group 1), a LIST third argument
+    // names groups into a struct, matches/full_match carry i/s/m option
+    // letters and RE2 POSIX classes, replace is FIRST-match unless 'g'
+    // with \N backrefs, split keeps empty fields — the semantics
+    // RegexpDifferentialSpec fixed, replayed as an oracle row (DuckDB
+    // runs the IDENTICAL text)
+    "q_lake_regexp_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  regexp_extract('abc123', '([a-z]+)(\d+)') AS re1,
+          |  regexp_extract('abc123', '([a-z]+)(\d+)', 2) AS re2,
+          |  regexp_extract('abc', '(\d+)') AS re3,
+          |  CAST(regexp_extract('2024-05-06', '(\d+)-(\d+)-(\d+)', ['y','m','d']) AS VARCHAR) AS re4,
+          |  array_to_string(regexp_extract_all('a1b2c3', '([a-z])(\d)', 2), ',') AS re5,
+          |  regexp_matches('Hello', 'hello') AS rm1,
+          |  regexp_matches('Hello', 'hello', 'i') AS rm2,
+          |  regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS rm3,
+          |  regexp_matches('ABC', '[[:upper:]]+') AS rm4,
+          |  regexp_full_match('abcd', 'a.c') AS rf1,
+          |  regexp_full_match('AbC', 'abc', 'i') AS rf2,
+          |  regexp_replace('aaa', 'a', 'b') AS rr1,
+          |  regexp_replace('aaa', 'a', 'b', 'g') AS rr2,
+          |  regexp_replace('Hello World', '[aeiou]', '_', 'gi') AS rr3,
+          |  regexp_replace('a1b2', '(\d)', '[\1]', 'g') AS rr4,
+          |  regexp_replace('abc', 'b', '\0\0') AS rr5,
+          |  array_to_string(regexp_split_to_array('a,b,,c', ','), '|') AS rs1,
+          |  array_to_string(regexp_split_to_array('abc', ''), '|') AS rs2""".stripMargin)
     }
   )
 
@@ -1756,6 +1847,66 @@ object QueriesLake {
     "q_lake_sample" ->
       ("SELECT id, v FROM (SELECT id, v FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')," +
        "(5,'e'),(6,'f'),(7,'g'),(8,'h')) t(id, v) " +
-       "ORDER BY md5(concat_ws('|', 42, id, v)) LIMIT 3) ORDER BY id")
+       "ORDER BY md5(concat_ws('|', 42, id, v)) LIMIT 3) ORDER BY id"),
+    // r13 differential waves: DuckDB runs the IDENTICAL text natively —
+    // the oracle IS the reference semantics the barrages pinned
+    "q_lake_json_wave" ->
+      """SELECT id,
+        |  CAST(j -> 'a' AS VARCHAR) AS j_obj,
+        |  j ->> 's' AS j_str,
+        |  CAST(j -> 's' AS VARCHAR) AS j_q,
+        |  CAST(j -> 'xs' ->> 1 AS BIGINT) AS j_idx,
+        |  j ->> 'missing' AS j_miss,
+        |  j -> 'xs' ->> -1 AS j_neg,
+        |  CAST(json_extract(j, '/a/b') AS VARCHAR) AS j_ptr,
+        |  json_extract_string(j, '$.a.b') AS j_path,
+        |  CAST(json_extract(j, 'a.b') AS VARCHAR) AS j_bare,
+        |  CAST(json_array_length(j, '$.xs') AS BIGINT) AS n_xs,
+        |  CAST(json_array_length(j, '$.s') AS BIGINT) AS n_s,
+        |  CAST(json_array_length(j, '$.zz') AS BIGINT) AS n_zz,
+        |  json_valid(j) AS ok1,
+        |  json_valid(j || '{') AS ok2
+        |FROM (VALUES
+        |  (1,'{"a":{"b":7},"xs":[1,2,3],"s":"txt"}'),
+        |  (2,'{"a":{"b":9},"xs":[],"s":"y"}')) jw(id, j) ORDER BY id""".stripMargin,
+    "q_lake_struct_wave" ->
+      """SELECT
+        |  CAST({'a': 1, 'b': 'x'} AS VARCHAR) AS st1,
+        |  CAST(({'n': {'m': 7}}).n.m AS BIGINT) AS st2,
+        |  {'a': 1, 'b': 'x'}['b'] AS st3,
+        |  CAST(struct_pack(a := 5).a AS BIGINT) AS st4,
+        |  CAST(struct_insert({'a': 1}, b := 9) AS VARCHAR) AS st5,
+        |  CAST(row(1, 'two', 3.5) AS VARCHAR) AS st6,
+        |  ({'a': 1, 'b': 2} < {'a': 1, 'b': 3}) AS st7,
+        |  CAST(({'a': NULL}).a AS VARCHAR) AS st8,
+        |  CAST(({'d': DATE '2024-03-01'}).d + 1 AS VARCHAR) AS st9,
+        |  CAST(map(['k1','k2'],[10,20])['k1'] AS VARCHAR) AS mp1,
+        |  CAST(map(['k1','k2'],[10,20])['nope'] AS VARCHAR) AS mp2,
+        |  array_to_string(map_keys(map(['k1','k2'],[10,20])), ',') AS mp3,
+        |  CAST(cardinality(map(['k1','k2'],[10,20])) AS BIGINT) AS mp4,
+        |  CAST(map(['k'],[1]) AS VARCHAR) AS mp5,
+        |  CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}]) AS VARCHAR) AS mp6,
+        |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
+        |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin,
+    "q_lake_regexp_wave" ->
+      """SELECT
+        |  regexp_extract('abc123', '([a-z]+)(\d+)') AS re1,
+        |  regexp_extract('abc123', '([a-z]+)(\d+)', 2) AS re2,
+        |  regexp_extract('abc', '(\d+)') AS re3,
+        |  CAST(regexp_extract('2024-05-06', '(\d+)-(\d+)-(\d+)', ['y','m','d']) AS VARCHAR) AS re4,
+        |  array_to_string(regexp_extract_all('a1b2c3', '([a-z])(\d)', 2), ',') AS re5,
+        |  regexp_matches('Hello', 'hello') AS rm1,
+        |  regexp_matches('Hello', 'hello', 'i') AS rm2,
+        |  regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS rm3,
+        |  regexp_matches('ABC', '[[:upper:]]+') AS rm4,
+        |  regexp_full_match('abcd', 'a.c') AS rf1,
+        |  regexp_full_match('AbC', 'abc', 'i') AS rf2,
+        |  regexp_replace('aaa', 'a', 'b') AS rr1,
+        |  regexp_replace('aaa', 'a', 'b', 'g') AS rr2,
+        |  regexp_replace('Hello World', '[aeiou]', '_', 'gi') AS rr3,
+        |  regexp_replace('a1b2', '(\d)', '[\1]', 'g') AS rr4,
+        |  regexp_replace('abc', 'b', '\0\0') AS rr5,
+        |  array_to_string(regexp_split_to_array('a,b,,c', ','), '|') AS rs1,
+        |  array_to_string(regexp_split_to_array('abc', ''), '|') AS rs2""".stripMargin
   )
 }

@@ -270,8 +270,10 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT * FROM t LIMIT 50%",          // r12: count pass + floor limit
       "SELECT bar(3, 0, 5, 5) AS v")        // r12: native BarText
     val refused = Seq(
-      // POSITIONAL JOIN with same-named sides needs output dedup we
-      // do not fabricate
+      // r13: same-named POSITIONAL sides now twin DuckDB's duplicate
+      // output names for SELECT * (PosJoinDupSpec); what stays refused
+      // is a QUALIFIED alias ref into the zipped view — the rewrite
+      // materializes one view, so t1./t2. anchors can't resolve
       "SELECT t1.id FROM t t1 POSITIONAL JOIN t t2")
     val broken = runnable.flatMap { q =>
       try { lake.sql(q).collect(); None }

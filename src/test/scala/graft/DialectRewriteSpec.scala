@@ -141,8 +141,9 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT array_sort(collect_list(v)) FROM t")
     assert(rewriteDialect("SELECT starts_with(v, 'a'), ends_with(v, 'z') FROM t") ==
       "SELECT startswith(v, 'a'), endswith(v, 'z') FROM t")
+    // r13: regexp_matches routes to the POSIX-and-flags-aware native
     assert(rewriteDialect("SELECT * FROM t WHERE regexp_matches(v, 'x+')") ==
-      "SELECT * FROM t WHERE regexp_like(v, 'x+')")
+      "SELECT * FROM t WHERE __graft_regexp_matches(v, 'x+', '')")
     // list_position carries DuckDB's NULL-when-absent (array_position
     // returns 0 there — r8 review fix)
     // r12 list differential: MEASURED DuckDB 1.0 list_position returns
@@ -182,21 +183,21 @@ class DialectRewriteSpec extends AnyFunSuite {
 
   test("r7b: subscripts become 1-based element_at, list literals become array()") {
     assert(rewriteDialect("SELECT arr[1] FROM t") ==
-      "SELECT element_at(arr, 1) FROM t")
+      "SELECT __graft_subscript(arr, 1) FROM t")
     assert(rewriteDialect("SELECT t.arr[i + 1] FROM t") ==
-      "SELECT element_at(t.arr, i + 1) FROM t")
+      "SELECT __graft_subscript(t.arr, i + 1) FROM t")
     assert(rewriteDialect("SELECT split(s, ',')[2] FROM t") ==
-      "SELECT element_at(split(s, ','), 2) FROM t")
+      "SELECT __graft_subscript(split(s, ','), 2) FROM t")
     assert(rewriteDialect("SELECT m['k'] FROM t") ==
-      "SELECT element_at(m, 'k') FROM t")
+      "SELECT __graft_subscript(m, 'k') FROM t")
     assert(rewriteDialect("SELECT a[1][2] FROM t") ==
-      "SELECT element_at(element_at(a, 1), 2) FROM t")
+      "SELECT __graft_subscript(__graft_subscript(a, 1), 2) FROM t")
     assert(rewriteDialect("SELECT [1, 2, 3] AS xs") ==
       "SELECT array(1, 2, 3) AS xs")
     assert(rewriteDialect("SELECT CASE WHEN c THEN [1] ELSE [] END") ==
       "SELECT CASE WHEN c THEN array(1) ELSE array() END")
     assert(rewriteDialect("SELECT [a, b][1]") ==
-      "SELECT element_at(array(a, b), 1)")
+      "SELECT __graft_subscript(array(a, b), 1)")
   }
 
   test("r7b: array TYPE declarations translate to Spark DDL; literal contents untouched") {
@@ -276,9 +277,9 @@ class DialectRewriteSpec extends AnyFunSuite {
     // date/json/text… are TypeWords, but as a column base the bracket is
     // a 1-based subscript — passing it through would be silently 0-based
     assert(rewriteDialect("SELECT date[1] FROM t") ==
-      "SELECT element_at(date, 1) FROM t")
+      "SELECT __graft_subscript(date, 1) FROM t")
     assert(rewriteDialect("SELECT json[2], time[i] FROM t") ==
-      "SELECT element_at(json, 2), element_at(time, i) FROM t")
+      "SELECT __graft_subscript(json, 2), __graft_subscript(time, i) FROM t")
     // …while CAST / :: contexts treat the sized-array suffix as a TYPE —
     // translated (r11) to the ARRAY<> spelling Spark parses (DuckDB's
     // fixed-size arrays are stored as lists, same as the lake's DDL)
@@ -294,7 +295,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect("SELECT ARRAY [1, 2] AS xs") ==
       "SELECT array(1, 2) AS xs")
     assert(rewriteDialect("SELECT row[1] FROM t") ==
-      "SELECT element_at(row, 1) FROM t")
+      "SELECT __graft_subscript(row, 1) FROM t")
   }
 
   test("r8: calls nested inside rewritten call arguments are rewritten too") {
@@ -432,7 +433,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect("SELECT f(x) ** t.c AS x FROM t") ==
       "SELECT power(f(x), t.c) AS x FROM t")
     assert(rewriteDialect("SELECT xs[1] ^ 2 FROM t") ==
-      "SELECT power(element_at(xs, 1), 2) FROM t")
+      "SELECT power(__graft_subscript(xs, 1), 2) FROM t")
     // a caret inside a string literal (regex anchor) survives verbatim
     val lit = "SELECT v FROM t WHERE v RLIKE '^ab$'"
     assert(rewriteDialect(lit) == lit)
@@ -628,21 +629,20 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(q) == q)
   }
 
-  test("r10: 4-arg regexp_replace flags fold into the Spark 3-arg form") {
-    // 'g' = Spark's default global behavior -> just drops
+  test("r13: every regexp_replace spelling routes to the flags-aware native") {
+    // 4-arg: flags pass through (native compiles g/i/s/m…, translates
+    // \N backrefs and POSIX classes — r13 regexp differential)
     assert(rewriteDialect("SELECT regexp_replace(s, '\\s+', ' ', 'g') FROM t") ==
-      "SELECT regexp_replace(s, '\\s+', ' ') FROM t")
-    // 'i' folds into the pattern as an inline flag
+      "SELECT __graft_regexp_replace(s, '\\s+', ' ', 'g') FROM t")
     assert(rewriteDialect("SELECT regexp_replace(s, 'abc', 'x', 'gi') FROM t") ==
-      "SELECT regexp_replace(s, '(?i)abc', 'x') FROM t")
-    // unknown flags / non-literal flags stay put (loud failure at engine)
-    val q1 = "SELECT regexp_replace(s, 'a', 'x', f) FROM t"
-    assert(rewriteDialect(q1) == q1)
-    val q2 = "SELECT regexp_replace(s, 'a', 'x', 'm') FROM t"
-    assert(rewriteDialect(q2) == q2)
-    // 3-arg = DuckDB's FIRST-match-only form -> the registered native
+      "SELECT __graft_regexp_replace(s, 'abc', 'x', 'gi') FROM t")
+    // non-literal flags reach the native too (unknown letters fail loud
+    // at compile inside RegexpDuck.javaFlags)
+    assert(rewriteDialect("SELECT regexp_replace(s, 'a', 'x', f) FROM t") ==
+      "SELECT __graft_regexp_replace(s, 'a', 'x', f) FROM t")
+    // 3-arg = DuckDB's FIRST-match-only form -> empty flags
     assert(rewriteDialect("SELECT regexp_replace(s, 'a', 'x') FROM t") ==
-      "SELECT __graft_regexp_replace_first(s, 'a', 'x') FROM t")
+      "SELECT __graft_regexp_replace(s, 'a', 'x', '') FROM t")
   }
 
   test("r10: RegexpFirst replacement translation and first-only behavior") {
@@ -713,25 +713,31 @@ class DialectRewriteSpec extends AnyFunSuite {
     // double-doubled — pinned by q_lake_dialect3 staying green
   }
 
-  test("r10: json_extract family and -> / ->> arrows map to get_json_object") {
+  test("r10/r13: json_extract family and -> / ->> arrows map to the native") {
+    // r13: all spellings land on DuckJsonExtract — paths pass VERBATIM
+    // (the native owns the $/pointer/single-key grammar; the old
+    // get_json_object normalization treated bare 'a.b' as a traversal,
+    // which DuckDB does not — measured in the r13 JSON differential)
     assert(rewriteDialect("SELECT json_extract_string(j, '$.k') FROM t") ==
-      "SELECT get_json_object(j, '$.k') FROM t")
-    // bare keys and slash paths normalize to $.-paths
+      "SELECT __graft_json_extract_str(j, '$.k') FROM t")
     assert(rewriteDialect("SELECT json_extract(j, 'k') FROM t") ==
-      "SELECT get_json_object(j, '$.k') FROM t")
+      "SELECT __graft_json_extract(j, 'k') FROM t")
     assert(rewriteDialect("SELECT json_value(j, '/a/b') FROM t") ==
-      "SELECT get_json_object(j, '$.a.b') FROM t")
+      "SELECT __graft_json_extract_str(j, '/a/b') FROM t")
     assert(rewriteDialect("SELECT json_array_length(j, '$.xs') FROM t") ==
-      "SELECT json_array_length(get_json_object(j, '$.xs')) FROM t")
-    // arrows: simple, chained, array index, qualified LHS, call LHS
+      "SELECT __graft_json_array_length(j, '$.xs') FROM t")
+    // arrows: simple, chained, array index, qualified LHS, call LHS,
+    // string-literal LHS (r13)
     assert(rewriteDialect("SELECT props ->> 'k' FROM t") ==
-      "SELECT get_json_object(props, '$.k') FROM t")
+      "SELECT __graft_json_extract_str(props, 'k') FROM t")
     assert(rewriteDialect("SELECT t.j -> 'a' ->> 'b' FROM t") ==
-      "SELECT get_json_object(get_json_object(t.j, '$.a'), '$.b') FROM t")
+      "SELECT __graft_json_extract_str(__graft_json_extract(t.j, 'a'), 'b') FROM t")
     assert(rewriteDialect("SELECT j -> 0 FROM t") ==
-      "SELECT get_json_object(j, '$[0]') FROM t")
+      "SELECT __graft_json_extract(j, '$[0]') FROM t")
     assert(rewriteDialect("SELECT upper(j) ->> 'k' FROM t") ==
-      "SELECT get_json_object(upper(j), '$.k') FROM t")
+      "SELECT __graft_json_extract_str(upper(j), 'k') FROM t")
+    assert(rewriteDialect("""SELECT '{"a": 1}' -> 'a' FROM t""") ==
+      """SELECT __graft_json_extract('{"a": 1}', 'a') FROM t""")
     // lambda arrows survive: bare param inside a HOF
     val lam = "SELECT transform(xs, x -> 'c') FROM t"
     assert(rewriteDialect(lam) == lam)
