@@ -1309,6 +1309,29 @@ object QueriesLake {
           |       meta.mime AS mime, meta.n_chars AS n_chars
           |FROM media ORDER BY doc_id""".stripMargin)
     },
+    // r13 JOIN USING / NATURAL JOIN pins (verdict #2): SELECT * emits
+    // the using/shared key ONCE and FIRST, RIGHT/FULL joins COALESCE it
+    // across sides, NATURAL matches on every shared name — all measured
+    // on DuckDB 1.0 (JoinUsingSpec pins column lists and SEMI/ANTI
+    // shapes); the oracle replays the IDENTICAL text
+    "q_lake_join_using" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE jul(k INTEGER, lv VARCHAR);
+          |INSERT INTO jul VALUES (1,'a'),(2,'b'),(3,'c');
+          |CREATE TABLE jur(k INTEGER, rv VARCHAR);
+          |INSERT INTO jur VALUES (2,'x'),(3,'y'),(4,'z')""".stripMargin)
+      lake.sql(
+        """SELECT 'full_using' AS src, k, lv, rv FROM jul FULL JOIN jur USING (k)
+          |UNION ALL
+          |SELECT 'natural', k, lv AS v, rv AS w
+          |FROM (SELECT k, lv FROM jul) nl NATURAL FULL JOIN (SELECT k, rv FROM jur) nr
+          |UNION ALL
+          |SELECT 'semi', k, lv, NULL FROM jul SEMI JOIN jur USING (k)
+          |UNION ALL
+          |SELECT 'anti', k, lv, NULL FROM jul ANTI JOIN jur USING (k)
+          |ORDER BY src, k""".stripMargin)
+    },
     // r13 JSON differential wave (barrage #7): -> keeps JSON text while
     // ->> unquotes leaves, negative subscripts are NULL, json_extract's
     // path grammar ($-path / JSON-pointer / bare SINGLE key — 'a.b' is
@@ -1850,6 +1873,18 @@ object QueriesLake {
        "ORDER BY md5(concat_ws('|', 42, id, v)) LIMIT 3) ORDER BY id"),
     // r13 differential waves: DuckDB runs the IDENTICAL text natively —
     // the oracle IS the reference semantics the barrages pinned
+    "q_lake_join_using" ->
+      """WITH jul(k, lv) AS (SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c'))),
+        |     jur(k, rv) AS (SELECT * FROM (VALUES (2,'x'),(3,'y'),(4,'z')))
+        |SELECT 'full_using' AS src, k, lv, rv FROM jul FULL JOIN jur USING (k)
+        |UNION ALL
+        |SELECT 'natural', k, lv AS v, rv AS w
+        |FROM (SELECT k, lv FROM jul) nl NATURAL FULL JOIN (SELECT k, rv FROM jur) nr
+        |UNION ALL
+        |SELECT 'semi', k, lv, NULL FROM jul SEMI JOIN jur USING (k)
+        |UNION ALL
+        |SELECT 'anti', k, lv, NULL FROM jul ANTI JOIN jur USING (k)
+        |ORDER BY src, k""".stripMargin,
     "q_lake_json_wave" ->
       """SELECT id,
         |  CAST(j -> 'a' AS VARCHAR) AS j_obj,
