@@ -227,6 +227,13 @@ class DuckLakeXLSpark(
         require(exprs.length == 4, "__graft_regexp_replace(s, p, r, flags)")
         graft.functions.RegexpReplaceDuck(exprs(0), exprs(1), exprs(2), exprs(3))
       })
+    // r13 TIMESTAMPTZ / TIME natives (functions/TzTime): the tstz tag
+    // is a runtime identity that carries tz-ness for the VARCHAR render;
+    // AT TIME ZONE resolves post-analysis (tz-ness is a tree property)
+    reg1("__graft_tstz", graft.functions.TsTzTag(_))
+    reg1("__graft_tsntz", graft.functions.NaiveTag(_))
+    reg2("__graft_at_tz", graft.functions.AtTimeZoneResolve(_, _))
+    reg1("__graft_to_time", graft.functions.ToTimeDuck(_))
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
@@ -1102,8 +1109,8 @@ class DuckLakeXLSpark(
     */
   private def sqlSelect(q: String): org.apache.spark.sql.DataFrame = {
     val df = spark.sql(rewriteSelect(q))
-    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
-    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates, TimeAddInterval}
+    import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, TimestampType, YearMonthIntervalType}
     val analyzed = df.queryExecution.analyzed
     val fixed = analyzed.transformAllExpressions {
       case s: SubtractDates => DateDiff(s.left, s.right)
@@ -1115,6 +1122,44 @@ class DuckLakeXLSpark(
             case _ => false
           }) =>
         graft.functions.DuckVarcharCast(c.child)
+      // CAST(interval AS VARCHAR) — DuckDB's canonical interval text
+      // ("1 day 02:00:00"), not Spark's ANSI INTERVAL literal form; a
+      // timestamp DIFFERENCE additionally splits whole days out of the
+      // micros (measured: 26h renders "1 day 02:00:00", while a plain
+      // INTERVAL '26 hours' stays "26:00:00")
+      case c: Cast if c.dataType == StringType && (c.child.dataType match {
+            case _: DayTimeIntervalType | _: YearMonthIntervalType |
+                 CalendarIntervalType => true
+            case _ => false
+          // DATE - DATE is a day COUNT in DuckDB, not an interval: the
+          // SubtractDates -> DateDiff swap below owns that shape (the
+          // child turns BIGINT under this very Cast)
+          }) && !c.child.exists(_.isInstanceOf[SubtractDates]) =>
+        val isTsDiff = c.child.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubtractTimestamps])
+        if (isTsDiff && c.child.dataType.isInstanceOf[DayTimeIntervalType])
+          graft.functions.IntervalText(graft.functions.IntervalDaysSplit(c.child))
+        else graft.functions.IntervalText(c.child)
+      // CAST(tstz AS VARCHAR) — instant render carries the '+00' suffix;
+      // tz-ness is a tree property traced through TsTzTag (r13 tz
+      // differential)
+      case c: Cast if c.dataType == StringType &&
+          c.child.dataType == TimestampType &&
+          graft.functions.TzTrace.tagged(c.child) =>
+        graft.functions.TsTzVarchar(c.child)
+      // x AT TIME ZONE z: dispatch on the INPUT's tz-ness — naive wall
+      // clock -> tagged instant, instant -> naive wall clock (custom
+      // convert: DuckDB resolves ambiguous fall-back times to the LATER
+      // instant, java.time defaults to the earlier — measured)
+      case graft.functions.AtTimeZoneResolve(x, z) =>
+        if (graft.functions.TzTrace.tagged(x))
+          graft.functions.NaiveTag(graft.functions.InstantToWall(x, z))
+        else
+          graft.functions.TsTzTag(graft.functions.WallToInstant(x, z))
+      // TIME ± INTERVAL wraps modulo 24h in DuckDB; Spark's builtin
+      // raises DATETIME_OVERFLOW past midnight
+      case t: TimeAddInterval =>
+        graft.functions.TimeAddWrap(t.time, t.interval)
     }
     if (fixed fastEquals analyzed) df
     else org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark, fixed)

@@ -2002,8 +2002,30 @@ object StatementRouter {
           j += 1
         }
         if (at < 0) None
-        else sparkCastType(a.substring(at + 3)).map(tr =>
-          s"${fn.toUpperCase(java.util.Locale.ROOT)}(${a.substring(0, at).trim} AS $tr)")
+        else {
+          val target = a.substring(at + 3).trim.toUpperCase(java.util.Locale.ROOT)
+          val expr = a.substring(0, at).trim
+          // r13 tz: CAST(x AS TIMESTAMPTZ) keeps tz-ness via the tag
+          // (identity under the UTC session; render adds '+00');
+          // CAST(x AS TIME) goes native (Spark's cast lacks the
+          // timestamp -> time-of-day source DuckDB has)
+          if (target == "TIMESTAMPTZ" ||
+              target.matches("""TIMESTAMP\s+WITH\s+TIME\s+ZONE"""))
+            Some(s"__graft_tstz(CAST($expr AS TIMESTAMP))")
+          else if (target == "TIME" || target.matches("""TIME\s*\(\s*\d+\s*\)"""))
+            Some(s"__graft_to_time($expr)")
+          else if (target == "TIMESTAMP" && (expr.contains("__graft_tstz") ||
+              expr.contains("__graft_at_tz")))
+            // instant -> naive conversion (identity under the UTC
+            // session) — the explicit barrier strips the render tag;
+            // analyzer-inserted no-op casts stay transparent in TzTrace.
+            // TIMESTAMP_LTZ is the same Spark type under a different
+            // spelling: the emitted cast must NOT re-match this branch
+            // (rewriteCalls rescans the replacement)
+            Some(s"__graft_tsntz(CAST($expr AS TIMESTAMP_LTZ))")
+          else sparkCastType(a.substring(at + 3)).map(tr =>
+            s"${fn.toUpperCase(java.util.Locale.ROOT)}($expr AS $tr)")
+        }
       }
     }
     q
@@ -2950,6 +2972,116 @@ object StatementRouter {
               from = lhsStart // rescan: a chained arrow now follows the call
             }
           }
+      }
+    }
+    q
+  }
+
+  /** `TIMESTAMPTZ '…'` / `TIMESTAMP WITH TIME ZONE '…'` typed literals:
+    * Spark's TIMESTAMP literal already parses embedded offsets into the
+    * UTC-pinned session instant, so the rewrite only needs to keep the
+    * tz-ness for the VARCHAR render — `__graft_tstz(TIMESTAMP '…')`
+    * (functions/TzTime.TsTzTag, a runtime identity). r13 tz barrage.
+    */
+  private val TstzLitRe =
+    """(?i)\bTIMESTAMP(?:TZ|\s+WITH\s+TIME\s+ZONE)\s*'""".r
+  private def rewriteTstzLiterals(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      TstzLitRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val close = q.indexOf('\'', m.end)
+          require(close > 0, s"unterminated TIMESTAMPTZ literal in: $q")
+          val payload = q.substring(m.end, close)
+          q = q.substring(0, m.start) +
+            s"__graft_tstz(TIMESTAMP '$payload')" + q.substring(close + 1)
+      }
+    }
+    q
+  }
+
+  /** infix `x AT TIME ZONE z` -> `__graft_at_tz(x, z)`; the dispatch on
+    * x's tz-ness (naive -> instant vs instant -> wall clock) happens on
+    * the analyzed plan (api/DuckLakeXLSpark.sqlSelect). The LHS walk
+    * mirrors the JSON-arrow pass: string literal, balanced call/paren
+    * group (plus its function name), or a dotted identifier.
+    */
+  private val AtTzRe = """(?i)\bAT\s+TIME\s+ZONE\b""".r
+  private def rewriteAtTimeZone(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      AtTzRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          // RHS: a quoted zone literal or an identifier/call
+          var r = m.end
+          while (r < q.length && q.charAt(r).isWhitespace) r += 1
+          require(r < q.length, s"dangling AT TIME ZONE in: $q")
+          val rEnd =
+            if (q.charAt(r) == '\'') {
+              var k = r + 1
+              while (k < q.length && lit(k)) k += 1
+              k
+            } else {
+              var k = r
+              while (k < q.length &&
+                (q.charAt(k).isLetterOrDigit || "_.\"".contains(q.charAt(k)))) k += 1
+              if (k < q.length && q.charAt(k) == '(') {
+                var depth = 0
+                var done = -1
+                var i = k
+                while (i < q.length && done < 0) {
+                  if (!lit(i)) {
+                    if (q.charAt(i) == '(') depth += 1
+                    else if (q.charAt(i) == ')') { depth -= 1; if (depth == 0) done = i }
+                  }
+                  i += 1
+                }
+                require(done > 0, s"unbalanced AT TIME ZONE operand in: $q")
+                done + 1
+              } else k
+            }
+          val rhs = q.substring(r, rEnd)
+          // LHS: walk left — literal / balanced group + name / identifier
+          var i = m.start - 1
+          while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+          val lhsEnd = i
+          require(i >= 0, s"AT TIME ZONE without a left operand in: $q")
+          if (q.charAt(i) == '\'' && lit(i)) {
+            while (i >= 0 && lit(i)) i -= 1
+            // a typed literal keeps its type word (TIMESTAMP '…')
+            while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+            val idEnd = i
+            while (i >= 0 &&
+              (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i -= 1
+            if (i == idEnd) i = idEnd // no type word
+          } else if (q.charAt(i) == ')') {
+            var depth = 0
+            var done = false
+            while (i >= 0 && !done) {
+              if (!lit(i)) {
+                if (q.charAt(i) == ')') depth += 1
+                else if (q.charAt(i) == '(') { depth -= 1; if (depth == 0) done = true }
+              }
+              i -= 1
+            }
+            while (i >= 0 &&
+              (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+          } else {
+            val idEnd = i
+            while (i >= 0 &&
+              (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+            require(idEnd > i, s"cannot parse AT TIME ZONE left operand in: $q")
+          }
+          val lhsStart = i + 1
+          val lhs = q.substring(lhsStart, lhsEnd + 1)
+          q = q.substring(0, lhsStart) + s"__graft_at_tz($lhs, $rhs)" +
+            q.substring(rEnd)
       }
     }
     q
@@ -3965,15 +4097,22 @@ object StatementRouter {
     */
   private def rewriteDateTrunc(q0: String): String =
     rewriteCalls(q0, "date_trunc") {
-      case Seq(u, x) => quotedLiteral(u).flatMap(
-        _.toLowerCase(java.util.Locale.ROOT) match {
+      case Seq(u, x) => quotedLiteral(u).flatMap { unit =>
+        // r13 tz: on a TIMESTAMPTZ input DuckDB's date_trunc KEEPS the
+        // type (measured '2024-03-10 00:00:00+00'), while naive inputs
+        // return DATE for day-and-coarser. tz-ness only exists
+        // textually through the tag calls, so dispatch on them.
+        val tz = x.contains("__graft_tstz") || x.contains("__graft_at_tz")
+        unit.toLowerCase(java.util.Locale.ROOT) match {
+          case _ if tz => None // Spark's date_trunc: TIMESTAMP in/out, tag kept
           case "day" | "d" | "dd" => Some(s"CAST(($x) AS DATE)")
           case "week" => Some(s"trunc(CAST(($x) AS DATE), 'WEEK')")
           case "month" | "mon" | "mm" => Some(s"trunc(CAST(($x) AS DATE), 'MONTH')")
           case "quarter" => Some(s"trunc(CAST(($x) AS DATE), 'QUARTER')")
           case "year" | "y" | "yy" | "yyyy" => Some(s"trunc(CAST(($x) AS DATE), 'YEAR')")
           case _ => None
-        })
+        }
+      }
       case _ => None
     }
 
@@ -4224,9 +4363,21 @@ object StatementRouter {
     // FROM-position unnest must also precede renameFns (which maps the
     // select-position spelling to explode)
     q = rewriteUnnestFrom(q)
+    // TIMESTAMPTZ typed literals keep their tz-ness as a __graft_tstz
+    // tag (render-only under the UTC session); must precede the cast
+    // pass so `CAST(TIMESTAMPTZ '…' AS …)` sees the wrapped call
+    q = rewriteTstzLiterals(q)
     // cast targets (`x::VARCHAR[]`, CAST(x AS STRUCT(…)), ::JSON/::BLOB)
     // before the bracket pass so array-type suffixes are already gone
     q = rewriteCastTargets(q)
+    // infix AT TIME ZONE after the cast/literal passes so its LHS is a
+    // settled call or literal; timezone(z, x) is the same operator with
+    // the argument order flipped (r13 tz barrage)
+    q = rewriteAtTimeZone(q)
+    q = rewriteCalls(q, "timezone") {
+      case Seq(z, x) => Some(s"__graft_at_tz(${x.trim}, ${z.trim})")
+      case _ => None
+    }
     q = rewriteStringAgg(q)
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)

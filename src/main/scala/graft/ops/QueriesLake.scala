@@ -1392,6 +1392,33 @@ object QueriesLake {
           |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
           |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin)
     },
+    // r13 tz differential wave: TIMESTAMPTZ literals normalize offsets
+    // to the UTC session and render '+00'; AT TIME ZONE dispatches on
+    // input tz-ness (incl. DST gap + LATER-instant ambiguity resolve);
+    // TIME wraps modulo 24h — the semantics TzDifferentialSpec fixed,
+    // replayed as an oracle row (DuckDB runs the IDENTICAL text)
+    "q_lake_tz_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00-05' AS VARCHAR) AS tz1,
+          |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00+05:30' AS VARCHAR) AS tz2,
+          |  CAST(CAST(TIMESTAMPTZ '2024-07-01 00:00:00+02' AS TIMESTAMP) AS VARCHAR) AS tz3,
+          |  CAST(TIMESTAMP '2024-03-10 02:30:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS tz4,
+          |  CAST(TIMESTAMP '2024-11-03 01:30:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS tz5,
+          |  CAST(TIMESTAMPTZ '2024-07-10 12:00:00+00' AT TIME ZONE 'Asia/Tokyo' AS VARCHAR) AS tz6,
+          |  CAST(timezone('Europe/Paris', TIMESTAMP '2024-11-03 01:30:00') AS VARCHAR) AS tz7,
+          |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00+00' + INTERVAL 1 DAY AS VARCHAR) AS tz8,
+          |  CAST(TIMESTAMPTZ '2024-06-01 10:00:00+00' - TIMESTAMPTZ '2024-05-31 08:00:00+00' AS VARCHAR) AS tz9,
+          |  CAST(date_part('epoch', TIMESTAMPTZ '2024-03-10 17:00:00+00') AS BIGINT) AS tz10,
+          |  CAST(TIME '13:45:30' AS VARCHAR) AS tm1,
+          |  CAST(TIME '23:30:00' + INTERVAL 1 HOUR AS VARCHAR) AS tm2,
+          |  CAST(TIME '00:30:00' - INTERVAL 1 HOUR AS VARCHAR) AS tm3,
+          |  CAST(CAST(TIMESTAMP '2024-03-10 17:25:13' AS TIME) AS VARCHAR) AS tm4,
+          |  CAST(make_time(7, 30, 12.5) AS VARCHAR) AS tm5,
+          |  CAST(date_part('minute', TIME '13:45:30') AS BIGINT) AS tm6,
+          |  (TIME '13:45:30' < TIME '14:00:00') AS tm7""".stripMargin)
+    },
     // r13 regexp differential wave: extract defaults to group 0 (Spark
     // errors on groupless patterns at group 1), a LIST third argument
     // names groups into a struct, matches/full_match carry i/s/m option
@@ -1923,6 +1950,25 @@ object QueriesLake {
         |  CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}]) AS VARCHAR) AS mp6,
         |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
         |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin,
+    "q_lake_tz_wave" ->
+      """SELECT
+        |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00-05' AS VARCHAR) AS tz1,
+        |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00+05:30' AS VARCHAR) AS tz2,
+        |  CAST(CAST(TIMESTAMPTZ '2024-07-01 00:00:00+02' AS TIMESTAMP) AS VARCHAR) AS tz3,
+        |  CAST(TIMESTAMP '2024-03-10 02:30:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS tz4,
+        |  CAST(TIMESTAMP '2024-11-03 01:30:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS tz5,
+        |  CAST(TIMESTAMPTZ '2024-07-10 12:00:00+00' AT TIME ZONE 'Asia/Tokyo' AS VARCHAR) AS tz6,
+        |  CAST(timezone('Europe/Paris', TIMESTAMP '2024-11-03 01:30:00') AS VARCHAR) AS tz7,
+        |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00+00' + INTERVAL 1 DAY AS VARCHAR) AS tz8,
+        |  CAST(TIMESTAMPTZ '2024-06-01 10:00:00+00' - TIMESTAMPTZ '2024-05-31 08:00:00+00' AS VARCHAR) AS tz9,
+        |  CAST(date_part('epoch', TIMESTAMPTZ '2024-03-10 17:00:00+00') AS BIGINT) AS tz10,
+        |  CAST(TIME '13:45:30' AS VARCHAR) AS tm1,
+        |  CAST(TIME '23:30:00' + INTERVAL 1 HOUR AS VARCHAR) AS tm2,
+        |  CAST(TIME '00:30:00' - INTERVAL 1 HOUR AS VARCHAR) AS tm3,
+        |  CAST(CAST(TIMESTAMP '2024-03-10 17:25:13' AS TIME) AS VARCHAR) AS tm4,
+        |  CAST(make_time(7, 30, 12.5) AS VARCHAR) AS tm5,
+        |  CAST(date_part('minute', TIME '13:45:30') AS BIGINT) AS tm6,
+        |  (TIME '13:45:30' < TIME '14:00:00') AS tm7""".stripMargin,
     "q_lake_regexp_wave" ->
       """SELECT
         |  regexp_extract('abc123', '([a-z]+)(\d+)') AS re1,
