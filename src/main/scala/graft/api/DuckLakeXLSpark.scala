@@ -230,6 +230,8 @@ class DuckLakeXLSpark(
     // r13 TIMESTAMPTZ / TIME natives (functions/TzTime): the tstz tag
     // is a runtime identity that carries tz-ness for the VARCHAR render;
     // AT TIME ZONE resolves post-analysis (tz-ness is a tree property)
+    reg1("__graft_gamma", graft.functions.GammaExpr(_, ln = false))
+    reg1("__graft_lgamma", graft.functions.GammaExpr(_, ln = true))
     reg1("__graft_tstz", graft.functions.TsTzTag(_))
     reg1("__graft_tsntz", graft.functions.NaiveTag(_))
     reg2("__graft_at_tz", graft.functions.AtTimeZoneResolve(_, _))

@@ -3557,12 +3557,22 @@ object StatementRouter {
   /** r11 function-family wave (barrage-probe findings): DuckDB scalars
     * with composable Spark twins — each mapping is exact or carries the
     * guard that keeps it exact; anything without a faithful composition
-    * (gamma — no libm tgamma twin in the JVM, a Lanczos approximation
-    * can differ in the last ulp and the oracle hashes exact doubles;
-    * 1-arg age — current_date-relative, volatile) still fails LOUDLY.
+    * (1-arg age — current_date-relative, volatile) still fails LOUDLY.
     */
   private def rewriteScalarMisc(q0: String): String = {
     var q = q0
+    // gamma/lgamma (r13, verdict #7): Lanczos natives, DOCUMENTED
+    // TOLERANCE (|rel err| <= 1e-12, GammaToleranceSpec) rather than the
+    // former loud refusal — no libm twin exists in the JVM, so these are
+    // the repo's only approximate scalar twins (README divergence list)
+    q = rewriteCalls(q, "gamma") {
+      case Seq(a) => Some(s"__graft_gamma($a)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "lgamma") {
+      case Seq(a) => Some(s"__graft_lgamma($a)")
+      case _ => None
+    }
     // ---- r12 scalar wave (measured twins; functions/ScalarWave) ----
     // even: round away from zero to the next even integer, DOUBLE
     // (even(2.5)=4, even(-2.5)=-4, even(2)=2 — sign/ceil composition)

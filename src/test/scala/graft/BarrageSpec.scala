@@ -66,12 +66,12 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT damerau_levenshtein('abc','acb') AS v FROM b",
       "SELECT even(2.5) AS v FROM b",
       "SELECT nextafter(1.0, 2.0) AS v FROM b",
-      "SELECT x // 1 AS v FROM b")
+      "SELECT x // 1 AS v FROM b",
+      // r13: gamma ships as a documented-tolerance Lanczos twin
+      // (GammaToleranceSpec pins |rel err| <= 1e-12); no oracle row
+      "SELECT gamma(5) AS v FROM b")
     // no faithful Spark composition exists — these MUST stay loud
     val refused = Seq(
-      // no libm tgamma twin in the JVM; a Lanczos approximation can be
-      // off in the last ulp and the oracle hashes exact doubles
-      "SELECT gamma(5) AS v FROM b",
       // 1-arg age is current_date-relative: volatile, unverifiable
       "SELECT age(TIMESTAMP '2024-03-20 00:00:00') AS v FROM b",
       // time_bucket with a non-literal width / TIMESTAMP origin: no

@@ -87,7 +87,9 @@ ORACLE = {
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events"]
+          "orders", "lineitem", "events", "documents", "embeddings"]
+DOC_RANGE = 1_000_000   # sf0.1 doc_id fits well inside; offset per copy
+VEC_RANGE = 1_000_000
 
 
 def generate():
@@ -109,6 +111,21 @@ def generate():
         "events": f"""SELECT event_id + __i * {EV_RANGE} AS event_id,
             ts, user_id, event_type, value, props
             FROM src CROSS JOIN {copies}""",
+        # r13 (verdict #3): LLM-operator scale evidence needs documents at
+        # sf1. Copies i>0 append a short variant marker so replication
+        # does NOT create exact duplicates (which would collapse in the
+        # first dedup stage) — it creates NEAR-duplicate variants, the
+        # load the MinHash/LSH banding and connected components actually
+        # carry at scale.
+        "documents": f"""SELECT doc_id + __i * {DOC_RANGE} AS doc_id,
+            CASE WHEN __i = 0 THEN text
+                 ELSE text || ' variant marker v' || __i END AS text,
+            lang, source,
+            n_chars + CASE WHEN __i = 0 THEN 0
+                           ELSE 19 + length(CAST(__i AS VARCHAR)) END AS n_chars
+            FROM src CROSS JOIN {copies}""",
+        "embeddings": f"""SELECT vec_id + __i * {VEC_RANGE} AS vec_id,
+            embedding, label FROM src CROSS JOIN {copies}""",
     }
     for t in TABLES:
         srcp = f"{SF01}/{t}.parquet"
