@@ -230,6 +230,9 @@ class DuckLakeXLSpark(
     // r13 TIMESTAMPTZ / TIME natives (functions/TzTime): the tstz tag
     // is a runtime identity that carries tz-ness for the VARCHAR render;
     // AT TIME ZONE resolves post-analysis (tz-ness is a tree property)
+    reg2("__graft_xor",
+      org.apache.spark.sql.catalyst.expressions.BitwiseXor(_, _))
+    reg1("__graft_chr", graft.functions.DuckChr(_))
     reg1("__graft_gamma", graft.functions.GammaExpr(_, ln = false))
     reg1("__graft_lgamma", graft.functions.GammaExpr(_, ln = true))
     reg1("__graft_tstz", graft.functions.TsTzTag(_))
@@ -1118,9 +1121,12 @@ class DuckLakeXLSpark(
       case s: SubtractDates => DateDiff(s.left, s.right)
       // CAST(container AS VARCHAR) — DuckDB renders structs with their
       // field names, maps as {k=v}, NULLs uppercase (r13 struct/map
-      // differential); the element types are only known post-analysis
+      // differential); BLOBs render printable-ASCII-or-\xHH (r13
+      // hashbit differential). The element types are only known
+      // post-analysis.
       case c: Cast if c.dataType == StringType && (c.child.dataType match {
-            case _: ArrayType | _: MapType | _: StructType => true
+            case _: ArrayType | _: MapType | _: StructType |
+                 org.apache.spark.sql.types.BinaryType => true
             case _ => false
           }) =>
         graft.functions.DuckVarcharCast(c.child)
@@ -1162,6 +1168,45 @@ class DuckLakeXLSpark(
       // raises DATETIME_OVERFLOW past midnight
       case t: TimeAddInterval =>
         graft.functions.TimeAddWrap(t.time, t.interval)
+      // ---- r13 cast differential (functions/DuckCast) ----
+      // DOUBLE/FLOAT -> VARCHAR: DuckDB's shortest-repr render
+      // ('1e+16', '0.0001', 'inf'; Spark says '1.0E16' / 'Infinity')
+      case c: Cast if c.dataType == StringType &&
+          (c.child.dataType == org.apache.spark.sql.types.DoubleType ||
+           c.child.dataType == org.apache.spark.sql.types.FloatType) =>
+        graft.functions.DuckDoubleVarchar(c.child)
+      // numeric/string -> integral: per-source rounding (double half
+      // EVEN, decimal/string half AWAY), spaces/'+'/scientific in
+      // strings, range overflow loud (TRY -> NULL)
+      case c: Cast if (c.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }) && (c.child.dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType | StringType => true
+            case _: org.apache.spark.sql.types.DecimalType => true
+            case _ => false
+          }) =>
+        graft.functions.DuckIntegralCast(c.child, c.dataType,
+          c.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+      // DECIMAL scale-down TRUNCATES in DuckDB (Spark rounds half-up)
+      case c: Cast if ((c.dataType, c.child.dataType) match {
+            case (d: org.apache.spark.sql.types.DecimalType,
+                  s: org.apache.spark.sql.types.DecimalType) => d.scale < s.scale
+            case _ => false
+          }) =>
+        val d = c.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+        graft.functions.DuckDecimalDown(c.child, d.precision, d.scale,
+          c.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+      // string -> BOOLEAN: t/f/1/0/true/false only ('yes' is Spark-true
+      // but a DuckDB conversion error)
+      case c: Cast if c.dataType == org.apache.spark.sql.types.BooleanType &&
+          c.child.dataType == StringType =>
+        graft.functions.DuckBoolFromString(c.child,
+          c.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
     }
     if (fixed fastEquals analyzed) df
     else org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark, fixed)

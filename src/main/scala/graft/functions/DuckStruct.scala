@@ -184,11 +184,16 @@ case class DuckVarcharCast(child: Expression)
       }
       if (unnamed) parts.mkString("(", ", ", ")")
       else parts.mkString("{", ", ", "}")
+    // r13 cast/hashbit barrages: DuckDB-render leaves that Spark's own
+    // cast spells differently (double/float shortest-repr, blob \xHH)
+    case DoubleType => DuckCastUtil.renderDouble(v.asInstanceOf[Double]).toString
+    case FloatType => DuckCastUtil.renderFloat(v.asInstanceOf[Float]).toString
+    case BinaryType => DuckCastUtil.renderBlob(v.asInstanceOf[Array[Byte]]).toString
     case _ => leaf(v, dt)
   }
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
-    case _: ArrayType | _: MapType | _: StructType =>
+    case _: ArrayType | _: MapType | _: StructType | BinaryType =>
       UTF8String.fromString(fmt(v, child.dataType))
     case dt => // atomic: exactly Spark's cast
       UTF8String.fromString(leaf(v, dt))

@@ -3573,6 +3573,49 @@ object StatementRouter {
       case Seq(a) => Some(s"__graft_lgamma($a)")
       case _ => None
     }
+    // ---- r13 hashbit barrage (measured twins) ----
+    // sha256(x) -> Spark's sha2(x, 256); from_hex/from_base64 under
+    // Spark's names; 1-arg encode/decode are DuckDB's VARCHAR<->BLOB
+    // UTF-8 codecs (Spark's same-named builtins are 2-arg charset
+    // forms — decode(b,'UTF-8') is exactly DuckDB's decode, and the
+    // BINARY cast is exactly encode); xor -> the registered native
+    // (the `^` operator is power in DuckDB, so no infix spelling
+    // survives the dialect layer); unicode/ord are ascii with the
+    // measured -1-on-empty edge
+    q = rewriteCalls(q, "sha256") {
+      case Seq(a) => Some(s"sha2($a, 256)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "from_hex") {
+      case Seq(a) => Some(s"unhex($a)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "from_base64") {
+      case Seq(a) => Some(s"unbase64($a)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "encode") {
+      case Seq(a) => Some(s"CAST(($a) AS BINARY)")
+      case _ => None // 2-arg form is Spark's own charset encode
+    }
+    q = rewriteCalls(q, "decode") {
+      case Seq(a) => Some(s"decode($a, 'UTF-8')")
+      case _ => None
+    }
+    q = rewriteCalls(q, "xor") {
+      case Seq(a, b) => Some(s"__graft_xor($a, $b)")
+      case _ => None
+    }
+    for (fn <- Seq("unicode", "ord")) q = rewriteCalls(q, fn) {
+      case Seq(a) => Some(s"(CASE WHEN ($a) = '' THEN -1 ELSE ascii($a) END)")
+      case _ => None
+    }
+    // chr is a full Unicode code point in DuckDB (chr(9731) = '☃');
+    // Spark's chr is byte-range-only
+    q = rewriteCalls(q, "chr") {
+      case Seq(a) => Some(s"__graft_chr($a)")
+      case _ => None
+    }
     // ---- r12 scalar wave (measured twins; functions/ScalarWave) ----
     // even: round away from zero to the next even integer, DOUBLE
     // (even(2.5)=4, even(-2.5)=-4, even(2)=2 — sign/ceil composition)

@@ -1392,6 +1392,43 @@ object QueriesLake {
           |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
           |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin)
     },
+    // r13 cast/hashbit differential wave (barrage wave 2): DuckDB's
+    // shortest-repr DOUBLE render with python-style exponent
+    // thresholds, per-source integral rounding (double half-EVEN,
+    // string/decimal half-AWAY), decimal downcast truncation, the
+    // restricted boolean spellings, BLOB \xHH escape render, codepoint
+    // chr/unicode, sha256/xor — the semantics CastDifferentialSpec and
+    // HashBitDifferentialSpec fixed, replayed as an oracle row (DuckDB
+    // runs the IDENTICAL text)
+    "q_lake_cast_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  CAST(CAST(1e16 AS DOUBLE) AS VARCHAR) AS c1,
+          |  CAST(CAST(1e15 AS DOUBLE) AS VARCHAR) AS c2,
+          |  CAST(CAST(1e-5 AS DOUBLE) AS VARCHAR) AS c3,
+          |  CAST(CAST('inf' AS DOUBLE) AS VARCHAR) AS c4,
+          |  CAST(CAST('nan' AS DOUBLE) AS VARCHAR) AS c5,
+          |  concat('v=', 1e18) AS c6,
+          |  CAST(CAST('3.7' AS INTEGER) AS BIGINT) AS c7,
+          |  CAST(CAST('-3.5' AS INTEGER) AS BIGINT) AS c8,
+          |  CAST(CAST(CAST(2.5 AS DOUBLE) AS INTEGER) AS BIGINT) AS c9,
+          |  CAST(CAST(CAST(3.5 AS DOUBLE) AS INTEGER) AS BIGINT) AS c10,
+          |  CAST(CAST(CAST(3.99 AS DECIMAL(10,2)) AS INTEGER) AS BIGINT) AS c11,
+          |  CAST(TRY_CAST('abc' AS INTEGER) AS BIGINT) AS c12,
+          |  TRY_CAST('yes' AS BOOLEAN) AS c13,
+          |  CAST(CAST(CAST(2.5 AS DECIMAL(3,1)) AS DECIMAL(3,0)) AS VARCHAR) AS c14,
+          |  md5('héllo') AS h1,
+          |  sha256('abc') AS h2,
+          |  base64('abc'::BLOB) AS h3,
+          |  CAST(encode('héllo') AS VARCHAR) AS h4,
+          |  decode('abc'::BLOB) AS h5,
+          |  CAST(xor(5, 3) AS BIGINT) AS h6,
+          |  CAST(bit_count(7) AS BIGINT) AS h7,
+          |  chr(9731) AS h8,
+          |  CAST(unicode('') AS BIGINT) AS h9,
+          |  CAST(ascii('☃x') AS BIGINT) AS h10""".stripMargin)
+    },
     // r13 tz differential wave: TIMESTAMPTZ literals normalize offsets
     // to the UTC session and render '+00'; AT TIME ZONE dispatches on
     // input tz-ness (incl. DST gap + LATER-instant ambiguity resolve);
@@ -1950,6 +1987,32 @@ object QueriesLake {
         |  CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}]) AS VARCHAR) AS mp6,
         |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
         |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin,
+    "q_lake_cast_wave" ->
+      """SELECT
+        |  CAST(CAST(1e16 AS DOUBLE) AS VARCHAR) AS c1,
+        |  CAST(CAST(1e15 AS DOUBLE) AS VARCHAR) AS c2,
+        |  CAST(CAST(1e-5 AS DOUBLE) AS VARCHAR) AS c3,
+        |  CAST(CAST('inf' AS DOUBLE) AS VARCHAR) AS c4,
+        |  CAST(CAST('nan' AS DOUBLE) AS VARCHAR) AS c5,
+        |  concat('v=', 1e18) AS c6,
+        |  CAST(CAST('3.7' AS INTEGER) AS BIGINT) AS c7,
+        |  CAST(CAST('-3.5' AS INTEGER) AS BIGINT) AS c8,
+        |  CAST(CAST(CAST(2.5 AS DOUBLE) AS INTEGER) AS BIGINT) AS c9,
+        |  CAST(CAST(CAST(3.5 AS DOUBLE) AS INTEGER) AS BIGINT) AS c10,
+        |  CAST(CAST(CAST(3.99 AS DECIMAL(10,2)) AS INTEGER) AS BIGINT) AS c11,
+        |  CAST(TRY_CAST('abc' AS INTEGER) AS BIGINT) AS c12,
+        |  TRY_CAST('yes' AS BOOLEAN) AS c13,
+        |  CAST(CAST(CAST(2.5 AS DECIMAL(3,1)) AS DECIMAL(3,0)) AS VARCHAR) AS c14,
+        |  md5('héllo') AS h1,
+        |  sha256('abc') AS h2,
+        |  base64('abc'::BLOB) AS h3,
+        |  CAST(encode('héllo') AS VARCHAR) AS h4,
+        |  decode('abc'::BLOB) AS h5,
+        |  CAST(xor(5, 3) AS BIGINT) AS h6,
+        |  CAST(bit_count(7) AS BIGINT) AS h7,
+        |  chr(9731) AS h8,
+        |  CAST(unicode('') AS BIGINT) AS h9,
+        |  CAST(ascii('☃x') AS BIGINT) AS h10""".stripMargin,
     "q_lake_tz_wave" ->
       """SELECT
         |  CAST(TIMESTAMPTZ '2024-03-10 12:00:00-05' AS VARCHAR) AS tz1,

@@ -297,8 +297,116 @@ def fam_tz(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_cast(seed):
+    exprs = [
+        # DOUBLE/FLOAT -> VARCHAR render (shortest repr, python-style
+        # exponent thresholds, 'inf'/'nan', -0.0 normalized)
+        "CAST(CAST(1.5 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1e15 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1e16 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1e20 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1.5e20 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(-2.75e-7 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1e-4 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1e-5 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS VARCHAR)",
+        "CAST(1.0/3 AS VARCHAR)",
+        "CAST(CAST('inf' AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST('-inf' AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST('nan' AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(-0.0 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(42 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(-7.25 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(123456789.123456 AS DOUBLE) AS VARCHAR)",
+        "CAST(CAST(1.5 AS FLOAT) AS VARCHAR)",
+        "CAST(CAST(0.1 AS FLOAT) AS VARCHAR)",
+        "CAST(CAST(3.14159 AS FLOAT) AS VARCHAR)",
+        "CAST(CAST(1e10 AS FLOAT) AS VARCHAR)",
+        "CAST(CAST(2 AS FLOAT) AS VARCHAR)",
+        "concat('v=', CAST(2.5 AS DOUBLE))",
+        "concat('v=', 1e18)",
+        # string -> integral: DuckDB parses decimals and ROUNDS half away
+        "CAST('3.7' AS INTEGER)", "CAST('3.4' AS INTEGER)",
+        "CAST('-3.5' AS INTEGER)", "CAST('2.5' AS INTEGER)",
+        "CAST(' 42 ' AS INTEGER)", "CAST('+7' AS INTEGER)",
+        "CAST('1e3' AS INTEGER)",
+        "TRY_CAST('abc' AS INTEGER)", "TRY_CAST('999999999999' AS INTEGER)",
+        "TRY_CAST('3.99' AS BIGINT)",
+        # numeric -> integral rounding (half away from zero)
+        "CAST(CAST(3.5 AS DOUBLE) AS INTEGER)",
+        "CAST(CAST(2.5 AS DOUBLE) AS INTEGER)",
+        "CAST(CAST(-2.5 AS DOUBLE) AS INTEGER)",
+        "CAST(CAST(-3.7 AS DOUBLE) AS BIGINT)",
+        "CAST(CAST(2.5 AS FLOAT) AS INTEGER)",
+        "CAST(CAST(3.99 AS DECIMAL(10,2)) AS INTEGER)",
+        "CAST(CAST(-0.5 AS DECIMAL(10,2)) AS INTEGER)",
+        "CAST(CAST(0.49 AS DOUBLE) AS INTEGER)",
+        # integral width + overflow behavior (loud)
+        "CAST(127 AS TINYINT)", "TRY_CAST(200 AS TINYINT)",
+        "CAST(32767 AS SMALLINT)", "TRY_CAST(40000 AS SMALLINT)",
+        "CAST(CAST(9.5e18 AS DOUBLE) AS VARCHAR)",
+        "TRY_CAST(CAST(1e19 AS DOUBLE) AS BIGINT)",
+        # boolean casts
+        "CAST('true' AS BOOLEAN)", "CAST('t' AS BOOLEAN)",
+        "CAST('1' AS BOOLEAN)", "CAST('FALSE' AS BOOLEAN)",
+        "CAST('f' AS BOOLEAN)", "TRY_CAST('yes' AS BOOLEAN)",
+        "CAST(0 AS BOOLEAN)", "CAST(2 AS BOOLEAN)",
+        "CAST(true AS INTEGER)", "CAST(false AS VARCHAR)",
+        "CAST(true AS VARCHAR)",
+        # DECIMAL render and scale behavior
+        "CAST(CAST('123.456' AS DECIMAL(10,2)) AS VARCHAR)",
+        "CAST(CAST('123.454' AS DECIMAL(10,2)) AS VARCHAR)",
+        "CAST(CAST(5 AS DECIMAL(10,3)) AS VARCHAR)",
+        "CAST(CAST(-1.005 AS DECIMAL(12,4)) AS VARCHAR)",
+        "CAST(CAST(2.5 AS DECIMAL(3,1)) AS DECIMAL(3,0))",
+        # integer division / modulo renders
+        "CAST(1/3 AS VARCHAR)", "CAST(7%3 AS VARCHAR)",
+        "CAST(-7%3 AS VARCHAR)",
+        # date/timestamp string casts (round-trip spellings)
+        "CAST('2024-3-5' AS DATE)",
+        "CAST('2024-03-05 7:08:09' AS TIMESTAMP)",
+        "TRY_CAST('not a date' AS DATE)",
+        "CAST(DATE '2024-03-05' AS VARCHAR)",
+        "CAST(TIMESTAMP '2024-03-05 07:08:09.5' AS VARCHAR)",
+        "CAST(CAST('2024-03-05' AS DATE) AS TIMESTAMP)",
+        # BIGINT/HUGEINT boundaries
+        "CAST(9223372036854775807 AS VARCHAR)",
+        "CAST(-9223372036854775808 AS VARCHAR)",
+        "CAST(170141183460469231731687303715884105727 AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
+def fam_hashbit(seed):
+    exprs = [
+        # hashes (hex renders)
+        "md5('abc')", "md5('')", "md5('héllo')",
+        "sha256('abc')", "sha256('')",
+        # base64 / hex codecs (blob results cast to VARCHAR by harness)
+        "base64('abc'::BLOB)", "base64(''::BLOB)",
+        "CAST(from_base64('YWJj') AS VARCHAR)",
+        "to_hex(255)", "to_hex(0)", "to_hex(-1)", "to_hex('ab'::BLOB)",
+        "hex(4095)", "CAST(unhex('4142') AS VARCHAR)",
+        "CAST(from_hex('6162') AS VARCHAR)",
+        "CAST(encode('héllo') AS VARCHAR)",
+        "decode('abc'::BLOB)",
+        "octet_length('héllo'::BLOB)", "bit_length('abc')",
+        # bit ops (operators + functions)
+        "bit_count(7)", "bit_count(CAST(255 AS BIGINT))", "bit_count(0)",
+        "xor(5, 3)", "xor(-1, 255)",
+        "5 & 3", "5 | 3", "~5", "1 << 4", "256 >> 2", "-8 >> 1",
+        "CAST(1 AS BIGINT) << 40",
+        # codepoints
+        "ascii('A')", "ascii('é')", "ascii('')",
+        "chr(9731)", "chr(65)", "unicode('héllo')", "ord('h')",
+        "ascii('☃x')",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
-            "regexp": fam_regexp, "tz": fam_tz}
+            "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
+            "hashbit": fam_hashbit}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
