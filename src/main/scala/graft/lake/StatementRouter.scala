@@ -2977,6 +2977,40 @@ object StatementRouter {
     q
   }
 
+  /** quantified ordering comparisons `x > ANY (SELECT …)` — Spark's
+    * parser takes `= ANY` / `<> ALL` (IN / NOT IN sugar) but not the
+    * ordering quantifiers, which reduce exactly to a min/max scalar
+    * subquery: `> ANY` ⇔ `> min`, `< ANY` ⇔ `< max`, `> ALL` ⇔ `> max`,
+    * `< ALL` ⇔ `< min` (SOME = ANY). NULL/empty-set edges follow the
+    * aggregate's NULL (FALSE ≡ NULL in a filter, where these live);
+    * measured row sets pinned in SubqueryDifferentialSpec. r13 wave 2.
+    */
+  // lookbehind keeps `<> ALL` (NOT IN sugar) out of the `>` branch
+  private val QuantRe = """(?<![<>!=])(>=|<=|>|<)\s*(?i:(ANY|ALL|SOME))\s*\(""".r
+  private def rewriteQuantifiedOrdering(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      QuantRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchingParen(q, open)
+          val body = q.substring(open + 1, close).trim
+          val op = m.group(1)
+          val kind = m.group(2).toUpperCase(java.util.Locale.ROOT)
+          val agg =
+            if (kind == "ALL") (if (op.startsWith(">")) "max" else "min")
+            else (if (op.startsWith(">")) "min" else "max")
+          q = q.substring(0, m.start) +
+            s"$op (SELECT $agg(__qc) FROM ($body) AS __anyall(__qc))" +
+            q.substring(close + 1)
+      }
+    }
+    q
+  }
+
   /** `TIMESTAMPTZ '…'` / `TIMESTAMP WITH TIME ZONE '…'` typed literals:
     * Spark's TIMESTAMP literal already parses embedded offsets into the
     * UTC-pinned session instant, so the rewrite only needs to keep the
@@ -3519,8 +3553,9 @@ object StatementRouter {
 
   /** quantified comparisons `x = ANY (sub)` -> `x IN (sub)` and
     * `x <> ALL (sub)` -> `x NOT IN (sub)` — the two idioms with exact
-    * Spark twins; a bare VALUES body wraps into a subquery. Other
-    * operator+quantifier pairs have no Spark spelling: loud.
+    * Spark twins; a bare VALUES body wraps into a subquery. The
+    * ordering quantifiers (`> ANY` …) reduce to min/max scalar
+    * subqueries in [[rewriteQuantifiedOrdering]] (r13 wave 2).
     */
   private def rewriteQuantified(q0: String): String = {
     var q = q0
@@ -4416,6 +4451,10 @@ object StatementRouter {
     // FROM-position unnest must also precede renameFns (which maps the
     // select-position spelling to explode)
     q = rewriteUnnestFrom(q)
+    // quantified ordering comparisons reduce to min/max scalar
+    // subqueries before anything else touches the operand text
+    // (= ANY / <> ALL ride the older rewriteQuantified -> IN/NOT IN)
+    q = rewriteQuantifiedOrdering(q)
     // TIMESTAMPTZ typed literals keep their tz-ness as a __graft_tstz
     // tag (render-only under the UTC session); must precede the cast
     // pass so `CAST(TIMESTAMPTZ '…' AS …)` sees the wrapped call

@@ -1392,6 +1392,36 @@ object QueriesLake {
           |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
           |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin)
     },
+    // r13 subquery differential wave (barrage wave 2): correlated
+    // scalar subqueries, EXISTS, NOT IN with NULL (three-valued
+    // logic), quantified ordering ANY/ALL (router reduces to min/max
+    // scalar subqueries), LATERAL both flavors — the shapes
+    // SubqueryDifferentialSpec pinned, replayed as one oracle row
+    // (DuckDB runs the IDENTICAL text)
+    "q_lake_subquery_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """CREATE TABLE sqt(id INTEGER, g VARCHAR, v INTEGER);
+          |INSERT INTO sqt VALUES (1,'a',10),(2,'b',20),(3,'a',30);
+          |CREATE TABLE squ(v INTEGER, w VARCHAR);
+          |INSERT INTO squ VALUES (10,'x'),(20,'y'),(99,'z')""".stripMargin)
+      lake.sql(
+        """SELECT 'scalar' AS src, id, (SELECT w FROM squ WHERE squ.v = sqt.v) AS x FROM sqt
+          |UNION ALL
+          |SELECT 'exists', id, NULL FROM sqt WHERE EXISTS (SELECT 1 FROM squ WHERE squ.v = sqt.v)
+          |UNION ALL
+          |SELECT 'notin_null', id, NULL FROM sqt WHERE v NOT IN (SELECT v FROM (VALUES (10),(NULL)) n(v))
+          |UNION ALL
+          |SELECT 'gt_any', id, NULL FROM sqt WHERE v > ANY (SELECT v FROM squ WHERE v < 50)
+          |UNION ALL
+          |SELECT 'le_all', id, NULL FROM sqt WHERE v <= ALL (SELECT v FROM (VALUES (15),(25)) a(v))
+          |UNION ALL
+          |SELECT 'lateral', sqt.id, CAST(l.m AS VARCHAR)
+          |FROM sqt, LATERAL (SELECT max(squ.v) AS m FROM squ WHERE squ.v <= sqt.v) l
+          |UNION ALL
+          |SELECT 'corr_count', id, CAST((SELECT count(*) FROM squ WHERE squ.v <= sqt.v) AS VARCHAR) FROM sqt
+          |ORDER BY src, id""".stripMargin)
+    },
     // r13 cast/hashbit differential wave (barrage wave 2): DuckDB's
     // shortest-repr DOUBLE render with python-style exponent
     // thresholds, per-source integral rounding (double half-EVEN,
@@ -1987,6 +2017,24 @@ object QueriesLake {
         |  CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}]) AS VARCHAR) AS mp6,
         |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
         |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin,
+    "q_lake_subquery_wave" ->
+      """WITH sqt(id, g, v) AS (SELECT * FROM (VALUES (1,'a',10),(2,'b',20),(3,'a',30))),
+        |     squ(v, w) AS (SELECT * FROM (VALUES (10,'x'),(20,'y'),(99,'z')))
+        |SELECT 'scalar' AS src, id, (SELECT w FROM squ WHERE squ.v = sqt.v) AS x FROM sqt
+        |UNION ALL
+        |SELECT 'exists', id, NULL FROM sqt WHERE EXISTS (SELECT 1 FROM squ WHERE squ.v = sqt.v)
+        |UNION ALL
+        |SELECT 'notin_null', id, NULL FROM sqt WHERE v NOT IN (SELECT v FROM (VALUES (10),(NULL)) n(v))
+        |UNION ALL
+        |SELECT 'gt_any', id, NULL FROM sqt WHERE v > ANY (SELECT v FROM squ WHERE v < 50)
+        |UNION ALL
+        |SELECT 'le_all', id, NULL FROM sqt WHERE v <= ALL (SELECT v FROM (VALUES (15),(25)) a(v))
+        |UNION ALL
+        |SELECT 'lateral', sqt.id, CAST(l.m AS VARCHAR)
+        |FROM sqt, LATERAL (SELECT max(squ.v) AS m FROM squ WHERE squ.v <= sqt.v) l
+        |UNION ALL
+        |SELECT 'corr_count', id, CAST((SELECT count(*) FROM squ WHERE squ.v <= sqt.v) AS VARCHAR) FROM sqt
+        |ORDER BY src, id""".stripMargin,
     "q_lake_cast_wave" ->
       """SELECT
         |  CAST(CAST(1e16 AS DOUBLE) AS VARCHAR) AS c1,
