@@ -2977,6 +2977,74 @@ object StatementRouter {
     q
   }
 
+  /** DuckDB's default null ordering is NULLS LAST for ASC (and DESC);
+    * Spark's ASC default is NULLS FIRST — a plain `ORDER BY v` over a
+    * nullable key SILENTLY reorders (r13 null-semantics barrage,
+    * measured: ASC [1, 2, NULL], DESC [2, 1, NULL]). Every ORDER BY
+    * key — top-level, subquery, and window OVER(...) — without an
+    * explicit NULLS clause gets NULLS LAST appended on the ASC side
+    * (DESC already defaults NULLS LAST on both engines).
+    */
+  private val OrderByRe = """(?i)\bORDER\s+BY\b""".r
+  private val OrderKeyEndKws = Set("LIMIT", "OFFSET", "FETCH", "ROWS",
+    "RANGE", "GROUPS", "UNION", "EXCEPT", "INTERSECT")
+  private def rewriteOrderNulls(q0: String): String = {
+    val lit = literalMask(q0)
+    val matches = OrderByRe.findAllMatchIn(q0).filter(m => !lit(m.start)).toList
+    if (matches.isEmpty) return q0
+    val sb = new StringBuilder
+    var pos = 0
+    for (m <- matches) {
+      if (m.start >= pos) {
+        sb.append(q0.substring(pos, m.end))
+        // scan the key list
+        var i = m.end
+        var depth = 0
+        var keyStart = i
+        val out = new StringBuilder
+        def flushKey(end: Int): Unit = {
+          val key = q0.substring(keyStart, end)
+          val t = key.trim
+          val up = t.toUpperCase(java.util.Locale.ROOT)
+          out.append(
+            if (t.isEmpty || up == "ALL" || up == "ALL ASC" ||
+                up.matches("(?s).*\\bNULLS\\s+(FIRST|LAST)\\s*$") ||
+                up.matches("(?s).*\\bDESC\\s*$")) key
+            else {
+              // keep trailing whitespace outside the appended clause
+              val trailing = key.length - key.reverseIterator.takeWhile(_.isWhitespace).length
+              key.substring(0, trailing) + " NULLS LAST" + key.substring(trailing)
+            })
+        }
+        var done = false
+        while (i < q0.length && !done) {
+          val c = q0.charAt(i)
+          if (!lit(i)) c match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' =>
+              if (depth == 0) { done = true } else depth -= 1
+            case ',' if depth == 0 =>
+              flushKey(i); out.append(','); keyStart = i + 1
+            case ch if depth == 0 && ch.isLetter &&
+                (i == 0 || (!q0.charAt(i - 1).isLetterOrDigit &&
+                            q0.charAt(i - 1) != '_')) =>
+              var j = i
+              while (j < q0.length && (q0.charAt(j).isLetterOrDigit || q0.charAt(j) == '_')) j += 1
+              val word = q0.substring(i, j).toUpperCase(java.util.Locale.ROOT)
+              if (OrderKeyEndKws(word)) done = true else i = j - 1
+            case _ =>
+          }
+          if (!done) i += 1
+        }
+        flushKey(i)
+        sb.append(out)
+        pos = i
+      }
+    }
+    sb.append(q0.substring(pos))
+    sb.toString
+  }
+
   /** quantified ordering comparisons `x > ANY (SELECT …)` — Spark's
     * parser takes `= ANY` / `<> ALL` (IN / NOT IN sugar) but not the
     * ordering quantifiers, which reduce exactly to a min/max scalar
@@ -4636,6 +4704,9 @@ object StatementRouter {
     q = rewriteStarRename(q)
     q = rewriteDistinctOn(q)
     q = rewriteQualify(q)
-    rewriteAsof(q)
+    q = rewriteAsof(q)
+    // LAST: DuckDB's ASC default is NULLS LAST (Spark: NULLS FIRST) —
+    // applied after every pass that creates or moves ORDER BY clauses
+    rewriteOrderNulls(q)
   }
 }

@@ -52,7 +52,7 @@ class DialectRewriteSpec extends AnyFunSuite {
 
   test("in-parens IGNORE/RESPECT NULLS relocates after the window call") {
     assert(rewriteDialect("SELECT lag(x IGNORE NULLS) OVER (ORDER BY id) FROM t") ==
-      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY id) FROM t")
+      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY id NULLS LAST) FROM t")
     assert(rewriteDialect("SELECT lead(x, 2 ignore nulls) OVER w FROM t") ==
       "SELECT lead(x, 2) IGNORE NULLS OVER w FROM t")
     assert(rewriteDialect("SELECT last_value(v RESPECT NULLS) OVER w FROM t") ==
@@ -78,9 +78,9 @@ class DialectRewriteSpec extends AnyFunSuite {
   test("DISTINCT ON becomes a row_number subquery") {
     val out = rewriteDialect(
       "SELECT DISTINCT ON (k) k, v FROM t WHERE v > 0 ORDER BY k, ts DESC")
-    assert(out.contains("row_number() OVER (PARTITION BY k ORDER BY k, ts DESC)"))
+    assert(out.contains("row_number() OVER (PARTITION BY k ORDER BY k NULLS LAST, ts DESC)"))
     assert(out.contains("WHERE __ddb_rn = 1"))
-    assert(out.endsWith("ORDER BY k, ts DESC"))
+    assert(out.endsWith("ORDER BY k NULLS LAST, ts DESC"))
     // star select must not leak the helper column
     assert(rewriteDialect("SELECT DISTINCT ON (k) * FROM t ORDER BY k, ts")
       .startsWith("SELECT * EXCEPT (__ddb_rn)"))
@@ -89,9 +89,9 @@ class DialectRewriteSpec extends AnyFunSuite {
   test("QUALIFY becomes a filtered window subquery") {
     val out = rewriteDialect(
       "SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1 ORDER BY k")
-    assert(out.contains("(row_number() OVER (PARTITION BY k ORDER BY v) = 1) AS __ddb_q"))
+    assert(out.contains("(row_number() OVER (PARTITION BY k ORDER BY v NULLS LAST) = 1) AS __ddb_q"))
     assert(out.contains("WHERE __ddb_q"))
-    assert(out.endsWith("ORDER BY k"))
+    assert(out.endsWith("ORDER BY k NULLS LAST"))
   }
 
   test("ASOF JOIN becomes a correlated LATERAL pick") {
@@ -100,7 +100,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     // exact equality — a lost separator before the trailing ORDER BY
     // produced unparseable SQL once (r7)
     assert(out == "SELECT e.id, o.v FROM e JOIN LATERAL (SELECT * FROM o AS o " +
-      "WHERE e.k = o.k AND e.ts >= o.ts ORDER BY o.ts DESC LIMIT 1) AS o ORDER BY e.id")
+      "WHERE e.k = o.k AND e.ts >= o.ts ORDER BY o.ts DESC LIMIT 1) AS o ORDER BY e.id NULLS LAST")
   }
 
   test("ASOF LEFT JOIN keeps left rows; alias and direction respected") {
@@ -111,7 +111,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     // opposite direction: earliest at-or-after
     val fwd = rewriteDialect(
       "SELECT * FROM e ASOF JOIN quotes q ON e.k = q.k AND e.ts <= q.qts")
-    assert(fwd.contains("ORDER BY q.qts ASC LIMIT 1"))
+    assert(fwd.contains("ORDER BY q.qts ASC NULLS LAST LIMIT 1"))
   }
 
   test("list_* functions map to Spark array twins") {
@@ -175,7 +175,7 @@ class DialectRewriteSpec extends AnyFunSuite {
 
   test("ordinary Spark SQL passes through unchanged") {
     for (q <- Seq(
-      "SELECT a, sum(b) FROM t GROUP BY a ORDER BY a",
+      "SELECT a, sum(b) FROM t GROUP BY a ORDER BY a NULLS LAST",
       "SELECT * FROM t JOIN u ON t.k = u.k WHERE t.v < 3",
       "WITH c AS (SELECT 1 AS x) SELECT * FROM c"))
       assert(rewriteDialect(q) == q)
@@ -262,7 +262,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect("FROM t WHERE x > 1") == "SELECT * FROM t WHERE x > 1")
     assert(rewriteDialect("FROM t SELECT a, b") == "SELECT a, b FROM t")
     assert(rewriteDialect("FROM t SELECT grp, count(*) AS n GROUP BY grp ORDER BY grp") ==
-      "SELECT grp, count(*) AS n FROM t GROUP BY grp ORDER BY grp")
+      "SELECT grp, count(*) AS n FROM t GROUP BY grp ORDER BY grp NULLS LAST")
     assert(rewriteDialect("FROM t SELECT a WHERE b < 3 LIMIT 5") ==
       "SELECT a FROM t WHERE b < 3 LIMIT 5")
     // a SELECT inside parens is a subquery source, not a SELECT clause
@@ -608,7 +608,7 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect("SELECT string_agg(v, '|' ORDER BY ts DESC) FROM t") ==
       "SELECT string_agg(v, '|') WITHIN GROUP (ORDER BY ts DESC) FROM t")
     assert(rewriteDialect("SELECT string_agg(v ORDER BY v) FROM t") ==
-      "SELECT string_agg(v, ',') WITHIN GROUP (ORDER BY v) FROM t")
+      "SELECT string_agg(v, ',') WITHIN GROUP (ORDER BY v NULLS LAST) FROM t")
     assert(rewriteDialect("SELECT group_concat(v, ';') FROM t") ==
       "SELECT string_agg(v, ';') FROM t")
     // literal containing the phrase is untouched
@@ -766,7 +766,8 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(StatementRouter.classify(q) == StatementRouter.Select(q))
     // the dialect regexes must not touch it: RECURSIVE keyword, the
     // self-referencing member, and the UNION ALL seam all intact
-    assert(rewriteDialect(q) == q)
+    // (r13: the trailing ORDER BY gains DuckDB's NULLS LAST default)
+    assert(rewriteDialect(q) == q + " NULLS LAST")
     // and with a DuckDB-only spelling inside the recursive member, the
     // rewrite is local to that spelling (depth // 1 int division)
     val q2 = q.replace("r.depth + 1", "(r.depth + 1) // 1")
