@@ -27,18 +27,17 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
 def run_bench(sf_dir):
+    out = "/tmp/bench_close_run.json"
+    pathlib.Path(out).unlink(missing_ok=True)
     r = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd=REPO, capture_output=True, text=True,
-        env={**__import__("os").environ, "SPARK_GRAFT_SF_DIR": sf_dir})
-    for line in reversed((r.stdout + r.stderr).splitlines()):
-        line = line.strip()
-        if line.startswith("[error] ") :
-            line = line[len("[error] "):]
-        if line.startswith("{") and '"metric"' in line:
-            return json.loads(line)
-    print(r.stdout[-4000:], file=sys.stderr)
-    raise SystemExit("no bench JSON line found")
+        env={**__import__("os").environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_BENCH_OUT": out})
+    if not pathlib.Path(out).exists():
+        print(r.stdout[-4000:], file=sys.stderr)
+        raise SystemExit("bench produced no output file")
+    return json.loads(pathlib.Path(out).read_text())
 
 
 def main():
