@@ -1117,6 +1117,11 @@ class DuckLakeXLSpark(
     import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates, TimeAddInterval}
     import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, TimestampType, YearMonthIntervalType}
     val analyzed = df.queryExecution.analyzed
+    def containerCmp(l: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      l.dataType match {
+        case _: ArrayType | _: StructType => true
+        case _ => false
+      }
     val fixed = analyzed.transformAllExpressions {
       case s: SubtractDates => DateDiff(s.left, s.right)
       // CAST(container AS VARCHAR) — DuckDB renders structs with their
@@ -1207,6 +1212,20 @@ class DuckLakeXLSpark(
           c.child.dataType == StringType =>
         graft.functions.DuckBoolFromString(c.child,
           c.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+      // container =/< comparisons are THREE-VALUED in DuckDB (a NULL
+      // element before any decided inequality makes the result NULL);
+      // Spark treats NULL elements as equal values. EqualNullSafe
+      // (IS [NOT] DISTINCT FROM) matches natively and stays put.
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+          if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, "=")
+      case org.apache.spark.sql.catalyst.expressions.LessThan(l, r)
+          if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, "<")
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(l, r)
+          if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, "<=")
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(l, r)
+          if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, ">")
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(l, r)
+          if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, ">=")
     }
     if (fixed fastEquals analyzed) df
     else org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark, fixed)

@@ -149,6 +149,75 @@ case class StructInsert(children: Seq[Expression])
   * Atomic leaves delegate to Spark's own Cast (identical to the
   * pre-r13 behavior, keeping every atomic fixture pinned green).
   */
+/** DuckDB container comparison is THREE-VALUED lexicographic (measured
+  * r13 compare barrage): elements compare pairwise left-to-right; the
+  * first definite inequality decides; a NULL-involved pair before any
+  * decision makes the WHOLE comparison NULL; exhausting one side
+  * decides by length. Spark's array/struct comparisons treat NULL
+  * elements as equal values (`[NULL] = [NULL]` is true there, NULL in
+  * DuckDB). Swapped in post-analysis for =, <>, <, <=, >, >= over
+  * ARRAY/STRUCT operands; `IS [NOT] DISTINCT FROM` (EqualNullSafe)
+  * matches Spark natively and stays put.
+  */
+case class DuckContainerCompare(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"duck_cmp_$op"
+
+  /** three-valued compare: Some(sign) decided, None unknown */
+  private def cmp(a: Any, b: Any, dt: DataType): Option[Int] = dt match {
+    case ArrayType(et, _) =>
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var i = 0
+      while (i < n) {
+        val xn = x.isNullAt(i); val yn = y.isNullAt(i)
+        if (xn || yn) return None
+        cmp(x.get(i, et), y.get(i, et), et) match {
+          case Some(0) =>
+          case other => return other
+        }
+        i += 1
+      }
+      Some(Integer.compare(x.numElements(), y.numElements()))
+    case st: StructType =>
+      val x = a.asInstanceOf[InternalRow]
+      val y = b.asInstanceOf[InternalRow]
+      var i = 0
+      while (i < st.length) {
+        val xn = x.isNullAt(i); val yn = y.isNullAt(i)
+        if (xn || yn) return None
+        cmp(x.get(i, st(i).dataType), y.get(i, st(i).dataType), st(i).dataType) match {
+          case Some(0) =>
+          case other => return other
+        }
+        i += 1
+      }
+      Some(0)
+    case other =>
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(other)
+      Some(ord.compare(a, b))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    cmp(a, b, left.dataType) match {
+      case None => null
+      case Some(c) => op match {
+        case "=" => c == 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case other => throw new IllegalStateException(s"op $other")
+      }
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckContainerCompare =
+    copy(left = l, right = r)
+}
+
 case class DuckVarcharCast(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType

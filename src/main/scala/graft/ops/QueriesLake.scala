@@ -1392,6 +1392,34 @@ object QueriesLake {
           |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
           |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin)
     },
+    // r13 compare differential wave (barrage wave 2): IEEE NaN SQL
+    // semantics, three-valued CONTAINER comparisons (a NULL element
+    // before any decided inequality makes the result NULL — Spark's
+    // native compare calls NULL elements equal), mixed-type coercion
+    // compares, greatest/least NULL-skipping — the semantics
+    // CompareDifferentialSpec pinned, replayed as an oracle row
+    "q_lake_compare_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """SELECT
+          |  ('nan'::DOUBLE = 'nan'::DOUBLE) AS n1,
+          |  ('nan'::DOUBLE > 1e308) AS n2,
+          |  (-0.0::DOUBLE = 0.0::DOUBLE) AS n3,
+          |  (1 = '1') AS m1,
+          |  (10 < '9') AS m2,
+          |  (2 BETWEEN '1' AND '3') AS m3,
+          |  (DATE '2024-01-02' < '2024-01-03') AS m4,
+          |  ([1, NULL] = [1, NULL]) AS a1,
+          |  ([1, NULL] = [2, NULL]) AS a2,
+          |  ([NULL] = []) AS a3,
+          |  ([1, NULL] < [2]) AS a4,
+          |  ([1, NULL] < [1, 2]) AS a5,
+          |  ([1, NULL] IS NOT DISTINCT FROM [1, NULL]) AS a6,
+          |  ({'a': NULL} = {'a': NULL}) AS s1,
+          |  ({'a': 1} IS DISTINCT FROM {'a': 2}) AS s2,
+          |  CAST(greatest(1, NULL, 3) AS BIGINT) AS g1,
+          |  ('nan'::DOUBLE IS DISTINCT FROM 'nan'::DOUBLE) AS g2""".stripMargin)
+    },
     // r13 subquery differential wave (barrage wave 2): correlated
     // scalar subqueries, EXISTS, NOT IN with NULL (three-valued
     // logic), quantified ordering ANY/ALL (router reduces to min/max
@@ -2017,6 +2045,25 @@ object QueriesLake {
         |  CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}]) AS VARCHAR) AS mp6,
         |  CAST(element_at(map(['k'],[7]), 'k') AS VARCHAR) AS mp7,
         |  array_to_string(list_transform([{'a': 1}, {'a': 2}], x -> x.a), ',') AS ls1""".stripMargin,
+    "q_lake_compare_wave" ->
+      """SELECT
+        |  ('nan'::DOUBLE = 'nan'::DOUBLE) AS n1,
+        |  ('nan'::DOUBLE > 1e308) AS n2,
+        |  (-0.0::DOUBLE = 0.0::DOUBLE) AS n3,
+        |  (1 = '1') AS m1,
+        |  (10 < '9') AS m2,
+        |  (2 BETWEEN '1' AND '3') AS m3,
+        |  (DATE '2024-01-02' < '2024-01-03') AS m4,
+        |  ([1, NULL] = [1, NULL]) AS a1,
+        |  ([1, NULL] = [2, NULL]) AS a2,
+        |  ([NULL] = []) AS a3,
+        |  ([1, NULL] < [2]) AS a4,
+        |  ([1, NULL] < [1, 2]) AS a5,
+        |  ([1, NULL] IS NOT DISTINCT FROM [1, NULL]) AS a6,
+        |  ({'a': NULL} = {'a': NULL}) AS s1,
+        |  ({'a': 1} IS DISTINCT FROM {'a': 2}) AS s2,
+        |  CAST(greatest(1, NULL, 3) AS BIGINT) AS g1,
+        |  ('nan'::DOUBLE IS DISTINCT FROM 'nan'::DOUBLE) AS g2""".stripMargin,
     "q_lake_subquery_wave" ->
       """WITH sqt(id, g, v) AS (SELECT * FROM (VALUES (1,'a',10),(2,'b',20),(3,'a',30))),
         |     squ(v, w) AS (SELECT * FROM (VALUES (10,'x'),(20,'y'),(99,'z')))

@@ -404,9 +404,49 @@ def fam_hashbit(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_compare(seed):
+    exprs = [
+        # IEEE special-value comparison semantics (SQL total order)
+        "'nan'::DOUBLE = 'nan'::DOUBLE", "'nan'::DOUBLE > 1e308",
+        "'nan'::DOUBLE <= 'inf'::DOUBLE", "'inf'::DOUBLE > 1e308",
+        "-0.0::DOUBLE = 0.0::DOUBLE", "-0.0::DOUBLE < 0.0::DOUBLE",
+        # mixed-type comparison coercions
+        "1 = '1'", "1 < '2'", "'10' < '9'", "10 < '9'",
+        "1 = 1.0", "true = 1", "false = 0",
+        "1 IN ('1', '2')", "'1' IN (1, 2)", "2 BETWEEN '1' AND '3'",
+        "'2024-01-02' = DATE '2024-01-02'",
+        "DATE '2024-01-02' < '2024-01-03'",
+        "TIMESTAMP '2024-01-02 03:04:05' > '2024-01-02'",
+        # greatest/least: NULL-skipping + coercion
+        "greatest(1, 2.5)", "greatest('2', 10)", "least('abc', 'b')",
+        "greatest(1, NULL, 3)", "least(NULL, NULL)",
+        "greatest(DATE '2024-01-02', DATE '2023-05-06')",
+        # three-valued logic
+        "NULL = NULL", "(NULL = NULL) IS NULL",
+        "NULL IS DISTINCT FROM 1", "NULL IS NOT DISTINCT FROM NULL",
+        "1 IS DISTINCT FROM 2", "'nan'::DOUBLE IS DISTINCT FROM 'nan'::DOUBLE",
+        "NULL AND false", "NULL AND true", "NULL OR true", "NULL OR false",
+        "NOT NULL",
+        "nullif(3, 3)", "nullif(3, 4)", "coalesce(NULL, NULL, 7)",
+        "ifnull(NULL, 5)",
+        # interval comparison (micros-normalized in DuckDB)
+        "INTERVAL 1 DAY = INTERVAL 24 HOUR",
+        "INTERVAL 1 MONTH = INTERVAL 30 DAY",
+        "INTERVAL 1 MONTH > INTERVAL 29 DAY",
+        # list/struct comparisons
+        "[1, 2] = [1, 2]", "[1, 2] < [1, 3]", "[1] < [1, 0]",
+        "[2] > [1, 9]", "[NULL] = [NULL]",
+        "{'a': 1} IS DISTINCT FROM {'a': 2}",
+        # CASE result typing across branches
+        "CASE WHEN true THEN 1 ELSE 2.5 END",
+        "CASE WHEN false THEN 1 ELSE '7' END",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
-            "hashbit": fam_hashbit}
+            "hashbit": fam_hashbit, "compare": fam_compare}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
