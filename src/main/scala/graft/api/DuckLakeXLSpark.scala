@@ -239,6 +239,7 @@ class DuckLakeXLSpark(
     reg1("__graft_tsntz", graft.functions.NaiveTag(_))
     reg2("__graft_at_tz", graft.functions.AtTimeZoneResolve(_, _))
     reg1("__graft_to_time", graft.functions.ToTimeDuck(_))
+    reg1("__graft_try_to_time", graft.functions.ToTimeDuck(_, tryMode = true))
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)

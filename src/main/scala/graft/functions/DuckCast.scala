@@ -113,6 +113,15 @@ object DuckCastUtil {
         return if (tryMode) null
         else throw new NumberFormatException(
           s"Conversion Error: could not cast '$t' to $name") }
+    // bound the exponent BEFORE setScale materializes a ~10^10^9-digit
+    // intermediate: magnitude past Long is a fast out-of-range error
+    // ('1e1000000000'); |x| < 0.1 rounds straight to 0 up to DuckDB's
+    // own measured parser bound ('1e-10000' -> 0, '1e-100000' -> error)
+    if (bd.precision.toLong - bd.scale.toLong > 19L) return rangeFail(t, name, tryMode)
+    if (bd.precision < bd.scale) {
+      if (bd.scale >= 100000) return rangeFail(t, name, tryMode)
+      if (bd.scale > 100) return 0L
+    }
     val r = bd.setScale(0, RoundingMode.HALF_UP)
     if (r.compareTo(JBigDecimal.valueOf(min)) < 0 ||
         r.compareTo(JBigDecimal.valueOf(max)) > 0) rangeFail(t, name, tryMode)

@@ -130,8 +130,10 @@ object DuckJsonPath {
     else 0
   }
 
+  // via parse() so the MissingNode guard applies: DuckDB 1.0's
+  // json_valid('') / whitespace-only is false (r14 ADVICE)
   def valid(json: String): Boolean =
-    try { mapper.readTree(json); true } catch { case _: Exception => false }
+    try { parse(json); true } catch { case _: Exception => false }
 }
 
 case class DuckJsonExtract(left: Expression, right: Expression, unquote: Boolean)

@@ -188,11 +188,14 @@ case class TsTzVarchar(child: Expression)
 
 /** `CAST(x AS TIME)` with DuckDB's sources: a timestamp takes its
   * time-of-day, a string parses `HH:mm[:ss[.ffffff]]`. Result is Spark
-  * 4.1's TimeType(6) (Long nanos of day).
+  * 4.1's TimeType(6) (Long nanos of day). `tryMode` is the TRY_CAST
+  * spelling: an unparseable string yields NULL instead of raising
+  * (r14 ADVICE — TRY semantics were silently dropped for TIME targets).
   */
-case class ToTimeDuck(child: Expression)
+case class ToTimeDuck(child: Expression, tryMode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = TimeType(6)
+  override def nullable: Boolean = child.nullable || tryMode
   override def prettyName: String = "to_time"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -208,10 +211,36 @@ case class ToTimeDuck(child: Expression)
       // micros since epoch (UTC session) -> nanos of day
       Math.floorMod(v.asInstanceOf[Long], 86400L * 1000000L) * 1000L
     case StringType =>
-      java.time.LocalTime.parse(v.toString.trim).toNanoOfDay
+      ToTimeDuck.parseNanos(v.toString.trim) match {
+        case Some(n) => n
+        case None =>
+          if (tryMode) null
+          else throw new IllegalArgumentException(
+            "Conversion Error: time field value out of range: \"" +
+              v.toString.trim + "\", expected format is ([YYYY-MM-DD ]HH:MM:SS[.MS])")
+      }
   }
   override protected def withNewChildInternal(c: Expression): ToTimeDuck =
     copy(child = c)
+}
+
+object ToTimeDuck {
+  // DuckDB's measured TIME grammar: optional date prefix, 1-2 digit
+  // hour, REQUIRED seconds ('10:30' is a conversion error), optional
+  // fraction. ('24:00:00' is DuckDB-representable but outside Spark's
+  // TimeType day range — refused loudly / NULL under TRY.)
+  private val TimeRe =
+    """^(?:\d{4}-\d{2}-\d{2}[ T])?(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?$""".r
+  def parseNanos(t: String): Option[Long] = t match {
+    case TimeRe(h, m, s, f) =>
+      val (hh, mm, ss) = (h.toInt, m.toInt, s.toInt)
+      if (hh > 23 || mm > 59 || ss > 59) None
+      else {
+        val frac = if (f == null) 0L else (f + "0" * (9 - f.length)).toLong
+        Some(((hh * 3600L + mm * 60L + ss) * 1000000000L) + frac)
+      }
+    case _ => None
+  }
 }
 
 /** TIME ± day-time INTERVAL with DuckDB's wrap-around-midnight

@@ -1954,11 +1954,114 @@ object StatementRouter {
     end
   }
 
+  /** start index of the tight left operand of a postfix `::` cast at
+    * `opPos`: one operand (string/typed literal, chained ()/[] groups
+    * plus call name, or a dotted identifier/number), walking across any
+    * earlier `::TYPE` links (`a::VARCHAR::TIMESTAMPTZ`). Unlike
+    * [[quantLhsStart]] it does NOT cross binary arithmetic — `::`
+    * binds tighter. r14 ADVICE. */
+  private def castLhsStart(q: String, opPos: Int, lit: Array[Boolean]): Int = {
+    var i = opPos - 1
+    while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+    var start = opPos
+    var more = true
+    val identCh = (c: Char) =>
+      c.isLetterOrDigit || c == '_' || c == '.' || c == '"' || c == '$'
+    while (more && i >= 0) {
+      val c = q.charAt(i)
+      if (c == '\'' && lit(i)) {
+        while (i >= 0 && lit(i)) i -= 1
+        start = i + 1
+        val save = i
+        while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+        val idEnd = i
+        while (i >= 0 && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i -= 1
+        val w = if (idEnd > i) q.substring(i + 1, idEnd + 1).toUpperCase(java.util.Locale.ROOT) else ""
+        if (QuantTypedLitKws(w)) start = i + 1 else i = save
+      } else if (c == ')' || c == ']') {
+        while (i >= 0 && (q.charAt(i) == ')' || q.charAt(i) == ']')) {
+          val closeCh = q.charAt(i)
+          val openCh = if (closeCh == ')') '(' else '['
+          var depth = 0
+          var stop = false
+          while (i >= 0 && !stop) {
+            if (!lit(i)) {
+              if (q.charAt(i) == closeCh) depth += 1
+              else if (q.charAt(i) == openCh) { depth -= 1; if (depth == 0) stop = true }
+            }
+            i -= 1
+          }
+          start = i + 1
+        }
+        val idEnd = i
+        var j = i
+        while (j >= 0 && identCh(q.charAt(j))) j -= 1
+        val w = if (idEnd > j) q.substring(j + 1, idEnd + 1).toUpperCase(java.util.Locale.ROOT) else ""
+        if (w.nonEmpty && !QuantStopKws(w)) { start = j + 1; i = j }
+      } else if (identCh(c)) {
+        val idEnd = i
+        while (i >= 0 && identCh(q.charAt(i))) i -= 1
+        val w = q.substring(i + 1, idEnd + 1).toUpperCase(java.util.Locale.ROOT)
+        require(!QuantStopKws(w), s"cannot capture the operand of a ::-cast in: $q")
+        start = i + 1
+      } else {
+        require(start < opPos, s"cannot capture the operand of a ::-cast in: $q")
+      }
+      // an earlier `::TYPE` link belongs to the same operand
+      if (i >= 1 && q.charAt(i) == ':' && q.charAt(i - 1) == ':') {
+        i -= 2
+        while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+      } else more = false
+    }
+    start
+  }
+
+  // alternation order keeps plain `::TIMESTAMP` out of the TIME branch
+  // (the trailing guard rejects a following word char); plain TIMESTAMP
+  // is matched LAST and only rewritten when the operand carries a tag
+  private val CastTzTimeRe =
+    ("""::\s*(?i:(TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE|""" +
+     """TIME(?:\s*\(\s*\d+\s*\))?(?:\s+WITHOUT\s+TIME\s+ZONE)?|TIMESTAMP))(?![\w(])""").r
+
   /** rewrite `expr::TYPE` and `CAST/TRY_CAST(expr AS TYPE)` targets whose
     * DuckDB spelling Spark cannot parse (see [[sparkCastType]])
     */
   private def rewriteCastTargets(q0: String): String = {
     var q = q0
+    // r14 ADVICE: the `::TIMESTAMPTZ` / `::TIME` spellings must route
+    // through the same tag/native branches as CAST() — sparkCastType
+    // alone would drop the tz render tag / miss the timestamp->time
+    // source. Needs the left operand captured, hence the pre-pass.
+    var from = 0
+    var go = true
+    while (go) {
+      val lm0 = literalMask(q)
+      CastTzTimeRe.findAllMatchIn(q).find(mm => mm.start >= from && !lm0(mm.start)) match {
+        case None => go = false
+        case Some(mm) =>
+          val target = mm.group(1).toUpperCase(java.util.Locale.ROOT)
+          val lhsStart = castLhsStart(q, mm.start, lm0)
+          val lhs = q.substring(lhsStart, mm.start).trim
+          require(lhs.nonEmpty,
+            s"cannot capture the operand of a ::-cast in: $q")
+          val rep =
+            if (target == "TIMESTAMP") {
+              // instant -> naive barrier, same as the CAST() spelling;
+              // an untagged `::TIMESTAMP` stays as-is (skip forward)
+              if (lhs.contains("__graft_tstz") || lhs.contains("__graft_at_tz"))
+                Some(s"__graft_tsntz(CAST($lhs AS TIMESTAMP_LTZ))")
+              else None
+            } else if (target.startsWith("TIMESTAMP"))
+              Some(s"__graft_tstz(CAST($lhs AS TIMESTAMP))")
+            else Some(s"__graft_to_time($lhs)")
+          rep match {
+            case Some(r) =>
+              q = q.substring(0, lhsStart) + r + q.substring(mm.end)
+              from = lhsStart + r.length
+            case None => from = mm.end
+          }
+      }
+    }
     // ::TYPE — scan outside literals
     val sb = new StringBuilder
     val m = literalMask(q)
@@ -2009,11 +2112,16 @@ object StatementRouter {
           // (identity under the UTC session; render adds '+00');
           // CAST(x AS TIME) goes native (Spark's cast lacks the
           // timestamp -> time-of-day source DuckDB has)
+          // r14 ADVICE: TRY_CAST keeps TRY semantics on the tz/time
+          // branches — the fn is preserved inside the tag, and TIME
+          // routes to the tryMode native (parse failure -> NULL)
+          val FN = fn.toUpperCase(java.util.Locale.ROOT)
           if (target == "TIMESTAMPTZ" ||
               target.matches("""TIMESTAMP\s+WITH\s+TIME\s+ZONE"""))
-            Some(s"__graft_tstz(CAST($expr AS TIMESTAMP))")
+            Some(s"__graft_tstz($FN($expr AS TIMESTAMP))")
           else if (target == "TIME" || target.matches("""TIME\s*\(\s*\d+\s*\)"""))
-            Some(s"__graft_to_time($expr)")
+            Some(if (fn == "try_cast") s"__graft_try_to_time($expr)"
+                 else s"__graft_to_time($expr)")
           else if (target == "TIMESTAMP" && (expr.contains("__graft_tstz") ||
               expr.contains("__graft_at_tz")))
             // instant -> naive conversion (identity under the UTC
@@ -2022,7 +2130,7 @@ object StatementRouter {
             // TIMESTAMP_LTZ is the same Spark type under a different
             // spelling: the emitted cast must NOT re-match this branch
             // (rewriteCalls rescans the replacement)
-            Some(s"__graft_tsntz(CAST($expr AS TIMESTAMP_LTZ))")
+            Some(s"__graft_tsntz($FN($expr AS TIMESTAMP_LTZ))")
           else sparkCastType(a.substring(at + 3)).map(tr =>
             s"${fn.toUpperCase(java.util.Locale.ROOT)}($expr AS $tr)")
         }
@@ -3047,14 +3155,112 @@ object StatementRouter {
 
   /** quantified ordering comparisons `x > ANY (SELECT …)` — Spark's
     * parser takes `= ANY` / `<> ALL` (IN / NOT IN sugar) but not the
-    * ordering quantifiers, which reduce exactly to a min/max scalar
-    * subquery: `> ANY` ⇔ `> min`, `< ANY` ⇔ `< max`, `> ALL` ⇔ `> max`,
-    * `< ALL` ⇔ `< min` (SOME = ANY). NULL/empty-set edges follow the
-    * aggregate's NULL (FALSE ≡ NULL in a filter, where these live);
-    * measured row sets pinned in SubqueryDifferentialSpec. r13 wave 2.
+    * ordering quantifiers. The min/max scalar-subquery reduction is
+    * only equivalent on non-empty, NULL-free sets; DuckDB's measured
+    * three-valued semantics (r14, `ducklakexl.py:394` pass-through):
+    * `> ALL (empty)` = TRUE, `> ANY (empty)` = FALSE, a NULL element
+    * yields NULL unless a non-NULL element already decides (FALSE for
+    * ALL, TRUE for ANY). Emitted as a CASE over three scalar
+    * subqueries (count, null-count, extreme) — which needs the LEFT
+    * operand captured (quantLhsStart walks identifiers, literals,
+    * balanced groups and binary arithmetic). Fixtures incl. empty /
+    * NULL-bearing sets in SubqueryDifferentialSpec. (SOME = ANY.)
     */
   // lookbehind keeps `<> ALL` (NOT IN sugar) out of the `>` branch
   private val QuantRe = """(?<![<>!=])(>=|<=|>|<)\s*(?i:(ANY|ALL|SOME))\s*\(""".r
+  private val QuantStopKws: Set[String] = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "END",
+    "CASE", "ON", "HAVING", "BETWEEN", "IN", "IS", "LIKE", "ILIKE", "FROM",
+    "JOIN", "BY", "SET", "VALUES", "AS", "UNION", "INTERSECT", "EXCEPT",
+    "ALL", "ANY", "SOME", "DISTINCT", "LIMIT", "OFFSET", "GROUP", "ORDER")
+  private val QuantTypedLitKws: Set[String] =
+    Set("DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ", "INTERVAL")
+  /** start index of the (textual) left operand of a comparison whose
+    * operator begins at `opStart`: walks left across one or more
+    * operands (identifier / dotted / quoted / numeric, string or typed
+    * literal, balanced (...)/[...] group with optional call name)
+    * joined by binary arithmetic (`+ - * / % || ::`). Stops at
+    * keywords, commas, open parens, comparison operators. */
+  private def quantLhsStart(q: String, opStart: Int, lit: Array[Boolean]): Int = {
+    var i = opStart - 1
+    def skipWs(): Unit = { while (i >= 0 && q.charAt(i).isWhitespace) i -= 1 }
+    val identCh = (c: Char) => c.isLetterOrDigit || c == '_' || c == '.' || c == '"' || c == '$'
+    skipWs()
+    var start = opStart
+    var expectOperand = true
+    var pendingOpStart = -1 // include a trailing unary +/- if operand capture stops
+    var done = false
+    while (!done && i >= 0) {
+      if (expectOperand) {
+        val c = q.charAt(i)
+        if (c == '\'' && lit(i)) {
+          while (i >= 0 && lit(i)) i -= 1
+          start = i + 1
+          val save = i
+          skipWs()
+          val idEnd = i
+          while (i >= 0 && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i -= 1
+          val word =
+            if (idEnd > i) q.substring(i + 1, idEnd + 1).toUpperCase(java.util.Locale.ROOT)
+            else ""
+          if (QuantTypedLitKws(word)) start = i + 1 else i = save
+          expectOperand = false
+        } else if (c == ')' || c == ']') {
+          val openCh = if (c == ')') '(' else '['
+          val closeCh = c
+          var depth = 0
+          var stop = false
+          while (i >= 0 && !stop) {
+            if (!lit(i)) {
+              if (q.charAt(i) == closeCh) depth += 1
+              else if (q.charAt(i) == openCh) { depth -= 1; if (depth == 0) stop = true }
+            }
+            i -= 1
+          }
+          start = i + 1
+          // chained postfix (`a[1]`, `f(x)[2]`) — keep consuming the base
+          if (i >= 0 && (q.charAt(i) == ')' || q.charAt(i) == ']')) {
+            // loop again in operand mode on the base group
+          } else {
+            val save = i
+            val idEnd = i
+            while (i >= 0 && identCh(q.charAt(i))) i -= 1
+            val word =
+              if (idEnd > i) q.substring(i + 1, idEnd + 1).toUpperCase(java.util.Locale.ROOT)
+              else ""
+            if (word.nonEmpty && !QuantStopKws(word)) start = i + 1 else i = save
+            expectOperand = false
+          }
+        } else if (identCh(c)) {
+          val idEnd = i
+          while (i >= 0 && identCh(q.charAt(i))) i -= 1
+          val word = q.substring(i + 1, idEnd + 1).toUpperCase(java.util.Locale.ROOT)
+          if (QuantStopKws(word)) {
+            // keyword where an operand was expected: a consumed +/- was unary
+            if (pendingOpStart >= 0) start = pendingOpStart
+            done = true
+          } else { start = i + 1; expectOperand = false }
+        } else {
+          if (pendingOpStart >= 0) start = pendingOpStart
+          done = true
+        }
+        if (!done && !expectOperand) { pendingOpStart = -1; skipWs() }
+      } else {
+        // operator position: binary arithmetic continues the operand chain
+        val c = q.charAt(i)
+        if (c == '|' && i >= 1 && q.charAt(i - 1) == '|') {
+          pendingOpStart = i - 1; i -= 2; expectOperand = true; skipWs()
+        } else if (c == ':' && i >= 1 && q.charAt(i - 1) == ':') {
+          pendingOpStart = i - 1; i -= 2; expectOperand = true; skipWs()
+        } else if (c == '+' || c == '-' || c == '*' || c == '%' ||
+                   (c == '/' && (i == 0 || q.charAt(i - 1) != '/'))) {
+          pendingOpStart = i; i -= 1; expectOperand = true; skipWs()
+        } else done = true
+      }
+    }
+    if (expectOperand && pendingOpStart >= 0) start = pendingOpStart
+    start
+  }
   private def rewriteQuantifiedOrdering(q0: String): String = {
     var q = q0
     var go = true
@@ -3071,9 +3277,22 @@ object StatementRouter {
           val agg =
             if (kind == "ALL") (if (op.startsWith(">")) "max" else "min")
             else (if (op.startsWith(">")) "min" else "max")
-          q = q.substring(0, m.start) +
-            s"$op (SELECT $agg(__qc) FROM ($body) AS __anyall(__qc))" +
-            q.substring(close + 1)
+          val lhsStart = quantLhsStart(q, m.start, lit)
+          val lhs = q.substring(lhsStart, m.start).trim
+          require(lhs.nonEmpty,
+            s"cannot parse the left operand of a quantified $op $kind comparison in: $q")
+          def sub(sel: String) = s"(SELECT $sel FROM ($body) AS __anyall(__qc))"
+          val cmp = s"(($lhs) $op ${sub(s"$agg(__qc)")})"
+          val empty = s"${sub("count(*)")} = 0"
+          val noNulls = s"${sub("count(*) - count(__qc)")} = 0"
+          val rep =
+            if (kind == "ALL")
+              s"(CASE WHEN $empty THEN TRUE WHEN $cmp AND $noNulls THEN TRUE " +
+                s"WHEN NOT $cmp THEN FALSE ELSE CAST(NULL AS BOOLEAN) END)"
+            else
+              s"(CASE WHEN $empty THEN FALSE WHEN $cmp THEN TRUE " +
+                s"WHEN NOT $cmp AND $noNulls THEN FALSE ELSE CAST(NULL AS BOOLEAN) END)"
+          q = q.substring(0, lhsStart) + rep + q.substring(close + 1)
       }
     }
     q

@@ -55,9 +55,38 @@ class SubqueryDifferentialSpec extends AnyFunSuite {
     (s"SELECT t.id, l.v2 FROM $T LEFT JOIN LATERAL (SELECT u.v AS v2 FROM $U WHERE u.v = t.v AND u.w <> 'z') l ON true ORDER BY t.id",
       List(List(1, 10), List(2, 20), List(3, null))),
     (s"SELECT id, CAST((SELECT count(*) FROM $U WHERE u.v <= t.v) AS INTEGER) AS c FROM $T ORDER BY id",
-      List(List(1, 1), List(2, 2), List(3, 2))))
+      List(List(1, 1), List(2, 2), List(3, 2))),
+    // r14: quantified-comparison NULL/empty-set edges (ADVICE high) —
+    // `> ALL (empty)` is TRUE, `> ANY (empty)` FALSE, a NULL element
+    // is NULL unless a non-NULL element decides. All measured.
+    (s"SELECT id FROM $T WHERE v > ALL (SELECT v FROM $U WHERE v > 999) ORDER BY id",
+      List(List(1), List(2), List(3))),
+    (s"SELECT id FROM $T WHERE v > ANY (SELECT v FROM $U WHERE v > 999) ORDER BY id",
+      Nil),
+    (s"SELECT id FROM $T WHERE v <= ALL (SELECT v FROM $U WHERE v > 999) ORDER BY id",
+      List(List(1), List(2), List(3))),
+    (s"SELECT id FROM $T WHERE v > ALL (VALUES (5),(NULL)) ORDER BY id",
+      Nil),
+    (s"SELECT id FROM $T WHERE v > ALL (VALUES (25),(NULL)) ORDER BY id",
+      Nil),
+    (s"SELECT id FROM $T WHERE v > ANY (VALUES (15),(NULL)) ORDER BY id",
+      List(List(2), List(3))),
+    (s"SELECT id FROM $T WHERE NOT (v > ANY (VALUES (15),(NULL))) ORDER BY id",
+      Nil),
+    (s"SELECT id FROM $T WHERE v > ALL (VALUES (CAST(NULL AS INT))) ORDER BY id",
+      Nil),
+    (s"SELECT id FROM $T WHERE v + 5 > ALL (VALUES (20),(34)) ORDER BY id",
+      List(List(3))),
+    (s"SELECT id, v > ANY (VALUES (25),(NULL)) AS b FROM $T ORDER BY id",
+      List(List(1, null), List(2, null), List(3, true))),
+    (s"SELECT id, v >= ALL (SELECT v FROM $U WHERE v > 999) AS b FROM $T ORDER BY id",
+      List(List(1, true), List(2, true), List(3, true))),
+    (s"SELECT id, NULL > ALL (SELECT v FROM $U WHERE v > 999) AS b FROM $T ORDER BY id",
+      List(List(1, true), List(2, true), List(3, true))),
+    (s"SELECT id FROM $T WHERE v < SOME (VALUES (15),(NULL)) ORDER BY id",
+      List(List(1))))
 
-  test("15 DuckDB-measured subquery/lateral row sets match through the router") {
+  test("28 DuckDB-measured subquery/lateral row sets match through the router") {
     val dir = Files.createTempDirectory("graft_subqdiff").toString
     val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
     val bad = fixtures.flatMap { case (q, want) =>
