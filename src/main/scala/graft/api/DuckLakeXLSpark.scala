@@ -240,6 +240,11 @@ class DuckLakeXLSpark(
     reg2("__graft_at_tz", graft.functions.AtTimeZoneResolve(_, _))
     reg1("__graft_to_time", graft.functions.ToTimeDuck(_))
     reg1("__graft_try_to_time", graft.functions.ToTimeDuck(_, tryMode = true))
+    // keep VALUES lists UNRESOLVED through parsing: Spark 4's eager
+    // AST-builder evaluation rejects mixed-type rows at parse time,
+    // BEFORE CoercionRepair can apply DuckDB's measured VALUES typing
+    // ((VALUES (1),(2.5),('3')) is DECIMAL there, r14 coercion barrage)
+    spark.conf.set("spark.sql.parser.eagerEvalOfUnresolvedInlineTable", "false")
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
@@ -1114,7 +1119,14 @@ class DuckLakeXLSpark(
     * differential-barrage finding).
     */
   private def sqlSelect(q: String): org.apache.spark.sql.DataFrame = {
-    val df = spark.sql(rewriteSelect(q))
+    // parse -> DuckDB-lattice coercion repair -> analyze: set-op branch
+    // typing, VALUES/CASE/COALESCE/greatest/IN literal coercions must be
+    // fixed BEFORE Spark's ANSI coercion resolves them differently
+    // (r14 coercion barrage, graft.lake.CoercionRepair)
+    val parsed = org.apache.spark.sql.graftshim.ParserBridge
+      .parsePlan(spark, rewriteSelect(q))
+    val df = org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark,
+      graft.lake.CoercionRepair.preAnalysis(spark, parsed))
     import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates, TimeAddInterval}
     import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, TimestampType, YearMonthIntervalType}
     val analyzed = df.queryExecution.analyzed
@@ -1149,11 +1161,16 @@ class DuckLakeXLSpark(
           // SubtractDates -> DateDiff swap below owns that shape (the
           // child turns BIGINT under this very Cast)
           }) && !c.child.exists(_.isInstanceOf[SubtractDates]) =>
-        val isTsDiff = c.child.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubtractTimestamps])
-        if (isTsDiff && c.child.dataType.isInstanceOf[DayTimeIntervalType])
-          graft.functions.IntervalText(graft.functions.IntervalDaysSplit(c.child))
-        else graft.functions.IntervalText(c.child)
+        // whole days split out whenever the interval TYPE starts at DAY
+        // (DuckDB keeps a separate days field there: INTERVAL 1 DAY is
+        // '1 day', a timestamp difference is '1 day 02:00:00', while
+        // INTERVAL 26 HOUR — startField HOUR — stays '26:00:00'; all
+        // measured, r14 coercion barrage)
+        c.child.dataType match {
+          case dt: DayTimeIntervalType if dt.startField == DayTimeIntervalType.DAY =>
+            graft.functions.IntervalText(graft.functions.IntervalDaysSplit(c.child))
+          case _ => graft.functions.IntervalText(c.child)
+        }
       // CAST(tstz AS VARCHAR) — instant render carries the '+00' suffix;
       // tz-ness is a tree property traced through TsTzTag (r13 tz
       // differential)

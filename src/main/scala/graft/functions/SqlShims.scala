@@ -38,6 +38,19 @@ object DatasetBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
+/** parsing SQL text to an UNRESOLVED plan goes through
+  * `sessionState.sqlParser`, sql-package-private in Spark 4 — same
+  * forwarder pattern as [[ColumnBridge]] (used by the r14 coercion
+  * repair, which must see the plan BEFORE Spark's ANSI coercion
+  * resolves set-op branch types away from DuckDB's lattice)
+  */
+object ParserBridge {
+  def parsePlan(spark: org.apache.spark.sql.SparkSession, text: String):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(text)
+}
+
 /** the bench's shuffle-bytes audit reads task-metric deltas around a
   * query; the listener queue is async, so the deltas are only exact
   * after `listenerBus.waitUntilEmpty()` — which is private[spark]

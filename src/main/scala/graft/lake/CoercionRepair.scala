@@ -1,0 +1,298 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedInlineTable}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types._
+
+/** Pre-analysis implicit-coercion repair (r14 VERDICT task 1).
+  *
+  * DuckDB's coercion lattice diverges from Spark's ANSI lattice in a
+  * handful of everyday shapes (each MEASURED on real DuckDB 1.0,
+  * pinned in CoercionDifferentialSpec; reachable verbatim through the
+  * reference's `ducklakexl.py:394` pass-through):
+  *
+  *  - set operations resolve a string branch against ANYTHING to
+  *    VARCHAR (`1 UNION ALL 'a'` -> VARCHAR; Spark silently casts the
+  *    string branch to BIGINT — wrong VALUES, not just a different
+  *    error); a boolean branch against numeric resolves to the numeric
+  *    (`true UNION ALL 2` -> INTEGER; Spark refuses)
+  *  - VALUES lists take the type of the NON-string rows and convert
+  *    string rows to it at bind time (`(VALUES (1),(2.5),('3'))` ->
+  *    DECIMAL; `(VALUES (1),('a'))` is a conversion error)
+  *  - CASE / COALESCE resolve string literals to the non-string branch
+  *    type with a LAZY cast (dead branches never convert)
+  *  - greatest/least convert string literals to BIGINT (integral
+  *    siblings) / DOUBLE (fractional siblings) / the sibling date type
+  *  - IN-lists convert boolean literals to the numeric siblings' type
+  *
+  * All repairs run on the PARSED (unresolved) plan, before Spark's own
+  * coercion can resolve the types away from DuckDB's lattice. Literal
+  * repairs are purely structural; the set-op repair analyzes each
+  * branch independently (branches are self-contained queries) and only
+  * rewrites when the measured lattice disagrees — a branch that fails
+  * standalone analysis (e.g. references a CTE of the outer query)
+  * is left to Spark untouched.
+  */
+object CoercionRepair {
+
+  def preAnalysis(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    repairPlan(spark, plan, Nil)
+
+  private val LiteralCoerceFns =
+    Set("greatest", "least", "coalesce", "ifnull", "nvl")
+
+  // ------------------------------------------------------------ helpers
+
+  private def litType(e: Expression): Option[DataType] = e match {
+    case Literal(null, _) => None
+    case l: Literal => Some(l.dataType)
+    case _ => None
+  }
+
+  private def isStringLit(e: Expression): Boolean =
+    litType(e).contains(StringType)
+
+  private def boolNumericPair(l: Expression, r: Expression): Boolean =
+    (litType(l).contains(BooleanType) &&
+      litType(r).exists(_.isInstanceOf[NumericType])) ||
+    (litType(r).contains(BooleanType) &&
+      litType(l).exists(_.isInstanceOf[NumericType]))
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** widen within ONE family (numeric / datetime); None across families */
+  private def widen(ts: Seq[DataType]): Option[DataType] = {
+    if (ts.isEmpty) None
+    else if (ts.forall(_.isInstanceOf[NumericType])) {
+      if (ts.exists(t => t == DoubleType || t == FloatType)) Some(DoubleType)
+      else if (ts.exists(_.isInstanceOf[DecimalType])) {
+        val ds = ts.map {
+          case d: DecimalType => d
+          case ByteType => DecimalType(3, 0)
+          case ShortType => DecimalType(5, 0)
+          case IntegerType => DecimalType(10, 0)
+          case LongType => DecimalType(20, 0)
+          case _ => DecimalType(38, 18)
+        }
+        val scale = ds.map(_.scale).max
+        val intDigits = ds.map(d => d.precision - d.scale).max
+        Some(DecimalType(math.min(intDigits + scale, 38), scale))
+      } else {
+        val order: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+        Some(ts.maxBy(order.indexOf))
+      }
+    } else if (ts.forall(t =>
+        t == DateType || t == TimestampType || t == TimestampNTZType)) {
+      if (ts.forall(_ == DateType)) Some(DateType)
+      else Some(ts.find(_ != DateType).get)
+    } else if (ts.distinct.size == 1) Some(ts.head)
+    else None
+  }
+
+  // -------------------------------------------------- literal repairs
+
+  /** VALUES rows: strings (and booleans) convert to the non-string
+    * rows' widened type — eager, a bad string is a bind-time error on
+    * both engines */
+  private def repairInlineTable(t: UnresolvedInlineTable): UnresolvedInlineTable = {
+    val ncols = t.rows.headOption.map(_.length).getOrElse(0)
+    if (ncols == 0 || !t.rows.forall(_.length == ncols)) return t
+    var changed = false
+    val targets: Seq[Option[DataType]] = (0 until ncols).map { j =>
+      val col = t.rows.map(_(j))
+      if (!col.forall(e => litType(e).isDefined || e.isInstanceOf[Literal])) None
+      else {
+        val ts = col.flatMap(litType)
+        val strs = ts.count(_ == StringType)
+        val bools = ts.count(_ == BooleanType)
+        val others = ts.filterNot(x => x == StringType || x == BooleanType)
+        if (strs > 0 && others.nonEmpty) widen(others)
+        else if (bools > 0 && others.nonEmpty && others.forall(_.isInstanceOf[NumericType]))
+          widen(others)
+        else None
+      }
+    }
+    if (targets.forall(_.isEmpty)) t
+    else {
+      val rows = t.rows.map(_.zipWithIndex.map { case (e, j) =>
+        targets(j) match {
+          case Some(tt) if litType(e).exists(x => x == StringType || x == BooleanType) =>
+            changed = true; Cast(e, tt)
+          case _ => e
+        }
+      })
+      if (changed) t.copy(rows = rows) else t
+    }
+  }
+
+  /** IN-list: boolean literals convert to the numeric siblings' type */
+  private def repairIn(in: In): In = {
+    val all = in.value +: in.list
+    val ts = all.flatMap(litType)
+    val numerics = ts.filter(_.isInstanceOf[NumericType])
+    if (!ts.contains(BooleanType) || numerics.isEmpty) in
+    else widen(numerics) match {
+      case Some(tt) =>
+        def fix(e: Expression) =
+          if (litType(e).contains(BooleanType)) Cast(e, tt) else e
+        In(fix(in.value), in.list.map(fix))
+      case None => in
+    }
+  }
+
+  /** CASE branches: string literals take the non-string literal
+    * branches' widened type, LAZILY (the dead-branch cast never runs) */
+  private def repairCase(cw: CaseWhen): CaseWhen = {
+    val values = cw.branches.map(_._2) ++ cw.elseValue
+    val nonStr = values.flatMap(litType).filterNot(_ == StringType)
+    if (!values.exists(isStringLit) || nonStr.isEmpty) cw
+    else widen(nonStr) match {
+      case Some(tt) =>
+        def fix(e: Expression) =
+          if (isStringLit(e)) graft.functions.LazyCoerce(Cast(e, tt)) else e
+        CaseWhen(cw.branches.map { case (c, v) => (c, fix(v)) },
+          cw.elseValue.map(fix))
+      case None => cw
+    }
+  }
+
+  /** greatest/least: string literals convert to BIGINT (integral
+    * siblings) / DOUBLE (fractional) / the sibling datetime type —
+    * EAGER (greatest('abc', 1) is a bind error on both engines).
+    * coalesce/ifnull/nvl: sibling widened type, LAZY like CASE. */
+  private def repairFn(f: UnresolvedFunction): UnresolvedFunction = {
+    val name = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    val args = f.arguments
+    val nonStr = args.flatMap(litType).filterNot(_ == StringType)
+    if (!args.exists(isStringLit) || nonStr.isEmpty) f
+    else {
+      val target: Option[DataType] =
+        if (name == "greatest" || name == "least") {
+          if (nonStr.forall(_.isInstanceOf[NumericType]))
+            Some(if (nonStr.forall(isIntegral)) LongType else DoubleType)
+          else widen(nonStr)
+        } else widen(nonStr)
+      target match {
+        case Some(tt) =>
+          val lazily = name != "greatest" && name != "least"
+          val fixed = args.map { e =>
+            if (isStringLit(e)) {
+              val c = Cast(e, tt)
+              if (lazily) graft.functions.LazyCoerce(c) else c
+            } else e
+          }
+          f.copy(arguments = fixed)
+        case None => f
+      }
+    }
+  }
+
+  // ------------------------------------------------------ set-op repair
+
+  private type CteScope = Seq[(String, org.apache.spark.sql.catalyst.plans
+    .logical.SubqueryAlias, Option[Int])]
+
+  /** analyze a set-op branch standalone; branches inside a WITH get the
+    * in-scope CTE definitions re-attached so they still resolve. A
+    * branch that cannot analyze standalone (e.g. correlated to the
+    * outer query) is skipped — Spark's own coercion then applies. */
+  private def analyzedChild(spark: SparkSession, p: LogicalPlan,
+      ctes: CteScope): Option[LogicalPlan] =
+    try {
+      if (p.resolved) Some(p)
+      else {
+        val wrapped =
+          if (ctes.isEmpty) p
+          else org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith(p, ctes)
+        Some(org.apache.spark.sql.graftshim.DatasetBridge
+          .ofRows(spark, wrapped).queryExecution.analyzed)
+      }
+    } catch { case _: Exception => None }
+
+  private def isSetOp(p: LogicalPlan): Boolean =
+    p.isInstanceOf[Union] || p.isInstanceOf[Intersect] || p.isInstanceOf[Except]
+
+  /** single recursive walk: CTE definitions and subquery-expression
+    * plans are innerChildren the stock transformUp/transformAllExpressions
+    * never visit, so BOTH the literal repairs and the set-op repair are
+    * applied here, threading the in-scope CTE definitions down. */
+  private def repairPlan(spark: SparkSession, plan: LogicalPlan,
+      ctes0: CteScope): LogicalPlan = {
+    def go(p: LogicalPlan, ctes: CteScope): LogicalPlan = {
+      val rebuilt = p match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          // each CTE definition sees the ones defined before it
+          var scope = ctes
+          val rels = w.cteRelations.map { case (n, sq, mx) =>
+            val nsq = sq.copy(child = go(sq.child, scope))
+            scope = scope :+ ((n, nsq, mx))
+            (n, nsq, mx)
+          }
+          w.copy(child = go(w.child, scope), cteRelations = rels)
+        case t: UnresolvedInlineTable => repairInlineTable(t)
+        case other =>
+          other.withNewChildren(other.children.map(go(_, ctes)))
+      }
+      // this node's expressions: literal coercions + set-ops nested in
+      // subquery EXPRESSIONS (IN/EXISTS/scalar/lateral)
+      val withExprs = rebuilt.transformExpressions {
+        case in: In => repairIn(in)
+        case bc: BinaryComparison if boolNumericPair(bc.left, bc.right) =>
+          // true = 1 is TRUE in DuckDB (bool converts to the numeric);
+          // Spark's type system rejects the comparison outright
+          widen(Seq(bc.left, bc.right).flatMap(litType)
+              .filter(_.isInstanceOf[NumericType])) match {
+            case Some(tt) =>
+              def fix(e: Expression) =
+                if (litType(e).contains(BooleanType)) Cast(e, tt) else e
+              bc.withNewChildren(Seq(fix(bc.left), fix(bc.right)))
+                .asInstanceOf[Expression]
+            case None => bc
+          }
+        case cw: CaseWhen => repairCase(cw)
+        case f: UnresolvedFunction
+            if f.nameParts.length == 1 && LiteralCoerceFns(
+              f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          repairFn(f)
+        case se: SubqueryExpression => se.withNewPlan(go(se.plan, ctes))
+      }
+      if (isSetOp(withExprs)) harmonize(spark, withExprs, ctes) else withExprs
+    }
+    go(plan, ctes0)
+  }
+
+  private def harmonize(spark: SparkSession, sop: LogicalPlan,
+      ctes: CteScope): LogicalPlan = {
+    val an = sop.children.map(analyzedChild(spark, _, ctes))
+    if (an.exists(_.isEmpty)) return sop
+    val kids = an.flatten
+    val n = kids.head.output.length
+    if (!kids.forall(_.output.length == n)) return sop
+    val targets: Seq[Option[DataType]] = (0 until n).map { j =>
+      val ts = kids.map(_.output(j).dataType).filterNot(_ == NullType)
+      if (ts.isEmpty) None
+      else if (ts.contains(StringType) && ts.exists(_ != StringType))
+        Some(StringType)
+      else if (ts.contains(BooleanType) && ts.exists(_.isInstanceOf[NumericType]))
+        widen(ts.filter(_.isInstanceOf[NumericType]))
+      else None
+    }
+    if (targets.forall(_.isEmpty)) return sop
+    val newKids = kids.map { k =>
+      val exprs: Seq[NamedExpression] = k.output.zipWithIndex.map {
+        case (a0, j) => targets(j) match {
+          case Some(tt) if a0.dataType != tt =>
+            Alias(Cast(a0, tt), a0.name)()
+          case _ => a0
+        }
+      }
+      Project(exprs, k)
+    }
+    sop.withNewChildren(newKids)
+  }
+}

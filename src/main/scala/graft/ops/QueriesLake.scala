@@ -1420,6 +1420,16 @@ object QueriesLake {
           |  CAST(greatest(1, NULL, 3) AS BIGINT) AS g1,
           |  ('nan'::DOUBLE IS DISTINCT FROM 'nan'::DOUBLE) AS g2""".stripMargin)
     },
+    // r14 coercion differential wave: DuckDB's set-op branch typing
+    // (string vs anything -> VARCHAR, bool vs numeric -> numeric),
+    // VALUES-list string-row conversion, bool IN-lists, CASE branch
+    // typing, greatest/least unknown-string rules — the semantics
+    // CoercionDifferentialSpec pinned (graft.lake.CoercionRepair),
+    // replayed as one oracle row (DuckDB runs the IDENTICAL text)
+    "q_lake_coerce_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(coerceWaveSql)
+    },
     // r13 subquery differential wave (barrage wave 2): correlated
     // scalar subqueries, EXISTS, NOT IN with NULL (three-valued
     // logic), quantified ordering ANY/ALL (router reduces to min/max
@@ -1546,7 +1556,36 @@ object QueriesLake {
     }
   )
 
+  /** r14 coercion-wave text — run VERBATIM by both engines (the Spark
+    * side through the router + CoercionRepair, the oracle by DuckDB) */
+  private[ops] val coerceWaveSql: String =
+    """SELECT 'u_str' AS src, CAST(x AS VARCHAR) AS v FROM (SELECT 1 AS x UNION ALL SELECT 'a') a
+      |UNION ALL
+      |SELECT 'u_dec', CAST(x AS VARCHAR) FROM (SELECT 1 AS x UNION ALL SELECT 2.5) b
+      |UNION ALL
+      |SELECT 'u_bool', CAST(x AS VARCHAR) FROM (SELECT true AS x UNION ALL SELECT 2) c
+      |UNION ALL
+      |SELECT 'i_str', CAST(x AS VARCHAR) FROM (SELECT 1 AS x INTERSECT SELECT '1.0') d
+      |UNION ALL
+      |SELECT 'e_str', CAST(x AS VARCHAR) FROM (SELECT 1 AS x EXCEPT SELECT '1.00') e
+      |UNION ALL
+      |SELECT 'vals', CAST(x AS VARCHAR) FROM (VALUES (1),(2.5),('3')) f(x)
+      |UNION ALL
+      |SELECT 'vals_date', CAST(x AS VARCHAR) FROM (VALUES (DATE '2024-01-02'),('2024-6-7')) g(x)
+      |UNION ALL
+      |SELECT 'in_bool', CAST((true IN (1, 0)) AS VARCHAR)
+      |UNION ALL
+      |SELECT 'case_str', CAST(CASE WHEN true THEN 1 ELSE 'x' END AS VARCHAR)
+      |UNION ALL
+      |SELECT 'greatest', CAST(greatest(1, '2.5') AS VARCHAR)
+      |UNION ALL
+      |SELECT 'least', CAST(least('10', 9) AS VARCHAR)
+      |UNION ALL
+      |SELECT 'concat', 1 || 'a'
+      |ORDER BY src, v""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_lake_coerce_wave" -> coerceWaveSql,
     "q_lake_e2e" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(4,'delta')) t(id, val) ORDER BY id"),
     "q_lake_multistatement" ->

@@ -46,6 +46,8 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT hamming('abc','abd') AS v FROM b",
       "SELECT mismatches('abc','abd') AS v FROM b",
       "SELECT greatest(1, 2) AS v, least(3, 4) AS w FROM b",
+      "SELECT (true = 1) AS v",
+      "SELECT greatest('2', 10) AS v",
       "SELECT isfinite(x) AS v, isinf(x) AS w FROM b",
       "SELECT isnan(x) AS v FROM b",
       "SELECT format('{} and {}', 1, 2) AS v FROM b",
@@ -76,12 +78,12 @@ class BarrageSpec extends AnyFunSuite {
       // (2^127-1); the engine's HUGEINT convention is DECIMAL(38,0),
       // so the last digit of range stays a loud precision error
       "SELECT CAST(170141183460469231731687303715884105727 AS VARCHAR) AS v",
-      // r13 compare differential: DuckDB coerces bool<->int and mixed
-      // string/number greatest(), and micros-normalizes ACROSS interval
-      // flavors (1 MONTH = 30 DAY is true there); Spark's type system
-      // rejects all three — loud analysis errors, never silent values
-      "SELECT (true = 1) AS v",
-      "SELECT greatest('2', 10) AS v",
+      // r13 compare differential (r14: bool<->int comparison and mixed
+      // string/number greatest() now RUN via CoercionRepair's literal
+      // lattice — values pinned in CompareDifferentialSpec; the
+      // cross-flavor interval equality stays loud: DuckDB
+      // micros-normalizes 1 MONTH = 30 DAY, Spark's year-month and
+      // day-time interval types do not compare)
       "SELECT (INTERVAL 1 MONTH = INTERVAL 30 DAY) AS v",
       // 1-arg age is current_date-relative: volatile, unverifiable
       "SELECT age(TIMESTAMP '2024-03-20 00:00:00') AS v FROM b",

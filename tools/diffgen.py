@@ -60,6 +60,20 @@ def eval_window(con, expr):
     return ";".join(f"{r[0]}={'None' if r[1] is None else r[1]}" for r in rows)
 
 
+def eval_query(con, q):
+    """full-query fixture: the query returns ONE column, already
+    VARCHAR-cast, with its own deterministic ORDER BY; rows joined ';'"""
+    rows = con.execute(q).fetchall()
+    return ";".join("None" if r[0] is None else str(r[0]) for r in rows)
+
+
+def eval_auto(con, text):
+    head = text.lstrip().upper()
+    return (eval_query(con, text)
+            if head.startswith("SELECT") or head.startswith("WITH")
+            else eval_scalar(con, text))
+
+
 def eval_agg(con, expr):
     rows = con.execute(
         f"SELECT g, CAST(({expr}) AS VARCHAR) AS v FROM {AGG_TABLE} "
@@ -444,13 +458,118 @@ def fam_compare(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_coercion(seed):
+    """set-op / implicit-coercion barrage (r14 VERDICT task 1):
+    UNION/INTERSECT/EXCEPT branch type resolution, VALUES-list column
+    typing, mixed IN-lists, CASE/COALESCE/GREATEST result typing, and
+    mixed-operand || — the type a branch RESOLVES to is observed through
+    the VARCHAR render (INT '1' vs DOUBLE '1.0' vs VARCHAR '1')."""
+    def setop(op, pairs):
+        # two branches with an id column; render the coerced column
+        (a, b) = pairs
+        return ("SELECT CAST(x AS VARCHAR) AS v FROM "
+                f"(SELECT 1 AS id, {a} AS x UNION ALL SELECT 2, {b}) t "
+                "ORDER BY id") if op == "UNION ALL" else (
+                "SELECT CAST(x AS VARCHAR) AS v FROM "
+                f"(SELECT {a} AS x {op} SELECT {b}) t ORDER BY v NULLS FIRST")
+    queries = [
+        # UNION ALL branch resolution (id-ordered, both rows rendered)
+        setop("UNION ALL", ("1", "'a'")),
+        setop("UNION ALL", ("1", "2.5")),
+        setop("UNION ALL", ("1", "CAST(2.5 AS DOUBLE)")),
+        setop("UNION ALL", ("CAST(1.25 AS DECIMAL(4,2))", "2")),
+        setop("UNION ALL", ("CAST(1.25 AS DECIMAL(4,2))", "CAST(0.5 AS DOUBLE)")),
+        setop("UNION ALL", ("DATE '2024-01-02'", "'2024-06-07'")),
+        setop("UNION ALL", ("DATE '2024-01-02'", "TIMESTAMP '2024-06-07 08:09:10'")),
+        setop("UNION ALL", ("true", "2")),
+        setop("UNION ALL", ("NULL", "3")),
+        setop("UNION ALL", ("3", "NULL")),
+        setop("UNION ALL", ("CAST(1 AS TINYINT)", "300")),
+        setop("UNION ALL", ("CAST(1 AS BIGINT)", "2.5")),
+        setop("UNION ALL", ("'x'", "NULL")),
+        setop("UNION ALL", ("[1, 2]", "[2.5]")),
+        # UNION (distinct) dedups AFTER coercion
+        setop("UNION", ("1", "1.0")),
+        setop("UNION", ("1", "'1'")),
+        setop("UNION", ("'a'", "'a'")),
+        setop("UNION", ("NULL", "NULL")),
+        setop("UNION", ("1", "2.5")),
+        # INTERSECT / EXCEPT coerce before matching
+        setop("INTERSECT", ("1", "1.0")),
+        setop("INTERSECT", ("1", "'1'")),
+        setop("INTERSECT", ("1", "2")),
+        setop("EXCEPT", ("1", "1.0")),
+        setop("EXCEPT", ("1", "'1'")),
+        setop("EXCEPT", ("1.5", "2")),
+        # silent-divergence pins: VARCHAR set-op semantics change the
+        # ROWS, not just the render (1 INTERSECT '1.0' is EMPTY as
+        # VARCHAR, one row under Spark's numeric coercion); a string
+        # branch keeps its RAW text (no date canonicalization)
+        setop("INTERSECT", ("1", "'1.0'")),
+        setop("EXCEPT", ("1", "'1.00'")),
+        setop("UNION ALL", ("1", "'2.5'")),
+        setop("UNION ALL", ("2.5", "true")),
+        setop("UNION ALL", ("true", "CAST(5 AS BIGINT)")),
+        setop("UNION ALL", ("INTERVAL 1 DAY", "'1 day'")),
+        setop("UNION ALL", ("DATE '2024-01-02'", "'2024-6-7'")),
+        ("SELECT CAST(x AS VARCHAR) AS v FROM (SELECT 1 AS id, 1 AS x "
+         "UNION ALL SELECT 2, 'a' UNION ALL SELECT 3, true) t ORDER BY id"),
+        ("WITH s AS (SELECT 1 AS x UNION ALL SELECT 'a') "
+         "SELECT CAST(x AS VARCHAR) AS v FROM s ORDER BY v"),
+        # VALUES-list column typing across rows
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (1),(2.5),('3')) t(x) ORDER BY v",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (1),(2.5)) t(x) ORDER BY v",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (1),(NULL)) t(x) ORDER BY v NULLS FIRST",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (1),('a')) t(x) ORDER BY v",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (DATE '2024-01-02'),('2024-06-07')) t(x) ORDER BY v",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (1),(CAST(2 AS BIGINT))) t(x) ORDER BY v",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (true),(NULL)) t(x) ORDER BY v NULLS FIRST",
+    ]
+    exprs = [
+        # mixed-type IN-lists
+        "1 IN (1.0, 2.5)", "1 IN ('1', '2')", "1.5 IN (1, 2)",
+        "1 IN (1, '2.5')", "'1.0' IN (1, 2)", "2 IN (1, 2.0, '3')",
+        "DATE '2024-01-02' IN ('2024-01-02', '2024-06-07')",
+        "true IN (1, 0)", "NULL IN (1, 2)", "1 IN (2, NULL)",
+        "1 IN (1, NULL)",
+        # greatest's unknown-string rule is BIGINT with string rounding
+        "greatest(1, '2.5')",
+        # CASE branch typing (observed through the render)
+        "CASE WHEN true THEN 1 ELSE 'x' END",
+        "CASE WHEN false THEN 'x' ELSE 2 END",
+        "CASE WHEN false THEN DATE '2024-01-02' ELSE '2024-6-7' END",
+        "CASE WHEN false THEN 1 ELSE 'x' END",
+        "CASE WHEN true THEN 1 ELSE 2.5 END",
+        "CASE WHEN true THEN 1 WHEN false THEN 2.5 ELSE NULL END",
+        "CASE WHEN false THEN DATE '2024-01-02' ELSE '2024-06-07' END",
+        "CASE WHEN true THEN NULL ELSE 7 END",
+        "CASE WHEN false THEN CAST(1 AS TINYINT) ELSE 300 END",
+        # COALESCE / IFNULL / NULLIF typing
+        "coalesce(NULL, 1, 'x')", "coalesce(NULL, 1, 2.5)",
+        "coalesce(NULL, CAST(1 AS TINYINT), CAST(300 AS INTEGER))",
+        "coalesce('a', 1)", "ifnull(NULL, 2.5)", "ifnull(1, 2.5)",
+        "nullif(1, '1')", "nullif(2.5, 2)",
+        # GREATEST / LEAST typing
+        "greatest(1, 2.5)", "greatest(1, '2')", "least('10', 9)",
+        "greatest(DATE '2024-01-02', '2024-01-01')",
+        "least(1, 2.5, NULL)", "greatest(true, false)",
+        # mixed-operand concatenation
+        "1 || 'a'", "1 || 2", "DATE '2024-01-02' || '!'",
+        "2.5 || 'x'", "NULL || 'x'", "[1] || [2.5]",
+    ]
+    return ([(q, "query") for q in queries] +
+            [(e, "scalar") for e in exprs])
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
-            "hashbit": fam_hashbit, "compare": fam_compare}
+            "hashbit": fam_hashbit, "compare": fam_compare,
+            "coercion": fam_coercion}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
-             "AggDifferentialSpec.scala": "agg"}
+             "AggDifferentialSpec.scala": "agg",
+             "CoercionDifferentialSpec.scala": "auto"}
 
 
 def scala_quote(s):
@@ -463,7 +582,9 @@ def cmd_gen(family, seed):
     out, skipped = [], []
     for expr, kind in FAMILIES[family](seed):
         try:
-            val = eval_scalar(con, expr) if kind == "scalar" else eval_window(con, expr)
+            val = (eval_scalar(con, expr) if kind == "scalar"
+               else eval_query(con, expr) if kind == "query"
+               else eval_window(con, expr))
             out.append(f"      ({scala_quote(expr)}, {scala_quote(val)}),")
         except Exception as e:
             skipped.append(f"// SKIP {expr}: {str(e).splitlines()[0][:100]}")
@@ -499,6 +620,7 @@ def cmd_verify(paths):
             try:
                 got = (eval_scalar(con, expr) if kind == "scalar"
                        else eval_agg(con, expr) if kind == "agg"
+                       else eval_auto(con, expr) if kind == "auto"
                        else eval_window(con, expr))
             except Exception as e:
                 got = f"<ERR {str(e).splitlines()[0][:80]}>"
