@@ -245,6 +245,12 @@ class DuckLakeXLSpark(
     // BEFORE CoercionRepair can apply DuckDB's measured VALUES typing
     // ((VALUES (1),(2.5),('3')) is DECIMAL there, r14 coercion barrage)
     spark.conf.set("spark.sql.parser.eagerEvalOfUnresolvedInlineTable", "false")
+    // DECIMAL + - * propagation: DuckDB keeps the formula scale and
+    // caps precision at 38 (overflow is a loud error); Spark's default
+    // precision-loss mode reduces the scale instead (D(38,10)+D(38,10)
+    // renders 9 fraction digits vs DuckDB's 10). allowPrecisionLoss=off
+    // matches DuckDB's types exactly — measured, r14 decimal barrage.
+    spark.conf.set("spark.sql.decimalOperations.allowPrecisionLoss", "false")
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)

@@ -1430,6 +1430,14 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(coerceWaveSql)
     },
+    // r14 decimal-arithmetic wave: + - * % precision/scale propagation
+    // through the VARCHAR render, incl. the 38-cap regime where the
+    // formula scale is KEPT (allowPrecisionLoss=false) — the semantics
+    // DecimalArithDifferentialSpec pinned, replayed as one oracle row
+    "q_lake_decimal_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(decimalWaveSql)
+    },
     // r13 subquery differential wave (barrage wave 2): correlated
     // scalar subqueries, EXISTS, NOT IN with NULL (three-valued
     // logic), quantified ordering ANY/ALL (router reduces to min/max
@@ -1584,8 +1592,26 @@ object QueriesLake {
       |SELECT 'concat', 1 || 'a'
       |ORDER BY src, v""".stripMargin
 
+  /** r14 decimal-arithmetic wave text — run VERBATIM by both engines */
+  private[ops] val decimalWaveSql: String =
+    """SELECT
+      |  CAST(CAST(99.9 AS DECIMAL(3,1)) + CAST(99.9 AS DECIMAL(3,1)) AS VARCHAR) AS d1,
+      |  CAST(CAST(1.5 AS DECIMAL(3,1)) - CAST(2.75 AS DECIMAL(4,2)) AS VARCHAR) AS d2,
+      |  CAST(CAST(99.9 AS DECIMAL(3,1)) * CAST(99.9 AS DECIMAL(3,1)) AS VARCHAR) AS d3,
+      |  CAST(CAST(12.34 AS DECIMAL(5,2)) * CAST(1.234 AS DECIMAL(5,3)) AS VARCHAR) AS d4,
+      |  CAST(CAST(10.25 AS DECIMAL(4,2)) % CAST(3.0 AS DECIMAL(3,1)) AS VARCHAR) AS d5,
+      |  CAST(CAST(1.1 AS DECIMAL(38,10)) + CAST(2.2 AS DECIMAL(38,10)) AS VARCHAR) AS d6,
+      |  CAST(CAST(1.1 AS DECIMAL(38,10)) * CAST(2 AS DECIMAL(10,5)) AS VARCHAR) AS d7,
+      |  CAST(CAST(123456.789012 AS DECIMAL(18,6)) * CAST(2.5 AS DECIMAL(18,6)) AS VARCHAR) AS d8,
+      |  CAST(CAST(1.5 AS DECIMAL(3,1)) + 1 AS VARCHAR) AS d9,
+      |  CAST(CAST(1.5 AS DECIMAL(3,1)) * 2 AS VARCHAR) AS d10,
+      |  CAST((CAST(1.5 AS DECIMAL(3,1)) + CAST(2.5 AS DECIMAL(3,1))) * CAST(0.5 AS DECIMAL(2,1)) AS VARCHAR) AS d11,
+      |  CAST(CAST(2 AS DECIMAL(10,5)) * CAST(3 AS DECIMAL(10,5)) AS VARCHAR) AS d12,
+      |  CAST(-CAST(1.5 AS DECIMAL(3,1)) AS VARCHAR) AS d13""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_lake_coerce_wave" -> coerceWaveSql,
+    "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_e2e" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(4,'delta')) t(id, val) ORDER BY id"),
     "q_lake_multistatement" ->

@@ -561,10 +561,58 @@ def fam_coercion(seed):
             [(e, "scalar") for e in exprs])
 
 
+def fam_decimal(seed):
+    """DECIMAL + - * % propagation (r14 VERDICT task 2): result
+    precision/scale observed through the ::VARCHAR render (the scale IS
+    the fraction-digit count), across plain/mixed operands and the
+    38-precision cap where DuckDB keeps the formula scale and Spark's
+    default mode would reduce it (the engine pins allowPrecisionLoss
+    off to match)."""
+    rng = random.Random(seed)
+    def D(v, p, s):
+        return f"CAST({v} AS DECIMAL({p},{s}))"
+    exprs = [
+        # plain propagation
+        f"{D('99.9',3,1)} + {D('99.9',3,1)}",
+        f"{D('1.5',3,1)} - {D('2.75',4,2)}",
+        f"{D('99.9',3,1)} * {D('99.9',3,1)}",
+        f"{D('12.34',5,2)} * {D('1.234',5,3)}",
+        f"{D('10.25',4,2)} % {D('3.0',3,1)}",
+        f"-{D('1.5',3,1)}",
+        f"{D('0.1',2,1)} + {D('0.2',2,1)}",
+        f"{D('5',1,0)} - {D('7',1,0)}",
+        f"{D('1.000001',7,6)} * {D('1.000001',7,6)}",
+        # mixed integer / decimal-literal operands
+        f"{D('1.5',3,1)} + 1",
+        f"{D('1.5',3,1)} * 2",
+        f"{D('1.5',3,1)} + 0.25",
+        f"{D('1.5',3,1)} - CAST(3 AS BIGINT)",
+        f"{D('2.5',3,1)} * CAST(4 AS TINYINT)",
+        "1.5 + 2.25", "1.5 * 2.25", "1.5 - 2.25", "7.5 % 2.25",
+        # the 38-cap regime: DuckDB keeps the formula scale
+        f"{D('1.1',38,10)} + {D('2.2',38,10)}",
+        f"{D('1.1',38,10)} - {D('2.2',38,10)}",
+        f"{D('1.1',38,10)} * {D('2',10,5)}",
+        f"{D('1.5',38,20)} + {D('2.5',20,10)}",
+        f"{D('123456.789012',18,6)} * {D('2.5',18,6)}",
+        f"{D('1.00000000000000000001',21,20)} * {D('1',2,1)}",
+        # chained expressions keep propagating
+        f"({D('1.5',3,1)} + {D('2.5',3,1)}) * {D('0.5',2,1)}",
+        f"{D('100',5,2)} - {D('0.001',4,3)} - {D('0.001',4,3)}",
+        # renders that depend on scale zero-padding
+        f"{D('2',10,5)} + {D('3',10,5)}",
+        f"{D('2',10,5)} * {D('3',10,5)}",
+        # sum/avg aggregates widen like DuckDB? (typed literals, 1 row)
+        f"(SELECT sum(x) FROM (VALUES ({D('1.25',4,2)})) t(x))",
+        f"(SELECT avg(x) FROM (VALUES ({D('1.25',4,2)}), ({D('2.25',4,2)})) t(x))",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
-            "coercion": fam_coercion}
+            "coercion": fam_coercion, "decimal": fam_decimal}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
