@@ -240,6 +240,19 @@ class DuckLakeXLSpark(
     reg2("__graft_at_tz", graft.functions.AtTimeZoneResolve(_, _))
     reg1("__graft_to_time", graft.functions.ToTimeDuck(_))
     reg1("__graft_try_to_time", graft.functions.ToTimeDuck(_, tryMode = true))
+    // r14 interval arithmetic (functions/IntervalArith): per-field
+    // * / int with integer division, unnormalized ± , mixed-family
+    // literal constructor — CoercionRepair routes interval-literal
+    // expressions here pre-analysis
+    reg2("__graft_iv_mul", graft.functions.IvScale(_, _, div = false))
+    reg2("__graft_iv_div", graft.functions.IvScale(_, _, div = true))
+    reg2("__graft_iv_add", graft.functions.IvAdd(_, _, sub = false))
+    reg2("__graft_iv_sub", graft.functions.IvAdd(_, _, sub = true))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_iv_make", { exprs =>
+        require(exprs.length == 3, "__graft_iv_make(months, days, micros)")
+        graft.functions.IvMake(exprs(0), exprs(1), exprs(2))
+      })
     // keep VALUES lists UNRESOLVED through parsing: Spark 4's eager
     // AST-builder evaluation rejects mixed-type rows at parse time,
     // BEFORE CoercionRepair can apply DuckDB's measured VALUES typing
@@ -1040,6 +1053,20 @@ class DuckLakeXLSpark(
   private def dexpr(e: String): Column =
     expr(StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(e)))
 
+  /** the synthesized ENUM membership check — DuckDB-dialect text so it
+    * rides the check column-tag round-trip like a user CHECK (r14).
+    * The name must stay BARE: dexpr's Spark-side parse reads a
+    * double-quoted token as a string literal, so exotic names that
+    * would need quoting are refused loudly instead of silently
+    * mis-checking. */
+  private def enumCheckExpr(col: String, members: Seq[String]): String = {
+    require(col.nonEmpty && (col.head.isLetter || col.head == '_') &&
+        col.forall(c => c.isLetterOrDigit || c == '_'),
+      s"ENUM column needs a plain identifier name (got '$col')")
+    col + " IN " + members.map(m => "'" + m.replace("'", "''") + "'")
+      .mkString("(", ", ", ")")
+  }
+
   private val RecCteRe =
     """(?is)^\s*WITH\s+RECURSIVE\s+("?\w+"?)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
 
@@ -1124,6 +1151,15 @@ class DuckLakeXLSpark(
     * analysis, so the swap happens on the analyzed plan (r12
     * differential-barrage finding).
     */
+  private def integralType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private def sqlSelect(q: String): org.apache.spark.sql.DataFrame = {
     // parse -> DuckDB-lattice coercion repair -> analyze: set-op branch
     // typing, VALUES/CASE/COALESCE/greatest/IN literal coercions must be
@@ -1143,6 +1179,26 @@ class DuckLakeXLSpark(
       }
     val fixed = analyzed.transformAllExpressions {
       case s: SubtractDates => DateDiff(s.left, s.right)
+      // interval * / a NON-integer factor is a DuckDB binder error;
+      // Spark would silently compute the fractional interval — refuse
+      // loudly (integer factors on interval LITERALS already routed to
+      // the per-field natives pre-analysis; r14 interval barrage)
+      case m: org.apache.spark.sql.catalyst.expressions.MultiplyDTInterval
+          if !integralType(m.num.dataType) =>
+        throw new IllegalArgumentException(
+          "interval * non-integer has no DuckDB overload (binder error there)")
+      case m: org.apache.spark.sql.catalyst.expressions.MultiplyYMInterval
+          if !integralType(m.num.dataType) =>
+        throw new IllegalArgumentException(
+          "interval * non-integer has no DuckDB overload (binder error there)")
+      case d: org.apache.spark.sql.catalyst.expressions.DivideDTInterval
+          if !integralType(d.num.dataType) =>
+        throw new IllegalArgumentException(
+          "interval / non-integer has no DuckDB overload (binder error there)")
+      case d: org.apache.spark.sql.catalyst.expressions.DivideYMInterval
+          if !integralType(d.num.dataType) =>
+        throw new IllegalArgumentException(
+          "interval / non-integer has no DuckDB overload (binder error there)")
       // CAST(container AS VARCHAR) — DuckDB renders structs with their
       // field names, maps as {k=v}, NULLs uppercase (r13 struct/map
       // differential); BLOBs render printable-ASCII-or-\xHH (r13
@@ -2518,6 +2574,13 @@ class DuckLakeXLSpark(
       // push/pull with zero sheet-schema change; write paths read them
       d.default.foreach(e => colTags += ColumnTagRow(tableId, cid, snap, None, "default", e))
       d.check.foreach(e => colTags += ColumnTagRow(tableId, cid, snap, None, "check", e))
+      // ENUM membership rides the same CHECK machinery (r14): the
+      // catalog string keeps ENUM(...), the VARCHAR carrier stores the
+      // value, and the synthesized check refuses non-members loudly
+      CatalogSchema.enumMembers(d.ty).foreach { ms =>
+        colTags += ColumnTagRow(tableId, cid, snap, None, "check",
+          enumCheckExpr(d.name, ms))
+      }
       cid += 1
       r
     }
@@ -3408,7 +3471,10 @@ class DuckLakeXLSpark(
             ColumnTagRow(t.tableId, cid, snap, None, "default", e),
             ColumnTagRow(t.tableId, cid, snap, None, "initial_default", e))) ++
           d.check.toVector.map(e =>
-            ColumnTagRow(t.tableId, cid, snap, None, "check", e))
+            ColumnTagRow(t.tableId, cid, snap, None, "check", e)) ++
+          CatalogSchema.enumMembers(d.ty).toVector.map(ms =>
+            ColumnTagRow(t.tableId, cid, snap, None, "check",
+              enumCheckExpr(name, ms)))
         state = state.copy(
           columns = state.columns :+
             ColumnRow(cid, snap, None, t.tableId, order, name,

@@ -82,9 +82,29 @@ object CatalogSchema {
     def spark: DataType = MapType(k.spark, v.spark)
     def render: String = s"MAP(${k.render}, ${v.render})"
   }
+  /** ENUM('a', 'b') on a VARCHAR carrier (r14): the canonical render is
+    * DuckDB's DESCRIBE spelling (comma-space, '' escapes) and survives
+    * the xlsx round-trip like JSON/INTERVAL; membership is enforced by
+    * a synthesized column CHECK at CREATE/ADD COLUMN ([[enumMembers]]).
+    * Documented divergence: DuckDB sorts enums by DEFINITION order,
+    * the VARCHAR carrier sorts lexically.
+    */
+  private final case class EnumT(members: Seq[String]) extends LakeType {
+    def spark: DataType = StringType
+    def render: String =
+      members.map(m => "'" + m.replace("'", "''") + "'")
+        .mkString("ENUM(", ", ", ")")
+  }
 
   /** SQL type string (DuckDB-compatible DDL) -> Spark DataType */
   def parseType(t: String): DataType = parseLakeType(t).spark
+
+  /** members when the TOP-LEVEL declared type is an ENUM — the
+    * CREATE TABLE / ADD COLUMN paths synthesize the membership CHECK
+    * from this (nested enums inside STRUCT/MAP/arrays get the VARCHAR
+    * carrier without a check). r14. */
+  def enumMembers(t: String): Option[Seq[String]] =
+    scala.util.Try(parseLakeType(t)).toOption.collect { case e: EnumT => e.members }
 
   /** validate + normalize a DDL type string, PRESERVING logical aliases
     * (`JSON` stays `JSON`); this is what `ducklake_column.column_type`
@@ -197,6 +217,33 @@ object CatalogSchema {
           PrimT(s"DECIMAL(${parts(0)},${parts(1)})",
             DecimalType(parts(0).toInt, parts(1).toInt))
         } else PrimT("DECIMAL(18,3)", DecimalType(18, 3)) // DuckDB default
+      case "ENUM" =>
+        require(j < s.length && s.charAt(j) == '(', s"ENUM needs a member list: $s")
+        var k = j + 1
+        val members = Seq.newBuilder[String]
+        var more = true
+        while (more) {
+          k = skipWs(s, k)
+          require(k < s.length && s.charAt(k) == '\'',
+            s"ENUM members are string literals: $s")
+          val sb = new StringBuilder
+          k += 1
+          var closed = false
+          while (k < s.length && !closed) {
+            val c = s.charAt(k)
+            if (c == '\'') {
+              if (k + 1 < s.length && s.charAt(k + 1) == '\'') { sb.append('\''); k += 2 }
+              else { closed = true; k += 1 }
+            } else { sb.append(c); k += 1 }
+          }
+          require(closed, s"unterminated ENUM member literal: $s")
+          members += sb.toString
+          k = skipWs(s, k)
+          if (k < s.length && s.charAt(k) == ',') { k += 1 }
+          else { require(k < s.length && s.charAt(k) == ')', s"unterminated ENUM(: $s"); more = false }
+        }
+        j = k + 1
+        EnumT(members.result())
       case "VARCHAR" | "CHAR" if j < s.length && s.charAt(j) == '(' =>
         // VARCHAR(n): DuckDB treats the length as documentation only
         val close = s.indexOf(')', j)

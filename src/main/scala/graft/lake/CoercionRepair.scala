@@ -54,6 +54,28 @@ object CoercionRepair {
   private def isStringLit(e: Expression): Boolean =
     litType(e).contains(StringType)
 
+  private val IvFns = Set("__graft_iv_make", "__graft_iv_add",
+    "__graft_iv_sub", "__graft_iv_mul", "__graft_iv_div")
+
+  /** an interval-typed LITERAL (any flavor) or an already-routed
+    * interval-native call — the operands the r14 per-field arithmetic
+    * rewrite recognizes pre-analysis */
+  private def ivLit(e: Expression): Boolean = e match {
+    case l: Literal => l.dataType match {
+      case _: DayTimeIntervalType | _: YearMonthIntervalType |
+           CalendarIntervalType => true
+      case _ => false
+    }
+    case f: UnresolvedFunction =>
+      f.nameParts.length == 1 &&
+        IvFns(f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+    case u: UnaryMinus => ivLit(u.child)
+    case _ => false
+  }
+
+  private def ivFn(name: String, a: Expression, b: Expression): Expression =
+    UnresolvedFunction(Seq(name), Seq(a, b), isDistinct = false)
+
   private def boolNumericPair(l: Expression, r: Expression): Boolean =
     (litType(l).contains(BooleanType) &&
       litType(r).exists(_.isInstanceOf[NumericType])) ||
@@ -259,6 +281,26 @@ object CoercionRepair {
             if f.nameParts.length == 1 && LiteralCoerceFns(
               f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
           repairFn(f)
+        // r14 interval arithmetic: interval-literal * / + - route to
+        // the per-field natives (DuckDB's interval is a (months, days,
+        // micros) triple; Spark's flat-micros ops diverge — see
+        // functions/IntervalArith)
+        case m: Multiply if ivLit(m.left) || ivLit(m.right) =>
+          val (iv, n) = if (ivLit(m.left)) (m.left, m.right) else (m.right, m.left)
+          ivFn("__graft_iv_mul", iv, n)
+        case dv: Divide if ivLit(dv.left) =>
+          ivFn("__graft_iv_div", dv.left, dv.right)
+        case a: Add if ivLit(a.left) && ivLit(a.right) =>
+          ivFn("__graft_iv_add", a.left, a.right)
+        case sx: Subtract if ivLit(sx.left) && ivLit(sx.right) =>
+          ivFn("__graft_iv_sub", sx.left, sx.right)
+        case um: UnaryMinus if (um.child match {
+              case f: UnresolvedFunction =>
+                f.nameParts.length == 1 &&
+                  f.nameParts.head.equalsIgnoreCase("__graft_iv_make")
+              case _ => false
+            }) =>
+          ivFn("__graft_iv_mul", um.child, Literal(-1))
         case se: SubqueryExpression => se.withNewPlan(go(se.plan, ctes))
       }
       if (isSetOp(withExprs)) harmonize(spark, withExprs, ctes) else withExprs

@@ -3324,6 +3324,41 @@ object StatementRouter {
     q
   }
 
+  /** MIXED-family quoted interval literals (`INTERVAL '1 month 1 day
+    * 1 hour'`): Spark's parser raises mixedIntervalUnits where DuckDB
+    * takes them verbatim — rewritten to the explicit-triple
+    * constructor `__graft_iv_make(months, days, micros)`
+    * (functions/IntervalArith.IvMake, a real-fields CalendarInterval).
+    * Single-family quoted literals stay native. r14 interval barrage.
+    */
+  private val IvLitRe = """(?i)\bINTERVAL\s*'""".r
+  private def rewriteMixedIntervalLiterals(q0: String): String = {
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      IvLitRe.findAllMatchIn(q).find(m => m.start >= from && !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val close = q.indexOf('\'', m.end)
+          if (close < 0) go = false
+          else {
+            val payload = q.substring(m.end, close)
+            val (mo, d, us) =
+              try graft.functions.IntervalText.parse(payload)
+              catch { case _: Exception => (0L, 0L, 0L) }
+            if (mo != 0L && (d != 0L || us != 0L)) {
+              val rep = s"__graft_iv_make($mo, $d, CAST($us AS BIGINT))"
+              q = q.substring(0, m.start) + rep + q.substring(close + 1)
+              from = m.start + rep.length
+            } else from = close + 1
+          }
+      }
+    }
+    q
+  }
+
   /** infix `x AT TIME ZONE z` -> `__graft_at_tz(x, z)`; the dispatch on
     * x's tz-ness (naive -> instant vs instant -> wall clock) happens on
     * the analyzed plan (api/DuckLakeXLSpark.sqlSelect). The LHS walk
@@ -4746,6 +4781,7 @@ object StatementRouter {
     // tag (render-only under the UTC session); must precede the cast
     // pass so `CAST(TIMESTAMPTZ '…' AS …)` sees the wrapped call
     q = rewriteTstzLiterals(q)
+    q = rewriteMixedIntervalLiterals(q)
     // cast targets (`x::VARCHAR[]`, CAST(x AS STRUCT(…)), ::JSON/::BLOB)
     // before the bracket pass so array-type suffixes are already gone
     q = rewriteCastTargets(q)

@@ -1430,6 +1430,23 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(coerceWaveSql)
     },
+    // r14 interval-arithmetic wave: per-field * / int with integer
+    // division, unnormalized ± renders, mixed-family literals — the
+    // semantics IntervalDifferentialSpec pinned, replayed as one
+    // oracle row (DuckDB runs the IDENTICAL text)
+    "q_lake_interval_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(intervalWaveSql)
+    },
+    // r14 ENUM lake column type: VARCHAR carrier, canonical ENUM(...)
+    // catalog render, synthesized membership CHECK (LakeEnumSpec pins
+    // the reopen round-trip and the loud non-member refusal)
+    "q_lake_enum" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE et(c ENUM('a','b'), i INTEGER)")
+      lake.sql("INSERT INTO et VALUES ('a', 1), ('b', 2), ('a', 3), (NULL, 4)")
+      lake.sql("SELECT CAST(c AS VARCHAR) AS c, i FROM et ORDER BY i")
+    },
     // r14 decimal-arithmetic wave: + - * % precision/scale propagation
     // through the VARCHAR render, incl. the 38-cap regime where the
     // formula scale is KEPT (allowPrecisionLoss=false) — the semantics
@@ -1609,9 +1626,28 @@ object QueriesLake {
       |  CAST(CAST(2 AS DECIMAL(10,5)) * CAST(3 AS DECIMAL(10,5)) AS VARCHAR) AS d12,
       |  CAST(-CAST(1.5 AS DECIMAL(3,1)) AS VARCHAR) AS d13""".stripMargin
 
+  /** r14 interval-arithmetic wave text — run VERBATIM by both engines */
+  private[ops] val intervalWaveSql: String =
+    """SELECT
+      |  CAST(INTERVAL '1 day' * 2 AS VARCHAR) AS i1,
+      |  CAST(INTERVAL '1 day' / 2 AS VARCHAR) AS i2,
+      |  CAST(INTERVAL '1 day 2 hours' / 2 AS VARCHAR) AS i3,
+      |  CAST(INTERVAL '1 day' - INTERVAL '26 hours' AS VARCHAR) AS i4,
+      |  CAST(-INTERVAL '1 day 2 hours' AS VARCHAR) AS i5,
+      |  CAST(INTERVAL '1 month 1 day 1 hour' * 2 AS VARCHAR) AS i6,
+      |  CAST(INTERVAL '1 minute' / 7 AS VARCHAR) AS i7,
+      |  (INTERVAL '1 day' > INTERVAL '23 hours') AS i8,
+      |  (INTERVAL '2 hours' = INTERVAL '120 minutes') AS i9""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_lake_coerce_wave" -> coerceWaveSql,
     "q_lake_decimal_wave" -> decimalWaveSql,
+    "q_lake_interval_wave" -> intervalWaveSql,
+    "q_lake_enum" ->
+      """SELECT CAST(c AS VARCHAR) AS c, i FROM (VALUES
+        |  (CAST('a' AS ENUM('a','b')), 1), (CAST('b' AS ENUM('a','b')), 2),
+        |  (CAST('a' AS ENUM('a','b')), 3), (CAST(NULL AS ENUM('a','b')), 4)) t(c, i)
+        |ORDER BY i""".stripMargin,
     "q_lake_e2e" ->
       ("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(4,'delta')) t(id, val) ORDER BY id"),
     "q_lake_multistatement" ->

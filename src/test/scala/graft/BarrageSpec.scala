@@ -85,6 +85,10 @@ class BarrageSpec extends AnyFunSuite {
       // micros-normalizes 1 MONTH = 30 DAY, Spark's year-month and
       // day-time interval types do not compare)
       "SELECT (INTERVAL 1 MONTH = INTERVAL 30 DAY) AS v",
+      // r14 interval barrage: a non-integer multiplier is a DuckDB
+      // binder error — Spark would silently compute the fraction
+      "SELECT (INTERVAL '1 day' * 2.5) AS v",
+      "SELECT (INTERVAL '3 hours' / 1.5) AS v",
       // 1-arg age is current_date-relative: volatile, unverifiable
       "SELECT age(TIMESTAMP '2024-03-20 00:00:00') AS v FROM b",
       // time_bucket with a non-literal width / TIMESTAMP origin: no

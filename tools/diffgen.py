@@ -609,10 +609,75 @@ def fam_decimal(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_interval(seed):
+    """interval arithmetic (r14 VERDICT task 5): DuckDB's interval is a
+    (months, days, micros) TRIPLE and * / int act PER FIELD with
+    integer division ('1 day' / 2 is '00:00:00', not 12 hours);
+    non-integer multipliers are binder errors; + - keep the fields
+    unnormalized ('1 month -40 days'); comparison micros-normalizes.
+    Renders through ::VARCHAR, string-exact."""
+    exprs = [
+        # multiply: per-field
+        "INTERVAL '1 day' * 2", "2 * INTERVAL '3 hours'",
+        "INTERVAL '1 day 2 hours' * 3", "INTERVAL '2 months' * 4",
+        "INTERVAL '1 month 1 day 1 hour' * 2", "INTERVAL '90 minutes' * 2",
+        "INTERVAL '1 day' * 0", "INTERVAL '3 hours' * -2",
+        # divide: per-field INTEGER division
+        "INTERVAL '1 day' / 2", "INTERVAL '3 hours' / 2",
+        "INTERVAL '1 month' / 2", "INTERVAL '5 days' / 2",
+        "INTERVAL '1 day 2 hours' / 2", "INTERVAL '7 months' / 3",
+        "INTERVAL '1 minute' / 7",
+        # add/sub keep fields unnormalized
+        "INTERVAL '1 hour' + INTERVAL '30 minutes'",
+        "INTERVAL '1 day' - INTERVAL '26 hours'",
+        "INTERVAL '5 days' + INTERVAL '3 days'",
+        "INTERVAL '1 year' + INTERVAL '3 months'",
+        "INTERVAL '2 hours' - INTERVAL '150 minutes'",
+        # negative / mixed renders
+        "-INTERVAL '1 day 2 hours'", "-INTERVAL '3 months'",
+        "-INTERVAL '90 minutes'",
+        # comparisons (same flavor; cross-flavor stays a pinned refusal)
+        "INTERVAL '1 day' > INTERVAL '23 hours'",
+        "INTERVAL '1 day' < INTERVAL '25 hours'",
+        "INTERVAL '2 hours' = INTERVAL '120 minutes'",
+        "INTERVAL '3 months' > INTERVAL '2 months'",
+        "INTERVAL '1 day' <= INTERVAL '24 hours'",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
+def fam_keyequiv(seed):
+    """GROUP BY / DISTINCT key equivalence (r14 VERDICT task 6):
+    grouping equality is NOT the three-valued comparison — NULL
+    elements compare equal inside container keys, NaN groups with NaN,
+    -0.0 groups with 0.0 (also inside lists), NULL is its own group,
+    [] and [NULL] stay distinct. Full queries, deterministic ORDER BY."""
+    def q(expr):
+        return expr
+    queries = [
+        "SELECT CAST(x AS VARCHAR) AS k FROM (SELECT DISTINCT x FROM (VALUES (CAST(-0.0 AS DOUBLE)),(CAST(0.0 AS DOUBLE))) t(x)) s ORDER BY k",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE))) t(x)) s",
+        "SELECT CAST(n AS VARCHAR) AS v FROM (SELECT x, count(*) AS n FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(CAST(1.0 AS DOUBLE))) t(x) GROUP BY x) s ORDER BY v",
+        "SELECT CAST(n AS VARCHAR) AS v FROM (SELECT x, count(*) AS n FROM (VALUES (NULL),(NULL),(1)) t(x) GROUP BY x) s ORDER BY v",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES ([1, NULL]),([1, NULL])) t(x)) s",
+        "SELECT CAST(x AS VARCHAR) AS k FROM (SELECT x, count(*) AS n FROM (VALUES ([1, NULL]),([1, NULL]),([1, 2]),([NULL])) t(x) GROUP BY x) s ORDER BY k",
+        "SELECT CAST(n AS VARCHAR) AS v FROM (SELECT x, count(*) AS n FROM (VALUES ([1, NULL]),([1, NULL]),([1, 2]),([NULL])) t(x) GROUP BY x) s ORDER BY v",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES ({'a': NULL}),({'a': NULL})) t(x)) s",
+        "SELECT CAST(n AS VARCHAR) AS v FROM (SELECT x, count(*) AS n FROM (VALUES ({'a': 1}),({'a': 1}),({'a': NULL})) t(x) GROUP BY x) s ORDER BY v",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES ([CAST(-0.0 AS DOUBLE)]),([CAST(0.0 AS DOUBLE)])) t(x)) s",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES ([CAST('nan' AS DOUBLE)]),([CAST('nan' AS DOUBLE)])) t(x)) s",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES ([]),([NULL])) t(x)) s",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT x FROM (VALUES ({'a': [NULL, 1]}),({'a': [NULL, 1]})) t(x)) s",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT x FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(CAST(-0.0 AS DOUBLE)),(CAST(0.0 AS DOUBLE))) t(x) GROUP BY x) s",
+    ]
+    return [(x, "query") for x in map(q, queries)]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
-            "coercion": fam_coercion, "decimal": fam_decimal}
+            "coercion": fam_coercion, "decimal": fam_decimal,
+            "interval": fam_interval}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
