@@ -677,7 +677,7 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
             "coercion": fam_coercion, "decimal": fam_decimal,
-            "interval": fam_interval}
+            "interval": fam_interval, "keyequiv": fam_keyequiv}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
