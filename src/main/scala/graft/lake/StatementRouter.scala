@@ -3485,6 +3485,81 @@ object StatementRouter {
     * builtin 3-arg regexp_replace is global, which would diverge). The
     * 4-arg 'g' spelling is global in both worlds and maps to the
     * builtin. */
+  /** bare `x ~ 'pat'` / `x !~ 'pat'` — DuckDB's FULL-match regex
+    * operators ('abc' ~ 'b' is false; regexp_full_match twins). `~` is
+    * ALSO DuckDB's prefix bitwise-NOT: the spelling is infix exactly
+    * when the previous non-ws char ENDS an operand (identifier char,
+    * closing quote/paren/bracket) — `~5` stays the prefix form (Spark's
+    * own bitwise NOT, same value). The `~~` LIKE family is skipped by
+    * neighbor check. r14 (closes the r13 documented refusal).
+    */
+  private def rewriteBareRegexOps(q0: String): String = {
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      var i = from
+      var found = -1
+      var neg = false
+      while (i < q.length && found < 0) {
+        if (!lit(i) && q.charAt(i) == '~') {
+          val prev = if (i > 0) q.charAt(i - 1) else ' '
+          val next = if (i + 1 < q.length) q.charAt(i + 1) else ' '
+          if (prev != '~' && next != '~') {
+            if (prev == '!') { found = i - 1; neg = true }
+            else {
+              var k = i - 1
+              while (k >= 0 && q.charAt(k).isWhitespace) k -= 1
+              val infix = k >= 0 && {
+                val c = q.charAt(k)
+                if (c == '"' || c == ')' || c == ']' || (c == '\'' && lit(k))) true
+                else if (c.isLetterOrDigit || c == '_') {
+                  // a keyword before `~` means PREFIX (… AND ~x)
+                  var w = k
+                  while (w >= 0 && (q.charAt(w).isLetterOrDigit || q.charAt(w) == '_')) w -= 1
+                  !QuantStopKws(
+                    q.substring(w + 1, k + 1).toUpperCase(java.util.Locale.ROOT))
+                } else false
+              }
+              if (infix) found = i
+            }
+          }
+        }
+        i += 1
+      }
+      if (found < 0) go = false
+      else {
+        val opLen = if (neg) 2 else 1
+        val lhsStart = castLhsStart(q, found, lit)
+        val lhs = q.substring(lhsStart, found).trim
+        require(lhs.nonEmpty, s"cannot parse the left operand of ~ in: $q")
+        var r = found + opLen
+        while (r < q.length && q.charAt(r).isWhitespace) r += 1
+        require(r < q.length, s"dangling ~ in: $q")
+        val rEnd =
+          if (q.charAt(r) == '\'') {
+            var k = r + 1
+            while (k < q.length && lit(k)) k += 1
+            k
+          } else {
+            var k = r
+            while (k < q.length &&
+              (q.charAt(k).isLetterOrDigit || "_.\"$".contains(q.charAt(k)))) k += 1
+            if (k < q.length && q.charAt(k) == '(') matchingParen(q, k) + 1 else k
+          }
+        val rhs = q.substring(r, rEnd).trim
+        require(rhs.nonEmpty, s"cannot parse the right operand of ~ in: $q")
+        val rep =
+          if (neg) s"(NOT regexp_full_match($lhs, $rhs))"
+          else s"regexp_full_match($lhs, $rhs)"
+        q = q.substring(0, lhsStart) + rep + q.substring(rEnd)
+        from = lhsStart + rep.length
+      }
+    }
+    q
+  }
+
   def rewriteRegexpFlags(q0: String): String = {
     // every replace spelling lands on the native RegexpReplaceDuck:
     // FIRST-match unless 'g', \N backrefs translated, POSIX classes and
@@ -4794,6 +4869,7 @@ object StatementRouter {
       case _ => None
     }
     q = rewriteStringAgg(q)
+    q = rewriteBareRegexOps(q)
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)
     q = rewriteJsonArrows(q)

@@ -248,12 +248,16 @@ class BarrageSpec extends AnyFunSuite {
       "TIMESTAMP '2024-02-28 09:00:00') AS v") == 0L)
     // DATE - DATE is a day COUNT like DuckDB, not Spark's DAY interval
     assert(one("SELECT (DATE '2024-03-10' - DATE '2024-03-01') AS v") == 9)
-    // Postgres LIKE operators (`~`/`!~` regex stay loud: `~` doubles as
-    // DuckDB's prefix bitwise-NOT and text cannot disambiguate)
+    // Postgres LIKE operators; r14 closes the bare `~`/`!~` refusal —
+    // infix (operand on the left) is the FULL-match regex, prefix is
+    // bitwise-NOT (RegexpDifferentialSpec pins the values)
     assert(one("SELECT ('abc' ~~ 'a%') AS v") == true)
     assert(one("SELECT ('ABC' ~~* 'a%') AS v") == true)
     assert(one("SELECT ('abc' !~~ 'b%') AS v") == true)
     assert(one("SELECT ('ABC' !~~* 'b%') AS v") == true)
+    assert(one("SELECT ('abc' ~ 'a.c') AS v") == true)
+    assert(one("SELECT ('abc' !~ 'b') AS v") == true)
+    assert(one("SELECT (~5) AS v") == -6)
   }
 
   test("statement-shape barrage: runnable set runs, refusals stay loud") {

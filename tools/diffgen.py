@@ -265,6 +265,11 @@ def fam_regexp(seed):
         "regexp_replace('  trim  me  ', '^\\s+|\\s+$', '', 'g')",
         "regexp_extract('nested (paren (inner))', '\\(([^()]*)\\)', 1)",
         "regexp_matches('backslash\\\\path', '\\\\\\\\')",
+        # r14: bare ~ / !~ are FULL-match regex operators when infix,
+        # prefix bitwise-NOT otherwise (disambiguated on the operand end)
+        "'abc' ~ 'b'", "'abc' ~ 'a.c'", "'abc' ~ '^a.c$'",
+        "'abc' !~ 'b'", "'abc' !~ 'z.*'", "upper('ab') ~ 'AB'",
+        "'abc' ~ NULL", "~5", "~(-1)", "1 + ~2",
     ]
     return [(e, "scalar") for e in exprs]
 
