@@ -687,7 +687,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "AggDifferentialSpec.scala": "agg",
-             "CoercionDifferentialSpec.scala": "auto"}
+             "CoercionDifferentialSpec.scala": "auto",
+             "KeyEquivSpec.scala": "auto"}
 
 
 def scala_quote(s):
