@@ -248,6 +248,7 @@ class DuckLakeXLSpark(
     reg2("__graft_iv_div", graft.functions.IvScale(_, _, div = true))
     reg2("__graft_iv_add", graft.functions.IvAdd(_, _, sub = false))
     reg2("__graft_iv_sub", graft.functions.IvAdd(_, _, sub = true))
+    reg1("__graft_iv_norm", graft.functions.IvNorm(_))
     org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
       spark, "__graft_iv_make", { exprs =>
         require(exprs.length == 3, "__graft_iv_make(months, days, micros)")
@@ -1065,6 +1066,14 @@ class DuckLakeXLSpark(
       s"ENUM column needs a plain identifier name (got '$col')")
     col + " IN " + members.map(m => "'" + m.replace("'", "''") + "'")
       .mkString("(", ", ", ")")
+  }
+
+  /** BIT's synthesized valid-bitstring check (same tag machinery) */
+  private def bitCheckExpr(col: String): String = {
+    require(col.nonEmpty && (col.head.isLetter || col.head == '_') &&
+        col.forall(c => c.isLetterOrDigit || c == '_'),
+      s"BIT column needs a plain identifier name (got '$col')")
+    s"regexp_full_match($col, '[01]*')"
   }
 
   private val RecCteRe =
@@ -2581,6 +2590,9 @@ class DuckLakeXLSpark(
         colTags += ColumnTagRow(tableId, cid, snap, None, "check",
           enumCheckExpr(d.name, ms))
       }
+      if (CatalogSchema.isBitType(d.ty))
+        colTags += ColumnTagRow(tableId, cid, snap, None, "check",
+          bitCheckExpr(d.name))
       cid += 1
       r
     }
@@ -3474,7 +3486,11 @@ class DuckLakeXLSpark(
             ColumnTagRow(t.tableId, cid, snap, None, "check", e)) ++
           CatalogSchema.enumMembers(d.ty).toVector.map(ms =>
             ColumnTagRow(t.tableId, cid, snap, None, "check",
-              enumCheckExpr(name, ms)))
+              enumCheckExpr(name, ms))) ++
+          (if (CatalogSchema.isBitType(d.ty))
+            Vector(ColumnTagRow(t.tableId, cid, snap, None, "check",
+              bitCheckExpr(name)))
+          else Vector.empty)
         state = state.copy(
           columns = state.columns :+
             ColumnRow(cid, snap, None, t.tableId, order, name,

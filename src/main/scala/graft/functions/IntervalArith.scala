@@ -97,6 +97,29 @@ case class IvAdd(left: Expression, right: Expression, sub: Boolean)
     copy(left = l, right = r)
 }
 
+/** interval -> normalized BIGINT micros for COMPARISON: DuckDB
+  * micros-normalizes across flavors with 1 month = 30 days (measured:
+  * `1 MONTH = 30 DAY` true, `1 YEAR = 360 DAY` true, one micro
+  * decides). Literal cross-flavor comparisons route here. */
+case class IvNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "iv_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (IntervalFields.isIntervalish(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"not an interval: ${child.dataType.simpleString}")
+  override def nullSafeEval(v: Any): Any = {
+    val (m, d, us) = IntervalFields.of(child.dataType, v)
+    val dayUs = 86400L * 1000000L
+    Math.addExact(Math.multiplyExact(Math.addExact(Math.multiplyExact(m, 30L), d),
+      dayUs), us)
+  }
+  override protected def withNewChildInternal(c: Expression): IvNorm =
+    copy(child = c)
+}
+
 /** CalendarInterval from explicit (months, days, micros) — the router
   * emits this for MIXED-family interval literals Spark's parser
   * refuses (`INTERVAL '1 month 1 day 1 hour'` is mixedIntervalUnits

@@ -106,6 +106,14 @@ object CatalogSchema {
   def enumMembers(t: String): Option[Seq[String]] =
     scala.util.Try(parseLakeType(t)).toOption.collect { case e: EnumT => e.members }
 
+  /** the TOP-LEVEL declared type is BIT — gets a synthesized
+    * valid-bitstring CHECK like ENUM's membership check (r14) */
+  def isBitType(t: String): Boolean =
+    scala.util.Try(parseLakeType(t)).toOption.exists {
+      case p: PrimT => p.canon == "BIT"
+      case _ => false
+    }
+
   /** validate + normalize a DDL type string, PRESERVING logical aliases
     * (`JSON` stays `JSON`); this is what `ducklake_column.column_type`
     * stores for CREATE TABLE / ADD COLUMN
@@ -217,6 +225,15 @@ object CatalogSchema {
           PrimT(s"DECIMAL(${parts(0)},${parts(1)})",
             DecimalType(parts(0).toInt, parts(1).toInt))
         } else PrimT("DECIMAL(18,3)", DecimalType(18, 3)) // DuckDB default
+      case "UNION" =>
+        // DuckDB's sum type: no Spark carrier preserves the active-tag
+        // semantics (a struct carrier would silently change comparisons
+        // and renders) — a NAMED loud refusal instead of the generic
+        // unsupported-type error (r14)
+        throw new IllegalArgumentException(
+          "UNION(...) column types are not supported: Spark has no sum-type " +
+          "carrier that preserves the active member tag — declare a " +
+          "STRUCT(tag VARCHAR, ...) or separate nullable columns instead")
       case "ENUM" =>
         require(j < s.length && s.charAt(j) == '(', s"ENUM needs a member list: $s")
         var k = j + 1
@@ -301,6 +318,10 @@ object CatalogSchema {
     // flavor or interval string into it at write time) — DESCRIBE still
     // reads INTERVAL, same treatment as JSON/UUID
     case "INTERVAL"                    => PrimT("INTERVAL", StringType)
+    // bitstring on a VARCHAR carrier ('0101'); membership CHECK
+    // synthesized at CREATE/ADD COLUMN like ENUM (r14). Bit OPERATORS
+    // stay unimplemented — loud unresolved-function errors.
+    case "BIT" | "BITSTRING"           => PrimT("BIT", StringType)
     case _ => null
   })
 

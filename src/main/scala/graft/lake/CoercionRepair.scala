@@ -76,6 +76,9 @@ object CoercionRepair {
   private def ivFn(name: String, a: Expression, b: Expression): Expression =
     UnresolvedFunction(Seq(name), Seq(a, b), isDistinct = false)
 
+  private def dateLit(e: Expression): Boolean =
+    litType(e).contains(DateType)
+
   private def boolNumericPair(l: Expression, r: Expression): Boolean =
     (litType(l).contains(BooleanType) &&
       litType(r).exists(_.isInstanceOf[NumericType])) ||
@@ -168,18 +171,32 @@ object CoercionRepair {
   }
 
   /** CASE branches: string literals take the non-string literal
-    * branches' widened type, LAZILY (the dead-branch cast never runs) */
+    * branches' widened type, LAZILY (the dead-branch cast never runs);
+    * boolean literals convert to numeric siblings eagerly
+    * (`CASE WHEN p THEN true ELSE 2 END` is INT in DuckDB, true -> 1) */
   private def repairCase(cw: CaseWhen): CaseWhen = {
     val values = cw.branches.map(_._2) ++ cw.elseValue
-    val nonStr = values.flatMap(litType).filterNot(_ == StringType)
-    if (!values.exists(isStringLit) || nonStr.isEmpty) cw
-    else widen(nonStr) match {
-      case Some(tt) =>
-        def fix(e: Expression) =
-          if (isStringLit(e)) graft.functions.LazyCoerce(Cast(e, tt)) else e
-        CaseWhen(cw.branches.map { case (c, v) => (c, fix(v)) },
-          cw.elseValue.map(fix))
-      case None => cw
+    val ts = values.flatMap(litType)
+    val strs = values.exists(isStringLit)
+    val bools = values.exists(e => litType(e).contains(BooleanType))
+    val others = ts.filterNot(x => x == StringType || x == BooleanType)
+    if ((!strs && !bools) || others.isEmpty) cw
+    else {
+      val target =
+        if (strs) widen(others)
+        else if (others.forall(_.isInstanceOf[NumericType])) widen(others)
+        else None
+      target match {
+        case Some(tt) =>
+          def fix(e: Expression) =
+            if (isStringLit(e)) graft.functions.LazyCoerce(Cast(e, tt))
+            else if (litType(e).contains(BooleanType) && tt.isInstanceOf[NumericType])
+              Cast(e, tt)
+            else e
+          CaseWhen(cw.branches.map { case (c, v) => (c, fix(v)) },
+            cw.elseValue.map(fix))
+        case None => cw
+      }
     }
   }
 
@@ -294,6 +311,24 @@ object CoercionRepair {
           ivFn("__graft_iv_add", a.left, a.right)
         case sx: Subtract if ivLit(sx.left) && ivLit(sx.right) =>
           ivFn("__graft_iv_sub", sx.left, sx.right)
+        // DATE literal ± interval is a TIMESTAMP in DuckDB (renders
+        // '2024-01-16 00:00:00'); Spark would keep DATE for day/month
+        // intervals. Literal-only — a date COLUMN keeps Spark's date
+        // result (values agree, the render divergence is documented).
+        case a: Add if (ivLit(a.left) && dateLit(a.right)) ||
+            (ivLit(a.right) && dateLit(a.left)) =>
+          val (d, iv) = if (dateLit(a.left)) (a.left, a.right) else (a.right, a.left)
+          Add(Cast(d, TimestampNTZType), iv)
+        case sx: Subtract if dateLit(sx.left) && ivLit(sx.right) =>
+          Subtract(Cast(sx.left, TimestampNTZType), sx.right)
+        // cross-flavor interval-literal comparison micros-normalizes
+        // with 1 month = 30 days (measured; closes the r13 pinned
+        // refusal `INTERVAL 1 MONTH = INTERVAL 30 DAY`)
+        case bc: BinaryComparison if ivLit(bc.left) && ivLit(bc.right) =>
+          bc.withNewChildren(Seq(
+            UnresolvedFunction(Seq("__graft_iv_norm"), Seq(bc.left), isDistinct = false),
+            UnresolvedFunction(Seq("__graft_iv_norm"), Seq(bc.right), isDistinct = false)))
+            .asInstanceOf[Expression]
         case um: UnaryMinus if (um.child match {
               case f: UnresolvedFunction =>
                 f.nameParts.length == 1 &&

@@ -48,6 +48,7 @@ class BarrageSpec extends AnyFunSuite {
       "SELECT greatest(1, 2) AS v, least(3, 4) AS w FROM b",
       "SELECT (true = 1) AS v",
       "SELECT greatest('2', 10) AS v",
+      "SELECT (INTERVAL 1 MONTH = INTERVAL 30 DAY) AS v",
       "SELECT isfinite(x) AS v, isinf(x) AS w FROM b",
       "SELECT isnan(x) AS v FROM b",
       "SELECT format('{} and {}', 1, 2) AS v FROM b",
@@ -78,13 +79,11 @@ class BarrageSpec extends AnyFunSuite {
       // (2^127-1); the engine's HUGEINT convention is DECIMAL(38,0),
       // so the last digit of range stays a loud precision error
       "SELECT CAST(170141183460469231731687303715884105727 AS VARCHAR) AS v",
-      // r13 compare differential (r14: bool<->int comparison and mixed
-      // string/number greatest() now RUN via CoercionRepair's literal
-      // lattice — values pinned in CompareDifferentialSpec; the
-      // cross-flavor interval equality stays loud: DuckDB
-      // micros-normalizes 1 MONTH = 30 DAY, Spark's year-month and
-      // day-time interval types do not compare)
-      "SELECT (INTERVAL 1 MONTH = INTERVAL 30 DAY) AS v",
+      // r13 compare differential — all three former refusals now RUN
+      // via CoercionRepair's literal lattice (bool<->int comparison,
+      // mixed string/number greatest(), and the cross-flavor interval
+      // comparison, which micros-normalizes with 1 month = 30 days;
+      // values pinned in Compare/IntervalDifferentialSpec)
       // r14 interval barrage: a non-integer multiplier is a DuckDB
       // binder error — Spark would silently compute the fraction
       "SELECT (INTERVAL '1 day' * 2.5) AS v",

@@ -53,4 +53,22 @@ class LakeEnumSpec extends AnyFunSuite {
     lake2.sql("INSERT INTO mood VALUES ('ok', 6, 'hi')")
     assert(lake2.sql("SELECT lvl FROM mood WHERE id = 6").head().getString(0) == "hi")
   }
+
+  test("BIT column: bitstring check + canonical render; UNION is a NAMED refusal") {
+    val dir = Files.createTempDirectory("graft_bit").toString
+    val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    lake.sql("CREATE TABLE bt(b BIT, id INTEGER)")
+    lake.sql("INSERT INTO bt VALUES ('0101', 1), ('', 2), (NULL, 3)")
+    assert(lake.sql("SELECT b FROM bt WHERE id = 1").head().getString(0) == "0101")
+    val desc = lake.sql("DESCRIBE bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("b") == "BIT", desc)
+    intercept[Throwable] { lake.sql("INSERT INTO bt VALUES ('0102', 4)") }
+    assert(lake.sql("SELECT count(*) AS n FROM bt").head().getLong(0) == 3L)
+    // UNION(...) sum type: a NAMED loud refusal, not the generic error
+    val e = intercept[Throwable] {
+      lake.sql("CREATE TABLE ut(u UNION(i INTEGER, s VARCHAR))")
+    }
+    assert(e.getMessage.contains("UNION(...)"), e.getMessage)
+  }
 }

@@ -549,6 +549,8 @@ def fam_coercion(seed):
         "CASE WHEN false THEN DATE '2024-01-02' ELSE '2024-06-07' END",
         "CASE WHEN true THEN NULL ELSE 7 END",
         "CASE WHEN false THEN CAST(1 AS TINYINT) ELSE 300 END",
+        "CASE WHEN true THEN true ELSE 2 END",
+        "CASE WHEN false THEN true ELSE 2 END",
         # COALESCE / IFNULL / NULLIF typing
         "coalesce(NULL, 1, 'x')", "coalesce(NULL, 1, 2.5)",
         "coalesce(NULL, CAST(1 AS TINYINT), CAST(300 AS INTEGER))",
@@ -647,6 +649,18 @@ def fam_interval(seed):
         "INTERVAL '2 hours' = INTERVAL '120 minutes'",
         "INTERVAL '3 months' > INTERVAL '2 months'",
         "INTERVAL '1 day' <= INTERVAL '24 hours'",
+        # cross-flavor comparison micros-normalizes: 1 month = 30 days
+        "INTERVAL '1 month' = INTERVAL '30 days'",
+        "INTERVAL '1 year' = INTERVAL '360 days'",
+        "INTERVAL '1 month' > INTERVAL '29 days'",
+        "INTERVAL '1 month 1 day' > INTERVAL '30 days'",
+        "INTERVAL '1 month' = INTERVAL '30 days 1 microsecond'",
+        # DATE literal +- interval is a TIMESTAMP (midnight base)
+        "DATE '2024-01-15' + INTERVAL '1 day'",
+        "DATE '2024-01-15' + INTERVAL '1 month'",
+        "DATE '2024-01-15' + INTERVAL '2 hours'",
+        "DATE '2024-01-15' + INTERVAL '1 month 1 day'",
+        "DATE '2024-03-01' - INTERVAL '1 day'",
     ]
     return [(e, "scalar") for e in exprs]
 
