@@ -84,9 +84,17 @@ class SubqueryDifferentialSpec extends AnyFunSuite {
     (s"SELECT id, NULL > ALL (SELECT v FROM $U WHERE v > 999) AS b FROM $T ORDER BY id",
       List(List(1, true), List(2, true), List(3, true))),
     (s"SELECT id FROM $T WHERE v < SOME (VALUES (15),(NULL)) ORDER BY id",
-      List(List(1))))
+      List(List(1))),
+    // r14: CORRELATED quantified bodies — the CASE reduction emits
+    // three correlated scalar aggregates per comparison
+    (s"SELECT id FROM $T WHERE v >= ALL (SELECT u.v FROM $U WHERE u.v <= t.v) ORDER BY id",
+      List(List(1), List(2), List(3))),
+    (s"SELECT id FROM $T WHERE v > ANY (SELECT u.v FROM $U WHERE u.v < t.v) ORDER BY id",
+      List(List(2), List(3))),
+    (s"SELECT id FROM $T WHERE v > ALL (SELECT u.v FROM $U WHERE u.v > t.v) ORDER BY id",
+      Nil))
 
-  test("28 DuckDB-measured subquery/lateral row sets match through the router") {
+  test("31 DuckDB-measured subquery/lateral row sets match through the router") {
     val dir = Files.createTempDirectory("graft_subqdiff").toString
     val lake = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
     val bad = fixtures.flatMap { case (q, want) =>
