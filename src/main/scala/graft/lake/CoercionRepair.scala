@@ -48,6 +48,10 @@ object CoercionRepair {
   private def litType(e: Expression): Option[DataType] = e match {
     case Literal(null, _) => None
     case l: Literal => Some(l.dataType)
+    // the parser wraps negative numbers as UnaryMinus(Literal) — same
+    // type, still a literal for lattice purposes (r14 review find:
+    // VALUES (-1),(2.5),('3') was invisibly skipped)
+    case u: UnaryMinus => litType(u.child).filter(_.isInstanceOf[NumericType])
     case _ => None
   }
 

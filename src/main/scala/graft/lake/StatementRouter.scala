@@ -3531,7 +3531,11 @@ object StatementRouter {
       if (found < 0) go = false
       else {
         val opLen = if (neg) 2 else 1
-        val lhsStart = castLhsStart(q, found, lit)
+        // LHS crosses binary arithmetic/concat (measured:
+        // `'a' || 'bc' ~ 'abc'` is TRUE — the concat binds first);
+        // the RHS is the TIGHT operand (`'abc' ~ 'a' || 'bc'` is
+        // ('abc' ~ 'a') || 'bc' = 'falsebc' — measured)
+        val lhsStart = quantLhsStart(q, found, lit)
         val lhs = q.substring(lhsStart, found).trim
         require(lhs.nonEmpty, s"cannot parse the left operand of ~ in: $q")
         var r = found + opLen

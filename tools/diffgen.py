@@ -270,6 +270,9 @@ def fam_regexp(seed):
         "'abc' ~ 'b'", "'abc' ~ 'a.c'", "'abc' ~ '^a.c$'",
         "'abc' !~ 'b'", "'abc' !~ 'z.*'", "upper('ab') ~ 'AB'",
         "'abc' ~ NULL", "~5", "~(-1)", "1 + ~2",
+        # precedence (measured): LHS crosses ||, RHS is tight
+        "'a' || 'bc' ~ 'abc'", "'abc' ~ 'a' || 'bc'",
+        "upper('a') || 'BC' ~ 'ABC'",
     ]
     return [(e, "scalar") for e in exprs]
 
@@ -529,6 +532,7 @@ def fam_coercion(seed):
         "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (DATE '2024-01-02'),('2024-06-07')) t(x) ORDER BY v",
         "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (1),(CAST(2 AS BIGINT))) t(x) ORDER BY v",
         "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (true),(NULL)) t(x) ORDER BY v NULLS FIRST",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES (-1),(2.5),('3')) t(x) ORDER BY v",
     ]
     exprs = [
         # mixed-type IN-lists
@@ -538,7 +542,7 @@ def fam_coercion(seed):
         "true IN (1, 0)", "NULL IN (1, 2)", "1 IN (2, NULL)",
         "1 IN (1, NULL)",
         # greatest's unknown-string rule is BIGINT with string rounding
-        "greatest(1, '2.5')",
+        "greatest(1, '2.5')", "greatest(-5, '2')",
         # CASE branch typing (observed through the render)
         "CASE WHEN true THEN 1 ELSE 'x' END",
         "CASE WHEN false THEN 'x' ELSE 2 END",
