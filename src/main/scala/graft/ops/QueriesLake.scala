@@ -1577,7 +1577,12 @@ object QueriesLake {
           |  regexp_replace('a1b2', '(\d)', '[\1]', 'g') AS rr4,
           |  regexp_replace('abc', 'b', '\0\0') AS rr5,
           |  array_to_string(regexp_split_to_array('a,b,,c', ','), '|') AS rs1,
-          |  array_to_string(regexp_split_to_array('abc', ''), '|') AS rs2""".stripMargin)
+          |  array_to_string(regexp_split_to_array('abc', ''), '|') AS rs2,
+          |  ('abc' ~ 'a.c') AS bx1,
+          |  ('abc' ~ 'b') AS bx2,
+          |  ('abc' !~ 'b') AS bx3,
+          |  ('a' || 'bc' ~ 'abc') AS bx4,
+          |  CAST(~5 AS BIGINT) AS bx5""".stripMargin)
     }
   )
 
@@ -1637,7 +1642,10 @@ object QueriesLake {
       |  CAST(INTERVAL '1 month 1 day 1 hour' * 2 AS VARCHAR) AS i6,
       |  CAST(INTERVAL '1 minute' / 7 AS VARCHAR) AS i7,
       |  (INTERVAL '1 day' > INTERVAL '23 hours') AS i8,
-      |  (INTERVAL '2 hours' = INTERVAL '120 minutes') AS i9""".stripMargin
+      |  (INTERVAL '2 hours' = INTERVAL '120 minutes') AS i9,
+      |  (INTERVAL '1 month' = INTERVAL '30 days') AS i10,
+      |  (INTERVAL '1 month 1 day' > INTERVAL '30 days') AS i11,
+      |  CAST(DATE '2024-01-15' + INTERVAL '1 month 1 day' AS VARCHAR) AS i12""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_lake_coerce_wave" -> coerceWaveSql,
@@ -2247,6 +2255,11 @@ object QueriesLake {
         |  regexp_replace('a1b2', '(\d)', '[\1]', 'g') AS rr4,
         |  regexp_replace('abc', 'b', '\0\0') AS rr5,
         |  array_to_string(regexp_split_to_array('a,b,,c', ','), '|') AS rs1,
-        |  array_to_string(regexp_split_to_array('abc', ''), '|') AS rs2""".stripMargin
+        |  array_to_string(regexp_split_to_array('abc', ''), '|') AS rs2,
+        |  ('abc' ~ 'a.c') AS bx1,
+        |  ('abc' ~ 'b') AS bx2,
+        |  ('abc' !~ 'b') AS bx3,
+        |  ('a' || 'bc' ~ 'abc') AS bx4,
+        |  CAST(~5 AS BIGINT) AS bx5""".stripMargin
   )
 }
