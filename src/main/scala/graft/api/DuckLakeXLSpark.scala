@@ -265,6 +265,10 @@ class DuckLakeXLSpark(
     // renders 9 fraction digits vs DuckDB's 10). allowPrecisionLoss=off
     // matches DuckDB's types exactly — measured, r14 decimal barrage.
     spark.conf.set("spark.sql.decimalOperations.allowPrecisionLoss", "false")
+    // DuckDB's "..." is ALWAYS an identifier (strings are
+    // single-quoted) — without this, every double-quoted identifier
+    // ("my col", reserved words) was a parse error (r14 gap probe)
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
     val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
@@ -2784,7 +2788,7 @@ class DuckLakeXLSpark(
     val names = cols.getOrElse(tempTables(table.toLowerCase).columns.toSeq)
     spark.sql("SELECT * FROM (" +
       StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(valuesSql)) +
-      s") AS t(${names.mkString(", ")})")
+      s") AS t(${names.map(sqlq).mkString(", ")})")
   }
 
   /** INSERT into a TEMP table: coerce to the snapshot's schema (same
@@ -2877,7 +2881,7 @@ class DuckLakeXLSpark(
       }
     spark.sql("SELECT * FROM (" +
       StatementRouter.rewriteDialect(StatementRouter.sparkifyLiterals(valuesSql)) +
-      s") AS t(${names.mkString(", ")})")
+      s") AS t(${names.map(sqlq).mkString(", ")})")
   }
 
   /** append: write df as parquet data file(s) under dataPath/<table>/, add
@@ -4246,6 +4250,13 @@ class DuckLakeXLSpark(
   }
 
   private def colq(df: DataFrame, name: String) = df(s"`$name`")
+
+  /** backtick-quote a column name for synthesized SQL when it is not a
+    * plain identifier (quoted names may carry spaces/specials — r14) */
+  private def sqlq(n: String): String =
+    if (n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+        n.forall(c => c.isLetterOrDigit || c == '_')) n
+    else "`" + n.replace("`", "``") + "`"
 }
 
 /** static SQL-rewrite patterns (companion, so they exist before the

@@ -270,7 +270,9 @@ object DuckLakeCatalog {
     * [[DuckLakeFileIndex]] can prune files at plan time)
     */
   private[lake] def filterToColumn(df: DataFrame, f: Filter): Option[Column] = {
-    def c(n: String): Column = df(s"`$n`")
+    // pushed V1 filter attributes arrive through Spark's quoteIfNeeded:
+    // names with specials (spaces, dots) come ALREADY backticked (r14)
+    def c(n: String): Column = if (n.startsWith("`")) df(n) else df(s"`$n`")
     f match {
       case sources.EqualTo(a, v)            => Some(c(a) === lit(v))
       case sources.EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))

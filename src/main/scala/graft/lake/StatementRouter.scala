@@ -681,10 +681,19 @@ object StatementRouter {
         "supported: this engine cannot enforce it, and accepting-then-" +
         "ignoring an enforced constraint silently weakens semantics")
       case p =>
-        val sp = p.split("\\s+", 2)
-        require(sp.length == 2, s"cannot parse column definition: '$p'")
-        val name = sp(0).stripPrefix("\"").stripSuffix("\"")
-        val rest = sp(1).trim
+        // a quoted column name may CONTAIN whitespace ("my col" INTEGER)
+        // — the whitespace split only applies to bare names (r14)
+        val (name, rest) =
+          if (p.startsWith("\"")) {
+            val close = p.indexOf('"', 1)
+            require(close > 0, s"unterminated quoted column name: '$p'")
+            (p.substring(1, close), p.substring(close + 1).trim)
+          } else {
+            val sp = p.split("\\s+", 2)
+            require(sp.length == 2, s"cannot parse column definition: '$p'")
+            (sp(0), sp(1).trim)
+          }
+        require(rest.nonEmpty, s"cannot parse column definition: '$p'")
         val (_, tyEnd) = CatalogSchema.parseLakeTypePrefix(rest)
         val ty = rest.substring(0, tyEnd).trim
         var tail = rest.substring(tyEnd).trim
