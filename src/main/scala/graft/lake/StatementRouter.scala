@@ -401,6 +401,11 @@ object StatementRouter {
   private val PivotRe = """(?is)^\s*PIVOT\s+([\w\.\"]+)\s+ON\s+(.+)$""".r
   private val UnpivotRe =
     """(?is)^\s*UNPIVOT\s+([\w\.\"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)\s*$""".r
+  // the short forms: optional INTO clause (defaults name/value — the
+  // DuckDB defaults) and a parenthesized subquery target (r14)
+  private val UnpivotShortRe =
+    """(?is)^\s*UNPIVOT\s+([\w\.\"]+)\s+ON\s+(.+?)\s*$""".r
+  private val UnpivotSubqRe = """(?is)^\s*UNPIVOT\s*\(""".r
 
   private def bareName(n: String): String = {
     // strip optional schema/lake qualifier + quotes: lake.main.t -> t
@@ -1244,6 +1249,25 @@ object StatementRouter {
     // clause (both engines exclude NULL cells by default)
     case UnpivotRe(name, cols, nameC, valC) =>
       Select(s"SELECT * FROM ${qualName(name)} UNPIVOT ($valC FOR $nameC IN ($cols))")
+    // short form on a SUBQUERY target; INTO clause optional with
+    // DuckDB's default output names (name, value) — r14 gap probe
+    case q0 if UnpivotSubqRe.findFirstMatchIn(q0).isDefined =>
+      val m = UnpivotSubqRe.findFirstMatchIn(q0).get
+      val open = m.end - 1
+      val close = matchingParen(q0, open)
+      val sub = q0.substring(open + 1, close).trim
+      val rest = q0.substring(close + 1).trim
+      val OnRe = """(?is)^ON\s+(.+?)(?:\s+INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+))?\s*$""".r
+      rest match {
+        case OnRe(cols, nameC, valC) =>
+          val n = Option(nameC).getOrElse("name")
+          val v = Option(valC).getOrElse("value")
+          Select(s"SELECT * FROM ($sub) __unp UNPIVOT ($v FOR $n IN ($cols))")
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse UNPIVOT (subquery) tail: $rest")
+      }
+    case UnpivotShortRe(name, cols) =>
+      Select(s"SELECT * FROM ${qualName(name)} UNPIVOT (value FOR name IN ($cols))")
     case other => Select(other)
   }
 
@@ -4851,8 +4875,44 @@ object StatementRouter {
   }
 
   /** the full DuckDB-dialect pass (see the block comment above) */
+  /** DuckDB tolerates trailing commas (`SELECT a, b, FROM t`, list /
+    * struct literals, VALUES rows): drop a ',' whose next non-ws char
+    * closes the clause (')' ']' '}') or whose next word is a RESERVED
+    * clause keyword (reserved in DuckDB too, so a bare identifier can
+    * never be swallowed) or end of statement. r14 gap probe. */
+  private val TrailingCommaKws = Set("FROM", "WHERE", "GROUP", "HAVING",
+    "ORDER", "UNION", "INTERSECT", "EXCEPT")
+  private def rewriteTrailingCommas(q0: String): String = {
+    val lit = literalMask(q0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q0.length) {
+      val c = q0.charAt(i)
+      if (!lit(i) && c == ',') {
+        var k = i + 1
+        while (k < q0.length && q0.charAt(k).isWhitespace) k += 1
+        val drop =
+          if (k >= q0.length) true
+          else {
+            val ch = q0.charAt(k)
+            if (ch == ')' || ch == ']' || ch == '}') true
+            else if (ch.isLetter) {
+              var e = k
+              while (e < q0.length &&
+                (q0.charAt(e).isLetterOrDigit || q0.charAt(e) == '_')) e += 1
+              TrailingCommaKws(
+                q0.substring(k, e).toUpperCase(java.util.Locale.ROOT))
+            } else false
+          }
+        if (!drop) sb.append(c)
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   def rewriteDialect(sql: String): String = {
-    var q = rewriteFromFirst(sql)
+    var q = rewriteTrailingCommas(rewriteFromFirst(sql))
     // table-function `FROM generate_series(a, b)` -> exploded sequence
     // derived table carrying DuckDB's output column name — MUST precede
     // renameFns, which maps list-position generate_series to sequence
