@@ -2253,24 +2253,48 @@ class DuckLakeXLSpark(
         })
     }
     val fields = df.schema.fields
-    val aggs = fields.zipWithIndex.flatMap { case (f, i) => Seq(
-      min(col(f.name)).cast(StringType).as(s"mn$i"),
-      max(col(f.name)).cast(StringType).as(s"mx$i"),
-      countDistinct(col(f.name)).as(s"du$i"),
-      count(when(col(f.name).isNull, lit(1))).as(s"nl$i"))
+    // avg / std / quantiles on NUMERIC columns only (DuckDB's NULLs
+    // elsewhere); quantiles are EXACT interpolated percentiles cast
+    // back to the column type — DuckDB's are t-digest approximations
+    // (approx_quantile), a sketch no other engine reproduces bit-exact,
+    // so the deterministic exact definition is used instead (r14;
+    // nearby values, same rendering rules)
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val numeric = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      def nstr(c: Column) =
+        (if (numeric) c else lit(null)).cast(StringType)
+      def qtile(p: Double) =
+        if (numeric)
+          percentile(col(f.name), lit(p)).cast(f.dataType).cast(StringType)
+        else lit(null).cast(StringType)
+      Seq(
+        min(col(f.name)).cast(StringType).as(s"mn$i"),
+        max(col(f.name)).cast(StringType).as(s"mx$i"),
+        countDistinct(col(f.name)).as(s"du$i"),
+        count(when(col(f.name).isNull, lit(1))).as(s"nl$i"),
+        nstr(avg(col(f.name).cast(DoubleType))).as(s"av$i"),
+        nstr(stddev_samp(col(f.name).cast(DoubleType))).as(s"sd$i"),
+        qtile(0.25).as(s"q1$i"), qtile(0.5).as(s"q2$i"), qtile(0.75).as(s"q3$i"))
     }.toSeq
+    val w = 9
     val r = df.agg(count(lit(1)).as("cnt"), aggs: _*).collect()(0)
     val cnt = r.getLong(0)
     val rows = fields.toVector.zipWithIndex.map { case (f, i) =>
-      val nulls = r.getLong(4 * i + 4)
+      val nulls = r.getLong(w * i + 4)
       val pct =
         if (cnt == 0L) 0.0
         else BigDecimal(100.0 * nulls / cnt)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       Row(f.name, colTypes(i),
-        r.get(4 * i + 1).asInstanceOf[String],
-        r.get(4 * i + 2).asInstanceOf[String],
-        r.getLong(4 * i + 3), cnt, pct)
+        r.get(w * i + 1).asInstanceOf[String],
+        r.get(w * i + 2).asInstanceOf[String],
+        r.getLong(w * i + 3),
+        r.get(w * i + 5).asInstanceOf[String],
+        r.get(w * i + 6).asInstanceOf[String],
+        r.get(w * i + 7).asInstanceOf[String],
+        r.get(w * i + 8).asInstanceOf[String],
+        r.get(w * i + 9).asInstanceOf[String],
+        cnt, pct)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("column_name", StringType, false),
@@ -2278,6 +2302,11 @@ class DuckLakeXLSpark(
       StructField("min", StringType, true),
       StructField("max", StringType, true),
       StructField("approx_unique", LongType, false),
+      StructField("avg", StringType, true),
+      StructField("std", StringType, true),
+      StructField("q25", StringType, true),
+      StructField("q50", StringType, true),
+      StructField("q75", StringType, true),
       StructField("count", LongType, false),
       StructField("null_percentage", DoubleType, false))))
   }

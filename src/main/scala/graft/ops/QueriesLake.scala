@@ -1742,10 +1742,18 @@ object QueriesLake {
       ("SELECT * FROM (VALUES (1, 'a', 2, '1995/03/15', 73), (2, 'x', 4, '1995/04/01', 90)) " +
        "t(id, first_tok, dbl, dstr, dd) ORDER BY id"),
     "q_lake_dialect4" ->
+      // full 12-column SUMMARIZE shape (r14): avg/std match DuckDB's
+      // aggregates exactly; the quantiles are the engine's DOCUMENTED
+      // exact interpolated percentiles (DuckDB's approx_quantile is a
+      // t-digest sketch no other engine reproduces bit-exact)
       ("SELECT * FROM (VALUES " +
-       "('grp','VARCHAR','a','b',CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(0.0 AS DOUBLE)), " +
-       "('v','INTEGER','5','9',CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(33.33 AS DOUBLE))) " +
-       "t(column_name, column_type, \"min\", \"max\", approx_unique, \"count\", null_percentage) " +
+       "('grp','VARCHAR','a','b',CAST(2 AS BIGINT),CAST(NULL AS VARCHAR)," +
+       "CAST(NULL AS VARCHAR),CAST(NULL AS VARCHAR),CAST(NULL AS VARCHAR)," +
+       "CAST(NULL AS VARCHAR),CAST(3 AS BIGINT),CAST(0.0 AS DOUBLE)), " +
+       "('v','INTEGER','5','9',CAST(2 AS BIGINT),'7.0','2.8284271247461903'," +
+       "'6','7','8',CAST(3 AS BIGINT),CAST(33.33 AS DOUBLE))) " +
+       "t(column_name, column_type, \"min\", \"max\", approx_unique, " +
+       "\"avg\", \"std\", q25, q50, q75, \"count\", null_percentage) " +
        "ORDER BY column_name"),
     "q_lake_dialect5" ->
       ("SELECT * FROM (VALUES (1, '2,6', 20, '1;2'), (2, '8,10', 30, '4;5')) " +
