@@ -249,6 +249,10 @@ class DuckLakeXLSpark(
     reg2("__graft_iv_add", graft.functions.IvAdd(_, _, sub = false))
     reg2("__graft_iv_sub", graft.functions.IvAdd(_, _, sub = true))
     reg1("__graft_iv_norm", graft.functions.IvNorm(_))
+    // r14 function-battery gaps (functions/FuzzyText)
+    reg2("jaro_similarity", graft.functions.JaroSimilarity(_, _, winkler = false))
+    reg2("jaro_winkler_similarity", graft.functions.JaroSimilarity(_, _, winkler = true))
+    reg1("format_bytes", graft.functions.FormatBytes(_))
     org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
       spark, "__graft_iv_make", { exprs =>
         require(exprs.length == 3, "__graft_iv_make(months, days, micros)")

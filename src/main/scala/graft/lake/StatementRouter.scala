@@ -1473,6 +1473,11 @@ object StatementRouter {
     "list_pack"      -> "array",
     "list_contains"  -> "array_contains",
     "list_has_any"   -> "arrays_overlap",
+    // order divergence documented: DuckDB's set-ops hash-order their
+    // output; Spark's array_intersect keeps the left list's order
+    "list_intersect" -> "array_intersect",
+    "editdist3"      -> "levenshtein",
+    "mismatches"     -> "hamming",
     // list_distinct / list_prepend / list_sort family: explicit
     // rewrites in rewriteDialect (r12 list differential — measured
     // orders and argument swaps a bare rename cannot carry)
@@ -4695,16 +4700,102 @@ object StatementRouter {
       }
       case _ => None
     }
-    Seq("string_split", "str_split", "string_to_array", "string_split_regex")
+    Seq("string_split", "str_split", "string_to_array", "string_split_regex",
+        "str_split_regex")
       .foldLeft(q) { (acc, fn) =>
-        if (fn == "string_split_regex")
-          // the _regex variant passes the separator through as a pattern
+        if (fn.endsWith("_regex"))
+          // the _regex variants pass the separator through as a pattern
           rewriteCalls(acc, fn) {
             case Seq(s, sep) => Some(s"split($s, $sep)")
             case _ => None
           }
         else rewriteCalls(acc, fn)(f)
       }
+  }
+
+  /** r14 function-battery gaps with pure-SQL twins: ISO day-of-week,
+    * decade/century, the julian day (measured: midnight renders .0 —
+    * epoch/86400 + 2440588), exact epoch_ms/us/ns via unix_* (ns needs
+    * LONG arithmetic, a double loses precision past 2^53), stable
+    * grade-up (sort (value, index) pairs), list_has_all, and the
+    * parse_path family (both separators, like DuckDB's default).
+    */
+  private def rewriteFnGaps(q0: String): String = {
+    var q = q0
+    q = rewriteCalls(q, "isodow") {
+      case Seq(x) => Some(s"(((dayofweek(${x.trim}) + 5) % 7) + 1)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "decade") {
+      case Seq(x) => Some(s"CAST(floor(year(${x.trim}) / 10.0) AS BIGINT)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "century") {
+      case Seq(x) => Some(s"CAST(ceil(year(${x.trim}) / 100.0) AS BIGINT)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "julian") {
+      case Seq(x) => Some("(2440588.0 + (CAST(date_part('epoch', " +
+        s"CAST(${x.trim} AS TIMESTAMP)) AS DOUBLE) / 86400.0))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "epoch_ns") {
+      case Seq(x) => Some(s"(unix_micros(CAST(${x.trim} AS TIMESTAMP_LTZ)) * CAST(1000 AS BIGINT))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "epoch_us") {
+      case Seq(x) => Some(s"unix_micros(CAST(${x.trim} AS TIMESTAMP_LTZ))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "epoch_ms") {
+      case Seq(x) => Some(s"unix_millis(CAST(${x.trim} AS TIMESTAMP_LTZ))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "list_grade_up") {
+      case Seq(x) =>
+        val a = x.trim
+        Some(s"transform(array_sort(zip_with($a, sequence(1, size($a)), " +
+          "(__v, __i) -> named_struct('a', __v, 'b', __i))), __s -> __s.b)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "list_has_all") {
+      case Seq(a, b) =>
+        Some(s"forall(${b.trim}, __e -> array_contains(${a.trim}, __e))")
+      case _ => None
+    }
+    // parse_path family: components split on / or \ (DuckDB's default
+    // separator mode); an absolute path keeps its leading separator as
+    // the first component
+    def comps(p: String) = s"filter(split($p, '[/\\\\\\\\]'), __x -> __x <> '')"
+    def lead(p: String) =
+      s"CASE WHEN $p RLIKE '^[/\\\\\\\\]' THEN concat(array(substring($p, 1, 1)), ${comps(p)}) ELSE ${comps(p)} END"
+    q = rewriteCalls(q, "parse_path") {
+      case Seq(p) => Some(lead(p.trim))
+      case _ => None
+    }
+    q = rewriteCalls(q, "parse_dirname") {
+      case Seq(p0) =>
+        val p = p0.trim
+        Some(s"CASE WHEN size(${lead(p)}) > 1 THEN element_at(${lead(p)}, 1) ELSE '' END")
+      case _ => None
+    }
+    q = rewriteCalls(q, "parse_dirpath") {
+      case Seq(p0) =>
+        val p = p0.trim
+        Some(s"CASE WHEN $p RLIKE '[/\\\\\\\\]' THEN " +
+          s"regexp_replace($p, '[/\\\\\\\\][^/\\\\\\\\]*$$', '') ELSE '' END")
+      case _ => None
+    }
+    q = rewriteCalls(q, "parse_filename") {
+      case Seq(p) =>
+        Some(s"regexp_extract(${p.trim}, '[^/\\\\\\\\]*$$', 0)")
+      case Seq(p, trim) =>
+        val base = s"regexp_extract(${p.trim}, '[^/\\\\\\\\]*$$', 0)"
+        Some(s"CASE WHEN ${trim.trim} THEN regexp_replace($base, " +
+          s"'\\\\.[^.]*$$', '') ELSE $base END")
+      case _ => None
+    }
+    q
   }
 
   // ------------------------------------------ DuckDB FROM-first syntax
@@ -4947,6 +5038,7 @@ object StatementRouter {
     q = rewriteJsonFns(q)
     q = rewriteJsonArrows(q)
     q = rewriteListMisc(q)
+    q = rewriteFnGaps(q)
     q = mapOutsideLiterals(q)(renameFns)
     // list_position: plain array_position — MEASURED DuckDB 1.0 returns
     // 0 when the element is absent and NULL for a NULL target, exactly

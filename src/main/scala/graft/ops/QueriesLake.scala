@@ -1430,6 +1430,12 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(coerceWaveSql)
     },
+    // r14 function-battery wave: fuzzy-text, format_bytes, date parts,
+    // grade-up, parse_path family (FnWaveDifferentialSpec semantics)
+    "q_lake_fn2_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(fnWaveSql)
+    },
     // r14 interval-arithmetic wave: per-field * / int with integer
     // division, unnormalized ± renders, mixed-family literals — the
     // semantics IntervalDifferentialSpec pinned, replayed as one
@@ -1647,8 +1653,28 @@ object QueriesLake {
       |  (INTERVAL '1 month 1 day' > INTERVAL '30 days') AS i11,
       |  CAST(DATE '2024-01-15' + INTERVAL '1 month 1 day' AS VARCHAR) AS i12""".stripMargin
 
+  /** r14 function-battery wave text — run VERBATIM by both engines */
+  private[ops] val fnWaveSql: String =
+    """SELECT
+      |  jaro_winkler_similarity('martha', 'marhta') AS f1,
+      |  jaro_similarity('duck', 'luck') AS f2,
+      |  format_bytes(123456789) AS f3,
+      |  format_bytes(1023) AS f4,
+      |  CAST(isodow(DATE '2024-03-03') AS BIGINT) AS f5,
+      |  CAST(decade(DATE '2024-03-05') AS BIGINT) AS f6,
+      |  CAST(century(DATE '2000-12-31') AS BIGINT) AS f7,
+      |  julian(TIMESTAMP '2024-03-05 18:00:00') AS f8,
+      |  CAST(epoch_ms(TIMESTAMP '2024-01-01 00:00:00.5') AS BIGINT) AS f9,
+      |  CAST(list_grade_up([3, 1, 2, 1]) AS VARCHAR) AS f10,
+      |  list_has_all([1,2,3], [2,3]) AS f11,
+      |  CAST(parse_path('/a/b/c.txt') AS VARCHAR) AS f12,
+      |  parse_dirname('a/b/c.txt') AS f13,
+      |  parse_filename('/a/b/c.txt', true) AS f14,
+      |  CAST(editdist3('abc', 'axc') AS BIGINT) AS f15""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_lake_coerce_wave" -> coerceWaveSql,
+    "q_lake_fn2_wave" -> fnWaveSql,
     "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_interval_wave" -> intervalWaveSql,
     "q_lake_enum" ->

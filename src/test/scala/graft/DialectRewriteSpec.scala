@@ -485,8 +485,10 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(dyn) == dyn)
     assert(rewriteDialect("SELECT epoch(ts) FROM t") ==
       "SELECT unix_timestamp(ts) FROM t")
-    val ms = "SELECT epoch_ms(ts) FROM t"
-    assert(rewriteDialect(ms) == ms)
+    // r14: the epoch_ms/us/ns family maps to exact unix_* arithmetic
+    // (previously untouched -> loud unresolved function)
+    assert(rewriteDialect("SELECT epoch_ms(ts) FROM t") ==
+      "SELECT unix_millis(CAST(ts AS TIMESTAMP_LTZ)) FROM t")
   }
 
   test("r9: direct file queries lift paths into registered views") {

@@ -696,11 +696,47 @@ def fam_keyequiv(seed):
     return [(x, "query") for x in map(q, queries)]
 
 
+def fam_fnwave(seed):
+    """r14 function-battery gaps: fuzzy-text similarity, format_bytes,
+    iso/julian/epoch date parts, grade-up, list set-ops, the parse_path
+    family — each closed with a native or a pure-SQL twin."""
+    exprs = [
+        "jaro_similarity('duck','luck')",
+        "jaro_winkler_similarity('duck','luck')",
+        "jaro_winkler_similarity('martha','marhta')",
+        "jaro_winkler_similarity('abc','abc')",
+        "jaro_winkler_similarity('', 'abc')",
+        "editdist3('abc','axc')", "mismatches('abc','abd')",
+        "format_bytes(1023)", "format_bytes(1024)", "format_bytes(1536)",
+        "format_bytes(0)", "format_bytes(123456789)",
+        "format_bytes(10000000000000)",
+        "isodow(DATE '2024-03-05')", "isodow(DATE '2024-03-03')",
+        "decade(DATE '2024-03-05')", "century(DATE '2024-03-05')",
+        "century(DATE '2000-12-31')", "decade(DATE '1999-01-01')",
+        "julian(DATE '2000-01-01')", "julian(DATE '2024-03-05')",
+        "julian(TIMESTAMP '2024-03-05 18:00:00')",
+        "epoch_ms(TIMESTAMP '2024-01-01 00:00:00.5')",
+        "epoch_us(TIMESTAMP '2024-01-01 00:00:00.5')",
+        "epoch_ns(TIMESTAMP '2024-01-01 00:00:00')",
+        "list_grade_up([3, 1, 2, 1])",
+        "list_has_all([1,2,3],[2,3])", "list_has_all([1,2],[2,9])",
+        "list_sort(list_intersect([1,2,3],[2,3,4]))",
+        "parse_path('/a/b/c.txt')", "parse_path('a/b.txt')",
+        "parse_dirname('/a/b/c.txt')", "parse_dirname('a/b/c.txt')",
+        "parse_dirname('c.txt')",
+        "parse_dirpath('/a/b/c.txt')",
+        "parse_filename('/a/b/c.txt')", "parse_filename('/a/b/c.txt', true)",
+        "str_split_regex('a1b2c','[0-9]')",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
             "coercion": fam_coercion, "decimal": fam_decimal,
-            "interval": fam_interval, "keyequiv": fam_keyequiv}
+            "interval": fam_interval, "keyequiv": fam_keyequiv,
+            "fnwave": fam_fnwave}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
