@@ -258,34 +258,62 @@ class DuckLakeXLSpark(
         require(exprs.length == 3, "__graft_iv_make(months, days, micros)")
         graft.functions.IvMake(exprs(0), exprs(1), exprs(2))
       })
-    // keep VALUES lists UNRESOLVED through parsing: Spark 4's eager
-    // AST-builder evaluation rejects mixed-type rows at parse time,
-    // BEFORE CoercionRepair can apply DuckDB's measured VALUES typing
-    // ((VALUES (1),(2.5),('3')) is DECIMAL there, r14 coercion barrage)
-    spark.conf.set("spark.sql.parser.eagerEvalOfUnresolvedInlineTable", "false")
-    // DECIMAL + - * propagation: DuckDB keeps the formula scale and
-    // caps precision at 38 (overflow is a loud error); Spark's default
-    // precision-loss mode reduces the scale instead (D(38,10)+D(38,10)
-    // renders 9 fraction digits vs DuckDB's 10). allowPrecisionLoss=off
-    // matches DuckDB's types exactly — measured, r14 decimal barrage.
-    spark.conf.set("spark.sql.decimalOperations.allowPrecisionLoss", "false")
-    // DuckDB's "..." is ALWAYS an identifier (strings are
-    // single-quoted) — without this, every double-quoted identifier
-    // ("my col", reserved words) was a parse error (r14 gap probe)
-    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     // core sheets decide pull-vs-push; optional sheets (view, stats,
     // tombstones) parse as empty when absent so older workbooks still open
-    val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
-    val canPull = remote.exists && {
-      val present = remote.sheetNames.toSet
-      wanted.forall(present.contains)
+    // (withLakeConfs: bootstrap parses stored view SQL in lake dialect)
+    withLakeConfs {
+      val wanted = CatalogSchema.coreTables.map(CatalogSchema.sheetName)
+      val canPull = remote.exists && {
+        val present = remote.sheetNames.toSet
+        wanted.forall(present.contains)
+      }
+      if (canPull) pull()
+      else {
+        state = seedState()
+        push()
+      }
+      registerViews()
     }
-    if (canPull) pull()
-    else {
-      state = seedState()
-      push()
+  }
+
+  /** The reference owns its DuckDB connection outright; this lake SHARES
+    * the caller's SparkSession, so the three DuckDB-dialect session confs
+    * are scoped to each lake call and RESTORED afterwards — non-lake
+    * `spark.sql` in the same session keeps stock Spark semantics (r15
+    * advice; previously the ctor pinned them session-wide, silently
+    * changing decimal result types, inline-table parsing and
+    * double-quote semantics for everything else in the session):
+    *  - eagerEvalOfUnresolvedInlineTable=false keeps VALUES lists
+    *    unresolved through parsing — Spark 4's eager AST-builder
+    *    evaluation rejects mixed-type rows BEFORE CoercionRepair can
+    *    apply DuckDB's measured VALUES typing ((VALUES (1),(2.5),('3'))
+    *    is DECIMAL there, r14 coercion barrage)
+    *  - decimalOperations.allowPrecisionLoss=false: DuckDB keeps the
+    *    formula scale and caps precision at 38 (overflow is a loud
+    *    error); Spark's default reduces the scale instead (D(38,10)+
+    *    D(38,10) renders 9 fraction digits vs DuckDB's 10) — measured,
+    *    r14 decimal barrage
+    *  - ansi.doubleQuotedIdentifiers=true: DuckDB's "..." is ALWAYS an
+    *    identifier (strings are single-quoted) — without it every
+    *    double-quoted identifier was a parse error (r14 gap probe)
+    * Parse/analysis is eager inside each scope, so a returned DataFrame
+    * stays correctly resolved after restore. Re-entrant (restore puts
+    * back whatever the outer scope had). NOT thread-isolated: a racing
+    * non-lake statement on another thread of the same session can
+    * observe the lake values for the duration of a lake call.
+    */
+  private def lakeConfs = Seq(
+    "spark.sql.parser.eagerEvalOfUnresolvedInlineTable" -> "false",
+    "spark.sql.decimalOperations.allowPrecisionLoss" -> "false",
+    "spark.sql.ansi.doubleQuotedIdentifiers" -> "true")
+  private def withLakeConfs[A](body: => A): A = {
+    val prev = lakeConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    lakeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
-    registerViews()
   }
 
   /** run `body` with this lake as the session's CURRENT catalog and
@@ -294,7 +322,7 @@ class DuckLakeXLSpark(
     * DataFrame returned from inside the scope stays correctly resolved
     * after restore. Re-entrant.
     */
-  private def withLakeCatalog[A](body: => A): A = {
+  private def withLakeCatalog[A](body: => A): A = withLakeConfs {
     // bind the registry to THIS instance for the scope: with several live
     // instances on one lake name (reopen pattern), catalog resolution must
     // follow whoever is executing, not whoever was constructed last
@@ -434,7 +462,7 @@ class DuckLakeXLSpark(
     * — the rejected attempt committed nothing, so the replay is exactly
     * the documented manual remedy ("re-run the statement"), automated.
     */
-  def sql(script: String): DataFrame = {
+  def sql(script: String): DataFrame = withLakeConfs {
     val macrosBefore = macros
     val preparedBefore = prepared
     val tempBefore = tempTables

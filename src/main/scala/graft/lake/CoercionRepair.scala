@@ -347,8 +347,51 @@ object CoercionRepair {
     go(plan, ctes0)
   }
 
+  /** r15 advice: harmonize analyzes every branch standalone, and parsed
+    * set-op chains are binary-nested, so an N-branch UNION paid O(N^2)
+    * branch analyses even when no string/boolean divergence could exist.
+    * Cheap structural pre-filter: skip the analysis when EVERY branch
+    * output is PROVABLY free of string/boolean-typed columns (numeric /
+    * temporal literals, casts to definite non-string types, arithmetic —
+    * the literal-chain shapes that make long unions). Anything
+    * unprovable (attributes, functions, stars, CASE) still takes the
+    * measured harmonize path: a string COLUMN union'd against a numeric
+    * is exactly the silent-wrong-values case this repair exists for
+    * (Spark casts the string branch to the numeric type), so the filter
+    * must never guess it away. */
+  private def provablyNoStringBool(e: Expression): Boolean = e match {
+    case a: Alias => provablyNoStringBool(a.child)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias =>
+      provablyNoStringBool(u.child)
+    case l: Literal =>
+      l.dataType != StringType && l.dataType != BooleanType
+    case c: Cast => c.dataType != StringType && c.dataType != BooleanType
+    case lc: graft.functions.LazyCoerce => provablyNoStringBool(lc.child)
+    case _: Add | _: Subtract | _: Multiply | _: Divide |
+         _: IntegralDivide | _: Remainder | _: UnaryMinus |
+         _: UnaryPositive => true // arithmetic never yields string/bool
+    case _ => false
+  }
+  private def branchProvablySafe(p: LogicalPlan): Boolean = p match {
+    case _ if p.resolved => // an inner already-harmonized set-op
+      p.output.forall(a =>
+        a.dataType != StringType && a.dataType != BooleanType)
+    case Distinct(c) => branchProvablySafe(c)
+    case GlobalLimit(_, c) => branchProvablySafe(c)
+    case LocalLimit(_, c) => branchProvablySafe(c)
+    case st: Sort => branchProvablySafe(st.child)
+    case SubqueryAlias(_, c) => branchProvablySafe(c)
+    case Project(list, _) => list.forall(provablyNoStringBool)
+    case ag: Aggregate => ag.aggregateExpressions.forall(provablyNoStringBool)
+    case u: Union => u.children.forall(branchProvablySafe)
+    case s: SetOperation =>
+      branchProvablySafe(s.left) && branchProvablySafe(s.right)
+    case _ => false
+  }
+
   private def harmonize(spark: SparkSession, sop: LogicalPlan,
       ctes: CteScope): LogicalPlan = {
+    if (sop.children.forall(branchProvablySafe)) return sop
     val an = sop.children.map(analyzedChild(spark, _, ctes))
     if (an.exists(_.isEmpty)) return sop
     val kids = an.flatten

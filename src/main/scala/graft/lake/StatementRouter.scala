@@ -854,6 +854,28 @@ object StatementRouter {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** true when call-argument text ends with a TOP-LEVEL trailing comma —
+    * DuckDB parser-errors on `f(a,)`, so such a call must reach Spark
+    * un-rewritten and fail there just as loudly (r15; splitTopCommas
+    * silently swallows the empty trailing argument otherwise). Nested
+    * trailing commas (`f(g(x,))`) are g's problem on its own pass. */
+  private def trailingTopComma(inner: String): Boolean = {
+    val lit = literalMask(inner)
+    var depth = 0
+    var lastTopComma = false
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (lit(i)) lastTopComma = false
+      else if (c == '(' || c == '[' || c == '{') { depth += 1; lastTopComma = false }
+      else if (c == ')' || c == ']' || c == '}') { depth -= 1; lastTopComma = false }
+      else if (c == ',' && depth == 0) lastTopComma = true
+      else if (!c.isWhitespace) lastTopComma = false
+      i += 1
+    }
+    lastTopComma
+  }
+
   /** split "a = a + 1, val = 'x'" at top-level commas into (col, expr) */
   private[lake] def splitAssignments(s: String): Seq[(String, String)] =
     splitTopCommas(s).map { p =>
@@ -2867,7 +2889,12 @@ object StatementRouter {
           if (lit(start)) from = start + 1
           else {
             val close = matchingParen(s, open)
-            f(splitTopCommas(s.substring(open + 1, close))) match {
+            // a top-level trailing comma in call args is a DuckDB parser
+            // error (r15 — `greatest(1,2,)`): leave the call un-rewritten
+            // so Spark's parser refuses it just as loudly, instead of
+            // letting splitTopCommas silently swallow the empty argument
+            if (trailingTopComma(s.substring(open + 1, close))) from = open + 1
+            else f(splitTopCommas(s.substring(open + 1, close))) match {
               case Some(rep) =>
                 s = s.substring(0, start) + rep + s.substring(close + 1)
                 // re-scan FROM the replacement so calls nested inside the
@@ -3320,16 +3347,28 @@ object StatementRouter {
           require(lhs.nonEmpty,
             s"cannot parse the left operand of a quantified $op $kind comparison in: $q")
           def sub(sel: String) = s"(SELECT $sel FROM ($body) AS __anyall(__qc))"
+          // r15 advice: bind the LHS and the extreme comparison ONCE and
+          // fold the null-presence arm into three-valued AND/OR, instead
+          // of splicing the body 4x and the LHS 2x across CASE arms (an
+          // expensive body executed repeatedly; a nondeterministic body
+          // or LHS evaluated inconsistently between arms). The three
+          // single-aggregate scalar subqueries below are over IDENTICAL
+          // body text, which Catalyst's MergeScalarSubqueries folds into
+          // one struct-returning subquery for deterministic bodies.
+          //   ALL:  empty -> TRUE;  else cmp AND (noNulls ? TRUE : NULL)
+          //         (cmp=F -> FALSE even with nulls; cmp=T w/ nulls -> NULL)
+          //   ANY:  empty -> FALSE; else cmp OR  (noNulls ? FALSE : NULL)
+          //         (cmp=T -> TRUE even with nulls; cmp=F w/ nulls -> NULL)
           val cmp = s"(($lhs) $op ${sub(s"$agg(__qc)")})"
           val empty = s"${sub("count(*)")} = 0"
           val noNulls = s"${sub("count(*) - count(__qc)")} = 0"
           val rep =
             if (kind == "ALL")
-              s"(CASE WHEN $empty THEN TRUE WHEN $cmp AND $noNulls THEN TRUE " +
-                s"WHEN NOT $cmp THEN FALSE ELSE CAST(NULL AS BOOLEAN) END)"
+              s"(CASE WHEN $empty THEN TRUE ELSE ($cmp AND " +
+                s"(CASE WHEN $noNulls THEN TRUE ELSE CAST(NULL AS BOOLEAN) END)) END)"
             else
-              s"(CASE WHEN $empty THEN FALSE WHEN $cmp THEN TRUE " +
-                s"WHEN NOT $cmp AND $noNulls THEN FALSE ELSE CAST(NULL AS BOOLEAN) END)"
+              s"(CASE WHEN $empty THEN FALSE ELSE ($cmp OR " +
+                s"(CASE WHEN $noNulls THEN FALSE ELSE CAST(NULL AS BOOLEAN) END)) END)"
           q = q.substring(0, lhsStart) + rep + q.substring(close + 1)
       }
     }
@@ -4966,38 +5005,148 @@ object StatementRouter {
   }
 
   /** the full DuckDB-dialect pass (see the block comment above) */
-  /** DuckDB tolerates trailing commas (`SELECT a, b, FROM t`, list /
-    * struct literals, VALUES rows): drop a ',' whose next non-ws char
-    * closes the clause (')' ']' '}') or whose next word is a RESERVED
-    * clause keyword (reserved in DuckDB too, so a bare identifier can
-    * never be swallowed) or end of statement. r14 gap probe. */
+  /** DuckDB 1.0.0 trailing-comma tolerance, measured per CONTEXT (r15 —
+    * the r14 any-`)` drop silently accepted spellings DuckDB
+    * parser-errors on, e.g. `count(a,)` and `(1,2,)`).
+    *
+    * Tolerated (comma dropped): select list, GROUP BY list (incl. CUBE/
+    * ROLLUP parens and the GROUPING SETS OUTER paren), UPDATE SET list,
+    * IN lists (exprs or subquery), VALUES rows and trailing row commas,
+    * `[…,]` / `{…,}` literals, row(…,), DISTINCT ON (…,), CTE / derived-
+    * table alias column lists (`WITH c(x,) AS`, `(…) v(x,y,)`).
+    *
+    * Parser errors in DuckDB (comma KEPT, so Spark's parser refuses just
+    * as loudly — never a silent accept): regular function-call argument
+    * lists (incl. qualified `main.f(…,)` and table functions in FROM),
+    * bare row constructors `(1,2,)`, ORDER BY / PARTITION BY lists (incl.
+    * inside OVER and at end of input), CASE arms, WHERE/LIMIT/OFFSET
+    * scalar tails, GROUPING SETS inner groups, INSERT column lists.
+    *
+    * The clause-keyword set stays DuckDB-RESERVED words only, so a bare
+    * identifier can never be swallowed into an alias. Known benign
+    * residue: `CAST(x AS DECIMAL(10,2,))` shares the `AS name(` alias
+    * shape and is dropped (both engines then agree on the value). */
   private val TrailingCommaKws = Set("FROM", "WHERE", "GROUP", "HAVING",
     "ORDER", "UNION", "INTERSECT", "EXCEPT")
+  // list-context codes carried per nesting frame
+  private final val CtxPlain = 0  // scalar / no list: trailing ',' errors
+  private final val CtxTol = 1    // list tolerating a trailing comma
+  private final val CtxArg = 2    // call args / ORDER / PARTITION: errors
+  private final val CtxValues = 3 // VALUES row list: rows + separators ok
+  /** keywords that can directly precede a '(' without making it a call */
+  private val TrailingCommaNonCall = Set("AND", "OR", "NOT", "WHERE",
+    "SELECT", "WHEN", "THEN", "ELSE", "AS", "FROM", "JOIN", "UNION", "ALL",
+    "DISTINCT", "EXCEPT", "INTERSECT", "BY", "HAVING", "QUALIFY", "LIMIT",
+    "OFFSET", "CASE", "END", "BETWEEN", "LIKE", "ILIKE", "SIMILAR", "IS",
+    "OVER", "USING", "WINDOW", "LATERAL", "CROSS", "INNER", "LEFT",
+    "RIGHT", "FULL", "OUTER", "NATURAL", "ASOF", "POSITIONAL", "ANTI",
+    "SEMI", "EXISTS", "INTO", "TABLE", "VALUES", "IN", "ON", "SET",
+    "GROUP", "ORDER", "PARTITION", "RETURNING")
   private def rewriteTrailingCommas(q0: String): String = {
     val lit = literalMask(q0)
+    // frame = (ctx, caseDepth) — caseDepth > 0 means inside CASE…END,
+    // where commas are never list commas
+    val ctxs = scala.collection.mutable.ArrayBuffer(CtxPlain)
+    val cases = scala.collection.mutable.ArrayBuffer(0)
+    var prev = ""  // last significant token (words uppercased)
+    var prev2 = ""
+    def push(t: String): Unit = { prev2 = prev; prev = t }
+    def isIdentTok(t: String) =
+      t.nonEmpty && (t.charAt(0).isLetter || t.charAt(0) == '_') &&
+        !TrailingCommaNonCall(t)
+    def wordAt(k0: Int): String = {
+      var e = k0
+      while (e < q0.length &&
+        (q0.charAt(e).isLetterOrDigit || q0.charAt(e) == '_')) e += 1
+      q0.substring(k0, e).toUpperCase(java.util.Locale.ROOT)
+    }
     val sb = new StringBuilder
     var i = 0
     while (i < q0.length) {
       val c = q0.charAt(i)
-      if (!lit(i) && c == ',') {
-        var k = i + 1
-        while (k < q0.length && q0.charAt(k).isWhitespace) k += 1
-        val drop =
-          if (k >= q0.length) true
-          else {
-            val ch = q0.charAt(k)
-            if (ch == ')' || ch == ']' || ch == '}') true
-            else if (ch.isLetter) {
-              var e = k
-              while (e < q0.length &&
-                (q0.charAt(e).isLetterOrDigit || q0.charAt(e) == '_')) e += 1
-              TrailingCommaKws(
-                q0.substring(k, e).toUpperCase(java.util.Locale.ROOT))
-            } else false
-          }
-        if (!drop) sb.append(c)
-      } else sb.append(c)
-      i += 1
+      if (lit(i)) { sb.append(c); push("'"); i += 1 }
+      else if (c.isLetter || c == '_') {
+        var e = i
+        while (e < q0.length &&
+          (q0.charAt(e).isLetterOrDigit || q0.charAt(e) == '_')) e += 1
+        val w = q0.substring(i, e).toUpperCase(java.util.Locale.ROOT)
+        w match {
+          case "SELECT" | "GROUP" | "SET"  => ctxs(ctxs.length - 1) = CtxTol
+          case "VALUES"                    => ctxs(ctxs.length - 1) = CtxValues
+          case "ORDER" | "PARTITION"       => ctxs(ctxs.length - 1) = CtxArg
+          case "FROM" | "WHERE" | "HAVING" | "QUALIFY" | "LIMIT" |
+               "OFFSET" | "WINDOW" | "JOIN" | "USING" | "RETURNING" =>
+            ctxs(ctxs.length - 1) = CtxPlain
+          case "ON" => if (prev != "DISTINCT") ctxs(ctxs.length - 1) = CtxPlain
+          case "CASE" => cases(cases.length - 1) += 1
+          case "END" =>
+            if (cases(cases.length - 1) > 0) cases(cases.length - 1) -= 1
+          case _ =>
+        }
+        sb.append(q0.substring(i, e))
+        push(w)
+        i = e
+      } else c match {
+        case '(' =>
+          val ctx =
+            if (ctxs.last == CtxValues && (prev == "VALUES" || prev == ","))
+              CtxTol // a VALUES row
+            else if (prev == "IN" || prev == "ROW" || prev == "CUBE" ||
+              prev == "ROLLUP" || prev == "SETS" ||
+              (prev == "ON" && prev2 == "DISTINCT")) CtxTol
+            else if (isIdentTok(prev)) {
+              // identifier( — a call UNLESS the identifier itself follows
+              // `)`, AS, WITH or another identifier: then it is a CTE /
+              // derived-table alias whose column list tolerates the comma
+              if (prev2 == ")" || prev2 == "AS" || prev2 == "WITH" ||
+                isIdentTok(prev2)) CtxTol
+              else CtxArg
+            } else CtxPlain
+          ctxs += ctx; cases += 0
+          sb.append(c); push("("); i += 1
+        case '[' | '{' =>
+          ctxs += CtxTol; cases += 0
+          sb.append(c); push(c.toString); i += 1
+        case ')' | ']' | '}' =>
+          if (ctxs.length > 1) { ctxs.remove(ctxs.length - 1); cases.remove(cases.length - 1) }
+          sb.append(c); push(c.toString); i += 1
+        case ',' =>
+          var k = i + 1
+          while (k < q0.length && q0.charAt(k).isWhitespace) k += 1
+          val eff = if (cases.last > 0) CtxPlain else ctxs.last
+          val tolerant = eff == CtxTol || eff == CtxValues
+          val drop =
+            if (k >= q0.length) tolerant
+            else if (lit(k)) false
+            else {
+              val ch = q0.charAt(k)
+              if (ch == ']' || ch == '}') true
+              else if (ch == ')') {
+                if (tolerant) true
+                else if (eff == CtxArg) {
+                  // CTE column-list rescue: `WITH c(x,y,) AS (…)` — the
+                  // close paren is followed by `AS (`. A bare `AS alias`
+                  // after a call (`greatest(1,2,) AS v`) must NOT rescue.
+                  var m = k + 1
+                  while (m < q0.length && q0.charAt(m).isWhitespace) m += 1
+                  if (m < q0.length && !lit(m) && q0.charAt(m).isLetter &&
+                    wordAt(m) == "AS") {
+                    var p = m + 2
+                    while (p < q0.length && q0.charAt(p).isWhitespace) p += 1
+                    p < q0.length && q0.charAt(p) == '('
+                  } else false
+                } else false
+              } else if (ch.isLetter) {
+                tolerant && TrailingCommaKws(wordAt(k))
+              } else false
+            }
+          if (!drop) sb.append(c)
+          push(",")
+          i += 1
+        case _ =>
+          if (!c.isWhitespace) push(c.toString)
+          sb.append(c); i += 1
+      }
     }
     sb.toString
   }
