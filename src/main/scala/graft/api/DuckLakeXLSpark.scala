@@ -75,7 +75,13 @@ class DuckLakeXLSpark(
       * files are owned by the scheduled-deletion sweep. Set false for
       * the strict fail-fast behavior.
       */
-    casAutoRetry: Boolean = true) {
+    casAutoRetry: Boolean = true,
+    /** reference's `read_shared_files` (ducklakexl.py:28,46,153-154):
+      * when true the Graph device-code flow also requests the
+      * `Files.ReadWrite.All` scope, so workbooks SHARED WITH the user
+      * resolve; default false = own files only (`Files.ReadWrite`).
+      */
+    readSharedFiles: Boolean = false) {
 
   /** local xlsx or Graph workbook, picked like the reference's
     * _pick_client (ducklakexl.py:85-97); `remoteOverride` injects a
@@ -83,7 +89,8 @@ class DuckLakeXLSpark(
     * test endpoint)
     */
   private val remote: ExcelRemote =
-    remoteOverride.getOrElse(ExcelRemote.pick(excelPath, driveId))
+    remoteOverride.getOrElse(
+      ExcelRemote.pick(excelPath, driveId, readSharedFiles))
 
   @volatile private var state: CatalogState = CatalogState.empty
   /** per-sheet digests as of the last pull/push — empty before first pull */

@@ -56,11 +56,44 @@ object TextSketch {
     (v << 4) | ((h(7) >> 4) & 0xfL)
   }
 
+  /** Production hash family (r14 VERDICT item 8): md5 (default) is the
+    * ENGINE-PORTABLE family — the oracle twin spells the identical value
+    * in DuckDB SQL, so results hash-match exactly. xxHash64 (seed 42,
+    * Spark's own XXH64) is the family one flips on at 100 TB: ~an order
+    * of magnitude cheaper per hashed byte, same 60-bit shape (top bits of
+    * the 64-bit value, non-negative), so sampling mods, minwise `% P`
+    * arithmetic, banding and bucket caps are all family-independent —
+    * HashFamilySpec proves the pipeline shape is unchanged. Oracle
+    * hash-parity holds only in md5 mode. Flag:
+    * `spark.graft.llm.hashFamily = md5 | xxhash64` (read per query by
+    * [[graft.ops.QueriesLlm]]; carried INSIDE each expression so it
+    * serializes to executors — never a JVM global). */
+  private def hash60xx(bytes: Array[Byte], off: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+      len, 42L) >>> 4
+
+  private def hash64(bytes: Array[Byte], off: Int, len: Int, xx: Boolean): Long =
+    if (xx)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+        len, 42L)
+    else {
+      val d = md5tl.get()
+      d.reset()
+      d.update(bytes, off, len)
+      val h = d.digest()
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      v
+    }
+
   /** distinct (first-occurrence order) sampled char-n-gram hashes of `s`:
     * grams of `n` CODE POINTS starting every `stride` chars (same slicing
     * as `substr`), kept iff hash % mod == 0 — one pass, one md5 per gram
     */
-  def hashedCharGrams(s: UTF8String, n: Int, stride: Int, mod: Int): ArrayData = {
+  def hashedCharGrams(s: UTF8String, n: Int, stride: Int, mod: Int, xx: Boolean): ArrayData = {
     val bytes = s.getBytes
     val nb = bytes.length
     val nChars = s.numChars()
@@ -85,7 +118,8 @@ object TextSketch {
     val lastStart = nChars - n
     while (start <= lastStart) {
       val h =
-        if (offs == null) hash60(bytes, start, n)
+        if (offs == null) { if (xx) hash60xx(bytes, start, n) else hash60(bytes, start, n) }
+        else if (xx) hash60xx(bytes, offs(start), offs(start + n) - offs(start))
         else hash60(bytes, offs(start), offs(start + n) - offs(start))
       if (h % mod == 0 && seen.add(h)) out.add(h)
       start += stride
@@ -97,7 +131,7 @@ object TextSketch {
     * words [i, i+n) IS the byte slice from word i's start to word
     * i+n-1's end (the text is single-spaced), so no string is ever built
     */
-  def hashedWordShingles(s: UTF8String, n: Int): ArrayData = {
+  def hashedWordShingles(s: UTF8String, n: Int, xx: Boolean): ArrayData = {
     val bytes = s.getBytes
     val nb = bytes.length
     // word start offsets (split on 0x20 — never a UTF-8 continuation byte)
@@ -117,7 +151,7 @@ object TextSketch {
     while (k <= lastShingle) {
       val off = starts.get(k)
       val end = if (k + n < w) starts.get(k + n) - 1 else nb // drop trailing space
-      val h = hash60(bytes, off, end - off)
+      val h = if (xx) hash60xx(bytes, off, end - off) else hash60(bytes, off, end - off)
       if (seen.add(h)) out.add(h)
       k += 1
     }
@@ -154,7 +188,7 @@ object TextSketch {
     * vote total for sig bit 16j+i, ties counting positive. Null when the
     * text has no words (such docs had no rows in the explode shape).
     */
-  def simhashSig(s: UTF8String): ArrayData = {
+  def simhashSig(s: UTF8String, xx: Boolean): ArrayData = {
     val bytes = s.getBytes
     val nb = bytes.length
     val votes = new Array[Int](64)
@@ -166,12 +200,7 @@ object TextSketch {
       if (i == nb || bytes(i) == ' ') {
         if (i > wordStart) { // skip empty words (length(word) > 0 filter)
           anyWord = true
-          d.reset()
-          d.update(bytes, wordStart, i - wordStart)
-          val h = d.digest()
-          var v = 0L
-          var k = 0
-          while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+          val v = hash64(bytes, wordStart, i - wordStart, xx)
           var b = 0
           while (b < 64) {
             if (((v >>> (63 - b)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -391,15 +420,18 @@ object TextSketch {
   }
 
   // ------------------------------------------------------ Column wrappers
-  def hashedCharGramsCol(c: Column, n: Int, stride: Int, mod: Int): Column =
-    ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, stride, mod, word = false))
-  def hashedWordShinglesCol(c: Column, n: Int): Column =
-    ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, 1, 1, word = true))
+  def hashedCharGramsCol(c: Column, n: Int, stride: Int, mod: Int,
+      xx: Boolean = false): Column =
+    ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, stride, mod,
+      word = false, xx = xx))
+  def hashedWordShinglesCol(c: Column, n: Int, xx: Boolean = false): Column =
+    ColumnBridge.column(HashedGrams(ColumnBridge.expression(c), n, 1, 1,
+      word = true, xx = xx))
   def minhashSigCol(c: Column, coeffs: Seq[(Long, Long)]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c),
       coeffs.map(_._1), coeffs.map(_._2)))
-  def simhashSigCol(c: Column): Column =
-    ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
+  def simhashSigCol(c: Column, xx: Boolean = false): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(c), xx = xx))
   def gramTopCountCol(c: Column, n: Int): Column =
     ColumnBridge.column(GramTopCount(ColumnBridge.expression(c), n))
   def winnowFingerprintsCol(c: Column, k: Int, w: Int, b: Long, m: Long): Column =
@@ -466,18 +498,19 @@ object TextSketch {
 /** distinct sampled n-gram (char) / n-shingle (word) 60-bit md5-prefix
   * hashes of a normalized string — see [[TextSketch.hashedCharGrams]]
   */
-case class HashedGrams(child: Expression, n: Int, stride: Int, mod: Int, word: Boolean)
+case class HashedGrams(child: Expression, n: Int, stride: Int, mod: Int,
+    word: Boolean, xx: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    if (word) TextSketch.hashedWordShingles(s, n)
-    else TextSketch.hashedCharGrams(s, n, stride, mod)
+    if (word) TextSketch.hashedWordShingles(s, n, xx)
+    else TextSketch.hashedCharGrams(s, n, stride, mod, xx)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      if (word) s"${ev.value} = graft.functions.TextSketch.hashedWordShingles($c, $n);"
-      else s"${ev.value} = graft.functions.TextSketch.hashedCharGrams($c, $n, $stride, $mod);")
+      if (word) s"${ev.value} = graft.functions.TextSketch.hashedWordShingles($c, $n, $xx);"
+      else s"${ev.value} = graft.functions.TextSketch.hashedCharGrams($c, $n, $stride, $mod, $xx);")
   override protected def withNewChildInternal(newChild: Expression): HashedGrams =
     copy(child = newChild)
 }
@@ -594,15 +627,15 @@ case class EntropyStats(child: Expression) extends UnaryExpression {
 /** banded 64-bit SimHash (4×16-bit ints) of single-spaced text; null when
   * the text has no words — see [[TextSketch.simhashSig]]
   */
-case class SimHashSig(child: Expression)
+case class SimHashSig(child: Expression, xx: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    TextSketch.simhashSig(input.asInstanceOf[UTF8String])
+    TextSketch.simhashSig(input.asInstanceOf[UTF8String], xx)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.TextSketch.simhashSig($c);
+      s"""${ev.value} = graft.functions.TextSketch.simhashSig($c, $xx);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)

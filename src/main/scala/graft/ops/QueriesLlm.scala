@@ -40,6 +40,18 @@ import org.apache.spark.sql.types._
 object QueriesLlm {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** r14 VERDICT item 8 — `spark.graft.llm.hashFamily = md5 | xxhash64`.
+    * md5 (default) is the engine-portable family with exact oracle
+    * hash-parity; xxhash64 is the production family (~10x cheaper per
+    * hashed byte; see [[graft.functions.TextSketch]]). Read at plan-build
+    * time per query and serialized inside the sketch expressions, so it
+    * reaches every executor on a real cluster. Pipeline shape (sampling
+    * mods, banding, bucket caps, signature widths) is family-independent
+    * — HashFamilySpec. */
+  private[ops] def xxMode(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.llm.hashFamily")
+      .exists(_.equalsIgnoreCase("xxhash64"))
+
   // ---------------------------------------------------------- constants
   private val NumHashes = 16
   private val Bands = 8 // 2 minhash rows per band
@@ -554,7 +566,8 @@ object QueriesLlm {
       .select(col("doc_id"), normText(col("text")).as("nt"))
       .filter(size(split(col("nt"), " ")) >= ShingleWords)
     docs.select(col("doc_id"),
-      graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), ShingleWords).as("hs"))
+      graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), ShingleWords,
+        xx = xxMode(s)).as("hs"))
   }
 
   private val sqlShingles =
@@ -600,7 +613,7 @@ object QueriesLlm {
     // Probe `ngram`: that interpreted chain alone cost 1.9-3.0 s at sf0.1)
     docs.select(col("doc_id"),
       graft.functions.TextSketch.hashedCharGramsCol(
-        col("norm"), NgramLen, stride, sampleMod).as("hs"))
+        col("norm"), NgramLen, stride, sampleMod, xx = xxMode(s)).as("hs"))
   }
 
   private val sqlNgrams =
@@ -1221,7 +1234,8 @@ object QueriesLlm {
       // signature is now a narrow projection — zero extra shuffle.
       // Docs with no words return a null signature and are dropped, the
       // same absence the inner word-aggregation produced.
-      val sigArr = graft.functions.TextSketch.simhashSigCol(normText(col("text")))
+      val sigArr = graft.functions.TextSketch.simhashSigCol(normText(col("text")),
+        xx = xxMode(s))
       // one row per doc; persisted so both sides of the bucket self-join
       // read it back instead of re-running the per-doc signatures
       val sig = Tables.t(s, d, "documents")
@@ -1662,7 +1676,7 @@ object QueriesLlm {
         .select(col("doc_id"), normText(col("text")).as("nt"))
         .filter(size(split(col("nt"), " ")) >= n)
       val grams = docs.select(col("doc_id"),
-        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n)).as("g"))
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n, xx = xxMode(s))).as("g"))
       val bench = grams.filter(col("doc_id") < 5)
         .select(col("g")).distinct()
       grams.filter(col("doc_id") >= 5)
@@ -1886,7 +1900,7 @@ object QueriesLlm {
         .select(col("doc_id"), normText(col("text")).as("nt"))
         .filter(size(split(col("nt"), " ")) >= n)
       val grams = docs.select(col("doc_id"),
-        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n)).as("g"))
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n, xx = xxMode(s))).as("g"))
       val bench = grams.filter(col("doc_id") < 5)
         .select(col("g")).distinct()
       val bf = bench.stat.bloomFilter("g", 100000L, 0.001)
@@ -1983,7 +1997,7 @@ object QueriesLlm {
       // hashedWordShinglesCol already returns the DISTINCT hash set per
       // doc (HashSet dedup inside the native pass) — no array_distinct
       val grams = docs.select(col("doc_id"),
-        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n)).as("g"))
+        explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n, xx = xxMode(s))).as("g"))
       val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
       grams.join(dfreq, "g")
         .groupBy("doc_id")
@@ -2088,7 +2102,7 @@ object QueriesLlm {
         .filter(size(split(col("nt"), " ")) >= ShingleWords)
       val srcGrams = docs.select(col("source"),
         explode(graft.functions.TextSketch.hashedWordShinglesCol(
-          col("nt"), ShingleWords)).as("g"))
+          col("nt"), ShingleWords, xx = xxMode(s))).as("g"))
         .distinct()
       srcGrams.groupBy("g")
         .agg(sort_array(collect_set(col("source"))).as("ss"))

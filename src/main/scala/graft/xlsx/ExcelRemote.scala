@@ -338,12 +338,15 @@ object ExcelRemote {
   /** reference client pick (ducklakexl.py:85-97): explicit driveId ->
     * Graph; a plain *.xlsx path that is not a URL -> local; else Graph
     */
-  def pick(excelPath: String, driveId: Option[String] = None): ExcelRemote =
+  def pick(excelPath: String, driveId: Option[String] = None,
+      readSharedFiles: Boolean = false): ExcelRemote =
     driveId match {
-      case Some(d) => new GraphRemote(d, excelPath, GraphTokenProvider.fromEnv())
+      case Some(d) => new GraphRemote(d, excelPath,
+        GraphTokenProvider.fromEnv(readSharedFiles = readSharedFiles))
       case None if excelPath.toLowerCase.endsWith(".xlsx") &&
                    !excelPath.matches("(?i)^[a-z]+://.*") =>
         new LocalXlsxRemote(excelPath)
-      case None => new GraphRemote("", excelPath, GraphTokenProvider.fromEnv())
+      case None => new GraphRemote("", excelPath,
+        GraphTokenProvider.fromEnv(readSharedFiles = readSharedFiles))
     }
 }

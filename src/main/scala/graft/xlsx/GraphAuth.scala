@@ -95,14 +95,33 @@ final class DeviceCodeTokenProvider(
 }
 
 object GraphTokenProvider {
+  /** delegated scopes, mirroring the reference exactly
+    * (ducklakexl.py:152-155): base `Files.ReadWrite` + `User.Read`;
+    * `read_shared_files` adds `Files.ReadWrite.All`, so workbooks SHARED
+    * WITH the user resolve too (the reference docstring at :46).
+    * `offline_access` keeps the refresh token for the silent re-acquire.
+    */
+  def scopes(readSharedFiles: Boolean): String =
+    "Files.ReadWrite User.Read offline_access" +
+      (if (readSharedFiles) " Files.ReadWrite.All" else "")
+
   /** credential pick for `ExcelRemote.pick`: an explicit token wins, then
     * a device-code flow if a client id is configured, else a provider
-    * that explains what is missing the moment it is actually used
+    * that explains what is missing the moment it is actually used.
+    * `readSharedFiles` (or env GRAPH_READ_SHARED=true) widens the
+    * device-code scopes per [[scopes]]; GRAPH_AUTH_BASE redirects the
+    * identity endpoint (tests / sovereign clouds).
     */
-  def fromEnv(env: Map[String, String] = sys.env): GraphTokenProvider =
+  def fromEnv(env: Map[String, String] = sys.env,
+      readSharedFiles: Boolean = false): GraphTokenProvider =
     env.get("GRAPH_TOKEN").map(new StaticTokenProvider(_))
       .orElse(env.get("GRAPH_CLIENT_ID").map(cid =>
-        new DeviceCodeTokenProvider(env.getOrElse("GRAPH_TENANT", "organizations"), cid)))
+        new DeviceCodeTokenProvider(
+          env.getOrElse("GRAPH_TENANT", "organizations"), cid,
+          scope = scopes(readSharedFiles ||
+            env.get("GRAPH_READ_SHARED").exists(_.equalsIgnoreCase("true"))),
+          authBase = env.getOrElse("GRAPH_AUTH_BASE",
+            "https://login.microsoftonline.com"))))
       .getOrElse(new GraphTokenProvider {
         def token(): String = throw new IllegalStateException(
           "Graph workbook requested but no credential configured: set " +

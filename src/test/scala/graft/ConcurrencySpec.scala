@@ -113,6 +113,60 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ids == Seq(1, 2), s"expected distinct sequence draws, got $ids")
   }
 
+  test("r15 torture: 20 contended rounds — every ACKED insert exactly " +
+      "once, every loud loser absent, snapshot lineage linear") {
+    val (xlsx, data) = freshLakePath()
+    val a = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("CREATE TABLE t(id INTEGER)")
+    val b = new DuckLakeXLSpark(spark, xlsx, data)
+    val snap0 = a.sql("SELECT count(*) AS c FROM snapshots()").head().getLong(0)
+    val acked = scala.collection.mutable.ArrayBuffer[Int]()
+    val refused = scala.collection.mutable.ArrayBuffer[Int]()
+    val rnd = new scala.util.Random(7)
+    var aid = 1000
+    for (i <- 1 to 20) {
+      if (i % 5 == 0) {
+        // double interference: A commits between B's pull and push TWICE
+        // (the replay is interfered with too) — B must lose LOUDLY and
+        // its row must be absent (the rejected attempts committed nothing)
+        var fires = 0
+        def interfere(): Unit = {
+          fires += 1; aid += 1
+          a.sql(s"INSERT INTO t VALUES ($aid)"); acked += aid
+          if (fires < 2) b.onBeforePush = () => interfere()
+        }
+        b.onBeforePush = () => interfere()
+        intercept[java.util.ConcurrentModificationException] {
+          b.sql(s"INSERT INTO t VALUES ($i)")
+        }
+        refused += i
+      } else {
+        if (rnd.nextBoolean()) {
+          // single interference: auto-retry replays once and both land
+          b.onBeforePush = () => {
+            aid += 1; a.sql(s"INSERT INTO t VALUES ($aid)"); acked += aid; ()
+          }
+        }
+        b.sql(s"INSERT INTO t VALUES ($i)")
+        acked += i
+      }
+    }
+    // a THIRD instance bootstraps from the workbook alone: the persisted
+    // state must be exactly the serial history of acknowledged commits
+    val c = new DuckLakeXLSpark(spark, xlsx, data)
+    val ids = c.sql("SELECT id FROM t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq
+    assert(ids == acked.sorted.toSeq,
+      s"lost/duplicated update: table=$ids acked=${acked.sorted}")
+    assert(refused.forall(r => !ids.contains(r)),
+      s"a loudly-refused insert leaked into the table: $refused vs $ids")
+    // snapshot lineage advanced once per acknowledged commit — a replay
+    // never double-advances, a rejection never advances
+    val snapN = c.sql("SELECT count(*) AS c FROM snapshots()").head().getLong(0)
+    assert(snapN == snap0 + acked.size,
+      s"snapshot lineage: expected ${snap0 + acked.size}, got $snapN")
+  }
+
   test("interleaved sql() calls from two sessions serialize cleanly") {
     val (xlsx, data) = freshLakePath()
     val a = new DuckLakeXLSpark(spark, xlsx, data)

@@ -207,12 +207,20 @@ class GraphRemoteSpec extends AnyFunSuite {
   test("OAuth device-code flow: prompt, pending poll, token (A3)") {
     val dc = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     var polls = 0
+    var scopeSeen = ""
     def json(ex: HttpExchange, code: Int, body: String): Unit = {
       val b = body.getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(code, b.length); ex.getResponseBody.write(b); ex.close()
     }
+    def formParams(ex: HttpExchange): Map[String, String] =
+      new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        .split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
     dc.createContext("/", (ex: HttpExchange) => ex.getRequestURI.getPath match {
       case p if p.endsWith("/devicecode") =>
+        scopeSeen = formParams(ex).getOrElse("scope", "")
         json(ex, 200, """{"device_code":"dev1","user_code":"ABC123",""" +
           """"verification_uri":"https://example/verify","message":"go verify"}""")
       case p if p.endsWith("/token") =>
@@ -232,6 +240,45 @@ class GraphRemoteSpec extends AnyFunSuite {
       assert(polls == 3)
       assert(p.token() == "devtok") // cached, no extra polls
       assert(polls == 3)
+    } finally dc.stop(0)
+  }
+
+  test("read_shared_files widens the device-code scopes (ducklakexl.py:153-154)") {
+    val dc = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val scopes = scala.collection.mutable.ArrayBuffer[String]()
+    def json(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, b.length); ex.getResponseBody.write(b); ex.close()
+    }
+    dc.createContext("/", (ex: HttpExchange) => ex.getRequestURI.getPath match {
+      case p if p.endsWith("/devicecode") =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        scopes += body.split("&").collectFirst {
+          case kv if kv.startsWith("scope=") =>
+            java.net.URLDecoder.decode(kv.drop(6), StandardCharsets.UTF_8)
+        }.getOrElse("")
+        json(ex, 200, """{"device_code":"dev1","user_code":"A","""
+          + """"verification_uri":"https://example/verify","message":"m"}""")
+      case p if p.endsWith("/token") =>
+        json(ex, 200, """{"access_token":"tok"}""")
+      case _ => json(ex, 500, "{}")
+    })
+    dc.start()
+    try {
+      val env = Map("GRAPH_CLIENT_ID" -> "client1", "GRAPH_TENANT" -> "t1",
+        "GRAPH_AUTH_BASE" -> s"http://127.0.0.1:${dc.getAddress.getPort}")
+      // default: own files only — the reference's base delegated scopes
+      assert(GraphTokenProvider.fromEnv(env).token() == "tok")
+      assert(scopes.last == "Files.ReadWrite User.Read offline_access")
+      // ctor flag: Files.ReadWrite.All appended, base scopes kept
+      assert(GraphTokenProvider.fromEnv(env, readSharedFiles = true)
+        .token() == "tok")
+      assert(scopes.last ==
+        "Files.ReadWrite User.Read offline_access Files.ReadWrite.All")
+      // env spelling reaches the same knob
+      assert(GraphTokenProvider.fromEnv(env + ("GRAPH_READ_SHARED" -> "true"))
+        .token() == "tok")
+      assert(scopes.last.endsWith("Files.ReadWrite.All"))
     } finally dc.stop(0)
   }
 
