@@ -256,6 +256,12 @@ class DuckLakeXLSpark(
     reg2("__graft_iv_add", graft.functions.IvAdd(_, _, sub = false))
     reg2("__graft_iv_sub", graft.functions.IvAdd(_, _, sub = true))
     reg1("__graft_iv_norm", graft.functions.IvNorm(_))
+    // r15 Unicode/COLLATE barrage: DuckDB-exact simple case fold,
+    // accent strip, NFC key (functions/DuckCase)
+    reg1("__graft_upper", graft.functions.DuckCaseMap(_, upper = true))
+    reg1("__graft_lower", graft.functions.DuckCaseMap(_, upper = false))
+    reg1("__graft_noaccent", graft.functions.StripAccentsExpr(_))
+    reg1("__graft_nfc", graft.functions.NfcNormalize(_))
     // r14 function-battery gaps (functions/FuzzyText)
     reg2("jaro_similarity", graft.functions.JaroSimilarity(_, _, winkler = false))
     reg2("jaro_winkler_similarity", graft.functions.JaroSimilarity(_, _, winkler = true))
@@ -1509,6 +1515,15 @@ class DuckLakeXLSpark(
             .option("header", header.toString)
             .option("inferSchema",
               (!opts.get("all_varchar").exists(bool)).toString)
+            // DuckDB's CSV reader always supports quoted fields spanning
+            // lines and never trims padding (r15 csvio barrage). Scale
+            // note: multiLine shifts split parallelism from line-chunks
+            // to whole files — across a many-file 100 TB ingest the
+            // per-file parallelism is what matters, and embedded-newline
+            // correctness is not negotiable.
+            .option("multiLine", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
           opts.get("delim").orElse(opts.get("sep"))
             .foreach(d => r = r.option("sep", unesc(d)))
           opts.get("quote").foreach(v => r = r.option("quote", v))
@@ -1516,7 +1531,12 @@ class DuckLakeXLSpark(
           opts.get("nullstr").foreach(v => r = r.option("nullValue", v))
           opts.get("dateformat").foreach(v => r = r.option("dateFormat", v))
           opts.get("timestampformat").foreach(v => r = r.option("timestampFormat", v))
-          r.csv(paths: _*)
+          val raw = r.csv(paths: _*)
+          // DuckDB names headerless columns column0, column1, …; Spark
+          // names them _c0, _c1 (r15 csvio barrage)
+          if (!header && raw.columns.forall(_.matches("_c\\d+")))
+            raw.toDF(raw.columns.map(c => "column" + c.drop(2)).toSeq: _*)
+          else raw
         case _ => spark.read.json(paths: _*)
       }
       // the name is a STABLE function of (format, paths, options): the
@@ -3709,6 +3729,10 @@ class DuckLakeXLSpark(
       fmt match {
         case "csv"  =>
           if (!s.writerOptions.contains("header")) wp.option("header", "true")
+          // Spark's CSV WRITER trims cell padding by default; DuckDB
+          // preserves it (r15 csvio barrage: '  padded  ' round-trip)
+          wp.option("ignoreLeadingWhiteSpace", "false")
+          wp.option("ignoreTrailingWhiteSpace", "false")
           wp.csv(s.path)
         case "json" => wp.json(s.path)
         case _      => wp.parquet(s.path)
@@ -3720,6 +3744,9 @@ class DuckLakeXLSpark(
     fmt match {
       case "csv"  =>
         if (!s.writerOptions.contains("header")) w.option("header", "true")
+        // preserve padding — see the partitioned branch (r15 csvio)
+        w.option("ignoreLeadingWhiteSpace", "false")
+        w.option("ignoreTrailingWhiteSpace", "false")
         w.csv(tmp.toString)
       case "json" => w.json(tmp.toString)
       case _      => w.parquet(tmp.toString)

@@ -1489,6 +1489,19 @@ object StatementRouter {
     * semantics); list_sum/list_unique/len have no 1:1 twin and stay out
     */
   private val FnRenames: Seq[(String, String)] = Seq(
+    // DuckDB cases with utf8proc's SIMPLE 1:1 fold; Spark's upper/lower
+    // use the JVM FULL mapping (upper('ß')='SS', lower('İ')='i̇') —
+    // silent value divergence on everyday German/Turkish text. Natives
+    // in graft.functions.DuckCase (r15 Unicode barrage).
+    "upper" -> "__graft_upper",
+    "ucase" -> "__graft_upper",
+    "lower" -> "__graft_lower",
+    "lcase" -> "__graft_lower",
+    "strip_accents" -> "__graft_noaccent",
+    // DuckDB strlen() is the BYTE length — Spark twin octet_length
+    // (r15 Unicode barrage find: unregistered name errored as a catalog
+    // function lookup)
+    "strlen" -> "octet_length",
     "list_transform" -> "transform",
     "list_filter"    -> "filter",
     "list_value"     -> "array",
@@ -3570,6 +3583,218 @@ object StatementRouter {
     * own bitwise NOT, same value). The `~~` LIKE family is skipped by
     * neighbor check. r14 (closes the r13 documented refusal).
     */
+  /** Expression-level COLLATE (r15 COLLATE barrage; MEASURED on DuckDB
+    * 1.0.0): a collation applies at COMPARISON and ORDERING sites —
+    * `'A' = 'a' COLLATE NOCASE` is true, `('a' COLLATE NOCASE) IN
+    * ('A','x')` is true, `ORDER BY x COLLATE NOCASE` sorts by the
+    * case-folded key (ties keep input order there; fixtures avoid ties
+    * since Spark's sort is not stable). DuckDB cases with utf8proc's
+    * SIMPLE fold ('STRASSE' <> 'straße' under NOCASE, 'ẞ' = 'ß'), which
+    * is [[graft.functions.DuckCase]] — NOT Spark's UTF8_LCASE collation,
+    * whose full case folding WOULD equate straße/STRASSE.
+    *
+    * Supported → rewritten to key-function comparisons: `a <op> b
+    * COLLATE C`, `a COLLATE C <op> b` (op = <> != < <= > >=), the
+    * IN-list shape, and ORDER BY keys (directly after BY or a list
+    * comma). keys: NOCASE → __graft_lower, NOACCENT → __graft_noaccent,
+    * NFC → __graft_nfc, C/BINARY/POSIX → identity; dotted chains
+    * compose. Any other site refuses LOUDLY — DuckDB silently ignores
+    * collation in most function arguments (measured: greatest, contains,
+    * LIKE) but honors it in others (nullif), a lattice this engine will
+    * not guess at.
+    */
+  private val CollateRe = """(?i)\bCOLLATE\s+([A-Za-z_][\w.]*)""".r
+  private val CmpOps = Seq("<=", ">=", "<>", "!=", "=", "<", ">")
+  private def rewriteCollate(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      CollateRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val keyFns: Seq[String => String] =
+            m.group(1).toUpperCase(java.util.Locale.ROOT).split('.').toSeq.map {
+              case "NOCASE" => (e: String) => s"__graft_lower($e)"
+              case "NOACCENT" => (e: String) => s"__graft_noaccent($e)"
+              case "NFC" => (e: String) => s"__graft_nfc($e)"
+              case "C" | "BINARY" | "POSIX" => (e: String) => e
+              case other => throw new IllegalArgumentException(
+                s"unsupported collation $other (NOCASE / NOACCENT / NFC / " +
+                  "C / BINARY / POSIX)")
+            }
+          def key(e: String): String =
+            keyFns.foldLeft(e.trim)((acc, f) => f(acc))
+          // primaryStart/primaryEnd don't know string literals (they were
+          // built for identifier/call operands) — handle them here
+          def operandStartBefore(end: Int): Int = {
+            var k = end - 1
+            while (k >= 0 && q.charAt(k).isWhitespace) k -= 1
+            if (k >= 0 && q.charAt(k) == '\'' && lit(k)) {
+              var j = k
+              while (j >= 0 && lit(j)) j -= 1
+              j + 1
+            } else primaryStart(q, end)
+          }
+          def operandEndAfter(from: Int): Int = {
+            var p = from
+            while (p < q.length && q.charAt(p).isWhitespace) p += 1
+            if (p < q.length && q.charAt(p) == '\'' && lit(p)) {
+              var j = p
+              while (j < q.length && lit(j)) j += 1
+              j
+            } else primaryEnd(q, from)
+          }
+          val opStart = operandStartBefore(m.start)
+          require(opStart >= 0, s"cannot parse the operand of COLLATE in: $q")
+          // right context after the collation name
+          var r = m.end
+          while (r < q.length && q.charAt(r).isWhitespace) r += 1
+          // a parenthesized collate expr `(x COLLATE C) IN (...)`: the
+          // operand is primary, so the wrapping parens are redundant —
+          // blank them out and let the loop re-process the bare form
+          var parenHop = false
+          if (r < q.length && q.charAt(r) == ')') {
+            var o = opStart - 1
+            while (o >= 0 && q.charAt(o).isWhitespace) o -= 1
+            if (o >= 0 && q.charAt(o) == '(' && matchingParen(q, o) == r) {
+              q = q.substring(0, o) + " " + q.substring(o + 1, r) + " " +
+                q.substring(r + 1)
+              parenHop = true
+            }
+          }
+          val operand = q.substring(opStart, m.start).trim
+          val rightOp = CmpOps.find(op => q.startsWith(op, r))
+          // left context before the operand
+          var l = opStart - 1
+          while (l >= 0 && q.charAt(l).isWhitespace) l -= 1
+          val leftOp = CmpOps.filter(op => l - op.length + 1 >= 0 &&
+            q.regionMatches(l - op.length + 1, op, 0, op.length))
+            .sortBy(-_.length).headOption
+            // `<=`/`>=`/`<>` must win over their 1-char suffixes
+          def wordBefore(p0: Int): String = {
+            var p = p0
+            while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+            var w = p
+            while (w >= 0 && (q.charAt(w).isLetterOrDigit || q.charAt(w) == '_')) w -= 1
+            q.substring(w + 1, p + 1).toUpperCase(java.util.Locale.ROOT)
+          }
+          if (parenHop) {
+            // re-processed next iteration on the paren-free text
+          } else if (rightOp.isDefined) {
+            // a COLLATE C <op> b
+            val op = rightOp.get
+            val rhsEnd = operandEndAfter(r + op.length)
+            require(rhsEnd > 0, s"cannot parse the comparison after COLLATE in: $q")
+            val rhs = q.substring(r + op.length, rhsEnd).trim
+            q = q.substring(0, opStart) +
+              s"${key(operand)} $op ${key(rhs)}" + q.substring(rhsEnd)
+          } else if (q.regionMatches(true, r, "IN", 0, 2) &&
+              (r + 2 >= q.length || !identChar(q.charAt(r + 2)))) {
+            // a COLLATE C IN (e1, e2, …)
+            var p = r + 2
+            while (p < q.length && q.charAt(p).isWhitespace) p += 1
+            require(p < q.length && q.charAt(p) == '(',
+              s"cannot parse the IN list after COLLATE in: $q")
+            val close = matchingParen(q, p)
+            val items = splitTopCommas(q.substring(p + 1, close)).map(key)
+            q = q.substring(0, opStart) +
+              s"${key(operand)} IN (${items.mkString(", ")})" +
+              q.substring(close + 1)
+          } else if (leftOp.isDefined) {
+            // a <op> b COLLATE C — the far LHS crosses concat/arith chains
+            val op = leftOp.get
+            val opPos = l - op.length + 1
+            val lhsStart = quantLhsStart(q, opPos, lit)
+            val lhs = q.substring(lhsStart, opPos).trim
+            require(lhs.nonEmpty, s"cannot parse the comparison before COLLATE in: $q")
+            q = q.substring(0, lhsStart) +
+              s"${key(lhs)} $op ${key(operand)}" + q.substring(m.end)
+          } else if (wordBefore(l) == "BY" ||
+              (l >= 0 && q.charAt(l) == ',' && {
+                // list comma: walk left over balanced items to the clause
+                var p = l - 1
+                var depth = 0
+                var clause = ""
+                while (p >= 0 && clause.isEmpty) {
+                  val c = q.charAt(p)
+                  if (!lit(p)) {
+                    if (c == ')' || c == ']') depth += 1
+                    else if (c == '(' || c == '[') { depth -= 1; if (depth < 0) clause = "(" }
+                    else if (depth == 0 && (c.isLetter || c == '_')) {
+                      var w = p
+                      while (w >= 0 && (q.charAt(w).isLetterOrDigit || q.charAt(w) == '_')) w -= 1
+                      val word = q.substring(w + 1, p + 1).toUpperCase(java.util.Locale.ROOT)
+                      if (word == "BY" || word == "SELECT" || word == "FROM" ||
+                          word == "WHERE" || word == "HAVING") clause = word
+                      p = w
+                    }
+                  }
+                  p -= 1
+                }
+                clause == "BY"
+              })) {
+            // ORDER BY key (first or later in the list): sort by the key fn
+            q = q.substring(0, opStart) + key(operand) + q.substring(m.end)
+          } else throw new IllegalArgumentException(
+            "COLLATE is supported in comparisons, IN lists and ORDER BY " +
+              s"keys; cannot rewrite its context in: $q (DuckDB silently " +
+              "ignores collation at some other sites and honors it at " +
+              "others — refusing rather than guessing)")
+      }
+    }
+    q
+  }
+
+  /** `a [NOT] ILIKE p [ESCAPE e]` — DuckDB case-insensitivity is the
+    * SIMPLE fold (measured: 'ss' ILIKE 'ß' is false, 'İ' ILIKE 'i' is
+    * true), so both sides fold through __graft_lower and the predicate
+    * becomes a plain LIKE. The pattern side extends over || chains
+    * (measured: `'ab' ILIKE 'A' || 'B'` is true — concat binds tighter).
+    */
+  private val IlikeRe = """(?i)\b(NOT\s+)?ILIKE\b""".r
+  private def rewriteIlike(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      IlikeRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val neg = m.group(1) != null
+          val lhsStart = quantLhsStart(q, m.start, lit)
+          val lhs = q.substring(lhsStart, m.start).trim
+          require(lhs.nonEmpty, s"cannot parse the left operand of ILIKE in: $q")
+          def opEnd(from: Int): Int = {
+            var p = from
+            while (p < q.length && q.charAt(p).isWhitespace) p += 1
+            if (p < q.length && q.charAt(p) == '\'' && lit(p)) {
+              var j = p
+              while (j < q.length && lit(j)) j += 1
+              j
+            } else primaryEnd(q, from)
+          }
+          var rEnd = opEnd(m.end)
+          require(rEnd > 0, s"cannot parse the ILIKE pattern in: $q")
+          var more = true
+          while (more) { // extend over || concat chains
+            var p = rEnd
+            while (p < q.length && q.charAt(p).isWhitespace) p += 1
+            if (p + 1 < q.length && q.charAt(p) == '|' && q.charAt(p + 1) == '|') {
+              val e2 = opEnd(p + 2)
+              if (e2 > 0) rEnd = e2 else more = false
+            } else more = false
+          }
+          val pat = q.substring(m.end, rEnd).trim
+          val not = if (neg) "NOT " else ""
+          q = q.substring(0, lhsStart) +
+            s"${not}__graft_lower($lhs) LIKE __graft_lower($pat)" +
+            q.substring(rEnd)
+      }
+    }
+    q
+  }
+
   private def rewriteBareRegexOps(q0: String): String = {
     var q = q0
     var from = 0
@@ -3961,9 +4186,16 @@ object StatementRouter {
 
   private def quotedLiteral(e: String): Option[String] = {
     val t = e.trim
-    if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
-      !t.substring(1, t.length - 1).contains('\'')) Some(t.substring(1, t.length - 1))
-    else None
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'') {
+      val inner = t.substring(1, t.length - 1)
+      // a doubled quote-pair is the escaped quote char (read_csv's
+      // quote parameter spelled as four quotes passes ONE single-quote
+      // char, r15 csvio barrage); a LONE quote means this is not one
+      // literal (e.g. a concatenation of two) — reject
+      val unesc = inner.replace("''", "\u0000")
+      if (unesc.contains('\'')) None
+      else Some(unesc.replace("\u0000", "'"))
+    } else None
   }
 
   /** C-style strftime directives -> Java date_format pattern letters */
@@ -5182,6 +5414,10 @@ object StatementRouter {
       case _ => None
     }
     q = rewriteStringAgg(q)
+    // expression-level COLLATE and ILIKE before the function renames so
+    // their emitted __graft_lower/__graft_noaccent calls are final
+    q = rewriteCollate(q)
+    q = rewriteIlike(q)
     q = rewriteBareRegexOps(q)
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)

@@ -737,7 +737,8 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect("SELECT j -> 0 FROM t") ==
       "SELECT __graft_json_extract(j, '$[0]') FROM t")
     assert(rewriteDialect("SELECT upper(j) ->> 'k' FROM t") ==
-      "SELECT __graft_json_extract_str(upper(j), 'k') FROM t")
+      // upper maps to the DuckDB-exact simple case fold (r15)
+      "SELECT __graft_json_extract_str(__graft_upper(j), 'k') FROM t")
     assert(rewriteDialect("""SELECT '{"a": 1}' -> 'a' FROM t""") ==
       """SELECT __graft_json_extract('{"a": 1}', 'a') FROM t""")
     // lambda arrows survive: bare param inside a HOF

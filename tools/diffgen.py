@@ -71,6 +71,7 @@ def eval_auto(con, text):
     head = text.lstrip().upper()
     return (eval_query(con, text)
             if head.startswith("SELECT") or head.startswith("WITH")
+            or head.startswith("COPY")
             else eval_scalar(con, text))
 
 
@@ -731,15 +732,159 @@ def fam_fnwave(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_csvio(seed):
+    """r15: CSV COPY TO -> read_csv round-trips of quoting/escape edge
+    values. Each fixture is a two-statement script (unique /tmp path per
+    fixture); the round-trip must recover the original logical values in
+    EACH engine independently. NULL renders as None."""
+    import os, shutil
+    shutil.rmtree("/tmp/graft_csvio", ignore_errors=True)
+    os.makedirs("/tmp/graft_csvio", exist_ok=True)
+    # (value-SQL, copy-option blob, read_csv extra args)
+    vals = [
+        ("'abc'", "", ", all_varchar=true"),
+        ("'a,b'", "", ", all_varchar=true"),
+        ("'say \"hi\"'".replace("\\", "\\"), "", ", all_varchar=true"),
+        ("'it''s'", "", ", all_varchar=true"),
+        ("'l1' || chr(10) || 'l2'", "", ", all_varchar=true"),
+        ("'l1' || chr(13) || chr(10) || 'l2'", "", ", all_varchar=true"),
+        ("'back\\slash'", "", ", all_varchar=true"),
+        ("'  padded  '", "", ", all_varchar=true"),
+        ("'héß👍'", "", ", all_varchar=true"),
+        ("'\"quoted\"'", "", ", all_varchar=true"),
+        ("''", "", ", all_varchar=true"),
+        ("CAST(NULL AS VARCHAR)", "", ", all_varchar=true"),
+        ("'tab\there'", "", ", all_varchar=true"),
+        ("'a|b'", "DELIMITER '|'", ", delim='|', all_varchar=true"),
+        ("'a;b'", "DELIMITER ';'", ", delim=';', all_varchar=true"),
+        ("'x,y'", "DELIMITER ',', QUOTE ''''", ", quote='''', all_varchar=true"),
+        ("'don''t,stop'", "QUOTE ''''", ", quote='''', all_varchar=true"),
+        ("'esc\"me,too'", "ESCAPE '\\'", ", escape='\\', all_varchar=true"),
+        ("'a\"b'", "QUOTE '\"', ESCAPE '\"'", ", quote='\"', escape='\"', all_varchar=true"),
+        ("'nullish'", "NULLSTR 'nullish'", ", nullstr='nullish', all_varchar=true"),
+        ("'NA'", "NULLSTR 'NA'", ", nullstr='NA', all_varchar=true"),
+        ("CAST(NULL AS VARCHAR)", "NULLSTR 'NA'", ", nullstr='NA', all_varchar=true"),
+        
+        ("'hdr'", "HEADER true", ", header=true, all_varchar=true"),
+    ]
+    scripts = []
+    for i, (v, wopt, ropt) in enumerate(vals):
+        path = f"/tmp/graft_csvio/f{i:02d}.csv"
+        blob = "FORMAT CSV" + (", " + wopt if wopt else "")
+        scripts.append(
+            f"COPY (SELECT 1 AS id, {v} AS c UNION ALL SELECT 2, 'z2') "
+            f"TO '{path}' ({blob}); "
+            f"SELECT CAST(id AS VARCHAR) || '=' || "
+            f"coalesce(CAST(c AS VARCHAR), 'None') "
+            f"FROM read_csv('{path}'{ropt}) ORDER BY 1")
+    # typed round-trips: inference recovers int/double/date renders
+    for j, expr in enumerate([
+            "SELECT 1 AS id, 42 AS c UNION ALL SELECT 2, -7",
+            "SELECT 1 AS id, 1.5 AS c UNION ALL SELECT 2, -0.25",
+            "SELECT 1 AS id, DATE '2024-02-29' AS c UNION ALL SELECT 2, DATE '1999-12-31'",
+            "SELECT 1 AS id, TIMESTAMP '2024-02-29 01:02:03' AS c UNION ALL SELECT 2, TIMESTAMP '1999-12-31 23:59:59'",
+            "SELECT 1 AS id, true AS c UNION ALL SELECT 2, false",
+    ]):
+        path = f"/tmp/graft_csvio/t{j:02d}.csv"
+        scripts.append(
+            f"COPY ({expr}) TO '{path}' (FORMAT CSV); "
+            f"SELECT CAST(id AS VARCHAR) || '=' || "
+            f"coalesce(CAST(c AS VARCHAR), 'None') "
+            f"FROM read_csv('{path}') ORDER BY 1")
+    # header=false on the write + headerless read: positional names
+    path = "/tmp/graft_csvio/h0.csv"
+    scripts.append(
+        f"COPY (SELECT 'only' AS id, 'v' AS c) TO '{path}' (FORMAT CSV, HEADER false); "
+        f"SELECT CAST(column0 AS VARCHAR) || '=' || CAST(column1 AS VARCHAR) "
+        f"FROM read_csv('{path}', header=false, all_varchar=true)")
+    return [(sq, "query") for sq in scripts]
+
+
+def fam_collate(seed):
+    """r15: expression-level COLLATE at comparison / IN / ORDER BY sites.
+    DuckDB's NOCASE is utf8proc's SIMPLE fold (STRASSE <> strasse-from-
+    straße), NOACCENT strips combining marks only (ø/đ keep their
+    stroke), dotted chains compose."""
+    rng = random.Random(seed)
+    pairs = [("'A'", "'a'"), ("'Ä'", "'ä'"), ("'ẞ'", "'ß'"), ("'İ'", "'i'"),
+             ("'𐐀'", "'𐐨'"), ("'STRASSE'", "'straße'"), ("'AbC'", "'aBc'"),
+             ("'x'", "'Y'"), ("'ä'", "'z'"), ("'a'", "'B'")]
+    exprs = []
+    for op in ["=", "<>", "<", "<=", ">", ">="]:
+        for (a, b) in pairs:
+            side = rng.choice(["right", "left"])
+            exprs.append(f"{a} {op} {b} COLLATE NOCASE" if side == "right"
+                         else f"{a} COLLATE NOCASE {op} {b}")
+    for (a, b) in [("'é'", "'e'"), ("'ñ'", "'n'"), ("'ç'", "'c'"),
+                   ("'ě'", "'e'"), ("'ø'", "'o'"), ("'đ'", "'d'"),
+                   ("'å'", "'a'"), ("'ü'", "'u'")]:
+        exprs.append(f"{a} = {b} COLLATE NOACCENT")
+    exprs += [
+        "'É' = 'e' COLLATE NOCASE.NOACCENT",
+        "'Å' = 'a' COLLATE NOACCENT.NOCASE",
+        "'Ñ' <> 'n' COLLATE NOCASE.NOACCENT",
+        "'x' COLLATE C = 'X'",
+        "'é' COLLATE NFC = 'é'",
+        "('a' COLLATE NOCASE) IN ('A', 'x')",
+        "('Q' COLLATE NOCASE) IN ('a', 'b')",
+        "('Ä' COLLATE NOCASE) IN ('ä', 'ö')",
+        "upper('straße') = 'STRASSE' COLLATE NOCASE",
+        "'a' || 'BC' = 'AbC' COLLATE NOCASE",
+    ]
+    # ORDER BY keys (full-query kind; keys distinct under the fold so the
+    # unspecified tie order cannot flap)
+    queries = [
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES ('b'),('A'),('C')) t(x) ORDER BY x COLLATE NOCASE",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES ('b'),('A'),('C'),('d')) t(x) ORDER BY x COLLATE NOCASE DESC",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES ('é'),('a'),('f')) t(x) ORDER BY x COLLATE NOACCENT",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES ('b'),('A'),('ç'),('D')) t(x) ORDER BY x COLLATE NOCASE.NOACCENT",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES ('b'),('A'),('C')) t(x) ORDER BY 1 = 1, x COLLATE NOCASE",
+    ]
+    return [(e, "scalar") for e in exprs] + [(q, "query") for q in queries]
+
+
+def fam_unicase(seed):
+    """r15: Unicode case/length/slicing edge semantics. DuckDB cases with
+    utf8proc's SIMPLE 1:1 fold (upper('ß')='ẞ', lower('İ')='i',
+    ligatures unchanged); length/substr/left/reverse are code-point
+    based; ILIKE folds both sides simply."""
+    zoo = ["ß", "ẞ", "İ", "ı", "ﬁ", "µ", "ſ", "ǆ", "Ǆ", "𐐨", "𐐀",
+           "é", "ŉ", "Σς", "👍x👎", "a👨‍👩‍👧b", "ÄÖÜ", "straße"]
+    exprs = []
+    for z in zoo:
+        exprs += [f"upper('{z}')", f"lower('{z}')", f"length('{z}')"]
+    exprs += [
+        "ucase('ß')", "lcase('İ')",
+        "upper('the straße of İstanbul')",
+        "lower('THE STRASSE OF İSTANBUL')",
+        "strip_accents('éøñ')", "strip_accents('Ångström')",
+        "reverse('a👍b')", "reverse('𐐨x')",
+        "substr('👍👎👏', 2, 1)", "left('👍👎👏x', 2)", "right('x👍👎👏', 2)",
+        "strlen('👍')", "strlen('é')",
+        "instr('a👍b', 'b')", "strpos('𐐨x𐐀', 'x')",
+        "'ẞ' ILIKE 'ß'", "'İ' ILIKE 'i'", "'ss' ILIKE 'ß'",
+        "'STRASSE' ILIKE 'straße'", "'ÄB' ILIKE 'ä_'", "'𐐀x' ILIKE '𐐨_'",
+        "'abc' ILIKE 'AB%'", "'abc' NOT ILIKE 'AB%'",
+        "'a%c' ILIKE 'A!%C' ESCAPE '!'",
+        "'aXc' NOT ILIKE 'A!%C' ESCAPE '!'",
+        "upper('ß') = 'ẞ'", "length(upper('ß'))",
+        "lower('İ') = 'i'", "length(lower('İ'))",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
             "coercion": fam_coercion, "decimal": fam_decimal,
             "interval": fam_interval, "keyequiv": fam_keyequiv,
-            "fnwave": fam_fnwave}
+            "fnwave": fam_fnwave, "collate": fam_collate,
+            "unicase": fam_unicase, "csvio": fam_csvio}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
+             "CollateDifferentialSpec.scala": "auto",
+             "CsvIoDifferentialSpec.scala": "auto",
              "AggDifferentialSpec.scala": "agg",
              "CoercionDifferentialSpec.scala": "auto",
              "KeyEquivSpec.scala": "auto"}
@@ -747,7 +892,8 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
 
 def scala_quote(s):
     return '"' + s.replace("\\", "\\\\").replace('"', '\\"') \
-                  .replace("\n", "\\n").replace("\t", "\\t") + '"'
+                  .replace("\n", "\\n").replace("\t", "\\t") \
+                  .replace("\r", "\\r") + '"'
 
 
 def cmd_gen(family, seed):
@@ -774,7 +920,8 @@ FIXTURE_RE = re.compile(r'^\s*\("((?:[^"\\]|\\.)*)",\s*"((?:[^"\\]|\\.)*)"\)[,)]
 
 def unescape(s):
     return (s.replace("\\\\", "\x00").replace('\\"', '"')
-             .replace("\\n", "\n").replace("\\t", "\t").replace("\x00", "\\"))
+             .replace("\\n", "\n").replace("\\t", "\t")
+             .replace("\\r", "\r").replace("\x00", "\\"))
 
 
 def cmd_verify(paths):
