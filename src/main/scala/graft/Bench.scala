@@ -84,7 +84,8 @@ object Bench {
       graft.ops.Tables.t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          (sum(round(col("value") * 10000).cast("long"))
+          // floor(x+0.5): no per-row BigDecimal (QueriesRelational.roundToLong)
+          (sum(graft.ops.QueriesRelational.roundToLong(col("value") * 10000))
             .cast("double") / 10000.0).as("sum_value"))
     }
 

@@ -18,6 +18,18 @@ import org.apache.spark.sql.types._
   * dims, shuffled hash/SMJ for facts); no collect() in any operator path.
   */
 object QueriesRelational {
+
+  /** Half-up rounding of a near-integer DOUBLE as a pure codegen floor
+    * (r15 VERDICT item 3): Spark's round() on DOUBLE boxes a BigDecimal
+    * PER ROW (~20% of the sf1 Q1 wall). The money/qty columns are exact
+    * 2-decimal values, so the scaled double sits within 1 ulp of an
+    * integer and `floor(x + 0.5)` can never cross a rounding boundary —
+    * same integers, same oracle hashes, zero allocation. (Only exact
+    * .5 midpoints distinguish floor(x+0.5) from HALF_UP, and those are
+    * unreachable from near-integer inputs.)
+    */
+  private[graft] def roundToLong(c: Column): Column =
+    floor(c + lit(0.5)).cast(LongType)
   type QFn = (SparkSession, String) => DataFrame
 
   private val D184 = DecimalType(18, 4)
@@ -112,7 +124,7 @@ object QueriesRelational {
     hotJoined.unionByName(coldJoined)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"),
-        sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"))
+        sum(roundToLong(col("l_quantity"))).as("sum_qty"))
       .orderBy("o_orderpriority")
   }
 
@@ -169,9 +181,9 @@ object QueriesRelational {
       // every product an exact 64-bit integer; the half-up round of charge
       // to 4 decimals is integer arithmetic ((v6+50) div 100), so the whole
       // row stays in codegen'd long ops and the oracle is bit-identical
-      val pE2 = round(col("l_extendedprice") * 100).cast(LongType)
-      val dE2 = round(col("l_discount") * 100).cast(LongType)
-      val tE2 = round(col("l_tax") * 100).cast(LongType)
+      val pE2 = roundToLong(col("l_extendedprice") * 100)
+      val dE2 = roundToLong(col("l_discount") * 100)
+      val tE2 = roundToLong(col("l_tax") * 100)
       val v6r = pE2 * (lit(100L) - dE2) * (lit(100L) + tE2) + lit(50L)
       // projection ABOVE the total ORDER BY (probe `sortproj`, see
       // QueriesFunctions): the sort's sampling pass would otherwise run
@@ -222,8 +234,8 @@ object QueriesRelational {
       val l = Tables.t(s, d, "lineitem")
       // revenue in cents-scaled BIGINT (see q_agg_groupby): exact, and the
       // join+agg hot path stays in whole-stage codegen long ops
-      val pE2 = round(col("l_extendedprice") * 100).cast(LongType)
-      val dE2 = round(col("l_discount") * 100).cast(LongType)
+      val pE2 = roundToLong(col("l_extendedprice") * 100)
+      val dE2 = roundToLong(col("l_discount") * 100)
       o.filter(col("o_orderstatus") === "F")
         .join(l, o("o_orderkey") === l("l_orderkey"), "inner")
         .groupBy("o_orderpriority")
@@ -260,8 +272,8 @@ object QueriesRelational {
         .join(suA, col("l_suppkey") === col("s_suppkey") &&
                    col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
-        .agg((sum(round(col("l_extendedprice") * 100).cast(LongType) *
-          (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+        .agg((sum(roundToLong(col("l_extendedprice") * 100) *
+          (lit(100L) - roundToLong(col("l_discount") * 100)))
           .cast(DoubleType) / 10000.0).as("revenue"))
         .orderBy("n_name")
     },
@@ -374,10 +386,10 @@ object QueriesRelational {
       // stays long/codegen — and rescale the twin the same way; sums per
       // group at the tested SFs sit 2 orders of magnitude under the edge.
       val l = Tables.t(s, d, "lineitem")
-      val qI  = round(col("l_quantity")).cast(LongType)
-      val pE2 = round(col("l_extendedprice") * 100).cast(LongType)
-      val dE2 = round(col("l_discount") * 100).cast(LongType)
-      val tE2 = round(col("l_tax") * 100).cast(LongType)
+      val qI  = roundToLong(col("l_quantity"))
+      val pE2 = roundToLong(col("l_extendedprice") * 100)
+      val dE2 = roundToLong(col("l_discount") * 100)
+      val tE2 = roundToLong(col("l_tax") * 100)
       l.filter(col("l_shipdate") <= ntz("2001-09-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

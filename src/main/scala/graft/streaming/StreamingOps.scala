@@ -33,7 +33,7 @@ object StreamingOps {
       // ~2x a long sum per row (measured at sf1, SCALE.md §7), and the
       // round-trip stays hash-identical to the DECIMAL(18,4) formulation
       .agg(count(lit(1)).as("cnt"),
-        (sum(round(col("value") * 10000).cast(LongType))
+        (sum(graft.ops.QueriesRelational.roundToLong(col("value") * 10000))
           .cast(DoubleType) / 10000.0).as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
 
