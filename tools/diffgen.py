@@ -800,6 +800,35 @@ def fam_csvio(seed):
     return [(sq, "query") for sq in scripts]
 
 
+def fam_trailing(seed):
+    """r15: the trailing-comma TOLERANCE side of the measured matrix
+    (refusals error identically in both engines and cannot be value
+    fixtures — R15EdgeSpec intercepts those). Full-query kind."""
+    qs = [
+        "SELECT CAST(1 AS VARCHAR), FROM (VALUES (0)) t(z)",
+        "SELECT CAST(z AS VARCHAR), FROM (VALUES (7)) t(z) WHERE z > 0",
+        "SELECT CAST(z AS VARCHAR) FROM (VALUES (1),(2)) t(z) GROUP BY z, ORDER BY z",
+        "SELECT CAST(z AS VARCHAR) FROM (VALUES (1),(2),(3)) t(z) WHERE z IN (1, 3,) ORDER BY z",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1, 2,), (3, 4,),) v(x, y) ORDER BY x",
+        "SELECT CAST([1, 2,] AS VARCHAR)",
+        "SELECT CAST({'a': 1,} AS VARCHAR)",
+        "SELECT CAST(row(1, 2,) AS VARCHAR)",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1, 2)) v(x, y,)",
+        "WITH c(x,) AS (SELECT 5) SELECT CAST(x AS VARCHAR) FROM c",
+        "WITH a(x) AS (SELECT 1), b(y,) AS (SELECT 2) SELECT CAST(x + y AS VARCHAR) FROM a, b",
+        "SELECT CAST(z AS VARCHAR) FROM (VALUES (2),(1)) t(z) GROUP BY CUBE (z,) ORDER BY 1 NULLS FIRST",
+        "SELECT DISTINCT ON (z,) CAST(z AS VARCHAR) FROM (VALUES (4)) t(z)",
+        "SELECT CAST(z AS VARCHAR), FROM (VALUES (9)) t(z) LIMIT 1",
+        "SELECT CAST(z AS VARCHAR), FROM (VALUES (8)) t(z) OFFSET 0",
+        "SELECT CAST(a AS VARCHAR), FROM (VALUES (1)) t(a) UNION ALL SELECT CAST(b AS VARCHAR), FROM (VALUES (2)) u(b) ORDER BY 1",
+        "SELECT CAST((SELECT 42,) AS VARCHAR)",
+        "SELECT CAST(z AS VARCHAR) FROM (VALUES (1),(5)) t(z) WHERE EXISTS (SELECT 1, FROM (VALUES (0)) u(w)) ORDER BY z",
+        "SELECT CAST(z AS VARCHAR) FROM (VALUES (1),(2)) t(z) GROUP BY z, HAVING z > 1",
+        "SELECT CAST(sum(z) AS VARCHAR) FROM (VALUES (1),(2)) t(z) GROUP BY GROUPING SETS ((z),(),) ORDER BY 1",
+    ]
+    return [(q, "query") for q in qs]
+
+
 def fam_collate(seed):
     """r15: expression-level COLLATE at comparison / IN / ORDER BY sites.
     DuckDB's NOCASE is utf8proc's SIMPLE fold (STRASSE <> strasse-from-
@@ -879,12 +908,14 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "coercion": fam_coercion, "decimal": fam_decimal,
             "interval": fam_interval, "keyequiv": fam_keyequiv,
             "fnwave": fam_fnwave, "collate": fam_collate,
-            "unicase": fam_unicase, "csvio": fam_csvio}
+            "unicase": fam_unicase, "csvio": fam_csvio,
+            "trailing": fam_trailing}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "CollateDifferentialSpec.scala": "auto",
              "CsvIoDifferentialSpec.scala": "auto",
+             "TrailingCommaDifferentialSpec.scala": "auto",
              "AggDifferentialSpec.scala": "agg",
              "CoercionDifferentialSpec.scala": "auto",
              "KeyEquivSpec.scala": "auto"}
