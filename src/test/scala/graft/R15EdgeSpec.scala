@@ -52,6 +52,34 @@ class R15EdgeSpec extends AnyFunSuite {
     assert(lake.sql("SELECT (SELECT 42,) AS v").head().getInt(0) == 42)
   }
 
+  test("COLLATE / ILIKE hardening: CASE arms, qualified columns, concat " +
+      "patterns, ORDER BY on columns (codegen path) — DuckDB-matched") {
+    lake.sql("CREATE TABLE hard(n VARCHAR, k VARCHAR)")
+    lake.sql("INSERT INTO hard VALUES ('Ada','x'),('bob','y'),('CARL','z'),('ß-stra','w')")
+    def one(q: String) = lake.sql(q).collect().map(_.getString(0)).toSeq
+    // comparison inside a CASE arm (expected values measured on DuckDB)
+    assert(one("SELECT k FROM hard WHERE CASE WHEN n = 'ADA' COLLATE NOCASE " +
+      "THEN 1 ELSE 0 END = 1") == Seq("x"))
+    // qualified column operand
+    assert(one("SELECT k FROM hard WHERE hard.n = 'carl' COLLATE NOCASE") == Seq("z"))
+    // ILIKE pattern extends over || (concat binds tighter — measured)
+    assert(lake.sql("SELECT CAST('ab' ILIKE 'A' || 'B' AS VARCHAR) AS v")
+      .head().getString(0) == "true")
+    // NOT ILIKE inside an AND chain; plain parenthesized ILIKE
+    assert(one("SELECT k FROM hard WHERE 1 = 1 AND n NOT ILIKE 'a%' ORDER BY k")
+      == Seq("w", "y", "z"))
+    assert(one("SELECT k FROM hard WHERE (n ILIKE 'b%')") == Seq("y"))
+    // column pattern (non-literal rhs)
+    assert(one("SELECT k FROM hard WHERE n ILIKE k || '%'") == Seq())
+    // upper() over a COLUMN — the DuckCase codegen path, not constant
+    // folding; ß upper-cases to ẞ (simple fold), never SS
+    assert(one("SELECT string_agg(upper(n), ',' ORDER BY n) FROM hard")
+      == Seq("ADA,CARL,BOB,ẞ-STRA"))
+    // ORDER BY a COLUMN with NOCASE (tie-free)
+    assert(one("SELECT n FROM hard ORDER BY n COLLATE NOCASE LIMIT 2")
+      == Seq("Ada", "bob"))
+  }
+
   test("lake dialect confs are scoped per call, not session-pinned") {
     // force lake construction + a lake statement first
     assert(lake.sql("SELECT \"g\" FROM t WHERE x = 1").count() >= 0)
