@@ -262,6 +262,17 @@ class DuckLakeXLSpark(
     reg1("__graft_lower", graft.functions.DuckCaseMap(_, upper = false))
     reg1("__graft_noaccent", graft.functions.StripAccentsExpr(_))
     reg1("__graft_nfc", graft.functions.NfcNormalize(_))
+    // r15 numedge barrage (functions/NumericEdge): DuckDB-exact trunc/
+    // sign/factorial/fmod and the loud out-of-range guards on
+    // sqrt/ln/log10/log2 (Spark silently NaN/NULLs those)
+    reg1("__graft_trunc", graft.functions.DuckTrunc(_))
+    reg1("__graft_sign", graft.functions.DuckSign(_))
+    reg1("__graft_factorial", graft.functions.DuckFactorial(_))
+    reg2("__graft_fmod", graft.functions.DuckFmod(_, _))
+    reg1("__graft_sqrt", graft.functions.GuardedMath(_, "sqrt"))
+    reg1("__graft_ln", graft.functions.GuardedMath(_, "ln"))
+    reg1("__graft_log10", graft.functions.GuardedMath(_, "log10"))
+    reg1("__graft_log2", graft.functions.GuardedMath(_, "log2"))
     // r14 function-battery gaps (functions/FuzzyText)
     reg2("jaro_similarity", graft.functions.JaroSimilarity(_, _, winkler = false))
     reg2("jaro_winkler_similarity", graft.functions.JaroSimilarity(_, _, winkler = true))

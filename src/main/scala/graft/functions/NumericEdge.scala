@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** DuckDB-exact numeric edge semantics (r15 numedge barrage — every rule
+  * below MEASURED on DuckDB 1.0.0):
+  *
+  *  - trunc(x): toward-zero truncation keeping the input flavor
+  *    (DOUBLE stays DOUBLE, DECIMAL(p,s) becomes DECIMAL(p-s+1,0),
+  *    integrals identity). Spark has no 1-arg numeric trunc at all.
+  *  - sign(x): TINYINT -1/0/1 — and sign(NaN) = 0. Spark's signum is
+  *    DOUBLE and NaN-propagating.
+  *  - factorial(n): HUGEINT there, DECIMAL(38,0) here (renders the same
+  *    plain digits); n < 0 returns 1 (measured!); n > 33 overflows
+  *    128 bits and must stay a LOUD error. Spark's factorial silently
+  *    NULLs past 20.
+  *  - fmod(a, b): FLOORED double modulo (sign of the divisor —
+  *    fmod(-7.5, 2) = 0.5), NULL on a zero divisor, always DOUBLE.
+  *    Spark's % / mod are C-style (sign of the dividend).
+  *  - sqrt / ln / log10 / log2 of a NEGATIVE (or log of zero) is a LOUD
+  *    Out of Range error there, while NaN input passes through as NaN —
+  *    Spark silently yields NaN/NULL instead.
+  */
+object NumericEdge {
+  def truncDouble(x: Double): Double =
+    if (x < 0) math.ceil(x) else math.floor(x)
+
+  def factorial(n: Long): Decimal = {
+    if (n > 33) throw new ArithmeticException(
+      s"factorial($n) overflows HUGEINT (DuckDB refuses above 33!)")
+    var acc = java.math.BigInteger.ONE
+    var i = 2L
+    while (i <= n) { acc = acc.multiply(java.math.BigInteger.valueOf(i)); i += 1 }
+    Decimal(new java.math.BigDecimal(acc), 38, 0)
+  }
+
+  def fmod(a: Double, b: Double): Any =
+    if (b == 0.0) null
+    else {
+      val q = math.floor(a / b)
+      val r = a - q * b
+      r
+    }
+
+  def guarded(kind: String, x: Double): Double = {
+    if (java.lang.Double.isNaN(x)) return x // NaN passes through (measured)
+    kind match {
+      case "sqrt" =>
+        if (x < 0) throw new ArithmeticException(
+          "cannot take square root of a negative number")
+        math.sqrt(x)
+      case "ln" =>
+        if (x <= 0) throw new ArithmeticException(
+          if (x == 0) "cannot take logarithm of zero"
+          else "cannot take logarithm of a negative number")
+        math.log(x)
+      case "log10" =>
+        if (x <= 0) throw new ArithmeticException(
+          if (x == 0) "cannot take logarithm of zero"
+          else "cannot take logarithm of a negative number")
+        math.log10(x)
+      case "log2" =>
+        if (x <= 0) throw new ArithmeticException(
+          if (x == 0) "cannot take logarithm of zero"
+          else "cannot take logarithm of a negative number")
+        math.log(x) / math.log(2.0)
+    }
+  }
+
+  private[functions] def toD(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case dec: Decimal => dec.toDouble
+    case n: Number => n.doubleValue()
+  }
+}
+
+/** `trunc(x)` — see [[NumericEdge]]. CodegenFallback: type-dispatched,
+  * not hot-path (an everyday scalar, never a corpus-pass primitive). */
+case class DuckTrunc(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = child.dataType match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision - d.scale + 1), 0)
+    case FloatType => DoubleType
+    case other => other
+  }
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case DoubleType => NumericEdge.truncDouble(input.asInstanceOf[Double])
+    case FloatType => NumericEdge.truncDouble(input.asInstanceOf[Float].toDouble)
+    case d: DecimalType =>
+      val dec = input.asInstanceOf[Decimal]
+      Decimal(dec.toJavaBigDecimal.setScale(0, java.math.RoundingMode.DOWN),
+        math.min(38, d.precision - d.scale + 1), 0)
+    case _ => input // integrals pass through
+  }
+  override protected def withNewChildInternal(newChild: Expression): DuckTrunc =
+    copy(child = newChild)
+}
+
+/** `sign(x)` — TINYINT, NaN -> 0; see [[NumericEdge]] */
+case class DuckSign(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ByteType
+  override def nullSafeEval(input: Any): Any = {
+    val d = NumericEdge.toD(input)
+    if (java.lang.Double.isNaN(d)) 0.toByte
+    else if (d > 0) 1.toByte else if (d < 0) (-1).toByte else 0.toByte
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val conv = child.dataType match {
+        case _: DecimalType => s"$c.toDouble()"
+        case _ => s"(double)($c)"
+      }
+      s"""double __gs = $conv;
+         |${ev.value} = Double.isNaN(__gs) ? (byte) 0
+         |  : __gs > 0 ? (byte) 1 : __gs < 0 ? (byte) -1 : (byte) 0;""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): DuckSign =
+    copy(child = newChild)
+}
+
+/** `factorial(n)` — DECIMAL(38,0), loud above 33; see [[NumericEdge]] */
+case class DuckFactorial(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullSafeEval(input: Any): Any =
+    NumericEdge.factorial(input.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NumericEdge.factorial((long)($c));")
+  override protected def withNewChildInternal(newChild: Expression): DuckFactorial =
+    copy(child = newChild)
+}
+
+/** `fmod(a, b)` — floored double modulo, NULL on zero divisor */
+case class DuckFmod(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input); if (a == null) return null
+    val b = right.eval(input); if (b == null) return null
+    NumericEdge.fmod(NumericEdge.toD(a), NumericEdge.toD(b))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def conv(v: String, dt: DataType): String = dt match {
+      case _: DecimalType => s"$v.toDouble()"
+      case NullType => "0.0"
+      case _ => s"(double)($v)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val bd = conv(b, right.dataType)
+      s"""double __fb = $bd;
+         |if (__fb == 0.0) { ${ev.isNull} = true; }
+         |else {
+         |  double __fa = ${conv(a, left.dataType)};
+         |  ${ev.value} = __fa - Math.floor(__fa / __fb) * __fb;
+         |}""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckFmod =
+    copy(left = l, right = r)
+}
+
+/** sqrt/ln/log10/log2 with DuckDB's loud out-of-range guards */
+case class GuardedMath(child: Expression, kind: String)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    NumericEdge.guarded(kind, NumericEdge.toD(input))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val conv = child.dataType match {
+        case _: DecimalType => s"$c.toDouble()"
+        case _ => s"(double)($c)"
+      }
+      s"""${ev.value} = graft.functions.NumericEdge.guarded("$kind", $conv);"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): GuardedMath =
+    copy(child = newChild)
+}

@@ -1502,6 +1502,17 @@ object StatementRouter {
     // (r15 Unicode barrage find: unregistered name errored as a catalog
     // function lookup)
     "strlen" -> "octet_length",
+    // r15 numedge barrage: DuckDB-exact numeric natives (NumericEdge).
+    // `log`/`trunc` are ARITY-dispatched in rewriteDialect instead
+    // (DuckDB log(x) is LOG10 — Spark's log is natural; 2-arg forms
+    // keep their Spark twins).
+    "fmod" -> "__graft_fmod",
+    "sign" -> "__graft_sign",
+    "factorial" -> "__graft_factorial",
+    "sqrt" -> "__graft_sqrt",
+    "ln" -> "__graft_ln",
+    "log2" -> "__graft_log2",
+    "log10" -> "__graft_log10",
     "list_transform" -> "transform",
     "list_filter"    -> "filter",
     "list_value"     -> "array",
@@ -3795,6 +3806,59 @@ object StatementRouter {
     q
   }
 
+  /** `a % 0` is NULL in DuckDB (any numeric flavor — measured: 1 % 0,
+    * 7.5 % 0 both NULL, never an error and never NaN); Spark's ANSI `%`
+    * throws REMAINDER_BY_ZERO and its double remainder yields NaN. The
+    * rewrite wraps the DIVISOR once in `nullif(d, 0)` — a NULL divisor
+    * short-circuits `%` to NULL in both modes, the divisor evaluates
+    * exactly once, and every non-zero case keeps Spark's native
+    * (type-preserving, codegen) remainder. Sign behavior already
+    * matches (both C-style, sign of the dividend). r15 numedge barrage.
+    */
+  private def wordAtGlobal(s: String, k0: Int): String = {
+    var e = k0
+    while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+    s.substring(k0, e).toUpperCase(java.util.Locale.ROOT)
+  }
+  private def rewriteModNullSafe(q0: String): String = {
+    val lit = literalMask(q0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q0.length) {
+      val c = q0.charAt(i)
+      if (!lit(i) && c == '%' &&
+          (i + 1 >= q0.length || q0.charAt(i + 1) != '%')) {
+        // binary only: something operand-ish must precede
+        var k = i - 1
+        while (k >= 0 && q0.charAt(k).isWhitespace) k -= 1
+        val binary = k >= 0 && {
+          val p = q0.charAt(k)
+          p.isLetterOrDigit || p == '_' || p == ')' || p == ']' ||
+            p == '"' || (p == '\'' && lit(k))
+        }
+        if (binary) {
+          // rhs primary (or string-adjacent numeric literal)
+          var r = i + 1
+          while (r < q0.length && q0.charAt(r).isWhitespace) r += 1
+          // POSTFIX percent (USING SAMPLE 30% REPEATABLE / 50%): a
+          // keyword after '%' means it is not a binary modulo
+          val kwAfter = r < q0.length && q0.charAt(r).isLetter && {
+            val w = wordAtGlobal(q0, r)
+            TrailingCommaNonCall(w) || TrailingCommaKws(w) ||
+              w == "REPEATABLE" || w == "ROWS" || w == "PERCENT"
+          }
+          val rEnd = if (kwAfter) -1 else primaryEnd(q0, i + 1)
+          if (rEnd > 0) {
+            sb.append("% nullif(").append(q0.substring(r, rEnd).trim)
+              .append(", 0)")
+            i = rEnd
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def rewriteBareRegexOps(q0: String): String = {
     var q = q0
     var from = 0
@@ -5418,6 +5482,7 @@ object StatementRouter {
     // their emitted __graft_lower/__graft_noaccent calls are final
     q = rewriteCollate(q)
     q = rewriteIlike(q)
+    q = rewriteModNullSafe(q)
     q = rewriteBareRegexOps(q)
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)
@@ -5432,6 +5497,19 @@ object StatementRouter {
     // differential fix)
     q = rewriteCalls(q, "list_position") { args =>
       Some(s"array_position(${args.mkString(", ")})")
+    }
+    // r15 numedge: DuckDB's 1-arg log is LOG10 (measured: log(100)=2.0;
+    // Spark's log is the NATURAL log — a silent value divergence);
+    // 2-arg log(b, x) matches Spark's log(base, expr) and stays.
+    // 1-arg trunc is toward-zero numeric truncation Spark lacks
+    // (Spark's trunc is the 2-arg DATE trunc, untouched).
+    q = rewriteCalls(q, "log") {
+      case Seq(x) => Some(s"__graft_log10(${x.trim})")
+      case _ => None
+    }
+    q = rewriteCalls(q, "trunc") {
+      case Seq(x) => Some(s"__graft_trunc(${x.trim})")
+      case _ => None
     }
     // list_reverse_sort: descending with NULLS LAST (measured)
     q = rewriteCalls(q, "list_reverse_sort") {

@@ -800,6 +800,45 @@ def fam_csvio(seed):
     return [(sq, "query") for sq in scripts]
 
 
+def fam_numedge(seed):
+    """r15: numeric edge semantics — division/modulo by zero (NULL in
+    DuckDB), sign of modulo, truncating //, inf/nan arithmetic and
+    renders, round family, double->int casts (DuckDB ROUNDS half away),
+    -0.0 normalization, huge factorials. Error cases (int overflow,
+    sqrt(-1), ln(0), out-of-range casts) refuse in BOTH engines and live
+    in R15EdgeSpec instead."""
+    exprs = [
+        "1 / 0", "1.0 / 0", "CAST(1 AS DOUBLE) / 0", "0 / 0",
+        "1 % 0", "fmod(1, 0)", "fmod(7.5, 2)", "fmod(-7.5, 2)",
+        "-7 % 3", "7 % -3", "-7 % -3", "7.5 % 2",
+        "-7 // 2", "7 // -2", "-7 // -2", "7.5 // 2",
+        "CAST('inf' AS DOUBLE)", "CAST('-inf' AS DOUBLE)",
+        "CAST('nan' AS DOUBLE)",
+        "CAST(1e308 AS DOUBLE) * 10",
+        "1 / CAST('inf' AS DOUBLE)",
+        "CAST('inf' AS DOUBLE) > 1e308",
+        "CAST('nan' AS DOUBLE) = CAST('nan' AS DOUBLE)",
+        "CAST('nan' AS DOUBLE) > CAST('inf' AS DOUBLE)",
+        "round(2.5)", "round(3.5)", "round(-2.5)", "round(-3.5)",
+        "round(2.345, 2)", "round(2.675, 2)", "round(-2.675, 2)",
+        "round(1234.5678, -2)",
+        "ceil(-0.5)", "floor(-0.5)", "ceil(0.5)", "trunc(-1.7)",
+        "CAST(-0.0 AS DOUBLE)", "sign(-0.0)", "sign(-3)", "sign(CAST('nan' AS DOUBLE))",
+        "CAST(3.99 AS INTEGER)", "CAST(-3.99 AS INTEGER)",
+        "CAST(2.5 AS INTEGER)", "CAST(3.5 AS INTEGER)", "CAST(-2.5 AS INTEGER)",
+        "CAST('1e4' AS INTEGER)",
+        "CAST(CAST(2.5 AS DOUBLE) AS BIGINT)",
+        "factorial(21)",
+        "atan2(0, 0)", "0 ** 0", "2 ** -1", "power(2, 0.5)",
+        "exp(0)", "log10(100)", "log2(8)", "cbrt(-8)",
+        "isnan(CAST('nan' AS DOUBLE))", "isinf(CAST('inf' AS DOUBLE))",
+        "isfinite(1.5)",
+        "greatest(CAST('nan' AS DOUBLE), 1.0)",
+        "least(CAST('nan' AS DOUBLE), 1.0)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 def fam_trailing(seed):
     """r15: the trailing-comma TOLERANCE side of the measured matrix
     (refusals error identically in both engines and cannot be value
@@ -909,7 +948,7 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "interval": fam_interval, "keyequiv": fam_keyequiv,
             "fnwave": fam_fnwave, "collate": fam_collate,
             "unicase": fam_unicase, "csvio": fam_csvio,
-            "trailing": fam_trailing}
+            "trailing": fam_trailing, "numedge": fam_numedge}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
