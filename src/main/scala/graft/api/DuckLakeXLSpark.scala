@@ -273,6 +273,13 @@ class DuckLakeXLSpark(
     reg1("__graft_ln", graft.functions.GuardedMath(_, "ln"))
     reg1("__graft_log10", graft.functions.GuardedMath(_, "log10"))
     reg1("__graft_log2", graft.functions.GuardedMath(_, "log2"))
+    reg2("__graft_shl", graft.functions.GuardedShift(_, _, isLeft = true))
+    reg2("__graft_shr", graft.functions.GuardedShift(_, _, isLeft = false))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_substr3", { exprs =>
+        require(exprs.length == 3, "__graft_substr3(str, pos, len)")
+        graft.functions.DuckSubstring3(exprs(0), exprs(1), exprs(2))
+      })
     // r14 function-battery gaps (functions/FuzzyText)
     reg2("jaro_similarity", graft.functions.JaroSimilarity(_, _, winkler = false))
     reg2("jaro_winkler_similarity", graft.functions.JaroSimilarity(_, _, winkler = true))

@@ -164,6 +164,96 @@ case class DuckFmod(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 3-arg `substr(s, p, l)` with DuckDB's WINDOW semantics (measured):
+  * the window is [p, p+l) in 1-based code-point positions (negated ends
+  * swap, so a negative l extends backward), a non-positive p counts
+  * into the window (substr('abcdef', 0, 3) = 'ab'), a negative p counts
+  * from the END (n + p + 1), and the window clips to [1, n+1]. Equal to
+  * Spark's substring for p >= 1 && l >= 0.
+  */
+case class DuckSubstring3(str: Expression, pos: Expression, len: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def first: Expression = str
+  override def second: Expression = pos
+  override def third: Expression = len
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(s0: Any, p0: Any, l0: Any): Any = {
+    val s = s0.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numChars()
+    val p = p0.asInstanceOf[Number].longValue()
+    val l = l0.asInstanceOf[Number].longValue()
+    val posRes = if (p > 0 || p == 0) p else n + p + 1
+    val a = posRes
+    val b = posRes + l
+    val lo = math.max(math.min(a, b), 1L)
+    val hi = math.min(math.max(a, b), n + 1L)
+    if (hi <= lo) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    else s.substring(lo.toInt - 1, hi.toInt - 1)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): DuckSubstring3 = copy(str = a, pos = b, len = c)
+}
+
+/** `a << b` / `a >> b` with DuckDB's typed guards (measured):
+  *  - the result KEEPS the left operand's integral type
+  *  - left shift: negative a or b is a LOUD error; a shift amount at or
+  *    beyond the type width, or any shifted-out significant/sign bit,
+  *    is a LOUD overflow ("1 << 31" errors on INT32, "1::BIGINT << 62"
+  *    is fine) — Spark's shiftleft silently wraps (1 << 63 gave a
+  *    wrapped garbage value through the lake before r15)
+  *  - right shift: ARITHMETIC for in-range amounts; any out-of-range
+  *    amount (negative, or >= width) yields 0, never an error
+  */
+case class GuardedShift(left: Expression, right: Expression, isLeft: Boolean)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = left.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => left.dataType
+    case _ => LongType
+  }
+  private def width: Int = dataType match {
+    case ByteType => 8
+    case ShortType => 16
+    case IntegerType => 32
+    case _ => 64
+  }
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def eval(input: InternalRow): Any = {
+    val a0 = left.eval(input); if (a0 == null) return null
+    val b0 = right.eval(input); if (b0 == null) return null
+    val a = a0.asInstanceOf[Number].longValue()
+    val b = b0.asInstanceOf[Number].longValue()
+    val w = width
+    val out: Long =
+      if (isLeft) {
+        if (b < 0) throw new ArithmeticException(
+          s"Cannot left-shift by negative number $b")
+        if (a < 0) throw new ArithmeticException(
+          s"Cannot left-shift negative number $a")
+        if (b >= w) throw new ArithmeticException(
+          s"Left-shift value $b is out of range")
+        val r = a << b
+        val lo = -(1L << (w - 1))
+        val hi = (1L << (w - 1)) - 1
+        if ((r >> b) != a || r < lo || r > hi) throw new ArithmeticException(
+          s"Overflow in left shift ($a << $b)")
+        r
+      } else {
+        if (b < 0 || b >= w) 0L else a >> b
+      }
+    dataType match {
+      case ByteType => out.toByte
+      case ShortType => out.toShort
+      case IntegerType => out.toInt
+      case _ => out
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GuardedShift =
+    copy(left = l, right = r)
+}
+
 /** sqrt/ln/log10/log2 with DuckDB's loud out-of-range guards */
 case class GuardedMath(child: Expression, kind: String)
     extends UnaryExpression {

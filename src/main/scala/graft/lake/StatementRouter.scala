@@ -3815,6 +3815,80 @@ object StatementRouter {
     * (type-preserving, codegen) remainder. Sign behavior already
     * matches (both C-style, sign of the dividend). r15 numedge barrage.
     */
+  /** `a << b` / `a >> b` -> guarded natives (r15 numedge: DuckDB's typed
+    * overflow checks vs Spark's silent wrap — `1 << 63` wrapped to
+    * garbage through the lake). Shifts bind BELOW additive in DuckDB
+    * (measured: `1 + 2 << 1` = 6, `2 << 1 + 1` = 8), so operands extend
+    * over +/- and multiplicative chains, stopping at comparisons,
+    * clause keywords, commas and bracket edges; chained shifts stay
+    * left-associative because the rhs stops at the NEXT shift and the
+    * loop folds outward. A unary sign is part of the operand
+    * (`-7 >> 1` is arithmetic-shift of -7, not -(7 >> 1)).
+    */
+  private def rewriteShifts(q0: String): String = {
+    var q = q0
+    var go = true
+    def isAddMul(c: Char) = c == '+' || c == '-' || c == '*' || c == '/' ||
+      c == '%' || c == '^'
+    while (go) {
+      val lit = literalMask(q)
+      var op = -1
+      var i = 0
+      while (i + 1 < q.length && op < 0) {
+        val c = q.charAt(i)
+        if (!lit(i) && (c == '<' || c == '>') && q.charAt(i + 1) == c &&
+            (i == 0 || (q.charAt(i - 1) != '-' && q.charAt(i - 1) != c)) &&
+            (i + 2 >= q.length || q.charAt(i + 2) != c)) op = i
+        i += 1
+      }
+      if (op < 0) go = false
+      else {
+        val isLeft = q.charAt(op) == '<'
+        // ---- lhs: primary, then extend back over +,-,*,/,%,^ chains
+        var ls = primaryStart(q, op)
+        if (ls < 0) return q
+        var extending = true
+        while (extending && ls > 0) {
+          var k = ls - 1
+          while (k >= 0 && q.charAt(k).isWhitespace) k -= 1
+          if (k >= 0 && !lit(k) && isAddMul(q.charAt(k))) {
+            var p = k - 1
+            while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+            val binary = p >= 0 && (q.charAt(p).isLetterOrDigit ||
+              q.charAt(p) == '_' || q.charAt(p) == ')' || q.charAt(p) == ']' ||
+              (q.charAt(p) == '\'' && lit(p)))
+            if (binary) {
+              val prev = primaryStart(q, k)
+              if (prev >= 0 && prev < ls) ls = prev else extending = false
+            } else { ls = k; extending = false } // unary sign: include it
+          } else extending = false
+        }
+        // ---- rhs: primary (with sign), then extend over +,-,*,/,%,^
+        var re = -1
+        var r = op + 2
+        while (r < q.length && q.charAt(r).isWhitespace) r += 1
+        re = primaryEnd(q, op + 2) // primaryEnd skips unary +/- itself
+        if (re < 0) return q
+        var more = true
+        while (more) {
+          var k = re
+          while (k < q.length && q.charAt(k).isWhitespace) k += 1
+          if (k < q.length && !lit(k) && isAddMul(q.charAt(k)) &&
+              !(q.charAt(k) == '-' && k + 1 < q.length && q.charAt(k + 1) == '>')) {
+            val e2 = primaryEnd(q, k + 1)
+            if (e2 > 0) re = e2 else more = false
+          } else more = false
+        }
+        val l = q.substring(ls, op).trim
+        val rr = q.substring(op + 2, re).trim
+        if (l.isEmpty || rr.isEmpty) return q
+        val fn = if (isLeft) "__graft_shl" else "__graft_shr"
+        q = q.substring(0, ls) + s"$fn($l, $rr)" + q.substring(re)
+      }
+    }
+    q
+  }
+
   private def wordAtGlobal(s: String, k0: Int): String = {
     var e = k0
     while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
@@ -5103,7 +5177,10 @@ object StatementRouter {
     // the first component
     def comps(p: String) = s"filter(split($p, '[/\\\\\\\\]'), __x -> __x <> '')"
     def lead(p: String) =
-      s"CASE WHEN $p RLIKE '^[/\\\\\\\\]' THEN concat(array(substring($p, 1, 1)), ${comps(p)}) ELSE ${comps(p)} END"
+      // flatten(array(..)) is the array concat here — the `concat` NAME
+      // is reserved for DuckDB's string concat (NULL-skipping varchar
+      // renders, r15 numedge), whose rewrite must not re-process this
+      s"CASE WHEN $p RLIKE '^[/\\\\\\\\]' THEN flatten(array(array(substring($p, 1, 1)), ${comps(p)})) ELSE ${comps(p)} END"
     q = rewriteCalls(q, "parse_path") {
       case Seq(p) => Some(lead(p.trim))
       case _ => None
@@ -5483,12 +5560,24 @@ object StatementRouter {
     q = rewriteCollate(q)
     q = rewriteIlike(q)
     q = rewriteModNullSafe(q)
+    q = rewriteShifts(q)
     q = rewriteBareRegexOps(q)
     q = rewriteRegexpFlags(q)
     q = rewriteJsonFns(q)
     q = rewriteJsonArrows(q)
     q = rewriteListMisc(q)
     q = rewriteFnGaps(q)
+    // r15 concat barrage: DuckDB's concat SKIPS NULLs and renders every
+    // argument to VARCHAR (concat('a', NULL, 'b') = 'ab'; concat of two
+    // lists is the concatenated RENDERS) — Spark's concat is
+    // NULL-propagating and array-aware. concat_ws('') has the exact
+    // skip-NULLs semantics; operands render through the repaired
+    // CAST-to-VARCHAR. list_concat keeps LIST semantics: its rename to
+    // Spark's array concat happens AFTER this pass and never matches here.
+    q = rewriteCalls(q, "concat") { args =>
+      if (args.isEmpty) None // concat() errors loudly in both engines
+      else Some(s"concat_ws('', ${args.map(a => s"CAST(($a) AS VARCHAR)").mkString(", ")})")
+    }
     q = mapOutsideLiterals(q)(renameFns)
     // list_position: plain array_position — MEASURED DuckDB 1.0 returns
     // 0 when the element is absent and NULL for a NULL target, exactly
@@ -5511,6 +5600,31 @@ object StatementRouter {
       case Seq(x) => Some(s"__graft_trunc(${x.trim})")
       case _ => None
     }
+    // r15 substr window semantics: a start at or below 0 CONSUMES length
+    // (substr('abcdef', 0, 3) = 'ab') and a negative length extends the
+    // window BACKWARD ('a' for substr('abcdef', 2, -1)) — Spark clamps
+    // the start to 1 and empties negative lengths. The semantics are
+    // EQUAL for start >= 1 && len >= 0, so the native is a drop-in for
+    // every 3-arg spelling (comma form and ANSI FROM/FOR); the 2-arg
+    // forms agree on every measured point and stay native Spark.
+    for (fn <- Seq("substr", "substring"))
+      q = rewriteCalls(q, fn) {
+        case Seq(a, b, c) =>
+          Some(s"__graft_substr3(${a.trim}, ${b.trim}, ${c.trim})")
+        case Seq(one) =>
+          // ANSI `substring(x FROM p FOR l)` — the FOR form shares the
+          // window semantics; FROM-only agrees with Spark already
+          splitTopLevelKeyword(one, "FROM") match {
+            case (x, Some(rest)) =>
+              splitTopLevelKeyword(rest, "FOR") match {
+                case (p, Some(l)) =>
+                  Some(s"__graft_substr3(${x.trim}, ${p.trim}, ${l.trim})")
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
     // list_reverse_sort: descending with NULLS LAST (measured)
     q = rewriteCalls(q, "list_reverse_sort") {
       case Seq(l) => Some(s"sort_array(($l), false)")

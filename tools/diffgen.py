@@ -835,6 +835,20 @@ def fam_numedge(seed):
         "isfinite(1.5)",
         "greatest(CAST('nan' AS DOUBLE), 1.0)",
         "least(CAST('nan' AS DOUBLE), 1.0)",
+        # wave 2: concat NULL-skipping, substr window semantics, typed shifts
+        "concat('a', NULL, 'b')", "concat(NULL, NULL)", "concat('x')",
+        "concat(1, 'a', 2.5)", "concat(['x','y'], ['z'])",
+        "concat('a', NULL) || 'z'",
+        "substr('abcdef', 0, 3)", "substr('abcdef', 0)", "substr('abcdef', 0, 0)",
+        "substr('abcdef', -5, 3)", "substr('abcdef', -6, 3)", "substr('abcdef', -7, 3)",
+        "substr('abcdef', 2, -1)", "substr('abcdef', -1, 1)", "substr('abcdef', 0, 10)",
+        "substring('abcdef', 0, 3)", "substring('abcdef' FROM 0 FOR 3)",
+        "substring('abcdef' FROM 2 FOR 2)", "substr('héllo', 0, 3)",
+        "5 << 2", "5 >> 1", "-8 >> 1", "-7 >> 1",
+        "5 >> -1", "5 >> 64", "CAST(1 AS BIGINT) << 62",
+        "CAST(-2147483648 AS INTEGER) >> 1", "1 << 30",
+        "3 * 2 << 1", "1 + 2 << 1", "2 << 1 + 1",
+        "5 & 3", "5 | 3", "xor(5, 3)", "bit_count(255)", "~5",
     ]
     return [(e, "scalar") for e in exprs]
 
