@@ -1436,6 +1436,15 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(fnWaveSql)
     },
+    // r15 waves — see the *WaveSql docs above
+    "q_lake_unicase_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(unicaseWaveSql)
+    },
+    "q_lake_numedge_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(numedgeWaveSql)
+    },
     // r14 interval-arithmetic wave: per-field * / int with integer
     // division, unnormalized ± renders, mixed-family literals — the
     // semantics IntervalDifferentialSpec pinned, replayed as one
@@ -1654,6 +1663,54 @@ object QueriesLake {
       |  CAST(DATE '2024-01-15' + INTERVAL '1 month 1 day' AS VARCHAR) AS i12""".stripMargin
 
   /** r14 function-battery wave text — run VERBATIM by both engines */
+  /** r15 Unicode-case + COLLATE wave: utf8proc SIMPLE fold (ß->ẞ, İ->i,
+    * ligatures unchanged, astral planes), strip_accents, simple-fold
+    * ILIKE, and NOCASE/NOACCENT collations at comparison/IN sites — the
+    * semantics Unicase/CollateDifferentialSpec pinned, replayed as one
+    * oracle row (DuckDB runs the IDENTICAL text). The trailing comma
+    * before FROM-less end is deliberate: the r15 tolerance matrix is
+    * part of the replayed surface.
+    */
+  private[ops] val unicaseWaveSql: String =
+    """SELECT
+      |  upper('straße') AS u1,
+      |  lower('İSTANBUL') AS u2,
+      |  upper('ﬁx') AS u3,
+      |  lower('𐐀X') AS u4,
+      |  strip_accents('Ångström') AS u5,
+      |  CAST('ẞ' ILIKE 'ß' AS VARCHAR) AS u6,
+      |  CAST('STRASSE' ILIKE 'straße' AS VARCHAR) AS u7,
+      |  CAST('Ä' = 'ä' COLLATE NOCASE AS VARCHAR) AS u8,
+      |  CAST('STRASSE' = 'straße' COLLATE NOCASE AS VARCHAR) AS u9,
+      |  CAST('é' = 'e' COLLATE NOACCENT AS VARCHAR) AS u10,
+      |  CAST(('a' COLLATE NOCASE) IN ('A', 'x') AS VARCHAR) AS u11,
+      |  CAST(length('👨‍👩‍👧') AS BIGINT) AS u12,
+      |  CAST(strlen('👍') AS BIGINT) AS u13,""".stripMargin
+
+  /** r15 numeric-edge wave: NULL on /0 and %0, log() as LOG10, window
+    * substr, concat NULL-skipping, typed shifts, floored fmod, TINYINT
+    * sign, HUGEINT-sized factorial — the semantics
+    * NumEdgeDifferentialSpec pinned, replayed as one oracle row.
+    */
+  private[ops] val numedgeWaveSql: String =
+    """SELECT
+      |  CAST(1 / 0 AS VARCHAR) AS n1,
+      |  CAST(1 % 0 AS VARCHAR) AS n2,
+      |  CAST(-7 % 3 AS BIGINT) AS n3,
+      |  fmod(-7.5, 2) AS n4,
+      |  CAST(log(100) AS DOUBLE) AS n5,
+      |  CAST(trunc(-1.7) AS VARCHAR) AS n6,
+      |  CAST(sign(-3) AS BIGINT) AS n7,
+      |  CAST(factorial(21) AS VARCHAR) AS n8,
+      |  substr('abcdef', 0, 3) AS n9,
+      |  substr('abcdef', 2, -1) AS n10,
+      |  concat('a', NULL, 'b') AS n11,
+      |  CAST(5 << 2 AS BIGINT) AS n12,
+      |  CAST(-8 >> 1 AS BIGINT) AS n13,
+      |  CAST(5 >> 64 AS BIGINT) AS n14,
+      |  CAST(1 + 2 << 1 AS BIGINT) AS n15,
+      |  CAST(xor(5, 3) AS BIGINT) AS n16""".stripMargin
+
   private[ops] val fnWaveSql: String =
     """SELECT
       |  jaro_winkler_similarity('martha', 'marhta') AS f1,
@@ -1675,6 +1732,8 @@ object QueriesLake {
   val oracle: Map[String, String] = Map(
     "q_lake_coerce_wave" -> coerceWaveSql,
     "q_lake_fn2_wave" -> fnWaveSql,
+    "q_lake_unicase_wave" -> unicaseWaveSql,
+    "q_lake_numedge_wave" -> numedgeWaveSql,
     "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_interval_wave" -> intervalWaveSql,
     "q_lake_enum" ->
