@@ -275,6 +275,15 @@ class DuckLakeXLSpark(
     reg1("__graft_log2", graft.functions.GuardedMath(_, "log2"))
     reg2("__graft_shl", graft.functions.GuardedShift(_, _, isLeft = true))
     reg2("__graft_shr", graft.functions.GuardedShift(_, _, isLeft = false))
+    // r15 json-build probe (functions/DuckJsonBuild): construction /
+    // inspection twins DuckDB users hit daily, loud catalog errors before
+    reg1("__graft_to_json", graft.functions.DuckToJson(_))
+    reg1("__graft_json_typeof", graft.functions.DuckJsonTypeOf(_))
+    reg2("__graft_json_merge", graft.functions.DuckJsonMergePatch(_, _))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_json_array", exprs => graft.functions.DuckJsonArray(exprs))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_json_object", exprs => graft.functions.DuckJsonObject(exprs))
     org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
       spark, "__graft_substr3", { exprs =>
         require(exprs.length == 3, "__graft_substr3(str, pos, len)")

@@ -5567,6 +5567,42 @@ object StatementRouter {
     q = rewriteJsonArrows(q)
     q = rewriteListMisc(q)
     q = rewriteFnGaps(q)
+    // r15 json-build probe: construction/inspection twins (measured —
+    // functions/DuckJsonBuild). to_json/json_quote take ANY value there
+    // (scalars render as JSON; Spark's to_json refuses scalars — the
+    // native delegates struct/array/map to Catalyst's writer);
+    // json_object/json_array build from mixed-typed args;
+    // json_merge_patch is RFC 7386 on text; json_type names the DuckDB
+    // logical type (2-arg form extracts the path first); json_keys is
+    // Spark's json_object_keys with DuckDB's empty-list (not NULL)
+    // answer on non-objects.
+    for (fn <- Seq("to_json", "json_quote"))
+      q = rewriteCalls(q, fn) {
+        case Seq(x) => Some(s"__graft_to_json(${x.trim})")
+        case _ => None
+      }
+    q = rewriteCalls(q, "json_array") { args =>
+      Some(s"__graft_json_array(${args.mkString(", ")})")
+    }
+    q = rewriteCalls(q, "json_object") { args =>
+      if (args.length % 2 == 0) Some(s"__graft_json_object(${args.mkString(", ")})")
+      else None
+    }
+    q = rewriteCalls(q, "json_merge_patch") {
+      case Seq(a, b) => Some(s"__graft_json_merge(${a.trim}, ${b.trim})")
+      case _ => None
+    }
+    q = rewriteCalls(q, "json_type") {
+      case Seq(x) => Some(s"__graft_json_typeof(${x.trim})")
+      case Seq(x, p) =>
+        Some(s"__graft_json_typeof(__graft_json_extract(${x.trim}, ${p.trim}))")
+      case _ => None
+    }
+    q = rewriteCalls(q, "json_keys") {
+      case Seq(x) =>
+        Some(s"coalesce(json_object_keys(${x.trim}), array())")
+      case _ => None
+    }
     // r15 concat barrage: DuckDB's concat SKIPS NULLs and renders every
     // argument to VARCHAR (concat('a', NULL, 'b') = 'ab'; concat of two
     // lists is the concatenated RENDERS) — Spark's concat is

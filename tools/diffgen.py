@@ -800,6 +800,38 @@ def fam_csvio(seed):
     return [(sq, "query") for sq in scripts]
 
 
+def fam_jsonbuild(seed):
+    """r15: JSON construction/inspection — to_json over scalars,
+    json_object/json_array from mixed-typed args, RFC 7386
+    json_merge_patch, json_type names, json_keys on non-objects."""
+    exprs = [
+        "to_json({'a': 1, 'b': 'x'})", "to_json([1, 2, 3])",
+        "to_json('plain')", "to_json('he said \"hi\"')", "to_json(1.5)",
+        "to_json(true)", "to_json(CAST(1 AS BIGINT))",
+        "to_json(DATE '2024-01-02')", "to_json(NULL)",
+        "json_quote(1.5)", "json_quote('x')",
+        "json_object('k', 1, 'j', 'two')", "json_object()",
+        "json_object('k', NULL)", "json_object('k', [1,2])",
+        "json_object('k', {'x': 1})", "json_object('a', 1.5, 'b', true)",
+        "json_array()", "json_array(1, 'a', NULL)", "json_array([1,2])",
+        "json_array(1.5, true)", "json_array('q')",
+        "json_merge_patch('{\"a\":1,\"b\":2}', '{\"b\":null,\"c\":3}')",
+        "json_merge_patch('{\"a\":{\"x\":1,\"y\":2}}', '{\"a\":{\"y\":null,\"z\":9}}')",
+        "json_merge_patch('{\"a\":1}', '3')",
+        "json_merge_patch('{\"a\":1}', 'null')",
+        "json_merge_patch(NULL, '{\"a\":1}')",
+        "json_merge_patch('{\"a\":1}', NULL)",
+        "json_type('{\"a\":1}')", "json_type('[1]')", "json_type('3')",
+        "json_type('-3')", "json_type('1.5')", "json_type('\"x\"')",
+        "json_type('null')", "json_type('true')",
+        "json_type('{\"a\":[1]}', '$.a')",
+        "CAST(json_keys('{\"a\":1,\"b\":{\"c\":2}}') AS VARCHAR)",
+        "CAST(json_keys('{}') AS VARCHAR)",
+        "CAST(json_keys('[1]') AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 def fam_numedge(seed):
     """r15: numeric edge semantics — division/modulo by zero (NULL in
     DuckDB), sign of modulo, truncating //, inf/nan arithmetic and
@@ -962,7 +994,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "interval": fam_interval, "keyequiv": fam_keyequiv,
             "fnwave": fam_fnwave, "collate": fam_collate,
             "unicase": fam_unicase, "csvio": fam_csvio,
-            "trailing": fam_trailing, "numedge": fam_numedge}
+            "trailing": fam_trailing, "numedge": fam_numedge,
+            "jsonbuild": fam_jsonbuild}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
