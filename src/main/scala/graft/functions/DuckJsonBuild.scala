@@ -28,7 +28,79 @@ import org.apache.spark.unsafe.types.UTF8String
   * primitives.
   */
 object DuckJsonBuild {
-  private val mapper = new ObjectMapper()
+  private[functions] val mapper = new ObjectMapper()
+
+  /** DuckDB(yyjson)-compatible JSON double text (r16 probe: 4,000 random
+    * doubles incl. subnormals and boundary exponents, 0 drift vs DuckDB
+    * 1.0.0): SHORTEST round-trip digits; plain decimal when the decimal
+    * exponent is in [-6, 20], integral values keeping a trailing '.0';
+    * otherwise `d[.ddd]e<exp>` (lowercase e, no '+', unpadded); bare
+    * NaN / Infinity / -Infinity; '-0.0' keeps its sign. Java 17's
+    * Double.toString is NOT shortest-repr (it emits a 17th digit where
+    * 16 round-trip — 37/1500 of the probe), so digits come from a trial
+    * round through BigDecimal instead.
+    */
+  def renderJsonDouble(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (d == Double.PositiveInfinity) return "Infinity"
+    if (d == Double.NegativeInfinity) return "-Infinity"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val ad = math.abs(d)
+    val exact = new java.math.BigDecimal(ad)
+    var best: java.math.BigDecimal = null
+    var k = 1
+    while (best == null && k <= 17) {
+      val r = exact.round(new java.math.MathContext(k, java.math.RoundingMode.HALF_EVEN))
+      if (r.doubleValue() == ad) best = r
+      k += 1
+    }
+    val stripped = best.stripTrailingZeros
+    val digs = stripped.unscaledValue.toString
+    val decExp = digs.length - 1 - stripped.scale
+    val pointPos = decExp + 1
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    if (decExp >= 21 || decExp < -6) {
+      sb.append(digs.charAt(0))
+      if (digs.length > 1) sb.append('.').append(digs.substring(1))
+      sb.append('e').append(decExp)
+    } else if (pointPos >= digs.length) {
+      sb.append(digs)
+      var i = digs.length
+      while (i < pointPos) { sb.append('0'); i += 1 }
+      sb.append(".0")
+    } else if (pointPos > 0) {
+      sb.append(digs.substring(0, pointPos)).append('.').append(digs.substring(pointPos))
+    } else {
+      sb.append("0.")
+      var i = 0
+      while (i < -pointPos) { sb.append('0'); i += 1 }
+      sb.append(digs)
+    }
+    sb.toString
+  }
+
+  /** TIMESTAMP wall text `yyyy-MM-dd HH:mm:ss[.ffffff]`, fraction trimmed
+    * (measured: to_json(TIMESTAMP '… .120') renders '.12') */
+  private def wallText(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (frac == 0) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** TIME text `HH:mm:ss[.ffffff]` from Spark's nanos-of-day */
+  private def timeText(nanos: Long): String = {
+    val secOfDay = nanos / 1000000000L
+    val micros = (nanos % 1000000000L) / 1000L
+    val base = f"${secOfDay / 3600}%02d:${secOfDay / 60 % 60}%02d:${secOfDay % 60}%02d"
+    if (micros == 0) base
+    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+  }
 
   /** render one Spark value as compact JSON text per the measured rules */
   def renderValue(v: Any, dt: DataType): String = v match {
@@ -40,11 +112,14 @@ object DuckJsonBuild {
       case ByteType | ShortType | IntegerType | LongType =>
         v.asInstanceOf[Number].longValue().toString
       case FloatType | DoubleType =>
-        val d = v.asInstanceOf[Number].doubleValue()
-        mapper.writeValueAsString(java.lang.Double.valueOf(d))
+        renderJsonDouble(v.asInstanceOf[Number].doubleValue())
       case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
       case DateType =>
         "\"" + java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()) + "\""
+      case TimestampType | TimestampNTZType =>
+        "\"" + wallText(v.asInstanceOf[Number].longValue()) + "\""
+      case _: TimeType =>
+        "\"" + timeText(v.asInstanceOf[Number].longValue()) + "\""
       case other => throw new IllegalArgumentException(
         s"cannot JSON-render a ${other.simpleString} value (json build natives)")
     }
@@ -140,17 +215,18 @@ case class DuckJsonObject(children: Seq[Expression]) extends Expression
   private lazy val valueRenderers =
     children.grouped(2).map { case Seq(_, v) => DuckToJson(v) }.toSeq
   override def eval(input: InternalRow): Any = {
-    val mapper = new ObjectMapper()
     val sb = new StringBuilder("{")
     var i = 0
     children.grouped(2).zip(valueRenderers.iterator).foreach { case (Seq(k, _), vr) =>
       val kv = k.eval(input)
-      require(kv != null, "json_object key cannot be NULL")
-      val v = vr.eval(input)
-      if (i > 0) sb.append(',')
-      sb.append(mapper.writeValueAsString(kv.toString))
-        .append(':').append(if (v == null) "null" else v.toString)
-      i += 1
+      // measured: json_object(NULL, 1) = '{}' — a NULL-key pair is skipped
+      if (kv != null) {
+        val v = vr.eval(input)
+        if (i > 0) sb.append(',')
+        sb.append(DuckJsonBuild.mapper.writeValueAsString(kv.toString))
+          .append(':').append(if (v == null) "null" else v.toString)
+        i += 1
+      }
     }
     UTF8String.fromString(sb.append('}').toString)
   }

@@ -76,12 +76,53 @@ object NumericEdge {
     case dec: Decimal => dec.toDouble
     case n: Number => n.doubleValue()
   }
+
+  /** trunc(DECIMAL(p,s)) -> DECIMAL(min(38, p-s+1), 0), toward zero */
+  def truncDecimal(dec: Decimal, srcPrecision: Int, srcScale: Int): Decimal =
+    Decimal(dec.toJavaBigDecimal.setScale(0, java.math.RoundingMode.DOWN),
+      math.min(38, srcPrecision - srcScale + 1), 0)
+
+  /** `a << b` guard ladder, measured order (r16 probe): negative b errors
+    * first, then negative a (even at b = 0), then a zero a short-circuits
+    * to 0 for ANY non-negative b ('0::bigint << 64' = 0 there), and only
+    * then an out-of-width b or a shifted-out bit errors. */
+  def shiftLeft(a: Long, b: Long, w: Int): Long = {
+    if (b < 0) throw new ArithmeticException(
+      s"Cannot left-shift by negative number $b")
+    if (a < 0) throw new ArithmeticException(
+      s"Cannot left-shift negative number $a")
+    if (a == 0) return 0L
+    if (b >= w) throw new ArithmeticException(
+      s"Left-shift value $b is out of range")
+    val r = a << b
+    val lo = -(1L << (w - 1))
+    val hi = (1L << (w - 1)) - 1
+    if ((r >> b) != a || r < lo || r > hi) throw new ArithmeticException(
+      s"Overflow in left shift ($a << $b)")
+    r
+  }
+
+  /** `a >> b`: arithmetic in range, 0 for any out-of-range amount */
+  def shiftRight(a: Long, b: Long, w: Int): Long =
+    if (b < 0 || b >= w) 0L else a >> b
+
+  /** 3-arg substr window semantics — see [[DuckSubstring3]] */
+  def substr3(s: org.apache.spark.unsafe.types.UTF8String, p: Long,
+      l: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numChars()
+    val a = if (p > 0 || p == 0) p else n + p + 1
+    val b = a + l
+    val lo = math.max(math.min(a, b), 1L)
+    val hi = math.min(math.max(a, b), n + 1L)
+    if (hi <= lo) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    else s.substring(lo.toInt - 1, hi.toInt - 1)
+  }
 }
 
-/** `trunc(x)` — see [[NumericEdge]]. CodegenFallback: type-dispatched,
-  * not hot-path (an everyday scalar, never a corpus-pass primitive). */
-case class DuckTrunc(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+/** `trunc(x)` — see [[NumericEdge]]. Type dispatch happens at codegen
+  * time (child.dataType is static), so the per-row path is a single
+  * static call inside whole-stage codegen. */
+case class DuckTrunc(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType match {
     case d: DecimalType => DecimalType(math.min(38, d.precision - d.scale + 1), 0)
     case FloatType => DoubleType
@@ -91,11 +132,19 @@ case class DuckTrunc(child: Expression) extends UnaryExpression
     case DoubleType => NumericEdge.truncDouble(input.asInstanceOf[Double])
     case FloatType => NumericEdge.truncDouble(input.asInstanceOf[Float].toDouble)
     case d: DecimalType =>
-      val dec = input.asInstanceOf[Decimal]
-      Decimal(dec.toJavaBigDecimal.setScale(0, java.math.RoundingMode.DOWN),
-        math.min(38, d.precision - d.scale + 1), 0)
+      NumericEdge.truncDecimal(input.asInstanceOf[Decimal], d.precision, d.scale)
     case _ => input // integrals pass through
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case DoubleType =>
+        s"${ev.value} = graft.functions.NumericEdge.truncDouble($c);"
+      case FloatType =>
+        s"${ev.value} = graft.functions.NumericEdge.truncDouble((double)($c));"
+      case d: DecimalType =>
+        s"${ev.value} = graft.functions.NumericEdge.truncDecimal($c, ${d.precision}, ${d.scale});"
+      case _ => s"${ev.value} = $c;"
+    })
   override protected def withNewChildInternal(newChild: Expression): DuckTrunc =
     copy(child = newChild)
 }
@@ -172,26 +221,18 @@ case class DuckFmod(left: Expression, right: Expression)
   * Spark's substring for p >= 1 && l >= 0.
   */
 case class DuckSubstring3(str: Expression, pos: Expression, len: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def first: Expression = str
   override def second: Expression = pos
   override def third: Expression = len
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def nullSafeEval(s0: Any, p0: Any, l0: Any): Any = {
-    val s = s0.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val n = s.numChars()
-    val p = p0.asInstanceOf[Number].longValue()
-    val l = l0.asInstanceOf[Number].longValue()
-    val posRes = if (p > 0 || p == 0) p else n + p + 1
-    val a = posRes
-    val b = posRes + l
-    val lo = math.max(math.min(a, b), 1L)
-    val hi = math.min(math.max(a, b), n + 1L)
-    if (hi <= lo) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-    else s.substring(lo.toInt - 1, hi.toInt - 1)
-  }
+  override def nullSafeEval(s0: Any, p0: Any, l0: Any): Any =
+    NumericEdge.substr3(s0.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p0.asInstanceOf[Number].longValue(), l0.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, l) =>
+      s"${ev.value} = graft.functions.NumericEdge.substr3($s, (long)($p), (long)($l));")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): DuckSubstring3 = copy(str = a, pos = b, len = c)
 }
@@ -207,8 +248,7 @@ case class DuckSubstring3(str: Expression, pos: Expression, len: Expression)
   *    amount (negative, or >= width) yields 0, never an error
   */
 case class GuardedShift(left: Expression, right: Expression, isLeft: Boolean)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = left.dataType match {
     case ByteType | ShortType | IntegerType | LongType => left.dataType
     case _ => LongType
@@ -225,30 +265,26 @@ case class GuardedShift(left: Expression, right: Expression, isLeft: Boolean)
     val b0 = right.eval(input); if (b0 == null) return null
     val a = a0.asInstanceOf[Number].longValue()
     val b = b0.asInstanceOf[Number].longValue()
-    val w = width
     val out: Long =
-      if (isLeft) {
-        if (b < 0) throw new ArithmeticException(
-          s"Cannot left-shift by negative number $b")
-        if (a < 0) throw new ArithmeticException(
-          s"Cannot left-shift negative number $a")
-        if (b >= w) throw new ArithmeticException(
-          s"Left-shift value $b is out of range")
-        val r = a << b
-        val lo = -(1L << (w - 1))
-        val hi = (1L << (w - 1)) - 1
-        if ((r >> b) != a || r < lo || r > hi) throw new ArithmeticException(
-          s"Overflow in left shift ($a << $b)")
-        r
-      } else {
-        if (b < 0 || b >= w) 0L else a >> b
-      }
+      if (isLeft) NumericEdge.shiftLeft(a, b, width)
+      else NumericEdge.shiftRight(a, b, width)
     dataType match {
       case ByteType => out.toByte
       case ShortType => out.toShort
       case IntegerType => out.toInt
       case _ => out
     }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLeft) "shiftLeft" else "shiftRight"
+    val castBack = dataType match {
+      case ByteType => "(byte)"
+      case ShortType => "(short)"
+      case IntegerType => "(int)"
+      case _ => "(long)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $castBack graft.functions.NumericEdge.$fn((long)($a), (long)($b), $width);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GuardedShift =
     copy(left = l, right = r)

@@ -3844,9 +3844,27 @@ object StatementRouter {
       if (op < 0) go = false
       else {
         val isLeft = q.charAt(op) == '<'
+        // a `::` postfix cast binds tighter than a shift; a primary that
+        // lands on the TYPE word of `x::TYPE` must extend back over the
+        // whole cast chain (r16: `0::BIGINT << 64` mangled to
+        // `0::__graft_shl(BIGINT, 64)` before this)
+        def extendCastBack(start0: Int): Int = {
+          var st = start0
+          var going = st > 1
+          while (going) {
+            var k = st - 1
+            while (k >= 0 && q.charAt(k).isWhitespace) k -= 1
+            if (k >= 1 && !lit(k) && q.charAt(k) == ':' && q.charAt(k - 1) == ':') {
+              val prev = primaryStart(q, k - 1)
+              if (prev >= 0 && prev < st) st = prev else going = false
+            } else going = false
+          }
+          st
+        }
         // ---- lhs: primary, then extend back over +,-,*,/,%,^ chains
         var ls = primaryStart(q, op)
         if (ls < 0) return q
+        ls = extendCastBack(ls)
         var extending = true
         while (extending && ls > 0) {
           var k = ls - 1
@@ -3859,7 +3877,8 @@ object StatementRouter {
               (q.charAt(p) == '\'' && lit(p)))
             if (binary) {
               val prev = primaryStart(q, k)
-              if (prev >= 0 && prev < ls) ls = prev else extending = false
+              if (prev >= 0 && prev < ls) ls = extendCastBack(prev)
+              else extending = false
             } else { ls = k; extending = false } // unary sign: include it
           } else extending = false
         }
@@ -3867,8 +3886,23 @@ object StatementRouter {
         var re = -1
         var r = op + 2
         while (r < q.length && q.charAt(r).isWhitespace) r += 1
+        def extendCastFwd(end0: Int): Int = {
+          var en = end0
+          var going = true
+          while (going) {
+            var k = en
+            while (k < q.length && q.charAt(k).isWhitespace) k += 1
+            if (k + 1 < q.length && !lit(k) && q.charAt(k) == ':' &&
+                q.charAt(k + 1) == ':') {
+              val e2 = primaryEnd(q, k + 2)
+              if (e2 > en) en = e2 else going = false
+            } else going = false
+          }
+          en
+        }
         re = primaryEnd(q, op + 2) // primaryEnd skips unary +/- itself
         if (re < 0) return q
+        re = extendCastFwd(re)
         var more = true
         while (more) {
           var k = re
@@ -3876,7 +3910,7 @@ object StatementRouter {
           if (k < q.length && !lit(k) && isAddMul(q.charAt(k)) &&
               !(q.charAt(k) == '-' && k + 1 < q.length && q.charAt(k + 1) == '>')) {
             val e2 = primaryEnd(q, k + 1)
-            if (e2 > 0) re = e2 else more = false
+            if (e2 > 0) re = extendCastFwd(e2) else more = false
           } else more = false
         }
         val l = q.substring(ls, op).trim

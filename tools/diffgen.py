@@ -828,6 +828,25 @@ def fam_jsonbuild(seed):
         "CAST(json_keys('{\"a\":1,\"b\":{\"c\":2}}') AS VARCHAR)",
         "CAST(json_keys('{}') AS VARCHAR)",
         "CAST(json_keys('[1]') AS VARCHAR)",
+        # r16 wave: yyjson double rendering (ADVICE — Jackson's
+        # scientific-notation thresholds silently diverged), NULL-key
+        # skip, timestamp/time scalars
+        "to_json(1e16)", "to_json(12345678.5)", "to_json(1234567.5)",
+        "to_json(1234567890123456.5)", "to_json(1e20)", "to_json(1e21)",
+        "to_json(1.5e21)", "to_json(1e-6)", "to_json(1e-7)",
+        "to_json(1.23e-5)", "to_json(1e100)", "to_json(5e-324)",
+        "to_json(CAST('nan' AS DOUBLE))", "to_json(CAST('inf' AS DOUBLE))",
+        "to_json(CAST('-inf' AS DOUBLE))", "to_json(CAST(-0.0 AS DOUBLE))",
+        "to_json(CAST(3.14 AS FLOAT))", "to_json(CAST(1e16 AS FLOAT))",
+        "to_json(CAST(123456789012345678 AS DOUBLE))",
+        "to_json(TIMESTAMP '2024-01-15 10:30:00.123456')",
+        "to_json(TIMESTAMP '2024-01-15 10:30:00')",
+        "to_json(TIMESTAMP '2024-01-15 10:30:00.120')",
+        "to_json(TIMESTAMP '0044-03-15 01:02:03')",
+        "to_json(TIME '23:59:59.999999')", "to_json(TIME '01:02:03')",
+        "json_object(NULL, 1)", "json_object('a', 1, NULL, 2, 'b', 3)",
+        "json_object('d', 1e16)", "json_array(1e16, CAST('nan' AS DOUBLE))",
+        "json_array(TIMESTAMP '2024-01-15 10:30:00')",
     ]
     return [(e, "scalar") for e in exprs]
 
@@ -881,6 +900,10 @@ def fam_numedge(seed):
         "CAST(-2147483648 AS INTEGER) >> 1", "1 << 30",
         "3 * 2 << 1", "1 + 2 << 1", "2 << 1 + 1",
         "5 & 3", "5 | 3", "xor(5, 3)", "bit_count(255)", "~5",
+        # r16 wave: zero-input left shift short-circuits to 0 for any
+        # non-negative amount (ADVICE — we errored where DuckDB answers)
+        "0::BIGINT << 64", "0::INTEGER << 40", "0::SMALLINT << 100",
+        "0 << 0", "0::BIGINT << 9223372036854775807",
     ]
     return [(e, "scalar") for e in exprs]
 
