@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.K: LLM-training-data pipeline operators over the
@@ -1886,15 +1887,17 @@ object QueriesLlm {
     "q_llm_decontam_bloom" -> { (s, d) =>
       // the 100 TB shape of [[q_llm_decontam]]: the benchmark set is tiny
       // by construction (an eval suite is ~10^6 grams — a ~2 MB bloom at
-      // 10 bits/item), so build the bloom ONCE on the driver and prefilter
-      // the corpus-sized training gram stream MAP-SIDE: ≥99% of grams
+      // 10 bits/item), so build the bloom ONCE and prefilter the
+      // corpus-sized training gram stream MAP-SIDE: ≥99% of grams
       // never reach the shuffle, which shrinks the decontam join's
       // exchange by the same factor. False positives are harmless — the
       // exact equi-join below re-verifies every survivor — so the result
-      // is bit-identical to q_llm_decontam and shares its oracle. The
-      // bloom probe is the one justified UDF in the repo: there is no
-      // builtin might_contain, and the alternative (shuffling every gram)
-      // is the thing being avoided.
+      // is bit-identical to q_llm_decontam and shares its oracle.
+      // r16 (VERDICT task 4): the probe was the repo's one hot-path Scala
+      // UDF; it is now Spark's native BloomFilterAggregate (distributed
+      // partial-aggregated build; one 1-row driver fetch of the sketch,
+      // metadata-plane) + BloomFilterMightContain over a BINARY literal —
+      // codegen-able, so the prefilter stays inside whole-stage codegen.
       val n = 8
       val docs = Tables.t(s, d, "documents")
         .select(col("doc_id"), normText(col("text")).as("nt"))
@@ -1903,11 +1906,22 @@ object QueriesLlm {
         explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n, xx = xxMode(s))).as("g"))
       val bench = grams.filter(col("doc_id") < 5)
         .select(col("g")).distinct()
-      val bf = bench.stat.bloomFilter("g", 100000L, 0.001)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+      // same filter power as the old (items=100000, fpp=0.001) build
+      val numBits = org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.001).bitSize()
+      val bfBytes = bench.agg(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.expression(col("g")),
+          org.apache.spark.sql.catalyst.expressions.Literal(100000L),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val mightContain = ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
+            org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(col("g"))))
       grams.filter(col("doc_id") >= 5)
-        .filter(mightContain(col("g")))
+        .filter(mightContain)
         .join(bench, "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")

@@ -157,15 +157,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "copy-detect planned a nested loop")
   }
 
-  test("r8: bloom decontam prefilters map-side BEFORE the gram shuffle") {
-    // the bloom UDF must sit below the join's exchange: grep the filter
-    // containing the UDF and assert an Exchange appears only above it
+  test("r8/r16: bloom decontam prefilters map-side BEFORE the gram shuffle, natively") {
+    // the bloom probe must sit below the join's exchange, and (r16,
+    // VERDICT task 4) be Spark's native might_contain — not a Scala UDF,
+    // which blocked whole-stage codegen around the prefilter
     val p = plan("q_llm_decontam_bloom")
     val lines = p.linesIterator.toVector
-    val udfLine = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
-    assert(udfLine >= 0, s"no bloom-probe filter in plan:\n${p.take(3000)}")
-    val exchangeAbove = lines.take(udfLine).exists(_.contains("Exchange"))
-    val scanBelow = lines.drop(udfLine).exists(_.contains("FileScan"))
+    val probeLine = lines.indexWhere(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(probeLine >= 0, s"no native bloom-probe filter in plan:\n${p.take(3000)}")
+    assert(!p.contains("UDF"), "bloom probe regressed to a Scala UDF")
+    val exchangeAbove = lines.take(probeLine).exists(_.contains("Exchange"))
+    val scanBelow = lines.drop(probeLine).exists(_.contains("FileScan"))
     assert(scanBelow, "bloom filter does not sit on the scan side")
     assert(exchangeAbove, "no exchange above the bloom prefilter — nothing was saved")
   }
