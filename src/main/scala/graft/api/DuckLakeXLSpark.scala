@@ -275,6 +275,11 @@ class DuckLakeXLSpark(
     reg1("__graft_log2", graft.functions.GuardedMath(_, "log2"))
     reg2("__graft_shl", graft.functions.GuardedShift(_, _, isLeft = true))
     reg2("__graft_shr", graft.functions.GuardedShift(_, _, isLeft = false))
+    // r16 strftime/strptime barrage (functions/StrfDuck): measured
+    // C-directive formatter/parser replacing the Java-pattern translation
+    reg2("__graft_strftime", graft.functions.DuckStrftime(_, _))
+    reg2("__graft_strptime", graft.functions.DuckStrptime(_, _, tryMode = false))
+    reg2("__graft_try_strptime", graft.functions.DuckStrptime(_, _, tryMode = true))
     // r15 json-build probe (functions/DuckJsonBuild): construction /
     // inspection twins DuckDB users hit daily, loud catalog errors before
     reg1("__graft_to_json", graft.functions.DuckToJson(_))

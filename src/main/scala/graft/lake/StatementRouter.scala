@@ -4370,65 +4370,31 @@ object StatementRouter {
     } else None
   }
 
-  /** C-style strftime directives -> Java date_format pattern letters */
-  private val StrftimeMap = Seq(
-    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%-m" -> "M",
-    "%d" -> "dd", "%-d" -> "d", "%H" -> "HH", "%-H" -> "H",
-    "%I" -> "hh", "%-I" -> "h", "%M" -> "mm", "%-M" -> "m",
-    "%S" -> "ss", "%-S" -> "s", "%f" -> "SSSSSS", "%g" -> "SSS",
-    "%j" -> "DDD", "%-j" -> "D", "%a" -> "EEE", "%A" -> "EEEE",
-    "%b" -> "MMM", "%B" -> "MMMM", "%p" -> "a", "%%" -> "%")
-
-  /** translate a strftime format to a Java pattern; literal runs with
-    * letters are single-quoted. Unknown directives throw — a silently
-    * wrong timestamp format is worse than an error.
-    */
-  private[lake] def strftimeToJava(fmt: String): String = {
-    val out = new StringBuilder
-    val litRun = new StringBuilder
-    def flush(): Unit = if (litRun.nonEmpty) {
-      val t = litRun.toString
-      if (t.exists(_.isLetter) || t.contains('\''))
-        out.append("'").append(t.replace("'", "''")).append("'")
-      else out.append(t)
-      litRun.clear()
-    }
-    var i = 0
-    while (i < fmt.length) {
-      if (fmt.charAt(i) == '%') {
-        val d3 = if (i + 2 < fmt.length) fmt.substring(i, i + 3) else ""
-        val d2 = if (i + 1 < fmt.length) fmt.substring(i, i + 2) else ""
-        StrftimeMap.find(_._1 == d3).orElse(StrftimeMap.find(_._1 == d2)) match {
-          case Some((k, v)) => flush(); out.append(v); i += k.length
-          case None => throw new IllegalArgumentException(
-            s"unsupported strftime directive at '$d2' in format '$fmt'")
-        }
-      } else { litRun.append(fmt.charAt(i)); i += 1 }
-    }
-    flush()
-    out.toString
-  }
-
   private def rewriteStrftime(q: String): String =
     rewriteCalls(q, "strftime") {
-      case Seq(ts, fmt) => quotedLiteral(fmt).map(f =>
-        s"date_format($ts, '${strftimeToJava(f).replace("'", "''")}')")
+      case Seq(ts, fmt) => Some(s"__graft_strftime($ts, $fmt)")
       case _ => None
     }
 
-  /** `strptime(s, '%fmt')` — the parse twin of strftime — rides the same
-    * directive translation into Spark's to_timestamp (date_format and
-    * to_timestamp share one pattern dialect)
+  /** `strptime(s, fmt)` / `try_strptime` route to the measured-semantics
+    * native (functions/StrfDuck — r16 barrage replaced the Java-pattern
+    * translation, which silently diverged on week/ISO fields). DuckDB
+    * types the result TIMESTAMP WITH TIME ZONE when the format carries
+    * %z or is a LIST, so those literal shapes pick up the tstz tag.
     */
   private def rewriteStrptime(q: String): String = {
+    def emit(fn: String)(s: String, fmt: String): String = {
+      val isTz = fmt.trim.startsWith("[") ||
+        quotedLiteral(fmt).exists(_.contains("%z"))
+      val core = s"$fn($s, $fmt)"
+      if (isTz) s"__graft_tstz($core)" else core
+    }
     val q1 = rewriteCalls(q, "try_strptime") {
-      case Seq(s, fmt) => quotedLiteral(fmt).map(f =>
-        s"try_to_timestamp($s, '${strftimeToJava(f).replace("'", "''")}')")
+      case Seq(s, fmt) => Some(emit("__graft_try_strptime")(s, fmt))
       case _ => None
     }
     rewriteCalls(q1, "strptime") {
-      case Seq(s, fmt) => quotedLiteral(fmt).map(f =>
-        s"to_timestamp($s, '${strftimeToJava(f).replace("'", "''")}')")
+      case Seq(s, fmt) => Some(emit("__graft_strptime")(s, fmt))
       case _ => None
     }
   }

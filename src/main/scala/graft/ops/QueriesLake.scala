@@ -1445,6 +1445,11 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(numedgeWaveSql)
     },
+    // r16 wave — see strftimeWaveSql
+    "q_lake_strftime_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(strftimeWaveSql)
+    },
     // r14 interval-arithmetic wave: per-field * / int with integer
     // division, unnormalized ± renders, mixed-family literals — the
     // semantics IntervalDifferentialSpec pinned, replayed as one
@@ -1711,6 +1716,30 @@ object QueriesLake {
       |  CAST(1 + 2 << 1 AS BIGINT) AS n15,
       |  CAST(xor(5, 3) AS BIGINT) AS n16""".stripMargin
 
+  /** r16 strftime/strptime wave: C-directive matrix (week numbers, ISO
+    * fields, fraction units, padding flags) and the parse semantics
+    * (1900 defaults, pivot %y, ignored %j/%a, %f as a microsecond VALUE,
+    * case-insensitive names) — StrftimeDifferentialSpec pinned 91
+    * fixtures; replayed as one oracle row (DuckDB runs IDENTICAL text).
+    */
+  private[ops] val strftimeWaveSql: String =
+    """SELECT
+      |  strftime(TIMESTAMP '2024-03-05 04:07:09.123456', '%a %A %w %u') AS s1,
+      |  strftime(TIMESTAMP '2024-03-05 04:07:09.123456', '%G|%V|%U|%W') AS s2,
+      |  strftime(TIMESTAMP '2024-03-05 04:07:09.123456', '%g|%f|%n') AS s3,
+      |  strftime(TIMESTAMP '0044-03-15 12:00:00', '%Y|%y|%-y') AS s4,
+      |  strftime(TIMESTAMP '2021-01-03 00:30:00', '%c') AS s5,
+      |  strftime(DATE '2024-03-05', '%Y/%m/%d %H:%M') AS s6,
+      |  strftime(TIMESTAMP '2024-03-05 00:07:09', '%-I %p') AS s7,
+      |  CAST(strptime('March 5, 2024', '%B %-d, %Y') AS VARCHAR) AS s8,
+      |  CAST(strptime('69-12-31', '%y-%m-%d') AS VARCHAR) AS s9,
+      |  CAST(strptime('2024-066', '%Y-%j') AS VARCHAR) AS s10,
+      |  CAST(strptime('11 pm', '%I %p') AS VARCHAR) AS s11,
+      |  CAST(strptime('1 2024', '%f %Y') AS VARCHAR) AS s12,
+      |  CAST(strptime('2024-03-15 +01:30', '%Y-%m-%d %z') AS VARCHAR) AS s13,
+      |  CAST(strptime('31.12.1999', ['%d.%m.%Y']) AS VARCHAR) AS s14,
+      |  CAST(try_strptime('2024-02-31', '%Y-%m-%d') AS VARCHAR) AS s15""".stripMargin
+
   private[ops] val fnWaveSql: String =
     """SELECT
       |  jaro_winkler_similarity('martha', 'marhta') AS f1,
@@ -1734,6 +1763,7 @@ object QueriesLake {
     "q_lake_fn2_wave" -> fnWaveSql,
     "q_lake_unicase_wave" -> unicaseWaveSql,
     "q_lake_numedge_wave" -> numedgeWaveSql,
+    "q_lake_strftime_wave" -> strftimeWaveSql,
     "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_interval_wave" -> intervalWaveSql,
     "q_lake_enum" ->

@@ -908,6 +908,80 @@ def fam_numedge(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_strftime(seed):
+    """r16: strftime/strptime C-directive matrix — the highest-traffic
+    everyday surface with no family until now (VERDICT task 3). Formats:
+    names/week-numbers/ISO fields/fraction units/padding flags; parses:
+    defaults, ranges, pivot years, ignored fields, %z instant shift,
+    list formats. Error cases (unsupported specifiers, range violations)
+    live in the spec's refusal test."""
+    t1 = "TIMESTAMP '2024-03-05 04:07:09.123456'"
+    t2 = "TIMESTAMP '1999-12-31 23:59:59.000100'"
+    t3 = "TIMESTAMP '2021-01-03 00:30:00'"
+    t4 = "TIMESTAMP '0044-03-15 12:00:00'"
+    d1 = "DATE '2024-03-05'"
+    fmt_specs = ["%a", "%A", "%w", "%u", "%d", "%-d", "%b", "%B", "%m",
+                 "%-m", "%y", "%-y", "%Y", "%G", "%H", "%-H", "%I", "%-I",
+                 "%p", "%M", "%-M", "%S", "%-S", "%g", "%f", "%n", "%j",
+                 "%-j", "%U", "%W", "%V", "%x", "%X", "%c", "%T", "%h",
+                 "%z", "%%"]
+    exprs = []
+    for s in fmt_specs:
+        exprs.append(f"strftime({t1}, '{s}')")
+    for s in ["%a %A %w %u", "%G|%V|%U|%W", "%I %p", "%g|%f|%n", "%c"]:
+        exprs.append(f"strftime({t2}, '{s}')")
+        exprs.append(f"strftime({t3}, '{s}')")
+    exprs += [
+        f"strftime({t4}, '%Y|%y|%-y|%G')",
+        f"strftime({d1}, '%Y/%m/%d %H:%M')",
+        f"strftime({t1}, 'week %U of %Y, day %-j')",
+        # parses: defaults / flexible widths / names / pivot / ignored
+        "CAST(strptime('2024-03-15', '%Y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('5/3/2024', '%-d/%-m/%Y') AS VARCHAR)",
+        "CAST(strptime('2024-3-5', '%Y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('05:06', '%H:%M') AS VARCHAR)",
+        "CAST(strptime('March 5, 2024', '%B %-d, %Y') AS VARCHAR)",
+        "CAST(strptime('MAR 5 2024', '%b %-d %Y') AS VARCHAR)",
+        "CAST(strptime('march 5 2024', '%B %-d %Y') AS VARCHAR)",
+        "CAST(strptime('24 Mar 5', '%y %b %-d') AS VARCHAR)",
+        "CAST(strptime('99-12-31', '%y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('68-12-31', '%y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('69-12-31', '%y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('2024-066', '%Y-%j') AS VARCHAR)",
+        "CAST(strptime('11 PM', '%I %p') AS VARCHAR)",
+        "CAST(strptime('11 pm', '%I %p') AS VARCHAR)",
+        "CAST(strptime('12 AM', '%I %p') AS VARCHAR)",
+        "CAST(strptime('12 PM', '%I %p') AS VARCHAR)",
+        "CAST(strptime('123456 2024', '%f %Y') AS VARCHAR)",
+        "CAST(strptime('1 2024', '%f %Y') AS VARCHAR)",
+        "CAST(strptime('12 2024', '%g %Y') AS VARCHAR)",
+        "CAST(strptime('2024-03-15 10:30:00.123', '%Y-%m-%d %H:%M:%S.%g') AS VARCHAR)",
+        "CAST(strptime('x2024', 'x%Y') AS VARCHAR)",
+        "CAST(strptime(' 2024', '%Y') AS VARCHAR)",
+        "CAST(strptime('2024 ', '%Y') AS VARCHAR)",
+        "CAST(strptime('Tue 2024-03-05', '%a %Y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('Mon 2024-03-05', '%a %Y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('Friday 2024-03-15', '%A %Y-%m-%d') AS VARCHAR)",
+        "CAST(strptime('2024-03-15T10:30', '%Y-%m-%dT%H:%M') AS VARCHAR)",
+        "CAST(strptime('5', '%-I') AS VARCHAR)",
+        "CAST(strptime('0', '%H') AS VARCHAR)",
+        # %z shifts to a UTC instant; result is TIMESTAMPTZ
+        "CAST(strptime('2024-03-15 +01', '%Y-%m-%d %z') AS VARCHAR)",
+        "CAST(strptime('2024-03-15 +0130', '%Y-%m-%d %z') AS VARCHAR)",
+        "CAST(strptime('2024-03-15 +01:30', '%Y-%m-%d %z') AS VARCHAR)",
+        "CAST(strptime('2024-03-15 -05', '%Y-%m-%d %z') AS VARCHAR)",
+        # list formats (TIMESTAMPTZ by type)
+        "CAST(strptime('2024-03-15', ['%Y/%m/%d', '%Y-%m-%d']) AS VARCHAR)",
+        "CAST(strptime('31.12.1999', ['%d.%m.%Y']) AS VARCHAR)",
+        # try_ flavor NULLs every failure class
+        "CAST(try_strptime('2024-13-05', '%Y-%m-%d') AS VARCHAR)",
+        "CAST(try_strptime('2024-02-31', '%Y-%m-%d') AS VARCHAR)",
+        "CAST(try_strptime('nope', '%Y') AS VARCHAR)",
+        "CAST(try_strptime('x', ['%Y', '%-d']) AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 def fam_trailing(seed):
     """r15: the trailing-comma TOLERANCE side of the measured matrix
     (refusals error identically in both engines and cannot be value
@@ -1011,6 +1085,7 @@ def fam_unicase(seed):
 
 
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
+            "strftime": fam_strftime,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
             "coercion": fam_coercion, "decimal": fam_decimal,
