@@ -275,6 +275,24 @@ class DuckLakeXLSpark(
     reg1("__graft_log2", graft.functions.GuardedMath(_, "log2"))
     reg2("__graft_shl", graft.functions.GuardedShift(_, _, isLeft = true))
     reg2("__graft_shr", graft.functions.GuardedShift(_, _, isLeft = false))
+    // r16 uuid/bit/blob barrage (functions/BitBlob): escape-decoding
+    // BLOB casts, canonical-lowercase UUID casts, the BIT function set
+    // over the '0'/'1' VARCHAR carrier
+    reg1("__graft_blob", graft.functions.StrToBlob(_, tryMode = false))
+    reg1("__graft_try_blob", graft.functions.StrToBlob(_, tryMode = true))
+    reg1("__graft_bit", graft.functions.StrToBit(_, tryMode = false))
+    reg1("__graft_try_bit", graft.functions.StrToBit(_, tryMode = true))
+    reg1("__graft_uuid", graft.functions.StrToUuid(_, tryMode = false))
+    reg1("__graft_try_uuid", graft.functions.StrToUuid(_, tryMode = true))
+    reg2("bitstring", graft.functions.BitstringFn(_, _))
+    reg2("get_bit", graft.functions.GetBitFn(_, _))
+    reg2("bit_position", graft.functions.BitPositionFn(_, _))
+    reg1("bit_count", graft.functions.DuckBitCount(_))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "set_bit", { exprs =>
+        require(exprs.length == 3, "set_bit(bit, index, new_bit)")
+        graft.functions.SetBitFn(exprs(0), exprs(1), exprs(2))
+      })
     // r16 strftime/strptime barrage (functions/StrfDuck): measured
     // C-directive formatter/parser replacing the Java-pattern translation
     reg2("__graft_strftime", graft.functions.DuckStrftime(_, _))

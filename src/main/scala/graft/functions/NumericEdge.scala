@@ -251,6 +251,7 @@ case class GuardedShift(left: Expression, right: Expression, isLeft: Boolean)
     extends BinaryExpression {
   override def dataType: DataType = left.dataType match {
     case ByteType | ShortType | IntegerType | LongType => left.dataType
+    case StringType => StringType // BIT carrier: fixed-width zero-fill (r16)
     case _ => LongType
   }
   private def width: Int = dataType match {
@@ -263,6 +264,10 @@ case class GuardedShift(left: Expression, right: Expression, isLeft: Boolean)
   override def eval(input: InternalRow): Any = {
     val a0 = left.eval(input); if (a0 == null) return null
     val b0 = right.eval(input); if (b0 == null) return null
+    if (left.dataType == StringType)
+      return graft.functions.BitBlobUtil.bitShift(
+        a0.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b0.asInstanceOf[Number].longValue(), isLeft)
     val a = a0.asInstanceOf[Number].longValue()
     val b = b0.asInstanceOf[Number].longValue()
     val out: Long =
@@ -276,6 +281,9 @@ case class GuardedShift(left: Expression, right: Expression, isLeft: Boolean)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (left.dataType == StringType)
+      return nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.BitBlobUtil.bitShift($a, (long)($b), $isLeft);")
     val fn = if (isLeft) "shiftLeft" else "shiftRight"
     val castBack = dataType match {
       case ByteType => "(byte)"

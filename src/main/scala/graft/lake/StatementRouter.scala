@@ -1542,6 +1542,8 @@ object StatementRouter {
     "list"           -> "collect_list",
     "starts_with"    -> "startswith",
     "ends_with"      -> "endswith",
+    // r16 uuid-blob barrage: DuckDB's to_base64 is base64's alias
+    "to_base64"      -> "base64",
     // boolean regexp_matches(s, p) — Spark's regexp_like (the multi-flag
     // DuckDB form has no 1:1 twin and stays out)
     "regexp_matches" -> "regexp_like",
@@ -2107,6 +2109,9 @@ object StatementRouter {
     ("""::\s*(?i:(TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE|""" +
      """TIME(?:\s*\(\s*\d+\s*\))?(?:\s+WITHOUT\s+TIME\s+ZONE)?|TIMESTAMP))(?![\w(])""").r
 
+  private val CastBitBlobRe =
+    """::\s*((?i:BIT|BLOB|BYTEA|VARBINARY|UUID))(?![\w(\[])""".r
+
   /** rewrite `expr::TYPE` and `CAST/TRY_CAST(expr AS TYPE)` targets whose
     * DuckDB spelling Spark cannot parse (see [[sparkCastType]])
     */
@@ -2144,6 +2149,32 @@ object StatementRouter {
               from = lhsStart + r.length
             case None => from = mm.end
           }
+      }
+    }
+    // ::BIT/::BLOB/::UUID — value-semantics natives (r16 uuid-blob
+    // barrage: escape-decoding BLOB, validated BIT carrier, canonical-
+    // lowercase UUID). Must run BEFORE the generic sparkCastType pass,
+    // which would map BLOB to a raw BINARY cast (no \xHH decode).
+    from = 0
+    go = true
+    while (go) {
+      val lm1 = literalMask(q)
+      CastBitBlobRe.findAllMatchIn(q).find(mm => mm.start >= from && !lm1(mm.start)) match {
+        case None => go = false
+        case Some(mm) =>
+          val target = mm.group(1).toUpperCase(java.util.Locale.ROOT)
+          val lhsStart = castLhsStart(q, mm.start, lm1)
+          val lhs = q.substring(lhsStart, mm.start).trim
+          require(lhs.nonEmpty,
+            s"cannot capture the operand of a ::-cast in: $q")
+          val fn = target match {
+            case "BIT" => "__graft_bit"
+            case "UUID" => "__graft_uuid"
+            case _ => "__graft_blob"
+          }
+          val r = s"$fn($lhs)"
+          q = q.substring(0, lhsStart) + r + q.substring(mm.end)
+          from = lhsStart + r.length
       }
     }
     // ::TYPE — scan outside literals
@@ -2215,6 +2246,14 @@ object StatementRouter {
             // spelling: the emitted cast must NOT re-match this branch
             // (rewriteCalls rescans the replacement)
             Some(s"__graft_tsntz($FN($expr AS TIMESTAMP_LTZ))")
+          else if (target == "BIT")
+            Some(s"__graft_${if (fn == "try_cast") "try_" else ""}bit($expr)")
+          else if (target == "UUID")
+            Some(s"__graft_${if (fn == "try_cast") "try_" else ""}uuid($expr)")
+          else if (target == "BLOB" || target == "BYTEA" || target == "VARBINARY")
+            // value-semantics blob cast: decodes \xHH, refuses non-ASCII
+            // (r16 — the raw BINARY mapping kept escape text as bytes)
+            Some(s"__graft_${if (fn == "try_cast") "try_" else ""}blob($expr)")
           else sparkCastType(a.substring(at + 3)).map(tr =>
             s"${fn.toUpperCase(java.util.Locale.ROOT)}($expr AS $tr)")
         }
@@ -3420,6 +3459,28 @@ object StatementRouter {
           val payload = q.substring(m.end, close)
           q = q.substring(0, m.start) +
             s"__graft_tstz(TIMESTAMP '$payload')" + q.substring(close + 1)
+      }
+    }
+    q
+  }
+
+  /** `uuid '…'` / `UUID '…'` typed literals -> the canonicalizing
+    * native (r16 uuid-blob barrage; Spark's parser has no UUID literal)
+    */
+  private val UuidLitRe = """(?i)\buuid\s*'""".r
+  private def rewriteUuidLiterals(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      UuidLitRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val close = q.indexOf('\'', m.end)
+          require(close > 0, s"unterminated UUID literal in: $q")
+          val payload = q.substring(m.end, close)
+          q = q.substring(0, m.start) +
+            s"__graft_uuid('$payload')" + q.substring(close + 1)
       }
     }
     q
@@ -5542,10 +5603,31 @@ object StatementRouter {
     // tag (render-only under the UTC session); must precede the cast
     // pass so `CAST(TIMESTAMPTZ '…' AS …)` sees the wrapped call
     q = rewriteTstzLiterals(q)
+    q = rewriteUuidLiterals(q)
     q = rewriteMixedIntervalLiterals(q)
     // cast targets (`x::VARCHAR[]`, CAST(x AS STRUCT(…)), ::JSON/::BLOB)
     // before the bracket pass so array-type suffixes are already gone
     q = rewriteCastTargets(q)
+    // BIT-flavored length family (r16): after the cast pass a lexical
+    // BIT operand reads `__graft_bit(…)` / `bitstring(…)` / `set_bit(…)`
+    // — octet_length of a BIT is ceil(bits/8), not the VARCHAR byte
+    // count (measured octet_length('0101'::BIT) = 1). length() agrees
+    // between the carriers and needs no routing; BIT columns read back
+    // as their VARCHAR carrier (documented divergence, carrier-visible).
+    def bitish(a: String): Boolean = {
+      val t = a.trim
+      t.startsWith("__graft_bit(") || t.startsWith("__graft_try_bit(") ||
+        t.startsWith("bitstring(") || t.startsWith("set_bit(")
+    }
+    q = rewriteCalls(q, "octet_length") {
+      case Seq(a) if bitish(a) =>
+        Some(s"CAST(ceil(length(${a.trim}) / 8.0) AS BIGINT)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "bit_length") {
+      case Seq(a) if bitish(a) => Some(s"CAST(length(${a.trim}) AS BIGINT)")
+      case _ => None
+    }
     // infix AT TIME ZONE after the cast/literal passes so its LHS is a
     // settled call or literal; timezone(z, x) is the same operator with
     // the argument order flipped (r13 tz barrage)

@@ -1445,10 +1445,14 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(numedgeWaveSql)
     },
-    // r16 wave — see strftimeWaveSql
+    // r16 waves — see strftimeWaveSql / uuidblobWaveSql
     "q_lake_strftime_wave" -> { (s, _) =>
       val lake = freshLake(s)
       lake.sql(strftimeWaveSql)
+    },
+    "q_lake_uuidblob_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(uuidblobWaveSql)
     },
     // r14 interval-arithmetic wave: per-field * / int with integer
     // division, unnormalized ± renders, mixed-family literals — the
@@ -1716,6 +1720,28 @@ object QueriesLake {
       |  CAST(1 + 2 << 1 AS BIGINT) AS n15,
       |  CAST(xor(5, 3) AS BIGINT) AS n16""".stripMargin
 
+  /** r16 uuid/bit/blob wave: canonical-lowercase UUID casts/literals,
+    * the BIT function set over the '0'/'1' carrier, BLOB `\xHH` escape
+    * decode + codecs — UuidBlobDifferentialSpec pinned 54 fixtures;
+    * replayed as one oracle row (DuckDB runs IDENTICAL text).
+    */
+  private[ops] val uuidblobWaveSql: String =
+    """SELECT
+      |  CAST('550E8400-E29B-41D4-A716-446655440000' AS UUID)::VARCHAR AS u1,
+      |  CAST(uuid '550e8400-e29b-41d4-a716-446655440000' AS VARCHAR) AS u2,
+      |  TRY_CAST('not-a-uuid' AS UUID)::VARCHAR AS u3,
+      |  bitstring('0101', 8)::VARCHAR AS b1,
+      |  CAST(bit_count('1111'::BIT) AS BIGINT) AS b2,
+      |  CAST(bit_position('010'::BIT, '0110101'::BIT) AS BIGINT) AS b3,
+      |  set_bit('0110'::BIT, 1, 0)::VARCHAR AS b4,
+      |  CAST(octet_length('101010101'::BIT) AS BIGINT) AS b5,
+      |  ('001'::BIT << 1)::VARCHAR AS b6,
+      |  CAST('\x41\x42'::BLOB AS VARCHAR) AS l1,
+      |  encode('héllo')::VARCHAR AS l2,
+      |  to_base64('abc'::BLOB) AS l3,
+      |  CAST(unhex('27') AS VARCHAR) AS l4,
+      |  ('ab'::BLOB || 'cd'::BLOB)::VARCHAR AS l5""".stripMargin
+
   /** r16 strftime/strptime wave: C-directive matrix (week numbers, ISO
     * fields, fraction units, padding flags) and the parse semantics
     * (1900 defaults, pivot %y, ignored %j/%a, %f as a microsecond VALUE,
@@ -1764,6 +1790,7 @@ object QueriesLake {
     "q_lake_unicase_wave" -> unicaseWaveSql,
     "q_lake_numedge_wave" -> numedgeWaveSql,
     "q_lake_strftime_wave" -> strftimeWaveSql,
+    "q_lake_uuidblob_wave" -> uuidblobWaveSql,
     "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_interval_wave" -> intervalWaveSql,
     "q_lake_enum" ->

@@ -908,6 +908,70 @@ def fam_numedge(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_uuidblob(seed):
+    """r16: UUID casts/literals (canonical lowercase render), BIT
+    function set over the VARCHAR carrier, BLOB \\xHH escape decode +
+    codec functions (VERDICT task 6). gen_random_uuid is nondeterministic
+    and spec-covered instead; BIT | & ~ xor operators are documented
+    loud refusals."""
+    exprs = [
+        "CAST(uuid '550e8400-e29b-41d4-a716-446655440000' AS VARCHAR)",
+        "CAST('550E8400-E29B-41D4-A716-446655440000' AS UUID)::VARCHAR",
+        "CAST('550e8400e29b41d4a716446655440000' AS UUID)::VARCHAR",
+        "CAST('{550e8400-e29b-41d4-a716-446655440000}' AS UUID)::VARCHAR",
+        "TRY_CAST('not-a-uuid' AS UUID)::VARCHAR",
+        "uuid '550e8400-e29b-41d4-a716-446655440000' = CAST('550E8400-E29B-41D4-A716-446655440000' AS UUID)",
+        "CAST('0101'::BIT AS VARCHAR)",
+        "bitstring('0101', 8)::VARCHAR",
+        "bitstring('0101', 4)::VARCHAR",
+        "CAST(bit_count('1111'::BIT) AS BIGINT)",
+        "CAST(bit_count('0101'::BIT) AS BIGINT)",
+        "CAST(bit_count(255) AS BIGINT)",
+        "CAST(bit_position('010'::BIT, '0110101'::BIT) AS BIGINT)",
+        "CAST(bit_position('11'::BIT, '0101'::BIT) AS BIGINT)",
+        "CAST(get_bit('0110'::BIT, 1) AS BIGINT)",
+        "CAST(get_bit('0110'::BIT, 0) AS BIGINT)",
+        "set_bit('0110'::BIT, 1, 0)::VARCHAR",
+        "set_bit('0110'::BIT, 3, 1)::VARCHAR",
+        "CAST(bit_length('0101'::BIT) AS BIGINT)",
+        "CAST(octet_length('0101'::BIT) AS BIGINT)",
+        "CAST(octet_length('101010101'::BIT) AS BIGINT)",
+        "CAST(length('0101'::BIT) AS BIGINT)",
+        "TRY_CAST('0a1' AS BIT)::VARCHAR",
+        "('001'::BIT << 1)::VARCHAR",
+        "('100'::BIT >> 2)::VARCHAR",
+        "('0110'::BIT << 64)::VARCHAR",
+        "('0110'::BIT >> -1)::VARCHAR",
+        "('0110'::BIT << 0)::VARCHAR",
+        "('0101'::BIT = '0101'::BIT)",
+        "('0101'::BIT < '0110'::BIT)",
+        "CAST('abc'::BLOB AS VARCHAR)",
+        r"CAST('\x41\x42'::BLOB AS VARCHAR)",
+        r"hex('\x41'::BLOB)",
+        r"hex('a''b'::BLOB)",
+        r"CAST(octet_length('\x00ab'::BLOB) AS BIGINT)",
+        "CAST(TRY_CAST('héllo' AS BLOB) AS VARCHAR)",
+        "encode('héllo')::VARCHAR",
+        "CAST(decode(encode('hé')) AS VARCHAR)",
+        "CAST(octet_length(encode('héllo')) AS BIGINT)",
+        "base64('abc'::BLOB)",
+        "to_base64('abc'::BLOB)",
+        "from_base64('YWJj')::VARCHAR",
+        "hex('abc'::BLOB)",
+        "unhex('414243')::VARCHAR",
+        "CAST(unhex('27') AS VARCHAR)",
+        "CAST(unhex('5C') AS VARCHAR)",
+        "CAST(unhex('09') AS VARCHAR)",
+        "CAST(unhex('7F') AS VARCHAR)",
+        "to_hex(255)",
+        "from_hex('ff')::VARCHAR",
+        "('ab'::BLOB || 'cd'::BLOB)::VARCHAR",
+        "md5('abc')",
+        "sha256('abc')",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 def fam_strftime(seed):
     """r16: strftime/strptime C-directive matrix — the highest-traffic
     everyday surface with no family until now (VERDICT task 3). Formats:
@@ -1085,6 +1149,7 @@ def fam_unicase(seed):
 
 
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
+            "uuidblob": fam_uuidblob,
             "strftime": fam_strftime,
             "regexp": fam_regexp, "tz": fam_tz, "cast": fam_cast,
             "hashbit": fam_hashbit, "compare": fam_compare,
