@@ -1466,7 +1466,14 @@ class DuckLakeXLSpark(
         if (name.contains('.')) s"$name VERSION AS OF $ver"
         else {
           val vn = s"${name}__v$ver"
-          tableAt(name, ver.toLong).createOrReplaceTempView(vn)
+          // meta-catalog time travel (r16): `ducklake_table AT
+          // (VERSION => n)` answers catalog rows as of n — unless a
+          // user table shadows the metadata name
+          val df =
+            if (state.tableByName(name).isEmpty)
+              metaTableDf(name, Some(ver.toLong)).getOrElse(tableAt(name, ver.toLong))
+            else tableAt(name, ver.toLong)
+          df.createOrReplaceTempView(vn)
           vn
         }
       s = VersionAtRe.replaceAllIn(s, m => travel(m.group(1), m.group(2)))
@@ -2581,8 +2588,80 @@ class DuckLakeXLSpark(
     * `__ducklake_metadata_<lake>` — the reference's own bootstrap lists
     * those (ducklakexl.py:238-241), so a replayed init script works.
     */
+  /** r16 (reference README.md:164-165 upstream TODO, closable offline):
+    * the metadata tables themselves as snapshot-versioned relations.
+    * Catalog rows already carry begin_snapshot/end_snapshot columns, so
+    * meta time travel is the same aliveAt filter the data plane uses —
+    * `ducklake_table AT (VERSION => n)` answers the catalog as of n,
+    * and the bare names read the FULL history (what the reference shows
+    * when you query `__ducklake_metadata_<lake>` tables directly).
+    */
+  private[graft] def metaTableDf(name: String, snapshot: Option[Long]): Option[DataFrame] = {
+    def alive(b: Long, e: Option[Long]): Boolean =
+      snapshot.forall(s => b <= s && e.forall(_ > s))
+    def longCol(v: Option[Long]): Any = v.map(Long.box).orNull
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "ducklake_table" => Some(spark.createDataFrame(
+        state.tables.filter(t => alive(t.beginSnapshot, t.endSnapshot))
+          .sortBy(t => (t.tableId, t.beginSnapshot))
+          .map(t => Row(t.tableId, t.tableUuid, t.beginSnapshot,
+            longCol(t.endSnapshot), t.schemaId, t.tableName)).asJava,
+        StructType(Seq(
+          StructField("table_id", LongType, false),
+          StructField("table_uuid", StringType, false),
+          StructField("begin_snapshot", LongType, false),
+          StructField("end_snapshot", LongType, true),
+          StructField("schema_id", LongType, false),
+          StructField("table_name", StringType, false)))))
+      case "ducklake_schema" => Some(spark.createDataFrame(
+        state.schemas.filter(s0 => alive(s0.beginSnapshot, s0.endSnapshot))
+          .sortBy(s0 => (s0.schemaId, s0.beginSnapshot))
+          .map(s0 => Row(s0.schemaId, s0.schemaUuid, s0.beginSnapshot,
+            longCol(s0.endSnapshot), s0.schemaName)).asJava,
+        StructType(Seq(
+          StructField("schema_id", LongType, false),
+          StructField("schema_uuid", StringType, false),
+          StructField("begin_snapshot", LongType, false),
+          StructField("end_snapshot", LongType, true),
+          StructField("schema_name", StringType, false)))))
+      case "ducklake_column" => Some(spark.createDataFrame(
+        state.columns.filter(c => alive(c.beginSnapshot, c.endSnapshot))
+          .sortBy(c => (c.tableId, c.columnOrder, c.beginSnapshot))
+          .map(c => Row(c.columnId, c.beginSnapshot, longCol(c.endSnapshot),
+            c.tableId, c.columnOrder.toLong, c.columnName, c.columnType,
+            c.nullsAllowed)).asJava,
+        StructType(Seq(
+          StructField("column_id", LongType, false),
+          StructField("begin_snapshot", LongType, false),
+          StructField("end_snapshot", LongType, true),
+          StructField("table_id", LongType, false),
+          StructField("column_order", LongType, false),
+          StructField("column_name", StringType, false),
+          StructField("column_type", StringType, false),
+          StructField("nulls_allowed", BooleanType, false)))))
+      case "ducklake_snapshot" => Some(spark.createDataFrame(
+        state.snapshots.filter(sn => snapshot.forall(sn.snapshotId <= _))
+          .sortBy(_.snapshotId)
+          .map(sn => Row(sn.snapshotId, sn.snapshotTime, sn.schemaVersion,
+            sn.nextCatalogId, sn.nextFileId)).asJava,
+        StructType(Seq(
+          StructField("snapshot_id", LongType, false),
+          StructField("snapshot_time", StringType, false),
+          StructField("schema_version", LongType, false),
+          StructField("next_catalog_id", LongType, false),
+          StructField("next_file_id", LongType, false)))))
+      case _ => None
+    }
+  }
+
   private def registerInfoSchema(): Unit = {
     val metaCatalog = s"__ducklake_metadata_$lakeName"
+    // bare metadata-table names resolve to the versioned catalog rows
+    // unless a user table shadows them (user catalog wins, like there)
+    for (n <- Seq("ducklake_table", "ducklake_schema", "ducklake_column",
+        "ducklake_snapshot"))
+      if (state.tableByName(n).isEmpty)
+        metaTableDf(n, None).foreach(_.createOrReplaceTempView(n))
     val tRows =
       state.liveTables().sortBy(_.tableName).map(t =>
         Row(lakeName, schemaNameOf(t), t.tableName, "BASE TABLE",

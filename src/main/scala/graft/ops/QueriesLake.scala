@@ -1454,6 +1454,24 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(uuidblobWaveSql)
     },
+    // r16: meta-catalog time travel (reference README.md:164-165 TODO —
+    // "time travel on the catalog itself"). Catalog rows are versioned
+    // by begin/end snapshot, so `ducklake_table AT (VERSION => n)`
+    // answers the table list as of n: before the DROP both tables show,
+    // after it only the survivor. Oracle is the pinned VALUES literal.
+    "q_lake_meta_travel" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE mt1(id INTEGER)")
+      lake.sql("CREATE TABLE mt2(id INTEGER)")
+      val atCreates = lake.sql(
+        "SELECT max(snapshot_id) FROM ducklake_snapshot").head().getLong(0)
+      lake.sql("DROP TABLE mt1")
+      lake.sql(
+        s"""SELECT 'then' AS era, table_name FROM ducklake_table AT (VERSION => $atCreates)
+           |UNION ALL
+           |SELECT 'now' AS era, table_name FROM ducklake_table WHERE end_snapshot IS NULL
+           |ORDER BY era, table_name""".stripMargin)
+    },
     // r14 interval-arithmetic wave: per-field * / int with integer
     // division, unnormalized ± renders, mixed-family literals — the
     // semantics IntervalDifferentialSpec pinned, replayed as one
@@ -1791,6 +1809,9 @@ object QueriesLake {
     "q_lake_numedge_wave" -> numedgeWaveSql,
     "q_lake_strftime_wave" -> strftimeWaveSql,
     "q_lake_uuidblob_wave" -> uuidblobWaveSql,
+    "q_lake_meta_travel" ->
+      ("SELECT * FROM (VALUES ('now','mt2'),('then','mt1'),('then','mt2')) " +
+       "t(era, table_name) ORDER BY era, table_name"),
     "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_interval_wave" -> intervalWaveSql,
     "q_lake_enum" ->
