@@ -54,8 +54,8 @@ object QueriesLlm {
       .exists(_.equalsIgnoreCase("xxhash64"))
 
   // ---------------------------------------------------------- constants
-  private val NumHashes = 16
-  private val Bands = 8 // 2 minhash rows per band
+  private[ops] val NumHashes = 16
+  private[ops] val Bands = 8 // 2 minhash rows per band
   private val JacThreshold = 0.5
   private val ShingleWords = 5
 
@@ -68,8 +68,8 @@ object QueriesLlm {
   private val NgramStride = 2
   /** keep only gram hashes ≡ 0 (mod k): a deterministic 1/k sketch */
   private val NgramSampleMod = 4
-  private val NgramHashes = 16
-  private val NgramBands = 4 // 4 minhash rows per band
+  private[ops] val NgramHashes = 16
+  private[ops] val NgramBands = 4 // 4 minhash rows per band
   private val NgramThreshold = 0.8
 
   /** bucket-size cap for the MinHash band buckets (LSH hygiene, see top) */
