@@ -227,18 +227,14 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(step) == step)
   }
 
-  test("r7b: strftime translates C directives to a date_format pattern") {
+  test("r7b/r16: strftime routes to the measured-semantics native") {
+    // r16: the Java-pattern translation is gone — the native implements
+    // the measured directive matrix (StrftimeDifferentialSpec), so every
+    // call routes, dynamic formats included (per-row compile cache)
     assert(rewriteDialect("SELECT strftime(ts, '%Y-%m-%d') FROM t") ==
-      "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
-    assert(rewriteDialect("SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM t") ==
-      "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss') FROM t")
-    // unknown directive must throw, not silently emit a wrong format
-    intercept[IllegalArgumentException] {
-      rewriteDialect("SELECT strftime(ts, '%V') FROM t")
-    }
-    // non-literal format: left unchanged (loud engine error beats a guess)
-    val dyn = "SELECT strftime(ts, fmt) FROM t"
-    assert(rewriteDialect(dyn) == dyn)
+      "SELECT __graft_strftime(ts, '%Y-%m-%d') FROM t")
+    assert(rewriteDialect("SELECT strftime(ts, fmt) FROM t") ==
+      "SELECT __graft_strftime(ts, fmt) FROM t")
   }
 
   test("r7b/r12: date_diff maps every unit to boundary-crossing twins") {
@@ -303,7 +299,7 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT datediff(datediff(c, b), a) FROM t")
     assert(rewriteDialect(
       "SELECT string_split(strftime(ts, '%Y-%m'), '-') FROM t") ==
-      "SELECT split(date_format(ts, 'yyyy-MM'), '\\\\Q-\\\\E') FROM t")
+      "SELECT split(__graft_strftime(ts, '%Y-%m'), '\\\\Q-\\\\E') FROM t")
   }
 
   test("r8: list comprehensions become transform/filter") {
@@ -571,12 +567,16 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT current_setting('nope')")
   }
 
-  test("r9: strptime parses through the shared strftime directive translation") {
+  test("r9/r16: strptime routes to the measured-semantics native") {
     assert(rewriteDialect("SELECT strptime(s, '%Y-%m-%d %H:%M:%S') FROM t") ==
-      "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t")
-    // dynamic format -> untouched, fails loudly at the engine
-    val dyn = "SELECT strptime(s, fmt) FROM t"
-    assert(rewriteDialect(dyn) == dyn)
+      "SELECT __graft_strptime(s, '%Y-%m-%d %H:%M:%S') FROM t")
+    // %z types TIMESTAMPTZ there — the rewrite adds the tstz render tag
+    assert(rewriteDialect("SELECT strptime(s, '%Y %z') FROM t") ==
+      "SELECT __graft_tstz(__graft_strptime(s, '%Y %z')) FROM t")
+    // dynamic format routes too (a runtime %z still shifts the instant;
+    // only the literal spelling can carry the render tag)
+    assert(rewriteDialect("SELECT strptime(s, fmt) FROM t") ==
+      "SELECT __graft_strptime(s, fmt) FROM t")
   }
 
   test("r9: arg_max family renames to max_by/min_by, literal-masked") {
