@@ -298,6 +298,15 @@ class DuckLakeXLSpark(
     reg2("__graft_strftime", graft.functions.DuckStrftime(_, _))
     reg2("__graft_strptime", graft.functions.DuckStrptime(_, _, tryMode = false))
     reg2("__graft_try_strptime", graft.functions.DuckStrptime(_, _, tryMode = true))
+    // r16 printf/format barrage (functions/DuckFormat): fmt-semantics
+    // formatter replacing Spark's java.util.Formatter (%b binary vs
+    // boolean, half-even %.0f ties, %g zero-stripping, lowercase nan)
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_printf", exprs => graft.functions.DuckPrintf(exprs))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_format", exprs => graft.functions.DuckFmtFormat(exprs))
+    // r16 likeglob barrage (functions/DuckGlob): byte-wise infix GLOB
+    reg2("__graft_glob", graft.functions.DuckGlobMatch(_, _))
     // r15 json-build probe (functions/DuckJsonBuild): construction /
     // inspection twins DuckDB users hit daily, loud catalog errors before
     reg1("__graft_to_json", graft.functions.DuckToJson(_))

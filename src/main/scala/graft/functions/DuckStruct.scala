@@ -218,15 +218,18 @@ case class DuckContainerCompare(left: Expression, right: Expression, op: String)
     copy(left = l, right = r)
 }
 
-case class DuckVarcharCast(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
-  override def nullable: Boolean = true
-  override def prettyName: String = "cast"
-
+object DuckVarcharCast {
   private def leaf(v: Any, dt: DataType): String =
     Option(Cast(Literal.create(v, dt), StringType, Some("UTC"), EvalMode.LEGACY)
       .eval(null)).map(_.toString).getOrElse("NULL")
+
+  /** DuckDB VARCHAR text of any value — shared with `%s`/`{}` rendering
+    * in [[DuckFormat]]
+    */
+  def text(v: Any, dt: DataType): String = fmt(v, dt)
+
+  /** atomic leaf via Spark's own Cast (the case class's pre-r13 path) */
+  def atomicLeaf(v: Any, dt: DataType): String = leaf(v, dt)
 
   private def fmt(v: Any, dt: DataType): String = dt match {
     case ArrayType(et, _) =>
@@ -260,12 +263,19 @@ case class DuckVarcharCast(child: Expression)
     case BinaryType => DuckCastUtil.renderBlob(v.asInstanceOf[Array[Byte]]).toString
     case _ => leaf(v, dt)
   }
+}
+
+case class DuckVarcharCast(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cast"
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case _: ArrayType | _: MapType | _: StructType | BinaryType =>
-      UTF8String.fromString(fmt(v, child.dataType))
-    case dt => // atomic: exactly Spark's cast
-      UTF8String.fromString(leaf(v, dt))
+      UTF8String.fromString(DuckVarcharCast.text(v, child.dataType))
+    case dt => // atomic: exactly Spark's cast (pre-r13 pinned fixtures)
+      UTF8String.fromString(DuckVarcharCast.atomicLeaf(v, dt))
   }
   override protected def withNewChildInternal(c: Expression): DuckVarcharCast =
     copy(child = c)

@@ -1669,6 +1669,122 @@ object StatementRouter {
     q
   }
 
+  private val LikeLitRe = """(?i)\b(I?LIKE)\s+'((?:[^']|'')*)'""".r
+
+  /** Spark's LIKE treats a backslash in the PATTERN VALUE as its
+    * default escape char; DuckDB's LIKE has NO default escape — a
+    * backslash is an ordinary byte (measured `'a\b' LIKE 'a\b'` = true,
+    * `'ab' LIKE 'a\b'` = false). For quoted-literal patterns with no
+    * explicit ESCAPE clause, double the (already parser-doubled)
+    * backslashes once more so Spark's LIKE unescape lands back on the
+    * literal byte. Patterns without backslashes pass through untouched,
+    * keeping Spark's StartsWith/EndsWith/Contains pushdown. A COMPUTED
+    * pattern containing backslashes cannot be seen textually and keeps
+    * Spark's escape reading (documented divergence). RLIKE never
+    * matches here (no word boundary before its LIKE suffix).
+    */
+  private def rewriteLikeNoEscape(q0: String): String = {
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      LikeLitRe.findFirstMatchIn(q.substring(from)) match {
+        case None => go = false
+        case Some(m) =>
+          val start = from + m.start
+          val end = from + m.end
+          if (lit(start)) from = start + 1
+          else {
+            val hasEscape = q.substring(end).matches("(?is)^\\s*ESCAPE\\b.*")
+            val body = m.group(2)
+            if (!hasEscape && body.contains("\\")) {
+              val rep = s"${m.group(1)} '${body.replace("\\", "\\\\")}'"
+              q = q.substring(0, start) + rep + q.substring(end)
+              from = start + rep.length
+            } else from = end
+          }
+      }
+    }
+    q
+  }
+
+  private val LikeEscNullRe =
+    """(?i)\b(NOT\s+)?(I?LIKE)\s+('(?:[^']|'')*')\s+ESCAPE\s+NULL\b""".r
+
+  /** `x [NOT] [I]LIKE 'pat' ESCAPE NULL` is NULL in DuckDB for every x;
+    * Spark's grammar refuses a NULL escape outright. The predicate
+    * reduces to `x = CAST(NULL AS STRING)` — NULL whatever x is.
+    */
+  private def rewriteLikeEscapeNull(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      LikeEscNullRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          q = q.substring(0, m.start) + "= CAST(NULL AS STRING)" +
+            q.substring(m.end)
+      }
+    }
+    q
+  }
+
+  private val GlobInfixRe = """(?i)\bGLOB\s+('((?:[^']|'')*)'|NULL)""".r
+
+  /** `x GLOB 'pat'` — DuckDB's byte-wise glob operator routes to the
+    * [[graft.functions.DuckGlobMatch]] native (r16 likeglob barrage:
+    * `?` matches one BYTE, classes/escapes/unterminated-`[` semantics
+    * measured). Only the quoted-literal RHS shape rewrites; a computed
+    * pattern stays loud (Spark has no GLOB to fall back on). The LHS
+    * walk mirrors rewriteAtTimeZone: literal / balanced group / dotted
+    * identifier.
+    */
+  private def rewriteGlobInfix(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      GlobInfixRe.findAllMatchIn(q).find(m => !lit(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val pat =
+            if (m.group(1).equalsIgnoreCase("NULL")) "CAST(NULL AS STRING)"
+            else m.group(1)
+          var i = m.start - 1
+          while (i >= 0 && q.charAt(i).isWhitespace) i -= 1
+          val lhsEnd = i
+          require(i >= 0, s"GLOB without a left operand in: $q")
+          if (q.charAt(i) == '\'' && lit(i)) {
+            while (i >= 0 && lit(i)) i -= 1
+          } else if (q.charAt(i) == ')') {
+            var depth = 0
+            var done = false
+            while (i >= 0 && !done) {
+              if (!lit(i)) {
+                if (q.charAt(i) == ')') depth += 1
+                else if (q.charAt(i) == '(') { depth -= 1; if (depth == 0) done = true }
+              }
+              i -= 1
+            }
+            while (i >= 0 &&
+              (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+          } else {
+            val idEnd = i
+            while (i >= 0 &&
+              (q.charAt(i).isLetterOrDigit || "_.\"".contains(q.charAt(i)))) i -= 1
+            require(idEnd > i, s"cannot parse GLOB left operand in: $q")
+          }
+          val lhsStart = i + 1
+          val lhs = q.substring(lhsStart, lhsEnd + 1)
+          q = q.substring(0, lhsStart) + s"__graft_glob($lhs, $pat)" +
+            q.substring(m.end)
+      }
+    }
+    q
+  }
+
   /** `FROM unnest(expr)` — DuckDB's table-function position; the derived
     * table carries DuckDB's output column name (`unnest`), and a
     * following `AS t(x)` column alias keeps working on the subquery */
@@ -4771,16 +4887,33 @@ object StatementRouter {
       Some(s"(abs(($a)) = CAST('Infinity' AS DOUBLE))")
       case _ => None
     }
-    // fmt-style format('{} and {}', …) -> printf, for the plain {} form
-    // only ({0} reordering / {:spec} have no printf twin: loud)
-    q = rewriteCalls(q, "format") { args =>
-      args.headOption.flatMap(quotedLiteral).flatMap { f =>
-        if (f.contains("{}") && !"""\{[^}]+\}""".r.findFirstIn(f).isDefined) {
-          val pf = f.replace("%", "%%").replace("{}", "%s").replace("'", "''")
-          Some(s"printf('$pf', ${args.tail.mkString(", ")})")
-        } else None
-      }
+    // r16 printf/format barrage: both route to the measured-semantics
+    // fmt-layer natives (functions/DuckFormat) — Spark's builtin printf
+    // is java.util.Formatter, which silently diverges on %b (boolean vs
+    // binary), %.0f tie rounding, %g zero-stripping and nan casing
+    q = rewriteCalls(q, "printf") { args =>
+      if (args.nonEmpty) Some(s"__graft_printf(${args.mkString(", ")})") else None
     }
+    q = rewriteCalls(q, "format") { args =>
+      if (args.nonEmpty) Some(s"__graft_format(${args.mkString(", ")})") else None
+    }
+    // like_escape family (r16 likeglob barrage): explicit-escape LIKE
+    // twins; Spark's ESCAPE clause has identical semantics (only the
+    // named char escapes). An empty escape string is DuckDB's plain
+    // LIKE; a NULL escape is NULL; multi-char escapes stay loud.
+    for ((fn, op) <- Seq(("like_escape", "LIKE"), ("not_like_escape", "NOT LIKE"),
+                         ("ilike_escape", "ILIKE"), ("not_ilike_escape", "NOT ILIKE")))
+      q = rewriteCalls(q, fn) {
+        case Seq(s, p, e) =>
+          val et = e.trim
+          if (et.equalsIgnoreCase("NULL")) Some("CAST(NULL AS BOOLEAN)")
+          else quotedLiteral(et).flatMap { esc =>
+            if (esc.isEmpty) Some(s"(($s) $op ($p))")
+            else if (esc.length == 1) Some(s"(($s) $op ($p) ESCAPE $et)")
+            else None
+          }
+        case _ => None
+      }
     // character-set similarity (DuckDB string metrics)
     q = rewriteCalls(q, "jaccard") {
       case Seq(a, b) => Some(
@@ -5824,6 +5957,12 @@ object StatementRouter {
     // Literal-masked like every other rewrite: the phrase inside a
     // string literal must survive verbatim
     q = rewriteSimilarTo(q)
+    // r16 likeglob barrage: infix GLOB -> byte-wise native; literal
+    // no-ESCAPE LIKE patterns get their backslashes re-doubled (DuckDB
+    // LIKE has no default escape; Spark's is backslash)
+    q = rewriteGlobInfix(q)
+    q = rewriteLikeEscapeNull(q)
+    q = rewriteLikeNoEscape(q)
     q = rewriteStrftime(q)
     q = rewriteStrptime(q)
     q = rewriteScalarMisc(q)

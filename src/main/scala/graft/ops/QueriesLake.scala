@@ -1445,10 +1445,18 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(numedgeWaveSql)
     },
-    // r16 waves — see strftimeWaveSql / uuidblobWaveSql
+    // r16 waves — see strftimeWaveSql / uuidblobWaveSql / printfWaveSql
     "q_lake_strftime_wave" -> { (s, _) =>
       val lake = freshLake(s)
       lake.sql(strftimeWaveSql)
+    },
+    "q_lake_printf_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(printfWaveSql)
+    },
+    "q_lake_likeglob_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(likeglobWaveSql)
     },
     "q_lake_uuidblob_wave" -> { (s, _) =>
       val lake = freshLake(s)
@@ -1784,6 +1792,51 @@ object QueriesLake {
       |  CAST(strptime('31.12.1999', ['%d.%m.%Y']) AS VARCHAR) AS s14,
       |  CAST(try_strptime('2024-02-31', '%Y-%m-%d') AS VARCHAR) AS s15""".stripMargin
 
+  /** r16 printf/format wave (PrintfDifferentialSpec pinned 163 fixtures;
+    * this replays the highest-traffic silent divergences as one oracle
+    * row — Spark's java.util.Formatter would print `true` for %b, round
+    * %.0f ties HALF_UP, keep %g trailing zeros and uppercase NaN).
+    */
+  private[graft] val printfWaveSql: String =
+    """SELECT
+      |  printf('%5d|%-5d|%05d|%,d', 42, 42, -42, 1234567) AS p1,
+      |  printf('%x|%X|%o|%b|%#x', 255, 255, 8, 5, 255) AS p2,
+      |  printf('%x|%u', CAST(-1 AS BIGINT), -5) AS p3,
+      |  printf('%.0f|%.0f|%.2f', 2.5, 3.5, 2.675) AS p4,
+      |  printf('%g|%g|%.2g', 100000.0, 1000000.0, 1234.5) AS p5,
+      |  printf('%e|%a', 12345.678, 1.5) AS p6,
+      |  printf('%f|%F', CAST('nan' AS DOUBLE), CAST('-inf' AS DOUBLE)) AS p7,
+      |  printf('%2$s %1$s', 'world', 'hello') || printf('|%c', 65) AS p8,
+      |  printf('%*d|%.*f', 6, 42, 2, 3.14159) AS p9,
+      |  printf('%s|%s', DATE '2024-01-02', [1, 2, 3]) AS p10,
+      |  format('{1} {0}', 'a', 'b') || format('|{:>8}|{:*^7}', 'hi', 'ab') AS p11,
+      |  format('{:010}|{:x}|{:#b}|{:,}', -42, -1, 5, 1234567) AS p12,
+      |  format('{:06.2f}|{:.3}|{}', 3.14159, 3.14159, 1e16) AS p13,
+      |  format('{:>{}}|{:.{}f}|{{}}', 'x', 5, 3.14159, 3) AS p14""".stripMargin
+
+  /** r16 LIKE/GLOB/SIMILAR TO wave (LikeGlobDifferentialSpec pinned 89
+    * fixtures): no-default-escape LIKE backslashes, byte-wise GLOB,
+    * regex SIMILAR TO, like_escape family — replayed as one oracle row.
+    */
+  private[graft] val likeglobWaveSql: String =
+    """SELECT
+      |  'a\b' LIKE 'a\b' AS g1,
+      |  'ab' LIKE 'a\b' AS g2,
+      |  'a%c' LIKE 'a!%c' ESCAPE '!' AS g3,
+      |  'héllo' LIKE 'h_llo' AS g4,
+      |  'main.c' GLOB '*.[ch]' AS g5,
+      |  'héllo' GLOB 'h?llo' AS g6,
+      |  'héllo' GLOB 'h??llo' AS g7,
+      |  'a*b' GLOB 'a\*b' AS g8,
+      |  'a]c' GLOB 'a[]b]c' AS g9,
+      |  'b' GLOB '[a-]' AS g10,
+      |  'abc' SIMILAR TO 'a%' AS g11,
+      |  'abc' SIMILAR TO 'a[bc]{2}' AS g12,
+      |  like_escape('a%c', 'a$%c', '$') AS g13,
+      |  not_ilike_escape('ABC', 'a_c', '$') AS g14,
+      |  (SELECT count(*) FROM (VALUES ('alpha'),('beta'),('a%b')) t(s)
+      |    WHERE s LIKE 'a\%%') AS g15""".stripMargin
+
   private[ops] val fnWaveSql: String =
     """SELECT
       |  jaro_winkler_similarity('martha', 'marhta') AS f1,
@@ -1809,6 +1862,8 @@ object QueriesLake {
     "q_lake_numedge_wave" -> numedgeWaveSql,
     "q_lake_strftime_wave" -> strftimeWaveSql,
     "q_lake_uuidblob_wave" -> uuidblobWaveSql,
+    "q_lake_printf_wave" -> printfWaveSql,
+    "q_lake_likeglob_wave" -> likeglobWaveSql,
     "q_lake_meta_travel" ->
       ("SELECT * FROM (VALUES ('now','mt2'),('then','mt1'),('then','mt2')) " +
        "t(era, table_name) ORDER BY era, table_name"),

@@ -1118,6 +1118,197 @@ def fam_collate(seed):
     return [(e, "scalar") for e in exprs] + [(q, "query") for q in queries]
 
 
+def fam_printf(seed):
+    """printf (C/fmt) + format (fmt {}-spec) + format_bytes — the r16
+    formatting barrage. Spark's java.util.Formatter silently diverges
+    on %b, %.0f ties, %g stripping, nan casing, %i/%u/%a/%''d."""
+    rng = random.Random(seed)
+    exprs = [
+        # --- printf: int directives, widths, flags
+        "printf('%d', 42)", "printf('%d', -42)",
+        "printf('%5d|%-5d|%05d', 42, 42, 42)",
+        "printf('%05d', -42)", "printf('%-08d|', -42)",
+        "printf('%+d|%+d|% d', 5, -5, 5)",
+        "printf('%.3d', 42)", "printf('%08.3d', 42)",
+        "printf('%i %u %ld %hd %zu', 1, 2, 3, 4, 5)",
+        "printf('%u', -5)", "printf('%u', CAST(-5 AS BIGINT))",
+        "printf('%d', true)", "printf('%d', CAST(5 AS SMALLINT))",
+        "printf('%d', CAST(-9223372036854775807 - 1 AS BIGINT))",
+        # --- base conversion (two's complement per arg width)
+        "printf('%x|%X|%o|%b', 255, 255, 8, 5)",
+        "printf('%x', -1)", "printf('%x', CAST(-1 AS BIGINT))",
+        "printf('%x', CAST(-1 AS SMALLINT))",
+        "printf('%o', CAST(-1 AS INTEGER))", "printf('%b', CAST(-1 AS INTEGER))",
+        "printf('%#x|%#X|%#o|%#b', 255, 255, 8, 5)",
+        "printf('%x|%o|%b', 0, 0, 0)",
+        "printf('%08x', 255)", "printf('%.6x', 255)",
+        # --- thousand separators
+        "printf('%,d', 1234567)", "printf('%,d', -1234567)",
+        "printf('%,d', 123)", "printf('%''d', 1234567)",
+        "printf('%,x|%,s', 255, 'ab')",
+        # --- %c
+        "printf('%c', 65)", "printf('%c', 0) IS NOT NULL",
+        "printf('%5c|%-5c|', 65, 66)", "printf('%c', 127)",
+        # --- %s over string-class values
+        "printf('%s|%10s|%-10s|', 'hi', 'hi', 'hi')",
+        "printf('%10.3s', 'abcdef')", "printf('%.2s', 'héllo')",
+        "printf('%5s', 'héllo')",
+        "printf('%s', true)", "printf('%s', DATE '2024-01-02')",
+        "printf('%s', TIMESTAMP '2024-01-02 03:04:05')",
+        "printf('%s', [1, 2, 3])", "printf('%s', {'a': 1})",
+        # --- %f/%F
+        "printf('%f', 1.5)", "printf('%.3f|%10.2f|%-10.2f|', 3.14159, 3.14159, 3.14159)",
+        "printf('%.0f|%.0f|%.0f', 2.5, 3.5, 0.5)",
+        "printf('%.2f', 2.675)", "printf('%.1f|%.1f', 0.25, 0.35)",
+        "printf('%08.2f', -3.14159)", "printf('%#.0f', 3.0)",
+        "printf('%f|%F', CAST('nan' AS DOUBLE), CAST('nan' AS DOUBLE))",
+        "printf('%f|%F', CAST('inf' AS DOUBLE), CAST('-inf' AS DOUBLE))",
+        "printf('%+f|% f', CAST('inf' AS DOUBLE), 1.0)",
+        "printf('%5.1f|%05.1f', CAST('nan' AS DOUBLE), CAST('nan' AS DOUBLE))",
+        "printf('%8.2f', CAST('-inf' AS DOUBLE))",
+        "printf('%-6.1f|', CAST('nan' AS DOUBLE))",
+        "printf('%f', CAST(1.5 AS DECIMAL(4,2)))",
+        "printf('%.2f', CAST(0.1 AS FLOAT))",
+        # --- %e/%E
+        "printf('%e|%E', 12345.678, 12345.678)",
+        "printf('%.2e', 9.996e5)", "printf('%.0e', 12345.0)",
+        "printf('%+.2e', -0.000123)", "printf('%15.4e|', -123.456)",
+        "printf('%e', 0.0)", "printf('%E', CAST('-inf' AS DOUBLE))",
+        # --- %g/%G
+        "printf('%g|%G', 0.00001234, 123456789.0)",
+        "printf('%g|%g', 100000.0, 1000000.0)",
+        "printf('%g|%g|%g', 1.5, 150.0, 0.1)",
+        "printf('%g', 1e300)", "printf('%g', 0.000099999)",
+        "printf('%.10g', 3.14159265358979)", "printf('%.2g|%.2g', 1234.5, 0.000012345)",
+        "printf('%#g|%#.3g', 1.0, 1.0)", "printf('%G', CAST('inf' AS DOUBLE))",
+        "printf('%030.10g', 3.14)", "printf('%g', 123456.789)",
+        # --- %a hex float
+        "printf('%a|%A', 1.5, 1.5)", "printf('%a', 0.0)", "printf('%a', -2.0)",
+        # --- positional, dynamic width/precision, escapes, nulls
+        "printf('%2$s %1$s', 'world', 'hello')", "printf('%1$s %1$s', 'x')",
+        "printf('%*d', 6, 42)", "printf('%.*f', 2, 3.14159)",
+        "printf('%%|%d%%', 5)", "printf('abc')", "printf('')",
+        "printf('%d', 1, 2)",
+        "printf('%s', NULL) IS NULL", "printf(NULL, 5) IS NULL",
+        "printf('%d', 1, NULL) IS NULL", "printf('%y', NULL) IS NULL",
+        # --- format (fmt {}-spec)
+        "format('{} {}', 'a', 1)", "format('{0} {0} {1}', 'x', 'y')",
+        "format('{1} {0}', 'a', 'b')",
+        "format('{:>8}|{:<8}|{:^8}|', 'hi', 'hi', 'hi')",
+        "format('{:*^7}', 'ab')", "format('{:0>6}', 42)",
+        "format('{:=8}', -42)", "format('{:010}', -42)",
+        "format('{:5d}|{:05d}', 42, 42)", "format('{:10}', 42)",
+        "format('{:+}|{:-}|{: }', 5, -5, 5)",
+        "format('{:.2f}|{:06.2f}', 3.14159, 3.14159)",
+        "format('{:08.3f}', -3.14159)", "format('{:.0f}|{:.0f}', 2.5, 3.5)",
+        "format('{:e}|{:E}', 12345.678, 12345.678)",
+        "format('{:e}', -123.456)", "format('{:g}', 1000000.0)",
+        "format('{:g}', 0.00001234)", "format('{:10.4g}', 3.14159)",
+        "format('{:.3}', 3.14159)", "format('{:.2s}', 'abcdef')",
+        "format('{:5s}|', 'ab')", "format('{:5}|', true)",
+        "format('{:x}|{:X}|{:b}|{:o}', 255, 255, 5, 8)",
+        "format('{:x}', -1)", "format('{:x}', CAST(-1 AS BIGINT))",
+        "format('{:#x}|{:#b}|{:#o}', 255, 5, 8)",
+        "format('{:,}|{:,d}', 1234567, 1234567)",
+        "format('{:d}', true)", "format('{:>{}}', 'x', 5)",
+        "format('{:.{}f}', 3.14159, 3)", "format('{{}} {}', 1)",
+        "format('{}', 1.5)", "format('{}', CAST(1.5 AS FLOAT))",
+        "format('{}', 1e16)", "format('{}', 1e7)", "format('{}', 0.0001)",
+        "format('{}', -0.0)", "format('{}', CAST('nan' AS DOUBLE))",
+        "format('{:f}', CAST('nan' AS DOUBLE))",
+        "format('{:+f}', CAST('inf' AS DOUBLE))",
+        "format('{}', true)", "format('{}', DATE '2024-01-02')",
+        "format('{}', TIMESTAMP '2024-01-02 03:04:05.5')",
+        "format('{}', [1, 2])", "format('{}', 123456789.5)",
+        "format('{}', NULL) IS NULL",
+        # --- format_bytes (binary units, one decimal past KiB)
+        "format_bytes(0)", "format_bytes(1023)", "format_bytes(1024)",
+        "format_bytes(1536)", "format_bytes(-5)", "format_bytes(123456789)",
+    ]
+    # randomized cross-checks: width x precision x value for %f/%g/%e
+    vals = ["3.14159", "-2.5", "0.0078125", "12345.675", "1e10"]
+    for _ in range(12):
+        spec = rng.choice(["f", "e", "g"])
+        w = rng.choice(["", str(rng.randint(4, 14))])
+        p = rng.choice(["", "." + str(rng.randint(0, 8))])
+        fl = rng.choice(["", "-", "+", "0"])
+        v = rng.choice(vals)
+        exprs.append(f"printf('%{fl}{w}{p}{spec}', {v})")
+    for _ in range(8):
+        w = rng.choice(["", str(rng.randint(4, 10))])
+        p = rng.choice(["", "." + str(rng.randint(1, 6))])
+        t = rng.choice(["f", "g", "e", ""])
+        al = rng.choice(["", "<", ">", "^"])
+        exprs.append(f"format('{{:{al}{w}{p}{t}}}', {rng.choice(vals)})")
+    return [(e, "scalar") for e in exprs]
+
+
+def fam_likeglob(seed):
+    """LIKE / ILIKE / GLOB / SIMILAR TO / like_escape family — the r16
+    pattern-match barrage. DuckDB LIKE has NO default escape (backslash
+    literal) where Spark's default escape IS backslash; GLOB is
+    byte-wise; SIMILAR TO is a full-anchored POSIX regex."""
+    exprs = [
+        # LIKE basics + the no-default-escape divergence
+        "'abc' LIKE 'a%'", "'abc' LIKE 'a_c'", "'abc' LIKE 'a__'",
+        "'abc' LIKE '%'", "'' LIKE '%'", "'' LIKE '_'",
+        "'abc' LIKE 'ABC'", "'abc' NOT LIKE 'A%'",
+        r"'a\b' LIKE 'a\b'", r"'ab' LIKE 'a\b'",
+        r"'a\c' LIKE 'a\_'", r"'a%c' LIKE 'a\%c'",
+        r"'x\\y' LIKE 'x\\y'", r"'a\' LIKE '%\'",
+        "'héllo' LIKE 'h_llo'", "'héllo' LIKE 'h__llo'",
+        # explicit ESCAPE
+        "'a%c' LIKE 'a!%c' ESCAPE '!'", "'axc' LIKE 'a!%c' ESCAPE '!'",
+        "'a_c' LIKE 'a!_c' ESCAPE '!'", "'a!b' LIKE 'a!!b' ESCAPE '!'",
+        "'abc' LIKE 'a%' ESCAPE NULL IS NULL",
+        # ILIKE
+        "'abc' ILIKE 'ABC'", "'ABC' ILIKE 'a_c'", "'abc' NOT ILIKE 'AB%'",
+        "'a%c' ILIKE 'A!%C' ESCAPE '!'",
+        # ~~ operator family
+        "'abc' ~~ 'a%'", "'abc' !~~ 'a%'", "'abc' ~~* 'A%'", "'abc' !~~* 'A%'",
+        # like_escape function family
+        "like_escape('a%c', 'a$%c', '$')", "like_escape('axc', 'a$%c', '$')",
+        "not_like_escape('axc', 'a$%c', '$')",
+        "ilike_escape('A%c', 'a$%c', '$')", "not_ilike_escape('ABC', 'a_c', '$')",
+        "like_escape('abc', 'ABC', '')",
+        "like_escape('a%c', 'a$%c', NULL) IS NULL",
+        "like_escape(NULL, 'a', '$') IS NULL",
+        # GLOB: wildcards, classes, byte semantics
+        "'main.c' GLOB '*.c'", "'main.c' GLOB '*.[ch]'", "'main.x' GLOB '*.[ch]'",
+        "'main.c' GLOB 'm?in.c'", "'MAIN.C' GLOB '*.c'",
+        "'abc' GLOB 'a[b-d]c'", "'abc' GLOB 'a[!b]c'", "'a-c' GLOB 'a[!b]c'",
+        "'ab/cd' GLOB 'ab/*'", "'a/b' GLOB 'a?b'",
+        "'' GLOB ''", "'' GLOB '*'", "'abc' GLOB ''",
+        "'a]c' GLOB 'a]c'", "'abc' GLOB 'a]c'",
+        "'abc' GLOB 'a[]b]c'", "'a]c' GLOB 'a[]b]c'",
+        "'-' GLOB '[a-]'", "'b' GLOB '[a-]'", "'a[' GLOB 'a['",
+        "'z' GLOB '[!a-y]'", "'Z' GLOB '[a-y]'",
+        "'aXb' GLOB 'a*b*'", "'ab' GLOB 'a**b'", "'xaYbZ' GLOB '*a*b*'",
+        "'héllo' GLOB 'h?llo'", "'héllo' GLOB 'h??llo'", "'héllo' GLOB 'h*llo'",
+        r"'a*b' GLOB 'a\*b'", r"'axb' GLOB 'a\*b'", r"'ab' GLOB 'a\b'",
+        "'[x]' GLOB '[[]x]'", "'!' GLOB '[!!]'", "'x' GLOB '[!!]'",
+        "NULL GLOB 'a' IS NULL", "'a' GLOB NULL IS NULL",
+        "(upper('main.c')) GLOB '*.C'",
+        # SIMILAR TO: full-anchored regex, % is NOT a wildcard
+        "'abc' SIMILAR TO 'a%'", "'a%' SIMILAR TO 'a%'",
+        "'abc' SIMILAR TO 'a.c'", "'abc' SIMILAR TO 'a.*'",
+        "'abc' SIMILAR TO '(a|b)bc'", "'abc' SIMILAR TO 'ab'",
+        "'abc' NOT SIMILAR TO 'ab'", "'abc' SIMILAR TO 'AB.'",
+        "'abc' SIMILAR TO 'a[bc]{2}'", "'aaa' SIMILAR TO 'a+'",
+        r"'a1c' SIMILAR TO 'a\dc'",
+        # pattern-shaped scans through columns (pushdown shapes)
+        "SELECT count(*) FROM (VALUES ('alpha'),('beta'),('gamma'),('a%b')) "
+        "t(s) WHERE s LIKE 'a%'",
+        "SELECT count(*) FROM (VALUES ('alpha'),('beta'),('gamma'),('a%b')) "
+        r"t(s) WHERE s LIKE 'a\%%'",
+        "SELECT count(*) FROM (VALUES ('m.c'),('m.h'),('m.x'),('n.c')) "
+        "t(s) WHERE s GLOB '*.[ch]'",
+        "SELECT count(*) FROM (VALUES ('ab'),('aXb'),('b'),('ba')) "
+        "t(s) WHERE s SIMILAR TO 'a.*b'",
+    ]
+    return [(e, "auto") for e in exprs]
+
+
 def fam_unicase(seed):
     """r15: Unicode case/length/slicing edge semantics. DuckDB cases with
     utf8proc's SIMPLE 1:1 fold (upper('ß')='ẞ', lower('İ')='i',
@@ -1158,10 +1349,12 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "fnwave": fam_fnwave, "collate": fam_collate,
             "unicase": fam_unicase, "csvio": fam_csvio,
             "trailing": fam_trailing, "numedge": fam_numedge,
-            "jsonbuild": fam_jsonbuild}
+            "jsonbuild": fam_jsonbuild, "printf": fam_printf,
+            "likeglob": fam_likeglob}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
+             "LikeGlobDifferentialSpec.scala": "auto",
              "CollateDifferentialSpec.scala": "auto",
              "CsvIoDifferentialSpec.scala": "auto",
              "TrailingCommaDifferentialSpec.scala": "auto",
@@ -1183,6 +1376,7 @@ def cmd_gen(family, seed):
         try:
             val = (eval_scalar(con, expr) if kind == "scalar"
                else eval_query(con, expr) if kind == "query"
+               else eval_auto(con, expr) if kind == "auto"
                else eval_window(con, expr))
             out.append(f"      ({scala_quote(expr)}, {scala_quote(val)}),")
         except Exception as e:
