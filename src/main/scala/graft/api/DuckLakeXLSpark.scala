@@ -307,6 +307,24 @@ class DuckLakeXLSpark(
       spark, "__graft_format", exprs => graft.functions.DuckFmtFormat(exprs))
     // r16 likeglob barrage (functions/DuckGlob): byte-wise infix GLOB
     reg2("__graft_glob", graft.functions.DuckGlobMatch(_, _))
+    // r16 listmath/mapdepth barrage (functions/ListShape, DuckStruct):
+    // measured list shape/set/vector-math + last-wins map_concat
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_list_zip", exprs => graft.functions.DuckListZip(exprs))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_list_resize", exprs => graft.functions.DuckListResize(exprs))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_map_concat", exprs => graft.functions.DuckMapConcat(exprs))
+    reg2("__graft_list_select", graft.functions.DuckListSelect(_, _))
+    reg2("__graft_list_where", graft.functions.DuckListWhere(_, _))
+    reg1("__graft_list_grade_up", graft.functions.DuckListGradeUp(_))
+    reg2("__graft_list_intersect", graft.functions.DuckListIntersect(_, _))
+    reg2("__graft_list_has_any", graft.functions.DuckListHas(_, _, all = false))
+    reg2("__graft_list_has_all", graft.functions.DuckListHas(_, _, all = true))
+    reg1("__graft_flatten", graft.functions.DuckFlatten(_))
+    reg2("__graft_list_dot", graft.functions.DuckVecMath(_, _, "dot"))
+    reg2("__graft_list_cos", graft.functions.DuckVecMath(_, _, "cos"))
+    reg2("__graft_list_dist", graft.functions.DuckVecMath(_, _, "dist"))
     // r15 json-build probe (functions/DuckJsonBuild): construction /
     // inspection twins DuckDB users hit daily, loud catalog errors before
     reg1("__graft_to_json", graft.functions.DuckToJson(_))

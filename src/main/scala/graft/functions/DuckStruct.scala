@@ -1,9 +1,11 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, EvalMode, Expression, ImplicitCastInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData, TypeUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -54,33 +56,44 @@ case class DuckSubscript(left: Expression, right: Expression)
     case _ => null
   }
 
-  override def nullSafeEval(base: Any, key: Any): Any = left.dataType match {
-    case ArrayType(et, _) =>
-      val arr = base.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val i0 = key.asInstanceOf[Int]
-      val eff = if (i0 > 0) i0 - 1 else n + i0 // 1-based; negative from end
-      if (i0 == 0 || eff < 0 || eff >= n) null
-      else if (arr.isNullAt(eff)) null
-      else arr.get(eff, et)
-    case MapType(kt, vt, _) =>
-      val m = base.asInstanceOf[MapData]
-      val keys = m.keyArray()
-      val vals = m.valueArray()
-      val out = Seq.newBuilder[Any]
-      var i = 0
-      while (i < m.numElements()) {
-        if (!keys.isNullAt(i) && mapKeyOrd.equiv(keys.get(i, kt), key))
-          out += (if (vals.isNullAt(i)) null else vals.get(i, vt))
-        i += 1
-      }
-      new GenericArrayData(out.result())
-    case st: StructType =>
-      val idx = st.fieldIndex(structKey)
-      val row = base.asInstanceOf[InternalRow]
-      if (row.isNullAt(idx)) null else row.get(idx, st(idx).dataType)
-    case other => throw new IllegalArgumentException(
-      s"cannot subscript a value of type ${other.sql}")
+  // eval (not nullSafeEval): a MAP subscript with a NULL map or NULL
+  // key answers the EMPTY list, not NULL (measured r16 mapdepth
+  // barrage: map_extract(NULL::MAP(..), 'a') = [] and m[NULL] = []);
+  // LIST/STRUCT subscripts keep null-propagating semantics
+  override def eval(input: InternalRow): Any = {
+    val base = left.eval(input)
+    val key = right.eval(input)
+    left.dataType match {
+      case MapType(kt, vt, _) =>
+        if (base == null || key == null)
+          return new GenericArrayData(Seq.empty[Any])
+        val m = base.asInstanceOf[MapData]
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val out = Seq.newBuilder[Any]
+        var i = 0
+        while (i < m.numElements()) {
+          if (!keys.isNullAt(i) && mapKeyOrd.equiv(keys.get(i, kt), key))
+            out += (if (vals.isNullAt(i)) null else vals.get(i, vt))
+          i += 1
+        }
+        new GenericArrayData(out.result())
+      case _ if base == null || key == null => null
+      case ArrayType(et, _) =>
+        val arr = base.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        val i0 = key.asInstanceOf[Int]
+        val eff = if (i0 > 0) i0 - 1 else n + i0 // 1-based; negative from end
+        if (i0 == 0 || eff < 0 || eff >= n) null
+        else if (arr.isNullAt(eff)) null
+        else arr.get(eff, et)
+      case st: StructType =>
+        val idx = st.fieldIndex(structKey)
+        val row = base.asInstanceOf[InternalRow]
+        if (row.isNullAt(idx)) null else row.get(idx, st(idx).dataType)
+      case other => throw new IllegalArgumentException(
+        s"cannot subscript a value of type ${other.sql}")
+    }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckSubscript =
     copy(left = l, right = r)
@@ -129,6 +142,54 @@ case class StructInsert(children: Seq[Expression])
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): StructInsert = copy(children = newChildren)
+}
+
+/** DuckDB `map_concat(m1, m2, …)` (r16 mapdepth barrage, measured):
+  * LAST-WINS on key collision with FIRST-SEEN key order
+  * (`map_concat({a=1}, {a=2})` = `{a=2}`;
+  * `map_concat({a=1,b=2}, {b=9,c=3})` = `{a=1, b=9, c=3}`), NULL map
+  * arguments are SKIPPED (`map_concat(m, NULL)` = `m`), and fewer than
+  * two arguments is a loud error. Spark's MapConcat either errors on
+  * any duplicate (default) or needs a session-wide LAST_WIN dedup
+  * policy that would also silently dedup `map(…)` construction — which
+  * DuckDB REFUSES — so the semantics need their own expression.
+  */
+case class DuckMapConcat(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length >= 2,
+    "The provided amount of arguments is incorrect, map_concat needs at least two maps")
+
+  private def mapType: MapType =
+    children.map(_.dataType).collectFirst { case mt: MapType => mt }
+      .getOrElse(MapType(NullType, NullType))
+  override def dataType: DataType = mapType
+  override def nullable: Boolean = false
+
+  @transient private lazy val keyOrd =
+    TypeUtils.getInterpretedOrdering(mapType.keyType)
+
+  override def eval(input: InternalRow): Any = {
+    val MapType(kt, vt, _) = mapType
+    val keys = ArrayBuffer[Any]()
+    val vals = ArrayBuffer[Any]()
+    for (c <- children) c.eval(input) match {
+      case null => // measured: NULL maps are skipped
+      case m: MapData =>
+        val ka = m.keyArray(); val va = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          val k = ka.get(i, kt)
+          val v = if (va.isNullAt(i)) null else va.get(i, vt)
+          val at = keys.indexWhere(keyOrd.compare(_, k) == 0)
+          if (at >= 0) vals(at) = v          // last wins, key keeps its slot
+          else { keys += k; vals += v }
+          i += 1
+        }
+    }
+    ArrayBasedMapData(keys.toArray, vals.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DuckMapConcat = copy(children = newChildren)
 }
 
 /** DuckDB-style VARCHAR rendering of container values, swapped in for

@@ -1518,10 +1518,22 @@ object StatementRouter {
     "list_value"     -> "array",
     "list_pack"      -> "array",
     "list_contains"  -> "array_contains",
-    "list_has_any"   -> "arrays_overlap",
-    // order divergence documented: DuckDB's set-ops hash-order their
-    // output; Spark's array_intersect keeps the left list's order
-    "list_intersect" -> "array_intersect",
+    // r16 listmath barrage natives (functions/ListShape): NULL-element
+    // and order semantics measured on DuckDB 1.0 — arrays_overlap /
+    // array_intersect diverge silently (NULL answers, left-order output)
+    "list_has_any"   -> "__graft_list_has_any",
+    "list_has_all"   -> "__graft_list_has_all",
+    "list_intersect" -> "__graft_list_intersect",
+    "list_select"    -> "__graft_list_select",
+    "list_where"     -> "__graft_list_where",
+    "list_resize"    -> "__graft_list_resize",
+    "list_grade_up"  -> "__graft_list_grade_up",
+    "flatten"        -> "__graft_flatten",
+    "map_concat"     -> "__graft_map_concat",
+    "list_dot_product"       -> "__graft_list_dot",
+    "list_inner_product"     -> "__graft_list_dot",
+    "list_cosine_similarity" -> "__graft_list_cos",
+    "list_distance"          -> "__graft_list_dist",
     "editdist3"      -> "levenshtein",
     "mismatches"     -> "hamming",
     // list_distinct / list_prepend / list_sort family: explicit
@@ -1575,8 +1587,10 @@ object StatementRouter {
     "strpos" -> "instr",
     "prefix" -> "startswith",
     "suffix" -> "endswith",
-    // list_zip pads the shorter side with NULL structs on both engines
-    "list_zip" -> "arrays_zip",
+    // r16: native list_zip — DuckDB pads to the LONGEST input, treats
+    // NULL lists as empty, and renders unnamed tuples `(1, a)` (the
+    // arrays_zip rename kept Spark's named-field render — silent)
+    "list_zip" -> "__graft_list_zip",
     // list length: Spark's size (len/length stay out — DuckDB's work on
     // strings AND lists, Spark's length is string-only; a blind rename
     // would silently string-ify list lengths)
@@ -2228,6 +2242,11 @@ object StatementRouter {
   private val CastBitBlobRe =
     """::\s*((?i:BIT|BLOB|BYTEA|VARBINARY|UUID))(?![\w(\[])""".r
 
+  // parameterized container types whose Spark spelling uses angle
+  // brackets — rewritten to the CAST(..) form (see rewriteCastTargets)
+  private val CastAngleRe =
+    """::\s*((?i:MAP|STRUCT)\s*\()""".r
+
   /** rewrite `expr::TYPE` and `CAST/TRY_CAST(expr AS TYPE)` targets whose
     * DuckDB spelling Spark cannot parse (see [[sparkCastType]])
     */
@@ -2291,6 +2310,33 @@ object StatementRouter {
           val r = s"$fn($lhs)"
           q = q.substring(0, lhsStart) + r + q.substring(mm.end)
           from = lhsStart + r.length
+      }
+    }
+    // ::MAP(k,v) / ::STRUCT(..) — Spark spells these with ANGLE
+    // brackets, whose commas a later call-argument splitter cannot see
+    // (r16 mapdepth barrage: `map_extract(NULL::MAP(VARCHAR,INTEGER),
+    // 'a')` split into three args and the rewrite never fired). Emit
+    // the CAST(lhs AS T) form instead, which keeps commas in parens.
+    from = 0
+    go = true
+    while (go) {
+      val lm2 = literalMask(q)
+      CastAngleRe.findAllMatchIn(q).find(mm => mm.start >= from && !lm2(mm.start)) match {
+        case None => go = false
+        case Some(mm) =>
+          val tyStart = mm.start(1)
+          val tyEnd = typeTokenEnd(q, tyStart)
+          sparkCastType(q.substring(tyStart, tyEnd)) match {
+            case Some(tr) =>
+              val lhsStart = castLhsStart(q, mm.start, lm2)
+              val lhs = q.substring(lhsStart, mm.start).trim
+              require(lhs.nonEmpty,
+                s"cannot capture the operand of a ::-cast in: $q")
+              val r = s"CAST($lhs AS $tr)"
+              q = q.substring(0, lhsStart) + r + q.substring(tyEnd)
+              from = lhsStart + r.length
+            case None => from = tyEnd
+          }
       }
     }
     // ::TYPE — scan outside literals
@@ -5131,30 +5177,11 @@ object StatementRouter {
         s"(__hx, __hy) -> __hx <> __hy), __hz -> __hz)) END)")
       case _ => None
     }
-    // embedding-list math (DuckDB list_* numeric family): single-pass
-    // higher-order compositions, codegen-friendly, no UDFs
-    def dot(a: String, b: String): String =
-      s"aggregate(zip_with(($a), ($b), (__dx, __dy) -> CAST(__dx AS DOUBLE) * __dy), " +
-      s"CAST(0 AS DOUBLE), (__ds, __dv) -> __ds + __dv)"
-    def norm2(a: String): String =
-      s"aggregate(($a), CAST(0 AS DOUBLE), (__ns, __nv) -> __ns + CAST(__nv AS DOUBLE) * __nv)"
-    for (fn <- Seq("list_dot_product", "list_inner_product"))
-      q = rewriteCalls(q, fn) {
-        case Seq(a, b) => Some(s"(${dot(a, b)})")
-        case _ => None
-      }
-    q = rewriteCalls(q, "list_cosine_similarity") {
-      case Seq(a, b) =>
-        Some(s"(${dot(a, b)} / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})))")
-      case _ => None
-    }
-    q = rewriteCalls(q, "list_distance") {
-      case Seq(a, b) => Some(
-        s"sqrt(aggregate(zip_with(($a), ($b), " +
-        s"(__lx, __ly) -> (CAST(__lx AS DOUBLE) - __ly) * (CAST(__lx AS DOUBLE) - __ly)), " +
-        s"CAST(0 AS DOUBLE), (__ls, __lv) -> __ls + __lv))")
-      case _ => None
-    }
+    // embedding-list math (list_dot_product / list_cosine_similarity /
+    // list_distance) routes to the codegen'd DuckVecMath natives via
+    // the rename table (r16 listmath barrage: the old aggregate/
+    // zip_with compositions silently NULL'd dimension mismatches and
+    // errored on DuckDB's measured zero-vector cosine of -1.0)
     q
   }
 
@@ -5354,18 +5381,10 @@ object StatementRouter {
       case Seq(x) => Some(s"unix_millis(CAST(${x.trim} AS TIMESTAMP_LTZ))")
       case _ => None
     }
-    q = rewriteCalls(q, "list_grade_up") {
-      case Seq(x) =>
-        val a = x.trim
-        Some(s"transform(array_sort(zip_with($a, sequence(1, size($a)), " +
-          "(__v, __i) -> named_struct('a', __v, 'b', __i))), __s -> __s.b)")
-      case _ => None
-    }
-    q = rewriteCalls(q, "list_has_all") {
-      case Seq(a, b) =>
-        Some(s"forall(${b.trim}, __e -> array_contains(${a.trim}, __e))")
-      case _ => None
-    }
+    // list_grade_up / list_has_all: native DuckListGradeUp / DuckListHas
+    // via the rename table (r16 listmath barrage — the SQL compositions
+    // sorted NULLS FIRST and NULL'd on NULL elements where DuckDB is
+    // NULLS LAST / NULL-ignoring)
     // parse_path family: components split on / or \ (DuckDB's default
     // separator mode); an absolute path keeps its leading separator as
     // the first component

@@ -1339,6 +1339,136 @@ def fam_unicase(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_mapdepth(seed):
+    """r16: MAP function depth (VERDICT r15 residue 4 'map-function
+    depth'). Measured DuckDB 1.0.0 semantics worth differential proof:
+    subscript/map_extract/element_at return a LIST of matches ([] on
+    miss, [] even on NULL map/key), map_concat is last-wins on key
+    collision, map() duplicate keys ERROR, NULL keys ERROR, nested
+    value types render through the {k=v} text form."""
+    exprs = [
+        # construction + render
+        "CAST(map(['a','b'],[1,2]) AS VARCHAR)",
+        "CAST(map() AS VARCHAR)",
+        "CAST(map([2,1],['x','y']) AS VARCHAR)",
+        "CAST(map([1.5,2.5],['a','b']) AS VARCHAR)",
+        "CAST(map_from_entries([('a',1),('b',2)]) AS VARCHAR)",
+        "CAST(map_from_entries([{'k': 'a', 'v': 1},{'k':'b','v':2}]) AS VARCHAR)",
+        "CAST(map(NULL,NULL) AS VARCHAR)",
+        # subscript / extract: LIST-of-matches semantics
+        "CAST(map(['x','y'],[10,20])['x'] AS VARCHAR)",
+        "CAST(map(['x','y'],[10,20])['z'] AS VARCHAR)",
+        "CAST(map([1,2],['a','b'])[1] AS VARCHAR)",
+        "CAST(map([1.5,2.5],['a','b'])[1.5] AS VARCHAR)",
+        "CAST(map([[1,2]],['v'])[[1,2]] AS VARCHAR)",
+        "CAST(map_extract(map(['x','y'],[10,20]),'x') AS VARCHAR)",
+        "CAST(map_extract(map(['x','y'],[10,20]),'z') AS VARCHAR)",
+        "CAST(element_at(map(['x','y'],[10,20]),'x') AS VARCHAR)",
+        "CAST(map_extract(NULL::MAP(VARCHAR,INTEGER),'a') AS VARCHAR)",
+        "CAST(map_extract(map(['a'],[1]), NULL) AS VARCHAR)",
+        "CAST(element_at(map(['a'],[1]), NULL) AS VARCHAR)",
+        "CAST((CAST(NULL AS MAP(VARCHAR,INTEGER)))['a'] AS VARCHAR)",
+        "CAST(map(['a'],[NULL])['a'] AS VARCHAR)",
+        # nested value types through extract
+        "CAST(map(['k'],[[1,2,3]])['k'] AS VARCHAR)",
+        "CAST(map(['k'],[map(['n'],[5])])['k'] AS VARCHAR)",
+        "CAST(map(['k'],[{'a': 1, 'b': 'x'}])['k'] AS VARCHAR)",
+        # keys / values / entries preserve insertion order
+        "CAST(map_keys(map([2,1],['x','y'])) AS VARCHAR)",
+        "CAST(map_values(map([2,1],['x','y'])) AS VARCHAR)",
+        "CAST(map_entries(map(['a','b'],[1,2])) AS VARCHAR)",
+        "CAST(map_keys(map()) AS VARCHAR)",
+        "CAST(map_values(map()) AS VARCHAR)",
+        "CAST(map_keys(NULL::MAP(VARCHAR,INTEGER)) AS VARCHAR)",
+        # concat: last-wins, order = first-seen
+        "CAST(map_concat(map(['a'],[1]), map(['b'],[2])) AS VARCHAR)",
+        "CAST(map_concat(map(['a'],[1]), map(['a'],[2])) AS VARCHAR)",
+        "CAST(map_concat(map(['a','b'],[1,2]), map(['b','c'],[9,3])) AS VARCHAR)",
+        # cardinality
+        "cardinality(map(['a','b'],[1,2]))",
+        "cardinality(map())",
+        "CAST(cardinality(NULL::MAP(VARCHAR,INTEGER)) AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
+def fam_listmath(seed):
+    """r16: list vector-math + shape functions (the embedding-adjacent
+    everyday surface). Measured DuckDB 1.0.0 edges: cosine of a zero
+    vector is -1.0 (not NaN/error), length-mismatch ERRORS, list_zip
+    pads with NULL, list_select is 1-based with NULL on out-of-range,
+    grade_up sorts NULLS LAST, flatten skips NULL sublists,
+    list_resize(x, NULL) is [] not NULL."""
+    exprs = [
+        "list_cosine_similarity([1.0,2.0],[2.0,4.0])",
+        "list_cosine_similarity([1.0,0.0],[0.0,1.0])",
+        "list_cosine_similarity([0.0,0.0],[1.0,1.0])",
+        "list_cosine_similarity([3.0],[4.0])",
+        "CAST(list_cosine_similarity([1.0,2.0],NULL) AS VARCHAR)",
+        "list_dot_product([1.0,2.0],[3.0,4.0])",
+        "list_inner_product([1,2],[3,4])",
+        "list_dot_product([-1.5,2.5],[4.0,2.0])",
+        "list_distance([1.0,2.0],[4.0,6.0])",
+        "list_distance([1,2],[4,6])",
+        "list_distance([2.5],[2.5])",
+        "CAST(list_zip([1,2],['a','b','c']) AS VARCHAR)",
+        "CAST(list_zip([1],[2],[3]) AS VARCHAR)",
+        "CAST(list_zip([1,2],[],[3]) AS VARCHAR)",
+        "CAST(list_zip([1,2]) AS VARCHAR)",
+        "CAST(list_select([10,20,30],[3,1]) AS VARCHAR)",
+        "CAST(list_select([10,20,30],[0]) AS VARCHAR)",
+        "CAST(list_select([10,20,30],[4]) AS VARCHAR)",
+        "CAST(list_select([10,20,30],[2,2]) AS VARCHAR)",
+        "CAST(list_select([10,20,30],[]) AS VARCHAR)",
+        "CAST(list_where([10,20,30],[true,false,true]) AS VARCHAR)",
+        "CAST(list_where([10,20,30],[true,false]) AS VARCHAR)",
+        "CAST(list_where([10,20],[false,false]) AS VARCHAR)",
+        "CAST(list_where([10],[true,false,true]) AS VARCHAR)",
+        "CAST(list_grade_up([3,1,2]) AS VARCHAR)",
+        "CAST(list_grade_up([NULL,3,1]) AS VARCHAR)",
+        "CAST(list_grade_up(['b','a','c']) AS VARCHAR)",
+        "CAST(list_grade_up([]) AS VARCHAR)",
+        "CAST(flatten([[1,2],[3]]) AS VARCHAR)",
+        "CAST(flatten([[1],NULL,[2]]) AS VARCHAR)",
+        "CAST(flatten([NULL]) AS VARCHAR)",
+        "CAST(flatten([[]]) AS VARCHAR)",
+        "CAST(list_resize([1,2],4) AS VARCHAR)",
+        "CAST(list_resize([1,2],4,9) AS VARCHAR)",
+        "CAST(list_resize([1,2],1) AS VARCHAR)",
+        "CAST(list_resize([1,2],0) AS VARCHAR)",
+        "CAST(list_resize([1,2],NULL) AS VARCHAR)",
+        "CAST(list_resize(NULL,3) AS VARCHAR)",
+        "list_has_any([1,2],[2,3])",
+        "list_has_any([],[])",
+        "list_has_any([1,NULL],[NULL])",
+        "list_has_all([1,2,3],[2,3])",
+        "list_has_all([1,2],[NULL])",
+        "list_has_all([],[])",
+        "list_has_all([2,3],[1,2,3])",
+        "CAST(list_intersect([1,2,3],[2,3,4]) AS VARCHAR)",
+        "CAST(list_intersect([1,NULL,2],[NULL,2]) AS VARCHAR)",
+        "CAST(list_intersect([2,2,3],[2,2]) AS VARCHAR)",
+        "CAST(list_intersect([],[1]) AS VARCHAR)",
+        "CAST(list_intersect([2,3,2,4],[2,3,4]) AS VARCHAR)",
+        "CAST(list_intersect([5,1,5,2],[1,2,5]) AS VARCHAR)",
+        # NULL list arguments: measured asymmetries
+        "list_cosine_similarity([0.0,0.0],[0.0,0.0])",
+        "list_cosine_similarity([-1.0,-2.0],[1.0,2.0])",
+        "CAST(list_zip(NULL) AS VARCHAR)",
+        "CAST(list_zip([1],NULL) AS VARCHAR)",
+        "CAST(list_intersect(NULL,[1]) AS VARCHAR)",
+        "CAST(list_intersect([1],NULL) AS VARCHAR)",
+        "CAST(list_select([1],NULL) AS VARCHAR)",
+        "CAST(list_where([1],NULL) AS VARCHAR)",
+        "CAST(list_has_any(NULL,[1]) AS VARCHAR)",
+        "CAST(list_has_all([1],NULL) AS VARCHAR)",
+        "list_has_all([NULL],[NULL])",
+        "CAST(list_grade_up(NULL) AS VARCHAR)",
+        "CAST(flatten(NULL) AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "uuidblob": fam_uuidblob,
             "strftime": fam_strftime,
@@ -1350,7 +1480,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "unicase": fam_unicase, "csvio": fam_csvio,
             "trailing": fam_trailing, "numedge": fam_numedge,
             "jsonbuild": fam_jsonbuild, "printf": fam_printf,
-            "likeglob": fam_likeglob}
+            "likeglob": fam_likeglob,
+            "mapdepth": fam_mapdepth, "listmath": fam_listmath}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
