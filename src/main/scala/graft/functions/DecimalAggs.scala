@@ -159,11 +159,16 @@ case class QuantileDuck(
     val h = q * (n - 1)
     val lo = math.floor(h).toInt
     val frac = h - lo
+    // discrete rank is ceil(p*n) clamped to [1, n] (r16 aggdepth
+    // barrage: measured quantile_disc(x, 0.75) over 3 rows answers the
+    // 3rd sorted value — the old floor(p*(n-1)) agreed at p=0.25/0.5
+    // but not at 0.75)
+    val di = math.min(n, math.max(1, math.ceil(q * n).toInt)) - 1
     if (dec) {
       val dt = left.dataType.asInstanceOf[DecimalType]
       val sorted = b.bigs.sorted
       val bd =
-        if (discrete) sorted(lo)
+        if (discrete) sorted(di)
         else if (frac == 0d || lo + 1 >= n) sorted(lo)
         else sorted(lo).add(JBigDecimal.valueOf(frac)
           .multiply(sorted(lo + 1).subtract(sorted(lo))))
@@ -171,7 +176,7 @@ case class QuantileDuck(
     } else {
       val sorted = b.ds.toArray
       java.util.Arrays.sort(sorted)
-      if (discrete) fromDouble(sorted(lo))
+      if (discrete) fromDouble(sorted(di))
       else if (frac == 0d || lo + 1 >= n) sorted(lo)
       else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
     }

@@ -4665,6 +4665,79 @@ object StatementRouter {
     * guard that keeps it exact; anything without a faithful composition
     * (1-arg age — current_date-relative, volatile) still fails LOUDLY.
     */
+  /** SQL-standard ordered-set aggregates (r16 aggdepth barrage):
+    * `mode() WITHIN GROUP (ORDER BY x)` is mode(x);
+    * `percentile_cont/disc(p) WITHIN GROUP (ORDER BY x)` are the
+    * quantile_cont/disc twins (measured value-identical, DOUBLE
+    * interpolation for cont) — emitted as the DuckDB spellings so the
+    * quantile rewrite downstream routes them to the DECIMAL-aware
+    * natives and expands list fractions. A DESC sort key inverts a
+    * cont fraction to 1-p; DESC disc/mode/list fractions refuse LOUDLY
+    * (the discrete inversion is not 1-p at ties).
+    */
+  private def rewriteWithinGroup(q0: String): String = {
+    var q = q0
+    val re = """(?i)\b(mode|percentile_cont|percentile_disc)\s*\(""".r
+    var from = 0
+    var go = true
+    while (go) {
+      val lm = literalMask(q)
+      re.findAllMatchIn(q).find(m => m.start >= from && !lm(m.start)) match {
+        case None => go = false
+        case Some(m) =>
+          val fn = m.group(1).toLowerCase(java.util.Locale.ROOT)
+          val argOpen = m.end - 1
+          val argClose = matchingParen(q, argOpen)
+          val inner = q.substring(argOpen + 1, argClose).trim
+          val tail = q.substring(argClose + 1)
+          """(?is)^\s*WITHIN\s+GROUP\s*\(""".r.findFirstMatchIn(tail) match {
+            case None => from = argClose + 1
+            case Some(w) =>
+              val wgOpen = argClose + 1 + w.end - 1
+              val wgClose = matchingParen(q, wgOpen)
+              val ob = q.substring(wgOpen + 1, wgClose).trim
+              val obm = """(?is)^ORDER\s+BY\s+(.*)$""".r.findFirstMatchIn(ob)
+              require(obm.isDefined, s"WITHIN GROUP requires ORDER BY: $ob")
+              var key = obm.get.group(1).trim
+              var desc = false
+              """(?is)^(.*?)\s+(ASC|DESC)$""".r.findFirstMatchIn(key).foreach { d =>
+                key = d.group(1).trim
+                desc = d.group(2).equalsIgnoreCase("DESC")
+              }
+              val rep = fn match {
+                case "mode" =>
+                  require(inner.isEmpty, "mode() WITHIN GROUP takes no argument")
+                  require(!desc, "mode() WITHIN GROUP (ORDER BY ... DESC) is unsupported")
+                  // the ordered-set form ties to the SMALLEST value
+                  // (measured: mode over ties answers the first in the
+                  // ORDER BY order) — plain mode() keeps first-seen,
+                  // arbitrary-on-tie in both engines. Histogram keys
+                  // ascending -> sort entries by (-count, key), head.
+                  s"element_at(transform(array_sort(transform(" +
+                    s"map_entries(__graft_histogram($key)), " +
+                    s"__me -> named_struct('c', -(__me.value), 'k', __me.key))), " +
+                    s"__ms -> __ms.k), 1)"
+                case _ =>
+                  require(inner.nonEmpty, s"$fn WITHIN GROUP needs a fraction")
+                  val tgt = if (fn == "percentile_cont") "quantile_cont"
+                            else "quantile_disc"
+                  val p =
+                    if (!desc) inner
+                    else {
+                      require(fn == "percentile_cont" && !inner.startsWith("["),
+                        s"$fn WITHIN GROUP (ORDER BY ... DESC) is unsupported")
+                      s"(1.0 - ($inner))"
+                    }
+                  s"$tgt($key, $p)"
+              }
+              q = q.substring(0, m.start) + rep + q.substring(wgClose + 1)
+              from = m.start + rep.length
+          }
+      }
+    }
+    q
+  }
+
   private def rewriteScalarMisc(q0: String): String = {
     var q = q0
     // gamma/lgamma (r13, verdict #7): Lanczos natives, DOCUMENTED
@@ -5052,6 +5125,85 @@ object StatementRouter {
           m.findFirstMatchIn(one).map(mm => s"$fn(${mm.group(1).trim})")
         case _ => None
       }
+    // r16 aggdepth barrage: in-call ORDER BY on the order-SENSITIVE
+    // collectors. list/array_agg sort (key, value) pairs post-collect
+    // (the 'n' flag reproduces DuckDB's NULLS-LAST default; a DESC key
+    // reverses after the transform, so NULL keys land first there — a
+    // pinned divergence only when both DESC and NULL keys appear).
+    // first/last(x ORDER BY k) are the min_by/max_by argmin/argmax.
+    def inCallOrderBy(one: String): Option[(String, String, Boolean)] = {
+      val (body, obTail) = splitTopLevelKeyword(one, "ORDER")
+      obTail.flatMap(t => """(?is)^BY\b(.*)$""".r.findFirstMatchIn(t)
+        .map(_.group(1).trim)).map { ob0 =>
+        val dm = """(?is)^(.*?)\s+(ASC|DESC)$""".r.findFirstMatchIn(ob0)
+        val key = dm.map(_.group(1).trim).getOrElse(ob0)
+        val desc = dm.exists(_.group(2).equalsIgnoreCase("DESC"))
+        (body.trim, key, desc)
+      }
+    }
+    for (fn <- Seq("collect_list", "array_agg"))
+      q = rewriteCalls(q, fn) {
+        case Seq(one) => inCallOrderBy(one).map { case (v, k, desc) =>
+          val sorted = s"transform(array_sort(collect_list(" +
+            s"named_struct('n', ($k) IS NULL, 'k', $k, 'v', $v))), __ob -> __ob.v)"
+          if (desc) s"reverse($sorted)" else sorted
+        }
+        case _ => None
+      }
+    q = rewriteCalls(q, "first") {
+      case Seq(one) => inCallOrderBy(one).map { case (v, k, desc) =>
+        if (desc) s"max_by($v, $k)" else s"min_by($v, $k)" }
+      case _ => None
+    }
+    q = rewriteCalls(q, "last") {
+      case Seq(one) => inCallOrderBy(one).map { case (v, k, desc) =>
+        if (desc) s"min_by($v, $k)" else s"max_by($v, $k)" }
+      case _ => None
+    }
+    // Kahan float aggregates: DOUBLE sums regardless of input type
+    // (measured favg(DECIMAL) renders the DOUBLE 0.9600000000000001
+    // where avg(DECIMAL) is exact) — compensated summation changes
+    // nothing at these magnitudes, the TYPE is the contract
+    for (fn <- Seq("fsum", "kahan_sum", "sumkahan"))
+      q = rewriteCalls(q, fn) {
+        case Seq(a) => Some(s"sum(CAST(($a) AS DOUBLE))")
+        case _ => None
+      }
+    q = rewriteCalls(q, "favg") {
+      case Seq(a) => Some(s"avg(CAST(($a) AS DOUBLE))")
+      case _ => None
+    }
+    // sem = standard error of the mean over the POPULATION stddev
+    // (measured: sem(i) = stddev_pop(i)/sqrt(n), NOT stddev_samp)
+    q = rewriteCalls(q, "sem") {
+      case Seq(a) =>
+        Some(s"(stddev_pop(CAST(($a) AS DOUBLE)) / sqrt(count($a)))")
+      case _ => None
+    }
+    // any_value: DuckDB answers the first NON-NULL value (Spark's
+    // 1-arg any_value respects nulls; the 2-arg form ignores them)
+    q = rewriteCalls(q, "any_value") {
+      case Seq(a) => Some(s"any_value($a, true)")
+      case _ => None
+    }
+    // regr_avgx/avgy are DOUBLE in DuckDB regardless of input type;
+    // Spark keeps a DECIMAL input DECIMAL (measured 2.847143 vs
+    // 2.847142857142857 — a silent render/precision divergence)
+    for (fn <- Seq("regr_avgx", "regr_avgy"))
+      q = rewriteCalls(q, fn) {
+        case Seq(y, x) => Some(
+          s"$fn(CAST(($y) AS DOUBLE), CAST(($x) AS DOUBLE))")
+        case _ => None
+      }
+    // bitstring_agg(x, lo, hi) over the '0'/'1' BIT carrier: bit v-lo
+    // set, width hi-lo+1 (measured). The no-bounds form needs column
+    // statistics DuckDB itself errors on for ad-hoc input — stays loud.
+    q = rewriteCalls(q, "bitstring_agg") {
+      case Seq(a, lo, hi) => Some(
+        s"array_join(transform(sequence(($lo), ($hi)), " +
+        s"__bs -> IF(array_contains(collect_list($a), __bs), '1', '0')), '')")
+      case _ => None
+    }
     // profiling aggregates -> the native registrations (r12): histogram
     // builds the value->count MAP (keys ascending, bounded+loud),
     // entropy is Shannon log2 over the same counts, mad is the
@@ -5081,11 +5233,25 @@ object StatementRouter {
     // quantile_cont interpolates exactly then truncates to the input
     // scale; median is cont for non-decimal, disc for DECIMAL) — all
     // route to the QuantileDuck natives (functions/DecimalAggs)
+    // ordered-set spellings fold onto the quantile/mode twins FIRST so
+    // the list-argument expansion below sees them (r16 aggdepth)
+    q = rewriteWithinGroup(q)
     for ((fn, tgt) <- Seq(("quantile_cont", "__graft_quantile_cont"),
                           ("quantile_disc", "__graft_quantile_disc"),
                           ("quantile", "__graft_quantile_disc")))
       q = rewriteCalls(q, fn) {
-        case Seq(a, p) => Some(s"$tgt($a, $p)")
+        case Seq(a, p0) =>
+          val p = p0.trim
+          // list-argument quantiles answer a LIST, one entry per
+          // fraction, each carrying the scalar form's type semantics
+          // (measured quantile_cont(d, [0.1, 0.9]) keeps DECIMAL
+          // rendering per element)
+          if (p.startsWith("[") && p.endsWith("]")) {
+            val parts = splitTopCommas(p.substring(1, p.length - 1))
+              .map(_.trim).filter(_.nonEmpty)
+            Some("array(" + parts.map(pp => s"$tgt($a, $pp)")
+              .mkString(", ") + ")")
+          } else Some(s"$tgt($a, $p)")
         case _ => None
       }
     for (fn <- Seq("median", "mean"))

@@ -1462,6 +1462,19 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(uuidblobWaveSql)
     },
+    // r16 waves — see mapdepthWaveSql / listmathWaveSql / aggdepthWaveSql
+    "q_lake_mapdepth_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(mapdepthWaveSql)
+    },
+    "q_lake_listmath_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(listmathWaveSql)
+    },
+    "q_lake_aggdepth_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(aggdepthWaveSql)
+    },
     // r16: meta-catalog time travel (reference README.md:164-165 TODO —
     // "time travel on the catalog itself"). Catalog rows are versioned
     // by begin/end snapshot, so `ducklake_table AT (VERSION => n)`
@@ -1855,7 +1868,67 @@ object QueriesLake {
       |  parse_filename('/a/b/c.txt', true) AS f14,
       |  CAST(editdist3('abc', 'axc') AS BIGINT) AS f15""".stripMargin
 
+  /** r16 map-depth wave (MapDepthDifferentialSpec pinned 35 fixtures;
+    * this replays the headline measured semantics as one oracle row —
+    * subscript/map_extract answer a LIST of matches with `[]` on miss,
+    * map_concat is last-wins first-seen-order, nested values ride the
+    * `{k=v}` render).
+    */
+  private[graft] val mapdepthWaveSql: String =
+    """SELECT
+      |  CAST(map(['a','b'],[1,2]) AS VARCHAR) AS m1,
+      |  CAST(map(['x','y'],[10,20])['z'] AS VARCHAR) AS m2,
+      |  CAST(map_extract(map(['x','y'],[10,20]),'x') AS VARCHAR) AS m3,
+      |  CAST(map_concat(map(['a','b'],[1,2]), map(['b','c'],[9,3])) AS VARCHAR) AS m4,
+      |  CAST(map_entries(map(['a','b'],[1,2])) AS VARCHAR) AS m5,
+      |  CAST(map_from_entries([('a',1),('b',2)]) AS VARCHAR) AS m6,
+      |  CAST(cardinality(map(['a','b'],[1,2])) AS BIGINT) AS m7,
+      |  CAST(map(['k'],[{'a': 1, 'b': 'x'}])['k'] AS VARCHAR) AS m8""".stripMargin
+
+  /** r16 list-math/shape wave (ListMathDifferentialSpec pinned 64
+    * fixtures; the zero-vector cosine of -1.0, NULL-padding list_zip
+    * tuples, 1-based list_select, NULLS-LAST grade-up, NULL-skipping
+    * flatten, reversed-distinct list_intersect, NULL-ignoring has_any).
+    */
+  private[graft] val listmathWaveSql: String =
+    """SELECT
+      |  list_cosine_similarity([1.0,2.0],[2.0,4.0]) AS l1,
+      |  list_cosine_similarity([0.0,0.0],[1.0,1.0]) AS l2,
+      |  list_distance([1,2],[4,6]) AS l3,
+      |  CAST(list_zip([1,2],['a','b','c']) AS VARCHAR) AS l4,
+      |  CAST(list_select([10,20,30],[3,1]) AS VARCHAR) AS l5,
+      |  CAST(list_where([10],[true,false,true]) AS VARCHAR) AS l6,
+      |  CAST(list_grade_up([NULL,3,1]) AS VARCHAR) AS l7,
+      |  CAST(flatten([[1],NULL,[2]]) AS VARCHAR) AS l8,
+      |  CAST(list_resize([1,2],4,9) AS VARCHAR) AS l9,
+      |  CAST(list_intersect([5,1,5,2],[1,2,5]) AS VARCHAR) AS l10,
+      |  CAST(list_has_any([1,NULL],[NULL]) AS VARCHAR) AS l11""".stripMargin
+
+  /** r16 aggregate-depth wave (AggDepthDifferentialSpec pinned 38
+    * fixtures; list-argument quantiles, in-call ORDER BY on the
+    * order-sensitive collectors, the WITHIN GROUP ordered-set
+    * spellings, bounded bitstring_agg — exactly-reproducible values
+    * only, the moment-accumulation doubles stay in the spec where the
+    * compare carries the 1e-12 tolerance).
+    */
+  private[graft] val aggdepthWaveSql: String =
+    """SELECT g,
+      |  CAST(quantile_cont(i, [0.25, 0.5, 0.75]) AS VARCHAR) AS a1,
+      |  CAST(list(i ORDER BY i DESC) AS VARCHAR) AS a2,
+      |  CAST(first(i ORDER BY d) AS BIGINT) AS a3,
+      |  CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY i) AS DOUBLE) AS a4,
+      |  CAST(mode() WITHIN GROUP (ORDER BY i) AS BIGINT) AS a5,
+      |  CAST(bitstring_agg(i, -5, 20) AS VARCHAR) AS a6,
+      |  CAST(sum(DISTINCT i) AS BIGINT) AS a7,
+      |  CAST(quantile(i, 0.5) AS BIGINT) AS a8,
+      |  CAST(arg_max(i, d) AS BIGINT) AS a9
+      |FROM (VALUES (0, 'a', 8, 4.59), (1, 'c', 4, 2.27), (2, 'a', 20, 2.22), (3, 'c', 0, 2.56), (4, 'a', 20, -2.97), (5, 'b', 13, 1.71), (6, 'a', 20, 5.26), (7, 'a', 17, -2.53), (8, 'c', 19, 6.63), (9, 'c', 9, -2.63), (10, 'b', 12, 2.47), (11, 'a', 15, 7.47), (12, 'b', -5, -1.3), (13, 'a', -2, 5.89)) t(id, g, i, d)
+      |GROUP BY g ORDER BY g""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_lake_mapdepth_wave" -> mapdepthWaveSql,
+    "q_lake_listmath_wave" -> listmathWaveSql,
+    "q_lake_aggdepth_wave" -> aggdepthWaveSql,
     "q_lake_coerce_wave" -> coerceWaveSql,
     "q_lake_fn2_wave" -> fnWaveSql,
     "q_lake_unicase_wave" -> unicaseWaveSql,

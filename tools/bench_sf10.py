@@ -78,6 +78,10 @@ def generate():
 def bench(sf_dir, out):
     env = {**os.environ,
            "SPARK_GRAFT_SF_DIR": sf_dir,
+           # the 8g default heap OOMs at sf10 (localCheckpoint
+           # serialization of the 5M-doc pipeline stages); the box has
+           # 128G — give the single local[32] JVM most of it
+           "SPARK_DRIVER_MEM": "96g",
            "SPARK_GRAFT_CPUS": "32",
            "SPARK_GRAFT_BENCH_ONLY": ",".join(QUERIES),
            "SPARK_GRAFT_BENCH_OUT": out}
@@ -92,7 +96,9 @@ def bench(sf_dir, out):
 def main():
     bench_sf1.generate()
     generate()
-    lo = bench(bench_sf1.SF1, "/tmp/bench_sf10_lo.json")
+    lo_path = Path("/tmp/bench_sf10_lo.json")
+    lo = (json.loads(lo_path.read_text()) if lo_path.exists()
+          else bench(bench_sf1.SF1, str(lo_path)))
     hi = bench(SF10, "/tmp/bench_sf10_hi.json")
     rows = []
     for q in QUERIES:

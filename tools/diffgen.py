@@ -1469,6 +1469,43 @@ def fam_listmath(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_aggdepth(seed):
+    """r16: aggregate-function depth beyond the r12 agg family —
+    list-arg quantiles (DECIMAL-preserving per element), the ordered-set
+    WITHIN GROUP spellings, Kahan float sums, DISTINCT forms, in-call
+    ORDER BY on order-sensitive aggregates (list/first/last), the full
+    regr_* set, sem, and bounded bitstring_agg. approx_quantile /
+    reservoir_quantile are excluded (approximate/PRNG);
+    string_agg(DISTINCT ...) is excluded (DuckDB hash-orders it)."""
+    exprs = [
+        "quantile_cont(i, [0.25, 0.5, 0.75])",
+        "quantile_disc(i, [0.25, 0.75])",
+        "quantile_cont(d, [0.1, 0.9])",
+        "quantile(i, 0.5)",
+        "fsum(d)", "favg(d)", "kahan_sum(d)", "sumkahan(d)",
+        "sum(DISTINCT i)", "avg(DISTINCT i)", "count(DISTINCT i)",
+        "list(i ORDER BY i DESC)", "list(d ORDER BY id)",
+        "array_agg(i ORDER BY i)",
+        "first(i ORDER BY d)", "last(i ORDER BY d)",
+        "any_value(i)",
+        "regr_count(d, i)", "regr_avgx(d, i)", "regr_avgy(d, i)",
+        "regr_sxx(d, i)", "regr_syy(d, i)", "regr_sxy(d, i)",
+        "sem(i)", "var_pop(i)", "covar_samp(i, d)",
+        "mode() WITHIN GROUP (ORDER BY i)",
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY i)",
+        "percentile_cont([0.25, 0.75]) WITHIN GROUP (ORDER BY i)",
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY i)",
+        "bitstring_agg(i, -5, 20)",
+        "bit_count(bitstring_agg(i, -5, 20))",
+        "min(id) FILTER (i > 10)",
+        "histogram(i // 10)",
+        "max(g || CAST(i AS VARCHAR))",
+        "count(*) FILTER (d < 0)",
+        "arg_max(i, d)", "arg_min(d, i)",
+    ]
+    return [(e, "agg") for e in exprs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "uuidblob": fam_uuidblob,
             "strftime": fam_strftime,
@@ -1481,7 +1518,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "trailing": fam_trailing, "numedge": fam_numedge,
             "jsonbuild": fam_jsonbuild, "printf": fam_printf,
             "likeglob": fam_likeglob,
-            "mapdepth": fam_mapdepth, "listmath": fam_listmath}
+            "mapdepth": fam_mapdepth, "listmath": fam_listmath,
+            "aggdepth": fam_aggdepth}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
@@ -1490,6 +1528,7 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "CsvIoDifferentialSpec.scala": "auto",
              "TrailingCommaDifferentialSpec.scala": "auto",
              "AggDifferentialSpec.scala": "agg",
+             "AggDepthDifferentialSpec.scala": "agg",
              "CoercionDifferentialSpec.scala": "auto",
              "KeyEquivSpec.scala": "auto"}
 
@@ -1508,6 +1547,7 @@ def cmd_gen(family, seed):
             val = (eval_scalar(con, expr) if kind == "scalar"
                else eval_query(con, expr) if kind == "query"
                else eval_auto(con, expr) if kind == "auto"
+               else eval_agg(con, expr) if kind == "agg"
                else eval_window(con, expr))
             out.append(f"      ({scala_quote(expr)}, {scala_quote(val)}),")
         except Exception as e:
