@@ -68,6 +68,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // split scans to ~2 waves on local[32] test data: a single ~1 GB
+      // sf10 parquet file at the 128 MB default yields 9 splits for 32
+      // cores (measured r16: Q1 6.7 s -> 1.4 s at 16 MB). Files below
+      // 16 MB (sf<=0.1) are 1 split either way, so smaller SFs are
+      // unaffected. On a REAL cluster with TB-scale inputs the 128 MB
+      // default is right — this sizes splits to THIS harness's
+      // data-per-core, it is not a 100 TB recommendation.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
     // one-off conf experiments (r14 AQE-lever probes):
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — NOT used by driver runs

@@ -2491,6 +2491,48 @@ object StatementRouter {
                   val fn = callText.substring(0, fnOpen).trim.toLowerCase(java.util.Locale.ROOT)
                   val arg = callText.substring(fnOpen + 1, callText.length - 1).trim
                   val over = s"OVER (${frame.trim})"
+                  // general bounded-ROWS path (r16 windepth barrage):
+                  // collect the frame as (orderkey, value) structs, drop
+                  // the excluded entries by position / peer key, then
+                  // re-aggregate through the DuckDB-typed list natives.
+                  // Works for any exclusion over any bounded ROWS frame
+                  // with a single ORDER BY key — the subtraction paths
+                  // below stay preferred where they apply (no per-row
+                  // list materialization).
+                  def generalRowsPath(mod0: String): Option[String] = {
+                    val fs = """(?is)^(.*?)\s*\bROWS\s+BETWEEN\s+(UNBOUNDED|\d+)\s+PRECEDING\s+AND\s+(CURRENT\s+ROW|\d+\s+FOLLOWING|UNBOUNDED\s+FOLLOWING)\s*$""".r
+                    frame.trim match {
+                      case fs(po0, start, _) =>
+                        val po = po0.trim
+                        val obm = """(?is)^(.*?)\bORDER\s+BY\s+(.+)$""".r.findFirstMatchIn(po)
+                        if (obm.isEmpty) return None
+                        var key = obm.get.group(2).trim
+                        """(?is)^(.*?)\s+(ASC|DESC)$""".r.findFirstMatchIn(key)
+                          .foreach(m2 => key = m2.group(1).trim)
+                        if (splitTopCommas(key).length != 1) return None
+                        if (!Set("sum", "count", "min", "max", "avg")(fn) ||
+                            arg == "*" || arg == "1") return None
+                        val rn = s"(row_number() OVER ($po))"
+                        val pos0 = if (start.equalsIgnoreCase("UNBOUNDED")) s"($rn - 1)"
+                                   else s"least($rn - 1, $start)"
+                        val lst = s"(collect_list(named_struct('k', ($key), 'x', ($arg))) $over)"
+                        val keep = mod0 match {
+                          case "CURRENT ROW" => s"(__we, __wi) -> __wi <> $pos0"
+                          case "GROUP" => s"(__we, __wi) -> NOT (__we.k <=> ($key))"
+                          case _ /* TIES */ =>
+                            s"(__we, __wi) -> (__wi = $pos0) OR NOT (__we.k <=> ($key))"
+                        }
+                        val vals = s"transform(filter($lst, $keep), __we -> __we.x)"
+                        Some(fn match {
+                          case "min" => s"array_min($vals)"
+                          case "max" => s"array_max($vals)"
+                          case "sum" => s"__graft_list_sum($vals)"
+                          case "avg" => s"__graft_list_avg($vals)"
+                          case _ => s"size(filter($vals, __wc -> __wc IS NOT NULL))"
+                        })
+                      case _ => None
+                    }
+                  }
                   val rep = if (mod == "CURRENT ROW") {
                     // frame must contain the current row for minus-current
                     val f = frame.toUpperCase(java.util.Locale.ROOT)
@@ -2519,10 +2561,13 @@ object StatementRouter {
                       case "avg" =>
                         s"(CAST((sum($arg) $over) - coalesce($arg, 0) AS DOUBLE) / " +
                         s"nullif((count($arg) $over) - (CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END), 0))"
-                      case other => throw new IllegalArgumentException(
-                        s"EXCLUDE CURRENT ROW is supported for sum / count / avg " +
-                        s"(frame minus current-row contribution); '$other' has no " +
-                        "such decomposition — rewrite the query without EXCLUDE")
+                      case other => generalRowsPath("CURRENT ROW").getOrElse(
+                        throw new IllegalArgumentException(
+                          s"EXCLUDE CURRENT ROW is supported for sum / count / " +
+                          s"avg (frame minus current-row contribution) and for " +
+                          s"min / max / sum / avg over bounded single-key ROWS " +
+                          s"frames (frame-collect path); '$other' here has " +
+                          "neither — rewrite the query without EXCLUDE"))
                     }
                   } else {
                     // EXCLUDE GROUP / TIES (r12): frame-aggregate minus the
@@ -2554,11 +2599,15 @@ object StatementRouter {
                           "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
                       case _ => false
                     }
-                    require(wholePeers,
-                      s"EXCLUDE $mod over a $mode frame that may not contain the " +
-                      "whole peer group has no frame-minus-peer-group " +
-                      "decomposition — use a RANGE frame spanning the current " +
-                      "row, or ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+                    if (!wholePeers)
+                      generalRowsPath(mod).getOrElse(throw new IllegalArgumentException(
+                        s"EXCLUDE $mod over a $mode frame that may not contain the " +
+                        "whole peer group has no frame-minus-peer-group " +
+                        "decomposition and no frame-collect path (bounded " +
+                        "single-key ROWS only) — use a RANGE frame spanning the " +
+                        "current row, or ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+                        "UNBOUNDED FOLLOWING"))
+                    else {
                     val pover = s"OVER ($po RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
                     val back = mod == "TIES"
                     def cnt = s"((count($arg) $over) - (count($arg) $pover)" +
@@ -2571,10 +2620,13 @@ object StatementRouter {
                       case "count" => cnt
                       case "sum"   => s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sm END)"
                       case "avg"   => s"(CAST($sm AS DOUBLE) / nullif($cnt, 0))"
-                      case other => throw new IllegalArgumentException(
-                        s"window frame EXCLUDE $mod is supported for sum / count " +
-                        s"/ avg; '$other' has no frame-minus-peer-group " +
-                        "decomposition — rewrite the query without EXCLUDE")
+                      case other => generalRowsPath(mod).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"window frame EXCLUDE $mod is supported for sum / " +
+                          s"count / avg and, over bounded single-key ROWS " +
+                          s"frames, min / max; '$other' has neither path — " +
+                          "rewrite the query without EXCLUDE"))
+                    }
                     }
                   }
                   q = q.substring(0, callStart) + rep + q.substring(close + 1)
@@ -5905,6 +5957,21 @@ object StatementRouter {
 
   def rewriteDialect(sql: String): String = {
     var q = rewriteTrailingCommas(rewriteFromFirst(sql))
+    // DuckDB 1.0's parser refuses the SQL-standard OUTSIDE-parens
+    // `fn(x) IGNORE NULLS OVER` spelling and GROUPS window frames
+    // (measured; the IN-parens `fn(x IGNORE NULLS)` spelling is valid
+    // DuckDB and relocates to Spark's outside form later). Spark
+    // ACCEPTS the outside spelling, so without this guard a
+    // reference-refused query would silently run (r16 windepth)
+    locally {
+      val lm = literalMask(q)
+      for (pat <- Seq("""(?i)\)\s*((?:IGNORE|RESPECT)\s+NULLS)\s+OVER\b""".r,
+                      """(?i)\b(GROUPS\s+BETWEEN)\b""".r))
+        pat.findAllMatchIn(q).find(m => !lm(m.start)).foreach { m =>
+          throw new IllegalArgumentException(
+            s"'${m.group(1)}' is not DuckDB 1.0 window syntax (its parser refuses it)")
+        }
+    }
     // table-function `FROM generate_series(a, b)` -> exploded sequence
     // derived table carrying DuckDB's output column name — MUST precede
     // renameFns, which maps list-position generate_series to sequence

@@ -1475,6 +1475,10 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(aggdepthWaveSql)
     },
+    "q_lake_windepth_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(windepthWaveSql)
+    },
     // r16: meta-catalog time travel (reference README.md:164-165 TODO —
     // "time travel on the catalog itself"). Catalog rows are versioned
     // by begin/end snapshot, so `ducklake_table AT (VERSION => n)`
@@ -1925,7 +1929,25 @@ object QueriesLake {
       |FROM (VALUES (0, 'a', 8, 4.59), (1, 'c', 4, 2.27), (2, 'a', 20, 2.22), (3, 'c', 0, 2.56), (4, 'a', 20, -2.97), (5, 'b', 13, 1.71), (6, 'a', 20, 5.26), (7, 'a', 17, -2.53), (8, 'c', 19, 6.63), (9, 'c', 9, -2.63), (10, 'b', 12, 2.47), (11, 'a', 15, 7.47), (12, 'b', -5, -1.3), (13, 'a', -2, 5.89)) t(id, g, i, d)
       |GROUP BY g ORDER BY g""".stripMargin
 
+  /** r16 window-depth wave (WinDepthDifferentialSpec pinned 22
+    * fixtures; frame EXCLUDE clauses, aggregates-as-window, lag
+    * defaults — replayed per-row as one oracle query).
+    */
+  private[graft] val windepthWaveSql: String =
+    """SELECT id,
+      |  CAST(sum(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS w1,
+      |  CAST(sum(v) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS BIGINT) AS w2,
+      |  string_agg(CAST(v AS VARCHAR), ',') OVER (PARTITION BY g ORDER BY id) AS w3,
+      |  mode(least(v, 6)) OVER (PARTITION BY g) AS w4,
+      |  arg_max(id, v) OVER (PARTITION BY g) AS w5,
+      |  CAST(list(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS VARCHAR) AS w6,
+      |  quantile_cont(v, 0.5) OVER (PARTITION BY g) AS w7,
+      |  lag(v, 2, -1) OVER (PARTITION BY g ORDER BY id) AS w8
+      |FROM (VALUES (0, 'b', 1), (1, 'b', 8), (2, 'b', 9), (3, 'b', 4), (4, 'b', 6), (5, 'a', 6), (6, 'a', 1), (7, 'a', 4), (8, 'b', 8), (9, 'a', 5), (10, 'b', 3), (11, 'a', 8)) t(id, g, v)
+      |ORDER BY id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_lake_windepth_wave" -> windepthWaveSql,
     "q_lake_mapdepth_wave" -> mapdepthWaveSql,
     "q_lake_listmath_wave" -> listmathWaveSql,
     "q_lake_aggdepth_wave" -> aggdepthWaveSql,

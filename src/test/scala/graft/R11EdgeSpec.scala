@@ -180,12 +180,23 @@ class R11EdgeSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException] { lake.sql(q) }
       assert(e.getMessage.contains(needle), s"$q -> ${e.getMessage}")
     }
-    bad("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
-        "EXCLUDE GROUP) FROM wx", "EXCLUDE GROUP")
-    bad("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
-        "EXCLUDE TIES) FROM wx", "EXCLUDE TIES")
-    bad("SELECT max(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
-        "EXCLUDE CURRENT ROW) FROM wx", "max")
+    // r16 windepth: bounded single-key ROWS EXCLUDE now resolves via
+    // the frame-collect path (WinDepthDifferentialSpec pins the values
+    // against DuckDB); the refusals narrow to genuinely pathless shapes
+    def vals(q: String): Seq[Int] =
+      lake.sql(q + " ORDER BY id").collect().toSeq.map(_.getLong(0).toInt)
+    assert(vals("SELECT CAST(sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS s, id FROM wx") == Seq(20, 40, 20))
+    assert(vals("SELECT CAST(sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE TIES) AS BIGINT) AS s, id FROM wx") == Seq(30, 60, 50))
+    assert(vals("SELECT CAST(max(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s, id FROM wx") == Seq(20, 30, 20))
+    // multi-key ORDER BY has no frame-collect path (peer key is a tuple)
+    bad("SELECT min(v) OVER (ORDER BY id, v ROWS BETWEEN 1 PRECEDING AND " +
+        "1 FOLLOWING EXCLUDE GROUP) FROM wx", "EXCLUDE GROUP")
+    // bounded RANGE frames have neither decomposition nor collect path
+    bad("SELECT min(v) OVER (ORDER BY id RANGE BETWEEN 1 PRECEDING AND " +
+        "1 FOLLOWING EXCLUDE TIES) FROM wx", "EXCLUDE TIES")
     bad("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING " +
         "EXCLUDE CURRENT ROW) FROM wx", "does not contain")
     // RETURNING refusals: unsupported carrier statements stay loud

@@ -1469,6 +1469,42 @@ def fam_listmath(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_windepth(seed):
+    """r16: window-function depth beyond the r12 window family —
+    EXCLUDE CURRENT ROW / GROUP / TIES frames, aggregates-as-window
+    (string_agg running concat, mode, arg_max, list, quantile_cont,
+    product, bit_xor), lag with an explicit default, lead over a DESC
+    order. IGNORE NULLS and GROUPS frames are NOT DuckDB-1.0 surface
+    (its parser refuses both) so they stay loud on both engines."""
+    exprs = [
+        "sum(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "sum(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP)",
+        "sum(v) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES)",
+        "sum(v) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE NO OTHERS)",
+        "min(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "count(*) OVER (PARTITION BY g ORDER BY v RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP)",
+        "string_agg(CAST(v AS VARCHAR), ',') OVER (PARTITION BY g ORDER BY id)",
+        # least(v, 6): mode over an all-singleton group ties and DuckDB
+        # tie-breaks by ITS scan order — not reproducible
+        "mode(least(v, 6)) OVER (PARTITION BY g)",
+        "arg_max(id, v) OVER (PARTITION BY g)",
+        "CAST(list(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS VARCHAR)",
+        "quantile_cont(v, 0.5) OVER (PARTITION BY g)",
+        "quantile_disc(v, 0.25) OVER (PARTITION BY g ORDER BY id)",
+        "product(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "bit_xor(v) OVER (PARTITION BY g ORDER BY id)",
+        "bool_or(v > 7) OVER (PARTITION BY g ORDER BY id)",
+        "lag(v, 2, -1) OVER (PARTITION BY g ORDER BY id)",
+        "lead(v) OVER (PARTITION BY g ORDER BY id DESC)",
+        "lag(v) OVER (ORDER BY id)",
+        "row_number() OVER (ORDER BY id)",
+        "first(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "last(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)",
+        "any_value(v) OVER (PARTITION BY g ORDER BY id)",
+    ]
+    return [(e, "window") for e in exprs]
+
+
 def fam_aggdepth(seed):
     """r16: aggregate-function depth beyond the r12 agg family —
     list-arg quantiles (DECIMAL-preserving per element), the ordered-set
@@ -1519,7 +1555,7 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "jsonbuild": fam_jsonbuild, "printf": fam_printf,
             "likeglob": fam_likeglob,
             "mapdepth": fam_mapdepth, "listmath": fam_listmath,
-            "aggdepth": fam_aggdepth}
+            "aggdepth": fam_aggdepth, "windepth": fam_windepth}
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
@@ -1529,6 +1565,7 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "TrailingCommaDifferentialSpec.scala": "auto",
              "AggDifferentialSpec.scala": "agg",
              "AggDepthDifferentialSpec.scala": "agg",
+             "WinDepthDifferentialSpec.scala": "window",
              "CoercionDifferentialSpec.scala": "auto",
              "KeyEquivSpec.scala": "auto"}
 
