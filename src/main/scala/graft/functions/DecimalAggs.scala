@@ -134,6 +134,15 @@ case class QuantileDuck(
   override def checkInputDataTypes(): TypeCheckResult =
     if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: fraction must be a literal")
+    else if (right.eval(null) == null)
+      // both messages are DuckDB 1.0's own Binder errors (measured r17)
+      TypeCheckResult.TypeCheckFailure("QUANTILE argument must not be NULL")
+    else if (math.abs(toD(right.eval(null))) > 1d)
+      // fractions live in [-1, 1]; the old code clamped negatives to
+      // the first element (disc) or threw AIOOBE (cont) instead of
+      // refusing loudly
+      TypeCheckResult.TypeCheckFailure(
+        "QUANTILE can only take parameters in the range [-1, 1]")
     else left.dataType match {
       case _: NumericType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -156,14 +165,22 @@ case class QuantileDuck(
   override def eval(b: QuantileDuck.Buf): Any = {
     val n = if (dec) b.bigs.length else b.ds.length
     if (n == 0) return null
-    val h = q * (n - 1)
+    // DuckDB accepts q in [-1, 1]; a negative fraction counts from the
+    // UPPER end (measured r17: quantile_cont(x, -0.25) == quantile_cont
+    // (x, 0.75); quantile_disc over 4 rows at -0.75 answers the 2nd
+    // sorted value = rank n - ceil(-q*n) + 1, the exact mirror of the
+    // positive ceil(q*n) rank)
+    val qc = if (q < 0d) 1d + q else q
+    val h = qc * (n - 1)
     val lo = math.floor(h).toInt
     val frac = h - lo
     // discrete rank is ceil(p*n) clamped to [1, n] (r16 aggdepth
     // barrage: measured quantile_disc(x, 0.75) over 3 rows answers the
     // 3rd sorted value — the old floor(p*(n-1)) agreed at p=0.25/0.5
     // but not at 0.75)
-    val di = math.min(n, math.max(1, math.ceil(q * n).toInt)) - 1
+    val di =
+      if (q < 0d) math.min(n, math.max(1, n - math.ceil(-q * n).toInt + 1)) - 1
+      else math.min(n, math.max(1, math.ceil(q * n).toInt)) - 1
     if (dec) {
       val dt = left.dataType.asInstanceOf[DecimalType]
       val sorted = b.bigs.sorted

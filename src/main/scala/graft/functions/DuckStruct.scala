@@ -3,6 +3,7 @@ package graft.functions
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, EvalMode, Expression, ImplicitCastInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData, TypeUtils}
@@ -164,6 +165,44 @@ case class DuckMapConcat(children: Seq[Expression])
       .getOrElse(MapType(NullType, NullType))
   override def dataType: DataType = mapType
   override def nullable: Boolean = false
+
+  // DuckDB 1.0 errors loudly when argument key/value types differ
+  // (measured: "Invalid Input Error: 'value' type of map differs between
+  // arguments, expected 'MAP(VARCHAR, INTEGER)', found 'MAP(VARCHAR,
+  // VARCHAR)' instead"); without this check the first map's types were
+  // used to read every argument's entries — silent misread (r16 ADVICE).
+  // NullType children stay legal: NULL maps are skipped at eval.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def render(mt: MapType): String =
+      s"MAP(${mt.keyType.sql}, ${mt.valueType.sql})"
+    val mts = children.map(_.dataType).collect { case mt: MapType => mt }
+    val bad = children.map(_.dataType).find {
+      case _: MapType | NullType => false
+      case _ => true
+    }
+    if (bad.isDefined)
+      TypeCheckResult.TypeCheckFailure(
+        s"map_concat needs MAP arguments, got ${bad.get.simpleString}")
+    else mts.headOption match {
+      case Some(first) =>
+        // catalogString ignores nullability — the "modulo nullability"
+        // comparison (sameType is private[sql])
+        val kDiff =
+          mts.find(_.keyType.catalogString != first.keyType.catalogString)
+        val vDiff =
+          mts.find(_.valueType.catalogString != first.valueType.catalogString)
+        if (kDiff.isDefined)
+          TypeCheckResult.TypeCheckFailure(
+            s"'key' type of map differs between arguments, expected " +
+            s"'${render(first)}', found '${render(kDiff.get)}' instead")
+        else if (vDiff.isDefined)
+          TypeCheckResult.TypeCheckFailure(
+            s"'value' type of map differs between arguments, expected " +
+            s"'${render(first)}', found '${render(vDiff.get)}' instead")
+        else TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
 
   @transient private lazy val keyOrd =
     TypeUtils.getInterpretedOrdering(mapType.keyType)

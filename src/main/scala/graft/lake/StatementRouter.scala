@@ -5100,22 +5100,9 @@ object StatementRouter {
     // twins (`= ANY` ≡ IN, `<> ALL` ≡ NOT IN); other operator+quantifier
     // pairs have no Spark spelling and stay loud
     q = rewriteQuantified(q)
-    // in-call ORDER BY on first/last -> min_by/max_by (the value at the
-    // smallest/largest key — exact, null-key rows ignored on both sides)
-    for ((fn, asc, desc) <- Seq(("first", "min_by", "max_by"),
-                                ("last", "max_by", "min_by")))
-      q = rewriteCalls(q, fn) { args =>
-        args match {
-          case Seq(one) =>
-            val m = """(?is)^(.*?)\s+ORDER\s+BY\s+(.+?)(\s+DESC|\s+ASC)?\s*$""".r
-            m.findFirstMatchIn(one).map { mm =>
-              val tgt = if (Option(mm.group(3)).exists(_.trim.equalsIgnoreCase("DESC")))
-                desc else asc
-              s"$tgt(${mm.group(1).trim}, ${mm.group(2).trim})"
-            }
-          case _ => None
-        }
-      }
+    // (first/last with in-call ORDER BY are rewritten in the aggregate
+    // wave below via the NULLS-LAST struct-sort — the old min_by/max_by
+    // shortcut here skipped NULL keys, diverging from DuckDB; r16 ADVICE)
     // ---- aggregate-surface wave (r11 barrage #3) ----
     // DuckDB's FILTER shorthand omits WHERE: `agg(...) FILTER (pred)`.
     // Only a FILTER directly after a ')' is the clause — a bare
@@ -5202,14 +5189,30 @@ object StatementRouter {
         }
         case _ => None
       }
+    // first/last(v ORDER BY k): DuckDB's default null order is NULLS
+    // LAST for BOTH directions, so last() answers the NULL-key row's
+    // value (measured r17: last(v ORDER BY k) over keys 1,2,NULL = the
+    // NULL-key v, where the old max_by rewrite skipped NULL keys and
+    // answered the max-key v). Struct-sort with an explicit comparator
+    // that orders (k IS NULL) ASC then k asc/desc — the comparator only
+    // touches the key, so v may be any type; ties are
+    // implementation-order, same as DuckDB's unstable sort.
+    def firstLastSorted(v: String, k: String, desc: Boolean): String = {
+      val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+      s"transform(array_sort(collect_list(named_struct(" +
+      s"'n', ($k) IS NULL, 'k', $k, 'v', $v)), (l, r) -> " +
+      s"CASE WHEN l.n AND r.n THEN 0 WHEN l.n THEN 1 WHEN r.n THEN -1 " +
+      s"WHEN l.k < r.k THEN $lt WHEN l.k > r.k THEN $gt ELSE 0 END), " +
+      s"__fl -> __fl.v)"
+    }
     q = rewriteCalls(q, "first") {
       case Seq(one) => inCallOrderBy(one).map { case (v, k, desc) =>
-        if (desc) s"max_by($v, $k)" else s"min_by($v, $k)" }
+        s"try_element_at(${firstLastSorted(v, k, desc)}, 1)" }
       case _ => None
     }
     q = rewriteCalls(q, "last") {
       case Seq(one) => inCallOrderBy(one).map { case (v, k, desc) =>
-        if (desc) s"min_by($v, $k)" else s"max_by($v, $k)" }
+        s"try_element_at(${firstLastSorted(v, k, desc)}, -1)" }
       case _ => None
     }
     // Kahan float aggregates: DOUBLE sums regardless of input type
@@ -5250,10 +5253,23 @@ object StatementRouter {
     // bitstring_agg(x, lo, hi) over the '0'/'1' BIT carrier: bit v-lo
     // set, width hi-lo+1 (measured). The no-bounds form needs column
     // statistics DuckDB itself errors on for ad-hoc input — stays loud.
+    // A value outside [lo, hi] raises DuckDB's Out of Range error
+    // (measured r17: "Value 7 is outside of provided min and max range
+    // (2 <-> 5)" — the old rewrite silently marked '0'); all-NULL input
+    // answers NULL, not an all-zero string (also measured).
     q = rewriteCalls(q, "bitstring_agg") {
-      case Seq(a, lo, hi) => Some(
-        s"array_join(transform(sequence(($lo), ($hi)), " +
-        s"__bs -> IF(array_contains(collect_list($a), __bs), '1', '0')), '')")
+      case Seq(a, lo, hi) =>
+        def oor(v: String) =
+          s"raise_error(concat('Out of Range Error: Value ', " +
+          s"CAST($v AS STRING), ' is outside of provided min and max " +
+          s"range (', CAST(($lo) AS STRING), ' <-> ', " +
+          s"CAST(($hi) AS STRING), ')'))"
+        Some(
+        s"CASE WHEN count($a) = 0 THEN CAST(NULL AS STRING) " +
+        s"WHEN min($a) < ($lo) THEN ${oor(s"min($a)")} " +
+        s"WHEN max($a) > ($hi) THEN ${oor(s"max($a)")} " +
+        s"ELSE array_join(transform(sequence(($lo), ($hi)), " +
+        s"__bs -> IF(array_contains(collect_list($a), __bs), '1', '0')), '') END")
       case _ => None
     }
     // profiling aggregates -> the native registrations (r12): histogram
@@ -5301,6 +5317,14 @@ object StatementRouter {
           if (p.startsWith("[") && p.endsWith("]")) {
             val parts = splitTopCommas(p.substring(1, p.length - 1))
               .map(_.trim).filter(_.nonEmpty)
+            // DuckDB refuses mixed-sign fraction lists (measured r17:
+            // "QUANTILE parameters must have consistent signs"); the
+            // per-element expansion below would silently accept them
+            val lits = parts.flatMap(pp => scala.util.Try(pp.toDouble).toOption)
+            if (lits.length == parts.length &&
+                lits.exists(_ < 0d) && lits.exists(_ > 0d))
+              throw new IllegalArgumentException(
+                "QUANTILE parameters must have consistent signs")
             Some("array(" + parts.map(pp => s"$tgt($a, $pp)")
               .mkString(", ") + ")")
           } else Some(s"$tgt($a, $p)")

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DuckLakeXLSpark
+
+/** r16 ADVICE closure — every expected value/error below is MEASURED on
+  * real DuckDB 1.0.0 (r17 probe session):
+  *
+  *  1. bitstring_agg(x, lo, hi) raises DuckDB's Out of Range error for a
+  *     value outside [lo, hi] (the old rewrite silently marked '0') and
+  *     answers NULL over all-NULL input (old: all-zero string).
+  *  2. first/last(v ORDER BY k) honor DuckDB's NULLS-LAST default: the
+  *     NULL-key row is the LAST row in both ASC and DESC order (old
+  *     max_by/min_by rewrite skipped NULL keys entirely).
+  *  3. quantile/quantile_disc/quantile_cont accept fractions in [-1, 1]
+  *     with negatives counting from the upper end; out-of-range, NULL,
+  *     and mixed-sign lists raise DuckDB's Binder errors (old: clamped
+  *     or AIOOBE).
+  *  4. map_concat with differing key/value types across arguments is a
+  *     loud analysis error (old: silently misread entries with the
+  *     first map's types).
+  */
+class R17EdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val lake: DuckLakeXLSpark = {
+    val dir = Files.createTempDirectory("graft_r17edge").toString
+    val l = new DuckLakeXLSpark(spark, s"$dir/lake.xlsx", s"$dir/data")
+    l.sql("CREATE TABLE kv(k INTEGER, v INTEGER)")
+    l.sql("INSERT INTO kv VALUES (1,10),(2,20),(NULL,30)")
+    l
+  }
+
+  test("bitstring_agg raises Out of Range outside [lo, hi]; NULL over " +
+      "all-NULL input (DuckDB-measured)") {
+    // in-range still answers the measured carrier string
+    assert(lake.sql(
+      "SELECT bitstring_agg(x, 2, 5) AS b FROM (VALUES (3),(NULL)) t(x)")
+      .head().getString(0) == "0100")
+    // value above hi: DuckDB "Value 7 is outside of provided min and max
+    // range (2 <-> 5)"
+    val eHi = intercept[Exception] {
+      lake.sql("SELECT bitstring_agg(x, 2, 5) AS b FROM (VALUES (3),(7)) t(x)")
+        .collect()
+    }
+    assert(eHi.getMessage.contains("Value 7 is outside of provided min and max range (2 <-> 5)"),
+      eHi.getMessage)
+    // value below lo reports the offending MIN value
+    val eLo = intercept[Exception] {
+      lake.sql("SELECT bitstring_agg(x, 2, 5) AS b FROM (VALUES (1),(3)) t(x)")
+        .collect()
+    }
+    assert(eLo.getMessage.contains("Value 1 is outside of provided min and max range (2 <-> 5)"),
+      eLo.getMessage)
+    // all-NULL input answers NULL, not '0000'
+    assert(lake.sql(
+      "SELECT bitstring_agg(x, 2, 5) AS b FROM (VALUES (CAST(NULL AS INTEGER))) t(x)")
+      .head().isNullAt(0))
+  }
+
+  test("first/last(v ORDER BY k) place NULL keys LAST in both directions " +
+      "(DuckDB-measured)") {
+    // ASC: first = min-key v, last = NULL-key v (measured 10 / 30)
+    val asc = lake.sql(
+      "SELECT first(v ORDER BY k) AS f, last(v ORDER BY k) AS l FROM kv").head()
+    assert(asc.getInt(0) == 10 && asc.getInt(1) == 30)
+    // DESC: first = max-key v, last = STILL the NULL-key v (measured 20 / 30)
+    val desc = lake.sql(
+      "SELECT first(v ORDER BY k DESC) AS f, last(v ORDER BY k DESC) AS l FROM kv")
+      .head()
+    assert(desc.getInt(0) == 20 && desc.getInt(1) == 30)
+    // NULL v on an interior key rides along (measured first=10, last=30)
+    val nv = lake.sql(
+      "SELECT first(v ORDER BY k) AS f, last(v ORDER BY k) AS l " +
+      "FROM (VALUES (1,10),(3,NULL),(NULL,30)) t(k,v)").head()
+    assert(nv.getInt(0) == 10 && nv.getInt(1) == 30)
+    // VARCHAR keys, DESC (measured first=2, last=3)
+    val s = lake.sql(
+      "SELECT first(v ORDER BY g DESC) AS f, last(v ORDER BY g DESC) AS l " +
+      "FROM (VALUES ('a',1),('c',2),(NULL,3)) t(g,v)").head()
+    assert(s.getInt(0) == 2 && s.getInt(1) == 3)
+  }
+
+  test("quantile family: negative fractions count from the upper end; " +
+      "out-of-range / NULL / mixed signs refuse loudly (DuckDB-measured)") {
+    def q1(sql: String): Any = lake.sql(sql).head().get(0)
+    val four = "FROM (VALUES (1),(2),(3),(4)) t(x)"
+    // disc negatives over 4 rows: -1.0->1, -0.75->2, -0.5->3, -0.25->4, -0.1->4
+    assert(q1(s"SELECT quantile_disc(x, -1.0) AS q $four") == 1)
+    assert(q1(s"SELECT quantile_disc(x, -0.75) AS q $four") == 2)
+    assert(q1(s"SELECT quantile_disc(x, -0.5) AS q $four") == 3)
+    assert(q1(s"SELECT quantile_disc(x, -0.25) AS q $four") == 4)
+    assert(q1(s"SELECT quantile_disc(x, -0.1) AS q $four") == 4)
+    assert(q1("SELECT quantile_disc(x, -0.5) AS q FROM (VALUES (1),(2)) t(x)") == 2)
+    // cont negative == cont(1+q) (measured -0.25 -> 3.25, -0.5 -> 2.5)
+    assert(q1(s"SELECT quantile_cont(x, -0.25) AS q $four") == 3.25d)
+    assert(q1(s"SELECT quantile_cont(x, -0.5) AS q $four") == 2.5d)
+    // DECIMAL cont negative keeps the exact-interpolate-then-truncate
+    // path (measured 2.00 over (1.25, 2.75) at -0.5)
+    assert(q1("SELECT quantile_cont(d, -0.5) AS q FROM (VALUES (1.25),(2.75)) t(d)")
+      .toString == "2.00")
+    // out-of-range / NULL / mixed-sign list: DuckDB's Binder messages
+    val eRange = intercept[Exception] {
+      lake.sql("SELECT quantile_disc(x, 1.5) AS q FROM (VALUES (1),(2)) t(x)").collect()
+    }
+    assert(eRange.getMessage.contains("QUANTILE can only take parameters in the range [-1, 1]"),
+      eRange.getMessage)
+    val eNull = intercept[Exception] {
+      lake.sql("SELECT quantile_disc(x, NULL) AS q FROM (VALUES (1),(2)) t(x)").collect()
+    }
+    assert(eNull.getMessage.contains("QUANTILE argument must not be NULL"),
+      eNull.getMessage)
+    val eMix = intercept[Exception] {
+      lake.sql(s"SELECT quantile_disc(x, [-0.5, 0.5]) AS q $four").collect()
+    }
+    assert(eMix.getMessage.contains("QUANTILE parameters must have consistent signs"),
+      eMix.getMessage)
+    // consistent-sign negative list still expands per element
+    assert(q1(s"SELECT quantile_disc(x, [-0.75, -0.25]) AS q $four")
+      .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(2, 4))
+  }
+
+  test("map_concat refuses differing key/value types across arguments " +
+      "(DuckDB-measured message)") {
+    val eV = intercept[Exception] {
+      lake.sql("SELECT map_concat(MAP{'a': 1}, MAP{'b': 'x'}) AS m").collect()
+    }
+    assert(eV.getMessage.contains("'value' type of map differs between arguments"),
+      eV.getMessage)
+    val eK = intercept[Exception] {
+      lake.sql("SELECT map_concat(MAP{'a': 1}, MAP{1: 2}) AS m").collect()
+    }
+    assert(eK.getMessage.contains("type of map differs between arguments"),
+      eK.getMessage)
+    // same types still concat (last-wins, first-seen key order) and a
+    // NULL map argument is still skipped
+    val ok = lake.sql(
+      "SELECT map_concat(MAP{'a': 1, 'b': 2}, MAP{'b': 9, 'c': 3}) AS m")
+      .head().getMap[String, Int](0)
+    assert(ok == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(lake.sql("SELECT map_concat(MAP{'a': 1}, NULL) AS m")
+      .head().getMap[String, Int](0) == Map("a" -> 1))
+  }
+}
