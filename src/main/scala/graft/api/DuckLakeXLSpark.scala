@@ -703,7 +703,23 @@ class DuckLakeXLSpark(
     // the scope (the push at the end of sql() is the durable commit,
     // unchanged)
     var txnBase: Option[TxnSnapshot] = None
-    withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>
+    // DuckDB autocommits PER STATEMENT: a script that fails midway keeps
+    // the earlier statements' effects (measured r17). Without this
+    // error-path push the failing script's completed writes lived only
+    // in memory and the next sql()'s pull() silently discarded them —
+    // whole-script rollback, a divergence. Writes inside an OPEN
+    // transaction still roll back to the BEGIN snapshot first (DuckDB's
+    // aborted transaction is never durably committed either).
+    def persistCompleted[T](body: => T): T =
+      try body
+      catch {
+        case e: java.util.ConcurrentModificationException => throw e // CAS retry
+        case scala.util.control.NonFatal(e) =>
+          txnBase.foreach(restoreTxnSnapshot)
+          push()
+          throw e
+      }
+    persistCompleted { withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>
       // sequence draws evaluate TEXTUALLY on the driver (each occurrence
       // draws once, left to right) — sound for INSERT … VALUES and
       // FROM-less SELECTs. An INSERT … SELECT nextval(…) … FROM <scan>
@@ -1018,7 +1034,7 @@ class DuckLakeXLSpark(
         state = state.copy(snapshotChanges = state.snapshotChanges ++
           ((preSnap + 1) to postSnap).map(SnapshotChangeRow(_, label)))
       }
-    } }
+    } } }
     // transactions are SCRIPT-scoped (txnBase is method-local by design —
     // the reference's persistent-connection txn scope cannot survive the
     // pull/push bracket). A BEGIN left open at end of script must NOT be
@@ -1304,7 +1320,7 @@ class DuckLakeXLSpark(
       .parsePlan(spark, rewriteSelect(q))
     val df = org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark,
       graft.lake.CoercionRepair.preAnalysis(spark, parsed))
-    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates, TimeAddInterval}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates, TimeAddInterval, TimestampAddInterval}
     import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, TimestampType, YearMonthIntervalType}
     val analyzed = df.queryExecution.analyzed
     def containerCmp(l: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
@@ -1314,6 +1330,24 @@ class DuckLakeXLSpark(
       }
     val fixed = analyzed.transformAllExpressions {
       case s: SubtractDates => DateDiff(s.left, s.right)
+      // DATE ± INTERVAL is a TIMESTAMP in DuckDB for EVERY interval
+      // flavor (measured r17: typeof(DATE + INTERVAL 1 DAY/MONTH) =
+      // TIMESTAMP, value midnight-based); Spark keeps whole-day and
+      // year-month interval arithmetic in DATE. Only the
+      // interval-sourced shapes rewrite — date_add(d, int) and
+      // d + int stay DATE on both engines.
+      case org.apache.spark.sql.catalyst.expressions.DateAdd(d, iv)
+          if iv.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.ExtractANSIIntervalDays]) =>
+        val stripped = iv.transform {
+          case x: org.apache.spark.sql.catalyst.expressions.ExtractANSIIntervalDays =>
+            x.child
+        }
+        TimestampAddInterval(
+          Cast(d, org.apache.spark.sql.types.TimestampNTZType), stripped)
+      case org.apache.spark.sql.catalyst.expressions.DateAddYMInterval(d, ym) =>
+        org.apache.spark.sql.catalyst.expressions.TimestampAddYMInterval(
+          Cast(d, org.apache.spark.sql.types.TimestampNTZType), ym)
       // interval * / a NON-integer factor is a DuckDB binder error;
       // Spark would silently compute the fractional interval — refuse
       // loudly (integer factors on interval LITERALS already routed to
@@ -1576,52 +1610,10 @@ class DuckLakeXLSpark(
 
   private def registerFileRead(fmt: String, paths: Seq[String],
                                opts: Map[String, String]): String = {
-      def bool(v: String) = v.trim.equalsIgnoreCase("true") || v.trim == "1"
-      // DuckDB interprets backslash escapes in delim ('\t' is a tab)
-      def unesc(s: String) = s.replace("\\t", "\t").replace("\\n", "\n")
       val df = fmt match {
         case "parquet" => spark.read.parquet(paths: _*)
-        case "csv" =>
-          // DuckDB SNIFFS the header; an explicit header= wins, else a
-          // cheap probe of the first line decides: any numeric field in
-          // row 1 means data, not names (the common headerless shape; an
-          // all-string headerless file still needs header=false, as the
-          // probe cannot see type contrast from one row)
-          val header = opts.get("header").map(bool).getOrElse {
-            scala.util.Try(spark.read.textFile(paths.head).head()).toOption
-              .forall { line =>
-                val sep = opts.get("delim").orElse(opts.get("sep")).getOrElse(",")
-                !line.split(java.util.regex.Pattern.quote(sep), -1).exists(f =>
-                  scala.util.Try(java.lang.Double.parseDouble(f.trim)).isSuccess)
-              }
-          }
-          var r = spark.read
-            .option("header", header.toString)
-            .option("inferSchema",
-              (!opts.get("all_varchar").exists(bool)).toString)
-            // DuckDB's CSV reader always supports quoted fields spanning
-            // lines and never trims padding (r15 csvio barrage). Scale
-            // note: multiLine shifts split parallelism from line-chunks
-            // to whole files — across a many-file 100 TB ingest the
-            // per-file parallelism is what matters, and embedded-newline
-            // correctness is not negotiable.
-            .option("multiLine", "true")
-            .option("ignoreLeadingWhiteSpace", "false")
-            .option("ignoreTrailingWhiteSpace", "false")
-          opts.get("delim").orElse(opts.get("sep"))
-            .foreach(d => r = r.option("sep", unesc(d)))
-          opts.get("quote").foreach(v => r = r.option("quote", v))
-          opts.get("escape").foreach(v => r = r.option("escape", v))
-          opts.get("nullstr").foreach(v => r = r.option("nullValue", v))
-          opts.get("dateformat").foreach(v => r = r.option("dateFormat", v))
-          opts.get("timestampformat").foreach(v => r = r.option("timestampFormat", v))
-          val raw = r.csv(paths: _*)
-          // DuckDB names headerless columns column0, column1, …; Spark
-          // names them _c0, _c1 (r15 csvio barrage)
-          if (!header && raw.columns.forall(_.matches("_c\\d+")))
-            raw.toDF(raw.columns.map(c => "column" + c.drop(2)).toSeq: _*)
-          else raw
-        case _ => spark.read.json(paths: _*)
+        case "csv" => readCsvSource(paths, opts)
+        case _ => readJsonSource(paths, opts)
       }
       // the name is a STABLE function of (format, paths, options): the
       // same source re-registers under the same name every statement
@@ -1635,6 +1627,391 @@ class DuckLakeXLSpark(
         .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       df.createOrReplaceTempView(vn)
       vn
+  }
+
+  // ---- read_csv/read_json option depth (r17 reader-option barrage) ----
+  // Every behavior below is MEASURED on DuckDB 1.0.0 (fixtures in
+  // CsvOptDifferentialSpec/JsonOptDifferentialSpec, provenance
+  // tools/diffgen.py gen csvopt/jsonopt).
+
+  private def optBool(v: String) =
+    v.trim.equalsIgnoreCase("true") || v.trim == "1"
+  /** DuckDB interprets backslash escapes in delim ('\t' is a tab) */
+  private def optUnesc(s: String) = s.replace("\\t", "\t").replace("\\n", "\n")
+  private def optUnq(s0: String): String = {
+    val s = s0.trim
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else s
+  }
+  /** `['NA', 'none']` list-option value (arrives raw) or a bare scalar */
+  private def optStrList(v: String): Seq[String] = {
+    val t = v.trim
+    if (t.startsWith("[") && t.endsWith("]"))
+      StatementRouter.splitTopCommas(t.substring(1, t.length - 1))
+        .map(_.trim).filter(_.nonEmpty).map(optUnq)
+    else Seq(optUnq(t))
+  }
+  /** `{'a': 'INTEGER', ...}` struct-literal option value (columns/types) */
+  private def optTypedPairs(v: String): Seq[(String, String)] = {
+    val t = v.trim
+    require(t.startsWith("{") && t.endsWith("}"),
+      s"cannot parse a column-spec option value: $v")
+    StatementRouter.splitTopCommas(t.substring(1, t.length - 1)).map { p =>
+      val i = p.indexOf(':')
+      require(i > 0, s"cannot parse column spec entry: $p")
+      (optUnq(p.substring(0, i)), optUnq(p.substring(i + 1)))
+    }
+  }
+  /** first non-whitespace byte of a file — a driver-side metadata probe
+    * (≤64 bytes read) deciding JSON array-vs-NDJSON framing, never data */
+  private def firstNonWsChar(path: String): Option[Char] = scala.util.Try {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      (0 until math.max(n, 0)).map(buf(_).toChar).find(!_.isWhitespace)
+    } finally in.close()
+  }.toOption.flatten
+
+  /** DuckDB-sniffer-order type inference over already-null-cleaned STRING
+    * columns: BOOLEAN → BIGINT → DOUBLE → DATE → TIMESTAMP → VARCHAR
+    * (TIME is a documented divergence: Spark has no TIME type, the
+    * column stays VARCHAR — CAST-to-VARCHAR rendering is identical).
+    * ONE distributed aggregate pass over the candidate columns — the
+    * same single extra pass DuckDB's own sniffer pays; at 100 TB this
+    * path only runs for the option shapes Spark's reader cannot express
+    * natively (nullstr lists, force_not_null, types overrides). */
+  private def inferStringColumnTypes(
+      df: DataFrame, candidates: Seq[String]): Map[String, DataType] =
+    inferStringColumnTypes2(df, candidates).map { case (k, (t, _)) => k -> t }
+
+  /** the Boolean marks a ZONED timestamp string ('…+02'/'…Z'): DuckDB
+    * converts it to the UTC wall time inside plain TIMESTAMP (measured
+    * '2024-02-29 01:02:03+02' reads back '2024-02-28 23:02:03'), so the
+    * cast must go through the instant type first (session is UTC) */
+  private def inferStringColumnTypes2(
+      df: DataFrame, candidates: Seq[String]): Map[String, (DataType, Boolean)] = {
+    if (candidates.isEmpty || df.isEmpty) return Map.empty
+    val dateRe = "^\\d{4}-\\d{2}-\\d{2}$"
+    val tsRe = "^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$"
+    val tszRe = "^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}(:?\\d{2})?)$"
+    def cnt(c: Column) = count(when(c, 1))
+    val aggs = candidates.zipWithIndex.flatMap { case (name, i) =>
+      val c = df(name)
+      Seq(
+        count(c).as(s"n$i"),
+        // DuckDB's sniffer boolean accepts true/false/t/f (measured:
+        // yes/no and 1/0 do NOT sniff BOOLEAN)
+        cnt(lower(c).isin("true", "false", "t", "f")).as(s"b$i"),
+        cnt(expr(s"try_cast(trim(`$name`) AS BIGINT)").isNotNull).as(s"i$i"),
+        cnt(expr(s"try_cast(trim(`$name`) AS DOUBLE)").isNotNull).as(s"d$i"),
+        cnt(c.rlike(dateRe) && expr(s"try_cast(`$name` AS DATE)").isNotNull)
+          .as(s"dt$i"),
+        cnt(c.rlike(tsRe) &&
+            expr(s"try_cast(`$name` AS TIMESTAMP_NTZ)").isNotNull).as(s"ts$i"),
+        cnt(c.rlike(tszRe) &&
+            expr(s"try_cast(`$name` AS TIMESTAMP)").isNotNull).as(s"tz$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    candidates.zipWithIndex.map { case (name, i) =>
+      val base = i * 7
+      val n = row.getLong(base)
+      val t: (DataType, Boolean) =
+        if (n == 0L) (StringType, false) // all-NULL sniffs VARCHAR (measured)
+        else if (row.getLong(base + 1) == n) (BooleanType, false)
+        else if (row.getLong(base + 2) == n) (LongType, false)
+        else if (row.getLong(base + 3) == n) (DoubleType, false)
+        else if (row.getLong(base + 4) == n) (DateType, false)
+        else if (row.getLong(base + 5) == n) (TimestampNTZType, false)
+        else if (row.getLong(base + 6) == n) (TimestampNTZType, true)
+        else (StringType, false)
+      name -> t
+    }.toMap
+  }
+
+  /** read_csv with the full measured option surface. Spark's reader
+    * handles header/delim/quote/escape/single-nullstr natively; the
+    * shapes it cannot express (nullstr LISTS, force_not_null's
+    * match-to-'' substitution, types/names overrides, skip) read
+    * all-VARCHAR first, null-clean with when(), then type via
+    * [[inferStringColumnTypes]] — null substitution happens BEFORE
+    * inference, exactly DuckDB's order (measured: a BIGINT column with
+    * 'NA' holes still sniffs BIGINT under nullstr='NA'). */
+  private def readCsvSource(paths: Seq[String], opts: Map[String, String]): DataFrame = {
+    val skip = opts.get("skip").map(v => optUnq(v).trim.toInt).getOrElse(0)
+    require(skip == 0 || paths.length == 1,
+      "read_csv skip= over multiple files is not supported (DuckDB skips per file; split the read)")
+    val sepStr = opts.get("delim").orElse(opts.get("sep")).map(optUnesc).getOrElse(",")
+    val nullstrs = opts.get("nullstr").map(optStrList).getOrElse(Seq(""))
+    val forceNotNull =
+      opts.get("force_not_null").map(optStrList).getOrElse(Nil).toSet
+    val explicitCols = opts.get("columns").map(optTypedPairs)
+    val namesOpt = opts.get("names").orElse(opts.get("column_names"))
+      .map(optStrList).getOrElse(Nil)
+    val typesOpt = opts.get("types").orElse(opts.get("dtypes"))
+      .orElse(opts.get("column_types"))
+    val allVarchar = opts.get("all_varchar").exists(optBool)
+    // DuckDB SNIFFS the header; an explicit header= wins, else a cheap
+    // probe of the first post-skip line decides: any numeric field in it
+    // means data, not names (the common headerless shape; an all-string
+    // headerless file still needs header=false, as the probe cannot see
+    // type contrast from one row)
+    val header = opts.get("header").map(optBool).getOrElse {
+      val probe =
+        if (skip > 0) scala.util.Try(
+          spark.read.textFile(paths.head).take(skip + 1).lastOption).toOption.flatten
+        else scala.util.Try(spark.read.textFile(paths.head).head()).toOption
+      probe.forall { line =>
+        !line.split(java.util.regex.Pattern.quote(sepStr), -1).exists(f =>
+          scala.util.Try(java.lang.Double.parseDouble(f.trim)).isSuccess)
+      }
+    }
+    def read(schema: Option[StructType], inferSchema: Boolean,
+             nullValue: Option[String]): DataFrame = {
+      var r = spark.read
+        .option("header", header.toString)
+        .option("inferSchema", inferSchema.toString)
+        // DuckDB's CSV reader always supports quoted fields spanning
+        // lines and never trims padding (r15 csvio barrage). Scale
+        // note: multiLine shifts split parallelism from line-chunks
+        // to whole files — across a many-file 100 TB ingest the
+        // per-file parallelism is what matters, and embedded-newline
+        // correctness is not negotiable. (The skip= path parses a
+        // dataset of LINES, so embedded newlines cannot span them —
+        // DuckDB's skip is line-wise too.)
+        .option("multiLine", (skip == 0).toString)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+      schema.foreach(s => r = r.schema(s))
+      opts.get("delim").orElse(opts.get("sep"))
+        .foreach(d => r = r.option("sep", optUnesc(d)))
+      opts.get("quote").foreach(v => r = r.option("quote", v))
+      opts.get("escape").foreach(v => r = r.option("escape", v))
+      nullValue.foreach(v => r = r.option("nullValue", v))
+      opts.get("dateformat").foreach(v => r = r.option("dateFormat", v))
+      opts.get("timestampformat").foreach(v => r = r.option("timestampFormat", v))
+      // ignore_errors drops malformed rows (measured: wrong column
+      // counts vanish, the well-formed remainder survives)
+      if (opts.get("ignore_errors").exists(optBool))
+        r = r.option("mode", "DROPMALFORMED")
+      val raw =
+        if (skip > 0) {
+          val lines = spark.read.textFile(paths.head).rdd.zipWithIndex()
+            .filter(_._2 >= skip).map(_._1)
+          r.csv(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+        } else r.csv(paths: _*)
+      // DuckDB names headerless columns column0, column1, …; Spark
+      // names them _c0, _c1 (r15 csvio barrage)
+      if (!header && raw.columns.forall(_.matches("_c\\d+")))
+        raw.toDF(raw.columns.map(c => "column" + c.drop(2)).toSeq: _*)
+      else raw
+    }
+    // fast paths: a fully-declared schema or an all-VARCHAR read with a
+    // single nullstr map 1:1 onto Spark's reader. EVERYTHING that needs
+    // type sniffing goes through the custom path below — DuckDB's
+    // sniffer order (BOOLEAN incl. t/f -> BIGINT(trimmed) -> DOUBLE ->
+    // DATE -> TIMESTAMP incl. 'T'/zoned forms) diverges from Spark's
+    // inference (measured r17: ' 7' infers DOUBLE in Spark, BIGINT in
+    // DuckDB), so Spark's inferSchema is never used. Cost parity:
+    // Spark's own inference is a full extra pass too — this one is a
+    // single distributed aggregate.
+    val plainDeclared = explicitCols.isDefined && nullstrs.lengthIs == 1 &&
+      forceNotNull.isEmpty && typesOpt.isEmpty
+    val plainAllVarchar = allVarchar && explicitCols.isEmpty &&
+      nullstrs.lengthIs == 1 && forceNotNull.isEmpty && typesOpt.isEmpty
+    var out: DataFrame =
+      if (plainDeclared) {
+        // full declared schema: parse directly into it (loud on
+        // conversion failure, like DuckDB without ignore_errors)
+        val schema = StructType(explicitCols.get.map { case (n, t) =>
+          StructField(n, CatalogSchema.parseType(t), nullable = true) })
+        read(Some(schema), inferSchema = false, nullValue = Some(nullstrs.head))
+      } else if (plainAllVarchar) {
+        read(None, inferSchema = false, nullValue = Some(nullstrs.head))
+      } else {
+        // all-VARCHAR read under a SENTINEL nullValue (so Spark's
+        // default ''->NULL stays OUT of the way), then when()-based
+        // null-clean: nullstr matches -> NULL, except force_not_null
+        // columns where the match becomes '' (measured — including the
+        // default nullstr '': force_not_null turns empty fields into
+        // empty STRINGS, which is DuckDB's documented purpose)
+        val strSchema = explicitCols.map(cols =>
+          StructType(cols.map { case (n, _) =>
+            StructField(n, StringType, nullable = true) }))
+        val raw = read(strSchema, inferSchema = false, Some("\u0001"))
+        val cleaned = raw.select(raw.columns.map { c =>
+          val base = raw(c)
+          val hit = base.isin(nullstrs.map(_.asInstanceOf[Any]): _*)
+          (if (forceNotNull.contains(c))
+            // univocity reads an unquoted-empty field as NULL no matter
+            // the nullValue sentinel — under the default '' nullstr a
+            // forced column turns those into '' too (measured f1)
+            when(hit || (base.isNull && lit(nullstrs.contains(""))), lit(""))
+              .otherwise(base)
+           else when(hit, lit(null)).otherwise(base)).as(c)
+        }.toSeq: _*)
+        // target types: declared columns= > types= overrides > sniffed.
+        // Sniffing runs on the NULL-cleaned view for every remaining
+        // column (force_not_null columns too — DuckDB sniffs before the
+        // force substitution, then errors loudly if '' cannot convert;
+        // the ANSI cast below reproduces that loud failure)
+        val declared: Map[String, DataType] =
+          explicitCols.map(_.map { case (n, t) =>
+            n -> CatalogSchema.parseType(t) }.toMap).getOrElse(Map.empty)
+        val typed: Map[String, DataType] = typesOpt match {
+          case Some(tv) if tv.trim.startsWith("{") =>
+            optTypedPairs(tv).map { case (n, t) =>
+              n -> CatalogSchema.parseType(t) }.toMap
+          case Some(tv) =>
+            optStrList(tv).zip(cleaned.columns).map { case (t, n) =>
+              n -> CatalogSchema.parseType(t) }.toMap
+          case None => Map.empty
+        }
+        val pinned = declared ++ typed
+        val inferCands =
+          if (allVarchar) Nil
+          else cleaned.columns.filterNot(pinned.contains).toSeq
+        val nulledRaw = raw.select(raw.columns.map { c =>
+          when(raw(c).isin(nullstrs.map(_.asInstanceOf[Any]): _*), lit(null))
+            .otherwise(raw(c)).as(c) }.toSeq: _*)
+        val sniffed = inferStringColumnTypes2(nulledRaw, inferCands)
+        cleaned.select(cleaned.columns.map { c =>
+          pinned.get(c).map((_, false)).orElse(sniffed.get(c)) match {
+            case Some((t, true)) =>
+              // zoned timestamp strings land as the UTC wall time in
+              // plain TIMESTAMP (measured) — cast through the instant
+              // type first (session is UTC)
+              cleaned(c).cast(TimestampType).cast(t).as(c)
+            case Some((t, _)) if t != StringType => cleaned(c).cast(t).as(c)
+            case _ => cleaned(c)
+          }
+        }.toSeq: _*)
+      }
+    // names=[...] renames the first k columns, the rest keep their
+    // sniffed names (measured)
+    if (namesOpt.nonEmpty) {
+      val renamed = out.columns.zipWithIndex.map { case (c, i) =>
+        if (i < namesOpt.length) namesOpt(i) else c }
+      out = out.toDF(renamed.toSeq: _*)
+    }
+    out
+  }
+
+  /** read_json with the measured option surface: array-vs-NDJSON framing
+    * (auto-probed from the first non-whitespace byte — '[' means one
+    * top-level array that unpacks to rows), records=false packing all
+    * columns into one `json` STRUCT column, scalar roots landing in a
+    * `json` column of the sniffed type, columns={...} projecting ONLY
+    * the listed columns with casts, ignore_errors keeping malformed rows
+    * as all-NULL (PERMISSIVE) vs the loud FAILFAST default, and DuckDB's
+    * date/timestamp STRING promotion at the top level. */
+  private def readJsonSource(paths: Seq[String], opts: Map[String, String]): DataFrame = {
+    val ignoreErrors = opts.get("ignore_errors").exists(optBool)
+    val fmtOpt = opts.get("format").map(v => optUnq(v).toLowerCase)
+    lazy val firstChar = firstNonWsChar(paths.head)
+    val isArray = fmtOpt match {
+      case Some("array") => true
+      case Some("newline_delimited") | Some("nd") =>
+        // DuckDB answers ONE row whose `json` column is the whole LIST;
+        // Spark's NDJSON reader would silently EXPLODE a top-level array
+        // into rows — refuse loudly rather than diverge
+        require(!firstChar.contains('['),
+          "graft: read_json format='newline_delimited' over a top-level " +
+          "JSON array answers a single LIST value in DuckDB — unsupported " +
+          "(use format='array' to unpack records)")
+        false
+      case Some("auto") | None => firstChar.contains('[')
+      case Some(other) =>
+        throw new IllegalArgumentException(s"read_json format='$other' is not supported")
+    }
+    val scalarRoot = !isArray && firstChar.exists(c => c != '{')
+    val base: DataFrame =
+      if (scalarRoot) {
+        // non-object roots: one value per line in a column named `json`
+        // (measured); numeric/boolean lines cast directly, string lines
+        // go through get_json_object('$') so quoting/escapes resolve
+        val lines = spark.read.textFile(paths: _*)
+          .toDF("json").where(length(trim(col("json"))) > 0)
+          .select(trim(col("json")).as("json"))
+        inferStringColumnTypes(lines, Seq("json"))
+          .getOrElse("json", StringType) match {
+          case StringType =>
+            lines.select(get_json_object(col("json"), "$").as("json"))
+          case t => lines.select(col("json").cast(t).as("json"))
+        }
+      } else {
+        val r = spark.read
+          .option("multiLine", isArray.toString)
+          // DuckDB keeps a malformed line as an all-NULL row under
+          // ignore_errors (measured) — exactly PERMISSIVE minus the
+          // corrupt-record column; without it the read fails loudly
+          .option("mode", if (ignoreErrors) "PERMISSIVE" else "FAILFAST")
+          .json(paths: _*)
+        val raw = if (r.columns.contains("_corrupt_record"))
+          r.drop("_corrupt_record") else r
+        opts.get("columns").map(optTypedPairs) match {
+          case Some(cols) =>
+            // columns={...} projects ONLY the listed columns (measured:
+            // columns={'a':'VARCHAR'} over {a,b} docs answers one column)
+            raw.select(cols.map { case (n, t) =>
+              val dt = CatalogSchema.parseType(t)
+              (if (raw.columns.contains(n)) raw(n).cast(dt)
+               else lit(null).cast(dt)).as(n)
+            }.toSeq: _*)
+          case None => promoteJsonDateStrings(raw)
+        }
+      }
+    if (opts.get("records").map(v => optUnq(v).toLowerCase).contains("false"))
+      // records=false packs the row into one `json` STRUCT column;
+      // the DuckDB-style container rendering handles CAST AS VARCHAR
+      base.select(struct(base.columns.map(base(_)).toSeq: _*).as("json"))
+    else base
+  }
+
+  /** DuckDB's read_json types top-level strings shaped like dates /
+    * space-separated timestamps / Z-offset ISO timestamps as DATE /
+    * TIMESTAMP (measured; bare 'T'-separated strings WITHOUT a zone stay
+    * VARCHAR, as do numeric-looking and boolean-looking strings). One
+    * aggregate pass over the string columns, skipped when there are
+    * none. */
+  private def promoteJsonDateStrings(df: DataFrame): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSeq
+    if (strCols.isEmpty) return df
+    val dateRe = "^\\d{4}-\\d{2}-\\d{2}$"
+    val tsRe = "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$"
+    val tszRe = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})$"
+    def cnt(c: Column) = count(when(c, 1))
+    val aggs = strCols.zipWithIndex.flatMap { case (name, i) =>
+      val c = df(name)
+      Seq(count(c).as(s"n$i"),
+        cnt(c.rlike(dateRe) && expr(s"try_cast(`$name` AS DATE)").isNotNull)
+          .as(s"d$i"),
+        cnt(c.rlike(tsRe) &&
+          expr(s"try_cast(`$name` AS TIMESTAMP_NTZ)").isNotNull).as(s"t$i"),
+        cnt(c.rlike(tszRe) &&
+          expr(s"try_cast(`$name` AS TIMESTAMP)").isNotNull).as(s"z$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val promote: Map[String, Column] = strCols.zipWithIndex.flatMap {
+      case (name, i) =>
+        val n = row.getLong(i * 4)
+        if (n == 0L) None
+        else if (row.getLong(i * 4 + 1) == n) Some(name -> df(name).cast(DateType))
+        else if (row.getLong(i * 4 + 2) == n)
+          Some(name -> df(name).cast(TimestampNTZType))
+        else if (row.getLong(i * 4 + 3) == n)
+          // Z/offset form lands in DuckDB's plain TIMESTAMP as the UTC
+          // wall time — parse as an instant (session is UTC) then strip
+          Some(name -> df(name).cast(TimestampType).cast(TimestampNTZType))
+        else None
+    }.toMap
+    if (promote.isEmpty) df
+    else df.select(df.columns.map { c =>
+      promote.get(c).map(_.as(c)).getOrElse(df(c)) }.toSeq: _*)
   }
 
   /** DuckDB `UNION [ALL|DISTINCT] BY NAME` — Spark SQL has no BY NAME set
@@ -2666,6 +3043,38 @@ class DuckLakeXLSpark(
           StructField("column_name", StringType, false),
           StructField("column_type", StringType, false),
           StructField("nulls_allowed", BooleanType, false)))))
+      // r17 (VERDICT r16 task 8): the file-plane metadata tables join
+      // the schema-plane ones under the same aliveAt filter, so
+      // `ducklake_data_file AT (VERSION => n)` answers which parquet
+      // files a snapshot could read — schema archaeology end-to-end
+      case "ducklake_data_file" => Some(spark.createDataFrame(
+        state.dataFiles.filter(f => alive(f.beginSnapshot, f.endSnapshot))
+          .sortBy(f => (f.dataFileId, f.beginSnapshot))
+          .map(f => Row(f.dataFileId, f.tableId, f.beginSnapshot,
+            longCol(f.endSnapshot), f.path, f.recordCount, f.fileSizeBytes))
+          .asJava,
+        StructType(Seq(
+          StructField("data_file_id", LongType, false),
+          StructField("table_id", LongType, false),
+          StructField("begin_snapshot", LongType, false),
+          StructField("end_snapshot", LongType, true),
+          StructField("path", StringType, false),
+          StructField("record_count", LongType, false),
+          StructField("file_size_bytes", LongType, false)))))
+      case "ducklake_delete_file" => Some(spark.createDataFrame(
+        state.deleteFiles.filter(f => alive(f.beginSnapshot, f.endSnapshot))
+          .sortBy(f => (f.deleteFileId, f.beginSnapshot))
+          .map(f => Row(f.deleteFileId, f.tableId, f.beginSnapshot,
+            longCol(f.endSnapshot), f.dataFileId, f.path, f.deleteCount))
+          .asJava,
+        StructType(Seq(
+          StructField("delete_file_id", LongType, false),
+          StructField("table_id", LongType, false),
+          StructField("begin_snapshot", LongType, false),
+          StructField("end_snapshot", LongType, true),
+          StructField("data_file_id", LongType, false),
+          StructField("path", StringType, false),
+          StructField("delete_count", LongType, false)))))
       case "ducklake_snapshot" => Some(spark.createDataFrame(
         state.snapshots.filter(sn => snapshot.forall(sn.snapshotId <= _))
           .sortBy(_.snapshotId)
@@ -2686,7 +3095,7 @@ class DuckLakeXLSpark(
     // bare metadata-table names resolve to the versioned catalog rows
     // unless a user table shadows them (user catalog wins, like there)
     for (n <- Seq("ducklake_table", "ducklake_schema", "ducklake_column",
-        "ducklake_snapshot"))
+        "ducklake_snapshot", "ducklake_data_file", "ducklake_delete_file"))
       if (state.tableByName(n).isEmpty)
         metaTableDf(n, None).foreach(_.createOrReplaceTempView(n))
     val tRows =
@@ -3898,6 +4307,28 @@ class DuckLakeXLSpark(
     val tmp = Files.createTempDirectory(Paths.get(dataPath), ".copy")
     val w = df.coalesce(1).write.mode("overwrite").options(s.writerOptions)
     fmt match {
+      case "csv" if s.writerOptions.get("quote").contains("") =>
+        // DuckDB `QUOTE ''` disables quoting ENTIRELY: fields join with
+        // the delimiter and embedded newlines/delimiters pass through
+        // raw. Spark's univocity writer cannot disable quoting (it
+        // substitutes the NUL char as the quote char and wraps the field in
+        // NUL bytes — measured, r17), so raw mode renders each record
+        // to one line (values via cast-to-string, NULL as nullValue)
+        // and writes TEXT.
+        val sep = s.writerOptions.getOrElse("sep", ",")
+        val nullv = s.writerOptions.getOrElse("nullValue", "")
+        val header = s.writerOptions.get("header").forall(_ == "true")
+        val enc = org.apache.spark.sql.Encoders.STRING
+        val rendered = df.select(concat_ws(sep, df.columns.map(c =>
+            coalesce(df(c).cast(StringType), lit(nullv))).toSeq: _*))
+          .map(_.getString(0))(enc)
+          .coalesce(1)
+        val withH =
+          if (header) {
+            val h = df.columns.mkString(sep)
+            rendered.mapPartitions(it => Iterator(h) ++ it)(enc)
+          } else rendered
+        withH.write.mode("overwrite").text(tmp.toString)
       case "csv"  =>
         if (!s.writerOptions.contains("header")) w.option("header", "true")
         // preserve padding — see the partitioned branch (r15 csvio)

@@ -1958,16 +1958,40 @@ object StatementRouter {
           s.substring(0, m.start) + s"* EXCEPT ($names), $adds" + s.substring(close + 1))
     }
 
-  private val DistinctOnRe = """(?is)^(\s*SELECT\s+)DISTINCT\s+ON\s*\(""".r
+  private val DistinctOnRe = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
 
-  private def rewriteDistinctOn(s: String): String =
-    DistinctOnRe.findFirstMatchIn(s) match {
-      case None => s
-      case Some(m) =>
-        val open = m.end - 1 // the regex ends on the key list's '('
-        val close = matchingParen(s, open)
-        val keys = s.substring(open + 1, close).trim
-        val rest = s.substring(close + 1)
+  /** rewrites EVERY `SELECT DISTINCT ON (keys) … FROM …` — top-level or
+    * nested in a subquery (r17 stmtshape: the old `^SELECT`-anchored form
+    * silently let a subquery's `ON(keys)` parse as a function call). A
+    * nested occurrence's scope ends at the enclosing ')' (depth scan). */
+  private def rewriteDistinctOn(s0: String): String = {
+    var s = s0
+    var changed = true
+    while (changed) {
+      changed = false
+      val lm = literalMask(s)
+      DistinctOnRe.findAllMatchIn(s).find(m => !lm(m.start)).foreach { m =>
+        // scope: from the SELECT to the enclosing unmatched ')' (or end)
+        var i = m.start
+        var depth = 0
+        var scopeEnd = s.length
+        var go = true
+        while (go && i < s.length) {
+          if (!lm(i)) {
+            val c = s.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')') {
+              if (depth == 0) { scopeEnd = i; go = false } else depth -= 1
+            }
+          }
+          i += 1
+        }
+        val seg = s.substring(m.start, scopeEnd)
+        val segM = DistinctOnRe.findFirstMatchIn(seg).get
+        val open = segM.end - 1 // the regex ends on the key list's '('
+        val close = matchingParen(seg, open)
+        val keys = seg.substring(open + 1, close).trim
+        val rest = seg.substring(close + 1)
         val (selectList, fromTail0) = splitTopLevelKeyword(rest, "FROM")
         val fromTail = fromTail0.getOrElse(
           throw new IllegalArgumentException("DISTINCT ON needs a FROM clause"))
@@ -1978,10 +2002,16 @@ object StatementRouter {
           .filter(_.nonEmpty).getOrElse(keys)
         val sel =
           if (selectList.trim == "*") "* EXCEPT (__ddb_rn)" else selectList
-        s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
+        val repl =
+          s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
           s"ORDER BY $winOrder) AS __ddb_rn FROM $fromBody) WHERE __ddb_rn = 1" +
           obTail.map(t => s" ORDER BY $t").getOrElse("")
+        s = s.substring(0, m.start) + repl + s.substring(scopeEnd)
+        changed = true
+      }
     }
+    s
+  }
 
   private val AsofRe = """(?i)\bASOF\s+(LEFT\s+)?(?:INNER\s+)?JOIN\b""".r
   /** keywords that terminate an ON condition at paren depth 0 */
@@ -3059,6 +3089,82 @@ object StatementRouter {
       }
     }
     s
+  }
+
+  /** ANSI `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` is DuckDB's spelled-
+    * out LIMIT (measured r17: `ORDER BY 1 FETCH FIRST 2 ROWS ONLY`
+    * answers 2 rows); Spark's parser refuses it, so it rewrites to the
+    * LIMIT twin. ANSI `OFFSET n ROWS` likewise drops the ROWS noise
+    * word. Outside-string-literals only. */
+  private def rewriteFetchFirst(q0: String): String = {
+    var q = q0
+    val fetchRe =
+      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY\b""".r
+    val lm0 = literalMask(q)
+    q = fetchRe.replaceSomeIn(q, m =>
+      if (lm0(m.start)) None
+      else Some("LIMIT " + Option(m.group(1)).map(_.trim).getOrElse("1")))
+    val offRe = """(?i)\b(OFFSET\s+\d+)\s+ROWS?\b""".r
+    val lm1 = literalMask(q)
+    offRe.replaceSomeIn(q, m => if (lm1(m.start)) None else Some(m.group(1)))
+  }
+
+  /** DuckDB binds a WITH list as a SET — a CTE body may reference a CTE
+    * defined LATER (measured r17: `WITH u AS (SELECT x FROM t), t(x) AS
+    * (SELECT 7) SELECT y FROM u` answers 7). Spark binds strictly
+    * left-to-right, so the definitions reorder by dependency (stable
+    * Kahn topo sort; RECURSIVE and cyclic lists stay untouched — Spark
+    * errors loudly there, like DuckDB on a true cycle). Top-level WITH
+    * only; a nested WITH re-enters the pipeline as its own select. */
+  private[graft] def reorderForwardCtes(q0: String): String = {
+    val head = """(?is)^\s*WITH\s+(RECURSIVE\s+)?""".r
+    val m = head.findFirstMatchIn(q0).getOrElse(return q0)
+    if (m.group(1) != null) return q0
+    var i = m.end
+    val defRe = """(?s)\s*("[^"]+"|[A-Za-z_]\w*)\s*(\([^)]*\))?\s+AS\s*\(""".r
+    case class CteDef(name: String, header: String, body: String)
+    val defs = scala.collection.mutable.ArrayBuffer[CteDef]()
+    var go = true
+    while (go) {
+      defRe.findPrefixMatchOf(q0.substring(i)) match {
+        case Some(dm) =>
+          val open = i + dm.end - 1
+          val close = matchingParen(q0, open)
+          if (close < 0) return q0 // unparseable — leave untouched
+          val name = dm.group(1).stripPrefix("\"").stripSuffix("\"")
+          val header = dm.group(1) + Option(dm.group(2)).map(" " + _).getOrElse("")
+          defs += CteDef(name, header, q0.substring(open + 1, close))
+          i = close + 1
+          while (i < q0.length && q0.charAt(i).isWhitespace) i += 1
+          if (i < q0.length && q0.charAt(i) == ',') i += 1 else go = false
+        case None => return q0
+      }
+    }
+    if (defs.lengthIs < 2) return q0
+    val rest = q0.substring(i)
+    val names = defs.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    def depsOf(d: CteDef): Set[String] =
+      names.filter(n => n != d.name.toLowerCase(java.util.Locale.ROOT) &&
+        ("""(?i)\b""" + java.util.regex.Pattern.quote(n) + """\b""").r
+          .findFirstIn(d.body).isDefined)
+    val remaining = scala.collection.mutable.ArrayBuffer(defs.toSeq: _*)
+    val ordered = scala.collection.mutable.ArrayBuffer[CteDef]()
+    val emitted = scala.collection.mutable.Set[String]()
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      remaining.zipWithIndex.find { case (d, _) =>
+        depsOf(d).forall(emitted.contains)
+      } match {
+        case Some((d, idx)) =>
+          remaining.remove(idx); ordered += d
+          emitted += d.name.toLowerCase(java.util.Locale.ROOT)
+        case None => progress = false // cycle — leave the tail as-is
+      }
+    }
+    ordered ++= remaining
+    if (ordered.map(_.name) == defs.map(_.name)) q0
+    else "WITH " + ordered.map(d => s"${d.header} AS (${d.body})")
+      .mkString(", ") + " " + rest
   }
 
   /** DuckDB percent limit `… LIMIT 30%` (r12): detect a TOP-LEVEL
@@ -4505,17 +4611,25 @@ object StatementRouter {
   def rewriteFileReads(q0: String)(
       register: (String, Seq[String], Map[String, String]) => String): String = {
     var q = q0
+    // read_ndjson* is read_json with the framing pinned to
+    // newline_delimited (an explicit user format= still wins)
     val fns = Seq(
-      "read_parquet" -> "parquet", "parquet_scan" -> "parquet",
-      "read_csv_auto" -> "csv", "read_csv" -> "csv",
-      "read_json_auto" -> "json", "read_json" -> "json",
-      "read_ndjson_auto" -> "json", "read_ndjson" -> "json")
-    for ((fn, fmt) <- fns) q = rewriteCalls(q, fn) { args0 =>
-      // splitTopCommas tracks parens/quotes but not brackets — stitch a
-      // split `['a', 'b']` list literal back into one argument
+      ("read_parquet", "parquet", Map.empty[String, String]),
+      ("parquet_scan", "parquet", Map.empty[String, String]),
+      ("read_csv_auto", "csv", Map.empty[String, String]),
+      ("read_csv", "csv", Map.empty[String, String]),
+      ("read_json_auto", "json", Map.empty[String, String]),
+      ("read_json", "json", Map.empty[String, String]),
+      ("read_ndjson_auto", "json", Map("format" -> "newline_delimited")),
+      ("read_ndjson", "json", Map("format" -> "newline_delimited")))
+    for ((fn, fmt, defaults) <- fns) q = rewriteCalls(q, fn) { args0 =>
+      // splitTopCommas tracks parens/quotes but not brackets/braces —
+      // stitch a split `['a', 'b']` list or `{'a': 'T', 'b': 'U'}`
+      // struct literal back into one argument
       val args = args0.foldLeft(mutable.ArrayBuffer[String]()) { (acc, a) =>
         val open = acc.lastOption.exists(p =>
-          p.count(_ == '[') > p.count(_ == ']'))
+          p.count(_ == '[') > p.count(_ == ']') ||
+          p.count(_ == '{') > p.count(_ == '}'))
         if (open) acc(acc.length - 1) = acc.last + ", " + a else acc += a
         acc
       }.toSeq
@@ -4546,7 +4660,8 @@ object StatementRouter {
             }
         }
       }
-      if (ok && paths.nonEmpty) Some(register(fmt, paths.toSeq, opts.toMap))
+      if (ok && paths.nonEmpty)
+        Some(register(fmt, paths.toSeq, defaults ++ opts.toMap))
       else None
     }
     // `FROM 'x.parquet'` / `JOIN "x.csv"` string-literal tables: format
@@ -5981,6 +6096,10 @@ object StatementRouter {
 
   def rewriteDialect(sql: String): String = {
     var q = rewriteTrailingCommas(rewriteFromFirst(sql))
+    // ANSI FETCH FIRST / OFFSET..ROWS -> LIMIT/OFFSET; forward CTE
+    // references reorder to definition-before-use (r17 stmtshape)
+    q = rewriteFetchFirst(q)
+    q = reorderForwardCtes(q)
     // DuckDB 1.0's parser refuses the SQL-standard OUTSIDE-parens
     // `fn(x) IGNORE NULLS OVER` spelling and GROUPS window frames
     // (measured; the IN-parens `fn(x IGNORE NULLS)` spelling is valid

@@ -1497,6 +1497,84 @@ object QueriesLake {
            |SELECT 'now' AS era, table_name FROM ducklake_table WHERE end_snapshot IS NULL
            |ORDER BY era, table_name""".stripMargin)
     },
+    // r17 waves — reader-option depth + statement shapes (CsvOpt/JsonOpt/
+    // StmtShape differential specs pinned 84 fixtures; these replay the
+    // highest-traffic shapes as oracle rows). The COPY QUOTE '' raw-line
+    // writes build the option-bearing files inside the lake's dataPath.
+    "q_lake_csvopt_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      val dp = lake.dataPath
+      lake.sql(
+        s"""COPY (SELECT 'id,c,d' || chr(10) || '1,NA,7' || chr(10) || '2,none,NA' || chr(10) || '3,x,9' AS j) TO '$dp/w.csv' (FORMAT CSV, QUOTE '', HEADER false);
+           |COPY (SELECT 'id,c' || chr(10) || '1,' || chr(10) || '2,x' AS j) TO '$dp/f.csv' (FORMAT CSV, QUOTE '', HEADER false);
+           |COPY (SELECT 'garbage' || chr(10) || 'a' || chr(10) || '10' || chr(10) || '20' AS j) TO '$dp/s.csv' (FORMAT CSV, QUOTE '', HEADER false);
+           |SELECT 'nulls' AS k, CAST(id AS VARCHAR) AS a, coalesce(c, 'None') || '/' || coalesce(CAST(d + 1 AS VARCHAR), 'None') AS b FROM read_csv('$dp/w.csv', nullstr=['NA','none'])
+           |UNION ALL SELECT 'force', CAST(id AS VARCHAR), '[' || c || ']' FROM read_csv('$dp/f.csv', force_not_null=['c'])
+           |UNION ALL SELECT 'cols', CAST(x AS VARCHAR), coalesce(y, 'None') || '/' || coalesce(CAST(z AS VARCHAR), 'None') FROM read_csv('$dp/w.csv', columns={'x':'INTEGER','y':'VARCHAR','z':'DOUBLE'}, nullstr=['NA','none'])
+           |UNION ALL SELECT 'skip', CAST(a AS VARCHAR), CAST(a + 1 AS VARCHAR) FROM read_csv('$dp/s.csv', skip=1)
+           |UNION ALL SELECT 'types', c, c || '!' FROM read_csv('$dp/s.csv', skip=1, types=['VARCHAR'], names=['c'], header=true)
+           |ORDER BY k, a""".stripMargin)
+    },
+    "q_lake_jsonopt_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      val dp = lake.dataPath
+      lake.sql(
+        s"""COPY (SELECT '[{"a": 1, "b": "x"},' || chr(10) || '{"a": 2, "b": "y"}]' AS j) TO '$dp/arr.json' (FORMAT CSV, QUOTE '', HEADER false);
+           |COPY (SELECT '{"a": 1, "b": "x"}' || chr(10) || '{"a": 2}' AS j) TO '$dp/nd.json' (FORMAT CSV, QUOTE '', HEADER false);
+           |COPY (SELECT '1' || chr(10) || '2' || chr(10) || '3' AS j) TO '$dp/sc.json' (FORMAT CSV, QUOTE '', HEADER false);
+           |COPY (SELECT '{"d": "2024-02-29", "t": "2024-02-29 01:02:03"}' AS j) TO '$dp/pr.json' (FORMAT CSV, QUOTE '', HEADER false);
+           |COPY (SELECT '{"a": 1}' || chr(10) || 'oops' || chr(10) || '{"a": 3}' AS j) TO '$dp/ig.json' (FORMAT CSV, QUOTE '', HEADER false);
+           |SELECT 'arr' AS k, CAST(a AS VARCHAR) AS a2, b AS b2 FROM read_json('$dp/arr.json')
+           |UNION ALL SELECT 'recs', CAST(a AS VARCHAR), CAST(json AS VARCHAR) FROM (SELECT json, json.a AS a FROM read_json('$dp/nd.json', records=false))
+           |UNION ALL SELECT 'scal', 'sum', CAST(sum(json) AS VARCHAR) FROM read_json('$dp/sc.json')
+           |UNION ALL SELECT 'cols', a, a || '?' FROM read_json('$dp/nd.json', columns={'a':'VARCHAR'})
+           |UNION ALL SELECT 'prom', CAST(d + INTERVAL 1 DAY AS VARCHAR), CAST(t AS VARCHAR) FROM read_json('$dp/pr.json')
+           |UNION ALL SELECT 'ign', coalesce(CAST(a AS VARCHAR), 'None'), 'x' FROM read_json('$dp/ig.json', ignore_errors=true)
+           |ORDER BY k, a2""".stripMargin)
+    },
+    "q_lake_stmtshape_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(
+        """WITH u(y) AS (SELECT x + 1 FROM t), t(x) AS (SELECT 7)
+          |SELECT 'fwd' AS k, CAST(y AS VARCHAR) AS v FROM u
+          |UNION ALL SELECT 'prec', CAST(x AS VARCHAR) FROM (SELECT 1 AS x UNION SELECT 2 INTERSECT SELECT 2)
+          |UNION ALL SELECT 'fetch', CAST(x AS VARCHAR) FROM (SELECT x FROM (VALUES (3),(1),(2)) t(x) ORDER BY 1 FETCH FIRST 2 ROWS ONLY)
+          |UNION ALL SELECT 'coerce', CAST(x AS VARCHAR) FROM (VALUES (1), (2.5), (3)) t(x)
+          |UNION ALL SELECT 'don', CAST(x AS VARCHAR) FROM (SELECT DISTINCT ON (x % 2) x FROM (VALUES (4),(2),(1),(3)) t(x) ORDER BY x % 2, x)
+          |UNION ALL SELECT 'off', CAST(x AS VARCHAR) FROM (SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY 1 OFFSET 1)
+          |ORDER BY k, v""".stripMargin)
+    },
+    // r17 (VERDICT r16 task 8): schema archaeology END-TO-END — two
+    // metadata tables joined AS-OF one version. ducklake_table +
+    // ducklake_column at the pre-ALTER/DROP snapshot reconstruct the
+    // dropped column and the dropped table; ducklake_data_file at the
+    // same version answers which files that snapshot could read.
+    "q_lake_meta_travel_join" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql("CREATE TABLE mj1(id INTEGER, v VARCHAR)")
+      lake.sql("CREATE TABLE mj2(k INTEGER)")
+      lake.sql("INSERT INTO mj1 VALUES (1, 'a'), (2, 'b')")
+      val v = lake.sql(
+        "SELECT max(snapshot_id) FROM ducklake_snapshot").head().getLong(0)
+      lake.sql("ALTER TABLE mj1 DROP COLUMN v")
+      lake.sql("DROP TABLE mj2")
+      lake.sql(
+        s"""SELECT 'then' AS era, t.table_name, c.column_name AS a, c.column_type AS b
+           |FROM ducklake_table AT (VERSION => $v) t
+           |JOIN ducklake_column AT (VERSION => $v) c ON c.table_id = t.table_id
+           |UNION ALL
+           |SELECT 'now' AS era, t.table_name, c.column_name AS a, c.column_type AS b
+           |FROM ducklake_table t JOIN ducklake_column c ON c.table_id = t.table_id
+           |WHERE t.end_snapshot IS NULL AND c.end_snapshot IS NULL
+           |UNION ALL
+           |SELECT 'files@then' AS era, t.table_name,
+           |       CAST(count(*) AS VARCHAR) AS a,
+           |       CAST(sum(f.record_count) AS VARCHAR) AS b
+           |FROM ducklake_data_file AT (VERSION => $v) f
+           |JOIN ducklake_table AT (VERSION => $v) t ON t.table_id = f.table_id
+           |GROUP BY t.table_name
+           |ORDER BY era, table_name, a""".stripMargin)
+    },
     // r14 interval-arithmetic wave: per-field * / int with integer
     // division, unnormalized ± renders, mixed-family literals — the
     // semantics IntervalDifferentialSpec pinned, replayed as one
@@ -1962,6 +2040,39 @@ object QueriesLake {
     "q_lake_meta_travel" ->
       ("SELECT * FROM (VALUES ('now','mt2'),('then','mt1'),('then','mt2')) " +
        "t(era, table_name) ORDER BY era, table_name"),
+    "q_lake_csvopt_wave" ->
+      ("SELECT * FROM (VALUES " +
+       "('cols','1','None/7.0'),('cols','2','None/None'),('cols','3','x/9.0')," +
+       "('force','1','[]'),('force','2','[x]')," +
+       "('nulls','1','None/8'),('nulls','2','None/None'),('nulls','3','x/10')," +
+       "('skip','10','11'),('skip','20','21')," +
+       "('types','10','10!'),('types','20','20!')) " +
+       "t(k, a, b) ORDER BY k, a"),
+    "q_lake_jsonopt_wave" ->
+      ("SELECT * FROM (VALUES " +
+       "('arr','1','x'),('arr','2','y')," +
+       "('cols','1','1?'),('cols','2','2?')," +
+       "('ign','1','x'),('ign','3','x'),('ign','None','x')," +
+       "('prom','2024-03-01 00:00:00','2024-02-29 01:02:03')," +
+       "('recs','1','{''a'': 1, ''b'': x}'),('recs','2','{''a'': 2, ''b'': NULL}')," +
+       "('scal','sum','6')) " +
+       "t(k, a2, b2) ORDER BY k, a2"),
+    "q_lake_stmtshape_wave" ->
+      ("SELECT * FROM (VALUES " +
+       "('coerce','1.0'),('coerce','2.5'),('coerce','3.0')," +
+       "('don','1'),('don','2')," +
+       "('fetch','1'),('fetch','2')," +
+       "('fwd','8')," +
+       "('off','2'),('off','3')," +
+       "('prec','1'),('prec','2')) " +
+       "t(k, v) ORDER BY k, v"),
+    "q_lake_meta_travel_join" ->
+      ("SELECT * FROM (VALUES " +
+       "('files@then','mj1','1','2')," +
+       "('now','mj1','id','INTEGER')," +
+       "('then','mj1','id','INTEGER'),('then','mj1','v','VARCHAR')," +
+       "('then','mj2','k','INTEGER')) " +
+       "t(era, table_name, a, b) ORDER BY era, table_name, a"),
     "q_lake_decimal_wave" -> decimalWaveSql,
     "q_lake_interval_wave" -> intervalWaveSql,
     "q_lake_enum" ->

@@ -122,6 +122,29 @@ class R17EdgeSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(2, 4))
   }
 
+  test("multi-statement script atomicity matches DuckDB: statements " +
+      "BEFORE the failure persist, statements after never run") {
+    // measured r17: DuckDB autocommits per statement — a failing script
+    // keeps the earlier statements' effects and stops at the failure
+    lake.sql("CREATE TABLE at1(x INTEGER)")
+    intercept[Exception] {
+      lake.sql("INSERT INTO at1 VALUES (1); INSERT INTO at1 VALUES ('xx'); " +
+        "INSERT INTO at1 VALUES (3)")
+    }
+    assert(lake.sql("SELECT x FROM at1 ORDER BY 1").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // a failure inside an OPEN transaction discards the transaction's
+    // writes back to the BEGIN snapshot (DuckDB's aborted transaction is
+    // never durably committed; transactions here are script-scoped —
+    // the documented divergence from the reference's persistent
+    // connection)
+    intercept[Exception] {
+      lake.sql("BEGIN; INSERT INTO at1 VALUES (10); INSERT INTO at1 VALUES ('yy')")
+    }
+    assert(lake.sql("SELECT x FROM at1 ORDER BY 1").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("map_concat refuses differing key/value types across arguments " +
       "(DuckDB-measured message)") {
     val eV = intercept[Exception] {

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("tag")
     ap.add_argument("--max-attempts", type=int, default=3)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--no-sf1", action="store_true",
+                    help="skip the CORRECTNESS_SF1.json full-board refresh")
     a = ap.parse_args()
 
     arch = REPO / "bench_archive"
@@ -69,6 +71,16 @@ def main():
     (REPO / "BENCH_LOCAL.json").write_text(json.dumps(run, indent=1))
     print(f"BENCH_LOCAL.json <- {best['archive']} "
           f"(degraded={best['degraded']})")
+    # r17 (VERDICT r16 task 4): CORRECTNESS_SF1.json can never go stale
+    # again — the close protocol re-proves the FULL board at sf1 unless
+    # explicitly skipped (--no-sf1).
+    if not a.no_sf1:
+        print("refreshing CORRECTNESS_SF1.json (full board at sf1)...")
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "check_sf1.py")],
+            cwd=REPO / "tools")
+        if r.returncode != 0:
+            raise SystemExit("check_sf1.py failed — CORRECTNESS_SF1 stale")
     sys.exit(0 if not best["degraded"] else 2)
 
 

@@ -22,9 +22,12 @@ from pathlib import Path
 
 import duckdb
 
+import statistics
+import time
+
 import bench_sf1
 from bench_sf1 import (SF01, OK_RANGE, EV_RANGE, DOC_RANGE, VEC_RANGE,
-                       TABLES, HEADLINE)
+                       TABLES, HEADLINE, ORACLE)
 from bench_sf1_llm import TOP10
 
 SF10 = "/tmp/graft_sf10"
@@ -93,6 +96,33 @@ def bench(sf_dir, out):
     return json.loads(Path(out).read_text())
 
 
+def bench_duckdb_sf10(threads=32):
+    """r17 (r16 VERDICT task 3): the matched-resource DuckDB denominator
+    at sf10 — same CREATE TEMP TABLE AS protocol as bench_sf1.py
+    (1 warmup + median of 3, SET threads=N), same parquet views."""
+    con = duckdb.connect()
+    con.sql(f"SET threads={threads}")
+    for t in TABLES:
+        p = f"{SF10}/{t}.parquet"
+        if Path(p).exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    res = {}
+    for name in HEADLINE:
+        q = ORACLE[name]
+        times = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            con.sql(f"CREATE OR REPLACE TEMP TABLE _bench AS {q}")
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        con.sql("DROP TABLE _bench")
+        res[name] = round(statistics.median(times), 4)
+        print(f"[duckdb sf10 t{threads}] {name}: {res[name]} s "
+              f"(runs {['%.3f' % x for x in times]})", flush=True)
+    return res
+
+
 def main():
     bench_sf1.generate()
     generate()
@@ -100,6 +130,7 @@ def main():
     lo = (json.loads(lo_path.read_text()) if lo_path.exists()
           else bench(bench_sf1.SF1, str(lo_path)))
     hi = bench(SF10, "/tmp/bench_sf10_hi.json")
+    duck = bench_duckdb_sf10(32)
     rows = []
     for q in QUERIES:
         w0, w1 = lo["queries"].get(q), hi["queries"].get(q)
@@ -117,13 +148,24 @@ def main():
         if row["sf1_shuffle_write"] and row["sf10_shuffle_write"]:
             row["bytes_x"] = round(
                 row["sf10_shuffle_write"] / row["sf1_shuffle_write"], 2)
+        if q in duck:
+            row["duckdb_sec"] = duck[q]
+            if w1:
+                row["spark_over_duckdb"] = round(w1 / duck[q], 2)
         rows.append(row)
         print(row, flush=True)
+    duck_total = round(sum(duck.get(q, 0) for q in HEADLINE), 3)
+    spark_head = round(sum((hi["queries"].get(q) or 0) for q in HEADLINE), 3)
     out = {
         "protocol": "identical graft.Bench warmup_v2/noop-sink/local[32] at "
                     "both SFs; sf10 = 100x sf0.1 with 100 near-duplicate "
                     "variants per doc (tools/bench_sf10.py); data_x = 10 "
-                    "vs sf1",
+                    "vs sf1; duckdb_sec = matched-resource DuckDB at sf10 "
+                    "(SET threads=32, CREATE TEMP TABLE AS, median of 3)",
+        "duckdb_headline_total_sec": duck_total,
+        "spark_headline_total_sec": spark_head,
+        "headline_ratio_vs_duckdb": (round(spark_head / duck_total, 2)
+                                     if duck_total else None),
         "host_health": {"sf1": lo.get("host_health"),
                         "sf10": hi.get("host_health")},
         "queries": rows,

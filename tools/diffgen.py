@@ -800,6 +800,269 @@ def fam_csvio(seed):
     return [(sq, "query") for sq in scripts]
 
 
+def _rawfile(path, text):
+    """emit a COPY statement that writes `text` verbatim (QUOTE ''
+    disables quoting on both engines; chr(10) joins keep one
+    deterministic row)"""
+    lines = text.split("\n")
+    sql = " || chr(10) || ".join("'" + l.replace("'", "''") + "'"
+                                 for l in lines)
+    return (f"COPY (SELECT {sql} AS j) TO '{path}' "
+            "(FORMAT CSV, QUOTE '', HEADER false)")
+
+
+def fam_csvopt(seed):
+    """r17: read_csv READER-option depth (r16 VERDICT task 6a) — nullstr
+    LISTS, force_not_null's match-to-'' substitution, columns={...}
+    declared schemas, names=/types= overrides, skip=, ignore_errors via
+    conversion failure, all_varchar interplay, and that null substitution
+    happens BEFORE type sniffing. Each fixture writes its file first
+    (raw-line COPY), so scripts are self-contained in both engines."""
+    import os, shutil
+    shutil.rmtree("/tmp/graft_csvopt_fx", ignore_errors=True)
+    os.makedirs("/tmp/graft_csvopt_fx", exist_ok=True)
+    d = "/tmp/graft_csvopt_fx"
+    scripts = []
+
+    def fx(fname, content, select):
+        scripts.append(_rawfile(f"{d}/{fname}", content) + "; " + select)
+
+    base = "id,c,d\n1,NA,7\n2,none,NA\n3,x,9"
+    # nullstr list: both markers null out, in EVERY column
+    fx("n0.csv", base,
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce(c, 'None') || '/' || "
+       f"coalesce(CAST(d AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/n0.csv', nullstr=['NA','none']) ORDER BY 1")
+    # ...and sniffing happens AFTER null-clean: d is numeric (d+1 works)
+    fx("n1.csv", base,
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce(CAST(d + 1 AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/n1.csv', nullstr=['NA','none']) ORDER BY 1")
+    # single nullstr leaves the other marker as text
+    fx("n2.csv", base,
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce(c, 'None') "
+       f"FROM read_csv('{d}/n2.csv', nullstr='NA') ORDER BY 1")
+    # force_not_null: matches become EMPTY STRINGS, bracketed to see them
+    fx("f0.csv", base,
+       f"SELECT CAST(id AS VARCHAR) || '=[' || c || ']' "
+       f"FROM read_csv('{d}/f0.csv', nullstr=['NA','none'], force_not_null=['c']) ORDER BY 1")
+    # force_not_null under the DEFAULT nullstr: empty field stays ''
+    fx("f1.csv", "id,c\n1,\n2,x",
+       f"SELECT CAST(id AS VARCHAR) || '=[' || c || ']' "
+       f"FROM read_csv('{d}/f1.csv', force_not_null=['c']) ORDER BY 1")
+    # ...while without force_not_null the empty field is NULL
+    fx("f2.csv", "id,c\n1,\n2,x",
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce('[' || c || ']', 'None') "
+       f"FROM read_csv('{d}/f2.csv') ORDER BY 1")
+    # quoted empty field behaves like unquoted (NULL default, '' forced)
+    fx("f3.csv", 'id,c\n1,""\n2,x',
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce('[' || c || ']', 'None') "
+       f"FROM read_csv('{d}/f3.csv') ORDER BY 1")
+    fx("f4.csv", 'id,c\n1,""\n2,x',
+       f"SELECT CAST(id AS VARCHAR) || '=[' || c || ']' "
+       f"FROM read_csv('{d}/f4.csv', force_not_null=['c']) ORDER BY 1")
+    # unaffected column keeps its nullstr nulls when another is forced
+    fx("f5.csv", base,
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce(CAST(d AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/f5.csv', nullstr=['NA','none'], force_not_null=['c']) ORDER BY 1")
+    # columns={...}: declared names+types, header consumed, casts applied
+    fx("c0.csv", base,
+       f"SELECT CAST(x AS VARCHAR) || '=' || coalesce(y, 'None') || '/' || "
+       f"coalesce(CAST(z AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/c0.csv', columns={{'x':'INTEGER','y':'VARCHAR','z':'DOUBLE'}}, nullstr=['NA','none']) ORDER BY 1")
+    # columns= VARCHAR keeps leading zeros the sniffer would eat
+    fx("c1.csv", "id,c\n1,007\n2,08",
+       f"SELECT CAST(id AS VARCHAR) || '=' || c "
+       f"FROM read_csv('{d}/c1.csv', columns={{'id':'INTEGER','c':'VARCHAR'}}) ORDER BY 1")
+    # names= renames the first k, the rest keep sniffed names
+    fx("m0.csv", "id,c,d\n1,x,7\n2,y,8",
+       f"SELECT CAST(p AS VARCHAR) || '=' || q || '/' || CAST(d AS VARCHAR) "
+       f"FROM read_csv('{d}/m0.csv', names=['p','q']) ORDER BY 1")
+    # types= dict override by original name
+    fx("t0.csv", "id,c\n1,x\n2,y",
+       f"SELECT CAST(id AS VARCHAR) || '=' || c "
+       f"FROM read_csv('{d}/t0.csv', types={{'id':'DOUBLE'}}) ORDER BY 1")
+    # types= positional list: everything VARCHAR keeps raw renders
+    fx("t1.csv", "id,c\n1,x\n2,y",
+       f"SELECT id || '=' || c "
+       f"FROM read_csv('{d}/t1.csv', types=['VARCHAR','VARCHAR']) ORDER BY 1")
+    fx("t2.csv", "a,b\n1,2\n3,4",
+       f"SELECT CAST(a AS VARCHAR) || '=' || CAST(b AS VARCHAR) "
+       f"FROM read_csv('{d}/t2.csv', types={{'b':'DOUBLE'}}) ORDER BY 1")
+    # skip= drops junk preamble lines, then the header sniffs as usual
+    fx("s0.csv", "garbage\nmore garbage\na\n10\n20",
+       f"SELECT CAST(a + 1 AS VARCHAR) FROM read_csv('{d}/s0.csv', skip=2) ORDER BY 1")
+    fx("s1.csv", "junk\nv\n5\n6",
+       f"SELECT CAST(a AS VARCHAR) FROM read_csv('{d}/s1.csv', skip=1, names=['a'], header=true) ORDER BY 1")
+    # ignore_errors: conversion-failing rows drop, the rest survive
+    fx("e0.csv", "a\n1\nxx\n3",
+       f"SELECT CAST(a AS VARCHAR) FROM read_csv('{d}/e0.csv', "
+       f"columns={{'a':'INTEGER'}}, ignore_errors=true, header=true) ORDER BY 1")
+    # all_varchar + nullstr list: strings stay raw except the nulls
+    fx("v0.csv", base,
+       f"SELECT id || '=' || coalesce(d, 'None') "
+       f"FROM read_csv('{d}/v0.csv', all_varchar=true, nullstr=['NA','none']) ORDER BY 1")
+    # engine-tuning knobs tolerate silently alongside real options
+    fx("k0.csv", base,
+       f"SELECT CAST(id AS VARCHAR) || '=' || coalesce(c, 'None') "
+       f"FROM read_csv('{d}/k0.csv', nullstr=['NA','none'], sample_size=100) ORDER BY 1")
+    # boolean / padded-int / date / timestamp sniffing through the
+    # null-clean path (types must land so casts+arithmetic behave)
+    fx("i0.csv", "f,g\ntrue,NA\nfalse,true",
+       f"SELECT CAST(f AS VARCHAR) || '=' || coalesce(CAST(g AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/i0.csv', nullstr=['NA']) ORDER BY 1")
+    fx("i1.csv", "a,b\n 7,NA\n 8,9",
+       f"SELECT CAST(a + 1 AS VARCHAR) || '/' || coalesce(CAST(b + 1 AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/i1.csv', nullstr=['NA']) ORDER BY 1")
+    fx("i2.csv", "dt,x\n2024-02-29,NA\n1999-12-31,5",
+       f"SELECT CAST(dt + INTERVAL 1 DAY AS VARCHAR) "
+       f"FROM read_csv('{d}/i2.csv', nullstr=['NA']) ORDER BY 1")
+    fx("i3.csv", "ts\n2024-02-29 01:02:03\nNA",
+       f"SELECT coalesce(CAST(ts AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/i3.csv', nullstr=['NA']) ORDER BY 1")
+    fx("i4.csv", "v\n1.5\nNA\n-0.25",
+       f"SELECT coalesce(CAST(v * 2 AS VARCHAR), 'None') "
+       f"FROM read_csv('{d}/i4.csv', nullstr=['NA']) ORDER BY 1")
+    # all-null column sniffs VARCHAR (renders via || without cast)
+    fx("i5.csv", "a,b\nNA,1\nNA,2",
+       f"SELECT coalesce(a, 'None') || '/' || CAST(b AS VARCHAR) "
+       f"FROM read_csv('{d}/i5.csv', nullstr=['NA','none']) ORDER BY 1")
+    return [(sq, "query") for sq in scripts]
+
+
+def fam_jsonopt(seed):
+    """r17: read_json READER-option depth (r16 VERDICT task 6a) — array
+    vs newline-delimited framing (auto + explicit), records=false STRUCT
+    packing, scalar roots in a `json` column, columns={...} projection
+    with casts and NULL for missing keys, ignore_errors' all-NULL rows,
+    date/timestamp string promotion (and its NON-promotion for bare-T
+    strings), nested structure inference, and mixed-number widening."""
+    import os, shutil
+    shutil.rmtree("/tmp/graft_jsonopt_fx", ignore_errors=True)
+    os.makedirs("/tmp/graft_jsonopt_fx", exist_ok=True)
+    d = "/tmp/graft_jsonopt_fx"
+    scripts = []
+
+    def fx(fname, content, select):
+        scripts.append(_rawfile(f"{d}/{fname}", content) + "; " + select)
+
+    nd = '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}'
+    arr = '[{"a": 1, "b": "x"},\n{"a": 2, "b": "y"}]'
+    # framing: auto-detect both shapes, explicit format=
+    fx("a0.json", arr,
+       f"SELECT CAST(a AS VARCHAR) || '=' || b FROM read_json('{d}/a0.json') ORDER BY 1")
+    fx("a1.json", arr,
+       f"SELECT CAST(a AS VARCHAR) || '=' || b FROM read_json('{d}/a1.json', format='array') ORDER BY 1")
+    fx("a2.json", nd,
+       f"SELECT CAST(a AS VARCHAR) || '=' || b FROM read_json('{d}/a2.json', format='newline_delimited') ORDER BY 1")
+    fx("a3.json", nd,
+       f"SELECT CAST(a AS VARCHAR) || '=' || b FROM read_json('{d}/a3.json') ORDER BY 1")
+    fx("a4.json", nd,
+       f"SELECT CAST(a AS VARCHAR) || '=' || b FROM read_ndjson('{d}/a4.json') ORDER BY 1")
+    # records=false: one STRUCT column named json (DuckDB render)
+    fx("r0.json", nd,
+       f"SELECT CAST(json AS VARCHAR) FROM read_json('{d}/r0.json', records=false) ORDER BY 1")
+    fx("r1.json", arr,
+       f"SELECT CAST(json AS VARCHAR) FROM read_json('{d}/r1.json', records=false) ORDER BY 1")
+    # scalar roots: a `json` column of the sniffed type
+    fx("s0.json", "1\n2\n3",
+       f"SELECT CAST(sum(json) AS VARCHAR) FROM read_json('{d}/s0.json')")
+    fx("s1.json", "1.5\n-0.25",
+       f"SELECT CAST(json * 2 AS VARCHAR) FROM read_json('{d}/s1.json') ORDER BY 1")
+    fx("s2.json", '"abc"\n"d\\"e"',
+       f"SELECT json FROM read_json('{d}/s2.json') ORDER BY 1")
+    fx("s3.json", "true\nfalse",
+       f"SELECT CAST(json AS VARCHAR) FROM read_json('{d}/s3.json') ORDER BY 1")
+    # columns={...}: only listed columns, casts applied, missing -> NULL
+    fx("c0.json", nd,
+       f"SELECT CAST(a AS VARCHAR) || '=' || b FROM read_json('{d}/c0.json', columns={{'a':'DOUBLE','b':'VARCHAR'}}) ORDER BY 1")
+    fx("c1.json", nd,
+       f"SELECT a FROM read_json('{d}/c1.json', columns={{'a':'VARCHAR'}}) ORDER BY 1")
+    fx("c2.json", nd,
+       f"SELECT coalesce(CAST(zz AS VARCHAR), 'None') FROM read_json('{d}/c2.json', columns={{'zz':'INTEGER'}})")
+    # ignore_errors: the malformed line keeps an all-NULL row
+    fx("e0.json", '{"a": 1}\nnot json\n{"a": 3}',
+       f"SELECT coalesce(CAST(a AS VARCHAR), 'None') FROM read_json('{d}/e0.json', ignore_errors=true) ORDER BY 1")
+    # date/timestamp STRING promotion at the top level
+    fx("p0.json", '{"d": "2024-02-29"}\n{"d": "1999-12-31"}',
+       f"SELECT CAST(d + INTERVAL 1 DAY AS VARCHAR) FROM read_json('{d}/p0.json') ORDER BY 1")
+    fx("p1.json", '{"t": "2024-02-29 01:02:03"}\n{"t": "1999-12-31 23:59:59.5"}',
+       f"SELECT CAST(t AS VARCHAR) FROM read_json('{d}/p1.json') ORDER BY 1")
+    fx("p2.json", '{"t": "2024-02-29T01:02:03Z"}',
+       f"SELECT CAST(t AS VARCHAR) FROM read_json('{d}/p2.json')")
+    # bare-T strings without a zone do NOT promote (stay VARCHAR)
+    fx("p3.json", '{"t": "2024-02-29T01:02:03"}',
+       f"SELECT t || '!' FROM read_json('{d}/p3.json')")
+    # numeric-looking and boolean-looking strings stay VARCHAR
+    fx("p4.json", '{"n": "007", "b": "true"}',
+       f"SELECT n || '/' || b || '!' FROM read_json('{d}/p4.json')")
+    # nested structure inference: struct field access + list render
+    fx("x0.json", '{"s": {"x": 1, "y": [1,2]}, "l": ["a","b"]}\n{"s": {"x": 2, "y": []}, "l": []}',
+       f"SELECT CAST(s.x AS VARCHAR) || '=' || CAST(l AS VARCHAR) FROM read_json('{d}/x0.json') ORDER BY 1")
+    # missing fields NULL-pad; mixed int/double widens to DOUBLE
+    fx("x1.json", '{"a": 1, "b": "x"}\n{"a": 2}',
+       f"SELECT CAST(a AS VARCHAR) || '=' || coalesce(b, 'None') FROM read_json('{d}/x1.json') ORDER BY 1")
+    fx("x2.json", '{"v": 1}\n{"v": 2.5}',
+       f"SELECT CAST(v AS VARCHAR) FROM read_json('{d}/x2.json') ORDER BY 1")
+    return [(sq, "query") for sq in scripts]
+
+
+def fam_stmtshape(seed):
+    """r17: statement-SHAPE depth (r16 VERDICT task 6b) — nested set-op
+    precedence (INTERSECT binds tighter; left-assoc UNION/EXCEPT
+    chains), parenthesized operands with inner ORDER BY + outer
+    LIMIT/OFFSET, CTE shadowing (nested, scalar-subquery, FORWARD
+    references between CTEs), VALUES-row coercion breadth, FROM-first,
+    GROUP BY/ORDER BY ALL, DISTINCT ON, LIMIT n%, FETCH FIRST, ORDER BY
+    of an alias that shadows its source column. Error atomicity lives
+    in R17EdgeSpec (error scripts cannot hash-compare)."""
+    qs = [
+        # ---- set-op precedence / associativity ----
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x UNION SELECT 2 INTERSECT SELECT 2) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x INTERSECT SELECT 2 UNION SELECT 3) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x UNION ALL SELECT 2 EXCEPT SELECT 1) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x EXCEPT SELECT 1 UNION ALL SELECT 5) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x UNION SELECT 2 UNION ALL SELECT 2) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM ((SELECT 1 AS x UNION SELECT 2) INTERSECT SELECT 2) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x UNION ALL (SELECT 2 EXCEPT SELECT 2)) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 2 AS x UNION ALL SELECT 2 INTERSECT ALL SELECT 2) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (SELECT 1 AS x EXCEPT SELECT 2 EXCEPT SELECT 1) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1) UNION ALL VALUES (2) INTERSECT VALUES (2)) t(x) ORDER BY 1",
+        # trailing ORDER BY scopes to the whole union; inner ORDER BY
+        # stays inside its parens, outer LIMIT/OFFSET over the union
+        "SELECT * FROM (VALUES (3),(1)) t(x) UNION ALL SELECT 2 ORDER BY 1",
+        "SELECT 1 UNION SELECT 2 ORDER BY 1 LIMIT 1 OFFSET 1",
+        "WITH t(x) AS (VALUES (1),(2)) (SELECT x FROM t) UNION ALL (SELECT x FROM t) ORDER BY 1",
+        "(SELECT 2 AS x) UNION ALL (SELECT 1) ORDER BY 1 LIMIT 1",
+        # ---- CTE shadowing / forward references ----
+        "WITH t(x) AS (SELECT 1) SELECT CAST(x AS VARCHAR) FROM (WITH t(x) AS (SELECT 2) SELECT x FROM t)",
+        "WITH t(x) AS (SELECT 1), u(y) AS (SELECT x + 1 FROM t) SELECT CAST(y AS VARCHAR) FROM u",
+        "WITH t(x) AS (SELECT 1) SELECT CAST((WITH t(x) AS (SELECT 5) SELECT x FROM t) + x AS VARCHAR) FROM t",
+        "WITH u(y) AS (SELECT x FROM t), t(x) AS (SELECT 7) SELECT CAST(y AS VARCHAR) FROM u",
+        "WITH RECURSIVE t(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM t WHERE x < 4) SELECT CAST(sum(x) AS VARCHAR) FROM t",
+        "WITH t(x) AS (SELECT 10) SELECT CAST(a.x + b.x AS VARCHAR) FROM t a, t b",
+        "WITH t AS (SELECT 1 AS x) SELECT CAST(x AS VARCHAR) FROM (WITH u AS (SELECT x + 1 AS x FROM t) SELECT x FROM u)",
+        # ---- VALUES-row coercion breadth ----
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1), (2.5), (3)) t(x) ORDER BY x",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (DATE '2024-01-01'), ('2024-02-03')) t(x) ORDER BY 1",
+        "SELECT coalesce(CAST(x AS VARCHAR), 'None') FROM (VALUES (1), (NULL), (3)) t(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (true), (1)) t(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES ([1,2]), ([3.5])) t(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (CAST(1 AS TINYINT)), (300)) t(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1e0), (2)) t(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (TIMESTAMP '2024-01-01 01:02:03'), ('2024-02-03 00:00:00')) t(x) ORDER BY 1",
+        # ---- clause shapes ----
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (4),(2),(1),(3)) t(x) ORDER BY 1 OFFSET 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1),(2),(3)) t(x) ORDER BY 1 LIMIT 50%",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (1),(2),(3)) t(x) ORDER BY 1 FETCH FIRST 2 ROWS ONLY",
+        "FROM (VALUES (1),(2)) t(x) SELECT CAST(x + 1 AS VARCHAR) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) || '/' || CAST(count(*) AS VARCHAR) FROM (VALUES (1),(1),(2)) t(x) GROUP BY ALL ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) FROM (VALUES (3),(1),(2)) t(x) ORDER BY ALL",
+        "SELECT CAST(-x AS VARCHAR) AS x FROM (VALUES (3),(1)) t(x) ORDER BY x",
+        "SELECT DISTINCT ON (x % 2) CAST(x AS VARCHAR) FROM (VALUES (4),(2),(1),(3)) t(x) ORDER BY x % 2, x",
+    ]
+    return [(q, "query") for q in qs]
+
+
 def fam_jsonbuild(seed):
     """r15: JSON construction/inspection — to_json over scalars,
     json_object/json_array from mixed-typed args, RFC 7386
@@ -1551,6 +1814,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "interval": fam_interval, "keyequiv": fam_keyequiv,
             "fnwave": fam_fnwave, "collate": fam_collate,
             "unicase": fam_unicase, "csvio": fam_csvio,
+            "csvopt": fam_csvopt, "jsonopt": fam_jsonopt,
+            "stmtshape": fam_stmtshape,
             "trailing": fam_trailing, "numedge": fam_numedge,
             "jsonbuild": fam_jsonbuild, "printf": fam_printf,
             "likeglob": fam_likeglob,
