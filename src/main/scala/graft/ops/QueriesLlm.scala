@@ -1285,6 +1285,21 @@ object QueriesLlm {
       // against full set sizes. Deterministic, oracle-twinned; both
       // directions emitted. Intersections are counted over the df-pruned
       // postings on BOTH engines — the standard prune, stated in the twin.
+      //
+      // Density contract, MEASURED at sf10 (r17, VERDICT r16 tasks 1/7;
+      // bench_archive/LSH_AUDIT_r17_sf10.json + PAIRCOUNT_r17_sf1_sf10
+      // .json, SCALE.md §6.21): the sf10 generator's 100-variant
+      // clusters put the dense gram buckets AT (not under-and-evading)
+      // the cap — max posting 400 docs, 12,653 postings over cap
+      // dropping 2.59 M entries, candidates kept 1.162 B of 1.431 B
+      // uncapped (−19%), inside the entries·(cap−1)/2 = 1.314 B bound.
+      // TRUE output is 42.9 M pairs vs 473 K at sf1 — 90.7× the output
+      // for 10× the docs (C(100,2)/C(10,2) = 110× per cluster), so the
+      // sf10 wall_x 33.2 is OUTPUT-sized, sub-linear per candidate and
+      // per emitted pair. On a corpus without variant factories the
+      // output is linear-ish and the cap bounds the worst bucket at
+      // O(cap²) pairs — the 100 TB posture is the cap, not the wall of
+      // this adversarial fixture.
       val sh = shinglesDF(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = containPairs(sh, MaxBucket)
