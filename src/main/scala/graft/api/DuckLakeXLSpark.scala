@@ -2841,17 +2841,39 @@ class DuckLakeXLSpark(
     * the result is deterministic.
     */
   private def executePivot(s: StatementRouter.Pivot): DataFrame = {
-    val df = resolveTable(s.table) match {
+    val df = if (s.table.startsWith("(")) {
+      // PIVOT (subquery) ON … — the derived-table form (r17)
+      withLakeCatalog(sqlSelect(
+        s"SELECT * FROM ${s.table} __piv_src"))
+    } else resolveTable(s.table) match {
       case Some(_) => table(s.table)
       case None =>
         val v = state.viewByName(s.table).getOrElse(
           throw new IllegalArgumentException(s"no such table or view: ${s.table}"))
         withLakeCatalog(sqlSelect((v.sql)))
     }
-    val values = df.select(col(s.onCol)).filter(col(s.onCol).isNotNull)
-      .distinct().orderBy(s.onCol).limit(10001).collect().map(_.get(0)).toSeq
-    require(values.length <= 10000,
-      s"PIVOT ON ${s.onCol}: ${values.length} distinct values exceed the 10k column cap")
+    // `ON k IN ('x','y')` pins the pivot columns EXPLICITLY (measured:
+    // absent values yield all-NULL columns) and skips the discovery
+    // scan — the shape to prefer at 100 TB, where a distinct over the
+    // pivot column is itself a full-corpus aggregation
+    val inRe = """(?is)^(.*?)\s+IN\s*\((.*)\)\s*$""".r
+    val (onCol, pinnedVals) = s.onCol match {
+      case inRe(c, vals) =>
+        (c.trim.stripPrefix("\"").stripSuffix("\""),
+         Some(StatementRouter.splitTopCommas(vals).map(_.trim).map { v =>
+           if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+             v.substring(1, v.length - 1).replace("''", "'")
+           else v
+         }))
+      case _ => (s.onCol, None)
+    }
+    val values: Seq[Any] = pinnedVals.map(_.map(_.asInstanceOf[Any])).getOrElse {
+      val vs = df.select(col(onCol)).filter(col(onCol).isNotNull)
+        .distinct().orderBy(onCol).limit(10001).collect().map(_.get(0)).toSeq
+      require(vs.length <= 10000,
+        s"PIVOT ON $onCol: ${vs.length} distinct values exceed the 10k column cap")
+      vs
+    }
     // the agg/group text is user DuckDB SQL like any other — it rides the
     // dialect rewrites (list() -> collect_list, // -> div, …) before expr()
     val aggs: Seq[Column] =
@@ -2874,12 +2896,24 @@ class DuckLakeXLSpark(
           s"(?i)\\b${java.util.regex.Pattern.quote(c)}\\b(?!\\s*\\()".r
             .findFirstIn(ex).isDefined
         }).toSet
-        df.columns.filter(c => c != s.onCol && !usedInAgg(c)).toSeq
+        df.columns.filter(c => c != onCol && !usedInAgg(c)).toSeq
     }
-    val out = df.groupBy(groupCols.map(col): _*)
-      .pivot(s.onCol, values)
+    val out0 = df.groupBy(groupCols.map(col): _*)
+      .pivot(onCol, values)
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(groupCols.map(col): _*)
+    // a trailing ORDER BY orders the pivot OUTPUT (r17); default stays
+    // group-column order
+    val out = s.orderBy match {
+      case Some(ob) => out0.orderBy(StatementRouter.splitTopCommas(ob)
+        .map(_.trim).filter(_.nonEmpty)
+        .map { o =>
+          val m = """(?is)^(.*?)\s+(ASC|DESC)$""".r.findFirstMatchIn(o)
+          val base = expr(StatementRouter.rewriteDialect(
+            m.map(_.group(1).trim).getOrElse(o)))
+          if (m.exists(_.group(2).equalsIgnoreCase("DESC"))) base.desc else base
+        }: _*)
+      case None => out0.orderBy(groupCols.map(col): _*)
+    }
     // DuckDB's default count(*) pivot shows 0 for empty cells (an explicit
     // USING keeps NULL on both engines); Spark's pivot leaves them NULL
     if (s.using.isEmpty) out.na.fill(0L, out.columns.diff(groupCols))
@@ -4259,6 +4293,13 @@ class DuckLakeXLSpark(
     * write a directory)
     */
   private def executeCopy(s: StatementRouter.CopyTo): Unit = {
+    // reader-only options on the WRITER refuse with DuckDB's own words
+    // (measured r17)
+    if (s.writerOptions.get("nullValue").exists(_.trim.startsWith("[")))
+      throw new IllegalArgumentException(
+        "CSV Writer function option nullstr only accepts one nullstr value.")
+    require(!s.writerOptions.contains("__graft_force_not_null"),
+      "FORCE_NOT_NULL is a COPY ... FROM (read) option")
     val inner =
       if (s.source.startsWith("(")) s.source.stripPrefix("(").stripSuffix(")")
       else s"SELECT * FROM ${s.source}"
@@ -4451,14 +4492,43 @@ class DuckLakeXLSpark(
       else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
       else "parquet"
     }
+    val nullstrs = s.readerOptions.get("nullValue").map(optStrList)
+      .getOrElse(Seq(""))
+    val force = s.readerOptions.get("__graft_force_not_null")
+      .map(v => StatementRouter.splitTopCommas(v)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+      .getOrElse(Nil).toSet
+    val plainOpts = s.readerOptions - "__graft_force_not_null"
     val df = fmt match {
+      case "csv" if nullstrs.lengthIs > 1 || force.nonEmpty =>
+        // NULLSTR lists / FORCE_NOT_NULL need the when()-based
+        // null-clean (same measured semantics as read_csv's r17 path:
+        // any list member nulls, force columns read the match as '');
+        // the declared table schema supplies the types, so the clean
+        // happens on an all-VARCHAR read then casts per column
+        val strSchema = StructType(schema.fields.map(f =>
+          StructField(f.name, StringType, nullable = true)))
+        var r = spark.read.schema(strSchema).option("header", "true")
+        r = r.options(plainOpts - "nullValue")
+        r = r.option("nullValue", "")
+        val raw = r.csv(s.path)
+        raw.select(schema.fields.map { f =>
+          val base = raw(f.name)
+          val hit = base.isin(nullstrs.map(_.asInstanceOf[Any]): _*)
+          val cleaned =
+            if (force.contains(f.name))
+              when(hit || (base.isNull && lit(nullstrs.contains(""))), lit(""))
+                .otherwise(base)
+            else when(hit, lit(null)).otherwise(base)
+          cleaned.cast(f.dataType).as(f.name)
+        }.toSeq: _*)
       case "csv"  =>
         var r = spark.read.schema(schema).option("header", "true")
         // same whitelist-parsed option names as COPY TO (sep/quote/
         // escape/nullValue/header/compression/date formats), applied to
         // the reader — (DELIMITER '|', HEADER false) must shape the READ
         // exactly as it shaped the write, or a round-trip corrupts
-        r = r.options(s.readerOptions)
+        r = r.options(plainOpts)
         r.csv(s.path)
       case "json" => spark.read.schema(schema)
         .options(s.readerOptions).json(s.path)

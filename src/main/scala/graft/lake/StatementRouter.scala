@@ -199,7 +199,8 @@ object StatementRouter {
     */
   final case class Pivot(table: String, onCol: String,
       using: Seq[(String, Option[String])],
-      groupBy: Option[Seq[String]]) extends Stmt
+      groupBy: Option[Seq[String]],
+      orderBy: Option[String] = None) extends Stmt
   final case class Explain(select: String) extends Stmt
   /** `EXPLAIN ANALYZE q` — runs q and reports the executed plan with
     * per-operator runtime metrics (rows, time), like the DuckDB form
@@ -399,6 +400,7 @@ object StatementRouter {
   private val DeallocateRe =
     """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(IF\s+EXISTS\s+)?([\w\"]+)\s*$""".r
   private val PivotRe = """(?is)^\s*PIVOT\s+([\w\.\"]+)\s+ON\s+(.+)$""".r
+  private val PivotSubqRe = """(?is)^\s*PIVOT\s*\(""".r
   private val UnpivotRe =
     """(?is)^\s*UNPIVOT\s+([\w\.\"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)\s*$""".r
   // the short forms: optional INTO clause (defaults name/value — the
@@ -971,13 +973,14 @@ object StatementRouter {
   private[graft] def parseCopyOptions(blob: String)
       : (Option[String], Seq[String], Map[String, String], Boolean) = {
     if (blob.trim.isEmpty) return (None, Nil, Map.empty, false)
-    // split on commas outside single quotes and parens
+    // split on commas outside single quotes, parens, AND brackets
+    // (NULLSTR ['NA','none'] carries top-level-looking commas — r17)
     val parts = scala.collection.mutable.Buffer[String]()
     val sb = new StringBuilder; var depth = 0; var inQ = false
     for (c <- blob) c match {
       case '\'' => inQ = !inQ; sb += c
-      case '(' if !inQ => depth += 1; sb += c
-      case ')' if !inQ => depth -= 1; sb += c
+      case '(' | '[' if !inQ => depth += 1; sb += c
+      case ')' | ']' if !inQ => depth -= 1; sb += c
       case ',' if !inQ && depth == 0 => parts += sb.toString; sb.clear()
       case ch => sb += ch
     }
@@ -1010,7 +1013,18 @@ object StatementRouter {
         case "HEADER" => wopts("header") = boolOf(value).toString
         case "QUOTE" => wopts("quote") = unq(value)
         case "ESCAPE" => wopts("escape") = unq(value)
-        case "NULLSTR" | "NULL" => wopts("nullValue") = unq(value)
+        // a NULLSTR list (`['NA','none']`) passes through RAW — the
+        // CSV read path splits it (r17; the writer renders NULL as the
+        // FIRST entry, DuckDB's rule)
+        case "NULLSTR" | "NULL" =>
+          val v = value.trim
+          wopts("nullValue") = if (v.startsWith("[")) v else unq(v)
+        // FORCE_NOT_NULL (c, d): nullstr matches in the named columns
+        // read back as '' instead of NULL (measured r17, COPY FROM only)
+        case "FORCE_NOT_NULL" =>
+          val inner = value.trim
+          val body = if (inner.startsWith("(")) inner.drop(1).dropRight(1) else inner
+          wopts("__graft_force_not_null") = body
         case "COMPRESSION" | "CODEC" =>
           val c = unq(value).toLowerCase
           wopts("compression") = if (c == "uncompressed") "none" else c
@@ -1267,6 +1281,22 @@ object StatementRouter {
         splitTopCommas(b).map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
     case DeallocateRe(ife, name) => Deallocate(bareName(name), ife != null)
     case PivotRe(name, rest) => parsePivot(qualName(name), rest)
+    // `PIVOT (subquery) ON …` — DuckDB's derived-table form (r17
+    // stmtshape follow-through): the balanced subquery rides through in
+    // the table slot, the executor routes it via sqlSelect
+    case s0 if PivotSubqRe.findPrefixMatchOf(s0).isDefined =>
+      val m = PivotSubqRe.findPrefixMatchOf(s0).get
+      val open = m.end - 1
+      val close = matchingParen(s0, open)
+      require(close > open, s"cannot parse PIVOT subquery: $s0")
+      val rest = s0.substring(close + 1).trim
+      val onRe = """(?is)^ON\s+(.+)$""".r
+      rest match {
+        case onRe(tail) =>
+          parsePivot("(" + s0.substring(open + 1, close) + ")", tail)
+        case _ => throw new IllegalArgumentException(
+          s"expected ON after PIVOT (subquery): $rest")
+      }
     // DuckDB `UNPIVOT t ON a, b INTO NAME k VALUE v` -> Spark's UNPIVOT
     // clause (both engines exclude NULL cells by default)
     case UnpivotRe(name, cols, nameC, valC) =>
@@ -1293,9 +1323,13 @@ object StatementRouter {
     case other => Select(other)
   }
 
-  private def parsePivot(table: String, rest: String): Pivot = {
-    // rest = "<col> [USING agg…] [GROUP BY g, …]" — keyword splits are
-    // quote/paren-aware so an agg argument can contain anything
+  private def parsePivot(table: String, rest0: String): Pivot = {
+    // rest = "<col> [USING agg…] [GROUP BY g, …] [ORDER BY …]" — keyword
+    // splits are quote/paren-aware so an agg argument can contain
+    // anything; a trailing ORDER BY applies to the pivot OUTPUT (r17)
+    val (rest, orderPart) = splitTopLevelKeyword(rest0, "ORDER")
+    val orderBy = orderPart.flatMap(t =>
+      """(?is)^BY\b(.*)$""".r.findFirstMatchIn(t).map(_.group(1).trim))
     val (beforeGroup, groupPart) = splitTopLevelKeyword(rest, "GROUP")
     val groupBy = groupPart.map { g =>
       val t = g.trim
@@ -1307,7 +1341,8 @@ object StatementRouter {
       val (ex, alias) = splitTopLevelKeyword(a.trim, "AS")
       (ex, alias.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
     })
-    Pivot(table, onCol.trim.stripPrefix("\"").stripSuffix("\""), aggs, groupBy)
+    Pivot(table, onCol.trim.stripPrefix("\"").stripSuffix("\""), aggs,
+      groupBy, orderBy)
   }
 
   /** Expand macro calls textually (outside string literals), innermost
@@ -1834,15 +1869,29 @@ object StatementRouter {
     * output if left alone */
   private def rewriteStringAgg(q0: String): String = {
     def rw(args: Seq[String]): Option[String] = {
-      if (args.isEmpty || args.length > 2) return None
-      val (lastBody, obTail) = splitTopLevelKeyword(args.last, "ORDER")
+      if (args.isEmpty) return None
+      // a MULTI-KEY in-call ORDER BY carries top-level commas, so the
+      // call splitter hands us >2 "args" — re-join and split at the
+      // ORDER keyword first (r17: string_agg(v, ',' ORDER BY g, k DESC))
+      val whole = args.mkString(", ")
+      val (head, obTail) = splitTopLevelKeyword(whole, "ORDER")
       val ob = obTail.flatMap(t =>
         """(?is)^BY\b(.*)$""".r.findFirstMatchIn(t).map(_.group(1).trim))
       if (obTail.isDefined && ob.isEmpty) return None // ORDER w/o BY — not ours
-      val expr = if (args.length == 1) lastBody.trim else args.head.trim
-      val sep = if (args.length == 2) lastBody.trim else "','"
+      val parts = splitTopCommas(head).map(_.trim).filter(_.nonEmpty)
+      if (parts.isEmpty || parts.lengthIs > 2) return None
+      val expr = parts.head
+      val sep = if (parts.lengthIs == 2) parts(1) else "','"
+      // DuckDB's default null order is NULLS LAST for both directions;
+      // Spark's WITHIN GROUP would put NULL keys FIRST under ASC
+      // (measured r17: ORDER BY k over keys 1,2,NULL answers 'a,b,c' —
+      // the NULL-key value LAST) — make it explicit per sort key
+      val obNl = ob.map(o => splitTopCommas(o).map { p =>
+        if ("""(?i)\bNULLS\s+(FIRST|LAST)\b""".r.findFirstIn(p).isDefined) p
+        else p.trim + " NULLS LAST"
+      }.mkString(", "))
       Some(s"string_agg($expr, $sep)" +
-        ob.map(o => s" WITHIN GROUP (ORDER BY $o)").getOrElse(""))
+        obNl.map(o => s" WITHIN GROUP (ORDER BY $o)").getOrElse(""))
     }
     rewriteCalls(rewriteCalls(q0, "string_agg")(rw), "group_concat")(rw)
   }
@@ -5295,12 +5344,19 @@ object StatementRouter {
         (body.trim, key, desc)
       }
     }
+    // NULLS LAST in BOTH directions (measured r17: list(v ORDER BY k
+    // DESC) over keys 1,2,NULL answers [20,10,30] — the old
+    // reverse(sorted) put the NULL-key row FIRST). The comparator only
+    // touches the key, so v may be any type.
     for (fn <- Seq("collect_list", "array_agg"))
       q = rewriteCalls(q, fn) {
         case Seq(one) => inCallOrderBy(one).map { case (v, k, desc) =>
-          val sorted = s"transform(array_sort(collect_list(" +
-            s"named_struct('n', ($k) IS NULL, 'k', $k, 'v', $v))), __ob -> __ob.v)"
-          if (desc) s"reverse($sorted)" else sorted
+          val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+          s"transform(array_sort(collect_list(named_struct(" +
+          s"'n', ($k) IS NULL, 'k', $k, 'v', $v)), (l, r) -> " +
+          s"CASE WHEN l.n AND r.n THEN 0 WHEN l.n THEN 1 WHEN r.n THEN -1 " +
+          s"WHEN l.k < r.k THEN $lt WHEN l.k > r.k THEN $gt ELSE 0 END), " +
+          s"__ob -> __ob.v)"
         }
         case _ => None
       }

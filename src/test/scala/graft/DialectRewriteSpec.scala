@@ -606,9 +606,11 @@ class DialectRewriteSpec extends AnyFunSuite {
     // DuckDB's default separator is ',' — Spark's is '' (silent corruption)
     assert(rewriteDialect("SELECT string_agg(v) FROM t") ==
       "SELECT string_agg(v, ',') FROM t")
-    // in-call ORDER BY relocates to WITHIN GROUP
+    // in-call ORDER BY relocates to WITHIN GROUP; the explicit NULLS
+    // LAST is DuckDB's default null order in BOTH directions (r17 —
+    // Spark's ASC default is NULLS FIRST, a silent value divergence)
     assert(rewriteDialect("SELECT string_agg(v, '|' ORDER BY ts DESC) FROM t") ==
-      "SELECT string_agg(v, '|') WITHIN GROUP (ORDER BY ts DESC) FROM t")
+      "SELECT string_agg(v, '|') WITHIN GROUP (ORDER BY ts DESC NULLS LAST) FROM t")
     assert(rewriteDialect("SELECT string_agg(v ORDER BY v) FROM t") ==
       "SELECT string_agg(v, ',') WITHIN GROUP (ORDER BY v NULLS LAST) FROM t")
     assert(rewriteDialect("SELECT group_concat(v, ';') FROM t") ==

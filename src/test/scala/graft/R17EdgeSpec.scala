@@ -122,6 +122,74 @@ class R17EdgeSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(2, 4))
   }
 
+  test("PIVOT over a derived table (subquery form) matches DuckDB") {
+    // measured: PIVOT (VALUES…) ON k USING sum(v) GROUP BY g
+    //   -> rows ('a',1,2),('b',3,NULL) with columns g,x,y
+    val rows = lake.sql(
+      "PIVOT (SELECT * FROM (VALUES ('a','x',1),('a','y',2),('b','x',3)) " +
+      "t(g,k,v)) ON k USING sum(v) GROUP BY g ORDER BY g").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 2L)
+    assert(rows(1).getLong(1) == 3L && rows(1).isNullAt(2))
+    // IN-list form pins the pivot columns explicitly: absent values
+    // yield all-NULL columns (measured ('a',1,NULL),('b',NULL,NULL))
+    val inRows = lake.sql(
+      "PIVOT (SELECT * FROM (VALUES ('a','x',1),('b','z',3)) t(g,k,v)) " +
+      "ON k IN ('x','y') USING sum(v) GROUP BY g ORDER BY g").collect()
+    assert(inRows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(inRows(0).getLong(1) == 1L && inRows(0).isNullAt(2))
+    assert(inRows(1).isNullAt(1) && inRows(1).isNullAt(2))
+    // multi-agg USING names columns <value>_<alias> (measured x_s, x_c)
+    val ma = lake.sql(
+      "PIVOT (SELECT * FROM (VALUES ('a','x',1),('a','x',5)) t(g,k,v)) " +
+      "ON k USING sum(v) AS s, count(*) AS c GROUP BY g")
+    assert(ma.columns.toSeq == Seq("g", "x_s", "x_c"), ma.columns.mkString(","))
+    val mr = ma.head()
+    assert(mr.getLong(1) == 6L && mr.getLong(2) == 2L)
+  }
+
+  test("COPY FROM honors NULLSTR lists and FORCE_NOT_NULL; COPY TO " +
+      "refuses them (DuckDB-measured)") {
+    val dir = Files.createTempDirectory("graft_r17cf").toString
+    lake.sql("CREATE TABLE cf(id INTEGER, c VARCHAR)")
+    lake.sql(s"COPY (SELECT 'id,c' || chr(10) || '1,NA' || chr(10) || " +
+      s"'2,x' || chr(10) || '3,none' AS j) TO '$dir/cf.csv' " +
+      "(FORMAT CSV, QUOTE '', HEADER false)")
+    lake.sql(s"COPY cf FROM '$dir/cf.csv' (FORMAT CSV, HEADER true, " +
+      "NULLSTR ['NA','none'])")
+    assert(lake.sql("SELECT coalesce(c, 'None') AS c FROM cf ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("None", "x", "None"))
+    lake.sql("DELETE FROM cf")
+    lake.sql(s"COPY cf FROM '$dir/cf.csv' (FORMAT CSV, HEADER true, " +
+      "NULLSTR 'NA', FORCE_NOT_NULL (c))")
+    // measured: the NA match reads back '' in the forced column
+    assert(lake.sql("SELECT '[' || c || ']' AS c FROM cf ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("[]", "[x]", "[none]"))
+    val e = intercept[Exception] {
+      lake.sql(s"COPY cf TO '$dir/out.csv' (FORMAT CSV, NULLSTR ['a','b'])")
+    }
+    assert(e.getMessage.contains("only accepts one nullstr value"), e.getMessage)
+  }
+
+  test("ordered collectors place NULL keys LAST in both directions " +
+      "(list DESC was the r16-pinned divergence — now fixed; DuckDB-measured)") {
+    // list(v ORDER BY k DESC) over keys 1,2,NULL = [20, 10, 30]
+    val l = lake.sql("SELECT list(v ORDER BY k DESC) AS l FROM kv").head()
+      .getSeq[Int](0)
+    assert(l == Seq(20, 10, 30), l)
+    assert(lake.sql("SELECT list(v ORDER BY k) AS l FROM kv").head()
+      .getSeq[Int](0) == Seq(10, 20, 30))
+    // string_agg: ASC 'a,b,c' (NULL last — Spark's WITHIN GROUP default
+    // would answer 'c,a,b'), DESC 'b,a,c', multi-key 'a,b,c'
+    def sa(q: String) = lake.sql(q).head().getString(0)
+    assert(sa("SELECT string_agg(v, ',' ORDER BY k) AS s " +
+      "FROM (VALUES (1,'a'),(2,'b'),(NULL,'c')) t(k,v)") == "a,b,c")
+    assert(sa("SELECT string_agg(v, ',' ORDER BY k DESC) AS s " +
+      "FROM (VALUES (1,'a'),(2,'b'),(NULL,'c')) t(k,v)") == "b,a,c")
+    assert(sa("SELECT string_agg(v, ',' ORDER BY g, k DESC) AS s " +
+      "FROM (VALUES (1,1,'a'),(1,NULL,'b'),(NULL,2,'c')) t(g,k,v)") == "a,b,c")
+  }
+
   test("multi-statement script atomicity matches DuckDB: statements " +
       "BEFORE the failure persist, statements after never run") {
     // measured r17: DuckDB autocommits per statement — a failing script
