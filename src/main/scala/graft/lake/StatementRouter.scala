@@ -3140,6 +3140,90 @@ object StatementRouter {
     s
   }
 
+  /** DuckDB named-window INHERITANCE (measured r17): `OVER (w ROWS …)`
+    * extends window `w`'s spec, and a WINDOW-clause def may extend an
+    * earlier one (`w2 AS (w1 ROWS …)`). Spark's parser takes only a bare
+    * `OVER w` or a full spec, so the base spec inlines TEXTUALLY: defs
+    * resolve left-to-right, then every `OVER (name …)` whose head names
+    * a def becomes `OVER (<resolved spec> …)`. Plain `OVER w` and the
+    * (resolved) WINDOW clause stay — Spark handles those natively. */
+  private def rewriteWindowInherit(q0: String): String = {
+    val winRe = """(?is)\bWINDOW\s+""".r
+    val lm0 = literalMask(q0)
+    val m = winRe.findAllMatchIn(q0).find(mm => !lm0(mm.start)).getOrElse(return q0)
+    val defRe = """(?s)\s*("[^"]+"|[A-Za-z_]\w*)\s+AS\s*\(""".r
+    var i = m.end
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val specs = scala.collection.mutable.LinkedHashMap[String, String]()
+    var spans = List.empty[(Int, Int, String)] // def-spec (open+1, close, name)
+    var go = true
+    while (go) {
+      defRe.findPrefixMatchOf(q0.substring(i)) match {
+        case Some(dm) =>
+          val open = i + dm.end - 1
+          val close = matchingParen(q0, open)
+          if (close < 0) return q0
+          val name = dm.group(1).stripPrefix("\"").stripSuffix("\"")
+            .toLowerCase(java.util.Locale.ROOT)
+          names += name
+          // resolve inheritance: a spec whose FIRST token is an earlier
+          // def's name inlines that def's (already-resolved) spec
+          val raw = q0.substring(open + 1, close).trim
+          val headRe = """(?s)^("[^"]+"|[A-Za-z_]\w*)\b(.*)$""".r
+          val resolved = headRe.findFirstMatchIn(raw) match {
+            case Some(hm) =>
+              val h = hm.group(1).stripPrefix("\"").stripSuffix("\"")
+                .toLowerCase(java.util.Locale.ROOT)
+              specs.get(h).map(s0 => (s0 + " " + hm.group(2).trim).trim)
+                .getOrElse(raw)
+            case None => raw
+          }
+          specs(name) = resolved
+          spans = (open + 1, close, name) :: spans
+          i = close + 1
+          while (i < q0.length && q0.charAt(i).isWhitespace) i += 1
+          if (i < q0.length && q0.charAt(i) == ',') i += 1 else go = false
+        case None => return q0
+      }
+    }
+    if (specs.isEmpty) return q0
+    // rewrite the def bodies to their RESOLVED specs (right-to-left so
+    // earlier offsets stay valid)
+    var q = q0
+    spans.foreach { case (a, b, name) =>
+      q = q.substring(0, a) + specs(name) + q.substring(b)
+    }
+    // inline `OVER ( name … )` references
+    val overRe = """(?is)\bOVER\s*\(""".r
+    var changed = true
+    while (changed) {
+      changed = false
+      val lm = literalMask(q)
+      overRe.findAllMatchIn(q).filter(mm => !lm(mm.start)).foreach { om =>
+        if (!changed) {
+          val open = om.end - 1
+          val close = matchingParen(q, open)
+          if (close > open) {
+            val body = q.substring(open + 1, close).trim
+            val headRe = """(?s)^("[^"]+"|[A-Za-z_]\w*)\b(.*)$""".r
+            headRe.findFirstMatchIn(body).foreach { hm =>
+              val h = hm.group(1).stripPrefix("\"").stripSuffix("\"")
+                .toLowerCase(java.util.Locale.ROOT)
+              val kw = Set("partition", "order", "rows", "range", "groups")
+              if (specs.contains(h) && !kw(h)) {
+                val tail = hm.group(2).trim
+                val inlined = (specs(h) + " " + tail).trim
+                q = q.substring(0, open + 1) + inlined + q.substring(close)
+                changed = true
+              }
+            }
+          }
+        }
+      }
+    }
+    q
+  }
+
   /** ANSI `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` is DuckDB's spelled-
     * out LIMIT (measured r17: `ORDER BY 1 FETCH FIRST 2 ROWS ONLY`
     * answers 2 rows); Spark's parser refuses it, so it rewrites to the
@@ -6156,6 +6240,7 @@ object StatementRouter {
     // references reorder to definition-before-use (r17 stmtshape)
     q = rewriteFetchFirst(q)
     q = reorderForwardCtes(q)
+    q = rewriteWindowInherit(q)
     // DuckDB 1.0's parser refuses the SQL-standard OUTSIDE-parens
     // `fn(x) IGNORE NULLS OVER` spelling and GROUPS window frames
     // (measured; the IN-parens `fn(x IGNORE NULLS)` spelling is valid

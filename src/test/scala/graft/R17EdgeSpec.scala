@@ -122,6 +122,23 @@ class R17EdgeSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(2, 4))
   }
 
+  test("named-window inheritance: OVER (w ROWS ...) and w2 AS (w1 ...) " +
+      "extend the base spec (DuckDB-measured)") {
+    // measured: sum over w+frame = [1,3,5]
+    val r1 = lake.sql(
+      "SELECT x, sum(x) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s " +
+      "FROM (VALUES (1),(2),(3)) t(x) WINDOW w AS (ORDER BY x) ORDER BY x")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((1, 1L), (2, 3L), (3, 5L)), r1)
+    // def-level inheritance: w2 extends w1 (measured rank 1,2; sum 1,3)
+    val r2 = lake.sql(
+      "SELECT x, rank() OVER w1 AS rk, sum(x) OVER w2 AS s " +
+      "FROM (VALUES (1),(2)) t(x) " +
+      "WINDOW w1 AS (ORDER BY x), w2 AS (w1 ROWS UNBOUNDED PRECEDING) ORDER BY x")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(r2 == Seq((1, 1, 1L), (2, 2, 3L)), r2)
+  }
+
   test("PIVOT over a derived table (subquery form) matches DuckDB") {
     // measured: PIVOT (VALUES…) ON k USING sum(v) GROUP BY g
     //   -> rows ('a',1,2),('b',3,NULL) with columns g,x,y
