@@ -81,6 +81,19 @@ def main():
             cwd=REPO / "tools")
         if r.returncode != 0:
             raise SystemExit("check_sf1.py failed — CORRECTNESS_SF1 stale")
+    # r18 (VERDICT r17 task 1): the 0-drift provenance invariant is part
+    # of every close — re-prove EVERY differential fixture against real
+    # DuckDB, all families, or fail the close loudly.
+    print("re-verifying all differential fixtures against DuckDB...")
+    import glob
+    spec_files = sorted(
+        glob.glob(str(REPO / "src/test/scala/graft/*DifferentialSpec.scala"))
+    ) + [str(REPO / "src/test/scala/graft/KeyEquivSpec.scala")]
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "diffgen.py"), "verify",
+         *spec_files], cwd=REPO)
+    if r.returncode != 0:
+        raise SystemExit("diffgen verify failed — fixture drift at close")
     sys.exit(0 if not best["degraded"] else 2)
 
 

@@ -1832,7 +1832,14 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "AggDepthDifferentialSpec.scala": "agg",
              "WinDepthDifferentialSpec.scala": "window",
              "CoercionDifferentialSpec.scala": "auto",
-             "KeyEquivSpec.scala": "auto"}
+             "KeyEquivSpec.scala": "auto",
+             # r18 (VERDICT r17 task 1): the three r17 families emit
+             # per-fixture kind "query" (multi-row, rows joined ';');
+             # eval_auto is insufficient — StmtShape has FROM-first
+             # statements that start with neither SELECT nor WITH.
+             "CsvOptDifferentialSpec.scala": "query",
+             "JsonOptDifferentialSpec.scala": "query",
+             "StmtShapeDifferentialSpec.scala": "query"}
 
 
 def scala_quote(s):
@@ -1873,6 +1880,13 @@ def unescape(s):
 
 def cmd_verify(paths):
     con = connect()
+    # csvopt/jsonopt fixture scripts COPY their own input files into
+    # these dirs before reading them back — the scripts are
+    # self-contained, but the DIRECTORIES must exist (gen creates them
+    # in fam_csvopt/fam_jsonopt; verify must too).
+    import os
+    for d in ("/tmp/graft_csvopt_fx", "/tmp/graft_jsonopt_fx"):
+        os.makedirs(d, exist_ok=True)
     total = bad = 0
     for path in paths:
         kind = SPEC_KIND.get(path.split("/")[-1], "scalar")
@@ -1888,6 +1902,7 @@ def cmd_verify(paths):
                 got = (eval_scalar(con, expr) if kind == "scalar"
                        else eval_agg(con, expr) if kind == "agg"
                        else eval_auto(con, expr) if kind == "auto"
+                       else eval_query(con, expr) if kind == "query"
                        else eval_window(con, expr))
             except Exception as e:
                 got = f"<ERR {str(e).splitlines()[0][:80]}>"
