@@ -1761,8 +1761,14 @@ class DuckLakeXLSpark(
     // type contrast from one row)
     val header = opts.get("header").map(optBool).getOrElse {
       val probe =
-        if (skip > 0) scala.util.Try(
-          spark.read.textFile(paths.head).take(skip + 1).lastOption).toOption.flatten
+        if (skip > 0) scala.util.Try {
+          // the probe line must be POST-skip: a file with skip or fewer
+          // lines has no data line at all — don't probe the last
+          // preamble line the skip was supposed to discard (r18,
+          // ADVICE r17); header stays the sniff default (true)
+          val first = spark.read.textFile(paths.head).take(skip + 1)
+          if (first.length == skip + 1) Some(first.last) else None
+        }.toOption.flatten
         else scala.util.Try(spark.read.textFile(paths.head).head()).toOption
       probe.forall { line =>
         !line.split(java.util.regex.Pattern.quote(sepStr), -1).exists(f =>
@@ -1878,17 +1884,36 @@ class DuckLakeXLSpark(
           when(raw(c).isin(nullstrs.map(_.asInstanceOf[Any]): _*), lit(null))
             .otherwise(raw(c)).as(c) }.toSeq: _*)
         val sniffed = inferStringColumnTypes2(nulledRaw, inferCands)
-        cleaned.select(cleaned.columns.map { c =>
-          pinned.get(c).map((_, false)).orElse(sniffed.get(c)) match {
-            case Some((t, true)) =>
-              // zoned timestamp strings land as the UTC wall time in
-              // plain TIMESTAMP (measured) — cast through the instant
-              // type first (session is UTC)
-              cleaned(c).cast(TimestampType).cast(t).as(c)
-            case Some((t, _)) if t != StringType => cleaned(c).cast(t).as(c)
-            case _ => cleaned(c)
+        val targets: Seq[(String, Option[(DataType, Boolean)])] =
+          cleaned.columns.toSeq.map { c =>
+            c -> (pinned.get(c).map((_, false)).orElse(sniffed.get(c)) match {
+              case Some((t, z)) if t != StringType => Some((t, z))
+              case _ => None
+            })
           }
-        }.toSeq: _*)
+        // ignore_errors on this path must also drop rows whose CELLS
+        // fail conversion to a pinned type (DROPMALFORMED on the
+        // all-VARCHAR read only catches wrong column counts) — DuckDB
+        // drops the whole row, it never throws (r18, ADVICE r17).
+        // Sniffed types convert by construction; only pinned ones can
+        // fail, but guarding every typed column is cheap and robust.
+        val guarded =
+          if (!opts.get("ignore_errors").exists(optBool)) cleaned
+          else targets.collect { case (c, Some((t, zoned))) =>
+            val tc =
+              if (zoned) expr(s"try_cast(`$c` AS TIMESTAMP)")
+              else expr(s"try_cast(`$c` AS ${t.sql})")
+            cleaned(c).isNull || tc.isNotNull
+          }.reduceOption(_ && _).map(cleaned.where).getOrElse(cleaned)
+        guarded.select(targets.map {
+          case (c, Some((t, true))) =>
+            // zoned timestamp strings land as the UTC wall time in
+            // plain TIMESTAMP (measured) — cast through the instant
+            // type first (session is UTC)
+            guarded(c).cast(TimestampType).cast(t).as(c)
+          case (c, Some((t, _))) => guarded(c).cast(t).as(c)
+          case (c, None)         => guarded(c)
+        }: _*)
       }
     // names=[...] renames the first k columns, the rest keep their
     // sniffed names (measured)
@@ -4499,8 +4524,14 @@ class DuckLakeXLSpark(
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
       .getOrElse(Nil).toSet
     val plainOpts = s.readerOptions - "__graft_force_not_null"
+    // a SINGLE-element NULLSTR ['NA'] is still bracket syntax: the plain
+    // path would hand Spark the raw "['NA']" text as nullValue (so 'NA'
+    // fields load as the literal string) — any bracketed list takes the
+    // when()-clean branch regardless of its length (r18, ADVICE r17)
+    val bracketNull =
+      s.readerOptions.get("nullValue").exists(_.trim.startsWith("["))
     val df = fmt match {
-      case "csv" if nullstrs.lengthIs > 1 || force.nonEmpty =>
+      case "csv" if nullstrs.lengthIs > 1 || bracketNull || force.nonEmpty =>
         // NULLSTR lists / FORCE_NOT_NULL need the when()-based
         // null-clean (same measured semantics as read_csv's r17 path:
         // any list member nulls, force columns read the match as '');

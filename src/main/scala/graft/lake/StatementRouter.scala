@@ -3140,88 +3140,319 @@ object StatementRouter {
     s
   }
 
-  /** DuckDB named-window INHERITANCE (measured r17): `OVER (w ROWS …)`
-    * extends window `w`'s spec, and a WINDOW-clause def may extend an
-    * earlier one (`w2 AS (w1 ROWS …)`). Spark's parser takes only a bare
-    * `OVER w` or a full spec, so the base spec inlines TEXTUALLY: defs
-    * resolve left-to-right, then every `OVER (name …)` whose head names
-    * a def becomes `OVER (<resolved spec> …)`. Plain `OVER w` and the
-    * (resolved) WINDOW clause stay — Spark handles those natively. */
+  /** DuckDB named-window inheritance (measured r17, REMEASURED r18 on
+    * DuckDB 1.0.0 — the full model): `OVER (w …)` and `w2 AS (w1 …)`
+    * COPY window w's OWN clauses — exactly ONE level deep: a base's own
+    * base is ignored (measured: with w1 AS (PARTITION BY p), w2 AS (w1
+    * ORDER BY x), `OVER (w2 ROWS …)` orders but never partitions), an
+    * unknown or self-referencing head inside a COPIED def is silently
+    * dropped, copying a window that has its own frame clause is a loud
+    * parser error, and PARTITION BY/ORDER BY present on BOTH sides is a
+    * loud "cannot override" error. `OVER (w)` is a COPY (own clauses
+    * only) while bare `OVER w` is the full def (base's own + own) —
+    * measured distinct. Resolution is LAZY (unused bad defs never
+    * error) and scoped PER SELECT: window names are invisible across
+    * subquery boundaries and set-operation branches. Spark's parser
+    * handles bare `OVER w` + the WINDOW clause natively with the same
+    * per-scope visibility, so the rewrite (a) replaces each def body
+    * with its one-level-resolved spec, (b) textually inlines every
+    * `OVER (name …)` against the def in ITS OWN scope (a name with no
+    * def in scope refuses loudly — never cross-scope capture), and
+    * (c) drops unused defs that cannot resolve. Single pass over the
+    * original string — no fixpoint loop, so circular references cannot
+    * hang (r18, ADVICE r17). */
   private def rewriteWindowInherit(q0: String): String = {
-    val winRe = """(?is)\bWINDOW\s+""".r
     val lm0 = literalMask(q0)
-    val m = winRe.findAllMatchIn(q0).find(mm => !lm0(mm.start)).getOrElse(return q0)
+    val winRe = """(?is)\bWINDOW\s+""".r
+    val winMs = winRe.findAllMatchIn(q0).filter(mm => !lm0(mm.start)).toList
+    if (winMs.isEmpty) return q0
+
+    // ---- scope machinery: subquery parens + set-op branch splits
+    val pairStack = new scala.collection.mutable.ArrayBuffer[Int]
+    val pairs = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
+    val depthAt = new Array[Int](q0.length + 1)
+    var dnow = 0
+    var k = 0
+    while (k < q0.length) {
+      depthAt(k) = dnow
+      if (!lm0(k)) {
+        val c = q0.charAt(k)
+        if (c == '(') { pairStack += k; dnow += 1 }
+        else if (c == ')') {
+          dnow -= 1
+          if (pairStack.nonEmpty)
+            pairs += ((pairStack.remove(pairStack.length - 1), k))
+        }
+      }
+      k += 1
+    }
+    depthAt(q0.length) = dnow
+    // a paren whose content head is a query keyword opens a new window-
+    // name scope; expression parens do NOT (sum(x) OVER (w …) wrapped in
+    // arithmetic parens still resolves against its SELECT's clause)
+    val subqRe = """(?is)^\s*(SELECT|WITH|VALUES|FROM|TABLE)\b""".r
+    val scopes = pairs.filter { case (a, b) =>
+      subqRe.findFirstIn(q0.substring(a + 1, b)).isDefined
+    }.toVector
+    def parenScope(pos: Int): (Int, Int) =
+      scopes.filter { case (a, b) => a < pos && pos < b }
+        .sortBy { case (a, b) => b - a }
+        .headOption.getOrElse((-1, q0.length))
+    // set-op keywords at the scope's top paren depth split it into
+    // branches — each branch binds its own WINDOW clause (DuckDB binds
+    // `SELECT … WINDOW w … UNION ALL SELECT … WINDOW v …` per branch)
+    val setopRe = """(?i)\b(UNION|EXCEPT|INTERSECT)\b""".r
+    def scopeKey(pos: Int): ((Int, Int), Int) = {
+      val s = parenScope(pos)
+      val lvl = if (s._1 < 0) 0 else depthAt(s._1) + 1
+      val branch = setopRe.findAllMatchIn(q0).count(m =>
+        !lm0(m.start) && m.start > s._1 && m.start < s._2 &&
+          depthAt(m.start) == lvl && m.start < pos)
+      (s, branch)
+    }
+
     val defRe = """(?s)\s*("[^"]+"|[A-Za-z_]\w*)\s+AS\s*\(""".r
-    var i = m.end
-    val names = scala.collection.mutable.ArrayBuffer[String]()
-    val specs = scala.collection.mutable.LinkedHashMap[String, String]()
-    var spans = List.empty[(Int, Int, String)] // def-spec (open+1, close, name)
-    var go = true
-    while (go) {
-      defRe.findPrefixMatchOf(q0.substring(i)) match {
-        case Some(dm) =>
-          val open = i + dm.end - 1
-          val close = matchingParen(q0, open)
-          if (close < 0) return q0
-          val name = dm.group(1).stripPrefix("\"").stripSuffix("\"")
-            .toLowerCase(java.util.Locale.ROOT)
-          names += name
-          // resolve inheritance: a spec whose FIRST token is an earlier
-          // def's name inlines that def's (already-resolved) spec
-          val raw = q0.substring(open + 1, close).trim
-          val headRe = """(?s)^("[^"]+"|[A-Za-z_]\w*)\b(.*)$""".r
-          val resolved = headRe.findFirstMatchIn(raw) match {
-            case Some(hm) =>
-              val h = hm.group(1).stripPrefix("\"").stripSuffix("\"")
-                .toLowerCase(java.util.Locale.ROOT)
-              specs.get(h).map(s0 => (s0 + " " + hm.group(2).trim).trim)
-                .getOrElse(raw)
-            case None => raw
-          }
-          specs(name) = resolved
-          spans = (open + 1, close, name) :: spans
-          i = close + 1
-          while (i < q0.length && q0.charAt(i).isWhitespace) i += 1
-          if (i < q0.length && q0.charAt(i) == ',') i += 1 else go = false
-        case None => return q0
+    val headRe = """(?s)^("[^"]+"|[A-Za-z_]\w*)(?!\w)\s*(.*)$""".r
+    val specKw = Set("partition", "order", "rows", "range", "groups")
+    def unq(s: String) = s.stripPrefix("\"").stripSuffix("\"")
+      .toLowerCase(java.util.Locale.ROOT)
+    // (head, rest) when the spec begins with an identifier that is not a
+    // spec keyword — i.e. a window-name base reference
+    def headOf(raw: String): Option[(String, String)] =
+      headRe.findFirstMatchIn(raw).flatMap { hm =>
+        val h = unq(hm.group(1))
+        if (specKw(h)) None else Some((h, hm.group(2).trim))
+      }
+
+    final case class WDef(name: String, declStart: Int, specStart: Int,
+                          specEnd: Int, raw: String)
+    final case class WClause(winStart: Int, key: ((Int, Int), Int),
+                             defs: Vector[WDef])
+    val clauses = scala.collection.mutable.ArrayBuffer[WClause]()
+    winMs.foreach { m =>
+      val defs = Vector.newBuilder[WDef]
+      var i = m.end
+      var go = true
+      var bad = false
+      var count = 0
+      while (go) {
+        defRe.findPrefixMatchOf(q0.substring(i)) match {
+          case Some(dm) =>
+            val declStart = i
+            val open = i + dm.end - 1
+            val close = scala.util.Try(matchingParen(q0, open)).getOrElse(-1)
+            if (close < 0) { bad = true; go = false }
+            else {
+              defs += WDef(unq(dm.group(1)), declStart, open + 1, close,
+                q0.substring(open + 1, close).trim)
+              count += 1
+              i = close + 1
+              while (i < q0.length && q0.charAt(i).isWhitespace) i += 1
+              if (i < q0.length && q0.charAt(i) == ',') i += 1 else go = false
+            }
+          case None =>
+            // zero defs: this WINDOW token is not a clause (alias etc.)
+            go = false
+        }
+      }
+      if (bad && count > 0) return q0 // malformed list: let the engine error
+      val ds = defs.result()
+      if (ds.nonEmpty) {
+        val names = ds.map(_.name)
+        if (names.distinct.lengthIs != names.length) {
+          val dup = names.diff(names.distinct).head
+          throw new IllegalArgumentException(
+            s"""graft: window "$dup" is already defined (DuckDB parser error)""")
+        }
+        clauses += WClause(m.start, scopeKey(m.start), ds)
       }
     }
-    if (specs.isEmpty) return q0
-    // rewrite the def bodies to their RESOLVED specs (right-to-left so
-    // earlier offsets stay valid)
-    var q = q0
-    spans.foreach { case (a, b, name) =>
-      q = q.substring(0, a) + specs(name) + q.substring(b)
+    if (clauses.isEmpty) return q0
+    clauses.groupBy(_.key).foreach { case (_, cs) =>
+      if (cs.lengthIs > 1) throw new IllegalArgumentException(
+        "graft: multiple WINDOW clauses bind to the same scope — " +
+        "parenthesize each set-operation branch")
     }
-    // inline `OVER ( name … )` references
-    val overRe = """(?is)\bOVER\s*\(""".r
-    var changed = true
-    while (changed) {
-      changed = false
-      val lm = literalMask(q)
-      overRe.findAllMatchIn(q).filter(mm => !lm(mm.start)).foreach { om =>
-        if (!changed) {
-          val open = om.end - 1
-          val close = matchingParen(q, open)
-          if (close > open) {
-            val body = q.substring(open + 1, close).trim
-            val headRe = """(?s)^("[^"]+"|[A-Za-z_]\w*)\b(.*)$""".r
-            headRe.findFirstMatchIn(body).foreach { hm =>
-              val h = hm.group(1).stripPrefix("\"").stripSuffix("\"")
-                .toLowerCase(java.util.Locale.ROOT)
-              val kw = Set("partition", "order", "rows", "range", "groups")
-              if (specs.contains(h) && !kw(h)) {
-                val tail = hm.group(2).trim
-                val inlined = (specs(h) + " " + tail).trim
-                q = q.substring(0, open + 1) + inlined + q.substring(close)
-                changed = true
-              }
+    // DuckDB's dup check spans set-op branches (measured: the same name
+    // in two branches of one UNION is "already defined", while the same
+    // name in a subquery and its outer query is fine)
+    clauses.groupBy(_.key._1).foreach { case (_, cs) =>
+      val all = cs.flatMap(_.defs.map(_.name))
+      if (all.distinct.lengthIs != all.length) {
+        val dup = all.diff(all.distinct).head
+        throw new IllegalArgumentException(
+          s"""graft: window "$dup" is already defined (DuckDB parser error)""")
+      }
+    }
+    val byKey = clauses.map(c => c.key -> c).toMap
+
+    // ---- usage scan
+    val overExtRe = """(?is)\bOVER\s*\(""".r
+    val overBareRe = """(?is)\bOVER\s+("[^"]+"|[A-Za-z_]\w*)""".r
+    val bareUses = scala.collection.mutable
+      .Map[(((Int, Int), Int), String), Vector[(Int, Int)]]()
+    overBareRe.findAllMatchIn(q0).foreach { om =>
+      if (!lm0(om.start)) {
+        val k2 = (scopeKey(om.start), unq(om.group(1)))
+        bareUses(k2) = bareUses.getOrElse(k2, Vector.empty) :+
+          ((om.start, om.end))
+      }
+    }
+
+    val edits = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    def fail(e: String): Nothing = throw new IllegalArgumentException(e)
+
+    // OVER ( name … ) copies: inline own(name) merged with the tail,
+    // against the def in the OVER's own scope only
+    overExtRe.findAllMatchIn(q0).foreach { om =>
+      if (!lm0(om.start)) {
+        val open = om.end - 1
+        val close = scala.util.Try(matchingParen(q0, open)).getOrElse(-1)
+        if (close > open) {
+          val body = q0.substring(open + 1, close).trim
+          headOf(body).foreach { case (h, tail) =>
+            byKey.get(scopeKey(om.start)).flatMap(
+              _.defs.find(_.name == h)) match {
+              case Some(d) =>
+                val own = headOf(d.raw).map(_._2).getOrElse(d.raw)
+                mergeWindowSpec(h, own, tail)
+                  .fold(fail, sp => edits += ((open + 1, close, sp)))
+              case None =>
+                // defined in ANOTHER scope or nowhere: DuckDB refuses
+                fail(s"""graft: window "$h" does not exist (DuckDB parser error)""")
             }
           }
         }
       }
     }
+
+    // def bodies: bare `OVER name` resolves base's-own + own — rewrite
+    // the body so Spark's native WINDOW clause carries the final spec
+    clauses.foreach { c =>
+      val byName = c.defs.map(d => d.name -> d).toMap
+      def resolveBare(d: WDef): Either[String, String] =
+        headOf(d.raw) match {
+          case None => Right(d.raw)
+          case Some((h, rest)) if h == d.name =>
+            Right(rest) // self-copy is an identity no-op (measured)
+          case Some((h, rest)) =>
+            byName.get(h) match {
+              case None =>
+                Left(s"""graft: window "$h" does not exist (DuckDB parser error)""")
+              case Some(base) =>
+                val own = headOf(base.raw).map(_._2).getOrElse(base.raw)
+                mergeWindowSpec(h, own, rest)
+            }
+        }
+      val resolved = c.defs.map(d => d -> resolveBare(d))
+      // Spark's WINDOW clause cannot carry a frame-EXCLUDE modifier:
+      // inline each such def's bare uses as OVER (spec) — the downstream
+      // EXCLUDE rewriter scans OVER bodies — and drop the def itself
+      val excludeRe =
+        """(?is)\bEXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS|GROUP|TIES)\s*$""".r
+      val excludeDefs = resolved.collect {
+        case (d, Right(sp)) if excludeRe.findFirstIn(sp).isDefined => d
+      }.toSet
+      resolved.foreach {
+        case (d, Right(sp)) if excludeDefs(d) =>
+          bareUses.getOrElse((c.key, d.name), Vector.empty).foreach {
+            case (a, b) => edits += ((a, b, s"OVER ($sp)"))
+          }
+        case _ =>
+      }
+      val dropped = resolved.collect {
+        case (d, Left(err)) =>
+          if (bareUses.contains((c.key, d.name))) fail(err)
+          d // unused + unresolvable: DuckDB never binds it — drop
+      }.toSet ++ excludeDefs
+      if (dropped.size == c.defs.size) {
+        // whole clause vanishes (keyword through last close paren)
+        edits += ((c.winStart, c.defs.last.specEnd + 1, ""))
+      } else {
+        resolved.foreach {
+          case (d, Right(sp)) if sp != d.raw && !dropped(d) =>
+            edits += ((d.specStart, d.specEnd, sp))
+          case _ =>
+        }
+        // drop spans: a non-last def takes its trailing comma, the last
+        // def takes the comma after its predecessor
+        c.defs.zipWithIndex.foreach { case (d, ix) =>
+          if (dropped(d)) {
+            if (ix < c.defs.length - 1)
+              edits += ((d.declStart, c.defs(ix + 1).declStart, " "))
+            else
+              edits += ((c.defs(ix - 1).specEnd + 1, d.specEnd + 1, ""))
+          }
+        }
+      }
+    }
+    if (edits.isEmpty) return q0
+    val ordered = edits.sortBy(-_._1)
+    var q = q0
+    var lastStart = q0.length + 1
+    ordered.foreach { case (a, b, r) =>
+      if (b <= lastStart) { // skip overlaps defensively (cannot happen)
+        q = q.substring(0, a) + r + q.substring(b)
+        lastStart = a
+      }
+    }
     q
+  }
+
+  /** split a window-spec body (no base name) into its top-level
+    * (PARTITION BY …, ORDER BY …, frame …) segments; text before the
+    * first marker rides with the partition slot so nothing is lost */
+  private def splitWindowSpec(spec: String): (String, String, String) = {
+    val lm = literalMask(spec)
+    val up = spec.toUpperCase(java.util.Locale.ROOT)
+    def wordAt(p: Int, w: String): Boolean =
+      up.startsWith(w, p) &&
+        (p == 0 || { val ch = up.charAt(p - 1)
+          !Character.isLetterOrDigit(ch) && ch != '_' }) &&
+        (p + w.length >= up.length || { val ch = up.charAt(p + w.length)
+          !Character.isLetterOrDigit(ch) && ch != '_' })
+    var depth = 0
+    var pPos = -1; var oPos = -1; var fPos = -1
+    var i = 0
+    while (i < spec.length) {
+      if (!lm(i)) {
+        val c = spec.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          if (pPos < 0 && oPos < 0 && fPos < 0 && wordAt(i, "PARTITION")) pPos = i
+          else if (oPos < 0 && fPos < 0 && wordAt(i, "ORDER")) oPos = i
+          else if (fPos < 0 && (wordAt(i, "ROWS") || wordAt(i, "RANGE") ||
+                                wordAt(i, "GROUPS"))) fPos = i
+        }
+      }
+      i += 1
+    }
+    val oStart = if (oPos >= 0) oPos else if (fPos >= 0) fPos else spec.length
+    val fStart = if (fPos >= 0) fPos else spec.length
+    val p = if (pPos >= 0) spec.substring(0, oStart).trim
+            else spec.substring(0, math.min(oStart, spec.length)).trim
+    val o = if (oPos >= 0) spec.substring(oPos, fStart).trim else ""
+    val f = if (fPos >= 0) spec.substring(fPos).trim else ""
+    (p, o, f)
+  }
+
+  /** one-level window copy (measured DuckDB 1.0.0): the base contributes
+    * its OWN PARTITION BY/ORDER BY; a base frame refuses, a clause
+    * present on both sides refuses ("cannot override") */
+  private def mergeWindowSpec(baseName: String, baseOwn: String,
+                              child: String): Either[String, String] = {
+    val (bp, bo, bf) = splitWindowSpec(baseOwn)
+    if (bf.nonEmpty)
+      return Left(s"""graft: cannot copy window "$baseName" because it has a frame clause (DuckDB parser error)""")
+    val (cp, co, cf) = splitWindowSpec(child)
+    if (bp.nonEmpty && cp.nonEmpty)
+      return Left(s"""graft: cannot override PARTITION BY clause of window "$baseName" (DuckDB parser error)""")
+    if (bo.nonEmpty && co.nonEmpty)
+      return Left(s"""graft: cannot override ORDER BY clause of window "$baseName" (DuckDB parser error)""")
+    Right(Seq(if (cp.nonEmpty) cp else bp,
+              if (co.nonEmpty) co else bo, cf)
+      .filter(_.nonEmpty).mkString(" "))
   }
 
   /** ANSI `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` is DuckDB's spelled-

@@ -1805,6 +1805,120 @@ def fam_aggdepth(seed):
     return [(e, "agg") for e in exprs]
 
 
+
+def fam_winspec(seed):
+    """r18: window-spec depth 2 (VERDICT r17 task 6a) — named-window
+    SCOPING (per SELECT, per set-op branch, subquery invisibility),
+    one-level inheritance (a copied window contributes only its OWN
+    clauses; the grandparent is dropped — measured DuckDB 1.0.0),
+    OVER (w) copy vs bare OVER w distinction, self/cyclic/forward refs,
+    unused bad defs staying silent, EXCLUDE frames through inheritance,
+    and RANGE frames with offsets over DATE/TIMESTAMP/DECIMAL keys."""
+    t = "(VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', 40), (5, 'a', 50), (6, 'b', 60)) t(id, g, v)"
+    d = ("(VALUES (1, DATE '2024-01-01'), (2, DATE '2024-01-02'), "
+         "(3, DATE '2024-01-04'), (4, DATE '2024-01-08'), (5, DATE '2024-01-09')) t(id, d)")
+    ts = ("(VALUES (1, TIMESTAMP '2024-01-01 00:00:00'), (2, TIMESTAMP '2024-01-01 01:30:00'), "
+          "(3, TIMESTAMP '2024-01-01 05:00:00'), (4, TIMESTAMP '2024-01-01 05:45:00')) t(id, ts)")
+    dec = ("(VALUES (1, CAST('1.10' AS DECIMAL(8,2))), (2, CAST('1.25' AS DECIMAL(8,2))), "
+           "(3, CAST('2.00' AS DECIMAL(8,2))), (4, CAST('2.05' AS DECIMAL(8,2))), "
+           "(5, CAST('9.99' AS DECIMAL(8,2)))) t(id, k)")
+
+    def row(expr, frm, win=""):
+        w = (" WINDOW " + win) if win else ""
+        return (f"SELECT CAST(id AS VARCHAR) || '=' || coalesce(CAST(({expr}) AS VARCHAR), 'None') "
+                f"FROM {frm}{w} ORDER BY 1")
+
+    qs = [
+        # --- inheritance basics: extension merges own clauses + tail
+        row("sum(v) OVER (w ROWS UNBOUNDED PRECEDING)", t, "w AS (PARTITION BY g ORDER BY id)"),
+        row("sum(v) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)", t, "w AS (ORDER BY id)"),
+        row("sum(v) OVER (w ORDER BY id ROWS UNBOUNDED PRECEDING)", t, "w AS (PARTITION BY g)"),
+        # child may ADD a partition when the base has only ORDER BY
+        row("sum(v) OVER (w PARTITION BY g)", t, "w AS (ORDER BY id)"),
+        # def-level inheritance, bare use: base's own + own
+        row("sum(v) OVER w2", t, "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id)"),
+        row("sum(v) OVER w2", t, "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id ROWS UNBOUNDED PRECEDING)"),
+        # ONE-LEVEL copy: the grandparent's PARTITION BY is dropped
+        row("sum(v) OVER (w2 ROWS UNBOUNDED PRECEDING)", t, "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id)"),
+        row("sum(v) OVER w3", t, "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id), w3 AS (w2)"),
+        row("sum(v) OVER w3", t, "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id), w3 AS (w2 ROWS UNBOUNDED PRECEDING)"),
+        # OVER (w) copies own clauses only; bare OVER w is the full def
+        row("sum(v) OVER (w2)", t, "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id)"),
+        # forward references resolve (defs bind as a set)
+        row("sum(v) OVER w2", t, "w2 AS (w1 ORDER BY id), w1 AS (PARTITION BY g)"),
+        row("sum(v) OVER (w3 ROWS UNBOUNDED PRECEDING)", t, "w3 AS (w2), w2 AS (w1 ORDER BY id), w1 AS (PARTITION BY g)"),
+        # self-reference is an identity copy; cycles stop at one level
+        row("sum(v) OVER w", t, "w AS (w ORDER BY id)"),
+        row("first_value(v) OVER w", t, "w AS (w ORDER BY id DESC)"),
+        row("sum(v) OVER w1", t, "w1 AS (w2 ORDER BY id), w2 AS (w1 PARTITION BY g)"),
+        # unknown base inside a COPIED def drops silently; unused bad defs never bind
+        row("sum(v) OVER (w2 ROWS UNBOUNDED PRECEDING)", t, "w2 AS (zzz ORDER BY id)"),
+        row("sum(v) OVER w2", t, "w1 AS (zzz), w2 AS (w1 ORDER BY id)"),
+        row("sum(v) OVER w", t, "w AS (ORDER BY id), unused AS (nope ORDER BY id)"),
+        # quoted window names
+        row('sum(v) OVER ("my win" ROWS UNBOUNDED PRECEDING)', t, '"my win" AS (ORDER BY id)'),
+        # several functions over one named window
+        row("CAST(rank() OVER w AS VARCHAR) || '/' || CAST(sum(v) OVER w AS VARCHAR)", t,
+            "w AS (PARTITION BY g ORDER BY v)"),
+        row("lead(v, 1) OVER w", t, "w AS (PARTITION BY g ORDER BY id)"),
+        row("lag(v, 1, -1) OVER w", t, "w AS (PARTITION BY g ORDER BY id)"),
+        row("row_number() OVER (w)", t, "w AS (PARTITION BY g ORDER BY v DESC)"),
+        row("ntile(2) OVER w", t, "w AS (ORDER BY id)"),
+        # --- scoping: a subquery's clause is its own; outer same name differs
+        (f"SELECT CAST(id AS VARCHAR) || '=' || CAST(a AS VARCHAR) || '/' || CAST(sum(a) OVER w AS VARCHAR) "
+         f"FROM (SELECT id, sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS a FROM {t} WINDOW w AS (ORDER BY id)) q "
+         f"WINDOW w AS (ORDER BY a DESC) ORDER BY 1"),
+        # sibling subqueries, each with its own clause
+        (f"SELECT CAST(q.id AS VARCHAR) || '=' || CAST(q.a AS VARCHAR) || '/' || CAST(r.b AS VARCHAR) "
+         f"FROM (SELECT id, sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS a FROM {t} WINDOW w AS (ORDER BY id)) q, "
+         f"(SELECT max(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS b FROM {t} "
+         f"WINDOW w AS (ORDER BY id) LIMIT 1) r ORDER BY 1"),
+        # set-op branches: one WINDOW clause each (same NAME in two
+        # branches is "already defined" in DuckDB — pinned in R18EdgeSpec)
+        (f"SELECT CAST(sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS s FROM {t} WINDOW w AS (ORDER BY id) "
+         f"UNION ALL SELECT CAST(sum(v) OVER (w2 ROWS UNBOUNDED PRECEDING) AS VARCHAR) FROM {t} "
+         f"WINDOW w2 AS (ORDER BY id DESC) ORDER BY 1"),
+        # CTE body carries its own clause, outer query its own
+        (f"WITH c AS (SELECT id, g, v, sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS a FROM {t} "
+         f"WINDOW w AS (ORDER BY id)) "
+         f"SELECT CAST(id AS VARCHAR) || '=' || CAST(a AS VARCHAR) || '/' || "
+         f"CAST(sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS VARCHAR) FROM c "
+         f"WINDOW w AS (PARTITION BY g ORDER BY id) ORDER BY 1"),
+        # --- EXCLUDE through inheritance
+        row("sum(v) OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)", t,
+            "w AS (ORDER BY id)"),
+        row("sum(v) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP)", t,
+            "w AS (PARTITION BY g ORDER BY v)"),
+        row("sum(v) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES)", t,
+            "w AS (ORDER BY g)"),
+        row("sum(v) OVER w2", t,
+            "w1 AS (PARTITION BY g ORDER BY id), w2 AS (w1 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)"),
+        # --- RANGE frames with offsets, inherited and direct
+        row("sum(v) OVER (w RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)", t, "w AS (ORDER BY id)"),
+        row("sum(v) OVER (w RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)", t, "w AS (PARTITION BY g ORDER BY v)"),
+        row("count(*) OVER (w RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)", d, "w AS (ORDER BY d)"),
+        row("sum(id) OVER (w RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND INTERVAL 1 DAY FOLLOWING)", d,
+            "w AS (ORDER BY d)"),
+        row("count(*) OVER (w RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)", ts, "w AS (ORDER BY ts)"),
+        row("sum(id) OVER (w RANGE BETWEEN INTERVAL 90 MINUTE PRECEDING AND INTERVAL 30 MINUTE FOLLOWING)", ts,
+            "w AS (ORDER BY ts)"),
+        row("count(*) OVER (w RANGE BETWEEN 0.20 PRECEDING AND 0.20 FOLLOWING)", dec, "w AS (ORDER BY k)"),
+        row("sum(id) OVER (w2 RANGE BETWEEN 1.00 PRECEDING AND CURRENT ROW)", dec,
+            "w1 AS (PARTITION BY 1), w2 AS (w1 ORDER BY k)"),
+        row("min(k) OVER (w RANGE BETWEEN CURRENT ROW AND 5.00 FOLLOWING)", dec, "w AS (ORDER BY k)"),
+        # RANGE DESC order keys with offsets
+        row("sum(v) OVER (w RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)", t, "w AS (ORDER BY v DESC)"),
+        row("count(*) OVER (w RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)", d, "w AS (ORDER BY d DESC)"),
+        # frame-in-def used bare after inheritance
+        row("first_value(v) OVER w2", t,
+            "w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY v DESC ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"),
+        row("nth_value(v, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)", t,
+            "w AS (PARTITION BY g ORDER BY id)"),
+    ]
+    return [(q, "query") for q in qs]
+
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "uuidblob": fam_uuidblob,
             "strftime": fam_strftime,
@@ -1815,12 +1929,13 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "fnwave": fam_fnwave, "collate": fam_collate,
             "unicase": fam_unicase, "csvio": fam_csvio,
             "csvopt": fam_csvopt, "jsonopt": fam_jsonopt,
-            "stmtshape": fam_stmtshape,
+            "stmtshape": fam_stmtshape, "winspec": fam_winspec,
             "trailing": fam_trailing, "numedge": fam_numedge,
             "jsonbuild": fam_jsonbuild, "printf": fam_printf,
             "likeglob": fam_likeglob,
             "mapdepth": fam_mapdepth, "listmath": fam_listmath,
             "aggdepth": fam_aggdepth, "windepth": fam_windepth}
+
 
 # verify-only families map spec file -> harness kind
 SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
@@ -1839,7 +1954,8 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              # statements that start with neither SELECT nor WITH.
              "CsvOptDifferentialSpec.scala": "query",
              "JsonOptDifferentialSpec.scala": "query",
-             "StmtShapeDifferentialSpec.scala": "query"}
+             "StmtShapeDifferentialSpec.scala": "query",
+             "WinSpecDifferentialSpec.scala": "query"}
 
 
 def scala_quote(s):
