@@ -1759,16 +1759,25 @@ class DuckLakeXLSpark(
     // means data, not names (the common headerless shape; an all-string
     // headerless file still needs header=false, as the probe cannot see
     // type contrast from one row)
+    // the probe line must be POST-skip: a file with skip or fewer lines
+    // has no data line at all — don't probe the last preamble line the
+    // skip was supposed to discard (r18, ADVICE r17)
+    val postSkipProbe: Option[String] =
+      if (skip > 0) scala.util.Try {
+        val first = spark.read.textFile(paths.head).take(skip + 1)
+        if (first.length == skip + 1) Some(first.last) else None
+      }.toOption.flatten
+      else None
+    if (skip > 0 && postSkipProbe.isEmpty && explicitCols.isEmpty &&
+        namesOpt.isEmpty && typesOpt.isEmpty)
+      // measured: read_csv(skip >= line count) answers an EMPTY result
+      // with the headerless one-column shape (column0 VARCHAR)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("column0", StringType, nullable = true))))
     val header = opts.get("header").map(optBool).getOrElse {
       val probe =
-        if (skip > 0) scala.util.Try {
-          // the probe line must be POST-skip: a file with skip or fewer
-          // lines has no data line at all — don't probe the last
-          // preamble line the skip was supposed to discard (r18,
-          // ADVICE r17); header stays the sniff default (true)
-          val first = spark.read.textFile(paths.head).take(skip + 1)
-          if (first.length == skip + 1) Some(first.last) else None
-        }.toOption.flatten
+        if (skip > 0) postSkipProbe
         else scala.util.Try(spark.read.textFile(paths.head).head()).toOption
       probe.forall { line =>
         !line.split(java.util.regex.Pattern.quote(sepStr), -1).exists(f =>
