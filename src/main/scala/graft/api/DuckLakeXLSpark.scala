@@ -716,7 +716,15 @@ class DuckLakeXLSpark(
         case e: java.util.ConcurrentModificationException => throw e // CAS retry
         case scala.util.control.NonFatal(e) =>
           txnBase.foreach(restoreTxnSnapshot)
-          push()
+          // best-effort durability: if a concurrent writer won the CAS
+          // meanwhile, the push failure must not REPLACE the user's
+          // statement error — and must not trigger the CAS auto-replay
+          // of a half-run script (which would re-run its statements
+          // under a masked error). Attach it as suppressed; on this
+          // contended path the completed statements stay memory-only
+          // and the next sql() re-pulls fresh (r18, VERDICT r17 #5).
+          try push()
+          catch { case scala.util.control.NonFatal(pe) => e.addSuppressed(pe) }
           throw e
       }
     persistCompleted { withLakeCatalog { StatementRouter.split(script).foreach { stmt00 =>

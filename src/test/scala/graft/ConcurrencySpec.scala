@@ -180,4 +180,37 @@ class ConcurrencySpec extends AnyFunSuite {
     val rows = b.sql("SELECT * FROM t ORDER BY id").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
+
+  test("r18: a failing script under a concurrent writer surfaces the " +
+      "ORIGINAL statement error (CAS loss suppressed), no duplicate rows") {
+    val (xlsx, data) = freshLakePath()
+    val a = new DuckLakeXLSpark(spark, xlsx, data)
+    a.sql("CREATE TABLE t(id INTEGER)")
+    val b = new DuckLakeXLSpark(spark, xlsx, data)
+    b.sql("SELECT 1")
+    // B runs a script whose 2nd statement fails; the error-path push
+    // (per-statement durability) loses the CAS to A's racing insert
+    b.onBeforePush = () => { a.sql("INSERT INTO t VALUES (99)"); () }
+    val e = intercept[Exception] {
+      b.sql("INSERT INTO t VALUES (1); SELECT nosuchfunc_xyz(1)")
+    }
+    // the user's statement error surfaces — not the concurrency error
+    assert(!e.isInstanceOf[java.util.ConcurrentModificationException],
+      s"CAS loss replaced the statement error: $e")
+    // the CAS loss is recorded, not swallowed
+    assert(e.getSuppressed.exists(_.isInstanceOf[
+      java.util.ConcurrentModificationException]),
+      s"expected the CAS rejection attached as suppressed: " +
+        e.getSuppressed.map(_.getClass.getName).mkString(","))
+    // no double-apply: A's row exactly once; B's half-run script stayed
+    // memory-only on the contended path (its next sql() re-pulls fresh)
+    val ids = a.sql("SELECT id FROM t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq
+    assert(ids == Seq(99), ids)
+    // B recovers: re-running the fixed script commits exactly once
+    b.sql("INSERT INTO t VALUES (1)")
+    val after = a.sql("SELECT id FROM t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq
+    assert(after == Seq(1, 99), after)
+  }
 }
