@@ -60,6 +60,22 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // r18 (VERDICT r17 task 3): three rounds of close artifacts needed
+    // post-hoc adjudication for long-JVM state (r16 shuffle-byte "drift",
+    // r17's 19.5 s q_fn_json, the multiway AQE flip under accumulated
+    // memory pressure). Kill the outlier class at the protocol level:
+    // each HEADLINE query runs warmup + 3 timed passes in its OWN fresh
+    // JVM (parent spawns a child `java -cp ... graft.Bench` per query and
+    // merges the children's JSON); the non-headline tail runs in one
+    // shared child, exactly the old protocol. Opt out with
+    // SPARK_GRAFT_FRESH_JVM=0 (and children recurse with the guard env).
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val freshJvm = sys.env.getOrElse("SPARK_GRAFT_FRESH_JVM", "1") != "0"
+    if (!isChild && freshJvm && FreshJvm.usable) FreshJvm.parentMain()
+    else runInProcess()
+  }
+
+  private[graft] def runInProcess(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
@@ -210,5 +226,170 @@ object Bench {
       catch { case e: Exception => System.err.println(s"[bench] write $p: ${e.getMessage}") }
     }
     spark.stop()
+  }
+
+  /** Fresh-JVM headline protocol (r18, VERDICT r17 task 3).
+    *
+    * The parent never creates a SparkSession: it spawns one child JVM per
+    * headline query (inheriting this JVM's --add-opens/-Xmx/-D args and
+    * classpath) so each headline number is measured in a JVM with zero
+    * accumulated state — no 90-minute heap history, no cross-query AQE
+    * broadcast-threshold drift, no shuffle-tracking residue. The
+    * non-headline tail runs in ONE shared child under the unchanged v2
+    * protocol (per-query adjacent warmup + median-of-3), keeping its
+    * round-over-round comparability. The merged JSON carries a
+    * `fresh_jvm` map naming which queries got the isolation and each
+    * child's floor ratio, so a degraded host is visible PER QUERY.
+    */
+  private object FreshJvm {
+    private def javaBin: String =
+      new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getPath
+
+    /** a forked run (sbt `run / fork := true`) carries a real classpath;
+      * under an in-process classloader (plain `sbt run` without fork,
+      * test runners) java.class.path is sbt's launcher only — fall back
+      * to the in-process protocol there rather than spawn broken children
+      */
+    def usable: Boolean = {
+      val cp = System.getProperty("java.class.path")
+      cp != null && cp.contains("classes") &&
+        new java.io.File(javaBin).canExecute()
+    }
+
+    private def childJvmArgs: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    }
+
+    private def runChild(only: Seq[String], tag: String)
+        : Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val out = java.nio.file.Files.createTempFile(s"bench_child_${tag}_", ".json")
+      java.nio.file.Files.deleteIfExists(out)
+      val cmd = Seq(javaBin) ++ childJvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", only.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(s"/tmp/bench_child_$tag.log")))
+      val code = pb.start().waitFor()
+      if (code != 0 || !java.nio.file.Files.exists(out)) {
+        System.err.println(
+          s"[bench] fresh-JVM child $tag exit $code (log /tmp/bench_child_$tag.log)")
+        None
+      } else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(out))
+        java.nio.file.Files.deleteIfExists(out)
+        Some(node)
+      }
+    }
+
+    def parentMain(): Unit = {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val all = SparkEntry.queries.keySet
+        .filterNot(k => k.startsWith("q_lake_") || k.startsWith("q_stream_")) +
+        "q_events_tumbling_batch"
+      val selected: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(csv) =>
+          csv.split(',').map(_.trim).filter(_.nonEmpty).toSet.intersect(all)
+        case None => all
+      }
+      val headSel = Headline.filter(selected.contains)
+      val rest = (selected -- headSel).toSeq.sorted
+
+      val childOut = scala.collection.mutable.LinkedHashMap
+        .empty[String, com.fasterxml.jackson.databind.JsonNode]
+      headSel.foreach { q =>
+        System.err.println(s"[bench] fresh-JVM headline child: $q")
+        runChild(Seq(q), q).foreach(childOut.put(q, _))
+      }
+      val restNode = if (rest.nonEmpty) {
+        System.err.println(s"[bench] shared child for ${rest.size} non-headline queries")
+        runChild(rest, "rest")
+      } else None
+      if (childOut.isEmpty && restNode.isEmpty && selected.nonEmpty) {
+        // children can't launch at all on this host — degrade loudly to
+        // the in-process protocol rather than produce no artifact
+        System.err.println("[bench] all fresh-JVM children failed; in-process fallback")
+        runInProcess(); return
+      }
+
+      def qtimes(n: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Double)] = {
+        val o = n.get("queries")
+        if (o == null) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          o.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asDouble(-1.0))
+        }
+      }
+      val headTimed = headSel.map { q =>
+        q -> childOut.get(q).flatMap(n => qtimes(n).toMap.get(q)).getOrElse(-1.0)
+      }
+      val restTimed = restNode.toSeq.flatMap(qtimes)
+      val restMap = restTimed.toMap
+      val timed = headTimed ++ rest.map(q => q -> restMap.getOrElse(q, -1.0))
+
+      def audits(n: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String)] = {
+        val o = n.get("shuffle_audit")
+        if (o == null) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          o.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.toString)
+        }
+      }
+      val mergedAudit = (childOut.values.toSeq ++ restNode.toSeq).flatMap(audits)
+        .toMap
+      val auditOrder = (Headline ++ AuditExtra).distinct.filter(mergedAudit.contains)
+      val shuffleAudit = auditOrder
+        .map(k => "\"" + k + "\":" + mergedAudit(k)).mkString("{", ",", "}")
+
+      def floor(n: com.fasterxml.jackson.databind.JsonNode): Double = {
+        val h = n.get("host_health")
+        if (h == null) -1.0
+        else h.get("floor_ratio_vs_settled").asDouble(-1.0)
+      }
+      val floors = childOut.map { case (q, n) => q -> floor(n) } ++
+        restNode.map(n => "rest" -> floor(n))
+      val floorVals = floors.values.filter(_ > 0).toSeq.sorted
+      val floorRatio =
+        if (floorVals.isEmpty) -1.0 else floorVals(floorVals.size / 2)
+      val degraded = floorRatio < 0 || floorRatio > 1.3
+      val probes = (childOut.values.toSeq ++ restNode.toSeq).flatMap { n =>
+        val p = n.get("per_query_overhead_sec"); val s = n.get("per_query_scan_floor_sec")
+        if (p == null || s == null) None else Some((p.asDouble, s.asDouble))
+      }
+      val (probe, probeScan) =
+        if (probes.isEmpty) (-1.0, -1.0)
+        else (probes.map(_._1).min, probes.map(_._2).min)
+
+      val headlineOk = headTimed.filter(_._2 >= 0)
+      val headlineTotal = headlineOk.map(_._2).sum
+      val partial = headlineOk.size < Headline.size
+      val metric = if (partial) "headline_partial_total" else "headline_6q_total"
+      val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      val hl = Headline.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val freshMap = (headSel.map(q => "\"" + q + "\":" + childOut.contains(q)) ++
+        (if (rest.nonEmpty) Seq("\"_rest_shared_child\":" + restNode.nonEmpty) else Nil))
+        .mkString("{", ",", "}")
+      val floorMap = floors.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val health = s""""host_health":{"floor_ratio_vs_settled":${f"$floorRatio%.2f"},"degraded":$degraded,"settled_floor_ref":[0.050,0.053],"per_child_floor_ratio":$floorMap}"""
+      val json = s"""{"metric":"$metric","value":$headlineTotal,"unit":"sec","methodology":"warmup_v3_fresh_jvm_headline","partial":$partial,$health,"queries":$qs,"shuffle_audit":$shuffleAudit,"sf":"$sfDir","headline":$hl,"fresh_jvm":$freshMap,"per_query_overhead_sec":${f"$probe%.4f"},"per_query_scan_floor_sec":${f"$probeScan%.4f"},"note":"v3 protocol (r18): each headline query measured in its OWN fresh JVM (warmup + median of 3 timed passes, noop sink) so long-JVM state can never contaminate the comparable set; non-headline tail runs in one shared child under the unchanged v2 per-query-adjacent protocol; host_health.floor_ratio is the MEDIAN child floor with per-child ratios alongside; shuffle_audit merged from the owning child (deterministic per plan)"}"""
+      println(json)
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .orElse(Some("/root/repo/BENCH_LOCAL.json")).foreach { p =>
+          try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          catch { case e: Exception =>
+            System.err.println(s"[bench] write $p: ${e.getMessage}") }
+        }
+    }
   }
 }
