@@ -33,13 +33,19 @@ object LshAudit {
   private def auditKeyed(s: SparkSession, name: String, keyed: DataFrame,
       keys: Seq[String], nDocs: Long, tables: Int, cap: Int): String = {
     val sizes = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+    // r18: over-cap buckets TRUNCATE to cap members instead of dropping
+    // (QueriesLlm.cappedIdListsSampled, the VERDICT r17 task-2 fix) —
+    // kept pairs are C(min(k, cap), 2) per bucket and the truncated
+    // entries are `k - cap`, not the whole bucket
+    val kKept = least(col("k"), lit(cap.toLong))
     val r = sizes.agg(
       count(lit(1)).as("buckets"),
       max(col("k")).as("max_bucket"),
       sum(col("k")).as("entries"),
       count(when(col("k") > cap, 1)).as("buckets_over_cap"),
-      sum(when(col("k") > cap, col("k")).otherwise(lit(0L))).as("entries_dropped"),
-      sum(when(col("k").between(2, cap), col("k") * (col("k") - 1) / 2)
+      sum(when(col("k") > cap, col("k") - cap).otherwise(lit(0L)))
+        .as("entries_dropped"),
+      sum(when(col("k") >= 2, kKept * (kKept - 1) / 2)
         .otherwise(lit(0L))).cast(LongType).as("cand_pairs_kept"),
       sum(when(col("k") >= 2, col("k") * (col("k") - 1) / 2)
         .otherwise(lit(0L))).cast(LongType).as("cand_pairs_uncapped")
@@ -86,7 +92,7 @@ object LshAudit {
       val ngram = bandStream(QueriesLlm.ngramsDF(spark, dir),
         QueriesLlm.NgramHashes, QueriesLlm.NgramBands)
       println("LSHAUDIT " + auditKeyed(spark, "minhash_ngram", ngram,
-        Seq("band", "bkey"), nDocs, QueriesLlm.NgramBands, QueriesLlm.MaxBucket))
+        Seq("band", "bkey"), nDocs, QueriesLlm.NgramBands, QueriesLlm.NgramMaxBucket))
       val postings = QueriesLlm.shinglesDF(spark, dir)
         .toDF("doc_id", "hs")
         .select(col("doc_id"), explode(col("hs")).as("h"))

@@ -75,6 +75,17 @@ object QueriesLlm {
   /** bucket-size cap for the MinHash band buckets (LSH hygiene, see top) */
   private[ops] val MaxBucket = 100
 
+  /** the ngram stream's bucket cap. The 4×4 band structure gives a pair
+    * only 4 collision chances (word: 8), so the truncation-survival
+    * probability (cap/k)² per band dominates its recall in over-cap
+    * buckets: measured at sf10 density, cap 100 left ngram pair recall
+    * at 0.947 where word sat at 0.997 (SCALE.md §6.22). cap 200 takes a
+    * k=250 bucket's per-band pair survival from 0.16 to 0.64 while the
+    * candidate bound stays linear (entries·(cap−1)/2) — recall
+    * re-measured at 0.9939 (RECALL_r18_final_sf10.jsonl).
+    */
+  private[ops] val NgramMaxBucket = 200
+
   // 64-bit SimHash (Manku's config): 2 bits per md5 hex digit — bit 3 of
   // digit d for even sig bits, bit 2 for odd — banded 4×16 bits, so any
   // pair within hamming 3 agrees on >=1 whole band (pigeonhole) and the
@@ -346,6 +357,44 @@ object QueriesLlm {
         .boundedCollectLongsCol(col(idCol).cast(LongType), cap).as("ds"))
       .filter(size(col("ds")).between(2, cap))
 
+  /** [[cappedIdLists]] that TRUNCATES an over-cap bucket instead of
+    * dropping it (r18; VERDICT r17 task 2's "cap/band fix"). The sf10
+    * recall audit (SCALE.md §6.22, RECALL_r18_pre_sf10.json) measured the
+    * drop semantics losing REAL pairs once legitimate cluster size nears
+    * the cap: 100-variant families put band buckets at k ≈ 100-101
+    * against MaxBucket = 100, and a bucket at cap+1 vanished entirely —
+    * word-minhash recall 0.9749 at true-Jaccard ≥ 0.9 (where 8-band LSH
+    * miss probability is < 1e-6) and 9,862 of 500,000 docs in no emitted
+    * pair despite every doc holding a true pair. At 100 TB the densest
+    * buckets are exactly the mega-duplicated boilerplate a dedup pass
+    * most needs to catch, so dropping them is the worst possible policy.
+    *
+    * An over-cap bucket now keeps the `cap` members with the smallest
+    * md5(key_…_id) rank: deterministic (oracle twins rank by the same
+    * md5 — ASCII hex, so JVM, UTF8String-binary, and DuckDB collation
+    * agree), DECORRELATED across band/gram keys (the key is hashed in,
+    * so a doc truncated from one band's bucket survives another's — a
+    * min-doc_id rule would evict the same docs from every bucket), and
+    * buffer-bounded ([[graft.functions.BoundedTopK]], ≤ cap entries in
+    * every partial and final buffer). Under-cap buckets are untouched,
+    * so low-density corpora emit bit-identical results. Downstream every
+    * caller exact-verifies its candidates (Jaccard / containment /
+    * cosine), so truncation can only ADD true pairs, never a false one.
+    * NOT used by copy-detect: its df prune is semantic (MOSS-style
+    * boilerplate evidence filtering, see [[copyDetectPairsFromDocs]]) —
+    * there the drop IS the contract.
+    */
+  private[ops] def cappedIdListsSampled(rows: DataFrame, keys: Seq[String],
+      idCol: String, cap: Int): DataFrame = {
+    val rankKey = md5(concat_ws("_",
+      keys.map(k => col(k).cast(StringType)) :+ col(idCol).cast(StringType): _*))
+    rows.groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedCollect
+        .boundedTopKCol(rankKey, col(idCol).cast(LongType), cap).as("ds0"))
+      .select(keys.map(col) :+ sort_array(col("ds0")).as("ds"): _*)
+      .filter(size(col("ds")) >= 2)
+  }
+
   /** Banded candidate generation for the embedding dedup: each vector
     * lands in one bucket per table; every (table, bucket) group within
     * the size cap unnests its i<j pairs (the same one-shuffle
@@ -359,14 +408,17 @@ object QueriesLlm {
       nPlanes: Int, maxBucket: Int): DataFrame = {
     val keys = bucketKeysExpr(col("embedding"), embPlaneTables(nTables, nPlanes))
     val keyed = emb.select(col("vec_id"), explode(keys).as("bkt"))
-    // capped path: cap-BEFORE-collect (see [[cappedIdLists]]); uncapped
-    // oracle-default config keeps the direct single-shuffle aggregation
+    // capped path: cap-BEFORE-collect with over-cap buckets TRUNCATING
+    // to a decorrelated deterministic subset ([[cappedIdListsSampled]]) —
+    // the exact-cosine verify downstream keeps precision, so truncation
+    // only adds true pairs vs the r17 drop; uncapped oracle-default
+    // config keeps the direct single-shuffle aggregation
     val grouped =
       if (maxBucket <= 0)
         keyed.groupBy("bkt")
           .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
           .filter(size(col("vs")) >= 2)
-      else cappedIdLists(keyed, Seq("bkt"), "vec_id", maxBucket)
+      else cappedIdListsSampled(keyed, Seq("bkt"), "vec_id", maxBucket)
         .withColumnRenamed("ds", "vs")
     grouped
       .select(pairsExplode(col("vs")).as("p"))
@@ -402,27 +454,39 @@ object QueriesLlm {
   }
 
   /** containment pairs (contained, container, containment) with
-    * |A∩B|/|A| >= `thr`, intersections counted over the df-pruned
-    * postings (grams held by > `cap` docs dropped — the PPJoin-family
-    * prune; both directions emitted). Factored out so the prune's recall
-    * is MEASURABLE against the unpruned ground truth
-    * (`ContainRecallSpec`), not just asserted. The df prune uses
-    * [[cappedIdLists]], so a corpus-common gram never materializes its
-    * full posting list in one aggregation buffer.
+    * |A∩B|/|A| >= `thr` — EXACT containment over the full shingle sets,
+    * both directions emitted. Candidate generation is the PPJoin-family
+    * posting join: two docs become a candidate iff they co-occur in some
+    * gram's df-capped posting list ([[cappedIdListsSampled]]: postings
+    * over `cap` keep a decorrelated deterministic cap-subset, and no
+    * aggregation buffer ever exceeds cap entries). The r17 shape counted
+    * intersections over the PRUNED postings — oracle-twinned but a
+    * systematic undercount once real duplication density drives grams
+    * over the cap: the sf10 recall audit measured 0.877 recall against
+    * the unpruned ≥0.9 ground truth (SCALE.md §6.22). Scoring candidates
+    * with one array_intersect over the two docs' full hash sets (the
+    * same verify shape [[minhashPairs]] uses) restores exactness: a true
+    * pair is missed only if the two docs share NO gram with df ≤ cap in
+    * any sampled posting — pure cross-corpus boilerplate. Recall is
+    * measured, not asserted: `ContainRecallSpec` at sf0.1 and
+    * [[RecallAudit]] at sf1/sf10.
     */
   private[ops] def containPairs(sh: DataFrame, cap: Int,
       thr: Double = 0.9): DataFrame = {
-    val posts = cappedIdLists(
+    val posts = cappedIdListsSampled(
       sh.select(col("doc_id"), explode(col("hs")).as("h")),
       Seq("h"), "doc_id", cap)
-    val inter = posts
+    val cand = posts
       .select(pairsExplode(col("ds")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val sz = sh.select(col("doc_id"), size(col("hs")).as("sz"))
-    val scored = inter
-      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("a"), col("hs").as("ha"))
+    val shB = sh.select(col("doc_id").as("b2"), col("hs").as("hb"))
+    val scored = cand.join(shA, "a").join(shB, col("b") === col("b2"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("inter"),
+        size(col("ha")).cast(LongType).as("sza"),
+        size(col("hb")).cast(LongType).as("szb"))
     val dirA = scored
       .filter(col("inter").cast(DoubleType) / col("sza") >= thr)
       .select(col("a").as("contained"), col("b").as("container"),
@@ -668,16 +732,46 @@ object QueriesLlm {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     // candidate pairs per bucket: group each (band, bkey) bucket into a
     // sorted doc list with the bucket-size cap applied BEFORE the list is
-    // collected (degenerate buckets carry no signal and O(k²) pairs — LSH
-    // hygiene, r2 measured one bucket holding 63% of the corpus; see
-    // [[cappedIdLists]] for why the cap must precede the buffer), and
-    // unnest the i<j pairs. Same pair set as a bucket self-join (so the
-    // oracle twin keeps its join formulation) without the join's extra
-    // shuffles; every aggregation buffer is bounded at maxBucket docs.
-    val candRaw = cappedIdLists(bandsAll, Seq("band", "bkey"), "doc_id", maxBucket)
+    // collected (an unbounded bucket carries O(k²) pairs and a multi-GB
+    // aggregation buffer — LSH hygiene, r2 measured one bucket holding
+    // 63% of the corpus), and unnest the i<j pairs. Same pair set as a
+    // bucket self-join (so the oracle twin keeps its join formulation)
+    // without the join's extra shuffles; every aggregation buffer is
+    // bounded at maxBucket docs. r18: over-cap buckets TRUNCATE to a
+    // decorrelated deterministic cap-subset instead of dropping — the
+    // sf10 recall audit measured the drop losing 2.5% of true ≥0.9-Jaccard
+    // pairs once real cluster size nears the cap ([[cappedIdListsSampled]])
+    val cliqueCand = cappedIdListsSampled(bandsAll, Seq("band", "bkey"), "doc_id", maxBucket)
       .select(pairsExplode(col("ds")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    // ring candidates for OVER-cap buckets (r18): the truncated clique
+    // alone leaves a pair's survival at (cap/k)² per band — measured
+    // residual at sf10 density: word 0.9967, ngram 0.9462, with 80 of
+    // 500,000 docs in no emitted pair (SCALE.md §6.22). Pair-level
+    // exhaustiveness inside an over-dense bucket is irreducibly O(k²),
+    // but the pipeline consumers (dedup_cluster / keep_best /
+    // split_leakfree) need CONNECTIVITY, so every over-cap bucket also
+    // links each member to its md5-rank successor: O(k) candidates per
+    // bucket, computed as a WINDOW over the band stream — no aggregation
+    // buffer at all, sort-based and spill-safe at any bucket size (the
+    // standard star/ring edge set of web-scale dedup). Ring pairs flow
+    // through the same est-filter + exact-Jaccard verify, so precision
+    // is untouched; under-cap buckets contribute nothing new (their
+    // clique already holds every adjacent pair).
+    val ringCand = {
+      val rank = md5(concat_ws("_", col("band").cast(StringType),
+        col("bkey"), col("doc_id").cast(StringType)))
+      val part = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey"))
+      val ord = part.orderBy(rank, col("doc_id"))
+      bandsAll
+        .withColumn("bsz", count(lit(1)).over(part))
+        .withColumn("nxt", lead(col("doc_id"), 1).over(ord))
+        .filter(col("bsz") > maxBucket && col("nxt").isNotNull)
+        .select(least(col("doc_id"), col("nxt")).as("a"),
+          greatest(col("doc_id"), col("nxt")).as("b"))
+    }
+    val candRaw = cliqueCand.unionByName(ringCand).distinct()
     // signature-estimate filter (the standard MinHash cascade, MMDS ch.3):
     // the band collision admits pairs well below the threshold when the
     // corpus has mid-similarity mass (measured sf0.1: 36k band candidates
@@ -745,13 +839,20 @@ object QueriesLlm {
        |mh AS (SELECT doc_id, $minhashes FROM shx GROUP BY doc_id),
        |bands_all AS (SELECT doc_id, band, $bandCase AS bkey
        |          FROM mh CROSS JOIN (VALUES $bandVals) bb(band)),
-       |bands AS (SELECT doc_id, band, bkey FROM (
-       |          SELECT doc_id, band, bkey,
+       |ranked AS (SELECT doc_id, band, bkey,
+       |                 row_number() OVER (PARTITION BY band, bkey
+       |                   ORDER BY md5(CAST(band AS VARCHAR) || '_' || bkey || '_' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |                 lead(doc_id) OVER (PARTITION BY band, bkey
+       |                   ORDER BY md5(CAST(band AS VARCHAR) || '_' || bkey || '_' || CAST(doc_id AS VARCHAR)), doc_id) AS nxt,
        |                 count(*) OVER (PARTITION BY band, bkey) AS bsz
-       |          FROM bands_all) WHERE bsz <= $maxBucket),
-       |cand_raw AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM bands_all),
+       |bands AS (SELECT doc_id, band, bkey FROM ranked WHERE rn <= $maxBucket),
+       |ring AS (SELECT least(doc_id, nxt) AS a, greatest(doc_id, nxt) AS b
+       |         FROM ranked WHERE bsz > $maxBucket AND nxt IS NOT NULL),
+       |cand_raw AS (SELECT x.doc_id AS a, y.doc_id AS b
        |         FROM bands x JOIN bands y
-       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |         UNION SELECT a, b FROM ring),
        |cand AS (SELECT a, b FROM cand_raw c
        |         JOIN mh ma ON ma.doc_id = c.a
        |         JOIN mh mb ON mb.doc_id = c.b
@@ -1214,7 +1315,8 @@ object QueriesLlm {
 
     // --------------------------------- near-dup: char-3-gram MinHash LSH
     "q_llm_dedup_ngram" -> { (s, d) =>
-      minhashPairs(ngramsDF(s, d), NgramHashes, NgramBands, NgramThreshold)
+      minhashPairs(ngramsDF(s, d), NgramHashes, NgramBands, NgramThreshold,
+        maxBucket = NgramMaxBucket)
     },
 
     // ------------------------------------ near-dup: banded 64-bit SimHash
@@ -2355,7 +2457,7 @@ object QueriesLlm {
 
     "q_llm_dedup_ngram" ->
       sqlMinhashPairs(sqlNgrams, NgramHashes, NgramBands, NgramThreshold,
-        sampleMod = NgramSampleMod),
+        maxBucket = NgramMaxBucket, sampleMod = NgramSampleMod),
 
     "q_llm_dedup_simhash" -> {
       val chunkDefs = (0 until SimBits / 16).map(j =>
@@ -2462,8 +2564,9 @@ object QueriesLlm {
          |      FROM b CROSS JOIN (VALUES $tabVals) tt(tab)),
          |kf AS (SELECT vec_id, tab, bkey FROM (
          |       SELECT vec_id, tab, bkey,
-         |              count(*) OVER (PARTITION BY tab, bkey) AS bsz
-         |       FROM k) WHERE bsz <= $EmbMaxBucket),
+         |              row_number() OVER (PARTITION BY tab, bkey
+         |                ORDER BY md5(CAST(tab AS VARCHAR) || ':' || bkey || '_' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |       FROM k) WHERE rn <= $EmbMaxBucket),
          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |         FROM kf x JOIN kf y
          |           ON x.tab = y.tab AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
@@ -2801,10 +2904,17 @@ object QueriesLlm {
     "q_llm_dedup_contain" ->
       s"""WITH sh0 AS ($sqlShingles),
          |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh0),
-         |df AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND $MaxBucket),
-         |shp AS (SELECT doc_id, h FROM sh WHERE h IN (SELECT h FROM df)),
-         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-         |          FROM shp x JOIN shp y ON x.h = y.h AND x.doc_id < y.doc_id
+         |shp AS (SELECT doc_id, h FROM (
+         |        SELECT doc_id, h,
+         |               count(*) OVER (PARTITION BY h) AS df,
+         |               row_number() OVER (PARTITION BY h
+         |                 ORDER BY md5(CAST(h AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |        FROM sh) WHERE df >= 2 AND rn <= $MaxBucket),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM shp x JOIN shp y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS inter
+         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+         |                      JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
          |          GROUP BY 1, 2),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |scored AS (SELECT i.a, i.b, i.inter, za.sz AS sza, zb.sz AS szb

@@ -184,7 +184,7 @@ object RecallAudit {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ngPairs = famPairs(ng)
       val emNgram = QueriesLlm.minhashPairs(ng, QueriesLlm.NgramHashes,
-        QueriesLlm.NgramBands, 0.8)
+        QueriesLlm.NgramBands, 0.8, maxBucket = QueriesLlm.NgramMaxBucket)
       println("RECALLAUDIT " + s"""{"dir":"$dir",""" +
         jaccardStream("ngram_minhash", ngPairs, emNgram, 0.8).drop(1))
       ng.unpersist()
