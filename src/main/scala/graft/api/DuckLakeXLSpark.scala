@@ -216,6 +216,10 @@ class DuckLakeXLSpark(
     reg1("__graft_json_valid", graft.functions.DuckJsonValid(_))
     reg2("__graft_subscript", graft.functions.DuckSubscript(_, _))
     org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_slice", { exprs =>
+        graft.functions.DuckSlice(exprs)
+      })
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
       spark, "__graft_struct_insert", { exprs =>
         graft.functions.StructInsert(exprs)
       })

@@ -40,12 +40,17 @@ case class DuckSubscript(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] = left.dataType match {
     case _: ArrayType => Seq(left.dataType, IntegerType)
     case MapType(kt, _, _) => Seq(left.dataType, kt)
+    case StringType => Seq(StringType, IntegerType)
     case _ => Seq(left.dataType, StringType)
   }
 
   override def dataType: DataType = left.dataType match {
     case ArrayType(et, _) => et
     case MapType(_, vt, vn) => ArrayType(vt, containsNull = vn)
+    // STRING subscripts answer one character (r18 slice differential):
+    // 1-based, negative from the end, [0] and out-of-range are the
+    // EMPTY STRING (not NULL — measured 'hello'[0] = '' = 'hello'[7])
+    case StringType => StringType
     case st: StructType => st(st.fieldIndex(structKey)).dataType
     case other => throw new IllegalArgumentException(
       s"cannot subscript a value of type ${other.sql}")
@@ -80,6 +85,13 @@ case class DuckSubscript(left: Expression, right: Expression)
         }
         new GenericArrayData(out.result())
       case _ if base == null || key == null => null
+      case StringType =>
+        val str = base.asInstanceOf[UTF8String]
+        val n = str.numChars()
+        val i0 = key.asInstanceOf[Int]
+        val eff = if (i0 > 0) i0 - 1 else n + i0
+        if (i0 == 0 || eff < 0 || eff >= n) UTF8String.EMPTY_UTF8
+        else str.substringSQL(eff + 1, 1)
       case ArrayType(et, _) =>
         val arr = base.asInstanceOf[ArrayData]
         val n = arr.numElements()
@@ -98,6 +110,119 @@ case class DuckSubscript(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckSubscript =
     copy(left = l, right = r)
+}
+
+/** DuckDB slice semantics (measured on REAL DuckDB 1.0 — r18 slice
+  * differential barrage), the target of the dialect's bracket-slice
+  * rewrite (`x[a:b]`, `x[a:b:s]`) and of `list_slice`/`array_slice`:
+  *
+  *  - 1-based with BOTH bounds inclusive; a NEGATIVE bound resolves to
+  *    `len + bound + 1` (so `[:-1]` keeps everything and `[-2:]` is the
+  *    last two) — the SAME formula for lists and strings (measured);
+  *  - bounds clamp to the container (`[0:2]` starts at 1, `[:99]` ends
+  *    at len); an inverted window is the empty list/string, not an
+  *    error;
+  *  - an explicit STEP takes every step-th element of the window; a
+  *    NEGATIVE step walks `lo` DOWN to `hi` (measured `[3:1:-1]` =
+  *    `[3, 2, 1]`, with lo clamping to len and hi to 1); step 0 is
+  *    DuckDB's loud "Slice step cannot be zero", and any step on a
+  *    STRING is DuckDB's loud not-implemented;
+  *  - a NULL base, bound, or step answers NULL; an OPEN bound (the
+  *    `[a:]` / `[:b]` syntax) defaults to the matching end — open-ness
+  *    is syntactic, so the rewrite pins it with literal flags rather
+  *    than conflating it with runtime NULL.
+  *
+  * children: (base, lo, hi, step, loOpen, hiOpen, stepGiven) — the last
+  * three are literal booleans from the rewrite.
+  */
+case class DuckSlice(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 7,
+    "__graft_slice(base, lo, hi, step, loOpen, hiOpen, stepGiven)")
+  private def base = children(0)
+  private def loE = children(1)
+  private def hiE = children(2)
+  private def stepE = children(3)
+  private def flag(i: Int): Boolean =
+    children(i).eval(null).asInstanceOf[Boolean]
+
+  override def dataType: DataType = base.dataType match {
+    case a: ArrayType => a
+    case StringType => StringType
+    case other => throw new IllegalArgumentException(
+      s"cannot slice a value of type ${other.sql}")
+  }
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  private def boundOf(e: Expression, input: InternalRow): Option[Long] =
+    Option(e.eval(input)).map {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case d: Decimal => d.toLong
+      case d: java.lang.Double => d.longValue
+      case f: java.lang.Float => f.longValue
+      case other => throw new IllegalArgumentException(
+        s"slice bound must be numeric, got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val b = base.eval(input)
+    if (b == null) return null
+    val isString = base.dataType == StringType
+    if (flag(6) && isString)
+      throw new UnsupportedOperationException(
+        "Slice with steps has not been implemented for string types")
+    val n: Long = base.dataType match {
+      case _: ArrayType => b.asInstanceOf[ArrayData].numElements().toLong
+      case _ => b.asInstanceOf[UTF8String].numChars().toLong
+    }
+    def resolve(e: Expression, open: Boolean, default: Long): Option[Long] =
+      if (open) Some(default)
+      else boundOf(e, input).map(x => if (x < 0) n + x + 1 else x)
+    (resolve(loE, flag(4), 1L), resolve(hiE, flag(5), n),
+      boundOf(stepE, input)) match {
+      case (Some(lo0), Some(hi0), Some(step)) =>
+        if (step == 0)
+          throw new IllegalArgumentException("Slice step cannot be zero")
+        if (isString) {
+          val lo = math.max(lo0, 1L)
+          val hi = math.min(hi0, n)
+          val s = b.asInstanceOf[UTF8String]
+          if (lo > hi) UTF8String.EMPTY_UTF8
+          else s.substringSQL(lo.toInt, (hi - lo + 1).toInt)
+        } else {
+          val arr = b.asInstanceOf[ArrayData]
+          val et = dataType.asInstanceOf[ArrayType].elementType
+          val out = ArrayBuffer.empty[Any]
+          if (step > 0) {
+            var p = math.max(lo0, 1L)
+            val hi = math.min(hi0, n)
+            while (p <= hi) {
+              out += (if (arr.isNullAt(p.toInt - 1)) null
+                      else arr.get(p.toInt - 1, et))
+              p += step
+            }
+          } else {
+            var p = math.min(lo0, n)
+            val hi = math.max(hi0, 1L)
+            while (p >= hi) {
+              out += (if (arr.isNullAt(p.toInt - 1)) null
+                      else arr.get(p.toInt - 1, et))
+              p += step
+            }
+          }
+          new GenericArrayData(out.toArray)
+        }
+      case _ => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DuckSlice =
+    copy(children = newChildren)
 }
 
 /** DuckDB `struct_insert(s, name := v, …)` — appends fields to a struct

@@ -311,6 +311,16 @@ object CoercionRepair {
           ivFn("__graft_iv_mul", iv, n)
         case dv: Divide if ivLit(dv.left) =>
           ivFn("__graft_iv_div", dv.left, dv.right)
+        // r18: the dialect's full-precision `/` rewrite now captures a
+        // typed-literal LHS (primaryStart walks INTERVAL '…' as one
+        // primary for the slice work), so interval division arrives as
+        // __graft_div(interval, n) instead of a raw Divide — route it
+        // to the same per-field native
+        case f: UnresolvedFunction
+            if f.nameParts.length == 1 &&
+              f.nameParts.head.equalsIgnoreCase("__graft_div") &&
+              f.arguments.length == 2 && ivLit(f.arguments.head) =>
+          ivFn("__graft_iv_div", f.arguments.head, f.arguments(1))
         case a: Add if ivLit(a.left) && ivLit(a.right) =>
           ivFn("__graft_iv_add", a.left, a.right)
         case sx: Subtract if ivLit(sx.left) && ivLit(sx.right) =>

@@ -2766,6 +2766,12 @@ object StatementRouter {
 
   private def identChar(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
+  /** keywords that prefix a quoted TYPED literal — part of the primary
+    * expression when walking left from the literal (r18 slice work)
+    */
+  private val TypedLitPrefixWords =
+    Set("interval", "date", "time", "timestamp", "timestamptz")
+
   /** SQL words that can directly precede a bare list literal — never the
     * base of a subscript
     */
@@ -2822,6 +2828,30 @@ object StatementRouter {
         if (j < 0) return -1
         start = j
         k = j - 1
+      } else if (c == '\'') {
+        // a string literal base ('hello'[2]); walk to its opening quote,
+        // treating '' pairs as escapes inside the literal
+        var j = k - 1
+        var open = -1
+        while (j >= 0 && open < 0) {
+          if (s.charAt(j) == '\'') {
+            if (j - 1 >= 0 && s.charAt(j - 1) == '\'') j -= 2
+            else open = j
+          } else j -= 1
+        }
+        if (open < 0) return -1
+        start = open
+        k = open - 1
+        // a TYPED literal's keyword is part of the primary expression
+        // (INTERVAL '1 day' / 2 must not split into INTERVAL + '1 day')
+        var w = k
+        while (w >= 0 && s.charAt(w).isWhitespace) w -= 1
+        val we = w
+        while (w >= 0 && identChar(s.charAt(w))) w -= 1
+        val word =
+          if (w < we) s.substring(w + 1, we + 1).toLowerCase(java.util.Locale.ROOT)
+          else ""
+        if (TypedLitPrefixWords.contains(word)) { start = w + 1; k = w }
       } else if (identChar(c)) {
         while (k >= 0 && identChar(s.charAt(k))) k -= 1
         start = k + 1
@@ -2857,8 +2887,12 @@ object StatementRouter {
         var p = i - 1
         while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
         val prev = if (p >= 0) s.charAt(p) else ' '
-        val subscriptish = p >= 0 && !lit(p) &&
-          (identChar(prev) || prev == ')' || prev == ']' || prev == '"')
+        // a string LITERAL is a valid subscript/slice base ('hello'[2],
+        // measured r18 slice differential) — its closing quote sits
+        // inside the literal mask, hence the explicit prev == '\''
+        val subscriptish = p >= 0 &&
+          ((!lit(p) && (identChar(prev) || prev == ')' || prev == ']' ||
+            prev == '"')) || prev == '\'')
         lazy val baseStart = primaryStart(s, i)
         lazy val base = if (baseStart >= 0) s.substring(baseStart, i).trim else ""
         lazy val baseWord = base.toLowerCase
@@ -2868,7 +2902,10 @@ object StatementRouter {
             if (!lit(j)) s.charAt(j) match {
               case '[' | '(' => d += 1
               case ']' | ')' => d -= 1
-              case ':' if d == 0 => idx = j
+              // '::'-pair aware: a cast inside the subscript never splits
+              case ':' if d == 0 &&
+                  (j + 1 >= close || s.charAt(j + 1) != ':') &&
+                  s.charAt(j - 1) != ':' => idx = j
               case _ =>
             }
             j += 1
@@ -2899,22 +2936,47 @@ object StatementRouter {
           if (typeDecl) {
             i = close + 1 // array TYPE decl — unchanged
           } else if (topColon) {
-            // DuckDB list slice x[a:b] (1-based, both bounds inclusive,
-            // clamped): slice(x, a, b-a+1); open bounds default to the
-            // ends. Negative bounds and step slices differ semantically
-            // and pass through to a loud Spark error instead of a guess.
+            // DuckDB slice x[a:b] / x[a:b:step] (1-based, both bounds
+            // inclusive, end-relative negatives, clamped — measured r18
+            // slice differential). Open bounds are SYNTAX, so they pin
+            // literal flags on the native twin instead of conflating
+            // with a runtime NULL bound (which answers NULL).
             val cIdx = topColonIdx - (i + 1)
+            // second top-level colon (step slice) — ':'-pair aware so a
+            // '::' cast inside a bound never splits
+            val c2Idx = {
+              var j = topColonIdx + 1; var d = 0; var idx = -1
+              while (j < close && idx < 0) {
+                if (!lit(j)) s.charAt(j) match {
+                  case '[' | '(' => d += 1
+                  case ']' | ')' => d -= 1
+                  case ':' if d == 0 &&
+                      (j + 1 >= close || s.charAt(j + 1) != ':') &&
+                      s.charAt(j - 1) != ':' => idx = j
+                  case _ =>
+                }
+                j += 1
+              }
+              idx
+            }
             val lo = content.substring(0, cIdx).trim
-            val hi = content.substring(cIdx + 1).trim
+            val (hi, step) =
+              if (c2Idx < 0) (content.substring(cIdx + 1).trim, "")
+              else (s.substring(topColonIdx + 1, c2Idx).trim,
+                s.substring(c2Idx + 1, close).trim)
             val rep =
-              if (lo.startsWith("-") || hi.startsWith("-") || hi.contains(":")) null
-              else if (lo.isEmpty && hi.isEmpty) base
-              else if (lo.isEmpty) s"slice($base, 1, $hi)"
-              else if (hi.isEmpty)
-                s"slice($base, $lo, greatest(size($base) - ($lo) + 1, 0))"
-              else s"slice($base, $lo, ($hi) - ($lo) + 1)"
-            if (rep == null) i = close + 1
-            else return rewriteBrackets(
+              if (lo.isEmpty && hi.isEmpty && step.isEmpty) base
+              else {
+                val loArg =
+                  if (lo.isEmpty) "CAST(0 AS BIGINT)" else s"CAST($lo AS BIGINT)"
+                val hiArg =
+                  if (hi.isEmpty) "CAST(0 AS BIGINT)" else s"CAST($hi AS BIGINT)"
+                val stArg =
+                  if (step.isEmpty) "CAST(1 AS BIGINT)" else s"CAST($step AS BIGINT)"
+                s"__graft_slice($base, $loArg, $hiArg, $stArg, " +
+                  s"${lo.isEmpty}, ${hi.isEmpty}, ${step.nonEmpty})"
+              }
+            return rewriteBrackets(
               s.substring(0, baseStart) + rep + s.substring(close + 1))
           } else {
             val out = s.substring(0, baseStart) +
@@ -4289,23 +4351,20 @@ object StatementRouter {
     q
   }
 
-  /** `list_slice(l, a, b)` / `array_slice` — DuckDB's inclusive 1-based
-    * [a, b] window vs Spark's slice(l, start, LENGTH): rewritten only
-    * when both bounds are positive integer literals (the common case);
-    * negative / expression bounds have end-relative semantics with no
-    * 1:1 twin and stay out (loud failure over a silently shifted window).
-    * dayname/monthname format through date_format. */
+  /** `list_slice(l, a, b[, step])` / `array_slice` — DuckDB's inclusive
+    * 1-based end-relative window (negative bounds count from the end,
+    * inverted windows are empty, a 4th arg steps, strings slice by
+    * character) — all measured r18 slice differential, one native
+    * twin ([[graft.functions.DuckSlice]]) shared with the bracket
+    * syntax. dayname/monthname format through date_format. */
   private def rewriteListMisc(q0: String): String = {
     def sliceRw(args: Seq[String]): Option[String] = args match {
       case Seq(l, a, b) =>
-        val IntLit = """^\s*(\d+)\s*$""".r
-        (a, b) match {
-          // an inverted/out-of-range window is DuckDB's empty list, not
-          // an error — emit a zero-length slice (r12 list differential)
-          case (IntLit(ai), IntLit(bi)) if ai.toInt >= 1 =>
-            Some(s"slice(${l.trim}, $ai, ${math.max(bi.toInt - ai.toInt + 1, 0)})")
-          case _ => None
-        }
+        Some(s"__graft_slice(${l.trim}, CAST(${a.trim} AS BIGINT), " +
+          s"CAST(${b.trim} AS BIGINT), CAST(1 AS BIGINT), false, false, false)")
+      case Seq(l, a, b, st) =>
+        Some(s"__graft_slice(${l.trim}, CAST(${a.trim} AS BIGINT), " +
+          s"CAST(${b.trim} AS BIGINT), CAST(${st.trim} AS BIGINT), false, false, true)")
       case _ => None
     }
     var q = rewriteCalls(q0, "list_slice")(sliceRw)
@@ -6783,7 +6842,11 @@ object StatementRouter {
     // all land on the type-dispatched native subscript — DuckDB's
     // element_at/map_extract return a LIST of matches on a MAP
     // (measured `[7]` / `[]`), which Spark's element_at conflates
-    for (fn <- Seq("struct_extract", "map_extract", "element_at")) {
+    // list_extract/array_extract are the same 1-based end-relative
+    // subscript (and DuckDB accepts a STRING base — one char out,
+    // measured r18 slice differential)
+    for (fn <- Seq("struct_extract", "map_extract", "element_at",
+        "list_extract", "array_extract")) {
       q = rewriteCalls(q, fn) {
         case Seq(a, b) => Some(s"__graft_subscript(${a.trim}, ${b.trim})")
         case _ => None

@@ -761,13 +761,22 @@ object QueriesLlm {
     val ringCand = {
       val rank = md5(concat_ws("_", col("band").cast(StringType),
         col("bkey"), col("doc_id").cast(StringType)))
-      val part = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey"))
-      val ord = part.orderBy(rank, col("doc_id"))
-      bandsAll
-        .withColumn("bsz", count(lit(1)).over(part))
+      // restrict the window to the over-cap SLIVER first: a windowed
+      // bucket-size count over the whole band stream sorts N·bands rows
+      // to keep a few thousand (measured +0.2-0.4 s per dedup query at
+      // sf0.1). The over-cap key set comes from a map-side-combined
+      // count (shuffle = distinct buckets, not entries) and is usually
+      // tiny — AQE broadcast-joins it back onto the stream; in a
+      // pathological corpus where it is large, AQE falls back to a
+      // shuffle join and the plan still never holds a bucket in memory.
+      val overKeys = bandsAll.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucket)
+        .select(col("band"), col("bkey"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey")).orderBy(rank, col("doc_id"))
+      bandsAll.join(overKeys, Seq("band", "bkey"))
         .withColumn("nxt", lead(col("doc_id"), 1).over(ord))
-        .filter(col("bsz") > maxBucket && col("nxt").isNotNull)
+        .filter(col("nxt").isNotNull)
         .select(least(col("doc_id"), col("nxt")).as("a"),
           greatest(col("doc_id"), col("nxt")).as("b"))
     }

@@ -211,20 +211,26 @@ class DialectRewriteSpec extends AnyFunSuite {
     assert(rewriteDialect(lit) == lit)
   }
 
-  test("r8: list slices become slice(); negative/step slices stay loud") {
+  test("r8/r18: slices route to the measured-semantics native, steps and negatives included") {
     assert(rewriteDialect("SELECT arr[1:3] FROM t") ==
-      "SELECT slice(arr, 1, (3) - (1) + 1) FROM t")
+      "SELECT __graft_slice(arr, CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), false, false, false) FROM t")
     assert(rewriteDialect("SELECT arr[:2] FROM t") ==
-      "SELECT slice(arr, 1, 2) FROM t")
+      "SELECT __graft_slice(arr, CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true, false, false) FROM t")
     assert(rewriteDialect("SELECT arr[2:] FROM t") ==
-      "SELECT slice(arr, 2, greatest(size(arr) - (2) + 1, 0)) FROM t")
+      "SELECT __graft_slice(arr, CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false, true, false) FROM t")
     assert(rewriteDialect("SELECT arr[:] FROM t") == "SELECT arr FROM t")
     assert(rewriteDialect("SELECT split(s, ',')[1:2] FROM t") ==
-      "SELECT slice(split(s, ','), 1, (2) - (1) + 1) FROM t")
-    val neg = "SELECT arr[-2:] FROM t"
-    assert(rewriteDialect(neg) == neg)
-    val step = "SELECT arr[1:5:2] FROM t"
-    assert(rewriteDialect(step) == step)
+      "SELECT __graft_slice(split(s, ','), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), false, false, false) FROM t")
+    // r18: negative bounds and step slices carry DuckDB's measured
+    // end-relative / stepped semantics (SliceDifferentialSpec pins the
+    // values) instead of passing through to a loud Spark error
+    assert(rewriteDialect("SELECT arr[-2:] FROM t") ==
+      "SELECT __graft_slice(arr, CAST(-2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false, true, false) FROM t")
+    assert(rewriteDialect("SELECT arr[1:5:2] FROM t") ==
+      "SELECT __graft_slice(arr, CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT), false, false, true) FROM t")
+    // a '::' cast inside a subscript is NOT a slice separator
+    assert(rewriteDialect("SELECT arr[i::INT] FROM t") ==
+      "SELECT __graft_subscript(arr, i::INT) FROM t")
   }
 
   test("r7b/r16: strftime routes to the measured-semantics native") {
@@ -672,11 +678,12 @@ class DialectRewriteSpec extends AnyFunSuite {
       "SELECT t.* EXCEPT (a, c), a AS b, c AS d FROM t")
     val lit = "SELECT '* RENAME (a AS b)' AS s FROM t"
     assert(rewriteDialect(lit) == lit)
-    // inclusive 1-based [a,b] -> slice(l, a, len); literal bounds only
+    // inclusive 1-based end-relative [a,b] via the native (r18: dynamic
+    // and negative bounds included, same twin as the bracket syntax)
     assert(rewriteDialect("SELECT list_slice(xs, 2, 4) FROM t") ==
-      "SELECT slice(xs, 2, 3) FROM t")
-    val neg = "SELECT list_slice(xs, 2, n) FROM t"
-    assert(rewriteDialect(neg) == neg)
+      "SELECT __graft_slice(xs, CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), false, false, false) FROM t")
+    assert(rewriteDialect("SELECT list_slice(xs, 2, n) FROM t") ==
+      "SELECT __graft_slice(xs, CAST(2 AS BIGINT), CAST(n AS BIGINT), CAST(1 AS BIGINT), false, false, false) FROM t")
     assert(rewriteDialect("SELECT dayname(d), monthname(d) FROM t") ==
       "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t")
     // r12: date_trunc('day') returns DATE like DuckDB (CAST), not

@@ -1732,6 +1732,65 @@ def fam_listmath(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_slice(seed):
+    """r18: bracket indexing + slicing depth over lists, strings, maps,
+    structs. Measured DuckDB 1.0.0 edges: 1-based indexing with [0] and
+    out-of-range -> NULL (lists) / '' (strings); negative indexes count
+    from the end; slice END is INCLUSIVE; a negative slice END means
+    "from the end" but asymmetrically — list[:-1] keeps ALL elements
+    while 'hello'[:-2] drops one; [4:5] past the end and inverted [2:1]
+    give []/''; start 0 clamps to 1; steps need all three parts
+    ([1:5:2], no [::2]); map[k] returns a LIST (empty when missing);
+    NULL anywhere in the bracket -> NULL."""
+    exprs = [
+        # list element extraction
+        "([10,20,30])[1]", "([10,20,30])[3]", "([10,20,30])[-1]",
+        "CAST(([10,20,30])[0] AS VARCHAR)", "CAST(([10,20,30])[4] AS VARCHAR)",
+        "CAST(([10,20,30])[-4] AS VARCHAR)", "CAST(([1,2])[NULL] AS VARCHAR)",
+        "list_extract([10,20],-1)", "list_extract([10,20],2)",
+        "CAST(list_extract([10,20],0) AS VARCHAR)",
+        # list slices (inclusive end, 1-based, 0-start clamp)
+        "CAST(([10,20,30])[1:2] AS VARCHAR)", "CAST(([10,20,30])[2:] AS VARCHAR)",
+        "CAST(([10,20,30])[:2] AS VARCHAR)", "CAST(([10,20,30])[2:2] AS VARCHAR)",
+        "CAST(([10,20,30])[-2:] AS VARCHAR)", "CAST(([10,20,30])[:-1] AS VARCHAR)",
+        "CAST(([10,20,30])[:-2] AS VARCHAR)", "CAST(([10,20,30])[4:5] AS VARCHAR)",
+        "CAST(([10,20,30])[2:1] AS VARCHAR)", "CAST(([10,20,30])[0:2] AS VARCHAR)",
+        "CAST(([10,20,30])[-5:-2] AS VARCHAR)", "CAST(([10,20,30])[-1:-1] AS VARCHAR)",
+        "CAST(([1,2])[NULL:2] AS VARCHAR)", "CAST(([1,2])[1:NULL] AS VARCHAR)",
+        "CAST(([1,2,3])[:] AS VARCHAR)",
+        # stepped slices (three-part only) + list_slice function form
+        "CAST(([1,2,3,4,5])[1:5:2] AS VARCHAR)", "CAST(([1,2,3,4,5])[2:5:3] AS VARCHAR)",
+        "CAST(([1,2,3,4,5])[5:1:1] AS VARCHAR)", "CAST(([1,2,3,4,5])[1:-1:2] AS VARCHAR)",
+        "CAST(list_slice([1,2,3,4,5],1,4,2) AS VARCHAR)",
+        "CAST(list_slice([1,2,3],2,3) AS VARCHAR)",
+        "CAST(list_slice([1,2,3],NULL,2) AS VARCHAR)",
+        # string indexing / slicing
+        "'hello'[2]", "'hello'[-2]", "'hello'[0]", "'hello'[7]",
+        "'hello'[2:4]", "'hello'[-3:]", "'hello'[:0]", "'hello'[3:]",
+        "'hello'[:-2]", "'hello'[2:2]", "'hello'[4:2]", "'hello'[-5:-4]",
+        "CAST('hello'[NULL] AS VARCHAR)", "array_extract('hello',2)",
+        "''[1]",
+        # nested chains
+        "([[1,2],[3]])[1][2]", "([[1,2],[3]])[2][1]",
+        "CAST(([[1,2],[3]])[1] AS VARCHAR)",
+        "CAST(([[1,2],[3,4]])[2][1:2] AS VARCHAR)",
+        "CAST({'a':[1,2,3]}.a[2] AS VARCHAR)",
+        "CAST({'a':{'b':7}}.a.b AS VARCHAR)",
+        "CAST(struct_extract({'a':5,'b':6},'b') AS VARCHAR)",
+        "'hello world'[1:5][2]",
+        # map bracket extraction returns a LIST
+        "CAST(map([1,2],[10,20])[1] AS VARCHAR)",
+        "CAST(map([1,2],[10,20])[3] AS VARCHAR)",
+        "CAST(map(['k'],['v'])['k'] AS VARCHAR)",
+        "CAST(element_at(map([1,2],[10,20]),2) AS VARCHAR)",
+        # subquery / expression receivers
+        "CAST((SELECT x FROM (VALUES ([1,2,3])) t(x))[2] AS VARCHAR)",
+        "CAST(list_append([1,2],3)[3] AS VARCHAR)",
+        "CAST(('ab' || 'cd')[2:3] AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 def fam_windepth(seed):
     """r16: window-function depth beyond the r12 window family —
     EXCLUDE CURRENT ROW / GROUP / TIES frames, aggregates-as-window
@@ -1934,7 +1993,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "jsonbuild": fam_jsonbuild, "printf": fam_printf,
             "likeglob": fam_likeglob,
             "mapdepth": fam_mapdepth, "listmath": fam_listmath,
-            "aggdepth": fam_aggdepth, "windepth": fam_windepth}
+            "aggdepth": fam_aggdepth, "windepth": fam_windepth,
+            "slice": fam_slice}
 
 
 # verify-only families map spec file -> harness kind
