@@ -219,6 +219,18 @@ class DuckLakeXLSpark(
       spark, "__graft_slice", { exprs =>
         graft.functions.DuckSlice(exprs)
       })
+    reg1("__graft_flat_rec", graft.functions.RecursiveFlatten(_))
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_range", { exprs =>
+        graft.functions.DuckRange(exprs)
+      })
+    // generate_series: same native, END-INCLUSIVE, cumulative calendar
+    // walk for INTERVAL steps (Spark's sequence computes start+i*step —
+    // 03-31 +2 months lands 05-31 where DuckDB's walk lands 05-30)
+    org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
+      spark, "__graft_series", { exprs =>
+        graft.functions.DuckRange(exprs, inclusive = true)
+      })
     org.apache.spark.sql.graftshim.FunctionRegistryBridge.register(
       spark, "__graft_struct_insert", { exprs =>
         graft.functions.StructInsert(exprs)

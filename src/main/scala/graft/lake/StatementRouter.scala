@@ -1862,6 +1862,192 @@ object StatementRouter {
     q
   }
 
+  /** unnest ARGUMENT normalization (r18 tvf differential, measured):
+    * `unnest(e, recursive := true)` flattens nested lists to the
+    * innermost elements ([[graft.functions.RecursiveFlatten]]; NULL
+    * sublists skipped, NULL leaves kept); `recursive := false` is the
+    * plain unnest; a STRUCT-literal argument expands its fields to
+    * COLUMNS — Spark's `inline` over a one-struct array is the exact
+    * twin. Runs before [[rewriteUnnestZip]] so the zip pass sees only
+    * plain single-argument unnests.
+    */
+  private def rewriteUnnestArgs(q0: String): String =
+    rewriteCalls(q0, "unnest") { args =>
+      val recRe = """(?is)^recursive\s*:=\s*(true|false)$""".r
+      // a struct literal's commas sit at brace (not paren) depth, so the
+      // call splitter hands them back as several "args" — rejoin first
+      val whole = args.mkString(", ").trim
+      if (whole.startsWith("{") && whole.endsWith("}"))
+        Some(s"inline(array($whole))")
+      else args match {
+        case Seq(e, opt) => recRe.findFirstMatchIn(opt.trim) match {
+          case Some(m) if m.group(1).equalsIgnoreCase("true") =>
+            Some(s"unnest(__graft_flat_rec(${e.trim}))")
+          case Some(_) => Some(s"unnest(${e.trim})")
+          case None => None
+        }
+        case _ => None
+      }
+    }
+
+  private val SelectWordRe = """(?i)\bSELECT\b""".r
+  private val PostFromWords = Set("where", "group", "having", "window",
+    "qualify", "order", "limit", "offset", "fetch", "union", "intersect",
+    "except")
+
+  /** DuckDB SELECT-position unnest ZIP semantics (r18 tvf differential,
+    * measured): multiple unnests in ONE select list iterate in LOCKSTEP,
+    * padding shorter lists with NULL — `SELECT unnest([1,2]) AS a,
+    * unnest([10,20,30]) AS b` is THREE rows (1,10),(2,20),(NULL,30) —
+    * where the one-explode-per-call rename produced their CARTESIAN
+    * product: silently wrong results, the worst failure class. An
+    * unnest nested inside an expression (`CAST(unnest(x) AS …)`) is
+    * Spark's UNSUPPORTED_GENERATOR on top. Both shapes rewrite
+    * POSITIONALLY: every `unnest(e)` becomes
+    * `__graft_subscript((e), __graft_upos)` over ONE generated position
+    * column 1..max(size(e_i), …) appended to the FROM as a LATERAL VIEW
+    * — the 1-based out-of-range subscript answers NULL, which IS the
+    * pad. A single BARE top-level unnest keeps the plain explode rename
+    * (no extra lateral join, same plan as before). The generated
+    * positions come from `slice(sequence(1, greatest(E, 1)), 1, E)` so
+    * an all-empty/NULL input yields ZERO rows without tripping Spark's
+    * descending `sequence(1, 0)`.
+    */
+  private def rewriteUnnestZip(q0: String): String = {
+    val s = q0
+    val lm = literalMask(s)
+    def wordAt(j: Int): String = {
+      var k = j
+      while (k < s.length && identChar(s.charAt(k))) k += 1
+      s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+    }
+    val unnestRe = """(?i)\bunnest\s*\(""".r
+    for (m <- SelectWordRe.findAllMatchIn(s) if !lm(m.start) &&
+        (m.start == 0 || !identChar(s.charAt(m.start - 1)))) {
+      // ---- span discovery: items end, FROM position, clause/scope ends
+      var depth = 0
+      var fromIdx = -1
+      var itemsEnd = -1
+      var insertAt = -1 // first top-level post-FROM clause keyword
+      var scopeEnd = s.length
+      var j = m.end
+      var done = false
+      while (j < s.length && !done) {
+        if (!lm(j)) {
+          val c = s.charAt(j)
+          if (c == '(') { depth += 1 }
+          else if (c == ')') {
+            if (depth == 0) { scopeEnd = j; done = true } else depth -= 1
+          } else if (c == ';' && depth == 0) { scopeEnd = j; done = true }
+          else if (depth == 0 && c.isLetter &&
+              (j == 0 || !identChar(s.charAt(j - 1)))) {
+            val w = wordAt(j)
+            if (w == "from" && fromIdx < 0) {
+              fromIdx = j
+              if (itemsEnd < 0) itemsEnd = j
+            } else if (PostFromWords.contains(w)) {
+              if (itemsEnd < 0) itemsEnd = j
+              if (insertAt < 0 && fromIdx >= 0) insertAt = j
+              if (fromIdx < 0) { scopeEnd = j; done = true }
+            }
+            if (w == "from" || PostFromWords.contains(w)) j += w.length - 1
+          }
+        }
+        j += 1
+      }
+      if (itemsEnd < 0) itemsEnd = scopeEnd
+      if (insertAt < 0) insertAt = scopeEnd
+      // ---- unnest occurrences in the item list, outside subqueries
+      val occ = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      locally {
+        var d = 0
+        var sub = List.empty[Boolean] // per open paren: is a subquery?
+        var k = m.end
+        while (k < itemsEnd) {
+          if (!lm(k)) {
+            val c = s.charAt(k)
+            if (c == '(') {
+              var n = k + 1
+              while (n < s.length && s.charAt(n).isWhitespace) n += 1
+              sub = (n < s.length && !lm(n) &&
+                wordAt(n) == "select") :: sub
+              d += 1
+            } else if (c == ')') { if (sub.nonEmpty) sub = sub.tail; d -= 1 }
+            else if (!sub.contains(true) && (c == 'u' || c == 'U') &&
+                (k == 0 || !identChar(s.charAt(k - 1))) &&
+                wordAt(k) == "unnest") {
+              val mm = unnestRe.findPrefixMatchOf(s.substring(k, itemsEnd))
+              if (mm.isDefined) {
+                val open = k + mm.get.end - 1
+                val close = matchingParen(s, open)
+                if (close >= 0 && close < itemsEnd) occ += ((k, open, close))
+                // fall through WITHOUT skipping: the '(' at `open` must
+                // still feed the paren/subquery stack on the next steps
+              }
+            }
+          }
+          k += 1
+        }
+      }
+      if (occ.nonEmpty) {
+        // a single BARE item keeps the plain explode rename
+        lazy val bare = occ.length == 1 && {
+          val (st, _, cl) = occ.head
+          var p = st - 1
+          while (p >= m.end && s.charAt(p).isWhitespace) p -= 1
+          val leadOk = p < m.end || s.charAt(p) == ',' ||
+            (identChar(s.charAt(p)) && {
+              var b = p
+              while (b >= 0 && identChar(s.charAt(b))) b -= 1
+              val w = s.substring(b + 1, p + 1).toLowerCase(java.util.Locale.ROOT)
+              w == "distinct" || w == "all"
+            })
+          var a = cl + 1
+          while (a < itemsEnd && s.charAt(a).isWhitespace) a += 1
+          val tailOk =
+            if (a >= itemsEnd || s.charAt(a) == ',') true
+            else if (identChar(s.charAt(a))) {
+              var e = a
+              while (e < itemsEnd && identChar(s.charAt(e))) e += 1
+              if (s.substring(a, e).equalsIgnoreCase("as")) {
+                var f = e
+                while (f < itemsEnd && s.charAt(f).isWhitespace) f += 1
+                while (f < itemsEnd && (identChar(s.charAt(f)) || s.charAt(f) == '"')) f += 1
+                while (f < itemsEnd && s.charAt(f).isWhitespace) f += 1
+                f >= itemsEnd || s.charAt(f) == ','
+              } else {
+                var f = e
+                while (f < itemsEnd && s.charAt(f).isWhitespace) f += 1
+                f >= itemsEnd || s.charAt(f) == ','
+              }
+            } else false
+          leadOk && tailOk
+        }
+        if (!bare) {
+          val args = occ.map { case (_, o, c) => s.substring(o + 1, c).trim }
+          val sizes = args.distinct.map(a => s"size(($a))")
+          val szE = s"greatest(${sizes.mkString(", ")}, 0)"
+          val lateral = s" LATERAL VIEW explode(slice(sequence(1, " +
+            s"greatest($szE, 1)), 1, $szE)) __graft_uv AS __graft_upos"
+          var out = s
+          // splice from the highest offset down: lateral first, then items
+          if (fromIdx >= 0)
+            out = out.substring(0, insertAt) + lateral + " " + out.substring(insertAt)
+          else
+            out = out.substring(0, itemsEnd) +
+              s" FROM (SELECT 1 AS __graft_udummy)$lateral " + out.substring(itemsEnd)
+          occ.reverseIterator.foreach { case (st, o, c) =>
+            out = out.substring(0, st) +
+              s"__graft_subscript((${s.substring(o + 1, c).trim}), __graft_upos)" +
+              out.substring(c + 1)
+          }
+          return rewriteUnnestZip(out)
+        }
+      }
+    }
+    q0
+  }
+
   /** DuckDB `string_agg(v[, sep] [ORDER BY …])` / `group_concat(…)`:
     * Spark 4 has string_agg, but (a) its default separator is '' where
     * DuckDB's is ',', and (b) DuckDB puts ORDER BY INSIDE the call where
@@ -1922,9 +2108,71 @@ object StatementRouter {
             val args = splitTopCommas(q.substring(open + 1, close))
             require(args.length <= 3,
               "range() takes at most 3 arguments (start, stop, step)")
-            val rep = s"FROM (SELECT id AS range FROM range(${q.substring(open + 1, close)}))"
+            // r18: DATE/TIMESTAMP bounds with an INTERVAL step take the
+            // half-open native (DuckDB answers TIMESTAMPs, end excluded,
+            // crossed direction a loud binder error); integer ranges
+            // KEEP Spark's lazy native TVF — an array-returning
+            // expression would materialize FROM range(1e9) on one row
+            val timey = args.length == 3 &&
+              """(?is)^\s*INTERVAL\b""".r.findFirstIn(args(2).trim).isDefined
+            val rep =
+              if (timey)
+                s"FROM (SELECT explode(__graft_range(" +
+                  s"CAST(${args(0).trim} AS TIMESTAMP_NTZ), " +
+                  s"CAST(${args(1).trim} AS TIMESTAMP_NTZ), " +
+                  s"${args(2).trim})) AS range)"
+              else s"FROM (SELECT id AS range FROM range(${q.substring(open + 1, close)}))"
             q = q.substring(0, start) + rep + q.substring(close + 1)
             from = start + rep.length
+          }
+      }
+    }
+    q
+  }
+
+  /** SELECT-position `range(a, b[, step])` / `range(n)` — a LIST in
+    * DuckDB with the half-open TVF semantics ([[graft.functions
+    * .DuckRange]]: end excluded, crossed direction a loud binder error,
+    * zero step refused, NULL args NULL). Runs AFTER [[rewriteRangeFrom]]
+    * so the only `range(` left behind a FROM keyword is Spark's own
+    * lazy TVF — skipped here.
+    */
+  private def rewriteRangeSelect(q0: String): String = {
+    val re = """(?i)\brange\s*\(""".r
+    var q = q0
+    var from = 0
+    var go = true
+    while (go) {
+      val lit = literalMask(q)
+      re.findAllMatchIn(q).find(m => m.start >= from && !lit(m.start) &&
+          (m.start == 0 || !identChar(q.charAt(m.start - 1)))) match {
+        case None => go = false
+        case Some(m) =>
+          var p = m.start - 1
+          while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+          var b = p
+          while (b >= 0 && identChar(q.charAt(b))) b -= 1
+          val prevWord =
+            if (b < p) q.substring(b + 1, p + 1).toLowerCase(java.util.Locale.ROOT)
+            else ""
+          if (prevWord == "from") from = m.end
+          else {
+            val open = q.indexOf('(', m.end - 1)
+            val close = matchingParen(q, open)
+            val args = splitTopCommas(q.substring(open + 1, close))
+            if (args.isEmpty || args.length > 3) from = m.end
+            else {
+              val timey = args.length == 3 &&
+                """(?is)^\s*INTERVAL\b""".r.findFirstIn(args(2).trim).isDefined
+              val rep =
+                if (args.length == 1) s"__graft_range(0, ${args.head.trim})"
+                else if (timey)
+                  s"__graft_range(CAST(${args(0).trim} AS TIMESTAMP_NTZ), " +
+                    s"CAST(${args(1).trim} AS TIMESTAMP_NTZ), ${args(2).trim})"
+                else s"__graft_range(${args.map(_.trim).mkString(", ")})"
+              q = q.substring(0, m.start) + rep + q.substring(close + 1)
+              from = m.start + rep.length
+            }
           }
       }
     }
@@ -1946,8 +2194,20 @@ object StatementRouter {
           else {
             val open = q.indexOf('(', from + m.end - 1)
             val close = matchingParen(q, open)
-            val rep = s"FROM (SELECT explode(sequence(${q.substring(open + 1, close)}))" +
-              " AS generate_series)"
+            val args = splitTopCommas(q.substring(open + 1, close))
+            // r18: an INTERVAL step walks the calendar CUMULATIVELY in
+            // DuckDB (03-31 → 04-30 → 05-30), where Spark's sequence
+            // computes start + i*step (05-31) — route through the
+            // inclusive native; DATE bounds answer TIMESTAMPs there
+            val rep =
+              if (args.length == 3 &&
+                  """(?is)^\s*INTERVAL\b""".r.findFirstIn(args(2).trim).isDefined)
+                s"FROM (SELECT explode(__graft_series(" +
+                  s"CAST(${args(0).trim} AS TIMESTAMP_NTZ), " +
+                  s"CAST(${args(1).trim} AS TIMESTAMP_NTZ), " +
+                  s"${args(2).trim})) AS generate_series)"
+              else s"FROM (SELECT explode(sequence(${q.substring(open + 1, close)}))" +
+                " AS generate_series)"
             q = q.substring(0, start) + rep + q.substring(close + 1)
             from = start + rep.length
           }
@@ -6554,6 +6814,23 @@ object StatementRouter {
     // FROM-position unnest must also precede renameFns (which maps the
     // select-position spelling to explode)
     q = rewriteUnnestFrom(q)
+    // r18 tvf parity: select-position range() lists; unnest options
+    // (recursive :=, struct-literal expansion); then the ZIP semantics
+    // for multiple/nested unnests — all BEFORE renameFns maps the
+    // remaining single bare unnest to explode
+    q = rewriteRangeSelect(q)
+    q = rewriteCalls(q, "generate_series") {
+      // an INTERVAL step walks the calendar cumulatively and DATE
+      // bounds answer TIMESTAMPs (measured) — the inclusive native,
+      // not Spark's start+i*step sequence
+      case Seq(a, b, st)
+          if """(?is)^\s*INTERVAL\b""".r.findFirstIn(st.trim).isDefined =>
+        Some(s"__graft_series(CAST(${a.trim} AS TIMESTAMP_NTZ), " +
+          s"CAST(${b.trim} AS TIMESTAMP_NTZ), ${st.trim})")
+      case _ => None
+    }
+    q = rewriteUnnestArgs(q)
+    q = rewriteUnnestZip(q)
     // quantified ordering comparisons reduce to min/max scalar
     // subqueries before anything else touches the operand text
     // (= ANY / <> ALL ride the older rewriteQuantified -> IN/NOT IN)

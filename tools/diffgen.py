@@ -1791,6 +1791,71 @@ def fam_slice(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_tvf(seed):
+    """r18: table-valued functions + SELECT-position unnest depth.
+    Measured DuckDB 1.0.0 edges: multiple unnests in one select ZIP in
+    lockstep padding with NULL (NOT a cartesian product); scalars
+    repeat; unnest(recursive:=true) flattens all list levels keeping
+    NULL leaves but skipping NULL sublists; unnest(struct) expands to
+    columns; range() is half-open (select-position list and FROM rows),
+    generate_series inclusive; DATE bounds + INTERVAL step answer
+    TIMESTAMPs; crossed directions are loud binder errors."""
+    exprs = [
+        # multi-unnest zip + pad
+        ("SELECT CAST(a AS VARCHAR) || '|' || coalesce(CAST(b AS VARCHAR),'None') AS v FROM (SELECT unnest([1,2]) AS a, unnest([10,20]) AS b) ORDER BY 1", "query"),
+        ("SELECT coalesce(CAST(a AS VARCHAR),'None') || '|' || CAST(b AS VARCHAR) AS v FROM (SELECT unnest([1,2]) AS a, unnest([10,20,30]) AS b) ORDER BY 1", "query"),
+        ("SELECT coalesce(CAST(a AS VARCHAR),'N') || coalesce(CAST(b AS VARCHAR),'N') || coalesce(CAST(c AS VARCHAR),'N') AS v FROM (SELECT unnest([1]) AS a, unnest([2,3]) AS b, unnest([4,5,6]) AS c) ORDER BY 1", "query"),
+        ("SELECT CAST(a AS VARCHAR) || b AS v FROM (SELECT unnest([1,2,3]) AS a, 'x' AS b) ORDER BY 1", "query"),
+        ("SELECT CAST(x + y AS VARCHAR) AS v FROM (SELECT unnest([1,2]) AS x, unnest([10,20]) AS y) ORDER BY 1", "query"),
+        # expression-nested unnest
+        ("SELECT CAST(unnest([1,2]) + 5 AS VARCHAR) AS v", "query"),
+        ("SELECT upper(unnest(['a','b'])) AS v", "query"),
+        # nested lists, recursive flatten
+        ("SELECT CAST(unnest([[1,2],[3]]) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(unnest([[1,2],[3]], recursive:=true) AS VARCHAR) AS v", "query"),
+        ("SELECT coalesce(CAST(unnest([[1,NULL],[3]], recursive:=true) AS VARCHAR),'None') AS v", "query"),
+        ("SELECT CAST(unnest([[1,2],NULL,[3]], recursive:=true) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(unnest([[[1],[2]],[[3]]], recursive:=true) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(unnest([1,2], recursive:=true) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(unnest([4,5], recursive:=false) AS VARCHAR) AS v", "query"),
+        # struct unnest expands columns (fixture reads column 0)
+        ("SELECT unnest({'a':7,'b':8})", "query"),
+        # empty / NULL
+        ("SELECT CAST(unnest(NULL::INT[]) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(unnest([]::INT[]) AS VARCHAR) AS v", "query"),
+        # FROM-position series
+        ("SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(1, 10, 3)", "query"),
+        ("SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(5, 1, -2)", "query"),
+        ("SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(1, 5)", "query"),
+        ("SELECT CAST(range AS VARCHAR) AS v FROM range(1, 5)", "query"),
+        ("SELECT CAST(range AS VARCHAR) AS v FROM range(5)", "query"),
+        ("SELECT CAST(range AS VARCHAR) AS v FROM range(7, 2, -2)", "query"),
+        ("SELECT CAST(range AS VARCHAR) AS v FROM range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY)", "query"),
+        ("SELECT CAST(range AS VARCHAR) AS v FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01', INTERVAL 1 DAY)", "query"),
+        ("SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02', INTERVAL 12 HOUR)", "query"),
+        ("SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(DATE '2024-01-01', DATE '2024-01-03', INTERVAL 1 DAY)", "query"),
+        ("SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(TIMESTAMP '2024-03-31', TIMESTAMP '2024-06-30', INTERVAL 1 MONTH)", "query"),
+        ("SELECT CAST(z AS VARCHAR) AS v FROM range(3) t(z)", "query"),
+        ("SELECT CAST(g * 2 AS VARCHAR) AS v FROM generate_series(1, 3) t(g)", "query"),
+        # select-position lists
+        ("SELECT CAST(generate_series(1, 4) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(range(1, 4) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(range(4) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(range(1, 10, 4) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(range(8, 1, -3) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(range(3, 3) AS VARCHAR) AS v", "query"),
+        ("SELECT coalesce(CAST(generate_series(1, 3, NULL) AS VARCHAR),'None') AS v", "query"),
+        ("SELECT coalesce(CAST(range(NULL, 5) AS VARCHAR),'None') AS v", "query"),
+        ("SELECT CAST(unnest(generate_series(1,3)) AS VARCHAR) AS v", "query"),
+        ("SELECT CAST(unnest(range(1,4)) AS VARCHAR) AS v", "query"),
+        # composition
+        ("SELECT CAST(a.x AS VARCHAR) AS v FROM (SELECT unnest([1,2]) AS x) a WHERE a.x > 1", "query"),
+        ("SELECT CAST(sum(x) AS VARCHAR) AS v FROM (SELECT unnest([1,2,3]) AS x)", "query"),
+        ("SELECT CAST(range AS VARCHAR) AS v FROM range(1, 20, 5) WHERE range > 5", "query"),
+    ]
+    return exprs
+
+
 def fam_windepth(seed):
     """r16: window-function depth beyond the r12 window family —
     EXCLUDE CURRENT ROW / GROUP / TIES frames, aggregates-as-window
@@ -1994,7 +2059,7 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "likeglob": fam_likeglob,
             "mapdepth": fam_mapdepth, "listmath": fam_listmath,
             "aggdepth": fam_aggdepth, "windepth": fam_windepth,
-            "slice": fam_slice}
+            "slice": fam_slice, "tvf": fam_tvf}
 
 
 # verify-only families map spec file -> harness kind
@@ -2015,7 +2080,10 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "CsvOptDifferentialSpec.scala": "query",
              "JsonOptDifferentialSpec.scala": "query",
              "StmtShapeDifferentialSpec.scala": "query",
-             "WinSpecDifferentialSpec.scala": "query"}
+             "WinSpecDifferentialSpec.scala": "query",
+             # r18: full-query fixtures (SliceDifferentialSpec stays on
+             # the default scalar kind)
+             "TvfDifferentialSpec.scala": "query"}
 
 
 def scala_quote(s):
