@@ -1532,6 +1532,19 @@ object QueriesLake {
            |UNION ALL SELECT 'ign', coalesce(CAST(a AS VARCHAR), 'None'), 'x' FROM read_json('$dp/ig.json', ignore_errors=true)
            |ORDER BY k, a2""".stripMargin)
     },
+    // r18 slice differential (SliceDifferentialSpec pins the 62-fixture
+    // barrage; this row puts the surface under the driver's oracle gate)
+    "q_lake_slice_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(SliceWaveSql)
+    },
+    // r18 tvf differential (TvfDifferentialSpec): the unnest ZIP, the
+    // recursive flatten, half-open range, and the cumulative calendar
+    // walk — the oracle is the IDENTICAL dialect text run by DuckDB
+    "q_lake_tvf_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(TvfWaveSql)
+    },
     "q_lake_stmtshape_wave" -> { (s, _) =>
       val lake = freshLake(s)
       lake.sql(
@@ -2024,7 +2037,39 @@ object QueriesLake {
       |FROM (VALUES (0, 'b', 1), (1, 'b', 8), (2, 'b', 9), (3, 'b', 4), (4, 'b', 6), (5, 'a', 6), (6, 'a', 1), (7, 'a', 4), (8, 'b', 8), (9, 'a', 5), (10, 'b', 3), (11, 'a', 8)) t(id, g, v)
       |ORDER BY id""".stripMargin
 
+  /** r18 slice barrage representatives (SliceDifferentialSpec pins the
+    * full 62): end-relative negative bounds (same len+b+1 formula for
+    * lists AND strings), stepped slices, string subscripts, map-extract
+    * lists, chained receivers.
+    */
+  private[graft] val SliceWaveSql: String =
+    """SELECT 'chain' AS k, CAST(([[1,2],[3,4]])[2][1:2] AS VARCHAR) AS v
+      |UNION ALL SELECT 'lix', CAST(([10,20,30])[-1] AS VARCHAR)
+      |UNION ALL SELECT 'lsl', CAST(([10,20,30])[:-2] AS VARCHAR)
+      |UNION ALL SELECT 'map', CAST(map([1,2],[10,20])[1] AS VARCHAR)
+      |UNION ALL SELECT 'step', CAST(([1,2,3,4,5])[1:5:2] AS VARCHAR)
+      |UNION ALL SELECT 'str', 'hello'[2:4]
+      |UNION ALL SELECT 'strix', 'hello'[-2]
+      |ORDER BY k, v""".stripMargin
+
+  /** r18 tvf barrage representatives (TvfDifferentialSpec pins the full
+    * 43): the unnest ZIP with NULL pad, the recursive flatten, the
+    * half-open range list, and generate_series's CUMULATIVE calendar
+    * walk (03-31 → 04-30 → 05-30, not start+i*step's 05-31).
+    */
+  private[graft] val TvfWaveSql: String =
+    """SELECT 'zip' AS k, CAST(a AS VARCHAR) || '|' || coalesce(CAST(b AS VARCHAR), 'N') AS v
+      |FROM (SELECT unnest([1,2]) AS a, unnest([10,20,30]) AS b)
+      |UNION ALL SELECT 'rec', coalesce(CAST(unnest([[1,NULL],[3]], recursive:=true) AS VARCHAR), 'None')
+      |UNION ALL SELECT 'rng', CAST(range AS VARCHAR) FROM range(7, 2, -2)
+      |UNION ALL SELECT 'ser', CAST(generate_series AS VARCHAR)
+      |FROM generate_series(TIMESTAMP '2024-03-31', TIMESTAMP '2024-06-30', INTERVAL 1 MONTH)
+      |UNION ALL SELECT 'lst', CAST(range(1, 10, 4) AS VARCHAR)
+      |ORDER BY k, v""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_lake_slice_wave" -> SliceWaveSql,
+    "q_lake_tvf_wave" -> TvfWaveSql,
     "q_lake_windepth_wave" -> windepthWaveSql,
     "q_lake_mapdepth_wave" -> mapdepthWaveSql,
     "q_lake_listmath_wave" -> listmathWaveSql,
