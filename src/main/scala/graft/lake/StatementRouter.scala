@@ -1862,6 +1862,87 @@ object StatementRouter {
     q
   }
 
+  /** DuckDB list_product (measured): DOUBLE result, NULL elements
+    * SKIPPED, the empty and all-NULL lists answer NULL (not 1.0)
+    */
+  private def listProductSql(l: String): String =
+    s"aggregate(filter(($l), __lp -> __lp IS NOT NULL), " +
+      s"CAST(NULL AS DOUBLE), (__la, __lx) -> CASE WHEN __la IS NULL " +
+      s"THEN CAST(__lx AS DOUBLE) ELSE __la * CAST(__lx AS DOUBLE) END)"
+
+  /** DuckDB list_aggregate(l, 'string_agg'[, sep]) (measured): NULL
+    * elements skipped, default separator ','
+    */
+  private def listStringAggSql(l: String, sep: String): String =
+    s"array_join(transform(($l), __ls -> CAST(__ls AS STRING)), $sep)"
+
+  /** word-boundary identifier substitution in an expression body —
+    * literal-masked, qualified references (`t.i`) left alone
+    */
+  private def substIdent(body: String, name: String, rep: String): String = {
+    val lm = literalMask(body)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      if (!lm(i) && identChar(body.charAt(i)) &&
+          (i == 0 || (!identChar(body.charAt(i - 1)) && body.charAt(i - 1) != '.'))) {
+        var e = i
+        while (e < body.length && identChar(body.charAt(e))) e += 1
+        val w = body.substring(i, e)
+        if (w.equalsIgnoreCase(name)) sb.append(rep) else sb.append(w)
+        i = e
+      } else { sb.append(body.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** parse `(p1, p2[, p3]) -> body` → (params, body); None for 1-param
+    * or non-lambda text
+    */
+  private def multiParamLambda(lam0: String): Option[(Seq[String], String)] = {
+    val lam = lam0.trim
+    if (!lam.startsWith("(")) return None
+    val close = matchingParen(lam, 0)
+    if (close < 0) return None
+    val params = splitTopCommas(lam.substring(1, close)).map(_.trim)
+    val rest = lam.substring(close + 1).trim
+    if (params.length < 2 || !rest.startsWith("->")) None
+    else Some((params, rest.drop(2).trim))
+  }
+
+  /** DuckDB index lambdas are 1-BASED (measured r18 lambda barrage:
+    * `list_transform(['a','b'], (x, i) -> x || i)` = [a1, b2]) where
+    * Spark's transform/filter index parameter is 0-based — the bare
+    * rename was a SILENT off-by-one. A 2-parameter lambda's body gets
+    * its index references substituted with `(i + 1)` (the parameter
+    * still binds Spark's 0-based value; every use site reads 1-based).
+    * The alias spellings (apply / list_apply / array_transform,
+    * array_filter, and DuckDB's own filter) land on Spark's
+    * transform/filter in the same pass.
+    */
+  private def rewriteLambdaIndexBase(q0: String): String = {
+    def oneBased(lam: String): String =
+      multiParamLambda(lam) match {
+        case Some((Seq(x, i), body)) =>
+          s"($x, $i) -> (${substIdent(body, i, s"($i + 1)")})"
+        case _ => lam.trim
+      }
+    def fix(target: String)(args: Seq[String]): Option[String] = args match {
+      case Seq(l, lam) => Some(s"$target(${l.trim}, ${oneBased(lam)})")
+      case _ => None
+    }
+    // marker heads so a converted call can never be re-substituted by a
+    // later alias pass (list_filter -> filter -> the filter pass would
+    // 1-base the SAME body twice — measured off-by-two)
+    var q = q0
+    for (fn <- Seq("list_transform", "list_apply", "apply", "array_transform"))
+      q = rewriteCalls(q, fn)(fix("__graft_xform"))
+    for (fn <- Seq("list_filter", "array_filter", "filter"))
+      q = rewriteCalls(q, fn)(fix("__graft_xfilter"))
+    q.replace("__graft_xform(", "transform(")
+      .replace("__graft_xfilter(", "filter(")
+  }
+
   /** unnest ARGUMENT normalization (r18 tvf differential, measured):
     * `unnest(e, recursive := true)` flattens nested lists to the
     * innermost elements ([[graft.functions.RecursiveFlatten]]; NULL
@@ -5793,26 +5874,73 @@ object StatementRouter {
           }
         }
       }
-    // list_reduce: fold without an init — seed with element 1, reduce
-    // the tail (DuckDB errors on an empty list; this renders NULL — the
-    // one divergence, noted here over a fabricated error)
-    q = rewriteCalls(q, "list_reduce") {
-      case Seq(l, lam) => Some(
-        s"reduce(slice(($l), 2, greatest(size(($l)) - 1, 0)), " +
-        s"try_element_at(($l), 1), $lam)")
-      case _ => None
-    }
-    // list_aggregate: the order-insensitive names with exact twins;
-    // sum/avg stay loud (result type depends on the element type in
-    // ways a textual rewrite cannot reproduce)
-    q = rewriteCalls(q, "list_aggregate") {
-      case Seq(l, name) => quotedLiteral(name).flatMap {
-        case "min" => Some(s"array_min($l)")
-        case "max" => Some(s"array_max($l)")
-        case "count" => Some(
-          s"CAST(size(filter(($l), __la -> __la IS NOT NULL)) AS BIGINT)")
+    // list_reduce (+ the reduce/array_reduce alias spellings, 2-arg
+    // only — Spark's own 3/4-arg reduce passes through): fold without
+    // an init — seed with element 1, reduce the tail (DuckDB errors on
+    // an empty list; this renders NULL — the one divergence, noted here
+    // over a fabricated error). r18: the 3-parameter indexed lambda
+    // (a, b, i) carries DuckDB's 1-based MERGE-STEP counter (measured
+    // [1,2,3] (a,b,i) -> a+b*i = 9: steps (1,2,1)→3, (3,3,2)→9) — the
+    // tail zips with its step number and the body's b/i references
+    // substitute into the struct fields.
+    locally {
+      def reduceRw(args: Seq[String]): Option[String] = args match {
+        case Seq(l, lam0) => multiParamLambda(lam0) match {
+          case Some((Seq(a, b, i), body)) =>
+            val bodyS = substIdent(substIdent(body, b, "(__gs.x)"), i, "(__gs.i)")
+            Some(s"reduce(transform(slice(($l), 2, greatest(size(($l)) - 1, 0)), " +
+              s"(__gx, __gi) -> named_struct('x', __gx, 'i', __gi + 1)), " +
+              s"try_element_at(($l), 1), ($a, __gs) -> ($bodyS))")
+          case _ => Some(
+            s"reduce(slice(($l), 2, greatest(size(($l)) - 1, 0)), " +
+            s"try_element_at(($l), 1), ${lam0.trim})")
+        }
         case _ => None
       }
+      q = rewriteCalls(q, "list_reduce")(reduceRw)
+      q = rewriteCalls(q, "array_reduce")(reduceRw)
+      q = rewriteCalls(q, "reduce") {
+        case args @ Seq(_, _) => reduceRw(args)
+        case _ => None // Spark's 3/4-arg reduce — not DuckDB dialect
+      }
+    }
+    // list_aggregate / list_aggr: name-dispatched aggregation over the
+    // list (r18: sum/avg route to the DECIMAL-aware natives, string_agg
+    // joins non-NULLs with the separator, first/last are 1-based
+    // element_at, product is DuckDB's NULL-skipping DOUBLE fold —
+    // all measured; unknown names stay loud)
+    locally {
+      def aggRw(args: Seq[String]): Option[String] = args match {
+        case Seq(l, name) => quotedLiteral(name).flatMap {
+          case "min" => Some(s"array_min($l)")
+          case "max" => Some(s"array_max($l)")
+          case "count" => Some(
+            s"CAST(size(filter(($l), __la -> __la IS NOT NULL)) AS BIGINT)")
+          case "sum" => Some(s"__graft_list_sum($l)")
+          case "avg" | "mean" => Some(s"__graft_list_avg($l)")
+          case "first" | "any_value" => Some(s"try_element_at(($l), 1)")
+          case "last" => Some(s"try_element_at(($l), size(($l)))")
+          case "product" => Some(listProductSql(l))
+          case "string_agg" => Some(listStringAggSql(l, "','"))
+          case _ => None
+        }
+        case Seq(l, name, extra) => quotedLiteral(name).flatMap {
+          case "string_agg" => Some(listStringAggSql(l, extra.trim))
+          case _ => None
+        }
+        case _ => None
+      }
+      q = rewriteCalls(q, "list_aggregate")(aggRw)
+      q = rewriteCalls(q, "list_aggr")(aggRw)
+    }
+    // list_count / list_product — the direct spellings of the same
+    q = rewriteCalls(q, "list_count") {
+      case Seq(l) => Some(
+        s"CAST(size(filter(($l), __la -> __la IS NOT NULL)) AS BIGINT)")
+      case _ => None
+    }
+    q = rewriteCalls(q, "list_product") {
+      case Seq(l) => Some(listProductSql(l))
       case _ => None
     }
     // list_any_value: first non-NULL element (NULL when none)
@@ -6831,6 +6959,9 @@ object StatementRouter {
     }
     q = rewriteUnnestArgs(q)
     q = rewriteUnnestZip(q)
+    // r18: 1-based index lambdas + the transform/filter alias spellings
+    // — BEFORE any pass that emits Spark-name lambdas of its own
+    q = rewriteLambdaIndexBase(q)
     // quantified ordering comparisons reduce to min/max scalar
     // subqueries before anything else touches the operand text
     // (= ANY / <> ALL ride the older rewriteQuantified -> IN/NOT IN)

@@ -1791,6 +1791,71 @@ def fam_slice(seed):
     return [(e, "scalar") for e in exprs]
 
 
+def fam_lambda(seed):
+    """r18: lambda functions + list aggregation dispatch. Measured
+    DuckDB 1.0.0 edges: index lambda parameters are 1-BASED in
+    list_transform/list_filter (Spark's are 0-based — silent off-by-one
+    without the rewrite); list_reduce seeds with element 1 (errors on
+    empty; a 3-param lambda carries the 1-based merge-step counter);
+    list_aggregate dispatches on the aggregate NAME with string_agg
+    joining non-NULLs (default sep ','); list_product is a NULL-skipping
+    DOUBLE fold answering NULL for empty; aliases apply/list_apply/
+    filter/array_*/list_aggr/reduce all share the semantics."""
+    exprs = [
+        "CAST(list_transform([1,2,3], x -> x * 2) AS VARCHAR)",
+        "CAST(list_transform(['a','b'], (x, i) -> x || CAST(i AS VARCHAR)) AS VARCHAR)",
+        "CAST(list_transform([10,20], (x, i) -> x + i) AS VARCHAR)",
+        "CAST(list_transform([1,2], (x, i) -> i) AS VARCHAR)",
+        "CAST(list_filter([1,2,3,4], x -> x % 2 = 0) AS VARCHAR)",
+        "CAST(list_filter([1,2,3,4], (x, i) -> i <= 2) AS VARCHAR)",
+        "CAST(list_filter([10,20,30], (x, i) -> i % 2 = 1) AS VARCHAR)",
+        "CAST(list_transform([1,NULL,3], x -> x + 1) AS VARCHAR)",
+        "CAST(list_filter([1,NULL,3], x -> x > 1) AS VARCHAR)",
+        "CAST(list_transform([[1,2],[3]], l -> list_transform(l, x -> x + 10)) AS VARCHAR)",
+        "CAST(list_transform([1,2], x -> [x, x*2]) AS VARCHAR)",
+        "CAST(list_transform([1,2], x -> CASE WHEN x = 1 THEN 'one' ELSE 'two' END) AS VARCHAR)",
+        "CAST((SELECT list_transform([1,2], x -> x + y) FROM (SELECT 100 AS y)) AS VARCHAR)",
+        "CAST(list_reduce([1,2,3,4], (a, b) -> a + b) AS VARCHAR)",
+        "CAST(list_reduce([1], (a, b) -> a + b) AS VARCHAR)",
+        "CAST(list_reduce(['a','b','c'], (x, y) -> concat(x, y)) AS VARCHAR)",
+        "CAST(list_reduce([1,2,3], (a, b, i) -> a + b * i) AS VARCHAR)",
+        "CAST(list_reduce([5,10,20], (a, b, i) -> a + b + i) AS VARCHAR)",
+        "CAST(list_aggregate([1,2,3], 'sum') AS VARCHAR)",
+        "CAST(list_aggregate([1,2,NULL], 'count') AS VARCHAR)",
+        "CAST(list_aggregate(['b','a'], 'min') AS VARCHAR)",
+        "CAST(list_aggregate([1,2,3], 'avg') AS VARCHAR)",
+        "CAST(list_aggregate([1,5,3], 'first') AS VARCHAR)",
+        "CAST(list_aggregate([1,5,3], 'last') AS VARCHAR)",
+        "CAST(list_aggregate([1,2,3], 'string_agg', '-') AS VARCHAR)",
+        "CAST(list_aggregate([1,NULL,3], 'string_agg', '-') AS VARCHAR)",
+        "CAST(list_aggregate(['x','y'], 'string_agg') AS VARCHAR)",
+        "CAST(list_aggregate([2,3], 'product') AS VARCHAR)",
+        "CAST(list_aggregate([1,NULL], 'sum') AS VARCHAR)",
+        "CAST(list_aggr([1,2,3], 'max') AS VARCHAR)",
+        "CAST(list_sum([1,2,NULL]) AS VARCHAR)",
+        "CAST(list_sum([]::INT[]) AS VARCHAR)",
+        "CAST(list_avg([1,2,3]) AS VARCHAR)",
+        "CAST(list_count([1,NULL]) AS VARCHAR)",
+        "CAST(list_count([]::INT[]) AS VARCHAR)",
+        "CAST(list_count(NULL::INT[]) AS VARCHAR)",
+        "CAST(list_product([2,3,4]) AS VARCHAR)",
+        "CAST(list_product([2,NULL,4]) AS VARCHAR)",
+        "CAST(list_product([]::INT[]) AS VARCHAR)",
+        "CAST(list_unique([1,2,2,NULL]) AS VARCHAR)",
+        "CAST(list_any_value([NULL,2,3]) AS VARCHAR)",
+        "CAST(filter([1,2,3], x -> x > 1) AS VARCHAR)",
+        "CAST(apply([1,2], x -> -x) AS VARCHAR)",
+        "CAST(list_apply([1,2], x -> x+1) AS VARCHAR)",
+        "CAST(array_transform([1,2], x -> x+1) AS VARCHAR)",
+        "CAST(array_filter([1,2], x -> x>1) AS VARCHAR)",
+        "CAST(array_reduce([1,2], (a,b) -> a+b) AS VARCHAR)",
+        "CAST(reduce([1,2,3], (a,b) -> a+b) AS VARCHAR)",
+        "CAST(filter(['aa','b'], s -> length(s) > 1) AS VARCHAR)",
+        "CAST(list_transform([1,2,3], x -> x + list_aggregate([1,1], 'sum')) AS VARCHAR)",
+    ]
+    return [(e, "scalar") for e in exprs]
+
+
 def fam_tvf(seed):
     """r18: table-valued functions + SELECT-position unnest depth.
     Measured DuckDB 1.0.0 edges: multiple unnests in one select ZIP in
@@ -2059,7 +2124,7 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "likeglob": fam_likeglob,
             "mapdepth": fam_mapdepth, "listmath": fam_listmath,
             "aggdepth": fam_aggdepth, "windepth": fam_windepth,
-            "slice": fam_slice, "tvf": fam_tvf}
+            "slice": fam_slice, "tvf": fam_tvf, "lambda": fam_lambda}
 
 
 # verify-only families map spec file -> harness kind
