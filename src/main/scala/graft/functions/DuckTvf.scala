@@ -122,8 +122,17 @@ case class DuckRange(children: Seq[Expression], inclusive: Boolean = false)
       }
       if (iv.months == 0 && iv.days == 0 && iv.microseconds == 0)
         throw new IllegalArgumentException("interval cannot be 0!")
-      val forward = iv.months > 0 || (iv.months == 0 && iv.days > 0) ||
-        (iv.months == 0 && iv.days == 0 && iv.microseconds > 0)
+      // DuckDB 1.0 (measured): a step with mixed-sign components (e.g.
+      // INTERVAL '1 month' - INTERVAL '31 days') is a loud Invalid Input
+      // error, never a direction guess — which also kills the
+      // net-zero/net-negative "forward" loop this lexicographic check
+      // used to fall into.
+      val signs = Seq(iv.months.toLong, iv.days.toLong, iv.microseconds)
+        .map(java.lang.Long.signum).filter(_ != 0)
+      if (signs.contains(1) && signs.contains(-1))
+        throw new IllegalArgumentException(
+          "Interval with mix of negative/positive entries not supported")
+      val forward = signs.head > 0
       if (forward && startUs > stopUs)
         throw new IllegalArgumentException(
           "start is bigger than end, but increment is positive: cannot generate infinite series")
@@ -142,7 +151,13 @@ case class DuckRange(children: Seq[Expression], inclusive: Boolean = false)
         out += us
         t = t.plusMonths(iv.months.toLong).plusDays(iv.days.toLong)
           .plusNanos(iv.microseconds * 1000L)
-        us = toUs(t)
+        val next = toUs(t)
+        // defense in depth: every calendar step must strictly advance
+        // toward stop or the loop would allocate unboundedly
+        if (if (forward) next <= us else next >= us)
+          throw new IllegalStateException(
+            s"range() interval step did not advance ($us -> $next)")
+        us = next
       }
       new GenericArrayData(out.toArray)
     } else {

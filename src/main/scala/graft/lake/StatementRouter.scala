@@ -1838,24 +1838,24 @@ object StatementRouter {
     * table carries DuckDB's output column name (`unnest`), and a
     * following `AS t(x)` column alias keeps working on the subquery */
   private def rewriteUnnestFrom(q0: String): String = {
-    val re = """(?i)\bFROM\s+unnest\s*\(""".r
+    val re = """(?i)\bunnest\s*\(""".r
     var q = q0
     var from = 0
     var go = true
     while (go) {
       val lit = literalMask(q)
-      re.findFirstMatchIn(q.substring(from)) match {
+      re.findAllMatchIn(q).find(m => m.start >= from && !lit(m.start) &&
+          (m.start == 0 || !identChar(q.charAt(m.start - 1)))) match {
         case None => go = false
         case Some(m) =>
-          val start = from + m.start
-          if (lit(start)) from = start + 1
+          if (!tvfTablePos(q, lit, m.start)) from = m.end
           else {
-            val open = q.indexOf('(', from + m.end - 1)
+            val open = q.indexOf('(', m.end - 1)
             val close = matchingParen(q, open)
-            val rep = s"FROM (SELECT explode(${q.substring(open + 1, close)})" +
+            val rep = s"(SELECT explode(${q.substring(open + 1, close)})" +
               " AS unnest)"
-            q = q.substring(0, start) + rep + q.substring(close + 1)
-            from = start + rep.length
+            q = q.substring(0, m.start) + rep + q.substring(close + 1)
+            from = m.start + rep.length
           }
       }
     }
@@ -1877,21 +1877,72 @@ object StatementRouter {
     s"array_join(transform(($l), __ls -> CAST(__ls AS STRING)), $sep)"
 
   /** word-boundary identifier substitution in an expression body —
-    * literal-masked, qualified references (`t.i`) left alone
+    * literal-masked, qualified references (`t.i`) left alone. A nested
+    * lambda that REBINDS `name` — `(y, i) -> …` or the bare `i -> …` —
+    * shadows the outer binding, so its entire body is copied verbatim
+    * (r18 ADVICE: the outer index pass used to substitute the inner
+    * lambda's shadowed references, and the inner pass then incremented
+    * again — a 2-based inner index).
     */
   private def substIdent(body: String, name: String, rep: String): String = {
     val lm = literalMask(body)
+    // end (exclusive) of a lambda body starting at `from`: the first
+    // top-level comma or the close paren that unbalances the span
+    def lambdaBodyEnd(from: Int): Int = {
+      var j = from
+      var depth = 0
+      while (j < body.length) {
+        if (!lm(j)) {
+          body.charAt(j) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => if (depth == 0) return j else depth -= 1
+            case ',' if depth == 0 => return j
+            case _ =>
+          }
+        }
+        j += 1
+      }
+      body.length
+    }
+    def skipWs(from: Int): Int = {
+      var j = from
+      while (j < body.length && body.charAt(j).isWhitespace) j += 1
+      j
+    }
     val sb = new StringBuilder
     var i = 0
     while (i < body.length) {
-      if (!lm(i) && identChar(body.charAt(i)) &&
+      val c = body.charAt(i)
+      if (!lm(i) && c == '(') {
+        // a multi-param lambda `(p1, p2) -> …` rebinding `name`?
+        val close = matchingParen(body, i)
+        val shadows = close > i && {
+          val after = skipWs(close + 1)
+          after + 1 < body.length && body.charAt(after) == '-' &&
+            body.charAt(after + 1) == '>' &&
+            splitTopCommas(body.substring(i + 1, close))
+              .exists(_.trim.equalsIgnoreCase(name))
+        }
+        if (shadows) {
+          val end = lambdaBodyEnd(skipWs(close + 1) + 2)
+          sb.append(body.substring(i, end)); i = end
+        } else { sb.append(c); i += 1 }
+      } else if (!lm(i) && identChar(c) &&
           (i == 0 || (!identChar(body.charAt(i - 1)) && body.charAt(i - 1) != '.'))) {
         var e = i
         while (e < body.length && identChar(body.charAt(e))) e += 1
         val w = body.substring(i, e)
-        if (w.equalsIgnoreCase(name)) sb.append(rep) else sb.append(w)
-        i = e
-      } else { sb.append(body.charAt(i)); i += 1 }
+        val after = skipWs(e)
+        if (w.equalsIgnoreCase(name) && after + 1 < body.length &&
+            body.charAt(after) == '-' && body.charAt(after + 1) == '>') {
+          // bare single-param lambda `name -> …` — rebinding: verbatim
+          val end = lambdaBodyEnd(after + 2)
+          sb.append(body.substring(i, end)); i = end
+        } else {
+          if (w.equalsIgnoreCase(name)) sb.append(rep) else sb.append(w)
+          i = e
+        }
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
@@ -2071,6 +2122,14 @@ object StatementRouter {
         }
       }
       if (occ.nonEmpty) {
+        // an unnest nested inside another unnest's argument is DuckDB's
+        // loud binder error (measured 1.0) — and splicing overlapping
+        // spans would corrupt the query text (r18 ADVICE)
+        for ((st1, _, c1) <- occ; (st2, _, c2) <- occ
+             if st1 < st2 && c2 <= c1)
+          throw new IllegalArgumentException(
+            "Nested UNNEST calls are not supported - use " +
+              "UNNEST(x, recursive := true) to unnest multiple levels")
         // a single BARE item keeps the plain explode rename
         lazy val bare = occ.length == 1 && {
           val (st, _, cl) = occ.head
@@ -2163,6 +2222,55 @@ object StatementRouter {
     rewriteCalls(rewriteCalls(q0, "string_agg")(rw), "group_concat")(rw)
   }
 
+  /** nearest clause keyword scanning BACKWARD from `p0` at the same
+    * paren depth — decides whether a comma before a TVF name is a
+    * FROM-list separator (table position, answers "from") or a
+    * SELECT-list/argument comma. Hitting the enclosing '(' before any
+    * clause keyword means argument position (answers "").
+    */
+  private def clauseBack(q: String, lm: Array[Boolean], p0: Int): String = {
+    val kws = Set("from", "select", "where", "on", "having", "when",
+      "then", "else", "set", "values", "limit", "offset", "using", "by",
+      "returning", "qualify")
+    var p = p0
+    var depth = 0
+    while (p >= 0) {
+      val c = q.charAt(p)
+      if (!lm(p)) {
+        if (c == ')') depth += 1
+        else if (c == '(') { if (depth == 0) return ""; depth -= 1 }
+        else if (depth == 0 && identChar(c) &&
+            (p == 0 || !identChar(q.charAt(p - 1)))) {
+          var e = p
+          while (e < q.length && identChar(q.charAt(e))) e += 1
+          val w = q.substring(p, e).toLowerCase(java.util.Locale.ROOT)
+          if (kws.contains(w)) return w
+        }
+      }
+      p -= 1
+    }
+    ""
+  }
+
+  /** is the call whose name starts at `start` in TABLE position? True
+    * behind FROM or JOIN, and behind a comma that is a FROM-list
+    * separator (r18 ADVICE: `FROM t, range(3)` / `CROSS JOIN range(3)`
+    * used to fall through to the list-valued select rewrite and fail
+    * resolution).
+    */
+  private def tvfTablePos(q: String, lm: Array[Boolean], start: Int): Boolean = {
+    var p = start - 1
+    while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+    if (p < 0) false
+    else if (q.charAt(p) == ',') clauseBack(q, lm, p - 1) == "from"
+    else {
+      var b = p
+      while (b >= 0 && identChar(q.charAt(b))) b -= 1
+      val w = if (b < p) q.substring(b + 1, p + 1).toLowerCase(java.util.Locale.ROOT) else ""
+      w == "from" || w == "join"
+    }
+  }
+
   /** `FROM range(...)` — DuckDB's half-open integer table function.
     * Spark's native range() TVF has the SAME half-open semantics
     * (range(n)=0..n-1, range(a,b[,c]) excludes b, negative steps, empty
@@ -2170,21 +2278,23 @@ object StatementRouter {
     * `range` — left alone, a non-literal-arg call would silently run
     * with the wrong output schema (review-found). The rewrite is just
     * the rename, for literal AND runtime args alike; a 4th argument
-    * (Spark's numPartitions, no DuckDB meaning) is refused. */
+    * (Spark's numPartitions, no DuckDB meaning) is refused. Covers
+    * FROM/JOIN/FROM-list-comma positions — the surrounding keyword is
+    * left intact and only the call span becomes a derived table. */
   private def rewriteRangeFrom(q0: String): String = {
-    val re = """(?i)\bFROM\s+range\s*\(""".r
+    val re = """(?i)\brange\s*\(""".r
     var q = q0
     var from = 0
     var go = true
     while (go) {
       val lit = literalMask(q)
-      re.findFirstMatchIn(q.substring(from)) match {
+      re.findAllMatchIn(q).find(m => m.start >= from && !lit(m.start) &&
+          (m.start == 0 || !identChar(q.charAt(m.start - 1)))) match {
         case None => go = false
         case Some(m) =>
-          val start = from + m.start
-          if (lit(start)) { from = start + 1 }
+          if (!tvfTablePos(q, lit, m.start)) from = m.end
           else {
-            val open = q.indexOf('(', from + m.end - 1)
+            val open = q.indexOf('(', m.end - 1)
             val close = matchingParen(q, open)
             val args = splitTopCommas(q.substring(open + 1, close))
             require(args.length <= 3,
@@ -2198,13 +2308,13 @@ object StatementRouter {
               """(?is)^\s*INTERVAL\b""".r.findFirstIn(args(2).trim).isDefined
             val rep =
               if (timey)
-                s"FROM (SELECT explode(__graft_range(" +
+                s"(SELECT explode(__graft_range(" +
                   s"CAST(${args(0).trim} AS TIMESTAMP_NTZ), " +
                   s"CAST(${args(1).trim} AS TIMESTAMP_NTZ), " +
                   s"${args(2).trim})) AS range)"
-              else s"FROM (SELECT id AS range FROM range(${q.substring(open + 1, close)}))"
-            q = q.substring(0, start) + rep + q.substring(close + 1)
-            from = start + rep.length
+              else s"(SELECT id AS range FROM range(${q.substring(open + 1, close)}))"
+            q = q.substring(0, m.start) + rep + q.substring(close + 1)
+            from = m.start + rep.length
           }
       }
     }
@@ -2261,19 +2371,19 @@ object StatementRouter {
   }
 
   private def rewriteGenerateSeriesFrom(q0: String): String = {
-    val re = """(?i)\bFROM\s+generate_series\s*\(""".r
+    val re = """(?i)\bgenerate_series\s*\(""".r
     var q = q0
     var from = 0
     var go = true
     while (go) {
       val lit = literalMask(q)
-      re.findFirstMatchIn(q.substring(from)) match {
+      re.findAllMatchIn(q).find(m => m.start >= from && !lit(m.start) &&
+          (m.start == 0 || !identChar(q.charAt(m.start - 1)))) match {
         case None => go = false
         case Some(m) =>
-          val start = from + m.start
-          if (lit(start)) from = start + 1
+          if (!tvfTablePos(q, lit, m.start)) from = m.end
           else {
-            val open = q.indexOf('(', from + m.end - 1)
+            val open = q.indexOf('(', m.end - 1)
             val close = matchingParen(q, open)
             val args = splitTopCommas(q.substring(open + 1, close))
             // r18: an INTERVAL step walks the calendar CUMULATIVELY in
@@ -2283,14 +2393,14 @@ object StatementRouter {
             val rep =
               if (args.length == 3 &&
                   """(?is)^\s*INTERVAL\b""".r.findFirstIn(args(2).trim).isDefined)
-                s"FROM (SELECT explode(__graft_series(" +
+                s"(SELECT explode(__graft_series(" +
                   s"CAST(${args(0).trim} AS TIMESTAMP_NTZ), " +
                   s"CAST(${args(1).trim} AS TIMESTAMP_NTZ), " +
                   s"${args(2).trim})) AS generate_series)"
-              else s"FROM (SELECT explode(sequence(${q.substring(open + 1, close)}))" +
+              else s"(SELECT explode(sequence(${q.substring(open + 1, close)}))" +
                 " AS generate_series)"
-            q = q.substring(0, start) + rep + q.substring(close + 1)
-            from = start + rep.length
+            q = q.substring(0, m.start) + rep + q.substring(close + 1)
+            from = m.start + rep.length
           }
       }
     }
@@ -5918,7 +6028,11 @@ object StatementRouter {
             s"CAST(size(filter(($l), __la -> __la IS NOT NULL)) AS BIGINT)")
           case "sum" => Some(s"__graft_list_sum($l)")
           case "avg" | "mean" => Some(s"__graft_list_avg($l)")
-          case "first" | "any_value" => Some(s"try_element_at(($l), 1)")
+          case "first" => Some(s"try_element_at(($l), 1)")
+          // any_value is first NON-NULL (measured: [NULL,2] -> 2, while
+          // 'first' keeps the NULL) — same shape as list_any_value below
+          case "any_value" => Some(
+            s"try_element_at(filter(($l), __lav -> __lav IS NOT NULL), 1)")
           case "last" => Some(s"try_element_at(($l), size(($l)))")
           case "product" => Some(listProductSql(l))
           case "string_agg" => Some(listStringAggSql(l, "','"))
