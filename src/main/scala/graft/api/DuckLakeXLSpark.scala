@@ -1346,12 +1346,38 @@ class DuckLakeXLSpark(
       graft.lake.CoercionRepair.preAnalysis(spark, parsed))
     import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates, TimeAddInterval, TimestampAddInterval}
     import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, TimestampType, YearMonthIntervalType}
-    val analyzed = df.queryExecution.analyzed
+    val analyzed0 = df.queryExecution.analyzed
     def containerCmp(l: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       l.dataType match {
         case _: ArrayType | _: StructType => true
         case _ => false
       }
+    // ORDER BY over nested types: Spark's ordering puts NULL
+    // elements/fields SMALLEST where DuckDB puts them LARGEST (measured
+    // r19: [1,2] < [1,NULL], [2] < [NULL], [inf] < [nan] < [NULL]) —
+    // silently different row order and top-k membership. Wrap only
+    // nested-typed sort keys in the memcomparable
+    // [[graft.functions.DuckSortKey]]; scalar sorts keep Spark's native
+    // codegen path. MAP keys refuse loudly inside DuckSortKey.
+    val analyzed = analyzed0.transform {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if s.order.exists(so => containerCmp(so.child)) =>
+        s.copy(order = s.order.map { so =>
+          if (containerCmp(so.child))
+            so.copy(child = graft.functions.DuckSortKey(so.child))
+          else so
+        })
+      // the Window NODE carries its own orderSpec (extracted by the
+      // analyzer from the per-expression specs) — the physical sort
+      // runs off it, so it needs the same key wrap
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.orderSpec.exists(so => containerCmp(so.child)) =>
+        w.copy(orderSpec = w.orderSpec.map { so =>
+          if (containerCmp(so.child))
+            so.copy(child = graft.functions.DuckSortKey(so.child))
+          else so
+        })
+    }
     val fixed = analyzed.transformAllExpressions {
       case s: SubtractDates => DateDiff(s.left, s.right)
       // DATE ± INTERVAL is a TIMESTAMP in DuckDB for EVERY interval
@@ -1499,8 +1525,87 @@ class DuckLakeXLSpark(
           if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, ">")
       case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(l, r)
           if containerCmp(l) => graft.functions.DuckContainerCompare(l, r, ">=")
+      // ---- r19 nested-ordering differential ----
+      // min/max AGGREGATES over nested types: DuckDB's inner-NULL-
+      // largest total order (measured max over {[1],[NULL],[1,2]} =
+      // [NULL]; Spark's ordering answers [1,2]) — re-expressed as
+      // min_by/max_by over the memcomparable key (NULL keys are skipped
+      // by MinBy/MaxBy, matching min/max NULL-skip semantics)
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Min(c)
+          if containerCmp(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(
+          c, graft.functions.DuckSortKey(c))
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Max(c)
+          if containerCmp(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
+          c, graft.functions.DuckSortKey(c))
+      // window ORDER BY over nested keys takes the same memcomparable
+      // key (row_number() OVER (ORDER BY <list col>) must walk DuckDB's
+      // order); PARTITION BY keys stay put — grouping equality matches
+      case w: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition
+          if w.orderSpec.exists(so => containerCmp(so.child)) =>
+        w.copy(orderSpec = w.orderSpec.map { so =>
+          if (containerCmp(so.child))
+            so.copy(child = graft.functions.DuckSortKey(so.child))
+          else so
+        })
+      // list_min/list_max over NESTED element types: NULL elements
+      // skipped, extremes by the DuckDB order (measured
+      // list_max([[1,NULL],[1,2]]) = [1,NULL])
+      case am: org.apache.spark.sql.catalyst.expressions.ArrayMin
+          if (am.child.dataType match {
+            case ArrayType(_: ArrayType | _: StructType, _) => true
+            case _ => false
+          }) => graft.functions.DuckNestedExtreme(am.child, isMax = false)
+      case am: org.apache.spark.sql.catalyst.expressions.ArrayMax
+          if (am.child.dataType match {
+            case ArrayType(_: ArrayType | _: StructType, _) => true
+            case _ => false
+          }) => graft.functions.DuckNestedExtreme(am.child, isMax = true)
+      // list_sort/list_reverse_sort over NESTED element types: inner
+      // NULLs largest (measured list_sort([[1],[NULL],NULL,[1,2]]) =
+      // [[1],[1,2],[NULL],NULL]); each spelling keeps its NULL-element
+      // placement (array_sort/desc last, sort_array-asc first)
+      // ONLY the default-comparator ArraySort is the dialect's 1-arg
+      // list_sort (recognized by its If(And(IsNull,IsNull),…) head);
+      // the router's own list(v ORDER BY k) rewrite emits a CUSTOM
+      // CaseWhen comparator over ('n','k','v') structs and must keep it
+      case s: org.apache.spark.sql.catalyst.expressions.ArraySort
+          if (s.argument.dataType match {
+            case ArrayType(_: ArrayType | _: StructType, _) => true
+            case _ => false
+          }) && (s.function match {
+            case org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+              org.apache.spark.sql.catalyst.expressions.If(
+                org.apache.spark.sql.catalyst.expressions.And(
+                  _: org.apache.spark.sql.catalyst.expressions.IsNull,
+                  _: org.apache.spark.sql.catalyst.expressions.IsNull),
+                _, _), _, _) => true
+            case _ => false
+          }) =>
+        graft.functions.DuckNestedSort(s.argument, asc = true,
+          nullsFirst = false)
+      case s: org.apache.spark.sql.catalyst.expressions.SortArray
+          if (s.base.dataType match {
+            case ArrayType(_: ArrayType | _: StructType, _) => true
+            case _ => false
+          }) =>
+        val asc = s.ascendingOrder.eval(null).asInstanceOf[Boolean]
+        graft.functions.DuckNestedSort(s.base, asc = asc, nullsFirst = asc)
+      // greatest/least over nested: a LOUD binder error in DuckDB
+      // (measured) — Spark would silently answer with its own ordering
+      case g: org.apache.spark.sql.catalyst.expressions.Greatest
+          if g.children.exists(containerCmp) =>
+        throw new IllegalArgumentException(
+          "No function matches the given name and argument types " +
+            s"'greatest(${g.children.map(_.dataType.sql).mkString(", ")})'")
+      case g: org.apache.spark.sql.catalyst.expressions.Least
+          if g.children.exists(containerCmp) =>
+        throw new IllegalArgumentException(
+          "No function matches the given name and argument types " +
+            s"'least(${g.children.map(_.dataType.sql).mkString(", ")})'")
     }
-    if (fixed fastEquals analyzed) df
+    if (fixed fastEquals analyzed0) df
     else org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark, fixed)
   }
 

@@ -1837,6 +1837,14 @@ object StatementRouter {
   /** `FROM unnest(expr)` — DuckDB's table-function position; the derived
     * table carries DuckDB's output column name (`unnest`), and a
     * following `AS t(x)` column alias keeps working on the subquery */
+  /** table-position unnest. DuckDB auto-LATERALs the comma and JOIN
+    * spellings (measured r19: `FROM t, unnest(t.l) u(x)` iterates per
+    * row, empty/NULL lists DROP the row, `LEFT JOIN LATERAL … ON true`
+    * keeps it with NULL) — the Spark twin is `LATERAL VIEW [OUTER]
+    * explode`, which keeps correlation, stays codegen-friendly, and
+    * needs no shuffle. The FROM-first spelling (nothing before it to
+    * correlate with) keeps the derived-table rewrite.
+    */
   private def rewriteUnnestFrom(q0: String): String = {
     val re = """(?i)\bunnest\s*\(""".r
     var q = q0
@@ -1852,10 +1860,103 @@ object StatementRouter {
           else {
             val open = q.indexOf('(', m.end - 1)
             val close = matchingParen(q, open)
-            val rep = s"(SELECT explode(${q.substring(open + 1, close)})" +
-              " AS unnest)"
-            q = q.substring(0, m.start) + rep + q.substring(close + 1)
-            from = m.start + rep.length
+            val arg = q.substring(open + 1, close)
+            // trailing alias: [AS] ident [(col)]
+            var p = close + 1
+            def ws(): Unit = { while (p < q.length && q.charAt(p).isWhitespace) p += 1 }
+            ws()
+            var tblAlias = ""
+            var colAlias = ""
+            var aliasEnd = close + 1
+            if (p < q.length && (identChar(q.charAt(p)) || q.charAt(p) == '"')) {
+              var e = p
+              if (q.charAt(p) == '"') { e = q.indexOf('"', p + 1) + 1 }
+              else while (e < q.length && identChar(q.charAt(e))) e += 1
+              var w = q.substring(p, e)
+              val kw = w.toLowerCase(java.util.Locale.ROOT)
+              var isAlias = true
+              if (kw == "as") {
+                p = e; ws(); e = p
+                while (e < q.length && identChar(q.charAt(e))) e += 1
+                w = q.substring(p, e)
+              } else if (Set("where", "group", "order", "having", "limit",
+                  "union", "intersect", "except", "on", "join", "inner",
+                  "left", "right", "full", "cross", "lateral", "window",
+                  "qualify", "offset", "using").contains(kw)) {
+                isAlias = false
+              }
+              if (isAlias && w.nonEmpty) {
+                tblAlias = w.stripPrefix("\"").stripSuffix("\"")
+                p = e; aliasEnd = e; ws()
+                if (p < q.length && q.charAt(p) == '(') {
+                  val ac = matchingParen(q, p)
+                  val cols = splitTopCommas(q.substring(p + 1, ac)).map(_.trim)
+                  require(cols.length == 1,
+                    "unnest table alias takes a single column name")
+                  colAlias = cols.head.stripPrefix("\"").stripSuffix("\"")
+                  aliasEnd = ac + 1
+                }
+              }
+            }
+            // connector scan BACKWARD: comma / JOIN phrase / FROM
+            var b = m.start - 1
+            while (b >= 0 && q.charAt(b).isWhitespace) b -= 1
+            var connStart = -1
+            var outer = false
+            var isComma = false
+            var isFrom = false
+            var sawJoin = false
+            var scanning = true
+            while (scanning && b >= 0) {
+              if (q.charAt(b) == ',') {
+                connStart = b; isComma = true; scanning = false
+              } else if (identChar(q.charAt(b))) {
+                var s0 = b
+                while (s0 >= 0 && identChar(q.charAt(s0))) s0 -= 1
+                val w = q.substring(s0 + 1, b + 1).toLowerCase(java.util.Locale.ROOT)
+                w match {
+                  case "lateral" =>
+                    connStart = s0 + 1; b = s0
+                    while (b >= 0 && q.charAt(b).isWhitespace) b -= 1
+                  case "join" | "cross" | "inner" =>
+                    sawJoin = true; connStart = s0 + 1; b = s0
+                    while (b >= 0 && q.charAt(b).isWhitespace) b -= 1
+                  case "left" | "outer" =>
+                    sawJoin = true; outer = true; connStart = s0 + 1; b = s0
+                    while (b >= 0 && q.charAt(b).isWhitespace) b -= 1
+                  case "from" =>
+                    // `FROM unnest(..)` / `FROM LATERAL unnest(..)` —
+                    // nothing before it to correlate with
+                    if (!sawJoin && !isComma) isFrom = true
+                    scanning = false
+                  case _ => scanning = false
+                }
+              } else scanning = false
+            }
+            if (isFrom) {
+              // FROM-first: uncorrelated by construction — derived table
+              val rep = s"(SELECT explode($arg) AS unnest)"
+              q = q.substring(0, m.start) + rep + q.substring(close + 1)
+              from = m.start + rep.length
+            } else if (connStart >= 0 && (isComma || true)) {
+              // consume a trailing literal `ON true` for JOIN spellings
+              var end = aliasEnd
+              val onRe = """(?is)^\s*ON\s+true\b""".r
+              onRe.findFirstMatchIn(q.substring(aliasEnd)) match {
+                case Some(om) if !isComma => end = aliasEnd + om.end
+                case _ =>
+              }
+              val lv = (if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW") +
+                s" explode($arg) " +
+                (if (tblAlias.nonEmpty) tblAlias else "__graft_lv") +
+                s" AS ${if (colAlias.nonEmpty) colAlias else "unnest"}"
+              q = q.substring(0, connStart) + " " + lv + q.substring(end)
+              from = connStart + lv.length + 1
+            } else {
+              val rep = s"(SELECT explode($arg) AS unnest)"
+              q = q.substring(0, m.start) + rep + q.substring(close + 1)
+              from = m.start + rep.length
+            }
           }
       }
     }
@@ -2267,7 +2368,9 @@ object StatementRouter {
       var b = p
       while (b >= 0 && identChar(q.charAt(b))) b -= 1
       val w = if (b < p) q.substring(b + 1, p + 1).toLowerCase(java.util.Locale.ROOT) else ""
-      w == "from" || w == "join"
+      // LATERAL reaches here for `, LATERAL unnest(...)` / `JOIN
+      // LATERAL unnest(...)` — table position either way
+      w == "from" || w == "join" || w == "lateral"
     }
   }
 

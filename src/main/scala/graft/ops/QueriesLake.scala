@@ -1545,6 +1545,29 @@ object QueriesLake {
       val lake = freshLake(s)
       lake.sql(TvfWaveSql)
     },
+    // r19 (VERDICT r18 task 3): the winspec and lambda differential
+    // surfaces under the driver oracle gate, closing the r18 asymmetry
+    // — oracle = the IDENTICAL dialect text run by DuckDB
+    "q_lake_winspec_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(WinSpecWaveSql)
+    },
+    "q_lake_lambda_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(LambdaWaveSql)
+    },
+    // r19 nested-type ordering (NestOrdDifferentialSpec pins the 40-
+    // fixture barrage) — inner NULLs largest, DuckDB's total order
+    "q_lake_nestord_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(NestOrdWaveSql)
+    },
+    // r19 lateral depth (LateralDifferentialSpec pins the 30-fixture
+    // barrage) — auto-LATERAL unnest via LATERAL VIEW explode
+    "q_lake_lateral_wave" -> { (s, _) =>
+      val lake = freshLake(s)
+      lake.sql(LateralWaveSql)
+    },
     "q_lake_stmtshape_wave" -> { (s, _) =>
       val lake = freshLake(s)
       lake.sql(
@@ -2067,9 +2090,71 @@ object QueriesLake {
       |UNION ALL SELECT 'lst', CAST(range(1, 10, 4) AS VARCHAR)
       |ORDER BY k, v""".stripMargin
 
+  /** r18 winspec differential representatives (WinSpecDifferentialSpec
+    * pins the full 45): frame-over-named-window, the one-level copy
+    * (w2 AS (w1 ORDER BY id) copies w1's PARTITION BY), the measured
+    * two-level chain (u3 AS (u2) does NOT re-copy u1's partition — the
+    * running sum goes global), and a plain named rank. Window names are
+    * unique ACROSS set-op branches (DuckDB's dup-check span).
+    */
+  private[graft] val WinSpecWaveSql: String =
+    """SELECT 'base' AS k, CAST(id AS VARCHAR) || '=' || CAST(sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS v
+      |FROM (VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)) t(id,g,v) WINDOW w AS (PARTITION BY g ORDER BY id)
+      |UNION ALL SELECT 'copy', CAST(id AS VARCHAR) || '=' || CAST(sum(v) OVER w2 AS VARCHAR)
+      |FROM (VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)) t(id,g,v) WINDOW w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id)
+      |UNION ALL SELECT 'chain', CAST(id AS VARCHAR) || '=' || CAST(sum(v) OVER (u3 ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+      |FROM (VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)) t(id,g,v) WINDOW u3 AS (u2), u2 AS (u1 ORDER BY id), u1 AS (PARTITION BY g)
+      |UNION ALL SELECT 'mixrank', CAST(id AS VARCHAR) || '=' || CAST(rank() OVER m AS VARCHAR)
+      |FROM (VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)) t(id,g,v) WINDOW m AS (PARTITION BY g ORDER BY v DESC)
+      |ORDER BY k, v""".stripMargin
+
+  /** r18 lambda differential representatives (LambdaDifferentialSpec
+    * pins the full 50): 1-based index lambdas, the 3-param list_reduce
+    * merge counter, list_aggregate name dispatch (string_agg skips
+    * NULLs, any_value takes the first NON-NULL), and nested index
+    * shadowing (r19: the inner (y,i) rebinds i).
+    */
+  private[graft] val LambdaWaveSql: String =
+    """SELECT 'aggd' AS k, CAST(list_aggregate([1,NULL,3], 'string_agg', '-') AS VARCHAR) AS v
+      |UNION ALL SELECT 'anyv', CAST(list_aggregate([NULL,2,3], 'any_value') AS VARCHAR)
+      |UNION ALL SELECT 'filt', CAST(list_filter([10,20,30], (x, i) -> i % 2 = 1) AS VARCHAR)
+      |UNION ALL SELECT 'idx', CAST(list_transform(['a','b'], (x, i) -> x || CAST(i AS VARCHAR)) AS VARCHAR)
+      |UNION ALL SELECT 'red3', CAST(list_reduce([1,2,3], (a, b, i) -> a + b * i) AS VARCHAR)
+      |UNION ALL SELECT 'shadow', CAST(list_transform([1,2], (x,i) -> list_transform([10], (y,i) -> i)) AS VARCHAR)
+      |ORDER BY k, v""".stripMargin
+
+  /** r19 nested-ordering representatives (NestOrdDifferentialSpec pins
+    * the full 40): full order via row_number over a nested key, LIMIT
+    * top-k membership, the max-is-[NULL] aggregate, nested list_sort,
+    * and NULL-element grouping.
+    */
+  private[graft] val NestOrdWaveSql: String =
+    """SELECT 'ord' AS k, CAST(rn AS VARCHAR) || '=' || CAST(x AS VARCHAR) AS v FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM (VALUES ([1,NULL]),([1,2]),([NULL]),([2])) t(x))
+      |UNION ALL SELECT 'top', CAST(x AS VARCHAR) FROM (SELECT x FROM (VALUES (['a']),(['ab']),(['a',NULL]),([NULL])) t(x) ORDER BY x LIMIT 2)
+      |UNION ALL SELECT 'agg', CAST(max(x) AS VARCHAR) FROM (VALUES ([1]),([NULL::INT]),([1,2])) t(x)
+      |UNION ALL SELECT 'lsort', CAST(list_sort([[1],[NULL],NULL,[1,2]]) AS VARCHAR)
+      |UNION ALL SELECT 'grp', CAST(x AS VARCHAR) || '#' || CAST(count(*) AS VARCHAR) FROM (VALUES ([1,NULL]),([1,NULL]),([1])) t(x) GROUP BY x
+      |ORDER BY k, v""".stripMargin
+
+  /** r19 lateral representatives (LateralDifferentialSpec pins the full
+    * 30): correlated comma-position unnest, the LEFT-JOIN-LATERAL keep
+    * row, the FROM-position cartesian, and aggregation over the lateral
+    * output.
+    */
+  private[graft] val LateralWaveSql: String =
+    """SELECT 'aggl' AS k, t.g || '#' || CAST(sum(u.x) AS VARCHAR) AS v FROM (VALUES ('a',[1,2]),('b',[3])) t(g,l), unnest(t.l) u(x) GROUP BY t.g
+      |UNION ALL SELECT 'cart', CAST(u.x AS VARCHAR) || '|' || CAST(v.y AS VARCHAR) FROM (VALUES ([1,2],[10,20])) t(a,b), unnest(t.a) u(x), unnest(t.b) v(y)
+      |UNION ALL SELECT 'corr', t.g || '=' || CAST(u.x AS VARCHAR) FROM (VALUES ('a',[1,2]),('b',[3])) t(g,l), unnest(t.l) u(x)
+      |UNION ALL SELECT 'outer', t.g || '=' || coalesce(CAST(u.x AS VARCHAR),'None') FROM (VALUES ('a',[1]),('b',[]::INT[])) t(g,l) LEFT JOIN LATERAL unnest(t.l) u(x) ON true
+      |ORDER BY k, v""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_lake_slice_wave" -> SliceWaveSql,
     "q_lake_tvf_wave" -> TvfWaveSql,
+    "q_lake_winspec_wave" -> WinSpecWaveSql,
+    "q_lake_lambda_wave" -> LambdaWaveSql,
+    "q_lake_nestord_wave" -> NestOrdWaveSql,
+    "q_lake_lateral_wave" -> LateralWaveSql,
     "q_lake_windepth_wave" -> windepthWaveSql,
     "q_lake_mapdepth_wave" -> mapdepthWaveSql,
     "q_lake_listmath_wave" -> listmathWaveSql,

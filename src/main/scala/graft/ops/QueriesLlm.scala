@@ -72,8 +72,14 @@ object QueriesLlm {
   private[ops] val NgramBands = 4 // 4 minhash rows per band
   private val NgramThreshold = 0.8
 
-  /** bucket-size cap for the MinHash band buckets (LSH hygiene, see top) */
-  private[ops] val MaxBucket = 100
+  /** bucket-size cap for the MinHash band buckets (LSH hygiene, see
+    * top). The env override exists ONLY so the close protocol's
+    * recall-regression gate can prove it fails on an injected cap
+    * regression (tools/bench_close.py, r19) — production paths never
+    * set it.
+    */
+  private[ops] val MaxBucket =
+    sys.env.get("SPARK_GRAFT_MAXBUCKET").map(_.toInt).getOrElse(100)
 
   /** the ngram stream's bucket cap. The 4×4 band structure gives a pair
     * only 4 collision chances (word: 8), so the truncation-survival

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--no-sf1", action="store_true",
                     help="skip the CORRECTNESS_SF1.json full-board refresh")
+    ap.add_argument("--no-recall", action="store_true",
+                    help="skip the sf1 recall-regression gate")
     a = ap.parse_args()
 
     arch = REPO / "bench_archive"
@@ -94,6 +96,63 @@ def main():
          *spec_files], cwd=REPO)
     if r.returncode != 0:
         raise SystemExit("diffgen verify failed — fixture drift at close")
+    # r19 (VERDICT r18 task 2): recall-regression gate. SCALE.md §6.22's
+    # ground-truth numbers were a one-shot measurement; any cap/band
+    # tweak could silently regress them. Re-measure the sf1
+    # configuration (corpus-linear) at every close and fail loudly if
+    # any stream drops below its pinned floor (r18 measured sf1: word
+    # 0.999960, contain 1.000000, ngram 0.997484).
+    if not a.no_recall:
+        recall_floors = {"word_minhash": 0.999, "contain": 0.9999,
+                         "ngram_minhash": 0.995}
+        print("recall-regression gate (graft.ops.RecallAudit @ sf1)...")
+        if not pathlib.Path("/tmp/graft_sf1/documents.parquet").exists():
+            raise SystemExit("/tmp/graft_sf1 missing — regenerate via "
+                             "tools/bench_sf1.py before closing")
+        env = {**__import__("os").environ,
+               "SPARK_GRAFT_SF_DIR": "/tmp/graft_sf1"}
+        r = subprocess.run([str(REPO / "tools" / "run_main.sh"),
+                            "graft.ops.RecallAudit", "24g"],
+                           capture_output=True, text=True, env=env)
+        lines = [ln.split("RECALLAUDIT ", 1)[1]
+                 for ln in r.stdout.splitlines() if "RECALLAUDIT " in ln]
+        if r.returncode != 0 or not lines:
+            print(r.stdout[-3000:], file=sys.stderr)
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("RecallAudit failed to run at close")
+        (arch / f"RECALL_{a.tag}_close_sf1.jsonl").write_text(
+            "\n".join("RECALLAUDIT " + ln for ln in lines) + "\n")
+        recall_block, bad = {}, []
+        for ln in lines:
+            d = json.loads(ln)
+            s = d.get("stream")
+            if s in recall_floors:
+                recall_block[s] = {"recall": d["recall"],
+                                   "floor": recall_floors[s],
+                                   "true_pairs": d["true_pairs"]}
+                if d["recall"] < recall_floors[s]:
+                    bad.append(f"{s} recall {d['recall']} < floor "
+                               f"{recall_floors[s]}")
+            elif s == "cluster_coverage":
+                recall_block[s] = {
+                    "docs_with_true_word_pair": d["docs_with_true_word_pair"],
+                    "docs_in_emitted_word_pairs":
+                        d["docs_in_emitted_word_pairs"]}
+                if d["docs_in_emitted_word_pairs"] < \
+                        d["docs_with_true_word_pair"]:
+                    bad.append(f"cluster coverage "
+                               f"{d['docs_in_emitted_word_pairs']} < truth "
+                               f"{d['docs_with_true_word_pair']}")
+        missing = set(recall_floors) - set(recall_block)
+        if missing:
+            bad.append(f"streams missing from audit output: {missing}")
+        run["close_protocol"]["recall"] = recall_block
+        (REPO / "BENCH_LOCAL.json").write_text(json.dumps(run, indent=1))
+        for s, v in recall_block.items():
+            print(f"  {s}: {v}")
+        if bad:
+            raise SystemExit("RECALL REGRESSION at close: " +
+                             "; ".join(bad))
     sys.exit(0 if not best["degraded"] else 2)
 
 

@@ -2108,6 +2108,151 @@ def fam_winspec(seed):
 
 
 
+def fam_nestord(seed):
+    """r19: nested-type ORDERING (VERDICT r18 task 4). Measured DuckDB
+    1.0.0 rules: NULL elements/fields sort LARGEST ([1,2] < [1,NULL],
+    [2] < [NULL]; Spark's ordering puts inner NULLs smallest — silently
+    different row order AND top-k membership); lists compare
+    lexicographically with a strict prefix first (['a'] < ['a',NULL] <
+    ['ab']); structs compare by FIELD POSITION; doubles order values <
+    NaN < NULL; min/max aggregates and list_min/list_max follow the same
+    order (max over {[1],[NULL],[1,2]} = [NULL]) while SKIPPING NULLs;
+    list_sort places inner NULLs largest; GROUP BY/DISTINCT treat equal
+    nested values (incl. NULL elements) as one group."""
+    LN = ("(VALUES ([1,NULL]),([1,2]),([1]),([NULL]),([2]),(NULL),"
+          "([0])) t(x)")
+    LS = ("(VALUES ([{'a':1,'b':2}]),([{'a':1,'b':NULL}]),"
+          "([{'a':NULL,'b':0}]),([{'a':1,'b':2},{'a':0,'b':0}]),(NULL),"
+          "([{'a':2,'b':0}])) t(x)")
+    ST = ("(VALUES ({'s':'a','n':1}),({'s':'a','n':NULL}),"
+          "({'s':NULL,'n':0}),({'s':'ab','n':0}),(NULL),"
+          "({'s':'b','n':NULL})) t(x)")
+    SS = ("(VALUES (['a']),(['ab']),(['a',NULL]),([NULL]),(['b']),"
+          "(['a','b'])) t(x)")
+    LL = ("(VALUES ([[1],[2]]),([[1,NULL]]),([[1],NULL]),([[1]]),"
+          "([NULL]),([[2]])) t(x)")
+    DBL = ("(VALUES ([1.5]),(['NaN'::DOUBLE]),(['Infinity'::DOUBLE]),"
+           "(['-Infinity'::DOUBLE]),([-1.0]),([NULL::DOUBLE])) t(x)")
+    BOOL = "(VALUES ([true]),([false]),([NULL::BOOLEAN]),([true,false])) t(x)"
+    DT = ("(VALUES ([DATE '2024-01-02']),([DATE '2024-01-01',NULL]),"
+          "([NULL::DATE]),([DATE '2024-01-01'])) t(x)")
+    DEC = ("(VALUES ([1.25::DECIMAL(9,2)]),([NULL::DECIMAL(9,2)]),"
+           "([1.30::DECIMAL(9,2)]),([0.99::DECIMAL(9,2),NULL])) t(x)")
+    G = ("(VALUES ([1,NULL]),([1,NULL]),([1]),(NULL),(NULL),([NULL]),"
+         "([1])) t(x)")
+    GS = ("(VALUES ({'a':NULL}),({'a':NULL}),({'a':1}),({'a':1}),"
+          "({'a':2})) t(x)")
+    def ob(tbl, order="x"):
+        return (f"SELECT CAST(x AS VARCHAR) AS v FROM {tbl} ORDER BY "
+                f"{order}")
+    qs = [
+        # ORDER BY list with inner NULLs, both directions + NULLS FIRST
+        ob(LN), ob(LN, "x DESC"), ob(LN, "x ASC NULLS FIRST"),
+        ob(LN, "x DESC NULLS FIRST"),
+        # list-of-struct / struct / strings-in-lists / list-of-list
+        ob(LS), ob(LS, "x DESC"),
+        ob(ST), ob(ST, "x DESC"),
+        ob(SS), ob(SS, "x DESC"),
+        ob(LL), ob(LL, "x DESC"),
+        # doubles NaN/inf, bools, dates, decimals inside lists
+        ob(DBL), ob(DBL, "x DESC"),
+        ob(BOOL), ob(DT), ob(DEC),
+        # top-k membership through LIMIT
+        f"SELECT CAST(x AS VARCHAR) AS v FROM {LN} ORDER BY x LIMIT 3",
+        f"SELECT CAST(x AS VARCHAR) AS v FROM {SS} ORDER BY x DESC LIMIT 2",
+        # GROUP BY / DISTINCT on nested keys (NULL elements equal)
+        (f"SELECT CAST(x AS VARCHAR) || '#' || CAST(count(*) AS VARCHAR)"
+         f" AS v FROM {G} GROUP BY x ORDER BY x"),
+        (f"SELECT CAST(x AS VARCHAR) || '#' || CAST(count(*) AS VARCHAR)"
+         f" AS v FROM {GS} GROUP BY x ORDER BY x"),
+        f"SELECT DISTINCT CAST(x AS VARCHAR) AS v FROM {G} ORDER BY 1",
+        f"SELECT DISTINCT CAST(x AS VARCHAR) AS v FROM {GS} ORDER BY 1",
+        # min/max aggregates over nested (NULL rows skipped, inner
+        # NULLs largest)
+        f"SELECT CAST(max(x) AS VARCHAR) AS v FROM {LN}",
+        f"SELECT CAST(min(x) AS VARCHAR) AS v FROM {LN}",
+        f"SELECT CAST(max(x) AS VARCHAR) AS v FROM {ST}",
+        f"SELECT CAST(min(x) AS VARCHAR) AS v FROM {ST}",
+        f"SELECT CAST(max(x) AS VARCHAR) AS v FROM {SS}",
+        f"SELECT CAST(max(x) AS VARCHAR) AS v FROM {LL}",
+        f"SELECT CAST(min(x) AS VARCHAR) AS v FROM {DBL}",
+        f"SELECT CAST(max(x) AS VARCHAR) AS v FROM {DBL}",
+        # list_min/list_max over nested elements (NULL elements skipped)
+        "SELECT CAST(list_max([[1,NULL],[1,2]]) AS VARCHAR) AS v",
+        "SELECT CAST(list_min([[1,NULL],[1,2],NULL]) AS VARCHAR) AS v",
+        "SELECT CAST(list_max([NULL,[1]]) AS VARCHAR) AS v",
+        "SELECT coalesce(CAST(list_min([NULL::INT[]]) AS VARCHAR),"
+        "'None') AS v",
+        "SELECT CAST(list_min([{'a':NULL},{'a':1}]) AS VARCHAR) AS v",
+        # list_sort / list_reverse_sort over nested elements
+        "SELECT CAST(list_sort([[1],[NULL],NULL,[1,2]]) AS VARCHAR) AS v",
+        "SELECT CAST(list_reverse_sort([[1],[NULL],NULL,[1,2]]) "
+        "AS VARCHAR) AS v",
+        "SELECT CAST(list_sort([{'a':1},{'a':NULL},{'a':0}]) AS VARCHAR)"
+        " AS v",
+        "SELECT CAST(list_sort([['a'],['a',NULL],['ab'],[NULL]]) "
+        "AS VARCHAR) AS v",
+    ]
+    return [(q, "query") for q in qs]
+
+
+def fam_lateral(seed):
+    """r19: TVF/lateral depth 2 (VERDICT r18 task 8). Measured DuckDB
+    1.0.0 edges: comma/JOIN-position unnest auto-LATERALs (iterates per
+    outer row; empty/NULL lists DROP the row; LEFT JOIN LATERAL ON true
+    keeps it with NULL); MULTIPLE FROM-position unnests are a CARTESIAN
+    (unlike the SELECT-position zip); correlated args reach through
+    struct fields and lambdas; WHERE/GROUP BY compose over the lateral
+    output; TVFs compose with set ops; range/generate_series REFUSE
+    lateral column parameters (loud binder error)."""
+    qs = [
+        # correlated comma-position unnest
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[1,2]),('b',[3])) t(g,l), unnest(t.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || CAST(x AS VARCHAR) AS v FROM (VALUES ('a',[1,2]),('b',[3])) t(g,l), unnest(t.l) u(x) ORDER BY 1",
+        # LATERAL keyword spellings
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[1,2])) t(g,l), LATERAL unnest(t.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[1,2])) t(g,l) CROSS JOIN LATERAL unnest(t.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[1,2])) t(g,l) CROSS JOIN unnest(t.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[5])) t(g,l) INNER JOIN LATERAL unnest(t.l) u(x) ON true ORDER BY 1",
+        # empty and NULL lists: dropped by CROSS, kept by LEFT ... ON true
+        "SELECT t.g || '=' || coalesce(CAST(u.x AS VARCHAR),'None') AS v FROM (VALUES ('a',[1]),('b',[]::INT[])) t(g,l), unnest(t.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || coalesce(CAST(u.x AS VARCHAR),'None') AS v FROM (VALUES ('a',[1]),('b',NULL::INT[])) t(g,l), unnest(t.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || coalesce(CAST(u.x AS VARCHAR),'None') AS v FROM (VALUES ('a',[1]),('b',[]::INT[])) t(g,l) LEFT JOIN LATERAL unnest(t.l) u(x) ON true ORDER BY 1",
+        "SELECT t.g || '=' || coalesce(CAST(u.x AS VARCHAR),'None') AS v FROM (VALUES ('a',[1]),('b',NULL::INT[])) t(g,l) LEFT JOIN LATERAL unnest(t.l) u(x) ON true ORDER BY 1",
+        # NULL elements survive the iteration
+        "SELECT t.g || '=' || coalesce(CAST(u.x AS VARCHAR),'None') AS v FROM (VALUES ('a',[1,NULL,3])) t(g,l), unnest(t.l) u(x) ORDER BY 1",
+        # correlated through struct fields and lambdas
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',{'l':[1,2]}),('b',{'l':[3]})) t(g,s), unnest(t.s.l) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',{'l':[1,2]})) t(g,s), unnest(list_transform(t.s.l, z -> z*10)) u(x) ORDER BY 1",
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[1,2,3])) t(g,l), unnest(list_filter(t.l, z -> z % 2 = 1)) u(x) ORDER BY 1",
+        # unnest emitting LIST elements
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[[1],[2,3]])) t(g,l), unnest(t.l) u(x) ORDER BY 1",
+        # multiple FROM-position unnests: CARTESIAN, not zip
+        "SELECT CAST(u.x AS VARCHAR) || '|' || CAST(v.y AS VARCHAR) AS v FROM (VALUES ([1,2],[10,20])) t(a,b), unnest(t.a) u(x), unnest(t.b) v(y) ORDER BY 1",
+        "SELECT t.g || CAST(u.x AS VARCHAR) || CAST(v.y AS VARCHAR) AS v FROM (VALUES ('a',[1],[7,8])) t(g,p,q2), unnest(t.p) u(x), unnest(t.q2) v(y) ORDER BY 1",
+        # WHERE / GROUP BY / aggregates over the lateral output
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) AS v FROM (VALUES ('a',[1,2,3])) t(g,l), unnest(t.l) u(x) WHERE u.x > 1 ORDER BY 1",
+        "SELECT t.g || '#' || CAST(sum(u.x) AS VARCHAR) AS v FROM (VALUES ('a',[1,2]),('b',[3])) t(g,l), unnest(t.l) u(x) GROUP BY t.g ORDER BY 1",
+        "SELECT t.g || '#' || CAST(count(*) AS VARCHAR) AS v FROM (VALUES ('a',[1,2]),('b',[3]),('c',[]::INT[])) t(g,l), unnest(t.l) u(x) GROUP BY t.g ORDER BY 1",
+        # lateral output joined back / composed with set ops
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES ([1,2])) t(l), unnest(t.l) u(x) UNION ALL SELECT CAST(x AS VARCHAR) FROM (VALUES ([9])) s(l), unnest(s.l) w(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES ([1,2,3])) t(l), unnest(t.l) u(x) INTERSECT SELECT CAST(x AS VARCHAR) FROM (VALUES ([2,3,4])) s(l), unnest(s.l) w(x) ORDER BY 1",
+        "SELECT CAST(x AS VARCHAR) AS v FROM (VALUES ([1,2,3])) t(l), unnest(t.l) u(x) EXCEPT SELECT CAST(x AS VARCHAR) FROM (VALUES ([3])) s(l), unnest(s.l) w(x) ORDER BY 1",
+        # TVFs composed with set ops
+        "SELECT CAST(range AS VARCHAR) AS v FROM range(2) UNION ALL SELECT CAST(range AS VARCHAR) FROM range(1) ORDER BY 1",
+        "SELECT CAST(range AS VARCHAR) AS v FROM range(3) INTERSECT SELECT CAST(range AS VARCHAR) FROM range(2, 5) ORDER BY 1",
+        "SELECT CAST(generate_series AS VARCHAR) AS v FROM generate_series(1,2) UNION SELECT CAST(range AS VARCHAR) FROM range(2) ORDER BY 1",
+        # uncorrelated comma/JOIN TVFs next to a real table
+        "SELECT CAST(t.x + r.range AS VARCHAR) AS v FROM (SELECT 10 AS x) t, range(3) r ORDER BY 1",
+        "SELECT CAST(g.generate_series AS VARCHAR) AS v FROM (SELECT 1) t, generate_series(1,3) g ORDER BY 1",
+        # two unnests on DIFFERENT outer rows compose independently
+        "SELECT t.g || '=' || CAST(u.x AS VARCHAR) || ':' || CAST(w.y AS VARCHAR) AS v FROM (VALUES ('a',[1,2],[5])) t(g,l,m), unnest(t.l) u(x), unnest(t.m) w(y) ORDER BY 1",
+        # chained: unnest of an unnest output's field via a subquery
+        "SELECT CAST(y AS VARCHAR) AS v FROM (SELECT u.x AS inner_l FROM (VALUES ([[1,2],[3]])) t(l), unnest(t.l) u(x)) s, unnest(s.inner_l) w(y) ORDER BY 1",
+    ]
+    return [(q, "query") for q in qs]
+
+
 FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "uuidblob": fam_uuidblob,
             "strftime": fam_strftime,
@@ -2124,7 +2269,8 @@ FAMILIES = {"json": fam_json, "structmap": fam_structmap,
             "likeglob": fam_likeglob,
             "mapdepth": fam_mapdepth, "listmath": fam_listmath,
             "aggdepth": fam_aggdepth, "windepth": fam_windepth,
-            "slice": fam_slice, "tvf": fam_tvf, "lambda": fam_lambda}
+            "slice": fam_slice, "tvf": fam_tvf, "lambda": fam_lambda,
+            "nestord": fam_nestord, "lateral": fam_lateral}
 
 
 # verify-only families map spec file -> harness kind
@@ -2148,7 +2294,10 @@ SPEC_KIND = {"WindowDifferentialSpec.scala": "window",
              "WinSpecDifferentialSpec.scala": "query",
              # r18: full-query fixtures (SliceDifferentialSpec stays on
              # the default scalar kind)
-             "TvfDifferentialSpec.scala": "query"}
+             "TvfDifferentialSpec.scala": "query",
+             # r19: nested-type ordering + lateral depth
+             "NestOrdDifferentialSpec.scala": "query",
+             "LateralDifferentialSpec.scala": "query"}
 
 
 def scala_quote(s):
