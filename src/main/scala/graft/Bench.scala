@@ -92,6 +92,14 @@ object Bench {
       // default is right — this sizes splits to THIS harness's
       // data-per-core, it is not a 100 TB recommendation.
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // r19: let AQE coalesce CACHED plans too (default false only for
+      // output-partitioning stability of persisted write pipelines —
+      // irrelevant to these analytics queries). Without it, an operator
+      // that persists a shared intermediate (minhashPairs' bucket
+      // aggregate) materializes at the full session partition count and
+      // every downstream stage inherits those tasks. Scale-neutral: it
+      // coalesces by ACTUAL sizes wherever it runs, local or cluster.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
     // one-off conf experiments (r14 AQE-lever probes):
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — NOT used by driver runs

@@ -493,15 +493,24 @@ object QueriesLlm {
         size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("inter"),
         size(col("ha")).cast(LongType).as("sza"),
         size(col("hb")).cast(LongType).as("szb"))
-    val dirA = scored
-      .filter(col("inter").cast(DoubleType) / col("sza") >= thr)
-      .select(col("a").as("contained"), col("b").as("container"),
-        round(col("inter").cast(DoubleType) / col("sza"), 4).as("containment"))
-    val dirB = scored
-      .filter(col("inter").cast(DoubleType) / col("szb") >= thr)
-      .select(col("b").as("contained"), col("a").as("container"),
-        round(col("inter").cast(DoubleType) / col("szb"), 4).as("containment"))
-    dirA.unionByName(dirB)
+    // r19 opt (guide §2.4): both directions emitted from ONE pass over the
+    // scored candidates — the former unionByName(dirA, dirB) planned the
+    // whole cand+verify join subtree TWICE, so every per-pair
+    // array_intersect over the two full hash sets (the r18 verify-payload
+    // mover) was computed twice and the candidate joins ran twice. The
+    // 2-struct explode is the same UNION ALL multiset: per scored pair the
+    // a-direction and b-direction rows, each filtered by its own raw
+    // ratio (identical IEEE division), then rounded. Pinned by
+    // R19OptShapeSpec's contain test against the two-branch spelling.
+    scored.select(explode(array(
+        struct(col("a").as("contained"), col("b").as("container"),
+          (col("inter").cast(DoubleType) / col("sza")).as("raw")),
+        struct(col("b").as("contained"), col("a").as("container"),
+          (col("inter").cast(DoubleType) / col("szb")).as("raw")))).as("r"))
+      .filter(col("r.raw") >= thr)
+      .select(col("r.contained").as("contained"),
+        col("r.container").as("container"),
+        round(col("r.raw"), 4).as("containment"))
   }
 
   // ------------------------------------------------------- IVF helpers
@@ -706,7 +715,8 @@ object QueriesLlm {
     * spill-safe materialization is the 100 TB shape.
     */
   private[ops] def minhashPairs(shIn: DataFrame, numHashes: Int, bands: Int,
-      thr: Double, maxBucket: Int = MaxBucket): DataFrame = {
+      thr: Double, maxBucket: Int = MaxBucket,
+      ordered: Boolean = true, materialize: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     // minhashes from the universal-hash family (a_i * x + b_i) mod P over
     // each doc's gram hashes (see [[HashP]]) — per-row expressions only.
@@ -747,7 +757,33 @@ object QueriesLlm {
     // decorrelated deterministic cap-subset instead of dropping — the
     // sf10 recall audit measured the drop losing 2.5% of true ≥0.9-Jaccard
     // pairs once real cluster size nears the cap ([[cappedIdListsSampled]])
-    val cliqueCand = cappedIdListsSampled(bandsAll, Seq("band", "bkey"), "doc_id", maxBucket)
+    // r19 opt (guide §2.4): ONE aggregation over the band stream yields
+    // BOTH the truncated clique lists and the bucket sizes — the former
+    // shape ran [[cappedIdListsSampled]] AND a separate count() pass over
+    // the same stream just to find the over-cap ring keys, i.e. one extra
+    // map pass + one extra exchange per dedup query. The two consumers
+    // below share one exchange (ReusedExchange), so the band stream is
+    // shuffled exactly once. Semantics identical: the rank key, the
+    // clique filter (|ds| >= 2) and the over-cap key set (bsz > cap) are
+    // the same sets the two-pass shape produced (R19OptShapeSpec pins
+    // list- and key-set equality against the reference two-pass spelling).
+    val bandRank = md5(concat_ws("_", col("band").cast(StringType),
+      col("bkey"), col("doc_id").cast(StringType)))
+    val grouped = bandsAll.groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BoundedCollect
+        .boundedTopKCol(bandRank, col("doc_id").cast(LongType), maxBucket).as("ds0"),
+        count(lit(1)).as("bsz"))
+      // persisted so the clique and over-cap consumers SHARE one physical
+      // aggregation: without it, column pruning rewrites the over-cap
+      // branch to a count-only aggregate (ds0 unused there), the exchanges
+      // stop being identical, and the plan degenerates back to the
+      // two-pass shape (verified in plans/r19/minhash_cand_*.txt). The
+      // cache is bucket-aggregate-sized (≤ cap ids per bucket — the same
+      // order as the sh cache), spill-safe, and released below with sh.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cliqueCand = grouped
+      .select(sort_array(col("ds0")).as("ds"))
+      .filter(size(col("ds")) >= 2)
       .select(pairsExplode(col("ds")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     // ring candidates for OVER-cap buckets (r18): the truncated clique
@@ -765,21 +801,18 @@ object QueriesLlm {
     // is untouched; under-cap buckets contribute nothing new (their
     // clique already holds every adjacent pair).
     val ringCand = {
-      val rank = md5(concat_ws("_", col("band").cast(StringType),
-        col("bkey"), col("doc_id").cast(StringType)))
       // restrict the window to the over-cap SLIVER first: a windowed
       // bucket-size count over the whole band stream sorts N·bands rows
       // to keep a few thousand (measured +0.2-0.4 s per dedup query at
-      // sf0.1). The over-cap key set comes from a map-side-combined
-      // count (shuffle = distinct buckets, not entries) and is usually
-      // tiny — AQE broadcast-joins it back onto the stream; in a
+      // sf0.1). The over-cap key set now falls out of the SAME grouped
+      // aggregate the clique uses (r19: was a second count pass) and is
+      // usually tiny — AQE broadcast-joins it back onto the stream; in a
       // pathological corpus where it is large, AQE falls back to a
       // shuffle join and the plan still never holds a bucket in memory.
-      val overKeys = bandsAll.groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucket)
+      val overKeys = grouped.filter(col("bsz") > maxBucket)
         .select(col("band"), col("bkey"))
       val ord = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey")).orderBy(rank, col("doc_id"))
+        .partitionBy(col("band"), col("bkey")).orderBy(bandRank, col("doc_id"))
       bandsAll.join(overKeys, Seq("band", "bkey"))
         .withColumn("nxt", lead(col("doc_id"), 1).over(ord))
         .filter(col("nxt").isNotNull)
@@ -814,7 +847,7 @@ object QueriesLlm {
     val shB = sh.select(col("doc_id").as("b2"), col("hs").as("hb"))
     val jac = col("inter").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("inter"))
-    val out = cand.join(shA, "a").join(shB, col("b") === col("b2"))
+    val verified = cand.join(shA, "a").join(shB, col("b") === col("b2"))
       .select(col("a"), col("b"),
         size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("inter"),
         size(col("ha")).cast(LongType).as("sz_a"),
@@ -822,7 +855,19 @@ object QueriesLlm {
       .withColumn("jac_raw", jac)
       .filter(col("jac_raw") >= thr)
       .select(col("a"), col("b"), round(col("jac_raw"), 4).as("jac"))
-      .orderBy("a", "b")
+    // r19 opt: the total ORDER BY is only part of the contract for the
+    // queries that EMIT the pair list (near/ngram); the five pipeline
+    // consumers (cluster/keep_best/split_leakfree/incremental/e2e)
+    // immediately re-aggregate, so for them `ordered = false` skips a
+    // range exchange + its sampling job per query — the pair SET is
+    // unchanged and every consumer's own final ORDER BY still runs.
+    val out0 = if (ordered) verified.orderBy("a", "b") else verified
+    // tools-only (plan evidence, R19PlanDump): `materialize = false`
+    // returns the DAG pre-checkpoint so explain() can show the pipeline
+    // (the checkpointed result explains as one Scan ExistingRDD). Every
+    // query path keeps the default.
+    if (!materialize) return out0
+    val out = out0
       // materialize the (output-sized) pair set on executor-local storage
       // and release the corpus-scale shingle cache BEFORE returning, so a
       // user session holds no corpus-sized cache after the call. Local
@@ -832,6 +877,7 @@ object QueriesLlm {
       // drops the DataFrame.
       .localCheckpoint(true)
     sh.unpersist()
+    grouped.unpersist()
     out
   }
 
@@ -1431,7 +1477,8 @@ object QueriesLlm {
       // component), not just pairs: connected components over the
       // near-dup pair list. See [[ccLabels]] for the strategy (and the
       // two measured alternatives it beat).
-      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold,
+          ordered = false)
         .select("a", "b")
       // ccLabels returns a checkpointed, output-sized result — only the
       // final (tiny) sort re-executes per downstream action
@@ -1586,14 +1633,17 @@ object QueriesLlm {
             .cast(LongType))).as("i"), col("ws"))
         .select(col("doc_id"), col("i").as("chunk_id"),
           substring(md5(concat_ws(" ", chunk)), 1, 16).as("digest"))
-      val canon = chunks.groupBy("digest")
-        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
-        .select(col("digest"), col("m.doc_id").as("cdoc"), col("m.chunk_id").as("cchunk"))
-      chunks.join(canon, "digest")
+      // r19 opt: canonical chunk via ONE window-min over the digest
+      // partition instead of groupBy + join-back on the digest string —
+      // one exchange instead of two, and the chunk-explode subtree runs
+      // once instead of twice. Same (doc_id, chunk_id) struct argmin.
+      val wDg = Window.partitionBy("digest")
+      chunks
+        .withColumn("m", min(struct(col("doc_id"), col("chunk_id"))).over(wDg))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("doc_id") === col("cdoc") &&
-            col("chunk_id") === col("cchunk"), 1L).otherwise(0L)).as("n_owned"))
+          sum(when(col("doc_id") === col("m.doc_id") &&
+            col("chunk_id") === col("m.chunk_id"), 1L).otherwise(0L)).as("n_owned"))
         .select(col("doc_id"), col("n_chunks"), col("n_owned"),
           (col("n_chunks") - col("n_owned")).as("n_deduped"))
         .orderBy("doc_id")
@@ -1656,24 +1706,39 @@ object QueriesLlm {
         .filter(nWords >= 20 && nWords <= 50000 &&
           stopRatio > 0.01 && punctRatio < 0.3)
         .select("doc_id", "n_chars", "nt")
-      val exactKeep = kept0
-        .groupBy(substring(md5(col("nt")), 1, 16).as("nh"))
-        .agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val kept1 = kept0.join(exactKeep, "doc_id").select("doc_id", "n_chars")
-      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
-        .select("a", "b")
+      // r19 opt (guide §2.4): the exact-dedup keep was a groupBy(min) +
+      // join-back (2 exchanges) whose kept1 result was then referenced
+      // FOUR times downstream (pair restriction a/b, label join, final
+      // keep) — the unpersisted subtree re-ran the corpus scan + quality
+      // gate each time. Now one window-min over the exact-hash partition
+      // picks the SAME keeper set in one exchange, and the survivor-sized
+      // kept1 is eagerly localCheckpoint'd (the ccLabels convention) so
+      // every consumer reads cached blocks instead of re-scanning.
+      val wNh = org.apache.spark.sql.expressions.Window
+        .partitionBy(substring(md5(col("nt")), 1, 16))
+      val kept1 = kept0
+        .withColumn("min_id", min(col("doc_id")).over(wNh))
+        .filter(col("doc_id") === col("min_id"))
+        .select("doc_id", "n_chars")
+        .localCheckpoint(true)
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold,
+        ordered = false).select("a", "b")
       val sp = pairs
         .join(kept1.select(col("doc_id").as("a")), "a")
         .join(kept1.select(col("doc_id").as("b")), "b")
       val lab = ccLabels(s, sp.select("a", "b"))
         .join(kept1, "doc_id")
-      val canon = lab.groupBy("label")
-        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
-        .select((-col("m.nid")).as("doc_id"), lit(1L).as("is_canon"))
+      // r19 opt: canonical verdict via ONE window over the label
+      // partition instead of a groupBy + two left join-backs — same
+      // (n_chars, -doc_id) argmax, same keep set, 2 fewer exchanges.
+      val wLab = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      val verdicts = lab
+        .withColumn("m",
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).over(wLab))
+        .select(col("doc_id"), lit(1L).as("in_cluster"),
+          (col("doc_id") === -col("m.nid")).cast(LongType).as("is_canon"))
       val finalKeep = kept1
-        .join(lab.select(col("doc_id"), lit(1L).as("in_cluster")), Seq("doc_id"), "left")
-        .join(canon, Seq("doc_id"), "left")
+        .join(verdicts, Seq("doc_id"), "left")
         .filter(col("in_cluster").isNull || col("is_canon") === 1L)
       val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
         .cast(LongType) % 100
@@ -1714,8 +1779,8 @@ object QueriesLlm {
       // docs hash their own id. Same 80/10/10 arithmetic as q_llm_split;
       // the label join is output-sized (clustered docs only).
       val labels = ccLabels(s,
-        minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
-          .select("a", "b"))
+        minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold,
+          ordered = false).select("a", "b"))
       val keyed = Tables.t(s, d, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -2246,10 +2311,13 @@ object QueriesLlm {
       val docs = Tables.t(s, d, "documents")
         .select(col("source"), normText(col("text")).as("nt"))
         .filter(size(split(col("nt"), " ")) >= ShingleWords)
+      // r19 opt: the former .distinct() before the per-gram set aggregate
+      // was a redundant full exchange — collect_set dedups (map-side too),
+      // so grouping the raw (source, gram) stream produces the identical
+      // source set per gram with one exchange instead of two.
       val srcGrams = docs.select(col("source"),
         explode(graft.functions.TextSketch.hashedWordShinglesCol(
           col("nt"), ShingleWords, xx = xxMode(s))).as("g"))
-        .distinct()
       srcGrams.groupBy("g")
         .agg(sort_array(collect_set(col("source"))).as("ss"))
         .filter(size(col("ss")) >= 2)
@@ -2303,20 +2371,23 @@ object QueriesLlm {
       // labels joined to doc metadata, canonical picked by an argmax
       // AGGREGATE (max of a (n_chars, -doc_id) struct — cluster-count-
       // sized output, no per-cluster sort), joined back on the label.
-      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
-        .select("a", "b")
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold,
+        ordered = false).select("a", "b")
       val lab = ccLabels(s, pairs)
         .join(Tables.t(s, d, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id")
-      val canon = lab.groupBy("label")
-        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
-          count(lit(1)).as("cluster_size"))
-        .select(col("label"), (-col("m.nid")).as("canonical_id"),
-          col("cluster_size"))
-      lab.join(canon, "label")
+      // r19 opt: canonical + cluster_size via ONE window over the label
+      // partition instead of groupBy + join-back (2 exchanges and a second
+      // execution of the lab subtree) — same argmax, same tie-break. The
+      // window input is clustered-docs-sized (output-scale), never corpus.
+      val wLab = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      lab
+        .withColumn("m",
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).over(wLab))
+        .withColumn("cluster_size", count(lit(1)).over(wLab))
         .select(col("doc_id"), col("label").as("cluster_id"),
-          col("canonical_id"),
-          (col("doc_id") === col("canonical_id")).cast(LongType).as("kept"),
+          (-col("m.nid")).as("canonical_id"),
+          (col("doc_id") === -col("m.nid")).cast(LongType).as("kept"),
           col("cluster_size"))
         .orderBy("doc_id")
     },
@@ -2338,23 +2409,32 @@ object QueriesLlm {
       val withNh = Tables.t(s, d, "documents")
         .select(col("doc_id"),
           substring(md5(normText(col("text"))), 1, 16).as("nh"))
-      val newDocs = withNh.filter(col("doc_id") % 4 === 0)
-      val exactDup = newDocs
-        .join(withNh.filter(col("doc_id") % 4 =!= 0).select("nh").distinct(),
-          Seq("nh"), "left_semi")
-        .select(col("doc_id"), lit(1L).as("is_exact"))
-      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold)
-        .select("a", "b")
+      // r19 opt (guide §2.4): the exact check is ONE window count over
+      // the nh partition — a new doc is exact_dup iff its fixed-width
+      // hash group holds >= 1 base doc — instead of the former shape's
+      // distinct() + left_semi join + verdict join-back (three exchanges
+      // and a second corpus scan for the base side). The window input is
+      // the same hash projection either way; at production scale where
+      // the base side is a precomputed standing index, the same verdict
+      // comes from the index's nh bucket counts — still no text ever
+      // crosses a shuffle. Pinned by R19OptShapeSpec's incremental test.
+      val wNh = Window.partitionBy("nh")
+      val newDocs = withNh
+        .withColumn("base_cnt",
+          sum(when(col("doc_id") % 4 =!= 0, 1L).otherwise(0L)).over(wNh))
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), (col("base_cnt") > 0).as("is_exact"))
+      val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold,
+        ordered = false).select("a", "b")
       val nearIds = pairs
         .filter((col("a") % 4 === 0) =!= (col("b") % 4 === 0))
         .select(when(col("a") % 4 === 0, col("a")).otherwise(col("b")).as("doc_id"))
         .distinct()
         .withColumn("is_near", lit(1L))
-      newDocs.select(col("doc_id"))
-        .join(exactDup, Seq("doc_id"), "left")
+      newDocs
         .join(nearIds, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          when(col("is_exact") === 1L, "exact_dup")
+          when(col("is_exact"), "exact_dup")
             .when(col("is_near") === 1L, "near_dup")
             .otherwise("novel").as("verdict"))
         .orderBy("doc_id")

@@ -250,10 +250,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p.take(2000))
   }
 
-  test("r9: keep-best picks canonicals by aggregate argmax — no per-cluster window sort") {
+  test("r19: keep-best canonicals via ONE label window — no join-back, no rank sort") {
+    // r9 pinned "aggregate argmax, no window" when the alternative was a
+    // row_number() rank; r19 measured the groupBy+join-back spelling
+    // planning TWO exchanges and executing the lab subtree twice, and
+    // replaced it with a single window over the label partition (same
+    // argmax). The window's only sort key is the partition key itself —
+    // the per-cluster RANK sort r9 rejected stays banned — and the whole
+    // plan must carry exactly two exchanges: the label partition and the
+    // mandated output ORDER BY.
     val p = plan("q_llm_dedup_keep_best")
-    assert(!p.contains("Window"),
-      s"keep-best planned a per-cluster window sort:\n${p.take(3000)}")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"keep-best should plan exactly one window:\n${p.take(3000)}")
+    // an unordered full-partition frame — a rank-style ordered window
+    // would put a sort key inside the spec and plan a RangeFrame
+    assert(p.contains("specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())"),
+      s"keep-best's window must be the unordered full-partition frame:\n${p.take(3000)}")
+    assert(!p.contains("row_number"),
+      s"keep-best must not rank per cluster:\n${p.take(3000)}")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected label-partition + ORDER BY + dim broadcast exchanges only, got $exchanges:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "keep-best planned a cartesian")
   }
