@@ -1233,10 +1233,20 @@ object QueriesLlm {
             concat_ws(" ",
               slice(col("ws"), (i - 1) * SegW + lit(1), lit(SegW))).as("seg")))).as("sg"))
       .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
-    val dfreq = segs.select("doc_id", "seg").distinct()
-      .groupBy("seg").agg(count(lit(1)).as("df"))
+    // r19 opt (guide §2.4): per-segment document frequency via two stacked
+    // windows — row_number over (doc_id, seg) marks exactly one row per
+    // (doc, segment-text), and counting those marks over the seg partition
+    // IS count(DISTINCT doc_id) — instead of distinct + groupBy +
+    // join-back on the segment STRING (three exchanges and a second
+    // execution of the segment explode). Pinned set-identical by
+    // R19OptShapeSpec's segment-df test.
+    val wDocSeg = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
+    val wSeg = Window.partitionBy("seg")
     val keep = col("df") <= SegDupDf
-    segs.join(dfreq, "seg")
+    segs
+      .withColumn("first_occ",
+        when(row_number().over(wDocSeg) === 1, 1L).otherwise(0L))
+      .withColumn("df", sum(col("first_occ")).over(wSeg))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
@@ -2209,8 +2219,14 @@ object QueriesLlm {
       // doc (HashSet dedup inside the native pass) — no array_distinct
       val grams = docs.select(col("doc_id"),
         explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n, xx = xxMode(s))).as("g"))
-      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      grams.join(dfreq, "g")
+      // r19 opt (guide §2.4): document frequency via ONE window count over
+      // the gram partition instead of a count aggregate + join-back on g —
+      // one exchange over the gram stream instead of two, and the gram
+      // explode runs once, not twice (the unpersisted `grams` subtree was
+      // planned on both join sides). Per-gram counts are identical: each
+      // grams row is one (doc, distinct-gram) pair either way.
+      val wG = Window.partitionBy("g")
+      grams.withColumn("df", count(lit(1)).over(wG))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") > BoilerplateDf, 1L).otherwise(0L)).as("n_common"))

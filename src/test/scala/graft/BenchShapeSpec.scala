@@ -24,11 +24,12 @@ class BenchShapeSpec extends AnyFunSuite {
   private val pins = Seq(
     "q_agg_groupby" -> 2,            // partial+final agg shuffle, ORDER BY range
     "q_join_inner" -> 3,             // two join inputs + ORDER BY
-    "q_join_multiway" -> 11,         // selectivity-first chain (r10 shape);
-                                     // compile-time SMJ exchanges — AQE
-                                     // demotes most to broadcasts at run
-                                     // time (5 shuffle-write stages in the
-                                     // r11 runtime audit)
+    "q_join_multiway" -> 10,         // selectivity-first chain; r19 joins
+                                     // the region-pruned customers into
+                                     // orders BEFORE the lineitem spine —
+                                     // AQE demotes the pruned spine to
+                                     // broadcast at run time (3 shuffle
+                                     // stages / 6 KB written, r19 audit)
     "q_win_topk_per_group" -> 2,     // window partition + ORDER BY
     "q_fn_json" -> 1,                // per-row projection + final ORDER BY
     // r12 (r11 verdict #3): the most expensive LLM-pipeline queries plus
@@ -37,13 +38,18 @@ class BenchShapeSpec extends AnyFunSuite {
     // exchange counts make a plan regression fail `sbt test` directly.
     // 0-exchange pins are the strongest claims: those pipelines are
     // single-pass / broadcast-only by design (SCALE.md) and must stay so.
-    "q_llm_pipeline_e2e" -> 17,      // full curation chain (multi-stage)
-    "q_llm_dedup_incremental" -> 7,  // semi-join vs standing corpus
+    "q_llm_pipeline_e2e" -> 6,       // r19: was 17 — window exact-keep +
+                                     // checkpointed survivor set + window
+                                     // canonical verdict
+    "q_llm_dedup_incremental" -> 4,  // r19: was 7 — exact check is a
+                                     // window count over the nh partition
     "q_llm_dedup_contain" -> 0,      // df-pruned posting join, broadcast
     "q_llm_dedup_cluster" -> 1,      // LSH buckets + local union-find
-    "q_llm_dedup_keep_best" -> 5,    // argmax-in-aggregate over clusters
+    "q_llm_dedup_keep_best" -> 3,    // r19: was 5 — one label window
+                                     // instead of argmax agg + join-back
     "q_llm_split_leakfree" -> 3,     // leak-free split via group ranking
-    "q_llm_segment_dedup" -> 5,      // boundary-bucket two-level ranking
+    "q_llm_segment_dedup" -> 4,      // r19: was 5 — stacked-window df
+                                     // instead of distinct+agg+join-back
     "q_llm_source_overlap" -> 3,     // gram-set overlap join
     "q_llm_dedup_embcos_banded" -> 0, // banded plane-bucket self-join
     "q_llm_copy_detect" -> 3,        // winnow fingerprints + pair join
@@ -55,6 +61,7 @@ class BenchShapeSpec extends AnyFunSuite {
   for ((q, cap) <- pins)
     test(s"$q plans at most $cap exchanges (bench plan watch)") {
       val n = exchanges(q)
+      info(s"$q plans $n exchanges (pin $cap)")
       assert(n <= cap,
         s"$q now plans $n exchanges (pinned max $cap) — a shuffle crept into " +
         "the headline path; check BENCH_LOCAL.json shuffle_audit before and " +

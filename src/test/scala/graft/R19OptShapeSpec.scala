@@ -174,6 +174,49 @@ class R19OptShapeSpec extends AnyFunSuite {
     assert(neu.subsetOf(allNew))
   }
 
+  test("window gram-df equals count aggregate + join-back (boilerplate)") {
+    // grams carry one row per (doc, DISTINCT gram), so a plain row count
+    // per gram equals the df the join-back shape computed
+    val grams = spark.createDataFrame(Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (3L, 10L), (3L, 30L)))
+      .toDF("doc_id", "g")
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val ref = grams.join(dfreq, "g")
+      .select("doc_id", "g", "df").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val neu = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .select("doc_id", "g", "df").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(neu === ref)
+  }
+
+  test("stacked-window segment df equals distinct + groupBy + join-back") {
+    // includes an intra-doc duplicate segment (doc 1 holds seg "x" twice)
+    // — the case where a plain per-row count would overcount vs the
+    // distinct-doc df
+    val segs = spark.createDataFrame(Seq(
+      (1L, 1, "x"), (1L, 2, "x"), (1L, 3, "y"),
+      (2L, 1, "x"), (3L, 1, "y"))).toDF("doc_id", "seg_idx", "seg")
+    val dfreq = segs.select("doc_id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+    val ref = segs.join(dfreq, "seg")
+      .select("doc_id", "seg_idx", "seg", "df").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val wDocSeg = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
+    val neu = segs
+      .withColumn("first_occ",
+        when(row_number().over(wDocSeg) === 1, 1L).otherwise(0L))
+      .withColumn("df", sum(col("first_occ")).over(Window.partitionBy("seg")))
+      .select("doc_id", "seg_idx", "seg", "df").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(neu === ref)
+    // df of "x" is 2 docs (not 3 rows)
+    assert(ref.filter(_._3 == "x").forall(_._4 == 2L))
+  }
+
   test("window-min exact-keep equals groupBy(min) + join-back (e2e)") {
     val docs = Tables.t(spark, d, "documents")
       .select(col("doc_id"), col("n_chars"),
