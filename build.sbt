@@ -14,6 +14,18 @@ Test / fork := true
 // session state; suites must not interleave lake.sql scopes.
 Test / parallelExecution := false
 run / fork := true
+// r20 (VERDICT r19 item 1): the driver parses the bench's one-line JSON from
+// `sbt "runMain graft.Bench"` stdout, and has parsed NULL in every round —
+// not (only) because of line length, but because the default fork output
+// strategy (LoggedOutput) prefixes every forked-stdout line with "[info] ",
+// so no stdout line ever *starts* with '{' (BENCH_r01.json's tail shows the
+// full JSON inside the 2000-char window, still unparsed). StdoutOutput
+// passes the forked process's stdout/stderr through unwrapped.
+run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the trailing "[success] Total time ..." logger line so the
+// bench JSON is the LAST line sbt prints on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -454,7 +454,7 @@ object QueriesLlm {
       .filter(col("cos") >= thr)
       .orderBy("a", "b")
       // output-sized; releases the corpus-scale norm cache below
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     emb.unpersist()
     out
   }
@@ -865,8 +865,13 @@ object QueriesLlm {
     // tools-only (plan evidence, R19PlanDump): `materialize = false`
     // returns the DAG pre-checkpoint so explain() can show the pipeline
     // (the checkpointed result explains as one Scan ExistingRDD). Every
-    // query path keeps the default.
-    if (!materialize) return out0
+    // query path keeps the default. r20 (ADVICE r19): unpersist the two
+    // lazily-persisted handles before the early return — nothing was
+    // materialized yet, so this only unregisters them; the caller gets a
+    // plain DAG with no cache entry left behind (explain() shows the raw
+    // pipeline rather than InMemoryRelation nodes, which is what a plan
+    // dump wants anyway).
+    if (!materialize) { sh.unpersist(); grouped.unpersist(); return out0 }
     val out = out0
       // materialize the (output-sized) pair set on executor-local storage
       // and release the corpus-scale shingle cache BEFORE returning, so a
@@ -875,7 +880,7 @@ object QueriesLlm {
       // FS; the one block set left behind is output-sized, never
       // corpus-sized, and the ContextCleaner reclaims it once the caller
       // drops the DataFrame.
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     sh.unpersist()
     grouped.unpersist()
     out
@@ -1040,7 +1045,7 @@ object QueriesLlm {
       .toDF("doc_id", "label")
       // same lifecycle contract as the loop strategies: output-sized,
       // lineage-free (downstream re-actions must not re-run the pair set)
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     out
   }
 
@@ -1059,14 +1064,14 @@ object QueriesLlm {
     */
   private[graft] def ccMinLabel(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true) // materializes under the session conf
+      .transform(Ckpt.eager) // materializes under the session conf
     val nEdges = edges.count()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
     withCcLoopConf(s, nEdges) {
-      labels = labels.localCheckpoint(true)
+      labels = labels.transform(Ckpt.eager)
       // labels only DECREASE under min-propagation, so sum(label) strictly
       // decreases until the fixpoint — one cheap aggregate is the
       // convergence probe (the checkpoint above already materialized)
@@ -1078,7 +1083,7 @@ object QueriesLlm {
           .select(col("b").as("doc_id"), col("label"))
         val next = labels.unionByName(prop)
           .groupBy("doc_id").agg(min("label").as("label"))
-          .localCheckpoint(true)
+          .transform(Ckpt.eager)
         val nextSum = labelSum(next)
         labels = next
         converged = nextSum == prevSum
@@ -1102,7 +1107,7 @@ object QueriesLlm {
     */
   private[graft] def ccTwoHop(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     val nEdges = edges.count()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
@@ -1116,7 +1121,7 @@ object QueriesLlm {
       // per superstep — see [[ccMinLabel]].
       var labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("nmin"))
         .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
-        .localCheckpoint(false)
+        .transform(Ckpt.lazily)
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
@@ -1129,7 +1134,7 @@ object QueriesLlm {
           .select(col("b").as("doc_id"), col("label"))
         val next = mid.unionByName(hop2)
           .groupBy("doc_id").agg(min("label").as("label"))
-          .localCheckpoint(false)
+          .transform(Ckpt.lazily)
         val nextSum = labelSum(next)
         labels = next
         converged = nextSum == prevSum
@@ -1161,7 +1166,7 @@ object QueriesLlm {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true) // per-round lineage truncation — see [[ccMinLabel]]
+      .transform(Ckpt.eager) // per-round lineage truncation — see [[ccMinLabel]]
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.select(xxhash64(col("u"), col("v")).as("h"))
         .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).collect()(0)
@@ -1190,7 +1195,7 @@ object QueriesLlm {
           .filter(col("n") =!= col("m"))
           .select(col("n").as("u"), col("m").as("v"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(Ckpt.eager)
         val cur = sig(ss)
         e = ss
         converged = cur == prev
@@ -1205,7 +1210,7 @@ object QueriesLlm {
     e.select(col("u").as("doc_id"), col("v").as("label"))
       .union(e.select(col("v").as("doc_id"), col("v").as("label")))
       .groupBy("doc_id").agg(min("label").as("label"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
   }
 
   // ---------------------------------------------- r9 factored helpers
@@ -1233,20 +1238,32 @@ object QueriesLlm {
             concat_ws(" ",
               slice(col("ws"), (i - 1) * SegW + lit(1), lit(SegW))).as("seg")))).as("sg"))
       .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
-    // r19 opt (guide §2.4): per-segment document frequency via two stacked
-    // windows — row_number over (doc_id, seg) marks exactly one row per
-    // (doc, segment-text), and counting those marks over the seg partition
-    // IS count(DISTINCT doc_id) — instead of distinct + groupBy +
-    // join-back on the segment STRING (three exchanges and a second
-    // execution of the segment explode). Pinned set-identical by
-    // R19OptShapeSpec's segment-df test.
-    val wDocSeg = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
-    val wSeg = Window.partitionBy("seg")
-    val keep = col("df") <= SegDupDf
+    // r20 opt (guide §2.5, VERDICT r19 item 3): the r19 stacked-window
+    // spelling's second window (`sum over (partition by seg)`) shuffled
+    // the full segment stream by a key that is hot BY DESIGN — the
+    // duplicated segments are the target — and WindowExec buffers each
+    // key's partition whole and is excluded from AQE skew splitting: a
+    // viral segment (syndicated header in most of a 100 TB corpus)
+    // serializes onto one task (SkewProbe measured the bound; SCALE.md
+    // §r20). Two-level distinct-df instead: distinct (doc, seg) pairs —
+    // partial-agg dedup on a NOT-hot composite key — then a map-side-
+    // combined per-seg count whose exchange carries one partial count
+    // per seg per map task, never a row set. Only the >threshold
+    // segments (the DUP table — small by construction: each costs >
+    // SegDupDf corpus rows) join back; AQE broadcasts it when small and
+    // keeps a skew-splittable shuffle join otherwise. The segment
+    // explode is planned on both sides (one extra pass) — the price of
+    // the skew-safe shape; df semantics identical (count of DISTINCT
+    // docs per segment), pinned set-identical against the r19 stacked-
+    // window spelling by R20OptShapeSpec incl. the intra-doc duplicate
+    // and planted-viral-segment cases.
+    val dup = segs.select("doc_id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") > SegDupDf)
+      .select(col("seg"), lit(true).as("is_dup"))
+    val keep = !coalesce(col("is_dup"), lit(false))
     segs
-      .withColumn("first_occ",
-        when(row_number().over(wDocSeg) === 1, 1L).otherwise(0L))
-      .withColumn("df", sum(col("first_occ")).over(wSeg))
+      .join(dup, Seq("seg"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
@@ -1311,7 +1328,7 @@ object QueriesLlm {
     // convention) stops the totals/offsets/verdict consumers from each
     // re-scanning the corpus through its lineage
     val buckets = base.groupBy("source", "bk").agg(sum("tok").as("btok"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     val bySrc = buckets.groupBy("source").agg(sum(col("btok")).as("tok_total"))
       .withColumn("wt",
         when(length(col("source")) === 4, lit(2.0)).otherwise(lit(1.0)))
@@ -1439,7 +1456,7 @@ object QueriesLlm {
         .filter(col("hamming") <= HamThreshold)
         .select("a", "b", "hamming")
         .orderBy("a", "b")
-        .localCheckpoint(true) // output-sized; releases the sig cache below
+        .transform(Ckpt.eager) // output-sized; releases the sig cache below
       sig.unpersist()
       out
     },
@@ -1477,7 +1494,7 @@ object QueriesLlm {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = containPairs(sh, MaxBucket)
         .orderBy("contained", "container")
-        .localCheckpoint(true) // output-sized; releases the shingle cache
+        .transform(Ckpt.eager) // output-sized; releases the shingle cache
       sh.unpersist()
       out
     },
@@ -1730,7 +1747,7 @@ object QueriesLlm {
         .withColumn("min_id", min(col("doc_id")).over(wNh))
         .filter(col("doc_id") === col("min_id"))
         .select("doc_id", "n_chars")
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       val pairs = minhashPairs(shinglesDF(s, d), NumHashes, Bands, JacThreshold,
         ordered = false).select("a", "b")
       val sp = pairs
@@ -2219,17 +2236,33 @@ object QueriesLlm {
       // doc (HashSet dedup inside the native pass) — no array_distinct
       val grams = docs.select(col("doc_id"),
         explode(graft.functions.TextSketch.hashedWordShinglesCol(col("nt"), n, xx = xxMode(s))).as("g"))
-      // r19 opt (guide §2.4): document frequency via ONE window count over
-      // the gram partition instead of a count aggregate + join-back on g —
-      // one exchange over the gram stream instead of two, and the gram
-      // explode runs once, not twice (the unpersisted `grams` subtree was
-      // planned on both join sides). Per-gram counts are identical: each
-      // grams row is one (doc, distinct-gram) pair either way.
-      val wG = Window.partitionBy("g")
-      grams.withColumn("df", count(lit(1)).over(wG))
+      // r20 opt (guide §2.5, VERDICT r19 item 3): the r19 window-df
+      // spelling (`count over (partition by g)`) shuffled the FULL gram
+      // stream by a key that is hot BY DESIGN — boilerplate grams are
+      // exactly the ones with df > threshold — and WindowExec buffers
+      // each key's whole partition and is excluded from AQE skew
+      // splitting, so at corpus scale a viral gram serializes its entire
+      // row set onto ONE task (SkewProbe measured the bound; SCALE.md
+      // §r20). Two-level count instead: the df aggregate is map-side
+      // combined (a viral gram crosses the exchange as ≤ one partial
+      // count per map task, never as its row set), only the >threshold
+      // survivors — the COMMON-gram table, ≤ total_grams/threshold rows
+      // by construction — join back, and AQE sizes that table at runtime:
+      // small → BroadcastHashJoin (gram stream never exchanged for the
+      // join), pathological → shuffle join, which unlike a window is
+      // AQE-skew-splittable. Cost: the gram explode is planned on both
+      // sides again (one extra native hash pass) — measured cheaper than
+      // the window's full-stream exchange + buffer at sf0.1 and the only
+      // skew-safe shape at 100 TB. Per-gram df identical (one grams row
+      // per (doc, distinct gram) either way) — R20OptShapeSpec pins
+      // set-equality against the r19 window spelling incl. a viral gram.
+      val common = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > BoilerplateDf)
+        .select(col("g"), lit(1L).as("hit"))
+      grams.join(common, Seq("g"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") > BoilerplateDf, 1L).otherwise(0L)).as("n_common"))
+          sum(coalesce(col("hit"), lit(0L))).as("n_common"))
         .select(col("doc_id"), col("n_grams"), col("n_common"),
           round(col("n_common").cast(DoubleType) / col("n_grams"), 4).as("boiler_ratio"))
         .orderBy("doc_id")

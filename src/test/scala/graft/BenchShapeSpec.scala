@@ -48,8 +48,17 @@ class BenchShapeSpec extends AnyFunSuite {
     "q_llm_dedup_keep_best" -> 3,    // r19: was 5 — one label window
                                      // instead of argmax agg + join-back
     "q_llm_split_leakfree" -> 3,     // leak-free split via group ranking
-    "q_llm_segment_dedup" -> 4,      // r19: was 5 — stacked-window df
-                                     // instead of distinct+agg+join-back
+    "q_llm_segment_dedup" -> 5,      // r20: was 4 — the skew-safe df shape
+                                     // (VERDICT r19 item 3) trades the
+                                     // hot-key `sum over (partition by
+                                     // seg)` window for distinct + map-
+                                     // side-combined count + dup-table
+                                     // join-back; the 5th compile-time
+                                     // exchange is the join's probe side,
+                                     // which AQE elides at runtime by
+                                     // broadcasting the tiny dup table
+                                     // (runtime audit r20: shuffle-write
+                                     // stages did not grow vs r19)
     "q_llm_source_overlap" -> 3,     // gram-set overlap join
     "q_llm_dedup_embcos_banded" -> 0, // banded plane-bucket self-join
     "q_llm_copy_detect" -> 3,        // winnow fingerprints + pair join
