@@ -32,7 +32,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def run_verify():
     env = dict(os.environ, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_VERIFY_ONLY=",".join(TOP10),
-               SBT_OPTS="-Xmx96g -XX:+UseG1GC")
+               # r20: the forked Verify JVM sizes its heap from
+               # SPARK_DRIVER_MEM (build.sbt javaOptions), not SBT_OPTS —
+               # without it the fork runs at the 8g default and OOMs on
+               # the sf10 pipeline checkpoints (same lesson as
+               # bench_sf10.py's bench() env)
+               SPARK_DRIVER_MEM="96g",
+               SBT_OPTS="-Xmx8g -XX:+UseG1GC")
     cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
     t0 = time.time()
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
@@ -116,7 +122,29 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle_sql = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
     board, n_pass, n_fail = {}, 0, 0
-    for name in TOP10:
+
+    # r20: write the board INCREMENTALLY (cheapest-first, by measured sf1
+    # compare cost) so a long DuckDB twin cannot leave the round with no
+    # artifact; the file carries partial=True until the last row lands.
+    cost_order = ["q_llm_segment_dedup", "q_llm_source_overlap",
+                  "q_llm_dedup_incremental", "q_llm_dedup_ngram",
+                  "q_llm_dedup_contain", "q_llm_split_leakfree",
+                  "q_llm_dedup_keep_best", "q_llm_pipeline_e2e",
+                  "q_llm_dedup_cluster", "q_llm_copy_detect"]
+    ordered = [q for q in cost_order if q in TOP10] +         [q for q in TOP10 if q not in cost_order]
+
+    def write_board(partial):
+        out = {"sf": SF_DIR, "docs": 500000, "partial": partial,
+               "n_done": len(board), "n_total": len(ordered),
+               "method": "duckdb multiset (md5 row-hash count-vectors, "
+               "EXCEPT both directions) + rowcount at sf10 density where "
+               "the r18 truncate/ring/exact-contain paths fire; "
+               "order/type-lint driver-checked at sf0.01",
+               "pass": n_pass, "fail": n_fail, "queries": board}
+        Path("/root/repo/CORRECTNESS_SF10_LLM.json").write_text(
+            json.dumps(out, indent=1, sort_keys=True))
+
+    for name in ordered:
         if name not in oracle_sql:
             n_fail += 1
             board[name] = {"hash_match": False, "err": "NO ORACLE SQL"}
